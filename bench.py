@@ -1,0 +1,82 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query executes with a count()/collect() action so the full plan runs;
+inputs are re-read per query (no caching) so the numbers reflect scan +
+shuffle cost, not a warmed cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from olympia_spark.operators import load_all_modules, registry  # noqa: E402
+from olympia_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family that dominates 100 TB cost —
+# scan, filter, big join, star join, wide agg, window, top-k, set op,
+# JSON, plus the training-data extensions once registered.
+HEADLINE = [
+    "b01_scan_count",
+    "b03_filter",
+    "b04_join_inner",
+    "b05_star_join",
+    "b08_range_join",
+    "b10_q1_agg",
+    "b11_count_distinct",
+    "b13_rollup",
+    "b14_rank_window",
+    "b15_running_sum",
+    "b17_topk",
+    "b18_union",
+    "b20_cte_subquery",
+    "b27_json",
+    # extension headliners (registered by later modules; skipped if absent)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all_modules()
+    spark = get_spark("olympia_spark_bench")
+    # warm the JVM/session with a trivial action so q1 isn't charged for boot
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

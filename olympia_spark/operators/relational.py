@@ -1,0 +1,619 @@
+"""Relational data-plane queries B1-B27 (SURVEY.md §2 Part B).
+
+The reference delegates this whole surface to its host Spark session over
+catalog-managed tables (reference: docs/spark.md:1-50; its own data-plane
+vocabulary is only TABLE_SELECT/INSERT/UPDATE/DELETE, proto/actions.proto:38-48).
+Here it is first-class: every query is declared with the DataFrame API (or
+SQL) so Catalyst owns pushdown, pruning, join selection and AQE owns runtime
+re-planning.
+
+Determinism: see olympia_spark.operators.registry docstring — double sums go
+through exact DECIMAL accumulation on both the Spark and DuckDB side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from olympia_spark.operators.registry import dsum, query
+from olympia_spark.tables import load
+
+DEC = "decimal(25,6)"
+
+
+def _dsum(col, alias: str):
+    """DataFrame-side twin of registry.dsum: exact decimal accumulation."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+# --- B1 scan --------------------------------------------------------------
+
+@query("b01_scan_count",
+       oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
+def b01(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan (catalog resolves table → file list; ref TABLE_SELECT,
+    proto/actions.proto:94-97)."""
+    return load(spark, sf, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+# --- B2 projection ---------------------------------------------------------
+
+@query("b02_projection", oracle="""
+SELECT l_orderkey, l_quantity FROM lineitem
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+""")
+def b02(spark: SparkSession, sf: str) -> DataFrame:
+    """Column pruning: the scan should read exactly 3 columns (ReadSchema)."""
+    return (load(spark, sf, "lineitem")
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(100)
+            .select("l_orderkey", "l_quantity"))
+
+
+# --- B3 filter -------------------------------------------------------------
+
+@query("b03_filter", oracle="""
+SELECT COUNT(*) AS n FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+  AND l_returnflag IN ('A', 'R') AND l_linestatus IS NOT NULL
+""")
+def b03(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate pushdown: BETWEEN / IN / IS NOT NULL all reach the parquet
+    reader as PushedFilters."""
+    li = load(spark, sf, "lineitem")
+    return (li.filter(F.col("l_discount").between(0.05, 0.07)
+                      & (F.col("l_quantity") < 24)
+                      & F.col("l_returnflag").isin("A", "R")
+                      & F.col("l_linestatus").isNotNull())
+            .agg(F.count("*").alias("n")))
+
+
+# --- B4 equi inner join ----------------------------------------------------
+
+@query("b04_join_inner", oracle=f"""
+SELECT COUNT(*) AS n, {dsum('o_totalprice', 'total')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+""")
+def b04(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi inner join; Catalyst/AQE picks broadcast vs sort-merge by size."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "inner")
+            .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "total")))
+
+
+# --- B5 star join (TPC-H Q5 shape) ------------------------------------------
+
+@query("b05_star_join", oracle=f"""
+SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY n_name
+""")
+def b05(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-way star join. nation/region/supplier are broadcast-hinted —
+    at 100 TB the fact tables shuffle once on their join keys while the
+    dimensions replicate to every executor."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, (o.o_custkey == c.c_custkey))
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+# --- B6 outer join ----------------------------------------------------------
+
+@query("b06_outer_join", oracle="""
+SELECT COUNT(*) AS n_no_orders FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IS NULL
+""")
+def b06(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .filter(F.col("o_orderkey").isNull())
+            .agg(F.count("*").alias("n_no_orders")))
+
+
+@query("b06b_full_outer_join", oracle="""
+SELECT COUNT(*) AS n,
+       COUNT(c_custkey) AS n_cust,
+       COUNT(o_orderkey) AS n_ord
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+""")
+def b06b(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "full")
+            .agg(F.count("*").alias("n"),
+                 F.count("c_custkey").alias("n_cust"),
+                 F.count("o_orderkey").alias("n_ord")))
+
+
+# --- B7 semi / anti join -----------------------------------------------------
+
+@query("b07_semi_join", oracle="""
+SELECT COUNT(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""")
+def b07(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .agg(F.count("*").alias("n")))
+
+
+@query("b07b_anti_join", oracle="""
+SELECT COUNT(*) AS n FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def b07b(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .agg(F.count("*").alias("n")))
+
+
+# --- B8 theta / range join ---------------------------------------------------
+
+@query("b08_range_join", oracle="""
+SELECT COUNT(*) AS n FROM part p1 JOIN part p2
+ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+""")
+def b08(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta join: the equi conjunct (brand) hashes; the range conjunct
+    becomes a post-join filter — NOT a cartesian product, so it scales as
+    sum of per-brand-group squares, not |P|^2."""
+    p1 = load(spark, sf, "part").alias("p1")
+    p2 = load(spark, sf, "part").alias("p2")
+    return (p1.join(p2, (F.col("p1.p_brand") == F.col("p2.p_brand"))
+                    & (F.col("p1.p_size") < F.col("p2.p_size")))
+            .agg(F.count("*").alias("n")))
+
+
+# --- B9 cross join -----------------------------------------------------------
+
+@query("b09_cross_join", oracle="""
+SELECT COUNT(*) AS n FROM region CROSS JOIN nation
+""")
+def b09(spark: SparkSession, sf: str) -> DataFrame:
+    r = load(spark, sf, "region")
+    n = load(spark, sf, "nation")
+    return r.crossJoin(n).agg(F.count("*").alias("n"))
+
+
+# --- B10 hash aggregate (TPC-H Q1 shape) --------------------------------------
+
+@query("b10_q1_agg", oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       {dsum('l_extendedprice', 'sum_base_price')},
+       {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+           / COUNT(l_extendedprice) AS avg_price,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def b10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape — partial (map-side) + final aggregation is automatic;
+    one shuffle on the 2 grouping keys. Flagship query (entry())."""
+    li = load(spark, sf, "lineitem")
+    price, disc, tax, qty = (F.col(c) for c in
+                             ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).alias("sum_qty"),
+                 _dsum(price, "sum_base_price"),
+                 _dsum(price * (1 - disc), "sum_disc_price"),
+                 _dsum(price * (1 - disc) * (1 + tax), "sum_charge"),
+                 (F.sum(qty) / F.count(qty)).alias("avg_qty"),
+                 (F.sum(price.cast(DEC)).cast("double") / F.count(price)).alias("avg_price"),
+                 F.avg(disc).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+# --- B11 distinct -------------------------------------------------------------
+
+@query("b11_count_distinct", oracle="""
+SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+       COUNT(DISTINCT o_orderstatus) AS n_status
+FROM orders
+""")
+def b11(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("n_cust"),
+                 F.countDistinct("o_orderstatus").alias("n_status"))
+
+
+@query("b11b_distinct_rows", oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def b11b(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --- B12 approx count-distinct (no exact oracle: ±5% check) ---------------------
+
+@query("b12_approx_count_distinct")
+def b12(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ sketch — mergeable across partitions, no exact-distinct
+    shuffle. Oracle omitted (approximate); companion b11 is the exact check."""
+    return (load(spark, sf, "lineitem")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts")))
+
+
+# --- B13 rollup / cube / grouping sets -----------------------------------------
+
+@query("b13_rollup", oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""")
+def b13(spark: SparkSession, sf: str) -> DataFrame:
+    return (load(spark, sf, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n")))
+
+
+@query("b13b_cube", oracle="""
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""")
+def b13b(spark: SparkSession, sf: str) -> DataFrame:
+    return (load(spark, sf, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty")))
+
+
+# --- B14 ranking windows ---------------------------------------------------------
+
+@query("b14_rank_window", oracle="""
+SELECT o_custkey, o_orderkey, r FROM (
+  SELECT o_custkey, o_orderkey,
+         RANK() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS r
+  FROM orders) t
+WHERE r <= 3
+""")
+def b14(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group — single shuffle on the partition key; at scale this
+    is the canonical 'rank then filter' pattern (no global sort)."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (load(spark, sf, "orders")
+            .select("o_custkey", "o_orderkey", F.rank().over(w).alias("r"))
+            .filter(F.col("r") <= 3))
+
+
+@query("b14b_row_number_ntile", oracle="""
+SELECT o_orderkey, rn, nt FROM (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         NTILE(4) OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice DESC, o_orderkey) AS nt
+  FROM orders) t
+WHERE rn <= 5
+""")
+def b14b(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (load(spark, sf, "orders")
+            .select("o_orderkey",
+                    F.row_number().over(w).alias("rn"),
+                    F.ntile(4).over(w).alias("nt"))
+            .filter(F.col("rn") <= 5))
+
+
+# --- B15 analytic windows + frames ------------------------------------------------
+
+@query("b15_running_sum", oracle="""
+SELECT o_orderkey,
+       SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_sum,
+       LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders
+""")
+def b15(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (load(spark, sf, "orders")
+            .select("o_orderkey",
+                    F.sum("o_totalprice")
+                     .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                     .alias("run_sum"),
+                    F.lag("o_totalprice").over(w).alias("prev_price")))
+
+
+# --- B16 sort ------------------------------------------------------------------
+
+@query("b16_sort", oracle="""
+SELECT o_orderkey FROM orders
+ORDER BY o_orderstatus DESC, o_totalprice ASC, o_orderkey LIMIT 50
+""")
+def b16(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key sort + limit → TakeOrderedAndProject (no global sort at scale).
+    o_orderkey tiebreak keeps the boundary deterministic."""
+    return (load(spark, sf, "orders")
+            .orderBy(F.desc("o_orderstatus"), F.asc("o_totalprice"), "o_orderkey")
+            .limit(50)
+            .select("o_orderkey"))
+
+
+@query("b16b_sort_nulls", oracle="""
+SELECT o_orderstatus, o_orderpriority, n FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)) t
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n LIMIT 20
+""")
+def b16b(spark: SparkSession, sf: str) -> DataFrame:
+    return (load(spark, sf, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.asc_nulls_first("o_orderstatus"),
+                     F.asc_nulls_first("o_orderpriority"),
+                     F.asc("n"))
+            .limit(20))
+
+
+# --- B17 top-k ------------------------------------------------------------------
+
+@query("b17_topk", oracle="""
+SELECT l_orderkey, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey LIMIT 10
+""")
+def b17(spark: SparkSession, sf: str) -> DataFrame:
+    return (load(spark, sf, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .orderBy(F.desc("l_extendedprice"), "l_orderkey")
+            .limit(10))
+
+
+# --- B18 union ------------------------------------------------------------------
+
+@query("b18_union", oracle="""
+SELECT COUNT(*) AS n FROM (
+  SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer) t
+""")
+def b18(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    c = load(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    return o.union(c).distinct().agg(F.count("*").alias("n"))
+
+
+@query("b18b_union_all", oracle="""
+SELECT COUNT(*) AS n FROM (
+  SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey FROM customer) t
+""")
+def b18b(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    c = load(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    return o.union(c).agg(F.count("*").alias("n"))
+
+
+# --- B19 intersect / except -------------------------------------------------------
+
+@query("b19_except", oracle="""
+SELECT COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t
+""")
+def b19(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct().agg(F.count("*").alias("n"))
+
+
+@query("b19b_intersect", oracle="""
+SELECT COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) t
+""")
+def b19b(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o).agg(F.count("*").alias("n"))
+
+
+# --- B20 scalar subquery / CTE ------------------------------------------------------
+
+@query("b20_cte_subquery", oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer)
+SELECT COUNT(*) AS n FROM customer, avg_bal WHERE c_acctbal > a
+""")
+def b20(spark: SparkSession, sf: str) -> DataFrame:
+    """CTE + scalar subquery via SQL over a registered view (same Catalyst
+    plan as the DataFrame form). Exact-decimal average so the comparison
+    threshold is bit-identical to the oracle's."""
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        WITH avg_bal AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS a
+          FROM customer)
+        SELECT COUNT(*) AS n FROM customer, avg_bal WHERE c_acctbal > a
+    """)
+
+
+# --- B21 string functions -------------------------------------------------------------
+
+@query("b21_string_fns", oracle="""
+SELECT p_partkey,
+       UPPER(SUBSTR(p_name, 1, 5)) AS name5,
+       LENGTH(p_type) AS type_len,
+       CONCAT(p_brand, ':', LOWER(p_type)) AS brand_type,
+       TRIM('  pad  ') AS trimmed,
+       REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+       SPLIT_PART(p_name, ' ', 2) AS second_word
+FROM part WHERE p_type LIKE '%O%'
+""")
+def b21(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    return (p.filter(F.col("p_type").like("%O%"))
+            .select("p_partkey",
+                    F.upper(F.substring("p_name", 1, 5)).alias("name5"),
+                    F.length("p_type").alias("type_len"),
+                    F.concat(F.col("p_brand"), F.lit(":"), F.lower("p_type")).alias("brand_type"),
+                    F.trim(F.lit("  pad  ")).alias("trimmed"),
+                    F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+                    F.split(F.col("p_name"), " ").getItem(1).alias("second_word")))
+
+
+# --- B22 date/time functions -------------------------------------------------------------
+
+@query("b22_date_fns", oracle="""
+SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+       COUNT(*) AS n,
+       MIN(CAST(o_orderdate AS DATE)) AS first_day
+FROM orders GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+""")
+def b22(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("y"),
+                      F.month("o_orderdate").alias("m"))
+            .agg(F.count("*").alias("n"),
+                 F.min(F.col("o_orderdate").cast("date")).alias("first_day")))
+
+
+@query("b22b_date_trunc_diff", oracle="""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""")
+def b22b(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+            .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+            .agg(F.count("*").alias("n")))
+
+
+# --- B23 math / decimal ---------------------------------------------------------------------
+
+@query("b23_math_fns", oracle=f"""
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_charge,
+       CAST(FLOOR(MAX(l_extendedprice)) AS BIGINT) AS max_price_floor,
+       CAST(CEIL(MIN(l_extendedprice)) AS BIGINT) AS min_price_ceil,
+       ROUND(ABS(-42.4242), 2) AS abs_round,
+       CAST(POW(2, 10) AS BIGINT) AS pow2_10
+FROM lineitem
+""")
+def b23(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))).cast(DEC)
+    return li.agg(
+        F.round(F.sum(charge).cast("double"), 2).alias("total_charge"),
+        F.floor(F.max("l_extendedprice")).alias("max_price_floor"),
+        F.ceil(F.min("l_extendedprice")).alias("min_price_ceil"),
+        F.round(F.abs(F.lit(-42.4242)), 2).alias("abs_round"),
+        F.pow(F.lit(2), F.lit(10)).cast("bigint").alias("pow2_10"))
+
+
+# --- B24 conditional / null functions ----------------------------------------------------------
+
+@query("b24_conditional", oracle="""
+SELECT o_orderstatus,
+       SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+       COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+       COALESCE(MIN(NULLIF(o_orderstatus, o_orderstatus)), 'none') AS coalesced
+FROM orders GROUP BY o_orderstatus
+""")
+def b24(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("n_big"),
+                 F.count(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))).alias("n_not_urgent"),
+                 F.coalesce(F.min(F.nullif(F.col("o_orderstatus"), F.col("o_orderstatus"))),
+                            F.lit("none")).alias("coalesced")))
+
+
+# --- B25 array functions --------------------------------------------------------------------------
+
+@query("b25_array_fns", oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS first_elem
+FROM embeddings ORDER BY vec_id LIMIT 20
+""")
+def b25(spark: SparkSession, sf: str) -> DataFrame:
+    """Array ops on array<float>; note DuckDB arrays are 1-based (oracle
+    uses embedding[1] for Spark's getItem(0))."""
+    e = load(spark, sf, "embeddings")
+    return (e.orderBy("vec_id").limit(20)
+            .select("vec_id",
+                    F.size("embedding").alias("dim"),
+                    F.round(F.col("embedding").getItem(0).cast("double"), 4)
+                     .cast("double").alias("first_elem")))
+
+
+@query("b25b_explode_collect", oracle="""
+SELECT n_regionkey, list_sort(list(n_name)) AS names
+FROM nation GROUP BY n_regionkey
+""")
+def b25b(spark: SparkSession, sf: str) -> DataFrame:
+    n = load(spark, sf, "nation")
+    return (n.groupBy("n_regionkey")
+            .agg(F.sort_array(F.collect_list("n_name")).alias("names")))
+
+
+# --- B26 struct / map functions --------------------------------------------------------------------
+
+@query("b26_struct_map", oracle="""
+SELECT n_nationkey AS k, n_name AS n, n_name AS from_map FROM nation
+""")
+def b26(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct + map round-trips (named_struct → getField; create_map →
+    element_at). The oracle checks the identity result — the struct/map ops
+    themselves are Spark-side."""
+    n = load(spark, sf, "nation")
+    st = F.named_struct(F.lit("k"), F.col("n_nationkey"), F.lit("n"), F.col("n_name"))
+    mp = F.create_map(F.col("n_nationkey"), F.col("n_name"))
+    return n.select(st.getField("k").alias("k"),
+                    st.getField("n").alias("n"),
+                    F.element_at(mp, F.col("n_nationkey")).alias("from_map"))
+
+
+# --- B27 JSON functions ------------------------------------------------------------------------------
+
+@query("b27_json", oracle="""
+SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS n
+FROM events GROUP BY json_extract_string(props, '$.k')
+""")
+def b27(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (e.groupBy(F.get_json_object("props", "$.k").alias("k_val"))
+            .agg(F.count("*").alias("n")))
+
+
+@query("b27b_from_json", oracle="""
+SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+""")
+def b27b(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return (e.select("event_type", parsed.alias("p"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("p.k")).alias("sum_k")))

@@ -1,0 +1,27 @@
+"""Every registered query with an oracle must hash-match DuckDB at sf0.001 —
+the same protocol the driver applies at sf0.01 (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from olympia_spark.operators import load_all_modules, registry
+from olympia_spark.testing import compare_query
+
+load_all_modules()
+
+NAMES = sorted(registry.ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity(spark, sf_dir, name):
+    rec = compare_query(spark, name, registry.QUERIES[name],
+                        registry.ORACLE_SQL[name], sf_dir)
+    assert rec.get("error") is None, rec["error"]
+    assert rec["ok"], rec
+
+
+def test_queries_without_oracle_run(spark, sf_dir):
+    for name in sorted(set(registry.QUERIES) - set(registry.ORACLE_SQL)):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert df.count() >= 0, name
