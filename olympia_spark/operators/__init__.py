@@ -15,6 +15,7 @@ def load_all_modules() -> None:
         dedup,
         similarity,
         textops,
+        multimodal,
         dml_queries,
         udfs,
     )

@@ -1,1 +1,299 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over ``documents`` / ``embeddings``:
+
+* exact (hash-groupBy)
+* exact n-gram Jaccard (inverted-index shingle self-join — the oracle
+  ground truth for the approximate variants)
+* MinHash + LSH banding (signature → band-bucket join → exact verify)
+* SimHash (portable md5-nibble bit votes → banded hamming join)
+* embedding-cosine near-dup (blocked pair generation)
+
+Scale posture (100 TB): no driver materialization anywhere. The exact
+n-gram path is an inverted-index join — cost is Σ per-shingle doc-count²,
+which stays tractable because natural-language shingles are selective
+(fixture sf0.1: 27k distinct shingles, ≤25 docs each). The MinHash path is
+the scale answer when it isn't: signatures are a fixed 16 numbers per doc
+regardless of document length, candidates come from equality joins on
+(band, value) — shuffle keys are small and uniform — and only candidates
+are verified. All expressions are JVM-side built-ins; no Python UDFs.
+
+Determinism: Jaccard/hamming are exact-integer computations; MinHash
+permutation constants are fixed at module import (seeded PRNG); SimHash
+bits derive from md5 nibbles, which are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olympia_spark.operators.registry import query
+from olympia_spark.tables import load
+
+# --- shared shingling (3-word shingles, distinct per doc) -------------------
+
+# Spark arrays are 0-based, DuckDB lists 1-based; each side uses its native
+# indexing to build identical shingle strings.
+_SHINGLES_SPARK = """
+CASE WHEN size(split(text, ' ')) >= 3 THEN
+  array_distinct(transform(
+    sequence(0, size(split(text, ' ')) - 3),
+    i -> concat_ws(' ', split(text, ' ')[i],
+                        split(text, ' ')[i+1],
+                        split(text, ' ')[i+2])))
+ELSE array() END
+"""
+
+_SHINGLES_DUCK = """
+list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]))
+"""
+
+# DuckDB CTE computing the exact all-pairs shingle-Jaccard ≥ :threshold —
+# the ground truth that both the exact operator and the MinHash operator
+# are checked against.
+def _jaccard_oracle(threshold: float) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(i * 1.0 / (c1.n + c2.n - i), 4) AS jaccard
+FROM inter
+JOIN cnt c1 ON d1 = c1.doc_id
+JOIN cnt c2 ON d2 = c2.doc_id
+WHERE i * 1.0 / (c1.n + c2.n - i) >= {threshold}
+ORDER BY d1, d2
+"""
+
+
+def _shingles_df(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, s) — exploded distinct 3-gram shingles. The scan reads only
+    (doc_id, text); explode is a narrow op, no shuffle."""
+    d = load(spark, sf, "documents")
+    return (d.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s")))
+
+
+def _jaccard_pairs(spark: SparkSession, sf: str,
+                   candidates: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-Jaccard per doc pair via inverted-index self-join.
+
+    With ``candidates`` (d1, d2), the intersection join is restricted to
+    candidate pairs first — the LSH verify path — so cost is
+    O(candidate pairs × shingles), not all co-occurring pairs.
+    Returns (d1, d2, inter, n1, n2).
+    """
+    sh = _shingles_df(spark, sf)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    if candidates is not None:
+        a = a.join(candidates.select("d1").distinct(), "d1")
+        b = b.join(candidates.select("d2").distinct(), "d2")
+    inter = (a.join(b, ["s"])
+             .filter(F.col("d1") < F.col("d2")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    inter = inter.groupBy("d1", "d2").agg(F.count("*").alias("i"))
+    return (inter
+            .join(cnt.select(F.col("doc_id").alias("d1"),
+                             F.col("n").alias("n1")), "d1")
+            .join(cnt.select(F.col("doc_id").alias("d2"),
+                             F.col("n").alias("n2")), "d2"))
+
+
+def _with_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
+    j = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (pairs.filter(j >= threshold)
+            .select("d1", "d2", F.round(j, 4).alias("jaccard"))
+            .orderBy("d1", "d2"))
+
+
+# --- exact dedup ------------------------------------------------------------
+
+@query("dedup_exact", oracle="""
+SELECT COUNT(*) AS n_kept,
+       SUM(keep_id) AS kept_id_sum,
+       SUM(n_copies) - COUNT(*) AS n_removed
+FROM (SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text))
+""")
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep the lowest doc_id
+    per group. One shuffle on the digest (uniform 128-bit keys — no skew);
+    at 100 TB group on md5(text) rather than raw text so shuffle rows carry
+    16 bytes, not documents."""
+    d = load(spark, sf, "documents")
+    kept = (d.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_copies")))
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("keep_id").alias("kept_id_sum"),
+        (F.sum("n_copies") - F.count("*")).alias("n_removed"))
+
+
+# --- exact n-gram Jaccard near-dup ------------------------------------------
+
+@query("dedup_ngram_jaccard", oracle=_jaccard_oracle(0.6))
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.6) via
+    inverted-index self-join — shuffle on shingle, then on (d1, d2).
+    Exact-integer arithmetic → hash-parity with the DuckDB oracle."""
+    return _with_jaccard(_jaccard_pairs(spark, sf), 0.6)
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+# 16 fixed universal-hash permutations over 32-bit shingle hashes.
+# perm_i(h) = (a_i * h32 + b_i) mod P  with a_i < 2^30 so the product stays
+# inside int64. Single-row bands (16 bands × 1 row): for a true pair with
+# Jaccard j the miss probability is (1-j)^16 — at the 0.8 verify threshold
+# that is ≤ 2^-37, so the LSH output equals the exact oracle in practice.
+_MINHASH_P = 4294967311  # smallest prime > 2^32
+_rng = random.Random(42)
+_PERMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30))
+          for _ in range(16)]
+
+
+@query("dedup_minhash_lsh", oracle=_jaccard_oracle(0.8))
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 16 minhash signature values →
+    band-bucket equality join → candidate pairs → exact-Jaccard verify
+    (≥ 0.8). The scale path: signature size is constant per doc, candidate
+    generation is an equi-join on (band, value), and exact verification
+    touches only candidates."""
+    spark_ = spark
+    sh = _shingles_df(spark_, sf).withColumn(
+        "h32", F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)))
+    perms = spark_.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_PERMS)], "pid INT, a LONG, b LONG")
+    sigs = (sh.crossJoin(F.broadcast(perms))
+            .groupBy("doc_id", "pid")
+            .agg(F.min((F.col("a") * F.col("h32") + F.col("b"))
+                       % F.lit(_MINHASH_P)).alias("mh")))
+    cand = (sigs.alias("x")
+            .join(sigs.alias("y"), ["pid", "mh"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("d1"),
+                    F.col("y.doc_id").alias("d2"))
+            .distinct())
+    return _with_jaccard(_jaccard_pairs(spark_, sf, candidates=cand), 0.8)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+# 32-bit SimHash with engine-portable bit votes: bit j of a shingle's hash
+# is the high bit of nibble j of md5(shingle) (md5 is bit-identical across
+# Spark and DuckDB). simhash bit j is set iff the sum of ±1 votes over the
+# doc's shingles is positive. Banding: 4 bands × 8 bits — by pigeonhole any
+# pair at hamming distance ≤ 3 shares at least one exact band, so the
+# banded join is EXACT for the ≤3 threshold, not approximate.
+_SIMHASH_BITS = 32
+_HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def _simhash_sql(engine: str) -> str:
+    """SELECT doc_id, <simhash> AS sh — identical logic in both dialects."""
+    if engine == "duck":
+        shingles, ln = _SHINGLES_DUCK, "len"
+        filt = "list_filter"
+    else:
+        shingles, ln = _SHINGLES_SPARK, "size"
+        filt = "filter"
+    # vote_j > 0  ⇔  count of 1-votes > n_shingles / 2
+    bits = []
+    for j in range(_SIMHASH_BITS):
+        in_list = ", ".join(f"'{c}'" for c in _HI_NIBBLES)
+        ones = (f"{ln}({filt}(sh_list, "
+                f"s -> substr(md5(s), {j + 1}, 1) IN ({in_list})))")
+        bits.append(f"(CASE WHEN 2 * {ones} > n_sh THEN CAST({2**j} AS BIGINT) "
+                    f"ELSE 0 END)")
+    return (f"SELECT doc_id, ({' + '.join(bits)}) AS sh "
+            f"FROM (SELECT doc_id, {shingles} AS sh_list, "
+            f"{ln}({shingles}) AS n_sh FROM documents) WHERE n_sh > 0")
+
+
+@query("dedup_simhash", oracle=f"""
+WITH sig AS ({_simhash_sql('duck')})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY d1, d2
+""")
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signatures, banded join (4×8 bits), pairs at
+    hamming ≤ 3. The banding makes the quadratic hamming search an equality
+    join — exact for the threshold by pigeonhole. Oracle runs the brute-force
+    cross join; results must match exactly."""
+    load(spark, sf, "documents").createOrReplaceTempView("documents")
+    sig = spark.sql(_simhash_sql("spark"))
+    bands = sig.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"),
+                     F.shiftright("sh", 8 * k).bitwiseAND(F.lit(255))
+                      .alias("v"))
+            for k in range(4)])).alias("bv"))
+    bands = bands.select("doc_id", "sh", "bv.band", "bv.v")
+    cand = (bands.alias("x").join(bands.alias("y"), ["band", "v"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("d1"),
+                    F.col("y.doc_id").alias("d2"),
+                    F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
+                     .alias("hamming"))
+            .distinct())
+    return cand.filter(F.col("hamming") <= 3).orderBy("d1", "d2")
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+_DOT_SPARK = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+              "0D, (acc, v) -> acc + v)")
+
+
+@query("dedup_embedding_cosine", oracle="""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.4
+ORDER BY v1, v2
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup: label-blocked pair generation + cosine ≥ 0.4.
+    Blocking turns the all-pairs O(n²) into Σ per-block², the standard
+    entity-resolution shape; at 100 TB the block key would be an LSH bucket
+    (see similarity.sim_ann_lsh) instead of a given label. Dot products are
+    JVM higher-order functions (zip_with/aggregate) — no Python."""
+    e = load(spark, sf, "embeddings")
+    norms = e.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(F.expr(_DOT_SPARK.format(a="embedding", b="embedding")))
+         .alias("nrm"))
+    a = norms.alias("a")
+    b = norms.alias("b")
+    dot = F.expr(_DOT_SPARK.format(a="a.embedding", b="b.embedding"))
+    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("v1"),
+                    F.col("b.vec_id").alias("v2"),
+                    F.round(sim, 4).alias("cos_sim"),
+                    sim.alias("_raw"))
+            .filter(F.col("_raw") >= 0.4)
+            .drop("_raw")
+            .orderBy("v1", "v2"))

@@ -1,1 +1,184 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the ``embeddings`` table (`array<float>` column).
+
+Three tiers:
+
+* brute-force cosine top-k — the exactness baseline;
+* random-hyperplane LSH — signature bucketing, candidates from the query's
+  bucket only (the classic sub-linear ANN path);
+* IVF (inverted-file) — coarse quantizer of fixed centroids, nprobe=2
+  cluster probing, exact re-rank inside probed clusters.
+
+Scale posture (100 TB of vectors): brute force is one narrow pass +
+TakeOrderedAndProject (no shuffle of the vectors themselves — only k rows
+reach the driver per partition). LSH/IVF prune the scan by bucket/cluster:
+on a real deployment the table would be written partitioned by the bucket
+id so partition pruning skips the files entirely; here the pruning
+predicate is still pushed to the scan. All dot products are JVM
+higher-order functions (`zip_with`/`aggregate`) — Arrow/Pandas never enters
+the hot path.
+
+Determinism: hyperplanes/centroids are module-level constants from a
+seeded PRNG, rounded to 6 decimals and embedded as identical literals in
+both the Spark and DuckDB SQL, so both engines compute from the same
+numbers. Outputs round scores to 4 decimals; ordering uses raw doubles
+with vec_id tie-breaks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olympia_spark.operators.registry import query
+from olympia_spark.tables import load
+
+_DIM = 64
+_rs = np.random.RandomState(42)
+# 4 hyperplanes → 16 LSH buckets (÷16 scan at uniform spread).
+_HYPERPLANES = np.round(_rs.randn(4, _DIM), 6).tolist()
+# 10 IVF coarse centroids, same scale as the (unit-ish) embeddings.
+_CENTROIDS = np.round(_rs.randn(10, _DIM) * 0.12, 6).tolist()
+
+
+def _dot_const(vec: str, consts: list[float], engine: str) -> str:
+    """Dot product of an array column with a constant vector, per dialect."""
+    if engine == "duck":
+        lits = ", ".join(repr(c) for c in consts)
+        return f"list_dot_product({vec}::DOUBLE[], ([{lits}])::DOUBLE[])"
+    lits = ", ".join(f"{c!r}D" for c in consts)
+    return (f"aggregate(zip_with({vec}, array({lits}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+
+
+def _dot_col(a: str, b: str, engine: str) -> str:
+    if engine == "duck":
+        return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    return (f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+
+
+def _cosine(a: str, b: str, engine: str) -> str:
+    return (f"({_dot_col(a, b, engine)} / "
+            f"(sqrt({_dot_col(a, a, engine)}) * sqrt({_dot_col(b, b, engine)})))")
+
+
+def _run(spark: SparkSession, sf: str, sql: str) -> DataFrame:
+    load(spark, sf, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(sql)
+
+
+# --- brute-force top-k ------------------------------------------------------
+
+def _topk_sql(engine: str) -> str:
+    cos = _cosine("e.embedding", "q.embedding", engine)
+    return f"""
+SELECT e.vec_id, ROUND({cos}, 4) AS cos_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY {cos} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("sim_topk_bruteforce", oracle=_topk_sql("duck"))
+def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 for a query vector (vec_id 0). The 1-row query
+    side broadcasts; the scan streams once through TakeOrderedAndProject —
+    only k rows per partition survive, nothing wide shuffles."""
+    return _run(spark, sf, _topk_sql("spark"))
+
+
+# --- random-hyperplane LSH --------------------------------------------------
+
+def _lsh_bucket_expr(vec: str, engine: str) -> str:
+    bits = [f"(CASE WHEN {_dot_const(vec, h, engine)} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, h in enumerate(_HYPERPLANES)]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_sql(engine: str) -> str:
+    cos = _cosine("e.embedding", "q.embedding", engine)
+    bucket_e = _lsh_bucket_expr("e.embedding", engine)
+    bucket_q = _lsh_bucket_expr("embedding", engine)
+    return f"""
+SELECT e.vec_id, ROUND({cos}, 4) AS cos_sim
+FROM embeddings e,
+     (SELECT embedding, {bucket_q} AS qb
+      FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0 AND {bucket_e} = q.qb
+ORDER BY {cos} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("sim_ann_lsh", oracle=_lsh_sql("duck"))
+def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 4-bit sign signature → probe only the
+    query's bucket (~1/16 of the table), exact re-rank inside. At scale the
+    table is partitioned by bucket id, so the bucket predicate becomes
+    partition pruning — the other 15/16 of the files are never opened.
+    Hyperplanes are fixed constants shared verbatim with the oracle, so
+    the result is deterministic and exact-checkable."""
+    return _run(spark, sf, _lsh_sql("spark"))
+
+
+# --- IVF (inverted file) ----------------------------------------------------
+
+def _ivf_sql(engine: str) -> str:
+    # Distance to centroid c (up to the ||e||² constant, which doesn't
+    # affect argmin): ||c||² − 2·⟨e, c⟩.
+    def dists(vec: str) -> list[str]:
+        out = []
+        for c in _CENTROIDS:
+            c2 = round(sum(x * x for x in c), 6)
+            out.append(f"({c2!r} - 2 * {_dot_const(vec, c, engine)})")
+        return out
+
+    d_e = dists("embedding")
+    named = ", ".join(f"{d} AS d{i}" for i, d in enumerate(d_e))
+    least = "LEAST(" + ", ".join(f"d{i}" for i in range(10)) + ")"
+    assign = "CASE " + " ".join(
+        f"WHEN d{i} = {least} THEN {i}" for i in range(10)) + " END"
+    if engine == "duck":
+        explode_q = """
+      SELECT unnest(generate_series(0, 9)) AS cluster_id,
+             unnest([{dlist}]) AS dist, embedding
+      FROM embeddings WHERE vec_id = 0
+""".format(dlist=", ".join(dists("embedding")))
+    else:
+        explode_q = """
+      SELECT posexplode(array({dlist})) AS (cluster_id, dist), embedding
+      FROM embeddings WHERE vec_id = 0
+""".format(dlist=", ".join(dists("embedding")))
+    cos = _cosine("e.embedding", "q.embedding", engine)
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, {assign} AS cluster_id
+  FROM (SELECT vec_id, embedding, {named} FROM embeddings)
+),
+probe AS (
+  SELECT cluster_id, embedding FROM ({explode_q})
+  ORDER BY dist, cluster_id LIMIT 2
+)
+SELECT e.vec_id, ROUND({cos}, 4) AS cos_sim
+FROM assigned e
+JOIN (SELECT DISTINCT cluster_id FROM probe) p ON e.cluster_id = p.cluster_id
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY {cos} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("sim_ivf", oracle=_ivf_sql("duck"))
+def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest of 10 fixed coarse
+    centroids, probe the query's 2 nearest clusters, exact-cosine re-rank
+    inside them. The cluster assignment is the IVF partition key — at scale
+    the table is written bucketed by cluster_id and a probe touches only
+    nprobe/nlist of the data. Centroid constants are shared with the
+    oracle; assignment ties break to the lowest cluster id identically."""
+    return _run(spark, sf, _ivf_sql("spark"))

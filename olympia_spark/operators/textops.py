@@ -1,1 +1,209 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis for training-data pipelines over the ``documents`` table.
+
+The reference is a storage-only catalog (SURVEY.md §0) — its data plane is
+whatever the host Spark session can run (reference docs/spark.md:1-50).
+These operators are the text-processing vocabulary a 100 TB corpus pipeline
+needs on top of that plane: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Scale posture: every operator here is a narrow map over the documents scan
+(no join, no shuffle) followed by at most one partial+final aggregation.
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+WholeStageCodegen; no Python UDF anywhere, so at 100 TB the cost is one
+pass over the column plus an exchange of tiny aggregate state.
+
+Determinism: everything is exact integer/string computation (or ratios of
+exact integers), so DuckDB hash-parity is byte-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olympia_spark.operators.registry import query
+from olympia_spark.tables import load
+
+# Shared stopword list for quality/langid scoring. Deliberately tiny and
+# hard-coded so both engines inline it as a constant predicate.
+_STOP_EN = ("the", "a", "of", "to", "and", "in", "is")
+
+
+def _words(col):
+    return F.split(col, " ")
+
+
+# --- token counting ---------------------------------------------------------
+
+@query("text_token_count", oracle=r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS ws_tokens,
+       SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""")
+def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    (maximal alnum runs — the word-piece pre-split step). Pure map +
+    one aggregation; the scan reads exactly (source, text, n_chars)."""
+    d = load(spark, sf, "documents")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(_words(F.col("text")))).alias("ws_tokens"),
+                 F.sum(F.regexp_count(F.col("text"), F.lit(r"[a-z0-9]+")))
+                  .alias("re_tokens"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("source"))
+
+
+# --- quality scoring --------------------------------------------------------
+
+# Quality components (all exact-arithmetic, engine-portable):
+#   len_score  — saturating length preference, min(n_chars, 400)/400
+#   lex_div    — distinct-word ratio
+#   stop_ratio — stopword fraction (too low → keyword spam, too high → filler)
+# score = 100*(0.4*len_score + 0.4*lex_div + 0.2*stop_ratio), rounded.
+
+_QUALITY_SQL_DUCK = """
+SELECT doc_id,
+       ROUND(100 * (0.4 * LEAST(n_chars, 400) / 400.0
+                  + 0.4 * len(list_distinct(string_split(text, ' ')))
+                        / len(string_split(text, ' '))
+                  + 0.2 * len(list_filter(string_split(text, ' '),
+                          w -> w IN ('the','a','of','to','and','in','is')))
+                        / len(string_split(text, ' '))), 4) AS quality
+FROM documents
+"""
+
+
+@query("text_quality_score", oracle=f"""
+SELECT quality_bucket, COUNT(*) AS n_docs
+FROM (SELECT CAST(FLOOR(quality / 10) AS INT) AS quality_bucket
+      FROM ({_QUALITY_SQL_DUCK}))
+GROUP BY quality_bucket
+ORDER BY quality_bucket
+""")
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality scoring (length / lexical-diversity / stopword-ratio
+    composite), bucketed histogram. The per-doc score is a narrow projection;
+    only the 10-bucket histogram is aggregated."""
+    d = load(spark, sf, "documents")
+    w = _words(F.col("text"))
+    stop_pred = " or ".join(f"w = '{s}'" for s in _STOP_EN)
+    quality = F.round(
+        100 * (0.4 * F.least(F.col("n_chars"), F.lit(400)) / 400.0
+               + 0.4 * F.size(F.array_distinct(w)) / F.size(w)
+               + 0.2 * F.size(F.expr(
+                   f"filter(split(text, ' '), w -> {stop_pred})")) / F.size(w)),
+        4)
+    return (d.select(F.floor(quality / 10).cast("int").alias("quality_bucket"))
+            .groupBy("quality_bucket")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("quality_bucket"))
+
+
+# --- language identification ------------------------------------------------
+
+# Marker-word n-gram heuristic: score each language by its closed-class
+# marker hits; argmax with a fixed precedence order. (The fixture corpus is
+# synthetic English-ish tech vocabulary; the operator is the deterministic
+# classification machinery, which is what a real fastText-style LID would
+# replace UDF-side.)
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "los"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "les", "une", "et"),
+}
+
+
+def _marker_count_sql(markers, engine: str) -> str:
+    pred = " or ".join(f"w = '{m}'" for m in markers)
+    fn = "list_filter" if engine == "duck" else "filter"
+    split = "string_split(text, ' ')" if engine == "duck" else "split(text, ' ')"
+    ln = "len" if engine == "duck" else "size"
+    return f"{ln}({fn}({split}, w -> {pred}))"
+
+
+_LANGID_CASE = "CASE " + " ".join(
+    f"WHEN s_{lang} > 0 AND s_{lang} >= GREATEST(s_en, s_es, s_de, s_fr) "
+    f"THEN '{lang}'" for lang in ("en", "es", "de", "fr")
+) + " ELSE 'und' END"
+
+
+@query("text_langid", oracle=f"""
+SELECT predicted_lang, COUNT(*) AS n_docs
+FROM (SELECT {_LANGID_CASE} AS predicted_lang
+      FROM (SELECT {', '.join(
+          f"{_marker_count_sql(m, 'duck')} AS s_{lang}"
+          for lang, m in _LANG_MARKERS.items())}
+            FROM documents))
+GROUP BY predicted_lang
+ORDER BY predicted_lang
+""")
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Language ID by closed-class marker-word scoring (n-gram heuristic);
+    returns the predicted-language histogram. Map-only + tiny aggregate."""
+    d = load(spark, sf, "documents")
+    scored = d.select(*[
+        F.expr(_marker_count_sql(m, "spark")).alias(f"s_{lang}")
+        for lang, m in _LANG_MARKERS.items()])
+    return (scored.select(F.expr(_LANGID_CASE).alias("predicted_lang"))
+            .groupBy("predicted_lang")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("predicted_lang"))
+
+
+# --- document fingerprinting ------------------------------------------------
+
+@query("text_fingerprint", oracle="""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(array_to_string(
+           list_sort(list_distinct(string_split(lower(text), ' '))), ' ')))
+           AS n_distinct_fp
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-form fingerprint: md5 of the sorted distinct word set
+    (case-folded). The classic near-dup-tolerant document key — word order
+    and repetition don't change the fingerprint. md5 is bit-identical
+    across engines, so this is exact-hash checkable."""
+    d = load(spark, sf, "documents")
+    fp = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(_words(F.lower(F.col("text")))))))
+    return d.agg(F.count("*").alias("n_docs"),
+                 F.countDistinct(fp).alias("n_distinct_fp"))
+
+
+@query("text_rolling_hash", oracle="""
+SELECT doc_id,
+       SUM(ascii(c) * CAST(POWER(31, i % 5) AS BIGINT)) AS fp
+FROM (SELECT doc_id,
+             unnest(string_split(text, '')) AS c,
+             generate_subscripts(string_split(text, ''), 1) AS i
+      FROM documents)
+GROUP BY doc_id
+ORDER BY doc_id
+LIMIT 100
+""")
+def text_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-weighted character hash (rolling-hash family): each char
+    contributes ascii(c)·31^(pos mod 5). Demonstrates per-char fingerprinting
+    kept entirely in JVM expressions (posexplode + sum) — no Python.
+    Exact integer arithmetic → hash-parity with DuckDB."""
+    d = load(spark, sf, "documents")
+    chars = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "")).alias("i0", "c"))
+    # DuckDB generate_subscripts is 1-based; posexplode is 0-based.
+    return (chars
+            .select("doc_id", "c", (F.col("i0") + 1).alias("i"))
+            .groupBy("doc_id")
+            .agg(F.sum(F.ascii("c")
+                       * F.pow(F.lit(31), F.col("i") % 5).cast("bigint"))
+                 .alias("fp"))
+            .orderBy("doc_id")
+            .limit(100))
