@@ -1,0 +1,552 @@
+"""Catalog API — namespaces / tables / views / versioning (A1-A18, A27-A31).
+
+Each operation is the reference's logic re-expressed in Python: an
+existence check against the running tree, a def-file write, a tree
+``set_value``/``remove_key``, and an action record
+(reference Olympia.java:171-666). Write ops go through
+``Transaction.apply`` so they replay on optimistic-commit retries.
+"""
+
+from __future__ import annotations
+
+import time
+from enum import Enum
+
+from olympia_spark.catalog import locations as loc
+from olympia_spark.catalog import transactions as txns
+from olympia_spark.catalog.actions import Action, ActionType
+from olympia_spark.catalog.defs import (CatalogDef, NamespaceDef, TableDef,
+                                        ViewDef, from_json, to_json)
+from olympia_spark.catalog.errors import (NamespaceNotEmptyError,
+                                          ObjectAlreadyExistsError,
+                                          ObjectNotFoundError)
+from olympia_spark.catalog.storage import Storage, storage_for
+from olympia_spark.catalog.transactions import Transaction
+from olympia_spark.catalog.tree import RootNode, Tree
+
+
+class DropNamespaceBehavior(str, Enum):
+    """reference DropNamespaceBehavior.java."""
+    RESTRICT = "RESTRICT"
+    CASCADE = "CASCADE"
+
+
+class Catalog:
+    """One catalog per storage prefix (docs/format.md Overview)."""
+
+    def __init__(self, storage: Storage, catalog_def: CatalogDef,
+                 catalog_def_path: str):
+        self.storage = storage
+        self.catalog_def = catalog_def
+        self.catalog_def_path = catalog_def_path
+        self.tree = Tree(storage, order=catalog_def.order)
+
+    # --- lifecycle (A1, A2) -------------------------------------------------
+
+    @staticmethod
+    def exists(location: str | Storage) -> bool:
+        """A1 — probe the version-0 root file (Olympia.java:48-51)."""
+        storage = (location if isinstance(location, Storage)
+                   else storage_for(location))
+        return storage.exists(loc.root_node_path(0))
+
+    @classmethod
+    def create(cls, location: str | Storage,
+               catalog_def: CatalogDef | None = None) -> "Catalog":
+        """A2 — write CatalogDef + empty root v0 + latest hint
+        (Olympia.java:53-63)."""
+        storage = (location if isinstance(location, Storage)
+                   else storage_for(location))
+        if cls.exists(storage):
+            raise ObjectAlreadyExistsError(f"catalog at {storage.root}")
+        cdef = catalog_def or CatalogDef()
+        def_path = loc.new_catalog_def_path()
+        storage.write_atomic(def_path, to_json(cdef))
+        tree = Tree(storage, order=cdef.order)
+        root = RootNode(catalog_def_path=def_path)
+        tree.write_root(root, 0)
+        tree.try_write_latest_hint(0)
+        return cls(storage, cdef, def_path)
+
+    @classmethod
+    def load(cls, location: str | Storage) -> "Catalog":
+        storage = (location if isinstance(location, Storage)
+                   else storage_for(location))
+        tree = Tree(storage)
+        root = tree.load_latest_root()
+        cdef = from_json(storage.read(root.catalog_def_path))
+        tree.order = cdef.order
+        return cls(storage, cdef, root.catalog_def_path)
+
+    # --- transactions (A3, A4, A5) ------------------------------------------
+
+    def begin(self, isolation_level: str | None = None,
+              ttl_millis: int | None = None) -> Transaction:
+        return txns.begin(
+            self.tree,
+            isolation_level or self.catalog_def.txn_isolation_level,
+            ttl_millis or self.catalog_def.txn_ttl_millis)
+
+    def commit(self, txn: Transaction) -> RootNode:
+        return txns.commit(txn)
+
+    def save_dist_transaction(self, txn: Transaction) -> str:
+        return txns.save_dist_transaction(txn)
+
+    def load_dist_transaction(self, txn_id: str) -> Transaction:
+        txn = txns.load_dist_transaction(self.tree, txn_id)
+        # install payload-replay ops so resolvable conflicts roll forward
+        for action in list(txn.write_actions):
+            txn.ops.append(self._payload_replay_op(action))
+        return txn
+
+    def dist_transaction_exists(self, txn_id: str) -> bool:
+        return txns.dist_transaction_exists(self.tree, txn_id)
+
+    def list_dist_transactions(self) -> list[str]:
+        """sys.dtxns virtualization support (A36)."""
+        out = []
+        for path in self.storage.list(loc.DIST_TXN_DEF_DIR + "/"):
+            name = path.rsplit("/", 1)[-1]
+            if name.endswith(loc.DEF_FILE_SUFFIX):
+                out.append(name[:-len(loc.DEF_FILE_SUFFIX)])
+        return out
+
+    # --- key helpers --------------------------------------------------------
+
+    def _ns_key(self, ns: str) -> str:
+        return loc.namespace_key(
+            ns, self.catalog_def.namespace_name_max_size_bytes)
+
+    def _tbl_key(self, ns: str, tbl: str) -> str:
+        return loc.table_key(ns, tbl,
+                             self.catalog_def.namespace_name_max_size_bytes,
+                             self.catalog_def.table_name_max_size_bytes)
+
+    def _view_key(self, ns: str, view: str) -> str:
+        return loc.view_key(ns, view,
+                            self.catalog_def.namespace_name_max_size_bytes,
+                            self.catalog_def.view_name_max_size_bytes)
+
+    # --- namespaces (A6-A11) ------------------------------------------------
+
+    def show_namespaces(self, txn: Transaction) -> list[str]:
+        """A6 — in-order traversal filtered to namespace keys
+        (Olympia.java:171-190)."""
+        txn.record_read(Action(ActionType.CATALOG_SHOW_NAMESPACES, ""))
+        ns_max = self.catalog_def.namespace_name_max_size_bytes
+        return [loc.namespace_name_from_key(k)
+                for k, _ in self.tree.traverse(txn.running_root)
+                if loc.is_namespace_key(k, ns_max)]
+
+    def namespace_exists(self, txn: Transaction, ns: str) -> bool:
+        """A7 (Olympia.java:192-207)."""
+        txn.record_read(Action(ActionType.NAMESPACE_EXISTS, self._ns_key(ns)))
+        return self.tree.search(txn.running_root, self._ns_key(ns)) is not None
+
+    def describe_namespace(self, txn: Transaction, ns: str) -> NamespaceDef:
+        """A8 (Olympia.java:209-229)."""
+        key = self._ns_key(ns)
+        txn.record_read(Action(ActionType.NAMESPACE_DESCRIBE, key))
+        path = self.tree.search(txn.running_root, key)
+        if path is None:
+            raise ObjectNotFoundError(f"namespace {ns}")
+        return from_json(self.storage.read(path))
+
+    def create_namespace(self, txn: Transaction, ns: str,
+                         properties: dict | None = None) -> None:
+        """A9 (Olympia.java:231-254)."""
+        key = self._ns_key(ns)
+
+        def op(t: Transaction) -> Action:
+            if self.tree.search(t.running_root, key) is not None:
+                raise ObjectAlreadyExistsError(f"namespace {ns}")
+            def_path = loc.new_namespace_def_path(ns)
+            self.storage.write_atomic(
+                def_path, to_json(NamespaceDef(properties=properties or {})))
+            self.tree.set_value(t.running_root, key, def_path)
+            return Action(ActionType.NAMESPACE_CREATE, key)
+        txn.apply(op)
+
+    def alter_namespace(self, txn: Transaction, ns: str, properties: dict,
+                        action_type: ActionType = ActionType.NAMESPACE_ALTER
+                        ) -> None:
+        """A10 — full replace (Olympia.java:256-297)."""
+        key = self._ns_key(ns)
+
+        def op(t: Transaction) -> Action:
+            cur_path = self.tree.search(t.running_root, key)
+            if cur_path is None:
+                raise ObjectNotFoundError(f"namespace {ns}")
+            cur: NamespaceDef = from_json(self.storage.read(cur_path))
+            cur.properties = dict(properties)
+            def_path = loc.new_namespace_def_path(ns)
+            self.storage.write_atomic(def_path, to_json(cur))
+            self.tree.set_value(t.running_root, key, def_path)
+            return Action(action_type, key)
+        txn.apply(op)
+
+    def set_namespace_properties(self, txn: Transaction, ns: str,
+                                 props: dict) -> None:
+        """A10 set-properties variant (OlympiaIcebergCatalog.java:253-300)."""
+        cur = self.describe_namespace(txn, ns).properties
+        cur.update(props)
+        self.alter_namespace(txn, ns, cur,
+                             ActionType.NAMESPACE_ALTER_SET_PROPERTIES)
+
+    def unset_namespace_properties(self, txn: Transaction, ns: str,
+                                   keys: list[str]) -> None:
+        cur = self.describe_namespace(txn, ns).properties
+        for k in keys:
+            cur.pop(k, None)
+        self.alter_namespace(txn, ns, cur,
+                             ActionType.NAMESPACE_ALTER_UNSET_PROPERTIES)
+
+    def drop_namespace(self, txn: Transaction, ns: str,
+                       behavior: DropNamespaceBehavior =
+                       DropNamespaceBehavior.RESTRICT) -> None:
+        """A11 — RESTRICT errors if non-empty, CASCADE drops members first
+        (Olympia.java:299-339)."""
+        tables = self.show_tables(txn, ns)
+        views = self.show_views(txn, ns)
+        if behavior is DropNamespaceBehavior.RESTRICT and (tables or views):
+            raise NamespaceNotEmptyError(
+                f"namespace {ns} still contains {len(tables)} tables / "
+                f"{len(views)} views")
+        for t in tables:
+            self.drop_table(txn, ns, t)
+        for v in views:
+            self.drop_view(txn, ns, v)
+        key = self._ns_key(ns)
+
+        def op(t: Transaction) -> Action:
+            if self.tree.search(t.running_root, key) is None:
+                raise ObjectNotFoundError(f"namespace {ns}")
+            self.tree.remove_key(t.running_root, key)
+            return Action(ActionType.NAMESPACE_DROP, key)
+        txn.apply(op)
+
+    # --- tables (A12-A16, A18) ----------------------------------------------
+
+    def show_tables(self, txn: Transaction, ns: str) -> list[str]:
+        """A12 — traversal filtered by the C===<ns> prefix
+        (Olympia.java:341-364)."""
+        txn.record_read(Action(ActionType.NAMESPACE_SHOW_TABLES,
+                               self._ns_key(ns)))
+        ns_max = self.catalog_def.namespace_name_max_size_bytes
+        tbl_max = self.catalog_def.table_name_max_size_bytes
+        prefix = loc.table_key_namespace_prefix(ns, ns_max)
+        return [loc.table_name_from_key(k, ns_max)[1]
+                for k, _ in self.tree.traverse(txn.running_root)
+                if loc.is_table_key(k, ns_max, tbl_max)
+                and k.startswith(prefix)]
+
+    def table_exists(self, txn: Transaction, ns: str, tbl: str) -> bool:
+        """A13 (Olympia.java:366-381)."""
+        key = self._tbl_key(ns, tbl)
+        txn.record_read(Action(ActionType.TABLE_EXISTS, key))
+        return self.tree.search(txn.running_root, key) is not None
+
+    def describe_table(self, txn: Transaction, ns: str, tbl: str) -> TableDef:
+        """A13 (Olympia.java:383-406)."""
+        key = self._tbl_key(ns, tbl)
+        txn.record_read(Action(ActionType.TABLE_DESCRIBE, key))
+        path = self.tree.search(txn.running_root, key)
+        if path is None:
+            raise ObjectNotFoundError(f"table {ns}.{tbl}")
+        return from_json(self.storage.read(path))
+
+    def create_table(self, txn: Transaction, ns: str, tbl: str,
+                     table_def: TableDef) -> None:
+        """A14 — namespace must exist, table must not (Olympia.java:408-438)."""
+        ns_key = self._ns_key(ns)
+        key = self._tbl_key(ns, tbl)
+
+        def op(t: Transaction) -> Action:
+            if self.tree.search(t.running_root, ns_key) is None:
+                raise ObjectNotFoundError(f"namespace {ns}")
+            if self.tree.search(t.running_root, key) is not None:
+                raise ObjectAlreadyExistsError(f"table {ns}.{tbl}")
+            def_path = loc.new_table_def_path(ns, tbl)
+            self.storage.write_atomic(def_path, to_json(table_def))
+            self.tree.set_value(t.running_root, key, def_path)
+            return Action(ActionType.TABLE_CREATE, key)
+        txn.apply(op)
+
+    def alter_table(self, txn: Transaction, ns: str, tbl: str,
+                    table_def: TableDef,
+                    action_type: ActionType = ActionType.TABLE_ALTER,
+                    payload: dict | None = None) -> None:
+        """A15 — replace the TableDef (Olympia.java:440-491); INSERT /
+        UPDATE / DELETE data ops also land here with their specific action
+        types and file-list payloads (proto/actions.proto:77-92)."""
+        key = self._tbl_key(ns, tbl)
+
+        def op(t: Transaction) -> Action:
+            if self.tree.search(t.running_root, key) is None:
+                raise ObjectNotFoundError(f"table {ns}.{tbl}")
+            def_path = loc.new_table_def_path(ns, tbl)
+            self.storage.write_atomic(def_path, to_json(table_def))
+            self.tree.set_value(t.running_root, key, def_path)
+            return Action(action_type, key, payload or {})
+        txn.apply(op)
+
+    def update_table_files(self, txn: Transaction, ns: str, tbl: str,
+                           add_files: list, remove_paths: list[str],
+                           action_type: ActionType,
+                           payload: dict | None = None) -> None:
+        """Data-file commit: recompute the def from CURRENT state so that
+        replays after a resolvable conflict merge with concurrently
+        committed files (the Spark-native analogue of Iceberg's
+        refresh-and-retry in OlympiaIcebergTableOperations.java:121-189)."""
+        key = self._tbl_key(ns, tbl)
+
+        def op(t: Transaction) -> Action:
+            cur_path = self.tree.search(t.running_root, key)
+            if cur_path is None:
+                raise ObjectNotFoundError(f"table {ns}.{tbl}")
+            cur: TableDef = from_json(self.storage.read(cur_path))
+            removed = set(remove_paths)
+            cur.data_files = ([f for f in cur.data_files
+                               if f.path not in removed] + list(add_files))
+            cur.previous_metadata_location = cur_path
+            def_path = loc.new_table_def_path(ns, tbl)
+            self.storage.write_atomic(def_path, to_json(cur))
+            self.tree.set_value(t.running_root, key, def_path)
+            return Action(action_type, key, payload or {
+                "added": [f.path for f in add_files],
+                "removed": sorted(removed)})
+        txn.apply(op)
+
+    def drop_table(self, txn: Transaction, ns: str, tbl: str) -> None:
+        """A16 (Olympia.java:493-514)."""
+        key = self._tbl_key(ns, tbl)
+
+        def op(t: Transaction) -> Action:
+            if self.tree.search(t.running_root, key) is None:
+                raise ObjectNotFoundError(f"table {ns}.{tbl}")
+            self.tree.remove_key(t.running_root, key)
+            return Action(ActionType.TABLE_DROP, key)
+        txn.apply(op)
+
+    def rename_table(self, txn: Transaction, ns: str, tbl: str,
+                     new_ns: str, new_tbl: str) -> None:
+        """A18 — the reference left this TODO
+        (OlympiaIcebergCatalog.java:539-541); implemented as remove+insert
+        of the tree key in one transaction."""
+        old_key = self._tbl_key(ns, tbl)
+        new_key = self._tbl_key(new_ns, new_tbl)
+        ns_key = self._ns_key(new_ns)
+
+        def op(t: Transaction) -> Action:
+            def_path = self.tree.search(t.running_root, old_key)
+            if def_path is None:
+                raise ObjectNotFoundError(f"table {ns}.{tbl}")
+            if self.tree.search(t.running_root, ns_key) is None:
+                raise ObjectNotFoundError(f"namespace {new_ns}")
+            if self.tree.search(t.running_root, new_key) is not None:
+                raise ObjectAlreadyExistsError(f"table {new_ns}.{new_tbl}")
+            self.tree.remove_key(t.running_root, old_key)
+            self.tree.set_value(t.running_root, new_key, def_path)
+            return Action(ActionType.TABLE_ALTER, new_key,
+                          {"renamed_from": old_key})
+        txn.apply(op)
+
+    # --- views (A17) --------------------------------------------------------
+
+    def show_views(self, txn: Transaction, ns: str) -> list[str]:
+        txn.record_read(Action(ActionType.NAMESPACE_SHOW_VIEWS,
+                               self._ns_key(ns)))
+        ns_max = self.catalog_def.namespace_name_max_size_bytes
+        view_max = self.catalog_def.view_name_max_size_bytes
+        prefix = loc.view_key_namespace_prefix(ns, ns_max)
+        return [loc.view_name_from_key(k, ns_max)[1]
+                for k, _ in self.tree.traverse(txn.running_root)
+                if loc.is_view_key(k, ns_max, view_max)
+                and k.startswith(prefix)]
+
+    def view_exists(self, txn: Transaction, ns: str, view: str) -> bool:
+        key = self._view_key(ns, view)
+        txn.record_read(Action(ActionType.VIEW_EXISTS, key))
+        return self.tree.search(txn.running_root, key) is not None
+
+    def describe_view(self, txn: Transaction, ns: str, view: str) -> ViewDef:
+        key = self._view_key(ns, view)
+        txn.record_read(Action(ActionType.VIEW_DESCRIBE, key))
+        path = self.tree.search(txn.running_root, key)
+        if path is None:
+            raise ObjectNotFoundError(f"view {ns}.{view}")
+        return from_json(self.storage.read(path))
+
+    def create_view(self, txn: Transaction, ns: str, view: str,
+                    view_def: ViewDef, replace: bool = False) -> None:
+        """A17 create/replace (Olympia.java:560-640)."""
+        ns_key = self._ns_key(ns)
+        key = self._view_key(ns, view)
+
+        def op(t: Transaction) -> Action:
+            if self.tree.search(t.running_root, ns_key) is None:
+                raise ObjectNotFoundError(f"namespace {ns}")
+            exists = self.tree.search(t.running_root, key) is not None
+            if exists and not replace:
+                raise ObjectAlreadyExistsError(f"view {ns}.{view}")
+            def_path = loc.new_view_def_path(ns, view)
+            self.storage.write_atomic(def_path, to_json(view_def))
+            self.tree.set_value(t.running_root, key, def_path)
+            return Action(ActionType.VIEW_REPLACE if exists
+                          else ActionType.VIEW_CREATE, key)
+        txn.apply(op)
+
+    def replace_view(self, txn: Transaction, ns: str, view: str,
+                     view_def: ViewDef) -> None:
+        self.create_view(txn, ns, view, view_def, replace=True)
+
+    def drop_view(self, txn: Transaction, ns: str, view: str) -> None:
+        key = self._view_key(ns, view)
+
+        def op(t: Transaction) -> Action:
+            if self.tree.search(t.running_root, key) is None:
+                raise ObjectNotFoundError(f"view {ns}.{view}")
+            self.tree.remove_key(t.running_root, key)
+            return Action(ActionType.VIEW_DROP, key)
+        txn.apply(op)
+
+    def rename_view(self, txn: Transaction, ns: str, view: str,
+                    new_ns: str, new_view: str) -> None:
+        """A18 view variant (OlympiaIcebergCatalog.java:611-613 TODO)."""
+        old_key = self._view_key(ns, view)
+        new_key = self._view_key(new_ns, new_view)
+
+        def op(t: Transaction) -> Action:
+            def_path = self.tree.search(t.running_root, old_key)
+            if def_path is None:
+                raise ObjectNotFoundError(f"view {ns}.{view}")
+            if self.tree.search(t.running_root, new_key) is not None:
+                raise ObjectAlreadyExistsError(f"view {new_ns}.{new_view}")
+            self.tree.remove_key(t.running_root, old_key)
+            self.tree.set_value(t.running_root, new_key, def_path)
+            return Action(ActionType.VIEW_REPLACE, new_key,
+                          {"renamed_from": old_key})
+        txn.apply(op)
+
+    # --- time travel / history / rollback / export (A27-A31) ----------------
+
+    def at_version(self, version: int) -> Transaction:
+        """A27 — read-only snapshot transaction at a version."""
+        latest = self.tree.load_latest_root()
+        root = self.tree.find_root_for_version(latest, version)
+        return txns.begin(self.tree, self.catalog_def.txn_isolation_level,
+                          self.catalog_def.txn_ttl_millis,
+                          at_root=root, read_only=True)
+
+    def before_timestamp(self, ts_millis: int) -> Transaction:
+        """A28 — newest root created before the timestamp."""
+        latest = self.tree.load_latest_root()
+        root = self.tree.find_root_before_timestamp(latest, ts_millis)
+        return txns.begin(self.tree, self.catalog_def.txn_isolation_level,
+                          self.catalog_def.txn_ttl_millis,
+                          at_root=root, read_only=True)
+
+    def history(self) -> list[dict]:
+        """A29 — root chain newest→oldest."""
+        latest = self.tree.load_latest_root()
+        return [{"version": r.version,
+                 "created_at_millis": r.created_at_millis,
+                 "rollback_from": r.rollback_from_root_path}
+                for r in self.tree.list_roots(latest)]
+
+    def rollback_to(self, version: int) -> RootNode:
+        """A30 — roll-forward rollback (docs/format.md "Catalog Rollback"):
+        commit v+1 as a copy of the target root with rollback_from_root
+        pointing at the abandoned head."""
+        latest = self.tree.load_latest_root()
+        target = self.tree.find_root_for_version(latest, version)
+        new_root = self.tree.load_root(target.path)
+        new_root.rollback_from_root_path = latest.path
+        new_root.previous_root_path = latest.path
+        new_root.actions = []
+        new_version = latest.version + 1
+        self.tree.write_root(new_root, new_version)
+        self.tree.try_write_latest_hint(new_version)
+        return new_root
+
+    def export_snapshot(self, name: str, dest: str | Storage,
+                        mode: str = "full",
+                        version: int | None = None) -> str:
+        """A31 — copy a root (+ reachable files per mode) to a new prefix
+        and record it in CatalogDef.exported_snapshots
+        (docs/format.md "Snapshot Export").
+
+        mode: 'minimal' = root file only; 'partial' = root + tree nodes;
+        'full' = root + nodes + def files (data files are table payload,
+        referenced by absolute path either way)."""
+        dest_storage = dest if isinstance(dest, Storage) else storage_for(dest)
+        latest = self.tree.load_latest_root()
+        root = (latest if version is None
+                else self.tree.find_root_for_version(latest, version))
+        root_path = root.path
+        dest_storage.write_atomic(root_path, self.storage.read(root_path))
+        copied = [root_path]
+        if mode in ("partial", "full"):
+            for node_path in self.tree.reachable_node_paths(root):
+                if node_path != root_path:
+                    dest_storage.write_atomic(
+                        node_path, self.storage.read(node_path))
+                    copied.append(node_path)
+        if mode == "full":
+            for _k, def_path in self.tree.traverse(root):
+                dest_storage.write_atomic(def_path,
+                                          self.storage.read(def_path))
+                copied.append(def_path)
+            dest_storage.write_atomic(root.catalog_def_path,
+                                      self.storage.read(root.catalog_def_path))
+        # record the export on the catalog definition (proto/objects.proto:50)
+        self.catalog_def.exported_snapshots[name] = root_path
+        new_def_path = loc.new_catalog_def_path()
+        self.storage.write_atomic(new_def_path, to_json(self.catalog_def))
+        self.catalog_def_path = new_def_path
+        txn = self.begin()
+
+        def op(t: Transaction) -> Action:
+            t.running_root.catalog_def_path = new_def_path
+            t.running_root.dirty = True
+            return Action(ActionType.NAMESPACE_ALTER, "catalog_def",
+                          {"export": name})
+        txn.apply(op)
+        self.commit(txn)
+        return root_path
+
+    # --- replay support for resumed distributed transactions ----------------
+
+    def _payload_replay_op(self, action: Action):
+        """Rebuild a replay op from a persisted action payload (used when a
+        resumed distributed transaction loses its CAS). Only data-file ops
+        carry enough payload to re-apply; anything else re-raises as an
+        unresolvable conflict."""
+        from olympia_spark.catalog.defs import DataFile
+        from olympia_spark.catalog.errors import CommitConflictError
+
+        def op(t: Transaction) -> Action:
+            if action.type is ActionType.TABLE_INSERT and "added" in \
+                    action.def_payload:
+                key = action.object_key
+                cur_path = self.tree.search(t.running_root, key)
+                if cur_path is None:
+                    raise ObjectNotFoundError(key)
+                cur: TableDef = from_json(self.storage.read(cur_path))
+                have = {f.path for f in cur.data_files}
+                cur.data_files += [DataFile(path=p) for p in
+                                   action.def_payload["added"]
+                                   if p not in have]
+                def_path_new = loc.new_table_def_path("replay", "t")
+                self.storage.write_atomic(def_path_new, to_json(cur))
+                self.tree.set_value(t.running_root, key, def_path_new)
+                return action
+            raise CommitConflictError(
+                f"cannot replay {action.type} from payload in a resumed "
+                f"transaction")
+        return op
+
+
+def now_millis() -> int:
+    return int(time.time() * 1000)

@@ -1,0 +1,187 @@
+"""Storage kernel: basic ops + the atomic put-if-absent primitive.
+
+The entire consistency model of the catalog rests on ONE storage feature:
+mutual exclusion of file creation (reference docs/format.md:218-246 —
+"only one writer wins if there are multiple writers trying to write to the
+same new file"). Everything else is plain read/write/delete/list.
+
+Reference surfaces re-expressed here:
+
+* ``StorageOps`` contract (exists/read/write/overwrite/delete/list) —
+  reference storage/StorageOps.java:24-45, CatalogStorage.java:29-73.
+* Local put-if-absent via ``open(path, 'xb')`` (O_EXCL) — the semantic of
+  reference storage/local/LocalAtomicStagingOutputStream.java (staging file
+  + atomic rename); on POSIX O_EXCL create is itself the atomic primitive,
+  so no staging file is needed.
+* S3 put-if-absent via ``PutObject`` + ``IfNoneMatch='*'`` — reference
+  s3/.../S3AtomicOutputStream.java:42-47.
+
+All paths are catalog-relative ("vn/...", "node/...", "def/..."); the
+storage owns the root prefix.
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+from collections.abc import Iterator
+
+from olympia_spark.catalog.errors import (StorageAtomicSealFailureError,
+                                          StorageFileOpenFailureError,
+                                          StorageWriteFailureError)
+
+
+class Storage(ABC):
+    """Minimal storage contract the catalog needs (A33/A34)."""
+
+    root: str
+
+    @abstractmethod
+    def exists(self, path: str) -> bool: ...
+
+    @abstractmethod
+    def read(self, path: str) -> bytes:
+        """Read the whole file; raise StorageFileOpenFailureError on 404."""
+
+    @abstractmethod
+    def write_atomic(self, path: str, data: bytes) -> None:
+        """Put-if-absent: create the file iff it does not exist, atomically.
+        Raise StorageAtomicSealFailureError if another writer won."""
+
+    @abstractmethod
+    def overwrite(self, path: str, data: bytes) -> None:
+        """Unconditional write (used only for best-effort hint files)."""
+
+    @abstractmethod
+    def delete(self, path: str) -> None: ...
+
+    @abstractmethod
+    def list(self, prefix: str) -> Iterator[str]:
+        """Yield paths (relative) sharing the prefix."""
+
+
+class LocalStorage(Storage):
+    """Local-filesystem storage. O_EXCL create is the atomic seal."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _abs(self, path: str) -> str:
+        return os.path.join(self.root, path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._abs(path))
+
+    def read(self, path: str) -> bytes:
+        try:
+            with open(self._abs(path), "rb") as f:
+                return f.read()
+        except FileNotFoundError as e:
+            raise StorageFileOpenFailureError(path) from e
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        full = self._abs(path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        try:
+            # 'x' = O_CREAT|O_EXCL — exactly one concurrent creator succeeds.
+            with open(full, "xb") as f:
+                f.write(data)
+        except FileExistsError as e:
+            raise StorageAtomicSealFailureError(path) from e
+        except OSError as e:
+            raise StorageWriteFailureError(path) from e
+
+    def overwrite(self, path: str, data: bytes) -> None:
+        full = self._abs(path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        tmp = full + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, full)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(self._abs(path))
+        except FileNotFoundError:
+            pass
+
+    def list(self, prefix: str) -> Iterator[str]:
+        base = self._abs(prefix)
+        directory = base if os.path.isdir(base) else os.path.dirname(base)
+        if not os.path.isdir(directory):
+            return
+        for name in sorted(os.listdir(directory)):
+            rel = os.path.relpath(os.path.join(directory, name), self.root)
+            if rel.startswith(prefix):
+                yield rel
+
+
+class S3Storage(Storage):
+    """S3 storage via boto3 (gated import — boto3 isn't in this container).
+
+    The atomic seal is ``PutObject(..., IfNoneMatch='*')``: S3 rejects the
+    put with HTTP 412 if the key already exists, which is exactly the
+    one-winner semantic (reference S3AtomicOutputStream.java:42-47).
+    """
+
+    def __init__(self, bucket: str, prefix: str, client=None):
+        try:
+            import boto3  # noqa: PLC0415 — optional dependency
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise ImportError("S3Storage requires boto3") from e
+        self._s3 = client or boto3.client("s3")
+        self.bucket = bucket
+        self.root = prefix.strip("/")
+
+    def _key(self, path: str) -> str:
+        return f"{self.root}/{path}" if self.root else path
+
+    def exists(self, path: str) -> bool:
+        try:
+            self._s3.head_object(Bucket=self.bucket, Key=self._key(path))
+            return True
+        except self._s3.exceptions.ClientError:
+            return False
+
+    def read(self, path: str) -> bytes:
+        try:
+            resp = self._s3.get_object(Bucket=self.bucket, Key=self._key(path))
+            return resp["Body"].read()
+        except self._s3.exceptions.NoSuchKey as e:
+            raise StorageFileOpenFailureError(path) from e
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        try:
+            self._s3.put_object(Bucket=self.bucket, Key=self._key(path),
+                                Body=data, IfNoneMatch="*")
+        except self._s3.exceptions.ClientError as e:
+            code = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if code == 412:  # precondition failed — another writer won
+                raise StorageAtomicSealFailureError(path) from e
+            raise StorageWriteFailureError(path) from e
+
+    def overwrite(self, path: str, data: bytes) -> None:
+        self._s3.put_object(Bucket=self.bucket, Key=self._key(path), Body=data)
+
+    def delete(self, path: str) -> None:
+        self._s3.delete_object(Bucket=self.bucket, Key=self._key(path))
+
+    def list(self, prefix: str) -> Iterator[str]:
+        paginator = self._s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=self.bucket,
+                                       Prefix=self._key(prefix)):
+            for obj in page.get("Contents", []):
+                key = obj["Key"]
+                yield key[len(self.root) + 1:] if self.root else key
+
+
+def storage_for(location: str) -> Storage:
+    """Factory: ``s3://bucket/prefix`` → S3Storage, else LocalStorage."""
+    if location.startswith("s3://"):
+        rest = location[5:]
+        bucket, _, prefix = rest.partition("/")
+        return S3Storage(bucket, prefix)
+    if location.startswith("file://"):
+        location = location[7:]
+    return LocalStorage(location)

@@ -1,0 +1,178 @@
+"""Tree kernel tests (reference TestTreeOperations / TestNodeRowMerger /
+TestTreeUtil) + a hypothesis property test against a dict model — the
+randomized coverage the reference lacks (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pyarrow.ipc as pa_ipc
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from olympia_spark.catalog import locations as loc
+from olympia_spark.catalog.storage import LocalStorage
+from olympia_spark.catalog.tree import RootNode, Tree
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    return Tree(LocalStorage(str(tmp_path)), order=128)
+
+
+def _fresh_root() -> RootNode:
+    return RootNode(catalog_def_path="def/catalog/x.json", dirty=True)
+
+
+def test_empty_root_roundtrip(tree):
+    root = _fresh_root()
+    tree.write_root(root, 0)
+    loaded = tree.load_root(loc.root_node_path(0))
+    assert loaded.catalog_def_path == "def/catalog/x.json"
+    assert loaded.entries == []
+    assert list(tree.traverse(loaded)) == []
+
+
+def test_node_file_is_arrow_ipc_with_3_varchar_columns(tree):
+    root = _fresh_root()
+    tree.set_value(root, "k1", "v1")
+    tree.write_root(root, 0)
+    raw = tree.storage.read(loc.root_node_path(0))
+    import io
+    table = pa_ipc.open_file(io.BytesIO(raw)).read_all()
+    assert table.schema.names == ["key", "value", "pnode"]
+    assert all(str(f.type) == "string" for f in table.schema)
+    keys = table.column(0).to_pylist()
+    # system rows, then the NULL pivot row, then k1
+    assert loc.CREATED_AT_MILLIS in keys and loc.NUMBER_OF_KEYS in keys
+    assert None in keys and "k1" in keys
+
+
+def test_set_search_remove(tree):
+    root = _fresh_root()
+    tree.set_value(root, "b", "2")
+    tree.set_value(root, "a", "1")
+    tree.set_value(root, "c", "3")
+    assert tree.search(root, "a") == "1"
+    assert tree.search(root, "b") == "2"
+    assert tree.search(root, "missing") is None
+    tree.set_value(root, "b", "2x")            # in-place update
+    assert tree.search(root, "b") == "2x"
+    tree.remove_key(root, "a")                 # tombstone
+    assert tree.search(root, "a") is None
+    assert [k for k, _ in tree.traverse(root)] == ["b", "c"]
+
+
+def test_persistence_roundtrip_many_keys(tree):
+    root = _fresh_root()
+    for i in range(200):
+        tree.set_value(root, f"key{i:04d}", f"val{i}")
+    tree.write_root(root, 0)
+    loaded = tree.load_root(loc.root_node_path(0))
+    assert tree.search(loaded, "key0150") == "val150"
+    assert len(list(tree.traverse(loaded))) == 200
+    items = [k for k, _ in tree.traverse(loaded)]
+    assert items == sorted(items)
+
+
+def test_split_structure_small_order(tmp_path):
+    # order 4 → max 3 keys per node; 20 keys forces a multi-level tree
+    tree = Tree(LocalStorage(str(tmp_path)), order=4)
+    root = _fresh_root()
+    for i in range(20):
+        tree.set_value(root, f"k{i:02d}", str(i))
+    assert len(root.entries) < 4               # root stayed within order
+    assert root.leftmost is not None           # and did split
+    for i in range(20):
+        assert tree.search(root, f"k{i:02d}") == str(i)
+    assert [k for k, _ in tree.traverse(root)] == [f"k{i:02d}"
+                                                   for i in range(20)]
+
+
+def test_split_persists_and_reloads(tmp_path):
+    tree = Tree(LocalStorage(str(tmp_path)), order=4)
+    root = _fresh_root()
+    for i in range(50):
+        tree.set_value(root, f"k{i:03d}", str(i))
+    tree.write_root(root, 0)
+    # child node files exist under node/
+    assert any(True for _ in tree.storage.list("node/"))
+    loaded = tree.load_root(loc.root_node_path(0))
+    for i in range(50):
+        assert tree.search(loaded, f"k{i:03d}") == str(i)
+    assert len(list(tree.traverse(loaded))) == 50
+
+
+def test_copy_on_write_structural_sharing(tmp_path):
+    tree = Tree(LocalStorage(str(tmp_path)), order=4)
+    root = _fresh_root()
+    for i in range(30):
+        tree.set_value(root, f"k{i:03d}", str(i))
+    tree.write_root(root, 0)
+    nodes_v0 = set(tree.storage.list("node/"))
+    # one-key change: only the root-to-leaf path should be rewritten
+    v1 = tree.load_root(loc.root_node_path(0))
+    tree.set_value(v1, "k001", "changed")
+    tree.write_root(v1, 1)
+    nodes_v1 = set(tree.storage.list("node/"))
+    new_files = nodes_v1 - nodes_v0
+    assert 1 <= len(new_files) <= 3            # dirty path only, not the tree
+    # old version still reads the old value (snapshot isolation)
+    v0 = tree.load_root(loc.root_node_path(0))
+    assert tree.search(v0, "k001") == "1"
+    assert tree.search(v1, "k001") == "changed"
+
+
+def test_version_chain_and_hints(tree):
+    root = _fresh_root()
+    tree.write_root(root, 0)
+    tree.try_write_latest_hint(0)
+    for v in range(1, 4):
+        r = tree.load_root(loc.root_node_path(v - 1))
+        tree.set_value(r, f"k{v}", str(v))
+        r.previous_root_path = loc.root_node_path(v - 1)
+        tree.write_root(r, v)
+        tree.try_write_latest_hint(v)
+    assert tree.find_latest_version() == 3
+    latest = tree.load_latest_root()
+    versions = [r.version for r in tree.list_roots(latest)]
+    assert versions == [3, 2, 1, 0]
+    v1 = tree.find_root_for_version(latest, 1)
+    assert tree.search(v1, "k1") == "1"
+    assert tree.search(v1, "k3") is None
+
+
+def test_find_latest_with_stale_hint(tree):
+    root = _fresh_root()
+    tree.write_root(root, 0)
+    tree.storage.overwrite(loc.LATEST_HINT_PATH, b"999")  # stale/bogus hint
+    assert tree.find_latest_version() == 0
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(
+    st.tuples(st.sampled_from(["set", "del"]),
+              st.text(alphabet="abcdef", min_size=1, max_size=6),
+              st.text(alphabet="xyz", min_size=1, max_size=4)),
+    max_size=120))
+def test_tree_matches_dict_model(tmp_path_factory, ops):
+    """Random op sequences vs a dict — the property the reference's
+    example-based tests never establish. Small order to exercise splits."""
+    tmp = tmp_path_factory.mktemp("tree")
+    tree = Tree(LocalStorage(str(tmp)), order=4)
+    root = _fresh_root()
+    model: dict[str, str] = {}
+    for kind, k, v in ops:
+        if kind == "set":
+            tree.set_value(root, k, v)
+            model[k] = v
+        else:
+            tree.remove_key(root, k)
+            model.pop(k, None)
+    assert dict(tree.traverse(root)) == model
+    for k, v in model.items():
+        assert tree.search(root, k) == v
+    # persistence preserves the model
+    tree.write_root(root, 0)
+    loaded = tree.load_root(loc.root_node_path(0))
+    assert dict(tree.traverse(loaded)) == model

@@ -1,0 +1,108 @@
+"""Catalog versioning: time travel (A27/A28), history (A29), roll-forward
+rollback (A30), snapshot export (A31)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from olympia_spark.catalog import Catalog, TableDef
+from olympia_spark.catalog.errors import TransactionValueError
+from olympia_spark.catalog.storage import LocalStorage
+
+
+def _tdef() -> TableDef:
+    return TableDef(schema_json=json.dumps(
+        {"type": "struct", "fields": []}))
+
+
+@pytest.fixture()
+def cat(tmp_path) -> Catalog:
+    c = Catalog.create(str(tmp_path / "w"))
+    for i in range(3):                 # versions 1..3
+        txn = c.begin()
+        c.create_namespace(txn, f"ns{i}")
+        c.commit(txn)
+    return c
+
+
+def test_at_version(cat):
+    snap = cat.at_version(1)
+    assert cat.show_namespaces(snap) == ["ns0"]
+    snap = cat.at_version(3)
+    assert cat.show_namespaces(snap) == ["ns0", "ns1", "ns2"]
+    snap = cat.at_version(0)
+    assert cat.show_namespaces(snap) == []
+    with pytest.raises(TransactionValueError):
+        cat.at_version(99)
+
+
+def test_at_version_is_read_only(cat):
+    snap = cat.at_version(1)
+    with pytest.raises(TransactionValueError):
+        cat.create_namespace(snap, "nope")
+
+
+def test_before_timestamp(cat):
+    now = int(time.time() * 1000)
+    snap = cat.before_timestamp(now + 60_000)
+    assert len(cat.show_namespaces(snap)) == 3   # latest qualifies
+    # every root was created after epoch 1 → no root before it
+    with pytest.raises(TransactionValueError):
+        cat.before_timestamp(1)
+
+
+def test_history_chain(cat):
+    h = cat.history()
+    assert [e["version"] for e in h] == [3, 2, 1, 0]
+    assert all(e["rollback_from"] is None for e in h)
+
+
+def test_rollback_is_roll_forward(cat):
+    """docs/format.md 'Catalog Rollback': rolling back to v1 commits v4
+    that equals v1, with rollback_from_root marking the abandoned head."""
+    root = cat.rollback_to(1)
+    assert root.version == 4
+    txn = cat.begin()
+    assert cat.show_namespaces(txn) == ["ns0"]
+    h = cat.history()
+    assert h[0]["version"] == 4
+    assert h[0]["rollback_from"] is not None
+    # old head still readable (nothing was deleted)
+    snap = cat.at_version(3)
+    assert len(cat.show_namespaces(snap)) == 3
+
+
+def test_commit_after_rollback_continues_chain(cat):
+    cat.rollback_to(1)
+    txn = cat.begin()
+    cat.create_namespace(txn, "after")
+    cat.commit(txn)
+    assert cat.tree.find_latest_version() == 5
+    txn = cat.begin()
+    assert cat.show_namespaces(txn) == ["after", "ns0"]
+
+
+@pytest.mark.parametrize("mode", ["minimal", "partial", "full"])
+def test_export_snapshot_modes(cat, tmp_path, mode):
+    dest = LocalStorage(str(tmp_path / f"export_{mode}"))
+    root_path = cat.export_snapshot(f"snap_{mode}", dest, mode=mode)
+    assert dest.exists(root_path)                      # root always copied
+    has_defs = any(p.startswith("def/ns") for p in dest.list("def/"))
+    assert has_defs == (mode == "full")
+    # export recorded on the catalog definition (proto/objects.proto:50)
+    reloaded = Catalog.load(cat.storage.root)
+    assert reloaded.catalog_def.exported_snapshots[f"snap_{mode}"] == root_path
+
+
+def test_export_minimal_is_loadable_catalog_root(cat, tmp_path):
+    """A minimal export's root still parses; its pointers reference the
+    source prefix per spec (retention at the source keeps them live)."""
+    dest = LocalStorage(str(tmp_path / "exp"))
+    root_path = cat.export_snapshot("m", dest, mode="minimal")
+    from olympia_spark.catalog.tree import Tree
+    t = Tree(dest)
+    root = t.load_root(root_path)
+    assert root.catalog_def_path.startswith("def/catalog/")
