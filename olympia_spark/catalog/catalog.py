@@ -294,7 +294,8 @@ class Catalog:
     def update_table_files(self, txn: Transaction, ns: str, tbl: str,
                            add_files: list, remove_paths: list[str],
                            action_type: ActionType,
-                           payload: dict | None = None) -> None:
+                           payload: dict | None = None,
+                           extra_properties: dict | None = None) -> None:
         """Data-file commit: recompute the def from CURRENT state so that
         replays after a resolvable conflict merge with concurrently
         committed files (the Spark-native analogue of Iceberg's
@@ -310,6 +311,10 @@ class Catalog:
             cur.data_files = ([f for f in cur.data_files
                                if f.path not in removed] + list(add_files))
             cur.previous_metadata_location = cur_path
+            if extra_properties:
+                # e.g. streaming micro-batch ids — the idempotency marker
+                # that makes batch replays exactly-once (SURVEY §7)
+                cur.properties.update(extra_properties)
             def_path = loc.new_table_def_path(ns, tbl)
             self.storage.write_atomic(def_path, to_json(cur))
             self.tree.set_value(t.running_root, key, def_path)

@@ -1,0 +1,556 @@
+"""Engine — the Spark-facing façade over the catalog plane.
+
+This is the rebuild of the reference's Spark integration surface
+(docs/spark.md), Spark-first instead of JVM-plugin:
+
+* **SQL front-end (A35)** — ``engine.sql(text)`` gates
+  BEGIN/COMMIT/ROLLBACK TRANSACTION with the same normalization the
+  reference's parser applies before ANTLR
+  (OlympiaSparkSqlExtensionsParser.scala:115-133), handles catalog DDL
+  (CREATE/DROP NAMESPACE|TABLE|VIEW, SHOW, DESCRIBE) and DML
+  (INSERT/DELETE/UPDATE), and delegates everything else to ``spark.sql``
+  after resolving ``ns.table`` references to temp views over the
+  catalog-tracked parquet files — the Python-native equivalent of the
+  reference's DSv2 catalog plugin (SURVEY §4: no Catalyst rule needed).
+* **Read path (§3.1)** — table resolution = tree search → TableDef →
+  ``spark.read.parquet(files)``, recording a TABLE_SELECT action on the
+  transaction (reference OlympiaIcebergTableScan.java:31-48).
+* **Write path (§3.2, B28-B30)** — executors write parquet; the driver
+  lists the new files (with per-file min/max stats from the footers),
+  builds the new TableDef and commits through the optimistic CAS loop.
+  DELETE/UPDATE are copy-on-write: stats-based file pruning → rewrite
+  only files that actually contain matches (the Spark-native
+  mini-Iceberg of SURVEY §7 "what's hard").
+* **System namespace (A36)** — ``sys.dtxns`` virtualizes distributed
+  transactions as a queryable table; ``engine.begin_dist/resume_dist``
+  persist/resume them (docs/spark.md:110-142).
+
+Scale posture: catalog ops are driver-side KB-scale metadata; every data
+movement is a Spark job over the tracked files — reads prune columns and
+push predicates into the parquet scan exactly as a plain
+``spark.read.parquet`` would, because that is literally what resolution
+produces.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olympia_spark.catalog import Catalog
+from olympia_spark.catalog.actions import Action, ActionType
+from olympia_spark.catalog.catalog import DropNamespaceBehavior
+from olympia_spark.catalog.defs import DataFile, TableDef, ViewDef
+from olympia_spark.catalog.errors import (ObjectNotFoundError,
+                                          TransactionValueError)
+from olympia_spark.catalog.transactions import Transaction
+
+_DATA_DIR = "data"
+
+# statement gate — same normalization as the reference parser
+# (trim, strip trailing ';', collapse whitespace, case-insensitive)
+_BEGIN_RE = re.compile(r"^BEGIN(\s+TRANSACTION)?$", re.I)
+_COMMIT_RE = re.compile(r"^COMMIT(\s+TRANSACTION)?$", re.I)
+_ROLLBACK_RE = re.compile(r"^ROLLBACK(\s+TRANSACTION)?$", re.I)
+
+
+def _normalize(sql: str) -> str:
+    return re.sub(r"\s+", " ", sql.strip().rstrip(";").strip())
+
+
+class Engine:
+    """One Engine per (SparkSession, warehouse). Holds the session
+    transaction for multi-statement BEGIN/COMMIT (reference
+    OlympiaIcebergCatalog.java:620-637 session state)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 isolation_level: str | None = None):
+        self.spark = spark
+        self.catalog = (Catalog.load(warehouse) if Catalog.exists(warehouse)
+                        else Catalog.create(warehouse))
+        self.isolation_level = (isolation_level
+                                or self.catalog.catalog_def.txn_isolation_level)
+        self.current_txn: Transaction | None = None
+        self._auto_txn: Transaction | None = None
+
+    # --- transaction session state (A35) ------------------------------------
+
+    def _txn(self) -> Transaction:
+        """Current explicit txn, else a fresh auto-commit txn (reference
+        beginOrLoadTransaction, OlympiaIcebergCatalog.java:639-665)."""
+        if self.current_txn is not None:
+            return self.current_txn
+        self._auto_txn = self.catalog.begin(self.isolation_level)
+        return self._auto_txn
+
+    def _finish(self, txn: Transaction) -> None:
+        """Auto-commit unless inside an explicit BEGIN block."""
+        if txn is self._auto_txn:
+            self.catalog.commit(txn)
+            self._auto_txn = None
+
+    def begin(self) -> None:
+        if self.current_txn is not None:
+            raise TransactionValueError("transaction already in progress")
+        self.current_txn = self.catalog.begin(self.isolation_level)
+
+    def commit(self) -> None:
+        if self.current_txn is None:
+            raise TransactionValueError("no transaction in progress")
+        self.catalog.commit(self.current_txn)
+        self.current_txn = None
+
+    def rollback(self) -> None:
+        """ROLLBACK discards the in-memory transaction
+        (OlympiaIcebergCatalog.java:626-637, with the obviously-intended
+        precondition — the reference's checkArgument is inverted)."""
+        if self.current_txn is None:
+            raise TransactionValueError("no transaction in progress")
+        self.current_txn = None
+
+    # --- table I/O ----------------------------------------------------------
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.catalog.storage.root, rel)
+
+    def _record_select(self, txn: Transaction, ns: str, tbl: str,
+                       columns: list[str], predicate: str = "") -> None:
+        """A38 — every read records (table, columns, predicate) for
+        SERIALIZABLE conflict checks (OlympiaIcebergTableScan.java:31-48)."""
+        txn.record_read(Action(
+            ActionType.TABLE_SELECT, self.catalog._tbl_key(ns, tbl),
+            {"column_names": columns, "expression": predicate}))
+
+    def read_table(self, name: str, txn: Transaction | None = None
+                   ) -> DataFrame:
+        """§3.1 read path: tree search → TableDef → parquet scan."""
+        ns, tbl = self._split(name)
+        txn = txn or self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        schema = tdef.spark_schema()
+        self._record_select(txn, ns, tbl, [f.name for f in schema.fields])
+        paths = [self._abs(p) for p in tdef.file_paths()]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def create_table(self, name: str, schema: T.StructType,
+                     properties: dict | None = None) -> None:
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        self.catalog.create_table(txn, ns, tbl, TableDef(
+            schema_json=schema.json(), properties=properties or {}))
+        self._finish(txn)
+
+    def write_table(self, df: DataFrame, name: str,
+                    mode: str = "append") -> None:
+        """§3.2 write path: executors write parquet under a fresh uuid dir,
+        driver footers→stats, catalog CAS-commits the new file list.
+        mode 'overwrite' removes all previous files (TABLE_UPDATE)."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        if not self.catalog.table_exists(txn, ns, tbl):
+            self.catalog.create_table(txn, ns, tbl,
+                                      TableDef(schema_json=df.schema.json()))
+        new_files = self._write_files(df, ns, tbl)
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        if mode == "overwrite":
+            self.catalog.update_table_files(
+                txn, ns, tbl, new_files, tdef.file_paths(),
+                ActionType.TABLE_UPDATE,
+                {"added": [f.path for f in new_files],
+                 "removed": tdef.file_paths(), "expression": "true"})
+        else:
+            self.catalog.update_table_files(
+                txn, ns, tbl, new_files, [], ActionType.TABLE_INSERT,
+                {"added": [f.path for f in new_files]})
+        self._finish(txn)
+
+    def _write_files(self, df: DataFrame, ns: str, tbl: str) -> list[DataFile]:
+        rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
+        out_dir = self._abs(rel_dir)
+        df.write.mode("error").parquet(out_dir)
+        return self._collect_stats(rel_dir)
+
+    def _collect_stats(self, rel_dir: str) -> list[DataFile]:
+        """Per-file rows/bytes/min-max from parquet footers (driver-side,
+        footer-only I/O) — the stats that make DML file pruning work."""
+        import pyarrow.parquet as pq
+        out = []
+        abs_dir = self._abs(rel_dir)
+        for fname in sorted(os.listdir(abs_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(abs_dir, fname)
+            md = pq.ParquetFile(fpath).metadata
+            stats: dict = {}
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    s = col.statistics
+                    if s is None or not s.has_min_max:
+                        continue
+                    cname = col.path_in_schema
+                    mn, mx = s.min, s.max
+                    if isinstance(mn, bytes):
+                        continue          # skip binary stats (not orderable)
+                    if not isinstance(mn, (int, float, str, bool)):
+                        mn, mx = str(mn), str(mx)
+                    if cname in stats:
+                        stats[cname] = [min(stats[cname][0], mn),
+                                        max(stats[cname][1], mx)]
+                    else:
+                        stats[cname] = [mn, mx]
+            out.append(DataFile(
+                path=f"{rel_dir}/{fname}", num_rows=md.num_rows,
+                size_bytes=os.path.getsize(fpath), stats=stats))
+        return out
+
+    # --- copy-on-write DML (B29/B30) ----------------------------------------
+
+    def _candidate_files(self, tdef: TableDef, predicate: str) -> list[str]:
+        """Stats-based file pruning: a file whose [min,max] range provably
+        excludes every simple comparison in the predicate is skipped.
+        Conservative — only prunes on top-level AND'ed `col op literal`."""
+        comparisons = re.findall(
+            r"(\w+)\s*(=|<=|>=|<|>)\s*('[^']*'|[\d.]+)", predicate)
+        out = []
+        for f in tdef.data_files:
+            keep = True
+            for col, op, lit in comparisons:
+                if col not in f.stats:
+                    continue
+                mn, mx = f.stats[col]
+                val: object = lit.strip("'") if lit.startswith("'") else (
+                    float(lit) if "." in lit else int(lit))
+                try:
+                    if op == "=" and not (mn <= val <= mx):
+                        keep = False
+                    elif op in ("<", "<=") and mn > val:
+                        keep = False
+                    elif op in (">", ">=") and mx < val:
+                        keep = False
+                except TypeError:
+                    pass                  # incomparable stats — keep file
+            if keep:
+                out.append(f.path)
+        return out
+
+    def _rewrite(self, name: str, predicate: str,
+                 transform) -> int:
+        """Shared copy-on-write core for DELETE/UPDATE:
+        1. stats-prune candidate files;
+        2. one Spark job finds files actually containing matches
+           (input_file_name, only file NAMES reach the driver);
+        3. rewrite only those files via `transform(df)`;
+        4. CAS-commit added+removed file lists."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        schema = tdef.spark_schema()
+        self._record_select(txn, ns, tbl,
+                            [f.name for f in schema.fields], predicate)
+        candidates = self._candidate_files(tdef, predicate)
+        if not candidates:
+            self._finish(txn)
+            return 0
+        cand_abs = [self._abs(p) for p in candidates]
+        scan = self.spark.read.schema(schema).parquet(*cand_abs)
+        matched_abs = [r[0] for r in (scan.filter(predicate)
+                       .select(F.input_file_name()).distinct().collect())]
+        matched = [p for p, a in zip(candidates, cand_abs)
+                   if any(m.endswith(a) or a.endswith(
+                       m.removeprefix("file://")) for m in matched_abs)]
+        if not matched:
+            self._finish(txn)
+            return 0
+        affected = self.spark.read.schema(schema).parquet(
+            *[self._abs(p) for p in matched])
+        n_before = affected.count()
+        rewritten = transform(affected)
+        rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
+        rewritten.write.mode("error").parquet(self._abs(rel_dir))
+        new_files = self._collect_stats(rel_dir)
+        action = (ActionType.TABLE_DELETE if transform.__name__ == "_delete"
+                  else ActionType.TABLE_UPDATE)
+        self.catalog.update_table_files(
+            txn, ns, tbl, new_files, matched, action,
+            {"added": [f.path for f in new_files], "removed": matched,
+             "expression": predicate})
+        self._finish(txn)
+        return n_before
+
+    def delete_from(self, name: str, predicate: str) -> int:
+        """B29 — DELETE WHERE: rewrite affected files minus matching rows
+        (TABLE_DELETE action, proto/actions.proto:89-92)."""
+        def _delete(df: DataFrame) -> DataFrame:
+            return df.filter(f"NOT ({predicate}) OR ({predicate}) IS NULL")
+        return self._rewrite(name, predicate, _delete)
+
+    def update(self, name: str, assignments: dict[str, str],
+               predicate: str = "true") -> int:
+        """B30 — UPDATE SET: rewrite affected files applying assignments
+        where the predicate holds (TABLE_UPDATE, proto/actions.proto:82-87)."""
+        def _update(df: DataFrame) -> DataFrame:
+            cond = F.expr(predicate)
+            for col, expr in assignments.items():
+                df = df.withColumn(
+                    col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
+            return df
+        return self._rewrite(name, predicate, _update)
+
+    # --- views --------------------------------------------------------------
+
+    def create_view(self, name: str, sql_text: str,
+                    replace: bool = False) -> None:
+        ns, view = self._split(name)
+        txn = self._txn()
+        resolved = self._resolve_sql(sql_text, txn)
+        schema = self.spark.sql(resolved).schema
+        refs = sorted(self._referenced_tables(sql_text, txn))
+        self.catalog.create_view(txn, ns, view, ViewDef(
+            sql_text=sql_text, schema_json=schema.json(),
+            default_namespace=ns,
+            referenced_objects=[f"{n}.{t}" for n, t in refs]),
+            replace=replace)
+        self._finish(txn)
+
+    def read_view(self, name: str, txn: Transaction | None = None
+                  ) -> DataFrame:
+        ns, view = self._split(name)
+        txn = txn or self._txn()
+        vdef = self.catalog.describe_view(txn, ns, view)
+        return self.spark.sql(self._resolve_sql(vdef.sql_text, txn))
+
+    # --- identifier resolution ----------------------------------------------
+
+    @staticmethod
+    def _split(name: str) -> tuple[str, str]:
+        parts = name.replace("`", "").split(".")
+        if len(parts) == 3:               # catalog.ns.table → drop catalog
+            parts = parts[1:]
+        if len(parts) != 2:
+            raise ValueError(f"expected ns.table, got {name!r}")
+        return parts[0], parts[1]
+
+    def _referenced_tables(self, sql: str, txn: Transaction):
+        """All catalog tables/views whose `ns.name` appears in the SQL."""
+        refs = set()
+        for ns in self.catalog.show_namespaces(txn):
+            for tbl in self.catalog.show_tables(txn, ns):
+                if re.search(rf"\b{re.escape(ns)}\.{re.escape(tbl)}\b", sql):
+                    refs.add((ns, tbl))
+            for view in self.catalog.show_views(txn, ns):
+                if re.search(rf"\b{re.escape(ns)}\.{re.escape(view)}\b", sql):
+                    refs.add((ns, view))
+        return refs
+
+    def _resolve_sql(self, sql: str, txn: Transaction) -> str:
+        """Rewrite `ns.obj` references to registered temp views (SURVEY
+        §3.1 rebuild flow; quoted identifiers and `olympia.` prefixes are
+        normalized first). Views expand recursively through their own
+        resolved SQL."""
+        out = re.sub(r"\bolympia\.", "", sql)
+        for ns in self.catalog.show_namespaces(txn):
+            tables = set(self.catalog.show_tables(txn, ns))
+            views = set(self.catalog.show_views(txn, ns))
+            for obj in sorted(tables | views):
+                pattern = rf"\b{re.escape(ns)}\.{re.escape(obj)}\b"
+                if not re.search(pattern, out):
+                    continue
+                alias = f"olympia__{ns}__{obj}"
+                if obj in tables:
+                    self.read_table(f"{ns}.{obj}", txn) \
+                        .createOrReplaceTempView(alias)
+                else:
+                    self.read_view(f"{ns}.{obj}", txn) \
+                        .createOrReplaceTempView(alias)
+                out = re.sub(pattern, alias, out)
+        return out
+
+    # --- system namespace virtualization (A36) ------------------------------
+
+    def _sys_dtxns_df(self) -> DataFrame:
+        """`sys.dtxns` — the catalog itself as a queryable table
+        (docs/iceberg.md:73-179)."""
+        from olympia_spark.catalog import locations as loc
+        from olympia_spark.catalog.defs import from_json
+        rows = []
+        for txn_id in self.catalog.list_dist_transactions():
+            d = from_json(self.catalog.storage.read(
+                loc.dist_txn_def_path(txn_id)))
+            rows.append((d.id, d.isolation_level, d.began_at_millis,
+                         d.expire_at_millis, len(d.actions)))
+        schema = ("txn_id string, isolation_level string, "
+                  "began_at_millis long, expire_at_millis long, n_actions int")
+        return self.spark.createDataFrame(rows, schema)
+
+    def begin_dist(self) -> str:
+        """Create a persisted distributed transaction; returns its id
+        (reference: CREATE DATABASE sys.dtxns.dtxn_x, docs/spark.md:110-142)."""
+        if self.current_txn is None:
+            self.begin()
+        return self.catalog.save_dist_transaction(self.current_txn)
+
+    def resume_dist(self, txn_id: str) -> None:
+        self.current_txn = self.catalog.load_dist_transaction(txn_id)
+
+    # --- SQL front-end (A35) ------------------------------------------------
+
+    def sql(self, statement: str) -> DataFrame:
+        """Single entry point: txn gate → DDL/DML → delegate."""
+        norm = _normalize(statement)
+        spark = self.spark
+
+        def ok(msg: str = "OK") -> DataFrame:
+            return spark.createDataFrame([(msg,)], "result string")
+
+        if _BEGIN_RE.match(norm):
+            self.begin()
+            return ok()
+        if _COMMIT_RE.match(norm):
+            self.commit()
+            return ok()
+        if _ROLLBACK_RE.match(norm):
+            self.rollback()
+            return ok()
+
+        m = re.match(r"CREATE (?:NAMESPACE|DATABASE|SCHEMA)"
+                     r"( IF NOT EXISTS)? (\S+)$", norm, re.I)
+        if m:
+            txn = self._txn()
+            ns = m.group(2).replace("`", "")
+            if not (m.group(1) and self.catalog.namespace_exists(txn, ns)):
+                self.catalog.create_namespace(txn, ns)
+            self._finish(txn)
+            return ok()
+        m = re.match(r"DROP (?:NAMESPACE|DATABASE|SCHEMA) (\S+?)"
+                     r"( CASCADE| RESTRICT)?$", norm, re.I)
+        if m:
+            txn = self._txn()
+            behavior = (DropNamespaceBehavior.CASCADE
+                        if (m.group(2) or "").strip().upper() == "CASCADE"
+                        else DropNamespaceBehavior.RESTRICT)
+            self.catalog.drop_namespace(txn, m.group(1).replace("`", ""),
+                                        behavior)
+            self._finish(txn)
+            return ok()
+        if re.match(r"SHOW (?:NAMESPACES|DATABASES|SCHEMAS)$", norm, re.I):
+            txn = self._txn()
+            names = self.catalog.show_namespaces(txn)
+            return spark.createDataFrame([(n,) for n in names],
+                                         "namespace string")
+        m = re.match(r"SHOW TABLES (?:IN|FROM) (\S+)$", norm, re.I)
+        if m:
+            ns = m.group(1).replace("`", "")
+            if ns == "sys":
+                return spark.createDataFrame([("dtxns",)], "table string")
+            txn = self._txn()
+            return spark.createDataFrame(
+                [(t,) for t in self.catalog.show_tables(txn, ns)],
+                "table string")
+        m = re.match(r"SHOW VIEWS (?:IN|FROM) (\S+)$", norm, re.I)
+        if m:
+            txn = self._txn()
+            return spark.createDataFrame(
+                [(v,) for v in self.catalog.show_views(
+                    txn, m.group(1).replace("`", ""))], "view string")
+        m = re.match(r"DESCRIBE (?:TABLE )?(\S+\.\S+)$", norm, re.I)
+        if m:
+            ns, tbl = self._split(m.group(1))
+            txn = self._txn()
+            tdef = self.catalog.describe_table(txn, ns, tbl)
+            fields = tdef.spark_schema().fields
+            return spark.createDataFrame(
+                [(f.name, f.dataType.simpleString()) for f in fields],
+                "col_name string, data_type string")
+        m = re.match(r"CREATE TABLE( IF NOT EXISTS)? (\S+?)\s*"
+                     r"(?:\((.+)\))?\s*(?:AS (SELECT .+))?$",
+                     norm, re.I | re.S)
+        if m and norm.upper().startswith("CREATE TABLE"):
+            _, name, cols, ctas = m.groups()
+            ns, tbl = self._split(name)
+            txn = self._txn()
+            if ctas:
+                df = spark.sql(self._resolve_sql(ctas, txn))
+                self.catalog.create_table(txn, ns, tbl,
+                                          TableDef(schema_json=df.schema.json()))
+                files = self._write_files(df, ns, tbl)
+                self.catalog.update_table_files(
+                    txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
+                    {"added": [f.path for f in files]})
+            else:
+                schema = T.StructType.fromDDL(cols)
+                self.catalog.create_table(txn, ns, tbl,
+                                          TableDef(schema_json=schema.json()))
+            self._finish(txn)
+            return ok()
+        m = re.match(r"DROP TABLE( IF EXISTS)? (\S+\.\S+)$", norm, re.I)
+        if m:
+            ns, tbl = self._split(m.group(2))
+            txn = self._txn()
+            try:
+                self.catalog.drop_table(txn, ns, tbl)
+            except ObjectNotFoundError:
+                if not m.group(1):
+                    raise
+            self._finish(txn)
+            return ok()
+        m = re.match(r"CREATE( OR REPLACE)? VIEW (\S+\.\S+) AS (.+)$",
+                     norm, re.I | re.S)
+        if m:
+            self.create_view(m.group(2), m.group(3),
+                             replace=bool(m.group(1)))
+            return ok()
+        m = re.match(r"DROP VIEW (\S+\.\S+)$", norm, re.I)
+        if m:
+            ns, view = self._split(m.group(1))
+            txn = self._txn()
+            self.catalog.drop_view(txn, ns, view)
+            self._finish(txn)
+            return ok()
+        m = re.match(r"INSERT INTO (\S+\.\S+)\s+(.+)$", norm, re.I | re.S)
+        if m:
+            name, payload = m.groups()
+            txn_src = self._txn()
+            if re.match(r"VALUES", payload, re.I):
+                ns, tbl = self._split(name)
+                schema = self.catalog.describe_table(
+                    txn_src, ns, tbl).spark_schema()
+                df = spark.sql(f"SELECT * FROM ({payload}) "
+                               f"AS v({', '.join(f.name for f in schema)})")
+                for f in schema.fields:
+                    df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+            else:
+                df = spark.sql(self._resolve_sql(payload, txn_src))
+            self.write_table(df, name, mode="append")
+            return ok()
+        m = re.match(r"DELETE FROM (\S+\.\S+)(?: WHERE (.+))?$",
+                     norm, re.I | re.S)
+        if m:
+            n = self.delete_from(m.group(1), m.group(2) or "true")
+            return spark.createDataFrame([(n,)], "affected_files_rows long")
+        m = re.match(r"UPDATE (\S+\.\S+) SET (.+?)(?: WHERE (.+))?$",
+                     norm, re.I | re.S)
+        if m:
+            name, sets, pred = m.groups()
+            assignments = {}
+            for part in re.split(r",(?![^()]*\))", sets):
+                col, _, expr = part.partition("=")
+                assignments[col.strip()] = expr.strip()
+            n = self.update(name, assignments, pred or "true")
+            return spark.createDataFrame([(n,)], "affected_files_rows long")
+
+        # pass-through: resolve catalog identifiers, delegate to Catalyst
+        txn = self._txn()
+        if re.search(r"\bsys\.dtxns\b", norm):
+            self._sys_dtxns_df().createOrReplaceTempView("olympia__sys__dtxns")
+            statement = re.sub(r"\bsys\.dtxns\b", "olympia__sys__dtxns",
+                               statement)
+        return spark.sql(self._resolve_sql(statement, txn))

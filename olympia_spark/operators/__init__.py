@@ -17,5 +17,6 @@ def load_all_modules() -> None:
         textops,
         multimodal,
         dml_queries,
+        streaming,
         udfs,
     )

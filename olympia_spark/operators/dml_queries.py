@@ -1,1 +1,83 @@
-"""Placeholder — populated in a later milestone."""
+"""B28-B30 — DML through the catalog engine, oracle-checked.
+
+Each query stands up a throwaway warehouse, seeds a catalog table from the
+fixture parquet, runs real DML through ``Engine.sql`` (INSERT appends new
+files + TABLE_INSERT commit; DELETE/UPDATE are copy-on-write rewrites of
+only the affected files + TABLE_DELETE/TABLE_UPDATE commits — SURVEY §2
+B28-B30, reference proto/actions.proto:77-92), then returns a checksum the
+DuckDB oracle reproduces with pure SELECTs over the untouched source —
+the post-DML state is a pure function of the input, which is what makes
+mutation oracle-checkable.
+
+The events fixture (smallest fact table) keeps the driver-gate runtime
+sane; the machinery is identical at any scale because every step is a
+Spark job over the tracked file list.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from olympia_spark.operators.registry import dsum, query
+from olympia_spark.tables import load
+
+
+def _engine_with_events(spark: SparkSession, sf: str):
+    from olympia_spark.engine import Engine
+    eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_dml_"))
+    eng.sql("CREATE NAMESPACE ns1")
+    eng.write_table(load(spark, sf, "events"), "ns1.events")
+    return eng
+
+
+_CHECKSUM = ("SELECT COUNT(*) AS n_rows, "
+             + dsum("value", "value_sum")
+             + " FROM ns1.events")
+
+
+@query("b28_insert_append", oracle=f"""
+SELECT COUNT(*) AS n_rows, {dsum('value', 'value_sum')}
+FROM (SELECT value FROM events
+      UNION ALL
+      SELECT value + 1000 AS value FROM events WHERE event_type = 'click')
+""")
+def b28_insert(spark: SparkSession, sf: str) -> DataFrame:
+    """B28 — INSERT appends parquet files atomically via TABLE_INSERT:
+    the count reflects old+new rows only after the catalog commit."""
+    eng = _engine_with_events(spark, sf)
+    eng.sql("INSERT INTO ns1.events "
+            "SELECT event_id + 1000000 AS event_id, ts, user_id, event_type, "
+            "value + 1000 AS value, props "
+            "FROM ns1.events WHERE event_type = 'click'")
+    return eng.sql(_CHECKSUM)
+
+
+@query("b29_delete_where", oracle=f"""
+SELECT COUNT(*) AS n_rows, {dsum('value', 'value_sum')}
+FROM events
+WHERE NOT (event_type = 'error')
+""")
+def b29_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — DELETE WHERE as copy-on-write rewrite of affected files
+    (stats-pruned candidates → input_file_name match → rewrite minus
+    matching rows; TABLE_DELETE action)."""
+    eng = _engine_with_events(spark, sf)
+    eng.sql("DELETE FROM ns1.events WHERE event_type = 'error'")
+    return eng.sql(_CHECKSUM)
+
+
+@query("b30_update_set", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {dsum("CASE WHEN event_type = 'click' THEN value * 2 ELSE value END",
+             'value_sum')}
+FROM events
+""")
+def b30_update(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — UPDATE SET as copy-on-write rewrite carrying added+removed
+    file lists (TABLE_UPDATE, proto/actions.proto:82-87)."""
+    eng = _engine_with_events(spark, sf)
+    eng.sql("UPDATE ns1.events SET value = value * 2 "
+            "WHERE event_type = 'click'")
+    return eng.sql(_CHECKSUM)

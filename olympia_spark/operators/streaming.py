@@ -1,0 +1,154 @@
+"""B32 — Structured Streaming ingest with catalog commits per micro-batch.
+
+The reference has no streaming code; B32 exists because a catalog commit
+per micro-batch is the natural Spark-native extension of TABLE_INSERT
+(SURVEY §2 notes). Three shapes, all trigger(availableNow) over the
+bounded fixture so they are batch-equivalence-checkable against DuckDB:
+
+* tumbling-window aggregation (readStream → withWatermark → window())
+* sliding-window aggregation (overlapping windows)
+* file-source → catalog sink via foreachBatch: each micro-batch appends
+  parquet files and CAS-commits TABLE_INSERT with the batch id recorded
+  in the table properties — the idempotency marker that makes replays
+  after a restart exactly-once (plus Spark's own checkpoint).
+
+Scale posture: watermark + windowed agg is incremental state in the
+streaming engine (RocksDB-backed on a real cluster); the catalog sink
+commits one metadata CAS per batch regardless of data volume.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olympia_spark.operators.registry import dsum, query
+from olympia_spark.tables import load
+
+_QUERY_SEQ = 0
+
+
+def _staged_events_stream(spark: SparkSession, sf: str,
+                          n_files: int = 4) -> tuple[DataFrame, str]:
+    """Stage the events fixture as n parquet files (simulated arrivals)
+    and open a file-source stream over them."""
+    stage_dir = tempfile.mkdtemp(prefix="olympia_stream_src_")
+    events = load(spark, sf, "events")
+    events.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
+    schema = events.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)      # one file per micro-batch
+              .parquet(stage_dir))
+    return stream, stage_dir
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drain the bounded stream into a memory sink, return the result."""
+    global _QUERY_SEQ
+    _QUERY_SEQ += 1
+    name = f"olympia_stream_{_QUERY_SEQ}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="olympia_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+@query("b32_stream_tumbling_window", oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, {dsum('value', 'value_sum')}
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+def b32_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour windows with a watermark; complete-mode memory sink
+    so every window is emitted for the batch-equivalence check."""
+    stream, _ = _staged_events_stream(spark, sf)
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                 .alias("value_sum")))
+    out = _run_to_memory(agg, "complete")
+    return (out.select(F.col("window.start").alias("window_start"),
+                       "event_type", "n", "value_sum")
+            .orderBy("window_start", "event_type"))
+
+
+@query("b32_stream_sliding_window", oracle=f"""
+SELECT window_start, COUNT(*) AS n
+FROM (
+  SELECT date_trunc('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_start FROM events
+)
+GROUP BY 1
+ORDER BY 1
+""")
+def b32_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    overlapping windows; the oracle reproduces that as a union of the two
+    hour-truncations per event."""
+    stream, _ = _staged_events_stream(spark, sf)
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "2 hours", "1 hour"))
+           .agg(F.count("*").alias("n")))
+    out = _run_to_memory(agg, "complete")
+    # window.start + 1h == the hour bucket ending inside the window; align
+    # to the oracle's representation: each 2h window [s, s+2) is keyed by
+    # s+1h (the later of the two hour-buckets it covers)
+    return (out.select(
+        (F.col("window.start") + F.expr("INTERVAL 1 HOUR"))
+        .alias("window_start"), "n")
+        .orderBy("window_start"))
+
+
+@query("b32_stream_catalog_ingest", oracle=f"""
+SELECT COUNT(*) AS n_rows, {dsum('value', 'value_sum')},
+       COUNT(DISTINCT event_id) AS n_ids
+FROM events
+""")
+def b32_catalog_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """File source → catalog table sink: foreachBatch appends each
+    micro-batch through the engine (one TABLE_INSERT CAS commit per
+    batch, batch id recorded in table properties for idempotent replays).
+    The final catalog table must equal the source exactly."""
+    from olympia_spark.catalog.actions import ActionType
+    from olympia_spark.engine import Engine
+
+    stream, _ = _staged_events_stream(spark, sf)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_stream_wh_"))
+    eng.sql("CREATE NAMESPACE stream")
+    eng.create_table("stream.events", load(spark, sf, "events").schema)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        txn = eng.catalog.begin()
+        tdef = eng.catalog.describe_table(txn, "stream", "events")
+        marker = f"stream_batch_{batch_id}"
+        if marker in tdef.properties:
+            return                          # replayed batch — exactly-once
+        files = eng._write_files(batch_df, "stream", "events")
+        eng.catalog.update_table_files(
+            txn, "stream", "events", files, [], ActionType.TABLE_INSERT,
+            {"added": [f.path for f in files], "batch_id": batch_id},
+            extra_properties={marker: "committed"})
+        eng.catalog.commit(txn)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="olympia_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    return eng.sql(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum, "
+        "COUNT(DISTINCT event_id) AS n_ids "
+        "FROM stream.events")
