@@ -39,11 +39,21 @@ HEADLINE = [
     "b18_union",
     "b20_cte_subquery",
     "b27_json",
-    # extension headliners (registered by later modules; skipped if absent)
+    # training-data extensions
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "sim_ivf",
     "text_quality_score",
+    "text_token_count",
+    "mm_feature_extract",
+    # engine paths: pandas-UDF boundary, copy-on-write DML, streaming ingest
+    "udf_pandas_tiered",
+    "b29_delete_where",
+    "b32_stream_catalog_ingest",
 ]
 
 

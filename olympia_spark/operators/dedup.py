@@ -79,37 +79,64 @@ ORDER BY d1, d2
 
 def _shingles_df(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, s) — exploded distinct 3-gram shingles. The scan reads only
-    (doc_id, text); explode is a narrow op, no shuffle."""
+    (doc_id, text); explode is a narrow op, no shuffle.
+
+    The words array is materialized in its own projection first: inside a
+    ``transform`` lambda, ``split(text)[i]`` would re-split the text per
+    element (O(words²) per doc — measured 3-4× slower at sf0.1).
+
+    The scan is repartitioned before the explode: the fixture is one
+    parquet file → one input split, which would serialize the explode and
+    the shuffle-map side of every downstream join onto a single core. On
+    a real deployment the table has thousands of splits and this is a
+    no-op cost; locally it is the difference between 1 and 32 cores."""
     d = load(spark, sf, "documents")
-    return (d.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s")))
+    n_part = spark.sparkContext.defaultParallelism
+    words = d.repartition(n_part, "doc_id") \
+             .select("doc_id", F.split("text", " ").alias("w"))
+    # explode(expr) in ONE projection: naming the array in an intermediate
+    # select makes Catalyst collapse the array expression into the Generate
+    # and re-evaluate it per OUTPUT row — measured 25× slower at sf0.1.
+    return words.select("doc_id", F.explode(F.expr("""
+        CASE WHEN size(w) >= 3 THEN
+          array_distinct(transform(sequence(0, size(w) - 3),
+            i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+        ELSE array() END""")).alias("s"))
 
 
-def _jaccard_pairs(spark: SparkSession, sf: str,
-                   candidates: DataFrame | None = None) -> DataFrame:
-    """Exact shingle-Jaccard per doc pair via inverted-index self-join.
-
-    With ``candidates`` (d1, d2), the intersection join is restricted to
-    candidate pairs first — the LSH verify path — so cost is
-    O(candidate pairs × shingles), not all co-occurring pairs.
-    Returns (d1, d2, inter, n1, n2).
-    """
+def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact shingle-Jaccard for ALL co-occurring pairs via inverted-index
+    self-join. Returns (d1, d2, i, n1, n2)."""
     sh = _shingles_df(spark, sf)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
-    if candidates is not None:
-        a = a.join(candidates.select("d1").distinct(), "d1")
-        b = b.join(candidates.select("d2").distinct(), "d2")
     inter = (a.join(b, ["s"])
-             .filter(F.col("d1") < F.col("d2")))
-    if candidates is not None:
-        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
-    inter = inter.groupBy("d1", "d2").agg(F.count("*").alias("i"))
+             .filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
     return (inter
             .join(cnt.select(F.col("doc_id").alias("d1"),
                              F.col("n").alias("n1")), "d1")
             .join(cnt.select(F.col("doc_id").alias("d2"),
                              F.col("n").alias("n2")), "d2"))
+
+
+def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate pairs: join the
+    pairs against per-doc shingle SETS and intersect pair-locally
+    (array_intersect). Cost is O(candidates × shingles-per-doc) — unlike
+    re-running the inverted-index join, which would be all-pairs work and
+    defeat the LSH. Returns (d1, d2, i, n1, n2)."""
+    sets = F.broadcast(
+        sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss")))
+    return (cand
+            .join(sets.select(F.col("doc_id").alias("d1"),
+                              F.col("ss").alias("s1")), "d1")
+            .join(sets.select(F.col("doc_id").alias("d2"),
+                              F.col("ss").alias("s2")), "d2")
+            .select("d1", "d2",
+                    F.size(F.array_intersect("s1", "s2")).alias("i"),
+                    F.size("s1").alias("n1"), F.size("s2").alias("n2")))
 
 
 def _with_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
@@ -173,22 +200,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     (≥ 0.8). The scale path: signature size is constant per doc, candidate
     generation is an equi-join on (band, value), and exact verification
     touches only candidates."""
-    spark_ = spark
-    sh = _shingles_df(spark_, sf).withColumn(
-        "h32", F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)))
-    perms = spark_.createDataFrame(
+    # The shingle relation feeds three consumers (both sides of the
+    # signature self-join via sigs, and the verify sets); the candidate
+    # relation feeds the verify join. Cache both — without it Spark
+    # re-executes the shingle DAG once per consumer (measured 5-10× the
+    # wall-clock at sf0.1). On a cluster this is the standard
+    # materialize-the-signature-table step of any LSH pipeline.
+    sh = _shingles_df(spark, sf).withColumn(
+        "h32", F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))).cache()
+    perms = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(_PERMS)], "pid INT, a LONG, b LONG")
     sigs = (sh.crossJoin(F.broadcast(perms))
             .groupBy("doc_id", "pid")
             .agg(F.min((F.col("a") * F.col("h32") + F.col("b"))
-                       % F.lit(_MINHASH_P)).alias("mh")))
+                       % F.lit(_MINHASH_P)).alias("mh")).cache())
     cand = (sigs.alias("x")
             .join(sigs.alias("y"), ["pid", "mh"])
             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
             .select(F.col("x.doc_id").alias("d1"),
                     F.col("y.doc_id").alias("d2"))
             .distinct())
-    return _with_jaccard(_jaccard_pairs(spark_, sf, candidates=cand), 0.8)
+    return _with_jaccard(_verify_candidates(sh, cand), 0.8)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -237,8 +269,21 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     hamming ≤ 3. The banding makes the quadratic hamming search an equality
     join — exact for the threshold by pigeonhole. Oracle runs the brute-force
     cross join; results must match exactly."""
-    load(spark, sf, "documents").createOrReplaceTempView("documents")
-    sig = spark.sql(_simhash_sql("spark"))
+    # Spark side computes the same signature from exploded shingles with
+    # md5 evaluated ONCE per (doc, shingle) — the naive per-bit filter()
+    # form re-hashes every shingle 32 times (measured 42s → ~2s at sf0.1).
+    sh = _shingles_df(spark, sf).withColumn("h", F.md5("s"))
+    votes = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        *[F.sum(F.when(F.substring("h", j + 1, 1).isin(*_HI_NIBBLES), 1)
+                .otherwise(0)).alias(f"o{j}")
+          for j in range(_SIMHASH_BITS)])
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        bit = F.when(2 * F.col(f"o{j}") > F.col("n_sh"),
+                     F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else simhash + bit
+    sig = votes.select("doc_id", simhash.alias("sh"))
     bands = sig.select(
         "doc_id", "sh",
         F.explode(F.array(*[

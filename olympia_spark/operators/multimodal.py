@@ -74,13 +74,15 @@ def _media_df(spark: SparkSession, sf: str) -> DataFrame:
 # --- feature extraction (mapInPandas over binary) ---------------------------
 
 def _extract_features(batches):
+    import numpy as np
     for pdf in batches:
         payloads = pdf["payload"]
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "source": pdf["source"],
             "n_bytes": payloads.map(len),
-            "byte_sum": payloads.map(lambda b: int(sum(b))),
+            "byte_sum": payloads.map(
+                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())),
         })
 
 
