@@ -305,6 +305,107 @@ class Engine:
             return df
         return self._rewrite(name, predicate, _update)
 
+    # --- schema evolution (A15) + maintenance --------------------------------
+
+    def add_columns(self, name: str, columns: T.StructType) -> None:
+        """A15 add-columns (action type TABLE_ALTER_ADD_COLUMNS,
+        proto/actions.proto:42-45). Existing parquet files simply lack the
+        new columns; the explicit read schema fills them with NULLs —
+        schema evolution without rewriting a byte (the 100 TB property)."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        schema = tdef.spark_schema()
+        existing = {f.name for f in schema.fields}
+        for f in columns.fields:
+            if f.name in existing:
+                raise ValueError(f"column {f.name} already exists")
+            schema = schema.add(f)
+        tdef.schema_json = schema.json()
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER_ADD_COLUMNS,
+                                 {"column_names": [f.name for f in
+                                                   columns.fields]})
+        self._finish(txn)
+
+    def drop_columns(self, name: str, column_names: list[str]) -> None:
+        """A15 remove-columns: drop from the table schema; data files are
+        untouched (column pruning never reads them again)."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        schema = tdef.spark_schema()
+        missing = set(column_names) - {f.name for f in schema.fields}
+        if missing:
+            raise ValueError(f"no such columns: {sorted(missing)}")
+        tdef.schema_json = T.StructType(
+            [f for f in schema.fields if f.name not in column_names]).json()
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER_REMOVE_COLUMNS,
+                                 {"column_names": list(column_names)})
+        self._finish(txn)
+
+    def compact_table(self, name: str, min_files: int = 2) -> int:
+        """Table maintenance (SURVEY §7 phase 6): rewrite the current file
+        set into ~one file per shuffle partition and re-point the TableDef
+        in one transaction — the Spark-native analogue of Iceberg
+        rewrite_data_files. Data is bit-identical; old versions still
+        reference the old files (time travel keeps working)."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        old_paths = tdef.file_paths()
+        if len(old_paths) < min_files:
+            self._finish(txn)
+            return 0
+        schema = tdef.spark_schema()
+        df = self.spark.read.schema(schema).parquet(
+            *[self._abs(p) for p in old_paths])
+        total_bytes = sum(f.size_bytes for f in tdef.data_files
+                          if f.size_bytes > 0)
+        # ~128 MiB target files, at least 1
+        n_out = max(1, total_bytes // (128 << 20))
+        rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
+        df.coalesce(int(n_out)).write.mode("error").parquet(self._abs(rel_dir))
+        new_files = self._collect_stats(rel_dir)
+        self.catalog.update_table_files(
+            txn, ns, tbl, new_files, old_paths, ActionType.TABLE_UPDATE,
+            {"added": [f.path for f in new_files], "removed": old_paths,
+             "maintenance": "compaction"})
+        self._finish(txn)
+        return len(old_paths) - len(new_files)
+
+    def expire_versions(self, keep_last: int) -> list[str]:
+        """Version-expiration maintenance: delete root files (and their
+        exclusively-reachable node files) older than the newest
+        ``keep_last`` versions, and advance ``vn/oldest``
+        (docs/format.md "Oldest Version File"). Data files referenced by
+        surviving versions are never touched."""
+        from olympia_spark.catalog import locations as loc
+        latest = self.catalog.tree.find_latest_version()
+        cutoff = latest - keep_last + 1
+        if cutoff <= 0:
+            return []
+        keep_nodes: set[str] = set()
+        for v in range(cutoff, latest + 1):
+            root = self.catalog.tree.load_root(loc.root_node_path(v))
+            keep_nodes.update(self.catalog.tree.reachable_node_paths(root))
+        removed = []
+        for v in range(cutoff):
+            path = loc.root_node_path(v)
+            if not self.catalog.storage.exists(path):
+                continue
+            root = self.catalog.tree.load_root(path)
+            for node_path in self.catalog.tree.reachable_node_paths(root):
+                if node_path not in keep_nodes and node_path != path:
+                    self.catalog.storage.delete(node_path)
+                    removed.append(node_path)
+            self.catalog.storage.delete(path)
+            removed.append(path)
+        self.catalog.storage.overwrite(loc.OLDEST_HINT_PATH,
+                                       str(cutoff).encode())
+        return removed
+
     # --- views --------------------------------------------------------------
 
     def create_view(self, name: str, sql_text: str,
@@ -355,8 +456,28 @@ class Engine:
         """Rewrite `ns.obj` references to registered temp views (SURVEY
         §3.1 rebuild flow; quoted identifiers and `olympia.` prefixes are
         normalized first). Views expand recursively through their own
-        resolved SQL."""
+        resolved SQL. `VERSION AS OF n` / `TIMESTAMP AS OF ts` after a
+        table reference resolve against the catalog's root chain
+        (A27/A28) — catalog-level time travel, since the whole catalog is
+        versioned, not just one table."""
         out = re.sub(r"\bolympia\.", "", sql)
+        for m in list(re.finditer(
+                r"(\w+)\.(\w+)\s+VERSION AS OF (\d+)", out, re.I)):
+            ns, tbl, version = m.group(1), m.group(2), int(m.group(3))
+            snap = self.catalog.at_version(version)
+            alias = f"olympia__tt__{ns}__{tbl}__v{version}"
+            self.read_table(f"{ns}.{tbl}", snap).createOrReplaceTempView(alias)
+            out = out.replace(m.group(0), alias)
+        for m in list(re.finditer(
+                r"(\w+)\.(\w+)\s+TIMESTAMP AS OF '([^']+)'", out, re.I)):
+            ns, tbl, ts = m.group(1), m.group(2), m.group(3)
+            import datetime as _dt
+            millis = int(_dt.datetime.fromisoformat(ts)
+                         .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+            snap = self.catalog.before_timestamp(millis)
+            alias = f"olympia__tt__{ns}__{tbl}__t{millis}"
+            self.read_table(f"{ns}.{tbl}", snap).createOrReplaceTempView(alias)
+            out = out.replace(m.group(0), alias)
         for ns in self.catalog.show_namespaces(txn):
             tables = set(self.catalog.show_tables(txn, ns))
             views = set(self.catalog.show_views(txn, ns))
@@ -546,6 +667,57 @@ class Engine:
                 assignments[col.strip()] = expr.strip()
             n = self.update(name, assignments, pred or "true")
             return spark.createDataFrame([(n,)], "affected_files_rows long")
+
+        m = re.match(r"ALTER TABLE (\S+\.\S+) ADD COLUMNS?\s*\((.+)\)$",
+                     norm, re.I)
+        if m:
+            self.add_columns(m.group(1), T.StructType.fromDDL(m.group(2)))
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) DROP COLUMNS?\s*\(?([\w, ]+)\)?$",
+                     norm, re.I)
+        if m:
+            self.drop_columns(m.group(1),
+                              [c.strip() for c in m.group(2).split(",")])
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) RENAME TO (\S+?)(?:\.(\S+))?$",
+                     norm, re.I)
+        if m:
+            ns, tbl = self._split(m.group(1))
+            new_ns, new_tbl = ((m.group(2), m.group(3)) if m.group(3)
+                               else (ns, m.group(2)))
+            txn = self._txn()
+            self.catalog.rename_table(txn, ns, tbl, new_ns, new_tbl)
+            self._finish(txn)
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) SET (?:TBL)?PROPERTIES"
+                     r"\s*\((.+)\)$", norm, re.I)
+        if m:
+            ns, tbl = self._split(m.group(1))
+            txn = self._txn()
+            tdef = self.catalog.describe_table(txn, ns, tbl)
+            tdef.properties.update(dict(
+                re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2))))
+            self.catalog.alter_table(txn, ns, tbl, tdef)
+            self._finish(txn)
+            return ok()
+        m = re.match(r"ALTER (?:NAMESPACE|DATABASE|SCHEMA) (\S+) SET "
+                     r"(?:DB)?PROPERTIES\s*\((.+)\)$", norm, re.I)
+        if m:
+            txn = self._txn()
+            self.catalog.set_namespace_properties(
+                txn, m.group(1).replace("`", ""), dict(
+                    re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2))))
+            self._finish(txn)
+            return ok()
+        m = re.match(r"ALTER (?:NAMESPACE|DATABASE|SCHEMA) (\S+) UNSET "
+                     r"(?:DB)?PROPERTIES\s*\((.+)\)$", norm, re.I)
+        if m:
+            txn = self._txn()
+            self.catalog.unset_namespace_properties(
+                txn, m.group(1).replace("`", ""),
+                [k.strip().strip("'") for k in m.group(2).split(",")])
+            self._finish(txn)
+            return ok()
 
         # pass-through: resolve catalog identifiers, delegate to Catalyst
         txn = self._txn()

@@ -302,6 +302,61 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return cand.filter(F.col("hamming") <= 3).orderBy("d1", "d2")
 
 
+# --- near-dup clustering (connected components) -----------------------------
+
+@query("dedup_cluster", oracle=f"""
+WITH RECURSIVE pairs AS ({_jaccard_oracle(0.6).replace('ORDER BY d1, d2', '')}),
+nodes AS (SELECT DISTINCT d FROM
+          (SELECT d1 AS d FROM pairs UNION SELECT d2 FROM pairs)),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  SELECT d AS node, d AS lbl FROM nodes
+  UNION
+  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT rep, COUNT(*) AS n_members
+FROM (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node)
+GROUP BY rep
+ORDER BY rep
+""")
+def dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering: connected components over the Jaccard≥0.6 pair
+    graph via iterative min-label propagation — each doc converges to its
+    component's smallest doc_id (the canonical representative a dedup
+    pipeline keeps). This is the standard distributed
+    connected-components shape: per iteration one join + one aggregation,
+    labels checkpointed to truncate lineage; iterations = graph diameter
+    (near-dup clusters are tiny, so a handful). The oracle computes the
+    same fixed point with a recursive CTE."""
+    pairs = _with_jaccard(_jaccard_pairs(spark, sf), 0.6)
+    edges = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+             .union(pairs.select(F.col("d2").alias("a"),
+                                 F.col("d1").alias("b")))
+             .distinct().cache())
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .select("node", F.col("node").alias("lbl"))
+              .localCheckpoint())
+    for _ in range(20):                      # diameter bound; tiny in practice
+        neighbor_min = (edges.join(labels, edges.a == labels.node)
+                        .groupBy(F.col("b").alias("node2"))
+                        .agg(F.min("lbl").alias("nl")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.node2, "left")
+                      .select("node", F.least(
+                          "lbl", F.coalesce("nl", "lbl")).alias("lbl"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return (labels.groupBy(F.col("lbl").alias("rep"))
+            .agg(F.count("*").alias("n_members"))
+            .orderBy("rep"))
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 
 _DOT_SPARK = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
