@@ -110,6 +110,49 @@ def b32_sliding(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("window_start"))
 
 
+@query("b32_stream_session_window", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+""")
+def b32_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) — the stateful merge
+    operator batch SQL can't express directly; the oracle reproduces it
+    with the islands pattern (lag → new-session flag → running sum).
+    Spark merges events whose gap is strictly < 30min; the oracle starts
+    a new session at gap ≥ 30min — same boundary.
+
+    No watermark: files arrive time-unordered, and the session-window
+    operator filters watermark-late input even in complete mode (unlike
+    plain window aggs) — a watermark here silently drops half the events.
+    Complete mode keeps all session state instead; a production unbounded
+    stream would use append mode + watermark over roughly-ordered
+    arrivals."""
+    stream, _ = _staged_events_stream(spark, sf)
+    agg = (stream
+           .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+           .agg(F.count("*").alias("n_events")))
+    out = _run_to_memory(agg, "complete")
+    return (out.select("user_id",
+                       F.col("session_window.start").alias("session_start"),
+                       "n_events")
+            .orderBy("user_id", "session_start"))
+
+
 @query("b32_stream_catalog_ingest", oracle=f"""
 SELECT COUNT(*) AS n_rows, {dsum('value', 'value_sum')},
        COUNT(DISTINCT event_id) AS n_ids
