@@ -461,6 +461,17 @@ class Engine:
         (A27/A28) — catalog-level time travel, since the whole catalog is
         versioned, not just one table."""
         out = re.sub(r"\bolympia\.", "", sql)
+        # A36: objects inside a persisted distributed transaction —
+        # sys.dtxns.dtxn_<id>.<ns>.<table> reads the table as seen by that
+        # transaction's running tree (reference docs/spark.md:110-142,
+        # IcebergToOlympia.parseTableIdentifier:80-149).
+        for m in list(re.finditer(
+                r"\bsys\.dtxns\.dtxn_([\w-]+)\.(\w+)\.(\w+)", out)):
+            txn_id, ns, tbl = m.groups()
+            dtxn = self.catalog.load_dist_transaction(txn_id)
+            alias = f"olympia__dtxn__{ns}__{tbl}"
+            self.read_table(f"{ns}.{tbl}", dtxn).createOrReplaceTempView(alias)
+            out = out.replace(m.group(0), alias)
         for m in list(re.finditer(
                 r"(\w+)\.(\w+)\s+VERSION AS OF (\d+)", out, re.I)):
             ns, tbl, version = m.group(1), m.group(2), int(m.group(3))
@@ -700,6 +711,15 @@ class Engine:
             self.catalog.alter_table(txn, ns, tbl, tdef)
             self._finish(txn)
             return ok()
+        m = re.match(r"ALTER (?:NAMESPACE|DATABASE|SCHEMA) "
+                     r"sys\.dtxns\.dtxn_([\w-]+) SET (?:DB)?PROPERTIES\s*"
+                     r"\(\s*'commit'\s*=\s*'true'\s*\)$", norm, re.I)
+        if m:
+            # A36: committing a distributed transaction through SQL
+            # (reference OlympiaIcebergCatalog.java:140-256, docs/spark.md)
+            dtxn = self.catalog.load_dist_transaction(m.group(1))
+            self.catalog.commit(dtxn)
+            return ok()
         m = re.match(r"ALTER (?:NAMESPACE|DATABASE|SCHEMA) (\S+) SET "
                      r"(?:DB)?PROPERTIES\s*\((.+)\)$", norm, re.I)
         if m:
@@ -721,8 +741,8 @@ class Engine:
 
         # pass-through: resolve catalog identifiers, delegate to Catalyst
         txn = self._txn()
-        if re.search(r"\bsys\.dtxns\b", norm):
+        if re.search(r"\bsys\.dtxns\b(?!\.dtxn_)", norm):
             self._sys_dtxns_df().createOrReplaceTempView("olympia__sys__dtxns")
-            statement = re.sub(r"\bsys\.dtxns\b", "olympia__sys__dtxns",
-                               statement)
+            statement = re.sub(r"\bsys\.dtxns\b(?!\.dtxn_)",
+                               "olympia__sys__dtxns", statement)
         return spark.sql(self._resolve_sql(statement, txn))

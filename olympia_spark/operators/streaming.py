@@ -45,17 +45,29 @@ def _staged_events_stream(spark: SparkSession, sf: str,
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Drain the bounded stream into a memory sink, return the result."""
+    """Drain the bounded stream into a memory sink, return the result.
+
+    The state-store partition count is frozen from
+    ``spark.sql.shuffle.partitions`` at query start; under a
+    default-config driver session that is 200 partitions × N micro-batches
+    of scheduling overhead for a fixture-sized stream. Scope it down for
+    the drain and restore the caller's value after."""
     global _QUERY_SEQ
     _QUERY_SEQ += 1
     name = f"olympia_stream_{_QUERY_SEQ}"
-    q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode(mode)
-         .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="olympia_ckpt_"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode(mode)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="olympia_ckpt_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @query("b32_stream_tumbling_window", oracle=f"""

@@ -109,6 +109,29 @@ def test_expire_versions(engine):
         str(latest - 1).encode()
 
 
+def test_dist_txn_sql_surface(engine, spark):
+    """A36 end-to-end in SQL: stage writes in a dist txn, query its
+    uncommitted state through sys.dtxns.dtxn_<id>.ns.t, commit it with
+    ALTER DATABASE ... SET DBPROPERTIES('commit'='true')."""
+    engine.sql("CREATE TABLE ns1.t (id BIGINT)")
+    engine.sql("INSERT INTO ns1.t VALUES (1)")
+    engine.sql("BEGIN")
+    engine.sql("INSERT INTO ns1.t VALUES (2), (3)")
+    txn_id = engine.current_txn.id
+    engine.begin_dist()
+    engine.rollback()                       # local handle gone; state persisted
+
+    other = Engine(spark, engine.catalog.storage.root)
+    # inside the dist txn: 3 rows; outside: still 1
+    n_in = other.sql(f"SELECT COUNT(*) AS n FROM "
+                     f"sys.dtxns.dtxn_{txn_id}.ns1.t").first().n
+    assert n_in == 3
+    assert other.sql("SELECT COUNT(*) AS n FROM ns1.t").first().n == 1
+    other.sql(f"ALTER DATABASE sys.dtxns.dtxn_{txn_id} "
+              f"SET DBPROPERTIES ('commit'='true')")
+    assert other.sql("SELECT COUNT(*) AS n FROM ns1.t").first().n == 3
+
+
 _RACER = """
 import sys
 sys.path.insert(0, {repo!r})
