@@ -57,6 +57,42 @@ HEADLINE = [
 ]
 
 
+def catalog_metrics() -> dict[str, float]:
+    """Catalog-plane latencies vs the BASELINE.md targets: 1-object
+    begin+commit round-trip (target: low tens of ms on local FS) and
+    point-lookup time on a catalog wide enough to have split (order 8 →
+    3-level tree), measured driver-side without Spark."""
+    import tempfile
+    import time as _t
+
+    from olympia_spark.catalog import Catalog, CatalogDef, TableDef
+
+    cat = Catalog.create(tempfile.mkdtemp(prefix="olympia_cat_bench_"),
+                         CatalogDef(order=8))
+    txn = cat.begin()
+    cat.create_namespace(txn, "b")
+    for i in range(200):
+        cat.create_table(txn, "b", f"t{i:04d}", TableDef(schema_json="{}"))
+    cat.commit(txn)
+
+    t0 = _t.perf_counter()
+    n_commits = 20
+    for i in range(n_commits):
+        txn = cat.begin()
+        cat.create_table(txn, "b", f"extra{i}", TableDef(schema_json="{}"))
+        cat.commit(txn)
+    commit_ms = (_t.perf_counter() - t0) * 1000 / n_commits
+
+    t0 = _t.perf_counter()
+    n_lookups = 200
+    for i in range(n_lookups):
+        snap = cat.begin()
+        cat.describe_table(snap, "b", f"t{i % 200:04d}")
+    lookup_ms = (_t.perf_counter() - t0) * 1000 / n_lookups
+    return {"catalog_commit_ms": round(commit_ms, 2),
+            "catalog_lookup_ms": round(lookup_ms, 2)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all_modules()
@@ -78,12 +114,17 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    cat_ms = catalog_metrics()
+    for k, v in cat_ms.items():
+        print(f"# {k}: {v}ms", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "catalog": cat_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }))
 

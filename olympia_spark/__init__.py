@@ -21,4 +21,15 @@ Two planes, mirroring the reference's architecture (SURVEY.md):
 
 from olympia_spark.version import __version__
 
-__all__ = ["__version__"]
+__all__ = ["__version__", "Engine", "Catalog"]
+
+
+def __getattr__(name: str):
+    # lazy exports — importing the package must not require a SparkSession
+    if name == "Engine":
+        from olympia_spark.engine import Engine
+        return Engine
+    if name == "Catalog":
+        from olympia_spark.catalog import Catalog
+        return Catalog
+    raise AttributeError(name)

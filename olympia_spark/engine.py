@@ -493,7 +493,9 @@ class Engine:
             tables = set(self.catalog.show_tables(txn, ns))
             views = set(self.catalog.show_views(txn, ns))
             for obj in sorted(tables | views):
-                pattern = rf"\b{re.escape(ns)}\.{re.escape(obj)}\b"
+                # plain or backtick-quoted: ns.obj, `ns`.`obj`
+                pattern = (rf"`?\b{re.escape(ns)}\b`?\."
+                           rf"`?\b{re.escape(obj)}\b`?")
                 if not re.search(pattern, out):
                     continue
                 alias = f"olympia__{ns}__{obj}"

@@ -36,17 +36,7 @@ from olympia_spark.tables import load
 # --- shared shingling (3-word shingles, distinct per doc) -------------------
 
 # Spark arrays are 0-based, DuckDB lists 1-based; each side uses its native
-# indexing to build identical shingle strings.
-_SHINGLES_SPARK = """
-CASE WHEN size(split(text, ' ')) >= 3 THEN
-  array_distinct(transform(
-    sequence(0, size(split(text, ' ')) - 3),
-    i -> concat_ws(' ', split(text, ' ')[i],
-                        split(text, ' ')[i+1],
-                        split(text, ' ')[i+2])))
-ELSE array() END
-"""
-
+# indexing to build identical shingle strings (Spark side: _shingles_df).
 _SHINGLES_DUCK = """
 list_distinct(list_transform(
     generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
@@ -235,29 +225,23 @@ _SIMHASH_BITS = 32
 _HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
-def _simhash_sql(engine: str) -> str:
-    """SELECT doc_id, <simhash> AS sh — identical logic in both dialects."""
-    if engine == "duck":
-        shingles, ln = _SHINGLES_DUCK, "len"
-        filt = "list_filter"
-    else:
-        shingles, ln = _SHINGLES_SPARK, "size"
-        filt = "filter"
-    # vote_j > 0  ⇔  count of 1-votes > n_shingles / 2
+def _simhash_sql_duck() -> str:
+    """DuckDB: SELECT doc_id, <simhash> AS sh (brute-force oracle form)."""
     bits = []
     for j in range(_SIMHASH_BITS):
         in_list = ", ".join(f"'{c}'" for c in _HI_NIBBLES)
-        ones = (f"{ln}({filt}(sh_list, "
+        ones = (f"len(list_filter(sh_list, "
                 f"s -> substr(md5(s), {j + 1}, 1) IN ({in_list})))")
+        # vote_j > 0  ⇔  count of 1-votes > n_shingles / 2
         bits.append(f"(CASE WHEN 2 * {ones} > n_sh THEN CAST({2**j} AS BIGINT) "
                     f"ELSE 0 END)")
     return (f"SELECT doc_id, ({' + '.join(bits)}) AS sh "
-            f"FROM (SELECT doc_id, {shingles} AS sh_list, "
-            f"{ln}({shingles}) AS n_sh FROM documents) WHERE n_sh > 0")
+            f"FROM (SELECT doc_id, {_SHINGLES_DUCK} AS sh_list, "
+            f"len({_SHINGLES_DUCK}) AS n_sh FROM documents) WHERE n_sh > 0")
 
 
 @query("dedup_simhash", oracle=f"""
-WITH sig AS ({_simhash_sql('duck')})
+WITH sig AS ({_simhash_sql_duck()})
 SELECT a.doc_id AS d1, b.doc_id AS d2,
        bit_count(xor(a.sh, b.sh)) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
