@@ -114,15 +114,53 @@ LIMIT 10
 """
 
 
+_DOT_COLS = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+             "0D, (acc, v) -> acc + v)")
+
+
+def _bucket_df(spark: SparkSession, sf: str):
+    """(vec_id, embedding, bucket) via a broadcast hyperplane table.
+
+    The constants ride in as 4 broadcast rows instead of 4×64 literals —
+    embedding planes/centroids as data keeps the expression tree (and its
+    codegen time) constant as dimensionality grows; the arithmetic is the
+    same left-to-right double fold the oracle's literals produce."""
+    from pyspark.sql import functions as F
+    e = load(spark, sf, "embeddings")
+    hp = spark.createDataFrame(
+        [(j, h) for j, h in enumerate(_HYPERPLANES)],
+        "j INT, hvec ARRAY<DOUBLE>")
+    dot = F.expr(_DOT_COLS.format(a="embedding", b="hvec"))
+    bits = (e.crossJoin(F.broadcast(hp))
+            .select("vec_id", "embedding",
+                    F.when(dot > 0, F.expr("shiftleft(1, j)"))
+                     .otherwise(0).alias("bit")))
+    return (bits.groupBy("vec_id", "embedding")
+            .agg(F.sum("bit").cast("int").alias("bucket")))
+
+
 @query("sim_ann_lsh", oracle=_lsh_sql("duck"))
 def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 4-bit sign signature → probe only the
     query's bucket (~1/16 of the table), exact re-rank inside. At scale the
     table is partitioned by bucket id, so the bucket predicate becomes
     partition pruning — the other 15/16 of the files are never opened.
-    Hyperplanes are fixed constants shared verbatim with the oracle, so
-    the result is deterministic and exact-checkable."""
-    return _run(spark, sf, _lsh_sql("spark"))
+    Hyperplanes are fixed constants shared with the oracle, so the result
+    is deterministic and exact-checkable."""
+    from pyspark.sql import functions as F
+    bucketed = _bucket_df(spark, sf)
+    q = bucketed.filter("vec_id = 0").select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb"))
+    cos = (F.expr(_DOT_COLS.format(a="embedding", b="qe"))
+           / (F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
+              * F.sqrt(F.expr(_DOT_COLS.format(a="qe", b="qe")))))
+    return (bucketed.crossJoin(F.broadcast(q))
+            .filter("vec_id <> 0 AND bucket = qb")
+            .select("vec_id", F.round(cos, 4).alias("cos_sim"),
+                    cos.alias("_raw"))
+            .orderBy(F.col("_raw").desc(), "vec_id")
+            .limit(10)
+            .drop("_raw"))
 
 
 # --- IVF (inverted file) ----------------------------------------------------
@@ -179,6 +217,36 @@ def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     centroids, probe the query's 2 nearest clusters, exact-cosine re-rank
     inside them. The cluster assignment is the IVF partition key — at scale
     the table is written bucketed by cluster_id and a probe touches only
-    nprobe/nlist of the data. Centroid constants are shared with the
-    oracle; assignment ties break to the lowest cluster id identically."""
-    return _run(spark, sf, _ivf_sql("spark"))
+    nprobe/nlist of the data. Centroids ride in as a broadcast table
+    (see _bucket_df); ||c||² uses the same 6-dp-rounded constants as the
+    oracle so assignment ties break identically (lowest cluster id)."""
+    from pyspark.sql import functions as F
+    e = load(spark, sf, "embeddings")
+    cents = spark.createDataFrame(
+        [(i, c, round(sum(x * x for x in c), 6))
+         for i, c in enumerate(_CENTROIDS)],
+        "cluster_id INT, cvec ARRAY<DOUBLE>, c2 DOUBLE")
+    # dist to each centroid up to the ||e||² constant: ||c||² − 2⟨e,c⟩
+    dist = (F.col("c2")
+            - 2 * F.expr(_DOT_COLS.format(a="embedding", b="cvec")))
+    scored = (e.crossJoin(F.broadcast(cents))
+              .select("vec_id", "embedding", "cluster_id",
+                      dist.alias("dist")))
+    assigned = (scored.groupBy("vec_id", "embedding")
+                .agg(F.min_by("cluster_id", F.struct("dist", "cluster_id"))
+                      .alias("cluster_id")))
+    probe = (scored.filter("vec_id = 0")
+             .orderBy("dist", "cluster_id").limit(2)
+             .select("cluster_id").distinct())
+    q = e.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    cos = (F.expr(_DOT_COLS.format(a="embedding", b="qe"))
+           / (F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
+              * F.sqrt(F.expr(_DOT_COLS.format(a="qe", b="qe")))))
+    return (assigned.join(F.broadcast(probe), "cluster_id")
+            .crossJoin(F.broadcast(q))
+            .filter("vec_id <> 0")
+            .select("vec_id", F.round(cos, 4).alias("cos_sim"),
+                    cos.alias("_raw"))
+            .orderBy(F.col("_raw").desc(), "vec_id")
+            .limit(10)
+            .drop("_raw"))
