@@ -83,6 +83,9 @@ class TableDef:
     format: str = "PARQUET"                 # reference: "ICEBERG"
     schema_json: str = ""                   # Spark StructType JSON
     data_files: list = field(default_factory=list)   # list[DataFile]
+    # hive-style partition columns (data/ns/tbl/<uuid>/col=val/...);
+    # partition values land in DataFile.stats for catalog-side pruning
+    partition_by: list = field(default_factory=list)
     properties: dict = field(default_factory=dict)
     # mirror of the reference pointer fields for format parity
     metadata_location: str = ""

@@ -134,30 +134,61 @@ class Engine:
         tdef = self.catalog.describe_table(txn, ns, tbl)
         schema = tdef.spark_schema()
         self._record_select(txn, ns, tbl, [f.name for f in schema.fields])
-        paths = [self._abs(p) for p in tdef.file_paths()]
-        if not paths:
+        return self._scan(tdef, tdef.file_paths())
+
+    def _scan(self, tdef: TableDef, rel_paths: list[str]) -> DataFrame:
+        """Scan a tracked file list. Partitioned tables read per write-dir
+        with that dir as basePath, so Spark reconstructs the hive partition
+        columns AND partition-prunes pushed filters (PartitionFilters in
+        the plan) — the file data itself doesn't store those columns."""
+        schema = tdef.spark_schema()
+        if not rel_paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        if not tdef.partition_by:
+            return self.spark.read.schema(schema).parquet(
+                *[self._abs(p) for p in rel_paths])
+        groups: dict[str, list[str]] = {}
+        for p in rel_paths:
+            # data/ns/tbl/<uuid>/col=val/.../file.parquet → base is the
+            # first 4 segments (one write = one basePath)
+            base = "/".join(p.split("/")[:4])
+            groups.setdefault(base, []).append(p)
+        parts = [
+            self.spark.read.schema(schema)
+            .option("basePath", self._abs(base))
+            .parquet(*[self._abs(p) for p in paths])
+            for base, paths in sorted(groups.items())]
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
 
     def create_table(self, name: str, schema: T.StructType,
-                     properties: dict | None = None) -> None:
+                     properties: dict | None = None,
+                     partition_by: list[str] | None = None) -> None:
         ns, tbl = self._split(name)
         txn = self._txn()
         self.catalog.create_table(txn, ns, tbl, TableDef(
-            schema_json=schema.json(), properties=properties or {}))
+            schema_json=schema.json(), properties=properties or {},
+            partition_by=list(partition_by or [])))
         self._finish(txn)
 
     def write_table(self, df: DataFrame, name: str,
-                    mode: str = "append") -> None:
+                    mode: str = "append",
+                    partition_by: list[str] | None = None) -> None:
         """§3.2 write path: executors write parquet under a fresh uuid dir,
         driver footers→stats, catalog CAS-commits the new file list.
-        mode 'overwrite' removes all previous files (TABLE_UPDATE)."""
+        mode 'overwrite' removes all previous files (TABLE_UPDATE).
+        ``partition_by`` applies on first write of a new table; appends to
+        an existing table reuse its recorded partition spec."""
         ns, tbl = self._split(name)
         txn = self._txn()
         if not self.catalog.table_exists(txn, ns, tbl):
-            self.catalog.create_table(txn, ns, tbl,
-                                      TableDef(schema_json=df.schema.json()))
-        new_files = self._write_files(df, ns, tbl)
+            self.catalog.create_table(txn, ns, tbl, TableDef(
+                schema_json=df.schema.json(),
+                partition_by=list(partition_by or [])))
+        tdef0 = self.catalog.describe_table(txn, ns, tbl)
+        new_files = self._write_files(df, ns, tbl, tdef0.partition_by)
         tdef = self.catalog.describe_table(txn, ns, tbl)
         if mode == "overwrite":
             self.catalog.update_table_files(
@@ -171,22 +202,32 @@ class Engine:
                 {"added": [f.path for f in new_files]})
         self._finish(txn)
 
-    def _write_files(self, df: DataFrame, ns: str, tbl: str) -> list[DataFile]:
+    def _write_files(self, df: DataFrame, ns: str, tbl: str,
+                     partition_by: list[str] | None = None
+                     ) -> list[DataFile]:
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
         out_dir = self._abs(rel_dir)
-        df.write.mode("error").parquet(out_dir)
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_dir)
         return self._collect_stats(rel_dir)
 
     def _collect_stats(self, rel_dir: str) -> list[DataFile]:
         """Per-file rows/bytes/min-max from parquet footers (driver-side,
-        footer-only I/O) — the stats that make DML file pruning work."""
+        footer-only I/O) — the stats that make DML file pruning work.
+        Hive partition path segments (col=val) become exact [v, v] stats,
+        so partition columns prune through the same mechanism."""
         import pyarrow.parquet as pq
         out = []
         abs_dir = self._abs(rel_dir)
-        for fname in sorted(os.listdir(abs_dir)):
-            if not fname.endswith(".parquet"):
-                continue
-            fpath = os.path.join(abs_dir, fname)
+        files = []
+        for root, _dirs, names in os.walk(abs_dir):
+            for fname in names:
+                if fname.endswith(".parquet"):
+                    files.append(os.path.join(root, fname))
+        for fpath in sorted(files):
+            fname = os.path.relpath(fpath, abs_dir)
             md = pq.ParquetFile(fpath).metadata
             stats: dict = {}
             for rg in range(md.num_row_groups):
@@ -207,6 +248,19 @@ class Engine:
                                         max(stats[cname][1], mx)]
                     else:
                         stats[cname] = [mn, mx]
+            # hive partition segments → exact-value stats
+            for seg in fname.split(os.sep)[:-1]:
+                col, eq, val = seg.partition("=")
+                if eq:
+                    v: object = val
+                    try:
+                        v = int(val)
+                    except ValueError:
+                        try:
+                            v = float(val)
+                        except ValueError:
+                            pass
+                    stats[col] = [v, v]
             out.append(DataFile(
                 path=f"{rel_dir}/{fname}", num_rows=md.num_rows,
                 size_bytes=os.path.getsize(fpath), stats=stats))
@@ -261,7 +315,7 @@ class Engine:
             self._finish(txn)
             return 0
         cand_abs = [self._abs(p) for p in candidates]
-        scan = self.spark.read.schema(schema).parquet(*cand_abs)
+        scan = self._scan(tdef, candidates)
         matched_abs = [r[0] for r in (scan.filter(predicate)
                        .select(F.input_file_name()).distinct().collect())]
         matched = [p for p, a in zip(candidates, cand_abs)
@@ -270,12 +324,14 @@ class Engine:
         if not matched:
             self._finish(txn)
             return 0
-        affected = self.spark.read.schema(schema).parquet(
-            *[self._abs(p) for p in matched])
+        affected = self._scan(tdef, matched)
         n_before = affected.count()
         rewritten = transform(affected)
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-        rewritten.write.mode("error").parquet(self._abs(rel_dir))
+        writer = rewritten.write.mode("error")
+        if tdef.partition_by:
+            writer = writer.partitionBy(*tdef.partition_by)
+        writer.parquet(self._abs(rel_dir))
         new_files = self._collect_stats(rel_dir)
         action = (ActionType.TABLE_DELETE if transform.__name__ == "_delete"
                   else ActionType.TABLE_UPDATE)
@@ -358,15 +414,16 @@ class Engine:
         if len(old_paths) < min_files:
             self._finish(txn)
             return 0
-        schema = tdef.spark_schema()
-        df = self.spark.read.schema(schema).parquet(
-            *[self._abs(p) for p in old_paths])
+        df = self._scan(tdef, old_paths)
         total_bytes = sum(f.size_bytes for f in tdef.data_files
                           if f.size_bytes > 0)
         # ~128 MiB target files, at least 1
         n_out = max(1, total_bytes // (128 << 20))
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-        df.coalesce(int(n_out)).write.mode("error").parquet(self._abs(rel_dir))
+        writer = df.coalesce(int(n_out)).write.mode("error")
+        if tdef.partition_by:
+            writer = writer.partitionBy(*tdef.partition_by)
+        writer.parquet(self._abs(rel_dir))
         new_files = self._collect_stats(rel_dir)
         self.catalog.update_table_files(
             txn, ns, tbl, new_files, old_paths, ActionType.TABLE_UPDATE,
@@ -605,24 +662,28 @@ class Engine:
                 [(f.name, f.dataType.simpleString()) for f in fields],
                 "col_name string, data_type string")
         m = re.match(r"CREATE TABLE( IF NOT EXISTS)? (\S+?)\s*"
-                     r"(?:\((.+)\))?\s*(?:AS (SELECT .+))?$",
+                     r"(?:\((.+?)\))?\s*(?:PARTITIONED BY \(([\w, ]+)\))?"
+                     r"\s*(?:AS (SELECT .+))?$",
                      norm, re.I | re.S)
         if m and norm.upper().startswith("CREATE TABLE"):
-            _, name, cols, ctas = m.groups()
+            _, name, cols, part, ctas = m.groups()
             ns, tbl = self._split(name)
+            partition_by = ([c.strip() for c in part.split(",")]
+                            if part else [])
             txn = self._txn()
             if ctas:
                 df = spark.sql(self._resolve_sql(ctas, txn))
-                self.catalog.create_table(txn, ns, tbl,
-                                          TableDef(schema_json=df.schema.json()))
-                files = self._write_files(df, ns, tbl)
+                self.catalog.create_table(txn, ns, tbl, TableDef(
+                    schema_json=df.schema.json(),
+                    partition_by=partition_by))
+                files = self._write_files(df, ns, tbl, partition_by)
                 self.catalog.update_table_files(
                     txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
                     {"added": [f.path for f in files]})
             else:
                 schema = T.StructType.fromDDL(cols)
-                self.catalog.create_table(txn, ns, tbl,
-                                          TableDef(schema_json=schema.json()))
+                self.catalog.create_table(txn, ns, tbl, TableDef(
+                    schema_json=schema.json(), partition_by=partition_by))
             self._finish(txn)
             return ok()
         m = re.match(r"DROP TABLE( IF EXISTS)? (\S+\.\S+)$", norm, re.I)

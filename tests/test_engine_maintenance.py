@@ -109,6 +109,68 @@ def test_expire_versions(engine):
         str(latest - 1).encode()
 
 
+def test_partitioned_table_roundtrip(engine, sf_dir):
+    """Hive-layout partitioned writes; reads reconstruct partition columns
+    via per-write basePath and values match the unpartitioned source."""
+    from olympia_spark.tables import load
+    ev = load(engine.spark, sf_dir, "events")
+    engine.write_table(ev, "ns1.events_p", partition_by=["event_type"])
+    got = engine.sql("SELECT event_type, COUNT(*) AS n FROM ns1.events_p "
+                     "GROUP BY event_type ORDER BY event_type").collect()
+    want = (ev.groupBy("event_type").count().orderBy("event_type").collect())
+    assert [(r.event_type, r.n) for r in got] == \
+        [(r.event_type, r["count"]) for r in want]
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "events_p")
+    assert tdef.partition_by == ["event_type"]
+    assert all("event_type=" in f.path for f in tdef.data_files)
+    # partition value is exact [v, v] stats on every file
+    assert all(f.stats["event_type"][0] == f.stats["event_type"][1]
+               for f in tdef.data_files)
+    # appends reuse the recorded spec
+    engine.sql("INSERT INTO ns1.events_p SELECT * FROM ns1.events_p "
+               "WHERE event_type = 'click'")
+    n2 = engine.sql("SELECT COUNT(*) AS n FROM ns1.events_p "
+                    "WHERE event_type = 'click'").first().n
+    n1 = dict((r.event_type, r.n) for r in got)["click"]
+    assert n2 == 2 * n1
+
+
+def test_partitioned_dml_prunes_partitions(engine, sf_dir):
+    """DELETE on a partition predicate must rewrite only that partition's
+    files — every other partition's files survive untouched."""
+    from olympia_spark.tables import load
+    ev = load(engine.spark, sf_dir, "events")
+    engine.write_table(ev, "ns1.events_q", partition_by=["event_type"])
+    txn = engine.catalog.begin()
+    before = {f.path for f in
+              engine.catalog.describe_table(txn, "ns1", "events_q").data_files}
+    n_click = engine.sql("SELECT COUNT(*) AS n FROM ns1.events_q "
+                         "WHERE event_type = 'click'").first().n
+    total = engine.sql("SELECT COUNT(*) AS n FROM ns1.events_q").first().n
+    engine.sql("DELETE FROM ns1.events_q WHERE event_type = 'click'")
+    txn = engine.catalog.begin()
+    after = {f.path for f in
+             engine.catalog.describe_table(txn, "ns1", "events_q").data_files}
+    surviving = before & after
+    assert surviving == {p for p in before if "event_type=click" not in p}
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.events_q").first().n \
+        == total - n_click
+
+
+def test_partitioned_sql_create_and_plan_pruning(engine, spark):
+    engine.sql("CREATE TABLE ns1.pt (id BIGINT, bucket STRING) "
+               "PARTITIONED BY (bucket)")
+    for b in ("aa", "bb"):
+        df = spark.range(50).selectExpr("id", f"'{b}' AS bucket")
+        engine.write_table(df, "ns1.pt")
+    plan = (engine.sql("SELECT * FROM ns1.pt WHERE bucket = 'aa'")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.pt "
+                      "WHERE bucket = 'aa'").first().n == 50
+
+
 def test_dist_txn_sql_surface(engine, spark):
     """A36 end-to-end in SQL: stage writes in a dist txn, query its
     uncommitted state through sys.dtxns.dtxn_<id>.ns.t, commit it with
