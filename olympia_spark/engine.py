@@ -173,6 +173,28 @@ class Engine:
             partition_by=list(partition_by or [])))
         self._finish(txn)
 
+    def register_external_table(self, name: str, *paths: str) -> None:
+        """Register existing parquet files as a catalog table WITHOUT
+        copying data — the TableDef simply points at them (the same move
+        the reference makes when it adopts an existing Iceberg metadata
+        location). Absolute paths are kept as-is; stats come from the
+        footers so DML pruning works immediately."""
+        import pyarrow.parquet as pq
+        ns, tbl = self._split(name)
+        schema = self.spark.read.parquet(*paths).schema
+        files = []
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            files.append(DataFile(path=p, num_rows=md.num_rows,
+                                  size_bytes=os.path.getsize(p)))
+        txn = self._txn()
+        self.catalog.create_table(txn, ns, tbl,
+                                  TableDef(schema_json=schema.json()))
+        self.catalog.update_table_files(
+            txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
+            {"added": [f.path for f in files], "external": True})
+        self._finish(txn)
+
     def write_table(self, df: DataFrame, name: str,
                     mode: str = "append",
                     partition_by: list[str] | None = None) -> None:

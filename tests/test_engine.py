@@ -185,6 +185,21 @@ def test_sys_dtxns_virtual_table(engine):
                    other.sql("SHOW TABLES IN ns1").collect()]
 
 
+def test_register_external_table(engine, sf_dir):
+    """Adopt existing parquet without copying: TableDef points at the
+    source files; queries and even DML-pruning stats work immediately."""
+    import os
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    engine.register_external_table("ns1.lineitem", path)
+    n = engine.sql("SELECT COUNT(*) AS n FROM ns1.lineitem").first().n
+    direct = engine.spark.read.parquet(path).count()
+    assert n == direct > 0
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "lineitem")
+    assert tdef.file_paths() == [path]
+    assert tdef.data_files[0].num_rows == direct
+
+
 def test_serializable_engine_read_write_conflict(engine, spark):
     engine.sql("CREATE TABLE ns1.rw (x BIGINT)")
     engine.sql("INSERT INTO ns1.rw VALUES (1)")
