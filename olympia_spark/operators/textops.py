@@ -178,6 +178,62 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
                  F.countDistinct(fp).alias("n_distinct_fp"))
 
 
+@query("text_redact", oracle=r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN regexp_replace(text, '[0-9]+', '<NUM>', 'g') <> text
+                THEN 1 ELSE 0 END) AS n_redacted,
+       SUM(strlen(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))) AS red_len
+FROM documents
+GROUP BY source
+ORDER BY source
+""")
+def text_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Scrubbing pass (PII-redaction shape): rewrite digit runs to a
+    placeholder token, count affected docs and post-redaction sizes.
+    Map-only; the regex is simple enough to be dialect-identical between
+    Java regex and RE2."""
+    d = load(spark, sf, "documents")
+    red = F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(red != F.col("text"), 1).otherwise(0))
+                  .alias("n_redacted"),
+                 F.sum(F.length(red)).alias("red_len"))
+            .orderBy("source"))
+
+
+@query("data_profile", oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) - COUNT(value) AS n_null,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))
+                * CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sumsq_v
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def data_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profiling (the pre-training data-audit operator): per-group
+    count / nulls / min / max plus exact-decimal Σx and Σx² — the
+    sufficient statistics for mean/stddev downstream, accumulated exactly
+    so the result is order-independent (plain float stddev would drift
+    past hash tolerance under Spark's partial aggregation)."""
+    e = load(spark, sf, "events")
+    dec = F.col("value").cast("decimal(25,6)")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 (F.count("*") - F.count("value")).alias("n_null"),
+                 F.min("value").alias("min_v"),
+                 F.max("value").alias("max_v"),
+                 F.sum(dec).cast("double").alias("sum_v"),
+                 F.sum(dec * dec).cast("double").alias("sumsq_v"))
+            .orderBy("event_type"))
+
+
 @query("text_rolling_hash", oracle="""
 SELECT doc_id,
        SUM(ascii(c) * CAST(POWER(31, i % 5) AS BIGINT)) AS fp
