@@ -540,6 +540,16 @@ class Engine:
         (A27/A28) — catalog-level time travel, since the whole catalog is
         versioned, not just one table."""
         out = re.sub(r"\bolympia\.", "", sql)
+        # metadata virtual tables: ns.t$files / $history / $partitions
+        for m in list(re.finditer(r"(\w+)\.(\w+)\$(files|history|partitions)",
+                                  out)):
+            ns, tbl, kind = m.groups()
+            df = {"files": self.table_files,
+                  "history": self.table_history,
+                  "partitions": self.table_partitions}[kind](f"{ns}.{tbl}")
+            alias = f"olympia__meta__{ns}__{tbl}__{kind}"
+            df.createOrReplaceTempView(alias)
+            out = out.replace(m.group(0), alias)
         # A36: objects inside a persisted distributed transaction —
         # sys.dtxns.dtxn_<id>.<ns>.<table> reads the table as seen by that
         # transaction's running tree (reference docs/spark.md:110-142,
@@ -586,6 +596,59 @@ class Engine:
                         .createOrReplaceTempView(alias)
                 out = re.sub(pattern, alias, out)
         return out
+
+    # --- metadata virtual tables --------------------------------------------
+
+    def table_files(self, name: str) -> DataFrame:
+        """`ns.t$files` — the tracked file inventory with stats (the
+        engine-side analogue of Iceberg's files metadata table)."""
+        import json as _json
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        rows = [(f.path, f.num_rows, f.size_bytes, _json.dumps(f.stats))
+                for f in tdef.data_files]
+        return self.spark.createDataFrame(
+            rows, "path string, num_rows long, size_bytes long, stats string")
+
+    def table_history(self, name: str) -> DataFrame:
+        """`ns.t$history` — catalog versions at which this table's def
+        pointer changed (created/altered/written), newest first."""
+        ns, tbl = self._split(name)
+        key = self.catalog._tbl_key(ns, tbl)
+        latest = self.catalog.tree.load_latest_root()
+        rows = []
+        prev_ptr = object()
+        for root in reversed(list(self.catalog.tree.list_roots(latest))):
+            ptr = self.catalog.tree.search(root, key)
+            if ptr != prev_ptr and not (ptr is None and not rows):
+                rows.append((root.version, root.created_at_millis,
+                             ptr is not None))
+            if ptr != prev_ptr:
+                prev_ptr = ptr
+        rows.reverse()
+        return self.spark.createDataFrame(
+            rows, "version long, made_at_millis long, exists boolean")
+
+    def table_partitions(self, name: str) -> DataFrame:
+        """`ns.t$partitions` — per-partition file/row totals from the
+        tracked stats (no data scan)."""
+        import json as _json
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        agg: dict[str, list[int]] = {}
+        for f in tdef.data_files:
+            part = _json.dumps({c: f.stats.get(c, [None])[0]
+                                for c in tdef.partition_by})
+            cur = agg.setdefault(part, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += max(f.num_rows, 0)
+            cur[2] += max(f.size_bytes, 0)
+        rows = [(p, n, r, b) for p, (n, r, b) in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "partition string, n_files long, num_rows long, "
+                  "size_bytes long")
 
     # --- system namespace virtualization (A36) ------------------------------
 

@@ -171,6 +171,27 @@ def test_partitioned_sql_create_and_plan_pruning(engine, spark):
                       "WHERE bucket = 'aa'").first().n == 50
 
 
+def test_metadata_virtual_tables(engine, spark):
+    """ns.t$files / $history / $partitions introspection."""
+    engine.sql("CREATE TABLE ns1.m (id BIGINT, b STRING) PARTITIONED BY (b)")
+    for b in ("x", "y"):
+        engine.write_table(
+            spark.range(10).coalesce(1).selectExpr("id", f"'{b}' AS b"),
+            "ns1.m")
+    files = engine.sql("SELECT * FROM ns1.m$files ORDER BY path").collect()
+    assert len(files) == 2 and all(f.num_rows == 10 for f in files)
+    hist = engine.sql("SELECT * FROM ns1.m$history ORDER BY version").collect()
+    assert len(hist) == 3                      # create + 2 writes
+    assert all(h.exists for h in hist)
+    parts = engine.sql("SELECT partition, num_rows FROM ns1.m$partitions "
+                       "ORDER BY partition").collect()
+    assert [(p.partition, p.num_rows) for p in parts] == [
+        ('{"b": "x"}', 10), ('{"b": "y"}', 10)]
+    # joins against real tables work too
+    n = engine.sql("SELECT SUM(f.num_rows) AS n FROM ns1.m$files f").first().n
+    assert n == 20
+
+
 def test_dist_txn_sql_surface(engine, spark):
     """A36 end-to-end in SQL: stage writes in a dist txn, query its
     uncommitted state through sys.dtxns.dtxn_<id>.ns.t, commit it with
