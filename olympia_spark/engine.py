@@ -700,8 +700,13 @@ class Engine:
         m = re.match(r"CREATE (?:NAMESPACE|DATABASE|SCHEMA)"
                      r"( IF NOT EXISTS)? (\S+)$", norm, re.I)
         if m:
-            txn = self._txn()
             ns = m.group(2).replace("`", "")
+            if ns == "sys":
+                # A36: CREATE DATABASE sys = create the catalog itself
+                # (docs/iceberg.md:73-179); the Engine constructor already
+                # did, so this is idempotent success.
+                return ok()
+            txn = self._txn()
             if not (m.group(1) and self.catalog.namespace_exists(txn, ns)):
                 self.catalog.create_namespace(txn, ns)
             self._finish(txn)
@@ -737,6 +742,14 @@ class Engine:
             return spark.createDataFrame(
                 [(v,) for v in self.catalog.show_views(
                     txn, m.group(1).replace("`", ""))], "view string")
+        m = re.match(r"DESCRIBE (?:NAMESPACE|DATABASE|SCHEMA) (\S+)$",
+                     norm, re.I)
+        if m:
+            txn = self._txn()
+            ndef = self.catalog.describe_namespace(
+                txn, m.group(1).replace("`", ""))
+            rows = sorted(ndef.properties.items()) or [("", "")]
+            return spark.createDataFrame(rows, "key string, value string")
         m = re.match(r"DESCRIBE (?:TABLE )?(\S+\.\S+)$", norm, re.I)
         if m:
             ns, tbl = self._split(m.group(1))

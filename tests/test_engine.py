@@ -185,6 +185,20 @@ def test_sys_dtxns_virtual_table(engine):
                    other.sql("SHOW TABLES IN ns1").collect()]
 
 
+def test_create_database_sys_is_catalog_create(engine):
+    """A36: CREATE DATABASE sys maps to catalog creation (idempotent
+    here), not to a namespace named sys."""
+    engine.sql("CREATE DATABASE sys")
+    assert "sys" not in [r.namespace for r in
+                         engine.sql("SHOW NAMESPACES").collect()]
+
+
+def test_describe_namespace_sql(engine):
+    engine.sql("ALTER NAMESPACE ns1 SET PROPERTIES ('a'='1')")
+    rows = engine.sql("DESCRIBE NAMESPACE ns1").collect()
+    assert [(r.key, r.value) for r in rows] == [("a", "1")]
+
+
 def test_register_external_table(engine, sf_dir):
     """Adopt existing parquet without copying: TableDef points at the
     source files; queries and even DML-pruning stats work immediately."""
