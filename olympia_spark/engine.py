@@ -485,6 +485,36 @@ class Engine:
                                        str(cutoff).encode())
         return removed
 
+    def remove_orphan_files(self) -> list[str]:
+        """GC maintenance: delete data files under the warehouse that no
+        live catalog version references (left behind by failed writes or
+        expired versions). Only files under data/ are considered — node
+        and def files belong to the version-expiry path."""
+        from olympia_spark.catalog import locations as loc
+        referenced: set[str] = set()
+        latest = self.catalog.tree.load_latest_root()
+        for root in self.catalog.tree.list_roots(latest):
+            for _k, def_path in self.catalog.tree.traverse(root):
+                if not def_path.startswith(loc.TABLE_DEF_DIR):
+                    continue
+                try:
+                    from olympia_spark.catalog.defs import from_json
+                    tdef = from_json(self.catalog.storage.read(def_path))
+                except Exception:  # noqa: BLE001 — expired def file
+                    continue
+                if isinstance(tdef, TableDef):
+                    referenced.update(tdef.file_paths())
+        removed = []
+        root_dir = os.path.join(self.catalog.storage.root, _DATA_DIR)
+        for dirpath, _dirs, names in os.walk(root_dir):
+            for fname in names:
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, self.catalog.storage.root)
+                if rel.endswith(".parquet") and rel not in referenced:
+                    self.catalog.storage.delete(rel)
+                    removed.append(rel)
+        return removed
+
     # --- views --------------------------------------------------------------
 
     def create_view(self, name: str, sql_text: str,

@@ -211,6 +211,47 @@ LIMIT 10
 """
 
 
+@query("sim_batch_topk", oracle="""
+SELECT qid, vec_id, cos_sim FROM (
+  SELECT q.vec_id AS qid, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 4) AS cos_sim,
+         ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.embedding::DOUBLE[]) DESC,
+                      e.vec_id) AS rn
+  FROM embeddings e,
+       (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+  WHERE e.vec_id <> q.vec_id)
+WHERE rn <= 3
+ORDER BY qid, rn
+""")
+def sim_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch retrieval: top-3 neighbors for EVERY query in a query set at
+    once — one broadcast of the queries, one pass over the corpus, one
+    rank-window partitioned by query. This is the shape training
+    pipelines run (N queries per batch), and it amortizes the corpus scan
+    across all queries instead of re-scanning per query."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    e = load(spark, sf, "embeddings")
+    q = (e.filter("vec_id < 5")
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qe")))
+    cos = (F.expr(_DOT_COLS.format(a="embedding", b="qe"))
+           / (F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
+              * F.sqrt(F.expr(_DOT_COLS.format(a="qe", b="qe")))))
+    w = Window.partitionBy("qid").orderBy(F.col("_raw").desc(), "vec_id")
+    return (e.crossJoin(F.broadcast(q))
+            .filter("vec_id <> qid")
+            .select("qid", "vec_id", cos.alias("_raw"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 3")
+            .select("qid", "vec_id", F.round("_raw", 4).alias("cos_sim"))
+            .orderBy("qid", "vec_id"))
+
+
 @query("sim_ivf", oracle=_ivf_sql("duck"))
 def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN: assign every vector to its nearest of 10 fixed coarse

@@ -171,6 +171,30 @@ def test_partitioned_sql_create_and_plan_pruning(engine, spark):
                       "WHERE bucket = 'aa'").first().n == 50
 
 
+def test_remove_orphan_files(engine, spark):
+    """GC deletes only unreferenced data files; live versions (incl.
+    time-travel targets) keep every file they reference."""
+    engine.sql("CREATE TABLE ns1.g (id BIGINT)")
+    engine.sql("INSERT INTO ns1.g VALUES (1), (2)")
+    engine.sql("DELETE FROM ns1.g WHERE id = 1")   # old file still in v-1
+    # plant a true orphan (simulates a failed write)
+    orphan_rel = "data/ns1/g/deadbeef/orphan.parquet"
+    spark.range(1).coalesce(1).write.parquet(
+        engine._abs("data/ns1/g/deadbeef/tmp"))
+    import os, shutil
+    tmp_dir = engine._abs("data/ns1/g/deadbeef/tmp")
+    part = next(f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp_dir, part), engine._abs(orphan_rel))
+    shutil.rmtree(tmp_dir)
+    removed = engine.remove_orphan_files()
+    assert removed == [orphan_rel]
+    # all data still readable, including pre-DELETE time travel
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.g").first().n == 1
+    v_old = engine.catalog.tree.find_latest_version() - 1
+    assert engine.sql(f"SELECT COUNT(*) AS n FROM ns1.g "
+                      f"VERSION AS OF {v_old}").first().n == 2
+
+
 def test_metadata_virtual_tables(engine, spark):
     """ns.t$files / $history / $partitions introspection."""
     engine.sql("CREATE TABLE ns1.m (id BIGINT, b STRING) PARTITIONED BY (b)")
