@@ -47,6 +47,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "sim_ivf",
+    "sim_batch_topk",
     "text_quality_score",
     "text_token_count",
     "mm_feature_extract",

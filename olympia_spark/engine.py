@@ -838,9 +838,10 @@ class Engine:
             self.catalog.drop_view(txn, ns, view)
             self._finish(txn)
             return ok()
-        m = re.match(r"INSERT INTO (\S+\.\S+)\s+(.+)$", norm, re.I | re.S)
+        m = re.match(r"INSERT (INTO|OVERWRITE)(?: TABLE)? (\S+\.\S+)\s+(.+)$",
+                     norm, re.I | re.S)
         if m:
-            name, payload = m.groups()
+            kind, name, payload = m.groups()
             txn_src = self._txn()
             if re.match(r"VALUES", payload, re.I):
                 ns, tbl = self._split(name)
@@ -852,7 +853,10 @@ class Engine:
                     df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
             else:
                 df = spark.sql(self._resolve_sql(payload, txn_src))
-            self.write_table(df, name, mode="append")
+            self.write_table(df, name,
+                             mode=("overwrite"
+                                   if kind.upper() == "OVERWRITE"
+                                   else "append"))
             return ok()
         m = re.match(r"DELETE FROM (\S+\.\S+)(?: WHERE (.+))?$",
                      norm, re.I | re.S)

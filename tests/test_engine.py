@@ -185,6 +185,18 @@ def test_sys_dtxns_virtual_table(engine):
                    other.sql("SHOW TABLES IN ns1").collect()]
 
 
+def test_insert_overwrite(engine):
+    engine.sql("CREATE TABLE ns1.ow (k BIGINT)")
+    engine.sql("INSERT INTO ns1.ow VALUES (1), (2)")
+    engine.sql("INSERT OVERWRITE ns1.ow VALUES (9)")
+    rows = engine.sql("SELECT k FROM ns1.ow").collect()
+    assert [r.k for r in rows] == [9]
+    # the pre-overwrite version still reads the old rows
+    v = engine.catalog.tree.find_latest_version() - 1
+    assert engine.sql(f"SELECT COUNT(*) AS n FROM ns1.ow "
+                      f"VERSION AS OF {v}").first().n == 2
+
+
 def test_create_database_sys_is_catalog_create(engine):
     """A36: CREATE DATABASE sys maps to catalog creation (idempotent
     here), not to a namespace named sys."""
