@@ -45,10 +45,14 @@ class Catalog:
 
     @staticmethod
     def exists(location: str | Storage) -> bool:
-        """A1 — probe the version-0 root file (Olympia.java:48-51)."""
+        """A1 — probe the version-0 root file (Olympia.java:48-51), and
+        the vn/oldest hint: after version expiration v0 is gone but the
+        catalog very much exists (without this check a new Engine would
+        silently re-create an empty catalog over a live warehouse)."""
         storage = (location if isinstance(location, Storage)
                    else storage_for(location))
-        return storage.exists(loc.root_node_path(0))
+        return (storage.exists(loc.root_node_path(0))
+                or storage.exists(loc.OLDEST_HINT_PATH))
 
     @classmethod
     def create(cls, location: str | Storage,

@@ -213,23 +213,23 @@ class Tree:
     # --- version chain ------------------------------------------------------
 
     def find_latest_version(self) -> int:
-        """vn/latest hint, then probe versions upward until 404
-        (docs/format.md "Begin a transaction"; the reference's probe loop
-        has an off-by-one bug at TreeOperations.java:360-366 — probing the
-        same version repeatedly — which we do correctly)."""
-        start = 0
-        try:
-            start = int(self.storage.read(loc.LATEST_HINT_PATH).decode())
-        except (StorageFileOpenFailureError, ValueError):
+        """vn/latest hint, else vn/oldest, else v0; probe versions upward
+        until 404 (docs/format.md "Begin a transaction"; the reference's
+        probe loop has an off-by-one bug at TreeOperations.java:360-366 —
+        probing the same version repeatedly — which we do correctly).
+        After version expiration v0 no longer exists, so a stale latest
+        hint falls back to the oldest hint, never blindly to 0."""
+        candidates: list[int] = []
+        for hint in (loc.LATEST_HINT_PATH, loc.OLDEST_HINT_PATH):
             try:
-                start = int(self.storage.read(loc.OLDEST_HINT_PATH).decode())
+                candidates.append(int(self.storage.read(hint).decode()))
             except (StorageFileOpenFailureError, ValueError):
-                start = 0
-        if not self.storage.exists(loc.root_node_path(start)):
-            # stale hint beyond reality — fall back to scanning from 0
-            start = 0
-            if not self.storage.exists(loc.root_node_path(0)):
-                raise StorageFileOpenFailureError("no catalog root found")
+                pass
+        candidates.append(0)
+        start = next((c for c in candidates
+                      if self.storage.exists(loc.root_node_path(c))), None)
+        if start is None:
+            raise StorageFileOpenFailureError("no catalog root found")
         v = start
         while self.storage.exists(loc.root_node_path(v + 1)):
             v += 1
@@ -249,7 +249,11 @@ class Tree:
             return self.load_root(path)
         node: RootNode = root
         while node.version > version and node.previous_root_path:
-            node = self.load_root(node.previous_root_path)
+            try:
+                node = self.load_root(node.previous_root_path)
+            except StorageFileOpenFailureError as e:
+                raise TransactionValueError(
+                    f"version {version} has been expired") from e
         if node.version != version:
             raise TransactionValueError(f"version {version} not found")
         return node
@@ -263,16 +267,25 @@ class Tree:
                 return node
             if not node.previous_root_path:
                 break
-            node = self.load_root(node.previous_root_path)
+            try:
+                node = self.load_root(node.previous_root_path)
+            except StorageFileOpenFailureError:
+                break
         raise TransactionValueError(f"no root before timestamp {ts_millis}")
 
     def list_roots(self, root: RootNode):
-        """History iterator newest→oldest (TreeOperations.java:504-551)."""
+        """History iterator newest→oldest (TreeOperations.java:504-551).
+        Stops cleanly when the chain crosses the expiration horizon (the
+        oldest surviving root still points at a deleted previous root)."""
         node: RootNode | None = root
         while node is not None:
             yield node
-            node = (self.load_root(node.previous_root_path)
-                    if node.previous_root_path else None)
+            if not node.previous_root_path:
+                return
+            try:
+                node = self.load_root(node.previous_root_path)
+            except StorageFileOpenFailureError:
+                return
 
     # --- search / mutate ----------------------------------------------------
 

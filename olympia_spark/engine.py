@@ -60,7 +60,13 @@ _ROLLBACK_RE = re.compile(r"^ROLLBACK(\s+TRANSACTION)?$", re.I)
 
 
 def _normalize(sql: str) -> str:
-    return re.sub(r"\s+", " ", sql.strip().rstrip(";").strip())
+    """Trim, strip trailing ';', collapse whitespace — but NEVER inside
+    single-quoted string literals (captured statement fragments like
+    INSERT payloads and DML predicates are executed from the normalized
+    text, so literal whitespace must survive)."""
+    parts = re.split(r"('(?:[^']|'')*')", sql.strip().rstrip(";").strip())
+    return "".join(p if i % 2 else re.sub(r"\s+", " ", p)
+                   for i, p in enumerate(parts))
 
 
 class Engine:
@@ -70,6 +76,13 @@ class Engine:
 
     def __init__(self, spark: SparkSession, warehouse: str,
                  isolation_level: str | None = None):
+        if str(warehouse).startswith("s3://"):
+            # the catalog layer speaks S3 (storage.py), but the engine's
+            # data-file paths (write/stats/scan) are currently
+            # local-filesystem — fail loudly instead of half-working
+            raise NotImplementedError(
+                "Engine data plane requires a local/posix warehouse; "
+                "S3 warehouses are catalog-layer only for now")
         self.spark = spark
         self.catalog = (Catalog.load(warehouse) if Catalog.exists(warehouse)
                         else Catalog.create(warehouse))
@@ -293,7 +306,12 @@ class Engine:
     def _candidate_files(self, tdef: TableDef, predicate: str) -> list[str]:
         """Stats-based file pruning: a file whose [min,max] range provably
         excludes every simple comparison in the predicate is skipped.
-        Conservative — only prunes on top-level AND'ed `col op literal`."""
+        Conservative — prunes ONLY when every comparison is provably
+        top-level AND'ed: any OR / NOT / CASE in the predicate disables
+        pruning entirely (treating an OR branch as a conjunct would prune
+        files that DO contain matches — silent DML corruption)."""
+        if re.search(r"\b(OR|NOT|CASE)\b", predicate, re.I):
+            return [f.path for f in tdef.data_files]
         comparisons = re.findall(
             r"(\w+)\s*(=|<=|>=|<|>)\s*('[^']*'|[\d.]+)", predicate)
         out = []
@@ -376,11 +394,14 @@ class Engine:
         """B30 — UPDATE SET: rewrite affected files applying assignments
         where the predicate holds (TABLE_UPDATE, proto/actions.proto:82-87)."""
         def _update(df: DataFrame) -> DataFrame:
+            # single projection: ALL right-hand sides evaluate against the
+            # pre-update row (SQL simultaneous-assignment semantics —
+            # `SET a = b, b = a` swaps; chained withColumn would not)
             cond = F.expr(predicate)
-            for col, expr in assignments.items():
-                df = df.withColumn(
-                    col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
-            return df
+            return df.select(*[
+                (F.when(cond, F.expr(assignments[c])).otherwise(F.col(c))
+                 .alias(c)) if c in assignments else F.col(c)
+                for c in df.columns])
         return self._rewrite(name, predicate, _update)
 
     # --- schema evolution (A15) + maintenance --------------------------------
@@ -491,19 +512,31 @@ class Engine:
         expired versions). Only files under data/ are considered — node
         and def files belong to the version-expiry path."""
         from olympia_spark.catalog import locations as loc
+        from olympia_spark.catalog.defs import from_json
         referenced: set[str] = set()
-        latest = self.catalog.tree.load_latest_root()
-        for root in self.catalog.tree.list_roots(latest):
+
+        def collect(root) -> None:
             for _k, def_path in self.catalog.tree.traverse(root):
                 if not def_path.startswith(loc.TABLE_DEF_DIR):
                     continue
                 try:
-                    from olympia_spark.catalog.defs import from_json
                     tdef = from_json(self.catalog.storage.read(def_path))
                 except Exception:  # noqa: BLE001 — expired def file
                     continue
                 if isinstance(tdef, TableDef):
                     referenced.update(tdef.file_paths())
+
+        latest = self.catalog.tree.load_latest_root()
+        for root in self.catalog.tree.list_roots(latest):
+            collect(root)
+        # saved-but-uncommitted distributed transactions reference files
+        # no version root knows about yet — they are NOT orphans
+        for txn_id in self.catalog.list_dist_transactions():
+            try:
+                dtxn = self.catalog.load_dist_transaction(txn_id)
+                collect(dtxn.running_root)
+            except Exception:  # noqa: BLE001 — corrupt/expired handle
+                continue
         removed = []
         root_dir = os.path.join(self.catalog.storage.root, _DATA_DIR)
         for dirpath, _dirs, names in os.walk(root_dir):
@@ -602,8 +635,10 @@ class Engine:
                 r"(\w+)\.(\w+)\s+TIMESTAMP AS OF '([^']+)'", out, re.I)):
             ns, tbl, ts = m.group(1), m.group(2), m.group(3)
             import datetime as _dt
-            millis = int(_dt.datetime.fromisoformat(ts)
-                         .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+            parsed = _dt.datetime.fromisoformat(ts)
+            if parsed.tzinfo is None:       # naive timestamps mean UTC;
+                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+            millis = int(parsed.timestamp() * 1000)  # aware offsets honored
             snap = self.catalog.before_timestamp(millis)
             alias = f"olympia__tt__{ns}__{tbl}__t{millis}"
             self.read_table(f"{ns}.{tbl}", snap).createOrReplaceTempView(alias)
@@ -702,7 +737,8 @@ class Engine:
         (reference: CREATE DATABASE sys.dtxns.dtxn_x, docs/spark.md:110-142)."""
         if self.current_txn is None:
             self.begin()
-        return self.catalog.save_dist_transaction(self.current_txn)
+        self.catalog.save_dist_transaction(self.current_txn)
+        return self.current_txn.id
 
     def resume_dist(self, txn_id: str) -> None:
         self.current_txn = self.catalog.load_dist_transaction(txn_id)
@@ -794,11 +830,14 @@ class Engine:
                      r"\s*(?:AS (SELECT .+))?$",
                      norm, re.I | re.S)
         if m and norm.upper().startswith("CREATE TABLE"):
-            _, name, cols, part, ctas = m.groups()
+            if_not_exists, name, cols, part, ctas = m.groups()
             ns, tbl = self._split(name)
             partition_by = ([c.strip() for c in part.split(",")]
                             if part else [])
             txn = self._txn()
+            if if_not_exists and self.catalog.table_exists(txn, ns, tbl):
+                self._finish(txn)
+                return ok()
             if ctas:
                 df = spark.sql(self._resolve_sql(ctas, txn))
                 self.catalog.create_table(txn, ns, tbl, TableDef(
