@@ -52,9 +52,36 @@ def entry(spark: SparkSession) -> DataFrame:
         return registry.QUERIES["b10_q1_agg"](spark, "/root/testdata/sf0.001")
 
 
+# Driver-gate ordering: round 1's correctness run recorded entries for only
+# the first 50 registered queries — whatever the cutoff (count or time), put
+# the queries with no hard signal yet (or changed since) FIRST, cheapest
+# first within each tier, so a repeat cutoff drops only queries already
+# proven green in CORRECTNESS_r01.json.
+_PRIORITY = [
+    # changed this round (oracle dtype / list-column fixes) — all sub-second
+    "b24_conditional", "b25b_explode_collect", "b27b_from_json",
+    "dedup_exact", "text_token_count",
+    # no driver entry in round 1 — cheap map/agg ones first
+    "text_langid", "text_fingerprint", "text_redact", "data_profile",
+    "text_rolling_hash", "mm_metadata_scan", "udf_pandas_tiered",
+    "udf_mapinpandas_tokens", "mm_frame_sample",
+    # no driver entry in round 1 — heavier fixed cost
+    "b28_insert_append", "b29_delete_where", "b30_update_set",
+    "mm_feature_extract", "udf_grouped_custstats",
+    "b32_stream_tumbling_window", "b32_stream_sliding_window",
+    "b32_stream_session_window", "b32_stream_catalog_ingest",
+]
+
+
+def _ordered(names) -> list[str]:
+    rank = {n: i for i, n in enumerate(_PRIORITY)}
+    return sorted(names, key=lambda n: (rank.get(n, len(_PRIORITY)),))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    return {n: registry.QUERIES[n] for n in _ordered(registry.QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(registry.ORACLE_SQL)
+    return {n: registry.ORACLE_SQL[n]
+            for n in _ordered(registry.QUERIES) if n in registry.ORACLE_SQL}

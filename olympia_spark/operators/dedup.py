@@ -140,8 +140,8 @@ def _with_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
 
 @query("dedup_exact", oracle="""
 SELECT COUNT(*) AS n_kept,
-       SUM(keep_id) AS kept_id_sum,
-       SUM(n_copies) - COUNT(*) AS n_removed
+       CAST(SUM(keep_id) AS BIGINT) AS kept_id_sum,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_removed
 FROM (SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text))
 """)
@@ -198,12 +198,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # materialize-the-signature-table step of any LSH pipeline.
     sh = _shingles_df(spark, sf).withColumn(
         "h32", F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))).cache()
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(_PERMS)], "pid INT, a LONG, b LONG")
-    sigs = (sh.crossJoin(F.broadcast(perms))
-            .groupBy("doc_id", "pid")
-            .agg(F.min((F.col("a") * F.col("h32") + F.col("b"))
-                       % F.lit(_MINHASH_P)).alias("mh")).cache())
+    # All 16 signature values as min-aggregates in ONE groupBy(doc_id)
+    # pass: the shuffle moves |shingles| rows exactly once (a
+    # crossJoin-with-permutations formulation amplifies shuffle volume by
+    # the signature width — 16× — for the same result). The per-permutation
+    # band rows are exploded AFTER aggregation, on the constant-size
+    # signature table.
+    sig_wide = sh.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(_MINHASH_P))
+         .alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)])
+    sigs = (sig_wide.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("pid"), F.col(f"mh{i}").alias("mh"))
+            for i in range(len(_PERMS))])).alias("b"))
+        .select("doc_id", F.col("b.pid").alias("pid"), F.col("b.mh").alias("mh"))
+        .cache())
     cand = (sigs.alias("x")
             .join(sigs.alias("y"), ["pid", "mh"])
             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -300,6 +311,8 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- near-dup clustering (connected components) -----------------------------
 
+_CLUSTER_MAX_ITERS = 20
+
 @query("dedup_cluster", oracle=f"""
 WITH RECURSIVE pairs AS ({_jaccard_oracle(0.6).replace('ORDER BY d1, d2', '')}),
 nodes AS (SELECT DISTINCT d FROM
@@ -333,21 +346,33 @@ def dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .select("node", F.col("node").alias("lbl"))
               .localCheckpoint())
-    for _ in range(20):                      # diameter bound; tiny in practice
+    converged = False
+    for _ in range(_CLUSTER_MAX_ITERS):      # diameter bound; tiny in practice
         neighbor_min = (edges.join(labels, edges.a == labels.node)
                         .groupBy(F.col("b").alias("node2"))
                         .agg(F.min("lbl").alias("nl")))
+        # carry the changed flag through the checkpoint so convergence is a
+        # cheap filter-count over materialized rows, not an extra join
         new_labels = (labels.join(neighbor_min,
                                   labels.node == neighbor_min.node2, "left")
-                      .select("node", F.least(
-                          "lbl", F.coalesce("nl", "lbl")).alias("lbl"))
+                      .select("node",
+                              F.least("lbl", F.coalesce("nl", "lbl"))
+                               .alias("lbl"),
+                              (F.coalesce("nl", F.col("lbl"))
+                               < F.col("lbl")).alias("chg"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent cap would return wrong clusters for any component whose
+        # diameter exceeds the bound — fail loudly instead
+        raise RuntimeError(
+            f"dedup_cluster: label propagation did not converge within "
+            f"{_CLUSTER_MAX_ITERS} iterations (component diameter too "
+            f"large); raise _CLUSTER_MAX_ITERS")
     return (labels.groupBy(F.col("lbl").alias("rep"))
             .agg(F.count("*").alias("n_members"))
             .orderBy("rep"))

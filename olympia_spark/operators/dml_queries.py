@@ -24,17 +24,31 @@ from olympia_spark.operators.registry import dsum, query
 from olympia_spark.tables import load
 
 
-def _engine_with_events(spark: SparkSession, sf: str):
+# One scratch Engine per (session, sf) shared by B28-B30 — each query seeds
+# its OWN table (DML mutates it) but the warehouse, namespace, and catalog
+# are set up once, so the driver gate pays the fixed cost once, not thrice.
+_DML_ENGINES: dict[tuple[int, str], object] = {}
+
+
+def _engine_with_events(spark: SparkSession, sf: str, tbl: str):
     from olympia_spark.engine import Engine
-    eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_dml_"))
-    eng.sql("CREATE NAMESPACE ns1")
-    eng.write_table(load(spark, sf, "events"), "ns1.events")
+    key = (id(spark), sf)
+    eng = _DML_ENGINES.get(key)
+    if eng is None:
+        eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_dml_"))
+        eng.sql("CREATE NAMESPACE ns1")
+        _DML_ENGINES[key] = eng
+    txn = eng.catalog.begin()
+    if eng.catalog.table_exists(txn, "ns1", tbl):
+        eng.sql(f"DROP TABLE ns1.{tbl}")     # re-entry: reset mutated state
+    eng.write_table(load(spark, sf, "events"), f"ns1.{tbl}")
     return eng
 
 
-_CHECKSUM = ("SELECT COUNT(*) AS n_rows, "
-             + dsum("value", "value_sum")
-             + " FROM ns1.events")
+def _checksum(tbl: str) -> str:
+    return ("SELECT COUNT(*) AS n_rows, "
+            + dsum("value", "value_sum")
+            + f" FROM ns1.{tbl}")
 
 
 @query("b28_insert_append", oracle=f"""
@@ -46,12 +60,12 @@ FROM (SELECT value FROM events
 def b28_insert(spark: SparkSession, sf: str) -> DataFrame:
     """B28 — INSERT appends parquet files atomically via TABLE_INSERT:
     the count reflects old+new rows only after the catalog commit."""
-    eng = _engine_with_events(spark, sf)
-    eng.sql("INSERT INTO ns1.events "
+    eng = _engine_with_events(spark, sf, "events_ins")
+    eng.sql("INSERT INTO ns1.events_ins "
             "SELECT event_id + 1000000 AS event_id, ts, user_id, event_type, "
             "value + 1000 AS value, props "
-            "FROM ns1.events WHERE event_type = 'click'")
-    return eng.sql(_CHECKSUM)
+            "FROM ns1.events_ins WHERE event_type = 'click'")
+    return eng.sql(_checksum("events_ins"))
 
 
 @query("b29_delete_where", oracle=f"""
@@ -63,9 +77,9 @@ def b29_delete(spark: SparkSession, sf: str) -> DataFrame:
     """B29 — DELETE WHERE as copy-on-write rewrite of affected files
     (stats-pruned candidates → input_file_name match → rewrite minus
     matching rows; TABLE_DELETE action)."""
-    eng = _engine_with_events(spark, sf)
-    eng.sql("DELETE FROM ns1.events WHERE event_type = 'error'")
-    return eng.sql(_CHECKSUM)
+    eng = _engine_with_events(spark, sf, "events_del")
+    eng.sql("DELETE FROM ns1.events_del WHERE event_type = 'error'")
+    return eng.sql(_checksum("events_del"))
 
 
 @query("b30_update_set", oracle=f"""
@@ -77,7 +91,7 @@ FROM events
 def b30_update(spark: SparkSession, sf: str) -> DataFrame:
     """B30 — UPDATE SET as copy-on-write rewrite carrying added+removed
     file lists (TABLE_UPDATE, proto/actions.proto:82-87)."""
-    eng = _engine_with_events(spark, sf)
-    eng.sql("UPDATE ns1.events SET value = value * 2 "
+    eng = _engine_with_events(spark, sf, "events_upd")
+    eng.sql("UPDATE ns1.events_upd SET value = value * 2 "
             "WHERE event_type = 'click'")
-    return eng.sql(_CHECKSUM)
+    return eng.sql(_checksum("events_upd"))

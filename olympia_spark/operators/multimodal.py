@@ -89,9 +89,9 @@ def _extract_features(batches):
 @query("mm_feature_extract", oracle="""
 SELECT source,
        COUNT(*) AS n_media,
-       SUM(strlen(text)) AS total_bytes,
-       SUM(list_aggregate(list_transform(string_split(text, ''),
-                                         c -> ascii(c)), 'sum')) AS byte_sum
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(list_aggregate(list_transform(string_split(text, ''),
+                                  c -> ascii(c)), 'sum')) AS BIGINT) AS byte_sum
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -115,7 +115,7 @@ def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("mm_metadata_scan", oracle="""
 SELECT COUNT(*) AS n_media,
-       SUM(strlen(text)) AS total_bytes,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
        COUNT(*) FILTER (WHERE strlen(text) >= 300) AS n_large
 FROM documents
 """)

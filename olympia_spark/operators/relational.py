@@ -535,7 +535,7 @@ def b23(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("b24_conditional", oracle="""
 SELECT o_orderstatus,
-       SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+       CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
        COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_not_urgent,
        COALESCE(MIN(NULLIF(o_orderstatus, o_orderstatus)), 'none') AS coalesced
 FROM orders GROUP BY o_orderstatus
@@ -569,13 +569,17 @@ def b25(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query("b25b_explode_collect", oracle="""
-SELECT n_regionkey, list_sort(list(n_name)) AS names
+SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names
 FROM nation GROUP BY n_regionkey
 """)
 def b25b(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_list + sort_array, projected to a delimited string on both
+    sides (a raw ARRAY column is unhashable for the driver's pandas-based
+    canonicalizer)."""
     n = load(spark, sf, "nation")
     return (n.groupBy("n_regionkey")
-            .agg(F.sort_array(F.collect_list("n_name")).alias("names")))
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name")))
+                 .alias("names")))
 
 
 # --- B26 struct / map functions --------------------------------------------------------------------
@@ -608,7 +612,8 @@ def b27(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query("b27b_from_json", oracle="""
-SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """)
 def b27b(spark: SparkSession, sf: str) -> DataFrame:

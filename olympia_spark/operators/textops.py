@@ -38,9 +38,9 @@ def _words(col):
 @query("text_token_count", oracle=r"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS ws_tokens,
-       SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -181,9 +181,10 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 @query("text_redact", oracle=r"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN regexp_replace(text, '[0-9]+', '<NUM>', 'g') <> text
-                THEN 1 ELSE 0 END) AS n_redacted,
-       SUM(strlen(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))) AS red_len
+       CAST(SUM(CASE WHEN regexp_replace(text, '[0-9]+', '<NUM>', 'g') <> text
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+       CAST(SUM(strlen(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))) AS BIGINT)
+           AS red_len
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -236,7 +237,7 @@ def data_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("text_rolling_hash", oracle="""
 SELECT doc_id,
-       SUM(ascii(c) * CAST(POWER(31, i % 5) AS BIGINT)) AS fp
+       CAST(SUM(ascii(c) * CAST(POWER(31, i % 5) AS BIGINT)) AS BIGINT) AS fp
 FROM (SELECT doc_id,
              unnest(string_split(text, '')) AS c,
              generate_subscripts(string_split(text, ''), 1) AS i

@@ -46,7 +46,7 @@ def _price_tier(total: pd.Series) -> pd.Series:
 
 
 @query("udf_pandas_tiered", oracle="""
-SELECT tier, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+SELECT tier, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM (SELECT o_orderkey,
              CASE WHEN o_totalprice <= 50000 THEN 'low'
                   WHEN o_totalprice <= 150000 THEN 'mid'
@@ -85,7 +85,7 @@ def _cust_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @query("udf_grouped_custstats", oracle="""
 SELECT COUNT(*) AS n_cust,
-       SUM(n_orders) AS total_orders,
+       CAST(SUM(n_orders) AS BIGINT) AS total_orders,
        CAST(SUM(CAST(price_span AS DECIMAL(25,6))) AS DOUBLE) AS span_sum
 FROM (SELECT o_custkey, COUNT(*) AS n_orders,
              MAX(o_totalprice) - MIN(o_totalprice) AS price_span
@@ -120,7 +120,7 @@ def _py_token_count(batches):
 
 
 @query("udf_mapinpandas_tokens", oracle="""
-SELECT SUM(len(string_split(text, ' '))) AS total_tokens,
+SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs
 FROM documents
 """)
