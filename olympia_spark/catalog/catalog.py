@@ -322,9 +322,17 @@ class Catalog:
             def_path = loc.new_table_def_path(ns, tbl)
             self.storage.write_atomic(def_path, to_json(cur))
             self.tree.set_value(t.running_root, key, def_path)
-            return Action(action_type, key, payload or {
+            act_payload = dict(payload) if payload is not None else {
                 "added": [f.path for f in add_files],
-                "removed": sorted(removed)})
+                "removed": sorted(removed)}
+            # full file entries (stats included) so a resumed dist-txn
+            # replay can restore them — path-only replay would lose the
+            # stats that drive DML file pruning and $files reporting
+            act_payload.setdefault("added_files", [{
+                "path": f.path, "num_rows": f.num_rows,
+                "size_bytes": f.size_bytes, "stats": f.stats,
+            } for f in add_files])
+            return Action(action_type, key, act_payload)
         txn.apply(op)
 
     def drop_table(self, txn: Transaction, ns: str, tbl: str) -> None:
@@ -544,10 +552,20 @@ class Catalog:
                     raise ObjectNotFoundError(key)
                 cur: TableDef = from_json(self.storage.read(cur_path))
                 have = {f.path for f in cur.data_files}
-                cur.data_files += [DataFile(path=p) for p in
-                                   action.def_payload["added"]
-                                   if p not in have]
-                def_path_new = loc.new_table_def_path("replay", "t")
+                full = {e["path"]: e for e in
+                        action.def_payload.get("added_files", [])}
+                cur.data_files += [
+                    DataFile(path=p,
+                             num_rows=full.get(p, {}).get("num_rows", -1),
+                             size_bytes=full.get(p, {}).get("size_bytes", -1),
+                             stats=full.get(p, {}).get("stats", {}))
+                    for p in action.def_payload["added"] if p not in have]
+                # derive ns/table from the padded object key so the new def
+                # lands under the table's own name, not a fixed placeholder
+                ns, tbl = loc.parse_table_key(
+                    key, self.catalog_def.namespace_name_max_size_bytes,
+                    self.catalog_def.table_name_max_size_bytes)
+                def_path_new = loc.new_table_def_path(ns, tbl)
                 self.storage.write_atomic(def_path_new, to_json(cur))
                 self.tree.set_value(t.running_root, key, def_path_new)
                 return action

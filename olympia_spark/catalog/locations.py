@@ -133,6 +133,13 @@ def table_key(namespace: str, table: str, ns_max: int, tbl_max: int) -> str:
     return TABLE_TYPE_ID + _pad(namespace, ns_max) + _pad(table, tbl_max)
 
 
+def parse_table_key(key: str, ns_max: int, tbl_max: int) -> tuple[str, str]:
+    """Inverse of :func:`table_key` — recover (namespace, table) from a
+    padded tree key (used by dist-txn payload replay)."""
+    body = key[len(TABLE_TYPE_ID):]
+    return body[:ns_max].rstrip(), body[ns_max:ns_max + tbl_max].rstrip()
+
+
 def view_key(namespace: str, view: str, ns_max: int, view_max: int) -> str:
     validate_object_name(namespace, ns_max, "namespace")
     validate_object_name(view, view_max, "view")

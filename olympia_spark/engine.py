@@ -55,16 +55,25 @@ _DATA_DIR = "data"
 # statement gate — same normalization as the reference parser
 # (trim, strip trailing ';', collapse whitespace, case-insensitive)
 _BEGIN_RE = re.compile(r"^BEGIN(\s+TRANSACTION)?$", re.I)
+# A whole-conjunct simple comparison for stats pruning: column op literal,
+# where the literal is a complete quoted string (escaped-quote aware) or a
+# complete signed number (decimal / scientific).
+_SIMPLE_CMP_RE = re.compile(
+    r"^\s*(\w+)\s*(=|<=|>=|<|>)\s*"
+    r"('(?:[^']|'')*'|[+-]?(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][+-]?\d+)?)\s*$")
 _COMMIT_RE = re.compile(r"^COMMIT(\s+TRANSACTION)?$", re.I)
 _ROLLBACK_RE = re.compile(r"^ROLLBACK(\s+TRANSACTION)?$", re.I)
 
 
 def _normalize(sql: str) -> str:
     """Trim, strip trailing ';', collapse whitespace — but NEVER inside
-    single-quoted string literals (captured statement fragments like
-    INSERT payloads and DML predicates are executed from the normalized
-    text, so literal whitespace must survive)."""
-    parts = re.split(r"('(?:[^']|'')*')", sql.strip().rstrip(";").strip())
+    string literals (captured statement fragments like INSERT payloads and
+    DML predicates are executed from the normalized text, so literal
+    whitespace must survive). Both single-quoted and double-quoted literals
+    are protected (double quotes are Spark string literals when ANSI
+    double-quoted identifiers are off — the default)."""
+    parts = re.split(r"('(?:[^']|'')*'|\"[^\"]*\")",
+                     sql.strip().rstrip(";").strip())
     return "".join(p if i % 2 else re.sub(r"\s+", " ", p)
                    for i, p in enumerate(parts))
 
@@ -312,8 +321,18 @@ class Engine:
         files that DO contain matches — silent DML corruption)."""
         if re.search(r"\b(OR|NOT|CASE)\b", predicate, re.I):
             return [f.path for f in tdef.data_files]
-        comparisons = re.findall(
-            r"(\w+)\s*(=|<=|>=|<|>)\s*('[^']*'|[\d.]+)", predicate)
+        # Split on AND and keep ONLY conjuncts that are in their entirety a
+        # simple `col op literal` comparison with an exactly-parsed literal
+        # (escaped quotes, scientific notation, sign). Anything else — a
+        # mis-split string literal containing AND, IS NULL, BETWEEN, function
+        # calls, an unrecognized literal form — contributes no pruning:
+        # partially-parsed literals ('O''Brien' read as 'O', 1e5 read as 1)
+        # would prune files that DO contain matching rows.
+        comparisons = []
+        for conj in re.split(r"\bAND\b", predicate, flags=re.I):
+            m = _SIMPLE_CMP_RE.match(conj)
+            if m:
+                comparisons.append(m.groups())
         out = []
         for f in tdef.data_files:
             keep = True
@@ -321,8 +340,11 @@ class Engine:
                 if col not in f.stats:
                     continue
                 mn, mx = f.stats[col]
-                val: object = lit.strip("'") if lit.startswith("'") else (
-                    float(lit) if "." in lit else int(lit))
+                if lit.startswith("'"):
+                    val: object = lit[1:-1].replace("''", "'")
+                else:
+                    val = (float(lit) if ("." in lit or "e" in lit.lower())
+                           else int(lit))
                 try:
                     if op == "=" and not (mn <= val <= mx):
                         keep = False
@@ -490,16 +512,27 @@ class Engine:
         for v in range(cutoff, latest + 1):
             root = self.catalog.tree.load_root(loc.root_node_path(v))
             keep_nodes.update(self.catalog.tree.reachable_node_paths(root))
+        # Collect the union of reachable nodes over ALL expired roots BEFORE
+        # deleting anything: expired roots can share interior nodes, and a
+        # delete-as-you-walk order would delete a shared node while a later
+        # expired root still needs to walk through it (crashing mid-expiry
+        # with vn/oldest never advanced).
         removed = []
+        expired_roots: list[str] = []
+        expired_nodes: set[str] = set()
         for v in range(cutoff):
             path = loc.root_node_path(v)
             if not self.catalog.storage.exists(path):
                 continue
             root = self.catalog.tree.load_root(path)
-            for node_path in self.catalog.tree.reachable_node_paths(root):
-                if node_path not in keep_nodes and node_path != path:
-                    self.catalog.storage.delete(node_path)
-                    removed.append(node_path)
+            expired_nodes.update(
+                p for p in self.catalog.tree.reachable_node_paths(root)
+                if p != path)
+            expired_roots.append(path)
+        for node_path in sorted(expired_nodes - keep_nodes):
+            self.catalog.storage.delete(node_path)
+            removed.append(node_path)
+        for path in expired_roots:
             self.catalog.storage.delete(path)
             removed.append(path)
         self.catalog.storage.overwrite(loc.OLDEST_HINT_PATH,
@@ -582,16 +615,44 @@ class Engine:
             raise ValueError(f"expected ns.table, got {name!r}")
         return parts[0], parts[1]
 
+    @staticmethod
+    def _map_nonliteral(sql: str, fn) -> str:
+        """Apply ``fn`` to the segments of ``sql`` OUTSIDE single-quoted
+        string literals (escaped-quote aware) — alias substitution and
+        identifier scanning must never touch literal text ('ns1.t' the
+        string is data, not a reference)."""
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        return "".join(p if i % 2 else fn(p) for i, p in enumerate(parts))
+
+    @staticmethod
+    def _literal_spans(sql: str) -> list[tuple[int, int]]:
+        return [m.span() for m in re.finditer(r"'(?:[^']|'')*'", sql)]
+
+    def _candidate_idents(self, sql: str) -> list[tuple[str, str]]:
+        """Dotted identifiers appearing outside string literals — the
+        candidates for catalog point-lookups. O(statement length), NOT
+        O(catalog size): with millions of objects each lookup is a tree
+        descent (A19), never an enumeration."""
+        found: list[tuple[str, str]] = []
+
+        def scan(seg: str) -> str:
+            for m in re.finditer(r"`?\b(\w+)\b`?\.`?\b(\w+)\b`?", seg):
+                pair = (m.group(1), m.group(2))
+                if pair not in found:
+                    found.append(pair)
+            return seg
+
+        self._map_nonliteral(sql, scan)
+        return found
+
     def _referenced_tables(self, sql: str, txn: Transaction):
-        """All catalog tables/views whose `ns.name` appears in the SQL."""
+        """Catalog tables/views whose `ns.name` appears in the SQL (outside
+        string literals) — resolved by per-candidate point-lookup."""
         refs = set()
-        for ns in self.catalog.show_namespaces(txn):
-            for tbl in self.catalog.show_tables(txn, ns):
-                if re.search(rf"\b{re.escape(ns)}\.{re.escape(tbl)}\b", sql):
-                    refs.add((ns, tbl))
-            for view in self.catalog.show_views(txn, ns):
-                if re.search(rf"\b{re.escape(ns)}\.{re.escape(view)}\b", sql):
-                    refs.add((ns, view))
+        for ns, obj in self._candidate_idents(sql):
+            if (self.catalog.table_exists(txn, ns, obj)
+                    or self.catalog.view_exists(txn, ns, obj)):
+                refs.add((ns, obj))
         return refs
 
     def _resolve_sql(self, sql: str, txn: Transaction) -> str:
@@ -602,64 +663,90 @@ class Engine:
         table reference resolve against the catalog's root chain
         (A27/A28) — catalog-level time travel, since the whole catalog is
         versioned, not just one table."""
-        out = re.sub(r"\bolympia\.", "", sql)
+        # Every rewrite below applies ONLY outside string literals: a
+        # predicate like  WHERE v = 'ns1.t'  compares against the string
+        # 'ns1.t', never against a rewritten alias.
+        out = self._map_nonliteral(sql, lambda seg: re.sub(
+            r"\bolympia\.", "", seg))
         # metadata virtual tables: ns.t$files / $history / $partitions
-        for m in list(re.finditer(r"(\w+)\.(\w+)\$(files|history|partitions)",
-                                  out)):
-            ns, tbl, kind = m.groups()
-            df = {"files": self.table_files,
-                  "history": self.table_history,
-                  "partitions": self.table_partitions}[kind](f"{ns}.{tbl}")
-            alias = f"olympia__meta__{ns}__{tbl}__{kind}"
-            df.createOrReplaceTempView(alias)
-            out = out.replace(m.group(0), alias)
+        def _meta(seg: str) -> str:
+            for m in list(re.finditer(
+                    r"(\w+)\.(\w+)\$(files|history|partitions)", seg)):
+                ns, tbl, kind = m.groups()
+                df = {"files": self.table_files,
+                      "history": self.table_history,
+                      "partitions": self.table_partitions}[kind](f"{ns}.{tbl}")
+                alias = f"olympia__meta__{ns}__{tbl}__{kind}"
+                df.createOrReplaceTempView(alias)
+                seg = seg.replace(m.group(0), alias)
+            return seg
+        out = self._map_nonliteral(out, _meta)
         # A36: objects inside a persisted distributed transaction —
         # sys.dtxns.dtxn_<id>.<ns>.<table> reads the table as seen by that
         # transaction's running tree (reference docs/spark.md:110-142,
         # IcebergToOlympia.parseTableIdentifier:80-149).
-        for m in list(re.finditer(
-                r"\bsys\.dtxns\.dtxn_([\w-]+)\.(\w+)\.(\w+)", out)):
-            txn_id, ns, tbl = m.groups()
-            dtxn = self.catalog.load_dist_transaction(txn_id)
-            alias = f"olympia__dtxn__{ns}__{tbl}"
-            self.read_table(f"{ns}.{tbl}", dtxn).createOrReplaceTempView(alias)
-            out = out.replace(m.group(0), alias)
-        for m in list(re.finditer(
-                r"(\w+)\.(\w+)\s+VERSION AS OF (\d+)", out, re.I)):
-            ns, tbl, version = m.group(1), m.group(2), int(m.group(3))
-            snap = self.catalog.at_version(version)
-            alias = f"olympia__tt__{ns}__{tbl}__v{version}"
-            self.read_table(f"{ns}.{tbl}", snap).createOrReplaceTempView(alias)
-            out = out.replace(m.group(0), alias)
-        for m in list(re.finditer(
-                r"(\w+)\.(\w+)\s+TIMESTAMP AS OF '([^']+)'", out, re.I)):
-            ns, tbl, ts = m.group(1), m.group(2), m.group(3)
-            import datetime as _dt
-            parsed = _dt.datetime.fromisoformat(ts)
-            if parsed.tzinfo is None:       # naive timestamps mean UTC;
-                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
-            millis = int(parsed.timestamp() * 1000)  # aware offsets honored
-            snap = self.catalog.before_timestamp(millis)
-            alias = f"olympia__tt__{ns}__{tbl}__t{millis}"
-            self.read_table(f"{ns}.{tbl}", snap).createOrReplaceTempView(alias)
-            out = out.replace(m.group(0), alias)
-        for ns in self.catalog.show_namespaces(txn):
-            tables = set(self.catalog.show_tables(txn, ns))
-            views = set(self.catalog.show_views(txn, ns))
-            for obj in sorted(tables | views):
-                # plain or backtick-quoted: ns.obj, `ns`.`obj`
-                pattern = (rf"`?\b{re.escape(ns)}\b`?\."
-                           rf"`?\b{re.escape(obj)}\b`?")
-                if not re.search(pattern, out):
+        def _dtxn(seg: str) -> str:
+            for m in list(re.finditer(
+                    r"\bsys\.dtxns\.dtxn_([\w-]+)\.(\w+)\.(\w+)", seg)):
+                txn_id, ns, tbl = m.groups()
+                dtxn = self.catalog.load_dist_transaction(txn_id)
+                alias = f"olympia__dtxn__{ns}__{tbl}"
+                self.read_table(f"{ns}.{tbl}", dtxn) \
+                    .createOrReplaceTempView(alias)
+                seg = seg.replace(m.group(0), alias)
+            return seg
+        out = self._map_nonliteral(out, _dtxn)
+        def _vtravel(seg: str) -> str:
+            for m in list(re.finditer(
+                    r"(\w+)\.(\w+)\s+VERSION AS OF (\d+)", seg, re.I)):
+                ns, tbl, version = m.group(1), m.group(2), int(m.group(3))
+                snap = self.catalog.at_version(version)
+                alias = f"olympia__tt__{ns}__{tbl}__v{version}"
+                self.read_table(f"{ns}.{tbl}", snap) \
+                    .createOrReplaceTempView(alias)
+                seg = seg.replace(m.group(0), alias)
+            return seg
+        out = self._map_nonliteral(out, _vtravel)
+        # TIMESTAMP AS OF spans a literal (the timestamp) — match on the
+        # full text but skip matches that START inside a string literal.
+        while True:
+            lits = self._literal_spans(out)
+            for m in re.finditer(
+                    r"(\w+)\.(\w+)\s+TIMESTAMP AS OF '([^']+)'", out, re.I):
+                if any(a <= m.start() < b for a, b in lits):
                     continue
-                alias = f"olympia__{ns}__{obj}"
-                if obj in tables:
-                    self.read_table(f"{ns}.{obj}", txn) \
-                        .createOrReplaceTempView(alias)
-                else:
-                    self.read_view(f"{ns}.{obj}", txn) \
-                        .createOrReplaceTempView(alias)
-                out = re.sub(pattern, alias, out)
+                ns, tbl, ts = m.group(1), m.group(2), m.group(3)
+                import datetime as _dt
+                parsed = _dt.datetime.fromisoformat(ts)
+                if parsed.tzinfo is None:   # naive timestamps mean UTC;
+                    parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+                millis = int(parsed.timestamp() * 1000)  # offsets honored
+                snap = self.catalog.before_timestamp(millis)
+                alias = f"olympia__tt__{ns}__{tbl}__t{millis}"
+                self.read_table(f"{ns}.{tbl}", snap) \
+                    .createOrReplaceTempView(alias)
+                out = out[:m.start()] + alias + out[m.end():]
+                break                       # re-scan: spans have shifted
+            else:
+                break
+        # Plain ns.obj references: extract candidates from the statement,
+        # then point-look each up (tree descent, A19) — O(statement), not
+        # O(catalog); see docs/format.md:24-63 for the reference cost model.
+        for ns, obj in self._candidate_idents(out):
+            is_table = self.catalog.table_exists(txn, ns, obj)
+            if not is_table and not self.catalog.view_exists(txn, ns, obj):
+                continue
+            alias = f"olympia__{ns}__{obj}"
+            if is_table:
+                self.read_table(f"{ns}.{obj}", txn) \
+                    .createOrReplaceTempView(alias)
+            else:
+                self.read_view(f"{ns}.{obj}", txn) \
+                    .createOrReplaceTempView(alias)
+            pattern = (rf"`?\b{re.escape(ns)}\b`?\."
+                       rf"`?\b{re.escape(obj)}\b`?")
+            out = self._map_nonliteral(
+                out, lambda seg, p=pattern, a=alias: re.sub(p, a, seg))
         return out
 
     # --- metadata virtual tables --------------------------------------------

@@ -104,3 +104,129 @@ def test_orphan_gc_protects_pending_dist_txn_files(engine):
 def test_s3_warehouse_rejected_loudly():
     with pytest.raises(NotImplementedError):
         Engine(None, "s3://bucket/warehouse")
+
+
+# --- round-2 ADVICE fixes ----------------------------------------------------
+
+def test_delete_escaped_quote_literal_not_mispruned(engine, spark):
+    """ADVICE r1: 'O''Brien' was regex-parsed as 'O', pruning files that DO
+    contain the value — DELETE silently skipped rows."""
+    engine.sql("CREATE TABLE ns1.esc (name STRING)")
+    df = spark.createDataFrame([("O'Brien",), ("Smith",)], "name STRING")
+    engine.write_table(df.coalesce(1), "ns1.esc")
+    engine.sql("DELETE FROM ns1.esc WHERE name = 'O''Brien'")
+    names = [r.name for r in engine.sql("SELECT name FROM ns1.esc").collect()]
+    assert names == ["Smith"]
+
+
+def test_delete_scientific_notation_not_mispruned(engine, spark):
+    """ADVICE r1: 1e5 was parsed as 1 — files with values near 100000 were
+    pruned and their matching rows silently survived the DELETE."""
+    engine.sql("CREATE TABLE ns1.sci (v DOUBLE)")
+    df = spark.createDataFrame([(50000.0,), (100000.0,), (150000.0,)],
+                               "v DOUBLE")
+    engine.write_table(df.coalesce(1), "ns1.sci")
+    engine.sql("DELETE FROM ns1.sci WHERE v = 1e5")
+    vs = sorted(r.v for r in engine.sql("SELECT v FROM ns1.sci").collect())
+    assert vs == [50000.0, 150000.0]
+
+
+def test_delete_negative_literal_not_mispruned(engine, spark):
+    """-5 was parsed as 5 by the sign-blind literal regex; an equality
+    against a negative value pruned the file containing it."""
+    engine.sql("CREATE TABLE ns1.neg (v BIGINT)")
+    df = spark.createDataFrame([(-10,), (-5,), (3,)], "v BIGINT")
+    engine.write_table(df.coalesce(1), "ns1.neg")
+    engine.sql("DELETE FROM ns1.neg WHERE v = -5")
+    vs = sorted(r.v for r in engine.sql("SELECT v FROM ns1.neg").collect())
+    assert vs == [-10, 3]
+
+
+def test_table_reference_inside_string_literal_untouched(engine, spark):
+    """ADVICE r1: _resolve_sql rewrote ns.obj occurrences inside string
+    literals, so WHERE v = 'ns1.t' compared against the alias text."""
+    engine.sql("CREATE TABLE ns1.t (v STRING)")
+    engine.sql("INSERT INTO ns1.t VALUES ('ns1.t')")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.t "
+                      "WHERE v = 'ns1.t'").first().n == 1
+
+
+def test_double_quoted_literal_whitespace_preserved(engine):
+    """ADVICE r1: _normalize collapsed whitespace inside double-quoted
+    string literals (valid Spark strings with ANSI identifiers off)."""
+    engine.sql("CREATE TABLE ns1.dq (v STRING)")
+    engine.sql('INSERT INTO ns1.dq VALUES ("a  b")')
+    assert engine.sql("SELECT v FROM ns1.dq").first().v == "a  b"
+
+
+def test_expire_versions_with_shared_nodes_multinode_tree(engine):
+    """ADVICE r1: expiry walked each expired root after deleting nodes the
+    previous root shared — crashing mid-expiry on any multi-node tree.
+    150 tables overflow one node (order 128), and consecutive versions
+    share all but the rewritten path."""
+    for i in range(150):
+        engine.sql(f"CREATE TABLE ns1.t{i:03d} (x BIGINT)")
+    removed = engine.expire_versions(keep_last=3)
+    assert removed
+    # catalog still consistent: newest version readable, all tables listed
+    txn = engine.catalog.begin()
+    assert len(engine.catalog.show_tables(txn, "ns1")) == 150
+    # expiry is idempotent / doesn't break a second pass
+    engine.expire_versions(keep_last=1)
+    txn = engine.catalog.begin()
+    assert len(engine.catalog.show_tables(txn, "ns1")) == 150
+
+
+def test_dist_txn_replay_preserves_stats_and_def_path(engine, spark):
+    """ADVICE r1: replayed TABLE_INSERT wrote the def to a 'replay/t'
+    placeholder path and dropped DataFile stats (num_rows=-1)."""
+    engine.sql("CREATE TABLE ns1.rp (x BIGINT)")
+    engine.write_table(spark.range(5).coalesce(1), "ns1.rp")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "rp")
+    assert all(f.num_rows == 5 for f in tdef.data_files)
+    # simulate a resumed dist txn whose action replays from payload
+    from olympia_spark.catalog.actions import Action, ActionType
+    action = Action(ActionType.TABLE_INSERT,
+                    engine.catalog._tbl_key("ns1", "rp"),
+                    {"added": [f.path for f in tdef.data_files],
+                     "added_files": [{"path": f.path, "num_rows": f.num_rows,
+                                      "size_bytes": f.size_bytes,
+                                      "stats": f.stats}
+                                     for f in tdef.data_files]})
+    replay = engine.catalog._payload_replay_op(action)
+    txn2 = engine.catalog.begin()
+    # empty the table def first so the replay actually re-adds the files
+    engine.catalog.update_table_files(
+        txn2, "ns1", "rp", [], [f.path for f in tdef.data_files],
+        ActionType.TABLE_DELETE, {"added": [], "removed": []})
+    txn2.apply(replay)
+    engine.catalog.commit(txn2)
+    txn3 = engine.catalog.begin()
+    after = engine.catalog.describe_table(txn3, "ns1", "rp")
+    assert {f.path for f in after.data_files} == \
+        {f.path for f in tdef.data_files}
+    assert all(f.num_rows == 5 and f.stats for f in after.data_files)
+    cur_path = engine.catalog.tree.search(
+        engine.catalog.tree.load_latest_root(),
+        engine.catalog._tbl_key("ns1", "rp"))
+    assert "-ns1-rp" in cur_path and "replay" not in cur_path
+
+
+def test_sql_resolution_is_point_lookup_not_enumeration(engine, monkeypatch):
+    """VERDICT r1 'what's wrong #6': SELECT resolution must not enumerate
+    the catalog (O(catalog) per statement); it point-looks-up candidate
+    identifiers extracted from the statement text."""
+    engine.sql("CREATE TABLE ns1.pt (x BIGINT)")
+    engine.sql("INSERT INTO ns1.pt VALUES (1)")
+
+    def boom(*a, **k):
+        raise AssertionError("catalog enumeration during SQL resolution")
+
+    monkeypatch.setattr(engine.catalog, "show_namespaces", boom)
+    monkeypatch.setattr(engine.catalog, "show_tables", boom)
+    monkeypatch.setattr(engine.catalog, "show_views", boom)
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.pt").first().n == 1
+    engine.sql("UPDATE ns1.pt SET x = 2")
+    engine.sql("DELETE FROM ns1.pt WHERE x = 99")
+    assert engine.sql("SELECT x FROM ns1.pt").first().x == 2
