@@ -39,7 +39,9 @@ class Catalog:
         self.storage = storage
         self.catalog_def = catalog_def
         self.catalog_def_path = catalog_def_path
-        self.tree = Tree(storage, order=catalog_def.order)
+        self.tree = Tree(
+            storage, order=catalog_def.order,
+            node_file_max_size_bytes=catalog_def.node_file_max_size_bytes)
 
     # --- lifecycle (A1, A2) -------------------------------------------------
 

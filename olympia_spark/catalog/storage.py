@@ -126,11 +126,13 @@ class S3Storage(Storage):
     """
 
     def __init__(self, bucket: str, prefix: str, client=None):
-        try:
-            import boto3  # noqa: PLC0415 — optional dependency
-        except ImportError as e:  # pragma: no cover - environment-dependent
-            raise ImportError("S3Storage requires boto3") from e
-        self._s3 = client or boto3.client("s3")
+        if client is None:
+            try:
+                import boto3  # noqa: PLC0415 — optional dependency
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError("S3Storage requires boto3") from e
+            client = boto3.client("s3")
+        self._s3 = client
         self.bucket = bucket
         self.root = prefix.strip("/")
 

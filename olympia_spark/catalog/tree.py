@@ -90,9 +90,11 @@ class RootNode(Node):
 class Tree:
     """Tree operations bound to one storage (reference TreeOperations)."""
 
-    def __init__(self, storage: Storage, order: int = 128):
+    def __init__(self, storage: Storage, order: int = 128,
+                 node_file_max_size_bytes: int = 1024 * 1024):
         self.storage = storage
         self.order = order
+        self.node_file_max_size_bytes = node_file_max_size_bytes
 
     # --- node file I/O ------------------------------------------------------
 
@@ -319,6 +321,24 @@ class Tree:
                 hi = mid - 1
         return floor, False
 
+    def _estimated_node_bytes(self, node: Node) -> int:
+        """Conservative serialized-size estimate (Arrow IPC adds per-row
+        offsets/validity + fixed header; 64 B/row + 2 KiB covers it)."""
+        size = 2048
+        for e in node.entries:
+            size += (len(e.key or "") + len(e.value or "")
+                     + len(e.child_path or "") + 64)
+        if isinstance(node, RootNode):
+            for k, v in node.actions:
+                size += len(k or "") + len(v or "") + 64
+        return size
+
+    def _overflows(self, node: Node) -> bool:
+        if len(node.entries) > self.order - 1:
+            return True
+        return (len(node.entries) > 1 and self._estimated_node_bytes(node)
+                > self.node_file_max_size_bytes)
+
     def search(self, root: Node, key: str) -> str | None:
         """Root-to-leaf descent (TreeOperations.java:553-567). Returns the
         value, or None if absent or tombstoned."""
@@ -355,8 +375,12 @@ class Tree:
         node.dirty = True
         for parent, _ in path:
             parent.dirty = True
-        # split overflowing nodes bottom-up (TreeOperations.java:763-829)
-        while len(node.entries) > self.order - 1:
+        # split overflowing nodes bottom-up (TreeOperations.java:763-829):
+        # overflow is EITHER too many keys (> order-1) OR a serialized size
+        # past node_file_max_size_bytes (ObjectDefinitions.java:43,
+        # proto/objects.proto:46) — order alone lets 127 large values blow
+        # the format's 1 MiB node-file contract
+        while self._overflows(node):
             mid = len(node.entries) // 2
             mid_entry = node.entries[mid]
             right = Node(dirty=True,

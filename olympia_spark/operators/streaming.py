@@ -175,6 +175,34 @@ def b32_session(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("user_id", "session_start"))
 
 
+def catalog_ingest_sink(eng):
+    """foreachBatch sink: append the micro-batch's files and CAS-commit
+    TABLE_INSERT with the batch id recorded in the table properties — the
+    idempotency marker that makes replays after a restart exactly-once
+    (plus Spark's own checkpoint)."""
+    from olympia_spark.catalog.actions import ActionType
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"stream_batch_{batch_id}"
+        # Idempotency check BEFORE opening the commit transaction: a
+        # replayed batch must not leave a dangling begun-but-unfinished
+        # txn behind (harmless in-memory, but the dist-txn variant would
+        # persist it).
+        probe = eng.catalog.begin()
+        if marker in eng.catalog.describe_table(
+                probe, "stream", "events").properties:
+            return                          # replayed batch — exactly-once
+        txn = eng.catalog.begin()
+        files = eng._write_files(batch_df, "stream", "events")
+        eng.catalog.update_table_files(
+            txn, "stream", "events", files, [], ActionType.TABLE_INSERT,
+            {"added": [f.path for f in files], "batch_id": batch_id},
+            extra_properties={marker: "committed"})
+        eng.catalog.commit(txn)
+
+    return sink
+
+
 @query("b32_stream_catalog_ingest", oracle=f"""
 SELECT COUNT(*) AS n_rows, {dsum('value', 'value_sum')},
        COUNT(DISTINCT event_id) AS n_ids
@@ -185,29 +213,13 @@ def b32_catalog_ingest(spark: SparkSession, sf: str) -> DataFrame:
     micro-batch through the engine (one TABLE_INSERT CAS commit per
     batch, batch id recorded in table properties for idempotent replays).
     The final catalog table must equal the source exactly."""
-    from olympia_spark.catalog.actions import ActionType
     from olympia_spark.engine import Engine
 
     stream, _ = _staged_events_stream(spark, sf)
     eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_stream_wh_"))
     eng.sql("CREATE NAMESPACE stream")
     eng.create_table("stream.events", load(spark, sf, "events").schema)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"stream_batch_{batch_id}"
-        # Idempotency check BEFORE opening the commit transaction: a
-        # replayed batch must not leave a dangling begun txn behind
-        # (harmless in-memory, but the dist-txn variant would persist it).
-        probe = eng.catalog.begin()
-        if marker in eng.catalog.describe_table(probe, "stream", "events").properties:
-            return                          # replayed batch — exactly-once
-        txn = eng.catalog.begin()
-        files = eng._write_files(batch_df, "stream", "events")
-        eng.catalog.update_table_files(
-            txn, "stream", "events", files, [], ActionType.TABLE_INSERT,
-            {"added": [f.path for f in files], "batch_id": batch_id},
-            extra_properties={marker: "committed"})
-        eng.catalog.commit(txn)
+    sink = catalog_ingest_sink(eng)
 
     q = (stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation",

@@ -176,3 +176,59 @@ def test_tree_matches_dict_model(tmp_path_factory, ops):
     tree.write_root(root, 0)
     loaded = tree.load_root(loc.root_node_path(0))
     assert dict(tree.traverse(loaded)) == model
+
+
+# --- node_file_max_size_bytes enforcement (ObjectDefinitions.java:43) --------
+
+def test_size_budget_splits_nodes_with_large_values(tmp_path):
+    """127 large values fit the order bound but blow the 1 MiB node-file
+    contract; the tree must split on serialized size so EVERY node file
+    stays within budget."""
+    import os
+    budget = 1024 * 1024
+    tree = Tree(LocalStorage(str(tmp_path)), order=128,
+                node_file_max_size_bytes=budget)
+    root = _fresh_root()
+    big = "v" * 20_000                       # 20 KB values
+    for i in range(120):
+        tree.set_value(root, f"key{i:04d}", f"{big}-{i}")
+    tree.write_root(root, 0)
+    node_files = [os.path.join(r, f) for r, _d, fs in os.walk(tmp_path)
+                  for f in fs if f.endswith(".arrow")]
+    assert len(node_files) > 1               # size forced a split
+    for p in node_files:
+        assert os.path.getsize(p) <= budget, p
+    # contents survive the multi-node layout
+    loaded = tree.load_root(loc.root_node_path(0))
+    for i in range(120):
+        assert tree.search(loaded, f"key{i:04d}") == f"{big}-{i}"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.text(st.characters(min_codepoint=97,
+                                                max_codepoint=122),
+                                  min_size=1, max_size=8),
+                          st.integers(min_value=100, max_value=30_000)),
+                min_size=1, max_size=40))
+def test_size_budget_property(tmp_path_factory, kvs):
+    """Random keys with random-size values: every written node file is
+    within budget and the tree equals the dict model."""
+    import os
+    budget = 64 * 1024                       # small budget → frequent splits
+    tmp = tmp_path_factory.mktemp("szprop")
+    tree = Tree(LocalStorage(str(tmp)), order=16,
+                node_file_max_size_bytes=budget)
+    root = _fresh_root()
+    model = {}
+    for k, vlen in kvs:
+        v = k * (vlen // max(len(k), 1) + 1)
+        model[k] = v
+        tree.set_value(root, k, v)
+    tree.write_root(root, 0)
+    for r, _d, fs in os.walk(tmp):
+        for f in fs:
+            if f.endswith(".arrow"):
+                assert os.path.getsize(os.path.join(r, f)) <= budget
+    loaded = tree.load_root(loc.root_node_path(0))
+    assert dict(tree.traverse(loaded)) == model
