@@ -264,3 +264,77 @@ def text_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
                  .alias("fp"))
             .orderBy("doc_id")
             .limit(100))
+
+
+@query("data_profile_quantiles", oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q25,
+       percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS q50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q75
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""")
+def data_profile_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile profiling with percentile_disc parity: the discrete
+    quantile is the ACTUAL element at rank ceil(p·n) — no interpolation
+    arithmetic, so the result is hash-exact across engines (an
+    interpolated quantile would depend on each engine's FP expression
+    order). One shuffle on the group key; rank via a window inside each
+    group — the same shape at any scale. At 100 TB one would swap in
+    approx_percentile for a single-pass sketch; this operator is the exact
+    auditing variant."""
+    from pyspark.sql import Window
+    e = load(spark, sf, "events").filter("value IS NOT NULL")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"))
+
+    def disc(p: float, alias: str):
+        return F.min(F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")),
+            F.col("value"))).alias(alias)
+
+    return (ranked.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 disc(0.25, "q25"), disc(0.50, "q50"), disc(0.75, "q75"))
+            .orderBy("event_type"))
+
+
+@query("text_url_extract", oracle="""
+SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1))
+           AS n_paths,
+       MIN(regexp_extract(url, '\\?([^#]*)', 1)) AS min_query
+FROM (SELECT 'https://' || source || '.example.com/docs/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents)
+GROUP BY 1
+ORDER BY 1
+""")
+def text_url_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """URL/host extraction (the web-corpus bucketing primitive): parse
+    host/path/query with Spark's parse_url — JVM-side, codegen-friendly —
+    and aggregate per host. The oracle re-derives the same parts with
+    regexes. The fixture text carries no URLs, so the URL column is
+    constructed canonically from row fields; the operator under test is
+    the extraction, which at 100 TB runs as a map over the scan."""
+    d = load(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/docs/"), F.col("doc_id"),
+                   F.lit("?lang="), F.col("lang"))
+    u = d.select(url.alias("url"))
+    return (u.select(F.parse_url("url", F.lit("HOST")).alias("host"),
+                     F.parse_url("url", F.lit("PATH")).alias("path"),
+                     F.parse_url("url", F.lit("QUERY")).alias("q"))
+            .groupBy("host")
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct("path").alias("n_paths"),
+                 F.min("q").alias("min_query"))
+            .orderBy("host"))
