@@ -54,6 +54,7 @@ HEADLINE = [
     # engine paths: pandas-UDF boundary, copy-on-write DML, streaming ingest
     "udf_pandas_tiered",
     "b29_delete_where",
+    "b33_merge_upsert",
     "b32_stream_catalog_ingest",
 ]
 

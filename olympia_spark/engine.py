@@ -404,6 +404,93 @@ class Engine:
         self._finish(txn)
         return n_before
 
+    def merge(self, name: str, source: DataFrame, on: str,
+              target_alias: str = "t", source_alias: str = "s",
+              matched_update: dict[str, str] | None = None,
+              matched_delete: bool = False,
+              not_matched_insert: dict[str, str] | None = None) -> int:
+        """MERGE INTO: copy-on-write upsert. Only files containing matched
+        target rows are rewritten (update/delete applied to the matched
+        rows, others carried through); not-matched source rows append as
+        new files; untouched files keep their entries. One TABLE_UPDATE
+        commit carries the whole merge atomically.
+
+        ``on``/expression strings reference ``target_alias``/``source_alias``
+        columns. A target row with multiple source matches follows SQL
+        semantics loosely (each match contributes); callers wanting strict
+        MERGE cardinality errors should enforce source uniqueness upstream.
+        """
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        schema = tdef.spark_schema()
+        cols = [f.name for f in schema.fields]
+        self._record_select(txn, ns, tbl, cols, on)
+        all_paths = tdef.file_paths()
+        src = source.alias(source_alias)
+        n_changed = 0
+        new_files: list[DataFile] = []
+        removed: list[str] = []
+        if all_paths and (matched_update or matched_delete):
+            scan = (self._scan(tdef, all_paths)
+                    .withColumn("_file", F.input_file_name()))
+            matched_abs = [r[0] for r in
+                           (scan.alias(target_alias)
+                            .join(src, F.expr(on), "left_semi")
+                            .select("_file").distinct().collect())]
+            matched = [p for p in all_paths
+                       if any(m.endswith(self._abs(p)) or
+                              self._abs(p).endswith(m.removeprefix("file://"))
+                              for m in matched_abs)]
+            if matched:
+                affected = self._scan(tdef, matched).alias(target_alias)
+                marker = f"_{source_alias}_matched"
+                joined = affected.join(
+                    src.withColumn(marker, F.lit(1)), F.expr(on), "left")
+                is_matched = F.col(marker).isNotNull()
+                if matched_delete:
+                    rewritten = joined.filter(~is_matched) \
+                        .select(*[F.col(f"{target_alias}.{c}").alias(c)
+                                  for c in cols])
+                else:
+                    rewritten = joined.select(*[
+                        (F.when(is_matched, F.expr(matched_update[c]))
+                         .otherwise(F.col(f"{target_alias}.{c}"))
+                         .cast(schema[c].dataType).alias(c))
+                        if c in (matched_update or {})
+                        else F.col(f"{target_alias}.{c}").alias(c)
+                        for c in cols])
+                n_changed += self._scan(tdef, matched).alias(target_alias) \
+                    .join(src, F.expr(on), "left_semi").count()
+                rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
+                rewritten.write.mode("error").parquet(self._abs(rel_dir))
+                new_files += self._collect_stats(rel_dir)
+                removed += matched
+        if not_matched_insert:
+            target_full = self._scan(tdef, all_paths).alias(target_alias)
+            inserts = (src.join(target_full, F.expr(on), "left_anti")
+                       .select(*[F.expr(not_matched_insert[c])
+                                 .cast(schema[c].dataType).alias(c)
+                                 if c in not_matched_insert
+                                 else F.lit(None).cast(schema[c].dataType)
+                                 .alias(c)
+                                 for c in cols]))
+            rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
+            inserts.write.mode("error").parquet(self._abs(rel_dir))
+            ins_files = [f for f in self._collect_stats(rel_dir)
+                         if f.num_rows > 0]     # skip empty part files
+            n_changed += sum(f.num_rows for f in ins_files)
+            new_files += ins_files
+        if not new_files and not removed:
+            self._finish(txn)
+            return 0
+        self.catalog.update_table_files(
+            txn, ns, tbl, new_files, removed, ActionType.TABLE_UPDATE,
+            {"added": [f.path for f in new_files], "removed": removed,
+             "expression": f"MERGE ON {on}"})
+        self._finish(txn)
+        return n_changed
+
     def delete_from(self, name: str, predicate: str) -> int:
         """B29 — DELETE WHERE: rewrite affected files minus matching rows
         (TABLE_DELETE action, proto/actions.proto:89-92)."""
@@ -984,6 +1071,43 @@ class Engine:
                                    if kind.upper() == "OVERWRITE"
                                    else "append"))
             return ok()
+        m = re.match(
+            r"MERGE INTO (\S+\.\S+)(?:\s+AS)?\s+(\w+)\s+USING\s+(.+?)"
+            r"(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s+(WHEN\s+.+)$",
+            norm, re.I | re.S)
+        if m:
+            name, t_alias, src_text, s_alias, on, whens = m.groups()
+            txn_src = self._txn()
+            src_text = src_text.strip()
+            if src_text.startswith("("):
+                src_df = spark.sql(self._resolve_sql(src_text[1:-1], txn_src))
+            else:
+                src_df = spark.sql(self._resolve_sql(
+                    f"SELECT * FROM {src_text}", txn_src))
+            upd = re.search(r"WHEN MATCHED THEN UPDATE SET (.+?)"
+                            r"(?=\s+WHEN\s+|$)", whens, re.I | re.S)
+            dele = re.search(r"WHEN MATCHED THEN DELETE", whens, re.I)
+            ins = re.search(r"WHEN NOT MATCHED THEN INSERT\s*\((.+?)\)\s*"
+                            r"VALUES\s*\((.+?)\)\s*(?=WHEN\s+|$)",
+                            whens, re.I | re.S)
+            assignments = None
+            if upd:
+                assignments = {}
+                for part in re.split(r",(?![^()]*\))", upd.group(1)):
+                    col, _, expr = part.partition("=")
+                    assignments[col.strip()] = expr.strip()
+            insert_map = None
+            if ins:
+                ins_cols = [c.strip() for c in ins.group(1).split(",")]
+                ins_vals = re.split(r",(?![^()]*\))", ins.group(2))
+                insert_map = {c: v.strip()
+                              for c, v in zip(ins_cols, ins_vals)}
+            n = self.merge(name, src_df, on,
+                           target_alias=t_alias, source_alias=s_alias,
+                           matched_update=assignments,
+                           matched_delete=bool(dele) and not upd,
+                           not_matched_insert=insert_map)
+            return spark.createDataFrame([(n,)], "affected_files_rows long")
         m = re.match(r"DELETE FROM (\S+\.\S+)(?: WHERE (.+))?$",
                      norm, re.I | re.S)
         if m:

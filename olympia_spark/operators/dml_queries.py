@@ -95,3 +95,37 @@ def b30_update(spark: SparkSession, sf: str) -> DataFrame:
     eng.sql("UPDATE ns1.events_upd SET value = value * 2 "
             "WHERE event_type = 'click'")
     return eng.sql(_checksum("events_upd"))
+
+
+@query("b33_merge_upsert", oracle=f"""
+SELECT COUNT(*) AS n_rows, {dsum(
+    "CASE WHEN event_type = 'click' THEN value + 100 ELSE value END",
+    'value_sum')}
+FROM (SELECT event_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id + 5000000 AS event_id, 'merged' AS event_type,
+             1.5 AS value
+      FROM events WHERE event_type = 'purchase')
+""")
+def b33_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """B33 — MERGE INTO (upsert): matched rows update copy-on-write (only
+    files containing matches rewrite), not-matched source rows append as
+    new files, one atomic TABLE_UPDATE commit. The source is a mix of
+    existing keys (clicks → value bump) and fresh keys (purchase-derived
+    ids far outside the existing range → inserts)."""
+    eng = _engine_with_events(spark, sf, "events_mrg")
+    eng.sql("""
+        MERGE INTO ns1.events_mrg t
+        USING (SELECT event_id,
+                      CASE WHEN event_type = 'purchase'
+                           THEN event_id + 5000000 ELSE event_id
+                      END AS merge_id,
+                      event_type, value
+               FROM ns1.events_mrg
+               WHERE event_type IN ('click', 'purchase')) s
+        ON t.event_id = s.merge_id
+        WHEN MATCHED THEN UPDATE SET value = t.value + 100
+        WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+        VALUES (s.merge_id, 'merged', 1.5)
+    """)
+    return eng.sql(_checksum("events_mrg"))

@@ -251,3 +251,40 @@ def test_stream_sink_replayed_batch_no_double_commit_no_dangling_txn(
     sink(events, 1)                          # a NEW batch still commits
     assert engine.sql("SELECT COUNT(*) AS n FROM stream.events").first().n \
         == 20
+
+
+def test_merge_rewrites_only_matched_files(engine, spark):
+    """MERGE copy-on-write selectivity: a file with no matched rows keeps
+    its original entry; matched files are replaced; inserts append."""
+    engine.sql("CREATE TABLE ns1.m (id BIGINT, v BIGINT)")
+    engine.write_table(spark.range(0, 10).selectExpr("id", "id AS v")
+                       .coalesce(1), "ns1.m")
+    engine.write_table(spark.range(100, 110).selectExpr("id", "id AS v")
+                       .coalesce(1), "ns1.m")
+    txn = engine.catalog.begin()
+    before = {f.path for f in
+              engine.catalog.describe_table(txn, "ns1", "m").data_files}
+    src = spark.createDataFrame([(5, 50), (200, 2000)], "id BIGINT, v BIGINT")
+    n = engine.merge("ns1.m", src, "t.id = s.id",
+                     matched_update={"v": "s.v"},
+                     not_matched_insert={"id": "s.id", "v": "s.v"})
+    assert n == 2                            # 1 update + 1 insert
+    txn = engine.catalog.begin()
+    after = {f.path for f in
+             engine.catalog.describe_table(txn, "ns1", "m").data_files}
+    untouched = before & after
+    assert len(untouched) == 1               # the 100..110 file survived
+    rows = {(r.id, r.v) for r in engine.sql(
+        "SELECT id, v FROM ns1.m").collect()}
+    assert (5, 50) in rows and (200, 2000) in rows and (5, 5) not in rows
+    assert len(rows) == 21
+
+
+def test_merge_matched_delete(engine, spark):
+    engine.sql("CREATE TABLE ns1.md (id BIGINT)")
+    engine.write_table(spark.range(0, 10).coalesce(1), "ns1.md")
+    src = spark.createDataFrame([(2,), (4,), (99,)], "id BIGINT")
+    engine.sql("MERGE INTO ns1.md t USING (SELECT id FROM ns1.md WHERE "
+               "id IN (2, 4)) s ON t.id = s.id WHEN MATCHED THEN DELETE")
+    ids = sorted(r.id for r in engine.sql("SELECT id FROM ns1.md").collect())
+    assert ids == [0, 1, 3, 5, 6, 7, 8, 9]
