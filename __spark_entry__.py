@@ -72,6 +72,7 @@ _PRIORITY = [
     "mm_feature_extract", "udf_grouped_custstats",
     "b32_stream_tumbling_window", "b32_stream_sliding_window",
     "b32_stream_session_window", "b32_stream_catalog_ingest",
+    "b32_stream_stateful_counter",
 ]
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from olympia_spark.engine import Engine
 
 
@@ -288,3 +290,22 @@ def test_merge_matched_delete(engine, spark):
                "id IN (2, 4)) s ON t.id = s.id WHEN MATCHED THEN DELETE")
     ids = sorted(r.id for r in engine.sql("SELECT id FROM ns1.md").collect())
     assert ids == [0, 1, 3, 5, 6, 7, 8, 9]
+
+
+def test_stateful_streaming_counter_equals_batch(spark):
+    """b32_stream_stateful_counter (applyInPandasWithState) must equal the
+    batch groupBy over the same fixture — state accumulates correctly
+    across micro-batches."""
+    from olympia_spark.operators import load_all_modules, registry
+    from olympia_spark.tables import load
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    got = {(r.user_id, r.n_events, round(r.value_sum, 2)) for r in
+           registry.QUERIES["b32_stream_stateful_counter"](spark, sf)
+           .collect()}
+    exp = {(r.user_id, r.n, round(r.s, 2)) for r in
+           load(spark, sf, "events")
+           .groupBy("user_id")
+           .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+           .collect()}
+    assert got == exp
