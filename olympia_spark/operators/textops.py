@@ -338,3 +338,60 @@ def text_url_extract(spark: SparkSession, sf: str) -> DataFrame:
                  F.countDistinct("path").alias("n_paths"),
                  F.min("q").alias("min_query"))
             .orderBy("host"))
+
+
+@query("data_split_stratified", oracle="""
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM (SELECT source, n_chars,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents)
+GROUP BY source, split
+ORDER BY source, split
+""")
+def data_split_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified train/eval split: the split of a document
+    is a pure function of its id (md5 prefix mod 10 → 80/20), so the
+    assignment is stable across runs, engines, and repartitions — the
+    property a reproducible training pipeline needs (a rand()-based split
+    is neither portable nor replayable). Map-only over the scan."""
+    d = load(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("long") % 10
+    split = F.when(bucket < 8, "train").otherwise("eval")
+    return (d.select("source", "n_chars", split.alias("split"))
+            .groupBy("source", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("chars"))
+            .orderBy("source", "split"))
+
+
+@query("data_sample_per_key", oracle="""
+SELECT source, COUNT(*) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM (SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+      FROM documents)
+WHERE rn <= 5
+GROUP BY source
+ORDER BY source
+""")
+def data_sample_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-key sampling (k docs per source): rank by a hash
+    of the id inside each group and keep the first k — the distributed
+    replacement for reservoir sampling when reproducibility matters.
+    One shuffle on the group key; the rank window streams each group."""
+    from pyspark.sql import Window
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+            .filter("rn <= 5")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum"))
+            .orderBy("source"))
