@@ -434,10 +434,13 @@ class Engine:
         if all_paths and (matched_update or matched_delete):
             scan = (self._scan(tdef, all_paths)
                     .withColumn("_file", F.input_file_name()))
-            matched_abs = [r[0] for r in
-                           (scan.alias(target_alias)
-                            .join(src, F.expr(on), "left_semi")
-                            .select("_file").distinct().collect())]
+            # one job: matched files AND matched-row count per file (the
+            # semi join emits each matching target row once)
+            per_file = (scan.alias(target_alias)
+                        .join(src, F.expr(on), "left_semi")
+                        .groupBy("_file").count().collect())
+            matched_abs = [r["_file"] for r in per_file]
+            n_changed += sum(r["count"] for r in per_file)
             matched = [p for p in all_paths
                        if any(m.endswith(self._abs(p)) or
                               self._abs(p).endswith(m.removeprefix("file://"))
@@ -460,8 +463,6 @@ class Engine:
                         if c in (matched_update or {})
                         else F.col(f"{target_alias}.{c}").alias(c)
                         for c in cols])
-                n_changed += self._scan(tdef, matched).alias(target_alias) \
-                    .join(src, F.expr(on), "left_semi").count()
                 rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
                 rewritten.write.mode("error").parquet(self._abs(rel_dir))
                 new_files += self._collect_stats(rel_dir)
@@ -1025,6 +1026,17 @@ class Engine:
                 schema = T.StructType.fromDDL(cols)
                 self.catalog.create_table(txn, ns, tbl, TableDef(
                     schema_json=schema.json(), partition_by=partition_by))
+            self._finish(txn)
+            return ok()
+        m = re.match(r"TRUNCATE TABLE (\S+\.\S+)$", norm, re.I)
+        if m:
+            ns, tbl = self._split(m.group(1))
+            txn = self._txn()
+            tdef = self.catalog.describe_table(txn, ns, tbl)
+            self.catalog.update_table_files(
+                txn, ns, tbl, [], tdef.file_paths(), ActionType.TABLE_DELETE,
+                {"added": [], "removed": tdef.file_paths(),
+                 "expression": "true"})
             self._finish(txn)
             return ok()
         m = re.match(r"DROP TABLE( IF EXISTS)? (\S+\.\S+)$", norm, re.I)

@@ -309,3 +309,16 @@ def test_stateful_streaming_counter_equals_batch(spark):
            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
            .collect()}
     assert got == exp
+
+
+def test_truncate_table(engine, spark):
+    engine.sql("CREATE TABLE ns1.tr (id BIGINT)")
+    engine.write_table(spark.range(0, 10).coalesce(1), "ns1.tr")
+    engine.sql("TRUNCATE TABLE ns1.tr")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.tr").first().n == 0
+    engine.sql("INSERT INTO ns1.tr VALUES (7)")     # table still writable
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.tr").first().n == 1
+    # truncation is a versioned commit — time travel still sees old rows
+    v = engine.catalog.tree.find_latest_version() - 2
+    assert engine.sql(
+        f"SELECT COUNT(*) AS n FROM ns1.tr VERSION AS OF {v}").first().n == 10
