@@ -622,3 +622,88 @@ def b27b(spark: SparkSession, sf: str) -> DataFrame:
     return (e.select("event_type", parsed.alias("p"))
             .groupBy("event_type")
             .agg(F.sum(F.col("p.k")).alias("sum_k")))
+
+
+# --- B34 as-of join ---------------------------------------------------------
+
+@query("b34_asof_join", oracle="""
+WITH r AS (SELECT o_custkey, o_orderdate,
+                  MAX(o_orderkey) AS o_ref
+           FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.user_id,
+       COUNT(*) AS n_events,
+       COUNT(r.o_ref) AS n_matched,
+       CAST(COALESCE(MAX(r.o_ref), 0) AS BIGINT) AS max_ref
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+GROUP BY e.user_id
+ORDER BY e.user_id
+""")
+def b34_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (the time-series point-in-time lookup Spark lacks as a
+    built-in): for each event, the LATEST order of the same key with
+    o_orderdate <= ts. Implemented scale-correctly as a union + window:
+    tag rows (orders kind=0, events kind=1), sort by (key, ts, kind)
+    inside one shuffle partition per key, and carry the last non-null
+    order ref forward — one shuffle total, no range explosion, works at
+    any skew because state per key is one value. The right side is
+    pre-aggregated to one row per (key, ts) so tie-breaks are
+    deterministic in both engines. Oracle: DuckDB's native ASOF JOIN."""
+    e = load(spark, sf, "events")
+    o = (load(spark, sf, "orders")
+         .groupBy(F.col("o_custkey").alias("k"),
+                  F.col("o_orderdate").alias("ts"))
+         .agg(F.max("o_orderkey").alias("o_ref"))
+         .select("k", "ts", "o_ref",
+                 F.lit(0).alias("kind"),
+                 F.lit(None).cast("long").alias("event_id")))
+    ev = e.select(F.col("user_id").alias("k"), "ts",
+                  F.lit(None).cast("long").alias("o_ref"),
+                  F.lit(1).alias("kind"), "event_id")
+    w = (W.partitionBy("k").orderBy("ts", "kind")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tagged = o.unionByName(ev).withColumn(
+        "asof_ref", F.last("o_ref", ignorenulls=True).over(w))
+    return (tagged.filter("kind = 1")
+            .groupBy(F.col("k").alias("user_id"))
+            .agg(F.count("*").alias("n_events"),
+                 F.count("asof_ref").alias("n_matched"),
+                 F.coalesce(F.max("asof_ref"), F.lit(0)).cast("bigint")
+                  .alias("max_ref"))
+            .orderBy("user_id"))
+
+
+# --- B35 hypertable-style multi-granularity rollup --------------------------
+
+@query("b35_time_rollup", oracle=f"""
+SELECT CASE WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN 'day'
+            ELSE 'hour' END AS gran,
+       CAST(COALESCE(CASE WHEN GROUPING(date_trunc('hour', ts)) = 1
+                          THEN NULL ELSE date_trunc('hour', ts) END,
+                     date_trunc('day', ts)) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n, {dsum('value', 'value_sum')}
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts)),
+                        (date_trunc('day', ts), date_trunc('hour', ts)))
+ORDER BY gran, bucket
+""")
+def b35_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass emitting BOTH
+    hourly and daily buckets via GROUPING SETS — Spark plans a single
+    Expand + one aggregation (partial+final), which is how a 100 TB
+    time-series rollup avoids re-scanning per granularity. Output carries
+    (gran, bucket) instead of a nullable hour column — NULL timestamps
+    are NaT in pandas and crash the driver's canonicalizer."""
+    e = load(spark, sf, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    hour = F.date_trunc("hour", "ts").alias("hour")
+    gran = F.when(F.col("hour").isNull(), "day").otherwise("hour")
+    return (e.select(day, hour, "value")
+            .groupingSets([["day"], ["day", "hour"]], "day", "hour")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                  .alias("value_sum"))
+            .select(gran.alias("gran"),
+                    F.coalesce("hour", "day").alias("bucket"), "n",
+                    "value_sum")
+            .orderBy("gran", "bucket"))

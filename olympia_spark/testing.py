@@ -59,6 +59,8 @@ def _canon_value(v):
         # mismatches fail locally first.
         return f"{round(v, 6):.6f}"
     if isinstance(v, _dt.datetime):
+        if v != v:                           # pandas NaT (NaT != NaT)
+            return None
         v = v.replace(tzinfo=None)
         if v.time() == _dt.time(0, 0):
             # DuckDB DATE reaches pandas as midnight datetime64 while Spark
