@@ -322,3 +322,23 @@ def test_truncate_table(engine, spark):
     v = engine.catalog.tree.find_latest_version() - 2
     assert engine.sql(
         f"SELECT COUNT(*) AS n FROM ns1.tr VERSION AS OF {v}").first().n == 10
+
+
+def test_sql_frontend_edge_cases(engine, spark):
+    """Front-end robustness sweep: comments, quoted delimiters inside
+    string literals, subquery predicates, empty strings."""
+    engine.sql("CREATE TABLE ns1.edge (id BIGINT, name STRING)")
+    engine.sql("INSERT INTO ns1.edge VALUES (1, 'a,b'), (2, '(x)'), (3, NULL)")
+    q = engine.sql
+    assert q("SELECT COUNT(*) AS n FROM ns1.edge").first().n == 3
+    assert q("SELECT COUNT(*) AS n FROM ns1.edge -- see ns1.edge docs") \
+        .first().n == 3
+    assert q("SELECT /* ns1.edge */ COUNT(*) AS n FROM ns1.edge") \
+        .first().n == 3
+    q("DELETE FROM ns1.edge WHERE id IN (SELECT 3)")
+    assert q("SELECT COUNT(*) AS n FROM ns1.edge").first().n == 2
+    q("UPDATE ns1.edge SET name = 'k=v' WHERE id = 1")
+    assert q("SELECT name FROM ns1.edge WHERE id = 1").first().name == "k=v"
+    q("INSERT INTO ns1.edge VALUES (9, '')")
+    assert q("SELECT name FROM ns1.edge WHERE id = 9").first().name == ""
+    assert q("  SELECT COUNT(*) AS n FROM ns1.edge ;  ").first().n == 3
