@@ -61,7 +61,7 @@ _PRIORITY = [
     # new this round
     "data_profile_quantiles", "text_url_extract", "b33_merge_upsert",
     "data_split_stratified", "data_sample_per_key",
-    "b34_asof_join", "b35_time_rollup",
+    "b34_asof_join", "b35_time_rollup", "sim_quantize_int8",
     # changed this round (oracle dtype / list-column fixes) — all sub-second
     "b24_conditional", "b25b_explode_collect", "b27b_from_json",
     "dedup_exact", "text_token_count",

@@ -344,3 +344,58 @@ def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("_raw").desc(), "vec_id")
             .limit(10)
             .drop("_raw"))
+
+
+@query("sim_quantize_int8", oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(sq_err AS DECIMAL(25,12))) AS DOUBLE) AS total_sq_err,
+       CAST(SUM(n_clipped) AS BIGINT) AS n_clipped
+FROM (
+  SELECT label,
+         list_aggregate(list_transform(embedding::DOUBLE[],
+             x -> POWER(x - ROUND(GREATEST(-127, LEAST(127,
+                      x / GREATEST(list_aggregate(list_transform(
+                              embedding::DOUBLE[], v -> ABS(v)), 'max'),
+                          1e-12) * 127)))
+                  * GREATEST(list_aggregate(list_transform(
+                        embedding::DOUBLE[], v -> ABS(v)), 'max'),
+                    1e-12) / 127, 2)), 'sum') AS sq_err,
+         len(list_filter(embedding::DOUBLE[],
+             x -> ABS(x / GREATEST(list_aggregate(list_transform(
+                      embedding::DOUBLE[], v -> ABS(v)), 'max'), 1e-12)
+                      * 127) > 127)) AS n_clipped
+  FROM embeddings)
+GROUP BY label
+ORDER BY label
+""")
+def sim_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding int8 quantization (the storage-compression path a 100 TB
+    vector corpus needs: 4× smaller than float32): per-vector absmax
+    scaling to [-127, 127], with a reconstruction-error and clipping audit
+    per label. All JVM higher-order functions — transform/aggregate over
+    the array column, one narrow pass + tiny agg. The quantized column
+    itself would be written back via the engine; here the audit IS the
+    declared query so both engines recompute identical arithmetic."""
+    from pyspark.sql import functions as F
+    e = load(spark, sf, "embeddings")
+    absmax = ("GREATEST(aggregate(transform(embedding, v -> "
+              "CAST(abs(v) AS DOUBLE)), 0D, (a, v) -> "
+              "CASE WHEN v > a THEN v ELSE a END), 1e-12D)")
+    scale = f"({absmax} / 127)"
+    q = (f"ROUND(GREATEST(CAST(-127 AS DOUBLE), LEAST(CAST(127 AS DOUBLE), "
+         f"CAST(x AS DOUBLE) / {absmax} * 127)))")
+    sq_err = (f"aggregate(transform(embedding, x -> "
+              f"POWER(CAST(x AS DOUBLE) - {q} * {scale}, 2)), "
+              f"0D, (a, v) -> a + v)")
+    n_clip = (f"size(filter(embedding, x -> "
+              f"abs(CAST(x AS DOUBLE) / {absmax} * 127) > 127))")
+    return (e.select("label",
+                     F.expr(sq_err).alias("sq_err"),
+                     F.expr(n_clip).alias("n_clipped"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.sum(F.col("sq_err").cast("decimal(25,12)"))
+                  .cast("double").alias("total_sq_err"),
+                 F.sum("n_clipped").cast("bigint").alias("n_clipped"))
+            .orderBy("label"))
