@@ -52,29 +52,24 @@ def entry(spark: SparkSession) -> DataFrame:
         return registry.QUERIES["b10_q1_agg"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-gate ordering: round 1's correctness run recorded entries for only
-# the first 50 registered queries — whatever the cutoff (count or time), put
-# the queries with no hard signal yet (or changed since) FIRST, cheapest
-# first within each tier, so a repeat cutoff drops only queries already
-# proven green in CORRECTNESS_r01.json.
+# Driver-gate ordering: the driver records ~50 entries per round — rotate so
+# no query's newest driver entry is ever >1 round old. Round-3 list: (1) new
+# or changed this round, (2) the 27 queries whose latest green is round 1
+# (everything absent from CORRECTNESS_r02.json), cheapest first, (3) the
+# round-2-proven rest.
 _PRIORITY = [
-    # new this round
-    "data_profile_quantiles", "text_url_extract", "b33_merge_upsert",
-    "data_split_stratified", "data_sample_per_key",
-    "b34_asof_join", "b35_time_rollup", "sim_quantize_int8",
-    # changed this round (oracle dtype / list-column fixes) — all sub-second
-    "b24_conditional", "b25b_explode_collect", "b27b_from_json",
-    "dedup_exact", "text_token_count",
-    # no driver entry in round 1 — cheap map/agg ones first
-    "text_langid", "text_fingerprint", "text_redact", "data_profile",
-    "text_rolling_hash", "mm_metadata_scan", "udf_pandas_tiered",
-    "udf_mapinpandas_tokens", "mm_frame_sample",
-    # no driver entry in round 1 — heavier fixed cost
-    "b28_insert_append", "b29_delete_where", "b30_update_set",
-    "mm_feature_extract", "udf_grouped_custstats",
-    "b32_stream_tumbling_window", "b32_stream_sliding_window",
-    "b32_stream_session_window", "b32_stream_catalog_ingest",
-    "b32_stream_stateful_counter",
+    # new/changed this round (cache-lifecycle rewrites + new operators)
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster",
+    # r1-only green — cheap scalar/window/set-op queries first
+    "b15_running_sum", "b16_sort", "b16b_sort_nulls", "b17_topk",
+    "b18_union", "b18b_union_all", "b19_except", "b19b_intersect",
+    "b20_cte_subquery", "b21_string_fns", "b22_date_fns",
+    "b22b_date_trunc_diff", "b23_math_fns", "b25_array_fns",
+    "b26_struct_map", "b27_json", "b14b_row_number_ntile",
+    # r1-only green — similarity / dedup / text (heavier)
+    "text_quality_score", "sim_topk_bruteforce", "sim_batch_topk",
+    "sim_ann_lsh", "sim_ivf", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
 ]
 
 

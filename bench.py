@@ -124,6 +124,11 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # belt-and-braces: operators release their own caches (try/finally
+        # unpersist), but any straggler must not tax the NEXT query's
+        # storage memory — clear between timings, outside the timed window
+        del df
+        spark.catalog.clearCache()
 
     cat_ms = catalog_metrics()
     cat_ms["ann_index_build_sec"] = ann_build_sec
