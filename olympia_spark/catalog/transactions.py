@@ -163,11 +163,7 @@ def save_dist_transaction(txn: Transaction) -> str:
     root = txn.running_root
     # serialize dirty subtree + root itself to unversioned node files
     running_path = loc.new_node_path()
-    if root.leftmost is not None and root.leftmost.dirty:
-        root.leftmost_path = tree._write_subtree(root.leftmost, created)
-    for e in root.entries:
-        if e.child is not None and e.child.dirty:
-            e.child_path = tree._write_subtree(e.child, created)
+    tree.write_dirty_children(root, created)
     root.actions = [(a.object_key, a.to_json()) for a in txn.actions]
     tree.storage.write_atomic(running_path,
                               tree._serialize_rows(root, created))
@@ -195,9 +191,8 @@ def load_dist_transaction(tree: Tree, txn_id: str) -> Transaction:
     to re-apply; anything else makes a lost CAS unresolvable)."""
     d = from_json(tree.storage.read(loc.dist_txn_def_path(txn_id)))
     beginning = tree.load_root(d.beginning_root_path)
-    running_rows = tree._read_rows(d.running_root_path)
     running = RootNode(path=d.running_root_path)
-    tree._parse(running_rows, running)
+    tree._parse(tree._read_table(d.running_root_path), running)
     running.path = beginning.path   # commit targets version paths
     running.dirty = True
     running.actions = []

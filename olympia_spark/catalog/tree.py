@@ -16,6 +16,25 @@ indices 0/1/2 (reference tree/TreeOperations.java:62-69). A node file is:
    (TreeOperations.java:306-310); we persist them, which is what makes
    cross-process conflict resolution actually work.
 
+Write-memory model (reference NodeRowMerger.java:26-172,
+SliceRowIterator.java:27-220, PendingRowIterator.java): a loaded node
+does NOT materialize its rows into per-entry objects. It keeps
+
+* the persisted pivot rows as a zero-copy slice of the loaded Arrow
+  table (``Node.pivot``), with a list of live ``Slice`` ranges into it
+  (the reference's vector slices), and
+* a ``pending`` key→change map (the reference's pending TreeMap).
+
+Point lookups binary-search the Arrow keys in place
+(TreeUtil.java:43-66 over Arrow vectors); an update splits the covering
+slice around the superseded row and buffers the new value in ``pending``
+(TreeOperations.java:592-613); serialization k-way-merges the live
+slices with the sorted pending entries (NodeRowMerger's priority-queue
+merge — here a two-finger merge, since all slices come from one sorted
+table pending keys never collide with live slice keys). Memory per node
+is therefore O(changes) on top of the shared Arrow buffer, never
+O(entries) of Python objects.
+
 Copy-on-write: mutation marks the root-to-leaf path dirty; on serialize,
 every dirty node gets a fresh ``node/<uuid4>.arrow`` path and unchanged
 subtrees are referenced by their existing paths (structural sharing —
@@ -32,6 +51,7 @@ from __future__ import annotations
 import io
 import time
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 import pyarrow as pa
 import pyarrow.ipc as pa_ipc
@@ -50,12 +70,38 @@ _NODE_SCHEMA = pa.schema([
 
 @dataclass
 class Entry:
-    """One pivot-table row: key, value (def-file path or None=tombstone),
-    and the right-child pointer."""
+    """One merged pivot-table row — compatibility view (see
+    ``Node.entries``); the live representation is slices + pending."""
     key: str
     value: str | None
     child_path: str | None = None
     child: "Node | None" = None
+
+
+@dataclass
+class Slice:
+    """A live [start, stop) row range of a node's persisted pivot table —
+    the reference's vector slice (SliceRowIterator.java:27-41)."""
+    start: int
+    stop: int           # exclusive
+
+
+@dataclass
+class Pending:
+    """A buffered change for one key (reference PendingRowIterator's
+    TreeMap value): the new value (None = tombstone) and the right-child
+    pointer carried over from the superseded persisted row (or None)."""
+    value: str | None
+    child_path: str | None = None
+
+
+class _Floor(NamedTuple):
+    """Result of the merged floor search: the greatest entry ≤ key."""
+    key: str
+    value: str | None
+    child_path: str | None
+    pivot_pos: int | None   # position in Node.pivot if from a slice
+    exact: bool
 
 
 @dataclass
@@ -64,12 +110,65 @@ class Node:
     dirty: bool = False
     leftmost_path: str | None = None
     leftmost: "Node | None" = None
-    entries: list = field(default_factory=list)   # list[Entry], key-sorted
+    # persisted pivot rows (zero-copy slice of the loaded Arrow table)
+    pivot: pa.Table | None = None
+    slices: list = field(default_factory=list)      # list[Slice], ordered
+    pending: dict = field(default_factory=dict)     # key -> Pending
+    children: dict = field(default_factory=dict)    # key -> loaded Node
+
+    # --- pivot accessors (Arrow in place, no materialization) ---------------
+
+    def _pk(self, i: int) -> str:
+        return self.pivot.column(0)[i].as_py()
+
+    def _pv(self, i: int) -> str | None:
+        return self.pivot.column(1)[i].as_py()
+
+    def _pp(self, i: int) -> str | None:
+        return self.pivot.column(2)[i].as_py()
+
+    @property
+    def n_entries(self) -> int:
+        """Merged entry count: live slice rows + pending changes (pending
+        keys never collide with live slice keys — an update splits the
+        covering slice first)."""
+        return (sum(s.stop - s.start for s in self.slices)
+                + len(self.pending))
+
+    def merged_rows(self):
+        """K-way merge of live slices and sorted pending changes, in key
+        order (reference NodeRowMerger). Yields (key, value, child_path)
+        with child_path as persisted — callers needing fresh child paths
+        go through ``children``."""
+        pend = sorted(self.pending.items())
+        pi = 0
+        for sl in self.slices:
+            for i in range(sl.start, sl.stop):
+                k = self._pk(i)
+                while pi < len(pend) and pend[pi][0] < k:
+                    pk, pe = pend[pi]
+                    pi += 1
+                    yield pk, pe.value, pe.child_path
+                yield k, self._pv(i), self._pp(i)
+        while pi < len(pend):
+            pk, pe = pend[pi]
+            pi += 1
+            yield pk, pe.value, pe.child_path
+
+    @property
+    def entries(self) -> list:
+        """Materialized merged view as ``Entry`` objects — compatibility /
+        debugging surface only; the kernel never calls this."""
+        return [Entry(key=k, value=v, child_path=p,
+                      child=self.children.get(k))
+                for k, v, p in self.merged_rows()]
 
     @property
     def is_leaf(self) -> bool:
-        return self.leftmost_path is None and self.leftmost is None and all(
-            e.child_path is None and e.child is None for e in self.entries)
+        if self.leftmost_path is not None or self.leftmost is not None:
+            return False
+        return all(p is None for _k, _v, p in self.merged_rows()) and all(
+            c is None for c in self.children.values())
 
 
 @dataclass
@@ -98,23 +197,25 @@ class Tree:
 
     # --- node file I/O ------------------------------------------------------
 
-    def _read_rows(self, path: str) -> list[tuple]:
-        table = pa_ipc.open_file(io.BytesIO(self.storage.read(path))).read_all()
-        keys = table.column(0).to_pylist()
-        values = table.column(1).to_pylist()
-        pnodes = table.column(2).to_pylist()
-        return list(zip(keys, values, pnodes))
+    def _read_table(self, path: str) -> pa.Table:
+        raw = self.storage.read(path)
+        return (pa_ipc.open_file(io.BytesIO(raw)).read_all()
+                .combine_chunks())
 
-    def _parse(self, rows: list[tuple], node: Node) -> None:
-        """Split rows into system / pivot / action sections (reader protocol:
-        system rows run until the first NULL key; pivot = that row + n_keys
-        following rows; the rest are action rows)."""
+    def _parse(self, table: pa.Table, node: Node) -> None:
+        """Bind a node to its loaded Arrow table (reader protocol: system
+        rows run until the first NULL key; pivot = that row + n_keys
+        following rows; the rest are action rows). The pivot rows stay in
+        the Arrow buffer — ``node.pivot`` is a zero-copy slice."""
+        col_k, col_v = table.column(0), table.column(1)
         n_keys = 0
         data_start = None
-        for i, (k, v, _p) in enumerate(rows):
+        for i in range(table.num_rows):
+            k = col_k[i].as_py()
             if k is None:
                 data_start = i
                 break
+            v = col_v[i].as_py()
             if k == loc.NUMBER_OF_KEYS:
                 n_keys = int(v)
             elif k == loc.CREATED_AT_MILLIS and isinstance(node, RootNode):
@@ -123,32 +224,37 @@ class Tree:
                 node.catalog_def_path = v
             elif k == loc.PREVIOUS_ROOT_NODE and isinstance(node, RootNode):
                 node.previous_root_path = v
-            elif k == loc.ROLLBACK_FROM_ROOT_NODE and isinstance(node, RootNode):
+            elif k == loc.ROLLBACK_FROM_ROOT_NODE and isinstance(node,
+                                                                 RootNode):
                 node.rollback_from_root_path = v
         if data_start is None:
             return
-        null_row = rows[data_start]
-        node.leftmost_path = null_row[2]
-        for k, v, p in rows[data_start + 1:data_start + 1 + n_keys]:
-            node.entries.append(Entry(key=k, value=v, child_path=p))
+        node.leftmost_path = table.column(2)[data_start].as_py()
+        node.pivot = table.slice(data_start + 1, n_keys)
+        node.slices = [Slice(0, n_keys)] if n_keys else []
         if isinstance(node, RootNode):
-            node.actions = [(k, v) for k, v, _ in
-                            rows[data_start + 1 + n_keys:]]
+            tail = table.slice(data_start + 1 + n_keys)
+            node.actions = list(zip(tail.column(0).to_pylist(),
+                                    tail.column(1).to_pylist()))
 
     def load_root(self, path: str) -> RootNode:
         root = RootNode(path=path)
-        self._parse(self._read_rows(path), root)
+        self._parse(self._read_table(path), root)
         return root
 
     def load_node(self, path: str) -> Node:
         node = Node(path=path)
-        self._parse(self._read_rows(path), node)
+        self._parse(self._read_table(path), node)
         return node
 
     def _serialize_rows(self, node: Node, created_at: int) -> bytes:
+        """Emit system rows, then the merged pivot rows (k-way merge of
+        slices + pending), then (roots) action rows. Child pointers are
+        refreshed from the in-memory ``children`` cache so rewritten
+        subtrees land under their new copy-on-write paths."""
         rows: list[tuple] = [
             (loc.CREATED_AT_MILLIS, str(created_at), None),
-            (loc.NUMBER_OF_KEYS, str(len(node.entries)), None),
+            (loc.NUMBER_OF_KEYS, str(node.n_entries), None),
         ]
         if isinstance(node, RootNode):
             rows.append((loc.CATALOG_DEFINITION, node.catalog_def_path, None))
@@ -159,9 +265,14 @@ class Tree:
                 rows.append((loc.ROLLBACK_FROM_ROOT_NODE,
                              node.rollback_from_root_path, None))
             rows.append((loc.NUMBER_OF_ACTIONS, str(len(node.actions)), None))
-        rows.append((None, None, node.leftmost_path))
-        for e in node.entries:
-            rows.append((e.key, e.value, e.child_path))
+        leftmost_path = (node.leftmost.path if node.leftmost is not None
+                         and node.leftmost.path else node.leftmost_path)
+        rows.append((None, None, leftmost_path))
+        for k, v, p in node.merged_rows():
+            child = node.children.get(k)
+            if child is not None and child.path:
+                p = child.path
+            rows.append((k, v, p))
         if isinstance(node, RootNode):
             rows.extend((k, v, None) for k, v in node.actions)
         table = pa.table({
@@ -174,15 +285,22 @@ class Tree:
             writer.write_table(table)
         return sink.getvalue()
 
+    def write_dirty_children(self, node: Node, created_at: int) -> None:
+        """Post-order write of this node's dirty children (not the node
+        itself); their fresh paths are picked up by ``_serialize_rows``
+        through the children cache."""
+        if node.leftmost is not None and node.leftmost.dirty:
+            node.leftmost_path = self._write_subtree(node.leftmost,
+                                                     created_at)
+        for child in node.children.values():
+            if child.dirty:
+                self._write_subtree(child, created_at)
+
     def _write_subtree(self, node: Node, created_at: int) -> str:
         """Post-order write of dirty nodes; returns the node's path.
         Dirty nodes get fresh uuid paths (copy-on-write); clean subtrees
         are referenced by their existing paths untouched."""
-        if node.leftmost is not None and node.leftmost.dirty:
-            node.leftmost_path = self._write_subtree(node.leftmost, created_at)
-        for e in node.entries:
-            if e.child is not None and e.child.dirty:
-                e.child_path = self._write_subtree(e.child, created_at)
+        self.write_dirty_children(node, created_at)
         path = loc.new_node_path()
         self.storage.write_atomic(path, self._serialize_rows(node, created_at))
         node.path, node.dirty = path, False
@@ -194,11 +312,7 @@ class Tree:
         at its version path. Raises StorageAtomicSealFailureError if another
         writer committed this version first (the CAS)."""
         created_at = created_at or int(time.time() * 1000)
-        if root.leftmost is not None and root.leftmost.dirty:
-            root.leftmost_path = self._write_subtree(root.leftmost, created_at)
-        for e in root.entries:
-            if e.child is not None and e.child.dirty:
-                e.child_path = self._write_subtree(e.child, created_at)
+        self.write_dirty_children(root, created_at)
         root.created_at_millis = created_at
         path = loc.root_node_path(version)
         self.storage.write_atomic(path, self._serialize_rows(root, created_at))
@@ -291,121 +405,244 @@ class Tree:
 
     # --- search / mutate ----------------------------------------------------
 
-    def _child_at(self, node: Node, idx: int) -> Node | None:
-        """Load (and cache) the child left of entries[idx]; idx == -1 means
-        the leftmost child."""
-        if idx == -1:
+    @staticmethod
+    def _slice_floor(node: Node, key: str) -> tuple[int, bool]:
+        """Greatest LIVE persisted row ≤ key: binary search on the Arrow
+        keys in place (reference TreeUtil.java:43-66 over Arrow vectors).
+        Returns (pivot position, exact) — position -1 if every live row
+        is > key. Slices are key-ordered (disjoint ranges of one sorted
+        table), so the floor lives in the last slice whose first key ≤
+        key."""
+        best, exact = -1, False
+        for sl in node.slices:
+            if node._pk(sl.start) > key:
+                break
+            lo, hi = sl.start, sl.stop - 1
+            pos = -1
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                k = node._pk(mid)
+                if k == key:
+                    pos, exact = mid, True
+                    break
+                if k < key:
+                    pos = mid
+                    lo = mid + 1
+                else:
+                    hi = mid - 1
+            if pos >= 0:
+                best = pos
+            if exact:
+                break
+        return best, exact
+
+    @staticmethod
+    def _floor_entry(node: Node, key: str) -> _Floor | None:
+        """Merged floor: max over the slice floor and the pending floor
+        (keys are disjoint between the two by construction)."""
+        spos, sexact = Tree._slice_floor(node, key)
+        pkey = None
+        for k in node.pending:
+            if k <= key and (pkey is None or k > pkey):
+                pkey = k
+        skey = node._pk(spos) if spos >= 0 else None
+        if pkey is not None and (skey is None or pkey > skey):
+            pe = node.pending[pkey]
+            return _Floor(pkey, pe.value, pe.child_path, None, pkey == key)
+        if skey is not None:
+            return _Floor(skey, node._pv(spos), node._pp(spos), spos, sexact)
+        return None
+
+    def _child_at(self, node: Node, hit: _Floor | None) -> Node | None:
+        """Load (and cache) the child right of the floor entry; a None hit
+        means the leftmost child."""
+        if hit is None:
             if node.leftmost is None and node.leftmost_path:
                 node.leftmost = self.load_node(node.leftmost_path)
             return node.leftmost
-        e = node.entries[idx]
-        if e.child is None and e.child_path:
-            e.child = self.load_node(e.child_path)
-        return e.child
+        child = node.children.get(hit.key)
+        if child is None and hit.child_path:
+            child = self.load_node(hit.child_path)
+            node.children[hit.key] = child
+        return child
 
     @staticmethod
-    def _floor_index(node: Node, key: str) -> tuple[int, bool]:
-        """Binary search (TreeUtil.java:43-66): (index of greatest entry
-        ≤ key, exact-match flag); index -1 if key < all entries."""
-        lo, hi = 0, len(node.entries) - 1
-        floor = -1
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            k = node.entries[mid].key
-            if k == key:
-                return mid, True
-            if k < key:
-                floor = mid
-                lo = mid + 1
-            else:
-                hi = mid - 1
-        return floor, False
-
-    def _estimated_node_bytes(self, node: Node) -> int:
-        """Conservative serialized-size estimate (Arrow IPC adds per-row
-        offsets/validity + fixed header; 64 B/row + 2 KiB covers it)."""
-        size = 2048
-        for e in node.entries:
-            size += (len(e.key or "") + len(e.value or "")
-                     + len(e.child_path or "") + 64)
-        if isinstance(node, RootNode):
-            for k, v in node.actions:
-                size += len(k or "") + len(v or "") + 64
-        return size
-
-    def _overflows(self, node: Node) -> bool:
-        if len(node.entries) > self.order - 1:
-            return True
-        return (len(node.entries) > 1 and self._estimated_node_bytes(node)
-                > self.node_file_max_size_bytes)
+    def _supersede(node: Node, hit: _Floor, value: str | None) -> None:
+        """Buffer an update for an existing entry: if it lives in a slice,
+        split the slice around the superseded row and move the entry (with
+        its child pointer) into pending (TreeOperations.java:592-613)."""
+        if hit.pivot_pos is None:
+            node.pending[hit.key].value = value
+            return
+        pos = hit.pivot_pos
+        for i, sl in enumerate(node.slices):
+            if sl.start <= pos < sl.stop:
+                parts = [Slice(sl.start, pos), Slice(pos + 1, sl.stop)]
+                node.slices[i:i + 1] = [s for s in parts if s.start < s.stop]
+                break
+        node.pending[hit.key] = Pending(value=value,
+                                        child_path=hit.child_path)
 
     def search(self, root: Node, key: str) -> str | None:
         """Root-to-leaf descent (TreeOperations.java:553-567). Returns the
         value, or None if absent or tombstoned."""
         node: Node | None = root
         while node is not None:
-            idx, exact = self._floor_index(node, key)
-            if exact:
-                return node.entries[idx].value
-            node = self._child_at(node, idx)
+            hit = self._floor_entry(node, key)
+            if hit is not None and hit.exact:
+                return hit.value
+            node = self._child_at(node, hit)
         return None
 
     def set_value(self, root: Node, key: str, value: str | None) -> None:
         """Upsert (TreeOperations.java:569-631): descend to the owning
-        node, update in place or insert at the leaf, split on overflow
-        (> order-1 keys), propagating dirtiness up the path."""
-        path: list[tuple[Node, int]] = []   # (node, child index taken)
+        node, buffer the change in its pending map (splitting the covering
+        vector slice on update), split on overflow, propagating dirtiness
+        up the path."""
+        path: list[Node] = []
         node = root
         while True:
-            idx, exact = self._floor_index(node, key)
-            if exact:
-                node.entries[idx].value = value
+            hit = self._floor_entry(node, key)
+            if hit is not None and hit.exact:
+                self._supersede(node, hit, value)
                 node.dirty = True
-                for parent, _ in path:
+                for parent in path:
                     parent.dirty = True
                 return
-            child = self._child_at(node, idx)
+            child = self._child_at(node, hit)
             if child is None:
                 break
-            path.append((node, idx))
+            path.append(node)
             node = child
-        # insert into leaf
-        idx, _ = self._floor_index(node, key)
-        node.entries.insert(idx + 1, Entry(key=key, value=value))
+        # buffer the insert at the leaf
+        node.pending[key] = Pending(value=value)
         node.dirty = True
-        for parent, _ in path:
+        for parent in path:
             parent.dirty = True
-        # split overflowing nodes bottom-up (TreeOperations.java:763-829):
-        # overflow is EITHER too many keys (> order-1) OR a serialized size
-        # past node_file_max_size_bytes (ObjectDefinitions.java:43,
-        # proto/objects.proto:46) — order alone lets 127 large values blow
-        # the format's 1 MiB node-file contract
-        while self._overflows(node):
-            mid = len(node.entries) // 2
-            mid_entry = node.entries[mid]
-            right = Node(dirty=True,
-                         leftmost_path=mid_entry.child_path,
-                         leftmost=mid_entry.child,
-                         entries=node.entries[mid + 1:])
-            node.entries = node.entries[:mid]
-            node.dirty = True
-            if path:
-                parent, pidx = path.pop()
-                parent.entries.insert(
-                    pidx + 1,
-                    Entry(key=mid_entry.key, value=mid_entry.value,
-                          child=right))
-                parent.dirty = True
-                node = parent
-            else:
-                # node is the root: push both halves down a level
-                left = Node(dirty=True, leftmost_path=node.leftmost_path,
-                            leftmost=node.leftmost, entries=node.entries)
-                node.leftmost_path, node.leftmost = None, left
-                node.entries = [Entry(key=mid_entry.key, value=mid_entry.value,
-                                      child=right)]
-                node.dirty = True
+        self._resolve_overflow(node, path)
+
+    # --- splits -------------------------------------------------------------
+
+    def _estimated_node_bytes(self, node: Node) -> int:
+        """Conservative serialized-size estimate (Arrow IPC adds per-row
+        offsets/validity + fixed header; 64 B/row + 2 KiB covers it)."""
+        size = 2048
+        for k, v, p in node.merged_rows():
+            size += len(k or "") + len(v or "") + len(p or "") + 64
+        if isinstance(node, RootNode):
+            for k, v in node.actions:
+                size += len(k or "") + len(v or "") + 64
+        return size
+
+    def _overflows(self, node: Node) -> bool:
+        n = node.n_entries
+        if n > self.order - 1:
+            return True
+        return (n > 1 and self._estimated_node_bytes(node)
+                > self.node_file_max_size_bytes)
+
+    def _split_pos(self, node: Node) -> int:
+        """Index (in merge order) of the entry to promote. Count-triggered
+        splits take the middle; size-triggered splits take the first index
+        where cumulative estimated bytes crosses half the total, so both
+        halves land under the byte budget even with skewed value sizes
+        (a midpoint split of 100 × 50 KB entries would leave 2.5 MiB
+        halves violating the 1 MiB node-file contract)."""
+        n = node.n_entries
+        if n > self.order - 1:
+            return n // 2
+        sizes = [len(k or "") + len(v or "") + len(p or "") + 64
+                 for k, v, p in node.merged_rows()]
+        half = sum(sizes) / 2
+        acc = 0
+        pos = n - 1
+        for i, s in enumerate(sizes):
+            acc += s
+            if acc >= half:
+                pos = i
                 break
+        # keep the left half non-empty; the right half may only come up
+        # empty in the degenerate 2-entry-oversized case (nothing better
+        # exists: one entry must stay, one must move up)
+        return max(1, min(pos, n - 2)) if n >= 3 else 1
+
+    def _do_split(self, node: Node) -> tuple[tuple, Node]:
+        """Split in place: ``node`` keeps the entries below the promoted
+        key, the returned new right sibling takes those above it. Slices
+        are split by binary search (SliceRowIterator ranges survive in
+        both halves, still zero-copy); pending and loaded children
+        partition by key."""
+        mid_pos = self._split_pos(node)
+        mid = None
+        for i, row in enumerate(node.merged_rows()):
+            if i == mid_pos:
+                mid = row
+                break
+        mid_key, mid_value, mid_child_path = mid
+        left_slices: list[Slice] = []
+        right_slices: list[Slice] = []
+        for sl in node.slices:
+            # lower bound of mid_key in [start, stop)
+            lo, hi = sl.start, sl.stop
+            while lo < hi:
+                m = (lo + hi) // 2
+                if node._pk(m) < mid_key:
+                    lo = m + 1
+                else:
+                    hi = m
+            cut = lo
+            skip = (cut < sl.stop and node._pk(cut) == mid_key)
+            if sl.start < cut:
+                left_slices.append(Slice(sl.start, cut))
+            rstart = cut + (1 if skip else 0)
+            if rstart < sl.stop:
+                right_slices.append(Slice(rstart, sl.stop))
+        right = Node(
+            dirty=True, pivot=node.pivot, slices=right_slices,
+            pending={k: pe for k, pe in node.pending.items() if k > mid_key},
+            children={k: c for k, c in node.children.items() if k > mid_key},
+            leftmost_path=mid_child_path,
+            leftmost=node.children.get(mid_key))
+        node.slices = left_slices
+        node.pending = {k: pe for k, pe in node.pending.items()
+                        if k < mid_key}
+        node.children = {k: c for k, c in node.children.items()
+                         if k < mid_key}
+        node.dirty = True
+        return (mid_key, mid_value), right
+
+    def _resolve_overflow(self, node: Node, parents: list) -> None:
+        """Split overflowing nodes (TreeOperations.java:763-829): overflow
+        is EITHER too many keys (> order-1) OR a serialized size past
+        node_file_max_size_bytes (ObjectDefinitions.java:43) — order alone
+        lets 127 large values blow the format's 1 MiB node-file contract.
+        Both halves are re-checked after a split (a skewed half can still
+        overflow) and the parent re-checked after absorbing the promoted
+        key."""
+        if not self._overflows(node) or node.n_entries < 2:
+            return
+        (mid_key, mid_value), right = self._do_split(node)
+        if parents:
+            parent = parents[-1]
+            parent.pending[mid_key] = Pending(value=mid_value)
+            parent.children[mid_key] = right
+            parent.dirty = True
+            self._resolve_overflow(right, parents)
+            self._resolve_overflow(node, parents)
+            self._resolve_overflow(parent, parents[:-1])
+        else:
+            # node is the root: push both halves down a level
+            left = Node(dirty=True, pivot=node.pivot, slices=node.slices,
+                        pending=node.pending, children=node.children,
+                        leftmost_path=node.leftmost_path,
+                        leftmost=node.leftmost)
+            node.pivot, node.slices = None, []
+            node.pending = {mid_key: Pending(value=mid_value)}
+            node.children = {mid_key: right}
+            node.leftmost_path, node.leftmost = None, left
+            node.dirty = True
+            self._resolve_overflow(left, [node])
+            self._resolve_overflow(right, [node])
 
     def remove_key(self, root: Node, key: str) -> None:
         """Tombstone removal (TreeOperations.java:637-640 — the reference
@@ -414,15 +651,20 @@ class Tree:
 
     def traverse(self, root: Node):
         """In-order (key, value) generator over live keys
-        (TreeOperations.java:425-502), skipping tombstones."""
+        (TreeOperations.java:425-502) — a lazy k-way merge of persisted
+        slices and pending changes per node, skipping tombstones but
+        descending through tombstoned entries' children."""
         def walk(node: Node):
-            child = self._child_at(node, -1)
+            child = self._child_at(node, None)
             if child is not None:
                 yield from walk(child)
-            for i, e in enumerate(node.entries):
-                if e.value is not None:
-                    yield e.key, e.value
-                child = self._child_at(node, i)
+            for k, v, p in node.merged_rows():
+                if v is not None:
+                    yield k, v
+                child = node.children.get(k)
+                if child is None and p:
+                    child = self.load_node(p)
+                    node.children[k] = child
                 if child is not None:
                     yield from walk(child)
         yield from walk(root)
@@ -434,11 +676,14 @@ class Tree:
         def walk(node: Node):
             if node.path:
                 out.append(node.path)
-            child = self._child_at(node, -1)
+            child = self._child_at(node, None)
             if child is not None:
                 walk(child)
-            for i in range(len(node.entries)):
-                c = self._child_at(node, i)
+            for k, _v, p in node.merged_rows():
+                c = node.children.get(k)
+                if c is None and p:
+                    c = self.load_node(p)
+                    node.children[k] = c
                 if c is not None:
                     walk(c)
         walk(root)

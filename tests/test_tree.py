@@ -178,6 +178,60 @@ def test_tree_matches_dict_model(tmp_path_factory, ops):
     assert dict(tree.traverse(loaded)) == model
 
 
+# --- slice + pending write-memory model (NodeRowMerger.java:26-172) ----------
+
+def test_loaded_node_stays_zero_copy_on_update(tree):
+    """A loaded node keeps its persisted rows as Arrow slices; one update
+    buffers O(1) pending state and splits the covering slice — it must NOT
+    materialize the other entries into Python objects (the reference's
+    bounded-memory write model, SliceRowIterator.java:27-41)."""
+    root = _fresh_root()
+    for i in range(100):
+        tree.set_value(root, f"key{i:04d}", f"val{i}")
+    tree.write_root(root, 0)
+    loaded = tree.load_root(loc.root_node_path(0))
+    assert loaded.pivot is not None and loaded.pivot.num_rows == 100
+    assert [(s.start, s.stop) for s in loaded.slices] == [(0, 100)]
+    assert loaded.pending == {}
+    tree.set_value(loaded, "key0042", "changed")
+    # exactly one buffered change; the slice split around the superseded row
+    assert set(loaded.pending) == {"key0042"}
+    assert [(s.start, s.stop) for s in loaded.slices] == [(0, 42), (43, 100)]
+    assert loaded.n_entries == 100
+    assert tree.search(loaded, "key0042") == "changed"
+    assert tree.search(loaded, "key0041") == "val41"
+    # a fresh insert lands in pending without touching the slices
+    tree.set_value(loaded, "key0042b", "inserted")
+    assert len(loaded.pending) == 2
+    assert [(s.start, s.stop) for s in loaded.slices] == [(0, 42), (43, 100)]
+    merged = [k for k, _v, _p in loaded.merged_rows()]
+    assert merged == sorted(merged) and "key0042b" in merged
+
+
+def test_insert_more_than_order_keys_through_loaded_slices(tmp_path):
+    """Write > order new keys into a RELOADED tree (every node starts as
+    pure Arrow slices): splits must cut the slices correctly, zero-copy,
+    across multiple levels — then survive another persist/reload."""
+    tree = Tree(LocalStorage(str(tmp_path)), order=8)
+    root = _fresh_root()
+    for i in range(0, 60, 2):                   # evens persisted
+        tree.set_value(root, f"k{i:03d}", f"v{i}")
+    tree.write_root(root, 0)
+    loaded = tree.load_root(loc.root_node_path(0))
+    for i in range(1, 60, 2):                   # odds interleave via pending
+        tree.set_value(loaded, f"k{i:03d}", f"v{i}")
+    for i in range(60, 80):                     # and a sorted tail run
+        tree.set_value(loaded, f"k{i:03d}", f"v{i}")
+    assert [k for k, _ in tree.traverse(loaded)] == [f"k{i:03d}"
+                                                     for i in range(80)]
+    loaded.previous_root_path = loc.root_node_path(0)
+    tree.write_root(loaded, 1)
+    re = tree.load_root(loc.root_node_path(1))
+    for i in range(80):
+        assert tree.search(re, f"k{i:03d}") == f"v{i}", i
+    assert len(list(tree.traverse(re))) == 80
+
+
 # --- node_file_max_size_bytes enforcement (ObjectDefinitions.java:43) --------
 
 def test_size_budget_splits_nodes_with_large_values(tmp_path):
