@@ -47,3 +47,8 @@ class CommitConflictError(OlympiaError):
 
 class TransactionValueError(OlympiaError):
     """Invalid transaction state (expired TTL, committed twice, …)."""
+
+
+class MergeCardinalityError(OlympiaError):
+    """MERGE matched one target row to multiple source rows (SQL MERGE
+    forbids it — applying every match would duplicate the target row)."""

@@ -38,7 +38,7 @@ import os
 import re
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,7 +46,8 @@ from olympia_spark.catalog import Catalog
 from olympia_spark.catalog.actions import Action, ActionType
 from olympia_spark.catalog.catalog import DropNamespaceBehavior
 from olympia_spark.catalog.defs import DataFile, TableDef, ViewDef
-from olympia_spark.catalog.errors import (ObjectNotFoundError,
+from olympia_spark.catalog.errors import (MergeCardinalityError,
+                                          ObjectNotFoundError,
                                           TransactionValueError)
 from olympia_spark.catalog.transactions import Transaction
 
@@ -408,18 +409,39 @@ class Engine:
               target_alias: str = "t", source_alias: str = "s",
               matched_update: dict[str, str] | None = None,
               matched_delete: bool = False,
-              not_matched_insert: dict[str, str] | None = None) -> int:
+              not_matched_insert: dict[str, str] | None = None,
+              matched_clauses: list | None = None,
+              not_matched_clauses: list | None = None) -> int:
         """MERGE INTO: copy-on-write upsert. Only files containing matched
-        target rows are rewritten (update/delete applied to the matched
-        rows, others carried through); not-matched source rows append as
-        new files; untouched files keep their entries. One TABLE_UPDATE
-        commit carries the whole merge atomically.
+        target rows are rewritten (the FIRST matched clause whose condition
+        holds is applied per row, SQL clause-order semantics; rows hit by
+        no clause carry through); not-matched source rows insert via the
+        first not-matched clause whose condition holds; untouched files
+        keep their entries. One TABLE_UPDATE commit carries the whole
+        merge atomically.
 
-        ``on``/expression strings reference ``target_alias``/``source_alias``
-        columns. A target row with multiple source matches follows SQL
-        semantics loosely (each match contributes); callers wanting strict
-        MERGE cardinality errors should enforce source uniqueness upstream.
+        ``matched_clauses`` = ordered ``(condition|None, "update"|"delete",
+        assignments|None)``; ``not_matched_clauses`` = ordered
+        ``(condition|None, insert_map)``. The legacy single-clause kwargs
+        remain as sugar. ``on``/condition/expression strings reference
+        ``target_alias``/``source_alias`` columns.
+
+        A target row matched by more than one source row raises
+        MergeCardinalityError (SQL MERGE semantics — silently duplicating
+        the target row corrupts the table). The guard is folded into the
+        rewrite job itself (a window count over a per-row id feeding
+        ``raise_error``), so it costs no extra pass over the data and can
+        never drift from what is written.
         """
+        if matched_clauses is None:
+            matched_clauses = []
+            if matched_update:
+                matched_clauses.append((None, "update", matched_update))
+            if matched_delete and not matched_update:
+                matched_clauses.append((None, "delete", None))
+        if not_matched_clauses is None:
+            not_matched_clauses = ([(None, not_matched_insert)]
+                                   if not_matched_insert else [])
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
@@ -431,13 +453,20 @@ class Engine:
         n_changed = 0
         new_files: list[DataFile] = []
         removed: list[str] = []
-        if all_paths and (matched_update or matched_delete):
+        if all_paths and matched_clauses:
             scan = (self._scan(tdef, all_paths)
                     .withColumn("_file", F.input_file_name()))
+            # File pruning: when EVERY matched clause is conditional, a file
+            # only needs rewriting if some row satisfies on AND any clause
+            # condition — fold that into the semi-join predicate so fully
+            # unaffected files are never rewritten.
+            conds = [c for c, _k, _a in matched_clauses]
+            prune_pred = on if any(c is None for c in conds) else \
+                f"({on}) AND ({' OR '.join(f'({c})' for c in conds)})"
             # one job: matched files AND matched-row count per file (the
             # semi join emits each matching target row once)
             per_file = (scan.alias(target_alias)
-                        .join(src, F.expr(on), "left_semi")
+                        .join(src, F.expr(prune_pred), "left_semi")
                         .groupBy("_file").count().collect())
             matched_abs = [r["_file"] for r in per_file]
             n_changed += sum(r["count"] for r in per_file)
@@ -446,38 +475,87 @@ class Engine:
                               self._abs(p).endswith(m.removeprefix("file://"))
                               for m in matched_abs)]
             if matched:
-                affected = self._scan(tdef, matched).alias(target_alias)
+                affected = (self._scan(tdef, matched)
+                            .withColumn("_rid",
+                                        F.monotonically_increasing_id())
+                            .alias(target_alias))
                 marker = f"_{source_alias}_matched"
                 joined = affected.join(
                     src.withColumn(marker, F.lit(1)), F.expr(on), "left")
                 is_matched = F.col(marker).isNotNull()
-                if matched_delete:
-                    rewritten = joined.filter(~is_matched) \
-                        .select(*[F.col(f"{target_alias}.{c}").alias(c)
-                                  for c in cols])
-                else:
-                    rewritten = joined.select(*[
-                        (F.when(is_matched, F.expr(matched_update[c]))
-                         .otherwise(F.col(f"{target_alias}.{c}"))
-                         .cast(schema[c].dataType).alias(c))
-                        if c in (matched_update or {})
-                        else F.col(f"{target_alias}.{c}").alias(c)
-                        for c in cols])
+                n_src = F.sum(is_matched.cast("int")).over(
+                    Window.partitionBy("_rid"))
+                act = F.when(~is_matched, F.lit(-1))
+                for i, (cond, _kind, _a) in enumerate(matched_clauses):
+                    act = act.when(F.expr(cond) if cond else F.lit(True),
+                                   F.lit(i))
+                act = act.otherwise(F.lit(-1))
+                guard = F.when(n_src > 1, F.raise_error(F.concat(
+                    F.lit("MERGE_CARDINALITY: target row matched by "),
+                    n_src.cast("string"), F.lit(" source rows"))))
+                staged = joined.select(
+                    guard.otherwise(act).alias("_action"),
+                    *[F.col(f"{target_alias}.{c}").alias(f"_t_{c}")
+                      for c in cols],
+                    *[F.expr(assigns[c]).cast(schema[c].dataType)
+                      .alias(f"_u{i}_{c}")
+                      for i, (_c, kind, assigns) in
+                      enumerate(matched_clauses)
+                      if kind == "update" for c in assigns if c in cols])
+                del_idx = [i for i, (_c, kind, _a) in
+                           enumerate(matched_clauses) if kind == "delete"]
+                if del_idx:
+                    staged = staged.filter(~F.col("_action").isin(del_idx))
+                out_cols = []
+                for c in cols:
+                    e = F.col(f"_t_{c}")
+                    for i, (_cond, kind, assigns) in enumerate(
+                            matched_clauses):
+                        if kind == "update" and c in assigns:
+                            e = F.when(F.col("_action") == i,
+                                       F.col(f"_u{i}_{c}")).otherwise(e)
+                    out_cols.append(e.alias(c))
+                rewritten = staged.select(*out_cols)
                 rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-                rewritten.write.mode("error").parquet(self._abs(rel_dir))
+                writer = rewritten.write.mode("error")
+                if tdef.partition_by:
+                    writer = writer.partitionBy(*tdef.partition_by)
+                try:
+                    writer.parquet(self._abs(rel_dir))
+                except Exception as e:  # surface the folded-in guard cleanly
+                    if "MERGE_CARDINALITY" in str(e):
+                        raise MergeCardinalityError(
+                            "MERGE: a target row is matched by more than "
+                            "one source row; deduplicate the source on the "
+                            "join key") from e
+                    raise
                 new_files += self._collect_stats(rel_dir)
                 removed += matched
-        if not_matched_insert:
+        if not_matched_clauses:
             target_full = self._scan(tdef, all_paths).alias(target_alias)
-            inserts = (src.join(target_full, F.expr(on), "left_anti")
-                       .select(*[F.expr(not_matched_insert[c])
-                                 .cast(schema[c].dataType).alias(c)
-                                 if c in not_matched_insert
-                                 else F.lit(None).cast(schema[c].dataType)
-                                 .alias(c)
-                                 for c in cols]))
+            anti = src.join(target_full, F.expr(on), "left_anti")
+            iact = None
+            for i, (cond, _imap) in enumerate(not_matched_clauses):
+                c = F.expr(cond) if cond else F.lit(True)
+                iact = F.when(c, F.lit(i)) if iact is None else \
+                    iact.when(c, F.lit(i))
+            anti = (anti.withColumn("_action", iact.otherwise(F.lit(-1)))
+                    .filter(F.col("_action") >= 0))
+            ins_cols = []
+            for c in cols:
+                e = F.lit(None).cast(schema[c].dataType)
+                for i, (_cond, imap) in enumerate(not_matched_clauses):
+                    if c in imap:
+                        e = F.when(F.col("_action") == i,
+                                   F.expr(imap[c]).cast(schema[c].dataType)
+                                   ).otherwise(e)
+                ins_cols.append(e.alias(c))
+            inserts = anti.select(*ins_cols)
             rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-            inserts.write.mode("error").parquet(self._abs(rel_dir))
+            writer = inserts.write.mode("error")
+            if tdef.partition_by:
+                writer = writer.partitionBy(*tdef.partition_by)
+            writer.parquet(self._abs(rel_dir))
             ins_files = [f for f in self._collect_stats(rel_dir)
                          if f.num_rows > 0]     # skip empty part files
             n_changed += sum(f.num_rows for f in ins_files)
@@ -491,6 +569,59 @@ class Engine:
              "expression": f"MERGE ON {on}"})
         self._finish(txn)
         return n_changed
+
+    _MERGE_MATCHED_RE = re.compile(
+        r"\s*WHEN\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+        r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<dele>DELETE))\s*"
+        r"(?=WHEN\s+(?:NOT\s+)?MATCHED|\Z)", re.I | re.S)
+    _MERGE_NOT_MATCHED_RE = re.compile(
+        r"\s*WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+        r"INSERT\s*\((?P<cols>.+?)\)\s*VALUES\s*\((?P<vals>.+?)\)\s*"
+        r"(?=WHEN\s+(?:NOT\s+)?MATCHED|\Z)", re.I | re.S)
+
+    @classmethod
+    def _parse_merge_whens(cls, whens: str) -> tuple[list, list]:
+        """Parse the WHEN-clause tail of a MERGE statement into ordered
+        (matched_clauses, not_matched_clauses) for ``merge``. Every byte of
+        the clause text must be consumed by a recognized clause — a WHEN
+        variant none of the patterns cover raises instead of being silently
+        dropped (which would run the merge with different semantics, e.g.
+        insert-only)."""
+        matched: list = []
+        not_matched: list = []
+        pos, n = 0, len(whens)
+        while pos < n and whens[pos:].strip():
+            m = cls._MERGE_NOT_MATCHED_RE.match(whens, pos)
+            if m:
+                cond = m.group("cond")
+                ins_cols = [c.strip() for c in m.group("cols").split(",")]
+                ins_vals = re.split(r",(?![^()]*\))", m.group("vals"))
+                if len(ins_cols) != len(ins_vals):
+                    raise ValueError(
+                        "MERGE: INSERT column/value count mismatch")
+                not_matched.append(
+                    (cond.strip() if cond else None,
+                     {c: v.strip() for c, v in zip(ins_cols, ins_vals)}))
+                pos = m.end()
+                continue
+            m = cls._MERGE_MATCHED_RE.match(whens, pos)
+            if m:
+                cond = m.group("cond")
+                if m.group("dele"):
+                    matched.append((cond.strip() if cond else None,
+                                    "delete", None))
+                else:
+                    assignments = {}
+                    for part in re.split(r",(?![^()]*\))", m.group("sets")):
+                        col, _, expr = part.partition("=")
+                        assignments[col.strip()] = expr.strip()
+                    matched.append((cond.strip() if cond else None,
+                                    "update", assignments))
+                pos = m.end()
+                continue
+            raise ValueError(
+                f"MERGE: unsupported WHEN clause at {whens[pos:pos + 80]!r}")
+        return matched, not_matched
 
     def delete_from(self, name: str, predicate: str) -> int:
         """B29 — DELETE WHERE: rewrite affected files minus matching rows
@@ -1096,29 +1227,12 @@ class Engine:
             else:
                 src_df = spark.sql(self._resolve_sql(
                     f"SELECT * FROM {src_text}", txn_src))
-            upd = re.search(r"WHEN MATCHED THEN UPDATE SET (.+?)"
-                            r"(?=\s+WHEN\s+|$)", whens, re.I | re.S)
-            dele = re.search(r"WHEN MATCHED THEN DELETE", whens, re.I)
-            ins = re.search(r"WHEN NOT MATCHED THEN INSERT\s*\((.+?)\)\s*"
-                            r"VALUES\s*\((.+?)\)\s*(?=WHEN\s+|$)",
-                            whens, re.I | re.S)
-            assignments = None
-            if upd:
-                assignments = {}
-                for part in re.split(r",(?![^()]*\))", upd.group(1)):
-                    col, _, expr = part.partition("=")
-                    assignments[col.strip()] = expr.strip()
-            insert_map = None
-            if ins:
-                ins_cols = [c.strip() for c in ins.group(1).split(",")]
-                ins_vals = re.split(r",(?![^()]*\))", ins.group(2))
-                insert_map = {c: v.strip()
-                              for c, v in zip(ins_cols, ins_vals)}
+            matched_clauses, not_matched_clauses = \
+                self._parse_merge_whens(whens)
             n = self.merge(name, src_df, on,
                            target_alias=t_alias, source_alias=s_alias,
-                           matched_update=assignments,
-                           matched_delete=bool(dele) and not upd,
-                           not_matched_insert=insert_map)
+                           matched_clauses=matched_clauses,
+                           not_matched_clauses=not_matched_clauses)
             return spark.createDataFrame([(n,)], "affected_files_rows long")
         m = re.match(r"DELETE FROM (\S+\.\S+)(?: WHERE (.+))?$",
                      norm, re.I | re.S)

@@ -129,3 +129,37 @@ def b33_merge(spark: SparkSession, sf: str) -> DataFrame:
         VALUES (s.merge_id, 'merged', 1.5)
     """)
     return eng.sql(_checksum("events_mrg"))
+
+
+_B33B_CASE = ("CASE WHEN event_type = 'click' AND value > 50 THEN value * 2 "
+              "WHEN event_type = 'click' THEN value + 7 ELSE value END")
+
+
+@query("b33b_merge_multi", oracle=f"""
+SELECT COUNT(*) AS n_rows, {dsum(_B33B_CASE, 'value_sum')}
+FROM (SELECT event_type, value FROM events WHERE event_type <> 'error'
+      UNION ALL
+      SELECT 'multi' AS event_type, 1.25 AS value
+      FROM events WHERE event_type = 'purchase' AND value > 10)
+""")
+def b33b_merge_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """B33b — MERGE with multiple + conditional WHEN clauses (SQL
+    clause-order semantics: first matching clause wins per row). Errors
+    delete, big clicks double, other clicks bump, and only sufficiently
+    valuable purchases insert — one statement, one atomic commit."""
+    eng = _engine_with_events(spark, sf, "events_mm")
+    eng.sql("""
+        MERGE INTO ns1.events_mm t
+        USING (SELECT CASE WHEN event_type = 'purchase'
+                           THEN event_id + 5000000 ELSE event_id
+                      END AS merge_id, event_type, value
+               FROM ns1.events_mm
+               WHERE event_type IN ('click', 'error', 'purchase')) s
+        ON t.event_id = s.merge_id
+        WHEN MATCHED AND s.event_type = 'error' THEN DELETE
+        WHEN MATCHED AND s.value > 50 THEN UPDATE SET value = t.value * 2
+        WHEN MATCHED THEN UPDATE SET value = t.value + 7
+        WHEN NOT MATCHED AND s.value > 10 THEN INSERT
+            (event_id, event_type, value) VALUES (s.merge_id, 'multi', 1.25)
+    """)
+    return eng.sql(_checksum("events_mm"))

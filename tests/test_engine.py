@@ -237,3 +237,97 @@ def test_serializable_engine_read_write_conflict(engine, spark):
     engine.sql("INSERT INTO ns1.rw VALUES (2)")  # concurrent write
     with pytest.raises(CommitConflictError):
         ser.sql("COMMIT")
+
+
+# --- MERGE: multiple / conditional WHEN clauses ------------------------------
+
+def test_merge_multi_clause_conditional(engine, spark):
+    """Clause-order semantics: the FIRST matched clause whose condition
+    holds wins per row; conditional NOT MATCHED filters inserts."""
+    engine.sql("CREATE TABLE ns1.mm (id BIGINT, v BIGINT)")
+    engine.write_table(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                              "id BIGINT, v BIGINT"), "ns1.mm")
+    engine.sql("""
+        MERGE INTO ns1.mm t
+        USING (SELECT * FROM VALUES (1, 100), (2, 200), (4, -1), (5, 500)
+               AS v(id, v)) s
+        ON t.id = s.id
+        WHEN MATCHED AND s.v > 150 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+        WHEN NOT MATCHED AND s.v > 0 THEN INSERT (id, v) VALUES (s.id, s.v)
+    """)
+    rows = {(r.id, r.v) for r in engine.sql(
+        "SELECT id, v FROM ns1.mm").collect()}
+    # id=2 deleted (s.v=200>150); id=1 updated 10+100; id=3 untouched;
+    # id=4 NOT inserted (s.v=-1); id=5 inserted
+    assert rows == {(1, 110), (3, 30), (5, 500)}
+
+
+def test_merge_update_and_delete_in_one_statement(engine, spark):
+    """Round 2 silently dropped the DELETE when both WHEN MATCHED UPDATE
+    and WHEN MATCHED DELETE appeared; both must now apply in order."""
+    engine.sql("CREATE TABLE ns1.mud (id BIGINT, v BIGINT)")
+    engine.write_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "id BIGINT, v BIGINT"),
+        "ns1.mud")
+    engine.sql("""
+        MERGE INTO ns1.mud t
+        USING (SELECT * FROM VALUES (1, 0), (2, 1) AS v(id, flag)) s
+        ON t.id = s.id
+        WHEN MATCHED AND s.flag = 1 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = 99
+    """)
+    rows = {(r.id, r.v) for r in engine.sql(
+        "SELECT id, v FROM ns1.mud").collect()}
+    assert rows == {(1, 99)}
+
+
+def test_merge_unsupported_when_clause_raises(engine, spark):
+    """An unrecognized WHEN variant must be a parse error, never silently
+    dropped (dropping changes the merge's semantics)."""
+    engine.sql("CREATE TABLE ns1.mx (id BIGINT)")
+    engine.write_table(spark.range(3), "ns1.mx")
+    with pytest.raises(ValueError, match="unsupported WHEN clause"):
+        engine.sql("""
+            MERGE INTO ns1.mx t USING (SELECT 1 AS id) s ON t.id = s.id
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """)
+
+
+def test_merge_source_fanout_raises_cardinality_error(engine, spark):
+    """A target row matched by >1 source rows must raise, not silently
+    duplicate the target row (SQL MERGE cardinality rule)."""
+    from olympia_spark.catalog.errors import MergeCardinalityError
+    engine.sql("CREATE TABLE ns1.mc (id BIGINT, v BIGINT)")
+    engine.write_table(
+        spark.createDataFrame([(1, 10)], "id BIGINT, v BIGINT"), "ns1.mc")
+    dup = spark.createDataFrame([(1, 100), (1, 200)], "id BIGINT, v BIGINT")
+    with pytest.raises(MergeCardinalityError):
+        engine.merge("ns1.mc", dup, "t.id = s.id",
+                     matched_update={"v": "s.v"})
+
+
+def test_merge_partitioned_target_keeps_hive_layout(engine, spark):
+    """Merge writes (rewrites AND inserts) must honor the table's declared
+    partitioning so the new files keep partition-pruning."""
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("p", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    engine.create_table("ns1.mp", schema, partition_by=["p"])
+    engine.write_table(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], schema),
+        "ns1.mp")
+    src = spark.createDataFrame([(1, "a", 11), (3, "c", 30)], schema)
+    engine.merge("ns1.mp", src, "t.id = s.id",
+                 matched_update={"v": "s.v"},
+                 not_matched_insert={"id": "s.id", "p": "s.p", "v": "s.v"})
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "mp")
+    # every live file sits under a hive partition dir
+    assert all("/p=" in f.path for f in tdef.data_files), \
+        [f.path for f in tdef.data_files]
+    rows = {(r.id, r.p, r.v) for r in engine.sql(
+        "SELECT id, p, v FROM ns1.mp").collect()}
+    assert rows == {(1, "a", 11), (2, "b", 20), (3, "c", 30)}
