@@ -16,8 +16,6 @@ Spark job over the tracked file list.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 
 from olympia_spark.operators.registry import dsum, query
@@ -27,17 +25,19 @@ from olympia_spark.tables import load
 # One scratch Engine per (session, sf) shared by B28-B30 — each query seeds
 # its OWN table (DML mutates it) but the warehouse, namespace, and catalog
 # are set up once, so the driver gate pays the fixed cost once, not thrice.
-_DML_ENGINES: dict[tuple[int, str], object] = {}
+_DML_ENGINES: dict[tuple[str, str], object] = {}
 
 
 def _engine_with_events(spark: SparkSession, sf: str, tbl: str):
     from olympia_spark.engine import Engine
-    key = (id(spark), sf)
-    eng = _DML_ENGINES.get(key)
-    if eng is None:
-        eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_dml_"))
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_dml_"))
         eng.sql("CREATE NAMESPACE ns1")
-        _DML_ENGINES[key] = eng
+        return eng
+
+    eng = get_or_create(_DML_ENGINES, spark, sf, build)
     txn = eng.catalog.begin()
     if eng.catalog.table_exists(txn, "ns1", tbl):
         eng.sql(f"DROP TABLE ns1.{tbl}")     # re-entry: reset mutated state

@@ -145,37 +145,62 @@ def _bucket_df(spark: SparkSession, sf: str):
 # partition pruning (PartitionFilters in the plan), so a probe opens only
 # the probed partitions' files; the other 15/16 (LSH) or 8/10 (IVF) of the
 # corpus is never read.
-_ANN_ENGINES: dict[tuple[int, str], object] = {}
+_ANN_ENGINES: dict[tuple[str, str], object] = {}
 
 
 def _ann_engine(spark: SparkSession, sf: str):
     from olympia_spark.engine import Engine
-    key = (id(spark), sf)
-    eng = _ANN_ENGINES.get(key)
-    if eng is None:
-        import tempfile
-        eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_ann_"))
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_ann_"))
         eng.sql("CREATE NAMESPACE ann")
         eng.write_table(_bucket_df(spark, sf), "ann.emb_lsh",
                         partition_by=["bucket"])
         eng.write_table(_ivf_assigned_df(spark, sf), "ann.emb_ivf",
                         partition_by=["cluster_id"])
-        _ANN_ENGINES[key] = eng
-    return eng
+        return eng
+
+    return get_or_create(_ANN_ENGINES, spark, sf, build)
+
+
+def _py_dot(a, b) -> float:
+    """Driver-side dot product with the SAME left-to-right double fold as
+    the JVM `aggregate(zip_with(...))` expression (and the oracle's
+    list_dot_product): float32→double is exact and IEEE addition order is
+    identical, so sign/argmin decisions match bit-for-bit."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * y
+    return acc
+
+
+def _fetch_query_vec(spark: SparkSession, sf: str, vec_id: int = 0):
+    """ONE single-row job: pushdown point-read of the query embedding.
+    Bucket / probe-cluster derivation happens driver-side on this row —
+    the corpus DAG is never executed on the probe path."""
+    return (load(spark, sf, "embeddings")
+            .filter(f"vec_id = {vec_id}").first().embedding)
+
+
+def _lsh_bucket_of(vec) -> int:
+    return sum((1 << j) for j, h in enumerate(_HYPERPLANES)
+               if _py_dot(vec, h) > 0)
 
 
 def _lsh_probe(spark: SparkSession, sf: str):
-    """(pruned corpus scan, query DF): query bucket computed driver-side
-    (microseconds of work on one vector), then the corpus is read through
-    the catalog with a LITERAL bucket predicate — the planner turns it
-    into partition pruning, no full-corpus scan."""
+    """(pruned corpus scan, query DF): query vector fetched with one
+    point-read, its bucket computed driver-side (microseconds on one
+    vector), then the corpus is read through the catalog with a LITERAL
+    bucket predicate — the planner turns it into partition pruning, no
+    full-corpus scan and no re-execution of the bucketing DAG."""
     from pyspark.sql import functions as F
     eng = _ann_engine(spark, sf)
-    qrow = _bucket_df(spark, sf).filter("vec_id = 0").first()
+    qe = _fetch_query_vec(spark, sf)
     corpus = (eng.read_table("ann.emb_lsh")
-              .filter(F.col("bucket") == int(qrow.bucket))
+              .filter(F.col("bucket") == _lsh_bucket_of(qe))
               .filter("vec_id <> 0"))
-    q = spark.createDataFrame([(qrow.embedding,)], "qe ARRAY<FLOAT>")
+    q = spark.createDataFrame([(qe,)], "qe ARRAY<FLOAT>")
     return corpus, q
 
 
@@ -327,10 +352,13 @@ def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     data."""
     from pyspark.sql import functions as F
     eng = _ann_engine(spark, sf)
-    scored_q = _ivf_scored_df(spark, sf).filter("vec_id = 0")
-    probe_ids = [int(r.cluster_id) for r in
-                 scored_q.orderBy("dist", "cluster_id").limit(2).collect()]
-    qe = scored_q.first().embedding
+    # one point-read, then nprobe selection driver-side: dist to centroid c
+    # (up to the ||e||² constant) = ||c||² − 2⟨e,c⟩, same 6-dp-rounded ||c||²
+    # constants and fold order as the corpus assignment / oracle
+    qe = _fetch_query_vec(spark, sf)
+    dists = sorted((round(sum(x * x for x in c), 6) - 2 * _py_dot(qe, c), i)
+                   for i, c in enumerate(_CENTROIDS))
+    probe_ids = [i for _d, i in dists[:2]]
     q = spark.createDataFrame([(qe,)], "qe ARRAY<FLOAT>")
     corpus = (eng.read_table("ann.emb_ivf")
               .filter(F.col("cluster_id").isin(probe_ids))

@@ -20,12 +20,12 @@ commits one metadata CAS per batch regardless of data volume.
 from __future__ import annotations
 
 import sys
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark import cloudpickle as _cloudpickle
 
+from olympia_spark.operators._scratch import get_or_create, scratch_dir
 from olympia_spark.operators.registry import dsum, query
 from olympia_spark.tables import load
 
@@ -39,7 +39,7 @@ _QUERY_SEQ = 0
 # Staged source files are immutable once written — share one staging dir
 # across the four B32 queries (keyed per session+sf) so the driver gate
 # pays the fixture write once, not four times.
-_STAGE_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
+_STAGE_CACHE: dict[tuple[str, str], tuple[str, object]] = {}
 
 _N_STAGE_FILES = 2  # ≥2 proves multi-micro-batch increments; each extra
                     # file is a whole extra scheduling round at fixture scale
@@ -48,13 +48,14 @@ _N_STAGE_FILES = 2  # ≥2 proves multi-micro-batch increments; each extra
 def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]:
     """Stage the events fixture as parquet files (simulated arrivals)
     and open a file-source stream over them."""
-    key = (id(spark), sf)
-    if key not in _STAGE_CACHE:
-        stage_dir = tempfile.mkdtemp(prefix="olympia_stream_src_")
+    def stage():
+        stage_dir = scratch_dir("olympia_stream_src_")
         events = load(spark, sf, "events")
-        events.repartition(_N_STAGE_FILES).write.mode("overwrite").parquet(stage_dir)
-        _STAGE_CACHE[key] = (stage_dir, events.schema)
-    stage_dir, schema = _STAGE_CACHE[key]
+        events.repartition(_N_STAGE_FILES).write.mode("overwrite") \
+            .parquet(stage_dir)
+        return stage_dir, events.schema
+
+    stage_dir, schema = get_or_create(_STAGE_CACHE, spark, sf, stage)
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)      # one file per micro-batch
               .parquet(stage_dir))
@@ -79,7 +80,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
         q = (stream_df.writeStream.format("memory").queryName(name)
              .outputMode(mode)
              .option("checkpointLocation",
-                     tempfile.mkdtemp(prefix="olympia_ckpt_"))
+                     scratch_dir("olympia_ckpt_"))
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
     finally:
@@ -223,14 +224,14 @@ def b32_catalog_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from olympia_spark.engine import Engine
 
     stream, _ = _staged_events_stream(spark, sf)
-    eng = Engine(spark, tempfile.mkdtemp(prefix="olympia_stream_wh_"))
+    eng = Engine(spark, scratch_dir("olympia_stream_wh_"))
     eng.sql("CREATE NAMESPACE stream")
     eng.create_table("stream.events", load(spark, sf, "events").schema)
     sink = catalog_ingest_sink(eng)
 
     q = (stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="olympia_ckpt_"))
+                 scratch_dir("olympia_ckpt_"))
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
 
