@@ -834,18 +834,23 @@ class Engine:
             raise ValueError(f"expected ns.table, got {name!r}")
         return parts[0], parts[1]
 
-    @staticmethod
-    def _map_nonliteral(sql: str, fn) -> str:
-        """Apply ``fn`` to the segments of ``sql`` OUTSIDE single-quoted
-        string literals (escaped-quote aware) — alias substitution and
-        identifier scanning must never touch literal text ('ns1.t' the
-        string is data, not a reference)."""
-        parts = re.split(r"('(?:[^']|'')*')", sql)
+    # Both quote styles are literal text under Spark defaults ("..." is a
+    # string literal unless ANSI double-quoted identifiers are on) — the
+    # same pattern _normalize protects.
+    _LITERAL_RE = r"('(?:[^']|'')*'|\"[^\"]*\")"
+
+    @classmethod
+    def _map_nonliteral(cls, sql: str, fn) -> str:
+        """Apply ``fn`` to the segments of ``sql`` OUTSIDE string literals
+        (escaped-quote aware, both quote styles) — alias substitution and
+        identifier scanning must never touch literal text ('ns1.t' or
+        "ns1.t" the string is data, not a reference)."""
+        parts = re.split(cls._LITERAL_RE, sql)
         return "".join(p if i % 2 else fn(p) for i, p in enumerate(parts))
 
-    @staticmethod
-    def _literal_spans(sql: str) -> list[tuple[int, int]]:
-        return [m.span() for m in re.finditer(r"'(?:[^']|'')*'", sql)]
+    @classmethod
+    def _literal_spans(cls, sql: str) -> list[tuple[int, int]]:
+        return [m.span() for m in re.finditer(cls._LITERAL_RE, sql)]
 
     def _candidate_idents(self, sql: str) -> list[tuple[str, str]]:
         """Dotted identifiers appearing outside string literals — the

@@ -153,6 +153,21 @@ def test_table_reference_inside_string_literal_untouched(engine, spark):
                       "WHERE v = 'ns1.t'").first().n == 1
 
 
+def test_table_reference_inside_double_quoted_literal_untouched(
+        engine, spark):
+    """ADVICE r2: _map_nonliteral protected only '...' literals, so
+    WHERE v = "ns1.t" was rewritten to compare against the temp-view
+    alias — the same bug class as the single-quote fix, now for the
+    other quote style _normalize already protects."""
+    engine.sql("CREATE TABLE ns1.t (v STRING)")
+    engine.sql("INSERT INTO ns1.t VALUES ('ns1.t')")
+    assert engine.sql('SELECT COUNT(*) AS n FROM ns1.t '
+                      'WHERE v = "ns1.t"').first().n == 1
+    # and identifier scanning must still find references AROUND them
+    assert engine.sql('SELECT COUNT(*) AS n FROM ns1.t '
+                      'WHERE v <> "nope" AND v = "ns1.t"').first().n == 1
+
+
 def test_double_quoted_literal_whitespace_preserved(engine):
     """ADVICE r1: _normalize collapsed whitespace inside double-quoted
     string literals (valid Spark strings with ANSI identifiers off)."""
