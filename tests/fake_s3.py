@@ -4,8 +4,10 @@ Replicates the exact semantics the catalog's consistency model rests on:
 ``PutObject`` with ``IfNoneMatch='*'`` fails with HTTP 412 iff the key
 already exists, atomically under concurrency (reference
 s3/.../S3AtomicOutputStream.java:42-47, MinioTestUtil.java test harness).
-The container ships no boto3/moto, so the contract is exercised against
-this fake; the real client plugs into the same S3Storage code path.
+The contract suite runs against this fake AND (when moto is importable)
+real boto3 under moto's mock — the fake keeps the suite dependency-free
+and lock-step-debuggable; the moto param executes the actual botocore
+request path.
 """
 
 from __future__ import annotations

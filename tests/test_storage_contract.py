@@ -1,11 +1,14 @@
-"""Storage contract suite, parameterized over BOTH backends — the port of
-the reference's StorageOpsTests.java:32-184 + TestS3StorageOlympiaTests
-(via a fake S3 client; the container ships no boto3/moto). The central
-assertion is the atomic put-if-absent seal: exactly one concurrent creator
-of a path wins (docs/format.md:218-246)."""
+"""Storage contract suite, parameterized over THREE backends — the port of
+the reference's StorageOpsTests.java:32-184 + TestS3StorageOlympiaTests:
+local O_EXCL, the in-repo fake S3 client, and (when moto is importable)
+real boto3 against a moto-mocked S3 — the latter executes the actual
+botocore request path including the IfNoneMatch='*' conditional put. The
+central assertion is the atomic put-if-absent seal: exactly one concurrent
+creator of a path wins (docs/format.md:218-246)."""
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pytest
@@ -18,12 +21,31 @@ from olympia_spark.catalog.storage import LocalStorage, S3Storage
 
 from tests.fake_s3 import FakeS3Client
 
+try:
+    import boto3
+    from moto import mock_aws
+    _HAVE_MOTO = True
+except ImportError:                      # pragma: no cover — env-dependent
+    _HAVE_MOTO = False
 
-@pytest.fixture(params=["local", "s3"])
+
+@pytest.fixture(params=["local", "s3",
+                        pytest.param("moto", marks=pytest.mark.skipif(
+                            not _HAVE_MOTO, reason="moto not installed"))])
 def storage(request, tmp_path):
     if request.param == "local":
         return LocalStorage(str(tmp_path / "wh"))
-    return S3Storage("bucket", "wh", client=FakeS3Client())
+    if request.param == "s3":
+        return S3Storage("bucket", "wh", client=FakeS3Client())
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+    os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+    m = mock_aws()
+    m.start()
+    request.addfinalizer(m.stop)
+    client = boto3.client("s3", region_name="us-east-1")
+    client.create_bucket(Bucket="bucket")
+    return S3Storage("bucket", "wh", client=client)
 
 
 def test_exists_read_write_roundtrip(storage):
