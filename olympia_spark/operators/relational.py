@@ -707,3 +707,54 @@ def b35_rollup(spark: SparkSession, sf: str) -> DataFrame:
                     F.coalesce("hour", "day").alias("bucket"), "n",
                     "value_sum")
             .orderBy("gran", "bucket"))
+
+
+@query("b36_sessionize", oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events, {dsum('value', 'value_sum')}
+FROM numbered
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+""")
+def b36_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """B36 — batch sessionization (30-minute inactivity gap) via the
+    islands pattern: lag → new-session flag → running sum → per-session
+    aggregate. The batch twin of b32_stream_session_window: training
+    pipelines sessionize historical event logs exactly like this, two
+    window passes over one (user_id, ts) sort order — Catalyst reuses the
+    single sort/exchange for both windows, then one partial+final agg.
+    Tie-robust: events sharing (user_id, ts) always land in the same
+    session whatever their relative order, so the output is deterministic
+    across engines."""
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w)
+           >= F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
+    numbered = (e.select("user_id", "ts", "value",
+                         new_sess.alias("new_sess"))
+                .select("user_id", "ts", "value",
+                        F.sum("new_sess")
+                        .over(w.rowsBetween(W.unboundedPreceding, 0))
+                        .alias("sess_id")))
+    return (numbered.groupBy("user_id", "sess_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                  .alias("value_sum"))
+            .select("user_id", "session_start", "n_events", "value_sum")
+            .orderBy("user_id", "session_start"))

@@ -395,3 +395,76 @@ def data_sample_per_key(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").alias("n_sampled"),
                  F.sum("doc_id").cast("bigint").alias("id_sum"))
             .orderBy("source"))
+
+
+@query("text_ngram_logprob", oracle="""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS w, unnest(range(1, len(arr) + 1)) AS pos
+  FROM arrs
+), bigrams AS (
+  SELECT doc_id, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+), bg AS (SELECT doc_id, w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
+counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY w1)
+SELECT doc_id, n_bigrams, avg_logprob,
+       ROUND(EXP(-avg_logprob), 4) AS ppl
+FROM (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c12 AS DOUBLE)
+                                      / CAST(c1 AS DOUBLE)), 6)
+                             AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_logprob
+  FROM bg JOIN counts USING (w1, w2) JOIN ctx USING (w1)
+  GROUP BY doc_id
+)
+ORDER BY doc_id
+""")
+def text_ngram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram LM fluency scoring: train bigram counts on the corpus
+    itself, score each document by its mean bigram conditional
+    log-probability (and the perplexity-style exp(-mean)) — the classic
+    quality filter that flags boilerplate (high prob) and gibberish (low
+    prob) for pipeline triage.
+
+    Scale shape: tokenize → one window pass for bigrams → two
+    aggregations for the count tables → hash join back. The bigram
+    relation feeds both the count build and the scoring join, so it is
+    cached for the duration and released after the (per-doc, small)
+    result materializes. Determinism across engines: each ln term is a
+    correctly-rounded double of an exact integer ratio, rounded to 6 dp
+    and accumulated in DECIMAL(25,6) — no order-dependent double sums."""
+    from pyspark.sql import Window
+    d = load(spark, sf, "documents")
+    toks = d.repartition(16, "doc_id").select(
+        "doc_id",
+        F.posexplode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+         .alias("pos", "w"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (toks.select("doc_id", F.col("w").alias("w1"),
+                      F.lead("w").over(wd).alias("w2"))
+          .where(F.col("w2").isNotNull())
+          .cache())
+    try:
+        counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        ctx = counts.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+        term = (F.round(F.log(F.col("c12").cast("double")
+                              / F.col("c1").cast("double")), 6)
+                .cast("decimal(25,6)"))
+        per_doc = (bg.join(counts, ["w1", "w2"]).join(ctx, ["w1"])
+                   .groupBy("doc_id")
+                   .agg(F.count("*").alias("n_bigrams"),
+                        F.sum(term).alias("s")))
+        avg = F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6)
+        return (per_doc.select("doc_id", "n_bigrams",
+                               avg.alias("avg_logprob"),
+                               F.round(F.exp(-avg), 4).alias("ppl"))
+                .orderBy("doc_id")
+                .localCheckpoint())
+    finally:
+        bg.unpersist()
