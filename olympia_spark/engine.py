@@ -1164,6 +1164,10 @@ class Engine:
                     schema_json=schema.json(), partition_by=partition_by))
             self._finish(txn)
             return ok()
+        m = re.match(r"OPTIMIZE (?:TABLE )?(\S+\.\S+)$", norm, re.I)
+        if m:
+            n = self.compact_table(m.group(1))
+            return spark.createDataFrame([(n,)], "files_removed long")
         m = re.match(r"TRUNCATE TABLE (\S+\.\S+)$", norm, re.I)
         if m:
             ns, tbl = self._split(m.group(1))

@@ -331,3 +331,42 @@ def test_merge_partitioned_target_keeps_hive_layout(engine, spark):
     rows = {(r.id, r.p, r.v) for r in engine.sql(
         "SELECT id, p, v FROM ns1.mp").collect()}
     assert rows == {(1, "a", 11), (2, "b", 20), (3, "c", 30)}
+
+
+def test_merge_case_when_inside_update_and_condition(engine, spark):
+    """The clause tokenizer must not mistake CASE WHEN ... THEN inside an
+    assignment or clause condition for a WHEN MATCHED boundary."""
+    engine.sql("CREATE TABLE ns1.mcw (id BIGINT, v BIGINT)")
+    engine.write_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "id BIGINT, v BIGINT"),
+        "ns1.mcw")
+    engine.sql("""
+        MERGE INTO ns1.mcw t
+        USING (SELECT * FROM VALUES (1, 5), (2, 50) AS v(id, w)) s
+        ON t.id = s.id
+        WHEN MATCHED AND (CASE WHEN s.w > 40 THEN true ELSE false END)
+            THEN UPDATE SET v = CASE WHEN t.v > 15 THEN t.v + s.w
+                                     ELSE 0 END
+        WHEN MATCHED THEN UPDATE SET v = -1
+    """)
+    rows = {(r.id, r.v) for r in engine.sql(
+        "SELECT id, v FROM ns1.mcw").collect()}
+    assert rows == {(1, -1), (2, 70)}
+
+
+def test_optimize_table_sql(engine, spark):
+    """OPTIMIZE TABLE compacts the file set through one catalog commit."""
+    engine.sql("CREATE TABLE ns1.opt (x BIGINT)")
+    for i in range(4):
+        engine.sql(f"INSERT INTO ns1.opt VALUES ({i})")
+    txn = engine.catalog.begin()
+    n_before = len(engine.catalog.describe_table(txn, "ns1", "opt")
+                   .data_files)
+    assert n_before >= 4
+    saved = engine.sql("OPTIMIZE TABLE ns1.opt").first().files_removed
+    assert saved > 0
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "opt")
+    assert len(tdef.data_files) < n_before
+    assert sorted(r.x for r in engine.sql(
+        "SELECT x FROM ns1.opt").collect()) == [0, 1, 2, 3]
