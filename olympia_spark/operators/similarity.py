@@ -119,24 +119,26 @@ _DOT_COLS = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
 
 
 def _bucket_df(spark: SparkSession, sf: str):
-    """(vec_id, embedding, bucket) via a broadcast hyperplane table.
+    """(vec_id, embedding, bucket) in ONE narrow projection.
 
-    The constants ride in as 4 broadcast rows instead of 4×64 literals —
-    embedding planes/centroids as data keeps the expression tree (and its
-    codegen time) constant as dimensionality grows; the arithmetic is the
-    same left-to-right double fold the oracle's literals produce."""
+    The 4 hyperplanes ride in as a single broadcast row holding an
+    array-of-structs (constants as data keeps codegen time flat as
+    dimensionality grows), and the bucket is an ``aggregate()`` fold over
+    that array — no explode, no groupBy: hashing + shuffling the 64-float
+    embedding column ×4 rows per vector was the round-2 index-build
+    bottleneck (6.8s → ~1s at sf0.1). The inner dot product is the same
+    left-to-right double fold the oracle's literals produce."""
     from pyspark.sql import functions as F
     e = load(spark, sf, "embeddings")
     hp = spark.createDataFrame(
-        [(j, h) for j, h in enumerate(_HYPERPLANES)],
-        "j INT, hvec ARRAY<DOUBLE>")
-    dot = F.expr(_DOT_COLS.format(a="embedding", b="hvec"))
-    bits = (e.crossJoin(F.broadcast(hp))
+        [([(1 << j, h) for j, h in enumerate(_HYPERPLANES)],)],
+        "hs ARRAY<STRUCT<w INT, hvec ARRAY<DOUBLE>>>")
+    dot = _DOT_COLS.format(a="embedding", b="h.hvec")
+    bucket = F.expr(
+        f"aggregate(hs, 0, (acc, h) -> acc + IF({dot} > 0D, h.w, 0))")
+    return (e.crossJoin(F.broadcast(hp))
             .select("vec_id", "embedding",
-                    F.when(dot > 0, F.expr("shiftleft(1, j)"))
-                     .otherwise(0).alias("bit")))
-    return (bits.groupBy("vec_id", "embedding")
-            .agg(F.sum("bit").cast("int").alias("bucket")))
+                    bucket.cast("int").alias("bucket")))
 
 
 # One scratch engine per (session, sf) holding the ANN corpora as CATALOG
@@ -315,30 +317,26 @@ def sim_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("qid", "vec_id"))
 
 
-def _ivf_scored_df(spark: SparkSession, sf: str) -> DataFrame:
-    """(vec_id, embedding, cluster_id, dist) for every vector × centroid.
-    Centroids ride in as a broadcast table (see _bucket_df); ||c||² uses
-    the same 6-dp-rounded constants as the oracle so assignment ties break
-    identically (lowest cluster id)."""
+def _ivf_assigned_df(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, embedding, cluster_id): nearest-centroid assignment as an
+    ``aggregate()`` argmin fold over a broadcast array-of-structs — one
+    narrow projection, no explode/groupBy (see _bucket_df). dist up to the
+    ||e||² constant is ||c||² − 2⟨e,c⟩ with the oracle's 6-dp-rounded
+    ||c||² constants; iterating cluster ids ascending with a strict '<'
+    keeps the lowest id on ties, exactly the oracle's CASE-over-LEAST."""
     from pyspark.sql import functions as F
     e = load(spark, sf, "embeddings")
     cents = spark.createDataFrame(
-        [(i, c, round(sum(x * x for x in c), 6))
-         for i, c in enumerate(_CENTROIDS)],
-        "cluster_id INT, cvec ARRAY<DOUBLE>, c2 DOUBLE")
-    # dist to each centroid up to the ||e||² constant: ||c||² − 2⟨e,c⟩
-    dist = (F.col("c2")
-            - 2 * F.expr(_DOT_COLS.format(a="embedding", b="cvec")))
+        [([(i, c, round(sum(x * x for x in c), 6))
+           for i, c in enumerate(_CENTROIDS)],)],
+        "cs ARRAY<STRUCT<cid INT, cvec ARRAY<DOUBLE>, c2 DOUBLE>>")
+    dot = _DOT_COLS.format(a="embedding", b="c.cvec")
+    assign = F.expr(
+        "aggregate(cs, struct(CAST('Infinity' AS DOUBLE) AS d, -1 AS cid), "
+        f"(acc, c) -> IF(c.c2 - 2 * {dot} < acc.d, "
+        f"struct(c.c2 - 2 * {dot} AS d, c.cid AS cid), acc)).cid")
     return (e.crossJoin(F.broadcast(cents))
-            .select("vec_id", "embedding", "cluster_id", dist.alias("dist")))
-
-
-def _ivf_assigned_df(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import functions as F
-    return (_ivf_scored_df(spark, sf)
-            .groupBy("vec_id", "embedding")
-            .agg(F.min_by("cluster_id", F.struct("dist", "cluster_id"))
-                  .alias("cluster_id")))
+            .select("vec_id", "embedding", assign.alias("cluster_id")))
 
 
 @query("sim_ivf", oracle=_ivf_sql("duck"))

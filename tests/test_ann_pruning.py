@@ -84,6 +84,6 @@ def test_probes_do_not_rerun_corpus_dag(spark, monkeypatch):
         raise AssertionError("corpus DAG executed on the probe path")
 
     monkeypatch.setattr(sim, "_bucket_df", boom)
-    monkeypatch.setattr(sim, "_ivf_scored_df", boom)
+    monkeypatch.setattr(sim, "_ivf_assigned_df", boom)
     assert sim.sim_ann_lsh(spark, SF).count() > 0
     assert sim.sim_ivf(spark, SF).count() > 0
