@@ -453,3 +453,72 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
             .filter(F.col("_raw") >= 0.4)
             .drop("_raw")
             .orderBy("v1", "v2"))
+
+
+# --- incremental (batch-vs-corpus) near-dup ---------------------------------
+
+_INCR_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), cut AS (SELECT (MAX(doc_id) * 4) // 5 AS c FROM documents),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s, cut
+  WHERE a.doc_id < cut.c AND b.doc_id >= cut.c
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(i * 1.0 / (c1.n + c2.n - i), 4) AS jaccard
+FROM inter
+JOIN cnt c1 ON d1 = c1.doc_id
+JOIN cnt c2 ON d2 = c2.doc_id
+WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.8
+ORDER BY d1, d2
+"""
+
+
+@query("dedup_incremental", oracle=_INCR_ORACLE)
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash dedup: match an INCOMING BATCH (newest 20% of
+    doc ids) against the EXISTING CORPUS (oldest 80%) — the production
+    pipeline shape, where each ingest batch is deduped against the
+    accumulated corpus rather than all-pairs re-run. Candidates are
+    corpus×batch only (batch-internal pairs wait for the batch's own
+    pass); at 100 TB the corpus signature relation is a precomputed
+    catalog table keyed by (pid, mh) that each batch probes — here both
+    sides derive from one signature pass and split by the id cut, which
+    keeps the candidate join identical while staying self-contained.
+    Same ≥2-band-match filter and exact-Jaccard verify as
+    dedup_minhash_lsh (miss probability ≤ 4.2e-10 at the 0.8
+    threshold)."""
+    d = load(spark, sf, "documents")
+    cut = int(d.agg(F.max("doc_id")).first()[0]) * 4 // 5
+    sh = _shingles_df(spark, sf).withColumn(
+        "h32", F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))).cache()
+    sig_wide = sh.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(_MINHASH_P))
+         .alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)])
+    sigs = (sig_wide.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("pid"), F.col(f"mh{i}").alias("mh"))
+            for i in range(len(_PERMS))])).alias("b"))
+        .select("doc_id", F.col("b.pid").alias("pid"),
+                F.col("b.mh").alias("mh"))
+        .cache())
+    try:
+        corpus = sigs.filter(F.col("doc_id") < cut)
+        batch = sigs.filter(F.col("doc_id") >= cut)
+        cand = (corpus.alias("x").join(batch.alias("y"), ["pid", "mh"])
+                .groupBy(F.col("x.doc_id").alias("d1"),
+                         F.col("y.doc_id").alias("d2"))
+                .agg(F.count("*").alias("n_band_matches"))
+                .filter("n_band_matches >= 2")
+                .select("d1", "d2"))
+        return _with_jaccard(_verify_candidates(sh, cand), 0.8) \
+            .localCheckpoint()
+    finally:
+        sh.unpersist()
+        sigs.unpersist()

@@ -468,3 +468,58 @@ def text_ngram_logprob(spark: SparkSession, sf: str) -> DataFrame:
                 .localCheckpoint())
     finally:
         bg.unpersist()
+
+
+@query("text_tfidf_topterms", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, w,
+         ROUND(tf * ROUND(LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)),
+                          6), 6) AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w AS term, score
+FROM (SELECT doc_id, w, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, w) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY doc_id, rnk
+""")
+def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF top-5 terms per document — the classic keyword/feature
+    extraction pass of a text pipeline. Shape: tokenize → (doc, term)
+    counts → document-frequency agg → broadcast-join idf back → rank
+    window per doc; every aggregation is partial+final and the idf
+    relation is vocabulary-sized (tiny next to the corpus).
+    Determinism: tf/df are exact integers, idf = ln of their exact ratio
+    rounded to 6 dp, score = tf·idf rounded to 6 dp; ranks tie-break on
+    the term so ordering is total."""
+    from pyspark.sql import Window
+    d = load(spark, sf, "documents")
+    toks = d.repartition(16, "doc_id").select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+         .alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = int(d.count())
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                  6)
+    scored = (tf.join(F.broadcast(dfreq), ["w"])
+              .select("doc_id", "w",
+                      F.round(F.col("tf") * idf, 6).alias("score")))
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "w"))
+    return (scored.withColumn("rnk", rnk.cast("long"))
+            .filter("rnk <= 5")
+            .select("doc_id", "rnk", F.col("w").alias("term"), "score")
+            .orderBy("doc_id", "rnk"))
