@@ -758,3 +758,70 @@ def b36_sessionize(spark: SparkSession, sf: str) -> DataFrame:
                   .alias("value_sum"))
             .select("user_id", "session_start", "n_events", "value_sum")
             .orderBy("user_id", "session_start"))
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query("b37_pivot", oracle=f"""
+SELECT date_trunc('day', ts) AS day,
+       {', '.join(
+           f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) "
+           f"AS n_{t}, "
+           + dsum(f"CASE WHEN event_type = '{t}' THEN value ELSE 0 END",
+                  f"sum_{t}")
+           for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY 1
+""")
+def b37_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """B37 — PIVOT: event types to columns, one count + value sum per
+    type per day. Spark's relational pivot with an EXPLICIT value list —
+    never the two-pass values-discovery form, which at 100 TB adds a full
+    distinct scan before the real aggregation. One partial+final
+    aggregation; the oracle is the equivalent FILTER-aggregation."""
+    e = load(spark, sf, "events")
+    piv = (e.groupBy(F.date_trunc("day", "ts").alias("day"))
+           .pivot("event_type", list(_EVENT_TYPES))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("event_type").isNotNull(),
+                             F.col("value")).otherwise(0).cast(DEC))
+                 .cast("double").alias("sum")))
+    sel = [F.col("day")]
+    for t in _EVENT_TYPES:
+        sel.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}"))
+        sel.append(F.coalesce(F.col(f"{t}_sum"), F.lit(0.0))
+                   .alias(f"sum_{t}"))
+    return piv.select(*sel).orderBy("day")
+
+
+@query("b38_range_frame_window", oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS hour_sum,
+       CAST(COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS hour_n
+FROM events
+ORDER BY event_id
+""")
+def b38_range_frame_window(spark: SparkSession, sf: str) -> DataFrame:
+    """B38 — RANGE-frame window: per-event trailing-hour sum/count per
+    user (value-bounded frame, not row-bounded — the rate-limiting /
+    rolling-feature shape). RANGE frames are tie-deterministic: all peer
+    rows of the current timestamp are in the frame whatever their
+    physical order, and the decimal accumulator makes the sum
+    order-free. One sort/exchange serves both window functions."""
+    e = load(spark, sf, "events")
+    frame = ("OVER (PARTITION BY user_id ORDER BY ts "
+             "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")
+    return (e.select(
+        "event_id", "user_id",
+        F.expr(f"CAST(SUM(CAST(value AS DECIMAL(25,6))) {frame} AS DOUBLE)")
+         .alias("hour_sum"),
+        F.expr(f"CAST(COUNT(*) {frame} AS BIGINT)").alias("hour_n"))
+        .orderBy("event_id"))
