@@ -245,42 +245,55 @@ def b32_catalog_ingest(spark: SparkSession, sf: str) -> DataFrame:
 # --- custom stateful operator (applyInPandasWithState) ----------------------
 
 def _user_stats_fn(key, pdfs, state):
-    """Per-user running aggregate with EXPLICIT state: (n_events, value_sum)
-    carried across micro-batches in a GroupState — the
+    """Per-user running aggregate with EXPLICIT state: (n_events,
+    value_micro) carried across micro-batches in a GroupState — the
     applyInPandasWithState shape for operators the built-in window aggs
     can't express (custom accumulators, decay logic, ML feature state).
-    Emits the final per-user state once input is exhausted."""
+
+    The value accumulator is an int64 of floor(value·10⁶) micro-units:
+    integer addition is order-free and exact, which is what makes a
+    custom streaming accumulator DuckDB-oracle-checkable (a float
+    accumulator's pandas summation order is not portable). floor (not
+    round) because numpy rounds half-even while SQL ROUND rounds
+    half-away — floor is identical everywhere."""
+    import numpy as np
     import pandas as pd
-    n, vsum = state.get if state.exists else (0, 0.0)
+    n, vmicro = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        vsum += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, vsum))
+        vmicro += int(np.floor(pdf["value"].fillna(0.0).to_numpy()
+                               * 1e6).astype("int64").sum())
+    state.update((n, int(vmicro)))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "value_sum": [vsum]})
+                        "value_micro": [int(vmicro)]})
 
 
-@query("b32_stream_stateful_counter", oracle=None)
+@query("b32_stream_stateful_counter", oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)), 0)
+            AS BIGINT) AS value_micro
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""")
 def b32_stateful(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
-    per-user event counter + value accumulator whose state persists in the
-    state store across micro-batches (RocksDB-backed on a real cluster).
-    Update mode emits each group's row per batch; the LAST emission per
-    user carries the complete totals, reproduced batch-side for the
-    equivalence check below (the per-user float accumulation order inside
-    pandas is not portable to DuckDB's vectorized SUM, so the oracle check
-    is the Spark-side batch equivalence + rows-only driver check)."""
-    from pyspark.sql.types import (DoubleType, LongType, StructField,
-                                   StructType)
+    per-user event counter + exact micro-unit value accumulator whose
+    state persists in the state store across micro-batches
+    (RocksDB-backed on a real cluster). Update mode emits each group's
+    row per batch; the LAST emission per user carries the complete
+    totals. Integer state makes the result independent of batch split
+    and pandas summation order, so the full DuckDB oracle applies."""
+    from pyspark.sql.types import LongType, StructField, StructType
     stream, _ = _staged_events_stream(spark, sf)
     out_schema = StructType([
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
-        StructField("value_sum", DoubleType()),
+        StructField("value_micro", LongType()),
     ])
     state_schema = StructType([
         StructField("n", LongType()),
-        StructField("vsum", DoubleType()),
+        StructField("vmicro", LongType()),
     ])
     global _QUERY_SEQ
     stateful = (stream.groupBy("user_id")
@@ -296,6 +309,5 @@ def b32_stateful(spark: SparkSession, sf: str) -> DataFrame:
             Window.partitionBy("user_id")
             .orderBy(F.col("n_events").desc())))
         .filter("_rn = 1").drop("_rn"))
-    return (latest.select("user_id", "n_events",
-                          F.round("value_sum", 4).alias("value_sum"))
+    return (latest.select("user_id", "n_events", "value_micro")
             .orderBy("user_id"))

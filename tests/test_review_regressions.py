@@ -315,13 +315,15 @@ def test_stateful_streaming_counter_equals_batch(spark):
     from olympia_spark.tables import load
     load_all_modules()
     sf = "/root/testdata/sf0.001"
-    got = {(r.user_id, r.n_events, round(r.value_sum, 2)) for r in
+    got = {(r.user_id, r.n_events, r.value_micro) for r in
            registry.QUERIES["b32_stream_stateful_counter"](spark, sf)
            .collect()}
-    exp = {(r.user_id, r.n, round(r.s, 2)) for r in
+    exp = {(r.user_id, r.n, r.s) for r in
            load(spark, sf, "events")
            .groupBy("user_id")
-           .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+                 .alias("s"))
            .collect()}
     assert got == exp
 
