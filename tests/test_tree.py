@@ -286,3 +286,39 @@ def test_size_budget_property(tmp_path_factory, kvs):
                 assert os.path.getsize(os.path.join(r, f)) <= budget
     loaded = tree.load_root(loc.root_node_path(0))
     assert dict(tree.traverse(loaded)) == model
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ops=st.lists(
+    st.tuples(st.sampled_from(["set", "del", "persist"]),
+              st.text(alphabet="abcdef", min_size=1, max_size=6),
+              st.text(alphabet="xyz", min_size=1, max_size=4)),
+    max_size=100))
+def test_tree_matches_dict_model_across_reloads(tmp_path_factory, ops):
+    """Like the dict-model property test, but 'persist' ops write the tree
+    and CONTINUE ON THE RELOADED ROOT — every later mutation then runs
+    against pure Arrow slices (the post-rewrite hot path), interleaving
+    slice splits, pending buffers, and node splits across generations."""
+    tmp = tmp_path_factory.mktemp("treer")
+    tree = Tree(LocalStorage(str(tmp)), order=4)
+    root = _fresh_root()
+    model: dict[str, str] = {}
+    version = 0
+    for kind, k, v in ops:
+        if kind == "set":
+            tree.set_value(root, k, v)
+            model[k] = v
+        elif kind == "del":
+            tree.remove_key(root, k)
+            model.pop(k, None)
+        else:
+            if version:
+                root.previous_root_path = loc.root_node_path(version - 1)
+            tree.write_root(root, version)
+            root = tree.load_root(loc.root_node_path(version))
+            version += 1
+            assert dict(tree.traverse(root)) == model
+    assert dict(tree.traverse(root)) == model
+    for k, v in model.items():
+        assert tree.search(root, k) == v
