@@ -34,6 +34,7 @@ produces.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import uuid
@@ -803,7 +804,8 @@ class Engine:
     # --- views --------------------------------------------------------------
 
     def create_view(self, name: str, sql_text: str,
-                    replace: bool = False) -> None:
+                    replace: bool = False,
+                    schema_binding: bool = False) -> None:
         ns, view = self._split(name)
         txn = self._txn()
         resolved = self._resolve_sql(sql_text, txn)
@@ -812,16 +814,36 @@ class Engine:
         self.catalog.create_view(txn, ns, view, ViewDef(
             sql_text=sql_text, schema_json=schema.json(),
             default_namespace=ns,
-            referenced_objects=[f"{n}.{t}" for n, t in refs]),
+            referenced_objects=[f"{n}.{t}" for n, t in refs],
+            schema_binding=schema_binding),
             replace=replace)
         self._finish(txn)
 
     def read_view(self, name: str, txn: Transaction | None = None
                   ) -> DataFrame:
+        """Run the view's stored query. With ``schema_binding`` (SQL
+        WITH SCHEMA BINDING; the reference's substrait payload is
+        schema-carrying, proto/objects.proto:79-85), the view keeps the
+        schema recorded at creation: compatible drift in the underlying
+        tables is cast back to the bound column types, and a structural
+        change (renamed/added/dropped columns) is an error instead of
+        silently changing the view's shape."""
         ns, view = self._split(name)
         txn = txn or self._txn()
         vdef = self.catalog.describe_view(txn, ns, view)
-        return self.spark.sql(self._resolve_sql(vdef.sql_text, txn))
+        df = self.spark.sql(self._resolve_sql(vdef.sql_text, txn))
+        if vdef.schema_binding and vdef.schema_json:
+            bound = T.StructType.fromJson(json.loads(vdef.schema_json))
+            if [f.name for f in df.schema.fields] != \
+                    [f.name for f in bound.fields]:
+                raise ValueError(
+                    f"view {ns}.{view} is schema-bound to columns "
+                    f"{[f.name for f in bound.fields]} but its query now "
+                    f"produces {df.columns}; recreate the view to rebind")
+            if df.schema != bound:
+                df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                                 for f in bound.fields])
+        return df
 
     # --- identifier resolution ----------------------------------------------
 

@@ -370,3 +370,31 @@ def test_optimize_table_sql(engine, spark):
     assert len(tdef.data_files) < n_before
     assert sorted(r.x for r in engine.sql(
         "SELECT x FROM ns1.opt").collect()) == [0, 1, 2, 3]
+
+
+def test_schema_bound_view_enforces_recorded_schema(engine, spark):
+    """WITH SCHEMA BINDING semantics: compatible type drift casts back to
+    the bound schema; structural drift (renamed column) raises instead of
+    silently changing the view's shape."""
+    import pyspark.sql.types as T
+    engine.sql("CREATE TABLE ns1.vb (x BIGINT, y STRING)")
+    engine.sql("INSERT INTO ns1.vb VALUES (1, 'a')")
+    engine.create_view("ns1.v_bound", "SELECT x, y FROM ns1.vb",
+                       schema_binding=True)
+    assert engine.read_view("ns1.v_bound").schema["x"].dataType \
+        == T.LongType()
+    # compatible drift: x narrows to INT underneath → view casts back
+    engine.drop_columns("ns1.vb", ["x"])
+    engine.add_columns("ns1.vb", T.StructType(
+        [T.StructField("x", T.IntegerType())]))
+    out = engine.read_view("ns1.v_bound")
+    assert out.schema["x"].dataType == T.LongType()
+    # structural drift: y disappears → bound view read errors
+    engine.drop_columns("ns1.vb", ["y"])
+    engine.add_columns("ns1.vb", T.StructType(
+        [T.StructField("z", T.StringType())]))
+    with pytest.raises(Exception):
+        engine.read_view("ns1.v_bound").collect()
+    # an unbound view over the same table just reflects the new shape
+    engine.create_view("ns1.v_free", "SELECT x, z FROM ns1.vb")
+    assert engine.read_view("ns1.v_free").columns == ["x", "z"]
