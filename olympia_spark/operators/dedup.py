@@ -522,3 +522,41 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         sh.unpersist()
         sigs.unpersist()
+
+
+# --- edit-distance near-dup (short-text / title dedup) ----------------------
+
+@query("dedup_edit_distance", oracle="""
+WITH t AS (
+  SELECT doc_id, left(lower(text), 30) AS pfx,
+         string_split(text, ' ')[1] AS blk
+  FROM documents
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 5
+ORDER BY d1, d2
+""")
+def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup for short text (title/prefix dedup):
+    blocked self-join on the first token, Levenshtein over the 30-char
+    case-folded prefix, threshold 5. Blocking bounds the quadratic term
+    to within-block pairs (the first-token block here; a real pipeline
+    blocks on any cheap key — sorted-token prefix, phonetic code, length
+    bucket) and Levenshtein runs JVM-side on constant-length strings —
+    exact integer output, hash-identical across engines."""
+    d = load(spark, sf, "documents")
+    t = d.repartition(16, "doc_id").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 30)).alias("pfx"),
+        F.split("text", " ").getItem(0).alias("blk"))
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"),
+                    dist.cast("long").alias("dist"))
+            .filter("dist <= 5")
+            .orderBy("d1", "d2"))

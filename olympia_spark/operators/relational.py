@@ -825,3 +825,32 @@ def b38_range_frame_window(spark: SparkSession, sf: str) -> DataFrame:
          .alias("hour_sum"),
         F.expr(f"CAST(COUNT(*) {frame} AS BIGINT)").alias("hour_n"))
         .orderBy("event_id"))
+
+
+@query("b19c_except_intersect_all", oracle="""
+WITH a AS (SELECT event_type FROM events WHERE value > 20),
+     b AS (SELECT event_type FROM events WHERE user_id % 2 = 0)
+SELECT op, event_type, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'except_all' AS op, event_type, COUNT(*) AS n
+  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+  UNION ALL
+  SELECT 'intersect_all' AS op, event_type, COUNT(*) AS n
+  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+)
+ORDER BY op, event_type
+""")
+def b19c_except_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """B19c — multiset set ops (EXCEPT ALL / INTERSECT ALL): duplicate-
+    preserving difference and intersection, which Spark lowers to an
+    aggregate of signed row counts rather than the distinct-based
+    rewrite — a different operator than B19's EXCEPT/INTERSECT."""
+    e = load(spark, sf, "events")
+    a = e.filter("value > 20").select("event_type")
+    b = e.filter("user_id % 2 = 0").select("event_type")
+    exc = (a.exceptAll(b).groupBy("event_type")
+           .agg(F.count("*").alias("n"))
+           .select(F.lit("except_all").alias("op"), "event_type", "n"))
+    ints = (a.intersectAll(b).groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("intersect_all").alias("op"), "event_type", "n"))
+    return exc.unionAll(ints).orderBy("op", "event_type")
