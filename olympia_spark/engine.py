@@ -67,6 +67,27 @@ _COMMIT_RE = re.compile(r"^COMMIT(\s+TRANSACTION)?$", re.I)
 _ROLLBACK_RE = re.compile(r"^ROLLBACK(\s+TRANSACTION)?$", re.I)
 
 
+_NUMERIC_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                  "float": 4, "double": 5}
+
+
+def _can_upcast(src: T.DataType, dst: T.DataType) -> bool:
+    """Lossless-cast check for schema-bound views: numeric widening, date→
+    timestamp, and decimal growth are safe; anything else (string→number,
+    narrowing, type-family change) can NULL or mangle values."""
+    s, d = src.simpleString(), dst.simpleString()
+    if s in _NUMERIC_WIDTH and d in _NUMERIC_WIDTH:
+        return _NUMERIC_WIDTH[s] <= _NUMERIC_WIDTH[d]
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return (dst.precision >= src.precision
+                and dst.scale >= src.scale
+                and dst.precision - dst.scale
+                >= src.precision - src.scale)
+    if s == "date" and d == "timestamp":
+        return True
+    return False
+
+
 def _normalize(sql: str) -> str:
     """Trim, strip trailing ';', collapse whitespace — but NEVER inside
     string literals (captured statement fragments like INSERT payloads and
@@ -428,11 +449,15 @@ class Engine:
         ``target_alias``/``source_alias`` columns.
 
         A target row matched by more than one source row raises
-        MergeCardinalityError (SQL MERGE semantics — silently duplicating
-        the target row corrupts the table). The guard is folded into the
-        rewrite job itself (a window count over a per-row id feeding
-        ``raise_error``), so it costs no extra pass over the data and can
-        never drift from what is written.
+        MergeCardinalityError IF any of those pairings selects a matched
+        clause (SQL/Delta semantics: a row may only be identified for
+        update/delete once; multi-matched rows no clause touches carry
+        through exactly once). Because a clause-selected pairing always
+        satisfies the file-pruning predicate, the outcome is independent
+        of which parquet file a row happens to live in. The guard and the
+        carry-through dedup share one window over a per-row id inside the
+        rewrite job — a single extra exchange of the rewrite set, no
+        second scan, and it can never drift from what is written.
         """
         if matched_clauses is None:
             matched_clauses = []
@@ -448,6 +473,22 @@ class Engine:
         tdef = self.catalog.describe_table(txn, ns, tbl)
         schema = tdef.spark_schema()
         cols = [f.name for f in schema.fields]
+        # SQL analysis rule: assignment / insert targets must be table
+        # columns — a typo'd column would otherwise make the clause a
+        # silent no-op (the merge still rewrites files and reports rows).
+        for _c, kind, assigns in matched_clauses:
+            if kind == "update":
+                unknown = set(assigns) - set(cols)
+                if unknown:
+                    raise ValueError(
+                        f"MERGE: UPDATE SET references non-existent "
+                        f"column(s) {sorted(unknown)} of {name}")
+        for _c, imap in not_matched_clauses:
+            unknown = set(imap) - set(cols)
+            if unknown:
+                raise ValueError(
+                    f"MERGE: INSERT references non-existent column(s) "
+                    f"{sorted(unknown)} of {name}")
         self._record_select(txn, ns, tbl, cols, on)
         all_paths = tdef.file_paths()
         src = source.alias(source_alias)
@@ -486,23 +527,45 @@ class Engine:
                 is_matched = F.col(marker).isNotNull()
                 n_src = F.sum(is_matched.cast("int")).over(
                     Window.partitionBy("_rid"))
-                act = F.when(~is_matched, F.lit(-1))
-                for i, (cond, _kind, _a) in enumerate(matched_clauses):
-                    act = act.when(F.expr(cond) if cond else F.lit(True),
+
+                def act_chain():
+                    a = F.when(~is_matched, F.lit(-1))
+                    for i, (cond, _kind, _a) in enumerate(matched_clauses):
+                        a = a.when(F.expr(cond) if cond else F.lit(True),
                                    F.lit(i))
-                act = act.otherwise(F.lit(-1))
-                guard = F.when(n_src > 1, F.raise_error(F.concat(
-                    F.lit("MERGE_CARDINALITY: target row matched by "),
-                    n_src.cast("string"), F.lit(" source rows"))))
+                    return a.otherwise(F.lit(-1))
+
+                # Cardinality: raise only when a multi-matched pairing is
+                # SELECTED by a clause (a multi-matched row no clause
+                # touches is legal and carries through once — deduped via
+                # _rn below). Assignment expressions are when()-guarded by
+                # the clause index so they evaluate only on the rows their
+                # clause selects (an error-raising expression must not fire
+                # on rows routed elsewhere).
+                guard = F.when((n_src > 1) & (act_chain() >= 0),
+                               F.raise_error(F.concat(
+                                   F.lit("MERGE_CARDINALITY: target row "
+                                         "matched by "),
+                                   n_src.cast("string"),
+                                   F.lit(" source rows"))))
                 staged = joined.select(
-                    guard.otherwise(act).alias("_action"),
+                    F.col(f"{target_alias}._rid").alias("_rid"),
+                    guard.otherwise(act_chain()).alias("_action"),
                     *[F.col(f"{target_alias}.{c}").alias(f"_t_{c}")
                       for c in cols],
-                    *[F.expr(assigns[c]).cast(schema[c].dataType)
-                      .alias(f"_u{i}_{c}")
+                    *[F.when(act_chain() == i, F.expr(assigns[c]))
+                      .cast(schema[c].dataType).alias(f"_u{i}_{c}")
                       for i, (_c, kind, assigns) in
                       enumerate(matched_clauses)
-                      if kind == "update" for c in assigns if c in cols])
+                      if kind == "update" for c in assigns])
+                # one surviving row per target row: clause-selected rows
+                # are unique already (else the guard raised); multi-matched
+                # carry-through rows keep a single copy
+                staged = (staged.withColumn(
+                    "_rn", F.row_number().over(
+                        Window.partitionBy("_rid")
+                        .orderBy(F.col("_action").desc())))
+                    .filter("_rn = 1"))
                 del_idx = [i for i, (_c, kind, _a) in
                            enumerate(matched_clauses) if kind == "delete"]
                 if del_idx:
@@ -840,6 +903,16 @@ class Engine:
                     f"view {ns}.{view} is schema-bound to columns "
                     f"{[f.name for f in bound.fields]} but its query now "
                     f"produces {df.columns}; recreate the view to rebind")
+            for have, want in zip(df.schema.fields, bound.fields):
+                if have.dataType != want.dataType and not _can_upcast(
+                        have.dataType, want.dataType):
+                    # a blanket cast would silently NULL non-convertible
+                    # values — exactly the silent drift binding forbids
+                    raise ValueError(
+                        f"view {ns}.{view} is schema-bound: column "
+                        f"{want.name} drifted from {want.dataType.simpleString()} "
+                        f"to {have.dataType.simpleString()}, which is not "
+                        f"losslessly castable; recreate the view to rebind")
             if df.schema != bound:
                 df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
                                  for f in bound.fields])

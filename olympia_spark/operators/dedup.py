@@ -547,9 +547,12 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     bucket) and Levenshtein runs JVM-side on constant-length strings —
     exact integer output, hash-identical across engines."""
     d = load(spark, sf, "documents")
+    # lower BEFORE truncating, matching the oracle's left(lower(text), 30)
+    # — case folds that change string length (İ→i̇, ẞ→ß) would otherwise
+    # produce different prefixes on the two sides
     t = d.repartition(16, "doc_id").select(
         "doc_id",
-        F.lower(F.substring("text", 1, 30)).alias("pfx"),
+        F.substring(F.lower(F.col("text")), 1, 30).alias("pfx"),
         F.split("text", " ").getItem(0).alias("blk"))
     a, b = t.alias("a"), t.alias("b")
     dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))

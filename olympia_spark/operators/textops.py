@@ -509,17 +509,26 @@ def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
          .alias("w"))
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    n_docs = int(d.count())
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
-                  6)
-    scored = (tf.join(F.broadcast(dfreq), ["w"])
-              .select("doc_id", "w",
-                      F.round(F.col("tf") * idf, 6).alias("score")))
-    rnk = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "w"))
-    return (scored.withColumn("rnk", rnk.cast("long"))
-            .filter("rnk <= 5")
-            .select("doc_id", "rnk", F.col("w").alias("term"), "score")
-            .orderBy("doc_id", "rnk"))
+    # tf feeds both the document-frequency aggregate and the scoring
+    # join — cached for the duration, released after the (small) ranked
+    # result materializes (same lifecycle as the dedup/ngram operators;
+    # uncached, the tokenize+explode+groupBy DAG executes twice)
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).cache()
+    try:
+        dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+        n_docs = int(d.count())       # metadata-only parquet count
+        idf = F.round(
+            F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6)
+        scored = (tf.join(F.broadcast(dfreq), ["w"])
+                  .select("doc_id", "w",
+                          F.round(F.col("tf") * idf, 6).alias("score")))
+        rnk = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                                 "w"))
+        return (scored.withColumn("rnk", rnk.cast("long"))
+                .filter("rnk <= 5")
+                .select("doc_id", "rnk", F.col("w").alias("term"), "score")
+                .orderBy("doc_id", "rnk")
+                .localCheckpoint())
+    finally:
+        tf.unpersist()

@@ -398,3 +398,86 @@ def test_schema_bound_view_enforces_recorded_schema(engine, spark):
     # an unbound view over the same table just reflects the new shape
     engine.create_view("ns1.v_free", "SELECT x, z FROM ns1.vb")
     assert engine.read_view("ns1.v_free").columns == ["x", "z"]
+
+
+def test_merge_multimatch_untouched_row_carries_through_once(engine, spark):
+    """A target row matched by multiple source rows that NO clause selects
+    is legal: it must survive exactly once (not duplicated per match, not
+    a cardinality error) — and the outcome must not depend on file layout."""
+    for layout, tbl in ((1, "mt1"), (2, "mt2")):
+        engine.sql(f"CREATE TABLE ns1.{tbl} (id BIGINT, v BIGINT)")
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id BIGINT, v BIGINT")
+        engine.write_table(df.repartition(layout), f"ns1.{tbl}")
+        src = spark.createDataFrame([(1, 1), (1, 2), (2, 500)],
+                                    "id BIGINT, s BIGINT")
+        engine.merge(f"ns1.{tbl}", src, "t.id = s.id",
+                     matched_clauses=[("s.s > 100", "update", {"v": "s.s"})])
+        rows = sorted((r.id, r.v) for r in engine.sql(
+            f"SELECT id, v FROM ns1.{tbl}").collect())
+        assert rows == [(1, 10), (2, 500)], (layout, rows)
+
+
+def test_merge_multimatch_clause_selected_raises_any_layout(engine, spark):
+    """The cardinality error fires when a clause would apply to a
+    multi-matched row, in every file layout."""
+    from olympia_spark.catalog.errors import MergeCardinalityError
+    for layout, tbl in ((1, "mr1"), (2, "mr2")):
+        engine.sql(f"CREATE TABLE ns1.{tbl} (id BIGINT, v BIGINT)")
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id BIGINT, v BIGINT")
+        engine.write_table(df.repartition(layout), f"ns1.{tbl}")
+        src = spark.createDataFrame([(1, 200), (1, 300)],
+                                    "id BIGINT, s BIGINT")
+        with pytest.raises(MergeCardinalityError):
+            engine.merge(f"ns1.{tbl}", src, "t.id = s.id",
+                         matched_clauses=[
+                             ("s.s > 100", "update", {"v": "s.s"})])
+
+
+def test_merge_unknown_assignment_column_raises(engine, spark):
+    """A typo'd UPDATE SET / INSERT column must be an analysis error, not
+    a silent no-op that still rewrites files."""
+    engine.sql("CREATE TABLE ns1.mu (id BIGINT, v BIGINT)")
+    engine.write_table(spark.createDataFrame([(1, 10)],
+                                             "id BIGINT, v BIGINT"),
+                       "ns1.mu")
+    src = spark.createDataFrame([(1, 2)], "id BIGINT, s BIGINT")
+    with pytest.raises(ValueError, match="non-existent"):
+        engine.merge("ns1.mu", src, "t.id = s.id",
+                     matched_update={"vv": "s.s"})
+    with pytest.raises(ValueError, match="non-existent"):
+        engine.merge("ns1.mu", src, "t.id = s.id",
+                     not_matched_insert={"id": "s.id", "zz": "s.s"})
+
+
+def test_merge_assignment_evaluates_only_on_selected_rows(engine, spark):
+    """An error-raising assignment expression must not fire on rows its
+    clause does not select (clause-guarded lazy evaluation)."""
+    engine.sql("CREATE TABLE ns1.ml (id BIGINT, v BIGINT)")
+    engine.write_table(spark.createDataFrame([(1, 10), (2, 20)],
+                                             "id BIGINT, v BIGINT"),
+                       "ns1.ml")
+    src = spark.createDataFrame([(1, 0), (2, 0)], "id BIGINT, s BIGINT")
+    # clause selects no rows (s.s > 0 is false everywhere) — the
+    # raise_error in its assignment must never evaluate
+    engine.merge("ns1.ml", src, "t.id = s.id",
+                 matched_clauses=[
+                     ("s.s > 0", "update",
+                      {"v": "CAST(raise_error('boom') AS BIGINT)"})])
+    rows = sorted((r.id, r.v) for r in engine.sql(
+        "SELECT id, v FROM ns1.ml").collect())
+    assert rows == [(1, 10), (2, 20)]
+
+
+def test_schema_bound_view_incompatible_type_drift_raises(engine, spark):
+    """Type drift a cast would silently NULL (bigint column re-added as
+    string) must raise, not blanket-cast."""
+    import pyspark.sql.types as T
+    engine.sql("CREATE TABLE ns1.vt (x BIGINT)")
+    engine.sql("INSERT INTO ns1.vt VALUES (1)")
+    engine.create_view("ns1.v_typed", "SELECT x FROM ns1.vt",
+                       schema_binding=True)
+    engine.drop_columns("ns1.vt", ["x"])
+    engine.add_columns("ns1.vt", T.StructType(
+        [T.StructField("x", T.StringType())]))
+    with pytest.raises(ValueError, match="not losslessly castable"):
+        engine.read_view("ns1.v_typed")
