@@ -433,7 +433,9 @@ class Engine:
               matched_delete: bool = False,
               not_matched_insert: dict[str, str] | None = None,
               matched_clauses: list | None = None,
-              not_matched_clauses: list | None = None) -> int:
+              not_matched_clauses: list | None = None,
+              dedup_source_by: list[str] | None = None,
+              dedup_source_order: str | None = None) -> int:
         """MERGE INTO: copy-on-write upsert. Only files containing matched
         target rows are rewritten (the FIRST matched clause whose condition
         holds is applied per row, SQL clause-order semantics; rows hit by
@@ -458,7 +460,25 @@ class Engine:
         carry-through dedup share one window over a per-row id inside the
         rewrite job — a single extra exchange of the rewrite set, no
         second scan, and it can never drift from what is written.
+
+        ``dedup_source_by`` opts into source-side deduplication instead of
+        the cardinality error: source rows are reduced to one winner per
+        key before the merge (``dedup_source_order`` — required — is an
+        expression over source columns; the row with the HIGHEST value
+        wins, ties broken by all remaining columns for determinism).
         """
+        if dedup_source_by:
+            if not dedup_source_order:
+                raise ValueError(
+                    "MERGE: dedup_source_by requires dedup_source_order — "
+                    "an arbitrary per-key winner would make the merge "
+                    "non-deterministic")
+            tie = [F.col(c).desc_nulls_last() for c in source.columns
+                   if c not in set(dedup_source_by)]
+            w = (Window.partitionBy(*dedup_source_by)
+                 .orderBy(F.expr(dedup_source_order).desc_nulls_last(), *tie))
+            source = (source.withColumn("_sdrn", F.row_number().over(w))
+                      .filter("_sdrn = 1").drop("_sdrn"))
         if matched_clauses is None:
             matched_clauses = []
             if matched_update:
@@ -491,7 +511,29 @@ class Engine:
                     f"{sorted(unknown)} of {name}")
         self._record_select(txn, ns, tbl, cols, on)
         all_paths = tdef.file_paths()
-        src = source.alias(source_alias)
+        # Materialize the source ONCE: the merge runs up to three jobs over
+        # it (file-pruning semi join, rewrite join, not-matched anti join).
+        # Without pinning, a non-deterministic source (rand() sampling,
+        # now(), a re-shuffling scan) presents DIFFERENT rows to each job —
+        # updating against one snapshot while inserting against another
+        # (the reason Delta materializes merge sources). Persist + eager
+        # count also saves two full recomputations of the source plan.
+        # try/finally releases the blocks (the round-2 cache-leak lesson).
+        from pyspark import StorageLevel
+        src = source.alias(source_alias).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        src.count()
+        try:
+            return self._merge_body(
+                txn, tdef, ns, tbl, src, on, target_alias, source_alias,
+                cols, schema, matched_clauses, not_matched_clauses)
+        finally:
+            src.unpersist()
+
+    def _merge_body(self, txn, tdef, ns, tbl, src, on, target_alias,
+                    source_alias, cols, schema, matched_clauses,
+                    not_matched_clauses) -> int:
+        all_paths = tdef.file_paths()
         n_changed = 0
         new_files: list[DataFile] = []
         removed: list[str] = []

@@ -481,3 +481,62 @@ def test_schema_bound_view_incompatible_type_drift_raises(engine, spark):
         [T.StructField("x", T.StringType())]))
     with pytest.raises(ValueError, match="not losslessly castable"):
         engine.read_view("ns1.v_typed")
+
+
+def test_merge_source_materialized_once(engine, spark):
+    """The merge runs up to three jobs over the source (semi join,
+    rewrite join, anti join). The source must be pinned once: a
+    non-deterministic source would otherwise update against one snapshot
+    and insert against another. The accumulator counts source-plan
+    executions row by row — exactly one pass means one materialization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    engine.sql("CREATE TABLE ns1.mt (k BIGINT, v DOUBLE)")
+    engine.sql("INSERT INTO ns1.mt VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(k):
+        acc.add(1)
+        return k
+
+    tag_udf = F.udf(tag, LongType())
+    src = (spark.range(2, 5)
+           .select(tag_udf(F.col("id")).alias("k"),
+                   (F.col("id") * 10.0).alias("v")))
+    n = engine.merge("ns1.mt", src, on="t.k = s.k",
+                     matched_update={"v": "s.v"},
+                     not_matched_insert={"k": "s.k", "v": "s.v"})
+    assert n == 3
+    out = {r.k: r.v for r in engine.sql("SELECT k, v FROM ns1.mt").collect()}
+    assert out == {1: 1.0, 2: 20.0, 3: 30.0, 4: 40.0}
+    assert acc.value == 3
+
+
+def test_merge_dedup_source_opt_in(engine, spark):
+    """dedup_source_by resolves source fan-out deterministically (highest
+    dedup_source_order value wins) instead of raising the cardinality
+    error; omitting the order expression is rejected."""
+    import pytest as _pytest
+
+    from olympia_spark.catalog.errors import MergeCardinalityError
+
+    engine.sql("CREATE TABLE ns1.ds (k BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.ds VALUES (1, 10), (2, 20)")
+    dup_src = spark.createDataFrame(
+        [(1, 100), (1, 300), (1, 200), (3, 5), (3, 7)], "k BIGINT, v BIGINT")
+    with _pytest.raises(MergeCardinalityError):
+        engine.merge("ns1.ds", dup_src, on="t.k = s.k",
+                     matched_update={"v": "s.v"},
+                     not_matched_insert={"k": "s.k", "v": "s.v"})
+    with _pytest.raises(ValueError, match="dedup_source_order"):
+        engine.merge("ns1.ds", dup_src, on="t.k = s.k",
+                     matched_update={"v": "s.v"},
+                     dedup_source_by=["k"])
+    n = engine.merge("ns1.ds", dup_src, on="t.k = s.k",
+                     matched_update={"v": "s.v"},
+                     not_matched_insert={"k": "s.k", "v": "s.v"},
+                     dedup_source_by=["k"], dedup_source_order="v")
+    assert n == 2
+    out = {r.k: r.v for r in engine.sql("SELECT k, v FROM ns1.ds").collect()}
+    assert out == {1: 300, 2: 20, 3: 7}
