@@ -80,8 +80,14 @@ def _shingles_df(spark: SparkSession, sf: str) -> DataFrame:
     the shuffle-map side of every downstream join onto a single core. On
     a real deployment the table has thousands of splits and this is a
     no-op cost; locally it is the difference between 1 and 32 cores."""
-    d = load(spark, sf, "documents")
-    n_part = spark.sparkContext.defaultParallelism
+    return _shingles_of(load(spark, sf, "documents"),
+                        spark.sparkContext.defaultParallelism)
+
+
+def _shingles_of(d: DataFrame, n_part: int) -> DataFrame:
+    """Shingle an arbitrary (doc_id, text, …) relation — see _shingles_df
+    for why the words array gets its own projection and why we repartition
+    before the explode."""
     words = d.repartition(n_part, "doc_id") \
              .select("doc_id", F.split("text", " ").alias("w"))
     # explode(expr) in ONE projection: naming the array in an intermediate
@@ -183,6 +189,31 @@ _PERMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30))
           for _ in range(16)]
 
 
+def _with_h32(sh: DataFrame) -> DataFrame:
+    return sh.withColumn(
+        "h32", F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)))
+
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, pid, mh) signature relation from a shingle relation with
+    h32. All 16 signature values as min-aggregates in ONE groupBy(doc_id)
+    pass: the shuffle moves |shingles| rows exactly once (a
+    crossJoin-with-permutations formulation amplifies shuffle volume by
+    the signature width — 16× — for the same result). The per-permutation
+    rows are exploded AFTER aggregation, on the constant-size table."""
+    sig_wide = sh.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(_MINHASH_P))
+         .alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)])
+    return (sig_wide.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("pid"), F.col(f"mh{i}").alias("mh"))
+            for i in range(len(_PERMS))])).alias("b"))
+        .select("doc_id", F.col("b.pid").alias("pid"),
+                F.col("b.mh").alias("mh")))
+
+
 @query("dedup_minhash_lsh", oracle=_jaccard_oracle(0.8))
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 16 minhash signature values →
@@ -201,25 +232,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # cache accumulates executor storage memory across queries in a shared
     # session (judge-measured 2× on the whole bench suite at sf0.1; an
     # OOM/eviction generator on a long-lived 100 TB cluster).
-    sh = _shingles_df(spark, sf).withColumn(
-        "h32", F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))).cache()
-    # All 16 signature values as min-aggregates in ONE groupBy(doc_id)
-    # pass: the shuffle moves |shingles| rows exactly once (a
-    # crossJoin-with-permutations formulation amplifies shuffle volume by
-    # the signature width — 16× — for the same result). The per-permutation
-    # band rows are exploded AFTER aggregation, on the constant-size
-    # signature table.
-    sig_wide = sh.groupBy("doc_id").agg(*[
-        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(_MINHASH_P))
-         .alias(f"mh{i}")
-        for i, (a, b) in enumerate(_PERMS)])
-    sigs = (sig_wide.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("pid"), F.col(f"mh{i}").alias("mh"))
-            for i in range(len(_PERMS))])).alias("b"))
-        .select("doc_id", F.col("b.pid").alias("pid"), F.col("b.mh").alias("mh"))
-        .cache())
+    sh = _with_h32(_shingles_df(spark, sf)).cache()
+    sigs = _minhash_sigs(sh).cache()
     try:
         # Candidate = pair sharing ≥2 of the 16 signature positions. One
         # matching position admits birthday-collision noise (measured: 157k
@@ -494,20 +508,8 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     threshold)."""
     d = load(spark, sf, "documents")
     cut = int(d.agg(F.max("doc_id")).first()[0]) * 4 // 5
-    sh = _shingles_df(spark, sf).withColumn(
-        "h32", F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))).cache()
-    sig_wide = sh.groupBy("doc_id").agg(*[
-        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(_MINHASH_P))
-         .alias(f"mh{i}")
-        for i, (a, b) in enumerate(_PERMS)])
-    sigs = (sig_wide.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("pid"), F.col(f"mh{i}").alias("mh"))
-            for i in range(len(_PERMS))])).alias("b"))
-        .select("doc_id", F.col("b.pid").alias("pid"),
-                F.col("b.mh").alias("mh"))
-        .cache())
+    sh = _with_h32(_shingles_df(spark, sf)).cache()
+    sigs = _minhash_sigs(sh).cache()
     try:
         corpus = sigs.filter(F.col("doc_id") < cut)
         batch = sigs.filter(F.col("doc_id") >= cut)
@@ -522,6 +524,77 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         sh.unpersist()
         sigs.unpersist()
+
+
+# --- incremental dedup against a PERSISTED signature catalog table ----------
+
+_INCR_ENGINES: dict[tuple[str, str], object] = {}
+
+
+def _corpus_sig_index(spark: SparkSession, sf: str):
+    """(engine, cut): catalog table ``dedup.corpus_sigs`` holding the
+    corpus (oldest 80% of doc ids) MinHash signature relation
+    (doc_id, pid, mh) — built ONCE per (session, sf) and probed by every
+    batch. This is the production ingest shape: the signature index
+    accumulates in the catalog; a batch never recomputes corpus
+    signatures, and corpus *text* is re-read only for the few candidate
+    docs that reach exact verification."""
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        d = load(spark, sf, "documents")
+        cut = int(d.agg(F.max("doc_id")).first()[0]) * 4 // 5
+        eng = Engine(spark, scratch_dir("olympia_dedupidx_"))
+        eng.sql("CREATE NAMESPACE dedup")
+        corpus_sh = _with_h32(
+            _shingles_df(spark, sf).filter(F.col("doc_id") < cut))
+        eng.write_table(_minhash_sigs(corpus_sh), "dedup.corpus_sigs")
+        return (eng, cut)
+
+    return get_or_create(_INCR_ENGINES, spark, sf, build)
+
+
+@query("dedup_incremental_catalog", oracle=_INCR_ORACLE)
+def dedup_incremental_catalog(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash dedup probing a PERSISTED signature index:
+    the corpus signature relation is a catalog table written once
+    (``_corpus_sig_index``); the incoming batch (newest 20% of doc ids)
+    computes only its OWN signatures and equi-joins the stored relation
+    on (pid, mh). Exact-Jaccard verification re-reads corpus text only
+    for candidate docs (broadcast semi-join on the tiny candidate set).
+    Candidate semantics (≥2 matching positions) and threshold are
+    identical to dedup_incremental, so the same oracle applies — what
+    changes is WHERE the corpus signatures come from: parquet scan of
+    the index table, zero corpus recompute per batch."""
+    eng, cut = _corpus_sig_index(spark, sf)
+    corpus_sigs = eng.read_table("dedup.corpus_sigs")
+    batch_sh = _with_h32(
+        _shingles_df(spark, sf).filter(F.col("doc_id") >= cut)).cache()
+    try:
+        batch_sigs = _minhash_sigs(batch_sh)
+        # localCheckpoint: the candidate set is tiny and feeds two
+        # consumers (the corpus-doc re-read and the verify join) — pin it
+        # so the probe join never re-executes
+        cand = (corpus_sigs.alias("x")
+                .join(batch_sigs.alias("y"), ["pid", "mh"])
+                .groupBy(F.col("x.doc_id").alias("d1"),
+                         F.col("y.doc_id").alias("d2"))
+                .agg(F.count("*").alias("n_band_matches"))
+                .filter("n_band_matches >= 2")
+                .select("d1", "d2")
+                .localCheckpoint())
+        cand_docs = cand.select(F.col("d1").alias("doc_id")).distinct()
+        d = load(spark, sf, "documents")
+        corpus_cand_sh = _shingles_of(
+            d.join(F.broadcast(cand_docs), "doc_id"),
+            spark.sparkContext.defaultParallelism)
+        sh_verify = corpus_cand_sh.unionByName(
+            batch_sh.select("doc_id", "s"))
+        return _with_jaccard(_verify_candidates(sh_verify, cand), 0.8) \
+            .localCheckpoint()
+    finally:
+        batch_sh.unpersist()
 
 
 # --- edit-distance near-dup (short-text / title dedup) ----------------------

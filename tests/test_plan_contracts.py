@@ -62,3 +62,24 @@ def test_jvm_only_operators_have_no_python_in_plan(spark, name):
     plan = _plan(registry.QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan, name
     assert "ArrowEvalPython" not in plan, name
+
+
+def test_incremental_catalog_probe_reads_persisted_index(spark):
+    """dedup_incremental_catalog's corpus side must be a parquet scan of
+    the persisted signature table — NOT a recompute of the corpus shingle/
+    signature DAG. The probe plan therefore contains the index warehouse
+    path, and the only Generates are the BATCH side's two explodes
+    (shingles, then signature positions) — a corpus recompute would add
+    two more."""
+    from olympia_spark.operators import dedup
+
+    eng, cut = dedup._corpus_sig_index(spark, SF)
+    corpus_sigs = eng.read_table("dedup.corpus_sigs")
+    batch_sigs = dedup._minhash_sigs(dedup._with_h32(
+        dedup._shingles_df(spark, SF).filter(f"doc_id >= {cut}")))
+    probe = corpus_sigs.alias("x").join(batch_sigs.alias("y"), ["pid", "mh"])
+    plan = _plan(probe)
+    assert "olympia_dedupidx_" in plan, plan
+    n_generate = sum(1 for ln in plan.splitlines()
+                     if ln.strip().startswith("(") and "Generate" in ln)
+    assert n_generate == 2, plan
