@@ -242,6 +242,78 @@ def b32_catalog_ingest(spark: SparkSession, sf: str) -> DataFrame:
         "FROM stream.events")
 
 
+# --- streaming dedup --------------------------------------------------------
+
+@query("b32_stream_dedup", oracle="""
+SELECT user_id, event_type FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""")
+def b32_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` keeps per-key state in
+    the state store and emits each (user_id, event_type) key exactly once,
+    on first arrival, across micro-batches — the ingest-time dedup shape
+    (at 100 TB the key would be a content digest; the state store is
+    RocksDB-backed and the emitted stream is duplicate-free by
+    construction, no batch re-dedup downstream). The emitted KEY SET is
+    arrival-order independent, which is what the oracle checks.
+
+    No watermark for the same reason as the session window: the staged
+    files replay time-unordered, and ``dropDuplicatesWithinWatermark``
+    would drop late keys; a production unbounded stream would use it to
+    bound state."""
+    stream, _ = _staged_events_stream(spark, sf)
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    out = _run_to_memory(deduped, "append")
+    return (out.select("user_id", "event_type")
+            .orderBy("user_id", "event_type"))
+
+
+# --- stream-stream join -----------------------------------------------------
+
+@query("b32_stream_join", oracle=f"""
+SELECT c.user_id, COUNT(*) AS n_pairs,
+       {dsum('p.value', 'purchase_value_sum')}
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+ORDER BY c.user_id
+""")
+def b32_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join: clicks and purchases are two independent
+    streams over the same staged arrivals; each click joins purchases by
+    the same user within the following 30 minutes. Both sides buffer in
+    the state store until a match arrives (the attribution-join shape).
+    The joined SET is arrival-order independent, so a batch self-join
+    oracle applies; the drained pairs are aggregated per user in batch.
+
+    Inner stream-stream joins need no watermark for correctness — only
+    for state eviction, which a bounded replay doesn't need; a production
+    deployment adds watermarks on both sides + the time bound to let the
+    store drop expired rows."""
+    stream_c, _ = _staged_events_stream(spark, sf)
+    stream_p, _ = _staged_events_stream(spark, sf)
+    clicks = (stream_c.filter("event_type = 'click'")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts")))
+    purchases = (stream_p.filter("event_type = 'purchase'")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"), "value"))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")))
+    out = _run_to_memory(joined, "append")
+    return (out.groupBy(F.col("c_user").alias("user_id"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                  .alias("purchase_value_sum"))
+            .orderBy("user_id"))
+
+
 # --- custom stateful operator (applyInPandasWithState) ----------------------
 
 def _user_stats_fn(key, pdfs, state):
