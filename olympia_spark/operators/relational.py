@@ -854,3 +854,67 @@ def b19c_except_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
             .select(F.lit("intersect_all").alias("op"), "event_type", "n"))
     return exc.unionAll(ints).orderBy("op", "event_type")
+
+
+@query("b39_lateral_topn", oracle="""
+SELECT n_name, c_name, c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2)
+ORDER BY n_name, c_acctbal DESC, c_name
+""")
+def b39_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """B39 — correlated LATERAL subquery: top-2 customers by balance per
+    nation. Catalyst DECORRELATES the lateral into a rank-window over a
+    single shuffled join — not N per-nation executions (the naive
+    interpretation would be a scan per outer row; the decorrelated plan
+    is one pass whatever the outer cardinality, which is what makes
+    LATERAL usable at 100 TB)."""
+    load(spark, sf, "nation").createOrReplaceTempView("b39_nation")
+    load(spark, sf, "customer").createOrReplaceTempView("b39_customer")
+    return spark.sql("""
+        SELECT n_name, c_name, c_acctbal
+        FROM b39_nation, LATERAL (
+          SELECT c_name, c_acctbal FROM b39_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2)
+        ORDER BY n_name, c_acctbal DESC, c_name
+    """)
+
+
+@query("b14c_dist_window", oracle="""
+SELECT o_orderkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_key,
+       NTH_VALUE(o_orderkey, 3) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS third_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""")
+def b14c_dist_window(spark: SparkSession, sf: str) -> DataFrame:
+    """B14c — distribution window functions (percent_rank, cume_dist)
+    plus frame navigation (first/last/nth value over an unbounded frame).
+    The (o_totalprice, o_orderkey) ordering is total, so every function
+    is tie-deterministic; percent_rank/cume_dist are exact integer
+    ratios, identical across engines. One sort/exchange serves all six
+    functions."""
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus") \
+        .orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"))
+        .orderBy("o_orderkey"))

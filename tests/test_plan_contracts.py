@@ -83,3 +83,12 @@ def test_incremental_catalog_probe_reads_persisted_index(spark):
     n_generate = sum(1 for ln in plan.splitlines()
                      if ln.strip().startswith("(") and "Generate" in ln)
     assert n_generate == 2, plan
+
+
+def test_lateral_topn_decorrelates_to_window(spark):
+    """The correlated LATERAL must decorrelate into one rank-window pass
+    — a per-outer-row re-execution (cartesian/nested-loop over the inner
+    scan) would be O(outer × inner) at scale."""
+    plan = _plan(registry.QUERIES["b39_lateral_topn"](spark, SF))
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
