@@ -64,7 +64,7 @@ _PRIORITY = [
     "b37_pivot", "b38_range_frame_window", "b32_stream_stateful_counter",
     "b19c_except_intersect_all", "dedup_edit_distance",
     "dedup_incremental_catalog", "b32_stream_dedup", "b32_stream_join",
-    "b39_lateral_topn", "b14c_dist_window",
+    "b39_lateral_topn", "b14c_dist_window", "b40_skew_salted_join",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster",
     # r1-only green — cheap scalar/window/set-op queries first
     "b15_running_sum", "b16_sort", "b16b_sort_nulls", "b17_topk",

@@ -918,3 +918,48 @@ def b14c_dist_window(spark: SparkSession, sf: str) -> DataFrame:
         F.last("o_orderkey").over(wf).alias("last_key"),
         F.nth_value("o_orderkey", 3).over(wf).alias("third_key"))
         .orderBy("o_orderkey"))
+
+
+@query("b40_skew_salted_join", oracle=f"""
+WITH dim AS (SELECT 'F' AS status, 1.0 AS factor
+             UNION ALL SELECT 'O', 1.1
+             UNION ALL SELECT 'P', 1.25)
+SELECT status, COUNT(*) AS n,
+       {dsum('o_totalprice * factor', 'weighted_sum')}
+FROM orders JOIN dim ON o_orderstatus = status
+GROUP BY status
+ORDER BY status
+""")
+def b40_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B40 — salted join over a pathologically skewed key: o_orderstatus
+    has 3 distinct values, so an unsalted shuffle join lands ~half the
+    fact table in ONE task regardless of cluster size. Salting fans each
+    key into SALT sub-keys: the fact side derives salt from a uniform
+    hash, the other side explodes all SALT copies, and the join runs on
+    (key, salt) — parallelism × SALT, identical result (the group-by
+    collapses the salt).
+
+    Escalation order at 100 TB: (1) broadcast the small side — no
+    shuffle at all; (2) AQE skew-split for sort-merge joins; (3) explicit
+    salting, the portable fallback when the partner side is too big to
+    broadcast AND the engine can't split (e.g. the key feeds a stateful
+    op). The fixture dim is forced through the shuffle path
+    (shuffle_hash hint) precisely so the salted exchange shape is real
+    and plan-assertable — broadcast would erase the demonstration."""
+    SALT = 8
+    o = load(spark, sf, "orders")
+    dim = spark.createDataFrame(
+        [("F", 1.0), ("O", 1.1), ("P", 1.25)], "status STRING, factor DOUBLE")
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+    fact = o.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(SALT)).cast("int"))
+    joined = fact.join(
+        dim_salted.hint("shuffle_hash"),
+        (fact.o_orderstatus == dim_salted.status)
+        & (fact.salt == dim_salted.salt))
+    return (joined.groupBy("status")
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("o_totalprice") * F.col("factor")).cast(DEC))
+                  .cast("double").alias("weighted_sum"))
+            .orderBy("status"))

@@ -92,3 +92,15 @@ def test_lateral_topn_decorrelates_to_window(spark):
     plan = _plan(registry.QUERIES["b39_lateral_topn"](spark, SF))
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_skew_salted_join_shuffles_on_salted_key(spark):
+    """The salted join must exchange on (key, salt) — SALT× the
+    parallelism of the 3-value raw key — and must NOT degrade to a
+    broadcast (which would erase the demonstrated shape)."""
+    plan = _plan(registry.QUERIES["b40_skew_salted_join"](spark, SF))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "salt" in plan, plan
+    exch = [ln for ln in plan.splitlines()
+            if "hashpartitioning" in ln and "salt" in ln]
+    assert exch, plan
