@@ -425,3 +425,73 @@ def sim_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
                   .cast("double").alias("total_sq_err"),
                  F.sum("n_clipped").cast("bigint").alias("n_clipped"))
             .orderBy("label"))
+
+
+# --- quantized search with exact rescore ------------------------------------
+
+def _absmax_expr(vec: str, engine: str) -> str:
+    if engine == "duck":
+        return (f"GREATEST(list_aggregate(list_transform({vec}::DOUBLE[], "
+                f"u -> ABS(u)), 'max'), 1e-12)")
+    return (f"GREATEST(aggregate(transform({vec}, u -> "
+            f"CAST(abs(u) AS DOUBLE)), 0D, (a, u) -> "
+            f"CASE WHEN u > a THEN u ELSE a END), 1e-12D)")
+
+
+def _qvec_expr(vec: str, engine: str) -> str:
+    """int8 quantization of an array column: absmax-scaled to [-127,127],
+    SQL ROUND (half away from zero in both engines), exact BIGINT lanes."""
+    am = _absmax_expr(vec, engine)
+    if engine == "duck":
+        return (f"list_transform({vec}::DOUBLE[], x -> CAST(ROUND("
+                f"GREATEST(-127, LEAST(127, x / {am} * 127))) AS BIGINT))")
+    return (f"transform({vec}, x -> CAST(ROUND(GREATEST(-127D, LEAST(127D, "
+            f"CAST(x AS DOUBLE) / {am} * 127))) AS BIGINT))")
+
+
+def _intdot_expr(a: str, b: str, engine: str) -> str:
+    if engine == "duck":
+        return f"list_dot_product({a}, {b})"
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, "
+            f"(acc, v) -> acc + v)")
+
+
+def _topk_int8_sql(engine: str) -> str:
+    cos = _cosine("s.embedding", "q.qe", engine)
+    i8 = (f"({_intdot_expr('c.cv', 'q.qv', engine)} / "
+          f"(sqrt({_intdot_expr('c.cv', 'c.cv', engine)}) * "
+          f"sqrt({_intdot_expr('q.qv', 'q.qv', engine)})))")
+    return f"""
+WITH q AS (SELECT {_qvec_expr('embedding', engine)} AS qv,
+                  embedding AS qe
+           FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, embedding,
+             {_qvec_expr('embedding', engine)} AS cv
+      FROM embeddings WHERE vec_id <> 0),
+scored AS (
+  SELECT c.vec_id, c.embedding, {i8} AS int8_sim
+  FROM c, q
+  ORDER BY {i8} DESC, c.vec_id
+  LIMIT 30
+)
+SELECT s.vec_id, ROUND({cos}, 4) AS cos_sim,
+       ROUND(s.int8_sim, 4) AS int8_sim
+FROM scored s, q
+ORDER BY {cos} DESC, s.vec_id
+LIMIT 10
+"""
+
+
+@query("sim_topk_int8", oracle=_topk_int8_sql("duck"))
+def sim_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized top-k with exact rescore — the memory-bound ANN pattern:
+    the candidate scan ranks by int8 dot product (4× less data touched
+    than float32; the quantized corpus column is what a 100 TB deployment
+    stores alongside the index), takes 3× the final k, then rescoring
+    computes exact fp32 cosine on the 30 survivors only. Every int8 lane
+    product (≤127²) and 64-term sum (≤1.04M) is an exact integer in
+    double, so candidate ranking is bit-identical across engines; SQL
+    ROUND quantization matches sim_quantize_int8. One narrow corpus pass
+    + TakeOrderedAndProject; rescore cost is O(k), independent of corpus
+    size."""
+    return _run(spark, sf, _topk_int8_sql("spark"))
