@@ -306,13 +306,54 @@ class Tree:
         node.path, node.dirty = path, False
         return path
 
+    def _stage_dirty_children(self, node: Node, created_at: int,
+                              blobs: list) -> None:
+        """Post-order staging: assign fresh copy-on-write paths and
+        serialize dirty descendants to bytes WITHOUT uploading. Children
+        stage before their parent serializes, so parent rows already
+        carry the new child paths; the bytes can then upload in any
+        order because nothing references them until the root CAS
+        lands."""
+        if node.leftmost is not None and node.leftmost.dirty:
+            node.leftmost_path = self._stage_subtree(
+                node.leftmost, created_at, blobs)
+        for child in node.children.values():
+            if child.dirty:
+                self._stage_subtree(child, created_at, blobs)
+
+    def _stage_subtree(self, node: Node, created_at: int,
+                       blobs: list) -> str:
+        self._stage_dirty_children(node, created_at, blobs)
+        path = loc.new_node_path()
+        node.path = path
+        blobs.append((path, self._serialize_rows(node, created_at), node))
+        return path
+
     def write_root(self, root: RootNode, version: int,
                    created_at: int | None = None) -> str:
-        """Write dirty children bottom-up, then atomically seal the new root
-        at its version path. Raises StorageAtomicSealFailureError if another
-        writer committed this version first (the CAS)."""
+        """Stage dirty children bottom-up, upload the non-root node files
+        IN PARALLEL, then atomically seal the new root at its version
+        path — the spec's commit model (docs/format.md:260-267: "write
+        child nodes in parallel, then CAS the root"; the reference's
+        impl is actually sequential recursion,
+        TreeOperations.java:181-202). Fresh-uuid node files are invisible
+        until the root seals, so upload order is free; on object storage
+        the upload wall-clock is one round-trip, not depth×fan-out.
+        Raises StorageAtomicSealFailureError if another writer committed
+        this version first (the CAS)."""
         created_at = created_at or int(time.time() * 1000)
-        self.write_dirty_children(root, created_at)
+        blobs: list = []
+        self._stage_dirty_children(root, created_at, blobs)
+        if len(blobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(8, len(blobs))) as ex:
+                list(ex.map(
+                    lambda b: self.storage.write_atomic(b[0], b[1]), blobs))
+        elif blobs:
+            self.storage.write_atomic(blobs[0][0], blobs[0][1])
+        for _path, _data, node in blobs:
+            node.dirty = False
         root.created_at_millis = created_at
         path = loc.root_node_path(version)
         self.storage.write_atomic(path, self._serialize_rows(root, created_at))

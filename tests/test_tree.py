@@ -322,3 +322,30 @@ def test_tree_matches_dict_model_across_reloads(tmp_path_factory, ops):
     assert dict(tree.traverse(root)) == model
     for k, v in model.items():
         assert tree.search(root, k) == v
+
+
+def test_write_root_uploads_children_before_root_seal(tmp_path):
+    """The commit protocol: every non-root node file must be fully
+    uploaded BEFORE the root CAS write — a reader following the sealed
+    root must never hit a missing child. Parallel upload order among the
+    children themselves is free (fresh uuids, invisible until the seal);
+    the recording wrapper asserts only the seal-last invariant and that
+    the multi-level tree round-trips."""
+    order: list[str] = []
+
+    class Recording(LocalStorage):
+        def write_atomic(self, path, data):
+            super().write_atomic(path, data)
+            order.append(path)
+
+    tree = Tree(Recording(str(tmp_path)), order=4)
+    root = _fresh_root()
+    for i in range(40):                   # order 4 → multi-level tree
+        tree.set_value(root, f"k{i:03d}", f"v{i}")
+    tree.write_root(root, 0)
+    assert len(order) > 3, order          # really multi-node
+    assert order[-1] == loc.root_node_path(0)
+    assert all(p.startswith("node/") for p in order[:-1])
+    loaded = tree.load_root(loc.root_node_path(0))
+    assert [k for k, _ in tree.traverse(loaded)] == \
+        [f"k{i:03d}" for i in range(40)]
