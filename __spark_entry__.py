@@ -65,7 +65,7 @@ _PRIORITY = [
     "b19c_except_intersect_all", "dedup_edit_distance",
     "dedup_incremental_catalog", "b32_stream_dedup", "b32_stream_join",
     "b39_lateral_topn", "b14c_dist_window", "b40_skew_salted_join",
-    "sim_topk_int8",
+    "sim_topk_int8", "b41_bloom_join_prune",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster",
     # r1-only green — cheap scalar/window/set-op queries first
     "b15_running_sum", "b16_sort", "b16b_sort_nulls", "b17_topk",

@@ -963,3 +963,64 @@ def b40_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum((F.col("o_totalprice") * F.col("factor")).cast(DEC))
                   .cast("double").alias("weighted_sum"))
             .orderBy("status"))
+
+
+def _bloom_confs(spark: SparkSession) -> dict[str, str]:
+    """Scoped conf set for the runtime bloom-filter demonstration; the
+    fixture fact scan is far below the default 10 GiB application-side
+    threshold, and an auto-broadcast of the filtered dim would replace
+    the shuffle join the runtime filter exists to protect."""
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+
+
+def _with_confs(spark: SparkSession, confs: dict[str, str], fn):
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        return fn()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _bloom_join_df(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter("p_brand = 'Brand#12'")
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                  .alias("price_sum"))
+            .orderBy("p_brand"))
+
+
+@query("b41_bloom_join_prune", oracle=f"""
+SELECT p_brand, COUNT(*) AS n, {dsum('l_extendedprice', 'price_sum')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#12'
+GROUP BY p_brand
+ORDER BY p_brand
+""")
+def b41_bloom_join_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """B41 — runtime bloom-filter join pruning: Catalyst builds a bloom
+    filter from the SELECTIVE side (part rows of one brand) and injects
+    ``might_contain(xxhash64(l_partkey))`` into the FACT scan, so
+    non-matching fact rows drop before the shuffle — at 100 TB the
+    shuffle carries ~the dim selectivity of the fact table instead of
+    all of it. The filter is probabilistic but the join stays exact
+    (false positives are eliminated by the join itself), so the plain
+    join oracle applies unchanged. Confs are scoped: the plan executes
+    eagerly (tiny result) under the bloom confs and the session is
+    restored before returning."""
+    return _with_confs(
+        spark, _bloom_confs(spark),
+        lambda: _bloom_join_df(spark, sf).localCheckpoint())

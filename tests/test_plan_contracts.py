@@ -104,3 +104,20 @@ def test_skew_salted_join_shuffles_on_salted_key(spark):
     exch = [ln for ln in plan.splitlines()
             if "hashpartitioning" in ln and "salt" in ln]
     assert exch, plan
+
+
+def test_bloom_join_injects_might_contain_on_fact_scan(spark):
+    """Under the scoped confs the optimizer must build bloom_filter_agg
+    from the selective dim and inject might_contain into the fact side —
+    the shuffle-volume reduction IS the operator."""
+    from olympia_spark.operators import relational as rel
+
+    def build():
+        return _plan(rel._bloom_join_df(spark, SF))
+
+    plan = rel._with_confs(spark, rel._bloom_confs(spark), build)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    # and the confs were restored — a later plain join must not inherit it
+    plan2 = _plan(rel._bloom_join_df(spark, SF))
+    assert "might_contain" not in plan2, plan2
