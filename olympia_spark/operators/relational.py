@@ -1024,3 +1024,110 @@ def b41_bloom_join_prune(spark: SparkSession, sf: str) -> DataFrame:
     return _with_confs(
         spark, _bloom_confs(spark),
         lambda: _bloom_join_df(spark, sf).localCheckpoint())
+
+
+# --- B42 UNPIVOT ------------------------------------------------------------
+
+@query("b42_unpivot", oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS low,
+         CAST(SUM(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mid,
+         CAST(SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS high
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, tier, n
+FROM wide UNPIVOT (n FOR tier IN (low, mid, high))
+ORDER BY o_orderpriority, tier
+""")
+def b42_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """B42 — UNPIVOT (wide→long reshaping): conditional aggregation builds
+    a wide per-priority price-tier table, then ``DataFrame.unpivot`` melts
+    the tier columns back to rows. Unpivot is a zero-shuffle Expand on an
+    already-aggregated (tiny) relation — the reshape itself adds no
+    exchange, so at 100 TB the cost stays the one partial+final
+    aggregation that produced the wide table."""
+    o = load(spark, sf, "orders")
+    wide = (o.groupBy("o_orderpriority")
+            .agg(F.sum(F.when(F.col("o_totalprice") < 50000, 1).otherwise(0))
+                  .cast("bigint").alias("low"),
+                 F.sum(F.when((F.col("o_totalprice") >= 50000)
+                              & (F.col("o_totalprice") < 150000), 1)
+                        .otherwise(0)).cast("bigint").alias("mid"),
+                 F.sum(F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0))
+                  .cast("bigint").alias("high")))
+    return (wide.unpivot("o_orderpriority", ["low", "mid", "high"],
+                         "tier", "n")
+            .orderBy("o_orderpriority", "tier"))
+
+
+# --- B43 time-series gap fill ----------------------------------------------
+
+@query("b43_gap_fill", oracle="""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS mn, MAX(CAST(ts AS DATE)) AS mx FROM events
+),
+cal AS (
+  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT cal.day, types.event_type, CAST(COALESCE(c, 0) AS BIGINT) AS n
+FROM cal CROSS JOIN types
+LEFT JOIN counts ON counts.day = cal.day
+                AND counts.event_type = types.event_type
+ORDER BY cal.day, types.event_type
+""")
+def b43_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """B43 — calendar densification (time-series gap fill): generate the
+    full day range with ``sequence()`` + ``explode`` from a single-row
+    bounds aggregate, cross-join the (tiny, broadcast) event-type dim,
+    and left-join the real per-day counts, zero-filling gaps. The dense
+    grid is days × types — independent of fact cardinality — so at
+    100 TB the only fact-sized work is the one count aggregation; the
+    join against the grid broadcasts the grid, not the fact."""
+    e = load(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "event_type")
+    counts = e.groupBy("day", "event_type").agg(F.count("*").alias("c"))
+    cal = (e.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+           .select(F.explode(F.sequence("mn", "mx")).alias("day")))
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(cal.crossJoin(types))
+    return (grid.join(counts, ["day", "event_type"], "left")
+            .select("day", "event_type",
+                    F.coalesce("c", F.lit(0)).cast("bigint").alias("n"))
+            .orderBy("day", "event_type"))
+
+
+# --- B44 ordered string aggregation -----------------------------------------
+
+@query("b44_string_agg", oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""")
+def b44_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """B44 — ordered string aggregation (LISTAGG): collect_list inside the
+    aggregate, sort_array for a deterministic element order (collect_list
+    order is partition-arrival order and NOT stable across runs — sorting
+    after collection is what makes the result reproducible on a cluster),
+    then array_join. One partial+final aggregation; list state stays
+    bounded by group cardinality, not input size."""
+    r = load(spark, sf, "region")
+    n = load(spark, sf, "nation")
+    return (r.join(n, r.r_regionkey == n.n_regionkey)
+            .groupBy("r_name")
+            .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+                  .alias("nations"),
+                 F.count("*").cast("bigint").alias("n_nations"))
+            .orderBy("r_name"))

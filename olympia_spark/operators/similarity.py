@@ -495,3 +495,33 @@ def sim_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     + TakeOrderedAndProject; rescore cost is O(k), independent of corpus
     size."""
     return _run(spark, sf, _topk_int8_sql("spark"))
+
+
+# --- C33 per-label centroids --------------------------------------------------
+
+@query("sim_centroid", oracle="""
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+)
+SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e
+GROUP BY label, pos
+ORDER BY label, pos
+""")
+def sim_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid embeddings — the E-step / cluster-refresh
+    primitive behind IVF index maintenance and k-means. posexplode turns
+    each vector into (pos, value) rows so the average is computed
+    dimension-parallel in ONE hash aggregation: at 100 TB the shuffle
+    carries labels × dims partial sums (constant in corpus size), never
+    vectors. Rounding at 6dp absorbs double-accumulation order (relative
+    error ~1e-14 at any partition count)."""
+    e = load(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
+                 F.count("*").cast("bigint").alias("n"))
+            .orderBy("label", "pos"))

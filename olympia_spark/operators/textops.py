@@ -532,3 +532,179 @@ def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
                 .localCheckpoint())
     finally:
         tf.unpersist()
+
+
+# --- C30 document chunking ---------------------------------------------------
+
+@query("text_chunk_tokens", oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+c AS (
+  SELECT source, len(w) AS nw, w,
+         unnest(generate_series(0, CAST(CEIL(len(w) / 32.0) AS INT) - 1)) AS i
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN nw - 32 * i >= 32 THEN 1 ELSE 0 END) AS BIGINT)
+           AS full_chunks,
+       CAST(SUM(LEAST(32, nw - 32 * i)) AS BIGINT) AS token_sum,
+       CAST(SUM(CAST(('0x' || substr(md5(
+                array_to_string(list_slice(w, i * 32 + 1, (i + 1) * 32), ' ')
+            ), 1, 12)) AS BIGINT)) AS BIGINT) AS chunk_hash_sum
+FROM c
+GROUP BY source
+ORDER BY source
+""")
+def text_chunk_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking into fixed 32-token windows — the
+    context-window-packing primitive of a pretraining pipeline. The token
+    array is materialized in its own projection (a ``transform`` lambda
+    re-splitting per element is O(words²) per doc), chunk strings are
+    produced by ONE transform/posexplode in a single projection, and the
+    verification hash of every chunk's exact text is aggregated per
+    source, so the oracle proves chunk *content*, not just counts.
+    Narrow map + explode + one aggregation; no join, one exchange of
+    per-source partial aggregates."""
+    d = load(spark, sf, "documents")
+    t = (d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+         .select("source", _words(F.col("text")).alias("w")))
+    chunks = t.select(
+        "source", F.size("w").alias("nw"),
+        F.posexplode(F.expr("""
+            transform(sequence(0, cast(ceil(size(w) / 32.0) as int) - 1),
+                      i -> array_join(slice(w, i * 32 + 1, 32), ' '))
+        """)).alias("i", "chunk"))
+    return (chunks.groupBy("source")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.when(F.col("nw") - 32 * F.col("i") >= 32, 1)
+                        .otherwise(0)).cast("bigint").alias("full_chunks"),
+                 F.sum(F.least(F.lit(32), F.col("nw") - 32 * F.col("i")))
+                  .cast("bigint").alias("token_sum"),
+                 F.sum(F.conv(F.substring(F.md5("chunk"), 1, 12), 16, 10)
+                        .cast("long")).cast("bigint").alias("chunk_hash_sum"))
+            .orderBy("source"))
+
+
+# --- C31 train/eval contamination --------------------------------------------
+
+@query("text_contamination", oracle="""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 10 < 8
+              THEN 1 ELSE 0 END AS is_train,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, source, is_train,
+         array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM (SELECT doc_id, source, is_train, w,
+               unnest(generate_series(1, len(w) - 7)) AS i
+        FROM base WHERE len(w) >= 8)
+),
+train AS (SELECT DISTINCT gram FROM g WHERE is_train = 1),
+ev AS (SELECT doc_id, source, gram FROM g WHERE is_train = 0),
+per_doc AS (
+  SELECT ev.doc_id, ev.source,
+         COUNT(*) AS n_grams,
+         COUNT(train.gram) AS n_hit
+  FROM ev LEFT JOIN train ON ev.gram = train.gram
+  GROUP BY ev.doc_id, ev.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+       CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS contaminated_docs,
+       CAST(SUM(n_hit) AS BIGINT) AS shared_ngrams,
+       CAST(SUM(n_grams) AS BIGINT) AS eval_ngrams,
+       ROUND(SUM(n_hit) * 1.0 / SUM(n_grams), 6) AS contamination_rate
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""")
+def text_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval contamination detection: docs are assigned to splits by
+    the same deterministic md5 bucket as ``data_split_stratified``, each
+    doc contributes its DISTINCT word 8-grams, and eval grams are probed
+    against the distinct train-gram set. The production shape for
+    decontaminating a benchmark against a pretraining corpus: the train
+    side reduces to a distinct gram relation (shuffle on gram — the
+    inverted index), the eval side joins against it, and nothing wider
+    than (doc_id, gram) ever materializes. Short docs (<8 tokens) have no
+    grams and drop out on both engines identically."""
+    d = load(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("long") % 10
+    base = (d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .filter(F.size(_words(F.col("text"))) >= 8)
+            .select("doc_id", "source", (bucket < 8).alias("is_train"),
+                    _words(F.col("text")).alias("w")))
+    grams = base.select(
+        "doc_id", "source", "is_train",
+        F.explode(F.expr("""
+            array_distinct(transform(sequence(1, size(w) - 7),
+                           i -> array_join(slice(w, i, 8), ' ')))
+        """)).alias("gram"))
+    train_g = grams.filter("is_train").select("gram").distinct()
+    ev = grams.filter(~F.col("is_train"))
+    hits = (ev.join(train_g, "gram", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
+    per_doc = (ev.groupBy("doc_id", "source")
+               .agg(F.count("*").alias("n_grams"))
+               .join(hits, "doc_id", "left")
+               .select("source", "n_grams",
+                       F.coalesce("n_hit", F.lit(0)).alias("n_hit")))
+    return (per_doc.groupBy("source")
+            .agg(F.count("*").alias("n_eval_docs"),
+                 F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+                  .cast("bigint").alias("contaminated_docs"),
+                 F.sum("n_hit").cast("bigint").alias("shared_ngrams"),
+                 F.sum("n_grams").cast("bigint").alias("eval_ngrams"),
+                 F.round(F.sum("n_hit") * 1.0 / F.sum("n_grams"), 6)
+                  .alias("contamination_rate"))
+            .orderBy("source"))
+
+
+# --- C32 heavy-hitter / skew profiling ---------------------------------------
+
+@query("data_heavy_hitters", oracle="""
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1),
+r AS (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rk
+  FROM c
+)
+SELECT r.event_type, rk, user_id, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / total, 6) AS share
+FROM r JOIN tot ON r.event_type = tot.event_type
+WHERE rk <= 5
+ORDER BY r.event_type, rk
+""")
+def data_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter profiling (the skew detector you run BEFORE choosing a
+    join strategy at 100 TB): per-key counts, top-5 keys per event type
+    by a tie-deterministic rank, each with its share of the type's
+    volume. One count aggregation (map-side partials shrink the shuffle
+    to distinct-key size), a rank window over the already-aggregated
+    relation, and a broadcast join against the per-type totals."""
+    e = load(spark, sf, "events")
+    c = e.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").cast("bigint")
+                                      .alias("total"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    r = c.select("event_type", "user_id", "n",
+                 F.row_number().over(w).alias("rk")).filter("rk <= 5")
+    return (r.join(F.broadcast(tot), "event_type")
+            .select("event_type", "rk", "user_id",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("n") * 1.0 / F.col("total"), 6)
+                     .alias("share"))
+            .orderBy("event_type", "rk"))
