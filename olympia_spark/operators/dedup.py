@@ -636,3 +636,39 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
                     dist.cast("long").alias("dist"))
             .filter("dist <= 5")
             .orderBy("d1", "d2"))
+
+
+# --- containment near-dup (quote-inclusion) ----------------------------------
+
+@query("dedup_containment", oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(i * 1.0 / LEAST(c1.n, c2.n), 4) AS containment
+FROM inter
+JOIN cnt c1 ON d1 = c1.doc_id
+JOIN cnt c2 ON d2 = c2.doc_id
+WHERE LEAST(c1.n, c2.n) >= 5
+  AND i * 1.0 / LEAST(c1.n, c2.n) >= 0.9
+ORDER BY d1, d2
+""")
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment near-dup (Jaccard CONTAINMENT, i/min(|A|,|B|)): catches
+    the asymmetric duplicates symmetric Jaccard misses — a short document
+    wholly quoted inside a long one scores i/min = 1.0 but Jaccard
+    i/(a+b-i) ≈ short/long. Same inverted-index machinery as the exact
+    Jaccard operator (shuffle on shingle, then pair), different ratio;
+    the ≥5-shingle floor keeps trivial snippets from matching
+    everything."""
+    pairs = _jaccard_pairs(spark, sf)
+    mn = F.least("n1", "n2")
+    c = F.col("i") / mn
+    return (pairs.filter((mn >= 5) & (c >= 0.9))
+            .select("d1", "d2", F.round(c, 4).alias("containment"))
+            .orderBy("d1", "d2"))

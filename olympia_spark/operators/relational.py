@@ -1131,3 +1131,109 @@ def b44_string_agg(spark: SparkSession, sf: str) -> DataFrame:
                   .alias("nations"),
                  F.count("*").cast("bigint").alias("n_nations"))
             .orderBy("r_name"))
+
+
+# --- B45 NOT IN null semantics ----------------------------------------------
+
+@query("b45_not_in_nulls", oracle="""
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                           WHERE o_totalprice > 200000)) AS n_not_in,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                           WHERE o_totalprice > 200000
+                           UNION ALL SELECT NULL)) AS n_not_in_null,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c.c_custkey
+                       AND o_totalprice > 200000)) AS n_not_exists
+""")
+def b45_not_in_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """B45 — three-valued NOT IN semantics, the classic silent-wrong-answer
+    trap: one NULL in the subquery makes every NOT IN comparison UNKNOWN,
+    so the second count is 0 regardless of data, while NOT EXISTS keeps
+    its null-safe anti-join meaning. Catalyst plans the NOT IN as a
+    null-aware anti join (a dedicated join type, not a filter) — proving
+    the engine implements ANSI semantics, not the intuitive-but-wrong
+    rewrite. All three subqueries reuse the same pushed-down orders
+    filter."""
+    load(spark, sf, "customer").createOrReplaceTempView("b45_customer")
+    load(spark, sf, "orders").createOrReplaceTempView("b45_orders")
+    return spark.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM b45_customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM b45_orders
+                                   WHERE o_totalprice > 200000)) AS n_not_in,
+          (SELECT COUNT(*) FROM b45_customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM b45_orders
+                                   WHERE o_totalprice > 200000
+                                   UNION ALL SELECT NULL)) AS n_not_in_null,
+          (SELECT COUNT(*) FROM b45_customer c
+           WHERE NOT EXISTS (SELECT 1 FROM b45_orders
+                             WHERE o_custkey = c.c_custkey
+                               AND o_totalprice > 200000)) AS n_not_exists
+    """)
+
+
+# --- B46 GROUPING SETS + GROUPING() -----------------------------------------
+
+@query("b46_grouping_sets", oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+       COUNT(*) AS n, {dsum('o_totalprice', 'price_sum')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+         o_orderpriority NULLS FIRST
+""")
+def b46_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """B46 — explicit GROUPING SETS with GROUPING() disambiguation:
+    a real NULL key and a subtotal row are distinguishable only through
+    the grouping indicator. One Expand + one aggregation pass (same
+    single-pass shape as the rollup/cube variants in B13); the grouping
+    flags are computed by the Expand, not a second scan."""
+    load(spark, sf, "orders").createOrReplaceTempView("b46_orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS price_sum
+        FROM b46_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST
+    """)
+
+
+# --- B47 inline VALUES dim join ----------------------------------------------
+
+@query("b47_values_join", oracle=f"""
+SELECT status, COUNT(*) AS n,
+       {dsum('o_totalprice * factor', 'weighted_sum')}
+FROM orders
+JOIN (VALUES ('F', 0.5), ('O', 1.5), ('P', 2.5)) AS tier(status, factor)
+  ON o_orderstatus = status
+GROUP BY status
+ORDER BY status
+""")
+def b47_values_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B47 — inline VALUES relation joined to a fact table: the literal
+    dim is driver-constructed, broadcast, and never shuffles the fact.
+    The everyday shape of joining a small config/mapping table at
+    100 TB — the plan must show BroadcastHashJoin with the fact side
+    streaming."""
+    o = load(spark, sf, "orders")
+    tier = spark.createDataFrame(
+        [("F", 0.5), ("O", 1.5), ("P", 2.5)], "status string, factor double")
+    return (o.join(F.broadcast(tier), o.o_orderstatus == tier.status)
+            .groupBy("status")
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("o_totalprice") * F.col("factor")).cast(DEC))
+                  .cast("double").alias("weighted_sum"))
+            .orderBy("status"))

@@ -708,3 +708,108 @@ def data_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
                     F.round(F.col("n") * 1.0 / F.col("total"), 6)
                      .alias("share"))
             .orderBy("event_type", "rk"))
+
+
+# --- C35 boilerplate detection ------------------------------------------------
+
+@query("text_boilerplate", oracle="""
+WITH s AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, '. ')) AS sent
+  FROM documents
+)
+SELECT sent, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s
+WHERE strlen(sent) >= 10
+GROUP BY sent
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, sent
+LIMIT 10
+""")
+def text_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate detection: sentences appearing in ≥2 distinct documents
+    (each doc votes once per sentence) ranked by document frequency — the
+    pre-filter of every web-corpus cleaning pipeline (navigation chrome,
+    license footers, cookie banners repeat across pages; body text does
+    not). Explode → distinct → count: the shuffle carries (sentence,
+    doc) pairs, the result is bounded by the HAVING floor and LIMIT.
+    Tie-deterministic via the sentence itself as the secondary key."""
+    d = load(spark, sf, "documents")
+    s = (d.select("doc_id",
+                  F.explode(F.split("text", r"\. ")).alias("sent"))
+         .filter(F.length("sent") >= 10)
+         .distinct())
+    return (s.groupBy("sent").agg(F.count("*").alias("n_docs"))
+            .filter("n_docs >= 2")
+            .orderBy(F.desc("n_docs"), "sent")
+            .limit(10))
+
+
+# --- C36 corpus vocabulary ----------------------------------------------------
+
+@query("text_vocab_topk", oracle="""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+""")
+def text_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary head (the tokenizer-training / Zipf-profile
+    primitive): lowercase alpha runs, global counts, top-20 with a
+    deterministic tie-break. Map-side partial aggregation shrinks the
+    shuffle to distinct-word cardinality; TakeOrdered keeps only k rows
+    per partition — nothing vocabulary-sized ever reaches the driver."""
+    d = load(spark, sf, "documents")
+    w = d.select(F.explode(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("word"))
+    return (w.groupBy("word").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "word")
+            .limit(20))
+
+
+# --- C37 PII density stats ----------------------------------------------------
+
+@query("text_pii_stats", oracle=r"""
+WITH t AS (
+  SELECT source,
+         text || ' contact user' || doc_id || '@' || source ||
+         '.org tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             AS body
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(body, '[a-z0-9]+@[a-z0-9.]+')))
+            AS BIGINT) AS n_emails,
+       CAST(SUM(len(regexp_extract_all(body, '555-[0-9]{4}'))) AS BIGINT)
+           AS n_phones,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(body,
+                '[a-z0-9]+@[a-z0-9.]+')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_email
+FROM t
+GROUP BY source
+ORDER BY source
+""")
+def text_pii_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """PII density profiling — the measurement pass that decides whether a
+    source needs scrubbing before training (text_redact is the rewrite
+    pass; this is the audit). The fixture corpus carries no real PII, so
+    canonical synthetic contact strings are appended from row fields —
+    the operator under test is the regex detection, which at 100 TB is a
+    map over the scan with tiny per-source aggregate state."""
+    d = load(spark, sf, "documents")
+    body = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@"), F.col("source"), F.lit(".org tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    t = d.select("source", body.alias("body"))
+    emails = F.regexp_count("body", F.lit(r"[a-z0-9]+@[a-z0-9.]+"))
+    phones = F.regexp_count("body", F.lit(r"555-[0-9]{4}"))
+    return (t.groupBy("source")
+            .agg(F.sum(emails).cast("bigint").alias("n_emails"),
+                 F.sum(phones).cast("bigint").alias("n_phones"),
+                 F.sum(F.when(emails > 0, 1).otherwise(0)).cast("bigint")
+                  .alias("docs_with_email"))
+            .orderBy("source"))
