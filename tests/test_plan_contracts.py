@@ -121,3 +121,45 @@ def test_bloom_join_injects_might_contain_on_fact_scan(spark):
     # and the confs were restored — a later plain join must not inherit it
     plan2 = _plan(rel._bloom_join_df(spark, SF))
     assert "might_contain" not in plan2, plan2
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """B45's NOT IN must lower to Catalyst's null-aware anti join
+    (ExistenceJoin/NAAJ family), not a filter over a materialized
+    subquery — the dedicated join type is what keeps ANSI three-valued
+    semantics at shuffle scale."""
+    plan = _plan(registry.QUERIES["b45_not_in_nulls"](spark, SF))
+    assert "LeftAnti" in plan, plan
+
+
+def test_values_join_broadcasts_literal_dim(spark):
+    """B47's inline VALUES relation must broadcast; the fact side must
+    not exchange for the join."""
+    plan = _plan(registry.QUERIES["b47_values_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    """C36's top-20 must be TakeOrderedAndProject (k rows per partition
+    survive), never a global sort of the vocabulary."""
+    plan = _plan(registry.QUERIES["text_vocab_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gap_fill_broadcasts_grid_not_fact(spark):
+    """B43's dense calendar grid joins the fact counts via broadcast —
+    the grid is days x types, constant in fact cardinality."""
+    plan = _plan(registry.QUERIES["b43_gap_fill"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize("name", [
+    "b42_unpivot", "b43_gap_fill", "b44_string_agg", "text_chunk_tokens",
+    "text_contamination", "data_heavy_hitters", "sim_centroid",
+    "text_boilerplate", "text_vocab_topk", "text_pii_stats",
+    "dedup_containment",
+])
+def test_new_round3_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
