@@ -63,7 +63,7 @@ _PRIORITY = [
     "text_contamination", "data_heavy_hitters", "sim_centroid",
     "b45_not_in_nulls", "b46_grouping_sets", "b47_values_join",
     "dedup_containment", "text_boilerplate", "text_vocab_topk",
-    "text_pii_stats",
+    "text_pii_stats", "b32_stream_merge_cdc",
     "b33b_merge_multi", "b33_merge_upsert", "b36_sessionize",
     "text_ngram_logprob", "dedup_incremental", "text_tfidf_topterms",
     "b37_pivot", "b38_range_frame_window", "b32_stream_stateful_counter",

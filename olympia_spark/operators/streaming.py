@@ -383,3 +383,92 @@ def b32_stateful(spark: SparkSession, sf: str) -> DataFrame:
         .filter("_rn = 1").drop("_rn"))
     return (latest.select("user_id", "n_events", "value_micro")
             .orderBy("user_id"))
+
+
+# --- streaming CDC apply (foreachBatch MERGE) --------------------------------
+
+@query("b32_stream_merge_cdc", oracle=f"""
+WITH ranked AS (
+  SELECT event_id % 500 AS kid, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_id % 500
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT COUNT(*) AS n_keys, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       {dsum('value', 'value_sum')}
+FROM ranked WHERE rn = 1
+""")
+def b32_stream_merge_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC apply: file-source micro-batches are upserted into a
+    catalog table via foreachBatch → MERGE — the change-data-capture sink
+    shape (one atomic TABLE_UPDATE CAS commit per batch; only files
+    containing matched keys rewrite).
+
+    Determinism contract: arrivals are staged as two files in strict
+    (ts, event_id) order (file 2's rows all sort after file 1's), each
+    batch pre-reduces to its latest row per key, and MERGE makes later
+    batches win — so the final table is exactly the global
+    last-write-wins state per key, independent of how Spark schedules
+    the batches, and the plain window-rank oracle applies. The staging
+    sort is harness setup; the operator under test is the per-batch
+    reduce + MERGE, which at 100 TB touches only files holding updated
+    keys."""
+    import time as _time
+
+    from olympia_spark.engine import Engine
+    from pyspark.sql import Window
+
+    events = (load(spark, sf, "events")
+              .select((F.col("event_id") % 500).alias("kid"),
+                      "event_id", "ts", "value"))
+    # stage two time-ordered arrival files (file mtime order = batch order)
+    w = Window.orderBy("ts", "event_id")
+    ranked = events.select("*", F.row_number().over(w).alias("_rn"))
+    half = events.count() // 2
+    stage_dir = scratch_dir("olympia_cdc_src_")
+    (ranked.filter(F.col("_rn") <= half).drop("_rn")
+     .coalesce(1).write.mode("overwrite").parquet(stage_dir))
+    _time.sleep(0.05)        # distinct mtimes → stable file-source order
+    (ranked.filter(F.col("_rn") > half).drop("_rn")
+     .coalesce(1).write.mode("append").parquet(stage_dir))
+
+    eng = Engine(spark, scratch_dir("olympia_cdc_wh_"))
+    eng.sql("CREATE NAMESPACE cdc")
+    eng.create_table("cdc.state",
+                     events.schema)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bw = Window.partitionBy("kid").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        latest = (batch_df.select("*", F.row_number().over(bw).alias("_r"))
+                  .filter("_r = 1").drop("_r"))
+        # foreachBatch hands a micro-batch-cloned session; a plain temp
+        # view would be invisible to the engine's outer session. Global
+        # temp views are SparkContext-global — the supported bridge.
+        latest.createOrReplaceGlobalTempView("cdc_src")
+        eng.sql("""
+            MERGE INTO cdc.state t
+            USING (SELECT * FROM global_temp.cdc_src) s
+            ON t.kid = s.kid
+            WHEN MATCHED THEN UPDATE SET event_id = s.event_id, ts = s.ts,
+                                         value = s.value
+            WHEN NOT MATCHED THEN INSERT (kid, event_id, ts, value)
+                VALUES (s.kid, s.event_id, s.ts, s.value)
+        """)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stage_dir))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", scratch_dir("olympia_ckpt_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return eng.sql(
+        "SELECT COUNT(*) AS n_keys, CAST(SUM(event_id) AS BIGINT) AS id_sum, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
+        "FROM cdc.state")
