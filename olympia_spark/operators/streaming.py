@@ -51,6 +51,9 @@ def _staged_events_stream(spark: SparkSession, sf: str) -> tuple[DataFrame, str]
     def stage():
         stage_dir = scratch_dir("olympia_stream_src_")
         events = load(spark, sf, "events")
+        # Watermarks/event-time windows require TIMESTAMP (LTZ); newer
+        # testdata stores ts as TIMESTAMP_NTZ, so normalize at stage time.
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
         events.repartition(_N_STAGE_FILES).write.mode("overwrite") \
             .parquet(stage_dir)
         return stage_dir, events.schema

@@ -25,18 +25,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan: Catalyst gets full
     predicate-pushdown / column-pruning freedom.
 
-    ``events`` is written with TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; read nanos as long and floor-divide to
-    microseconds (same ns→µs truncation DuckDB applies), keeping the scan
-    distributed — no driver-side materialization.
+    Some driver generations write ``events.ts`` as TIMESTAMP(NANOS), which
+    Spark's vectorized parquet reader rejects; in that case read nanos as
+    long and floor-divide to microseconds (same ns→µs truncation DuckDB
+    applies), keeping the scan distributed — no driver-side
+    materialization. Newer testdata stores µs timestamps directly, so the
+    rewrite is gated on the column's actual dtype.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 
