@@ -216,20 +216,27 @@ def catalog_ingest_sink(eng):
 
 @query("b32_stream_catalog_ingest", oracle=f"""
 SELECT COUNT(*) AS n_rows, {dsum('value', 'value_sum')},
-       COUNT(DISTINCT event_id) AS n_ids
+       COUNT(DISTINCT event_id) AS n_ids,
+       MIN(ts) AS ts_min, MAX(ts) AS ts_max
 FROM events
 """)
 def b32_catalog_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """File source → catalog table sink: foreachBatch appends each
     micro-batch through the engine (one TABLE_INSERT CAS commit per
     batch, batch id recorded in table properties for idempotent replays).
-    The final catalog table must equal the source exactly."""
+    The final catalog table must equal the source exactly.
+
+    The table is declared from the STAGED stream's schema, not a fresh
+    ``load()``: staging casts ts NTZ→LTZ for event-time semantics, and the
+    declared type must match the written files or any later read of ts
+    from the committed table fails under the vectorized reader. The query
+    reads ts back (min/max) so the gate proves the round-trip."""
     from olympia_spark.engine import Engine
 
     stream, _ = _staged_events_stream(spark, sf)
     eng = Engine(spark, scratch_dir("olympia_stream_wh_"))
     eng.sql("CREATE NAMESPACE stream")
-    eng.create_table("stream.events", load(spark, sf, "events").schema)
+    eng.create_table("stream.events", stream.schema)
     sink = catalog_ingest_sink(eng)
 
     q = (stream.writeStream.foreachBatch(sink)
@@ -241,7 +248,8 @@ def b32_catalog_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return eng.sql(
         "SELECT COUNT(*) AS n_rows, "
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum, "
-        "COUNT(DISTINCT event_id) AS n_ids "
+        "COUNT(DISTINCT event_id) AS n_ids, "
+        "MIN(ts) AS ts_min, MAX(ts) AS ts_max "
         "FROM stream.events")
 
 

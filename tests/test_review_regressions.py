@@ -307,6 +307,26 @@ def test_merge_matched_delete(engine, spark):
     assert ids == [0, 1, 3, 5, 6, 7, 8, 9]
 
 
+def test_stream_ingest_committed_table_ts_readable(spark):
+    """ADVICE r3: the ingest table was declared from load()'s schema
+    (ts TIMESTAMP_NTZ) while the staged stream wrote LTZ batches — any
+    later read of ts from the committed table failed under the vectorized
+    reader. The table must be declared from the staged stream's schema,
+    and ts must round-trip."""
+    from olympia_spark.operators import load_all_modules, registry
+    from olympia_spark.tables import load
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    row = registry.QUERIES["b32_stream_catalog_ingest"](spark, sf).first()
+    src = (load(spark, sf, "events")
+           .select(F.min(F.col("ts").cast("timestamp")).alias("lo"),
+                   F.max(F.col("ts").cast("timestamp")).alias("hi"),
+                   F.count("*").alias("n"))
+           .first())
+    assert row.n_rows == src.n
+    assert row.ts_min == src.lo and row.ts_max == src.hi
+
+
 def test_stateful_streaming_counter_equals_batch(spark):
     """b32_stream_stateful_counter (applyInPandasWithState) must equal the
     batch groupBy over the same fixture — state accumulates correctly
