@@ -53,35 +53,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry is ever >1 round old. Round-3 list: (1) new
-# or changed this round, (2) the 27 queries whose latest green is round 1
-# (everything absent from CORRECTNESS_r02.json), cheapest first, (3) the
-# round-2-proven rest.
+# no query's newest driver entry is ever >1 round old. Round-4 list: (1) new
+# or changed this round, (2) the 11 queries whose latest green is round 1,
+# (3) the 48 whose latest green is round 2, cheapest first (the ~10 that
+# spill past the 50-slot budget lead round 5's list), (4) the round-3 rest.
 _PRIORITY = [
-    # new/changed this round (cache-lifecycle rewrites + new operators)
-    "b42_unpivot", "b43_gap_fill", "b44_string_agg", "text_chunk_tokens",
-    "text_contamination", "data_heavy_hitters", "sim_centroid",
-    "b45_not_in_nulls", "b46_grouping_sets", "b47_values_join",
-    "dedup_containment", "text_boilerplate", "text_vocab_topk",
-    "text_pii_stats", "b32_stream_merge_cdc",
-    "b33b_merge_multi", "b33_merge_upsert", "b36_sessionize",
-    "text_ngram_logprob", "dedup_incremental", "text_tfidf_topterms",
-    "b37_pivot", "b38_range_frame_window", "b32_stream_stateful_counter",
-    "b19c_except_intersect_all", "dedup_edit_distance",
-    "dedup_incremental_catalog", "b32_stream_dedup", "b32_stream_join",
-    "b39_lateral_topn", "b14c_dist_window", "b40_skew_salted_join",
-    "sim_topk_int8", "b41_bloom_join_prune",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster",
-    # r1-only green — cheap scalar/window/set-op queries first
-    "b15_running_sum", "b16_sort", "b16b_sort_nulls", "b17_topk",
-    "b18_union", "b18b_union_all", "b19_except", "b19b_intersect",
-    "b20_cte_subquery", "b21_string_fns", "b22_date_fns",
-    "b22b_date_trunc_diff", "b23_math_fns", "b25_array_fns",
-    "b26_struct_map", "b27_json", "b14b_row_number_ntile",
-    # r1-only green — similarity / dedup / text (heavier)
+    # changed this round (ingest table schema fix + ts round-trip oracle)
+    "b32_stream_catalog_ingest",
+    # latest green = round 1
+    "b14b_row_number_ntile", "b25_array_fns", "b26_struct_map", "b27_json",
     "text_quality_score", "sim_topk_bruteforce", "sim_batch_topk",
     "sim_ann_lsh", "sim_ivf", "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
+    # latest green = round 2 — cheap scans/joins/aggs/scalars first
+    "b01_scan_count", "b02_projection", "b03_filter", "b04_join_inner",
+    "b05_star_join", "b06_outer_join", "b06b_full_outer_join",
+    "b07_semi_join", "b07b_anti_join", "b08_range_join", "b09_cross_join",
+    "b10_q1_agg", "b11_count_distinct", "b11b_distinct_rows",
+    "b12_approx_count_distinct", "b13_rollup", "b13b_cube",
+    "b14_rank_window", "b24_conditional", "b25b_explode_collect",
+    "b27b_from_json", "b34_asof_join", "b35_time_rollup",
+    "text_token_count", "text_langid", "text_redact", "text_fingerprint",
+    "text_rolling_hash", "text_url_extract", "data_profile",
+    "data_profile_quantiles", "data_sample_per_key", "data_split_stratified",
+    "dedup_exact", "sim_quantize_int8", "mm_metadata_scan",
+    "mm_frame_sample", "mm_feature_extract", "udf_pandas_tiered",
+    "udf_grouped_custstats", "udf_mapinpandas_tokens",
+    # latest green = round 2 — heavier DML / streaming
+    "b28_insert_append", "b29_delete_where", "b30_update_set",
+    "b32_stream_tumbling_window", "b32_stream_sliding_window",
+    "b32_stream_session_window",
 ]
 
 
