@@ -102,8 +102,16 @@ def _shingles_of(d: DataFrame, n_part: int) -> DataFrame:
 
 def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact shingle-Jaccard for ALL co-occurring pairs via inverted-index
-    self-join. Returns (d1, d2, i, n1, n2)."""
-    sh = _shingles_df(spark, sf)
+    self-join. Returns (d1, d2, i, n1, n2).
+
+    The join key is xxhash64(shingle), not the shingle string: the two
+    inverted-index shuffles move 8-byte longs instead of ~20-byte strings
+    (the dominant shuffle of the operator at any scale). Per-doc shingles
+    are already distinct, so a hash collision would need two distinct
+    shingles colliding in 64 bits within one corpus — P ≈ |shingles|²/2⁶⁵,
+    vanishing at any realistic shingle count."""
+    sh = _shingles_df(spark, sf).select(
+        "doc_id", F.xxhash64("s").alias("s"))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
@@ -122,9 +130,21 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
     pairs against per-doc shingle SETS and intersect pair-locally
     (array_intersect). Cost is O(candidates × shingles-per-doc) — unlike
     re-running the inverted-index join, which would be all-pairs work and
-    defeat the LSH. Returns (d1, d2, i, n1, n2)."""
+    defeat the LSH. Returns (d1, d2, i, n1, n2).
+
+    ``cand`` must be materialized (tiny — O(true near-dups)); it is read
+    twice (candidate-doc projection + the verify join). Two scale moves:
+    sets are built ONLY for docs appearing in a candidate pair (semi-join
+    before the collect_set — building sets for the whole corpus would
+    shuffle every shingle to verify a handful of pairs), and set elements
+    are xxhash64 longs, not shingle strings (|i|, |n1|, |n2| are
+    collision-free in practice at 64 bits; see _jaccard_pairs)."""
+    docs = (cand.select(F.col("d1").alias("doc_id"))
+            .union(cand.select(F.col("d2").alias("doc_id"))).distinct())
     sets = F.broadcast(
-        sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss")))
+        sh.join(F.broadcast(docs), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("s")).alias("ss")))
     return (cand
             .join(sets.select(F.col("doc_id").alias("d1"),
                               F.col("ss").alias("s1")), "d1")
@@ -133,6 +153,18 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
             .select("d1", "d2",
                     F.size(F.array_intersect("s1", "s2")).alias("i"),
                     F.size("s1").alias("n1"), F.size("s2").alias("n2")))
+
+
+def _cand_doc_shingles(spark: SparkSession, sf: str,
+                       cand: DataFrame) -> DataFrame:
+    """Re-shingle ONLY the docs appearing in a (materialized, tiny)
+    candidate pair set — a broadcast semi-join pushes the doc_id filter
+    into the documents scan, so verification cost is O(candidate docs)
+    regardless of corpus size."""
+    docs = (cand.select(F.col("d1").alias("doc_id"))
+            .union(cand.select(F.col("d2").alias("doc_id"))).distinct())
+    d = load(spark, sf, "documents").join(F.broadcast(docs), "doc_id")
+    return _shingles_of(d, spark.sparkContext.defaultParallelism)
 
 
 def _with_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
@@ -220,45 +252,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     band-bucket equality join → candidate pairs → exact-Jaccard verify
     (≥ 0.8). The scale path: signature size is constant per doc, candidate
     generation is an equi-join on (band, value), and exact verification
-    touches only candidates."""
-    # The shingle relation feeds three consumers (both sides of the
-    # signature self-join via sigs, and the verify sets); the candidate
-    # relation feeds the verify join. Cache both — without it Spark
-    # re-executes the shingle DAG once per consumer (measured 5-10× the
-    # wall-clock at sf0.1). On a cluster this is the standard
-    # materialize-the-signature-table step of any LSH pipeline.
-    # Cache lifecycle: the tiny pair result is eagerly materialized
-    # (localCheckpoint) and the caches released in ``finally`` — a leaked
-    # cache accumulates executor storage memory across queries in a shared
-    # session (judge-measured 2× on the whole bench suite at sf0.1; an
-    # OOM/eviction generator on a long-lived 100 TB cluster).
-    sh = _with_h32(_shingles_df(spark, sf)).cache()
-    sigs = _minhash_sigs(sh).cache()
-    try:
-        # Candidate = pair sharing ≥2 of the 16 signature positions. One
-        # matching position admits birthday-collision noise (measured: 157k
-        # false candidates vs 256 true pairs at sf0.1 — verification cost is
-        # then all noise); requiring two keeps the verify set within ~2× the
-        # true pairs. Miss probability for a true pair at the 0.8 verify
-        # threshold: P(<2 of 16 positions match | j≥0.8)
-        # = (1-j)^16 + 16·j·(1-j)^15 ≤ 4.2e-10 — the LSH output still equals
-        # the exact oracle in practice.
-        cand = (sigs.alias("x")
-                .join(sigs.alias("y"), ["pid", "mh"])
-                .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-                .groupBy(F.col("x.doc_id").alias("d1"),
-                         F.col("y.doc_id").alias("d2"))
-                .agg(F.count("*").alias("n_band_matches"))
-                .filter("n_band_matches >= 2")
-                .select("d1", "d2"))
-        # eager: the pair set is tiny (O(true near-dups)); materializing it
-        # here lets the finally release the big cached relations before the
-        # caller ever evaluates the returned frame
-        return _with_jaccard(_verify_candidates(sh, cand), 0.8) \
-            .localCheckpoint()
-    finally:
-        sh.unpersist()
-        sigs.unpersist()
+    touches only candidates.
+
+    The full shingle relation is never materialized: it streams through
+    ONE shuffle into the constant-size signature relation, and exact
+    verification re-shingles only the docs that appear in a candidate
+    pair (broadcast semi-join on the documents scan). The only pinned
+    intermediates are the signature table (|docs|×16 rows) and the
+    candidate pairs (O(true near-dups)) — nothing proportional to corpus
+    shingle volume ever occupies executor storage."""
+    # localCheckpoint (eager) rather than cache+count: one materialization
+    # job, and both sides of the self-join read the pinned partitions.
+    sigs = _minhash_sigs(_with_h32(_shingles_df(spark, sf))) \
+        .localCheckpoint()
+    # Candidate = pair sharing ≥2 of the 16 signature positions. One
+    # matching position admits birthday-collision noise (measured: 157k
+    # false candidates vs 256 true pairs at sf0.1 — verification cost is
+    # then all noise); requiring two keeps the verify set within ~2× the
+    # true pairs. Miss probability for a true pair at the 0.8 verify
+    # threshold: P(<2 of 16 positions match | j≥0.8)
+    # = (1-j)^16 + 16·j·(1-j)^15 ≤ 4.2e-10 — the LSH output still equals
+    # the exact oracle in practice.
+    cand = (sigs.alias("x")
+            .join(sigs.alias("y"), ["pid", "mh"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(F.col("x.doc_id").alias("d1"),
+                     F.col("y.doc_id").alias("d2"))
+            .agg(F.count("*").alias("n_band_matches"))
+            .filter("n_band_matches >= 2")
+            .select("d1", "d2")
+            # tiny; pinned because verification consumes it twice
+            # (candidate-doc projection + the pair join)
+            .localCheckpoint())
+    sh_cand = _cand_doc_shingles(spark, sf, cand)
+    return _with_jaccard(_verify_candidates(sh_cand, cand), 0.8) \
+        .localCheckpoint()
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -322,33 +350,30 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         bit = F.when(2 * F.col(f"o{j}") > F.col("n_sh"),
                      F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         simhash = bit if simhash is None else simhash + bit
-    # cached AND eagerly materialized: the banding self-join consumes sig
-    # twice, and a lazy cache still computes both sides within the one
-    # job — materializing first makes the join read the cache (7s → 2s
-    # at sf0.1). Released in finally after the (tiny) pair result is
-    # checkpointed — see dedup_minhash_lsh on why the cache must not leak.
-    sig = votes.select("doc_id", simhash.alias("sh")).cache()
-    try:
-        sig.count()
-        bands = sig.select(
-            "doc_id", "sh",
-            F.explode(F.array(*[
-                F.struct(F.lit(k).alias("band"),
-                         F.shiftright("sh", 8 * k).bitwiseAND(F.lit(255))
-                          .alias("v"))
-                for k in range(4)])).alias("bv"))
-        bands = bands.select("doc_id", "sh", "bv.band", "bv.v")
-        cand = (bands.alias("x").join(bands.alias("y"), ["band", "v"])
-                .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-                .select(F.col("x.doc_id").alias("d1"),
-                        F.col("y.doc_id").alias("d2"),
-                        F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
-                         .alias("hamming"))
-                .distinct())
-        return (cand.filter(F.col("hamming") <= 3).orderBy("d1", "d2")
-                .localCheckpoint())
-    finally:
-        sig.unpersist()
+    # eagerly pinned (localCheckpoint): the banding self-join consumes sig
+    # twice, and a lazy relation would compute both sides within the one
+    # job (measured 7s → 2s at sf0.1). The signature relation is
+    # constant-size per doc — the only intermediate proportional to the
+    # corpus (the exploded shingles) streams through the one groupBy
+    # shuffle and is never stored.
+    sig = votes.select("doc_id", simhash.alias("sh")).localCheckpoint()
+    bands = sig.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"),
+                     F.shiftright("sh", 8 * k).bitwiseAND(F.lit(255))
+                      .alias("v"))
+            for k in range(4)])).alias("bv"))
+    bands = bands.select("doc_id", "sh", "bv.band", "bv.v")
+    cand = (bands.alias("x").join(bands.alias("y"), ["band", "v"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("d1"),
+                    F.col("y.doc_id").alias("d2"),
+                    F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
+                     .alias("hamming"))
+            .distinct())
+    return (cand.filter(F.col("hamming") <= 3).orderBy("d1", "d2")
+            .localCheckpoint())
 
 
 # --- near-dup clustering (connected components) -----------------------------
@@ -508,22 +533,20 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     threshold)."""
     d = load(spark, sf, "documents")
     cut = int(d.agg(F.max("doc_id")).first()[0]) * 4 // 5
-    sh = _with_h32(_shingles_df(spark, sf)).cache()
-    sigs = _minhash_sigs(sh).cache()
-    try:
-        corpus = sigs.filter(F.col("doc_id") < cut)
-        batch = sigs.filter(F.col("doc_id") >= cut)
-        cand = (corpus.alias("x").join(batch.alias("y"), ["pid", "mh"])
-                .groupBy(F.col("x.doc_id").alias("d1"),
-                         F.col("y.doc_id").alias("d2"))
-                .agg(F.count("*").alias("n_band_matches"))
-                .filter("n_band_matches >= 2")
-                .select("d1", "d2"))
-        return _with_jaccard(_verify_candidates(sh, cand), 0.8) \
-            .localCheckpoint()
-    finally:
-        sh.unpersist()
-        sigs.unpersist()
+    sigs = _minhash_sigs(_with_h32(_shingles_df(spark, sf))) \
+        .localCheckpoint()
+    corpus = sigs.filter(F.col("doc_id") < cut)
+    batch = sigs.filter(F.col("doc_id") >= cut)
+    cand = (corpus.alias("x").join(batch.alias("y"), ["pid", "mh"])
+            .groupBy(F.col("x.doc_id").alias("d1"),
+                     F.col("y.doc_id").alias("d2"))
+            .agg(F.count("*").alias("n_band_matches"))
+            .filter("n_band_matches >= 2")
+            .select("d1", "d2")
+            .localCheckpoint())
+    sh_cand = _cand_doc_shingles(spark, sf, cand)
+    return _with_jaccard(_verify_candidates(sh_cand, cand), 0.8) \
+        .localCheckpoint()
 
 
 # --- incremental dedup against a PERSISTED signature catalog table ----------
@@ -569,32 +592,22 @@ def dedup_incremental_catalog(spark: SparkSession, sf: str) -> DataFrame:
     the index table, zero corpus recompute per batch."""
     eng, cut = _corpus_sig_index(spark, sf)
     corpus_sigs = eng.read_table("dedup.corpus_sigs")
-    batch_sh = _with_h32(
-        _shingles_df(spark, sf).filter(F.col("doc_id") >= cut)).cache()
-    try:
-        batch_sigs = _minhash_sigs(batch_sh)
-        # localCheckpoint: the candidate set is tiny and feeds two
-        # consumers (the corpus-doc re-read and the verify join) — pin it
-        # so the probe join never re-executes
-        cand = (corpus_sigs.alias("x")
-                .join(batch_sigs.alias("y"), ["pid", "mh"])
-                .groupBy(F.col("x.doc_id").alias("d1"),
-                         F.col("y.doc_id").alias("d2"))
-                .agg(F.count("*").alias("n_band_matches"))
-                .filter("n_band_matches >= 2")
-                .select("d1", "d2")
-                .localCheckpoint())
-        cand_docs = cand.select(F.col("d1").alias("doc_id")).distinct()
-        d = load(spark, sf, "documents")
-        corpus_cand_sh = _shingles_of(
-            d.join(F.broadcast(cand_docs), "doc_id"),
-            spark.sparkContext.defaultParallelism)
-        sh_verify = corpus_cand_sh.unionByName(
-            batch_sh.select("doc_id", "s"))
-        return _with_jaccard(_verify_candidates(sh_verify, cand), 0.8) \
-            .localCheckpoint()
-    finally:
-        batch_sh.unpersist()
+    batch_sigs = _minhash_sigs(_with_h32(
+        _shingles_df(spark, sf).filter(F.col("doc_id") >= cut)))
+    # localCheckpoint: the candidate set is tiny and feeds two consumers
+    # (the candidate-doc re-read and the verify join) — pin it so the
+    # probe join never re-executes
+    cand = (corpus_sigs.alias("x")
+            .join(batch_sigs.alias("y"), ["pid", "mh"])
+            .groupBy(F.col("x.doc_id").alias("d1"),
+                     F.col("y.doc_id").alias("d2"))
+            .agg(F.count("*").alias("n_band_matches"))
+            .filter("n_band_matches >= 2")
+            .select("d1", "d2")
+            .localCheckpoint())
+    sh_verify = _cand_doc_shingles(spark, sf, cand)
+    return _with_jaccard(_verify_candidates(sh_verify, cand), 0.8) \
+        .localCheckpoint()
 
 
 # --- edit-distance near-dup (short-text / title dedup) ----------------------
