@@ -549,6 +549,10 @@ class Tree:
                 node.dirty = True
                 for parent in path:
                     parent.dirty = True
+                # an update can GROW the node past the byte budget
+                # (small value superseded by a large one) — the same
+                # overflow check as the insert path
+                self._resolve_overflow(node, path)
                 return
             child = self._child_at(node, hit)
             if child is None:
