@@ -58,8 +58,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (3) the 48 whose latest green is round 2, cheapest first (the ~10 that
 # spill past the 50-slot budget lead round 5's list), (4) the round-3 rest.
 _PRIORITY = [
-    # changed this round (ingest table schema fix + ts round-trip oracle)
+    # new/changed this round
     "b32_stream_catalog_ingest",
+    "b48_exists_subquery", "b49_stats_agg", "b50_carry_forward",
+    "b51_median_mode", "b52_array_setops", "text_repetition",
+    "data_mixture_sample", "data_dedup_keep_best", "sim_knn_graph",
     # latest green = round 1
     "b14b_row_number_ntile", "b25_array_fns", "b26_struct_map", "b27_json",
     "text_quality_score", "sim_topk_bruteforce", "sim_batch_topk",

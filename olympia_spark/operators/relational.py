@@ -1237,3 +1237,217 @@ def b47_values_join(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum((F.col("o_totalprice") * F.col("factor")).cast(DEC))
                   .cast("double").alias("weighted_sum"))
             .orderBy("status"))
+
+
+# --- B48 correlated EXISTS / NOT EXISTS -------------------------------------
+
+@query("b48_exists_subquery", oracle=f"""
+SELECT 'with_urgent' AS cohort, COUNT(*) AS n_cust,
+       {dsum('c_acctbal', 'acctbal_sum')}
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'no_orders' AS cohort, COUNT(*) AS n_cust,
+       {dsum('c_acctbal', 'acctbal_sum')}
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey)
+ORDER BY cohort
+""")
+def b48_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """B48 — correlated EXISTS / NOT EXISTS subqueries through the SQL
+    front door. Catalyst rewrites both into left-semi / left-anti joins
+    on the correlation key (the same physical shape as B7), so the
+    subquery surface costs nothing extra at scale: one shuffle on
+    o_custkey, no per-row subquery execution."""
+    load(spark, sf, "customer").createOrReplaceTempView("b48_customer")
+    load(spark, sf, "orders").createOrReplaceTempView("b48_orders")
+    return spark.sql("""
+        SELECT 'with_urgent' AS cohort, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                   AS acctbal_sum
+        FROM b48_customer c
+        WHERE EXISTS (SELECT 1 FROM b48_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT 'no_orders' AS cohort, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                   AS acctbal_sum
+        FROM b48_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM b48_orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        ORDER BY cohort
+    """)
+
+
+# --- B49 regression / correlation aggregates --------------------------------
+
+# corr / regr_* via exact DECIMAL sufficient statistics: the five sums are
+# exact (no FP accumulation order), and the closing arithmetic is the SAME
+# double expression on both engines — bit-identical results, unlike native
+# corr()/regr_slope() whose accumulation order differs per engine.
+_B49_STATS = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS DOUBLE) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+           AS sxx,
+       CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6)))
+            AS DOUBLE) AS syy,
+       CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6)))
+            AS DOUBLE) AS sxy
+FROM {li}
+GROUP BY l_returnflag
+"""
+
+_B49_CLOSE = """
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qp,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS intercept
+FROM stats
+ORDER BY l_returnflag
+"""
+
+
+@query("b49_stats_agg", oracle=f"""
+WITH stats AS ({_B49_STATS.format(li='lineitem')})
+{_B49_CLOSE}
+""")
+def b49_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """B49 — regression/correlation aggregates (corr, regr slope +
+    intercept of extendedprice on quantity per returnflag). Computed from
+    exact decimal sufficient statistics in ONE partial+final aggregation
+    pass — the statistics compose associatively, so at 100 TB this is a
+    map-side combine followed by a tiny exchange, and the result does not
+    depend on accumulation order (native corr() does)."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("b49_lineitem")
+    return spark.sql(
+        f"WITH stats AS ({_B49_STATS.format(li='b49_lineitem')})"
+        f"{_B49_CLOSE}")
+
+
+# --- B50 IGNORE NULLS window carry-forward ----------------------------------
+
+@query("b50_carry_forward", oracle="""
+SELECT user_id, ts, event_type,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+FROM events
+ORDER BY user_id, ts, event_id
+LIMIT 2000
+""")
+def b50_carry_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """B50 — IGNORE NULLS carry-forward (last observation carried
+    forward): every event carries the value of the user's most recent
+    purchase. One shuffle on the partition key; the running ``last``
+    is O(1) state per partition stream — the gap-filling shape for
+    sparse sensor/attribute columns at scale."""
+    e = load(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (e.select(
+        "user_id", "ts", "event_type", "event_id",
+        F.last(F.when(F.col("event_type") == "purchase", F.col("value")),
+               ignorenulls=True).over(w).alias("last_purchase_value"))
+        .orderBy("user_id", "ts", "event_id")
+        .limit(2000)
+        .drop("event_id"))
+
+
+# --- B51 median / mode ------------------------------------------------------
+
+@query("b51_median_mode", oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, MIN(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                              THEN value END) AS median_value
+  FROM ranked GROUP BY event_type
+), cnts AS (
+  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2
+), modes AS (
+  SELECT event_type, MIN(user_id) AS mode_user FROM cnts x
+  WHERE c = (SELECT MAX(c) FROM cnts y WHERE y.event_type = x.event_type)
+  GROUP BY event_type
+)
+SELECT m.event_type, median_value, mode_user
+FROM med m JOIN modes USING (event_type)
+ORDER BY event_type
+""")
+def b51_median_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """B51 — median and mode with deterministic tie-breaks: median is
+    percentile_disc(0.5) semantics (the actual element at rank ⌈n/2⌉ —
+    no interpolation, engine-portable); mode is the smallest user_id
+    among the most frequent (native mode() breaks ties arbitrarily).
+    Median: one rank window per group; mode: count-groupBy then max-count
+    window — both one-shuffle shapes."""
+    e = load(spark, sf, "events")
+    nn = e.filter("value IS NOT NULL")
+    w = W.partitionBy("event_type").orderBy("value")
+    wn = W.partitionBy("event_type")
+    med = (nn.select("event_type", "value",
+                     F.row_number().over(w).alias("rn"),
+                     F.count("*").over(wn).alias("n"))
+           .groupBy("event_type")
+           .agg(F.min(F.when(F.col("rn") == F.ceil(F.col("n") / 2.0),
+                             F.col("value"))).alias("median_value")))
+    cnts = e.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    modes = (cnts.withColumn("mx", F.max("c").over(wn))
+             .filter("c = mx")
+             .groupBy("event_type")
+             .agg(F.min("user_id").alias("mode_user")))
+    return (med.join(modes, "event_type")
+            .select("event_type", "median_value", "mode_user")
+            .orderBy("event_type"))
+
+
+# --- B52 array set operations -----------------------------------------------
+
+_B52_STOP = "['the', 'a', 'of', 'to', 'and', 'in', 'is']"
+
+
+@query("b52_array_setops", oracle=f"""
+SELECT doc_id,
+       len(list_distinct(words)) AS n_distinct,
+       len(list_filter(list_distinct(words),
+                       w -> list_contains({_B52_STOP}, w))) AS n_stop,
+       array_to_string(
+         list_sort(list_filter(list_distinct(words),
+                               w -> NOT list_contains({_B52_STOP}, w))),
+         ',') AS content_words
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+ORDER BY doc_id
+LIMIT 100
+""")
+def b52_array_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """B52 — array set operations (distinct / intersect / except against a
+    constant vocabulary) entirely inside whole-stage codegen: per-doc
+    stopword intersection and content-word extraction with no explode and
+    no shuffle — the map-only array vocabulary every tokenizing pipeline
+    leans on. Sorted + stringified so the driver canonicalizer hashes a
+    scalar."""
+    stop = F.array(*[F.lit(s) for s in
+                     ("the", "a", "of", "to", "and", "in", "is")])
+    d = load(spark, sf, "documents")
+    words = F.array_distinct(F.split("text", " "))
+    return (d.select(
+        "doc_id",
+        F.size(words).alias("n_distinct"),
+        F.size(F.array_intersect(words, stop)).alias("n_stop"),
+        F.array_join(F.array_sort(F.array_except(words, stop)), ",")
+         .alias("content_words"))
+        .orderBy("doc_id")
+        .limit(100))

@@ -525,3 +525,53 @@ def sim_centroid(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
                  F.count("*").cast("bigint").alias("n"))
             .orderBy("label", "pos"))
+
+
+# --- k-NN graph --------------------------------------------------------------
+
+@query("sim_knn_graph", oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS nn_rank
+  FROM pairs
+)
+SELECT vec_id, nn_rank, neighbor_id, cos_sim
+FROM ranked WHERE nn_rank <= 3
+ORDER BY vec_id, nn_rank
+""")
+def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN graph construction (k=3, label-blocked): every vector's top
+    neighbors by cosine — the build step for graph-based semantic dedup
+    and kNN-classifier data curation. Blocking bounds the pair space to
+    Σ per-block² (at 100 TB the block key is an ANN bucket, as in
+    sim_ann_lsh); the per-vector top-k is a rank window over the block
+    join, ranked on the ROUNDED similarity with an id tiebreak so the
+    graph is engine-deterministic even among near-equal neighbors. Dot
+    products stay JVM-side (zip_with/aggregate fold)."""
+    from pyspark.sql import Window
+    e = load(spark, sf, "embeddings")
+    norms = e.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
+         .alias("nrm"))
+    a, b = norms.alias("a"), norms.alias("b")
+    dot = F.expr(_DOT_COLS.format(a="a.embedding", b="b.embedding"))
+    sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id")
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_id"),
+                    F.col("b.vec_id").alias("neighbor_id"),
+                    sim.alias("cos_sim"))
+            .withColumn("nn_rank", F.row_number().over(w))
+            .filter("nn_rank <= 3")
+            .select("vec_id", "nn_rank", "neighbor_id", "cos_sim")
+            .orderBy("vec_id", "nn_rank"))

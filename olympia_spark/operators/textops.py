@@ -813,3 +813,148 @@ def text_pii_stats(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.when(emails > 0, 1).otherwise(0)).cast("bigint")
                   .alias("docs_with_email"))
             .orderBy("source"))
+
+
+# --- intra-document repetition (quality signal) ------------------------------
+
+@query("text_repetition", oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2
+), word_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_word_share
+  FROM wc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+           i -> string_split(text, ' ')[i] || ' '
+                || string_split(text, ' ')[i+1])) AS g
+  FROM documents
+), bgc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), bg_stats AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c), 4)
+             AS dup_bigram_frac
+  FROM bgc GROUP BY doc_id
+)
+SELECT ws.doc_id, n_words, top_word_share, dup_bigram_frac
+FROM word_stats ws JOIN bg_stats USING (doc_id)
+ORDER BY top_word_share DESC, ws.doc_id
+LIMIT 20
+""")
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/C4-style quality
+    filters): per doc, the share of the single most frequent word and the
+    fraction of bigram occurrences belonging to a bigram repeated within
+    the doc. Both are explode → (doc_id, gram) count → per-doc ratio —
+    two shuffles keyed by (doc_id, gram), partial-aggregated map-side, so
+    at 100 TB the exchange carries counts, not text. Top offenders
+    returned (TakeOrdered, no global sort)."""
+    d = load(spark, sf, "documents")
+    w = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    wc = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_word_share"))
+    bg = d.select("doc_id", F.split("text", " ").alias("ws")) \
+          .select("doc_id", F.explode(F.expr("""
+              CASE WHEN size(ws) >= 2 THEN
+                transform(sequence(0, size(ws) - 2),
+                          i -> concat_ws(' ', ws[i], ws[i+1]))
+              ELSE array() END""")).alias("g"))
+    bgc = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    bg_stats = bgc.groupBy("doc_id").agg(
+        F.round(F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+                / F.sum("c"), 4).alias("dup_bigram_frac"))
+    return (word_stats.join(bg_stats, "doc_id")
+            .select("doc_id", "n_words", "top_word_share", "dup_bigram_frac")
+            .orderBy(F.col("top_word_share").desc(), "doc_id")
+            .limit(20))
+
+
+# --- weighted mixture sampling ----------------------------------------------
+
+@query("data_mixture_sample", oracle="""
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+           AS kept_id_sum
+FROM (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 1000
+           < CAST(1000 * (CASE CAST(substr(source, 4) AS INTEGER) % 4
+                          WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                          WHEN 2 THEN 0.25 ELSE 0.1 END) AS INTEGER) AS keep
+  FROM documents)
+GROUP BY source
+ORDER BY source
+""")
+def data_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted mixture sampling: each source is down-sampled to its
+    mixture weight (the domain-reweighting step of corpus assembly) by a
+    deterministic hash threshold — keep iff md5-bucket(doc_id) falls under
+    weight·1000. A pure function of (doc_id, source): reproducible across
+    runs, engines, and partitionings, unlike rand()-based sampling, and
+    map-only at any scale."""
+    d = load(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("long") % 1000
+    srcnum = F.substring("source", 4, 10).cast("int") % 4
+    weight = (F.when(srcnum == 0, 1.0).when(srcnum == 1, 0.5)
+              .when(srcnum == 2, 0.25).otherwise(0.1))
+    keep = bucket < (F.lit(1000) * weight).cast("int")
+    return (d.select("source", "doc_id", keep.alias("keep"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint")
+                  .alias("n_kept"),
+                 F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(0))
+                  .cast("bigint").alias("kept_id_sum"))
+            .orderBy("source"))
+
+
+# --- dedup keeping the best-quality copy ------------------------------------
+
+@query("data_dedup_keep_best", oracle="""
+WITH ranked AS (
+  SELECT doc_id, n_chars, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS grp_n
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(grp_n - 1) AS BIGINT) AS n_dropped,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM ranked WHERE rn = 1
+GROUP BY source
+ORDER BY source
+""")
+def data_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keeping the BEST copy per content group, not an
+    arbitrary one: rank each md5(text) group by a quality key (longest
+    n_chars, doc_id tiebreak) and keep rank 1 — the keep-the-canonical-
+    copy policy real pipelines want (dedup_exact keeps min-id). One
+    shuffle on the 16-byte digest; the rank window streams each group."""
+    from pyspark.sql import Window
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    wn = Window.partitionBy(F.md5("text"))
+    ranked = d.select(
+        "doc_id", "n_chars", "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("grp_n"))
+    return (ranked.filter("rn = 1")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum(F.col("grp_n") - 1).cast("bigint").alias("n_dropped"),
+                 F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+                 F.sum("n_chars").cast("bigint").alias("kept_chars"))
+            .orderBy("source"))
