@@ -185,10 +185,22 @@ class Engine:
         """Scan a tracked file list. Partitioned tables read per write-dir
         with that dir as basePath, so Spark reconstructs the hive partition
         columns AND partition-prunes pushed filters (PartitionFilters in
-        the plan) — the file data itself doesn't store those columns."""
+        the plan) — the file data itself doesn't store those columns.
+        CSV/JSON external tables re-apply their registered reader
+        options; filters still push into the scan (row-group/stats
+        pruning is parquet-only, which is one reason they are read-only
+        ingest sources, not native tables)."""
         schema = tdef.spark_schema()
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
+        if tdef.format in ("CSV", "JSON"):
+            opts = {k.removeprefix("read.option."): v
+                    for k, v in tdef.properties.items()
+                    if k.startswith("read.option.")}
+            reader = self.spark.read.schema(schema).options(**opts)
+            paths = [self._abs(p) for p in rel_paths]
+            return (reader.csv(paths) if tdef.format == "CSV"
+                    else reader.json(paths))
         if not tdef.partition_by:
             return self.spark.read.schema(schema).parquet(
                 *[self._abs(p) for p in rel_paths])
@@ -218,23 +230,55 @@ class Engine:
             partition_by=list(partition_by or [])))
         self._finish(txn)
 
-    def register_external_table(self, name: str, *paths: str) -> None:
-        """Register existing parquet files as a catalog table WITHOUT
-        copying data — the TableDef simply points at them (the same move
-        the reference makes when it adopts an existing Iceberg metadata
-        location). Absolute paths are kept as-is; stats come from the
-        footers so DML pruning works immediately."""
-        import pyarrow.parquet as pq
+    def register_external_table(self, name: str, *paths: str,
+                                format: str = "parquet",
+                                options: dict[str, str] | None = None) -> None:
+        """Register existing files as a catalog table WITHOUT copying
+        data — the TableDef simply points at them (the same move the
+        reference makes when it adopts an existing Iceberg metadata
+        location).
+
+        ``format`` may be ``parquet`` (default), ``csv``, or ``json`` —
+        the raw-ingest source formats of a data pipeline. Parquet stats
+        come from the footers so DML pruning works immediately; csv/json
+        tables count rows with one Spark job and are READ-ONLY (the
+        copy-on-write rewrite path emits parquet, and silently converting
+        a table's storage format on first mutation would surprise the
+        owner — ingest them into a native table with CTAS / INSERT
+        SELECT instead). Reader options (header, multiLine, …) persist in
+        the table properties so every later scan reads identically."""
+        fmt = format.upper()
+        if fmt not in ("PARQUET", "CSV", "JSON"):
+            raise ValueError(f"unsupported external format: {format}")
+        opts = dict(options or {})
+        if fmt == "CSV":
+            opts.setdefault("header", "true")
         ns, tbl = self._split(name)
-        schema = self.spark.read.parquet(*paths).schema
         files = []
-        for p in paths:
-            md = pq.ParquetFile(p).metadata
-            files.append(DataFile(path=p, num_rows=md.num_rows,
-                                  size_bytes=os.path.getsize(p)))
+        if fmt == "PARQUET":
+            import pyarrow.parquet as pq
+            schema = self.spark.read.parquet(*paths).schema
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                files.append(DataFile(path=p, num_rows=md.num_rows,
+                                      size_bytes=os.path.getsize(p)))
+        else:
+            reader = self.spark.read.options(**opts)
+            df = (reader.option("inferSchema", "true").csv(list(paths))
+                  if fmt == "CSV" else reader.json(list(paths)))
+            schema = df.schema
+            counts = {r["f"]: r["n"] for r in
+                      df.groupBy(F.input_file_name().alias("f"))
+                      .agg(F.count("*").alias("n")).collect()}
+            for p in paths:
+                n = next((v for k, v in counts.items()
+                          if k.endswith(p.removeprefix("file://"))), 0)
+                files.append(DataFile(path=p, num_rows=n,
+                                      size_bytes=os.path.getsize(p)))
         txn = self._txn()
-        self.catalog.create_table(txn, ns, tbl,
-                                  TableDef(schema_json=schema.json()))
+        self.catalog.create_table(txn, ns, tbl, TableDef(
+            format=fmt, schema_json=schema.json(),
+            properties={f"read.option.{k}": v for k, v in opts.items()}))
         self.catalog.update_table_files(
             txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
             {"added": [f.path for f in files], "external": True})
@@ -255,6 +299,7 @@ class Engine:
                 schema_json=df.schema.json(),
                 partition_by=list(partition_by or [])))
         tdef0 = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef0, name, "write_table")
         new_files = self._write_files(df, ns, tbl, tdef0.partition_by)
         tdef = self.catalog.describe_table(txn, ns, tbl)
         if mode == "overwrite":
@@ -381,6 +426,17 @@ class Engine:
                 out.append(f.path)
         return out
 
+    @staticmethod
+    def _require_native(tdef: TableDef, name: str, op: str) -> None:
+        """Mutations emit parquet; refuse them on CSV/JSON external
+        tables instead of silently mixing storage formats (ingest the
+        data into a native table with CTAS / INSERT SELECT first)."""
+        if tdef.format not in ("PARQUET",):
+            raise ValueError(
+                f"{op}: {name} is a read-only {tdef.format} external "
+                f"table; copy it into a native table first "
+                f"(CREATE TABLE ... AS SELECT)")
+
     def _rewrite(self, name: str, predicate: str,
                  transform) -> int:
         """Shared copy-on-write core for DELETE/UPDATE:
@@ -392,6 +448,7 @@ class Engine:
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "DELETE/UPDATE")
         schema = tdef.spark_schema()
         self._record_select(txn, ns, tbl,
                             [f.name for f in schema.fields], predicate)
@@ -491,6 +548,7 @@ class Engine:
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "MERGE")
         schema = tdef.spark_schema()
         cols = [f.name for f in schema.fields]
         # SQL analysis rule: assignment / insert targets must be table
@@ -800,6 +858,7 @@ class Engine:
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "OPTIMIZE")
         old_paths = tdef.file_paths()
         if len(old_paths) < min_files:
             self._finish(txn)
@@ -1310,6 +1369,7 @@ class Engine:
             ns, tbl = self._split(m.group(1))
             txn = self._txn()
             tdef = self.catalog.describe_table(txn, ns, tbl)
+            self._require_native(tdef, m.group(1), "TRUNCATE")
             self.catalog.update_table_files(
                 txn, ns, tbl, [], tdef.file_paths(), ActionType.TABLE_DELETE,
                 {"added": [], "removed": tdef.file_paths(),

@@ -17,6 +17,7 @@ def load_all_modules() -> None:
         textops,
         multimodal,
         dml_queries,
+        sources,
         streaming,
         udfs,
     )

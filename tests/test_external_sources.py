@@ -1,0 +1,84 @@
+"""CSV/JSON external tables: registration, scan parity, read-only guard."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from olympia_spark.engine import Engine
+from olympia_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path) -> Engine:
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE raw")
+    return eng
+
+
+def _stage(spark, tmp_path, fmt: str) -> list[str]:
+    base = load(spark, SF, "events").select(*COLS).limit(200)
+    d = str(tmp_path / fmt)
+    w = base.coalesce(2).write.mode("overwrite")
+    if fmt == "csv":
+        w.option("header", "true").csv(d)
+    else:
+        w.json(d)
+    return sorted(glob.glob(f"{d}/*.{fmt}"))
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_external_scan_matches_parquet(spark, tmp_path, engine, fmt):
+    files = _stage(spark, tmp_path, fmt)
+    engine.register_external_table(f"raw.ev_{fmt}", *files, format=fmt)
+    got = engine.sql(
+        f"SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS s "
+        f"FROM raw.ev_{fmt}").first()
+    exp = load(spark, SF, "events").limit(200).selectExpr(
+        "COUNT(*) AS n", "CAST(SUM(event_id) AS BIGINT) AS s").first()
+    assert (got.n, got.s) == (exp.n, exp.s)
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_external_tables_are_read_only(spark, tmp_path, engine, fmt):
+    files = _stage(spark, tmp_path, fmt)
+    engine.register_external_table(f"raw.ro_{fmt}", *files, format=fmt)
+    for stmt in (f"DELETE FROM raw.ro_{fmt} WHERE event_id = 1",
+                 f"UPDATE raw.ro_{fmt} SET value = 0",
+                 f"TRUNCATE TABLE raw.ro_{fmt}",
+                 f"INSERT INTO raw.ro_{fmt} SELECT * FROM raw.ro_{fmt}",
+                 f"OPTIMIZE TABLE raw.ro_{fmt}"):
+        with pytest.raises(ValueError, match="read-only"):
+            engine.sql(stmt)
+
+
+def test_external_csv_options_replayed(spark, tmp_path, engine):
+    """The header option recorded at registration applies to every later
+    scan — dropping it would shift the first data row."""
+    files = _stage(spark, tmp_path, "csv")
+    engine.register_external_table("raw.opts", *files, format="csv")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "raw", "opts")
+    assert tdef.format == "CSV"
+    assert tdef.properties.get("read.option.header") == "true"
+    n = engine.sql("SELECT COUNT(*) AS n FROM raw.opts").first().n
+    assert n == 200
+
+
+def test_external_ingest_via_ctas(spark, tmp_path, engine):
+    """The documented migration path: CTAS copies a raw external table
+    into a native (mutable, stats-carrying) table."""
+    files = _stage(spark, tmp_path, "json")
+    engine.register_external_table("raw.src", *files, format="json")
+    engine.sql("CREATE TABLE raw.native AS "
+               "SELECT event_id, value FROM raw.src WHERE value IS NOT NULL")
+    engine.sql("DELETE FROM raw.native WHERE event_id < 5")
+    n = engine.sql("SELECT COUNT(*) AS n FROM raw.native").first().n
+    assert n > 0
+    txn = engine.catalog.begin()
+    assert engine.catalog.describe_table(txn, "raw", "native").format \
+        == "PARQUET"
