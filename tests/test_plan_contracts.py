@@ -163,3 +163,77 @@ def test_new_round3_operators_stay_jvm_side(spark, name):
     plan = _plan(registry.QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan, name
     assert "ArrowEvalPython" not in plan, name
+
+
+def test_exists_subquery_decorrelates_to_semi_anti_joins(spark):
+    """B48: the correlated EXISTS / NOT EXISTS must lower to left-semi /
+    left-anti joins — a per-row subquery execution would be quadratic."""
+    plan = _plan(registry.QUERIES["b48_exists_subquery"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_stats_agg_single_aggregation_pass(spark):
+    """B49: the six sufficient statistics must come from ONE partial+final
+    aggregation (two HashAggregate layers over one exchange), not one
+    pass per statistic."""
+    import re
+    plan = _plan(registry.QUERIES["b49_stats_agg"](spark, SF))
+    # formatted explain names each physical node once in the tree and once
+    # as a "(N) HashAggregate" detail header — count the headers
+    n_agg = len(re.findall(r"\(\d+\) HashAggregate", plan))
+    assert n_agg == 2, f"expected partial+final only, saw {n_agg}\n{plan}"
+
+
+@pytest.mark.parametrize("name", [
+    "b50_carry_forward", "b51_median_mode", "b52_array_setops",
+    "text_repetition", "data_mixture_sample", "data_dedup_keep_best",
+    "sim_knn_graph", "b48_exists_subquery", "b49_stats_agg",
+])
+def test_new_round4_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+def test_array_setops_no_shuffle_before_sort(spark):
+    """B52 is map-only until the final presentation sort: no Exchange may
+    appear below the TakeOrdered/Sort (the array ops never leave the
+    scan's partitions)."""
+    plan = _plan(registry.QUERIES["b52_array_setops"](spark, SF))
+    assert "hashpartitioning(" not in plan, plan
+
+
+def test_mixture_sample_map_only_aggregation(spark):
+    """C39: one partial+final aggregation over the scan — the sampling
+    decision itself adds no exchange."""
+    plan = _plan(registry.QUERIES["data_mixture_sample"](spark, SF))
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_knn_graph_blocked_join_not_cartesian(spark):
+    """C41: the pair space must come from an equi-join on the block key —
+    a cartesian/BNL join would be the O(n²) trap at scale."""
+    plan = _plan(registry.QUERIES["sim_knn_graph"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_external_csv_scan_pushes_filters(spark, tmp_path):
+    """B53: predicates must reach the CSV scan (Spark CSV supports filter
+    pushdown) — the raw-ingest scan is still not a read-everything."""
+    import glob
+    from olympia_spark.engine import Engine
+    from olympia_spark.tables import load
+
+    base = load(spark, SF, "events").select("event_id", "event_type")
+    d = str(tmp_path / "csv")
+    base.coalesce(1).write.option("header", "true").csv(d)
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE raw")
+    eng.register_external_table(
+        "raw.ev", *sorted(glob.glob(f"{d}/*.csv")), format="csv")
+    plan = _plan(eng.sql(
+        "SELECT COUNT(*) AS n FROM raw.ev WHERE event_type = 'click'"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo" in ln for ln in pushed), plan
