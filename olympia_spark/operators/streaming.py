@@ -483,3 +483,60 @@ def b32_stream_merge_cdc(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT COUNT(*) AS n_keys, CAST(SUM(event_id) AS BIGINT) AS id_sum, "
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
         "FROM cdc.state")
+
+
+# --- watermark late-data semantics -------------------------------------------
+
+@query("b32_stream_watermark_append", oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+GROUP BY 1
+ORDER BY 1
+""")
+def b32_watermark_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-driven append emission, oracle-exact: append mode must
+    emit EXACTLY the finalized windows — those whose end precedes the
+    watermark (global max ts − 2 h here) — with complete counts, while
+    still-open windows within the watermark horizon stay buffered in the
+    state store and are withheld. This is the eviction contract that
+    bounds state-store memory on an unbounded stream: state is O(windows
+    inside the horizon), never O(stream).
+
+    Staging makes the emission set a pure function of the data: batch 1
+    carries the NEWEST half of the events (rank split, mtime-ordered
+    files), advancing the watermark to its final value before the older
+    half arrives, so every closed window is evicted+emitted at the second
+    batch and the SQL oracle (all rows, window_end ≤ max−2h) reproduces
+    the sink exactly. Empirically pinned behavior (Spark 4.1): late rows
+    merge into fresh state and are emitted at eviction rather than
+    dropped pre-aggregation, which is why full counts — not on-time
+    counts — are the correct oracle."""
+    import time as _time
+    from pyspark.sql import Window
+
+    events = (load(spark, sf, "events")
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .select("event_id", "ts"))
+    w = Window.orderBy("ts", "event_id")
+    ranked = (events.select(
+        "event_id", "ts", F.row_number().over(w).alias("_rn")))
+    half = events.count() // 2
+    stage_dir = scratch_dir("olympia_late_src_")
+    # file 1 (first batch): newest half — rank > half
+    (ranked.filter(F.col("_rn") > half).drop("_rn")
+     .coalesce(1).write.mode("overwrite").parquet(stage_dir))
+    _time.sleep(0.05)          # distinct mtimes → stable file-source order
+    (ranked.filter(F.col("_rn") <= half).drop("_rn")
+     .coalesce(1).write.mode("append").parquet(stage_dir))
+
+    stream = (spark.readStream.schema(ranked.drop("_rn").schema)
+              .option("maxFilesPerTrigger", 1).parquet(stage_dir))
+    agg = (stream
+           .withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour"))
+           .agg(F.count("*").alias("n")))
+    out = _run_to_memory(agg, "append")
+    return (out.select(F.col("window.start").alias("window_start"), "n")
+            .orderBy("window_start"))
