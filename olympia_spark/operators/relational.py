@@ -1451,3 +1451,125 @@ def b52_array_setops(spark: SparkSession, sf: str) -> DataFrame:
          .alias("content_words"))
         .orderBy("doc_id")
         .limit(100))
+
+
+# --- B54 sketch-with-contract: approx quantiles self-checked -----------------
+
+@query("b54_approx_quantile_check", oracle="""
+SELECT event_type, TRUE AS q50_ok, TRUE AS q90_ok
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""")
+def b54_approx_quantile_check(spark: SparkSession, sf: str) -> DataFrame:
+    """B54 — the single-pass sketch path (approx_percentile) shipped WITH
+    its accuracy contract: the sketch's q50/q90 must land within the
+    exact rank-neighborhood implied by its accuracy parameter (10000 →
+    rank error ≤ n/10000, checked against the exact elements at the
+    widened rank bounds from a rank window). The emitted row is the
+    CONTRACT VERDICT, not the sketch value — which is what makes an
+    approximate operator oracle-checkable: the oracle asserts every
+    group passes. At 100 TB the sketch pass is the production path
+    (mergeable, one shuffle of constant-size state); the exact check is
+    the audit run."""
+    e = load(spark, sf, "events").filter("value IS NOT NULL")
+    acc = 10000
+    w = W.partitionBy("event_type").orderBy("value")
+    wn = W.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"))
+
+    def bound(p: float, side: str, alias: str):
+        # exact element at the rank bound widened by the sketch's
+        # guaranteed rank error ⌈n/acc⌉ (+1 for the floor/ceil seam)
+        err = F.ceil(F.col("n") / acc) + 1
+        target = F.ceil(F.lit(p) * F.col("n"))
+        r = (F.greatest(target - err, F.lit(1)) if side == "lo"
+             else F.least(target + err, F.col("n")))
+        return F.min(F.when(F.col("rn") == r, F.col("value"))).alias(alias)
+
+    exact = (ranked.groupBy("event_type")
+             .agg(bound(0.5, "lo", "q50_lo"), bound(0.5, "hi", "q50_hi"),
+                  bound(0.9, "lo", "q90_lo"), bound(0.9, "hi", "q90_hi")))
+    approx = (e.groupBy("event_type")
+              .agg(F.percentile_approx("value", [0.5, 0.9], acc)
+                   .alias("qs")))
+    j = approx.join(exact, "event_type")
+    return (j.select(
+        "event_type",
+        ((F.col("qs")[0] >= F.col("q50_lo"))
+         & (F.col("qs")[0] <= F.col("q50_hi"))).alias("q50_ok"),
+        ((F.col("qs")[1] >= F.col("q90_lo"))
+         & (F.col("qs")[1] <= F.col("q90_hi"))).alias("q90_ok"))
+        .orderBy("event_type"))
+
+
+# --- B55 bucketed co-located join --------------------------------------------
+
+_BUCKETED_READY: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Write orders+customer as Spark bucketed tables (8 buckets on the
+    join key) ONCE per (session, sf); returns the table names. Bucketing
+    persists the hash-partitioning in the table layout, which is what
+    lets every later join on the key skip its shuffle."""
+    from olympia_spark.operators._scratch import get_or_create
+
+    def build():
+        # sf-scoped names (two fixtures in one session must not share a
+        # bucketed table) + fresh scratch LOCATIONS: a managed table would
+        # pin a location under the driver's cwd that outlives the
+        # in-memory catalog and collides on the next session.
+        import hashlib
+        from olympia_spark.operators._scratch import scratch_dir
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        o_tbl, c_tbl = f"b55_orders_{tag}", f"b55_customer_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
+        (load(spark, sf, "orders")
+         .select("o_orderkey", "o_custkey", "o_totalprice")
+         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .option("path", scratch_dir("olympia_bucketed_o_"))
+         .saveAsTable(o_tbl))
+        (load(spark, sf, "customer")
+         .select("c_custkey", "c_mktsegment")
+         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .option("path", scratch_dir("olympia_bucketed_c_"))
+         .saveAsTable(c_tbl))
+        return o_tbl, c_tbl
+
+    return get_or_create(_BUCKETED_READY, spark, sf, build)
+
+
+@query("b55_bucketed_join", oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n, {dsum('o_totalprice', 'price_sum')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def b55_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B55 — bucketed co-located join: both sides are written
+    ``bucketBy(8, key)`` so their layout IS the join partitioning — the
+    sort-merge join reads bucket i against bucket i with NO exchange on
+    either side (plan-asserted in tests). At 100 TB this converts every
+    repeated join/aggregation on the bucket key from a full shuffle into
+    a local merge — the single biggest recurring-ETL saving Spark
+    offers; the same layout also feeds the groupBy without re-hashing.
+    Values are identical to the plain join, which is what the oracle
+    checks."""
+    o_tbl, c_tbl = _bucketed_tables(spark, sf)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, c = spark.table(o_tbl), spark.table(c_tbl)
+        return (o.join(c, o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n"),
+                     _dsum(F.col("o_totalprice"), "price_sum"))
+                .orderBy("c_mktsegment")
+                .localCheckpoint())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -237,3 +237,26 @@ def test_external_csv_scan_pushes_filters(spark, tmp_path):
         "SELECT COUNT(*) AS n FROM raw.ev WHERE event_type = 'click'"))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("EqualTo" in ln for ln in pushed), plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """B55: both sides are bucketed on the join key — the sort-merge join
+    must read bucket-to-bucket with NO exchange on either side. This IS
+    the operator; losing it silently re-shuffles 100 TB per join."""
+    from olympia_spark.operators.relational import _bucketed_tables
+    from pyspark.sql import functions as F
+
+    o_tbl, c_tbl = _bucketed_tables(spark, SF)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, c = spark.table(o_tbl), spark.table(c_tbl)
+        joined = o.join(c, o.o_custkey == c.c_custkey)
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "hashpartitioning(" not in plan, plan
+        # the bucket layout also feeds a groupBy on the key shuffle-free
+        agg = joined.groupBy("c_custkey").agg(F.count("*").alias("n"))
+        assert "hashpartitioning(" not in _plan(agg), _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
