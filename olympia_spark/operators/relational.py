@@ -1573,3 +1573,54 @@ def b55_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
                 .localCheckpoint())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --- B56 interval overlap join via grid cells --------------------------------
+
+@query("b56_interval_join", oracle="""
+SELECT c.user_id, COUNT(*) AS n_pairs
+FROM (SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id, ts AS s, ts + INTERVAL 15 MINUTE AS e
+      FROM events WHERE event_type = 'error') x
+  ON c.user_id = x.user_id AND c.s <= x.e AND x.s <= c.e
+GROUP BY c.user_id
+ORDER BY c.user_id
+""")
+def b56_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B56 — interval×interval overlap join (click activity windows vs
+    error windows per user) via GRID-CELL bucketing: each interval
+    explodes to the 30-minute cells it touches, candidates come from an
+    EQUI-join on (user, cell), pairs dedupe, and the exact overlap
+    predicate verifies — turning the O(n²) theta join (Spark would plan
+    a nested-loop) into shuffle + local work proportional to true cell
+    co-occupancy. The standard time-grid decomposition every
+    interval-join engine uses; cell width trades fan-out (intervals span
+    ⌈len/width⌉+1 cells) against candidate precision. Results are
+    identical to the naive theta join, which is what the oracle runs."""
+    cell = 1800              # grid width (s) = the longer interval's span
+    e = load(spark, sf, "events")
+
+    def side(etype: str, minutes: int, prefix: str) -> DataFrame:
+        iv = (e.filter(F.col("event_type") == etype)
+              .select("user_id",
+                      F.col("event_id").alias(f"{prefix}_id"),
+                      F.col("ts").cast("timestamp").alias(f"{prefix}_s"),
+                      (F.col("ts").cast("timestamp")
+                       + F.expr(f"INTERVAL {minutes} MINUTE"))
+                      .alias(f"{prefix}_e")))
+        lo = (F.unix_timestamp(f"{prefix}_s") / cell).cast("long")
+        hi = (F.unix_timestamp(f"{prefix}_e") / cell).cast("long")
+        return iv.select(
+            "*", F.explode(F.sequence(lo, hi)).alias("cell"))
+
+    a = side("click", 30, "c")
+    b = side("error", 15, "x")
+    pairs = (a.join(b, ["user_id", "cell"])
+             .filter((F.col("c_s") <= F.col("x_e"))
+                     & (F.col("x_s") <= F.col("c_e")))
+             .select("user_id", "c_id", "x_id")
+             .distinct())            # an overlap found in k shared cells counts once
+    return (pairs.groupBy("user_id")
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy("user_id"))

@@ -260,3 +260,13 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "hashpartitioning(" not in _plan(agg), _plan(agg)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """B56: the grid-cell decomposition must make the interval join an
+    equi-join on (user, cell) — a BroadcastNestedLoopJoin/Cartesian means
+    the theta condition leaked back into the join and the operator is
+    O(n²) again."""
+    plan = _plan(registry.QUERIES["b56_interval_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
