@@ -958,3 +958,49 @@ def data_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
                  F.sum("n_chars").cast("bigint").alias("kept_chars"))
             .orderBy("source"))
+
+
+# --- sequence packing (concat-and-chop) --------------------------------------
+
+@query("data_pack_sequences", oracle="""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), placed AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS off
+  FROM toks
+)
+SELECT source, CAST(off // 512 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM placed
+GROUP BY source, bin
+ORDER BY source, bin
+""")
+def data_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (concat-and-chop): documents stream per source in
+    id order into fixed 512-token training sequences; a document belongs
+    to the bin where its first token lands (running token offset // 512)
+    — the standard streaming-pack used to build training batches, chosen
+    over true bin packing because it is single-pass, deterministic, and
+    order-stable. One shuffle on the pack key; the running offset is a
+    window cumsum streaming each group — O(1) state per source at any
+    corpus size."""
+    from pyspark.sql import Window
+    d = load(spark, sf, "documents")
+    toks = d.select("source", "doc_id",
+                    F.size(_words(F.col("text"))).alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    placed = toks.select(
+        "source", "doc_id", "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("off"))
+    return (placed.groupBy("source",
+                           F.floor(F.col("off") / 512).alias("bin"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+                 F.min("doc_id").cast("bigint").alias("first_doc"))
+            .orderBy("source", "bin"))
