@@ -498,13 +498,26 @@ class Catalog:
 
         mode: 'minimal' = root file only; 'partial' = root + tree nodes;
         'full' = root + nodes + def files (data files are table payload,
-        referenced by absolute path either way)."""
+        referenced by absolute path either way).
+
+        The destination also receives latest/oldest version hints for the
+        exported version — root discovery probes the hints then falls
+        back to v0, and an export of version n has no root/0, so without
+        hints a (full) export could never be OPENED as a catalog at the
+        destination prefix."""
         dest_storage = dest if isinstance(dest, Storage) else storage_for(dest)
         latest = self.tree.load_latest_root()
         root = (latest if version is None
                 else self.tree.find_root_for_version(latest, version))
         root_path = root.path
         dest_storage.write_atomic(root_path, self.storage.read(root_path))
+        exported_version = loc.version_from_root_path(root_path)
+        for hint in (loc.LATEST_HINT_PATH, loc.OLDEST_HINT_PATH):
+            try:
+                dest_storage.write_atomic(
+                    hint, str(exported_version).encode())
+            except Exception:  # noqa: BLE001 — hints are advisory by spec
+                pass
         copied = [root_path]
         if mode in ("partial", "full"):
             for node_path in self.tree.reachable_node_paths(root):

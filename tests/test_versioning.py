@@ -106,3 +106,29 @@ def test_export_minimal_is_loadable_catalog_root(cat, tmp_path):
     t = Tree(dest)
     root = t.load_root(root_path)
     assert root.catalog_def_path.startswith("def/catalog/")
+
+
+def test_export_full_opens_as_working_catalog(cat, tmp_path):
+    """The 'import' side of A31: a FULL export (root + nodes + defs) must
+    open as a functioning catalog at the destination prefix — reads,
+    descriptions, and NEW commits all work, with no reference back to the
+    source for metadata."""
+    txn = cat.begin()
+    cat.create_table(txn, "ns0", "t", _tdef())
+    cat.commit(txn)
+    dest = LocalStorage(str(tmp_path / "full_copy"))
+    cat.export_snapshot("f", dest, mode="full")
+    c2 = Catalog.load(dest.root)
+    txn2 = c2.begin()
+    assert c2.show_namespaces(txn2) == ["ns0", "ns1", "ns2"]
+    assert c2.table_exists(txn2, "ns0", "t")
+    # the copy is independently writable — a commit at the destination
+    # must not touch the source
+    src_version = cat.tree.find_latest_version()
+    txn3 = c2.begin()
+    c2.create_namespace(txn3, "dest_only")
+    c2.commit(txn3)
+    assert c2.show_namespaces(c2.begin()) == [
+        "dest_only", "ns0", "ns1", "ns2"]
+    assert cat.tree.find_latest_version() == src_version
+    assert "dest_only" not in cat.show_namespaces(cat.begin())
