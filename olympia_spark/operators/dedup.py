@@ -685,3 +685,77 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     return (pairs.filter((mn >= 5) & (c >= 0.9))
             .select("d1", "d2", F.round(c, 4).alias("containment"))
             .orderBy("d1", "d2"))
+
+
+# --- iterative graph ranking over the near-dup graph -------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    pairs = _jaccard_oracle(0.6).replace("ORDER BY d1, d2", "")
+    it = """
+, pr{k} AS (
+  SELECT d.node,
+         {base} + 85 * (
+           SELECT SUM(p.pr // dd.deg)
+           FROM edges e JOIN pr{prev} p ON e.a = p.node
+           JOIN deg dd ON e.a = dd.node
+           WHERE e.b = d.node) // 100 AS pr
+  FROM deg d)
+"""
+    base = f"({_PR_SCALE} * 15 // 100) // (SELECT COUNT(*) FROM deg)"
+    iters = "".join(it.format(k=k, prev=k - 1, base=base)
+                    for k in range(1, _PR_ITERS + 1))
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
+pr0 AS (SELECT node, {_PR_SCALE} // (SELECT COUNT(*) FROM deg) AS pr
+        FROM deg){iters}
+SELECT node, CAST(pr AS BIGINT) AS pr_fp
+FROM pr{_PR_ITERS}
+ORDER BY pr_fp DESC, node
+"""
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative graph ranking (PageRank, damping 0.85, 3 synchronous
+    iterations) over the Jaccard≥0.6 near-dup graph — the
+    importance-scoring companion to dedup_cluster's connected components
+    (rank near-dup hubs to pick audit targets). Per iteration: one join
+    edges⋈ranks + one aggregation — the standard distributed PR shape
+    whose cost is O(edges) per round at any scale, with the rank relation
+    checkpointed to truncate lineage.
+
+    Arithmetic is FIXED-POINT integer (scale 10¹²) with floor division
+    at every step, so the trajectory is bit-identical across engines —
+    float PR would diverge past the hash tolerance through accumulation
+    order alone. The oracle unrolls the same three iterations in SQL."""
+    pairs = _with_jaccard(_jaccard_pairs(spark, sf), 0.6)
+    edges = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+             .union(pairs.select(F.col("d2").alias("a"),
+                                 F.col("d1").alias("b")))
+             .distinct()
+             .localCheckpoint())
+    deg = edges.groupBy(F.col("a").alias("node")) \
+               .agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()
+    base = (_PR_SCALE * 15 // 100) // n_nodes
+    ranks = deg.select("node", F.lit(_PR_SCALE // n_nodes).alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (edges
+                   .join(ranks, edges.a == ranks.node)
+                   .join(deg.withColumnRenamed("node", "dn"),
+                         F.col("a") == F.col("dn"))
+                   .select(F.col("b").alias("node"),
+                           F.expr("pr div deg").alias("c")))
+        ranks = (contrib.groupBy("node")
+                 .agg((F.lit(base)
+                       + F.expr("85 * sum(c) div 100")).alias("pr"))
+                 .localCheckpoint())
+    return (ranks.select("node", F.col("pr").cast("bigint").alias("pr_fp"))
+            .orderBy(F.col("pr_fp").desc(), "node"))
