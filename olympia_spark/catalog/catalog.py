@@ -506,32 +506,47 @@ class Catalog:
         hints a (full) export could never be OPENED as a catalog at the
         destination prefix."""
         dest_storage = dest if isinstance(dest, Storage) else storage_for(dest)
+
+        def copy_if_absent(path: str) -> None:
+            # node/def/root files are content-immutable at their uuid- or
+            # version-addressed paths — an existing destination file IS
+            # the same bytes, so a re-export (incremental refresh of the
+            # same destination) skips it instead of failing the seal
+            if not dest_storage.exists(path):
+                dest_storage.write_atomic(path, self.storage.read(path))
+
         latest = self.tree.load_latest_root()
         root = (latest if version is None
                 else self.tree.find_root_for_version(latest, version))
         root_path = root.path
-        dest_storage.write_atomic(root_path, self.storage.read(root_path))
+        copy_if_absent(root_path)
         exported_version = loc.version_from_root_path(root_path)
-        for hint in (loc.LATEST_HINT_PATH, loc.OLDEST_HINT_PATH):
-            try:
-                dest_storage.write_atomic(
-                    hint, str(exported_version).encode())
-            except Exception:  # noqa: BLE001 — hints are advisory by spec
-                pass
+        try:
+            # overwrite, not write_atomic: a SECOND export to the same
+            # destination must repoint the latest hint or the new root
+            # stays invisible (put-if-absent would fail and leave it
+            # stale); the oldest hint keeps its first value (put-if-absent
+            # is exactly min semantics for monotonically growing exports)
+            dest_storage.overwrite(loc.LATEST_HINT_PATH,
+                                   str(exported_version).encode())
+        except Exception:  # noqa: BLE001 — hints are advisory by spec
+            pass
+        try:
+            dest_storage.write_atomic(loc.OLDEST_HINT_PATH,
+                                      str(exported_version).encode())
+        except Exception:  # noqa: BLE001
+            pass
         copied = [root_path]
         if mode in ("partial", "full"):
             for node_path in self.tree.reachable_node_paths(root):
                 if node_path != root_path:
-                    dest_storage.write_atomic(
-                        node_path, self.storage.read(node_path))
+                    copy_if_absent(node_path)
                     copied.append(node_path)
         if mode == "full":
             for _k, def_path in self.tree.traverse(root):
-                dest_storage.write_atomic(def_path,
-                                          self.storage.read(def_path))
+                copy_if_absent(def_path)
                 copied.append(def_path)
-            dest_storage.write_atomic(root.catalog_def_path,
-                                      self.storage.read(root.catalog_def_path))
+            copy_if_absent(root.catalog_def_path)
         # record the export on the catalog definition (proto/objects.proto:50)
         self.catalog_def.exported_snapshots[name] = root_path
         new_def_path = loc.new_catalog_def_path()

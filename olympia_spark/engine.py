@@ -263,16 +263,21 @@ class Engine:
                 files.append(DataFile(path=p, num_rows=md.num_rows,
                                       size_bytes=os.path.getsize(p)))
         else:
+            from urllib.parse import unquote, urlparse
             reader = self.spark.read.options(**opts)
             df = (reader.option("inferSchema", "true").csv(list(paths))
                   if fmt == "CSV" else reader.json(list(paths)))
             schema = df.schema
-            counts = {r["f"]: r["n"] for r in
-                      df.groupBy(F.input_file_name().alias("f"))
-                      .agg(F.count("*").alias("n")).collect()}
+            # input_file_name() returns a percent-encoded file: URI —
+            # decode to the plain filesystem path and match EXACTLY
+            # (suffix matching mis-binds counts when one path is a
+            # suffix of another, and never matches special characters)
+            counts: dict[str, int] = {}
+            for r in (df.groupBy(F.input_file_name().alias("f"))
+                      .agg(F.count("*").alias("n")).collect()):
+                counts[unquote(urlparse(r["f"]).path)] = r["n"]
             for p in paths:
-                n = next((v for k, v in counts.items()
-                          if k.endswith(p.removeprefix("file://"))), 0)
+                n = counts.get(os.path.abspath(p), 0)
                 files.append(DataFile(path=p, num_rows=n,
                                       size_bytes=os.path.getsize(p)))
         txn = self._txn()
@@ -819,6 +824,10 @@ class Engine:
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
+        # CSV applies the stored schema POSITIONALLY — evolving it would
+        # silently shift every later scan's columns, so schema evolution
+        # is part of the read-only contract for external formats
+        self._require_native(tdef, name, "ALTER TABLE ADD COLUMNS")
         schema = tdef.spark_schema()
         existing = {f.name for f in schema.fields}
         for f in columns.fields:
@@ -838,6 +847,7 @@ class Engine:
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "ALTER TABLE DROP COLUMNS")
         schema = tdef.spark_schema()
         missing = set(column_names) - {f.name for f in schema.fields}
         if missing:

@@ -132,18 +132,13 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
     re-running the inverted-index join, which would be all-pairs work and
     defeat the LSH. Returns (d1, d2, i, n1, n2).
 
-    ``cand`` must be materialized (tiny — O(true near-dups)); it is read
-    twice (candidate-doc projection + the verify join). Two scale moves:
-    sets are built ONLY for docs appearing in a candidate pair (semi-join
-    before the collect_set — building sets for the whole corpus would
-    shuffle every shingle to verify a handful of pairs), and set elements
-    are xxhash64 longs, not shingle strings (|i|, |n1|, |n2| are
+    ``sh`` must already be restricted to candidate-pair docs (callers use
+    _cand_doc_shingles — building sets for the whole corpus would shuffle
+    every shingle to verify a handful of pairs); set elements are
+    xxhash64 longs, not shingle strings (|i|, |n1|, |n2| are
     collision-free in practice at 64 bits; see _jaccard_pairs)."""
-    docs = (cand.select(F.col("d1").alias("doc_id"))
-            .union(cand.select(F.col("d2").alias("doc_id"))).distinct())
     sets = F.broadcast(
-        sh.join(F.broadcast(docs), "doc_id")
-        .groupBy("doc_id")
+        sh.groupBy("doc_id")
         .agg(F.collect_set(F.xxhash64("s")).alias("ss")))
     return (cand
             .join(sets.select(F.col("doc_id").alias("d1"),
@@ -744,6 +739,10 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     deg = edges.groupBy(F.col("a").alias("node")) \
                .agg(F.count("*").alias("deg"))
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty near-dup graph (no pairs over threshold): the oracle
+        # returns zero rows; dividing by the node count would crash
+        return spark.createDataFrame([], "node bigint, pr_fp bigint")
     base = (_PR_SCALE * 15 // 100) // n_nodes
     ranks = deg.select("node", F.lit(_PR_SCALE // n_nodes).alias("pr"))
     for _ in range(_PR_ITERS):

@@ -82,3 +82,21 @@ def test_external_ingest_via_ctas(spark, tmp_path, engine):
     txn = engine.catalog.begin()
     assert engine.catalog.describe_table(txn, "raw", "native").format \
         == "PARQUET"
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_external_tables_refuse_schema_evolution(spark, tmp_path, engine,
+                                                 fmt):
+    """Review r4: CSV applies the stored schema positionally — dropping a
+    middle column would silently shift every later scan's values, so
+    ALTER is part of the read-only contract."""
+    files = _stage(spark, tmp_path, fmt)
+    engine.register_external_table(f"raw.alt_{fmt}", *files, format=fmt)
+    with pytest.raises(ValueError, match="read-only"):
+        engine.sql(f"ALTER TABLE raw.alt_{fmt} DROP COLUMN (event_type)")
+    with pytest.raises(ValueError, match="read-only"):
+        engine.sql(f"ALTER TABLE raw.alt_{fmt} ADD COLUMNS (extra BIGINT)")
+    # the scan still reads correctly afterwards
+    n = engine.sql(f"SELECT COUNT(*) AS n FROM raw.alt_{fmt} "
+                   f"WHERE event_type IS NOT NULL").first().n
+    assert n == 200

@@ -379,3 +379,41 @@ def test_sql_frontend_edge_cases(engine, spark):
     q("INSERT INTO ns1.edge VALUES (9, '')")
     assert q("SELECT name FROM ns1.edge WHERE id = 9").first().name == ""
     assert q("  SELECT COUNT(*) AS n FROM ns1.edge ;  ").first().n == 3
+
+
+def test_watermark_finalization_boundary_is_inclusive(spark, tmp_path):
+    """b32_stream_watermark_append's oracle finalizes windows with
+    window_end <= watermark (inclusive). Pin Spark's behavior at the
+    exact seam — batch-0 max ts ON the hour makes the watermark exactly
+    equal a window end — so a regenerated fixture can never silently
+    flip the gate."""
+    import time
+
+    d = str(tmp_path / "seam")
+    rows1 = [(1, "2024-01-01 10:00:00")]            # wm -> exactly 08:00
+    rows2 = [(2, "2024-01-01 07:30:00"),
+             (3, "2024-01-01 07:59:59")]            # window end == wm
+    df1 = (spark.createDataFrame(rows1, "id long, ts string")
+           .withColumn("ts", F.to_timestamp("ts")))
+    df2 = (spark.createDataFrame(rows2, "id long, ts string")
+           .withColumn("ts", F.to_timestamp("ts")))
+    df1.coalesce(1).write.mode("overwrite").parquet(d)
+    time.sleep(0.05)
+    df2.coalesce(1).write.mode("append").parquet(d)
+    stream = (spark.readStream.schema(df1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour"))
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.format("memory").queryName("wm_seam")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [(r.s.isoformat(), r.n) for r in
+           spark.table("wm_seam")
+           .select(F.col("window.start").alias("s"), "n")
+           .orderBy("s").collect()]
+    # the window ending exactly AT the watermark is emitted (inclusive),
+    # with late rows merged; the open 10:00 window is withheld
+    assert got == [("2024-01-01T07:00:00", 2)]

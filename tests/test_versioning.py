@@ -132,3 +132,17 @@ def test_export_full_opens_as_working_catalog(cat, tmp_path):
         "dest_only", "ns0", "ns1", "ns2"]
     assert cat.tree.find_latest_version() == src_version
     assert "dest_only" not in cat.show_namespaces(cat.begin())
+
+
+def test_second_export_repoints_latest_hint(cat, tmp_path):
+    """Review r4: the destination's latest hint must follow the newest
+    export — a put-if-absent hint would silently leave the new root
+    invisible and the catalog opening at the OLD version."""
+    dest = LocalStorage(str(tmp_path / "redo"))
+    cat.export_snapshot("first", dest, mode="full")
+    txn = cat.begin()
+    cat.create_namespace(txn, "later")
+    cat.commit(txn)
+    cat.export_snapshot("second", dest, mode="full")
+    c2 = Catalog.load(dest.root)
+    assert "later" in c2.show_namespaces(c2.begin())
