@@ -1624,3 +1624,32 @@ def b56_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     return (pairs.groupBy("user_id")
             .agg(F.count("*").alias("n_pairs"))
             .orderBy("user_id"))
+
+
+# --- B57 distinct aggregate over a window ------------------------------------
+
+@query("b57_window_count_distinct", oracle="""
+SELECT o_orderpriority, o_orderkey,
+       COUNT(DISTINCT o_custkey)
+           OVER (PARTITION BY o_orderpriority) AS n_distinct_cust
+FROM orders
+ORDER BY o_orderpriority, o_orderkey
+LIMIT 1000
+""")
+def b57_window_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """B57 — COUNT(DISTINCT) as a window function, which Spark does not
+    support natively: emulated with the standard dense_rank trick
+    (dense_rank over (partition ORDER BY value) peaks at the distinct
+    count; max over the partition broadcasts it to every row). Two window
+    passes over ONE sort order — the per-partition distinct cardinality
+    annotation used for skew diagnostics and feature engineering. DuckDB
+    runs the native distinct window aggregate; results must match."""
+    o = load(spark, sf, "orders")
+    w_rank = W.partitionBy("o_orderpriority").orderBy("o_custkey")
+    w_all = W.partitionBy("o_orderpriority")
+    return (o.select(
+        "o_orderpriority", "o_orderkey",
+        F.max(F.dense_rank().over(w_rank)).over(w_all)
+         .cast("bigint").alias("n_distinct_cust"))
+        .orderBy("o_orderpriority", "o_orderkey")
+        .limit(1000))
