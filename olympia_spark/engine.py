@@ -891,18 +891,36 @@ class Engine:
         self._finish(txn)
         return len(old_paths) - len(new_files)
 
-    def expire_versions(self, keep_last: int) -> list[str]:
+    def expire_versions(self, keep_last: int,
+                        protect_exports: bool = True) -> list[str]:
         """Version-expiration maintenance: delete root files (and their
         exclusively-reachable node files) older than the newest
         ``keep_last`` versions, and advance ``vn/oldest``
         (docs/format.md "Oldest Version File"). Data files referenced by
-        surviving versions are never touched."""
+        surviving versions are never touched.
+
+        ``protect_exports`` (the retention policy docs/format.md
+        "Snapshot Export" calls for): roots recorded in
+        ``exported_snapshots`` stay live together with their reachable
+        nodes — a MINIMAL/PARTIAL export references the SOURCE's files,
+        so expiring its version would silently break the export. Pass
+        False only when every export is known to be full (self-contained
+        at its destination)."""
         from olympia_spark.catalog import locations as loc
         latest = self.catalog.tree.find_latest_version()
         cutoff = latest - keep_last + 1
         if cutoff <= 0:
             return []
         keep_nodes: set[str] = set()
+        protected_roots: set[str] = set()
+        if protect_exports:
+            protected_roots = set(
+                self.catalog.catalog_def.exported_snapshots.values())
+            for path in protected_roots:
+                if self.catalog.storage.exists(path):
+                    root = self.catalog.tree.load_root(path)
+                    keep_nodes.update(
+                        self.catalog.tree.reachable_node_paths(root))
         for v in range(cutoff, latest + 1):
             root = self.catalog.tree.load_root(loc.root_node_path(v))
             keep_nodes.update(self.catalog.tree.reachable_node_paths(root))
@@ -916,7 +934,8 @@ class Engine:
         expired_nodes: set[str] = set()
         for v in range(cutoff):
             path = loc.root_node_path(v)
-            if not self.catalog.storage.exists(path):
+            if path in protected_roots or \
+                    not self.catalog.storage.exists(path):
                 continue
             root = self.catalog.tree.load_root(path)
             expired_nodes.update(

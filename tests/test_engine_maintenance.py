@@ -275,3 +275,31 @@ def test_multiprocess_cas_race(engine, tmp_path):
     files = {f.path for f in
              engine.catalog.describe_table(txn, "ns1", "t").data_files}
     assert files == {f"data/race_{i}.parquet" for i in range(4)}
+
+
+def test_expire_versions_protects_exported_snapshots(engine, spark, tmp_path):
+    """A MINIMAL export references the SOURCE's root/node files, so
+    version expiration must keep an exported version's files live (the
+    retention policy the format spec calls for) unless explicitly told
+    every export is self-contained."""
+    from olympia_spark.catalog.storage import LocalStorage
+
+    engine.sql("CREATE TABLE ns1.e (x BIGINT)")
+    for i in range(3):
+        engine.sql(f"INSERT INTO ns1.e VALUES ({i})")
+    exported_version = engine.catalog.tree.find_latest_version()
+    dest = LocalStorage(str(tmp_path / "exp"))
+    root_path = engine.catalog.export_snapshot("keepme", dest,
+                                               mode="minimal",
+                                               version=exported_version)
+    for i in range(5):
+        engine.sql(f"INSERT INTO ns1.e VALUES ({100 + i})")
+    engine.expire_versions(keep_last=2)
+    # the exported version's root (and reachable nodes) survive at the
+    # source, so the minimal export still resolves
+    assert engine.catalog.storage.exists(root_path)
+    root = engine.catalog.tree.load_root(root_path)
+    assert list(engine.catalog.tree.traverse(root))
+    # opting out removes it like any other expired version
+    engine.expire_versions(keep_last=2, protect_exports=False)
+    assert not engine.catalog.storage.exists(root_path)
