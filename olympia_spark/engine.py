@@ -181,6 +181,38 @@ class Engine:
         self._record_select(txn, ns, tbl, [f.name for f in schema.fields])
         return self._scan(tdef, tdef.file_paths())
 
+    def table_changes(self, name: str, from_version: int,
+                      to_version: int) -> DataFrame:
+        """Change data feed between two CATALOG versions: the rows
+        inserted and deleted in ``name`` from ``from_version`` (exclusive
+        state) to ``to_version``. Computed from the version-tracked file
+        lists — only files that ENTERED or LEFT the table are scanned,
+        and carried-through rows of copy-on-write rewrites cancel via
+        multiset difference (``exceptAll`` both ways), so an UPDATE
+        surfaces as its delete+insert pair. This is the incremental-
+        consumption surface (downstream jobs process the delta, not the
+        table) and its cost is O(changed files), never O(table).
+
+        Returns the table's columns plus ``_change_type``
+        ('insert' | 'delete')."""
+        ns, tbl = self._split(name)
+        t_from = self.catalog.at_version(from_version)
+        t_to = self.catalog.at_version(to_version)
+        d_from = self.catalog.describe_table(t_from, ns, tbl)
+        d_to = self.catalog.describe_table(t_to, ns, tbl)
+        paths_from = set(d_from.file_paths())
+        paths_to = set(d_to.file_paths())
+        # scan with the TO-version schema (additive evolution fills NULLs)
+        entered = sorted(paths_to - paths_from)
+        left = sorted(paths_from - paths_to)
+        added = self._scan(d_to, entered)
+        removed = self._scan(d_to, left)
+        inserts = added.exceptAll(removed) \
+            .withColumn("_change_type", F.lit("insert"))
+        deletes = removed.exceptAll(added) \
+            .withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     def _scan(self, tdef: TableDef, rel_paths: list[str]) -> DataFrame:
         """Scan a tracked file list. Partitioned tables read per write-dir
         with that dir as basePath, so Spark reconstructs the hive partition

@@ -163,3 +163,42 @@ def b33b_merge_multi(spark: SparkSession, sf: str) -> DataFrame:
             (event_id, event_type, value) VALUES (s.merge_id, 'multi', 1.25)
     """)
     return eng.sql(_checksum("events_mm"))
+
+
+@query("b58_table_changes", oracle=f"""
+SELECT 'delete' AS change_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       {dsum('value', 'value_sum')}
+FROM events WHERE event_type IN ('click', 'error')
+UNION ALL
+SELECT 'insert' AS change_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       {dsum('value * 2', 'value_sum')}
+FROM events WHERE event_type = 'click'
+ORDER BY change_type
+""")
+def b58_table_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """B58 — change data feed between catalog versions: seed the table,
+    UPDATE the clicks (value×2) and DELETE the errors, then ask the
+    catalog for the row-level delta between the seeded and final
+    versions. Copy-on-write rewrites whole files, but carried-through
+    rows cancel via multiset difference, so the feed contains exactly
+    the semantic changes — the UPDATE's delete+insert pairs and the
+    DELETE's deletes — independent of physical file layout, at a cost of
+    O(changed files). The oracle reconstructs the same delta from the
+    untouched source."""
+    from pyspark.sql import functions as F
+
+    eng = _engine_with_events(spark, sf, "events_cdf")
+    v_seed = eng.catalog.tree.find_latest_version()
+    eng.sql("UPDATE ns1.events_cdf SET value = value * 2 "
+            "WHERE event_type = 'click'")
+    eng.sql("DELETE FROM ns1.events_cdf WHERE event_type = 'error'")
+    v_final = eng.catalog.tree.find_latest_version()
+    changes = eng.table_changes("ns1.events_cdf", v_seed, v_final)
+    return (changes.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").cast("bigint").alias("id_sum"),
+                 F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                  .alias("value_sum"))
+            .orderBy("change_type"))

@@ -303,3 +303,23 @@ def test_expire_versions_protects_exported_snapshots(engine, spark, tmp_path):
     # opting out removes it like any other expired version
     engine.expire_versions(keep_last=2, protect_exports=False)
     assert not engine.catalog.storage.exists(root_path)
+
+
+def test_table_changes_append_and_update_pairing(engine, spark):
+    """CDF basics: an append surfaces as pure inserts; a COW update
+    surfaces as its delete+insert pair with carried rows cancelled."""
+    engine.sql("CREATE TABLE ns1.cdf (id BIGINT, v BIGINT)")
+    engine.write_table(spark.range(0, 10).selectExpr("id", "id AS v")
+                       .coalesce(1), "ns1.cdf")
+    v1 = engine.catalog.tree.find_latest_version()
+    engine.write_table(spark.range(10, 15).selectExpr("id", "id AS v")
+                       .coalesce(1), "ns1.cdf")
+    v2 = engine.catalog.tree.find_latest_version()
+    ch = engine.table_changes("ns1.cdf", v1, v2)
+    rows = {(r.id, r._change_type) for r in ch.collect()}
+    assert rows == {(i, "insert") for i in range(10, 15)}
+    engine.sql("UPDATE ns1.cdf SET v = 99 WHERE id = 3")
+    v3 = engine.catalog.tree.find_latest_version()
+    ch2 = {(r.id, r.v, r._change_type)
+           for r in engine.table_changes("ns1.cdf", v2, v3).collect()}
+    assert ch2 == {(3, 3, "delete"), (3, 99, "insert")}
