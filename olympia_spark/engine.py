@@ -101,6 +101,116 @@ def _normalize(sql: str) -> str:
                    for i, p in enumerate(parts))
 
 
+def _find_kw(s: str, kw: str, start: int = 0) -> int | None:
+    """Index of keyword ``kw`` at paren depth 0 outside string literals
+    (word-bounded, case-insensitive), or None."""
+    depth = 0
+    i = start
+    n, k = len(s), len(kw)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < n and s[i] != q:
+                i += 2 if q == "'" and s[i:i + 2] == "''" else 1
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and s[i:i + k].upper() == kw.upper()
+              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+              and (i + k >= n or not (s[i + k].isalnum()
+                                      or s[i + k] == "_"))):
+            return i
+        i += 1
+    return None
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index one past the ')' matching the '(' at open_idx (string-aware)."""
+    depth = 0
+    i = open_idx
+    while i < len(s):
+        c = s[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < len(s) and s[i] != q:
+                i += 2 if q == "'" and s[i:i + 2] == "''" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _rewrite_qualify(stmt: str) -> tuple[str, list[str]]:
+    """QUALIFY — filter on window results without a subquery — which
+    Spark SQL lacks (DuckDB/Snowflake/BigQuery have it). Rewritten to the
+    standard form: the inner select gains hidden projections for any
+    window expressions written inline in the condition, the query wraps
+    in a subquery filtered on the condition, trailing ORDER BY/LIMIT
+    move outside, and the hidden columns are dropped from the returned
+    frame. Returns (sql, hidden_column_names)."""
+    qi = _find_kw(stmt, "QUALIFY")
+    if qi is None:
+        return stmt, []
+    inner = stmt[:qi].strip()
+    tail = stmt[qi + len("QUALIFY"):]
+    t_candidates = [p for p in (_find_kw(tail, "ORDER"),
+                                _find_kw(tail, "LIMIT")) if p is not None]
+    cut = min(t_candidates) if t_candidates else len(tail)
+    cond, trailing = tail[:cut].strip(), tail[cut:].strip()
+    # inline window expressions in the condition become hidden columns
+    hidden: list[str] = []
+    extra: list[str] = []
+    while True:
+        oi = _find_kw(cond, "OVER")
+        if oi is None:
+            break
+        # right: the OVER (...) frame
+        op = cond.index("(", oi)
+        end = _match_paren(cond, op)
+        # left: backwards over ws → the function call's closing paren
+        j = oi - 1
+        while j >= 0 and cond[j].isspace():
+            j -= 1
+        if j < 0 or cond[j] != ")":
+            raise ValueError("QUALIFY: cannot parse window function "
+                             f"before OVER in: {cond}")
+        depth = 0
+        k = j
+        while k >= 0:
+            if cond[k] == ")":
+                depth += 1
+            elif cond[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        while k > 0 and (cond[k - 1].isalnum() or cond[k - 1] == "_"):
+            k -= 1
+        alias = f"__qualify_{len(hidden)}"
+        extra.append(f"{cond[k:end]} AS {alias}")
+        hidden.append(alias)
+        cond = cond[:k] + alias + cond[end:]
+    if extra:
+        fi = _find_kw(inner, "FROM")
+        if fi is None:
+            raise ValueError("QUALIFY: no top-level FROM to attach "
+                             "window projections to")
+        inner = f"{inner[:fi].rstrip()}, {', '.join(extra)} {inner[fi:]}"
+    out = (f"SELECT * FROM ({inner}) __qualify_src "
+           f"WHERE {cond} {trailing}").strip()
+    return out, hidden
+
+
 class Engine:
     """One Engine per (SparkSession, warehouse). Holds the session
     transaction for multi-statement BEGIN/COMMIT (reference
@@ -1583,4 +1693,6 @@ class Engine:
             self._sys_dtxns_df().createOrReplaceTempView("olympia__sys__dtxns")
             statement = re.sub(r"\bsys\.dtxns\b(?!\.dtxn_)",
                                "olympia__sys__dtxns", statement)
-        return spark.sql(self._resolve_sql(statement, txn))
+        rewritten, hidden = _rewrite_qualify(statement)
+        df = spark.sql(self._resolve_sql(rewritten, txn))
+        return df.drop(*hidden) if hidden else df

@@ -48,6 +48,11 @@ def _external_engine(spark: SparkSession, sf: str):
         eng.register_external_table(
             "raw.events_json", *sorted(glob.glob(f"{json_dir}/*.json")),
             format="json")
+        import os
+        # parquet external registration too (events.parquet stores NANOS
+        # timestamps that need tables.load's legacy conf — orders doesn't)
+        eng.register_external_table(
+            "raw.orders_pq", os.path.join(sf, "orders.parquet"))
         return (eng,)
 
     return get_or_create(_SRC_CACHE, spark, sf, build)[0]
@@ -81,3 +86,31 @@ def b53_external_sources(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
         "FROM raw.events_json GROUP BY event_type")
     return out.unionByName(out2).orderBy("fmt", "event_type")
+
+
+@query("b59_qualify", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+LIMIT 500
+""")
+def b59_qualify(spark: SparkSession, sf: str) -> DataFrame:
+    """B59 — QUALIFY through the engine's SQL front door: filter on a
+    window result without writing the subquery, a clause host Spark SQL
+    lacks (DuckDB/Snowflake/BigQuery have it). The engine rewrites it to
+    the standard hidden-projection + subquery form before Catalyst sees
+    it — the inline ROW_NUMBER lands in the inner select, the filter
+    wraps it, trailing ORDER BY/LIMIT move outside, and the hidden
+    column is dropped from the returned frame. The oracle runs DuckDB's
+    NATIVE QUALIFY on the same text shape."""
+    eng = _external_engine(spark, sf)
+    return eng.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM raw.orders_pq
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        LIMIT 500
+    """)

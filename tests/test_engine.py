@@ -540,3 +540,28 @@ def test_merge_dedup_source_opt_in(engine, spark):
     assert n == 2
     out = {r.k: r.v for r in engine.sql("SELECT k, v FROM ns1.ds").collect()}
     assert out == {1: 300, 2: 20, 3: 7}
+
+
+def test_qualify_rewrite_aliased_and_inline(engine, spark):
+    engine.sql("CREATE TABLE ns1.q (k BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.q VALUES (1, 10), (1, 20), (1, 30), "
+               "(2, 5), (2, 50)")
+    # inline window expression in QUALIFY
+    rows = engine.sql(
+        "SELECT k, v FROM ns1.q QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY v DESC) = 1 ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 30), (2, 50)]
+    assert {c for r in rows for c in r.asDict()} == {"k", "v"}  # no hidden
+    # aliased window column referenced from QUALIFY, with trailing LIMIT
+    rows = engine.sql(
+        "SELECT k, v, RANK() OVER (PARTITION BY k ORDER BY v) AS r "
+        "FROM ns1.q QUALIFY r <= 1 ORDER BY k LIMIT 1").collect()
+    assert [(r.k, r.v, r.r) for r in rows] == [(1, 10, 1)]
+
+
+def test_qualify_keyword_inside_literal_untouched(engine):
+    engine.sql("CREATE TABLE ns1.ql (s STRING)")
+    engine.sql("INSERT INTO ns1.ql VALUES ('QUALIFY me')")
+    assert engine.sql("SELECT s FROM ns1.ql").first().s == "QUALIFY me"
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ql "
+                      "WHERE s = 'QUALIFY me'").first().n == 1
