@@ -150,6 +150,17 @@ def _match_paren(s: str, open_idx: int) -> int:
     raise ValueError("unbalanced parentheses in SQL")
 
 
+def _rewrite_exclude(stmt: str) -> str:
+    """``SELECT * EXCLUDE (cols)`` (DuckDB/Snowflake spelling) → Spark's
+    native ``* EXCEPT (cols)``. Pure keyword alias, applied outside
+    string literals only."""
+    parts = re.split(r"('(?:[^']|'')*'|\"[^\"]*\")", stmt)
+    return "".join(
+        p if i % 2 else re.sub(r"\bEXCLUDE\s*\(", "EXCEPT (", p,
+                               flags=re.I)
+        for i, p in enumerate(parts))
+
+
 def _rewrite_qualify(stmt: str) -> tuple[str, list[str]]:
     """QUALIFY — filter on window results without a subquery — which
     Spark SQL lacks (DuckDB/Snowflake/BigQuery have it). Rewritten to the
@@ -1693,6 +1704,6 @@ class Engine:
             self._sys_dtxns_df().createOrReplaceTempView("olympia__sys__dtxns")
             statement = re.sub(r"\bsys\.dtxns\b(?!\.dtxn_)",
                                "olympia__sys__dtxns", statement)
-        rewritten, hidden = _rewrite_qualify(statement)
+        rewritten, hidden = _rewrite_qualify(_rewrite_exclude(statement))
         df = spark.sql(self._resolve_sql(rewritten, txn))
         return df.drop(*hidden) if hidden else df

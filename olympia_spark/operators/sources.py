@@ -114,3 +114,25 @@ def b59_qualify(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY o_custkey, o_totalprice DESC, o_orderkey
         LIMIT 500
     """)
+
+
+@query("b60_select_exclude", oracle="""
+SELECT * EXCLUDE (o_orderdate, o_orderstatus, o_orderpriority)
+FROM orders
+ORDER BY o_orderkey
+LIMIT 200
+""")
+def b60_select_exclude(spark: SparkSession, sf: str) -> DataFrame:
+    """B60 — SELECT * EXCLUDE through the engine front door: the
+    DuckDB/Snowflake spelling is aliased to Spark's native * EXCEPT
+    (literal-safe keyword rewrite), keeping wide-table projections
+    ergonomic — and column PRUNING intact: the scan reads only the
+    surviving columns, which at 100 TB is the difference between reading
+    3 columns and 6."""
+    eng = _external_engine(spark, sf)
+    return eng.sql("""
+        SELECT * EXCLUDE (o_orderdate, o_orderstatus, o_orderpriority)
+        FROM raw.orders_pq
+        ORDER BY o_orderkey
+        LIMIT 200
+    """)
