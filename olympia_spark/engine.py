@@ -1505,6 +1505,10 @@ class Engine:
                 txn, m.group(1).replace("`", ""))
             rows = sorted(ndef.properties.items()) or [("", "")]
             return spark.createDataFrame(rows, "key string, value string")
+        m = re.match(r"DESCRIBE HISTORY (\S+\.\S+)$", norm, re.I)
+        if m:
+            # Delta-style spelling for the $history metadata table
+            return self.sql(f"SELECT * FROM {m.group(1)}$history")
         m = re.match(r"DESCRIBE (?:TABLE )?(\S+\.\S+)$", norm, re.I)
         if m:
             ns, tbl = self._split(m.group(1))
@@ -1514,12 +1518,12 @@ class Engine:
             return spark.createDataFrame(
                 [(f.name, f.dataType.simpleString()) for f in fields],
                 "col_name string, data_type string")
-        m = re.match(r"CREATE TABLE( IF NOT EXISTS)? (\S+?)\s*"
+        m = re.match(r"CREATE( OR REPLACE)? TABLE( IF NOT EXISTS)? (\S+?)\s*"
                      r"(?:\((.+?)\))?\s*(?:PARTITIONED BY \(([\w, ]+)\))?"
                      r"\s*(?:AS (SELECT .+))?$",
                      norm, re.I | re.S)
-        if m and norm.upper().startswith("CREATE TABLE"):
-            if_not_exists, name, cols, part, ctas = m.groups()
+        if m and re.match(r"CREATE( OR REPLACE)? TABLE", norm, re.I):
+            or_replace, if_not_exists, name, cols, part, ctas = m.groups()
             ns, tbl = self._split(name)
             partition_by = ([c.strip() for c in part.split(",")]
                             if part else [])
@@ -1527,6 +1531,10 @@ class Engine:
             if if_not_exists and self.catalog.table_exists(txn, ns, tbl):
                 self._finish(txn)
                 return ok()
+            if or_replace and self.catalog.table_exists(txn, ns, tbl):
+                # one transaction: the drop and the recreate commit
+                # atomically (a reader never observes the gap)
+                self.catalog.drop_table(txn, ns, tbl)
             if ctas:
                 df = spark.sql(self._resolve_sql(ctas, txn))
                 self.catalog.create_table(txn, ns, tbl, TableDef(
@@ -1582,21 +1590,51 @@ class Engine:
             self.catalog.drop_view(txn, ns, view)
             self._finish(txn)
             return ok()
-        m = re.match(r"INSERT (INTO|OVERWRITE)(?: TABLE)? (\S+\.\S+)\s+(.+)$",
+        m = re.match(r"INSERT (INTO|OVERWRITE)(?: TABLE)? (\S+?\.\S+?)"
+                     r"\s*(\(.+|VALUES.+|SELECT.+|WITH.+|FROM.+)$",
                      norm, re.I | re.S)
         if m:
             kind, name, payload = m.groups()
             txn_src = self._txn()
+            ns, tbl = self._split(name)
+            schema = self.catalog.describe_table(
+                txn_src, ns, tbl).spark_schema()
+            col_list: list[str] | None = None
+            if payload.startswith("("):
+                # explicit column list: INSERT INTO t (a, b) VALUES/SELECT
+                end = _match_paren(payload, 0)
+                col_list = [c.strip().strip("`")
+                            for c in payload[1:end - 1].split(",")]
+                payload = payload[end:].strip()
+                unknown = set(col_list) - {f.name for f in schema.fields}
+                if unknown:
+                    raise ValueError(
+                        f"INSERT: column(s) {sorted(unknown)} do not "
+                        f"exist in {name}")
+            target_cols = col_list or [f.name for f in schema.fields]
             if re.match(r"VALUES", payload, re.I):
-                ns, tbl = self._split(name)
-                schema = self.catalog.describe_table(
-                    txn_src, ns, tbl).spark_schema()
                 df = spark.sql(f"SELECT * FROM ({payload}) "
-                               f"AS v({', '.join(f.name for f in schema)})")
-                for f in schema.fields:
-                    df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+                               f"AS v({', '.join(target_cols)})")
             else:
                 df = spark.sql(self._resolve_sql(payload, txn_src))
+                if col_list is not None:
+                    # explicit column list: positional mapping (SQL
+                    # semantics). Without a list the query's own column
+                    # names bind to the table's (order-insensitive).
+                    if len(df.columns) != len(target_cols):
+                        raise ValueError(
+                            f"INSERT: query produces {len(df.columns)} "
+                            f"column(s), target list has "
+                            f"{len(target_cols)}")
+                    df = df.toDF(*target_cols)
+            if col_list is not None or re.match(r"VALUES", payload, re.I):
+                # align to the full table schema: listed columns cast to
+                # their declared types, unlisted columns fill with NULL
+                provided = set(target_cols)
+                df = df.select(*[
+                    (F.col(f.name) if f.name in provided
+                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in schema.fields])
             self.write_table(df, name,
                              mode=("overwrite"
                                    if kind.upper() == "OVERWRITE"

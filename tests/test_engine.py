@@ -565,3 +565,39 @@ def test_qualify_keyword_inside_literal_untouched(engine):
     assert engine.sql("SELECT s FROM ns1.ql").first().s == "QUALIFY me"
     assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ql "
                       "WHERE s = 'QUALIFY me'").first().n == 1
+
+
+def test_create_or_replace_table(engine, spark):
+    engine.sql("CREATE TABLE ns1.orr (x BIGINT)")
+    engine.sql("INSERT INTO ns1.orr VALUES (1), (2)")
+    engine.sql("CREATE OR REPLACE TABLE ns1.orr AS SELECT 99 AS y")
+    rows = engine.sql("SELECT y FROM ns1.orr").collect()
+    assert [r.y for r in rows] == [99]
+    # plain CREATE on an existing table still errors
+    import pytest as _pytest
+    from olympia_spark.catalog.errors import ObjectAlreadyExistsError
+    with _pytest.raises(ObjectAlreadyExistsError):
+        engine.sql("CREATE TABLE ns1.orr (z BIGINT)")
+
+
+def test_insert_with_column_list(engine):
+    engine.sql("CREATE TABLE ns1.cl (a BIGINT, b STRING, c DOUBLE)")
+    engine.sql("INSERT INTO ns1.cl (c, a) VALUES (1.5, 7)")
+    row = engine.sql("SELECT a, b, c FROM ns1.cl").first()
+    assert (row.a, row.b, row.c) == (7, None, 1.5)
+    engine.sql("INSERT INTO ns1.cl (a, b) SELECT 8, 'hi'")
+    rows = {(r.a, r.b, r.c) for r in
+            engine.sql("SELECT a, b, c FROM ns1.cl").collect()}
+    assert rows == {(7, None, 1.5), (8, "hi", None)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="do not exist"):
+        engine.sql("INSERT INTO ns1.cl (nope) VALUES (1)")
+    with _pytest.raises(ValueError, match="column"):
+        engine.sql("INSERT INTO ns1.cl (a, b) SELECT 1")
+
+
+def test_describe_history_alias(engine):
+    engine.sql("CREATE TABLE ns1.h (x BIGINT)")
+    engine.sql("INSERT INTO ns1.h VALUES (1)")
+    n = engine.sql("DESCRIBE HISTORY ns1.h").count()
+    assert n >= 2                       # create + insert versions
