@@ -1004,3 +1004,34 @@ def data_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum("n_tok").cast("bigint").alias("bin_tokens"),
                  F.min("doc_id").cast("bigint").alias("first_doc"))
             .orderBy("source", "bin"))
+
+
+# --- class balance audit + reweighting ---------------------------------------
+
+@query("data_class_balance", oracle="""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (SELECT COUNT(*) AS t, COUNT(DISTINCT lang) AS k FROM documents)
+SELECT lang, n,
+       ROUND(n * 1.0 / t, 4) AS share,
+       ROUND(t * 1.0 / (k * n), 4) AS weight
+FROM counts, tot
+ORDER BY lang
+""")
+def data_class_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Class-balance audit + inverse-frequency reweighting: per-language
+    share of the corpus and the weight (T / (K·n)) that equalizes every
+    class's total contribution — the balanced-sampling factor a training
+    pipeline feeds into its loss or sampler. One partial+final count
+    aggregation; the class table is tiny, so the weights join back to
+    the corpus as a broadcast at 100 TB."""
+    d = load(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = d.agg(F.count("*").alias("t"),
+                F.countDistinct("lang").alias("k"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("lang", "n",
+                    F.round(F.col("n") / F.col("t"), 4).alias("share"),
+                    F.round(F.col("t") / (F.col("k") * F.col("n")), 4)
+                     .alias("weight"))
+            .orderBy("lang"))
