@@ -1653,3 +1653,74 @@ def b57_window_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
          .cast("bigint").alias("n_distinct_cust"))
         .orderBy("o_orderpriority", "o_orderkey")
         .limit(1000))
+
+
+# --- B61 recursive CTE -------------------------------------------------------
+
+@query("b61_recursive_cte", oracle="""
+WITH RECURSIVE walk AS (
+  SELECT doc_id AS start_id, doc_id AS cur, 0 AS depth
+  FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT start_id, cur // 2, depth + 1 FROM walk WHERE cur > 0
+)
+SELECT start_id, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+       CAST(SUM(cur) AS BIGINT) AS path_sum
+FROM walk
+GROUP BY start_id
+ORDER BY start_id
+""")
+def b61_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """B61 — WITH RECURSIVE (Spark 4.x): per-document ancestor walk up
+    the implicit binary-tree hierarchy (parent = id / 2) until the root —
+    depth and path checksum per start node. The recursion is a
+    fixed-point loop of joins the engine executes iteratively, the same
+    shape as org-chart / BOM / reachability queries; iterations =
+    hierarchy depth (log n here), each one a join of the frontier
+    against nothing but itself. DuckDB runs the identical recursion."""
+    load(spark, sf, "documents").createOrReplaceTempView("b61_documents")
+    return spark.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT doc_id AS start_id, doc_id AS cur, 0 AS depth
+          FROM b61_documents WHERE doc_id < 100
+          UNION ALL
+          SELECT start_id, cur DIV 2, depth + 1 FROM walk WHERE cur > 0
+        )
+        SELECT start_id, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(SUM(cur) AS BIGINT) AS path_sum
+        FROM walk
+        GROUP BY start_id
+        ORDER BY start_id
+    """)
+
+
+# --- B62 SCD type-2 snapshot construction ------------------------------------
+
+@query("b62_scd2_build", oracle="""
+SELECT user_id, event_type AS state, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+       CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM events
+QUALIFY user_id < 50
+ORDER BY user_id, valid_from, event_id
+""")
+def b62_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
+    """B62 — slowly-changing-dimension type-2 construction: each user's
+    event stream becomes validity intervals (valid_from = the change,
+    valid_to = the next change, open-ended current row flagged) — the
+    standard dimension-history build, one lead window over one sort.
+    Tie-broken by event_id so interval edges are engine-deterministic."""
+    e = load(spark, sf, "events").filter("user_id < 50")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select(
+        "user_id", F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0)
+         .alias("is_current"),
+        "event_id")
+        .orderBy("user_id", "valid_from", "event_id")
+        .drop("event_id"))
