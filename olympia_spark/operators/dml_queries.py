@@ -169,12 +169,15 @@ def b33b_merge_multi(spark: SparkSession, sf: str) -> DataFrame:
 SELECT 'delete' AS change_type, COUNT(*) AS n,
        CAST(SUM(event_id) AS BIGINT) AS id_sum,
        {dsum('value', 'value_sum')}
-FROM events WHERE event_type IN ('click', 'error')
+FROM events
+WHERE event_type = 'error'
+   OR (event_type = 'click' AND value IS NOT NULL AND value <> 0)
 UNION ALL
 SELECT 'insert' AS change_type, COUNT(*) AS n,
        CAST(SUM(event_id) AS BIGINT) AS id_sum,
        {dsum('value * 2', 'value_sum')}
-FROM events WHERE event_type = 'click'
+FROM events
+WHERE event_type = 'click' AND value IS NOT NULL AND value <> 0
 ORDER BY change_type
 """)
 def b58_table_changes(spark: SparkSession, sf: str) -> DataFrame:
@@ -186,7 +189,10 @@ def b58_table_changes(spark: SparkSession, sf: str) -> DataFrame:
     the semantic changes — the UPDATE's delete+insert pairs and the
     DELETE's deletes — independent of physical file layout, at a cost of
     O(changed files). The oracle reconstructs the same delta from the
-    untouched source."""
+    untouched source; a click whose value is NULL or 0 doubles to ITSELF,
+    so the rewrite emits an identical row that rightly cancels — the feed
+    reports actual changes, not touched rows (the sf0.1 fixture has
+    exactly such a row; the oracle must exclude it too)."""
     from pyspark.sql import functions as F
 
     eng = _engine_with_events(spark, sf, "events_cdf")
