@@ -1554,6 +1554,10 @@ class Engine:
         if m:
             n = self.compact_table(m.group(1))
             return spark.createDataFrame([(n,)], "files_removed long")
+        if re.match(r"VACUUM$", norm, re.I):
+            removed = self.remove_orphan_files()
+            return spark.createDataFrame([(len(removed),)],
+                                         "orphans_removed long")
         m = re.match(r"TRUNCATE TABLE (\S+\.\S+)$", norm, re.I)
         if m:
             ns, tbl = self._split(m.group(1))

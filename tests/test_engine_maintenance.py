@@ -323,3 +323,18 @@ def test_table_changes_append_and_update_pairing(engine, spark):
     ch2 = {(r.id, r.v, r._change_type)
            for r in engine.table_changes("ns1.cdf", v2, v3).collect()}
     assert ch2 == {(3, 3, "delete"), (3, 99, "insert")}
+
+
+def test_vacuum_sql_verb(engine, spark):
+    """VACUUM = the SQL spelling of remove_orphan_files."""
+    engine.sql("CREATE TABLE ns1.vac (x BIGINT)")
+    engine.sql("INSERT INTO ns1.vac VALUES (1), (2)")
+    assert engine.sql("VACUUM").first().orphans_removed == 0
+    # orphan a file set: overwrite makes the old files unreferenced by the
+    # LATEST version but still referenced by history — expire history
+    # first, then VACUUM collects them
+    engine.write_table(spark.range(5).selectExpr("id AS x"), "ns1.vac",
+                       mode="overwrite")
+    engine.expire_versions(keep_last=1)
+    assert engine.sql("VACUUM").first().orphans_removed > 0
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.vac").first().n == 5
