@@ -270,3 +270,22 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     plan = _plan(registry.QUERIES["b56_interval_join"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", [
+    "b57_window_count_distinct", "b61_recursive_cte", "b62_scd2_build",
+    "data_pack_sequences", "data_class_balance", "graph_pagerank",
+])
+def test_latest_round4_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+def test_scd2_single_sort_for_both_window_functions(spark):
+    """B62: lead(valid_to) and the is_current flag must share ONE
+    exchange+sort — a second sort would double the operator's cost."""
+    plan = _plan(registry.QUERIES["b62_scd2_build"](spark, SF))
+    import re as _re
+    n_window = len(_re.findall(r"\(\d+\) Window", plan))
+    assert n_window == 1, plan
