@@ -208,3 +208,68 @@ def b58_table_changes(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
                   .alias("value_sum"))
             .orderBy("change_type"))
+
+
+@query("b63_txn_multi_table", oracle=f"""
+SELECT 'archive' AS tbl, COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       {dsum('value', 'value_sum')}
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'live' AS tbl, COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       {dsum('value', 'value_sum')}
+FROM events WHERE event_type <> 'error'
+ORDER BY tbl
+""")
+def b63_txn_multi_table(spark: SparkSession, sf: str) -> DataFrame:
+    """B63 — multi-object multi-statement ACID transaction (A35, the
+    reference's core bet) through the driver gate: BEGIN; copy the error
+    rows into an archive table; delete them from the live table; COMMIT.
+    Both mutations land in ONE catalog version — the conservation
+    invariant (every row in exactly one table, nothing lost or doubled)
+    holds because the commit is atomic, and the oracle reproduces the
+    post-state from the untouched source. A reader between the
+    statements would still see the pre-state: versions advance only at
+    COMMIT."""
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+    from olympia_spark.tables import load as _load
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_txn_"))
+        eng.sql("CREATE NAMESPACE ns1")
+        return eng
+
+    eng = get_or_create(_TXN_ENGINES, spark, sf, build)
+    txn0 = eng.catalog.begin()
+    for t in ("live", "archive"):
+        if eng.catalog.table_exists(txn0, "ns1", t):
+            eng.sql(f"DROP TABLE ns1.{t}")       # re-entry: reset state
+    events = _load(spark, sf, "events")
+    eng.write_table(events, "ns1.live")
+    eng.create_table("ns1.archive", events.schema)
+    v_before = eng.catalog.tree.find_latest_version()
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO ns1.archive SELECT * FROM ns1.live "
+            "WHERE event_type = 'error'")
+    eng.sql("DELETE FROM ns1.live WHERE event_type = 'error'")
+    # both statements pending: the committed catalog still holds the
+    # pre-state until COMMIT advances exactly one version
+    eng.sql("COMMIT")
+    assert eng.catalog.tree.find_latest_version() == v_before + 1, \
+        "multi-statement txn must commit as ONE catalog version"
+    return eng.sql(
+        "SELECT 'archive' AS tbl, COUNT(*) AS n_rows, "
+        "CAST(SUM(event_id) AS BIGINT) AS id_sum, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
+        "FROM ns1.archive "
+        "UNION ALL "
+        "SELECT 'live' AS tbl, COUNT(*) AS n_rows, "
+        "CAST(SUM(event_id) AS BIGINT) AS id_sum, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
+        "FROM ns1.live "
+        "ORDER BY tbl")
+
+
+_TXN_ENGINES: dict[tuple[str, str], object] = {}
