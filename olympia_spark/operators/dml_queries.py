@@ -273,3 +273,29 @@ def b63_txn_multi_table(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _TXN_ENGINES: dict[tuple[str, str], object] = {}
+
+
+@query("b63b_txn_rollback", oracle=f"""
+SELECT COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       {dsum('value', 'value_sum')}
+FROM events
+""")
+def b63b_txn_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """B63b — transaction abort: BEGIN; DELETE every row; UPDATE the
+    rest; ROLLBACK — the table must read back byte-identical to the
+    untouched source (the pending version root is discarded, no catalog
+    version advances). The abort path is half of ACID; this gates it
+    next to B63's commit path."""
+    eng = _engine_with_events(spark, sf, "events_rb")
+    v_before = eng.catalog.tree.find_latest_version()
+    eng.sql("BEGIN")
+    eng.sql("DELETE FROM ns1.events_rb WHERE event_type IS NOT NULL")
+    eng.sql("INSERT INTO ns1.events_rb SELECT * FROM ns1.events_rb")
+    eng.sql("ROLLBACK")
+    assert eng.catalog.tree.find_latest_version() == v_before, \
+        "ROLLBACK must not advance the catalog version"
+    return eng.sql(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(event_id) AS BIGINT) AS id_sum, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
+        "FROM ns1.events_rb")
