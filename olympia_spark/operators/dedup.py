@@ -758,3 +758,39 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                  .localCheckpoint())
     return (ranks.select("node", F.col("pr").cast("bigint").alias("pr_fp"))
             .orderBy(F.col("pr_fp").desc(), "node"))
+
+
+# --- threshold calibration sweep ---------------------------------------------
+
+@query("dedup_threshold_sweep", oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT i * 1.0 / (c1.n + c2.n - i) AS jac
+  FROM inter JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+)
+SELECT CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS ge_50,
+       CAST(SUM(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS ge_60,
+       CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS ge_70,
+       CAST(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS ge_80,
+       CAST(SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS ge_90
+FROM j
+""")
+def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold calibration sweep: near-dup pair counts at five Jaccard
+    thresholds from ONE inverted-index pass (conditional aggregation over
+    the pair relation — five thresholds cost the same as one). The audit
+    a pipeline runs before choosing its dedup threshold: the knee of this
+    curve is the operating point. Same shuffles as dedup_ngram_jaccard."""
+    pairs = _jaccard_pairs(spark, sf)
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return pairs.agg(*[
+        F.sum(F.when(jac >= t, 1).otherwise(0)).cast("bigint")
+         .alias(f"ge_{int(t * 100)}")
+        for t in (0.5, 0.6, 0.7, 0.8, 0.9)])

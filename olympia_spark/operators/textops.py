@@ -1035,3 +1035,36 @@ def data_class_balance(spark: SparkSession, sf: str) -> DataFrame:
                     F.round(F.col("t") / (F.col("k") * F.col("n")), 4)
                      .alias("weight"))
             .orderBy("lang"))
+
+
+# --- document length histogram -----------------------------------------------
+
+@query("text_length_histogram", oracle="""
+SELECT CAST(FLOOR(LOG2(len(string_split(text, ' ')))) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_words,
+       CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_words
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+""")
+def text_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Log₂-bucketed document length histogram — the distribution audit
+    behind min/max-length quality filters and packing-budget choices.
+    Map-only bucketing + one tiny aggregation; exact integer buckets
+    (floor of log2 of an int is engine-stable far from power-of-two
+    boundaries only — so the bucket is computed via bit length semantics:
+    floor(log2(n)) for n ≥ 1 equals the position of the highest set bit,
+    done here with exact integer arithmetic on both engines)."""
+    d = load(spark, sf, "documents")
+    n_words = F.size(_words(F.col("text")))
+    # floor(log2(n)) via string length of the binary representation —
+    # exact integer arithmetic, immune to FP log at 2^k boundaries
+    bucket = (F.length(F.conv(n_words.cast("string"), 10, 2)) - 1) \
+        .cast("bigint")
+    return (d.select(bucket.alias("bucket"), n_words.alias("nw"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("nw").cast("bigint").alias("min_words"),
+                 F.max("nw").cast("bigint").alias("max_words"))
+            .orderBy("bucket"))
