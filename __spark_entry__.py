@@ -69,7 +69,7 @@ _PRIORITY = [
     "b58_table_changes", "b59_qualify", "b60_select_exclude",
     "data_class_balance", "b61_recursive_cte", "b62_scd2_build",
     "b63_txn_multi_table", "b63b_txn_rollback",
-    "dedup_threshold_sweep", "text_length_histogram",
+    "dedup_threshold_sweep", "text_length_histogram", "sim_recall_audit",
     # latest green = round 1
     "b14b_row_number_ntile", "b25_array_fns", "b26_struct_map", "b27_json",
     "text_quality_score", "sim_topk_bruteforce", "sim_batch_topk",

@@ -575,3 +575,27 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
             .filter("nn_rank <= 3")
             .select("vec_id", "nn_rank", "neighbor_id", "cos_sim")
             .orderBy("vec_id", "nn_rank"))
+
+
+# --- ANN recall audit --------------------------------------------------------
+
+def _recall_sql(engine: str) -> str:
+    return f"""
+WITH bf AS ({_topk_sql(engine)}), probe AS ({_lsh_sql(engine)})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / 10.0, 4) AS recall_at_10,
+       CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe
+FROM bf JOIN probe USING (vec_id)
+"""
+
+
+@query("sim_recall_audit", oracle=_recall_sql("duck"))
+def sim_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN recall@10 audit: how many of the exact brute-force top-10 the
+    LSH bucket probe returns — the quality measurement every approximate
+    index deployment runs before trusting it (and re-runs as the corpus
+    drifts). Both rankings compute in one statement; the exact side is
+    the expensive audit pass, the probe side touches only the query's
+    bucket. Recall here is a DETERMINISTIC function of the fixed
+    hyperplanes + data, so the audit itself is oracle-checkable."""
+    return _run(spark, sf, _recall_sql("spark"))
