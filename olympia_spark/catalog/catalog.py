@@ -525,10 +525,22 @@ class Catalog:
             # overwrite, not write_atomic: a SECOND export to the same
             # destination must repoint the latest hint or the new root
             # stays invisible (put-if-absent would fail and leave it
-            # stale); the oldest hint keeps its first value (put-if-absent
-            # is exactly min semantics for monotonically growing exports)
-            dest_storage.overwrite(loc.LATEST_HINT_PATH,
-                                   str(exported_version).encode())
+            # stale) — but only FORWARD: exporting an older version to a
+            # destination that already holds a newer export must not
+            # regress the hint (dest roots are sparse, so the upward probe
+            # stops at the first gap and the newer root would vanish).
+            # Read-compare-write; hints are advisory so a race is fine.
+            # The oldest hint keeps its first value (put-if-absent is
+            # exactly min semantics for monotonically growing exports).
+            cur_hint = -1
+            try:
+                cur_hint = int(
+                    dest_storage.read(loc.LATEST_HINT_PATH).decode())
+            except Exception:  # noqa: BLE001 — absent/garbled hint
+                pass
+            if exported_version > cur_hint:
+                dest_storage.overwrite(loc.LATEST_HINT_PATH,
+                                       str(exported_version).encode())
         except Exception:  # noqa: BLE001 — hints are advisory by spec
             pass
         try:

@@ -1128,6 +1128,17 @@ class Engine:
         latest = self.catalog.tree.load_latest_root()
         for root in self.catalog.tree.list_roots(latest):
             collect(root)
+        # exported snapshots pin their root even after expire_versions
+        # truncates the previous_root chain — those roots are live but no
+        # longer reachable from list_roots(latest), and the files they
+        # reference (minimal/partial exports point at source data files)
+        # must never be collected as orphans
+        for root_path in self.catalog.catalog_def.exported_snapshots.values():
+            try:
+                if self.catalog.storage.exists(root_path):
+                    collect(self.catalog.tree.load_root(root_path))
+            except Exception:  # noqa: BLE001 — export root may be foreign
+                continue
         # saved-but-uncommitted distributed transactions reference files
         # no version root knows about yet — they are NOT orphans
         for txn_id in self.catalog.list_dist_transactions():

@@ -77,7 +77,7 @@ def _topk_sql(engine: str) -> str:
 SELECT e.vec_id, ROUND({cos}, 4) AS cos_sim
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 WHERE e.vec_id <> 0
-ORDER BY {cos} DESC, e.vec_id
+ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """
 
@@ -109,7 +109,7 @@ FROM embeddings e,
      (SELECT embedding, {bucket_q} AS qb
       FROM embeddings WHERE vec_id = 0) q
 WHERE e.vec_id <> 0 AND {bucket_e} = q.qb
-ORDER BY {cos} DESC, e.vec_id
+ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """
 
@@ -220,12 +220,12 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     cos = (F.expr(_DOT_COLS.format(a="embedding", b="qe"))
            / (F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
               * F.sqrt(F.expr(_DOT_COLS.format(a="qe", b="qe")))))
+    # Rank on the ROUNDED similarity + id so the rank-10 boundary set is
+    # deterministic across FP summation orders (engine-stable contract).
     return (corpus.crossJoin(F.broadcast(q))
-            .select("vec_id", F.round(cos, 4).alias("cos_sim"),
-                    cos.alias("_raw"))
-            .orderBy(F.col("_raw").desc(), "vec_id")
-            .limit(10)
-            .drop("_raw"))
+            .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), "vec_id")
+            .limit(10))
 
 
 # --- IVF (inverted file) ----------------------------------------------------
@@ -271,7 +271,7 @@ FROM assigned e
 JOIN (SELECT DISTINCT cluster_id FROM probe) p ON e.cluster_id = p.cluster_id
 CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 WHERE e.vec_id <> 0
-ORDER BY {cos} DESC, e.vec_id
+ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """
 
@@ -283,8 +283,8 @@ SELECT qid, vec_id, cos_sim FROM (
                                       q.embedding::DOUBLE[]), 4) AS cos_sim,
          ROW_NUMBER() OVER (
              PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                             q.embedding::DOUBLE[]) DESC,
+             ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.embedding::DOUBLE[]), 4) DESC,
                       e.vec_id) AS rn
   FROM embeddings e,
        (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
@@ -307,13 +307,13 @@ def sim_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
     cos = (F.expr(_DOT_COLS.format(a="embedding", b="qe"))
            / (F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
               * F.sqrt(F.expr(_DOT_COLS.format(a="qe", b="qe")))))
-    w = Window.partitionBy("qid").orderBy(F.col("_raw").desc(), "vec_id")
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (e.crossJoin(F.broadcast(q))
             .filter("vec_id <> qid")
-            .select("qid", "vec_id", cos.alias("_raw"))
+            .select("qid", "vec_id", F.round(cos, 4).alias("cos_sim"))
             .withColumn("rn", F.row_number().over(w))
             .filter("rn <= 3")
-            .select("qid", "vec_id", F.round("_raw", 4).alias("cos_sim"))
+            .select("qid", "vec_id", "cos_sim")
             .orderBy("qid", "vec_id"))
 
 
@@ -365,11 +365,9 @@ def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
            / (F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
               * F.sqrt(F.expr(_DOT_COLS.format(a="qe", b="qe")))))
     return (corpus.crossJoin(F.broadcast(q))
-            .select("vec_id", F.round(cos, 4).alias("cos_sim"),
-                    cos.alias("_raw"))
-            .orderBy(F.col("_raw").desc(), "vec_id")
-            .limit(10)
-            .drop("_raw"))
+            .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), "vec_id")
+            .limit(10))
 
 
 @query("sim_quantize_int8", oracle="""
@@ -477,7 +475,7 @@ scored AS (
 SELECT s.vec_id, ROUND({cos}, 4) AS cos_sim,
        ROUND(s.int8_sim, 4) AS int8_sim
 FROM scored s, q
-ORDER BY {cos} DESC, s.vec_id
+ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """
 
@@ -583,7 +581,7 @@ def _recall_sql(engine: str) -> str:
     return f"""
 WITH bf AS ({_topk_sql(engine)}), probe AS ({_lsh_sql(engine)})
 SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
-       ROUND(COUNT(*) / 10.0, 4) AS recall_at_10,
+       CAST(ROUND(COUNT(*) / 10.0, 4) AS DOUBLE) AS recall_at_10,
        CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe
 FROM bf JOIN probe USING (vec_id)
 """

@@ -49,7 +49,10 @@ def _canon_value(v):
     if isinstance(v, bool):
         return v
     if isinstance(v, _dec.Decimal):
-        v = float(v)
+        # Decimal stays repr-distinct from float — the driver's pandas
+        # hasher sees Decimal('0.2000') vs 0.2 as different values, so a
+        # DECIMAL-vs-DOUBLE dtype seam must fail HERE, not at the driver.
+        return repr(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

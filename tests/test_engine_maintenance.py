@@ -338,3 +338,47 @@ def test_vacuum_sql_verb(engine, spark):
     engine.expire_versions(keep_last=1)
     assert engine.sql("VACUUM").first().orphans_removed > 0
     assert engine.sql("SELECT COUNT(*) AS n FROM ns1.vac").first().n == 5
+
+
+def test_remove_orphan_files_protects_exported_snapshot(engine, spark,
+                                                        tmp_path):
+    """ADVICE r4: after expire_versions truncates the previous_root chain,
+    a protected export's root is live but unreachable from
+    list_roots(latest) — data files referenced ONLY by that export must
+    not be collected as orphans."""
+    from olympia_spark.catalog import locations as loc
+    from olympia_spark.catalog.defs import from_json
+    from olympia_spark.catalog.storage import LocalStorage
+
+    engine.sql("CREATE TABLE ns1.pin (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.pin VALUES (1, 10), (2, 20)")
+    v_exp = engine.catalog.tree.find_latest_version()
+    dest = LocalStorage(str(tmp_path / "snap"))
+    root_path = engine.catalog.export_snapshot(
+        "pin", dest, mode="minimal", version=v_exp)
+    # COW rewrite: the original data file is now referenced only by history
+    engine.sql("UPDATE ns1.pin SET v = 99 WHERE id = 1")
+    for i in range(5):
+        engine.sql(f"INSERT INTO ns1.pin VALUES ({100 + i}, 0)")
+    engine.expire_versions(keep_last=2)
+    assert engine.catalog.storage.exists(root_path)   # export pinned root
+
+    def referenced_by(root) -> set[str]:
+        out: set[str] = set()
+        for _k, def_path in engine.catalog.tree.traverse(root):
+            if def_path.startswith(loc.TABLE_DEF_DIR):
+                tdef = from_json(engine.catalog.storage.read(def_path))
+                out.update(tdef.file_paths())
+        return out
+
+    exported_refs = referenced_by(engine.catalog.tree.load_root(root_path))
+    latest = engine.catalog.tree.load_latest_root()
+    live_refs: set[str] = set()
+    for r in engine.catalog.tree.list_roots(latest):
+        live_refs |= referenced_by(r)
+    only_exported = exported_refs - live_refs
+    assert only_exported        # scenario is sound: GC would target these
+    removed = engine.remove_orphan_files()
+    assert not (set(removed) & exported_refs)
+    for p in exported_refs:
+        assert engine.catalog.storage.exists(p)

@@ -146,3 +146,16 @@ def test_second_export_repoints_latest_hint(cat, tmp_path):
     cat.export_snapshot("second", dest, mode="full")
     c2 = Catalog.load(dest.root)
     assert "later" in c2.show_namespaces(c2.begin())
+
+
+def test_export_older_version_does_not_regress_latest_hint(cat, tmp_path):
+    """ADVICE r4: exporting an OLDER version to a destination that already
+    holds a newer export must not move the latest hint backwards — dest
+    roots are sparse, so the upward probe from a regressed hint stops at
+    the first gap and the newer export silently vanishes."""
+    dest = LocalStorage(str(tmp_path / "mix"))
+    cat.export_snapshot("newer", dest, mode="full")            # version 3
+    cat.export_snapshot("older", dest, mode="full", version=1)
+    c2 = Catalog.load(dest.root)
+    ns = c2.show_namespaces(c2.begin())
+    assert "ns2" in ns            # still opens at version 3, not 1
