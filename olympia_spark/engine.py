@@ -168,7 +168,51 @@ def _rewrite_qualify(stmt: str) -> tuple[str, list[str]]:
     window expressions written inline in the condition, the query wraps
     in a subquery filtered on the condition, trailing ORDER BY/LIMIT
     move outside, and the hidden columns are dropped from the returned
-    frame. Returns (sql, hidden_column_names)."""
+    frame. QUALIFY inside parenthesized subqueries / CTE bodies is
+    rewritten recursively (schema-preserving: nested hidden projections
+    are dropped with ``* EXCEPT`` so the subquery's shape is unchanged).
+    Returns (sql, hidden_column_names)."""
+    if not re.search(r"\bQUALIFY\b", stmt, re.I):
+        return stmt, []          # fast path: no paren-walk on plain SQL
+    return _rewrite_qualify_here(_rewrite_qualify_subqueries(stmt))
+
+
+def _rewrite_qualify_subqueries(s: str) -> str:
+    """Apply the QUALIFY rewrite inside every parenthesized group
+    (string-aware, any depth). Nested rewrites drop their hidden window
+    projections via ``SELECT * EXCEPT (...)`` so the subquery schema is
+    exactly what the un-rewritten query would have produced."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and s[j] != c:
+                j += 2 if c == "'" and s[j:j + 2] == "''" else 1
+            out.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            end = _match_paren(s, i)          # one past the ')'
+            body = s[i + 1:end - 1]
+            if "(" in body or _find_kw(body, "QUALIFY") is not None:
+                rewritten, hidden = _rewrite_qualify_here(
+                    _rewrite_qualify_subqueries(body))
+                if hidden:
+                    rewritten = rewritten.replace(
+                        "SELECT * FROM",
+                        f"SELECT * EXCEPT ({', '.join(hidden)}) FROM", 1)
+                body = rewritten
+            out.append("(" + body + ")")
+            i = end
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_qualify_here(stmt: str) -> tuple[str, list[str]]:
     qi = _find_kw(stmt, "QUALIFY")
     if qi is None:
         return stmt, []
@@ -212,6 +256,15 @@ def _rewrite_qualify(stmt: str) -> tuple[str, list[str]]:
         hidden.append(alias)
         cond = cond[:k] + alias + cond[end:]
     if extra:
+        si = _find_kw(inner, "SELECT")
+        if si is not None and re.match(r"\s*DISTINCT\b",
+                                       inner[si + len("SELECT"):], re.I):
+            # injecting hidden projections into a DISTINCT select list
+            # would change its cardinality before the filter runs
+            raise ValueError(
+                "QUALIFY with an inline window function over SELECT "
+                "DISTINCT is not supported: project the window "
+                "expression as a named column first, then QUALIFY on it")
         fi = _find_kw(inner, "FROM")
         if fi is None:
             raise ValueError("QUALIFY: no top-level FROM to attach "

@@ -601,3 +601,50 @@ def test_describe_history_alias(engine):
     engine.sql("INSERT INTO ns1.h VALUES (1)")
     n = engine.sql("DESCRIBE HISTORY ns1.h").count()
     assert n >= 2                       # create + insert versions
+
+
+def test_qualify_inside_subquery_and_cte(engine, spark):
+    """ADVICE r4: QUALIFY below the top level (subquery / CTE body) must
+    be rewritten too, schema-preserving."""
+    engine.sql("CREATE TABLE ns1.qn (k BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.qn VALUES (1, 10), (1, 20), (1, 30), "
+               "(2, 5), (2, 50)")
+    # subquery body with inline window QUALIFY
+    rows = engine.sql(
+        "SELECT k, v FROM (SELECT k, v FROM ns1.qn QUALIFY ROW_NUMBER() "
+        "OVER (PARTITION BY k ORDER BY v DESC) = 1) t ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 30), (2, 50)]
+    # SELECT * over the subquery: hidden projections must not leak out
+    rows = engine.sql(
+        "SELECT * FROM (SELECT k, v FROM ns1.qn QUALIFY ROW_NUMBER() "
+        "OVER (PARTITION BY k ORDER BY v DESC) = 1) t ORDER BY k").collect()
+    assert {c for r in rows for c in r.asDict()} == {"k", "v"}
+    # CTE body with QUALIFY
+    rows = engine.sql(
+        "WITH best AS (SELECT k, v FROM ns1.qn QUALIFY ROW_NUMBER() "
+        "OVER (PARTITION BY k ORDER BY v DESC) = 1) "
+        "SELECT k, v FROM best ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 30), (2, 50)]
+    # nested + top-level QUALIFY in one statement
+    rows = engine.sql(
+        "SELECT k, v FROM (SELECT k, v FROM ns1.qn QUALIFY ROW_NUMBER() "
+        "OVER (PARTITION BY k ORDER BY v DESC) <= 2) t "
+        "QUALIFY RANK() OVER (ORDER BY v DESC) = 1").collect()
+    assert [(r.k, r.v) for r in rows] == [(2, 50)]
+
+
+def test_qualify_distinct_inline_window_raises(engine):
+    """ADVICE r4: injecting hidden projections into a DISTINCT select list
+    would change its cardinality — must raise a descriptive error, not
+    silently mis-answer."""
+    import pytest
+    engine.sql("CREATE TABLE ns1.qd (k BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.qd VALUES (1, 10), (1, 10), (2, 5)")
+    with pytest.raises(ValueError, match="DISTINCT"):
+        engine.sql("SELECT DISTINCT k FROM ns1.qd QUALIFY ROW_NUMBER() "
+                   "OVER (ORDER BY k) = 1")
+    # DISTINCT with an already-projected window column still works
+    rows = engine.sql(
+        "SELECT DISTINCT k, RANK() OVER (PARTITION BY k ORDER BY v) AS r "
+        "FROM ns1.qd QUALIFY r = 1 ORDER BY k").collect()
+    assert [(r.k, r.r) for r in rows] == [(1, 1), (2, 1)]
