@@ -3,13 +3,14 @@
 Pattern (SURVEY-level design for a training-data lake): media lives in a
 `binary` column with a typed metadata struct beside it; decode /
 feature-extract / frame-sample run as Arrow-batched Python over
-``mapInPandas``. The container has no image/audio libraries, so the real
-codec step is stubbed (`decode_image`, clearly-marked NotImplementedError)
-— but everything Spark-side is real and tested: the binary column, the
-metadata struct schema, the mapInPandas signature and batch shape, the
-partitioning. The deterministic fake decoder makes the whole pipeline
-oracle-checkable: its features (byte length / byte sum / sampled frame
-bytes) are re-derivable in pure SQL over the source text.
+``mapInPandas``. The container has no image/audio libraries, so
+`decode_image` is a header-level decoder — a real magic-bytes parse of
+PNG/JPEG/GIF dimensions (what resolution filters and aspect-ratio
+bucketing need), with pixel decode left to a PIL swap-in. Everything
+Spark-side is real and tested: the binary column, the metadata struct
+schema, the mapInPandas signature and batch shape, the partitioning, and
+the features (byte length / byte sum / sampled frame bytes / decoded
+dims) are re-derivable in pure SQL over the source text.
 
 Scale posture: binary payloads never shuffle — every operator here is a
 narrow mapInPandas followed by a small aggregation. At 100 TB the payload
@@ -38,14 +39,60 @@ _FRAME_BYTES = 32          # fake "video": fixed-size frames inside the blob
 _FRAME_STRIDE = 4          # sample every 4th frame
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real media decode — STUB. The container ships no codec libraries
-    (no PIL/opencv/ffmpeg); a deployment would replace this body with
-    `PIL.Image.open(io.BytesIO(payload))` and keep every signature and
-    batch shape below unchanged."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake_features() for the deterministic test pipeline")
+def decode_image(payload: bytes) -> dict:
+    """Header-level image decode from magic bytes: returns
+    ``{"format", "width", "height"}`` for PNG / JPEG / GIF payloads —
+    the metadata a curation pipeline actually needs (resolution filters,
+    aspect-ratio bucketing) without any codec library. Full pixel decode
+    would swap this body for ``PIL.Image.open(io.BytesIO(payload))``;
+    every signature and batch shape downstream stays unchanged."""
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return {"format": "png",
+                "width": int.from_bytes(b[16:20], "big"),
+                "height": int.from_bytes(b[20:24], "big")}
+    if b[:2] == b"\xff\xd8":                       # JPEG SOI
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2                              # standalone marker
+                continue
+            seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+            # SOFn frame headers (not DHT/DAC/restart): height then width
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return {"format": "jpeg",
+                        "width": int.from_bytes(b[i + 7:i + 9], "big"),
+                        "height": int.from_bytes(b[i + 5:i + 7], "big")}
+            i += 2 + seg_len
+        raise ValueError("JPEG payload has no SOF frame header")
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return {"format": "gif",
+                "width": int.from_bytes(b[6:8], "little"),
+                "height": int.from_bytes(b[8:10], "little")}
+    raise ValueError(f"unrecognized image magic: {b[:8]!r}")
+
+
+def encode_png_header(width: int, height: int) -> bytes:
+    """Minimal structurally-valid PNG prefix (magic + IHDR chunk) for the
+    deterministic test pipeline — decode_image reads exactly these bytes."""
+    ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR" + ihdr
+            + b"\x00\x00\x00\x00")                  # CRC not checked
+
+
+def encode_jpeg_header(width: int, height: int) -> bytes:
+    """Minimal JPEG prefix: SOI + SOF0 frame header carrying the dims."""
+    sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+           + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+           + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    return b"\xff\xd8" + sof + b"\xff\xd9"
 
 
 def fake_features(payload: bytes) -> tuple[int, int]:
@@ -166,3 +213,45 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     frames = media.mapInPandas(
         _sample_frames, "doc_id long, frame_no int, first_byte int")
     return frames.orderBy("doc_id", "frame_no")
+
+
+# --- image header decode (magic-bytes codec path) ---------------------------
+
+def _synth_and_decode(batches):
+    """Per-row: synthesize a real PNG/JPEG byte payload, then push it
+    through decode_image — the actual header-parse path a production
+    pipeline runs on scraped media."""
+    for pdf in batches:
+        fmts, ws, hs = [], [], []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            w, h = int(doc_id) % 640 + 16, int(n_chars) % 480 + 16
+            payload = (encode_png_header(w, h) if doc_id % 2 == 0
+                       else encode_jpeg_header(w, h))
+            info = decode_image(payload)
+            fmts.append(info["format"])
+            ws.append(info["width"])
+            hs.append(info["height"])
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "fmt": fmts,
+                            "width": ws, "height": hs})
+
+
+@query("mm_decode_image_dims", oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST(n_chars % 480 + 16 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+""")
+def mm_decode_image_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """Image header decode over binary payloads: every doc carries a
+    synthesized-but-structurally-real PNG or JPEG byte string whose dims
+    are a pure function of (doc_id, n_chars); decode_image parses them
+    back from the magic bytes inside an Arrow-batched mapInPandas. The
+    oracle re-derives the expected dims arithmetically — a decoder bug
+    (endianness, SOF offset, marker walk) breaks the hash. Narrow
+    map-only plan: payloads never shuffle."""
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    out = d.mapInPandas(
+        _synth_and_decode, "doc_id long, fmt string, width int, height int")
+    return out.orderBy("doc_id")

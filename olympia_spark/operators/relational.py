@@ -252,14 +252,31 @@ def b11b(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
-# --- B12 approx count-distinct (no exact oracle: ±5% check) ---------------------
+# --- B12 approx count-distinct, shipped with its accuracy contract ------------
 
-@query("b12_approx_count_distinct")
+@query("b12_approx_count_distinct", oracle="""
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+           <= 0.05 * COUNT(DISTINCT l_partkey) AS within_5pct
+FROM lineitem
+""")
 def b12(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ sketch — mergeable across partitions, no exact-distinct
-    shuffle. Oracle omitted (approximate); companion b11 is the exact check."""
+    shuffle; at 100 TB the sketch pass is the production path and the
+    exact count is the audit run. The sketch VALUE is engine-specific
+    (Spark HLL++ vs DuckDB HLL), so — like b54 — the emitted row is the
+    accuracy-contract verdict: each engine checks ITS OWN sketch against
+    the exact count within 5%, which is deterministic given the data and
+    therefore exact-hashable. Spark's sketch runs at rsd=0.01, so the 5%
+    bound is a 5-sigma contract."""
     return (load(spark, sf, "lineitem")
-            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts")))
+            .agg(F.countDistinct("l_partkey").cast("bigint")
+                  .alias("exact_parts"),
+                 F.approx_count_distinct("l_partkey", 0.01)
+                  .alias("_approx"))
+            .select("exact_parts",
+                    (F.abs(F.col("_approx") - F.col("exact_parts"))
+                     <= 0.05 * F.col("exact_parts")).alias("within_5pct")))
 
 
 # --- B13 rollup / cube / grouping sets -----------------------------------------
