@@ -161,6 +161,64 @@ def _rewrite_exclude(stmt: str) -> str:
         for i, p in enumerate(parts))
 
 
+def _rewrite_tablesample(stmt: str) -> str:
+    """Deterministic TABLESAMPLE: ``t TABLESAMPLE (p PERCENT ON key
+    [SEED n]) [AS a]`` → a derived table filtered on an md5-bucket
+    predicate of the key. Native engine sampling (Spark's TABLESAMPLE,
+    DuckDB's USING SAMPLE) is neither portable nor replayable; hashing an
+    explicit key makes the sample a pure function of the data — stable
+    across runs, engines, and repartitions (same principle as
+    data_split_stratified), and the predicate pushes down to the scan.
+    The whole spec lives inside the parens so a following JOIN ... ON is
+    never consumed."""
+    while True:
+        ti = _find_kw(stmt, "TABLESAMPLE")
+        if ti is None:
+            return stmt
+        j = ti - 1
+        while j >= 0 and stmt[j].isspace():
+            j -= 1
+        end_tbl = j + 1
+        while j >= 0 and (stmt[j].isalnum() or stmt[j] in "._`"):
+            j -= 1
+        tbl = stmt[j + 1:end_tbl]
+        if not tbl:
+            raise ValueError("TABLESAMPLE must directly follow a table "
+                             "reference")
+        start = j + 1
+        op = stmt.index("(", ti)
+        cp = _match_paren(stmt, op)
+        spec = stmt[op + 1:cp - 1].strip()
+        m = re.fullmatch(
+            r"(\d+(?:\.\d+)?)\s+PERCENT\s+ON\s+(.+?)(?:\s+SEED\s+(\d+))?",
+            spec, re.I | re.S)
+        if not m:
+            raise ValueError(
+                "TABLESAMPLE spec must be '<p> PERCENT ON <key-expr> "
+                "[SEED <n>]' — deterministic sampling hashes an explicit "
+                f"key; got: ({spec})")
+        pct, key, seed = float(m.group(1)), m.group(2), m.group(3) or "0"
+        if not 0 <= pct <= 100:
+            raise ValueError(f"TABLESAMPLE percentage out of range: {pct}")
+        i = cp
+        ma = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", stmt[i:], re.I)
+        _STOP = {"WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY",
+                 "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ON",
+                 "UNION", "EXCEPT", "INTERSECT", "SELECT", "AND", "OR",
+                 "USING", "LATERAL", "TABLESAMPLE", "AS"}
+        if ma and ma.group(1).upper() not in _STOP:
+            alias = ma.group(1)
+            i += ma.end()
+        else:
+            alias = tbl.split(".")[-1].strip("`")
+        threshold = int(round(pct * 100))            # basis points of 10000
+        pred = (f"CAST(conv(substring(md5(concat(CAST(({key}) AS STRING), "
+                f"'{seed}')), 1, 8), 16, 10) AS BIGINT) % 10000 "
+                f"< {threshold}")
+        stmt = (f"{stmt[:start]}(SELECT * FROM {tbl} WHERE {pred}) "
+                f"{alias}{stmt[i:]}")
+
+
 def _rewrite_qualify(stmt: str) -> tuple[str, list[str]]:
     """QUALIFY — filter on window results without a subquery — which
     Spark SQL lacks (DuckDB/Snowflake/BigQuery have it). Rewritten to the
@@ -1810,6 +1868,7 @@ class Engine:
             self._sys_dtxns_df().createOrReplaceTempView("olympia__sys__dtxns")
             statement = re.sub(r"\bsys\.dtxns\b(?!\.dtxn_)",
                                "olympia__sys__dtxns", statement)
-        rewritten, hidden = _rewrite_qualify(_rewrite_exclude(statement))
+        rewritten, hidden = _rewrite_qualify(
+            _rewrite_tablesample(_rewrite_exclude(statement)))
         df = spark.sql(self._resolve_sql(rewritten, txn))
         return df.drop(*hidden) if hidden else df

@@ -575,6 +575,62 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("vec_id", "nn_rank"))
 
 
+def _knn_bucketed_oracle() -> str:
+    bucket = _lsh_bucket_expr("embedding", "duck")
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM sig a JOIN sig b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS nn_rank
+  FROM pairs
+)
+SELECT vec_id, nn_rank, neighbor_id, cos_sim
+FROM ranked WHERE nn_rank <= 3
+ORDER BY vec_id, nn_rank
+"""
+
+
+@query("sim_knn_graph_bucketed", oracle=_knn_bucketed_oracle())
+def sim_knn_graph_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN graph with the block key = ANN (LSH) bucket — the actual
+    100 TB design sim_knn_graph's docstring promises: pair generation is
+    an equi-self-join of the PARTITIONED ``ann.emb_lsh`` catalog table on
+    its partition key, so each bucket's pairs co-locate, the pair space
+    is Σ per-bucket² (16 signature buckets, never all-pairs), and the
+    shuffle key is the uniform 4-bit signature. Same rank contract as
+    sim_knn_graph: top-3 by ROUNDED cosine with an id tiebreak. The
+    oracle recomputes the identical bucket definition from the shared
+    hyperplane constants."""
+    from pyspark.sql import Window
+    e = _ann_engine(spark, sf).read_table("ann.emb_lsh")
+    norms = e.select(
+        "vec_id", "bucket", "embedding",
+        F.sqrt(F.expr(_DOT_COLS.format(a="embedding", b="embedding")))
+         .alias("nrm"))
+    a, b = norms.alias("a"), norms.alias("b")
+    dot = F.expr(_DOT_COLS.format(a="a.embedding", b="b.embedding"))
+    sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_id"),
+                    F.col("b.vec_id").alias("neighbor_id"),
+                    sim.alias("cos_sim"))
+            .withColumn("nn_rank", F.row_number().over(w))
+            .filter("nn_rank <= 3")
+            .select("vec_id", "nn_rank", "neighbor_id", "cos_sim")
+            .orderBy("vec_id", "nn_rank"))
+
+
 # --- ANN recall audit --------------------------------------------------------
 
 def _recall_sql(engine: str) -> str:

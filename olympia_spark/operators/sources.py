@@ -136,3 +136,55 @@ def b60_select_exclude(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY o_orderkey
         LIMIT 200
     """)
+
+
+@query("b64_group_by_all", oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+""")
+def b64_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    """B64 — GROUP BY ALL through the engine front door: group by every
+    non-aggregate select item without restating them (the analyst
+    surface DuckDB popularized). Spark 4.x resolves it natively, so the
+    engine's job is just catalog resolution — Catalyst still gets the
+    declarative agg (map-side partials, one shuffle on the group keys)."""
+    eng = _external_engine(spark, sf)
+    return eng.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    AS DOUBLE) AS total
+        FROM raw.orders_pq
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+    """)
+
+
+@query("b65_tablesample", oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '42'), 1, 8))
+           AS BIGINT) % 10000 < 200
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""")
+def b65_tablesample(spark: SparkSession, sf: str) -> DataFrame:
+    """B65 — deterministic TABLESAMPLE through the engine front door:
+    ``TABLESAMPLE (p PERCENT ON key [SEED n])`` rewrites to an md5-bucket
+    predicate of the key (basis points out of 10000), so the sample is a
+    pure function of the data — replayable across runs, engines, and
+    repartitions, unlike native row-random sampling. The predicate is an
+    ordinary filter, so it pushes into the scan; the oracle recomputes
+    the identical bucket arithmetic (md5 is bit-identical across
+    engines)."""
+    eng = _external_engine(spark, sf)
+    return eng.sql("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM raw.orders_pq TABLESAMPLE (2 PERCENT ON o_orderkey SEED 42)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)

@@ -87,3 +87,22 @@ def test_probes_do_not_rerun_corpus_dag(spark, monkeypatch):
     monkeypatch.setattr(sim, "_ivf_assigned_df", boom)
     assert sim.sim_ann_lsh(spark, SF).count() > 0
     assert sim.sim_ivf(spark, SF).count() > 0
+
+
+def test_knn_graph_bucketed_joins_on_partitioned_bucket(spark):
+    """VERDICT r4 #6: the bucketed kNN graph's pair join must read the
+    PARTITIONED signature table and equi-join on the bucket key — no
+    cartesian / broadcast-nested-loop pair generation."""
+    df = sim.sim_knn_graph_bucketed(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # pair generation is a hash equi-join whose keys include the bucket
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    key_lines = [ln for ln in plan.splitlines()
+                 if "keys" in ln and "bucket" in ln]
+    assert key_lines, plan
+    # and the corpus is read from the bucket-partitioned catalog layout
+    tdef_scan = [ln for ln in plan.splitlines() if "emb_lsh" in ln
+                 or "bucket=" in ln]
+    assert "olympia_ann" in plan or tdef_scan, plan

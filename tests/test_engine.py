@@ -648,3 +648,36 @@ def test_qualify_distinct_inline_window_raises(engine):
         "SELECT DISTINCT k, RANK() OVER (PARTITION BY k ORDER BY v) AS r "
         "FROM ns1.qd QUALIFY r = 1 ORDER BY k").collect()
     assert [(r.k, r.r) for r in rows] == [(1, 1), (2, 1)]
+
+
+def test_tablesample_deterministic_rewrite(engine, spark):
+    """b65 surface: md5-bucket TABLESAMPLE is replayable, alias-aware,
+    and never consumes a JOIN's ON clause."""
+    import pytest
+    engine.sql("CREATE TABLE ns1.ts (id BIGINT, grp BIGINT)")
+    engine.sql("INSERT INTO ns1.ts VALUES " +
+               ", ".join(f"({i}, {i % 3})" for i in range(200)))
+    a = engine.sql("SELECT COUNT(*) AS n FROM ns1.ts "
+                   "TABLESAMPLE (30 PERCENT ON id SEED 7)").first().n
+    b = engine.sql("SELECT COUNT(*) AS n FROM ns1.ts "
+                   "TABLESAMPLE (30 PERCENT ON id SEED 7)").first().n
+    assert a == b and 0 < a < 200          # deterministic, proper subset
+    c = engine.sql("SELECT COUNT(*) AS n FROM ns1.ts "
+                   "TABLESAMPLE (30 PERCENT ON id SEED 8)").first().n
+    assert (c, set()) != (a, None) and 0 < c < 200   # seed changes sample
+    # qualified alias survives the rewrite
+    r = engine.sql("SELECT t.grp, COUNT(*) AS n FROM ns1.ts "
+                   "TABLESAMPLE (50 PERCENT ON id) t "
+                   "GROUP BY t.grp ORDER BY t.grp").collect()
+    assert len(r) == 3
+    # sampled table joined with ON: the join condition must survive
+    engine.sql("CREATE TABLE ns1.tg (grp BIGINT, name STRING)")
+    engine.sql("INSERT INTO ns1.tg VALUES (0,'a'), (1,'b'), (2,'c')")
+    j = engine.sql(
+        "SELECT g.name, COUNT(*) AS n FROM ns1.ts "
+        "TABLESAMPLE (50 PERCENT ON id SEED 1) s "
+        "JOIN ns1.tg g ON s.grp = g.grp GROUP BY g.name ORDER BY g.name"
+    ).collect()
+    assert [r2.name for r2 in j] == ["a", "b", "c"]
+    with pytest.raises(ValueError, match="PERCENT ON"):
+        engine.sql("SELECT * FROM ns1.ts TABLESAMPLE (10 PERCENT)")
