@@ -761,7 +761,8 @@ class Engine:
               matched_clauses: list | None = None,
               not_matched_clauses: list | None = None,
               dedup_source_by: list[str] | None = None,
-              dedup_source_order: str | None = None) -> int:
+              dedup_source_order: str | None = None,
+              extra_properties: dict | None = None) -> int:
         """MERGE INTO: copy-on-write upsert. Only files containing matched
         target rows are rewritten (the FIRST matched clause whose condition
         holds is applied per row, SQL clause-order semantics; rows hit by
@@ -853,13 +854,15 @@ class Engine:
         try:
             return self._merge_body(
                 txn, tdef, ns, tbl, src, on, target_alias, source_alias,
-                cols, schema, matched_clauses, not_matched_clauses)
+                cols, schema, matched_clauses, not_matched_clauses,
+                extra_properties)
         finally:
             src.unpersist()
 
     def _merge_body(self, txn, tdef, ns, tbl, src, on, target_alias,
                     source_alias, cols, schema, matched_clauses,
-                    not_matched_clauses) -> int:
+                    not_matched_clauses,
+                    extra_properties: dict | None = None) -> int:
         all_paths = tdef.file_paths()
         n_changed = 0
         new_files: list[DataFile] = []
@@ -999,7 +1002,8 @@ class Engine:
         self.catalog.update_table_files(
             txn, ns, tbl, new_files, removed, ActionType.TABLE_UPDATE,
             {"added": [f.path for f in new_files], "removed": removed,
-             "expression": f"MERGE ON {on}"})
+             "expression": f"MERGE ON {on}"},
+            extra_properties=extra_properties)
         self._finish(txn)
         return n_changed
 

@@ -540,3 +540,102 @@ def b32_watermark_append(spark: SparkSession, sf: str) -> DataFrame:
     out = _run_to_memory(agg, "append")
     return (out.select(F.col("window.start").alias("window_start"), "n")
             .orderBy("window_start"))
+
+
+# --- streaming consumption of the change feed (B58b) -------------------------
+
+def changefeed_sink(eng, src: str, dst: str, key: str = "event_id"):
+    """foreachBatch consumer of the B58 change feed: each micro-batch is a
+    VERSION CURSOR row (from_version, to_version); the sink pulls that
+    version diff through Engine.table_changes — which scans only files
+    that entered or left the table, never the whole table — reduces it to
+    a net operation per key, and MERGE-applies it to the downstream
+    mirror. Batch ids are recorded in the mirror's properties so a
+    replayed batch is a no-op (exactly-once on top of Spark's own
+    checkpoint). The cursor collect() is catalog METADATA — O(versions),
+    never data."""
+    def sink(batch_df, batch_id: int) -> None:
+        marker = f"stream.batch.{batch_id}"
+        probe = eng.catalog.begin()
+        ns, tbl = dst.split(".")
+        if marker in eng.catalog.describe_table(probe, ns, tbl).properties:
+            return                          # replayed batch — exactly-once
+        for cur in sorted(batch_df.collect(),
+                          key=lambda r: r.from_version):
+            changes = eng.table_changes(src, cur.from_version,
+                                        cur.to_version)
+            data_cols = [c for c in changes.columns if c != "_change_type"]
+            ins = (changes.filter("_change_type = 'insert'")
+                   .select(*data_cols).withColumn("_op", F.lit("upsert")))
+            dels = (changes.filter("_change_type = 'delete'")
+                    .select(*data_cols)
+                    .join(ins.select(key), key, "left_anti")
+                    .withColumn("_op", F.lit("delete")))
+            assign = {c: f"s.{c}" for c in data_cols}
+            eng.merge(dst, ins.unionByName(dels), on=f"t.{key} = s.{key}",
+                      matched_clauses=[("s._op = 'delete'", "delete", None),
+                                       (None, "update", assign)],
+                      not_matched_clauses=[("s._op = 'upsert'", assign)],
+                      extra_properties={marker: "committed"})
+    return sink
+
+
+@query("b58b_stream_changes", oracle=f"""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       {dsum("CASE WHEN event_type = 'click' THEN value * 2 "
+             "ELSE value END", 'value_sum')}
+FROM events
+WHERE event_type <> 'error'
+GROUP BY event_type
+ORDER BY event_type
+""")
+def b58b_stream_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """B58b — streaming consumption of the change data feed: a source
+    catalog table evolves (seed → UPDATE clicks ×2 → DELETE errors), a
+    downstream MIRROR starts from the seed snapshot and catches up by
+    streaming the version cursor — each micro-batch applies one version
+    diff via table_changes + MERGE. The mirror's final state must equal
+    the source's: the oracle recomputes it from the untouched fixture.
+    Cost per batch is O(changed files) (the feed scans only entered/left
+    files; MERGE rewrites only matched files) — the downstream job never
+    rescans the table, which is the entire point of CDC at 100 TB."""
+    import time as _time
+
+    from olympia_spark.engine import Engine
+
+    eng = Engine(spark, scratch_dir("olympia_cdf_wh_"))
+    eng.sql("CREATE NAMESPACE cdc")
+    src_df = load(spark, sf, "events")
+    eng.write_table(src_df.repartition(4), "cdc.src")
+    v_seed = eng.catalog.tree.find_latest_version()
+    eng.write_table(src_df, "cdc.mirror")         # consumer's seed snapshot
+    eng.sql("UPDATE cdc.src SET value = value * 2 WHERE event_type = 'click'")
+    v_upd = eng.catalog.tree.find_latest_version()
+    eng.sql("DELETE FROM cdc.src WHERE event_type = 'error'")
+    v_del = eng.catalog.tree.find_latest_version()
+
+    # stage the version cursor: one file per version diff → one micro-batch
+    cursor_dir = scratch_dir("olympia_cdf_cursor_")
+    spark.createDataFrame([(v_seed, v_upd)],
+                          "from_version INT, to_version INT") \
+        .coalesce(1).write.mode("overwrite").parquet(cursor_dir)
+    _time.sleep(0.05)
+    spark.createDataFrame([(v_upd, v_del)],
+                          "from_version INT, to_version INT") \
+        .coalesce(1).write.mode("append").parquet(cursor_dir)
+
+    cursor = (spark.readStream
+              .schema("from_version INT, to_version INT")
+              .option("maxFilesPerTrigger", 1).parquet(cursor_dir))
+    q = (cursor.writeStream.foreachBatch(changefeed_sink(
+            eng, "cdc.src", "cdc.mirror"))
+         .option("checkpointLocation", scratch_dir("olympia_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    return eng.sql(
+        "SELECT event_type, COUNT(*) AS n, "
+        "CAST(SUM(event_id) AS BIGINT) AS id_sum, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
+        "FROM cdc.mirror GROUP BY event_type ORDER BY event_type")

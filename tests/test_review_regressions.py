@@ -417,3 +417,51 @@ def test_watermark_finalization_boundary_is_inclusive(spark, tmp_path):
     # the window ending exactly AT the watermark is emitted (inclusive),
     # with late rows merged; the open 10:00 window is withheld
     assert got == [("2024-01-01T07:00:00", 2)]
+
+
+def test_changefeed_sink_scans_only_changed_files_and_replays_once(
+        engine, spark, monkeypatch):
+    """b58b contract: consuming a version diff scans only files that
+    entered or left the table (never a full-table rescan per batch), and
+    a replayed micro-batch is a no-op (exactly-once marker)."""
+    from olympia_spark.operators.streaming import changefeed_sink
+
+    engine.sql("CREATE TABLE ns1.cf (id BIGINT, v BIGINT)")
+    # 4 files; the update touches rows in exactly one of them
+    for lo in (0, 100, 200, 300):
+        engine.write_table(
+            spark.range(lo, lo + 50).selectExpr("id", "id AS v")
+            .coalesce(1), "ns1.cf")
+    engine.write_table(
+        load_mirror := spark.range(0, 400).selectExpr("id", "id AS v")
+        .filter("id % 100 < 50").coalesce(1), "ns1.mirror_cf")
+    total_files = len(engine.catalog.describe_table(
+        engine.catalog.begin(), "ns1", "cf").file_paths())
+    assert total_files == 4
+    v0 = engine.catalog.tree.find_latest_version()
+    engine.sql("UPDATE ns1.cf SET v = v + 1 WHERE id BETWEEN 100 AND 110")
+    v1 = engine.catalog.tree.find_latest_version()
+
+    scanned: list[list[str]] = []
+    orig = Engine._scan
+
+    def spy(self, tdef, rel_paths, *a, **k):
+        scanned.append(list(rel_paths))
+        return orig(self, tdef, rel_paths, *a, **k)
+
+    monkeypatch.setattr(Engine, "_scan", spy)
+    sink = changefeed_sink(engine, "ns1.cf", "ns1.mirror_cf", key="id")
+    cursor = spark.createDataFrame([(v0, v1)],
+                                   "from_version INT, to_version INT")
+    sink(cursor, 0)
+    # table_changes scanned the 1 entered + 1 left file, not all 4
+    feed_scans = scanned[:2]
+    assert all(len(p) <= 1 for p in feed_scans), feed_scans
+    out = {(r.id, r.v) for r in
+           engine.sql("SELECT id, v FROM ns1.mirror_cf "
+                      "WHERE id BETWEEN 100 AND 110").collect()}
+    assert out == {(i, i + 1) for i in range(100, 111)}
+    # replaying the same batch id is a no-op
+    n_before = len(scanned)
+    sink(cursor, 0)
+    assert len(scanned) == n_before
