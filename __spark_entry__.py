@@ -53,46 +53,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry is ever >1 round old. Round-4 list: (1) new
-# or changed this round, (2) the 11 queries whose latest green is round 1,
-# (3) the 48 whose latest green is round 2, cheapest first (the ~10 that
-# spill past the 50-slot budget lead round 5's list), (4) the round-3 rest.
+# no query's newest driver entry is ever >1 round old. Round-5 list: (1) new
+# or changed this round (similarity top-k ordering contract, b12 oracle,
+# decode, bucketed kNN, b64/b65, b58b), (2) the 36 queries whose latest
+# green is round 2 (the r4 run's 50-slot budget stopped at b08), (3) queries
+# whose code path changed this round but were recently green, (4) the
+# round-3 rest, streaming-heavy last. Round-4-green queries rank after.
 _PRIORITY = [
-    # new/changed this round
-    "b32_stream_catalog_ingest",
-    "b48_exists_subquery", "b49_stats_agg", "b50_carry_forward",
-    "b51_median_mode", "b52_array_setops", "text_repetition",
-    "data_mixture_sample", "data_dedup_keep_best", "sim_knn_graph",
-    "b53_external_sources", "b32_stream_watermark_append",
-    "b54_approx_quantile_check", "b55_bucketed_join", "b56_interval_join",
-    "data_pack_sequences", "graph_pagerank", "b57_window_count_distinct",
-    "b58_table_changes", "b59_qualify", "b60_select_exclude",
-    "data_class_balance", "b61_recursive_cte", "b62_scd2_build",
-    "b63_txn_multi_table", "b63b_txn_rollback",
-    "dedup_threshold_sweep", "text_length_histogram", "sim_recall_audit",
-    # latest green = round 1
-    "b14b_row_number_ntile", "b25_array_fns", "b26_struct_map", "b27_json",
-    "text_quality_score", "sim_topk_bruteforce", "sim_batch_topk",
-    "sim_ann_lsh", "sim_ivf", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
+    # new or changed this round
+    "sim_recall_audit", "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf",
+    "sim_batch_topk", "sim_topk_int8", "b12_approx_count_distinct",
+    "mm_decode_image_dims", "sim_knn_graph_bucketed", "b64_group_by_all",
+    "b65_tablesample", "b58b_stream_changes",
     # latest green = round 2 — cheap scans/joins/aggs/scalars first
-    "b01_scan_count", "b02_projection", "b03_filter", "b04_join_inner",
-    "b05_star_join", "b06_outer_join", "b06b_full_outer_join",
-    "b07_semi_join", "b07b_anti_join", "b08_range_join", "b09_cross_join",
-    "b10_q1_agg", "b11_count_distinct", "b11b_distinct_rows",
-    "b12_approx_count_distinct", "b13_rollup", "b13b_cube",
-    "b14_rank_window", "b24_conditional", "b25b_explode_collect",
-    "b27b_from_json", "b34_asof_join", "b35_time_rollup",
-    "text_token_count", "text_langid", "text_redact", "text_fingerprint",
-    "text_rolling_hash", "text_url_extract", "data_profile",
-    "data_profile_quantiles", "data_sample_per_key", "data_split_stratified",
-    "dedup_exact", "sim_quantize_int8", "mm_metadata_scan",
-    "mm_frame_sample", "mm_feature_extract", "udf_pandas_tiered",
-    "udf_grouped_custstats", "udf_mapinpandas_tokens",
+    "b09_cross_join", "b10_q1_agg", "b11_count_distinct",
+    "b11b_distinct_rows", "b13_rollup", "b13b_cube", "b14_rank_window",
+    "b24_conditional", "b25b_explode_collect", "b27b_from_json",
+    "b34_asof_join", "b35_time_rollup", "text_token_count", "text_langid",
+    "text_redact", "text_fingerprint", "text_rolling_hash",
+    "text_url_extract", "data_profile", "data_profile_quantiles",
+    "data_sample_per_key", "data_split_stratified", "dedup_exact",
+    "sim_quantize_int8", "mm_metadata_scan", "mm_frame_sample",
+    "mm_feature_extract", "udf_pandas_tiered", "udf_grouped_custstats",
+    "udf_mapinpandas_tokens",
     # latest green = round 2 — heavier DML / streaming
     "b28_insert_append", "b29_delete_where", "b30_update_set",
     "b32_stream_tumbling_window", "b32_stream_sliding_window",
     "b32_stream_session_window",
+    # code path touched this round, green in r3/r4
+    "b59_qualify", "b33_merge_upsert", "b33b_merge_multi",
+    "b32_stream_merge_cdc",
+    # latest green = round 3
+    "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
+    "b17_topk", "b18_union", "b18b_union_all", "b19_except",
+    "b19b_intersect", "b19c_except_intersect_all", "b20_cte_subquery",
+    "b21_string_fns", "b22_date_fns", "b22b_date_trunc_diff",
+    "b23_math_fns", "b36_sessionize", "b37_pivot",
+    "b38_range_frame_window", "b39_lateral_topn", "b40_skew_salted_join",
+    "b41_bloom_join_prune", "b42_unpivot", "b43_gap_fill",
+    "b44_string_agg", "b45_not_in_nulls", "b46_grouping_sets",
+    "b47_values_join", "data_heavy_hitters", "dedup_cluster",
+    "dedup_containment", "dedup_edit_distance", "dedup_incremental",
+    "dedup_incremental_catalog", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_centroid", "text_boilerplate", "text_chunk_tokens",
+    "text_contamination", "text_ngram_logprob", "text_pii_stats",
+    "text_tfidf_topterms", "text_vocab_topk",
+    "b32_stream_dedup", "b32_stream_join", "b32_stream_stateful_counter",
 ]
 
 

@@ -560,7 +560,11 @@ class Catalog:
                 copied.append(def_path)
             copy_if_absent(root.catalog_def_path)
         # record the export on the catalog definition (proto/objects.proto:50)
+        # plus its creation time — the input to the export.retention_millis
+        # policy expire_versions applies (txn_ttl-style version GC)
         self.catalog_def.exported_snapshots[name] = root_path
+        self.catalog_def.properties[
+            f"export.{name}.created_at_millis"] = str(int(time.time() * 1000))
         new_def_path = loc.new_catalog_def_path()
         self.storage.write_atomic(new_def_path, to_json(self.catalog_def))
         self.catalog_def_path = new_def_path

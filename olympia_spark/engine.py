@@ -1173,7 +1173,15 @@ class Engine:
         nodes — a MINIMAL/PARTIAL export references the SOURCE's files,
         so expiring its version would silently break the export. Pass
         False only when every export is known to be full (self-contained
-        at its destination)."""
+        at its destination).
+
+        Retention policy: with catalog property ``export.retention_millis``
+        set, an export protects its version only for that long after the
+        export was taken (creation times are recorded at export); past
+        retention it expires like any other version — the txn_ttl-style
+        bound that keeps "protect exports" from meaning "pin forever"."""
+        import time as _time
+
         from olympia_spark.catalog import locations as loc
         latest = self.catalog.tree.find_latest_version()
         cutoff = latest - keep_last + 1
@@ -1182,8 +1190,17 @@ class Engine:
         keep_nodes: set[str] = set()
         protected_roots: set[str] = set()
         if protect_exports:
-            protected_roots = set(
-                self.catalog.catalog_def.exported_snapshots.values())
+            props = self.catalog.catalog_def.properties
+            retention = props.get("export.retention_millis")
+            now = int(_time.time() * 1000)
+            for ex_name, ex_root in \
+                    self.catalog.catalog_def.exported_snapshots.items():
+                created = int(
+                    props.get(f"export.{ex_name}.created_at_millis", 0))
+                if retention is not None and created \
+                        and now > created + int(retention):
+                    continue        # retention elapsed — version expirable
+                protected_roots.add(ex_root)
             for path in protected_roots:
                 if self.catalog.storage.exists(path):
                     root = self.catalog.tree.load_root(path)

@@ -382,3 +382,41 @@ def test_remove_orphan_files_protects_exported_snapshot(engine, spark,
     assert not (set(removed) & exported_refs)
     for p in exported_refs:
         assert engine.catalog.storage.exists(p)
+
+
+def test_export_retention_policy_lifecycle(engine, spark, tmp_path):
+    """VERDICT r4 #9: export.retention_millis bounds how long an export
+    pins its version — protected inside retention, expirable after."""
+    from olympia_spark.catalog.storage import LocalStorage
+
+    engine.sql("CREATE TABLE ns1.r (x BIGINT)")
+    for i in range(3):
+        engine.sql(f"INSERT INTO ns1.r VALUES ({i})")
+    v_exp = engine.catalog.tree.find_latest_version()
+    dest = LocalStorage(str(tmp_path / "rexp"))
+    root_path = engine.catalog.export_snapshot("aging", dest,
+                                               mode="minimal",
+                                               version=v_exp)
+    props = engine.catalog.catalog_def.properties
+    assert props.get("export.aging.created_at_millis")   # stamped at export
+    for i in range(5):
+        engine.sql(f"INSERT INTO ns1.r VALUES ({100 + i})")
+    # inside retention: protected
+    props["export.retention_millis"] = str(10 * 60 * 1000)
+    engine.expire_versions(keep_last=2)
+    assert engine.catalog.storage.exists(root_path)
+    # age the export past retention: expirable like any other version
+    props[f"export.aging.created_at_millis"] = str(1)    # epoch — long past
+    engine.expire_versions(keep_last=2)
+    assert not engine.catalog.storage.exists(root_path)
+    # no retention configured → protected indefinitely (default behavior)
+    engine.sql("INSERT INTO ns1.r VALUES (999)")
+    v2 = engine.catalog.tree.find_latest_version()
+    root2 = engine.catalog.export_snapshot("forever", dest, mode="minimal",
+                                           version=v2)
+    del props["export.retention_millis"]
+    props["export.forever.created_at_millis"] = str(1)
+    for i in range(5):
+        engine.sql(f"INSERT INTO ns1.r VALUES ({200 + i})")
+    engine.expire_versions(keep_last=2)
+    assert engine.catalog.storage.exists(root2)
