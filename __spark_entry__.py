@@ -64,7 +64,8 @@ _PRIORITY = [
     "sim_recall_audit", "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf",
     "sim_batch_topk", "sim_topk_int8", "b12_approx_count_distinct",
     "mm_decode_image_dims", "sim_knn_graph_bucketed", "b64_group_by_all",
-    "b65_tablesample", "b58b_stream_changes",
+    "b65_tablesample", "b58b_stream_changes", "dedup_embedding_lsh",
+    "dedup_embedding_cosine",
     # latest green = round 2 — cheap scans/joins/aggs/scalars first
     "b09_cross_join", "b10_q1_agg", "b11_count_distinct",
     "b11b_distinct_rows", "b13_rollup", "b13b_cube", "b14_rank_window",

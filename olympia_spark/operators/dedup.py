@@ -459,16 +459,18 @@ SELECT a.vec_id AS v1, b.vec_id AS v2,
                                     b.embedding::DOUBLE[]), 4) AS cos_sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      >= 0.4
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.4
 ORDER BY v1, v2
 """)
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup: label-blocked pair generation + cosine ≥ 0.4.
     Blocking turns the all-pairs O(n²) into Σ per-block², the standard
-    entity-resolution shape; at 100 TB the block key would be an LSH bucket
-    (see similarity.sim_ann_lsh) instead of a given label. Dot products are
-    JVM higher-order functions (zip_with/aggregate) — no Python."""
+    entity-resolution shape; at 100 TB the block key is an LSH bucket —
+    dedup_embedding_lsh below IS that variant. The threshold applies to
+    the ROUNDED cosine in both engines so a boundary pair cannot flip on
+    FP summation order. Dot products are JVM higher-order functions
+    (zip_with/aggregate) — no Python."""
     e = load(spark, sf, "embeddings")
     norms = e.select(
         "vec_id", "label", "embedding",
@@ -477,15 +479,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     a = norms.alias("a")
     b = norms.alias("b")
     dot = F.expr(_DOT_SPARK.format(a="a.embedding", b="b.embedding"))
-    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
     return (a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("v1"),
                     F.col("b.vec_id").alias("v2"),
-                    F.round(sim, 4).alias("cos_sim"),
-                    sim.alias("_raw"))
-            .filter(F.col("_raw") >= 0.4)
-            .drop("_raw")
+                    sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.4)
+            .orderBy("v1", "v2"))
+
+
+def _emb_lsh_oracle() -> str:
+    from olympia_spark.operators.similarity import _lsh_bucket_expr
+    bucket = _lsh_bucket_expr("embedding", "duck")
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM sig a JOIN sig b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.4
+ORDER BY v1, v2
+"""
+
+
+@query("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup with the block key = LSH bucket — the 100 TB
+    production variant of dedup_embedding_cosine: candidate pairs come
+    from an equi-self-join of the bucket-PARTITIONED ``ann.emb_lsh``
+    catalog table on its partition key (uniform 4-bit signature shuffle
+    keys, pair space Σ per-bucket², never all-pairs). Like any LSH
+    blocking this trades recall for scale — cross-bucket near-dups are
+    missed by design, a rate the sim_recall_audit pattern measures.
+    Threshold on the ROUNDED cosine in both engines."""
+    from olympia_spark.operators.similarity import _ann_engine
+    e = _ann_engine(spark, sf).read_table("ann.emb_lsh")
+    norms = e.select(
+        "vec_id", "bucket", "embedding",
+        F.sqrt(F.expr(_DOT_SPARK.format(a="embedding", b="embedding")))
+         .alias("nrm"))
+    a = norms.alias("a")
+    b = norms.alias("b")
+    dot = F.expr(_DOT_SPARK.format(a="a.embedding", b="b.embedding"))
+    sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("v1"),
+                    F.col("b.vec_id").alias("v2"),
+                    sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.4)
             .orderBy("v1", "v2"))
 
 
