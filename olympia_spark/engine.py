@@ -553,6 +553,103 @@ class Engine:
             {"added": [f.path for f in files], "external": True})
         self._finish(txn)
 
+    def adopt_iceberg_table(self, name: str, location: str, *,
+                            snapshot_id: int | None = None,
+                            as_native: bool = False) -> int:
+        """Adopt an existing Apache Iceberg table into the catalog
+        WITHOUT rewriting data — the analogue of the reference's
+        Iceberg-pointer table model (proto/objects.proto:64
+        ``iceberg_metadata_location``; refresh path
+        core/.../iceberg/OlympiaIcebergTableOperations.java:87-119),
+        except the selected snapshot is materialized into a
+        self-contained TableDef instead of re-resolved per read.
+
+        ``location`` is a table root directory or a direct
+        ``*.metadata.json`` path; ``snapshot_id`` time-travels to a
+        specific Iceberg snapshot (default: current). The adopted table
+        is read-only (format ICEBERG, _require_native refuses DML);
+        pass ``as_native=True`` to take ownership — the TableDef becomes
+        a native PARQUET table whose copy-on-write DML rewrites only
+        ever touch files our engine wrote, leaving the Iceberg
+        originals intact for the old catalog. Returns the number of
+        adopted data files."""
+        from olympia_spark.catalog import iceberg as il
+
+        mloc = il.resolve_metadata_location(location)
+        meta = il.load_table_metadata(mloc)
+        schema = il.iceberg_schema_to_spark(il.current_schema(meta))
+        snapshot = il.select_snapshot(meta, snapshot_id)
+        entries = il.live_data_files(snapshot) if snapshot else []
+
+        # identity-transform partition values become [v, v] file stats so
+        # the catalog's predicate pruning works on adopted files too —
+        # restricted to int/long/string source columns (date/time values
+        # surface as raw ordinals in the manifest, which would mis-compare
+        # against predicate literals)
+        specs = {s.get("spec-id"): s.get("fields", [])
+                 for s in meta.get("partition-specs", [])}
+        spec_fields = specs.get(meta.get("default-spec-id"),
+                                meta.get("partition-spec", []))
+        by_name = {f.name: f.dataType.typeName() for f in schema.fields}
+        ident_cols = {
+            f["name"] for f in spec_fields
+            if f.get("transform") == "identity"
+            and by_name.get(f["name"]) in ("integer", "long", "string")}
+
+        files = []
+        for e in entries:
+            stats = {c: [e["partition"][c], e["partition"][c]]
+                     for c in ident_cols if c in e["partition"]
+                     and e["partition"][c] is not None}
+            files.append(DataFile(
+                path=e["file_path"], num_rows=e["record_count"],
+                size_bytes=e["file_size_in_bytes"], stats=stats))
+
+        prev = ""
+        if meta.get("metadata-log"):
+            prev = meta["metadata-log"][-1].get("metadata-file", "")
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        self.catalog.create_table(txn, ns, tbl, TableDef(
+            format="PARQUET" if as_native else "ICEBERG",
+            schema_json=schema.json(),
+            metadata_location=mloc,
+            previous_metadata_location=prev,
+            properties={
+                "iceberg.format-version": str(meta["format-version"]),
+                "iceberg.snapshot-id": str(
+                    snapshot.get("snapshot-id", "")),
+                "iceberg.table-uuid": meta.get("table-uuid", ""),
+            }))
+        self.catalog.update_table_files(
+            txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
+            {"added": [f.path for f in files], "adopted_from": mloc})
+        self._finish(txn)
+        return len(files)
+
+    def export_iceberg_table(self, name: str, dest_dir: str) -> str:
+        """Publish a native table's current snapshot as Iceberg v2
+        metadata under ``dest_dir`` (data files referenced in place, no
+        copy) — the outbound half of the adoption bridge: an Iceberg
+        client (or :meth:`adopt_iceberg_table`) can read the table
+        without this engine. Returns the metadata.json path."""
+        from olympia_spark.catalog import iceberg as il
+
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "export_iceberg_table")
+        if tdef.partition_by:
+            raise ValueError(
+                "export_iceberg_table: hive-partitioned native tables "
+                "store partition values in paths, not files — compact "
+                "with OPTIMIZE/CTAS into an unpartitioned table first")
+        files = [DataFile(path=self._abs(f.path), num_rows=f.num_rows,
+                          size_bytes=f.size_bytes)
+                 for f in tdef.data_files]
+        return il.export_iceberg_metadata(
+            dest_dir, tdef.spark_schema(), files)
+
     def write_table(self, df: DataFrame, name: str,
                     mode: str = "append",
                     partition_by: list[str] | None = None) -> None:

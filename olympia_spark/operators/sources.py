@@ -188,3 +188,63 @@ def b65_tablesample(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """)
+
+
+# One (exporter engine, adopter engine) pair per (session, sf).
+_ICE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _iceberg_engines(spark: SparkSession, sf: str):
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        import os
+        src = Engine(spark, scratch_dir("olympia_ice_src_"))
+        src.sql("CREATE NAMESPACE nat")
+        src.register_external_table(
+            "nat.orders_raw", os.path.join(sf, "orders.parquet"))
+        # CTAS into a NATIVE table (export requires engine-owned parquet)
+        src.sql("CREATE TABLE nat.orders AS SELECT * FROM nat.orders_raw")
+        mpath = src.export_iceberg_table(
+            "nat.orders", scratch_dir("olympia_ice_meta_"))
+        dst = Engine(spark, scratch_dir("olympia_ice_dst_"))
+        dst.sql("CREATE NAMESPACE lake")
+        dst.adopt_iceberg_table("lake.orders", mpath)
+        return (src, dst)
+
+    return get_or_create(_ICE_CACHE, spark, sf, build)
+
+
+@query("b66_iceberg_adopt", oracle=f"""
+SELECT o_orderstatus AS status, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {dsum('o_totalprice', 'price_sum')}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""")
+def b66_iceberg_adopt(spark: SparkSession, sf: str) -> DataFrame:
+    """B66 — the Iceberg bridge end-to-end (reference: tables ARE
+    Iceberg pointers, proto/objects.proto:58-69 / docs/iceberg.md): a
+    native engine exports its orders table as Iceberg v2 metadata
+    (metadata.json + avro manifest list + manifest, written by the
+    package's spec-implementation — catalog/iceberg.py), and a SECOND
+    engine with a separate warehouse adopts that metadata
+    (Engine.adopt_iceberg_table: manifest walk → live data files →
+    self-contained TableDef) and aggregates the adopted table through
+    its own SQL front door. Matching the oracle over the original
+    parquet proves the full metadata round trip — schema conversion both
+    ways, avro OCF encode/decode, snapshot/manifest semantics — with
+    zero data movement (the adopted TableDef points at the exporter's
+    files in place)."""
+    _, dst = _iceberg_engines(spark, sf)
+    return dst.sql("""
+        SELECT o_orderstatus AS status, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS price_sum
+        FROM lake.orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
