@@ -101,10 +101,16 @@ class TableDef:
 @dataclass
 class ViewDef:
     """proto/objects.proto:71-85. The reference stores a serialized
-    substrait ReadRel; we store the SQL text (same information,
-    Spark-native encoding — SURVEY §7 phase 4)."""
+    substrait ReadRel (the engine-plan IR of the view query); we store
+    the SQL text PLUS the Catalyst analyzed-plan JSON captured at
+    creation — the Spark-native IR (same role: a resolved, engine-level
+    relational tree with the bound schema), since Substrait has no
+    stable Spark encoder. SQL text stays authoritative for execution
+    (re-resolution picks up fresh table state); the IR is the recorded
+    structural contract that schema_binding enforces."""
     id: str = field(default_factory=_new_id)
     sql_text: str = ""                      # reference: substrait_read_rel
+    plan_ir_json: str = ""                  # Catalyst analyzed plan (IR)
     schema_json: str = ""
     default_namespace: str = ""
     # ["ns.table", ...] — objects the view reads

@@ -1395,10 +1395,19 @@ class Engine:
         ns, view = self._split(name)
         txn = self._txn()
         resolved = self._resolve_sql(sql_text, txn)
-        schema = self.spark.sql(resolved).schema
+        df = self.spark.sql(resolved)
+        schema = df.schema
+        # the Spark-native analogue of the reference's substrait payload
+        # (proto/objects.proto:81-85): the ANALYZED Catalyst plan — a
+        # resolved engine-level IR of the view query at creation time
+        try:
+            plan_ir = df._jdf.queryExecution().analyzed().toJSON()
+        except Exception:       # classic-mode internals; never block DDL
+            plan_ir = ""
         refs = sorted(self._referenced_tables(sql_text, txn))
         self.catalog.create_view(txn, ns, view, ViewDef(
-            sql_text=sql_text, schema_json=schema.json(),
+            sql_text=sql_text, plan_ir_json=plan_ir,
+            schema_json=schema.json(),
             default_namespace=ns,
             referenced_objects=[f"{n}.{t}" for n, t in refs],
             schema_binding=schema_binding),

@@ -681,3 +681,22 @@ def test_tablesample_deterministic_rewrite(engine, spark):
     assert [r2.name for r2 in j] == ["a", "b", "c"]
     with pytest.raises(ValueError, match="PERCENT ON"):
         engine.sql("SELECT * FROM ns1.ts TABLESAMPLE (10 PERCENT)")
+
+
+def test_view_stores_analyzed_plan_ir(engine, sf_dir):
+    """ViewDef carries the Catalyst analyzed-plan JSON — the Spark-native
+    analogue of the reference's serialized substrait ReadRel
+    (proto/objects.proto:81-85): a resolved engine-level IR captured at
+    creation, persisted through the def file."""
+    import json as _json
+    _seed(engine, sf_dir)
+    engine.sql("CREATE VIEW ns1.ir_v AS "
+               "SELECT event_type, COUNT(*) AS n FROM ns1.events "
+               "GROUP BY event_type")
+    txn = engine.catalog.begin()
+    vdef = engine.catalog.describe_view(txn, "ns1", "ir_v")
+    assert vdef.plan_ir_json, "analyzed plan IR missing"
+    nodes = _json.loads(vdef.plan_ir_json)     # toJSON → list of nodes
+    classes = " ".join(n.get("class", "") for n in nodes)
+    assert "Aggregate" in classes              # resolved relational tree
+    assert vdef.sql_text.startswith("SELECT")  # SQL text still present
