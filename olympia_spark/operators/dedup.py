@@ -841,3 +841,61 @@ def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(jac >= t, 1).otherwise(0)).cast("bigint")
          .alias(f"ge_{int(t * 100)}")
         for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+
+
+def _canon_url(raw: str, engine: str) -> str:
+    """Shared canonicalization pipeline, one dialect string per engine:
+    lowercase scheme+host, drop the #fragment, drop utm_* tracking params
+    (and a then-empty '?'), drop one trailing slash off a non-root path."""
+    lower_host = (f"concat(lower(regexp_extract({raw}, "
+                  f"'^(https?://[^/?#]*)', 1)), "
+                  f"regexp_extract({raw}, '^https?://[^/?#]*(.*)$', 1))")
+    no_frag = f"regexp_replace({lower_host}, '#.*$', '')"
+    no_utm = (f"regexp_replace({no_frag}, "
+              f"'([?&])utm_[^&#]*(&|$)', '\\\\1')")
+    no_dangle = f"regexp_replace({no_utm}, '[?&]+$', '')"
+    return f"regexp_replace({no_dangle}, '(.)/$', '\\\\1')"
+
+
+def _url_canon_sql(engine: str) -> str:
+    canon = _canon_url("url", engine)
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+         'HTTPS://' || (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
+                             WHEN doc_id % 3 = 1 THEN 'example.com'
+                             ELSE 'EXAMPLE.com' END)
+         || '/docs/' || CAST(doc_id % 500 AS {'VARCHAR' if engine == 'duck'
+                                              else 'STRING'})
+         || (CASE WHEN doc_id % 4 = 0 THEN ''
+                  WHEN doc_id % 4 = 1 THEN '/'
+                  WHEN doc_id % 4 = 2 THEN '?utm_source=feed&utm_id=7'
+                  ELSE '#section-2' END) AS url
+  FROM documents
+)
+SELECT {canon} AS canonical_url,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT url) AS n_raw_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM urls
+GROUP BY canonical_url
+HAVING COUNT(DISTINCT url) > 1
+ORDER BY n_docs DESC, canonical_url
+LIMIT 25
+"""
+
+
+@query("dedup_url_canonical", oracle=_url_canon_sql("duck"))
+def dedup_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-corpus staple: the same
+    page arrives as Example.COM vs example.com, with/without trailing
+    slash, #fragments, and utm_* tracking params, and must collapse to
+    ONE canonical key before fetch/store. Raw variants are synthesized
+    deterministically from doc_id (both engines build the identical
+    corpus), canonicalized by a shared regex pipeline, and grouped on
+    the canonical form — map-only rewriting plus one groupBy on
+    uniformly-hashed string keys, the same shape as dedup_exact, so the
+    100 TB cost is one shuffle of (url → count) pairs. keep_doc_id is
+    the deterministic survivor (MIN) a dedup pass would retain."""
+    load(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_url_canon_sql("spark"))

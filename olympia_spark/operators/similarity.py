@@ -653,3 +653,39 @@ def sim_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     bucket. Recall here is a DETERMINISTIC function of the fixed
     hyperplanes + data, so the audit itself is oracle-checkable."""
     return _run(spark, sf, _recall_sql("spark"))
+
+
+def _hard_neg_sql(engine: str) -> str:
+    cos = _cosine("c.embedding", "q.embedding", engine)
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 200 = 0
+), scored AS (
+  SELECT q.vec_id AS q_vec_id, c.vec_id AS neg_vec_id,
+         ROUND({cos}, 4) AS cos_sim,
+         ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({cos}, 4) DESC, c.vec_id) AS rnk
+  FROM embeddings c JOIN q
+    ON c.label <> q.label
+)
+SELECT q_vec_id, neg_vec_id, cos_sim, rnk
+FROM scored
+WHERE rnk <= 3
+ORDER BY q_vec_id, rnk
+"""
+
+
+@query("data_hard_negatives", oracle=_hard_neg_sql("duck"))
+def data_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (every 200th vector), the 3 most-similar embeddings that carry a
+    DIFFERENT label — maximally confusing negatives, the pairs a
+    contrastive loss learns most from. The anchor side is tiny (n/200
+    rows) and broadcasts; candidates stream once through the per-anchor
+    rank window with ties broken on ROUND(cos,4) then vec_id (the
+    engine-stable ordering contract). At 100 TB the label-inequality
+    join swaps to the ANN bucket blocking of sim_knn_graph_bucketed —
+    identical contract, candidate generation from the partitioned
+    bucket table instead of the full scan."""
+    return _run(spark, sf, _hard_neg_sql("spark"))

@@ -1068,3 +1068,38 @@ def text_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
                  F.min("nw").cast("bigint").alias("min_words"),
                  F.max("nw").cast("bigint").alias("max_words"))
             .orderBy("bucket"))
+
+
+@query("text_bpe_pairs", oracle="""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+), pos AS (
+  SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+  FROM words WHERE length(w) >= 2
+)
+SELECT substr(w, i, 2) AS pair, COUNT(*) AS cnt
+FROM pos
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+""")
+def text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent character-pair frequencies within words — the candidate
+    count of a BPE tokenizer-training merge step (the most frequent pair
+    becomes the next merge). Map-only fan-out (one transform over a
+    per-word index sequence, exploded directly so Catalyst keeps the
+    generator tight) into a groupBy whose key space is bounded by the
+    alphabet (≤26² pairs) — partial aggregation collapses almost
+    everything map-side, so at 100 TB the shuffle moves a few hundred
+    rows per partition regardless of corpus size. Ties break on the pair
+    string for engine-stable top-20."""
+    docs = load(spark, sf, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")) \
+        .where(F.length("w") >= 2)
+    pairs = words.select(F.explode(F.expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"
+    )).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair").limit(20))
