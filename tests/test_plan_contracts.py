@@ -289,3 +289,34 @@ def test_scd2_single_sort_for_both_window_functions(spark):
     import re as _re
     n_window = len(_re.findall(r"\(\d+\) Window", plan))
     assert n_window == 1, plan
+
+
+def test_bpe_pairs_partial_aggregation_and_jvm_only(spark):
+    """C49: the pair count must partial-aggregate map-side (two
+    HashAggregate phases around the exchange — the alphabet-bounded key
+    space is the scale story) and stay out of Python."""
+    plan = _plan(registry.QUERIES["text_bpe_pairs"](spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hard_negatives_broadcasts_anchor_side(spark):
+    """C51: the n/200 anchor relation broadcasts; candidates stream once
+    (no shuffle of the full embedding table against itself)."""
+    plan = _plan(registry.QUERIES["data_hard_negatives"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        plan
+
+
+def test_url_canonical_single_exchange(spark):
+    """C50: map-only canonicalization + ONE shuffle for the groupBy (a
+    second exchange would mean the canonical key recomputed post-agg)."""
+    import re
+    plan = _plan(registry.QUERIES["dedup_url_canonical"](spark, SF))
+    body = plan.split("== Physical Plan ==")[-1].split("===== Subqueries")[0]
+    # two pre-aggregated exchanges: the COUNT(DISTINCT url) expand pair
+    # ((canon,url) then (canon)) — both carry map-side partials
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", body, re.M))
+    assert n_exchanges <= 2, body
+    assert "Python" not in body, body
