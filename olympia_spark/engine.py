@@ -627,6 +627,60 @@ class Engine:
         self._finish(txn)
         return len(files)
 
+    def copy_into(self, name: str, *paths: str,
+                  format: str = "parquet",
+                  options: dict[str, str] | None = None
+                  ) -> tuple[int, int, int]:
+        """Idempotent bulk file ingest (the COPY INTO surface of
+        Databricks/Snowflake lakehouses): load landing files into a
+        native table, where each source file is ingested AT MOST ONCE —
+        retries, overlapping globs, and re-runs of the same pipeline
+        step are all safe. The loaded-file ledger lives in the table
+        properties and commits in the SAME catalog CAS transaction as
+        the data files (update_table_files extra_properties — the same
+        marker mechanism that makes streaming micro-batches
+        exactly-once), so a crash between "data written" and "ledger
+        written" is impossible by construction.
+
+        ``paths`` may contain globs. Returns
+        (files_loaded, rows_loaded, files_skipped)."""
+        import glob as _glob
+
+        fmt = format.upper()
+        if fmt not in ("PARQUET", "CSV", "JSON"):
+            raise ValueError(f"COPY INTO: unsupported format {format}")
+        found: list[str] = []
+        for p in paths:
+            hits = (sorted(_glob.glob(p))
+                    if any(ch in p for ch in "*?[") else [p])
+            found.extend(os.path.abspath(h) for h in hits)
+        found = sorted(dict.fromkeys(found))     # dedup, stable order
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "COPY INTO")
+        ledger = set(json.loads(
+            tdef.properties.get("copy_into.loaded", "[]")))
+        new = [p for p in found if p not in ledger]
+        if not new:
+            self._finish(txn)
+            return (0, 0, len(found))
+        schema = tdef.spark_schema()
+        opts = dict(options or {})
+        if fmt == "CSV":
+            opts.setdefault("header", "true")
+        reader = self.spark.read.schema(schema).options(**opts)
+        df = (reader.parquet(*new) if fmt == "PARQUET"
+              else reader.csv(new) if fmt == "CSV" else reader.json(new))
+        new_files = self._write_files(df, ns, tbl, tdef.partition_by)
+        self.catalog.update_table_files(
+            txn, ns, tbl, new_files, [], ActionType.TABLE_INSERT,
+            {"added": [f.path for f in new_files], "copied_from": new},
+            extra_properties={"copy_into.loaded": json.dumps(
+                sorted(ledger | set(new)))})
+        self._finish(txn)
+        return (len(new), sum(f.num_rows for f in new_files), len(found) - len(new))
+
     def export_iceberg_table(self, name: str, dest_dir: str) -> str:
         """Publish a native table's current snapshot as Iceberg v2
         metadata under ``dest_dir`` (data files referenced in place, no
@@ -1807,6 +1861,20 @@ class Engine:
             removed = self.remove_orphan_files()
             return spark.createDataFrame([(len(removed),)],
                                          "orphans_removed long")
+        m = re.match(r"COPY INTO (\S+\.\S+) FROM\s+(\([^)]+\)|'[^']+')"
+                     r"(?:\s+FILEFORMAT\s*=\s*(\w+))?"
+                     r"(?:\s+OPTIONS\s*\((.*?)\))?$", norm, re.I | re.S)
+        if m:
+            name, src, fmt, opts_raw = m.groups()
+            src_paths = re.findall(r"'([^']+)'", src)
+            opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'",
+                                   opts_raw or ""))
+            loaded, rows, skipped = self.copy_into(
+                name, *src_paths, format=(fmt or "parquet"),
+                options=opts)
+            return spark.createDataFrame(
+                [(loaded, rows, skipped)],
+                "files_loaded long, rows_loaded long, files_skipped long")
         m = re.match(r"TRUNCATE TABLE (\S+\.\S+)$", norm, re.I)
         if m:
             ns, tbl = self._split(m.group(1))

@@ -248,3 +248,64 @@ def b66_iceberg_adopt(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """)
+
+
+_COPY_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _copy_into_engine(spark: SparkSession, sf: str):
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        import glob
+        base = load(spark, sf, "events").select(*_COLS)
+        drop_dir = scratch_dir("olympia_copy_drops_")
+        # three landing drops staged up front; loaded in two waves below
+        base.withColumn("_w", F.pmod("event_id", F.lit(3))) \
+            .repartition(3, "_w").drop("_w") \
+            .write.mode("overwrite").option("header", "true").csv(drop_dir)
+        files = sorted(glob.glob(f"{drop_dir}/*.csv"))
+        eng = Engine(spark, scratch_dir("olympia_copy_wh_"))
+        eng.sql("CREATE NAMESPACE land")
+        eng.sql("CREATE TABLE land.events (event_id BIGINT, "
+                "user_id BIGINT, event_type STRING, value DOUBLE)")
+        # wave 1: first file; re-run of the SAME glob must skip it; wave 2
+        # loads the rest. If idempotency broke, wave-1 rows would double
+        # and the oracle hash would catch it.
+        eng.sql(f"COPY INTO land.events FROM '{files[0]}' "
+                f"FILEFORMAT = CSV OPTIONS ('header' = 'true')")
+        eng.sql(f"COPY INTO land.events FROM '{drop_dir}/*.csv' "
+                f"FILEFORMAT = CSV OPTIONS ('header' = 'true')")
+        eng.sql(f"COPY INTO land.events FROM '{drop_dir}/*.csv' "
+                f"FILEFORMAT = CSV OPTIONS ('header' = 'true')")
+        return (eng,)
+
+    return get_or_create(_COPY_CACHE, spark, sf, build)[0]
+
+
+@query("b67_copy_into", oracle=f"""
+SELECT event_type, COUNT(*) AS n, {dsum('value', 'value_sum')}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def b67_copy_into(spark: SparkSession, sf: str) -> DataFrame:
+    """B67 — COPY INTO, the idempotent bulk-ingest verb of lakehouse
+    pipelines: three CSV landing drops are loaded in overlapping waves
+    (single file, then the full glob TWICE) and every source file must
+    ingest exactly once — the loaded-file ledger commits in the same
+    catalog CAS transaction as the data files, so re-runs and retries
+    can't double-load (the mechanism streaming micro-batches use for
+    exactly-once). The oracle aggregates the pristine fixture: any
+    duplicate or missing ingest changes counts and sums and fails the
+    hash."""
+    eng = _copy_into_engine(spark, sf)
+    return eng.sql("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                   AS value_sum
+        FROM land.events
+        GROUP BY event_type
+        ORDER BY event_type
+    """)

@@ -100,3 +100,63 @@ def test_external_tables_refuse_schema_evolution(spark, tmp_path, engine,
     n = engine.sql(f"SELECT COUNT(*) AS n FROM raw.alt_{fmt} "
                    f"WHERE event_type IS NOT NULL").first().n
     assert n == 200
+
+
+def _stage2(spark, tmp_path, fmt: str) -> list[str]:
+    """Like _stage but guarantees two files (repartition beats coalesce
+    on the single-row-group fixture)."""
+    base = load(spark, SF, "events").select(*COLS).limit(200)
+    d = str(tmp_path / fmt)
+    w = base.repartition(2).write.mode("overwrite")
+    if fmt == "csv":
+        w.option("header", "true").csv(d)
+    else:
+        w.json(d)
+    return sorted(glob.glob(f"{d}/*.{fmt}"))
+
+
+def test_copy_into_is_idempotent(spark, tmp_path, engine):
+    files = _stage2(spark, tmp_path, "csv")
+    assert len(files) == 2
+    engine.sql("CREATE TABLE raw.ev (event_id BIGINT, user_id BIGINT, "
+               "event_type STRING, value DOUBLE)")
+    r = engine.sql(f"COPY INTO raw.ev FROM ('{files[0]}', '{files[1]}') "
+                   f"FILEFORMAT = CSV OPTIONS ('header' = 'true')").first()
+    assert r.files_loaded == 2 and r.files_skipped == 0
+    n1 = engine.sql("SELECT COUNT(*) AS n FROM raw.ev").first().n
+    assert n1 == 200
+    # the same COPY again: every file skipped, zero duplicate rows
+    r2 = engine.sql(f"COPY INTO raw.ev FROM ('{files[0]}', '{files[1]}') "
+                    f"FILEFORMAT = CSV").first()
+    assert (r2.files_loaded, r2.files_skipped) == (0, 2)
+    assert engine.sql("SELECT COUNT(*) AS n FROM raw.ev").first().n == n1
+
+
+def test_copy_into_glob_picks_up_only_new_files(spark, tmp_path, engine):
+    files = _stage2(spark, tmp_path, "json")
+    d = str(tmp_path / "json")
+    engine.sql("CREATE TABLE raw.evj (event_id BIGINT, user_id BIGINT, "
+               "event_type STRING, value DOUBLE)")
+    r = engine.sql(f"COPY INTO raw.evj FROM '{d}/*.json' "
+                   f"FILEFORMAT = JSON").first()
+    assert r.files_loaded == len(files)
+    # a late-arriving drop: only IT loads on the next run of the same verb
+    import shutil
+    late = f"{d}/late-arrival.json"
+    shutil.copy(files[0], late)
+    r2 = engine.sql(f"COPY INTO raw.evj FROM '{d}/*.json' "
+                    f"FILEFORMAT = JSON").first()
+    assert (r2.files_loaded, r2.files_skipped) == (1, len(files))
+    # ledger commits atomically with the data: recorded = all loaded
+    import json as _json
+    tdef = engine.catalog.describe_table(engine._txn(), "raw", "evj")
+    ledger = set(_json.loads(tdef.properties["copy_into.loaded"]))
+    assert ledger == {*(map(str, files)), late}
+    assert engine.sql("SELECT COUNT(*) AS n FROM raw.evj").first().n == 300
+
+
+def test_copy_into_refuses_external_target(spark, tmp_path, engine):
+    files = _stage(spark, tmp_path, "csv")
+    engine.register_external_table("raw.ro", *files, format="csv")
+    with pytest.raises(ValueError, match="read-only"):
+        engine.sql(f"COPY INTO raw.ro FROM '{files[0]}' FILEFORMAT = CSV")
