@@ -627,6 +627,79 @@ class Engine:
         self._finish(txn)
         return len(files)
 
+    def clone_table(self, target: str, source: str,
+                    version: int | None = None) -> int:
+        """SHALLOW CLONE (Delta-style): create ``target`` pointing at
+        ``source``'s data files WITHOUT copying them — a zero-copy fork,
+        optionally of a historical catalog ``version``. Copy-on-write
+        makes divergence safe for free: DML on either table rewrites
+        only into its OWN data directory, and VACUUM's referenced-file
+        set is computed over every live table def, so shared files
+        survive until no live table references them (refcount semantics
+        without a refcount). Returns the number of shared files."""
+        ns_s, tbl_s = self._split(source)
+        txn_src = (self.catalog.at_version(version)
+                   if version is not None else self._txn())
+        sdef = self.catalog.describe_table(txn_src, ns_s, tbl_s)
+        self._require_native(sdef, source, "SHALLOW CLONE")
+        ns_t, tbl_t = self._split(target)
+        txn = self._txn()
+        self.catalog.create_table(txn, ns_t, tbl_t, TableDef(
+            format=sdef.format, schema_json=sdef.schema_json,
+            partition_by=list(sdef.partition_by),
+            properties={**sdef.properties,
+                        "cloned_from": f"{source}"
+                        + (f"@v{version}" if version is not None else "")}))
+        # same warehouse, same relative paths — both defs resolve them
+        # against the shared root, so the clone is truly zero-copy
+        files = [DataFile(path=f.path, num_rows=f.num_rows,
+                          size_bytes=f.size_bytes, stats=dict(f.stats))
+                 for f in sdef.data_files]
+        self.catalog.update_table_files(
+            txn, ns_t, tbl_t, files, [], ActionType.TABLE_INSERT,
+            {"added": [f.path for f in files], "cloned_from": source})
+        self._finish(txn)
+        return len(files)
+
+    def restore_table(self, name: str, version: int) -> tuple[int, int]:
+        """RESTORE TABLE ... TO VERSION AS OF n (Delta-style): reset the
+        table's data-file list to its state at catalog ``version`` as a
+        NEW commit (history is preserved — a restore is itself
+        restorable). Errors if any required historical file has been
+        garbage-collected by expire_versions/VACUUM. Returns
+        (files_restored, files_removed)."""
+        from olympia_spark.catalog.errors import (
+            StorageFileOpenFailureError, TransactionValueError)
+        ns, tbl = self._split(name)
+        try:
+            old = self.catalog.describe_table(
+                self.catalog.at_version(version), ns, tbl)
+        except (StorageFileOpenFailureError, TransactionValueError):
+            raise ValueError(
+                f"RESTORE {name}: catalog version {version} no longer "
+                f"exists (expired by expire_versions)") from None
+        self._require_native(old, name, "RESTORE")
+        missing = [f.path for f in old.data_files
+                   if not os.path.exists(self._abs(f.path))]
+        if missing:
+            raise ValueError(
+                f"RESTORE {name} TO VERSION {version}: {len(missing)} "
+                f"historical data file(s) no longer exist (expired by "
+                f"VACUUM/expire_versions), e.g. {missing[0]}")
+        txn = self._txn()
+        cur = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(cur, name, "RESTORE")
+        cur_paths = set(cur.file_paths())
+        old_paths = {f.path for f in old.data_files}
+        add = [f for f in old.data_files if f.path not in cur_paths]
+        remove = sorted(cur_paths - old_paths)
+        self.catalog.update_table_files(
+            txn, ns, tbl, add, remove, ActionType.TABLE_UPDATE,
+            {"added": [f.path for f in add], "removed": remove,
+             "expression": f"RESTORE VERSION {version}"})
+        self._finish(txn)
+        return (len(add), len(remove))
+
     def copy_into(self, name: str, *paths: str,
                   format: str = "parquet",
                   options: dict[str, str] | None = None
@@ -1821,6 +1894,19 @@ class Engine:
             return spark.createDataFrame(
                 [(f.name, f.dataType.simpleString()) for f in fields],
                 "col_name string, data_type string")
+        m = re.match(r"CREATE TABLE (\S+\.\S+) SHALLOW CLONE (\S+?\.\S+?)"
+                     r"(?: VERSION AS OF (\d+))?$", norm, re.I)
+        if m:
+            n = self.clone_table(
+                m.group(1), m.group(2),
+                version=int(m.group(3)) if m.group(3) else None)
+            return spark.createDataFrame([(n,)], "files_shared long")
+        m = re.match(r"RESTORE TABLE (\S+\.\S+) TO VERSION AS OF (\d+)$",
+                     norm, re.I)
+        if m:
+            add, rm = self.restore_table(m.group(1), int(m.group(2)))
+            return spark.createDataFrame(
+                [(add, rm)], "files_restored long, files_removed long")
         m = re.match(r"CREATE( OR REPLACE)? TABLE( IF NOT EXISTS)? (\S+?)\s*"
                      r"(?:\((.+?)\))?\s*(?:PARTITIONED BY \(([\w, ]+)\))?"
                      r"\s*(?:AS (SELECT .+))?$",

@@ -299,3 +299,55 @@ def b63b_txn_rollback(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(SUM(event_id) AS BIGINT) AS id_sum, "
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
         "FROM ns1.events_rb")
+
+
+@query("b68_clone_restore", oracle=f"""
+SELECT 'fork' AS tbl, COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum, {dsum('value', 'value_sum')}
+FROM events WHERE event_type <> 'error'
+UNION ALL
+SELECT 'src' AS tbl, COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum, {dsum('value', 'value_sum')}
+FROM events
+ORDER BY tbl
+""")
+def b68_clone_restore(spark: SparkSession, sf: str) -> DataFrame:
+    """B68 — zero-copy SHALLOW CLONE + RESTORE TO VERSION through the
+    driver gate: fork the table (no data copied — the clone's TableDef
+    points at the same files), diverge BOTH tables with copy-on-write
+    deletes, then RESTORE the source to its pre-delete version. The
+    oracle reproduces the end state from the untouched fixture: src must
+    be byte-equal to the original (restore reattached the historical
+    files), fork must hold everything but the error rows (its COW delete
+    never touched the shared files) — proving isolation of the fork AND
+    reversibility of the source in one hash."""
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_clone_"))
+        eng.sql("CREATE NAMESPACE ns1")
+        return eng
+
+    eng = get_or_create(_TXN_ENGINES, spark, sf, build)
+    txn0 = eng.catalog.begin()
+    for t in ("cr_src", "cr_fork"):
+        if eng.catalog.table_exists(txn0, "ns1", t):
+            eng.sql(f"DROP TABLE ns1.{t}")       # re-entry: reset state
+    eng.write_table(load(spark, sf, "events"), "ns1.cr_src")
+    v0 = eng.catalog.tree.find_latest_version()
+    eng.sql("CREATE TABLE ns1.cr_fork SHALLOW CLONE ns1.cr_src")
+    eng.sql("DELETE FROM ns1.cr_fork WHERE event_type = 'error'")
+    eng.sql("DELETE FROM ns1.cr_src WHERE event_type = 'click'")
+    eng.sql(f"RESTORE TABLE ns1.cr_src TO VERSION AS OF {v0}")
+    return eng.sql(
+        "SELECT 'fork' AS tbl, COUNT(*) AS n_rows, "
+        "CAST(SUM(event_id) AS BIGINT) AS id_sum, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
+        "FROM ns1.cr_fork "
+        "UNION ALL "
+        "SELECT 'src' AS tbl, COUNT(*) AS n_rows, "
+        "CAST(SUM(event_id) AS BIGINT) AS id_sum, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
+        "FROM ns1.cr_src "
+        "ORDER BY tbl")
