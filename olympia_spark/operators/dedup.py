@@ -899,3 +899,53 @@ def dedup_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
     the deterministic survivor (MIN) a dedup pass would retain."""
     load(spark, sf, "documents").createOrReplaceTempView("documents")
     return spark.sql(_url_canon_sql("spark"))
+
+
+def _span_windows_sql(engine: str) -> str:
+    """64-char windows at stride 32 per document, keyed by md5; docs
+    sharing ≥2 window digests are long-span (copy-paste) duplicates."""
+    if engine == "duck":
+        win = ("SELECT doc_id, md5(substr(text, i * 32 + 1, 64)) AS wh "
+               "FROM (SELECT doc_id, text, "
+               "unnest(generate_series(0, "
+               "CAST(floor((length(text) - 64) / 32) AS BIGINT))) AS i "
+               "FROM documents WHERE length(text) >= 64)")
+    else:
+        win = ("SELECT doc_id, md5(substr(text, i * 32 + 1, 64)) AS wh "
+               "FROM (SELECT doc_id, text, "
+               "explode(sequence(0, "
+               "CAST(floor((length(text) - 64) / 32) AS BIGINT))) AS i "
+               "FROM documents WHERE length(text) >= 64)")
+    return f"""
+WITH windows AS ({win}),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM (SELECT DISTINCT doc_id, wh FROM windows) a
+  JOIN (SELECT DISTINCT doc_id, wh FROM windows) b
+    ON a.wh = b.wh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared_windows
+FROM hits
+WHERE n_shared >= 2
+ORDER BY n_shared_windows DESC, doc_a, doc_b
+LIMIT 50
+"""
+
+
+@query("dedup_span_windows", oracle=_span_windows_sql("duck"))
+def dedup_span_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Long shared-span detection — the scalable stand-in for
+    suffix-array exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): 64-char windows at
+    stride 32 hash to digests, and two documents sharing ≥2 window
+    digests contain a long verbatim copy-paste span (any shared span
+    ≥ 96+32·(k-1) chars is guaranteed to produce ≥k aligned-window
+    collisions at some offset... stride-aligned windows catch spans that
+    start on stride boundaries; the threshold trades recall for the
+    inverted-index join cost, same contract family as C2/C31). Shape:
+    one explode into constant windows-per-doc, DISTINCT digest inverted
+    index, per-digest self-join — O(Σ per-digest docs²) like every
+    inverted-index dedup, never all-pairs."""
+    load(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_span_windows_sql("spark"))

@@ -689,3 +689,54 @@ def data_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     identical contract, candidate generation from the partitioned
     bucket table instead of the full scan."""
     return _run(spark, sf, _hard_neg_sql("spark"))
+
+
+def _kcenter_sql(engine: str, k: int = 3) -> str:
+    """Unrolled greedy k-center (farthest-point) selection: seed vec_id 0,
+    then k rounds of 'argmax over candidates of min cosine-distance to
+    the chosen set' — identical text both engines, distances ROUNDed and
+    ties broken on vec_id so the trajectory is engine-deterministic."""
+    def dist(q: str) -> str:
+        return f"ROUND(1 - {_cosine('e.embedding', f'{q}.embedding', engine)}, 4)"
+
+    ctes = ["e AS (SELECT vec_id, embedding FROM embeddings)",
+            "p0 AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0)",
+            f"d1 AS (SELECT e.vec_id, {dist('p0')} AS d "
+            f"FROM e, p0 WHERE e.vec_id <> p0.vec_id)"]
+    selects = ["SELECT 0 AS step, vec_id, 0.0 AS min_dist FROM p0"]
+    prev_d = "d1"
+    for step in range(1, k + 1):
+        ctes.append(
+            f"s{step} AS (SELECT vec_id, d FROM {prev_d} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)")
+        ctes.append(
+            f"p{step} AS (SELECT e.vec_id, e.embedding, s{step}.d "
+            f"FROM e JOIN s{step} ON e.vec_id = s{step}.vec_id)")
+        selects.append(f"SELECT {step} AS step, vec_id, d AS min_dist "
+                       f"FROM p{step}")
+        if step < k:
+            nxt = f"d{step + 1}"
+            ctes.append(
+                f"{nxt} AS (SELECT {prev_d}.vec_id, "
+                f"LEAST({prev_d}.d, {dist(f'p{step}')}) AS d "
+                f"FROM {prev_d} JOIN e ON e.vec_id = {prev_d}.vec_id, "
+                f"p{step} WHERE {prev_d}.vec_id <> p{step}.vec_id)")
+            prev_d = nxt
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY step")
+
+
+@query("data_kcenter_coreset", oracle=_kcenter_sql("duck"))
+def data_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the
+    diversity-sampling workhorse of data-selection pipelines: each round
+    keeps the example farthest (max-min cosine distance) from everything
+    already selected, so k examples cover the embedding space with the
+    best 2-approximation guarantee greedy allows. Three unrolled rounds;
+    each is one distributed min-reduce + argmax over the candidates (the
+    only thing that ever reaches the driver is the k selected ids — at
+    100 TB each round is one Spark job over the partitioned embedding
+    table, exactly the pagerank-style fixed-iteration shape). Distances
+    ROUND to 4 decimals with vec_id tiebreaks: the greedy trajectory is
+    deterministic across engines by construction."""
+    return _run(spark, sf, _kcenter_sql("spark"))
