@@ -949,3 +949,92 @@ def dedup_span_windows(spark: SparkSession, sf: str) -> DataFrame:
     inverted-index dedup, never all-pairs."""
     load(spark, sf, "documents").createOrReplaceTempView("documents")
     return spark.sql(_span_windows_sql("spark"))
+
+
+def _recall_audit_oracle() -> str:
+    """DuckDB replication of the ENTIRE portable-minhash audit pipeline —
+    same shingles, same md5-derived 32-bit hash, same 16 permutation
+    constants, same ≥2-position candidate rule — so the recall number is
+    exactly reproducible, not merely spot-checked."""
+    mins = ", ".join(
+        f"MIN(({a} * h32 + {b}) % {_MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_PERMS))
+    cols = ", ".join(f"mh{i}" for i in range(len(_PERMS)))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT d1, d2 FROM inter
+  JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+  WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.8
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h32
+  FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM h GROUP BY doc_id
+), pos AS (
+  SELECT doc_id, pid, mh FROM sig UNPIVOT (mh FOR pid IN ({cols}))
+), cand AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2
+  FROM pos x JOIN pos y ON x.pid = y.pid AND x.mh = y.mh
+                        AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT CAST(nt AS BIGINT) AS n_true, CAST(nc AS BIGINT) AS n_candidates,
+       CAST(nh AS BIGINT) AS n_hit,
+       CAST(CASE WHEN nt = 0 THEN 1.0
+                 ELSE ROUND(nh * 1.0 / nt, 4) END AS DOUBLE) AS recall_band
+FROM (SELECT (SELECT COUNT(*) FROM truth) AS nt,
+             (SELECT COUNT(*) FROM cand) AS nc,
+             (SELECT COUNT(*) FROM truth t JOIN cand c
+              ON t.d1 = c.d1 AND t.d2 = c.d2) AS nh)
+"""
+
+
+@query("dedup_recall_audit", oracle=_recall_audit_oracle())
+def dedup_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-recall audit for the MinHash-LSH dedup family — the
+    dedup twin of C47's ANN recall audit: what fraction of TRUE near-dup
+    pairs (exact shingle-Jaccard ≥ 0.8, the inverted-index ground truth)
+    survives the ≥2-of-16 band-match candidate filter? Production
+    signatures hash with xxhash64 (engine-private); the audit pipeline
+    swaps in an md5-derived 32-bit hash so the ENTIRE pipeline — same
+    permutation constants, same candidate rule — replicates in the
+    oracle and the recall number is exact, not sampled. One row:
+    (n_true, n_candidates, n_hit, recall_band). The theoretical miss
+    bound at j≥0.8 is ≤4.2e-10, so recall_band = 1.0 unless the
+    signature math regresses — this query is the tripwire."""
+    sh = _shingles_df(spark, sf)
+    truth = _with_jaccard(_jaccard_pairs(spark, sf), 0.8) \
+        .select("d1", "d2").localCheckpoint()
+    h = sh.select("doc_id", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+                  .cast("long").alias("h32"))
+    sig_wide = h.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(_MINHASH_P))
+         .alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)])
+    pos = sig_wide.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(f"mh{i}").alias("pid"), F.col(f"mh{i}").alias("mh"))
+        for i in range(len(_PERMS))])).alias("b")) \
+        .select("doc_id", "b.pid", "b.mh")
+    cand = (pos.alias("x").join(pos.alias("y"), ["pid", "mh"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(F.col("x.doc_id").alias("d1"),
+                     F.col("y.doc_id").alias("d2"))
+            .agg(F.count("*").alias("nb")).filter("nb >= 2")
+            .select("d1", "d2").localCheckpoint())
+    nt = truth.agg(F.count("*").alias("nt"))
+    nc = cand.agg(F.count("*").alias("nc"))
+    nh = truth.join(cand, ["d1", "d2"]).agg(F.count("*").alias("nh"))
+    return nt.crossJoin(nc).crossJoin(nh).selectExpr(
+        "CAST(nt AS BIGINT) AS n_true",
+        "CAST(nc AS BIGINT) AS n_candidates",
+        "CAST(nh AS BIGINT) AS n_hit",
+        "CAST(CASE WHEN nt = 0 THEN 1.0 "
+        "ELSE ROUND(nh * 1.0 / nt, 4) END AS DOUBLE) AS recall_band")
