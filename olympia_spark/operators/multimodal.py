@@ -255,3 +255,117 @@ def mm_decode_image_dims(spark: SparkSession, sf: str) -> DataFrame:
     out = d.mapInPandas(
         _synth_and_decode, "doc_id long, fmt string, width int, height int")
     return out.orderBy("doc_id")
+
+
+# --- audio decode + frame energy (WAV header/PCM path) ----------------------
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Minimal structurally-valid mono 16-bit PCM WAV: RIFF header +
+    ``fmt `` chunk + ``data`` chunk. The deterministic synth side of the
+    audio pipeline — decode_wav parses exactly this container layout."""
+    import numpy as np
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = ((1).to_bytes(2, "little")            # PCM
+           + (1).to_bytes(2, "little")          # mono
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * 2).to_bytes(4, "little")   # byte rate
+           + (2).to_bytes(2, "little")          # block align
+           + (16).to_bytes(2, "little"))        # bits/sample
+    body = (b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(payload: bytes):
+    """Real RIFF/WAVE container parse: verifies magic, walks chunks to the
+    ``fmt `` and ``data`` chunks (tolerating extra chunks and odd-length
+    padding per the RIFF spec), and returns
+    ``(sample_rate, int16 numpy samples)``. Raises on non-PCM, non-mono,
+    or non-16-bit payloads instead of mis-decoding them."""
+    import numpy as np
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {b[:12]!r}")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        clen = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV format code {audio_fmt}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)            # chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    if (channels, bits) != (1, 16):
+        raise ValueError(f"expected mono/16-bit, got {channels}ch/{bits}bit")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+_AUDIO_WINDOW = 64         # samples per energy frame
+
+
+def _synth_and_energy(batches):
+    """Per-row: synthesize a real WAV byte payload whose samples are a
+    pure integer function of doc_id, then decode it back through the RIFF
+    parser and emit per-window energy (Σ s², exact int64)."""
+    import numpy as np
+    for pdf in batches:
+        rows = {"doc_id": [], "window_no": [], "sample_rate": [],
+                "energy": []}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = _AUDIO_WINDOW * (3 + doc_id % 4)
+            i = np.arange(n, dtype=np.int64)
+            samples = (doc_id * 31 + i * 7) % 65536 - 32768
+            payload = encode_wav(8000 + (doc_id % 3) * 4000, samples)
+            rate, decoded = decode_wav(payload)
+            sq = decoded.astype(np.int64) ** 2
+            for w in range(n // _AUDIO_WINDOW):
+                rows["doc_id"].append(doc_id)
+                rows["window_no"].append(w)
+                rows["sample_rate"].append(rate)
+                rows["energy"].append(
+                    int(sq[w * _AUDIO_WINDOW:(w + 1) * _AUDIO_WINDOW].sum()))
+        yield pd.DataFrame(rows)
+
+
+@query("mm_audio_energy", oracle=f"""
+SELECT doc_id,
+       CAST(i // {_AUDIO_WINDOW} AS INT) AS window_no,
+       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+       CAST(SUM(((doc_id * 31 + i * 7) % 65536 - 32768)
+                * ((doc_id * 31 + i * 7) % 65536 - 32768)) AS BIGINT)
+           AS energy
+FROM (SELECT doc_id,
+             unnest(generate_series(0,
+                 {_AUDIO_WINDOW} * (3 + doc_id % 4) - 1)) AS i
+      FROM documents)
+GROUP BY doc_id, window_no, sample_rate
+ORDER BY doc_id, window_no
+""")
+def mm_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio decode + frame-energy extraction: every doc carries a
+    synthesized-but-structurally-real mono 16-bit PCM WAV whose samples
+    are a pure integer function of doc_id; decode_wav walks the RIFF
+    container (magic, fmt chunk, data chunk, alignment) inside an
+    Arrow-batched mapInPandas and the per-{_AUDIO_WINDOW}-sample frame
+    energies come out as exact int64 sums of squares. The oracle
+    re-derives the same energies arithmetically — a parser bug (chunk
+    walk, endianness, int16 view) breaks the hash. Narrow map-only plan:
+    payload bytes are born and die inside one Python batch, nothing
+    binary ever shuffles; at 100 TB this is the shape of a
+    feature-extraction pass over an audio lake (swap the synth for the
+    parquet binary column, the parser body for torchaudio)."""
+    d = load(spark, sf, "documents").select("doc_id")
+    out = d.mapInPandas(
+        _synth_and_energy,
+        "doc_id long, window_no int, sample_rate int, energy long")
+    return out.orderBy("doc_id", "window_no")

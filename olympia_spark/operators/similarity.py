@@ -740,3 +740,115 @@ def data_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
     ROUND to 4 decimals with vec_id tiebreaks: the greedy trajectory is
     deterministic across engines by construction."""
     return _run(spark, sf, _kcenter_sql("spark"))
+
+
+# --- product quantization (PQ) ADC top-k ------------------------------------
+
+# 8 subspaces x 8 dims, 16 centroids each -> a 64-dim vector compresses to
+# 8 bytes (one code per subspace). Codebook continues the module's seeded
+# PRNG stream, rounded to 6 decimals and embedded as identical literals in
+# both engines.
+_PQ_SUB, _PQ_D, _PQ_K = 8, 8, 16
+_PQ_CODEBOOK = np.round(_rs.randn(_PQ_SUB, _PQ_K, _PQ_D) * 0.12, 6).tolist()
+
+# Squared L2 between a subvector and a centroid, in exact integer
+# MICRO-units (floor(d * 1e6)): every downstream comparison — the argmin
+# code assignment, the ADC sum, the top-k ordering — is integer
+# arithmetic, so no FP summation-order difference can reorder results.
+_PQ_DIST_SPARK = (
+    "CAST(FLOOR(aggregate(zip_with(sub, cvec, "
+    "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+    "0D, (acc, v) -> acc + v) * 1000000) AS BIGINT)")
+_PQ_DIST_DUCK = (
+    "CAST(FLOOR(list_aggregate(list_transform(generate_series(1, 8), "
+    "i -> (CAST(sub[i] AS DOUBLE) - cvec[i]) "
+    "* (CAST(sub[i] AS DOUBLE) - cvec[i])), 'sum') "
+    "* 1000000) AS BIGINT)")
+
+
+def _pq_codebook_values() -> str:
+    rows = []
+    for s in range(_PQ_SUB):
+        for c in range(_PQ_K):
+            lits = ", ".join(repr(v) for v in _PQ_CODEBOOK[s][c])
+            rows.append(f"({s}, {c}, [{lits}]::DOUBLE[])")
+    return ",\n  ".join(rows)
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH cb(s, c, cvec) AS (VALUES
+  {_pq_codebook_values()}
+), sub AS (
+  SELECT e.vec_id, g.s AS s,
+         list_slice(e.embedding, g.s * {_PQ_D} + 1,
+                    g.s * {_PQ_D} + {_PQ_D}) AS sub
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_SUB - 1})) AS s) g
+), dists AS (
+  SELECT sub.vec_id, sub.s, cb.c, {_PQ_DIST_DUCK} AS dmicro
+  FROM sub JOIN cb ON sub.s = cb.s
+), codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dmicro, c) AS rn
+    FROM dists WHERE vec_id <> 0)
+  WHERE rn = 1
+), dtable AS (
+  SELECT s, c, dmicro FROM dists WHERE vec_id = 0
+)
+SELECT codes.vec_id, CAST(SUM(dtable.dmicro) AS BIGINT) AS adc_micro
+FROM codes JOIN dtable ON codes.s = dtable.s AND codes.code = dtable.c
+GROUP BY codes.vec_id
+ORDER BY adc_micro, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_pq_topk", oracle=_pq_oracle())
+def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN: encode every vector to {_PQ_SUB} codes
+    (argmin centroid per subspace), then answer the query via asymmetric
+    distance computation — the query's {_PQ_SUB}x{_PQ_K} distance table
+    is summed by code lookup, never touching the original vectors. This
+    is the memory-side compression lane of a production ANN stack
+    (FAISS-style IVF+PQ): 64 floats become 8 bytes, and query cost is
+    table lookups. Plan: the codebook (128 rows) broadcasts to both the
+    encode join and the distance-table join; the corpus streams ONCE
+    through encode (narrow fan-out x{_PQ_SUB} subvectors, rank window per
+    (vec_id, s)) and the ADC sum is one groupBy over code-matched
+    lookups + TakeOrdered. All distances are exact integer micro-units,
+    so code assignment and ranking are engine-deterministic. At 100 TB
+    the codes table is what you persist (8 bytes/vector); re-ranking the
+    ADC top-k against true vectors is one broadcast semi-join away, and
+    the encode shuffle disappears if codes are written at ingest."""
+    from pyspark.sql import Window
+    cb = spark.createDataFrame(
+        [(s, c, _PQ_CODEBOOK[s][c])
+         for s in range(_PQ_SUB) for c in range(_PQ_K)],
+        "s int, c int, cvec array<double>")
+    e = load(spark, sf, "embeddings")
+    sub = e.select(
+        "vec_id",
+        F.inline(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("embedding", s * _PQ_D + 1, _PQ_D).alias("sub"))
+            for s in range(_PQ_SUB)])))
+    dists = (sub.join(F.broadcast(cb), "s")
+             .select("vec_id", "s", "c", F.expr(_PQ_DIST_SPARK).alias("dmicro")))
+    w = Window.partitionBy("vec_id", "s").orderBy("dmicro", "c")
+    codes = (dists.filter("vec_id <> 0")
+             .withColumn("rn", F.row_number().over(w))
+             .filter("rn = 1")
+             .select("vec_id", "s", F.col("c").alias("code")))
+    dtable = dists.filter("vec_id = 0").select(
+        F.col("s").alias("qs"), F.col("c").alias("qc"),
+        F.col("dmicro").alias("qdmicro"))
+    return (codes.join(F.broadcast(dtable),
+                       (F.col("s") == F.col("qs"))
+                       & (F.col("code") == F.col("qc")))
+            .groupBy("vec_id")
+            .agg(F.sum("qdmicro").cast("bigint").alias("adc_micro"))
+            .orderBy("adc_micro", "vec_id")
+            .limit(10))

@@ -1103,3 +1103,106 @@ def text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )).alias("pair"))
     return (pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), "pair").limit(20))
+
+
+# --- composite C4/Gopher-style filter gate ----------------------------------
+
+# Every rule is an EXACT-integer comparison (cross-multiplied ratios), so
+# the keep/fail verdicts are bit-identical across engines — no FP ratio
+# ever reaches a threshold test.
+#   r_len      — 30 <= n_words <= 1000          (C4 length gate)
+#   r_wordlen  — 3 <= mean word length <= 10    (3·n <= Σlen(w) <= 10·n)
+#   r_stop     — at least 2 stopword hits        (C4 "contains the/and/...")
+#   r_topword  — top word share <= 1/5           (Gopher repetition gate,
+#                                                 5·max_count <= n_words)
+
+_C4_STOP_PRED_SPARK = " or ".join(f"w = '{s}'" for s in _STOP_EN)
+_C4_STOP_PRED_DUCK = _C4_STOP_PRED_SPARK
+
+
+@query("text_c4_filter", oracle=f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         list_aggregate(list_transform(string_split(text, ' '),
+                                       w -> strlen(w)), 'sum') AS sum_len,
+         len(list_filter(string_split(text, ' '),
+                         w -> {_C4_STOP_PRED_DUCK})) AS stop_hits
+  FROM documents
+), topw AS (
+  SELECT doc_id, MAX(c) AS max_c
+  FROM (SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id
+), verdicts AS (
+  SELECT b.source,
+         (b.n_words BETWEEN 30 AND 1000) AS r_len,
+         (3 * b.n_words <= b.sum_len AND b.sum_len <= 10 * b.n_words)
+             AS r_wordlen,
+         (b.stop_hits >= 2) AS r_stop,
+         (5 * t.max_c <= b.n_words) AS r_topword
+  FROM base b JOIN topw t USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r_len AND r_wordlen AND r_stop AND r_topword
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fail_len,
+       CAST(SUM(CASE WHEN NOT r_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fail_wordlen,
+       CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fail_stop,
+       CAST(SUM(CASE WHEN NOT r_topword THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fail_topword
+FROM verdicts
+GROUP BY source
+ORDER BY source
+""")
+def text_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite C4/Gopher-style filter gate: the rule CHAIN a corpus
+    cleaning pipeline actually ships — length window, mean-word-length
+    window, minimum stopword evidence, top-word repetition cap — each an
+    exact-integer predicate (ratios cross-multiplied, so no FP value ever
+    meets a threshold), reported as per-source keep/fail tallies. Plan:
+    one narrow map for the per-doc attributes + one explode→count path
+    for the top-word share, joined on doc_id and collapsed to a
+    per-source aggregate — two doc_id-keyed exchanges carrying counts,
+    never text, at any corpus size."""
+    d = load(spark, sf, "documents")
+    ws = _words(F.col("text"))
+    base = d.select(
+        "doc_id", "source",
+        F.size(ws).alias("n_words"),
+        F.expr("aggregate(transform(split(text, ' '), w -> length(w)), "
+               "0, (a, x) -> a + x)").alias("sum_len"),
+        F.size(F.expr(
+            f"filter(split(text, ' '), w -> {_C4_STOP_PRED_SPARK})"))
+         .alias("stop_hits"))
+    topw = (d.select("doc_id", F.explode(ws).alias("w"))
+            .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+            .groupBy("doc_id").agg(F.max("c").alias("max_c")))
+    v = base.join(topw, "doc_id").select(
+        "source",
+        F.col("n_words").between(30, 1000).alias("r_len"),
+        ((3 * F.col("n_words") <= F.col("sum_len"))
+         & (F.col("sum_len") <= 10 * F.col("n_words"))).alias("r_wordlen"),
+        (F.col("stop_hits") >= 2).alias("r_stop"),
+        (5 * F.col("max_c") <= F.col("n_words")).alias("r_topword"))
+    keep = (F.col("r_len") & F.col("r_wordlen") & F.col("r_stop")
+            & F.col("r_topword"))
+
+    def nfail(rule: str, alias: str):
+        return (F.sum(F.when(~F.col(rule), 1).otherwise(0))
+                .cast("bigint").alias(alias))
+
+    return (v.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(keep, 1).otherwise(0)).cast("bigint")
+                  .alias("n_keep"),
+                 nfail("r_len", "n_fail_len"),
+                 nfail("r_wordlen", "n_fail_wordlen"),
+                 nfail("r_stop", "n_fail_stop"),
+                 nfail("r_topword", "n_fail_topword"))
+            .orderBy("source"))
