@@ -53,6 +53,7 @@ from olympia_spark.catalog.errors import (MergeCardinalityError,
 from olympia_spark.catalog.transactions import Transaction
 
 _DATA_DIR = "data"
+_ZCOL = "__zorder"
 
 # statement gate — same normalization as the reference parser
 # (trim, strip trailing ';', collapse whitespace, case-insensitive)
@@ -1351,27 +1352,50 @@ class Engine:
                                  {"column_names": list(column_names)})
         self._finish(txn)
 
-    def compact_table(self, name: str, min_files: int = 2) -> int:
+    def compact_table(self, name: str, min_files: int = 2,
+                      zorder_by: list[str] | None = None,
+                      target_files: int | None = None) -> int:
         """Table maintenance (SURVEY §7 phase 6): rewrite the current file
         set into ~one file per shuffle partition and re-point the TableDef
         in one transaction — the Spark-native analogue of Iceberg
         rewrite_data_files. Data is bit-identical; old versions still
-        reference the old files (time travel keeps working)."""
+        reference the old files (time travel keeps working).
+
+        ``zorder_by`` additionally CLUSTERS the rewrite on the interleaved
+        bit pattern (Morton order) of up to 4 numeric columns, Delta
+        ``OPTIMIZE ... ZORDER BY`` style: each column is quantile-binned
+        into 16 ranks (equi-depth, so skew cannot collapse the curve),
+        ranks interleave bit-by-bit into one z-value, and the rewrite is
+        range-partitioned + sorted on it. Every output file then covers a
+        small hypercube of the key space, so the per-file [min,max] stats
+        (`_collect_stats`) become tight on EVERY z column at once and
+        `_candidate_files` pruning works for predicates on any of them —
+        the multi-dimensional data-skipping story single-column sort
+        can't give. At 100 TB this is the difference between scanning a
+        full table and a thin slab for the second/third filter column."""
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "OPTIMIZE")
+        if zorder_by is not None and not 1 <= len(zorder_by) <= 4:
+            raise ValueError("ZORDER BY takes 1-4 columns")
         old_paths = tdef.file_paths()
-        if len(old_paths) < min_files:
+        if not zorder_by and len(old_paths) < min_files:
             self._finish(txn)
             return 0
         df = self._scan(tdef, old_paths)
         total_bytes = sum(f.size_bytes for f in tdef.data_files
                           if f.size_bytes > 0)
         # ~128 MiB target files, at least 1
-        n_out = max(1, total_bytes // (128 << 20))
+        n_out = int(target_files or max(1, total_bytes // (128 << 20)))
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-        writer = df.coalesce(int(n_out)).write.mode("error")
+        if zorder_by:
+            df = self._zorder(df, tdef, zorder_by)
+            writer = (df.repartitionByRange(n_out, F.col(_ZCOL))
+                      .sortWithinPartitions(_ZCOL)
+                      .drop(_ZCOL).write.mode("error"))
+        else:
+            writer = df.coalesce(n_out).write.mode("error")
         if tdef.partition_by:
             writer = writer.partitionBy(*tdef.partition_by)
         writer.parquet(self._abs(rel_dir))
@@ -1379,9 +1403,125 @@ class Engine:
         self.catalog.update_table_files(
             txn, ns, tbl, new_files, old_paths, ActionType.TABLE_UPDATE,
             {"added": [f.path for f in new_files], "removed": old_paths,
-             "maintenance": "compaction"})
+             "maintenance": ("zorder:" + ",".join(zorder_by)
+                             if zorder_by else "compaction")})
         self._finish(txn)
         return len(old_paths) - len(new_files)
+
+    def _zorder(self, df: DataFrame, tdef: TableDef,
+                zorder_by: list[str]) -> DataFrame:
+        """Append the Morton z-value column: equi-depth 16-rank codes per
+        column (quantile boundaries from ONE approxQuantile pass over the
+        scan — driver receives 15 doubles per column, never rows), then
+        bit interleave entirely in JVM expressions."""
+        if not 1 <= len(zorder_by) <= 4:
+            raise ValueError("ZORDER BY takes 1-4 columns")
+        schema = tdef.spark_schema()
+        numeric = {f.name for f in schema.fields
+                   if isinstance(f.dataType, (
+                       T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType,
+                       T.DateType, T.TimestampType))}
+        bad = [c for c in zorder_by if c not in numeric]
+        if bad:
+            raise ValueError(
+                f"ZORDER BY supports numeric/date columns only, got: {bad}")
+        probs = [i / 16 for i in range(1, 16)]
+        k = len(zorder_by)
+        codes = []
+        for c in zorder_by:
+            dcol = F.col(c).cast("double")
+            bounds = sorted(set(
+                df.select(dcol.alias(c)).approxQuantile(c, probs, 0.001)))
+            lits = ", ".join(f"{b!r}D" for b in bounds)
+            # rank = #boundaries <= value (0..15); NULLs rank first (0)
+            codes.append(F.expr(
+                f"aggregate(array({lits}), 0, (acc, b) -> "
+                f"acc + IF(CAST({c} AS DOUBLE) >= b, 1, 0))"))
+        z = F.lit(0)
+        for j, code in enumerate(codes):
+            for b in range(4):
+                z = z + F.shiftleft(
+                    F.shiftright(code, b).bitwiseAND(F.lit(1)), b * k + j)
+        return df.withColumn(_ZCOL, z)
+
+
+    # --- table statistics (ANALYZE / SHOW STATS) ----------------------------
+
+    _STATS_PROP = "stats_json"
+
+    def analyze_table(self, name: str,
+                      columns: list[str] | None = None) -> dict:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS``: ONE aggregation job
+        over the scan collects table row count plus per-column
+        ndv / null count / numeric min-max, persisted on the TableDef as
+        a catalog property (an ALTER commit — versioned, transactional,
+        time-travels with the table like everything else). These are the
+        table-level stats a cost-based planner feeds on (join sizing,
+        broadcast decisions); the per-FILE min/max stats used for file
+        pruning are collected at write time by `_collect_stats` and are
+        unrelated. ndv is exact here for oracle-checkability; at 100 TB
+        swap `countDistinct` for `approx_count_distinct` — the plan shape
+        (partial aggregation, one tiny result row to the driver) is
+        unchanged."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        schema = tdef.spark_schema()
+        names = [f.name for f in schema.fields]
+        if columns:
+            missing = set(columns) - set(names)
+            if missing:
+                raise ValueError(f"no such columns: {sorted(missing)}")
+        else:
+            columns = names
+        numeric = {f.name for f in schema.fields
+                   if isinstance(f.dataType, (
+                       T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType))}
+        df = self._scan(tdef, tdef.file_paths())
+        aggs = [F.count("*").alias("__n")]
+        for c in columns:
+            aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
+            aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                        .cast("long").alias(f"{c}__nulls"))
+            if c in numeric:
+                aggs.append(F.min(F.col(c).cast("double"))
+                            .alias(f"{c}__min"))
+                aggs.append(F.max(F.col(c).cast("double"))
+                            .alias(f"{c}__max"))
+        row = df.agg(*aggs).first()     # one stats row — catalog metadata
+        stats: dict = {"row_count": int(row["__n"]), "columns": {}}
+        for c in columns:
+            ent = {"n_distinct": int(row[f"{c}__ndv"]),
+                   "n_nulls": int(row[f"{c}__nulls"] or 0)}
+            if c in numeric:
+                ent["min"] = row[f"{c}__min"]
+                ent["max"] = row[f"{c}__max"]
+            stats["columns"][c] = ent
+        tdef.properties[self._STATS_PROP] = json.dumps(stats, sort_keys=True)
+        self.catalog.alter_table(txn, ns, tbl, tdef)
+        self._finish(txn)
+        return stats
+
+    def show_stats(self, name: str) -> DataFrame:
+        """``SHOW STATS [FOR] ns.tbl`` — the recorded ANALYZE output as a
+        relation (numeric min/max NULL for non-numeric columns)."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        raw = tdef.properties.get(self._STATS_PROP)
+        if raw is None:
+            raise ValueError(
+                f"no statistics recorded for {name}; run "
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS first")
+        stats = json.loads(raw)
+        rows = [(c, e["n_distinct"], e["n_nulls"],
+                 e.get("min"), e.get("max"))
+                for c, e in sorted(stats["columns"].items())]
+        return self.spark.createDataFrame(
+            rows, "column_name string, n_distinct long, n_nulls long, "
+                  "min_num double, max_num double")
 
     def expire_versions(self, keep_last: int,
                         protect_exports: bool = True) -> list[str]:
@@ -1939,9 +2079,41 @@ class Engine:
                     schema_json=schema.json(), partition_by=partition_by))
             self._finish(txn)
             return ok()
-        m = re.match(r"OPTIMIZE (?:TABLE )?(\S+\.\S+)$", norm, re.I)
+        m = re.match(r"SHOW CREATE TABLE (\S+\.\S+)$", norm, re.I)
         if m:
-            n = self.compact_table(m.group(1))
+            ns, tbl = self._split(m.group(1))
+            txn = self._txn()
+            tdef = self.catalog.describe_table(txn, ns, tbl)
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in tdef.spark_schema().fields)
+            ddl = f"CREATE TABLE {ns}.{tbl} ({cols})"
+            if tdef.partition_by:
+                ddl += f" PARTITIONED BY ({', '.join(tdef.partition_by)})"
+            props = {k: v for k, v in sorted(tdef.properties.items())
+                     if k != self._STATS_PROP}
+            if props:
+                kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+                ddl += f" TBLPROPERTIES ({kv})"
+            return spark.createDataFrame([(ddl,)], "createtab_stmt string")
+        m = re.match(r"ANALYZE TABLE (\S+\.\S+) COMPUTE STATISTICS"
+                     r"(?: FOR COLUMNS ([\w, ]+))?$", norm, re.I)
+        if m:
+            cols = ([c.strip() for c in m.group(2).split(",")]
+                    if m.group(2) else None)
+            stats = self.analyze_table(m.group(1), cols)
+            return spark.createDataFrame(
+                [(stats["row_count"], len(stats["columns"]))],
+                "row_count long, n_columns long")
+        m = re.match(r"SHOW STATS (?:FOR )?(\S+\.\S+)$", norm, re.I)
+        if m:
+            return self.show_stats(m.group(1))
+        m = re.match(r"OPTIMIZE (?:TABLE )?(\S+\.\S+)"
+                     r"(?: ZORDER BY \(([\w, ]+)\))?$", norm, re.I)
+        if m:
+            zcols = ([c.strip() for c in m.group(2).split(",")]
+                     if m.group(2) else None)
+            n = self.compact_table(m.group(1), zorder_by=zcols)
             return spark.createDataFrame([(n,)], "files_removed long")
         if re.match(r"VACUUM$", norm, re.I):
             removed = self.remove_orphan_files()

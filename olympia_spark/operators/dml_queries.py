@@ -351,3 +351,96 @@ def b68_clone_restore(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
         "FROM ns1.cr_src "
         "ORDER BY tbl")
+
+
+@query("b69_zorder_cluster", oracle=f"""
+SELECT COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       {dsum('value', 'value_sum')}
+FROM events
+WHERE user_id BETWEEN 100 AND 120 AND value >= 50
+""")
+def b69_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """B69 — OPTIMIZE ... ZORDER BY (Delta-style multi-dimensional
+    clustering rewrite): the fixture lands in a deliberately random
+    8-file layout, the z-order rewrite quantile-bins (user_id, value)
+    into 16 equi-depth ranks each and range-partitions + sorts on the
+    interleaved Morton code, and the post-rewrite probe filters on BOTH
+    dimensions. Content preservation is what the oracle hashes (the
+    probe is a pure function of the untouched source); the file-skipping
+    contract — point/range predicates on EITHER column prune ≥half the
+    files via the per-file [min,max] stats — is pinned by
+    tests/test_engine_maintenance.py::test_zorder_clusters_and_prunes."""
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_zorder_"))
+        eng.sql("CREATE NAMESPACE ns1")
+        return eng
+
+    eng = get_or_create(_DML_ENGINES, spark, (sf, "zorder"), build)
+    txn = eng.catalog.begin()
+    if eng.catalog.table_exists(txn, "ns1", "events_z"):
+        eng.sql("DROP TABLE ns1.events_z")
+    eng.write_table(load(spark, sf, "events").repartition(8),
+                    "ns1.events_z")
+    eng.compact_table("ns1.events_z", zorder_by=["user_id", "value"],
+                      target_files=8)
+    return eng.sql(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(event_id) AS BIGINT) AS id_sum, "
+        + dsum("value", "value_sum")
+        + " FROM ns1.events_z "
+        "WHERE user_id BETWEEN 100 AND 120 AND value >= 50")
+
+
+@query("b70_analyze_stats", oracle="""
+SELECT * FROM (
+  SELECT 'event_id' AS column_name,
+         COUNT(DISTINCT event_id) AS n_distinct,
+         COUNT(*) - COUNT(event_id) AS n_nulls,
+         CAST(MIN(event_id) AS DOUBLE) AS min_num,
+         CAST(MAX(event_id) AS DOUBLE) AS max_num
+  FROM events
+  UNION ALL
+  SELECT 'event_type', COUNT(DISTINCT event_type),
+         COUNT(*) - COUNT(event_type),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM events
+  UNION ALL
+  SELECT 'user_id', COUNT(DISTINCT user_id),
+         COUNT(*) - COUNT(user_id),
+         CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+  FROM events
+  UNION ALL
+  SELECT 'value', COUNT(DISTINCT value), COUNT(*) - COUNT(value),
+         CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
+  FROM events)
+ORDER BY column_name
+""")
+def b70_analyze(spark: SparkSession, sf: str) -> DataFrame:
+    """B70 — ANALYZE TABLE ... COMPUTE STATISTICS + SHOW STATS: one
+    aggregation pass collects row count / per-column ndv / nulls /
+    numeric min-max and persists them on the TableDef as a versioned
+    catalog property (an ALTER commit — stats time-travel with the
+    table); SHOW STATS reads them back as a relation. The oracle
+    recomputes every number from the untouched source, so the whole
+    ANALYZE→persist→read-back loop is exact-hash-gated. These are the
+    planner-facing TABLE stats (join sizing, broadcast decisions) —
+    distinct from the per-file min/max pruning stats collected at write
+    time."""
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_stats_"))
+        eng.sql("CREATE NAMESPACE ns1")
+        return eng
+
+    eng = get_or_create(_DML_ENGINES, spark, (sf, "stats"), build)
+    txn = eng.catalog.begin()
+    if not eng.catalog.table_exists(txn, "ns1", "events_st"):
+        eng.write_table(load(spark, sf, "events"), "ns1.events_st")
+    eng.sql("ANALYZE TABLE ns1.events_st COMPUTE STATISTICS "
+            "FOR COLUMNS event_id, user_id, event_type, value")
+    return eng.sql("SHOW STATS FOR ns1.events_st")

@@ -514,3 +514,102 @@ def test_restore_refuses_vacuumed_history(engine):
     # "data file(s) no longer exist", inside restore_table)
     with pytest.raises(ValueError, match="no longer exist"):
         engine.sql(f"RESTORE TABLE clones.src TO VERSION AS OF {v_old}")
+
+
+def test_zorder_clusters_and_prunes(engine, spark):
+    """OPTIMIZE ... ZORDER BY: content identical, and per-file [min,max]
+    stats become tight on BOTH clustering columns — a point predicate on
+    either column prunes most files, which a single-column layout cannot
+    do for the second column."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(16), rnd.randrange(1000))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, grp int, val int") \
+              .repartition(8)                  # 8 files, random layout
+    engine.write_table(df, "ns1.zt")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "zt")
+    assert len(tdef.file_paths()) == 8
+    # random layout: every file spans ~the full range of both columns
+    assert len(engine._candidate_files(tdef, "grp = 3")) == 8
+    assert len(engine._candidate_files(tdef, "val >= 900")) == 8
+
+    before = engine.sql(
+        "SELECT CAST(SUM(id) AS BIGINT) AS s, COUNT(*) AS n, "
+        "CAST(SUM(grp * val) AS BIGINT) AS gv FROM ns1.zt").first()
+    engine.compact_table("ns1.zt", zorder_by=["grp", "val"],
+                         target_files=8)
+    after = engine.sql(
+        "SELECT CAST(SUM(id) AS BIGINT) AS s, COUNT(*) AS n, "
+        "CAST(SUM(grp * val) AS BIGINT) AS gv FROM ns1.zt").first()
+    assert tuple(before) == tuple(after)       # content preserved exactly
+
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "zt")
+    assert len(tdef.file_paths()) == 8
+    # the z-order curve localizes BOTH dimensions: point/range predicates
+    # on either column now prune at least half the files
+    assert len(engine._candidate_files(tdef, "grp = 3")) <= 4
+    assert len(engine._candidate_files(tdef, "val >= 900")) <= 4
+    # z-column is internal only — never persisted
+    assert "__zorder" not in [
+        f.name for f in tdef.spark_schema().fields]
+    cols = spark.read.parquet(
+        engine._abs(tdef.file_paths()[0])).columns
+    assert "__zorder" not in cols
+
+
+def test_zorder_sql_verb_and_guards(engine, spark):
+    engine.sql("CREATE TABLE ns1.zs (id BIGINT, name STRING)")
+    engine.sql("INSERT INTO ns1.zs VALUES (1, 'a'), (2, 'b')")
+    engine.sql("INSERT INTO ns1.zs VALUES (3, 'c')")
+    out = engine.sql("OPTIMIZE ns1.zs ZORDER BY (id)").first()
+    assert out.files_removed >= 1              # multiple files -> 1
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "zs")
+    assert len(tdef.file_paths()) == 1
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.zs").first().n == 3
+    with pytest.raises(ValueError, match="numeric"):
+        engine.compact_table("ns1.zs", zorder_by=["name"])
+    with pytest.raises(ValueError, match="1-4"):
+        engine.compact_table("ns1.zs", zorder_by=[])
+
+
+def test_analyze_show_stats_and_show_create(engine, spark):
+    engine.sql("CREATE TABLE ns1.st (id BIGINT, name STRING, v DOUBLE) "
+               "PARTITIONED BY (name)")
+    engine.sql("INSERT INTO ns1.st VALUES "
+               "(1, 'a', 1.5), (2, 'a', NULL), (2, 'b', 3.0)")
+    with pytest.raises(ValueError, match="no statistics"):
+        engine.show_stats("ns1.st")
+    out = engine.sql(
+        "ANALYZE TABLE ns1.st COMPUTE STATISTICS").first()
+    assert (out.row_count, out.n_columns) == (3, 3)
+    rows = {r.column_name: r for r in
+            engine.sql("SHOW STATS FOR ns1.st").collect()}
+    assert rows["id"].n_distinct == 2 and rows["id"].n_nulls == 0
+    assert (rows["id"].min_num, rows["id"].max_num) == (1.0, 2.0)
+    assert rows["v"].n_nulls == 1 and rows["v"].max_num == 3.0
+    assert rows["name"].min_num is None          # non-numeric: ndv only
+    # stats survive as a versioned property and time-travel with the table
+    engine.sql("INSERT INTO ns1.st VALUES (9, 'c', 9.9)")
+    rows2 = {r.column_name: r for r in
+             engine.sql("SHOW STATS FOR ns1.st").collect()}
+    assert rows2["id"].max_num == 2.0            # stale until re-ANALYZE
+    engine.sql("ANALYZE TABLE ns1.st COMPUTE STATISTICS FOR COLUMNS id")
+    rows3 = {r.column_name: r for r in
+             engine.sql("SHOW STATS FOR ns1.st").collect()}
+    assert rows3["id"].max_num == 9.0 and "v" not in rows3
+    with pytest.raises(ValueError, match="no such columns"):
+        engine.analyze_table("ns1.st", ["nope"])
+    ddl = engine.sql("SHOW CREATE TABLE ns1.st").first().createtab_stmt
+    assert ddl == ("CREATE TABLE ns1.st (id BIGINT, name STRING, "
+                   "v DOUBLE) PARTITIONED BY (name)")
+    engine.sql("ALTER TABLE ns1.st SET PROPERTIES ('owner'='me')")
+    ddl2 = engine.sql("SHOW CREATE TABLE ns1.st").first().createtab_stmt
+    assert ddl2.endswith("TBLPROPERTIES ('owner'='me')")
+    assert "stats_json" not in ddl2              # internal prop hidden
