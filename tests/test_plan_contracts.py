@@ -320,3 +320,29 @@ def test_url_canonical_single_exchange(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", body, re.M))
     assert n_exchanges <= 2, body
     assert "Python" not in body, body
+
+
+def test_pq_topk_broadcasts_codebook_and_stays_jvm(spark):
+    """C55: the PQ codebook (128 rows) must broadcast into both the
+    encode join and the ADC lookup join — the corpus never shuffles to
+    meet it — and every distance is a JVM higher-order expression."""
+    plan = _plan(registry.QUERIES["sim_pq_topk"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["text_c4_filter", "data_token_budget"])
+def test_round5_text_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+def test_token_budget_broadcasts_denominator(spark):
+    """C58: the single-row weight denominator joins by broadcast —
+    the per-source aggregate never re-shuffles to meet it."""
+    plan = _plan(registry.QUERIES["data_token_budget"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
