@@ -1038,3 +1038,64 @@ def dedup_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(nh AS BIGINT) AS n_hit",
         "CAST(CASE WHEN nt = 0 THEN 1.0 "
         "ELSE ROUND(nh * 1.0 / nt, 4) END AS DOUBLE) AS recall_band")
+
+
+# --- hot-shingle-capped near-dup (posting-list bound) -----------------------
+
+_HOT_SHINGLE_CAP = 5
+
+
+@query("dedup_hot_shingle_cap", oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_HOT_SHINGLE_CAP}
+), kept AS (
+  SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(i * 1.0 / (c1.n + c2.n - i), 4) AS jaccard_lb
+FROM inter
+JOIN cnt c1 ON d1 = c1.doc_id
+JOIN cnt c2 ON d2 = c2.doc_id
+WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.5
+ORDER BY d1, d2
+""")
+def dedup_hot_shingle_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup with a posting-list bound (the CCNet/Gopher production
+    hardening of inverted-index dedup): shingles whose document frequency
+    exceeds the cap become STOP-shingles and are excluded from candidate
+    generation — without the cap, one boilerplate shingle shared by k
+    docs contributes k² join rows, the quadratic hot-key that kills an
+    exact-Jaccard job at corpus scale. The resulting score is a certified
+    LOWER bound on true Jaccard (hot shingles only ever remove evidence;
+    denominators stay full), so every emitted pair is a true ≥-bound
+    match. Plan: the stop list is tiny by construction (df > cap) and
+    broadcasts into a LEFT ANTI join against the shingle stream — the
+    inverted-index self-join then runs with per-key fan-out provably
+    ≤ cap², and everything shuffles as 8-byte xxhash64 longs."""
+    sh = _shingles_df(spark, sf).select(
+        "doc_id", F.xxhash64("s").alias("s"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > _HOT_SHINGLE_CAP).select("s"))
+    kept = sh.join(F.broadcast(hot), "s", "left_anti")
+    a = kept.select(F.col("doc_id").alias("d1"), "s")
+    b = kept.select(F.col("doc_id").alias("d2"), "s")
+    inter = (a.join(b, ["s"])
+             .filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    pairs = (inter
+             .join(cnt.select(F.col("doc_id").alias("d1"),
+                              F.col("n").alias("n1")), "d1")
+             .join(cnt.select(F.col("doc_id").alias("d2"),
+                              F.col("n").alias("n2")), "d2"))
+    j = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (pairs.filter(j >= 0.5)
+            .select("d1", "d2", F.round(j, 4).alias("jaccard_lb"))
+            .orderBy("d1", "d2"))

@@ -1741,3 +1741,88 @@ def b62_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
         "event_id")
         .orderBy("user_id", "valid_from", "event_id")
         .drop("event_id"))
+
+
+# --- B71: TPC-H Q3/Q5 multi-join shapes --------------------------------------
+
+@query("b71_q3_shape", oracle=f"""
+SELECT l_orderkey,
+       {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def b71_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): segment-filtered customers →
+    orders → lineitem, revenue per unshipped order, top-10. Declared as
+    three chained equi-joins + one grouped aggregate so Catalyst/AQE pick
+    the physical strategy: the segment-filtered customer side is small →
+    broadcast; lineitem shuffles ONCE on l_orderkey (its join and
+    grouping key coincide, so the exchange is reused). Revenue sums
+    through exact DECIMAL(25,6) → ordering is engine-identical; top-10
+    is TakeOrdered, no global sort."""
+    cut = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    c = load(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = load(spark, sf, "orders").filter(F.col("o_orderdate") < cut)
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("o_orderkey") == li.l_orderkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       "revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority")
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10))
+
+
+@query("b72_q5_shape", oracle=f"""
+SELECT n_name,
+       {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def b72_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): the 6-way join — fact
+    lineitem against orders plus the customer/supplier/nation/region
+    dimension chain, with the classic local-supplier condition
+    (c_nationkey = s_nationkey) that makes join ORDER matter. Declared
+    declaratively; at any scale region/nation/supplier broadcast
+    (plan-asserted), the customer⋈orders side shuffles on custkey, and
+    lineitem exchanges once on orderkey. Exact-decimal revenue keeps the
+    DESC ordering engine-stable."""
+    c = load(spark, sf, "customer")
+    o = (load(spark, sf, "orders")
+         .filter("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+                 "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter("r_name = 'ASIA'")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("o_orderkey") == li.l_orderkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       "revenue"))
+            .orderBy(F.desc("revenue"), "n_name"))

@@ -346,3 +346,18 @@ def test_token_budget_broadcasts_denominator(spark):
     plan = _plan(registry.QUERIES["data_token_budget"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q5_shape_broadcasts_dimension_chain(spark):
+    """B72: supplier/nation/region must broadcast — the 6-way join's fact
+    side shuffles on its join keys only, never to meet a dimension."""
+    plan = _plan(registry.QUERIES["b72_q5_shape"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hot_shingle_cap_broadcast_anti_join(spark):
+    """C59: the stop-shingle list joins by BROADCAST anti join — the
+    shingle stream never shuffles to subtract it."""
+    plan = _plan(registry.QUERIES["dedup_hot_shingle_cap"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
