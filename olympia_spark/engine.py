@@ -952,8 +952,9 @@ class Engine:
             return 0
         cand_abs = [self._abs(p) for p in candidates]
         scan = self._scan(tdef, candidates)
-        matched_abs = [r[0] for r in (scan.filter(predicate)
-                       .select(F.input_file_name()).distinct().collect())]
+        matched_abs = [r[0] for r in (
+            self._pred_matches(scan, predicate, txn, name)
+            .select(F.input_file_name()).distinct().collect())]
         matched = [p for p, a in zip(candidates, cand_abs)
                    if any(m.endswith(a) or a.endswith(
                        m.removeprefix("file://")) for m in matched_abs)]
@@ -962,7 +963,7 @@ class Engine:
             return 0
         affected = self._scan(tdef, matched)
         n_before = affected.count()
-        rewritten = transform(affected)
+        rewritten = transform(affected, txn)
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
         writer = rewritten.write.mode("error")
         if tdef.partition_by:
@@ -1285,21 +1286,66 @@ class Engine:
                 f"MERGE: unsupported WHEN clause at {whens[pos:pos + 80]!r}")
         return matched, not_matched
 
+    def _pred_matches(self, df: DataFrame, predicate: str,
+                      txn: Transaction,
+                      target: str | None = None) -> DataFrame:
+        """Rows of ``df`` matching a DML predicate. Plain predicates go
+        through ``filter``; predicates containing a subquery (IN/EXISTS/
+        scalar — Catalyst only admits them via the SQL path) register the
+        frame as a temp view, resolve any ``ns.tbl`` references inside the
+        subquery against the SAME transaction snapshot, and evaluate with
+        ``spark.sql``. Standard DML semantics fall out: the subquery reads
+        the pre-statement state of every table it names, including the
+        target itself."""
+        if not re.search(r"\bSELECT\b", predicate, re.I):
+            return df.filter(predicate)
+        vname = f"olympia__dml__{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(vname)
+        # Alias the target frame with the name the resolver gives the
+        # target TABLE, so a correlated reference to `ns.tbl.col` inside
+        # the subquery binds to the OUTER frame (nearest-alias scoping),
+        # not to a second full-table scan.
+        alias = ""
+        if target:
+            ns, tbl = self._split(target)
+            alias = f" AS olympia__{ns}__{tbl}"
+        stmt = self._resolve_sql(
+            f"SELECT * FROM {vname}{alias} WHERE {predicate}", txn)
+        return self.spark.sql(stmt)
+
     def delete_from(self, name: str, predicate: str) -> int:
         """B29 — DELETE WHERE: rewrite affected files minus matching rows
-        (TABLE_DELETE action, proto/actions.proto:89-92)."""
-        def _delete(df: DataFrame) -> DataFrame:
-            return df.filter(f"NOT ({predicate}) OR ({predicate}) IS NULL")
+        (TABLE_DELETE action, proto/actions.proto:89-92). Subquery
+        predicates (`WHERE k IN (SELECT ...)`) evaluate through
+        _pred_matches and subtract by bag semantics (exceptAll) — NULL /
+        non-matching rows are kept, exactly the complement of the
+        matched set."""
+        def _delete(df: DataFrame, txn: Transaction) -> DataFrame:
+            if not re.search(r"\bSELECT\b", predicate, re.I):
+                return df.filter(
+                    f"NOT ({predicate}) OR ({predicate}) IS NULL")
+            return df.exceptAll(
+                self._pred_matches(df, predicate, txn, name))
         return self._rewrite(name, predicate, _delete)
 
     def update(self, name: str, assignments: dict[str, str],
                predicate: str = "true") -> int:
         """B30 — UPDATE SET: rewrite affected files applying assignments
-        where the predicate holds (TABLE_UPDATE, proto/actions.proto:82-87)."""
-        def _update(df: DataFrame) -> DataFrame:
-            # single projection: ALL right-hand sides evaluate against the
-            # pre-update row (SQL simultaneous-assignment semantics —
-            # `SET a = b, b = a` swaps; chained withColumn would not)
+        where the predicate holds (TABLE_UPDATE, proto/actions.proto:82-87).
+        Subquery predicates split the frame into matched (assignments
+        applied) and the exceptAll complement, then re-union — Catalyst
+        admits predicate subqueries only in filters, never inside a CASE
+        projection."""
+        def _update(df: DataFrame, txn: Transaction) -> DataFrame:
+            # ALL right-hand sides evaluate against the pre-update row
+            # (SQL simultaneous-assignment semantics — `SET a = b, b = a`
+            # swaps; chained withColumn would not)
+            if re.search(r"\bSELECT\b", predicate, re.I):
+                matched = self._pred_matches(df, predicate, txn, name)
+                updated = matched.select(*[
+                    F.expr(assignments[c]).alias(c) if c in assignments
+                    else F.col(c) for c in df.columns])
+                return df.exceptAll(matched).unionByName(updated)
             cond = F.expr(predicate)
             return df.select(*[
                 (F.when(cond, F.expr(assignments[c])).otherwise(F.col(c))

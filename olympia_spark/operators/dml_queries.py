@@ -444,3 +444,37 @@ def b70_analyze(spark: SparkSession, sf: str) -> DataFrame:
     eng.sql("ANALYZE TABLE ns1.events_st COMPUTE STATISTICS "
             "FOR COLUMNS event_id, user_id, event_type, value")
     return eng.sql("SHOW STATS FOR ns1.events_st")
+
+
+@query("b73_dml_subquery", oracle=f"""
+WITH kept AS (
+  SELECT * FROM events
+  WHERE user_id NOT IN (SELECT user_id FROM events
+                        WHERE event_type = 'error')
+     OR user_id IS NULL
+), mx AS (
+  SELECT MAX(value) AS m FROM kept
+)
+SELECT COUNT(*) AS n_rows,
+       {dsum("CASE WHEN value >= m - 10 THEN value * 2 ELSE value END",
+             'value_sum')}
+FROM kept, mx
+""")
+def b73_dml_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """B73 — DML with subquery predicates: DELETE every event of any user
+    who ever errored (IN-subquery over the target's own PRE-statement
+    state) then UPDATE rows near the post-delete maximum (scalar
+    subquery). Catalyst only admits predicate subqueries through the SQL
+    path, so the engine registers the candidate-file frame as a view,
+    resolves the inner table references against the same transaction
+    snapshot, and subtracts/updates by bag semantics (exceptAll) — the
+    oracle recomputes the final state from the untouched source with
+    pure SELECTs. Exact comparisons only (MAX is exact; AVG-style
+    accumulation-order-dependent thresholds are deliberately avoided)."""
+    eng = _engine_with_events(spark, sf, "events_sq")
+    eng.sql("DELETE FROM ns1.events_sq WHERE user_id IN "
+            "(SELECT user_id FROM ns1.events_sq "
+            "WHERE event_type = 'error')")
+    eng.sql("UPDATE ns1.events_sq SET value = value * 2 WHERE value >= "
+            "(SELECT MAX(value) FROM ns1.events_sq) - 10")
+    return eng.sql(_checksum("events_sq"))

