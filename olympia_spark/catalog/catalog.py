@@ -9,6 +9,7 @@ existence check against the running tree, a def-file write, a tree
 
 from __future__ import annotations
 
+import re
 import time
 from enum import Enum
 
@@ -578,6 +579,64 @@ class Catalog:
         txn.apply(op)
         self.commit(txn)
         return root_path
+
+    # --- tags: named immutable version refs (A27 companion) -----------------
+
+    def _commit_catalog_def(self, payload: dict) -> None:
+        """Persist the (mutated) CatalogDef to a new def file and commit a
+        root pointing at it — the same write-def-then-commit sequence
+        export_snapshot uses (docs/format.md "Catalog Definition File")."""
+        new_def_path = loc.new_catalog_def_path()
+        self.storage.write_atomic(new_def_path, to_json(self.catalog_def))
+        self.catalog_def_path = new_def_path
+        txn = self.begin()
+
+        def op(t: Transaction) -> Action:
+            t.running_root.catalog_def_path = new_def_path
+            t.running_root.dirty = True
+            return Action(ActionType.NAMESPACE_ALTER, "catalog_def", payload)
+        txn.apply(op)
+        self.commit(txn)
+
+    def create_tag(self, name: str, version: int | None = None,
+                   replace: bool = False) -> int:
+        """Tag a catalog version with an immutable name (Delta/Iceberg-
+        style refs, catalog-WIDE here because the whole catalog is
+        versioned): ``VERSION AS OF '<tag>'`` then time-travels every
+        table at once. Tags live in CatalogDef.properties (``tag.<name>``)
+        so they version, export, and time-travel with the catalog itself."""
+        if not re.fullmatch(r"[A-Za-z_][\w.-]*", name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        latest = self.tree.find_latest_version()
+        v = latest if version is None else int(version)
+        if not 0 <= v <= latest:
+            raise ValueError(f"version {v} does not exist (latest {latest})")
+        if not self.storage.exists(loc.root_node_path(v)):
+            raise ValueError(f"version {v} has been expired")
+        key = f"tag.{name}"
+        if key in self.catalog_def.properties and not replace:
+            raise ValueError(f"tag already exists: {name}")
+        self.catalog_def.properties[key] = str(v)
+        self._commit_catalog_def({"create_tag": name, "version": str(v)})
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        key = f"tag.{name}"
+        if key not in self.catalog_def.properties:
+            raise ObjectNotFoundError(f"tag {name}")
+        del self.catalog_def.properties[key]
+        self._commit_catalog_def({"drop_tag": name})
+
+    def list_tags(self) -> dict:
+        return {k[len("tag."):]: int(v)
+                for k, v in sorted(self.catalog_def.properties.items())
+                if k.startswith("tag.")}
+
+    def resolve_tag(self, name: str) -> int:
+        v = self.catalog_def.properties.get(f"tag.{name}")
+        if v is None:
+            raise ObjectNotFoundError(f"tag {name}")
+        return int(v)
 
     # --- replay support for resumed distributed transactions ----------------
 

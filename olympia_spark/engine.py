@@ -1570,7 +1570,8 @@ class Engine:
                   "min_num double, max_num double")
 
     def expire_versions(self, keep_last: int,
-                        protect_exports: bool = True) -> list[str]:
+                        protect_exports: bool = True,
+                        protect_tags: bool = True) -> list[str]:
         """Version-expiration maintenance: delete root files (and their
         exclusively-reachable node files) older than the newest
         ``keep_last`` versions, and advance ``vn/oldest``
@@ -1611,11 +1612,16 @@ class Engine:
                         and now > created + int(retention):
                     continue        # retention elapsed — version expirable
                 protected_roots.add(ex_root)
-            for path in protected_roots:
-                if self.catalog.storage.exists(path):
-                    root = self.catalog.tree.load_root(path)
-                    keep_nodes.update(
-                        self.catalog.tree.reachable_node_paths(root))
+        if protect_tags:
+            # a tag is a promise that VERSION AS OF '<tag>' keeps working —
+            # its root (and reachable nodes) stay live until the tag drops
+            for _tag, tv in self.catalog.list_tags().items():
+                protected_roots.add(loc.root_node_path(tv))
+        for path in protected_roots:
+            if self.catalog.storage.exists(path):
+                root = self.catalog.tree.load_root(path)
+                keep_nodes.update(
+                    self.catalog.tree.reachable_node_paths(root))
         for v in range(cutoff, latest + 1):
             root = self.catalog.tree.load_root(loc.root_node_path(v))
             keep_nodes.update(self.catalog.tree.reachable_node_paths(root))
@@ -1675,7 +1681,13 @@ class Engine:
         # longer reachable from list_roots(latest), and the files they
         # reference (minimal/partial exports point at source data files)
         # must never be collected as orphans
-        for root_path in self.catalog.catalog_def.exported_snapshots.values():
+        pinned = list(self.catalog.catalog_def.exported_snapshots.values())
+        # tagged versions pin their root the same way (expire_versions
+        # protect_tags) — a tag whose root survives chain truncation must
+        # keep its data files out of the orphan set too
+        pinned += [loc.root_node_path(v)
+                   for v in self.catalog.list_tags().values()]
+        for root_path in pinned:
             try:
                 if self.catalog.storage.exists(root_path):
                     collect(self.catalog.tree.load_root(root_path))
@@ -1871,6 +1883,26 @@ class Engine:
                 seg = seg.replace(m.group(0), alias)
             return seg
         out = self._map_nonliteral(out, _vtravel)
+        # VERSION AS OF '<tag>' spans a literal (the tag name): resolve
+        # the tag to its pinned version, then time-travel exactly as the
+        # numeric form does. Full-text match, skipping starts inside
+        # string literals (same protocol as TIMESTAMP AS OF below).
+        while True:
+            lits = self._literal_spans(out)
+            for m in re.finditer(
+                    r"(\w+)\.(\w+)\s+VERSION AS OF '([^']+)'", out, re.I):
+                if any(a <= m.start() < b for a, b in lits):
+                    continue
+                ns, tbl, tag = m.group(1), m.group(2), m.group(3)
+                version = self.catalog.resolve_tag(tag)
+                snap = self.catalog.at_version(version)
+                alias = f"olympia__tt__{ns}__{tbl}__v{version}"
+                self.read_table(f"{ns}.{tbl}", snap) \
+                    .createOrReplaceTempView(alias)
+                out = out[:m.start()] + alias + out[m.end():]
+                break                       # re-scan: spans have shifted
+            else:
+                break
         # TIMESTAMP AS OF spans a literal (the timestamp) — match on the
         # full text but skip matches that START inside a string literal.
         while True:
@@ -2125,6 +2157,23 @@ class Engine:
                     schema_json=schema.json(), partition_by=partition_by))
             self._finish(txn)
             return ok()
+        m = re.match(r"CREATE( OR REPLACE)? TAG ([\w.-]+)"
+                     r"(?: AS OF VERSION (\d+))?$", norm, re.I)
+        if m:
+            v = self.catalog.create_tag(
+                m.group(2),
+                version=int(m.group(3)) if m.group(3) else None,
+                replace=bool(m.group(1)))
+            return spark.createDataFrame([(v,)], "version long")
+        m = re.match(r"DROP TAG ([\w.-]+)$", norm, re.I)
+        if m:
+            self.catalog.drop_tag(m.group(1))
+            return ok()
+        if re.match(r"SHOW TAGS$", norm, re.I):
+            rows = sorted(self.catalog.list_tags().items()) or None
+            return (spark.createDataFrame(rows, "tag string, version long")
+                    if rows else spark.createDataFrame(
+                        [], "tag string, version long"))
         m = re.match(r"SHOW CREATE TABLE (\S+\.\S+)$", norm, re.I)
         if m:
             ns, tbl = self._split(m.group(1))

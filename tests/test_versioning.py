@@ -159,3 +159,49 @@ def test_export_older_version_does_not_regress_latest_hint(cat, tmp_path):
     c2 = Catalog.load(dest.root)
     ns = c2.show_namespaces(c2.begin())
     assert "ns2" in ns            # still opens at version 3, not 1
+
+
+def test_tags_lifecycle_and_time_travel(spark, tmp_path):
+    """Catalog-wide tags: create/resolve/list/drop, VERSION AS OF '<tag>'
+    SQL, replace semantics, expiry protection, and orphan-GC safety."""
+    import pytest
+
+    from olympia_spark.catalog import locations as loc
+    from olympia_spark.catalog.errors import ObjectNotFoundError
+    from olympia_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE ns1")
+    eng.sql("CREATE TABLE ns1.t (id BIGINT)")
+    eng.sql("INSERT INTO ns1.t VALUES (1)")
+    v_tagged = eng.sql("CREATE TAG stable").first().version
+    eng.sql("INSERT INTO ns1.t VALUES (2), (3)")
+    # tag resolves to the pinned snapshot, catalog-wide
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns1.t "
+                   "VERSION AS OF 'stable'").first().n == 1
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns1.t").first().n == 3
+    tags = {r.tag: r.version for r in eng.sql("SHOW TAGS").collect()}
+    assert tags == {"stable": v_tagged}
+    with pytest.raises(ValueError, match="already exists"):
+        eng.catalog.create_tag("stable")
+    eng.sql("CREATE OR REPLACE TAG stable")       # repoint to latest
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns1.t "
+                   "VERSION AS OF 'stable'").first().n == 3
+    # a second tag pinned to the OLD version survives expire_versions
+    eng.catalog.create_tag("v_old", version=v_tagged)
+    for i in range(5):
+        eng.sql(f"INSERT INTO ns1.t VALUES ({10 + i})")
+    eng.expire_versions(keep_last=2)
+    assert eng.catalog.storage.exists(loc.root_node_path(v_tagged))
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns1.t "
+                   "VERSION AS OF 'v_old'").first().n == 1
+    # ... and its data files survive VACUUM even off the truncated chain
+    eng.remove_orphan_files()
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns1.t "
+                   "VERSION AS OF 'v_old'").first().n == 1
+    # drop removes resolution; unprotected expiry then collects the root
+    eng.sql("DROP TAG v_old")
+    with pytest.raises(ObjectNotFoundError):
+        eng.catalog.resolve_tag("v_old")
+    with pytest.raises(ValueError, match="does not exist|expired"):
+        eng.catalog.create_tag("bad", version=99)
