@@ -852,3 +852,57 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum("qdmicro").cast("bigint").alias("adc_micro"))
             .orderBy("adc_micro", "vec_id")
             .limit(10))
+
+
+# --- PQ recall audit --------------------------------------------------------
+
+_L2_MICRO_DUCK = (
+    "CAST(FLOOR(list_aggregate(list_transform(generate_series(1, 64), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))"
+    " * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))), "
+    "'sum') * 1000000) AS BIGINT)")
+
+
+def _pq_recall_oracle() -> str:
+    return f"""
+WITH exact AS (
+  SELECT e.vec_id, {_L2_MICRO_DUCK} AS dmicro
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+  ORDER BY dmicro, vec_id
+  LIMIT 10
+), pq AS ({_pq_oracle()})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       CAST(ROUND(COUNT(*) / 10.0, 4) AS DOUBLE) AS recall_at_10,
+       CAST((SELECT COUNT(*) FROM pq) AS BIGINT) AS n_probe
+FROM exact JOIN pq USING (vec_id)
+"""
+
+
+@query("sim_pq_recall_audit", oracle=_pq_recall_oracle())
+def sim_pq_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ recall@10 audit — the dedup_recall_audit/sim_recall_audit twin
+    for the compression lane: how many of the exact L2 top-10 the
+    8-byte-code ADC ranking retains. Quantization error is a pure
+    function of the fixed codebook + data, so the audit is exactly
+    oracle-checkable (both distances in integer micro-units). The exact
+    side is one narrow pass + TakeOrdered; the ADC side is the C55
+    pipeline; at 100 TB this is the measurement that decides whether PQ
+    candidates need a wider re-rank margin before the exact pass."""
+    e = load(spark, sf, "embeddings")
+    q = e.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    dmicro = F.expr(
+        "CAST(FLOOR(aggregate(zip_with(embedding, qe, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"
+        " * 1000000) AS BIGINT)")
+    exact = (e.filter("vec_id <> 0").crossJoin(F.broadcast(q))
+             .select("vec_id", dmicro.alias("dmicro"))
+             .orderBy("dmicro", "vec_id").limit(10))
+    pq = sim_pq_topk(spark, sf).select("vec_id")
+    joined = exact.join(pq, "vec_id")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_overlap"),
+        F.expr("CAST(ROUND(COUNT(*) / 10.0, 4) AS DOUBLE)")
+         .alias("recall_at_10"),
+        F.lit(10).cast("bigint").alias("n_probe"))
