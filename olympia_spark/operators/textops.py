@@ -1266,3 +1266,94 @@ def data_token_budget(spark: SparkSession, sf: str) -> DataFrame:
             .select("source", "n_tokens", "weight_milli",
                     "target_tokens", "epochs_centi")
             .orderBy("source"))
+
+
+# --- end-to-end curation funnel ---------------------------------------------
+
+@query("pipeline_corpus_curation", oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_words,
+         (len(string_split(text, ' ')) BETWEEN 30 AND 1000
+          AND len(list_filter(string_split(text, ' '),
+                              w -> {_C4_STOP_PRED_DUCK})) >= 2)
+             AS pass_filter,
+         md5(text) AS h,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 1000
+           < CAST(1000 * (CASE CAST(substr(source, 4) AS INTEGER) % 4
+                          WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                          WHEN 2 THEN 0.25 ELSE 0.1 END) AS INTEGER)
+             AS in_sample
+  FROM documents
+), mins AS (
+  SELECT h, MIN(doc_id) AS keep_id FROM base WHERE pass_filter GROUP BY h
+), flags AS (
+  SELECT b.source, b.n_words, b.pass_filter,
+         (b.pass_filter AND b.doc_id = m.keep_id) AS pass_dedup,
+         (b.pass_filter AND b.doc_id = m.keep_id AND b.in_sample)
+             AS pass_sample
+  FROM base b LEFT JOIN mins m ON b.h = m.h
+)
+SELECT source,
+       COUNT(*) AS n_raw,
+       CAST(SUM(CASE WHEN pass_filter THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_filter,
+       CAST(SUM(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_dedup,
+       CAST(SUM(CASE WHEN pass_sample THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_sample,
+       CAST(SUM(CASE WHEN pass_sample THEN n_words ELSE 0 END) AS BIGINT)
+           AS tokens_final
+FROM flags
+GROUP BY source
+ORDER BY source
+""")
+def pipeline_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation funnel — the composed shape a real corpus
+    build runs as ONE declarative job: quality filter (C57 rules) →
+    exact dedup among survivors (C1, min-doc_id per digest) → weighted
+    mixture downsample (C39, deterministic md5 buckets) → final token
+    tally, reported as a per-source funnel (raw → filtered → deduped →
+    sampled → tokens). Every stage is exact integer/hash arithmetic, so
+    the whole composition hash-matches the oracle. Plan: one narrow map
+    computes filter/sample flags, ONE digest-keyed shuffle resolves
+    dedup survivors, one broadcast-back left join tags rows, one final
+    per-source aggregate — at 100 TB the only wide exchange carries
+    16-byte digests, and Catalyst pipelines the rest into the scan."""
+    d = load(spark, sf, "documents")
+    ws = _words(F.col("text"))
+    stop_hits = F.size(F.expr(
+        f"filter(split(text, ' '), w -> {_C4_STOP_PRED_SPARK})"))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("long") % 1000
+    srcnum = F.substring("source", 4, 10).cast("int") % 4
+    weight = (F.when(srcnum == 0, 1.0).when(srcnum == 1, 0.5)
+              .when(srcnum == 2, 0.25).otherwise(0.1))
+    base = d.select(
+        "doc_id", "source",
+        F.size(ws).alias("n_words"),
+        (F.size(ws).between(30, 1000) & (stop_hits >= 2))
+            .alias("pass_filter"),
+        F.md5("text").alias("h"),
+        (bucket < (F.lit(1000) * weight).cast("int")).alias("in_sample"))
+    mins = (base.filter("pass_filter")
+            .groupBy("h").agg(F.min("doc_id").alias("keep_id")))
+    flags = (base.join(mins, "h", "left")
+             .select("source", "n_words", "pass_filter",
+                     (F.col("pass_filter")
+                      & (F.col("doc_id") == F.col("keep_id")))
+                     .alias("pass_dedup"),
+                     (F.col("pass_filter")
+                      & (F.col("doc_id") == F.col("keep_id"))
+                      & F.col("in_sample")).alias("pass_sample")))
+    cnt = lambda c, a: (F.sum(F.when(F.col(c), 1).otherwise(0))
+                        .cast("bigint").alias(a))
+    return (flags.groupBy("source")
+            .agg(F.count("*").alias("n_raw"),
+                 cnt("pass_filter", "n_after_filter"),
+                 cnt("pass_dedup", "n_after_dedup"),
+                 cnt("pass_sample", "n_after_sample"),
+                 F.sum(F.when(F.col("pass_sample"), F.col("n_words"))
+                       .otherwise(0)).cast("bigint").alias("tokens_final"))
+            .orderBy("source"))
