@@ -326,8 +326,17 @@ def export_iceberg_metadata(
     mdir = os.path.join(table_dir, "metadata")
     os.makedirs(mdir, exist_ok=True)
     part_types = partition_avro_types or {}
+    ice_schema = spark_schema_to_iceberg(schema)
+    # source-id must be the SOURCE COLUMN's schema field id, not the
+    # enumeration ordinal — a real Iceberg client resolves partition
+    # values through it, and an ordinal would attribute them to whatever
+    # column happens to carry that id (wrong pruning, wrong row filters)
+    field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    missing = sorted(set(part_types) - set(field_ids))
+    if missing:
+        raise ValueError(f"partition columns not in schema: {missing}")
     spec_fields = [{"name": n, "avro_type": t, "field-id": 1000 + i,
-                    "source-id": i + 1, "transform": "identity"}
+                    "source-id": field_ids[n], "transform": "identity"}
                    for i, (n, t) in enumerate(sorted(part_types.items()))]
     entry_schema = (_partitioned_entry_schema(spec_fields)
                     if spec_fields else MANIFEST_ENTRY_SCHEMA)
@@ -364,7 +373,6 @@ def export_iceberg_metadata(
             "added_rows_count": total_rows,
             "existing_rows_count": 0, "deleted_rows_count": 0,
         }]))
-    ice_schema = spark_schema_to_iceberg(schema)
     last_column_id = ice_schema.pop("_last_column_id")
     now = int(time.time() * 1000)
     meta = {

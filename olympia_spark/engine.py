@@ -162,6 +162,36 @@ def _rewrite_exclude(stmt: str) -> str:
         for i, p in enumerate(parts))
 
 
+def _rewrite_tablesample_subqueries(s: str) -> str:
+    """Apply the TABLESAMPLE rewrite inside every parenthesized group
+    (string-aware, any depth) — same recursion contract as
+    _rewrite_qualify_subqueries, so the documented syntax works in
+    subqueries and CTE bodies, not just at depth 0."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and s[j] != c:
+                j += 2 if c == "'" and s[j:j + 2] == "''" else 1
+            out.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            end = _match_paren(s, i)          # one past the ')'
+            body = s[i + 1:end - 1]
+            if "(" in body or _find_kw(body, "TABLESAMPLE") is not None:
+                body = _rewrite_tablesample(
+                    _rewrite_tablesample_subqueries(body))
+            out.append("(" + body + ")")
+            i = end
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_tablesample(stmt: str) -> str:
     """Deterministic TABLESAMPLE: ``t TABLESAMPLE (p PERCENT ON key
     [SEED n]) [AS a]`` → a derived table filtered on an md5-bucket
@@ -881,7 +911,10 @@ class Engine:
         top-level AND'ed: any OR / NOT / CASE in the predicate disables
         pruning entirely (treating an OR branch as a conjunct would prune
         files that DO contain matches — silent DML corruption)."""
-        if re.search(r"\b(OR|NOT|CASE)\b", predicate, re.I):
+        if re.search(r"\b(OR|NOT|CASE|SELECT)\b", predicate, re.I):
+            # SELECT: a subquery predicate's INNER conjuncts would split
+            # out as outer-table comparisons (`k IN (SELECT k FROM s
+            # WHERE b = 2)` must not prune the target on b) — no pruning.
             return [f.path for f in tdef.data_files]
         # Split on AND and keep ONLY conjuncts that are in their entirety a
         # simple `col op literal` comparison with an exactly-parsed literal
@@ -1474,11 +1507,15 @@ class Engine:
                 f"ZORDER BY supports numeric/date columns only, got: {bad}")
         probs = [i / 16 for i in range(1, 16)]
         k = len(zorder_by)
+        # ONE approxQuantile job for every z column (the API takes a
+        # column list) — per-column calls would scan the table k times
+        proj = df.select(*[F.col(c).cast("double").alias(f"__zq_{i}")
+                           for i, c in enumerate(zorder_by)])
+        all_bounds = proj.approxQuantile(
+            [f"__zq_{i}" for i in range(k)], probs, 0.001)
         codes = []
-        for c in zorder_by:
-            dcol = F.col(c).cast("double")
-            bounds = sorted(set(
-                df.select(dcol.alias(c)).approxQuantile(c, probs, 0.001)))
+        for c, col_bounds in zip(zorder_by, all_bounds):
+            bounds = sorted(set(col_bounds))
             lits = ", ".join(f"{b!r}D" for b in bounds)
             # rank = #boundaries <= value (0..15); NULLs rank first (0)
             codes.append(F.expr(
@@ -2417,6 +2454,7 @@ class Engine:
             statement = re.sub(r"\bsys\.dtxns\b(?!\.dtxn_)",
                                "olympia__sys__dtxns", statement)
         rewritten, hidden = _rewrite_qualify(
-            _rewrite_tablesample(_rewrite_exclude(statement)))
+            _rewrite_tablesample(_rewrite_tablesample_subqueries(
+                _rewrite_exclude(statement))))
         df = spark.sql(self._resolve_sql(rewritten, txn))
         return df.drop(*hidden) if hidden else df

@@ -845,16 +845,27 @@ def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
 
 def _canon_url(raw: str, engine: str) -> str:
     """Shared canonicalization pipeline, one dialect string per engine:
-    lowercase scheme+host, drop the #fragment, drop utm_* tracking params
-    (and a then-empty '?'), drop one trailing slash off a non-root path."""
+    lowercase scheme+host ((?i) — crawls deliver any case), drop the
+    #fragment, drop utm_* tracking params (keeping the separator the NEXT
+    param needs: 'utm_x=1&' drops with its own trailing '&', a LAST utm
+    param drops with its leading separator), drop a then-dangling '?',
+    drop one trailing slash off a non-root path. Replacement group refs
+    are dialect-split: Spark (Java) wants '$1', DuckDB (RE2) '\\\\1'."""
+    ref = "$1" if engine == "spark" else "\\1"
+    g = "" if engine == "spark" else ", 'g'"   # Spark replaces ALL matches;
+                                               # DuckDB needs the 'g' flag
+
+    def rr(s: str, pat: str, repl: str) -> str:
+        return f"regexp_replace({s}, '{pat}', '{repl}'{g})"
+
     lower_host = (f"concat(lower(regexp_extract({raw}, "
-                  f"'^(https?://[^/?#]*)', 1)), "
-                  f"regexp_extract({raw}, '^https?://[^/?#]*(.*)$', 1))")
-    no_frag = f"regexp_replace({lower_host}, '#.*$', '')"
-    no_utm = (f"regexp_replace({no_frag}, "
-              f"'([?&])utm_[^&#]*(&|$)', '\\\\1')")
-    no_dangle = f"regexp_replace({no_utm}, '[?&]+$', '')"
-    return f"regexp_replace({no_dangle}, '(.)/$', '\\\\1')"
+                  f"'(?i)^(https?://[^/?#]*)', 1)), "
+                  f"regexp_extract({raw}, '(?i)^https?://[^/?#]*(.*)$', 1))")
+    no_frag = rr(lower_host, "#.*$", "")
+    no_utm_mid = rr(no_frag, "utm_[^&#]*&", "")
+    no_utm_last = rr(no_utm_mid, "[?&]utm_[^&#]*$", "")
+    no_dangle = rr(no_utm_last, "[?&]+$", "")
+    return rr(no_dangle, "(.)/$", ref)
 
 
 def _url_canon_sql(engine: str) -> str:
@@ -865,7 +876,7 @@ WITH urls AS (
          'HTTPS://' || (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
                              WHEN doc_id % 3 = 1 THEN 'example.com'
                              ELSE 'EXAMPLE.com' END)
-         || '/docs/' || CAST(doc_id % 500 AS {'VARCHAR' if engine == 'duck'
+         || '/docs/' || CAST(doc_id % 20 AS {'VARCHAR' if engine == 'duck'
                                               else 'STRING'})
          || (CASE WHEN doc_id % 4 = 0 THEN ''
                   WHEN doc_id % 4 = 1 THEN '/'

@@ -901,8 +901,12 @@ def sim_pq_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
              .orderBy("dmicro", "vec_id").limit(10))
     pq = sim_pq_topk(spark, sf).select("vec_id")
     joined = exact.join(pq, "vec_id")
+    # n_probe counts the ACTUAL probe relation (sibling-audit contract) —
+    # a hardcoded 10 would silently diverge from the oracle on any corpus
+    # with fewer than 11 vectors
     return joined.agg(
         F.count("*").cast("bigint").alias("n_overlap"),
         F.expr("CAST(ROUND(COUNT(*) / 10.0, 4) AS DOUBLE)")
-         .alias("recall_at_10"),
-        F.lit(10).cast("bigint").alias("n_probe"))
+         .alias("recall_at_10")) \
+        .crossJoin(F.broadcast(
+            pq.agg(F.count("*").cast("bigint").alias("n_probe"))))

@@ -555,13 +555,21 @@ def changefeed_sink(eng, src: str, dst: str, key: str = "event_id"):
     checkpoint). The cursor collect() is catalog METADATA — O(versions),
     never data."""
     def sink(batch_df, batch_id: int) -> None:
-        marker = f"stream.batch.{batch_id}"
-        probe = eng.catalog.begin()
         ns, tbl = dst.split(".")
-        if marker in eng.catalog.describe_table(probe, ns, tbl).properties:
-            return                          # replayed batch — exactly-once
         for cur in sorted(batch_df.collect(),
                           key=lambda r: r.from_version):
+            # The idempotency marker is per (batch, cursor row), not per
+            # batch: a batch can carry several version diffs, each applied
+            # by its OWN merge commit — a batch-level marker written with
+            # the first merge would make a crash between merges
+            # unrecoverable (replay sees the marker and skips the
+            # remaining diffs forever). Probing per row keeps the check
+            # against the freshest committed properties.
+            marker = f"stream.batch.{batch_id}.v{cur.from_version}"
+            probe = eng.catalog.begin()
+            if marker in eng.catalog.describe_table(
+                    probe, ns, tbl).properties:
+                continue                    # replayed diff — exactly-once
             changes = eng.table_changes(src, cur.from_version,
                                         cur.to_version)
             data_cols = [c for c in changes.columns if c != "_change_type"]

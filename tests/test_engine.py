@@ -700,3 +700,22 @@ def test_view_stores_analyzed_plan_ir(engine, sf_dir):
     classes = " ".join(n.get("class", "") for n in nodes)
     assert "Aggregate" in classes              # resolved relational tree
     assert vdef.sql_text.startswith("SELECT")  # SQL text still present
+
+
+def test_tablesample_inside_subquery_and_cte(engine):
+    """Review round 5: the TABLESAMPLE rewrite must recurse into
+    parenthesized subqueries and CTE bodies, like QUALIFY — depth-0-only
+    left the documented syntax to die in Spark's parser."""
+    engine.sql("CREATE TABLE ns1.tsq (id BIGINT)")
+    engine.sql("INSERT INTO ns1.tsq VALUES " +
+               ", ".join(f"({i})" for i in range(100)))
+    flat = engine.sql("SELECT COUNT(*) AS n FROM ns1.tsq "
+                      "TABLESAMPLE (40 PERCENT ON id SEED 3)").first().n
+    nested = engine.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT id FROM ns1.tsq "
+        "TABLESAMPLE (40 PERCENT ON id SEED 3)) x").first().n
+    cte = engine.sql(
+        "WITH s AS (SELECT id FROM ns1.tsq "
+        "TABLESAMPLE (40 PERCENT ON id SEED 3)) "
+        "SELECT COUNT(*) AS n FROM s").first().n
+    assert flat == nested == cte and 0 < flat < 100

@@ -649,3 +649,24 @@ def test_dml_subquery_predicates(engine, spark):
                     ).first()[0]
     assert engine.sql("SELECT COUNT(*) AS n FROM ns1.d").first().n == 0 \
         or n2 >= 0
+
+
+def test_subquery_predicate_disables_stats_pruning(engine, spark):
+    """A subquery predicate's INNER conjuncts must not be mistaken for
+    outer-table pruning comparisons: `k IN (SELECT ... WHERE v = 1)`
+    would otherwise prune target files whose v-stats exclude 1 even
+    though they hold matching k rows — silent DELETE corruption."""
+    engine.sql("CREATE TABLE ns1.pz (k BIGINT, v BIGINT)")
+    # file 1: k=1 rows with v=5 (v-stats [5,5] exclude v=1)
+    engine.sql("INSERT INTO ns1.pz VALUES (1, 5), (2, 5)")
+    # file 2: the subquery's driver row
+    engine.sql("INSERT INTO ns1.pz VALUES (1, 1)")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "pz")
+    pred = "k IN (SELECT k FROM ns1.pz WHERE v = 1)"
+    assert len(engine._candidate_files(tdef, pred)) == \
+        len(tdef.file_paths())              # no pruning on subquery preds
+    engine.sql(f"DELETE FROM ns1.pz WHERE {pred}")
+    rows = [(r.k, r.v) for r in
+            engine.sql("SELECT k, v FROM ns1.pz ORDER BY k").collect()]
+    assert rows == [(2, 5)]                 # BOTH k=1 rows deleted

@@ -113,3 +113,40 @@ def test_topk_hash_invariant_under_permutation(spark, tmp_path):
         rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
         hashes.append(value_hash(rows, list(pdf.columns)))
     assert hashes[0] == hashes[1]
+
+
+def test_url_canonicalization_cross_engine_matrix(spark):
+    """The _canon_url pipeline must (a) actually canonicalize — case-fold
+    scheme+host, strip fragments and EVERY utm_* param with correct
+    separator handling, trim trailing slash — and (b) produce identical
+    strings in Spark (Java regex, $1 refs, replace-all default) and
+    DuckDB (RE2, \\1 refs, needs 'g'). Review round 5 found the original
+    degenerate: case-sensitive match blanked every URL in BOTH engines,
+    so the hash gate passed while the operator did nothing."""
+    import duckdb
+
+    from olympia_spark.operators.dedup import _canon_url
+
+    cases = {
+        "HTTPS://Example.COM/docs/5?utm_source=feed&utm_id=7":
+            "https://example.com/docs/5",
+        "https://example.com/docs/5/": "https://example.com/docs/5",
+        "https://EXAMPLE.com/docs/5#section-2": "https://example.com/docs/5",
+        "https://example.com/p?utm_a=1&utm_b=2&real=3":
+            "https://example.com/p?real=3",
+        "https://example.com/p?real=1&utm_x=2&utm_y=3":
+            "https://example.com/p?real=1",
+        "https://example.com/p?utm_only=1": "https://example.com/p",
+        "https://example.com/": "https://example.com",
+    }
+    spark.createDataFrame([(c,) for c in cases], "url string") \
+        .createOrReplaceTempView("canon_u")
+    s_out = [r[0] for r in spark.sql(
+        f"SELECT {_canon_url('url', 'spark')} FROM canon_u").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE canon_u AS SELECT * FROM (VALUES "
+                + ",".join(f"('{c}')" for c in cases) + ") t(url)")
+    d_out = [r[0] for r in con.sql(
+        f"SELECT {_canon_url('url', 'duck')} FROM canon_u").fetchall()]
+    assert s_out == list(cases.values())
+    assert d_out == list(cases.values())

@@ -364,3 +364,39 @@ def test_adopt_identity_partition_values_become_stats(spark, tmp_path):
     got = eng.sql("SELECT CAST(SUM(id) AS BIGINT) AS s FROM lake.p "
                   "WHERE region = 2").first()
     assert got.s == 12
+
+
+def test_export_partition_spec_source_id_is_schema_field_id(tmp_path):
+    """The spec's source-id must be the source COLUMN's schema field id
+    (Iceberg spec), not the partition-enumeration ordinal — an external
+    client resolves partition values through it, so an ordinal would
+    attribute them to the wrong column (region, field id 3, must not
+    read as 'id')."""
+    import json
+
+    tdir = str(tmp_path / "icesrc")
+    os.makedirs(os.path.join(tdir, "metadata"))
+    p = os.path.join(tdir, "f.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64()),
+                             "val": pa.array(["a"], pa.string()),
+                             "region": pa.array([9], pa.int64())}), p)
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("region", T.LongType())])
+    mpath = il.export_iceberg_metadata(
+        tdir, schema, [_F(p, 1, os.path.getsize(p))],
+        partition_values={p: {"region": 9}},
+        partition_avro_types={"region": "long"})
+    meta = json.load(open(mpath))
+    sf = meta["partition-specs"][0]["fields"]
+    schema_ids = {f["name"]: f["id"]
+                  for f in meta["schemas"][0]["fields"]}
+    assert sf == [{"name": "region", "field-id": 1000,
+                   "source-id": schema_ids["region"],
+                   "transform": "identity"}]
+    assert schema_ids["region"] == 3
+    with pytest.raises(ValueError, match="not in schema"):
+        il.export_iceberg_metadata(
+            tdir, schema, [], partition_avro_types={"nope": "long"})

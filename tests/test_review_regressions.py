@@ -465,3 +465,52 @@ def test_changefeed_sink_scans_only_changed_files_and_replays_once(
     n_before = len(scanned)
     sink(cursor, 0)
     assert len(scanned) == n_before
+
+
+def test_changefeed_sink_crash_between_cursor_rows_recovers(
+        engine, spark, monkeypatch):
+    """Round-5 review: a micro-batch can carry SEVERAL version-cursor
+    rows, each applied by its own merge commit. The idempotency marker
+    must be per (batch, cursor row): a batch-level marker written with
+    the first merge would make a crash between merges unrecoverable —
+    replay would see the marker and silently skip the remaining diffs."""
+    from olympia_spark.operators.streaming import changefeed_sink
+
+    engine.sql("CREATE TABLE ns1.cf2 (id BIGINT, v BIGINT)")
+    engine.write_table(
+        spark.range(0, 10).selectExpr("id", "id AS v").coalesce(1),
+        "ns1.cf2")
+    engine.write_table(
+        spark.range(0, 10).selectExpr("id", "id AS v").coalesce(1),
+        "ns1.mirror_cf2")
+    v0 = engine.catalog.tree.find_latest_version()
+    engine.sql("UPDATE ns1.cf2 SET v = v + 100 WHERE id < 5")
+    v1 = engine.catalog.tree.find_latest_version()
+    engine.sql("DELETE FROM ns1.cf2 WHERE id >= 8")
+    v2 = engine.catalog.tree.find_latest_version()
+
+    sink = changefeed_sink(engine, "ns1.cf2", "ns1.mirror_cf2", key="id")
+    batch = spark.createDataFrame([(v0, v1), (v1, v2)],
+                                  "from_version INT, to_version INT")
+    # crash after the FIRST diff's merge commits
+    orig_merge = Engine.merge
+    calls = {"n": 0}
+
+    def dying_merge(self, *a, **k):
+        n = orig_merge(self, *a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after first merge")
+        return n
+
+    monkeypatch.setattr(Engine, "merge", dying_merge)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        sink(batch, 7)
+    monkeypatch.setattr(Engine, "merge", orig_merge)
+    sink(batch, 7)                      # Spark replays the whole batch
+    src = {(r.id, r.v) for r in
+           engine.sql("SELECT id, v FROM ns1.cf2").collect()}
+    mirror = {(r.id, r.v) for r in
+              engine.sql("SELECT id, v FROM ns1.mirror_cf2").collect()}
+    assert mirror == src                # BOTH diffs applied exactly once
