@@ -1019,6 +1019,7 @@ class Engine:
               not_matched_insert: dict[str, str] | None = None,
               matched_clauses: list | None = None,
               not_matched_clauses: list | None = None,
+              not_matched_by_source_clauses: list | None = None,
               dedup_source_by: list[str] | None = None,
               dedup_source_order: str | None = None,
               extra_properties: dict | None = None) -> int:
@@ -1032,9 +1033,16 @@ class Engine:
 
         ``matched_clauses`` = ordered ``(condition|None, "update"|"delete",
         assignments|None)``; ``not_matched_clauses`` = ordered
-        ``(condition|None, insert_map)``. The legacy single-clause kwargs
-        remain as sugar. ``on``/condition/expression strings reference
-        ``target_alias``/``source_alias`` columns.
+        ``(condition|None, insert_map)``;
+        ``not_matched_by_source_clauses`` (Delta ``WHEN NOT MATCHED BY
+        SOURCE``) = ordered ``(condition|None, "update"|"delete",
+        assignments|None)`` applied to TARGET rows with no source match —
+        conditions/assignments may reference target columns only. By
+        definition the clause inspects every target row, so its presence
+        rewrites all files (no file pruning is possible: whether a row is
+        unmatched is only known after the join). The legacy single-clause
+        kwargs remain as sugar. ``on``/condition/expression strings
+        reference ``target_alias``/``source_alias`` columns.
 
         A target row matched by more than one source row raises
         MergeCardinalityError IF any of those pairings selects a matched
@@ -1083,7 +1091,8 @@ class Engine:
         # SQL analysis rule: assignment / insert targets must be table
         # columns — a typo'd column would otherwise make the clause a
         # silent no-op (the merge still rewrites files and reports rows).
-        for _c, kind, assigns in matched_clauses:
+        by_src = not_matched_by_source_clauses or []
+        for _c, kind, assigns in list(matched_clauses) + by_src:
             if kind == "update":
                 unknown = set(assigns) - set(cols)
                 if unknown:
@@ -1114,39 +1123,51 @@ class Engine:
             return self._merge_body(
                 txn, tdef, ns, tbl, src, on, target_alias, source_alias,
                 cols, schema, matched_clauses, not_matched_clauses,
-                extra_properties)
+                by_src, extra_properties)
         finally:
             src.unpersist()
 
     def _merge_body(self, txn, tdef, ns, tbl, src, on, target_alias,
                     source_alias, cols, schema, matched_clauses,
-                    not_matched_clauses,
+                    not_matched_clauses, by_src=(),
                     extra_properties: dict | None = None) -> int:
         all_paths = tdef.file_paths()
+        by_src = list(by_src)
+        rw_clauses = list(matched_clauses) + by_src
+        n_matched_clauses = len(matched_clauses)
         n_changed = 0
         new_files: list[DataFile] = []
         removed: list[str] = []
-        if all_paths and matched_clauses:
-            scan = (self._scan(tdef, all_paths)
-                    .withColumn("_file", F.input_file_name()))
-            # File pruning: when EVERY matched clause is conditional, a file
-            # only needs rewriting if some row satisfies on AND any clause
-            # condition — fold that into the semi-join predicate so fully
-            # unaffected files are never rewritten.
-            conds = [c for c, _k, _a in matched_clauses]
-            prune_pred = on if any(c is None for c in conds) else \
-                f"({on}) AND ({' OR '.join(f'({c})' for c in conds)})"
-            # one job: matched files AND matched-row count per file (the
-            # semi join emits each matching target row once)
-            per_file = (scan.alias(target_alias)
-                        .join(src, F.expr(prune_pred), "left_semi")
-                        .groupBy("_file").count().collect())
-            matched_abs = [r["_file"] for r in per_file]
-            n_changed += sum(r["count"] for r in per_file)
-            matched = [p for p in all_paths
-                       if any(m.endswith(self._abs(p)) or
-                              self._abs(p).endswith(m.removeprefix("file://"))
-                              for m in matched_abs)]
+        if all_paths and rw_clauses:
+            if by_src:
+                # WHEN NOT MATCHED BY SOURCE inspects every target row by
+                # definition (whether a row is unmatched is only known
+                # after the join), so every file is a rewrite candidate;
+                # by-source row counts are taken from the staged relation
+                # below instead of the pruning semi-join.
+                matched = list(all_paths)
+            else:
+                scan = (self._scan(tdef, all_paths)
+                        .withColumn("_file", F.input_file_name()))
+                # File pruning: when EVERY matched clause is conditional, a
+                # file only needs rewriting if some row satisfies on AND any
+                # clause condition — fold that into the semi-join predicate
+                # so fully unaffected files are never rewritten.
+                conds = [c for c, _k, _a in matched_clauses]
+                prune_pred = on if any(c is None for c in conds) else \
+                    f"({on}) AND ({' OR '.join(f'({c})' for c in conds)})"
+                # one job: matched files AND matched-row count per file (the
+                # semi join emits each matching target row once)
+                per_file = (scan.alias(target_alias)
+                            .join(src, F.expr(prune_pred), "left_semi")
+                            .groupBy("_file").count().collect())
+                matched_abs = [r["_file"] for r in per_file]
+                n_changed += sum(r["count"] for r in per_file)
+                matched = [p for p in all_paths
+                           if any(m.endswith(self._abs(p)) or
+                                  self._abs(p).endswith(
+                                      m.removeprefix("file://"))
+                                  for m in matched_abs)]
             if matched:
                 affected = (self._scan(tdef, matched)
                             .withColumn("_rid",
@@ -1160,7 +1181,16 @@ class Engine:
                     Window.partitionBy("_rid"))
 
                 def act_chain():
-                    a = F.when(~is_matched, F.lit(-1))
+                    # unmatched target rows route through the by-source
+                    # chain (combined indices m..m+b-1, first hit wins);
+                    # matched rows through the matched chain (0..m-1)
+                    bs = F.lit(-1)
+                    for j in range(len(by_src) - 1, -1, -1):
+                        cond, _k, _a = by_src[j]
+                        bs = F.when(F.expr(cond) if cond else F.lit(True),
+                                    F.lit(n_matched_clauses + j)) \
+                              .otherwise(bs)
+                    a = F.when(~is_matched, bs)
                     for i, (cond, _kind, _a) in enumerate(matched_clauses):
                         a = a.when(F.expr(cond) if cond else F.lit(True),
                                    F.lit(i))
@@ -1187,7 +1217,7 @@ class Engine:
                     *[F.when(act_chain() == i, F.expr(assigns[c]))
                       .cast(schema[c].dataType).alias(f"_u{i}_{c}")
                       for i, (_c, kind, assigns) in
-                      enumerate(matched_clauses)
+                      enumerate(rw_clauses)
                       if kind == "update" for c in assigns])
                 # one surviving row per target row: clause-selected rows
                 # are unique already (else the guard raised); multi-matched
@@ -1197,15 +1227,19 @@ class Engine:
                         Window.partitionBy("_rid")
                         .orderBy(F.col("_action").desc())))
                     .filter("_rn = 1"))
+                if by_src:
+                    # count clause-touched rows (the pruning semi-join was
+                    # skipped); one extra agg over the staged join
+                    n_changed += staged.filter("_action >= 0").count()
                 del_idx = [i for i, (_c, kind, _a) in
-                           enumerate(matched_clauses) if kind == "delete"]
+                           enumerate(rw_clauses) if kind == "delete"]
                 if del_idx:
                     staged = staged.filter(~F.col("_action").isin(del_idx))
                 out_cols = []
                 for c in cols:
                     e = F.col(f"_t_{c}")
                     for i, (_cond, kind, assigns) in enumerate(
-                            matched_clauses):
+                            rw_clauses):
                         if kind == "update" and c in assigns:
                             e = F.when(F.col("_action") == i,
                                        F.col(f"_u{i}_{c}")).otherwise(e)
@@ -1274,19 +1308,40 @@ class Engine:
         r"\s*WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
         r"INSERT\s*\((?P<cols>.+?)\)\s*VALUES\s*\((?P<vals>.+?)\)\s*"
         r"(?=WHEN\s+(?:NOT\s+)?MATCHED|\Z)", re.I | re.S)
+    _MERGE_BY_SOURCE_RE = re.compile(
+        r"\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE"
+        r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+        r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<dele>DELETE))\s*"
+        r"(?=WHEN\s+(?:NOT\s+)?MATCHED|\Z)", re.I | re.S)
 
     @classmethod
-    def _parse_merge_whens(cls, whens: str) -> tuple[list, list]:
+    def _parse_merge_whens(cls, whens: str) -> tuple[list, list, list]:
         """Parse the WHEN-clause tail of a MERGE statement into ordered
-        (matched_clauses, not_matched_clauses) for ``merge``. Every byte of
-        the clause text must be consumed by a recognized clause — a WHEN
-        variant none of the patterns cover raises instead of being silently
-        dropped (which would run the merge with different semantics, e.g.
-        insert-only)."""
+        (matched_clauses, not_matched_clauses, by_source_clauses) for
+        ``merge``. Every byte of the clause text must be consumed by a
+        recognized clause — a WHEN variant none of the patterns cover
+        raises instead of being silently dropped (which would run the
+        merge with different semantics, e.g. insert-only)."""
         matched: list = []
         not_matched: list = []
+        by_source: list = []
         pos, n = 0, len(whens)
         while pos < n and whens[pos:].strip():
+            m = cls._MERGE_BY_SOURCE_RE.match(whens, pos)
+            if m:
+                cond = m.group("cond")
+                if m.group("dele"):
+                    by_source.append((cond.strip() if cond else None,
+                                      "delete", None))
+                else:
+                    assignments = {}
+                    for part in re.split(r",(?![^()]*\))", m.group("sets")):
+                        col, _, expr = part.partition("=")
+                        assignments[col.strip()] = expr.strip()
+                    by_source.append((cond.strip() if cond else None,
+                                      "update", assignments))
+                pos = m.end()
+                continue
             m = cls._MERGE_NOT_MATCHED_RE.match(whens, pos)
             if m:
                 cond = m.group("cond")
@@ -1317,7 +1372,7 @@ class Engine:
                 continue
             raise ValueError(
                 f"MERGE: unsupported WHEN clause at {whens[pos:pos + 80]!r}")
-        return matched, not_matched
+        return matched, not_matched, by_source
 
     def _pred_matches(self, df: DataFrame, predicate: str,
                       txn: Transaction,
@@ -2364,12 +2419,13 @@ class Engine:
             else:
                 src_df = spark.sql(self._resolve_sql(
                     f"SELECT * FROM {src_text}", txn_src))
-            matched_clauses, not_matched_clauses = \
+            matched_clauses, not_matched_clauses, by_source_clauses = \
                 self._parse_merge_whens(whens)
             n = self.merge(name, src_df, on,
                            target_alias=t_alias, source_alias=s_alias,
                            matched_clauses=matched_clauses,
-                           not_matched_clauses=not_matched_clauses)
+                           not_matched_clauses=not_matched_clauses,
+                           not_matched_by_source_clauses=by_source_clauses)
             return spark.createDataFrame([(n,)], "affected_files_rows long")
         m = re.match(r"DELETE FROM (\S+\.\S+)(?: WHERE (.+))?$",
                      norm, re.I | re.S)

@@ -478,3 +478,33 @@ def b73_dml_subquery(spark: SparkSession, sf: str) -> DataFrame:
     eng.sql("UPDATE ns1.events_sq SET value = value * 2 WHERE value >= "
             "(SELECT MAX(value) FROM ns1.events_sq) - 10")
     return eng.sql(_checksum("events_sq"))
+
+
+@query("b74_merge_by_source", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {dsum("CASE WHEN event_type = 'click' THEN value + 1 "
+             "ELSE value * 2 END", 'value_sum')}
+FROM events
+WHERE event_type <> 'error'
+""")
+def b74_merge_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """B74 — MERGE ... WHEN NOT MATCHED BY SOURCE (Delta 2.4 surface):
+    the full-sync mirror shape — one atomic statement upserts from the
+    source AND acts on every target row the source no longer carries.
+    Clicks (the source set) bump, stale errors delete, everything else
+    doubles; three clause families compose with first-match-wins
+    ordering inside the single copy-on-write rewrite commit. By
+    definition the by-source clauses inspect every target row, so the
+    rewrite covers all files — exactly Delta's cost model for this
+    clause."""
+    eng = _engine_with_events(spark, sf, "events_bs")
+    eng.sql("""
+        MERGE INTO ns1.events_bs t
+        USING (SELECT event_id FROM ns1.events_bs
+               WHERE event_type = 'click') s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET value = t.value + 1
+        WHEN NOT MATCHED BY SOURCE AND t.event_type = 'error' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = t.value * 2
+    """)
+    return eng.sql(_checksum("events_bs"))

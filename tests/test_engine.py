@@ -291,8 +291,40 @@ def test_merge_unsupported_when_clause_raises(engine, spark):
     with pytest.raises(ValueError, match="unsupported WHEN clause"):
         engine.sql("""
             MERGE INTO ns1.mx t USING (SELECT 1 AS id) s ON t.id = s.id
-            WHEN NOT MATCHED BY SOURCE THEN DELETE
+            WHEN NOT MATCHED THEN DELETE
         """)
+
+
+def test_merge_not_matched_by_source(engine, spark):
+    """Delta-style WHEN NOT MATCHED BY SOURCE: target rows absent from
+    the source delete (or conditionally update), composing with the
+    matched/not-matched families in one atomic merge — the full-sync
+    mirror shape (upsert + prune stale rows in one statement)."""
+    engine.sql("CREATE TABLE ns1.sync (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.sync VALUES (1, 10), (2, 20), (3, 30), "
+               "(4, 40)")
+    n = engine.sql("""
+        MERGE INTO ns1.sync t
+        USING (SELECT * FROM VALUES (1, 11), (5, 50) AS s(id, v)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        WHEN NOT MATCHED BY SOURCE AND t.v >= 30 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1000
+    """).first()[0]
+    assert n >= 4          # 1 update + 1 insert + 1 delete + 1 bump
+    rows = {(r.id, r.v) for r in
+            engine.sql("SELECT id, v FROM ns1.sync").collect()}
+    # id 1 updated from source, id 2 unmatched-by-source bump (+1000),
+    # ids 3,4 unmatched with v>=30 deleted, id 5 inserted
+    assert rows == {(1, 11), (2, 1020), (5, 50)}
+    # assignment targets are validated for by-source clauses too
+    with pytest.raises(ValueError, match="non-existent"):
+        engine.merge("ns1.sync",
+                     spark.createDataFrame([(1, 1)], "id long, v long"),
+                     on="t.id = s.id",
+                     not_matched_by_source_clauses=[
+                         (None, "update", {"nope": "1"})])
 
 
 def test_merge_source_fanout_raises_cardinality_error(engine, spark):
