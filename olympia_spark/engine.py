@@ -1012,6 +1012,68 @@ class Engine:
         self._finish(txn)
         return n_before
 
+    def replace_where(self, name: str, df: DataFrame,
+                      predicate: str) -> int:
+        """Delta-style ``INSERT OVERWRITE ... REPLACE WHERE``: atomically
+        replace exactly the rows matching ``predicate`` with ``df`` — one
+        commit carries the copy-on-write rewrite of matched files (rows
+        NOT matching are kept) plus the new data files. Every inserted
+        row must itself satisfy the predicate (Delta's constraint): rows
+        outside it would silently survive the next REPLACE WHERE of a
+        different slice, so violations raise instead. File pruning
+        applies: only stats-candidate files are scanned for matches."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "INSERT OVERWRITE REPLACE WHERE")
+        schema = tdef.spark_schema()
+        df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                         for f in schema.fields])
+        n_bad = df.filter(
+            f"NOT ({predicate}) OR ({predicate}) IS NULL").count()
+        if n_bad:
+            raise ValueError(
+                f"REPLACE WHERE: {n_bad} inserted row(s) do not satisfy "
+                f"the predicate ({predicate}) — they would silently "
+                f"survive a later replace of a different slice")
+        self._record_select(txn, ns, tbl,
+                            [f.name for f in schema.fields], predicate)
+        candidates = self._candidate_files(tdef, predicate)
+        removed: list[str] = []
+        new_files: list[DataFile] = []
+        n_replaced = 0
+        if candidates:
+            scan = self._scan(tdef, candidates)
+            matched_abs = [r[0] for r in (
+                self._pred_matches(scan, predicate, txn, name)
+                .select(F.input_file_name()).distinct().collect())]
+            cand_abs = [self._abs(p) for p in candidates]
+            matched = [p for p, a in zip(candidates, cand_abs)
+                       if any(m.endswith(a) or a.endswith(
+                           m.removeprefix("file://")) for m in matched_abs)]
+            if matched:
+                affected = self._scan(tdef, matched)
+                n_replaced = affected.count()
+                kept = affected.filter(
+                    f"NOT ({predicate}) OR ({predicate}) IS NULL")
+                rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
+                writer = kept.write.mode("error")
+                if tdef.partition_by:
+                    writer = writer.partitionBy(*tdef.partition_by)
+                writer.parquet(self._abs(rel_dir))
+                new_files += [f for f in self._collect_stats(rel_dir)
+                              if f.num_rows > 0]
+                n_replaced -= sum(f.num_rows for f in new_files)
+                removed += matched
+        ins_files = self._write_files(df, ns, tbl, tdef.partition_by)
+        new_files += ins_files
+        self.catalog.update_table_files(
+            txn, ns, tbl, new_files, removed, ActionType.TABLE_UPDATE,
+            {"added": [f.path for f in new_files], "removed": removed,
+             "expression": f"REPLACE WHERE {predicate}"})
+        self._finish(txn)
+        return n_replaced + sum(f.num_rows for f in ins_files)
+
     def merge(self, name: str, source: DataFrame, on: str,
               target_alias: str = "t", source_alias: str = "s",
               matched_update: dict[str, str] | None = None,
@@ -2357,10 +2419,20 @@ class Engine:
             self._finish(txn)
             return ok()
         m = re.match(r"INSERT (INTO|OVERWRITE)(?: TABLE)? (\S+?\.\S+?)"
-                     r"\s*(\(.+|VALUES.+|SELECT.+|WITH.+|FROM.+)$",
+                     r"\s*(\(.+|VALUES.+|SELECT.+|WITH.+|FROM.+"
+                     r"|REPLACE\s+WHERE\s+.+)$",
                      norm, re.I | re.S)
         if m:
             kind, name, payload = m.groups()
+            replace_pred = None
+            mrw = re.match(r"REPLACE WHERE (.+?)\s+"
+                           r"(VALUES.+|SELECT.+|WITH.+)$",
+                           payload, re.I | re.S)
+            if mrw:
+                if kind.upper() != "OVERWRITE":
+                    raise ValueError(
+                        "REPLACE WHERE requires INSERT OVERWRITE")
+                replace_pred, payload = mrw.group(1).strip(), mrw.group(2)
             txn_src = self._txn()
             ns, tbl = self._split(name)
             schema = self.catalog.describe_table(
@@ -2401,6 +2473,10 @@ class Engine:
                     (F.col(f.name) if f.name in provided
                      else F.lit(None)).cast(f.dataType).alias(f.name)
                     for f in schema.fields])
+            if replace_pred is not None:
+                n = self.replace_where(name, df, replace_pred)
+                return spark.createDataFrame(
+                    [(n,)], "affected_files_rows long")
             self.write_table(df, name,
                              mode=("overwrite"
                                    if kind.upper() == "OVERWRITE"

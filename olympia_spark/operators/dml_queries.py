@@ -508,3 +508,28 @@ def b74_merge_by_source(spark: SparkSession, sf: str) -> DataFrame:
         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = t.value * 2
     """)
     return eng.sql(_checksum("events_bs"))
+
+
+@query("b75_replace_where", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {dsum("CASE WHEN event_type = 'click' THEN value * 3 "
+             "ELSE value END", 'value_sum')}
+FROM events
+""")
+def b75_replace_where(spark: SparkSession, sf: str) -> DataFrame:
+    """B75 — INSERT OVERWRITE ... REPLACE WHERE (Delta replaceWhere):
+    atomically swap exactly one predicate slice — the daily-partition
+    reload shape. The click slice is replaced by its tripled self (the
+    source reads the PRE-statement table through the resolver) in ONE
+    commit: COW rewrite keeps non-click rows of matched files, new files
+    carry the replacement, stats-pruned files never rewrite. Inserted
+    rows violating the predicate raise (Delta's constraint) — a
+    violation would silently survive the next replace of another
+    slice."""
+    eng = _engine_with_events(spark, sf, "events_rw")
+    eng.sql("""
+        INSERT OVERWRITE ns1.events_rw REPLACE WHERE event_type = 'click'
+        SELECT event_id, ts, user_id, event_type, value * 3 AS value, props
+        FROM ns1.events_rw WHERE event_type = 'click'
+    """)
+    return eng.sql(_checksum("events_rw"))

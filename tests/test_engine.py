@@ -751,3 +751,29 @@ def test_tablesample_inside_subquery_and_cte(engine):
         "TABLESAMPLE (40 PERCENT ON id SEED 3)) "
         "SELECT COUNT(*) AS n FROM s").first().n
     assert flat == nested == cte and 0 < flat < 100
+
+
+def test_insert_overwrite_replace_where(engine, spark):
+    """Delta-style REPLACE WHERE: exactly the predicate slice is replaced
+    in ONE commit (COW rewrite of matched files + new data files); rows
+    outside the slice are untouched; inserted rows violating the
+    predicate raise; plain INSERT OVERWRITE still replaces everything."""
+    engine.sql("CREATE TABLE ns1.rw (id BIGINT, grp STRING, v BIGINT)")
+    engine.sql("INSERT INTO ns1.rw VALUES "
+               "(1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'b', 40)")
+    v_before = engine.catalog.tree.find_latest_version()
+    n = engine.sql("INSERT OVERWRITE ns1.rw REPLACE WHERE grp = 'a' "
+                   "SELECT * FROM VALUES (9, 'a', 90) AS x(id, grp, v)"
+                   ).first()[0]
+    assert n == 3                       # 2 replaced + 1 inserted
+    rows = {(r.id, r.grp, r.v) for r in
+            engine.sql("SELECT * FROM ns1.rw").collect()}
+    assert rows == {(9, "a", 90), (3, "b", 30), (4, "b", 40)}
+    # single commit: exactly one version advanced
+    assert engine.catalog.tree.find_latest_version() == v_before + 1
+    with pytest.raises(ValueError, match="do not satisfy"):
+        engine.sql("INSERT OVERWRITE ns1.rw REPLACE WHERE grp = 'a' "
+                   "SELECT * FROM VALUES (7, 'b', 70) AS x(id, grp, v)")
+    with pytest.raises(ValueError, match="requires INSERT OVERWRITE"):
+        engine.sql("INSERT INTO ns1.rw REPLACE WHERE grp = 'a' "
+                   "SELECT * FROM VALUES (7, 'a', 70) AS x(id, grp, v)")
