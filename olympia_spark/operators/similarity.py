@@ -910,3 +910,163 @@ def sim_pq_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
          .alias("recall_at_10")) \
         .crossJoin(F.broadcast(
             pq.agg(F.count("*").cast("bigint").alias("n_probe"))))
+
+
+# --- IVF+PQ with residual quantization (the FAISS composition) --------------
+
+_IVFPQ_NPROBE = 2
+
+
+def _centroid_values_duck() -> str:
+    rows = []
+    for cid, cv in enumerate(_CENTROIDS):
+        lits = ", ".join(repr(v) for v in cv)
+        rows.append(f"({cid}, [{lits}]::DOUBLE[])")
+    return ",\n  ".join(rows)
+
+
+_L2_RES_DUCK = (
+    "CAST(FLOOR(list_aggregate(list_transform(generate_series(1, 64), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])), 'sum') "
+    "* 1000000) AS BIGINT)")
+
+_PQ_RES_DIST_DUCK = (
+    "CAST(FLOOR(list_aggregate(list_transform(generate_series(1, 8), "
+    "i -> (rsub[i] - cvec[i]) * (rsub[i] - cvec[i])), 'sum') "
+    "* 1000000) AS BIGINT)")
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH cents(cid, cvec) AS (VALUES
+  {_centroid_values_duck()}
+), cb(s, c, cvec) AS (VALUES
+  {_pq_codebook_values()}
+), cdist AS (
+  SELECT e.vec_id, cv.cid, {_L2_RES_DUCK} AS cd
+  FROM embeddings e CROSS JOIN cents cv
+), assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd, cid) AS rn
+    FROM cdist) WHERE rn = 1
+), resid AS (
+  SELECT e.vec_id, a.cluster,
+         list_transform(generate_series(1, 64),
+             i -> CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) AS res
+  FROM embeddings e
+  JOIN assigned a ON e.vec_id = a.vec_id
+  JOIN cents cv ON a.cluster = cv.cid
+), rsub AS (
+  SELECT vec_id, cluster, g.s AS s,
+         list_slice(res, g.s * {_PQ_D} + 1, g.s * {_PQ_D} + {_PQ_D}) AS rsub
+  FROM resid
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_SUB - 1})) AS s) g
+), rdists AS (
+  SELECT r.vec_id, r.cluster, r.s, cb.c, {_PQ_RES_DIST_DUCK} AS dmicro
+  FROM rsub r JOIN cb ON r.s = cb.s
+), codes AS (
+  SELECT vec_id, cluster, s, c AS code FROM (
+    SELECT vec_id, cluster, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dmicro, c) AS rn
+    FROM rdists WHERE vec_id <> 0) WHERE rn = 1
+), probed AS (
+  SELECT cluster FROM (
+    SELECT cid AS cluster,
+           ROW_NUMBER() OVER (ORDER BY cd, cid) AS rn
+    FROM cdist WHERE vec_id = 0) WHERE rn <= {_IVFPQ_NPROBE}
+), dtable AS (
+  SELECT r.cluster, r.s, c.c, {_PQ_RES_DIST_DUCK.replace('rsub[i]', 'qr.rsub[i]').replace('cvec[i]', 'c.cvec[i]')} AS dmicro
+  FROM (SELECT cluster, s, rsub FROM rsub WHERE vec_id = 0) r
+  JOIN probed USING (cluster)
+  CROSS JOIN cb c
+  , LATERAL (SELECT r.rsub AS rsub) qr
+  WHERE r.s = c.s
+)
+SELECT k.vec_id, CAST(SUM(d.dmicro) AS BIGINT) AS adc_micro
+FROM codes k
+JOIN probed USING (cluster)
+JOIN dtable d ON k.cluster = d.cluster AND k.s = d.s AND k.code = d.c
+GROUP BY k.vec_id
+ORDER BY adc_micro, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF+PQ with residual quantization — the composition a production
+    ANN stack actually ships (FAISS IVFPQ): a coarse quantizer routes
+    each vector to its nearest of {n} centroids, the RESIDUAL (vector
+    minus centroid) is product-quantized to {sub} one-byte codes, and a
+    query probes only its {nprobe} nearest clusters, ranking candidates
+    by ADC over the residual distance tables. Residuals are what make PQ
+    accurate here: they're centered near zero where the codebook has
+    resolution. Plan shape: centroids AND codebook are tiny broadcast
+    relations; the corpus streams ONCE through assign→residual→encode
+    (narrow + two rank windows); the probe touches only probed clusters'
+    codes — at 100 TB the codes table is partitioned by cluster (exactly
+    sim_ann_lsh's partition-pruned layout) and the scan skips 8/10 of
+    it. Every distance is an exact integer micro-unit, so assignment,
+    probing, and ranking are engine-deterministic by construction."""
+    from pyspark.sql import Window
+    cents = spark.createDataFrame(
+        [(cid, cv) for cid, cv in enumerate(_CENTROIDS)],
+        "cid int, cvec array<double>")
+    cb = spark.createDataFrame(
+        [(s, c, _PQ_CODEBOOK[s][c])
+         for s in range(_PQ_SUB) for c in range(_PQ_K)],
+        "s int, c int, cvec array<double>")
+    e = load(spark, sf, "embeddings")
+    cd_expr = F.expr(
+        "CAST(FLOOR(aggregate(zip_with(embedding, cvec, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, "
+        "(acc, v) -> acc + v) * 1000000) AS BIGINT)")
+    cdist = (e.join(F.broadcast(cents))
+             .select("vec_id", "cid", cd_expr.alias("cd"),
+                     "embedding", "cvec"))
+    w_assign = Window.partitionBy("vec_id").orderBy("cd", "cid")
+    resid = (cdist.withColumn("rn", F.row_number().over(w_assign))
+             .filter("rn = 1")
+             .select("vec_id", F.col("cid").alias("cluster"),
+                     F.expr("zip_with(embedding, cvec, (x, y) -> "
+                            "CAST(x AS DOUBLE) - y)").alias("res")))
+    rsub = resid.select(
+        "vec_id", "cluster",
+        F.inline(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("res", s * _PQ_D + 1, _PQ_D).alias("rsub"))
+            for s in range(_PQ_SUB)])))
+    rd_expr = F.expr(
+        "CAST(FLOOR(aggregate(zip_with(rsub, cvec, (x, y) -> "
+        "(x - y) * (x - y)), 0D, (acc, v) -> acc + v) "
+        "* 1000000) AS BIGINT)")
+    rdists = (rsub.join(F.broadcast(cb), "s")
+              .select("vec_id", "cluster", "s", "c",
+                      rd_expr.alias("dmicro")))
+    w_code = Window.partitionBy("vec_id", "s").orderBy("dmicro", "c")
+    codes = (rdists.filter("vec_id <> 0")
+             .withColumn("rn", F.row_number().over(w_code))
+             .filter("rn = 1")
+             .select("vec_id", "cluster", "s", F.col("c").alias("code")))
+    probed = (cdist.filter("vec_id = 0")
+              .withColumn("rn", F.row_number().over(
+                  Window.orderBy("cd", "cid")))
+              .filter(f"rn <= {_IVFPQ_NPROBE}")
+              .select(F.col("cid").alias("cluster")))
+    dtable = (rdists.filter("vec_id = 0")
+              .join(F.broadcast(probed), "cluster")
+              .select(F.col("cluster").alias("qcluster"),
+                      F.col("s").alias("qs"), F.col("c").alias("qc"),
+                      F.col("dmicro").alias("qdmicro")))
+    return (codes.join(F.broadcast(probed), "cluster")
+            .join(F.broadcast(dtable),
+                  (F.col("cluster") == F.col("qcluster"))
+                  & (F.col("s") == F.col("qs"))
+                  & (F.col("code") == F.col("qc")))
+            .groupBy("vec_id")
+            .agg(F.sum("qdmicro").cast("bigint").alias("adc_micro"))
+            .orderBy("adc_micro", "vec_id")
+            .limit(10))

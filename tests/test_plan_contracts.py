@@ -361,3 +361,14 @@ def test_hot_shingle_cap_broadcast_anti_join(spark):
     shingle stream never shuffles to subtract it."""
     plan = _plan(registry.QUERIES["dedup_hot_shingle_cap"](spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_ivfpq_broadcasts_and_stays_jvm(spark):
+    """C62: centroids, codebook, probed-cluster list, and the query's
+    distance tables all broadcast; the corpus never sort-merge-joins to
+    meet them and every distance is a JVM expression."""
+    plan = _plan(registry.QUERIES["sim_ivfpq_topk"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
