@@ -1070,3 +1070,75 @@ def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum("qdmicro").cast("bigint").alias("adc_micro"))
             .orderBy("adc_micro", "vec_id")
             .limit(10))
+
+
+# --- Matryoshka (truncated-dimension) retrieval -----------------------------
+
+_MRL_DIMS = 16          # coarse lane: first 16 of 64 dimensions
+_MRL_SHORTLIST = 50     # coarse candidates re-ranked exactly
+
+
+def _mrl_cos_duck(a: str, b: str, dims: int) -> str:
+    dot = (f"list_aggregate(list_transform(generate_series(1, {dims}), "
+           f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')")
+    na = (f"sqrt(list_aggregate(list_transform(generate_series(1, {dims}), "
+          f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum'))")
+    nb = (f"sqrt(list_aggregate(list_transform(generate_series(1, {dims}), "
+          f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum'))")
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _mrl_oracle() -> str:
+    coarse = _mrl_cos_duck("e.embedding", "q.embedding", _MRL_DIMS)
+    exact = _mrl_cos_duck("e.embedding", "q.embedding", _DIM)
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+shortlist AS (
+  SELECT e.vec_id, ROUND({exact}, 4) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY ROUND({coarse}, 4) DESC, e.vec_id
+  LIMIT {_MRL_SHORTLIST}
+)
+SELECT vec_id, cos_sim FROM shortlist
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_matryoshka_topk", oracle=_mrl_oracle())
+def sim_matryoshka_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka (MRL) adaptive retrieval: embeddings trained with
+    nested prefixes let the FIRST {dims} dimensions act as a cheap
+    coarse scorer — shortlist by truncated-prefix cosine (¼ of the
+    arithmetic and, at 100 TB, ¼ of the bytes read if the prefix is
+    stored as its own column), then re-rank only the shortlist with the
+    full-dimension cosine. Both lanes are one narrow pass +
+    TakeOrdered; ranking uses ROUND(cos,4) with vec_id tiebreaks (the
+    engine-stable ordering contract), so shortlist membership and the
+    final top-10 are deterministic across engines."""
+    e = load(spark, sf, "embeddings")
+    q = e.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+
+    def cos(dims: int) -> F.Column:
+        dot = F.expr(
+            f"aggregate(zip_with(slice(embedding, 1, {dims}), "
+            f"slice(qe, 1, {dims}), (x, y) -> CAST(x AS DOUBLE) "
+            f"* CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+        na = F.sqrt(F.expr(
+            f"aggregate(slice(embedding, 1, {dims}), 0D, "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        nb = F.sqrt(F.expr(
+            f"aggregate(slice(qe, 1, {dims}), 0D, "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        return dot / (na * nb)
+
+    shortlist = (e.filter("vec_id <> 0").crossJoin(F.broadcast(q))
+                 .select("vec_id",
+                         F.round(cos(_MRL_DIMS), 4).alias("coarse"),
+                         F.round(cos(_DIM), 4).alias("cos_sim"))
+                 .orderBy(F.desc("coarse"), "vec_id")
+                 .limit(_MRL_SHORTLIST))
+    return (shortlist.select("vec_id", "cos_sim")
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10))

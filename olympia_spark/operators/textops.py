@@ -1357,3 +1357,67 @@ def pipeline_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.when(F.col("pass_sample"), F.col("n_words"))
                        .otherwise(0)).cast("bigint").alias("tokens_final"))
             .orderBy("source"))
+
+
+# --- length-bucketed batch planning -----------------------------------------
+
+_BATCH_TOKENS = 4096     # per-batch token budget (padded)
+
+
+@query("data_length_buckets", oracle=f"""
+WITH d AS (
+  SELECT len(string_split(text, ' ')) AS nw FROM documents
+), b AS (
+  SELECT nw, length(bin(nw)) - 1 AS bucket FROM d
+), agg AS (
+  SELECT bucket,
+         CAST(1 AS BIGINT) << (bucket + 1) AS max_len,
+         COUNT(*) AS n_docs,
+         CAST(SUM(nw) AS BIGINT) AS real_tokens
+  FROM b GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, max_len, n_docs,
+       GREATEST({_BATCH_TOKENS} // max_len, 1) AS docs_per_batch,
+       (n_docs + GREATEST({_BATCH_TOKENS} // max_len, 1) - 1)
+           // GREATEST({_BATCH_TOKENS} // max_len, 1) AS n_batches,
+       n_docs * max_len AS padded_tokens,
+       real_tokens,
+       ((n_docs * max_len - real_tokens) * 1000)
+           // (n_docs * max_len) AS waste_permille
+FROM agg
+ORDER BY bucket
+""")
+def data_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batch planning — the padding-efficiency audit of
+    LLM training loaders: docs bucket by power-of-two token length
+    (exact bit-length arithmetic, no FP log), every bucket pads to its
+    upper bound, and the report gives per-bucket batch counts against a
+    fixed token budget plus the padding waste in exact integer permille
+    — the number that decides between bucketed batching and sequence
+    packing (C42). Map-only bucketing + one tiny aggregation; every
+    output is integer arithmetic (shifts, floor-div, ceil via
+    (a+b-1)/b), so the plan is engine-portable at any scale."""
+    d = load(spark, sf, "documents")
+    nw = F.size(_words(F.col("text")))
+    bucket = (F.length(F.conv(nw.cast("string"), 10, 2)) - 1).cast("bigint")
+    agg = (d.select(bucket.alias("bucket"), nw.alias("nw"))
+           .groupBy("bucket")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("nw").cast("bigint").alias("real_tokens"))
+           .withColumn("max_len", F.expr(
+               "CAST(shiftleft(CAST(1 AS BIGINT), "
+               "CAST(bucket AS INT) + 1) AS BIGINT)")))
+    dpb = F.greatest(F.expr(f"{_BATCH_TOKENS} div max_len"),
+                     F.lit(1).cast("bigint"))
+    padded = (F.col("n_docs") * F.col("max_len")).cast("bigint")
+    return (agg.withColumn("docs_per_batch", dpb)
+            .withColumn("n_batches", F.expr(
+                "(n_docs + docs_per_batch - 1) div docs_per_batch"))
+            .withColumn("padded_tokens", padded)
+            .withColumn("waste_permille", F.expr(
+                "((n_docs * max_len - real_tokens) * 1000) "
+                "div (n_docs * max_len)"))
+            .select("bucket", "max_len", "n_docs", "docs_per_batch",
+                    "n_batches", "padded_tokens", "real_tokens",
+                    "waste_permille")
+            .orderBy("bucket"))
