@@ -1029,8 +1029,34 @@ class Engine:
         schema = tdef.spark_schema()
         df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
                          for f in schema.fields])
-        n_bad = df.filter(
-            f"NOT ({predicate}) OR ({predicate}) IS NULL").count()
+        # Pin the source before validating: the validation count and the
+        # data write are separate evaluations, so a non-deterministic
+        # source (rand(), re-shuffling scan) could pass the check yet
+        # write violating rows — the exact corruption the check exists to
+        # prevent (same reason merge() materializes its source).
+        from pyspark import StorageLevel
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        try:
+            return self._replace_where_body(
+                txn, tdef, ns, tbl, df, predicate, name, schema)
+        finally:
+            df.unpersist()
+
+    def _replace_where_body(self, txn, tdef, ns, tbl, df, predicate,
+                            name, schema) -> int:
+        plain = not re.search(r"\bSELECT\b", predicate, re.I)
+
+        def keep_complement(d: DataFrame) -> DataFrame:
+            """Rows NOT matching the predicate — subquery predicates
+            route through _pred_matches + exceptAll, exactly like
+            delete_from's keep set."""
+            if plain:
+                return d.filter(
+                    f"NOT ({predicate}) OR ({predicate}) IS NULL")
+            return d.exceptAll(self._pred_matches(d, predicate, txn, name))
+
+        n_bad = keep_complement(df).count()
         if n_bad:
             raise ValueError(
                 f"REPLACE WHERE: {n_bad} inserted row(s) do not satisfy "
@@ -1054,8 +1080,7 @@ class Engine:
             if matched:
                 affected = self._scan(tdef, matched)
                 n_replaced = affected.count()
-                kept = affected.filter(
-                    f"NOT ({predicate}) OR ({predicate}) IS NULL")
+                kept = keep_complement(affected)
                 rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
                 writer = kept.write.mode("error")
                 if tdef.partition_by:
@@ -1154,6 +1179,17 @@ class Engine:
         # columns — a typo'd column would otherwise make the clause a
         # silent no-op (the merge still rewrites files and reports rows).
         by_src = not_matched_by_source_clauses or []
+        # A by-source row has NO source columns (all-NULL side of the left
+        # join): a source reference in its condition silently skips the
+        # clause and in an assignment silently writes NULL — reject both
+        # (Delta raises the same analysis error).
+        for cond, _kind, assigns in by_src:
+            for text in ([cond] if cond else []) +                     list((assigns or {}).values()):
+                if re.search(rf"\b{re.escape(source_alias)}\s*\.", text):
+                    raise ValueError(
+                        "MERGE: WHEN NOT MATCHED BY SOURCE conditions/"
+                        "assignments may reference target columns only; "
+                        f"found source reference in {text!r}")
         for _c, kind, assigns in list(matched_clauses) + by_src:
             if kind == "update":
                 unknown = set(assigns) - set(cols)
@@ -1291,8 +1327,23 @@ class Engine:
                     .filter("_rn = 1"))
                 if by_src:
                     # count clause-touched rows (the pruning semi-join was
-                    # skipped); one extra agg over the staged join
-                    n_changed += staged.filter("_action >= 0").count()
+                    # skipped). Persist: the count and the parquet write
+                    # would otherwise each execute the full join+window
+                    # pipeline. Evaluating _action here also fires the
+                    # cardinality guard — map it to the documented error.
+                    from pyspark import StorageLevel
+                    staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+                    try:
+                        n_changed += staged.filter(
+                            "_action >= 0").count()
+                    except Exception as e:
+                        staged.unpersist()
+                        if "MERGE_CARDINALITY" in str(e):
+                            raise MergeCardinalityError(
+                                "MERGE: a target row is matched by more "
+                                "than one source row; deduplicate the "
+                                "source on the join key") from e
+                        raise
                 del_idx = [i for i, (_c, kind, _a) in
                            enumerate(rw_clauses) if kind == "delete"]
                 if del_idx:
@@ -1322,6 +1373,8 @@ class Engine:
                     raise
                 new_files += self._collect_stats(rel_dir)
                 removed += matched
+                if by_src:
+                    staged.unpersist()
         if not_matched_clauses:
             target_full = self._scan(tdef, all_paths).alias(target_alias)
             anti = src.join(target_full, F.expr(on), "left_anti")
@@ -1376,6 +1429,20 @@ class Engine:
         r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<dele>DELETE))\s*"
         r"(?=WHEN\s+(?:NOT\s+)?MATCHED|\Z)", re.I | re.S)
 
+    @staticmethod
+    def _action_clause(m) -> tuple:
+        """(cond, "update"|"delete", assignments) from an UPDATE SET /
+        DELETE clause match — shared by the MATCHED and NOT MATCHED BY
+        SOURCE families so assignment parsing can never diverge."""
+        cond = m.group("cond")
+        if m.group("dele"):
+            return (cond.strip() if cond else None, "delete", None)
+        assignments = {}
+        for part in re.split(r",(?![^()]*\))", m.group("sets")):
+            col, _, expr = part.partition("=")
+            assignments[col.strip()] = expr.strip()
+        return (cond.strip() if cond else None, "update", assignments)
+
     @classmethod
     def _parse_merge_whens(cls, whens: str) -> tuple[list, list, list]:
         """Parse the WHEN-clause tail of a MERGE statement into ordered
@@ -1391,17 +1458,7 @@ class Engine:
         while pos < n and whens[pos:].strip():
             m = cls._MERGE_BY_SOURCE_RE.match(whens, pos)
             if m:
-                cond = m.group("cond")
-                if m.group("dele"):
-                    by_source.append((cond.strip() if cond else None,
-                                      "delete", None))
-                else:
-                    assignments = {}
-                    for part in re.split(r",(?![^()]*\))", m.group("sets")):
-                        col, _, expr = part.partition("=")
-                        assignments[col.strip()] = expr.strip()
-                    by_source.append((cond.strip() if cond else None,
-                                      "update", assignments))
+                by_source.append(cls._action_clause(m))
                 pos = m.end()
                 continue
             m = cls._MERGE_NOT_MATCHED_RE.match(whens, pos)
@@ -1419,17 +1476,7 @@ class Engine:
                 continue
             m = cls._MERGE_MATCHED_RE.match(whens, pos)
             if m:
-                cond = m.group("cond")
-                if m.group("dele"):
-                    matched.append((cond.strip() if cond else None,
-                                    "delete", None))
-                else:
-                    assignments = {}
-                    for part in re.split(r",(?![^()]*\))", m.group("sets")):
-                        col, _, expr = part.partition("=")
-                        assignments[col.strip()] = expr.strip()
-                    matched.append((cond.strip() if cond else None,
-                                    "update", assignments))
+                matched.append(cls._action_clause(m))
                 pos = m.end()
                 continue
             raise ValueError(
@@ -2425,14 +2472,27 @@ class Engine:
         if m:
             kind, name, payload = m.groups()
             replace_pred = None
-            mrw = re.match(r"REPLACE WHERE (.+?)\s+"
-                           r"(VALUES.+|SELECT.+|WITH.+)$",
-                           payload, re.I | re.S)
+            mrw = re.match(r"REPLACE\s+WHERE\b", payload, re.I)
             if mrw:
                 if kind.upper() != "OVERWRITE":
                     raise ValueError(
                         "REPLACE WHERE requires INSERT OVERWRITE")
-                replace_pred, payload = mrw.group(1).strip(), mrw.group(2)
+                rest = payload[mrw.end():]
+                # split predicate from payload at the first TOP-LEVEL
+                # SELECT/VALUES/WITH (string- and paren-aware): a lazy
+                # regex would cut inside `id IN (SELECT ...)` or inside a
+                # string literal containing the word
+                cuts = [p for p in (_find_kw(rest, k) for k in
+                                    ("SELECT", "VALUES", "WITH"))
+                        if p is not None]
+                if not cuts:
+                    raise ValueError(
+                        "REPLACE WHERE: no SELECT/VALUES payload found "
+                        "after the predicate")
+                cut = min(cuts)
+                replace_pred, payload = rest[:cut].strip(), rest[cut:]
+                if not replace_pred:
+                    raise ValueError("REPLACE WHERE: empty predicate")
             txn_src = self._txn()
             ns, tbl = self._split(name)
             schema = self.catalog.describe_table(

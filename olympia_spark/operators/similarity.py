@@ -977,13 +977,20 @@ WITH cents(cid, cvec) AS (VALUES
     SELECT cid AS cluster,
            ROW_NUMBER() OVER (ORDER BY cd, cid) AS rn
     FROM cdist WHERE vec_id = 0) WHERE rn <= {_IVFPQ_NPROBE}
+), qresid AS (
+  SELECT cv.cid AS cluster,
+         list_transform(generate_series(1, 64),
+             i -> CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) AS res
+  FROM embeddings e CROSS JOIN cents cv
+  WHERE e.vec_id = 0
+), qrsub AS (
+  SELECT cluster, g.s AS s,
+         list_slice(res, g.s * {_PQ_D} + 1, g.s * {_PQ_D} + {_PQ_D}) AS rsub
+  FROM qresid JOIN probed USING (cluster)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_SUB - 1})) AS s) g
 ), dtable AS (
-  SELECT r.cluster, r.s, c.c, {_PQ_RES_DIST_DUCK.replace('rsub[i]', 'qr.rsub[i]').replace('cvec[i]', 'c.cvec[i]')} AS dmicro
-  FROM (SELECT cluster, s, rsub FROM rsub WHERE vec_id = 0) r
-  JOIN probed USING (cluster)
-  CROSS JOIN cb c
-  , LATERAL (SELECT r.rsub AS rsub) qr
-  WHERE r.s = c.s
+  SELECT q.cluster, q.s, cb.c, {_PQ_RES_DIST_DUCK} AS dmicro
+  FROM qrsub q JOIN cb ON q.s = cb.s
 )
 SELECT k.vec_id, CAST(SUM(d.dmicro) AS BIGINT) AS adc_micro
 FROM codes k
@@ -1056,11 +1063,25 @@ def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
                   Window.orderBy("cd", "cid")))
               .filter(f"rn <= {_IVFPQ_NPROBE}")
               .select(F.col("cid").alias("cluster")))
-    dtable = (rdists.filter("vec_id = 0")
-              .join(F.broadcast(probed), "cluster")
+    # the query's residual is computed against EACH probed cluster's
+    # centroid (not just its own assigned cluster): the distance table
+    # must speak every probed cluster's residual space, or candidates
+    # from the second..nth probed cluster drop out of the inner join
+    qresid = (e.filter("vec_id = 0").join(F.broadcast(cents))
+              .join(F.broadcast(probed), F.col("cid") == F.col("cluster"))
+              .select("cluster",
+                      F.expr("zip_with(embedding, cvec, (x, y) -> "
+                             "CAST(x AS DOUBLE) - y)").alias("res")))
+    qrsub = qresid.select(
+        "cluster",
+        F.inline(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("res", s * _PQ_D + 1, _PQ_D).alias("rsub"))
+            for s in range(_PQ_SUB)])))
+    dtable = (qrsub.join(F.broadcast(cb), "s")
               .select(F.col("cluster").alias("qcluster"),
                       F.col("s").alias("qs"), F.col("c").alias("qc"),
-                      F.col("dmicro").alias("qdmicro")))
+                      rd_expr.alias("qdmicro")))
     return (codes.join(F.broadcast(probed), "cluster")
             .join(F.broadcast(dtable),
                   (F.col("cluster") == F.col("qcluster"))
@@ -1090,17 +1111,17 @@ def _mrl_cos_duck(a: str, b: str, dims: int) -> str:
 
 def _mrl_oracle() -> str:
     coarse = _mrl_cos_duck("e.embedding", "q.embedding", _MRL_DIMS)
-    exact = _mrl_cos_duck("e.embedding", "q.embedding", _DIM)
+    exact = _mrl_cos_duck("s.embedding", "s.qe", _DIM)
     return f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 shortlist AS (
-  SELECT e.vec_id, ROUND({exact}, 4) AS cos_sim
+  SELECT e.vec_id, e.embedding, q.embedding AS qe
   FROM embeddings e, q
   WHERE e.vec_id <> 0
   ORDER BY ROUND({coarse}, 4) DESC, e.vec_id
   LIMIT {_MRL_SHORTLIST}
 )
-SELECT vec_id, cos_sim FROM shortlist
+SELECT s.vec_id, ROUND({exact}, 4) AS cos_sim FROM shortlist s
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """
@@ -1133,12 +1154,15 @@ def sim_matryoshka_topk(spark: SparkSession, sf: str) -> DataFrame:
             f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
         return dot / (na * nb)
 
+    # the full-dimension cosine is computed on the SHORTLIST only — the
+    # coarse lane carries the vectors through the TakeOrdered and the
+    # expensive lane runs on 50 rows, which is the entire point of MRL
     shortlist = (e.filter("vec_id <> 0").crossJoin(F.broadcast(q))
-                 .select("vec_id",
-                         F.round(cos(_MRL_DIMS), 4).alias("coarse"),
-                         F.round(cos(_DIM), 4).alias("cos_sim"))
+                 .select("vec_id", "embedding", "qe",
+                         F.round(cos(_MRL_DIMS), 4).alias("coarse"))
                  .orderBy(F.desc("coarse"), "vec_id")
                  .limit(_MRL_SHORTLIST))
-    return (shortlist.select("vec_id", "cos_sim")
+    return (shortlist.select("vec_id",
+                             F.round(cos(_DIM), 4).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_id")
             .limit(10))

@@ -777,3 +777,53 @@ def test_insert_overwrite_replace_where(engine, spark):
     with pytest.raises(ValueError, match="requires INSERT OVERWRITE"):
         engine.sql("INSERT INTO ns1.rw REPLACE WHERE grp = 'a' "
                    "SELECT * FROM VALUES (7, 'a', 70) AS x(id, grp, v)")
+
+
+def test_merge_by_source_rejects_source_references(engine, spark):
+    """A by-source row has no source columns (all-NULL left-join side):
+    a source reference would silently skip the clause / write NULL, so
+    it must raise like Delta's analysis error."""
+    engine.sql("CREATE TABLE ns1.bsv (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.bsv VALUES (1, 10)")
+    src = spark.createDataFrame([(2, 20)], "id long, v long")
+    with pytest.raises(ValueError, match="target columns only"):
+        engine.merge("ns1.bsv", src, on="t.id = s.id",
+                     not_matched_by_source_clauses=[
+                         (None, "update", {"v": "s.v"})])
+    with pytest.raises(ValueError, match="target columns only"):
+        engine.merge("ns1.bsv", src, on="t.id = s.id",
+                     not_matched_by_source_clauses=[
+                         ("s.v > 0", "delete", None)])
+
+
+def test_merge_by_source_cardinality_error_is_typed(engine, spark):
+    """With a by-source clause present, the cardinality guard fires in
+    the count job — it must still surface as MergeCardinalityError, not
+    a raw Py4J error."""
+    from olympia_spark.catalog.errors import MergeCardinalityError
+
+    engine.sql("CREATE TABLE ns1.bsc (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.bsc VALUES (1, 10), (2, 20)")
+    fanout = spark.createDataFrame([(1, 1), (1, 2)], "id long, v long")
+    with pytest.raises(MergeCardinalityError):
+        engine.merge("ns1.bsc", fanout, on="t.id = s.id",
+                     matched_clauses=[(None, "update", {"v": "s.v"})],
+                     not_matched_by_source_clauses=[(None, "delete", None)])
+
+
+def test_replace_where_subquery_predicate_splits_correctly(engine):
+    """The REPLACE WHERE predicate/payload split must be paren- and
+    literal-aware: `IN (SELECT ...)` predicates and literals containing
+    keyword words must not be cut."""
+    engine.sql("CREATE TABLE ns1.rws (id BIGINT, grp STRING)")
+    engine.sql("INSERT INTO ns1.rws VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    engine.sql("CREATE TABLE ns1.rwf (grp STRING)")
+    engine.sql("INSERT INTO ns1.rwf VALUES ('a')")
+    engine.sql("INSERT OVERWRITE ns1.rws "
+               "REPLACE WHERE grp IN (SELECT grp FROM ns1.rwf) "
+               "SELECT * FROM VALUES (9, 'a') AS x(id, grp)")
+    rows = {(r.id, r.grp) for r in
+            engine.sql("SELECT * FROM ns1.rws").collect()}
+    assert rows == {(9, "a"), (2, "b")}
+    with pytest.raises(ValueError, match="no SELECT/VALUES payload"):
+        engine.sql("INSERT OVERWRITE ns1.rws REPLACE WHERE grp = 'a'")
