@@ -74,7 +74,8 @@ _PRIORITY = [
     "dedup_hot_shingle_cap", "b73_dml_subquery", "sim_pq_recall_audit",
     "pipeline_corpus_curation", "b74_merge_by_source",
     "b75_replace_where", "sim_ivfpq_topk", "sim_matryoshka_topk",
-    "data_length_buckets",
+    "data_length_buckets", "data_epoch_shuffle",
+    "data_interleave_sources",
     # latest green = round 2 — cheap scans/joins/aggs/scalars first
     "b09_cross_join", "b10_q1_agg", "b11_count_distinct",
     "b11b_distinct_rows", "b13_rollup", "b13b_cube", "b14_rank_window",

@@ -18,7 +18,7 @@ exact integers), so DuckDB hash-parity is byte-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from olympia_spark.operators.registry import query
@@ -1421,3 +1421,76 @@ def data_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
                     "n_batches", "padded_tokens", "real_tokens",
                     "waste_permille")
             .orderBy("bucket"))
+
+
+# --- deterministic epoch shuffle + source interleave ------------------------
+
+@query("data_epoch_shuffle", oracle="""
+SELECT epoch, pos, doc_id FROM (
+  SELECT e.epoch, d.doc_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY e.epoch
+             ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS pos
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS epoch) e)
+WHERE pos <= 10
+ORDER BY epoch, pos
+""")
+def data_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-epoch shuffle — reproducible-training's answer
+    to rand(): each epoch's visit order is the rank of
+    md5(epoch || ':' || doc_id), a pure function of (epoch, doc_id) that
+    reshuffles completely between epochs yet replays bit-identically
+    across runs, engines, partitionings, and restarts (resume an epoch
+    mid-way by filtering pos > checkpoint). One rank window per epoch —
+    at 100 TB the sort key is 32 hex chars and the window is the only
+    exchange; emitting the head of each epoch keeps the gate result
+    tiny while pinning the whole permutation (any hash/tiebreak drift
+    moves position 1..10)."""
+    d = load(spark, sf, "documents")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    w = W.partitionBy("epoch").orderBy(
+        F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), "doc_id")
+    return (d.select("doc_id").crossJoin(F.broadcast(epochs))
+            .withColumn("pos", F.row_number().over(w))
+            .filter("pos <= 10")
+            .select("epoch", "pos", "doc_id")
+            .orderBy("epoch", "pos"))
+
+
+@query("data_interleave_sources", oracle="""
+SELECT pos, source, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (ORDER BY r, src_ord) AS pos
+  FROM (SELECT source, doc_id,
+               CAST(substr(source, 4) AS INTEGER) AS src_ord,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM documents))
+WHERE pos <= 40
+ORDER BY pos
+""")
+def data_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic source interleaving — the mixing-order step of
+    corpus assembly: shuffle within each source (md5-rank, same
+    reproducibility contract as data_epoch_shuffle), then round-robin
+    across sources by (within-source rank, source ordinal) so the
+    training stream alternates domains instead of marching through one
+    source at a time. Two rank windows; the global position window is a
+    single ordered exchange of (rank, ordinal) pairs — at scale the
+    position is computed arithmetically (rank·n_sources + ordinal)
+    without the global window, same ordering by construction."""
+    d = load(spark, sf, "documents")
+    wr = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = (d.select("source", "doc_id")
+              .withColumn("src_ord",
+                          F.substring("source", 4, 10).cast("int"))
+              .withColumn("r", F.row_number().over(wr)))
+    wp = W.orderBy("r", "src_ord")
+    return (ranked.withColumn("pos", F.row_number().over(wp))
+            .filter("pos <= 40")
+            .select("pos", "source", "doc_id")
+            .orderBy("pos"))
