@@ -372,3 +372,13 @@ def test_ivfpq_broadcasts_and_stays_jvm(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize("name", [
+    "data_epoch_shuffle", "data_interleave_sources", "data_length_buckets",
+    "sim_matryoshka_topk", "dedup_hot_shingle_cap", "pipeline_corpus_curation",
+])
+def test_latest_round5_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
