@@ -87,6 +87,11 @@ class TableDef:
     # partition values land in DataFile.stats for catalog-side pruning
     partition_by: list = field(default_factory=list)
     properties: dict = field(default_factory=dict)
+    # logical -> PHYSICAL column name (Iceberg-style column mapping):
+    # RENAME COLUMN is metadata-only — parquet files keep their original
+    # (physical) names forever; reads map physical->logical, writes map
+    # logical->physical, stats lookups go through the mapping
+    column_mapping: dict = field(default_factory=dict)
     # mirror of the reference pointer fields for format parity
     metadata_location: str = ""
     previous_metadata_location: str = ""

@@ -476,6 +476,37 @@ class Engine:
             .withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
+    def _phys(self, tdef: TableDef, col: str) -> str:
+        """Physical (in-file) name of a logical column (A15 companion:
+        RENAME COLUMN is metadata-only, so files keep the name the column
+        was CREATED with — Iceberg-style column mapping)."""
+        return tdef.column_mapping.get(col, col)
+
+    def _physical_schema(self, tdef: TableDef) -> T.StructType:
+        schema = tdef.spark_schema()
+        if not tdef.column_mapping:
+            return schema
+        return T.StructType([
+            T.StructField(self._phys(tdef, f.name), f.dataType,
+                          f.nullable, f.metadata)
+            for f in schema.fields])
+
+    def _to_logical(self, df: DataFrame, tdef: TableDef) -> DataFrame:
+        if not tdef.column_mapping:
+            return df
+        inv = {p: l for l, p in tdef.column_mapping.items()}
+        return df.select(*[
+            F.col(c).alias(inv[c]) if c in inv else F.col(c)
+            for c in df.columns])
+
+    def _to_physical(self, df: DataFrame, tdef: TableDef) -> DataFrame:
+        if not tdef.column_mapping:
+            return df
+        return df.select(*[
+            F.col(c).alias(self._phys(tdef, c))
+            if c in tdef.column_mapping else F.col(c)
+            for c in df.columns])
+
     def _scan(self, tdef: TableDef, rel_paths: list[str]) -> DataFrame:
         """Scan a tracked file list. Partitioned tables read per write-dir
         with that dir as basePath, so Spark reconstructs the hive partition
@@ -488,6 +519,7 @@ class Engine:
         schema = tdef.spark_schema()
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
+        phys = self._physical_schema(tdef)
         if tdef.format in ("CSV", "JSON"):
             opts = {k.removeprefix("read.option."): v
                     for k, v in tdef.properties.items()
@@ -497,8 +529,9 @@ class Engine:
             return (reader.csv(paths) if tdef.format == "CSV"
                     else reader.json(paths))
         if not tdef.partition_by:
-            return self.spark.read.schema(schema).parquet(
-                *[self._abs(p) for p in rel_paths])
+            return self._to_logical(
+                self.spark.read.schema(phys).parquet(
+                    *[self._abs(p) for p in rel_paths]), tdef)
         groups: dict[str, list[str]] = {}
         for p in rel_paths:
             # data/ns/tbl/<uuid>/col=val/.../file.parquet → base is the
@@ -506,14 +539,14 @@ class Engine:
             base = "/".join(p.split("/")[:4])
             groups.setdefault(base, []).append(p)
         parts = [
-            self.spark.read.schema(schema)
+            self.spark.read.schema(phys)
             .option("basePath", self._abs(base))
             .parquet(*[self._abs(p) for p in paths])
             for base, paths in sorted(groups.items())]
         out = parts[0]
         for df in parts[1:]:
             out = out.unionByName(df)
-        return out
+        return self._to_logical(out, tdef)
 
     def create_table(self, name: str, schema: T.StructType,
                      properties: dict | None = None,
@@ -776,7 +809,8 @@ class Engine:
         reader = self.spark.read.schema(schema).options(**opts)
         df = (reader.parquet(*new) if fmt == "PARQUET"
               else reader.csv(new) if fmt == "CSV" else reader.json(new))
-        new_files = self._write_files(df, ns, tbl, tdef.partition_by)
+        new_files = self._write_files(df, ns, tbl, tdef.partition_by,
+                                      tdef=tdef)
         self.catalog.update_table_files(
             txn, ns, tbl, new_files, [], ActionType.TABLE_INSERT,
             {"added": [f.path for f in new_files], "copied_from": new},
@@ -824,7 +858,8 @@ class Engine:
                 partition_by=list(partition_by or [])))
         tdef0 = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef0, name, "write_table")
-        new_files = self._write_files(df, ns, tbl, tdef0.partition_by)
+        new_files = self._write_files(df, ns, tbl, tdef0.partition_by,
+                                      tdef=tdef0)
         tdef = self.catalog.describe_table(txn, ns, tbl)
         if mode == "overwrite":
             self.catalog.update_table_files(
@@ -839,10 +874,17 @@ class Engine:
         self._finish(txn)
 
     def _write_files(self, df: DataFrame, ns: str, tbl: str,
-                     partition_by: list[str] | None = None
-                     ) -> list[DataFile]:
+                     partition_by: list[str] | None = None,
+                     tdef: TableDef | None = None) -> list[DataFile]:
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
         out_dir = self._abs(rel_dir)
+        if tdef is not None and tdef.column_mapping:
+            # files ALWAYS store physical names — a renamed column keeps
+            # writing under its creation name so every file in the table
+            # has one consistent in-file schema
+            df = self._to_physical(df, tdef)
+            partition_by = [self._phys(tdef, c)
+                            for c in (partition_by or [])]
         writer = df.write.mode("error")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -932,9 +974,10 @@ class Engine:
         for f in tdef.data_files:
             keep = True
             for col, op, lit in comparisons:
-                if col not in f.stats:
+                pcol = tdef.column_mapping.get(col, col)
+                if pcol not in f.stats:
                     continue
-                mn, mx = f.stats[col]
+                mn, mx = f.stats[pcol]
                 if lit.startswith("'"):
                     val: object = lit[1:-1].replace("''", "'")
                 else:
@@ -996,11 +1039,12 @@ class Engine:
             return 0
         affected = self._scan(tdef, matched)
         n_before = affected.count()
-        rewritten = transform(affected, txn)
+        rewritten = self._to_physical(transform(affected, txn), tdef)
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
         writer = rewritten.write.mode("error")
         if tdef.partition_by:
-            writer = writer.partitionBy(*tdef.partition_by)
+            writer = writer.partitionBy(
+                *[self._phys(tdef, c) for c in tdef.partition_by])
         writer.parquet(self._abs(rel_dir))
         new_files = self._collect_stats(rel_dir)
         action = (ActionType.TABLE_DELETE if transform.__name__ == "_delete"
@@ -1080,17 +1124,19 @@ class Engine:
             if matched:
                 affected = self._scan(tdef, matched)
                 n_replaced = affected.count()
-                kept = keep_complement(affected)
+                kept = self._to_physical(keep_complement(affected), tdef)
                 rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
                 writer = kept.write.mode("error")
                 if tdef.partition_by:
-                    writer = writer.partitionBy(*tdef.partition_by)
+                    writer = writer.partitionBy(
+                        *[self._phys(tdef, c) for c in tdef.partition_by])
                 writer.parquet(self._abs(rel_dir))
                 new_files += [f for f in self._collect_stats(rel_dir)
                               if f.num_rows > 0]
                 n_replaced -= sum(f.num_rows for f in new_files)
                 removed += matched
-        ins_files = self._write_files(df, ns, tbl, tdef.partition_by)
+        ins_files = self._write_files(df, ns, tbl, tdef.partition_by,
+                                      tdef=tdef)
         new_files += ins_files
         self.catalog.update_table_files(
             txn, ns, tbl, new_files, removed, ActionType.TABLE_UPDATE,
@@ -1357,11 +1403,13 @@ class Engine:
                             e = F.when(F.col("_action") == i,
                                        F.col(f"_u{i}_{c}")).otherwise(e)
                     out_cols.append(e.alias(c))
-                rewritten = staged.select(*out_cols)
+                rewritten = self._to_physical(
+                    staged.select(*out_cols), tdef)
                 rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
                 writer = rewritten.write.mode("error")
                 if tdef.partition_by:
-                    writer = writer.partitionBy(*tdef.partition_by)
+                    writer = writer.partitionBy(
+                        *[self._phys(tdef, c) for c in tdef.partition_by])
                 try:
                     writer.parquet(self._abs(rel_dir))
                 except Exception as e:  # surface the folded-in guard cleanly
@@ -1394,11 +1442,12 @@ class Engine:
                                    F.expr(imap[c]).cast(schema[c].dataType)
                                    ).otherwise(e)
                 ins_cols.append(e.alias(c))
-            inserts = anti.select(*ins_cols)
+            inserts = self._to_physical(anti.select(*ins_cols), tdef)
             rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
             writer = inserts.write.mode("error")
             if tdef.partition_by:
-                writer = writer.partitionBy(*tdef.partition_by)
+                writer = writer.partitionBy(
+                    *[self._phys(tdef, c) for c in tdef.partition_by])
             writer.parquet(self._abs(rel_dir))
             ins_files = [f for f in self._collect_stats(rel_dir)
                          if f.num_rows > 0]     # skip empty part files
@@ -1552,6 +1601,38 @@ class Engine:
 
     # --- schema evolution (A15) + maintenance --------------------------------
 
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """A15 companion — metadata-only column rename via Iceberg-style
+        column mapping: the logical schema renames, every parquet file
+        keeps the column's CREATION (physical) name, reads/writes/stats
+        translate through ``TableDef.column_mapping``. Not a rewrite:
+        zero bytes of data move, old versions keep the old name."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "ALTER TABLE RENAME COLUMN")
+        schema = tdef.spark_schema()
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column already exists: {new}")
+        mapping = dict(tdef.column_mapping)
+        # carry the ORIGINAL physical name through rename chains
+        mapping[new] = mapping.pop(old, old)
+        tdef.column_mapping = mapping
+        tdef.schema_json = T.StructType([
+            T.StructField(new if f.name == old else f.name,
+                          f.dataType, f.nullable, f.metadata)
+            for f in schema.fields]).json()
+        if old in tdef.partition_by:
+            tdef.partition_by = [new if c == old else c
+                                 for c in tdef.partition_by]
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER,
+                                 {"rename_column": [old, new]})
+        self._finish(txn)
+
     def add_columns(self, name: str, columns: T.StructType) -> None:
         """A15 add-columns (action type TABLE_ALTER_ADD_COLUMNS,
         proto/actions.proto:42-45). Existing parquet files simply lack the
@@ -1634,13 +1715,16 @@ class Engine:
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
         if zorder_by:
             df = self._zorder(df, tdef, zorder_by)
-            writer = (df.repartitionByRange(n_out, F.col(_ZCOL))
-                      .sortWithinPartitions(_ZCOL)
-                      .drop(_ZCOL).write.mode("error"))
+            writer = (self._to_physical(
+                          df.repartitionByRange(n_out, F.col(_ZCOL))
+                          .sortWithinPartitions(_ZCOL).drop(_ZCOL), tdef)
+                      .write.mode("error"))
         else:
-            writer = df.coalesce(n_out).write.mode("error")
+            writer = self._to_physical(
+                df.coalesce(n_out), tdef).write.mode("error")
         if tdef.partition_by:
-            writer = writer.partitionBy(*tdef.partition_by)
+            writer = writer.partitionBy(
+                *[self._phys(tdef, c) for c in tdef.partition_by])
         writer.parquet(self._abs(rel_dir))
         new_files = self._collect_stats(rel_dir)
         self.catalog.update_table_files(
@@ -2589,6 +2673,11 @@ class Engine:
         if m:
             self.drop_columns(m.group(1),
                               [c.strip() for c in m.group(2).split(",")])
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) RENAME COLUMN (\w+)"
+                     r" TO (\w+)$", norm, re.I)
+        if m:
+            self.rename_column(m.group(1), m.group(2), m.group(3))
             return ok()
         m = re.match(r"ALTER TABLE (\S+\.\S+) RENAME TO (\S+?)(?:\.(\S+))?$",
                      norm, re.I)

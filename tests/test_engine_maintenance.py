@@ -670,3 +670,77 @@ def test_subquery_predicate_disables_stats_pruning(engine, spark):
     rows = [(r.k, r.v) for r in
             engine.sql("SELECT k, v FROM ns1.pz ORDER BY k").collect()]
     assert rows == [(2, 5)]                 # BOTH k=1 rows deleted
+
+
+def test_rename_column_metadata_only(engine, spark, tmp_path):
+    """ALTER TABLE RENAME COLUMN via column mapping: zero data movement —
+    old files read back under the new logical name, writes keep the
+    physical (creation) name, DML + stats pruning + partition columns +
+    time travel all translate through the mapping."""
+    engine.sql("CREATE TABLE ns1.rc (id BIGINT, amount BIGINT)")
+    engine.sql("INSERT INTO ns1.rc VALUES (1, 10), (2, 20)")
+    v_before = engine.catalog.tree.find_latest_version()
+    txn = engine.catalog.begin()
+    files_before = set(engine.catalog.describe_table(
+        txn, "ns1", "rc").file_paths())
+    engine.sql("ALTER TABLE ns1.rc RENAME COLUMN amount TO total")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "rc")
+    assert set(tdef.file_paths()) == files_before     # zero bytes moved
+    assert tdef.column_mapping == {"total": "amount"}
+    rows = {(r.id, r.total) for r in
+            engine.sql("SELECT id, total FROM ns1.rc").collect()}
+    assert rows == {(1, 10), (2, 20)}
+    # writes after the rename keep the PHYSICAL name in new files
+    engine.sql("INSERT INTO ns1.rc VALUES (3, 30)")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "rc")
+    new_file = (set(tdef.file_paths()) - files_before).pop()
+    assert "amount" in spark.read.parquet(
+        engine._abs(new_file)).columns
+    # DML + stats pruning on the logical name (stats are physical-keyed)
+    assert all("amount" in f.stats for f in tdef.data_files)
+    assert len(engine._candidate_files(tdef, "total = 30")) < \
+        len(tdef.file_paths())
+    engine.sql("UPDATE ns1.rc SET total = total + 1 WHERE total = 30")
+    assert engine.sql("SELECT CAST(SUM(total) AS BIGINT) AS s "
+                      "FROM ns1.rc").first().s == 61
+    # chained rename carries the ORIGINAL physical name
+    engine.sql("ALTER TABLE ns1.rc RENAME COLUMN total TO grand_total")
+    txn = engine.catalog.begin()
+    assert engine.catalog.describe_table(
+        txn, "ns1", "rc").column_mapping == {"grand_total": "amount"}
+    assert engine.sql("SELECT CAST(SUM(grand_total) AS BIGINT) AS s "
+                      "FROM ns1.rc").first().s == 61
+    # time travel: the pre-rename version still speaks the old name
+    assert engine.sql(f"SELECT CAST(SUM(amount) AS BIGINT) AS s "
+                      f"FROM ns1.rc VERSION AS OF {v_before}").first().s \
+        == 30
+    with pytest.raises(ValueError, match="no such column"):
+        engine.sql("ALTER TABLE ns1.rc RENAME COLUMN nope TO x")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("ALTER TABLE ns1.rc RENAME COLUMN id TO grand_total")
+
+
+def test_rename_partition_column(engine, spark):
+    """Renaming a PARTITION column: hive dirs keep the physical name,
+    partition reconstruction + pruning translate."""
+    engine.sql("CREATE TABLE ns1.rp (id BIGINT, region STRING) "
+               "PARTITIONED BY (region)")
+    for r in ("east", "west"):
+        engine.write_table(
+            spark.range(5).selectExpr("id", f"'{r}' AS region"), "ns1.rp")
+    engine.sql("ALTER TABLE ns1.rp RENAME COLUMN region TO zone")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.rp "
+                      "WHERE zone = 'east'").first().n == 5
+    # appends after the rename land under the physical dir name
+    engine.write_table(
+        spark.range(3).selectExpr("id", "'north' AS zone"), "ns1.rp")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "rp")
+    assert tdef.partition_by == ["zone"]
+    assert any("region=north" in p for p in tdef.file_paths())
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.rp").first().n == 13
+    # partition pruning on the logical name still works
+    assert len(engine._candidate_files(tdef, "zone = 'north'")) < \
+        len(tdef.file_paths())
