@@ -2388,6 +2388,24 @@ class Engine:
         if m:
             # Delta-style spelling for the $history metadata table
             return self.sql(f"SELECT * FROM {m.group(1)}$history")
+        m = re.match(r"DESCRIBE DETAIL (\S+\.\S+)$", norm, re.I)
+        if m:
+            # Delta-style one-row table inspection: physical layout facts
+            # a maintenance job keys on (file count, bytes, rows from the
+            # tracked stats — no data scan)
+            ns, tbl = self._split(m.group(1))
+            txn = self._txn()
+            tdef = self.catalog.describe_table(txn, ns, tbl)
+            return spark.createDataFrame(
+                [(tdef.format, f"{_DATA_DIR}/{ns}/{tbl}",
+                  len(tdef.data_files),
+                  sum(f.size_bytes for f in tdef.data_files),
+                  sum(f.num_rows for f in tdef.data_files),
+                  ",".join(tdef.partition_by),
+                  self.catalog.tree.find_latest_version())],
+                "format string, location string, num_files long, "
+                "size_bytes long, num_rows long, partition_by string, "
+                "catalog_version long")
         m = re.match(r"DESCRIBE (?:TABLE )?(\S+\.\S+)$", norm, re.I)
         if m:
             ns, tbl = self._split(m.group(1))

@@ -744,3 +744,72 @@ def test_rename_partition_column(engine, spark):
     # partition pruning on the logical name still works
     assert len(engine._candidate_files(tdef, "zone = 'north'")) < \
         len(tdef.file_paths())
+
+
+def test_describe_detail(engine):
+    engine.sql("CREATE TABLE ns1.dd (id BIGINT, grp STRING) "
+               "PARTITIONED BY (grp)")
+    engine.sql("INSERT INTO ns1.dd VALUES (1, 'a'), (2, 'b')")
+    engine.sql("INSERT INTO ns1.dd VALUES (3, 'a')")
+    d = engine.sql("DESCRIBE DETAIL ns1.dd").first()
+    assert d.format == "PARQUET"
+    assert d.num_rows == 3 and d.num_files >= 2 and d.size_bytes > 0
+    assert d.partition_by == "grp" and d.location == "data/ns1/dd"
+    assert d.catalog_version >= 3
+
+
+def test_candidate_files_pruning_soundness_property(engine, spark):
+    """Hypothesis property: stats-based file pruning must NEVER skip a
+    file containing a row that matches the predicate (over random data
+    layouts and random simple-comparison AND-predicates). Completeness
+    (pruning as much as possible) is best-effort; soundness is the
+    correctness contract COW DML rests on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    engine.sql("CREATE TABLE ns1.prop (a BIGINT, b BIGINT)")
+    rows_strategy = st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1, max_size=12)
+    cmp_strategy = st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.sampled_from(["=", "<", "<=", ">", ">="]),
+                  st.integers(-50, 50)),
+        min_size=1, max_size=3)
+
+    state = {"seeded": False, "rows": []}
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(files=st.lists(rows_strategy, min_size=1, max_size=4),
+           comps=cmp_strategy)
+    def check(files, comps):
+        # re-seed only when the layout changes (hypothesis shrinks fast)
+        if state["rows"] != files:
+            engine.sql("DELETE FROM ns1.prop")
+            for chunk in files:
+                engine.sql("INSERT INTO ns1.prop VALUES "
+                           + ", ".join(f"({a}, {b})" for a, b in chunk))
+            state["rows"] = list(files)
+        predicate = " AND ".join(f"{c} {op} {lit}"
+                                 for c, op, lit in comps)
+        txn = engine.catalog.begin()
+        tdef = engine.catalog.describe_table(txn, "ns1", "prop")
+        cand = set(engine._candidate_files(tdef, predicate))
+        if not cand:
+            n_match = engine.sql(
+                f"SELECT COUNT(*) AS n FROM ns1.prop "
+                f"WHERE {predicate}").first().n
+            assert n_match == 0, (predicate, "empty candidates")
+            return
+        # every matching row must live in a candidate file
+        from pyspark.sql import functions as F
+        scan = engine._scan(tdef, tdef.file_paths()) \
+            .withColumn("_f", F.input_file_name())
+        hit_files = [r[0] for r in scan.filter(predicate)
+                     .select("_f").distinct().collect()]
+        cand_abs = {engine._abs(p) for p in cand}
+        for h in hit_files:
+            assert any(h.endswith(a) for a in cand_abs), (predicate, h)
+
+    check()
