@@ -711,6 +711,10 @@ class Engine:
         self.catalog.create_table(txn, ns_t, tbl_t, TableDef(
             format=sdef.format, schema_json=sdef.schema_json,
             partition_by=list(sdef.partition_by),
+            # the clone shares the source's FILES, so it must share the
+            # logical->physical column mapping too — without it a clone
+            # of a renamed table reads the renamed column as all-NULL
+            column_mapping=dict(sdef.column_mapping),
             properties={**sdef.properties,
                         "cloned_from": f"{source}"
                         + (f"@v{version}" if version is not None else "")}))
@@ -836,6 +840,13 @@ class Engine:
                 "export_iceberg_table: hive-partitioned native tables "
                 "store partition values in paths, not files — compact "
                 "with OPTIMIZE/CTAS into an unpartitioned table first")
+        if tdef.column_mapping:
+            raise ValueError(
+                "export_iceberg_table: this table has renamed columns "
+                "(column mapping) — its files store the original "
+                "physical names and carry no Iceberg field ids, so an "
+                "external reader would resolve the renamed columns as "
+                "NULL; materialize with CTAS first")
         files = [DataFile(path=self._abs(f.path), num_rows=f.num_rows,
                           size_bytes=f.size_bytes)
                  for f in tdef.data_files]
@@ -1039,14 +1050,8 @@ class Engine:
             return 0
         affected = self._scan(tdef, matched)
         n_before = affected.count()
-        rewritten = self._to_physical(transform(affected, txn), tdef)
-        rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-        writer = rewritten.write.mode("error")
-        if tdef.partition_by:
-            writer = writer.partitionBy(
-                *[self._phys(tdef, c) for c in tdef.partition_by])
-        writer.parquet(self._abs(rel_dir))
-        new_files = self._collect_stats(rel_dir)
+        new_files = self._write_files(transform(affected, txn), ns, tbl,
+                                      tdef.partition_by, tdef=tdef)
         action = (ActionType.TABLE_DELETE if transform.__name__ == "_delete"
                   else ActionType.TABLE_UPDATE)
         self.catalog.update_table_files(
@@ -1124,14 +1129,10 @@ class Engine:
             if matched:
                 affected = self._scan(tdef, matched)
                 n_replaced = affected.count()
-                kept = self._to_physical(keep_complement(affected), tdef)
-                rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-                writer = kept.write.mode("error")
-                if tdef.partition_by:
-                    writer = writer.partitionBy(
-                        *[self._phys(tdef, c) for c in tdef.partition_by])
-                writer.parquet(self._abs(rel_dir))
-                new_files += [f for f in self._collect_stats(rel_dir)
+                kept = keep_complement(affected)
+                new_files += [f for f in self._write_files(
+                                  kept, ns, tbl, tdef.partition_by,
+                                  tdef=tdef)
                               if f.num_rows > 0]
                 n_replaced -= sum(f.num_rows for f in new_files)
                 removed += matched
@@ -1403,15 +1404,10 @@ class Engine:
                             e = F.when(F.col("_action") == i,
                                        F.col(f"_u{i}_{c}")).otherwise(e)
                     out_cols.append(e.alias(c))
-                rewritten = self._to_physical(
-                    staged.select(*out_cols), tdef)
-                rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-                writer = rewritten.write.mode("error")
-                if tdef.partition_by:
-                    writer = writer.partitionBy(
-                        *[self._phys(tdef, c) for c in tdef.partition_by])
                 try:
-                    writer.parquet(self._abs(rel_dir))
+                    new_files += self._write_files(
+                        staged.select(*out_cols), ns, tbl,
+                        tdef.partition_by, tdef=tdef)
                 except Exception as e:  # surface the folded-in guard cleanly
                     if "MERGE_CARDINALITY" in str(e):
                         raise MergeCardinalityError(
@@ -1419,7 +1415,6 @@ class Engine:
                             "one source row; deduplicate the source on the "
                             "join key") from e
                     raise
-                new_files += self._collect_stats(rel_dir)
                 removed += matched
                 if by_src:
                     staged.unpersist()
@@ -1442,14 +1437,9 @@ class Engine:
                                    F.expr(imap[c]).cast(schema[c].dataType)
                                    ).otherwise(e)
                 ins_cols.append(e.alias(c))
-            inserts = self._to_physical(anti.select(*ins_cols), tdef)
-            rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-            writer = inserts.write.mode("error")
-            if tdef.partition_by:
-                writer = writer.partitionBy(
-                    *[self._phys(tdef, c) for c in tdef.partition_by])
-            writer.parquet(self._abs(rel_dir))
-            ins_files = [f for f in self._collect_stats(rel_dir)
+            ins_files = [f for f in self._write_files(
+                             anti.select(*ins_cols), ns, tbl,
+                             tdef.partition_by, tdef=tdef)
                          if f.num_rows > 0]     # skip empty part files
             n_changed += sum(f.num_rows for f in ins_files)
             new_files += ins_files
@@ -1617,9 +1607,19 @@ class Engine:
             raise ValueError(f"no such column: {old}")
         if new in names:
             raise ValueError(f"column already exists: {new}")
+        other_physical = {self._phys(tdef, n) for n in names
+                          if n != old}
+        if new in other_physical:
+            raise ValueError(
+                f"column name {new} is the physical (pre-rename) name of "
+                f"another existing column; pick another name")
         mapping = dict(tdef.column_mapping)
-        # carry the ORIGINAL physical name through rename chains
-        mapping[new] = mapping.pop(old, old)
+        # carry the ORIGINAL physical name through rename chains; renaming
+        # BACK to the creation name drops the entry entirely (no identity
+        # mapping lingering on the fast path)
+        phys = mapping.pop(old, old)
+        if phys != new:
+            mapping[new] = phys
         tdef.column_mapping = mapping
         tdef.schema_json = T.StructType([
             T.StructField(new if f.name == old else f.name,
@@ -1647,9 +1647,17 @@ class Engine:
         self._require_native(tdef, name, "ALTER TABLE ADD COLUMNS")
         schema = tdef.spark_schema()
         existing = {f.name for f in schema.fields}
+        # a renamed column still physically OWNS its creation name inside
+        # every file — adding a column under that name would put two
+        # identical physical names in the read schema and brick all reads
+        physical = {self._phys(tdef, n) for n in existing}
         for f in columns.fields:
             if f.name in existing:
                 raise ValueError(f"column {f.name} already exists")
+            if f.name in physical:
+                raise ValueError(
+                    f"column name {f.name} is the physical (pre-rename) "
+                    f"name of an existing column; pick another name")
             schema = schema.add(f)
         tdef.schema_json = schema.json()
         self.catalog.alter_table(txn, ns, tbl, tdef,
@@ -1671,6 +1679,11 @@ class Engine:
             raise ValueError(f"no such columns: {sorted(missing)}")
         tdef.schema_json = T.StructType(
             [f for f in schema.fields if f.name not in column_names]).json()
+        # purge the dropped columns' mapping entries — a stale
+        # logical->physical entry would resurrect dropped data under a
+        # later re-added column of the same name
+        for c in column_names:
+            tdef.column_mapping.pop(c, None)
         self.catalog.alter_table(txn, ns, tbl, tdef,
                                  ActionType.TABLE_ALTER_REMOVE_COLUMNS,
                                  {"column_names": list(column_names)})
@@ -1712,21 +1725,14 @@ class Engine:
                           if f.size_bytes > 0)
         # ~128 MiB target files, at least 1
         n_out = int(target_files or max(1, total_bytes // (128 << 20)))
-        rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
         if zorder_by:
             df = self._zorder(df, tdef, zorder_by)
-            writer = (self._to_physical(
-                          df.repartitionByRange(n_out, F.col(_ZCOL))
-                          .sortWithinPartitions(_ZCOL).drop(_ZCOL), tdef)
-                      .write.mode("error"))
+            out_df = (df.repartitionByRange(n_out, F.col(_ZCOL))
+                      .sortWithinPartitions(_ZCOL).drop(_ZCOL))
         else:
-            writer = self._to_physical(
-                df.coalesce(n_out), tdef).write.mode("error")
-        if tdef.partition_by:
-            writer = writer.partitionBy(
-                *[self._phys(tdef, c) for c in tdef.partition_by])
-        writer.parquet(self._abs(rel_dir))
-        new_files = self._collect_stats(rel_dir)
+            out_df = df.coalesce(n_out)
+        new_files = self._write_files(out_df, ns, tbl, tdef.partition_by,
+                                      tdef=tdef)
         self.catalog.update_table_files(
             txn, ns, tbl, new_files, old_paths, ActionType.TABLE_UPDATE,
             {"added": [f.path for f in new_files], "removed": old_paths,

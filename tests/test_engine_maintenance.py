@@ -813,3 +813,48 @@ def test_candidate_files_pruning_soundness_property(engine, spark):
             assert any(h.endswith(a) for a in cand_abs), (predicate, h)
 
     check()
+
+
+def test_rename_column_schema_evolution_interactions(engine, spark):
+    """Round-5 review: column mapping must compose with CLONE, ADD/DROP
+    COLUMNS, rename-back, and the Iceberg export guard."""
+    engine.sql("CREATE TABLE ns1.mi (id BIGINT, amount BIGINT)")
+    engine.sql("INSERT INTO ns1.mi VALUES (1, 10), (2, 20)")
+    engine.sql("ALTER TABLE ns1.mi RENAME COLUMN amount TO total")
+    # clone shares files AND the mapping — renamed column reads its data
+    engine.sql("CREATE TABLE ns1.mic SHALLOW CLONE ns1.mi")
+    rows = {(r.id, r.total) for r in
+            engine.sql("SELECT id, total FROM ns1.mic").collect()}
+    assert rows == {(1, 10), (2, 20)}
+    # adding a column under a live PHYSICAL name is rejected
+    with pytest.raises(ValueError, match="physical"):
+        engine.sql("ALTER TABLE ns1.mi ADD COLUMNS (amount BIGINT)")
+    # dropping the renamed column purges its mapping; a re-added column
+    # of the same logical name starts NULL (never resurrects old data)
+    engine.sql("ALTER TABLE ns1.mi DROP COLUMNS (total)")
+    txn = engine.catalog.begin()
+    assert engine.catalog.describe_table(
+        txn, "ns1", "mi").column_mapping == {}
+    engine.sql("ALTER TABLE ns1.mi ADD COLUMNS (total BIGINT)")
+    vals = {r.total for r in
+            engine.sql("SELECT total FROM ns1.mi").collect()}
+    assert vals == {None}
+    # rename-back drops the identity entry (fast path restored)
+    engine.sql("CREATE TABLE ns1.mi2 (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.mi2 VALUES (1, 5)")
+    engine.sql("ALTER TABLE ns1.mi2 RENAME COLUMN v TO w")
+    engine.sql("ALTER TABLE ns1.mi2 RENAME COLUMN w TO v")
+    txn = engine.catalog.begin()
+    assert engine.catalog.describe_table(
+        txn, "ns1", "mi2").column_mapping == {}
+    assert engine.sql("SELECT CAST(SUM(v) AS BIGINT) AS s "
+                      "FROM ns1.mi2").first().s == 5
+    # Iceberg export refuses mapped tables instead of exporting a schema
+    # external readers would resolve as NULL
+    engine.sql("CREATE TABLE ns1.mi3 (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.mi3 VALUES (1, 5)")
+    engine.sql("ALTER TABLE ns1.mi3 RENAME COLUMN v TO w")
+    import tempfile
+    with pytest.raises(ValueError, match="renamed columns"):
+        engine.export_iceberg_table(
+            "ns1.mi3", tempfile.mkdtemp(prefix="ice_exp_"))
