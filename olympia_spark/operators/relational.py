@@ -94,9 +94,12 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
 GROUP BY n_name
 """)
 def b05(spark: SparkSession, sf: str) -> DataFrame:
-    """Multi-way star join. nation/region/supplier are broadcast-hinted —
-    at 100 TB the fact tables shuffle once on their join keys while the
-    dimensions replicate to every executor."""
+    """Multi-way star join. nation/region are constant-size and
+    broadcast-hinted; supplier scales with the corpus so it carries NO
+    forced hint — size estimation broadcasts it at fixture scale and
+    AQE keeps the choice honest at 100 TB. The fact tables shuffle once
+    on their join keys while the true dimensions replicate to every
+    executor."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
@@ -106,7 +109,7 @@ def b05(spark: SparkSession, sf: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(c, (o.o_custkey == c.c_custkey))
-            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
                   & (c.c_nationkey == s.s_nationkey))
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -1804,10 +1807,14 @@ def b72_q5(spark: SparkSession, sf: str) -> DataFrame:
     lineitem against orders plus the customer/supplier/nation/region
     dimension chain, with the classic local-supplier condition
     (c_nationkey = s_nationkey) that makes join ORDER matter. Declared
-    declaratively; at any scale region/nation/supplier broadcast
-    (plan-asserted), the customer⋈orders side shuffles on custkey, and
-    lineitem exchanges once on orderkey. Exact-decimal revenue keeps the
-    DESC ordering engine-stable."""
+    declaratively; nation/region are constant-size and carry forced
+    broadcast hints, while supplier — which SCALES with the corpus
+    (sf100 ≈ 1M rows, a 100 TB corpus ≈ 1B) — is left to the optimizer:
+    at fixture scale its size estimate broadcasts it (plan-asserted),
+    at cluster scale AQE keeps it on the shuffle side instead of OOMing
+    an executor with a forced hint. The customer⋈orders side shuffles
+    on custkey, and lineitem exchanges once on orderkey. Exact-decimal
+    revenue keeps the DESC ordering engine-stable."""
     c = load(spark, sf, "customer")
     o = (load(spark, sf, "orders")
          .filter("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
@@ -1818,7 +1825,7 @@ def b72_q5(spark: SparkSession, sf: str) -> DataFrame:
     r = load(spark, sf, "region").filter("r_name = 'ASIA'")
     return (c.join(o, c.c_custkey == o.o_custkey)
             .join(li, F.col("o_orderkey") == li.l_orderkey)
-            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
                   & (c.c_nationkey == s.s_nationkey))
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -1443,19 +1443,33 @@ def data_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     md5(epoch || ':' || doc_id), a pure function of (epoch, doc_id) that
     reshuffles completely between epochs yet replays bit-identically
     across runs, engines, partitionings, and restarts (resume an epoch
-    mid-way by filtering pos > checkpoint). One rank window per epoch —
-    at 100 TB the sort key is 32 hex chars and the window is the only
-    exchange; emitting the head of each epoch keeps the gate result
-    tiny while pinning the whole permutation (any hash/tiebreak drift
-    moves position 1..10)."""
-    d = load(spark, sf, "documents")
-    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
-    w = W.partitionBy("epoch").orderBy(
-        F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), "doc_id")
-    return (d.select("doc_id").crossJoin(F.broadcast(epochs))
-            .withColumn("pos", F.row_number().over(w))
-            .filter("pos <= 10")
-            .select("epoch", "pos", "doc_id")
+    mid-way by filtering pos > checkpoint). Scale design: a
+    `W.partitionBy(epoch)` rank window would sort the WHOLE corpus
+    inside n_epochs tasks (3 here) — a single-digit-task funnel at
+    100 TB. Instead each epoch's head is a TakeOrderedAndProject
+    (per-partition partial top-k, merged on the driver — fully
+    parallel, plan-asserted), and positions come from posexplode of the
+    sorted 10-element array — NO WindowExec anywhere in the plan. For
+    the full-permutation production use (materializing every position),
+    the same ordering is a range-partitioned global sort on
+    (epoch, md5key): orderBy("epoch", "k", "doc_id") plans
+    rangepartitioning across all tasks, and positions follow from
+    per-range offsets — never a per-epoch hash window."""
+    d = load(spark, sf, "documents").select("doc_id")
+    heads = []
+    for e in range(3):
+        k = F.md5(F.concat_ws(":", F.lit(e).cast("int"),
+                              F.col("doc_id")))
+        heads.append(d.select(F.lit(e).cast("int").alias("epoch"),
+                              k.alias("k"), "doc_id")
+                     .orderBy("k", "doc_id").limit(10))
+    u = heads[0].unionAll(heads[1]).unionAll(heads[2])
+    arr = (u.groupBy("epoch")
+           .agg(F.sort_array(F.collect_list(F.struct("k", "doc_id")))
+                .alias("a")))
+    return (arr.select("epoch", F.posexplode("a").alias("p", "s"))
+            .select("epoch", (F.col("p") + 1).alias("pos"),
+                    F.col("s.doc_id").alias("doc_id"))
             .orderBy("epoch", "pos"))
 
 
@@ -1478,19 +1492,37 @@ def data_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
     reproducibility contract as data_epoch_shuffle), then round-robin
     across sources by (within-source rank, source ordinal) so the
     training stream alternates domains instead of marching through one
-    source at a time. Two rank windows; the global position window is a
-    single ordered exchange of (rank, ordinal) pairs — at scale the
-    position is computed arithmetically (rank·n_sources + ordinal)
-    without the global window, same ordering by construction."""
+    source at a time. Scale design: the naive global-position
+    `ROW_NUMBER() OVER (ORDER BY r, src_ord)` funnels the whole corpus
+    through ONE task (Spark's "Moving all data to a single partition").
+    Instead the position is computed ARITHMETICALLY: broadcast the
+    per-source row counts (n_sources rows — a constant) and for each
+    row fold over them:
+        pos = 1 + Σ_s min(r-1, cnt_s)            -- full earlier rounds
+                + Σ_s [ord_s < src_ord ∧ cnt_s ≥ r]  -- same round, earlier src
+    which equals the rank under (r, src_ord) lexicographic order by
+    construction, including ragged sources that exhaust early. The plan
+    has per-source rank windows (partitioned — parallel across sources
+    and, at scale, range-split within one) and a broadcast of the count
+    array; no un-partitioned WindowExec anywhere (plan-asserted)."""
     d = load(spark, sf, "documents")
     wr = W.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
-    ranked = (d.select("source", "doc_id")
-              .withColumn("src_ord",
-                          F.substring("source", 4, 10).cast("int"))
-              .withColumn("r", F.row_number().over(wr)))
-    wp = W.orderBy("r", "src_ord")
-    return (ranked.withColumn("pos", F.row_number().over(wp))
+    base = (d.select("source", "doc_id")
+            .withColumn("src_ord",
+                        F.substring("source", 4, 10).cast("int")))
+    ranked = base.withColumn("r", F.row_number().over(wr))
+    counts = (base.groupBy("src_ord").agg(F.count("*").alias("cnt"))
+              .agg(F.sort_array(
+                  F.collect_list(F.struct("src_ord", "cnt"))).alias("srcs")))
+    rb = F.col("r").cast("bigint")
+    pos = F.aggregate(
+        F.col("srcs"), F.lit(1).cast("bigint"),
+        lambda acc, s: acc + F.least(rb - 1, s["cnt"])
+        + F.when((s["src_ord"] < F.col("src_ord"))
+                 & (s["cnt"] >= rb), 1).otherwise(0).cast("bigint"))
+    return (ranked.crossJoin(F.broadcast(counts))
+            .withColumn("pos", pos)
             .filter("pos <= 40")
             .select("pos", "source", "doc_id")
             .orderBy("pos"))

@@ -349,11 +349,41 @@ def test_token_budget_broadcasts_denominator(spark):
 
 
 def test_q5_shape_broadcasts_dimension_chain(spark):
-    """B72: supplier/nation/region must broadcast — the 6-way join's fact
-    side shuffles on its join keys only, never to meet a dimension."""
+    """B72: supplier/nation/region must broadcast at fixture scale —
+    the 6-way join's fact side shuffles on its join keys only, never to
+    meet a dimension. Supplier's broadcast comes from SIZE ESTIMATION,
+    not a forced hint (it scales with the corpus; a forced hint would
+    OOM at 100 TB) — the source asserts no F.broadcast on supplier."""
     plan = _plan(registry.QUERIES["b72_q5_shape"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan, plan
+    import inspect
+    from olympia_spark.operators import relational
+    src = inspect.getsource(relational.b72_q5)
+    assert "F.broadcast(s)" not in src, "supplier must not be force-broadcast"
+
+
+def test_epoch_shuffle_has_no_window(spark):
+    """C65: per-epoch heads come from TakeOrderedAndProject (parallel
+    partial top-k), never a WindowExec hash-partitioned on the 3-value
+    epoch key — that plan funnels the whole corpus into 3 tasks."""
+    plan = _plan(registry.QUERIES["data_epoch_shuffle"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_interleave_has_no_global_window(spark):
+    """C66: the global position is ARITHMETIC (fold over the broadcast
+    per-source count array), never `ROW_NUMBER() OVER (ORDER BY ...)`
+    with no partition key — Spark plans that as a single-partition
+    exchange ("Moving all data to a single partition")."""
+    df = registry.QUERIES["data_interleave_sources"](spark, SF)
+    plan = _plan(df)
+    # every Exchange must be hash/range-partitioned, never SinglePartition
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "SinglePartition" in ln:
+            raise AssertionError(f"single-partition exchange: {ln}\n{plan}")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_hot_shingle_cap_broadcast_anti_join(spark):
