@@ -582,21 +582,35 @@ class Catalog:
 
     # --- tags: named immutable version refs (A27 companion) -----------------
 
-    def _commit_catalog_def(self, payload: dict) -> None:
-        """Persist the (mutated) CatalogDef to a new def file and commit a
-        root pointing at it — the same write-def-then-commit sequence
-        export_snapshot uses (docs/format.md "Catalog Definition File")."""
+    def _commit_catalog_def(self, payload: dict, mutate) -> None:
+        """Apply ``mutate(properties)`` to a COPY of the CatalogDef
+        properties, persist the mutated CatalogDef to a new def file, and
+        commit a root pointing at it — the same write-def-then-commit
+        sequence export_snapshot uses (docs/format.md "Catalog Definition
+        File"). The in-memory CatalogDef and def-path cursor advance only
+        AFTER the commit succeeds, so a failed or conflicting commit
+        leaves this process's view equal to durable state (the orphaned
+        def file is inert — nothing points at it, GC may reclaim it)."""
+        new_props = dict(self.catalog_def.properties)
+        mutate(new_props)
+        prev_props = self.catalog_def.properties
         new_def_path = loc.new_catalog_def_path()
-        self.storage.write_atomic(new_def_path, to_json(self.catalog_def))
-        self.catalog_def_path = new_def_path
-        txn = self.begin()
+        self.catalog_def.properties = new_props
+        try:
+            self.storage.write_atomic(new_def_path, to_json(self.catalog_def))
+            txn = self.begin()
 
-        def op(t: Transaction) -> Action:
-            t.running_root.catalog_def_path = new_def_path
-            t.running_root.dirty = True
-            return Action(ActionType.NAMESPACE_ALTER, "catalog_def", payload)
-        txn.apply(op)
-        self.commit(txn)
+            def op(t: Transaction) -> Action:
+                t.running_root.catalog_def_path = new_def_path
+                t.running_root.dirty = True
+                return Action(ActionType.NAMESPACE_ALTER, "catalog_def",
+                              payload)
+            txn.apply(op)
+            self.commit(txn)
+        except BaseException:
+            self.catalog_def.properties = prev_props
+            raise
+        self.catalog_def_path = new_def_path
 
     def create_tag(self, name: str, version: int | None = None,
                    replace: bool = False) -> int:
@@ -616,16 +630,17 @@ class Catalog:
         key = f"tag.{name}"
         if key in self.catalog_def.properties and not replace:
             raise ValueError(f"tag already exists: {name}")
-        self.catalog_def.properties[key] = str(v)
-        self._commit_catalog_def({"create_tag": name, "version": str(v)})
+        self._commit_catalog_def(
+            {"create_tag": name, "version": str(v)},
+            lambda props: props.__setitem__(key, str(v)))
         return v
 
     def drop_tag(self, name: str) -> None:
         key = f"tag.{name}"
         if key not in self.catalog_def.properties:
             raise ObjectNotFoundError(f"tag {name}")
-        del self.catalog_def.properties[key]
-        self._commit_catalog_def({"drop_tag": name})
+        self._commit_catalog_def({"drop_tag": name},
+                                 lambda props: props.pop(key))
 
     def list_tags(self) -> dict:
         return {k[len("tag."):]: int(v)

@@ -92,6 +92,12 @@ class TableDef:
     # (physical) names forever; reads map physical->logical, writes map
     # logical->physical, stats lookups go through the mapping
     column_mapping: dict = field(default_factory=dict)
+    # PHYSICAL names of dropped columns whose bytes may still sit inside
+    # live data files. Name-based parquet resolution would silently bind
+    # a same-named ADD COLUMNS to that stale data (resurrection); these
+    # tombstones close the namespace: a physical name, once retired,
+    # never re-enters the logical schema
+    retired_columns: list = field(default_factory=list)
     # mirror of the reference pointer fields for format parity
     metadata_location: str = ""
     previous_metadata_location: str = ""

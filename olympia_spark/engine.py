@@ -35,6 +35,7 @@ produces.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import uuid
@@ -715,6 +716,9 @@ class Engine:
             # logical->physical column mapping too — without it a clone
             # of a renamed table reads the renamed column as all-NULL
             column_mapping=dict(sdef.column_mapping),
+            # shared files can also contain dropped-column bytes — the
+            # clone inherits the tombstones or it would resurrect them
+            retired_columns=list(sdef.retired_columns),
             properties={**sdef.properties,
                         "cloned_from": f"{source}"
                         + (f"@v{version}" if version is not None else "")}))
@@ -1136,8 +1140,13 @@ class Engine:
                               if f.num_rows > 0]
                 n_replaced -= sum(f.num_rows for f in new_files)
                 removed += matched
-        ins_files = self._write_files(df, ns, tbl, tdef.partition_by,
-                                      tdef=tdef)
+        # skip empty part files (same num_rows > 0 filter the merge insert
+        # path applies) — an empty/skewed source must not leave zero-row
+        # parquet files tracked in table metadata
+        ins_files = [f for f in self._write_files(df, ns, tbl,
+                                                  tdef.partition_by,
+                                                  tdef=tdef)
+                     if f.num_rows > 0]
         new_files += ins_files
         self.catalog.update_table_files(
             txn, ns, tbl, new_files, removed, ActionType.TABLE_UPDATE,
@@ -1372,6 +1381,7 @@ class Engine:
                         Window.partitionBy("_rid")
                         .orderBy(F.col("_action").desc())))
                     .filter("_rn = 1"))
+                persisted = None
                 if by_src:
                     # count clause-touched rows (the pruning semi-join was
                     # skipped). Persist: the count and the parquet write
@@ -1380,44 +1390,52 @@ class Engine:
                     # cardinality guard — map it to the documented error.
                     from pyspark import StorageLevel
                     staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+                    persisted = staged
+                try:
+                    if by_src:
+                        try:
+                            n_changed += staged.filter(
+                                "_action >= 0").count()
+                        except Exception as e:
+                            if "MERGE_CARDINALITY" in str(e):
+                                raise MergeCardinalityError(
+                                    "MERGE: a target row is matched by "
+                                    "more than one source row; deduplicate "
+                                    "the source on the join key") from e
+                            raise
+                    del_idx = [i for i, (_c, kind, _a) in
+                               enumerate(rw_clauses) if kind == "delete"]
+                    if del_idx:
+                        staged = staged.filter(
+                            ~F.col("_action").isin(del_idx))
+                    out_cols = []
+                    for c in cols:
+                        e = F.col(f"_t_{c}")
+                        for i, (_cond, kind, assigns) in enumerate(
+                                rw_clauses):
+                            if kind == "update" and c in assigns:
+                                e = F.when(F.col("_action") == i,
+                                           F.col(f"_u{i}_{c}")).otherwise(e)
+                        out_cols.append(e.alias(c))
                     try:
-                        n_changed += staged.filter(
-                            "_action >= 0").count()
-                    except Exception as e:
-                        staged.unpersist()
+                        new_files += self._write_files(
+                            staged.select(*out_cols), ns, tbl,
+                            tdef.partition_by, tdef=tdef)
+                    except Exception as e:  # surface the folded-in guard
                         if "MERGE_CARDINALITY" in str(e):
                             raise MergeCardinalityError(
                                 "MERGE: a target row is matched by more "
                                 "than one source row; deduplicate the "
                                 "source on the join key") from e
                         raise
-                del_idx = [i for i, (_c, kind, _a) in
-                           enumerate(rw_clauses) if kind == "delete"]
-                if del_idx:
-                    staged = staged.filter(~F.col("_action").isin(del_idx))
-                out_cols = []
-                for c in cols:
-                    e = F.col(f"_t_{c}")
-                    for i, (_cond, kind, assigns) in enumerate(
-                            rw_clauses):
-                        if kind == "update" and c in assigns:
-                            e = F.when(F.col("_action") == i,
-                                       F.col(f"_u{i}_{c}")).otherwise(e)
-                    out_cols.append(e.alias(c))
-                try:
-                    new_files += self._write_files(
-                        staged.select(*out_cols), ns, tbl,
-                        tdef.partition_by, tdef=tdef)
-                except Exception as e:  # surface the folded-in guard cleanly
-                    if "MERGE_CARDINALITY" in str(e):
-                        raise MergeCardinalityError(
-                            "MERGE: a target row is matched by more than "
-                            "one source row; deduplicate the source on the "
-                            "join key") from e
-                    raise
-                removed += matched
-                if by_src:
-                    staged.unpersist()
+                    removed += matched
+                finally:
+                    # unpersist the PERSISTED plan (staged gets reassigned
+                    # to derived children above) on every exit path — a
+                    # raised write would otherwise leak the block for the
+                    # life of the session
+                    if persisted is not None:
+                        persisted.unpersist()
         if not_matched_clauses:
             target_full = self._scan(tdef, all_paths).alias(target_alias)
             anti = src.join(target_full, F.expr(on), "left_anti")
@@ -1613,6 +1631,10 @@ class Engine:
             raise ValueError(
                 f"column name {new} is the physical (pre-rename) name of "
                 f"another existing column; pick another name")
+        if new in tdef.retired_columns:
+            raise ValueError(
+                f"column name {new} belonged to a dropped column whose "
+                f"data may survive in existing files; pick another name")
         mapping = dict(tdef.column_mapping)
         # carry the ORIGINAL physical name through rename chains; renaming
         # BACK to the creation name drops the entry entirely (no identity
@@ -1651,6 +1673,7 @@ class Engine:
         # every file — adding a column under that name would put two
         # identical physical names in the read schema and brick all reads
         physical = {self._phys(tdef, n) for n in existing}
+        retired = set(tdef.retired_columns)
         for f in columns.fields:
             if f.name in existing:
                 raise ValueError(f"column {f.name} already exists")
@@ -1658,6 +1681,14 @@ class Engine:
                 raise ValueError(
                     f"column name {f.name} is the physical (pre-rename) "
                     f"name of an existing column; pick another name")
+            if f.name in retired:
+                # live files still physically contain a DROPPED column of
+                # this name — name-based resolution would resurrect its
+                # old values instead of reading NULL
+                raise ValueError(
+                    f"column name {f.name} belonged to a dropped column "
+                    f"whose data may survive in existing files; pick "
+                    f"another name")
             schema = schema.add(f)
         tdef.schema_json = schema.json()
         self.catalog.alter_table(txn, ns, tbl, tdef,
@@ -1681,9 +1712,16 @@ class Engine:
             [f for f in schema.fields if f.name not in column_names]).json()
         # purge the dropped columns' mapping entries — a stale
         # logical->physical entry would resurrect dropped data under a
-        # later re-added column of the same name
+        # later re-added column of the same name — and RETIRE their
+        # physical names: live files still physically contain those
+        # bytes, so re-admitting the name (mapped or not) would bind a
+        # future column to the dropped column's old values
+        retired = set(tdef.retired_columns)
         for c in column_names:
-            tdef.column_mapping.pop(c, None)
+            phys = tdef.column_mapping.pop(c, c)
+            if phys not in retired:
+                retired.add(phys)
+                tdef.retired_columns.append(phys)
         self.catalog.alter_table(txn, ns, tbl, tdef,
                                  ActionType.TABLE_ALTER_REMOVE_COLUMNS,
                                  {"column_names": list(column_names)})
@@ -1769,7 +1807,15 @@ class Engine:
             [f"__zq_{i}" for i in range(k)], probs, 0.001)
         codes = []
         for c, col_bounds in zip(zorder_by, all_bounds):
-            bounds = sorted(set(col_bounds))
+            # NaN/inf quantile boundaries (a NaN-bearing double column
+            # puts NaN at the top ranks) would render as 'nanD'/'infD' —
+            # invalid SQL literals — and carry no binning information
+            # anyway; drop them before building the literal array
+            bounds = sorted({b for b in col_bounds
+                             if b is not None and math.isfinite(b)})
+            if not bounds:
+                codes.append(F.lit(0))
+                continue
             lits = ", ".join(f"{b!r}D" for b in bounds)
             # rank = #boundaries <= value (0..15); NULLs rank first (0)
             codes.append(F.expr(

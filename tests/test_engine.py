@@ -827,3 +827,51 @@ def test_replace_where_subquery_predicate_splits_correctly(engine):
     assert rows == {(9, "a"), (2, "b")}
     with pytest.raises(ValueError, match="no SELECT/VALUES payload"):
         engine.sql("INSERT OVERWRITE ns1.rws REPLACE WHERE grp = 'a'")
+
+
+def test_merge_by_source_unpersist_on_write_failure(engine, spark):
+    """Round-6 ADVICE: if the write stage raises after the by-source
+    count, the persisted staging block must still be released — a leak
+    lives for the whole session otherwise."""
+    engine.sql("CREATE TABLE ns1.bsl (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.bsl VALUES (1, 10), (2, 20)")
+    src = spark.createDataFrame([(1, 11)], "id long, v long")
+    real_write = engine._write_files
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected write failure")
+
+    engine._write_files = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            engine.merge("ns1.bsl", src, on="t.id = s.id",
+                         matched_clauses=[(None, "update", {"v": "s.v"})],
+                         not_matched_by_source_clauses=[
+                             (None, "delete", None)])
+    finally:
+        engine._write_files = real_write
+    # no cached RDD blocks left behind by the aborted merge
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+    # and a successful merge still works and unpersists
+    n = engine.merge("ns1.bsl", src, on="t.id = s.id",
+                     matched_clauses=[(None, "update", {"v": "s.v"})],
+                     not_matched_by_source_clauses=[(None, "delete", None)])
+    assert n == 2
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_replace_where_empty_source_tracks_no_zero_row_files(engine):
+    """Round-6 ADVICE: an insert side that writes no rows must not leave
+    zero-row parquet files in table metadata (file-list bloat)."""
+    engine.sql("CREATE TABLE ns1.rwz (id BIGINT, grp STRING)")
+    engine.sql("INSERT INTO ns1.rwz VALUES (1, 'a'), (2, 'b')")
+    engine.sql("INSERT OVERWRITE ns1.rwz REPLACE WHERE grp = 'a' "
+               "SELECT * FROM VALUES (9, 'a') AS x(id, grp) WHERE id < 0")
+    rows = {(r.id, r.grp) for r in
+            engine.sql("SELECT * FROM ns1.rwz").collect()}
+    assert rows == {(2, "b")}
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "rwz")
+    assert all(f.num_rows > 0 for f in tdef.data_files), \
+        [(f.path, f.num_rows) for f in tdef.data_files]

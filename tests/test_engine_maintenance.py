@@ -858,3 +858,57 @@ def test_rename_column_schema_evolution_interactions(engine, spark):
     with pytest.raises(ValueError, match="renamed columns"):
         engine.export_iceberg_table(
             "ns1.mi3", tempfile.mkdtemp(prefix="ice_exp_"))
+
+
+def test_retired_physical_names_never_resurrect(engine):
+    """Round-6 ADVICE: after RENAME a->b then DROP b, the physical name
+    'a' still owns bytes inside every existing parquet file. Re-adding a
+    column named 'a' (or renaming another column to 'a') would bind that
+    stale data via name-based resolution — the tombstone list must
+    reject BOTH, on the table and on any clone sharing its files."""
+    engine.sql("CREATE TABLE ns1.rt (id BIGINT, a BIGINT)")
+    engine.sql("INSERT INTO ns1.rt VALUES (0, 100), (1, 101), (2, 102)")
+    engine.sql("ALTER TABLE ns1.rt RENAME COLUMN a TO b")
+    engine.sql("ALTER TABLE ns1.rt DROP COLUMNS (b)")
+    # the resurrection path: ADD COLUMNS (a) would read 100/101/102
+    with pytest.raises(ValueError, match="dropped column"):
+        engine.sql("ALTER TABLE ns1.rt ADD COLUMNS (a BIGINT)")
+    # renaming a live column onto the retired name is rejected too
+    with pytest.raises(ValueError, match="dropped column"):
+        engine.sql("ALTER TABLE ns1.rt RENAME COLUMN id TO a")
+    # the same hole exists WITHOUT any rename: drop unmapped, re-add
+    engine.sql("CREATE TABLE ns1.rt2 (id BIGINT, x BIGINT)")
+    engine.sql("INSERT INTO ns1.rt2 VALUES (0, 7)")
+    engine.sql("ALTER TABLE ns1.rt2 DROP COLUMNS (x)")
+    with pytest.raises(ValueError, match="dropped column"):
+        engine.sql("ALTER TABLE ns1.rt2 ADD COLUMNS (x STRING)")
+    # a fresh name works and reads NULL
+    engine.sql("ALTER TABLE ns1.rt2 ADD COLUMNS (x2 STRING)")
+    assert {r.x2 for r in
+            engine.sql("SELECT x2 FROM ns1.rt2").collect()} == {None}
+    # clones share the files, so they inherit the tombstones
+    engine.sql("CREATE TABLE ns1.rtc SHALLOW CLONE ns1.rt")
+    with pytest.raises(ValueError, match="dropped column"):
+        engine.sql("ALTER TABLE ns1.rtc ADD COLUMNS (a BIGINT)")
+
+
+def test_zorder_tolerates_nan_values(engine, spark):
+    """Round-6 ADVICE: NaN quantile boundaries would render as 'nanD' —
+    an invalid SQL literal — so OPTIMIZE ... ZORDER BY on a NaN-bearing
+    double column must filter them and still cluster the finite range."""
+    engine.sql("CREATE TABLE ns1.zn (id BIGINT, x DOUBLE)")
+    engine.sql("INSERT INTO ns1.zn SELECT id, "
+               "IF(id % 7 = 0, CAST('NaN' AS DOUBLE), CAST(id AS DOUBLE)) "
+               "FROM RANGE(200)")
+    engine.sql("INSERT INTO ns1.zn VALUES (1000, CAST('NaN' AS DOUBLE))")
+    n = engine.compact_table("ns1.zn", min_files=1, zorder_by=["x"],
+                             target_files=4)
+    assert n >= 1
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.zn").first().n == 201
+    # all-NaN column degrades to a constant code but still succeeds
+    engine.sql("CREATE TABLE ns1.zn2 (id BIGINT, x DOUBLE)")
+    engine.sql("INSERT INTO ns1.zn2 SELECT id, CAST('NaN' AS DOUBLE) "
+               "FROM RANGE(50)")
+    engine.compact_table("ns1.zn2", min_files=1, zorder_by=["x"],
+                         target_files=2)
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.zn2").first().n == 50

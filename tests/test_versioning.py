@@ -205,3 +205,47 @@ def test_tags_lifecycle_and_time_travel(spark, tmp_path):
         eng.catalog.resolve_tag("v_old")
     with pytest.raises(ValueError, match="does not exist|expired"):
         eng.catalog.create_tag("bad", version=99)
+
+
+def test_tag_commit_failure_rolls_back_memory(spark, tmp_path):
+    """Round-6 ADVICE: a failed/conflicting tag commit must leave the
+    in-memory CatalogDef (and def-path cursor) equal to durable state —
+    no phantom tag, no advanced def pointer, and the next attempt works."""
+    from olympia_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE ns1")
+    eng.sql("CREATE TABLE ns1.t (id BIGINT)")
+    eng.sql("INSERT INTO ns1.t VALUES (1)")
+    cat = eng.catalog
+    path_before = cat.catalog_def_path
+    props_before = dict(cat.catalog_def.properties)
+
+    real_commit = cat.commit
+
+    def boom(txn):
+        raise RuntimeError("injected commit failure")
+
+    cat.commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            cat.create_tag("ghost")
+    finally:
+        cat.commit = real_commit
+    assert cat.catalog_def.properties == props_before
+    assert cat.catalog_def_path == path_before
+    assert "ghost" not in cat.list_tags()
+    # durable state agrees: a fresh engine sees no tag either
+    eng2 = Engine(spark, str(tmp_path / "wh"))
+    assert "ghost" not in eng2.catalog.list_tags()
+    # drop_tag failure likewise keeps the tag visible
+    v = cat.create_tag("kept")
+    cat.commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            cat.drop_tag("kept")
+    finally:
+        cat.commit = real_commit
+    assert cat.list_tags() == {"kept": v}
+    cat.drop_tag("kept")
+    assert cat.list_tags() == {}
