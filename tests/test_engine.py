@@ -415,16 +415,17 @@ def test_schema_bound_view_enforces_recorded_schema(engine, spark):
                        schema_binding=True)
     assert engine.read_view("ns1.v_bound").schema["x"].dataType \
         == T.LongType()
-    # compatible drift: x narrows to INT underneath → view casts back
-    engine.drop_columns("ns1.vb", ["x"])
-    engine.add_columns("ns1.vb", T.StructType(
-        [T.StructField("x", T.IntegerType())]))
+    # compatible drift: x narrows to INT underneath → view casts back.
+    # (REPLACE, not drop/re-add: a re-added name is rejected now — the
+    # retired-physical-name tombstones — so drift arrives via a table
+    # replacement, which starts a fresh physical namespace.)
+    engine.sql("CREATE OR REPLACE TABLE ns1.vb (x INT, y STRING)")
+    engine.sql("INSERT INTO ns1.vb VALUES (5, 'b')")
     out = engine.read_view("ns1.v_bound")
     assert out.schema["x"].dataType == T.LongType()
+    assert {(r.x, r.y) for r in out.collect()} == {(5, "b")}
     # structural drift: y disappears → bound view read errors
-    engine.drop_columns("ns1.vb", ["y"])
-    engine.add_columns("ns1.vb", T.StructType(
-        [T.StructField("z", T.StringType())]))
+    engine.sql("CREATE OR REPLACE TABLE ns1.vb (x INT, z STRING)")
     with pytest.raises(Exception):
         engine.read_view("ns1.v_bound").collect()
     # an unbound view over the same table just reflects the new shape
@@ -508,9 +509,7 @@ def test_schema_bound_view_incompatible_type_drift_raises(engine, spark):
     engine.sql("INSERT INTO ns1.vt VALUES (1)")
     engine.create_view("ns1.v_typed", "SELECT x FROM ns1.vt",
                        schema_binding=True)
-    engine.drop_columns("ns1.vt", ["x"])
-    engine.add_columns("ns1.vt", T.StructType(
-        [T.StructField("x", T.StringType())]))
+    engine.sql("CREATE OR REPLACE TABLE ns1.vt (x STRING)")
     with pytest.raises(ValueError, match="not losslessly castable"):
         engine.read_view("ns1.v_typed")
 
