@@ -81,7 +81,7 @@ class Catalog:
                    else storage_for(location))
         tree = Tree(storage)
         root = tree.load_latest_root()
-        cdef = from_json(storage.read(root.catalog_def_path))
+        cdef = from_json(storage.read_cached(root.catalog_def_path))
         tree.order = cdef.order
         return cls(storage, cdef, root.catalog_def_path)
 
@@ -158,7 +158,7 @@ class Catalog:
         path = self.tree.search(txn.running_root, key)
         if path is None:
             raise ObjectNotFoundError(f"namespace {ns}")
-        return from_json(self.storage.read(path))
+        return from_json(self.storage.read_cached(path))
 
     def create_namespace(self, txn: Transaction, ns: str,
                          properties: dict | None = None) -> None:
@@ -185,7 +185,7 @@ class Catalog:
             cur_path = self.tree.search(t.running_root, key)
             if cur_path is None:
                 raise ObjectNotFoundError(f"namespace {ns}")
-            cur: NamespaceDef = from_json(self.storage.read(cur_path))
+            cur: NamespaceDef = from_json(self.storage.read_cached(cur_path))
             cur.properties = dict(properties)
             def_path = loc.new_namespace_def_path(ns)
             self.storage.write_atomic(def_path, to_json(cur))
@@ -261,7 +261,7 @@ class Catalog:
         path = self.tree.search(txn.running_root, key)
         if path is None:
             raise ObjectNotFoundError(f"table {ns}.{tbl}")
-        return from_json(self.storage.read(path))
+        return from_json(self.storage.read_cached(path))
 
     def create_table(self, txn: Transaction, ns: str, tbl: str,
                      table_def: TableDef) -> None:
@@ -313,7 +313,7 @@ class Catalog:
             cur_path = self.tree.search(t.running_root, key)
             if cur_path is None:
                 raise ObjectNotFoundError(f"table {ns}.{tbl}")
-            cur: TableDef = from_json(self.storage.read(cur_path))
+            cur: TableDef = from_json(self.storage.read_cached(cur_path))
             removed = set(remove_paths)
             cur.data_files = ([f for f in cur.data_files
                                if f.path not in removed] + list(add_files))
@@ -396,7 +396,7 @@ class Catalog:
         path = self.tree.search(txn.running_root, key)
         if path is None:
             raise ObjectNotFoundError(f"view {ns}.{view}")
-        return from_json(self.storage.read(path))
+        return from_json(self.storage.read_cached(path))
 
     def create_view(self, txn: Transaction, ns: str, view: str,
                     view_def: ViewDef, replace: bool = False) -> None:
@@ -514,7 +514,7 @@ class Catalog:
             # the same bytes, so a re-export (incremental refresh of the
             # same destination) skips it instead of failing the seal
             if not dest_storage.exists(path):
-                dest_storage.write_atomic(path, self.storage.read(path))
+                dest_storage.write_atomic(path, self.storage.read_cached(path))
 
         latest = self.tree.load_latest_root()
         root = (latest if version is None
@@ -670,7 +670,7 @@ class Catalog:
                 cur_path = self.tree.search(t.running_root, key)
                 if cur_path is None:
                     raise ObjectNotFoundError(key)
-                cur: TableDef = from_json(self.storage.read(cur_path))
+                cur: TableDef = from_json(self.storage.read_cached(cur_path))
                 have = {f.path for f in cur.data_files}
                 full = {e["path"]: e for e in
                         action.def_payload.get("added_files", [])}

@@ -142,45 +142,59 @@ def _manifest_paths(snapshot: dict) -> list[tuple[str, int]]:
     return [(p, 0) for p in snapshot.get("manifests", [])]
 
 
-def live_data_files(snapshot: dict) -> list[dict]:
-    """Walk the snapshot's manifests and return its live data files as
-    dicts with file_path / record_count / file_size_in_bytes / partition.
+def live_files(snapshot: dict) -> tuple[list[dict], list[dict]]:
+    """Walk the snapshot's manifests and return ``(data_files,
+    delete_files)`` as dicts with file_path / record_count /
+    file_size_in_bytes / partition (+ ``content`` on delete files:
+    1 = position deletes, 2 = equality deletes).
 
     Spec semantics: manifest entries with status 0 (EXISTING) or
     1 (ADDED) are live in the snapshot; status 2 (DELETED) records a
-    removal and is excluded. A DELETE-content manifest (content=1 in the
-    manifest list) with any live entry means merge-on-read state we do
-    not implement — refuse rather than return wrong rows."""
-    out = []
+    removal and is excluded. Delete files appear in DELETE-content
+    manifests (content=1 in the manifest list) or with a non-zero
+    ``content`` field on the file itself (spec "Manifests": 1 position
+    deletes, 2 equality deletes)."""
+    data: list[dict] = []
+    deletes: list[dict] = []
     for path, content in _manifest_paths(snapshot):
         _, entries = avro_io.read_ocf(_read_bytes(path))
         live = [e for e in entries if e.get("status", 1) in (0, 1)]
-        if content == 1:
-            if live:
-                raise ValueError(
-                    "iceberg table has live delete files (merge-on-read); "
-                    "adoption supports copy-on-write tables only — "
-                    "rewrite/compact the table to remove deletes first")
-            continue
         for e in live:
             df = e["data_file"]
-            if (df.get("content") or 0) != 0:
-                raise ValueError(
-                    "delete data file in a data manifest; merge-on-read "
-                    "tables are not supported by adoption")
             fmt = str(df.get("file_format", "")).upper()
             if fmt != "PARQUET":
                 raise ValueError(
                     f"unsupported iceberg data file format {fmt!r} "
                     f"(parquet-native engine)")
-            out.append({
+            fcontent = int(df.get("content") or 0)
+            rec = {
                 "file_path": _local_path(df["file_path"]),
                 "record_count": int(df.get("record_count") or -1),
                 "file_size_in_bytes": int(df.get("file_size_in_bytes")
                                           or -1),
                 "partition": df.get("partition") or {},
-            })
-    return out
+            }
+            if content == 1 or fcontent != 0:
+                # a delete manifest entry defaults to position deletes
+                # when the file record predates the content field
+                rec["content"] = fcontent or 1
+                deletes.append(rec)
+            else:
+                data.append(rec)
+    return data, deletes
+
+
+def live_data_files(snapshot: dict) -> list[dict]:
+    """Copy-on-write view of :func:`live_files`: returns the data files
+    and refuses any snapshot carrying live delete files — callers that
+    cannot apply merge-on-read deletes must not resurrect deleted rows."""
+    data, deletes = live_files(snapshot)
+    if deletes:
+        raise ValueError(
+            "iceberg table has live delete files (merge-on-read); "
+            "this path supports copy-on-write tables only — "
+            "rewrite/compact the table to remove deletes first")
+    return data
 
 
 # --- export: native table → Iceberg metadata (the reverse bridge) ----------
@@ -349,7 +363,11 @@ def export_iceberg_metadata(
             "sequence_number": 1, "file_sequence_number": 1,
             "data_file": {
                 "content": 0,
-                "file_path": os.path.abspath(f.path),
+                # object-store data files arrive as full URIs (s3://...)
+                # and must be recorded verbatim — abspath would mangle
+                # the scheme by prefixing the cwd
+                "file_path": (f.path if "://" in f.path
+                              else os.path.abspath(f.path)),
                 "file_format": "PARQUET",
                 "partition": part,
                 "record_count": max(int(f.num_rows), 0),

@@ -22,13 +22,23 @@ storage owns the root prefix.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+import uuid as _uuid
 from abc import ABC, abstractmethod
 from collections.abc import Iterator
 
 from olympia_spark.catalog.errors import (StorageAtomicSealFailureError,
                                           StorageFileOpenFailureError,
                                           StorageWriteFailureError)
+
+# path prefixes whose objects are IMMUTABLE once written (content lives at
+# a unique uuid/version path, only ever deleted, never rewritten) — the
+# set read_cached may serve from a local cache. vn/ roots are immutable
+# too but are excluded: expire_versions deletes them and a cache hit on
+# an expired root would resurrect a version the guards already refused.
+_IMMUTABLE_PREFIXES = ("node/", "def/")
 
 
 class Storage(ABC):
@@ -58,6 +68,31 @@ class Storage(ABC):
     @abstractmethod
     def list(self, prefix: str) -> Iterator[str]:
         """Yield paths (relative) sharing the prefix."""
+
+    # --- data-plane helpers (default pass-throughs) -------------------------
+
+    def read_cached(self, path: str) -> bytes:
+        """Read an IMMUTABLE object, possibly via a local cache (reference
+        S3StorageOps.java:110-117 prepareToReadLocal — tree nodes are
+        downloaded to local temp before random-access reads). Mutable
+        paths (version hints) must use plain :meth:`read`."""
+        return self.read(path)
+
+    def get_to_file(self, path: str, local_path: str) -> None:
+        """Download one object to a local file (atomic: temp + rename)."""
+        data = self.read(path)
+        os.makedirs(os.path.dirname(local_path), exist_ok=True)
+        tmp = f"{local_path}.{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, local_path)
+
+    def put_from_file(self, path: str, local_path: str) -> None:
+        """Upload one local file to an object (plain put — data file paths
+        are uuid-unique so no seal is needed; reference
+        S3AtomicOutputStream.java writes local then uploads on close)."""
+        with open(local_path, "rb") as f:
+            self.overwrite(path, f.read())
 
 
 class LocalStorage(Storage):
@@ -125,7 +160,8 @@ class S3Storage(Storage):
     one-winner semantic (reference S3AtomicOutputStream.java:42-47).
     """
 
-    def __init__(self, bucket: str, prefix: str, client=None):
+    def __init__(self, bucket: str, prefix: str, client=None,
+                 cache_dir: str | None = None):
         if client is None:
             try:
                 import boto3  # noqa: PLC0415 — optional dependency
@@ -135,6 +171,27 @@ class S3Storage(Storage):
         self._s3 = client
         self.bucket = bucket
         self.root = prefix.strip("/")
+        # read-local cache for immutable objects (node/def files) —
+        # reference S3StorageOps.prepareToReadLocal. Keyed by warehouse
+        # so two catalogs on one box never share entries; safe across
+        # processes because cached paths are immutable and the file
+        # appears atomically (temp + rename).
+        digest = hashlib.sha1(
+            f"s3://{bucket}/{self.root}".encode()).hexdigest()[:16]
+        self.cache_dir = cache_dir or os.path.join(
+            tempfile.gettempdir(), "olympia-spark-s3cache", digest)
+
+    def local_cache_path(self, path: str) -> str:
+        return os.path.join(self.cache_dir, path)
+
+    def read_cached(self, path: str) -> bytes:
+        if not path.startswith(_IMMUTABLE_PREFIXES):
+            return self.read(path)
+        local = self.local_cache_path(path)
+        if not os.path.exists(local):
+            self.get_to_file(path, local)
+        with open(local, "rb") as f:
+            return f.read()
 
     def _key(self, path: str) -> str:
         return f"{self.root}/{path}" if self.root else path
@@ -168,6 +225,10 @@ class S3Storage(Storage):
 
     def delete(self, path: str) -> None:
         self._s3.delete_object(Bucket=self.bucket, Key=self._key(path))
+        try:                     # drop any read-local cache copy with it
+            os.remove(self.local_cache_path(path))
+        except OSError:
+            pass
 
     def list(self, prefix: str) -> Iterator[str]:
         paginator = self._s3.get_paginator("list_objects_v2")

@@ -198,7 +198,7 @@ class Tree:
     # --- node file I/O ------------------------------------------------------
 
     def _read_table(self, path: str) -> pa.Table:
-        raw = self.storage.read(path)
+        raw = self.storage.read_cached(path)
         return (pa_ipc.open_file(io.BytesIO(raw)).read_all()
                 .combine_chunks())
 

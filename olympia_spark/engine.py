@@ -372,16 +372,28 @@ class Engine:
 
     def __init__(self, spark: SparkSession, warehouse: str,
                  isolation_level: str | None = None):
-        if str(warehouse).startswith("s3://"):
-            # the catalog layer speaks S3 (storage.py), but the engine's
-            # data-file paths (write/stats/scan) are currently
-            # local-filesystem — fail loudly instead of half-working
-            raise NotImplementedError(
-                "Engine data plane requires a local/posix warehouse; "
-                "S3 warehouses are catalog-layer only for now")
         self.spark = spark
         self.catalog = (Catalog.load(warehouse) if Catalog.exists(warehouse)
                         else Catalog.create(warehouse))
+        # Object-store data plane (s3:// warehouses): every data-file
+        # byte moves through the SAME Storage abstraction the catalog
+        # uses (boto3-backed, moto-testable) with a local spool/cache —
+        # exactly the reference's architecture (writes:
+        # S3AtomicOutputStream.java:42-47 spools locally and uploads on
+        # close; reads: S3StorageOps.java:110-117 prepareToReadLocal).
+        # Data files are immutable at uuid-unique paths, so the cache
+        # never needs invalidation. On a cluster with hadoop-aws on the
+        # JVM classpath you would instead hand Spark s3a:// URIs
+        # directly (executors stream the object store in parallel);
+        # this container has no S3 filesystem jar, so the spool path is
+        # the honest, fully-tested lane and the direct lane is the
+        # documented production configuration.
+        from olympia_spark.catalog.storage import LocalStorage
+        self._object_store = not isinstance(self.catalog.storage,
+                                            LocalStorage)
+        self._local_root = (self.catalog.storage.cache_dir
+                            if self._object_store
+                            else self.catalog.storage.root)
         self.isolation_level = (isolation_level
                                 or self.catalog.catalog_def.txn_isolation_level)
         self.current_txn: Transaction | None = None
@@ -425,7 +437,63 @@ class Engine:
     # --- table I/O ----------------------------------------------------------
 
     def _abs(self, rel: str) -> str:
-        return os.path.join(self.catalog.storage.root, rel)
+        """The LOCAL materialization path of a warehouse-relative data
+        path: the warehouse directory itself for posix warehouses, the
+        read-local cache location for object-store warehouses (where the
+        authoritative copy lives at the storage key ``rel``). External
+        tables store absolute paths, which pass through unchanged
+        (os.path.join drops the root when ``rel`` is absolute)."""
+        return os.path.join(self._local_root, rel)
+
+    def _ensure_local(self, rel_paths: list[str]) -> list[str]:
+        """Materialize data files locally for a Spark scan and return
+        their local paths. Posix warehouses: identity. Object stores:
+        download cache-missing files in parallel (atomic temp+rename per
+        file, so concurrent engines share the cache safely); files just
+        written by this engine are already cache-resident, so the hot
+        read-your-writes path costs zero GETs."""
+        if not self._object_store:
+            return [self._abs(p) for p in rel_paths]
+        storage = self.catalog.storage
+        missing = [p for p in rel_paths
+                   if not os.path.isabs(p)
+                   and not os.path.exists(self._abs(p))]
+        if missing:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(16, len(missing))) \
+                    as pool:
+                list(pool.map(
+                    lambda p: storage.get_to_file(p, self._abs(p)),
+                    missing))
+        return [self._abs(p) for p in rel_paths]
+
+    def _data_uri(self, rel: str) -> str:
+        """The AUTHORITATIVE URI of a data file — what external readers
+        (Iceberg metadata exports) should record: the s3:// object URI
+        for object-store warehouses, the absolute local path otherwise."""
+        if self._object_store and not os.path.isabs(rel):
+            s = self.catalog.storage
+            key = f"{s.root}/{rel}" if s.root else rel
+            return f"s3://{s.bucket}/{key}"
+        return self._abs(rel)
+
+    def _data_exists(self, rel: str) -> bool:
+        """Authoritative existence of a data file — the object store is
+        consulted (never the cache: VACUUM may have deleted the object
+        while a cache copy lingers, and trusting it would let RESTORE
+        'succeed' into a table other machines cannot read)."""
+        if self._object_store and not os.path.isabs(rel):
+            return self.catalog.storage.exists(rel)
+        return os.path.exists(self._abs(rel))
+
+    def _delete_data_file(self, rel: str) -> None:
+        """Remove a data file from the warehouse AND the local cache."""
+        self.catalog.storage.delete(rel)
+        if self._object_store:
+            try:
+                os.remove(self._abs(rel))
+            except FileNotFoundError:
+                pass
 
     def _record_select(self, txn: Transaction, ns: str, tbl: str,
                        columns: list[str], predicate: str = "") -> None:
@@ -526,13 +594,14 @@ class Engine:
                     for k, v in tdef.properties.items()
                     if k.startswith("read.option.")}
             reader = self.spark.read.schema(schema).options(**opts)
-            paths = [self._abs(p) for p in rel_paths]
+            paths = self._ensure_local(rel_paths)
             return (reader.csv(paths) if tdef.format == "CSV"
                     else reader.json(paths))
         if not tdef.partition_by:
             return self._to_logical(
                 self.spark.read.schema(phys).parquet(
-                    *[self._abs(p) for p in rel_paths]), tdef)
+                    *self._ensure_local(rel_paths)), tdef)
+        self._ensure_local(rel_paths)   # one parallel download for all
         groups: dict[str, list[str]] = {}
         for p in rel_paths:
             # data/ns/tbl/<uuid>/col=val/.../file.parquet → base is the
@@ -644,7 +713,12 @@ class Engine:
         meta = il.load_table_metadata(mloc)
         schema = il.iceberg_schema_to_spark(il.current_schema(meta))
         snapshot = il.select_snapshot(meta, snapshot_id)
-        entries = il.live_data_files(snapshot) if snapshot else []
+        entries, deletes = (il.live_files(snapshot) if snapshot
+                            else ([], []))
+        if deletes:
+            return self._adopt_with_position_deletes(
+                name, mloc, meta, snapshot, schema, entries, deletes,
+                as_native=as_native)
 
         # identity-transform partition values become [v, v] file stats so
         # the catalog's predicate pruning works on adopted files too —
@@ -689,6 +763,71 @@ class Engine:
         self.catalog.update_table_files(
             txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
             {"added": [f.path for f in files], "adopted_from": mloc})
+        self._finish(txn)
+        return len(files)
+
+    def _adopt_with_position_deletes(self, name: str, mloc: str,
+                                     meta: dict, snapshot: dict,
+                                     schema: T.StructType,
+                                     entries: list, deletes: list, *,
+                                     as_native: bool) -> int:
+        """Merge-on-read (Iceberg v2) adoption: POSITION deletes are
+        applied at adoption time by materializing the net rows — a
+        distributed anti-join of the data scan (with the parquet
+        ``_metadata.file_path`` / ``_metadata.row_index`` hidden
+        columns) against the delete-file (file_path, pos) pairs, then a
+        CTAS into engine-owned files. The Iceberg originals are left
+        untouched for the old catalog; the spec's per-read merge
+        obligation is discharged ONCE here instead of on every scan
+        (the reference's host Iceberg 1.8.1 merges per read —
+        spark/v3.5/build.gradle:38). Equality deletes (content=2) need
+        per-row predicate evaluation against mutable key sets and are
+        refused — most real estates carry only position deletes."""
+        if any(d["content"] == 2 for d in deletes):
+            raise ValueError(
+                "iceberg table has EQUALITY delete files; adoption "
+                "applies position deletes only — rewrite/compact the "
+                "table to remove equality deletes first")
+        data_paths = [e["file_path"] for e in entries]
+        del_paths = [d["file_path"] for d in deletes]
+
+        # both sides normalize to a plain path (the data scan emits
+        # file:-scheme URIs; delete files record whatever URI form the
+        # writer used — spec requires it to match the manifest entry)
+        def norm(col):
+            return F.regexp_replace(col, "^file:/+", "/")
+
+        src = (self.spark.read.schema(schema).parquet(*data_paths)
+               .select("*",
+                       norm(F.col("_metadata.file_path")).alias("__fp"),
+                       F.col("_metadata.row_index").alias("__pos")))
+        dels = (self.spark.read.parquet(*del_paths)
+                .select(norm(F.col("file_path")).alias("__fp"),
+                        F.col("pos").alias("__pos")))
+        net = (src.join(dels, ["__fp", "__pos"], "left_anti")
+               .drop("__fp", "__pos"))
+        prev = ""
+        if meta.get("metadata-log"):
+            prev = meta["metadata-log"][-1].get("metadata-file", "")
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        self.catalog.create_table(txn, ns, tbl, TableDef(
+            format="PARQUET" if as_native else "ICEBERG",
+            schema_json=schema.json(),
+            metadata_location=mloc,
+            previous_metadata_location=prev,
+            properties={
+                "iceberg.format-version": str(meta["format-version"]),
+                "iceberg.snapshot-id": str(
+                    snapshot.get("snapshot-id", "")),
+                "iceberg.table-uuid": meta.get("table-uuid", ""),
+                "iceberg.position-deletes-applied": str(len(deletes)),
+            }))
+        files = self._write_files(net, ns, tbl, [])
+        self.catalog.update_table_files(
+            txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
+            {"added": [f.path for f in files], "adopted_from": mloc,
+             "position_deletes_applied": del_paths})
         self._finish(txn)
         return len(files)
 
@@ -752,7 +891,7 @@ class Engine:
                 f"exists (expired by expire_versions)") from None
         self._require_native(old, name, "RESTORE")
         missing = [f.path for f in old.data_files
-                   if not os.path.exists(self._abs(f.path))]
+                   if not self._data_exists(f.path)]
         if missing:
             raise ValueError(
                 f"RESTORE {name} TO VERSION {version}: {len(missing)} "
@@ -851,7 +990,7 @@ class Engine:
                 "physical names and carry no Iceberg field ids, so an "
                 "external reader would resolve the renamed columns as "
                 "NULL; materialize with CTAS first")
-        files = [DataFile(path=self._abs(f.path), num_rows=f.num_rows,
+        files = [DataFile(path=self._data_uri(f.path), num_rows=f.num_rows,
                           size_bytes=f.size_bytes)
                  for f in tdef.data_files]
         return il.export_iceberg_metadata(
@@ -904,22 +1043,39 @@ class Engine:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_dir)
-        return self._collect_stats(rel_dir)
+        files = self._collect_stats(rel_dir)
+        if self._object_store:
+            # the executors spooled into the read-local cache dir (the
+            # reference's S3AtomicOutputStream pattern: write local,
+            # upload on close); publish every part file to the object
+            # store in parallel. The local copies stay — they ARE the
+            # read cache, so read-your-writes costs zero GETs.
+            from concurrent.futures import ThreadPoolExecutor
+            storage = self.catalog.storage
+            with ThreadPoolExecutor(
+                    max_workers=min(16, max(1, len(files)))) as pool:
+                list(pool.map(
+                    lambda f: storage.put_from_file(f.path,
+                                                    self._abs(f.path)),
+                    files))
+        return files
 
     def _collect_stats(self, rel_dir: str) -> list[DataFile]:
         """Per-file rows/bytes/min-max from parquet footers (driver-side,
-        footer-only I/O) — the stats that make DML file pruning work.
-        Hive partition path segments (col=val) become exact [v, v] stats,
-        so partition columns prune through the same mechanism."""
+        footer-only I/O, thread-pooled — a 10k-file write reads footers
+        concurrently instead of serializing) — the stats that make DML
+        file pruning work. Hive partition path segments (col=val) become
+        exact [v, v] stats, so partition columns prune through the same
+        mechanism."""
         import pyarrow.parquet as pq
-        out = []
         abs_dir = self._abs(rel_dir)
         files = []
         for root, _dirs, names in os.walk(abs_dir):
             for fname in names:
                 if fname.endswith(".parquet"):
                     files.append(os.path.join(root, fname))
-        for fpath in sorted(files):
+
+        def one(fpath: str) -> DataFile:
             fname = os.path.relpath(fpath, abs_dir)
             md = pq.ParquetFile(fpath).metadata
             stats: dict = {}
@@ -954,10 +1110,15 @@ class Engine:
                         except ValueError:
                             pass
                     stats[col] = [v, v]
-            out.append(DataFile(
+            return DataFile(
                 path=f"{rel_dir}/{fname}", num_rows=md.num_rows,
-                size_bytes=os.path.getsize(fpath), stats=stats))
-        return out
+                size_bytes=os.path.getsize(fpath), stats=stats)
+
+        if len(files) <= 1:
+            return [one(f) for f in sorted(files)]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as pool:
+            return list(pool.map(one, sorted(files)))
 
     # --- copy-on-write DML (B29/B30) ----------------------------------------
 
@@ -2039,14 +2200,25 @@ class Engine:
             except Exception:  # noqa: BLE001 — corrupt/expired handle
                 continue
         removed = []
-        root_dir = os.path.join(self.catalog.storage.root, _DATA_DIR)
-        for dirpath, _dirs, names in os.walk(root_dir):
-            for fname in names:
-                full = os.path.join(dirpath, fname)
-                rel = os.path.relpath(full, self.catalog.storage.root)
-                if rel.endswith(".parquet") and rel not in referenced:
-                    self.catalog.storage.delete(rel)
-                    removed.append(rel)
+        if self._object_store:
+            # enumerate the data prefix via the object-store listing —
+            # one paginated LIST, no local mirror required
+            candidates = [p for p in
+                          self.catalog.storage.list(_DATA_DIR + "/")
+                          if p.endswith(".parquet")]
+        else:
+            candidates = []
+            root_dir = os.path.join(self.catalog.storage.root, _DATA_DIR)
+            for dirpath, _dirs, names in os.walk(root_dir):
+                for fname in names:
+                    full = os.path.join(dirpath, fname)
+                    rel = os.path.relpath(full, self.catalog.storage.root)
+                    if rel.endswith(".parquet"):
+                        candidates.append(rel)
+        for rel in candidates:
+            if rel not in referenced:
+                self._delete_data_file(rel)
+                removed.append(rel)
         return removed
 
     # --- views --------------------------------------------------------------

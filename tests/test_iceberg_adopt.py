@@ -400,3 +400,63 @@ def test_export_partition_spec_source_id_is_schema_field_id(tmp_path):
     with pytest.raises(ValueError, match="not in schema"):
         il.export_iceberg_metadata(
             tdir, schema, [], partition_avro_types={"nope": "long"})
+
+
+def _mor_table(tmp_path, delete_content=1):
+    """Iceberg v2 merge-on-read table: two data files + one delete file
+    (positions 1 and 3 of f1, position 0 of f2)."""
+    tdir = str(tmp_path / "icemor")
+    mdir = os.path.join(tdir, "metadata")
+    ddir = os.path.join(tdir, "data")
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+    f1 = _write_parquet(os.path.join(ddir, "f1.parquet"), list(range(10)))
+    f2 = _write_parquet(os.path.join(ddir, "f2.parquet"),
+                        list(range(10, 15)))
+    dpath = os.path.join(ddir, "pd1.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array([f1["file_path"], f1["file_path"],
+                               f2["file_path"]], pa.string()),
+        "pos": pa.array([1, 3, 0], pa.int64()),
+    }), dpath)
+    dd = {"file_path": dpath, "record_count": 3,
+          "file_size_in_bytes": os.path.getsize(dpath)}
+    m_data = _manifest(mdir, [_entry(1, f1), _entry(1, f2)])
+    m_del = _manifest(mdir, [_entry(1, dd, content=delete_content)])
+    snap = {"snapshot-id": 1, "sequence-number": 1,
+            "timestamp-ms": 1723600000000,
+            "manifest-list": _mlist(mdir, 1, [(m_data, 0), (m_del, 1)]),
+            "summary": {"operation": "overwrite"}, "schema-id": 0}
+    _metadata(tdir, [snap], current=1)
+    return tdir
+
+
+def test_adopt_mor_position_deletes(spark, tmp_path):
+    """Round-6 VERDICT item #6: v2 merge-on-read adoption applies
+    POSITION deletes at adoption time (net-rows CTAS via a distributed
+    anti-join on _metadata.file_path/row_index) instead of refusing."""
+    tdir = _mor_table(tmp_path)
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    n = eng.adopt_iceberg_table("lake.t", tdir, as_native=True)
+    assert n >= 1
+    ids = {r.id for r in eng.sql("SELECT id FROM lake.t").collect()}
+    assert ids == set(range(15)) - {1, 3, 10}
+    vals = {r.val for r in
+            eng.sql("SELECT val FROM lake.t WHERE id < 2").collect()}
+    assert vals == {"v0"}              # v1 was position-deleted
+    # materialized files are engine-owned → native DML works
+    eng.sql("DELETE FROM lake.t WHERE id = 0")
+    assert eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n == 11
+    # provenance recorded
+    txn = eng.catalog.begin()
+    tdef = eng.catalog.describe_table(txn, "lake", "t")
+    assert tdef.properties["iceberg.position-deletes-applied"] == "1"
+
+
+def test_adopt_mor_equality_deletes_refused(spark, tmp_path):
+    tdir = _mor_table(tmp_path, delete_content=2)
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    with pytest.raises(ValueError, match="EQUALITY"):
+        eng.adopt_iceberg_table("lake.t", tdir)

@@ -103,9 +103,9 @@ def test_orphan_gc_protects_pending_dist_txn_files(engine):
     assert engine.sql("SELECT COUNT(*) AS n FROM ns1.p").first().n == 2
 
 
-def test_s3_warehouse_rejected_loudly():
-    with pytest.raises(NotImplementedError):
-        Engine(None, "s3://bucket/warehouse")
+# (round 6: the s3:// data plane exists now — Engine on an object-store
+# warehouse is exercised end-to-end in tests/test_s3_data_plane.py, so
+# the old "rejected loudly" guard test is gone with the guard itself.)
 
 
 # --- round-2 ADVICE fixes ----------------------------------------------------
