@@ -53,63 +53,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry is ever >1 round old. Round-5 list: (1) new
-# or changed this round (similarity top-k ordering contract, b12 oracle,
-# decode, bucketed kNN, b64/b65, b58b), (2) the 36 queries whose latest
-# green is round 2 (the r4 run's 50-slot budget stopped at b08), (3) queries
-# whose code path changed this round but were recently green, (4) the
-# round-3 rest, streaming-heavy last. Round-4-green queries rank after.
+# no query's newest driver entry ages past the stale horizon. Round-6 list:
+# (1) new or code-path-changed this round (S3 data plane touched every DML
+# writer; merge restructure; the two de-windowed data_* ops; supplier
+# broadcast; MOR adopt), (2) the 28 queries whose latest green is round 2,
+# (3) the round-3 rest, streaming-heavy last. Round-4/5-green queries rank
+# after in registry order.
 _PRIORITY = [
     # new or changed this round
-    "sim_recall_audit", "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf",
-    "sim_batch_topk", "sim_topk_int8", "b12_approx_count_distinct",
-    "mm_decode_image_dims", "sim_knn_graph_bucketed", "b64_group_by_all",
-    "b65_tablesample", "b58b_stream_changes", "dedup_embedding_lsh",
-    "dedup_embedding_cosine", "b66_iceberg_adopt", "text_bpe_pairs",
-    "dedup_url_canonical", "data_hard_negatives", "b67_copy_into",
-    "b68_clone_restore", "data_kcenter_coreset", "dedup_span_windows",
-    "dedup_recall_audit", "sim_pq_topk", "mm_audio_energy",
-    "text_c4_filter", "b69_zorder_cluster", "b70_analyze_stats",
-    "data_token_budget", "b71_q3_shape", "b72_q5_shape",
-    "dedup_hot_shingle_cap", "b73_dml_subquery", "sim_pq_recall_audit",
-    "pipeline_corpus_curation", "b74_merge_by_source",
-    "b75_replace_where", "sim_ivfpq_topk", "sim_matryoshka_topk",
-    "data_length_buckets", "data_epoch_shuffle",
-    "data_interleave_sources",
-    # latest green = round 2 — cheap scans/joins/aggs/scalars first
-    "b09_cross_join", "b10_q1_agg", "b11_count_distinct",
-    "b11b_distinct_rows", "b13_rollup", "b13b_cube", "b14_rank_window",
-    "b24_conditional", "b25b_explode_collect", "b27b_from_json",
-    "b34_asof_join", "b35_time_rollup", "text_token_count", "text_langid",
-    "text_redact", "text_fingerprint", "text_rolling_hash",
-    "text_url_extract", "data_profile", "data_profile_quantiles",
-    "data_sample_per_key", "data_split_stratified", "dedup_exact",
-    "sim_quantize_int8", "mm_metadata_scan", "mm_frame_sample",
-    "mm_feature_extract", "udf_pandas_tiered", "udf_grouped_custstats",
-    "udf_mapinpandas_tokens",
-    # latest green = round 2 — heavier DML / streaming
-    "b28_insert_append", "b29_delete_where", "b30_update_set",
-    "b32_stream_tumbling_window", "b32_stream_sliding_window",
-    "b32_stream_session_window",
-    # code path touched this round, green in r3/r4
-    "b59_qualify", "b33_merge_upsert", "b33b_merge_multi",
-    "b32_stream_merge_cdc",
-    # latest green = round 3
+    "dedup_prefix_hash", "text_ngram_novelty", "data_curriculum_head",
+    "b76_q10_shape", "b77_describe_detail", "data_epoch_shuffle",
+    "data_interleave_sources", "b72_q5_shape", "b05_star_join",
+    "b74_merge_by_source", "b75_replace_where", "b69_zorder_cluster",
+    "b66_iceberg_adopt", "b33_merge_upsert", "b33b_merge_multi",
+    # latest green = round 2
+    "b25b_explode_collect", "b27b_from_json", "b28_insert_append",
+    "b29_delete_where", "b30_update_set", "b32_stream_session_window",
+    "b32_stream_sliding_window", "b32_stream_tumbling_window",
+    "b34_asof_join", "b35_time_rollup", "data_profile",
+    "data_profile_quantiles", "data_sample_per_key", "data_split_stratified",
+    "dedup_exact", "mm_feature_extract", "mm_frame_sample",
+    "mm_metadata_scan", "sim_quantize_int8", "text_fingerprint",
+    "text_langid", "text_redact", "text_rolling_hash", "text_token_count",
+    "text_url_extract", "udf_grouped_custstats", "udf_mapinpandas_tokens",
+    "udf_pandas_tiered",
+    # latest green = round 3 (streaming last)
     "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
     "b17_topk", "b18_union", "b18b_union_all", "b19_except",
     "b19b_intersect", "b19c_except_intersect_all", "b20_cte_subquery",
-    "b21_string_fns", "b22_date_fns", "b22b_date_trunc_diff",
-    "b23_math_fns", "b36_sessionize", "b37_pivot",
-    "b38_range_frame_window", "b39_lateral_topn", "b40_skew_salted_join",
-    "b41_bloom_join_prune", "b42_unpivot", "b43_gap_fill",
-    "b44_string_agg", "b45_not_in_nulls", "b46_grouping_sets",
-    "b47_values_join", "data_heavy_hitters", "dedup_cluster",
-    "dedup_containment", "dedup_edit_distance", "dedup_incremental",
-    "dedup_incremental_catalog", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_centroid", "text_boilerplate", "text_chunk_tokens",
+    "b21_string_fns", "b22_date_fns", "b22b_date_trunc_diff", "b23_math_fns",
+    "b36_sessionize", "b37_pivot", "b38_range_frame_window",
+    "b39_lateral_topn", "b40_skew_salted_join", "b41_bloom_join_prune",
+    "b42_unpivot", "b43_gap_fill", "b44_string_agg", "b45_not_in_nulls",
+    "b46_grouping_sets", "b47_values_join", "data_heavy_hitters",
+    "dedup_cluster", "dedup_containment", "dedup_edit_distance",
+    "dedup_incremental", "dedup_incremental_catalog", "dedup_minhash_lsh",
+    "dedup_simhash", "sim_centroid", "text_boilerplate", "text_chunk_tokens",
     "text_contamination", "text_ngram_logprob", "text_pii_stats",
-    "text_tfidf_topterms", "text_vocab_topk",
-    "b32_stream_dedup", "b32_stream_join", "b32_stream_stateful_counter",
+    "text_tfidf_topterms", "text_vocab_topk", "b32_stream_dedup",
+    "b32_stream_join", "b32_stream_merge_cdc", "b32_stream_stateful_counter",
 ]
 
 

@@ -1110,3 +1110,51 @@ def dedup_hot_shingle_cap(spark: SparkSession, sf: str) -> DataFrame:
     return (pairs.filter(j >= 0.5)
             .select("d1", "d2", F.round(j, 4).alias("jaccard_lb"))
             .orderBy("d1", "d2"))
+
+
+# --- C69 prefix-hash dedup --------------------------------------------------
+
+@query("dedup_prefix_hash", oracle="""
+WITH pref AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS p
+  FROM documents
+), grp AS (
+  SELECT p, MIN(doc_id) AS keeper, COUNT(*) AS n FROM pref GROUP BY p
+)
+SELECT pref.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pref.doc_id = g.keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN pref.doc_id <> g.keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS dropped
+FROM pref JOIN grp g ON pref.p = g.p
+GROUP BY pref.source
+ORDER BY pref.source
+""")
+def dedup_prefix_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-hash dedup — the crawl-mirror fast path: near-duplicate
+    crawls (mirrors, tracking-param variants, soft-404 templates) share
+    their opening words even when tails diverge, so hashing the first 16
+    words catches them at exact-dedup cost — one md5 per doc, one
+    groupBy of 16-byte digests — where shingle Jaccard would pay an
+    inverted-index join. Keeper = min(doc_id) (first crawl wins,
+    deterministic); per-source kept/dropped tallies. The exchange
+    carries only (digest, doc_id, source) — never text — and the digest
+    keyspace shards uniformly at any scale. In the funnel this runs
+    BEFORE MinHash (C3): it removes the cheap mass so the expensive
+    lane sees only prefix-distinct survivors."""
+    d = load(spark, sf, "documents")
+    pref = d.select(
+        "doc_id", "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 16)))
+        .alias("p"))
+    grp = pref.groupBy("p").agg(F.min("doc_id").alias("keeper"))
+    return (pref.join(grp, "p")
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("doc_id") == F.col("keeper"), 1)
+                       .otherwise(0)).cast("bigint").alias("kept"),
+                 F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1)
+                       .otherwise(0)).cast("bigint").alias("dropped"))
+            .orderBy("source"))

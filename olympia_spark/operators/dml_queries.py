@@ -533,3 +533,26 @@ def b75_replace_where(spark: SparkSession, sf: str) -> DataFrame:
         FROM ns1.events_rw WHERE event_type = 'click'
     """)
     return eng.sql(_checksum("events_rw"))
+
+
+@query("b77_describe_detail", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS num_rows,
+       TRUE AS files_tracked,
+       'PARQUET' AS format
+FROM events
+""")
+def b77_describe_detail(spark: SparkSession, sf: str) -> DataFrame:
+    """B77 — DESCRIBE DETAIL (Delta-style one-row physical inspection):
+    file count, byte size, row count, format and partition spec straight
+    from the TRACKED per-file stats — zero data scan (the num_rows the
+    maintenance planner keys on must come from metadata, because at
+    100 TB a COUNT(*) for monitoring is a full-table job). The oracle
+    pins the metadata row count to the true COUNT(*) of the seeded
+    fixture — the stats-vs-data consistency contract."""
+    from pyspark.sql import functions as F
+    eng = _engine_with_events(spark, sf, "events_dd")
+    det = eng.sql("DESCRIBE DETAIL ns1.events_dd")
+    return det.select(
+        F.col("num_rows").cast("bigint").alias("num_rows"),
+        (F.col("num_files") > 0).alias("files_tracked"),
+        F.col("format"))

@@ -1833,3 +1833,47 @@ def b72_q5(spark: SparkSession, sf: str) -> DataFrame:
             .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                        "revenue"))
             .orderBy(F.desc("revenue"), "n_name"))
+
+
+# --- B76 TPC-H Q10 shape (returned-item top customers) ----------------------
+
+@query("b76_q10_shape", oracle=f"""
+SELECT c_custkey, c_name,
+       {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def b76_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item report): which customers returned
+    the most revenue in a half-year window. The classic
+    fact⋈fact⋈dimension chain with a post-aggregation TOP-K: the
+    returnflag + date filters push into the scans, nation broadcasts,
+    customer⋈orders⋈lineitem shuffle on their join keys, and the final
+    top-20 is a TakeOrderedAndProject (per-partition partial top-k,
+    merged on the driver — no global sort materializes the full
+    customer ranking at 100 TB). Exact-decimal revenue keeps the DESC
+    order engine-stable; custkey tiebreak pins the boundary."""
+    c = load(spark, sf, "customer")
+    o = (load(spark, sf, "orders")
+         .filter("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+                 "o_orderdate < TIMESTAMP '1996-07-01 00:00:00'"))
+    li = load(spark, sf, "lineitem").filter("l_returnflag = 'R'")
+    n = load(spark, sf, "nation")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("o_orderkey") == li.l_orderkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       "revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))

@@ -1526,3 +1526,115 @@ def data_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
             .filter("pos <= 40")
             .select("pos", "source", "doc_id")
             .orderBy("pos"))
+
+
+# --- C67 n-gram novelty scoring ---------------------------------------------
+
+@query("text_ngram_novelty", oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           || ' ' || string_split(text, ' ')[i+2]))) AS s
+  FROM documents
+), firsts AS (
+  SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+), per_doc AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS novel
+  FROM sh JOIN firsts f ON sh.s = f.s
+  GROUP BY sh.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_shingles) AS BIGINT) AS total_shingles,
+       CAST(SUM(p.novel) AS BIGINT) AS novel_shingles,
+       CAST(SUM(p.novel) * 1000 // SUM(p.n_shingles) AS BIGINT)
+           AS novelty_permille
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""")
+def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram novelty scoring — the corpus-growth signal of incremental
+    crawls: how much of each document's 3-gram content appears for the
+    FIRST time (by doc_id ingest order) in that document. Low novelty
+    identifies recrawl/boilerplate sources worth down-weighting before
+    training. First occurrence is min(doc_id) per shingle (an exact,
+    order-free aggregate — no window, no sequential scan); novelty joins
+    the inverted index back to itself on the shingle key. Both shuffles
+    carry (shingle, doc_id) pairs whose volume is bounded by the corpus
+    token count; per-source rollup ships six integers per source. All
+    arithmetic exact-integer (permille floor division) → hash-parity
+    with the oracle."""
+    from olympia_spark.operators.dedup import _shingles_df
+    d = load(spark, sf, "documents")
+    sh = _shingles_df(spark, sf)
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (sh.join(firsts, "s")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_shingles"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                          .otherwise(0)).alias("novel")))
+    return (per_doc.join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_shingles").cast("bigint")
+                 .alias("total_shingles"),
+                 F.sum("novel").cast("bigint").alias("novel_shingles"))
+            .withColumn("novelty_permille", F.expr(
+                "CAST(novel_shingles * 1000 DIV total_shingles AS BIGINT)"))
+            .orderBy("source"))
+
+
+# --- C68 curriculum ordering ------------------------------------------------
+
+@query("data_curriculum_head", oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+             w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'to'
+                  OR w = 'and' OR w = 'in' OR w = 'is')) * 1000
+             // len(string_split(text, ' ')) AS stop_permille,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), banded AS (
+  SELECT doc_id, k, least(stop_permille // 100, 4) AS band FROM scored
+)
+SELECT band, doc_id FROM (
+  SELECT band, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY band ORDER BY k, doc_id) AS rn
+  FROM banded)
+WHERE rn <= 5
+ORDER BY band, doc_id
+""")
+def data_curriculum_head(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum ordering — train easy-to-hard: band documents by an
+    exact fluency proxy (stopword density permille, banded by 100) and
+    within each band visit docs in deterministic md5 order (the
+    reproducible-shuffle contract of data_epoch_shuffle). The gate emits
+    each band's first 5 docs; like C65, each band head is a
+    TakeOrderedAndProject over a band filter — never a
+    `W.partitionBy(band)` window, whose ≤5-value partition key would
+    funnel the whole corpus through 5 tasks at 100 TB. Bands are a
+    CONSTANT (0..4), so the per-band filter+top-k plans are a fixed
+    fan-out of parallel scans, and the full curriculum order at scale is
+    a range-partitioned sort on (band, md5key)."""
+    d = load(spark, sf, "documents")
+    stop_pred = " OR ".join(f"w = '{s}'" for s in _STOP_EN)
+    scored = d.select(
+        "doc_id",
+        F.expr(f"least(size(filter(split(text, ' '), w -> {stop_pred})) "
+               f"* 1000 DIV size(split(text, ' ')) DIV 100, 4)")
+        .alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"))
+    heads = []
+    for band in range(5):
+        heads.append(scored.filter(F.col("band") == band)
+                     .orderBy("k", "doc_id").limit(5)
+                     .select("band", "k", "doc_id"))
+    u = heads[0]
+    for h in heads[1:]:
+        u = u.unionAll(h)
+    return u.select("band", "doc_id").orderBy("band", "doc_id")

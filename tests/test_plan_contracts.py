@@ -412,3 +412,30 @@ def test_latest_round5_operators_stay_jvm_side(spark, name):
     plan = _plan(registry.QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan, name
     assert "ArrowEvalPython" not in plan, name
+
+
+def test_q10_shape_takeordered_and_broadcast(spark):
+    """B76: the top-20 must be TakeOrderedAndProject (never a global
+    sort of the full customer ranking) and nation must broadcast."""
+    plan = _plan(registry.QUERIES["b76_q10_shape"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_curriculum_head_has_no_window(spark):
+    """C68: per-band heads are TakeOrdered plans — a 5-value
+    W.partitionBy(band) window would funnel the corpus into 5 tasks."""
+    plan = _plan(registry.QUERIES["data_curriculum_head"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize("name", [
+    "text_ngram_novelty", "dedup_prefix_hash", "data_curriculum_head",
+    "b76_q10_shape",
+])
+def test_round6_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
