@@ -38,7 +38,10 @@ from olympia_spark.catalog.errors import (StorageAtomicSealFailureError,
 # set read_cached may serve from a local cache. vn/ roots are immutable
 # too but are excluded: expire_versions deletes them and a cache hit on
 # an expired root would resurrect a version the guards already refused.
-_IMMUTABLE_PREFIXES = ("node/", "def/")
+# def/dtxn is excluded: save_dist_transaction OVERWRITES the handle in
+# place as the transaction accumulates actions.
+_IMMUTABLE_PREFIXES = ("node/", "def/catalog/", "def/ns/", "def/table/",
+                       "def/view/")
 
 
 class Storage(ABC):
@@ -172,14 +175,25 @@ class S3Storage(Storage):
         self.bucket = bucket
         self.root = prefix.strip("/")
         # read-local cache for immutable objects (node/def files) —
-        # reference S3StorageOps.prepareToReadLocal. Keyed by warehouse
-        # so two catalogs on one box never share entries; safe across
-        # processes because cached paths are immutable and the file
-        # appears atomically (temp + rename).
+        # reference S3StorageOps.prepareToReadLocal. Keyed by
+        # (endpoint, bucket, prefix) so two catalogs on one box — or the
+        # same bucket name on two DIFFERENT endpoints (prod vs MinIO) —
+        # never share entries; rooted in a per-uid 0700 directory so
+        # another local user can neither read nor pre-plant cached
+        # bytes; safe across processes of the same user because cached
+        # paths are immutable and files appear atomically (temp+rename).
+        endpoint = str(getattr(getattr(client, "meta", None),
+                               "endpoint_url", ""))
         digest = hashlib.sha1(
-            f"s3://{bucket}/{self.root}".encode()).hexdigest()[:16]
-        self.cache_dir = cache_dir or os.path.join(
-            tempfile.gettempdir(), "olympia-spark-s3cache", digest)
+            f"{endpoint}|s3://{bucket}/{self.root}".encode()
+        ).hexdigest()[:16]
+        if cache_dir is None:
+            base = os.path.join(tempfile.gettempdir(),
+                                f"olympia-spark-s3cache-{os.getuid()}")
+            os.makedirs(base, mode=0o700, exist_ok=True)
+            os.chmod(base, 0o700)
+            cache_dir = os.path.join(base, digest)
+        self.cache_dir = cache_dir
 
     def local_cache_path(self, path: str) -> str:
         return os.path.join(self.cache_dir, path)
@@ -222,13 +236,43 @@ class S3Storage(Storage):
 
     def overwrite(self, path: str, data: bytes) -> None:
         self._s3.put_object(Bucket=self.bucket, Key=self._key(path), Body=data)
+        self._evict(path)        # a mutable path must never serve stale
 
     def delete(self, path: str) -> None:
         self._s3.delete_object(Bucket=self.bucket, Key=self._key(path))
-        try:                     # drop any read-local cache copy with it
+        self._evict(path)        # drop any read-local cache copy with it
+
+    def _evict(self, path: str) -> None:
+        try:
             os.remove(self.local_cache_path(path))
         except OSError:
             pass
+
+    def get_to_file(self, path: str, local_path: str) -> None:
+        """Streaming download via boto3's managed transfer (multipart,
+        chunked — never the whole object in driver memory); falls back
+        to the bytes path for clients without it (the in-repo fake)."""
+        if not hasattr(self._s3, "download_file"):
+            return super().get_to_file(path, local_path)
+        os.makedirs(os.path.dirname(local_path), exist_ok=True)
+        tmp = f"{local_path}.{_uuid.uuid4().hex}.tmp"
+        try:
+            self._s3.download_file(self.bucket, self._key(path), tmp)
+        except Exception as e:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise StorageFileOpenFailureError(path) from e
+        os.replace(tmp, local_path)
+
+    def put_from_file(self, path: str, local_path: str) -> None:
+        """Streaming upload (multipart for large files). No cache evict:
+        data-file paths are uuid-unique, and the engine's spool file IS
+        the read cache for the bytes just uploaded."""
+        if not hasattr(self._s3, "upload_file"):
+            return super().put_from_file(path, local_path)
+        self._s3.upload_file(local_path, self.bucket, self._key(path))
 
     def list(self, prefix: str) -> Iterator[str]:
         paginator = self._s3.get_paginator("list_objects_v2")

@@ -487,13 +487,9 @@ class Engine:
         return os.path.exists(self._abs(rel))
 
     def _delete_data_file(self, rel: str) -> None:
-        """Remove a data file from the warehouse AND the local cache."""
+        """Remove a data file from the warehouse; S3Storage.delete also
+        evicts the read-local cache copy (same path as self._abs)."""
         self.catalog.storage.delete(rel)
-        if self._object_store:
-            try:
-                os.remove(self._abs(rel))
-            except FileNotFoundError:
-                pass
 
     def _record_select(self, txn: Transaction, ns: str, tbl: str,
                        columns: list[str], predicate: str = "") -> None:
@@ -790,22 +786,27 @@ class Engine:
                 "table to remove equality deletes first")
         data_paths = [e["file_path"] for e in entries]
         del_paths = [d["file_path"] for d in deletes]
-
         # both sides normalize to a plain path (the data scan emits
         # file:-scheme URIs; delete files record whatever URI form the
         # writer used — spec requires it to match the manifest entry)
         def norm(col):
             return F.regexp_replace(col, "^file:/+", "/")
 
-        src = (self.spark.read.schema(schema).parquet(*data_paths)
-               .select("*",
-                       norm(F.col("_metadata.file_path")).alias("__fp"),
-                       F.col("_metadata.row_index").alias("__pos")))
-        dels = (self.spark.read.parquet(*del_paths)
-                .select(norm(F.col("file_path")).alias("__fp"),
-                        F.col("pos").alias("__pos")))
-        net = (src.join(dels, ["__fp", "__pos"], "left_anti")
-               .drop("__fp", "__pos"))
+        if not data_paths:
+            # all data manifests tombstoned, deletes not yet compacted
+            # away — the net table is simply empty
+            net = self.spark.createDataFrame([], schema)
+        else:
+            src = (self.spark.read.schema(schema).parquet(*data_paths)
+                   .select("*",
+                           norm(F.col("_metadata.file_path"))
+                           .alias("__fp"),
+                           F.col("_metadata.row_index").alias("__pos")))
+            dels = (self.spark.read.parquet(*del_paths)
+                    .select(norm(F.col("file_path")).alias("__fp"),
+                            F.col("pos").alias("__pos")))
+            net = (src.join(dels, ["__fp", "__pos"], "left_anti")
+                   .drop("__fp", "__pos"))
         prev = ""
         if meta.get("metadata-log"):
             prev = meta["metadata-log"][-1].get("metadata-file", "")
@@ -890,8 +891,16 @@ class Engine:
                 f"RESTORE {name}: catalog version {version} no longer "
                 f"exists (expired by expire_versions)") from None
         self._require_native(old, name, "RESTORE")
-        missing = [f.path for f in old.data_files
-                   if not self._data_exists(f.path)]
+        if self._object_store:
+            # one paginated LIST of the data prefix instead of one HEAD
+            # round-trip per historical file (10k files = 10k HEADs)
+            live = set(self.catalog.storage.list(_DATA_DIR + "/"))
+            missing = [f.path for f in old.data_files
+                       if f.path not in live
+                       and not os.path.isabs(f.path)]
+        else:
+            missing = [f.path for f in old.data_files
+                       if not self._data_exists(f.path)]
         if missing:
             raise ValueError(
                 f"RESTORE {name} TO VERSION {version}: {len(missing)} "

@@ -1158,3 +1158,57 @@ def dedup_prefix_hash(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1)
                        .otherwise(0)).cast("bigint").alias("dropped"))
             .orderBy("source"))
+
+
+# --- C70 cross-source leakage matrix ----------------------------------------
+
+@query("dedup_cross_source", oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN cnt c1 ON d1 = c1.doc_id
+  JOIN cnt c2 ON d2 = c2.doc_id
+  WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.6
+)
+SELECT least(a.source, b.source) AS src_a,
+       greatest(a.source, b.source) AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents a ON d1 = a.doc_id
+JOIN documents b ON d2 = b.doc_id
+WHERE a.source <> b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+def dedup_cross_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source leakage matrix — the mixture-design question near-dup
+    PAIRS alone don't answer: which pairs of ingest sources share
+    near-duplicate content (mirrors syndicating each other, a benchmark
+    leaking into a crawl, two dumps of one site)? Exact 0.6-Jaccard
+    pairs from the inverted-index lane (xxhash64 longs on the shuffle,
+    zero LSH miss risk), then each side labels with its source and the
+    unordered source pair tallies. The pair set is O(true near-dups) —
+    TINY relative to the corpus — so it broadcasts to meet the documents
+    scan; output is at most n_sources² rows. Feeds mixture reweighting
+    (C39) and dedup scope decisions: a hot cell says those two sources
+    should be deduplicated as ONE pool."""
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    pairs = _with_jaccard(_jaccard_pairs(spark, sf), 0.6) \
+        .select("d1", "d2").localCheckpoint()
+    a = d.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
+    b = d.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
+    return (a.join(F.broadcast(pairs), "d1")
+            .join(b, "d2")
+            .filter("sa <> sb")
+            .select(F.least("sa", "sb").alias("src_a"),
+                    F.greatest("sa", "sb").alias("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").cast("bigint").alias("n_pairs"))
+            .orderBy("src_a", "src_b"))

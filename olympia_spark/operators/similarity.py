@@ -1166,3 +1166,31 @@ def sim_matryoshka_topk(spark: SparkSession, sf: str) -> DataFrame:
                              F.round(cos(_DIM), 4).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_id")
             .limit(10))
+
+
+# --- C71 cosine range search ------------------------------------------------
+
+def _range_sql(engine: str) -> str:
+    cos = _cosine("e.embedding", "q.embedding", engine)
+    return f"""
+SELECT e.vec_id, ROUND({cos}, 4) AS cos_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0 AND ROUND({cos}, 4) >= 0.3
+ORDER BY cos_sim DESC, vec_id
+"""
+
+
+@query("sim_range_search", oracle=_range_sql("duck"))
+def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine RANGE search — retrieval's other primitive: every vector
+    within a similarity radius of the query (near-duplicate sweeps,
+    policy screens, recall-first retrieval), not a fixed top-k. The
+    predicate form matters at scale: a radius filter is map-only — each
+    partition emits only its in-radius rows, there is no global top-k
+    merge state, and the output contract is the radius, not a count.
+    Same broadcast-query + single-scan shape as C6; with the LSH/IVF
+    index (C7/C8), bucket pruning applies identically since the radius
+    lower-bounds the best bucket. The fold order of the dot product is
+    the same left-to-right double fold on both engines, so the rounded
+    boundary is engine-stable."""
+    return _run(spark, sf, _range_sql("spark"))

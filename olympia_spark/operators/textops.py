@@ -1476,9 +1476,8 @@ def data_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
 @query("data_interleave_sources", oracle="""
 SELECT pos, source, doc_id FROM (
   SELECT source, doc_id,
-         ROW_NUMBER() OVER (ORDER BY r, src_ord) AS pos
+         ROW_NUMBER() OVER (ORDER BY r, source) AS pos
   FROM (SELECT source, doc_id,
-               CAST(substr(source, 4) AS INTEGER) AS src_ord,
                ROW_NUMBER() OVER (
                    PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
@@ -1499,27 +1498,30 @@ def data_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
     per-source row counts (n_sources rows — a constant) and for each
     row fold over them:
         pos = 1 + Σ_s min(r-1, cnt_s)            -- full earlier rounds
-                + Σ_s [ord_s < src_ord ∧ cnt_s ≥ r]  -- same round, earlier src
-    which equals the rank under (r, src_ord) lexicographic order by
-    construction, including ragged sources that exhaust early. The plan
-    has per-source rank windows (partitioned — parallel across sources
-    and, at scale, range-split within one) and a broadcast of the count
-    array; no un-partitioned WindowExec anywhere (plan-asserted)."""
+                + Σ_s [src_s < source ∧ cnt_s ≥ r]  -- same round, earlier src
+    which equals the rank under (r, source) lexicographic order by
+    construction, including ragged sources that exhaust early. The
+    round-robin key is the source NAME itself (not a parsed numeric
+    suffix — names like 'src7'/'src07' would collide, silently merging
+    two sources' positions), so any source naming yields a unique total
+    order. The plan has per-source rank windows (partitioned — parallel
+    across sources and, at scale, range-split within one) and a
+    broadcast of the count array; no un-partitioned WindowExec anywhere
+    (plan-asserted)."""
     d = load(spark, sf, "documents")
     wr = W.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
-    base = (d.select("source", "doc_id")
-            .withColumn("src_ord",
-                        F.substring("source", 4, 10).cast("int")))
+    base = d.select("source", "doc_id")
     ranked = base.withColumn("r", F.row_number().over(wr))
-    counts = (base.groupBy("src_ord").agg(F.count("*").alias("cnt"))
-              .agg(F.sort_array(
-                  F.collect_list(F.struct("src_ord", "cnt"))).alias("srcs")))
+    counts = (base.groupBy("source").agg(F.count("*").alias("cnt"))
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  F.col("source").alias("src"), F.col("cnt"))))
+                  .alias("srcs")))
     rb = F.col("r").cast("bigint")
     pos = F.aggregate(
         F.col("srcs"), F.lit(1).cast("bigint"),
         lambda acc, s: acc + F.least(rb - 1, s["cnt"])
-        + F.when((s["src_ord"] < F.col("src_ord"))
+        + F.when((s["src"] < F.col("source"))
                  & (s["cnt"] >= rb), 1).otherwise(0).cast("bigint"))
     return (ranked.crossJoin(F.broadcast(counts))
             .withColumn("pos", pos)

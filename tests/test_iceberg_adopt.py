@@ -460,3 +460,32 @@ def test_adopt_mor_equality_deletes_refused(spark, tmp_path):
     eng.sql("CREATE NAMESPACE lake")
     with pytest.raises(ValueError, match="EQUALITY"):
         eng.adopt_iceberg_table("lake.t", tdir)
+
+
+def test_adopt_mor_all_data_deleted_yields_empty_table(spark, tmp_path):
+    """Round-6 review: a snapshot whose data manifests are all
+    tombstoned (status=2) but which still carries a live delete file
+    must adopt as an EMPTY table, not crash on an empty parquet read."""
+    tdir = str(tmp_path / "icemt")
+    mdir = os.path.join(tdir, "metadata")
+    ddir = os.path.join(tdir, "data")
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+    f1 = _write_parquet(os.path.join(ddir, "f1.parquet"), [1, 2])
+    dpath = os.path.join(ddir, "pd.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array([f1["file_path"]], pa.string()),
+        "pos": pa.array([0], pa.int64())}), dpath)
+    dd = {"file_path": dpath, "record_count": 1,
+          "file_size_in_bytes": os.path.getsize(dpath)}
+    m_data = _manifest(mdir, [_entry(2, f1)])          # tombstoned
+    m_del = _manifest(mdir, [_entry(1, dd, content=1)])
+    snap = {"snapshot-id": 1, "sequence-number": 1,
+            "timestamp-ms": 1723600000000,
+            "manifest-list": _mlist(mdir, 1, [(m_data, 0), (m_del, 1)]),
+            "summary": {}, "schema-id": 0}
+    _metadata(tdir, [snap], current=1)
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    eng.adopt_iceberg_table("lake.t", tdir, as_native=True)
+    assert eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n == 0

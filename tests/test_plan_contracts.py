@@ -439,3 +439,21 @@ def test_round6_operators_stay_jvm_side(spark, name):
     plan = _plan(registry.QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan, name
     assert "ArrowEvalPython" not in plan, name
+
+
+def test_range_search_is_map_only_filter(spark):
+    """C71: the radius predicate must be a map-side Filter over the
+    single scan — no Window, no global sort of the corpus (the final
+    orderBy sorts only the in-radius survivors)."""
+    plan = _plan(registry.QUERIES["sim_range_search"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "Filter" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_source_broadcasts_pair_set(spark):
+    """C70: the near-dup pair set is O(true pairs) — it must broadcast
+    to meet the documents scan, never shuffle the corpus to meet it."""
+    plan = _plan(registry.QUERIES["dedup_cross_source"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -150,3 +150,47 @@ def test_catalog_racing_commits_one_winner_per_version(storage):
     cat.commit(t_b)                         # retries behind tA's CAS win
     txn = cat.begin()
     assert sorted(cat.show_tables(txn, "ns1")) == ["tA", "tB"]
+
+
+def test_overwrite_evicts_read_cache(storage):
+    """Round-6 review: def/dtxn handles are OVERWRITTEN in place — a
+    cached copy must never serve stale bytes after an overwrite."""
+    if not isinstance(storage, S3Storage):
+        pytest.skip("cache layer is S3-only")
+    # uuid-unique paths: the cache persists in /tmp across test runs
+    # (real catalog def/node paths are always uuid-unique too)
+    import uuid as _u
+    path = f"def/table/cachetest-{_u.uuid4().hex}.json"
+    storage.write_atomic(path, b"v1")
+    assert storage.read_cached(path) == b"v1"
+    storage.overwrite(path, b"v2")
+    assert storage.read_cached(path) == b"v2"
+    # dtxn paths are excluded from caching entirely (mutable by design)
+    dt = f"def/dtxn/t1-{_u.uuid4().hex}.json"
+    storage.write_atomic(dt, b"a")
+    storage.read_cached(dt)
+    storage.overwrite(dt, b"b")
+    assert storage.read_cached(dt) == b"b"
+
+
+def test_cache_dir_keyed_by_endpoint_and_uid():
+    """Round-6 review: same bucket/prefix on two DIFFERENT endpoints
+    (prod vs MinIO/moto) must not share cached bytes; the cache root is
+    per-uid and 0700."""
+    import os as _os
+
+    class _FakeMeta:
+        def __init__(self, url):
+            self.endpoint_url = url
+
+    class _C(FakeS3Client):
+        def __init__(self, url):
+            super().__init__()
+            self.meta = _FakeMeta(url)
+
+    a = S3Storage("bucket", "wh", client=_C("https://s3.amazonaws.com"))
+    b = S3Storage("bucket", "wh", client=_C("http://localhost:9000"))
+    assert a.cache_dir != b.cache_dir
+    base = _os.path.dirname(a.cache_dir)
+    assert str(_os.getuid()) in _os.path.basename(base)
+    assert _os.stat(base).st_mode & 0o777 == 0o700
