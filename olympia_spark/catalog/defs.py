@@ -262,3 +262,36 @@ def spark_type_to_olympia(dt: T.DataType) -> dict:
         return {"type": "LIST",
                 "list_element": spark_type_to_olympia(dt.elementType)}
     raise ValueError(f"unsupported Spark type: {dt}")
+
+
+# --- temporal precision conversion (SURVEY §1.3; proto/objects.proto:111-139)
+
+# Olympia temporal types carry an explicit precision digit (3 = millis,
+# 6 = micros, 9 = nanos). Spark's native temporal precision is MICROS, so
+# ingesting proto-typed epoch values needs a real scale conversion, not
+# just a type mapping: ms → µs multiplies by 1000 exactly; ns → µs is an
+# integer floor division (documented truncation — Spark cannot represent
+# the sub-microsecond remainder; the same truncation Spark itself applies
+# reading parquet TIMESTAMP(NANOS)).
+_TEMPORAL_SCALE = {"3": 1000, "6": 1, "9": -1000}   # <0 ⇒ divide
+
+
+def temporal_to_micros_expr(colname: str, olympia_type: str):
+    """Spark Column converting an epoch-integer column of the given
+    Olympia temporal type (TIME3/6/9, TIMETZ…, TIMESTAMP…, TIMESTAMPTZ…)
+    to MICROSECONDS. For TIMESTAMP types, cast the result with
+    ``timestamp_micros(...)`` to land in Spark's native temporal types;
+    TIME types stay integer micros (Spark has no TIME — SURVEY §1.3)."""
+    from pyspark.sql import functions as F
+    t = olympia_type.upper()
+    digit = t[-1]
+    if digit not in _TEMPORAL_SCALE or not (
+            t.startswith(("TIME", "TIMESTAMP"))):
+        raise ValueError(f"not a precision-bearing temporal type: {t}")
+    scale = _TEMPORAL_SCALE[digit]
+    col = F.col(colname).cast("bigint")
+    if scale == 1:
+        return col
+    if scale > 1:
+        return col * F.lit(scale)
+    return F.expr(f"CAST({colname} AS BIGINT) div {-scale}")
