@@ -277,11 +277,15 @@ _TEMPORAL_SCALE = {"3": 1000, "6": 1, "9": -1000}   # <0 ⇒ divide
 
 
 def temporal_to_micros_expr(colname: str, olympia_type: str):
-    """Spark Column converting an epoch-integer column of the given
-    Olympia temporal type (TIME3/6/9, TIMETZ…, TIMESTAMP…, TIMESTAMPTZ…)
-    to MICROSECONDS. For TIMESTAMP types, cast the result with
-    ``timestamp_micros(...)`` to land in Spark's native temporal types;
-    TIME types stay integer micros (Spark has no TIME — SURVEY §1.3)."""
+    """Spark Column converting an epoch-integer column (identified by
+    NAME — backtick-quoted internally, so spaces/dots are literal) of
+    the given Olympia temporal type (TIME3/6/9, TIMETZ…, TIMESTAMP…,
+    TIMESTAMPTZ…) to MICROSECONDS. For TIMESTAMP types, cast the result
+    with ``timestamp_micros(...)`` to land in Spark's native temporal
+    types; TIME types stay integer micros (Spark has no TIME — SURVEY
+    §1.3). ns→µs is true FLOOR division (pre-epoch values not divisible
+    by 1000 round DOWN — Math.floorDiv, matching Spark's own parquet
+    TIMESTAMP(NANOS) conversion), not div's toward-zero truncation."""
     from pyspark.sql import functions as F
     t = olympia_type.upper()
     digit = t[-1]
@@ -289,9 +293,14 @@ def temporal_to_micros_expr(colname: str, olympia_type: str):
             t.startswith(("TIME", "TIMESTAMP"))):
         raise ValueError(f"not a precision-bearing temporal type: {t}")
     scale = _TEMPORAL_SCALE[digit]
-    col = F.col(colname).cast("bigint")
+    quoted = "`" + colname.replace("`", "``") + "`"
+    x = f"CAST({quoted} AS BIGINT)"
     if scale == 1:
-        return col
+        return F.expr(x)
     if scale > 1:
-        return col * F.lit(scale)
-    return F.expr(f"CAST({colname} AS BIGINT) div {-scale}")
+        return F.expr(f"{x} * {scale}")
+    d = -scale
+    # floor division on exact int64 arithmetic: toward-zero div, minus 1
+    # when the remainder is negative (% follows the dividend's sign)
+    return F.expr(f"({x} div {d}) - "
+                  f"(CASE WHEN {x} % {d} < 0 THEN 1 ELSE 0 END)")

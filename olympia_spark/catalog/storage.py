@@ -190,8 +190,17 @@ class S3Storage(Storage):
         if cache_dir is None:
             base = os.path.join(tempfile.gettempdir(),
                                 f"olympia-spark-s3cache-{os.getuid()}")
-            os.makedirs(base, mode=0o700, exist_ok=True)
-            os.chmod(base, 0o700)
+            try:
+                os.makedirs(base, mode=0o700, exist_ok=True)
+                os.chmod(base, 0o700)
+                if os.stat(base).st_uid != os.getuid():
+                    raise PermissionError(base)
+            except PermissionError:
+                # another user squatted the per-uid path (sticky /tmp
+                # prevents removal) — fall back to a private mkdtemp
+                # rather than failing construction or trusting the
+                # squatter's directory
+                base = tempfile.mkdtemp(prefix="olympia-spark-s3cache-")
             cache_dir = os.path.join(base, digest)
         self.cache_dir = cache_dir
 
@@ -251,7 +260,11 @@ class S3Storage(Storage):
     def get_to_file(self, path: str, local_path: str) -> None:
         """Streaming download via boto3's managed transfer (multipart,
         chunked — never the whole object in driver memory); falls back
-        to the bytes path for clients without it (the in-repo fake)."""
+        to the bytes path for clients without it (the in-repo fake).
+        Only a missing object maps to StorageFileOpenFailureError —
+        transient S3 failures (throttling, credentials, network) must
+        propagate loudly, since callers treat 'open failure' as
+        'deleted/expired' (RESTORE guards, root-history walks)."""
         if not hasattr(self._s3, "download_file"):
             return super().get_to_file(path, local_path)
         os.makedirs(os.path.dirname(local_path), exist_ok=True)
@@ -263,15 +276,24 @@ class S3Storage(Storage):
                 os.remove(tmp)
             except OSError:
                 pass
-            raise StorageFileOpenFailureError(path) from e
+            code = str(getattr(e, "response", {})
+                       .get("Error", {}).get("Code", ""))
+            if code in ("404", "NoSuchKey", "NotFound"):
+                raise StorageFileOpenFailureError(path) from e
+            raise
         os.replace(tmp, local_path)
 
     def put_from_file(self, path: str, local_path: str) -> None:
-        """Streaming upload (multipart for large files). No cache evict:
-        data-file paths are uuid-unique, and the engine's spool file IS
-        the read cache for the bytes just uploaded."""
+        """Streaming upload (multipart for large files). No cache evict
+        on EITHER branch: data-file paths are uuid-unique, and the
+        engine's spool file IS the read cache for the bytes just
+        uploaded (the base-class fallback would route through overwrite,
+        whose evict deletes that spool)."""
         if not hasattr(self._s3, "upload_file"):
-            return super().put_from_file(path, local_path)
+            with open(local_path, "rb") as f:
+                self._s3.put_object(Bucket=self.bucket,
+                                    Key=self._key(path), Body=f.read())
+            return
         self._s3.upload_file(local_path, self.bucket, self._key(path))
 
     def list(self, prefix: str) -> Iterator[str]:

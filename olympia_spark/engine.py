@@ -893,11 +893,14 @@ class Engine:
         self._require_native(old, name, "RESTORE")
         if self._object_store:
             # one paginated LIST of the data prefix instead of one HEAD
-            # round-trip per historical file (10k files = 10k HEADs)
+            # round-trip per historical file (10k files = 10k HEADs);
+            # absolute paths (externally-registered/adopted files) live
+            # on the local filesystem and are checked there
             live = set(self.catalog.storage.list(_DATA_DIR + "/"))
             missing = [f.path for f in old.data_files
-                       if f.path not in live
-                       and not os.path.isabs(f.path)]
+                       if (not os.path.exists(f.path)
+                           if os.path.isabs(f.path)
+                           else f.path not in live)]
         else:
             missing = [f.path for f in old.data_files
                        if not self._data_exists(f.path)]

@@ -1163,19 +1163,8 @@ def dedup_prefix_hash(spark: SparkSession, sf: str) -> DataFrame:
 # --- C70 cross-source leakage matrix ----------------------------------------
 
 @query("dedup_cross_source", oracle=f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM documents
-), cnt AS (
-  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT d1, d2 FROM inter
-  JOIN cnt c1 ON d1 = c1.doc_id
-  JOIN cnt c2 ON d2 = c2.doc_id
-  WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.6
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_jaccard_oracle(0.6)})
 )
 SELECT least(a.source, b.source) AS src_a,
        greatest(a.source, b.source) AS src_b,

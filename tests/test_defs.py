@@ -25,6 +25,18 @@ def test_temporal_precision_scales_values(spark):
     assert out.c == 1_700_000_000_123_456          # ns truncated to µs
     assert out.d == 1_700_000_000_123_000
     assert out.ts.year == 2023
+    # pre-epoch nanos FLOOR (not toward-zero): -1_000_000_001 ns is
+    # 1 ns BEFORE -1_000_000 us, so it must convert to -1_000_001 us
+    neg = spark.createDataFrame(
+        [(-1_000_000_001, -1_000_000_000, -999)],
+        "`a ns` LONG, b LONG, c LONG")
+    o2 = neg.select(
+        temporal_to_micros_expr("a ns", "TIMESTAMP9").alias("a"),
+        temporal_to_micros_expr("b", "TIMESTAMP9").alias("b"),
+        temporal_to_micros_expr("c", "TIMESTAMP9").alias("c")).first()
+    assert o2.a == -1_000_001                      # floor, not -1_000_000
+    assert o2.b == -1_000_000                      # exact multiple
+    assert o2.c == -1                              # floor(-0.999)
     import pytest as _pt
     with _pt.raises(ValueError, match="temporal"):
         temporal_to_micros_expr("x", "INT8")

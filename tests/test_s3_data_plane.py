@@ -216,3 +216,24 @@ def test_driver_registry_query_parity_on_s3(spark, s3_env, monkeypatch):
         assert rec["ok"], rec
     finally:
         dml_queries._DML_ENGINES.clear()
+
+
+def test_restore_checks_absolute_path_files_on_s3(spark, s3_env, tmp_path):
+    """Round-6 review: object-store RESTORE short-circuits warehouse
+    files through one LIST — but absolute-path files (externally
+    registered / adopted in place) still need their own existence
+    check, or RESTORE 'succeeds' into an unreadable table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    eng = _engine(spark, s3_env)
+    eng.sql("CREATE NAMESPACE ns1")
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), ext)
+    eng.register_external_table("ns1.x", ext, format="parquet")
+    v1 = eng.catalog.tree.find_latest_version()
+    eng.sql("INSERT INTO ns1.x VALUES (3)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns1.x").first().n == 3
+    os.remove(ext)
+    with pytest.raises(ValueError, match="no longer exist"):
+        eng.restore_table("ns1.x", v1)
