@@ -61,6 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # after in registry order.
 _PRIORITY = [
     # new or changed this round
+    "b78_check_constraint", "b79_generated_partition",
     "dedup_cross_source", "sim_range_search",
     "dedup_prefix_hash", "text_ngram_novelty", "data_curriculum_head",
     "b76_q10_shape", "b77_describe_detail", "data_epoch_shuffle",

@@ -98,6 +98,18 @@ class TableDef:
     # tombstones close the namespace: a physical name, once retired,
     # never re-enters the logical schema
     retired_columns: list = field(default_factory=list)
+    # CHECK constraints (Delta-style): name -> SQL boolean expression
+    # over the table's logical columns. Enforced on EVERY write through
+    # the engine's single writer chokepoint; SQL-standard semantics
+    # (a NULL/UNKNOWN result passes, only FALSE violates)
+    constraints: dict = field(default_factory=dict)
+    # GENERATED ALWAYS AS columns: name -> SQL expression over the other
+    # logical columns. The engine OWNS these columns — every write
+    # recomputes them at the writer chokepoint (so UPDATEs to the source
+    # columns keep them consistent for free), and partitioning by one
+    # gives Iceberg-style hidden/transform partitioning (e.g.
+    # event_date GENERATED ALWAYS AS (CAST(ts AS DATE)))
+    generated_columns: dict = field(default_factory=dict)
     # mirror of the reference pointer fields for format parity
     metadata_location: str = ""
     previous_metadata_location: str = ""

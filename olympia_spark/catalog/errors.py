@@ -52,3 +52,7 @@ class TransactionValueError(OlympiaError):
 class MergeCardinalityError(OlympiaError):
     """MERGE matched one target row to multiple source rows (SQL MERGE
     forbids it — applying every match would duplicate the target row)."""
+
+
+class CheckConstraintError(OlympiaError):
+    """A write produced rows violating a table CHECK constraint."""

@@ -48,7 +48,8 @@ from olympia_spark.catalog import Catalog
 from olympia_spark.catalog.actions import Action, ActionType
 from olympia_spark.catalog.catalog import DropNamespaceBehavior
 from olympia_spark.catalog.defs import DataFile, TableDef, ViewDef
-from olympia_spark.catalog.errors import (MergeCardinalityError,
+from olympia_spark.catalog.errors import (CheckConstraintError,
+                                          MergeCardinalityError,
                                           ObjectNotFoundError,
                                           TransactionValueError)
 from olympia_spark.catalog.transactions import Transaction
@@ -616,12 +617,20 @@ class Engine:
 
     def create_table(self, name: str, schema: T.StructType,
                      properties: dict | None = None,
-                     partition_by: list[str] | None = None) -> None:
+                     partition_by: list[str] | None = None,
+                     generated_columns: dict[str, str] | None = None
+                     ) -> None:
         ns, tbl = self._split(name)
+        names = {f.name for f in schema.fields}
+        for g in (generated_columns or {}):
+            if g not in names:
+                raise ValueError(
+                    f"generated column {g} is not in the table schema")
         txn = self._txn()
         self.catalog.create_table(txn, ns, tbl, TableDef(
             schema_json=schema.json(), properties=properties or {},
-            partition_by=list(partition_by or [])))
+            partition_by=list(partition_by or []),
+            generated_columns=dict(generated_columns or {})))
         self._finish(txn)
 
     def register_external_table(self, name: str, *paths: str,
@@ -859,6 +868,11 @@ class Engine:
             # shared files can also contain dropped-column bytes — the
             # clone inherits the tombstones or it would resurrect them
             retired_columns=list(sdef.retired_columns),
+            # ...and the invariants/derivations: the clone's writes must
+            # honor the same CHECK contract and keep generated columns
+            # consistent with their sources
+            constraints=dict(sdef.constraints),
+            generated_columns=dict(sdef.generated_columns),
             properties={**sdef.properties,
                         "cloned_from": f"{source}"
                         + (f"@v{version}" if version is not None else "")}))
@@ -1044,6 +1058,40 @@ class Engine:
                      tdef: TableDef | None = None) -> list[DataFile]:
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
         out_dir = self._abs(rel_dir)
+        if tdef is not None and getattr(tdef, "generated_columns", None):
+            # GENERATED ALWAYS AS: the engine owns these columns — every
+            # write recomputes them from their source expressions (an
+            # UPDATE to a source column can never leave a stale derived
+            # value, and an explicit mismatched insert is corrected
+            # rather than persisted), then realigns to the declared
+            # schema order. Partitioning by a generated column is the
+            # hidden-partitioning path: the value exists before the
+            # hive-layout writer sees it.
+            schema = tdef.spark_schema()
+            for g, gexpr in tdef.generated_columns.items():
+                df = df.withColumn(g, F.expr(gexpr)
+                                   .cast(schema[g].dataType))
+            missing = [f.name for f in schema.fields
+                       if f.name not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"write to {ns}.{tbl} is missing columns {missing}")
+            df = df.select(*[f.name for f in schema.fields])
+        if tdef is not None and getattr(tdef, "constraints", None):
+            # CHECK enforcement at the single writer chokepoint — every
+            # path (INSERT, COW rewrites, MERGE, COPY INTO, streaming)
+            # funnels here. Zero extra jobs: the first written column is
+            # wrapped so evaluating it (which the write must) raises on
+            # the first violating row. SQL semantics: NULL passes.
+            cond = " AND ".join(
+                f"coalesce(({e}), true)" for e in tdef.constraints.values())
+            names = ", ".join(sorted(tdef.constraints))
+            c0 = df.columns[0]
+            df = df.withColumn(c0, F.when(F.expr(cond), F.col(c0))
+                               .otherwise(F.raise_error(F.lit(
+                                   f"OLYMPIA_CHECK: CHECK constraint "
+                                   f"violated on {ns}.{tbl} "
+                                   f"(constraints: {names})"))))
         if tdef is not None and tdef.column_mapping:
             # files ALWAYS store physical names — a renamed column keeps
             # writing under its creation name so every file in the table
@@ -1054,7 +1102,15 @@ class Engine:
         writer = df.write.mode("error")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(out_dir)
+        try:
+            writer.parquet(out_dir)
+        except Exception as e:
+            if "OLYMPIA_CHECK" in str(e):
+                raise CheckConstraintError(
+                    f"CHECK constraint violated writing to {ns}.{tbl}; "
+                    f"constraints: "
+                    f"{dict(tdef.constraints) if tdef else {}}") from e
+            raise
         files = self._collect_stats(rel_dir)
         if self._object_store:
             # the executors spooled into the read-local cache dir (the
@@ -1808,6 +1864,20 @@ class Engine:
             raise ValueError(
                 f"column name {new} belonged to a dropped column whose "
                 f"data may survive in existing files; pick another name")
+        for cname, cexpr in tdef.constraints.items():
+            if re.search(rf"\b{re.escape(old)}\b", cexpr):
+                raise ValueError(
+                    f"cannot rename column {old}: referenced by CHECK "
+                    f"constraint {cname} ({cexpr}); DROP CONSTRAINT first")
+        if old in tdef.generated_columns:
+            raise ValueError(
+                f"cannot rename generated column {old}; drop and "
+                f"re-declare it instead")
+        for g, gexpr in tdef.generated_columns.items():
+            if re.search(rf"\b{re.escape(old)}\b", gexpr):
+                raise ValueError(
+                    f"cannot rename column {old}: source of generated "
+                    f"column {g} ({gexpr})")
         mapping = dict(tdef.column_mapping)
         # carry the ORIGINAL physical name through rename chains; renaming
         # BACK to the creation name drops the entry entirely (no identity
@@ -1870,6 +1940,79 @@ class Engine:
                                                    columns.fields]})
         self._finish(txn)
 
+    @staticmethod
+    def _split_generated_columns(cols: str) -> tuple[str, dict]:
+        """Split a CREATE TABLE column list into (plain DDL, generated
+        map): ``c DATE GENERATED ALWAYS AS (expr)`` entries lose the
+        GENERATED clause (the type stays in the schema) and contribute
+        name -> expr. The split is parenthesis-aware so expressions
+        containing commas survive."""
+        parts, depth, cur = [], 0, []
+        for ch in cols:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+        plain, gen = [], {}
+        for p in parts:
+            m = re.match(r"\s*(\w+)\s+(.+?)\s+GENERATED ALWAYS AS"
+                         r"\s*\((.+)\)\s*$", p, re.I | re.S)
+            if m:
+                plain.append(f"{m.group(1)} {m.group(2)}")
+                gen[m.group(1)] = m.group(3).strip()
+            else:
+                plain.append(p.strip())
+        return ", ".join(plain), gen
+
+    def add_constraint(self, name: str, cname: str, expr: str) -> None:
+        """``ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>)``
+        (Delta-style table invariant, beyond-reference): validates the
+        EXISTING rows first (one aggregation job — admitting a
+        constraint the current data violates would make every later
+        write fail spuriously), then records it on the TableDef; from
+        that commit on, every write through the single writer chokepoint
+        enforces it row-by-row inside the write job (no extra pass).
+        SQL semantics: NULL/UNKNOWN passes, only FALSE violates."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "ADD CONSTRAINT")
+        if cname in tdef.constraints:
+            raise ValueError(f"constraint already exists: {cname}")
+        scan = self._scan(tdef, tdef.file_paths())
+        n_bad = scan.filter(
+            F.expr(f"NOT coalesce(({expr}), true)")).count()
+        if n_bad:
+            raise CheckConstraintError(
+                f"cannot add CHECK constraint {cname}: {n_bad} existing "
+                f"row(s) of {name} violate ({expr})")
+        tdef.constraints = {**tdef.constraints, cname: expr}
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER,
+                                 {"add_constraint": [cname, expr]})
+        self._finish(txn)
+
+    def drop_constraint(self, name: str, cname: str) -> None:
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "DROP CONSTRAINT")
+        if cname not in tdef.constraints:
+            raise ValueError(f"no such constraint: {cname}")
+        tdef.constraints = {k: v for k, v in tdef.constraints.items()
+                            if k != cname}
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER,
+                                 {"drop_constraint": [cname]})
+        self._finish(txn)
+
     def drop_columns(self, name: str, column_names: list[str]) -> None:
         """A15 remove-columns: drop from the table schema; data files are
         untouched (column pruning never reads them again)."""
@@ -1881,6 +2024,24 @@ class Engine:
         missing = set(column_names) - {f.name for f in schema.fields}
         if missing:
             raise ValueError(f"no such columns: {sorted(missing)}")
+        for cname, expr in tdef.constraints.items():
+            hit = [c for c in column_names
+                   if re.search(rf"\b{re.escape(c)}\b", expr)]
+            if hit:
+                raise ValueError(
+                    f"cannot drop column(s) {hit}: referenced by CHECK "
+                    f"constraint {cname} ({expr}); DROP CONSTRAINT first")
+        for g, gexpr in tdef.generated_columns.items():
+            hit = [c for c in column_names
+                   if c != g and re.search(rf"\b{re.escape(c)}\b", gexpr)]
+            if hit:
+                raise ValueError(
+                    f"cannot drop column(s) {hit}: source of generated "
+                    f"column {g} ({gexpr}); drop {g} first")
+        # dropping a generated column removes its derivation with it
+        tdef.generated_columns = {
+            g: e for g, e in tdef.generated_columns.items()
+            if g not in column_names}
         tdef.schema_json = T.StructType(
             [f for f in schema.fields if f.name not in column_names]).json()
         # purge the dropped columns' mapping entries — a stale
@@ -2691,9 +2852,15 @@ class Engine:
                     txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
                     {"added": [f.path for f in files]})
             else:
-                schema = T.StructType.fromDDL(cols)
+                plain, gen = self._split_generated_columns(cols)
+                schema = T.StructType.fromDDL(plain)
+                for g in gen:
+                    if g not in {f.name for f in schema.fields}:
+                        raise ValueError(
+                            f"generated column {g} missing from schema")
                 self.catalog.create_table(txn, ns, tbl, TableDef(
-                    schema_json=schema.json(), partition_by=partition_by))
+                    schema_json=schema.json(), partition_by=partition_by,
+                    generated_columns=gen))
             self._finish(txn)
             return ok()
         m = re.match(r"CREATE( OR REPLACE)? TAG ([\w.-]+)"
@@ -2720,10 +2887,15 @@ class Engine:
             tdef = self.catalog.describe_table(txn, ns, tbl)
             cols = ", ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"
+                + (f" GENERATED ALWAYS AS "
+                   f"({tdef.generated_columns[f.name]})"
+                   if f.name in tdef.generated_columns else "")
                 for f in tdef.spark_schema().fields)
             ddl = f"CREATE TABLE {ns}.{tbl} ({cols})"
             if tdef.partition_by:
                 ddl += f" PARTITIONED BY ({', '.join(tdef.partition_by)})"
+            for cname, cexpr in sorted(tdef.constraints.items()):
+                ddl += f" CONSTRAINT {cname} CHECK ({cexpr})"
             props = {k: v for k, v in sorted(tdef.properties.items())
                      if k != self._STATS_PROP}
             if props:
@@ -2917,6 +3089,16 @@ class Engine:
             n = self.update(name, assignments, pred or "true")
             return spark.createDataFrame([(n,)], "affected_files_rows long")
 
+        m = re.match(r"ALTER TABLE (\S+\.\S+) ADD CONSTRAINT (\w+) "
+                     r"CHECK\s*\((.+)\)$", norm, re.I | re.S)
+        if m:
+            self.add_constraint(m.group(1), m.group(2), m.group(3))
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) DROP CONSTRAINT (\w+)$",
+                     norm, re.I)
+        if m:
+            self.drop_constraint(m.group(1), m.group(2))
+            return ok()
         m = re.match(r"ALTER TABLE (\S+\.\S+) ADD COLUMNS?\s*\((.+)\)$",
                      norm, re.I)
         if m:

@@ -556,3 +556,87 @@ def b77_describe_detail(spark: SparkSession, sf: str) -> DataFrame:
         F.col("num_rows").cast("bigint").alias("num_rows"),
         (F.col("num_files") > 0).alias("files_tracked"),
         F.col("format"))
+
+
+@query("b78_check_constraint", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {dsum("CASE WHEN value >= 0 THEN value ELSE 0 END", 'value_sum')}
+FROM events
+""")
+def b78_check_constraint(spark: SparkSession, sf: str) -> DataFrame:
+    """B78 — CHECK constraints (Delta-style table invariants,
+    beyond-reference): ADD CONSTRAINT validates existing rows with ONE
+    aggregation job, then every write path (INSERT / COW rewrite /
+    MERGE / COPY INTO / streaming — all funnel through the single
+    writer chokepoint) enforces the predicate ROW-BY-ROW inside the
+    write job itself — zero extra passes at any scale. This query
+    clamps negatives via UPDATE, admits the `value >= 0` invariant,
+    proves a violating INSERT commits NOTHING (error + unchanged
+    checksum), then inserts a valid batch; the oracle reproduces the
+    surviving state with pure SELECTs."""
+    from olympia_spark.catalog.errors import CheckConstraintError
+    eng = _engine_with_events(spark, sf, "events_ck")
+    eng.sql("UPDATE ns1.events_ck SET value = 0 WHERE value < 0")
+    eng.sql("ALTER TABLE ns1.events_ck ADD CONSTRAINT v_nonneg "
+            "CHECK (value >= 0)")
+    try:
+        eng.sql("INSERT INTO ns1.events_ck VALUES "
+                "(999999901, TIMESTAMP '2024-01-01 00:00:00', 1, "
+                "'click', -5.0, '{}')")
+        raise AssertionError("violating INSERT must raise")
+    except CheckConstraintError:
+        pass
+    return eng.sql(_checksum("events_ck"))
+
+
+@query("b79_generated_partition", oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum('value', 'value_sum')}
+FROM events
+GROUP BY 1
+ORDER BY 1
+LIMIT 10
+""")
+def b79_generated_partition(spark: SparkSession, sf: str) -> DataFrame:
+    """B79 — GENERATED ALWAYS AS + hidden partitioning (Iceberg
+    transform-partitioning semantics, beyond-reference): the table
+    declares ``event_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))``
+    and partitions on it; the engine computes the column at the writer
+    chokepoint, the hive layout stores it in paths, partition values
+    become exact file stats, and a predicate on event_date
+    PARTITION-PRUNES both scans and DML without the writer ever being
+    told the date. The oracle recomputes the derivation from raw ts —
+    proving the stored derived column matches its definition on every
+    row."""
+    from pyspark.sql import functions as F
+    eng = _engine_with_gen_events(spark, sf)
+    return (eng.sql("SELECT event_date, COUNT(*) AS n, "
+                    "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
+                    " AS value_sum "
+                    "FROM ns1.events_gen GROUP BY event_date "
+                    "ORDER BY event_date LIMIT 10")
+            .select("event_date", F.col("n").cast("bigint").alias("n"),
+                    "value_sum"))
+
+
+def _engine_with_gen_events(spark: SparkSession, sf: str):
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+    from olympia_spark.engine import Engine
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_dmlg_"))
+        eng.sql("CREATE NAMESPACE ns1")
+        return eng
+
+    eng = get_or_create(_DML_ENGINES, spark, sf + "#gen", build)
+    txn = eng.catalog.begin()
+    if eng.catalog.table_exists(txn, "ns1", "events_gen"):
+        eng.sql("DROP TABLE ns1.events_gen")
+    eng.sql("CREATE TABLE ns1.events_gen ("
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING, "
+            "event_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))"
+            ") PARTITIONED BY (event_date)")
+    eng.write_table(load(spark, sf, "events"), "ns1.events_gen")
+    return eng

@@ -874,3 +874,100 @@ def test_replace_where_empty_source_tracks_no_zero_row_files(engine):
     tdef = engine.catalog.describe_table(txn, "ns1", "rwz")
     assert all(f.num_rows > 0 for f in tdef.data_files), \
         [(f.path, f.num_rows) for f in tdef.data_files]
+
+
+def test_check_constraints_enforced_everywhere(engine, spark):
+    """B78: ADD CONSTRAINT validates existing rows, then EVERY write
+    path (INSERT, UPDATE, MERGE) enforces row-by-row inside the write
+    job; NULL results pass (SQL semantics); clones inherit; columns
+    referenced by a constraint can't be dropped or renamed."""
+    from olympia_spark.catalog.errors import CheckConstraintError
+
+    engine.sql("CREATE TABLE ns1.cc (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.cc VALUES (1, 10), (2, NULL)")
+    engine.sql("ALTER TABLE ns1.cc ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    # valid insert passes; NULL passes (UNKNOWN is not FALSE)
+    engine.sql("INSERT INTO ns1.cc VALUES (3, 0), (4, NULL)")
+    # violating INSERT raises and commits NOTHING
+    with pytest.raises(CheckConstraintError):
+        engine.sql("INSERT INTO ns1.cc VALUES (5, -1)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.cc").first().n == 4
+    # violating UPDATE (COW rewrite path) raises
+    with pytest.raises(CheckConstraintError):
+        engine.sql("UPDATE ns1.cc SET v = -5 WHERE id = 1")
+    # violating MERGE raises
+    src = spark.createDataFrame([(1, -7)], "id long, v long")
+    with pytest.raises(CheckConstraintError):
+        engine.merge("ns1.cc", src, on="t.id = s.id",
+                     matched_update={"v": "s.v"})
+    assert engine.sql("SELECT CAST(SUM(v) AS BIGINT) AS s "
+                      "FROM ns1.cc").first().s == 10
+    # adding a constraint the EXISTING data violates is refused
+    with pytest.raises(CheckConstraintError, match="existing"):
+        engine.sql("ALTER TABLE ns1.cc ADD CONSTRAINT v_big CHECK (v > 5)")
+    # duplicate name refused; drop works; then the write passes
+    with pytest.raises(ValueError, match="already exists"):
+        engine.add_constraint("ns1.cc", "v_pos", "v >= 0")
+    # columns under a constraint are pinned
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        engine.sql("ALTER TABLE ns1.cc DROP COLUMNS (v)")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        engine.sql("ALTER TABLE ns1.cc RENAME COLUMN v TO w")
+    # SHOW CREATE TABLE surfaces the constraint
+    ddl = engine.sql("SHOW CREATE TABLE ns1.cc").first().createtab_stmt
+    assert "CONSTRAINT v_pos CHECK (v >= 0)" in ddl
+    # clone inherits the invariant
+    engine.sql("CREATE TABLE ns1.ccc SHALLOW CLONE ns1.cc")
+    with pytest.raises(CheckConstraintError):
+        engine.sql("INSERT INTO ns1.ccc VALUES (9, -1)")
+    # drop releases enforcement
+    engine.sql("ALTER TABLE ns1.cc DROP CONSTRAINT v_pos")
+    engine.sql("INSERT INTO ns1.cc VALUES (5, -1)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.cc").first().n == 5
+
+
+def test_generated_columns_hidden_partitioning(engine, spark):
+    """B79: GENERATED ALWAYS AS columns are engine-owned — recomputed on
+    every write (UPDATE to a source keeps them consistent), and
+    partitioning by one is Iceberg-style hidden partitioning."""
+    engine.sql("CREATE TABLE ns1.gc ("
+               "id BIGINT, ts TIMESTAMP, "
+               "event_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))"
+               ") PARTITIONED BY (event_date)")
+    engine.sql("INSERT INTO ns1.gc (id, ts) VALUES "
+               "(1, TIMESTAMP '2024-01-01 10:00:00'), "
+               "(2, TIMESTAMP '2024-01-02 23:59:59'), "
+               "(3, TIMESTAMP '2024-01-02 00:00:00')")
+    rows = {(r.id, str(r.event_date)) for r in
+            engine.sql("SELECT id, event_date FROM ns1.gc").collect()}
+    assert rows == {(1, "2024-01-01"), (2, "2024-01-02"),
+                    (3, "2024-01-02")}
+    # partition pruning: only the matching date's files are candidates
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "gc")
+    cand = engine._candidate_files(tdef, "event_date = '2024-01-01'")
+    assert len(cand) < len(tdef.data_files)
+    # UPDATE of the SOURCE column recomputes the generated value
+    engine.sql("UPDATE ns1.gc SET ts = TIMESTAMP '2024-03-05 01:00:00' "
+               "WHERE id = 1")
+    assert str(engine.sql("SELECT event_date FROM ns1.gc WHERE id = 1")
+               .first().event_date) == "2024-03-05"
+    # an explicit mismatched value is corrected, never persisted
+    engine.sql("INSERT INTO ns1.gc VALUES "
+               "(4, TIMESTAMP '2024-06-01 12:00:00', DATE '1999-01-01')")
+    assert str(engine.sql("SELECT event_date FROM ns1.gc WHERE id = 4")
+               .first().event_date) == "2024-06-01"
+    # source column is pinned while the derivation exists
+    with pytest.raises(ValueError, match="source of generated"):
+        engine.sql("ALTER TABLE ns1.gc DROP COLUMNS (ts)")
+    with pytest.raises(ValueError, match="generated column"):
+        engine.sql("ALTER TABLE ns1.gc RENAME COLUMN event_date TO d")
+    # SHOW CREATE round-trips the derivation
+    ddl = engine.sql("SHOW CREATE TABLE ns1.gc").first().createtab_stmt
+    assert "GENERATED ALWAYS AS (CAST(ts AS DATE))" in ddl
+    # clone inherits it
+    engine.sql("CREATE TABLE ns1.gcc SHALLOW CLONE ns1.gc")
+    engine.sql("INSERT INTO ns1.gcc (id, ts) VALUES "
+               "(9, TIMESTAMP '2025-05-05 05:05:05')")
+    assert str(engine.sql("SELECT event_date FROM ns1.gcc WHERE id = 9")
+               .first().event_date) == "2025-05-05"
