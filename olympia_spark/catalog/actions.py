@@ -118,6 +118,21 @@ RESOLVABLE = "resolvable"
 UNRESOLVABLE = "unresolvable"
 
 
+def _adds_constraint(a: Action) -> bool:
+    """TABLE_ALTER that installs a CHECK constraint: its validity claim
+    ('every existing row satisfies the predicate') is tied to the exact
+    snapshot it validated, so it can never roll forward past a
+    concurrent table write in EITHER direction — a writer that lost the
+    CAS never enforced the new constraint, and a constraint that lost
+    the CAS never validated the new files."""
+    return (a.type is ActionType.TABLE_ALTER
+            and "add_constraint" in a.def_payload)
+
+
+_TABLE_WRITES = {ActionType.TABLE_INSERT, ActionType.TABLE_UPDATE,
+                 ActionType.TABLE_DELETE}
+
+
 def analyze(pending: Action, committed: Action,
             isolation_level: str) -> str:
     """Pairwise conflict verdict (AnalyzeActionConflicts.analyze)."""
@@ -126,6 +141,9 @@ def analyze(pending: Action, committed: Action,
 
     if c in READ_ACTIONS:
         return NO_CONFLICT
+    if same and ((_adds_constraint(committed) and p in _TABLE_WRITES)
+                 or (_adds_constraint(pending) and c in _TABLE_WRITES)):
+        return UNRESOLVABLE
     if not same:
         # SERIALIZABLE: a committed write still conflicts a pending read
         # of the same table even though keys differ per action row shape —

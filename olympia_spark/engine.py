@@ -1053,30 +1053,38 @@ class Engine:
                 {"added": [f.path for f in new_files]})
         self._finish(txn)
 
+    def _apply_generated(self, df: DataFrame, tdef: TableDef) -> DataFrame:
+        """GENERATED ALWAYS AS: the engine owns these columns — every
+        write recomputes them from their source expressions (an UPDATE
+        to a source column can never leave a stale derived value, and
+        an explicit mismatched insert is corrected rather than
+        persisted), then realigns to the declared schema order over the
+        columns PRESENT (schema-evolution writes may legitimately omit
+        newly added plain columns — reads NULL-fill those).
+        Partitioning by a generated column is the hidden-partitioning
+        path: the value exists before the hive-layout writer sees it."""
+        schema = tdef.spark_schema()
+        for g, gexpr in tdef.generated_columns.items():
+            df = df.withColumn(g, F.expr(gexpr).cast(schema[g].dataType))
+        present = set(df.columns)
+        return df.select(*[f.name for f in schema.fields
+                           if f.name in present])
+
+    @staticmethod
+    def _expr_refs(expr: str, column: str) -> bool:
+        """Does a stored SQL expression reference ``column``? Matching is
+        CASE-INSENSITIVE because Spark resolves identifiers that way —
+        a guard that misses `V` vs `v` lets a drop/rename orphan the
+        expression and brick every later write."""
+        return re.search(rf"\b{re.escape(column)}\b", expr, re.I) is not None
+
     def _write_files(self, df: DataFrame, ns: str, tbl: str,
                      partition_by: list[str] | None = None,
                      tdef: TableDef | None = None) -> list[DataFile]:
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
         out_dir = self._abs(rel_dir)
         if tdef is not None and getattr(tdef, "generated_columns", None):
-            # GENERATED ALWAYS AS: the engine owns these columns — every
-            # write recomputes them from their source expressions (an
-            # UPDATE to a source column can never leave a stale derived
-            # value, and an explicit mismatched insert is corrected
-            # rather than persisted), then realigns to the declared
-            # schema order. Partitioning by a generated column is the
-            # hidden-partitioning path: the value exists before the
-            # hive-layout writer sees it.
-            schema = tdef.spark_schema()
-            for g, gexpr in tdef.generated_columns.items():
-                df = df.withColumn(g, F.expr(gexpr)
-                                   .cast(schema[g].dataType))
-            missing = [f.name for f in schema.fields
-                       if f.name not in df.columns]
-            if missing:
-                raise ValueError(
-                    f"write to {ns}.{tbl} is missing columns {missing}")
-            df = df.select(*[f.name for f in schema.fields])
+            df = self._apply_generated(df, tdef)
         if tdef is not None and getattr(tdef, "constraints", None):
             # CHECK enforcement at the single writer chokepoint — every
             # path (INSERT, COW rewrites, MERGE, COPY INTO, streaming)
@@ -1311,6 +1319,13 @@ class Engine:
         schema = tdef.spark_schema()
         df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
                          for f in schema.fields])
+        if tdef.generated_columns:
+            # recompute BEFORE the predicate guard: the guard must see
+            # the values that will actually be WRITTEN — a payload whose
+            # explicit/NULL-filled generated values differ from their
+            # recomputed ones would otherwise pass validation yet land
+            # outside the replaced slice (or be falsely rejected)
+            df = self._apply_generated(df, tdef)
         # Pin the source before validating: the validation count and the
         # data write are separate evaluations, so a non-deterministic
         # source (rand(), re-shuffling scan) could pass the check yet
@@ -1865,7 +1880,7 @@ class Engine:
                 f"column name {new} belonged to a dropped column whose "
                 f"data may survive in existing files; pick another name")
         for cname, cexpr in tdef.constraints.items():
-            if re.search(rf"\b{re.escape(old)}\b", cexpr):
+            if self._expr_refs(cexpr, old):
                 raise ValueError(
                     f"cannot rename column {old}: referenced by CHECK "
                     f"constraint {cname} ({cexpr}); DROP CONSTRAINT first")
@@ -1874,7 +1889,7 @@ class Engine:
                 f"cannot rename generated column {old}; drop and "
                 f"re-declare it instead")
         for g, gexpr in tdef.generated_columns.items():
-            if re.search(rf"\b{re.escape(old)}\b", gexpr):
+            if self._expr_refs(gexpr, old):
                 raise ValueError(
                     f"cannot rename column {old}: source of generated "
                     f"column {g} ({gexpr})")
@@ -1941,12 +1956,15 @@ class Engine:
         self._finish(txn)
 
     @staticmethod
-    def _split_generated_columns(cols: str) -> tuple[str, dict]:
+    def _split_generated_columns(cols: str) -> tuple[str, dict, dict]:
         """Split a CREATE TABLE column list into (plain DDL, generated
-        map): ``c DATE GENERATED ALWAYS AS (expr)`` entries lose the
-        GENERATED clause (the type stays in the schema) and contribute
-        name -> expr. The split is parenthesis-aware so expressions
-        containing commas survive."""
+        map, constraints map): ``c DATE GENERATED ALWAYS AS (expr)``
+        entries lose the GENERATED clause (the type stays in the
+        schema) and contribute name -> expr; standard-SQL
+        ``CONSTRAINT name CHECK (expr)`` list items become constraint
+        entries — which also makes SHOW CREATE TABLE output round-trip
+        through this parser. The split is parenthesis-aware so
+        expressions containing commas survive."""
         parts, depth, cur = [], 0, []
         for ch in cols:
             if ch == "(":
@@ -1960,8 +1978,13 @@ class Engine:
                 cur.append(ch)
         if cur:
             parts.append("".join(cur))
-        plain, gen = [], {}
+        plain, gen, cons = [], {}, {}
         for p in parts:
+            m = re.match(r"\s*CONSTRAINT\s+(\w+)\s+CHECK"
+                         r"\s*\((.+)\)\s*$", p, re.I | re.S)
+            if m:
+                cons[m.group(1)] = m.group(2).strip()
+                continue
             m = re.match(r"\s*(\w+)\s+(.+?)\s+GENERATED ALWAYS AS"
                          r"\s*\((.+)\)\s*$", p, re.I | re.S)
             if m:
@@ -1969,7 +1992,7 @@ class Engine:
                 gen[m.group(1)] = m.group(3).strip()
             else:
                 plain.append(p.strip())
-        return ", ".join(plain), gen
+        return ", ".join(plain), gen, cons
 
     def add_constraint(self, name: str, cname: str, expr: str) -> None:
         """``ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>)``
@@ -2024,16 +2047,21 @@ class Engine:
         missing = set(column_names) - {f.name for f in schema.fields}
         if missing:
             raise ValueError(f"no such columns: {sorted(missing)}")
+        parts = [c for c in column_names if c in tdef.partition_by]
+        if parts:
+            # partition_by would point at a nonexistent column and every
+            # later write's partitionBy would fail — the table bricks
+            raise ValueError(
+                f"cannot drop partition column(s) {parts}")
         for cname, expr in tdef.constraints.items():
-            hit = [c for c in column_names
-                   if re.search(rf"\b{re.escape(c)}\b", expr)]
+            hit = [c for c in column_names if self._expr_refs(expr, c)]
             if hit:
                 raise ValueError(
                     f"cannot drop column(s) {hit}: referenced by CHECK "
                     f"constraint {cname} ({expr}); DROP CONSTRAINT first")
         for g, gexpr in tdef.generated_columns.items():
             hit = [c for c in column_names
-                   if c != g and re.search(rf"\b{re.escape(c)}\b", gexpr)]
+                   if c != g and self._expr_refs(gexpr, c)]
             if hit:
                 raise ValueError(
                     f"cannot drop column(s) {hit}: source of generated "
@@ -2852,7 +2880,7 @@ class Engine:
                     txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
                     {"added": [f.path for f in files]})
             else:
-                plain, gen = self._split_generated_columns(cols)
+                plain, gen, cons = self._split_generated_columns(cols)
                 schema = T.StructType.fromDDL(plain)
                 for g in gen:
                     if g not in {f.name for f in schema.fields}:
@@ -2860,7 +2888,7 @@ class Engine:
                             f"generated column {g} missing from schema")
                 self.catalog.create_table(txn, ns, tbl, TableDef(
                     schema_json=schema.json(), partition_by=partition_by,
-                    generated_columns=gen))
+                    generated_columns=gen, constraints=cons))
             self._finish(txn)
             return ok()
         m = re.match(r"CREATE( OR REPLACE)? TAG ([\w.-]+)"
@@ -2891,11 +2919,11 @@ class Engine:
                    f"({tdef.generated_columns[f.name]})"
                    if f.name in tdef.generated_columns else "")
                 for f in tdef.spark_schema().fields)
+            for cname, cexpr in sorted(tdef.constraints.items()):
+                cols += f", CONSTRAINT {cname} CHECK ({cexpr})"
             ddl = f"CREATE TABLE {ns}.{tbl} ({cols})"
             if tdef.partition_by:
                 ddl += f" PARTITIONED BY ({', '.join(tdef.partition_by)})"
-            for cname, cexpr in sorted(tdef.constraints.items()):
-                ddl += f" CONSTRAINT {cname} CHECK ({cexpr})"
             props = {k: v for k, v in sorted(tdef.properties.items())
                      if k != self._STATS_PROP}
             if props:

@@ -572,8 +572,8 @@ def b78_check_constraint(spark: SparkSession, sf: str) -> DataFrame:
     write job itself — zero extra passes at any scale. This query
     clamps negatives via UPDATE, admits the `value >= 0` invariant,
     proves a violating INSERT commits NOTHING (error + unchanged
-    checksum), then inserts a valid batch; the oracle reproduces the
-    surviving state with pure SELECTs."""
+    checksum); the oracle reproduces the surviving state with pure
+    SELECTs."""
     from olympia_spark.catalog.errors import CheckConstraintError
     eng = _engine_with_events(spark, sf, "events_ck")
     eng.sql("UPDATE ns1.events_ck SET value = 0 WHERE value < 0")

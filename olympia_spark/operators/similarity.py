@@ -1194,3 +1194,39 @@ def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
     the same left-to-right double fold on both engines, so the rounded
     boundary is engine-stable."""
     return _run(spark, sf, _range_sql("spark"))
+
+
+# --- C72 maximum-inner-product search (MIPS) --------------------------------
+
+def _mips_sql(engine: str) -> str:
+    dot = _dot_col("e.embedding", "q.embedding", engine)
+    self_dot = _dot_col("e.embedding", "e.embedding", engine)
+    qnorm = _dot_col("q.embedding", "q.embedding", engine)
+    m2 = (f"(SELECT MAX({_dot_col('x.embedding', 'x.embedding', engine)})"
+          f" FROM embeddings x)")
+    return f"""
+SELECT e.vec_id,
+       ROUND({dot}, 4) AS ip,
+       ROUND({dot} / (sqrt({qnorm}) * sqrt({m2})), 4) AS aug_cos
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0 AND {self_dot} >= 0
+ORDER BY ip DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_mips_topk", oracle=_mips_sql("duck"))
+def sim_mips_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum-inner-product search — the recommendation/retrieval
+    objective cosine does NOT cover (un-normalized embeddings encode
+    popularity/confidence in their norms). The classic
+    MIPS-to-cosine reduction augments every vector with
+    sqrt(M² − ‖x‖²) (M = max corpus norm, ONE broadcastable aggregate)
+    so the augmented cosine equals ip / (‖q‖·M) — a MONOTONE transform
+    of the inner product (both denominators are constants), which is
+    what lets every cosine-based index in this module (LSH C7, IVF C8,
+    PQ C55) serve MIPS unchanged. The emitted aug_cos column IS that
+    reduction, oracle-pinned so the constant-denominator claim is
+    checked, not asserted. Plan: one scalar max aggregate + broadcast
+    query row + single scan into TakeOrderedAndProject."""
+    return _run(spark, sf, _mips_sql("spark"))

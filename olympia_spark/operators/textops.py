@@ -1640,3 +1640,64 @@ def data_curriculum_head(spark: SparkSession, sf: str) -> DataFrame:
     for h in heads[1:]:
         u = u.unionAll(h)
     return u.select("band", "doc_id").orderBy("band", "doc_id")
+
+
+# --- C73 character-entropy quality gate -------------------------------------
+
+@query("text_entropy_gate", oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), dist AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM chars GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM dist GROUP BY doc_id
+), ent AS (
+  SELECT d.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(
+             -LN(CAST(d.cnt AS DOUBLE) / t.n), 6) AS DECIMAL(25,6))
+             * d.cnt) AS DOUBLE) / t.n, 4) AS h
+  FROM dist d JOIN tot t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id, t.n
+)
+SELECT e2.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ent.h >= 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept,
+       CAST(SUM(CAST(ent.h AS DECIMAL(25,6))) AS DOUBLE) AS h_sum
+FROM ent JOIN documents e2 ON ent.doc_id = e2.doc_id
+GROUP BY e2.source
+ORDER BY e2.source
+""")
+def text_entropy_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-entropy quality gate (CCNet-family gibberish filter):
+    Shannon entropy of each document's character distribution — binary
+    blobs, key-mash spam, and single-char floods score far below
+    natural text (English ≈ 4 bits/char; the 2.5-nat gate here).
+    Exactness discipline: each −ln(p) term is rounded to 6 decimals and
+    accumulated as DECIMAL(25,6) weighted by its count (the
+    ngram_logprob pattern), so the per-doc entropy — and therefore the
+    keep/drop decision at the boundary — is bit-identical across
+    engines instead of drifting with FP summation order. Shape:
+    explode chars → per-doc distribution → two grouped aggregates; the
+    shuffles carry (doc_id, char, count) triples, never text, and the
+    per-source rollup ships four numbers per source."""
+    d = load(spark, sf, "documents")
+    chars = d.select("doc_id",
+                     F.explode(F.split(F.col("text"), "")).alias("c"))
+    dist = chars.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    tot = dist.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n"))
+    term = (F.round(-F.log(F.col("cnt").cast("double") / F.col("n")), 6)
+            .cast("decimal(25,6)") * F.col("cnt"))
+    ent = (dist.join(tot, "doc_id")
+           .groupBy("doc_id", "n")
+           .agg(F.round(F.sum(term).cast("double") / F.first("n"), 4)
+                .alias("h")))
+    return (ent.join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("h") >= 2.5, 1).otherwise(0))
+                 .cast("bigint").alias("kept"),
+                 F.sum(F.col("h").cast("decimal(25,6)")).cast("double")
+                 .alias("h_sum"))
+            .orderBy("source"))

@@ -971,3 +971,88 @@ def test_generated_columns_hidden_partitioning(engine, spark):
                "(9, TIMESTAMP '2025-05-05 05:05:05')")
     assert str(engine.sql("SELECT event_date FROM ns1.gcc WHERE id = 9")
                .first().event_date) == "2025-05-05"
+
+
+def test_constraint_generated_review_seams(engine, spark):
+    """Round-6 review on B78/B79: SHOW CREATE round-trips constraints,
+    guards match case-insensitively, partition columns can't drop, and
+    REPLACE WHERE validates POST-recompute generated values."""
+    from olympia_spark.catalog.errors import CheckConstraintError
+
+    engine.sql("CREATE TABLE ns1.rs (id BIGINT, v BIGINT, "
+               "CONSTRAINT v_pos CHECK (v >= 0))")
+    with pytest.raises(CheckConstraintError):
+        engine.sql("INSERT INTO ns1.rs VALUES (1, -1)")
+    # SHOW CREATE output is ACCEPTED BY THE ENGINE'S OWN PARSER
+    ddl = engine.sql("SHOW CREATE TABLE ns1.rs").first().createtab_stmt
+    engine.sql(ddl.replace("ns1.rs", "ns1.rs2"))
+    with pytest.raises(CheckConstraintError):
+        engine.sql("INSERT INTO ns1.rs2 VALUES (1, -1)")
+    # case-insensitive dependency guard: constraint written with V
+    engine.sql("CREATE TABLE ns1.ci (id BIGINT, v BIGINT)")
+    engine.sql("ALTER TABLE ns1.ci ADD CONSTRAINT c1 CHECK (V >= 0)")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        engine.sql("ALTER TABLE ns1.ci DROP COLUMNS (v)")
+    # partition columns can never drop (write would brick)
+    engine.sql("CREATE TABLE ns1.pd (id BIGINT, p STRING) "
+               "PARTITIONED BY (p)")
+    with pytest.raises(ValueError, match="partition column"):
+        engine.sql("ALTER TABLE ns1.pd DROP COLUMNS (p)")
+    # REPLACE WHERE on a hidden-partitioned table: the predicate guard
+    # sees RECOMPUTED values — a payload whose explicit generated value
+    # lies inside the slice but whose ts puts it OUTSIDE must raise
+    engine.sql("CREATE TABLE ns1.hw ("
+               "id BIGINT, ts TIMESTAMP, "
+               "event_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))"
+               ") PARTITIONED BY (event_date)")
+    engine.sql("INSERT INTO ns1.hw (id, ts) VALUES "
+               "(1, TIMESTAMP '2024-01-01 08:00:00'), "
+               "(2, TIMESTAMP '2024-02-01 08:00:00')")
+    with pytest.raises(ValueError, match="do not satisfy"):
+        engine.sql(
+            "INSERT OVERWRITE ns1.hw "
+            "REPLACE WHERE event_date = DATE '2024-01-01' "
+            "SELECT 9 AS id, TIMESTAMP '2024-06-01 00:00:00' AS ts, "
+            "DATE '2024-01-01' AS event_date")
+    # and a payload that OMITS the generated column (NULL-filled) but
+    # whose ts lands inside the slice passes
+    engine.sql(
+        "INSERT OVERWRITE ns1.hw "
+        "REPLACE WHERE event_date = DATE '2024-01-01' "
+        "SELECT 9 AS id, TIMESTAMP '2024-01-01 23:00:00' AS ts, "
+        "CAST(NULL AS DATE) AS event_date")
+    rows = {(r.id, str(r.event_date)) for r in
+            engine.sql("SELECT id, event_date FROM ns1.hw").collect()}
+    assert rows == {(9, "2024-01-01"), (2, "2024-02-01")}
+
+
+def test_add_constraint_conflicts_with_concurrent_writes(engine, spark):
+    """Round-6 review: ADD CONSTRAINT's validity claim is pinned to the
+    snapshot it validated — it must be UNRESOLVABLE against concurrent
+    table writes in both directions (a roll-forward would commit rows
+    the constraint never saw, or a constraint the rows never met)."""
+    from olympia_spark.catalog.errors import CommitConflictError
+
+    engine.sql("CREATE TABLE ns1.cw (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.cw VALUES (1, 1)")
+    other = Engine(spark, engine.catalog.storage.root)
+    # direction (a): writer loses the CAS to a concurrent ADD CONSTRAINT
+    engine.sql("BEGIN")
+    other.sql("BEGIN")
+    engine.sql("INSERT INTO ns1.cw VALUES (2, -5)")     # will violate
+    other.sql("ALTER TABLE ns1.cw ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    other.sql("COMMIT")
+    with pytest.raises(CommitConflictError):
+        engine.sql("COMMIT")
+    engine.current_txn = None
+    # direction (b): constraint loses the CAS to a concurrent write
+    eng3 = Engine(spark, engine.catalog.storage.root)
+    eng3.sql("ALTER TABLE ns1.cw DROP CONSTRAINT v_pos")
+    engine.sql("BEGIN")
+    other.sql("BEGIN")
+    other.sql("INSERT INTO ns1.cw VALUES (3, -9)")
+    engine.sql("ALTER TABLE ns1.cw ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    other.sql("COMMIT")
+    with pytest.raises(CommitConflictError):
+        engine.sql("COMMIT")
+    engine.current_txn = None

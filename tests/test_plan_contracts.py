@@ -457,3 +457,18 @@ def test_cross_source_broadcasts_pair_set(spark):
     plan = _plan(registry.QUERIES["dedup_cross_source"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["sim_mips_topk", "text_entropy_gate"])
+def test_mips_and_entropy_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+def test_mips_uses_take_ordered(spark):
+    """C72: the top-10 must be TakeOrderedAndProject over the single
+    scan; the max-norm scalar and query row broadcast."""
+    plan = _plan(registry.QUERIES["sim_mips_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
