@@ -1066,24 +1066,42 @@ class Engine:
         schema = tdef.spark_schema()
         for g, gexpr in tdef.generated_columns.items():
             df = df.withColumn(g, F.expr(gexpr).cast(schema[g].dataType))
-        present = set(df.columns)
+        # presence is CASE-INSENSITIVE (Spark resolution is): a frame
+        # carrying `ID` for schema column `id` must select it, not
+        # silently drop it into read-side NULLs
+        present = {c.lower() for c in df.columns}
         return df.select(*[f.name for f in schema.fields
-                           if f.name in present])
+                           if f.name.lower() in present])
 
     @staticmethod
     def _expr_refs(expr: str, column: str) -> bool:
         """Does a stored SQL expression reference ``column``? Matching is
         CASE-INSENSITIVE because Spark resolves identifiers that way —
         a guard that misses `V` vs `v` lets a drop/rename orphan the
-        expression and brick every later write."""
-        return re.search(rf"\b{re.escape(column)}\b", expr, re.I) is not None
+        expression and brick every later write. Systematic
+        keyword/literal collisions are excluded: words inside string
+        literals, cast targets (``CAST(x AS DATE)``), and typed-literal
+        prefixes (``DATE '2024-01-01'``) are not column references —
+        without these exclusions a column named `date` could never be
+        dropped from a table whose expressions cast anything to DATE."""
+        e = re.sub(r"''", "", expr)
+        e = re.sub(r"'[^']*'", "'~'", e)      # blank string literals
+        for m in re.finditer(rf"\b{re.escape(column)}\b", e, re.I):
+            if re.search(r"\bAS\s*$", e[:m.start()], re.I):
+                continue                       # cast/alias target keyword
+            if re.match(r"\s*'", e[m.end():]):
+                continue                       # typed literal: DATE '...'
+            return True
+        return False
 
     def _write_files(self, df: DataFrame, ns: str, tbl: str,
                      partition_by: list[str] | None = None,
-                     tdef: TableDef | None = None) -> list[DataFile]:
+                     tdef: TableDef | None = None,
+                     generated_applied: bool = False) -> list[DataFile]:
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
         out_dir = self._abs(rel_dir)
-        if tdef is not None and getattr(tdef, "generated_columns", None):
+        if (tdef is not None and not generated_applied
+                and getattr(tdef, "generated_columns", None)):
             df = self._apply_generated(df, tdef)
         if tdef is not None and getattr(tdef, "constraints", None):
             # CHECK enforcement at the single writer chokepoint — every
@@ -1387,9 +1405,12 @@ class Engine:
         # skip empty part files (same num_rows > 0 filter the merge insert
         # path applies) — an empty/skewed source must not leave zero-row
         # parquet files tracked in table metadata
-        ins_files = [f for f in self._write_files(df, ns, tbl,
-                                                  tdef.partition_by,
-                                                  tdef=tdef)
+        ins_files = [f for f in self._write_files(
+                         df, ns, tbl, tdef.partition_by, tdef=tdef,
+                         # replace_where already normalized the payload
+                         # (the predicate guard needed post-recompute
+                         # values) — don't recompute a second time
+                         generated_applied=bool(tdef.generated_columns))
                      if f.num_rows > 0]
         new_files += ins_files
         self.catalog.update_table_files(
@@ -2855,13 +2876,20 @@ class Engine:
                 [(add, rm)], "files_restored long, files_removed long")
         m = re.match(r"CREATE( OR REPLACE)? TABLE( IF NOT EXISTS)? (\S+?)\s*"
                      r"(?:\((.+?)\))?\s*(?:PARTITIONED BY \(([\w, ]+)\))?"
+                     r"\s*(?:TBLPROPERTIES \((.+?)\))?"
                      r"\s*(?:AS (SELECT .+))?$",
                      norm, re.I | re.S)
         if m and re.match(r"CREATE( OR REPLACE)? TABLE", norm, re.I):
-            or_replace, if_not_exists, name, cols, part, ctas = m.groups()
+            (or_replace, if_not_exists, name, cols, part, props_raw,
+             ctas) = m.groups()
             ns, tbl = self._split(name)
             partition_by = ([c.strip() for c in part.split(",")]
                             if part else [])
+            properties = {}
+            if props_raw:
+                for km in re.finditer(r"'([^']*)'\s*=\s*'([^']*)'",
+                                      props_raw):
+                    properties[km.group(1)] = km.group(2)
             txn = self._txn()
             if if_not_exists and self.catalog.table_exists(txn, ns, tbl):
                 self._finish(txn)
@@ -2874,7 +2902,7 @@ class Engine:
                 df = spark.sql(self._resolve_sql(ctas, txn))
                 self.catalog.create_table(txn, ns, tbl, TableDef(
                     schema_json=df.schema.json(),
-                    partition_by=partition_by))
+                    partition_by=partition_by, properties=properties))
                 files = self._write_files(df, ns, tbl, partition_by)
                 self.catalog.update_table_files(
                     txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
@@ -2886,9 +2914,25 @@ class Engine:
                     if g not in {f.name for f in schema.fields}:
                         raise ValueError(
                             f"generated column {g} missing from schema")
+                # constraint/generated expressions must ANALYZE against
+                # the declared schema NOW — a typo'd column name caught
+                # at DDL time, not as an AnalysisException bricking the
+                # first insert
+                probe = spark.createDataFrame([], schema)
+                for label, exprs in (("CHECK constraint", cons),
+                                     ("generated column", gen)):
+                    for ename, eexpr in exprs.items():
+                        try:
+                            probe.select(F.expr(eexpr)).schema
+                        except Exception as e:
+                            raise ValueError(
+                                f"{label} {ename}: expression "
+                                f"({eexpr}) does not resolve against "
+                                f"the table schema") from e
                 self.catalog.create_table(txn, ns, tbl, TableDef(
                     schema_json=schema.json(), partition_by=partition_by,
-                    generated_columns=gen, constraints=cons))
+                    generated_columns=gen, constraints=cons,
+                    properties=properties))
             self._finish(txn)
             return ok()
         m = re.match(r"CREATE( OR REPLACE)? TAG ([\w.-]+)"

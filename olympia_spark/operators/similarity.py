@@ -1200,7 +1200,6 @@ def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
 
 def _mips_sql(engine: str) -> str:
     dot = _dot_col("e.embedding", "q.embedding", engine)
-    self_dot = _dot_col("e.embedding", "e.embedding", engine)
     qnorm = _dot_col("q.embedding", "q.embedding", engine)
     m2 = (f"(SELECT MAX({_dot_col('x.embedding', 'x.embedding', engine)})"
           f" FROM embeddings x)")
@@ -1209,7 +1208,7 @@ SELECT e.vec_id,
        ROUND({dot}, 4) AS ip,
        ROUND({dot} / (sqrt({qnorm}) * sqrt({m2})), 4) AS aug_cos
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-WHERE e.vec_id <> 0 AND {self_dot} >= 0
+WHERE e.vec_id <> 0
 ORDER BY ip DESC, vec_id
 LIMIT 10
 """

@@ -1056,3 +1056,39 @@ def test_add_constraint_conflicts_with_concurrent_writes(engine, spark):
     with pytest.raises(CommitConflictError):
         engine.sql("COMMIT")
     engine.current_txn = None
+
+
+def test_create_table_round_trip_and_ddl_validation(engine):
+    """Round-6 fourth review: SHOW CREATE round-trips WITH
+    TBLPROPERTIES; a typo'd constraint column fails at DDL time; a
+    column named like a type keyword is still droppable when the only
+    'reference' is a cast target or typed literal."""
+    engine.sql("CREATE TABLE ns1.tp (id BIGINT, v BIGINT, "
+               "CONSTRAINT v_ok CHECK (v >= 0)) "
+               "TBLPROPERTIES ('owner'='me', 'tier'='gold')")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "tp")
+    assert tdef.properties["owner"] == "me"
+    ddl = engine.sql("SHOW CREATE TABLE ns1.tp").first().createtab_stmt
+    assert "TBLPROPERTIES" in ddl
+    engine.sql(ddl.replace("ns1.tp", "ns1.tp2"))
+    txn = engine.catalog.begin()
+    t2 = engine.catalog.describe_table(txn, "ns1", "tp2")
+    assert t2.properties["tier"] == "gold"
+    assert t2.constraints == {"v_ok": "v >= 0"}
+    # typo'd constraint column fails at CREATE, not at first INSERT
+    with pytest.raises(ValueError, match="does not resolve"):
+        engine.sql("CREATE TABLE ns1.bad (id BIGINT, "
+                   "CONSTRAINT c CHECK (vv >= 0))")
+    with pytest.raises(ValueError, match="does not resolve"):
+        engine.sql("CREATE TABLE ns1.bad2 (id BIGINT, "
+                   "d DATE GENERATED ALWAYS AS (CAST(tss AS DATE)))")
+    # keyword-collision: a column named `date` alongside a generated
+    # expr that only CASTs to DATE / uses a DATE literal is droppable
+    engine.sql("CREATE TABLE ns1.kw (date STRING, ts TIMESTAMP, "
+               "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))")
+    engine.sql("ALTER TABLE ns1.kw ADD CONSTRAINT recent "
+               "CHECK (CAST(ts AS DATE) >= DATE '2000-01-01')")
+    engine.sql("ALTER TABLE ns1.kw DROP COLUMNS (date)")   # not blocked
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        engine.sql("ALTER TABLE ns1.kw DROP COLUMNS (ts)")
