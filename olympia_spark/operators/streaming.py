@@ -204,7 +204,12 @@ def catalog_ingest_sink(eng):
                 probe, "stream", "events").properties:
             return                          # replayed batch — exactly-once
         txn = eng.catalog.begin()
-        files = eng._write_files(batch_df, "stream", "events")
+        # pass the TableDef: the writer chokepoint enforces CHECK
+        # constraints, recomputes generated columns, and maps renamed
+        # columns for STREAMING batches exactly like batch writes
+        tdef = eng.catalog.describe_table(txn, "stream", "events")
+        files = eng._write_files(batch_df, "stream", "events",
+                                 tdef.partition_by, tdef=tdef)
         eng.catalog.update_table_files(
             txn, "stream", "events", files, [], ActionType.TABLE_INSERT,
             {"added": [f.path for f in files], "batch_id": batch_id},

@@ -1092,3 +1092,42 @@ def test_create_table_round_trip_and_ddl_validation(engine):
     engine.sql("ALTER TABLE ns1.kw DROP COLUMNS (date)")   # not blocked
     with pytest.raises(ValueError, match="referenced by CHECK"):
         engine.sql("ALTER TABLE ns1.kw DROP COLUMNS (ts)")
+
+
+def test_streaming_ingest_enforces_constraints(engine, spark, tmp_path):
+    """B78's streaming claim, proven: a foreachBatch catalog ingest of a
+    micro-batch violating a CHECK constraint fails the stream and
+    commits NOTHING; a valid stream lands with generated columns
+    computed."""
+    import pyspark.sql.functions as F
+    from olympia_spark.operators.streaming import catalog_ingest_sink
+
+    src = str(tmp_path / "src")
+    (spark.range(5).select(
+        F.col("id").alias("event_id"),
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval("
+               "0,0,0,0,0,0,id)").alias("ts"),
+        (F.col("id") - 2).cast("double").alias("value"))
+     .write.parquet(src))
+    stream_schema = spark.read.parquet(src).schema
+    eng2 = Engine(spark, str(tmp_path / "swh"))
+    eng2.sql("CREATE NAMESPACE stream")
+    eng2.create_table("stream.events", stream_schema)
+    eng2.sql("ALTER TABLE stream.events ADD CONSTRAINT v_pos "
+             "CHECK (value >= 0)")
+    stream = spark.readStream.schema(stream_schema).parquet(src)
+    q = (stream.writeStream.foreachBatch(catalog_ingest_sink(eng2))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="OLYMPIA_CHECK|CheckConstraint"):
+        q.awaitTermination(300)
+    assert eng2.sql("SELECT COUNT(*) AS n FROM stream.events").first().n == 0
+    # the valid slice streams in cleanly
+    eng2.sql("ALTER TABLE stream.events DROP CONSTRAINT v_pos")
+    eng2.sql("ALTER TABLE stream.events ADD CONSTRAINT v_ok "
+             "CHECK (value >= -2)")
+    q2 = (stream.writeStream.foreachBatch(catalog_ingest_sink(eng2))
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(300)
+    assert eng2.sql("SELECT COUNT(*) AS n FROM stream.events").first().n == 5
