@@ -1877,3 +1877,51 @@ def b76_q10(spark: SparkSession, sf: str) -> DataFrame:
             .select("c_custkey", "c_name", "revenue", "n_name")
             .orderBy(F.desc("revenue"), "c_custkey")
             .limit(20))
+
+
+# --- B80 TPC-H Q18 shape (large-volume customers) ---------------------------
+
+@query("b80_q18_shape", oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity * 1000 AS BIGINT)) AS BIGINT)
+           AS qty_milli
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity * 1000 AS BIGINT)) > 280000)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""")
+def b80_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the
+    SEMI-JOIN-ON-AGGREGATE pattern — an IN subquery whose inner
+    relation is itself a grouped HAVING aggregate over the same fact
+    table. Catalyst plans the subquery as one aggregation + a LeftSemi
+    hash join (never a per-row re-execution), the outer 3-way join
+    shuffles on its keys, and the final top-25 is
+    TakeOrderedAndProject. Quantities aggregate in exact integer
+    milli-units on BOTH engines so the HAVING boundary and the output
+    sums are bit-identical — double SUM ordering can't move an order
+    across the threshold."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    qmilli = (F.col("l_quantity") * 1000).cast("bigint")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(qmilli).alias("q"))
+           .filter("q > 280000")
+           .select(F.col("l_orderkey").alias("big_okey")))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("o_orderkey") == li.l_orderkey)
+            .join(big, F.col("o_orderkey") == F.col("big_okey"),
+                  "left_semi")
+            .groupBy("c_name", "c_custkey", "o_orderkey",
+                     "o_orderdate", "o_totalprice")
+            .agg(F.sum(qmilli).cast("bigint").alias("qty_milli"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(25))

@@ -472,3 +472,12 @@ def test_mips_uses_take_ordered(spark):
     plan = _plan(registry.QUERIES["sim_mips_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q18_shape_semi_join_and_take_ordered(spark):
+    """B80: the HAVING subquery must plan as LeftSemi (one aggregation
+    pass, not a per-row subquery) and the top-25 as TakeOrdered."""
+    plan = _plan(registry.QUERIES["b80_q18_shape"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
