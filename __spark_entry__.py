@@ -61,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # after in registry order.
 _PRIORITY = [
     # new or changed this round
-    "b80_q18_shape",
+    "b80_q18_shape", "b81_rename_column",
     "sim_mips_topk", "text_entropy_gate",
     "b78_check_constraint", "b79_generated_partition",
     "dedup_cross_source", "sim_range_search",

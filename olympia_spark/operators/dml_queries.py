@@ -640,3 +640,32 @@ def _engine_with_gen_events(spark: SparkSession, sf: str):
             ") PARTITIONED BY (event_date)")
     eng.write_table(load(spark, sf, "events"), "ns1.events_gen")
     return eng
+
+
+@query("b81_rename_column", oracle=f"""
+SELECT COUNT(*) AS n_rows, {dsum('value', 'amount_sum')},
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+""")
+def b81_rename_column(spark: SparkSession, sf: str) -> DataFrame:
+    """A40 driver gate — metadata-only RENAME COLUMN via column
+    mapping: rename value→amount (zero bytes move; files keep the
+    creation name forever; reads/writes/stats translate through
+    TableDef.column_mapping), then APPEND through the mapping (the new
+    file stores the physical name) and read back through the logical
+    one. The oracle reproduces the state from the untouched source —
+    the rename must be invisible to the data, visible only to the
+    name."""
+    eng = _engine_with_events(spark, sf, "events_rn")
+    eng.sql("ALTER TABLE ns1.events_rn RENAME COLUMN value TO amount")
+    # append THROUGH the mapping: doubles nothing, inserts zero-sum pair
+    eng.sql("INSERT INTO ns1.events_rn VALUES "
+            "(999999801, TIMESTAMP '2024-01-01 00:00:00', 1, 'click', "
+            "5.0, '{}'), "
+            "(999999802, TIMESTAMP '2024-01-01 00:00:00', 1, 'click', "
+            "-5.0, '{}')")
+    eng.sql("DELETE FROM ns1.events_rn WHERE event_id >= 999999801")
+    return eng.sql(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS amount_sum, "
+        "COUNT(DISTINCT event_type) AS n_types FROM ns1.events_rn")
