@@ -61,8 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # after in registry order.
 _PRIORITY = [
     # new or changed this round
-    "b80_q18_shape", "b81_rename_column",
-    "sim_mips_topk", "text_entropy_gate",
+    "b80_q18_shape", "b81_rename_column", "b82_merge_schema_evolution",
+    "sim_mips_topk", "text_entropy_gate", "sim_label_propagation",
     "b78_check_constraint", "b79_generated_partition",
     "dedup_cross_source", "sim_range_search",
     "dedup_prefix_hash", "text_ngram_novelty", "data_curriculum_head",

@@ -1430,7 +1430,8 @@ class Engine:
               not_matched_by_source_clauses: list | None = None,
               dedup_source_by: list[str] | None = None,
               dedup_source_order: str | None = None,
-              extra_properties: dict | None = None) -> int:
+              extra_properties: dict | None = None,
+              schema_evolution: bool = False) -> int:
         """MERGE INTO: copy-on-write upsert. Only files containing matched
         target rows are rewritten (the FIRST matched clause whose condition
         holds is applied per row, SQL clause-order semantics; rows hit by
@@ -1495,6 +1496,40 @@ class Engine:
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "MERGE")
         schema = tdef.spark_schema()
+        if schema_evolution:
+            # Delta autoMerge: source columns missing from the target
+            # schema EVOLVE the target in the SAME commit as the merge
+            # (existing files simply lack them — reads NULL-fill, the
+            # standard schema-evolution contract). The new names pass
+            # the same physical/retired collision guards as ALTER ADD
+            # COLUMNS, and the alter action rides the merge transaction
+            # so a reader never observes the columns without the rows.
+            existing = {f.name.lower() for f in schema.fields}
+            adds = [sf for sf in source.schema.fields
+                    if sf.name.lower() not in existing]
+            if adds:
+                physical = {self._phys(tdef, f.name).lower()
+                            for f in schema.fields}
+                retired = {c.lower() for c in tdef.retired_columns}
+                for sf in adds:
+                    if sf.name.lower() in physical:
+                        raise ValueError(
+                            f"MERGE schema evolution: column {sf.name} "
+                            f"is the physical (pre-rename) name of an "
+                            f"existing column")
+                    if sf.name.lower() in retired:
+                        raise ValueError(
+                            f"MERGE schema evolution: column {sf.name} "
+                            f"belonged to a dropped column whose data "
+                            f"may survive in existing files")
+                    schema = schema.add(
+                        T.StructField(sf.name, sf.dataType, True))
+                tdef.schema_json = schema.json()
+                self.catalog.alter_table(
+                    txn, ns, tbl, tdef,
+                    ActionType.TABLE_ALTER_ADD_COLUMNS,
+                    {"column_names": [sf.name for sf in adds],
+                     "merge_schema_evolution": True})
         cols = [f.name for f in schema.fields]
         # SQL analysis rule: assignment / insert targets must be table
         # columns — a typo'd column would otherwise make the clause a
@@ -3125,11 +3160,12 @@ class Engine:
                                    else "append"))
             return ok()
         m = re.match(
-            r"MERGE INTO (\S+\.\S+)(?:\s+AS)?\s+(\w+)\s+USING\s+(.+?)"
+            r"MERGE(\s+WITH SCHEMA EVOLUTION)? INTO (\S+\.\S+)(?:\s+AS)?"
+            r"\s+(\w+)\s+USING\s+(.+?)"
             r"(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s+(WHEN\s+.+)$",
             norm, re.I | re.S)
         if m:
-            name, t_alias, src_text, s_alias, on, whens = m.groups()
+            evolve, name, t_alias, src_text, s_alias, on, whens = m.groups()
             txn_src = self._txn()
             src_text = src_text.strip()
             if src_text.startswith("("):
@@ -3143,7 +3179,8 @@ class Engine:
                            target_alias=t_alias, source_alias=s_alias,
                            matched_clauses=matched_clauses,
                            not_matched_clauses=not_matched_clauses,
-                           not_matched_by_source_clauses=by_source_clauses)
+                           not_matched_by_source_clauses=by_source_clauses,
+                           schema_evolution=bool(evolve))
             return spark.createDataFrame([(n,)], "affected_files_rows long")
         m = re.match(r"DELETE FROM (\S+\.\S+)(?: WHERE (.+))?$",
                      norm, re.I | re.S)

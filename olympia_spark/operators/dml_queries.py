@@ -669,3 +669,32 @@ def b81_rename_column(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT COUNT(*) AS n_rows, "
         "CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS amount_sum, "
         "COUNT(DISTINCT event_type) AS n_types FROM ns1.events_rn")
+
+
+@query("b82_merge_schema_evolution", oracle=f"""
+SELECT COUNT(*) AS n_rows, {dsum('value', 'value_sum')},
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS flagged
+FROM events
+""")
+def b82_merge_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """B82 — MERGE WITH SCHEMA EVOLUTION (Delta autoMerge): the source
+    carries a column the target lacks (`flag`); the merge adds it to
+    the target schema IN the same commit as the rows — existing files
+    simply lack the column and read NULL. Here clicks merge with
+    flag=1, everything else reads NULL, and the oracle reproduces the
+    flagged count from the raw source — proving both the evolution and
+    the NULL-fill contract in one checksum."""
+    from pyspark.sql import functions as F
+    eng = _engine_with_events(spark, sf, "events_me")
+    src = (load(spark, sf, "events")
+           .filter("event_type = 'click'")
+           .select("event_id", F.lit(1).cast("bigint").alias("flag")))
+    eng.merge("ns1.events_me", src, on="t.event_id = s.event_id",
+              matched_update={"flag": "s.flag"},
+              schema_evolution=True)
+    return eng.sql(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum, "
+        "CAST(SUM(COALESCE(flag, 0)) AS BIGINT) AS flagged "
+        "FROM ns1.events_me")

@@ -1229,3 +1229,86 @@ def sim_mips_topk(spark: SparkSession, sf: str) -> DataFrame:
     checked, not asserted. Plan: one scalar max aggregate + broadcast
     query row + single scan into TakeOrderedAndProject."""
     return _run(spark, sf, _mips_sql("spark"))
+
+
+# --- C74 kNN label propagation ----------------------------------------------
+
+def _label_prop_oracle() -> str:
+    bucket = _lsh_bucket_expr("embedding", "duck")
+    return f"""
+WITH sig AS (
+  SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+), seeds AS (SELECT * FROM sig WHERE vec_id % 5 = 0),
+unl AS (SELECT * FROM sig WHERE vec_id % 5 <> 0),
+pairs AS (
+  SELECT u.vec_id, u.label AS true_label, s.label AS seed_label,
+         ROUND(list_cosine_similarity(u.embedding::DOUBLE[],
+                                      s.embedding::DOUBLE[]), 4) AS c,
+         s.vec_id AS seed_id
+  FROM unl u JOIN seeds s ON u.bucket = s.bucket
+), top3 AS (
+  SELECT vec_id, true_label, seed_label FROM (
+    SELECT vec_id, true_label, seed_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, seed_id) AS r
+    FROM pairs) WHERE r <= 3
+), votes AS (
+  SELECT vec_id, true_label, seed_label,
+         COUNT(*) AS n FROM top3 GROUP BY vec_id, true_label, seed_label
+), pred AS (
+  SELECT vec_id, true_label, seed_label AS pred_label FROM (
+    SELECT vec_id, true_label, seed_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY n DESC, seed_label) AS r
+    FROM votes) WHERE r = 1
+)
+SELECT true_label, pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred
+GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+"""
+
+
+@query("sim_label_propagation", oracle=_label_prop_oracle())
+def sim_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN label propagation — the pseudo-labeling step of data
+    curation: a 20% SEED set (vec_id % 5 = 0) keeps its labels, every
+    other vector takes the MAJORITY label of its 3 nearest seeds
+    (ties: smallest label — deterministic), and the output is the
+    true-vs-predicted confusion matrix the curation loop watches.
+    Scale shape: candidate pairs come from the LSH-bucket equi-join
+    (unlabeled ⋈ seeds on bucket — the same blocked-join discipline as
+    the kNN graph; never all-pairs), the top-3 window partitions on the
+    UNLABELED vector id (full key, no skew), the vote is a grouped
+    count, and the matrix is at most labels² rows. Everything JVM-side:
+    the dot product is the shared zip_with/aggregate fold."""
+    from pyspark.sql import Window
+    e = load(spark, sf, "embeddings")
+    sig = _bucket_df(spark, sf)          # (vec_id, embedding, bucket)
+    labels = e.select("vec_id", "label")
+    seeds = (sig.filter("vec_id % 5 = 0")
+             .join(labels, "vec_id").alias("s"))
+    unl = (sig.filter("vec_id % 5 <> 0")
+           .join(labels, "vec_id").alias("u"))
+    dot = F.expr(_DOT_COLS.format(a="u.embedding", b="s.embedding"))
+    un = F.sqrt(F.expr(_DOT_COLS.format(a="u.embedding", b="u.embedding")))
+    sn = F.sqrt(F.expr(_DOT_COLS.format(a="s.embedding", b="s.embedding")))
+    pairs = (unl.join(seeds, F.col("u.bucket") == F.col("s.bucket"))
+             .select(F.col("u.vec_id").alias("vec_id"),
+                     F.col("u.label").alias("true_label"),
+                     F.col("s.label").alias("seed_label"),
+                     F.round(dot / (un * sn), 4).alias("c"),
+                     F.col("s.vec_id").alias("seed_id")))
+    w3 = Window.partitionBy("vec_id").orderBy(F.desc("c"), "seed_id")
+    top3 = (pairs.withColumn("r", F.row_number().over(w3))
+            .filter("r <= 3"))
+    votes = (top3.groupBy("vec_id", "true_label", "seed_label")
+             .agg(F.count("*").alias("n")))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("n"), "seed_label")
+    pred = (votes.withColumn("r", F.row_number().over(wv))
+            .filter("r = 1"))
+    return (pred.groupBy("true_label",
+                         F.col("seed_label").alias("pred_label"))
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy("true_label", "pred_label"))

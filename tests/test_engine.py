@@ -1131,3 +1131,52 @@ def test_streaming_ingest_enforces_constraints(engine, spark, tmp_path):
           .trigger(availableNow=True).start())
     q2.awaitTermination(300)
     assert eng2.sql("SELECT COUNT(*) AS n FROM stream.events").first().n == 5
+
+
+def test_merge_with_schema_evolution(engine, spark):
+    """B82 — Delta autoMerge: source columns missing from the target
+    evolve the schema IN the merge commit; existing rows read NULL;
+    without the flag an unknown-column assignment still raises; retired
+    names stay rejected."""
+    engine.sql("CREATE TABLE ns1.me (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.me VALUES (1, 10), (2, 20)")
+    src = spark.createDataFrame([(1, 11, "gold"), (3, 33, "new")],
+                                "id long, v long, tier string")
+    # without evolution: assignment to the unknown column raises
+    with pytest.raises(ValueError, match="non-existent"):
+        engine.merge("ns1.me", src, on="t.id = s.id",
+                     matched_update={"v": "s.v", "tier": "s.tier"})
+    v_before = engine.catalog.tree.find_latest_version()
+    n = engine.merge("ns1.me", src, on="t.id = s.id",
+                     matched_update={"v": "s.v", "tier": "s.tier"},
+                     not_matched_insert={"id": "s.id", "v": "s.v",
+                                         "tier": "s.tier"},
+                     schema_evolution=True)
+    assert n == 2
+    rows = {(r.id, r.v, r.tier) for r in
+            engine.sql("SELECT id, v, tier FROM ns1.me").collect()}
+    assert rows == {(1, 11, "gold"), (2, 20, None), (3, 33, "new")}
+    # ONE commit carried both the evolution and the rows — no reader
+    # could observe the column without the merge
+    assert engine.catalog.tree.find_latest_version() == v_before + 1
+    # SQL surface
+    spark.createDataFrame([(2, 22, "silver", 7.5)],
+                          "id long, v long, tier string, score double") \
+        .createOrReplaceTempView("me_src2")
+    engine.sql("MERGE WITH SCHEMA EVOLUTION INTO ns1.me AS t "
+               "USING me_src2 AS s ON t.id = s.id "
+               "WHEN MATCHED THEN UPDATE SET v = s.v, tier = s.tier, "
+               "score = s.score")
+    row = engine.sql("SELECT v, tier, score FROM ns1.me "
+                     "WHERE id = 2").first()
+    assert (row.v, row.tier, row.score) == (22, "silver", 7.5)
+    assert engine.sql("SELECT score FROM ns1.me WHERE id = 1") \
+        .first().score is None
+    # a retired physical name can never come back through evolution
+    engine.sql("ALTER TABLE ns1.me DROP COLUMNS (score)")
+    bad = spark.createDataFrame([(9, 9, "x", 1.0)],
+                                "id long, v long, tier string, score double")
+    with pytest.raises(ValueError, match="dropped column"):
+        engine.merge("ns1.me", bad, on="t.id = s.id",
+                     not_matched_insert={"id": "s.id", "v": "s.v"},
+                     schema_evolution=True)

@@ -481,3 +481,11 @@ def test_q18_shape_semi_join_and_take_ordered(spark):
     assert "LeftSemi" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_label_propagation_blocked_join_no_cartesian(spark):
+    """C74: unlabeled x seeds pairs come from the bucket equi-join —
+    never a cartesian — and evaluation stays JVM-side."""
+    plan = _plan(registry.QUERIES["sim_label_propagation"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
