@@ -1496,40 +1496,45 @@ class Engine:
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "MERGE")
         schema = tdef.spark_schema()
+        evolved_names: list[str] = []
         if schema_evolution:
-            # Delta autoMerge: source columns missing from the target
-            # schema EVOLVE the target in the SAME commit as the merge
-            # (existing files simply lack them — reads NULL-fill, the
-            # standard schema-evolution contract). The new names pass
-            # the same physical/retired collision guards as ALTER ADD
-            # COLUMNS, and the alter action rides the merge transaction
-            # so a reader never observes the columns without the rows.
+            # Delta autoMerge with explicit clauses: evolve EXACTLY the
+            # assignment/insert TARGET names missing from the schema
+            # (never every incidental source column — a stray staging
+            # column would otherwise permanently enter the table, and
+            # dropping it would burn the name via retired_columns).
+            # Types come from analyzing the assignment expression
+            # against the source. The TableDef mutates in-memory NOW
+            # (the target scan must NULL-fill the new columns and
+            # validation must accept them) but the ALTER action is
+            # recorded only after the merge body succeeds — a failing
+            # merge must not leave the column without the rows.
             existing = {f.name.lower() for f in schema.fields}
-            adds = [sf for sf in source.schema.fields
-                    if sf.name.lower() not in existing]
-            if adds:
-                physical = {self._phys(tdef, f.name).lower()
-                            for f in schema.fields}
-                retired = {c.lower() for c in tdef.retired_columns}
-                for sf in adds:
-                    if sf.name.lower() in physical:
+            want: dict[str, str] = {}
+            for _c, kind, assigns in list(matched_clauses or []) + list(
+                    not_matched_by_source_clauses or []):
+                if kind == "update":
+                    for k, v in (assigns or {}).items():
+                        if k.lower() not in existing:
+                            want.setdefault(k, v)
+            for _c, imap in (not_matched_clauses or []):
+                for k, v in imap.items():
+                    if k.lower() not in existing:
+                        want.setdefault(k, v)
+            if want:
+                self._check_new_column_names(tdef, list(want),
+                                             "MERGE schema evolution")
+                sdf = source.alias(source_alias)
+                for k, v in want.items():
+                    try:
+                        dt = sdf.select(F.expr(v)).schema[0].dataType
+                    except Exception as e:
                         raise ValueError(
-                            f"MERGE schema evolution: column {sf.name} "
-                            f"is the physical (pre-rename) name of an "
-                            f"existing column")
-                    if sf.name.lower() in retired:
-                        raise ValueError(
-                            f"MERGE schema evolution: column {sf.name} "
-                            f"belonged to a dropped column whose data "
-                            f"may survive in existing files")
-                    schema = schema.add(
-                        T.StructField(sf.name, sf.dataType, True))
+                            f"MERGE schema evolution: cannot infer the "
+                            f"type of new column {k} from ({v})") from e
+                    schema = schema.add(T.StructField(k, dt, True))
                 tdef.schema_json = schema.json()
-                self.catalog.alter_table(
-                    txn, ns, tbl, tdef,
-                    ActionType.TABLE_ALTER_ADD_COLUMNS,
-                    {"column_names": [sf.name for sf in adds],
-                     "merge_schema_evolution": True})
+                evolved_names = list(want)
         cols = [f.name for f in schema.fields]
         # SQL analysis rule: assignment / insert targets must be table
         # columns — a typo'd column would otherwise make the clause a
@@ -1577,14 +1582,15 @@ class Engine:
             return self._merge_body(
                 txn, tdef, ns, tbl, src, on, target_alias, source_alias,
                 cols, schema, matched_clauses, not_matched_clauses,
-                by_src, extra_properties)
+                by_src, extra_properties, evolved_names)
         finally:
             src.unpersist()
 
     def _merge_body(self, txn, tdef, ns, tbl, src, on, target_alias,
                     source_alias, cols, schema, matched_clauses,
                     not_matched_clauses, by_src=(),
-                    extra_properties: dict | None = None) -> int:
+                    extra_properties: dict | None = None,
+                    evolved_names: list[str] | None = None) -> int:
         all_paths = tdef.file_paths()
         by_src = list(by_src)
         rw_clauses = list(matched_clauses) + by_src
@@ -1761,6 +1767,14 @@ class Engine:
                          if f.num_rows > 0]     # skip empty part files
             n_changed += sum(f.num_rows for f in ins_files)
             new_files += ins_files
+        if evolved_names:
+            # the merge body succeeded — NOW record the schema evolution,
+            # so the alter and the rows land in the one commit (a merge
+            # failing above never publishes the columns without the rows)
+            self.catalog.alter_table(
+                txn, ns, tbl, tdef, ActionType.TABLE_ALTER_ADD_COLUMNS,
+                {"column_names": evolved_names,
+                 "merge_schema_evolution": True})
         if not new_files and not removed:
             self._finish(txn)
             return 0
@@ -1969,6 +1983,33 @@ class Engine:
                                  {"rename_column": [old, new]})
         self._finish(txn)
 
+    def _check_new_column_names(self, tdef: TableDef, names: list[str],
+                                ctx: str) -> None:
+        """Shared guard for every path that introduces a column name
+        (ALTER ADD COLUMNS, MERGE schema evolution): CASE-INSENSITIVE —
+        Spark resolves parquet columns that way, so `SCORE` binding a
+        retired physical `score`'s stale bytes is the same resurrection
+        hazard as the exact name."""
+        schema = tdef.spark_schema()
+        existing = {f.name.lower() for f in schema.fields}
+        physical = {self._phys(tdef, f.name).lower()
+                    for f in schema.fields}
+        retired = {c.lower() for c in tdef.retired_columns}
+        for n in names:
+            low = n.lower()
+            if low in existing:
+                raise ValueError(f"{ctx}: column {n} already exists")
+            if low in physical:
+                raise ValueError(
+                    f"{ctx}: column name {n} is the physical "
+                    f"(pre-rename) name of an existing column; pick "
+                    f"another name")
+            if low in retired:
+                raise ValueError(
+                    f"{ctx}: column name {n} belonged to a dropped "
+                    f"column whose data may survive in existing files; "
+                    f"pick another name")
+
     def add_columns(self, name: str, columns: T.StructType) -> None:
         """A15 add-columns (action type TABLE_ALTER_ADD_COLUMNS,
         proto/actions.proto:42-45). Existing parquet files simply lack the
@@ -1982,27 +2023,9 @@ class Engine:
         # is part of the read-only contract for external formats
         self._require_native(tdef, name, "ALTER TABLE ADD COLUMNS")
         schema = tdef.spark_schema()
-        existing = {f.name for f in schema.fields}
-        # a renamed column still physically OWNS its creation name inside
-        # every file — adding a column under that name would put two
-        # identical physical names in the read schema and brick all reads
-        physical = {self._phys(tdef, n) for n in existing}
-        retired = set(tdef.retired_columns)
+        self._check_new_column_names(
+            tdef, [f.name for f in columns.fields], "ALTER TABLE")
         for f in columns.fields:
-            if f.name in existing:
-                raise ValueError(f"column {f.name} already exists")
-            if f.name in physical:
-                raise ValueError(
-                    f"column name {f.name} is the physical (pre-rename) "
-                    f"name of an existing column; pick another name")
-            if f.name in retired:
-                # live files still physically contain a DROPPED column of
-                # this name — name-based resolution would resurrect its
-                # old values instead of reading NULL
-                raise ValueError(
-                    f"column name {f.name} belonged to a dropped column "
-                    f"whose data may survive in existing files; pick "
-                    f"another name")
             schema = schema.add(f)
         tdef.schema_json = schema.json()
         self.catalog.alter_table(txn, ns, tbl, tdef,

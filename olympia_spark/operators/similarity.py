@@ -1285,12 +1285,12 @@ def sim_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     the dot product is the shared zip_with/aggregate fold."""
     from pyspark.sql import Window
     e = load(spark, sf, "embeddings")
-    sig = _bucket_df(spark, sf)          # (vec_id, embedding, bucket)
-    labels = e.select("vec_id", "label")
-    seeds = (sig.filter("vec_id % 5 = 0")
-             .join(labels, "vec_id").alias("s"))
-    unl = (sig.filter("vec_id % 5 <> 0")
-           .join(labels, "vec_id").alias("u"))
+    # ONE label join before the seed/unlabeled split (not one per side —
+    # the narrow-projection discipline of _bucket_df)
+    sig = (_bucket_df(spark, sf)         # (vec_id, embedding, bucket)
+           .join(e.select("vec_id", "label"), "vec_id"))
+    seeds = sig.filter("vec_id % 5 = 0").alias("s")
+    unl = sig.filter("vec_id % 5 <> 0").alias("u")
     dot = F.expr(_DOT_COLS.format(a="u.embedding", b="s.embedding"))
     un = F.sqrt(F.expr(_DOT_COLS.format(a="u.embedding", b="u.embedding")))
     sn = F.sqrt(F.expr(_DOT_COLS.format(a="s.embedding", b="s.embedding")))

@@ -203,13 +203,16 @@ def catalog_ingest_sink(eng):
         if marker in eng.catalog.describe_table(
                 probe, "stream", "events").properties:
             return                          # replayed batch — exactly-once
-        txn = eng.catalog.begin()
         # pass the TableDef: the writer chokepoint enforces CHECK
         # constraints, recomputes generated columns, and maps renamed
-        # columns for STREAMING batches exactly like batch writes
-        tdef = eng.catalog.describe_table(txn, "stream", "events")
+        # columns for STREAMING batches exactly like batch writes. The
+        # write runs BEFORE the commit txn opens — a constraint-failing
+        # batch aborts with no transaction ever begun (no dangling
+        # handle even in the dist-txn variant).
+        tdef = eng.catalog.describe_table(probe, "stream", "events")
         files = eng._write_files(batch_df, "stream", "events",
                                  tdef.partition_by, tdef=tdef)
+        txn = eng.catalog.begin()
         eng.catalog.update_table_files(
             txn, "stream", "events", files, [], ActionType.TABLE_INSERT,
             {"added": [f.path for f in files], "batch_id": batch_id},

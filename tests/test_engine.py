@@ -1172,11 +1172,44 @@ def test_merge_with_schema_evolution(engine, spark):
     assert (row.v, row.tier, row.score) == (22, "silver", 7.5)
     assert engine.sql("SELECT score FROM ns1.me WHERE id = 1") \
         .first().score is None
+    # an INCIDENTAL source column no clause references never evolves
+    # the schema (Delta explicit-clause semantics — a stray staging
+    # column must not permanently enter the table)
+    stray = spark.createDataFrame([(7, 77, "x")],
+                                  "id long, v long, _loaded_at string")
+    engine.merge("ns1.me", stray, on="t.id = s.id",
+                 not_matched_insert={"id": "s.id", "v": "s.v"},
+                 schema_evolution=True)
+    assert "_loaded_at" not in engine.sql(
+        "SELECT * FROM ns1.me").columns
     # a retired physical name can never come back through evolution
     engine.sql("ALTER TABLE ns1.me DROP COLUMNS (score)")
     bad = spark.createDataFrame([(9, 9, "x", 1.0)],
                                 "id long, v long, tier string, score double")
     with pytest.raises(ValueError, match="dropped column"):
         engine.merge("ns1.me", bad, on="t.id = s.id",
-                     not_matched_insert={"id": "s.id", "v": "s.v"},
+                     not_matched_insert={"id": "s.id", "v": "s.v",
+                                         "score": "s.score"},
                      schema_evolution=True)
+
+
+def test_merge_evolution_failure_publishes_nothing(engine, spark):
+    """Round-6 review: a schema-evolution merge that FAILS (cardinality
+    error after validation) must not leave the evolved column staged —
+    committing the surrounding transaction publishes neither the column
+    nor the rows."""
+    from olympia_spark.catalog.errors import MergeCardinalityError
+
+    engine.sql("CREATE TABLE ns1.mef (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.mef VALUES (1, 10)")
+    dup = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")],
+                                "id long, v long, tag string")
+    engine.sql("BEGIN")
+    with pytest.raises(MergeCardinalityError):
+        engine.merge("ns1.mef", dup, on="t.id = s.id",
+                     matched_clauses=[(None, "update",
+                                       {"v": "s.v", "tag": "s.tag"})],
+                     schema_evolution=True)
+    engine.sql("COMMIT")
+    assert engine.sql("SELECT * FROM ns1.mef").columns == ["id", "v"]
+    assert engine.sql("SELECT v FROM ns1.mef").first().v == 10
