@@ -1491,6 +1491,27 @@ class Engine:
         if not_matched_clauses is None:
             not_matched_clauses = ([(None, not_matched_insert)]
                                    if not_matched_insert else [])
+
+        def strip_tkey(k: str) -> str:
+            # `UPDATE SET t.v = ...` targets column v — strip the target
+            # qualifier from assignment/insert KEYS once, for validation,
+            # the rewrite projection, and schema evolution alike
+            if k.lower().startswith(target_alias.lower() + "."):
+                return k.split(".", 1)[1]
+            return k
+
+        matched_clauses = [
+            (c, kind, ({strip_tkey(k): v for k, v in a.items()}
+                       if a else a))
+            for c, kind, a in matched_clauses]
+        not_matched_clauses = [
+            (c, {strip_tkey(k): v for k, v in imap.items()})
+            for c, imap in not_matched_clauses]
+        if not_matched_by_source_clauses:
+            not_matched_by_source_clauses = [
+                (c, kind, ({strip_tkey(k): v for k, v in a.items()}
+                           if a else a))
+                for c, kind, a in not_matched_by_source_clauses]
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
@@ -1510,24 +1531,42 @@ class Engine:
             # recorded only after the merge body succeeds — a failing
             # merge must not leave the column without the rows.
             existing = {f.name.lower() for f in schema.fields}
+
+            def norm_key(k: str) -> str:
+                # keys are already target-alias-stripped; any REMAINING
+                # dotted name is a user error, never a new column to mint
+                if "." in k:
+                    raise ValueError(
+                        f"MERGE schema evolution: cannot evolve "
+                        f"qualified column name {k!r}")
+                return k
+
             want: dict[str, str] = {}
             for _c, kind, assigns in list(matched_clauses or []) + list(
                     not_matched_by_source_clauses or []):
                 if kind == "update":
                     for k, v in (assigns or {}).items():
+                        k = norm_key(k)
                         if k.lower() not in existing:
                             want.setdefault(k, v)
             for _c, imap in (not_matched_clauses or []):
                 for k, v in imap.items():
+                    k = norm_key(k)
                     if k.lower() not in existing:
                         want.setdefault(k, v)
             if want:
                 self._check_new_column_names(tdef, list(want),
                                              "MERGE schema evolution")
-                sdf = source.alias(source_alias)
+                # type inference against an empty t⋈s probe, so matched
+                # assignments (s. and t. refs) AND by-source assignments
+                # (t.-only refs) both resolve
+                probe = (self.spark.createDataFrame([], schema)
+                         .alias(target_alias)
+                         .crossJoin(self.spark.createDataFrame(
+                             [], source.schema).alias(source_alias)))
                 for k, v in want.items():
                     try:
-                        dt = sdf.select(F.expr(v)).schema[0].dataType
+                        dt = probe.select(F.expr(v)).schema[0].dataType
                     except Exception as e:
                         raise ValueError(
                             f"MERGE schema evolution: cannot infer the "
@@ -1995,8 +2034,17 @@ class Engine:
         physical = {self._phys(tdef, f.name).lower()
                     for f in schema.fields}
         retired = {c.lower() for c in tdef.retired_columns}
+        seen: set[str] = set()
         for n in names:
             low = n.lower()
+            if low in seen:
+                # a case-variant duplicate WITHIN one batch ('Tag' +
+                # 'tag') would commit two columns Spark cannot tell
+                # apart — reject with the clean error, not a mid-write
+                # AnalysisException
+                raise ValueError(
+                    f"{ctx}: duplicate new column name {n}")
+            seen.add(low)
             if low in existing:
                 raise ValueError(f"{ctx}: column {n} already exists")
             if low in physical:

@@ -203,16 +203,20 @@ def catalog_ingest_sink(eng):
         if marker in eng.catalog.describe_table(
                 probe, "stream", "events").properties:
             return                          # replayed batch — exactly-once
-        # pass the TableDef: the writer chokepoint enforces CHECK
-        # constraints, recomputes generated columns, and maps renamed
-        # columns for STREAMING batches exactly like batch writes. The
-        # write runs BEFORE the commit txn opens — a constraint-failing
-        # batch aborts with no transaction ever begun (no dangling
-        # handle even in the dist-txn variant).
-        tdef = eng.catalog.describe_table(probe, "stream", "events")
+        # The commit txn opens BEFORE the (long) file write so its base
+        # snapshot predates the batch: DDL committed mid-write (ADD
+        # CONSTRAINT, RENAME COLUMN) then fails this txn's CAS and goes
+        # through conflict analysis — an unvalidated batch aborts
+        # instead of landing silently. The TableDef read under the SAME
+        # txn drives the writer chokepoint (CHECK constraints,
+        # generated columns, column mapping — streaming batches behave
+        # exactly like batch writes); a raising write abandons the
+        # in-memory txn with nothing durable (only save_dist persists
+        # handles).
+        txn = eng.catalog.begin()
+        tdef = eng.catalog.describe_table(txn, "stream", "events")
         files = eng._write_files(batch_df, "stream", "events",
                                  tdef.partition_by, tdef=tdef)
-        txn = eng.catalog.begin()
         eng.catalog.update_table_files(
             txn, "stream", "events", files, [], ActionType.TABLE_INSERT,
             {"added": [f.path for f in files], "batch_id": batch_id},

@@ -1213,3 +1213,40 @@ def test_merge_evolution_failure_publishes_nothing(engine, spark):
     engine.sql("COMMIT")
     assert engine.sql("SELECT * FROM ns1.mef").columns == ["id", "v"]
     assert engine.sql("SELECT v FROM ns1.mef").first().v == 10
+
+
+def test_merge_evolution_key_normalization_and_by_source(engine, spark):
+    """Round-6 sixth review: 't.v'-style assignment keys target column
+    v (never mint a column named 't.v'); by-source assignments with
+    target references infer types; case-variant duplicates in one
+    batch are rejected cleanly."""
+    engine.sql("CREATE TABLE ns1.mk (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.mk VALUES (1, 10), (2, 20)")
+    src = spark.createDataFrame([(1, 100)], "id long, v long")
+    # alias-qualified key updates the EXISTING column — no new column
+    engine.merge("ns1.mk", src, on="t.id = s.id",
+                 matched_clauses=[(None, "update", {"t.v": "s.v"})],
+                 schema_evolution=True)
+    assert engine.sql("SELECT * FROM ns1.mk").columns == ["id", "v"]
+    assert engine.sql("SELECT v FROM ns1.mk WHERE id = 1").first().v == 100
+    # by-source evolution referencing TARGET columns infers the type
+    engine.merge("ns1.mk", src, on="t.id = s.id",
+                 not_matched_by_source_clauses=[
+                     (None, "update", {"stale_v": "t.v"})],
+                 schema_evolution=True)
+    rows = {(r.id, r.stale_v) for r in
+            engine.sql("SELECT id, stale_v FROM ns1.mk").collect()}
+    assert rows == {(1, None), (2, 20)}
+    # case-variant duplicates in one evolution batch: clean rejection
+    dup = spark.createDataFrame([(9, 1, 2)], "id long, a long, b long")
+    with pytest.raises(ValueError, match="duplicate new column"):
+        engine.merge("ns1.mk", dup, on="t.id = s.id",
+                     matched_clauses=[(None, "update", {"Tag": "s.a"})],
+                     not_matched_clauses=[(None, {"id": "s.id",
+                                                  "tag": "s.b"})],
+                     schema_evolution=True)
+    # non-target qualified names never mint columns
+    with pytest.raises(ValueError, match="qualified column"):
+        engine.merge("ns1.mk", src, on="t.id = s.id",
+                     matched_clauses=[(None, "update", {"x.y": "s.v"})],
+                     schema_evolution=True)
