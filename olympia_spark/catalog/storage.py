@@ -97,6 +97,26 @@ class Storage(ABC):
         with open(local_path, "rb") as f:
             self.overwrite(path, f.read())
 
+    def delete_many(self, paths: list[str]) -> None:
+        """Delete a batch of objects. Base implementation loops; object
+        stores override with their bulk verb (S3 ``DeleteObjects`` takes
+        1000 keys per request) so maintenance over millions of orphans
+        costs thousands of round-trips, not millions."""
+        for p in paths:
+            self.delete(p)
+
+    def size(self, path: str) -> int:
+        """Object size in bytes (for ranged footer reads)."""
+        return len(self.read(path))
+
+    def open_ranged(self, path: str):
+        """A seekable read-only file-like over one object. The base
+        implementation materializes the bytes; object stores override
+        with ranged GETs so a parquet FOOTER read fetches ~KBs of a
+        multi-GB object instead of the whole file."""
+        import io
+        return io.BytesIO(self.read(path))
+
 
 class LocalStorage(Storage):
     """Local-filesystem storage. O_EXCL create is the atomic seal."""
@@ -251,6 +271,38 @@ class S3Storage(Storage):
         self._s3.delete_object(Bucket=self.bucket, Key=self._key(path))
         self._evict(path)        # drop any read-local cache copy with it
 
+    def delete_many(self, paths: list[str]) -> None:
+        """Bulk delete via S3 ``DeleteObjects`` — 1000 keys per request
+        (the API maximum), one round-trip per batch instead of one per
+        object. Clients without the bulk verb (the in-repo fake) fall
+        back to the per-object loop."""
+        if not hasattr(self._s3, "delete_objects"):
+            return super().delete_many(paths)
+        for i in range(0, len(paths), 1000):
+            batch = paths[i:i + 1000]
+            self._s3.delete_objects(
+                Bucket=self.bucket,
+                Delete={"Objects": [{"Key": self._key(p)} for p in batch],
+                        "Quiet": True})
+            for p in batch:
+                self._evict(p)
+
+    def size(self, path: str) -> int:
+        try:
+            resp = self._s3.head_object(Bucket=self.bucket,
+                                        Key=self._key(path))
+            return int(resp["ContentLength"])
+        except self._s3.exceptions.ClientError as e:
+            raise StorageFileOpenFailureError(path) from e
+
+    def open_ranged(self, path: str):
+        """Seekable file-like backed by ranged GETs — a parquet footer
+        read (pyarrow seeks to EOF-8, reads the footer, then column-chunk
+        statistics) fetches only the byte ranges it touches. This is the
+        direct-lane stats read: the driver never downloads data pages."""
+        return _S3RangedFile(self._s3, self.bucket, self._key(path),
+                             self.size(path))
+
     def _evict(self, path: str) -> None:
         try:
             os.remove(self.local_cache_path(path))
@@ -303,6 +355,71 @@ class S3Storage(Storage):
             for obj in page.get("Contents", []):
                 key = obj["Key"]
                 yield key[len(self.root) + 1:] if self.root else key
+
+
+class _S3RangedFile:
+    """Minimal seekable read-only file over an S3 object via ranged GETs.
+
+    Satisfies the file-object surface pyarrow's PythonFile wrapper needs
+    (read/seek/tell/closed/readable/seekable/size). Every ``read`` is one
+    ``GetObject`` with a ``Range`` header — no buffering beyond the
+    caller's own read pattern, which for parquet metadata is a handful of
+    small tail reads."""
+
+    def __init__(self, client, bucket: str, key: str, size: int):
+        self._s3 = client
+        self._bucket = bucket
+        self._key = key
+        self._size = size
+        self._pos = 0
+        self.closed = False
+
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def read(self, nbytes: int = -1) -> bytes:
+        if nbytes is None or nbytes < 0:
+            nbytes = self._size - self._pos
+        if nbytes <= 0 or self._pos >= self._size:
+            return b""
+        end = min(self._size, self._pos + nbytes) - 1
+        resp = self._s3.get_object(Bucket=self._bucket, Key=self._key,
+                                   Range=f"bytes={self._pos}-{end}")
+        data = resp["Body"].read()
+        self._pos += len(data)
+        return data
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def storage_for(location: str) -> Storage:

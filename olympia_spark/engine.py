@@ -366,32 +366,70 @@ def _rewrite_qualify_here(stmt: str) -> tuple[str, list[str]]:
     return out, hidden
 
 
+def _s3a_on_classpath(spark: SparkSession) -> bool:
+    """True when a Hadoop S3A filesystem is loadable in Spark's JVM — the
+    prerequisite for handing executors ``s3a://`` URIs directly (the
+    hadoop-aws jar provides it on real clusters; this container lacks
+    it, so auto mode falls back to the spool lane)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.hadoop.fs.s3a.S3AFileSystem")
+        return True
+    except Exception:
+        return False
+
+
 class Engine:
     """One Engine per (SparkSession, warehouse). Holds the session
     transaction for multi-statement BEGIN/COMMIT (reference
     OlympiaIcebergCatalog.java:620-637 session state)."""
 
     def __init__(self, spark: SparkSession, warehouse: str,
-                 isolation_level: str | None = None):
+                 isolation_level: str | None = None,
+                 data_plane: str = "auto"):
         self.spark = spark
         self.catalog = (Catalog.load(warehouse) if Catalog.exists(warehouse)
                         else Catalog.create(warehouse))
-        # Object-store data plane (s3:// warehouses): every data-file
-        # byte moves through the SAME Storage abstraction the catalog
-        # uses (boto3-backed, moto-testable) with a local spool/cache —
-        # exactly the reference's architecture (writes:
-        # S3AtomicOutputStream.java:42-47 spools locally and uploads on
-        # close; reads: S3StorageOps.java:110-117 prepareToReadLocal).
-        # Data files are immutable at uuid-unique paths, so the cache
-        # never needs invalidation. On a cluster with hadoop-aws on the
-        # JVM classpath you would instead hand Spark s3a:// URIs
-        # directly (executors stream the object store in parallel);
-        # this container has no S3 filesystem jar, so the spool path is
-        # the honest, fully-tested lane and the direct lane is the
-        # documented production configuration.
+        # Object-store data plane (s3:// warehouses) — two lanes:
+        #
+        # * ``direct``: executors stream the object store themselves —
+        #   _scan hands Spark ``s3a://bucket/key`` URIs, _write_files
+        #   writes straight to an ``s3a://`` directory, and the driver
+        #   touches only parquet FOOTERS (ranged GETs) for stats. Zero
+        #   data bytes through the driver; this is the production lane
+        #   and the reference's premise (tables live on object storage
+        #   and the host engine reads them in place —
+        #   docs/format.md:218-246, spark/v3.5 via Iceberg FileIO).
+        #   Requires a Hadoop S3 filesystem on the JVM classpath.
+        # * ``spool``: every data-file byte moves through the SAME
+        #   Storage abstraction the catalog uses (boto3-backed,
+        #   moto-testable) with a local spool/cache — writes spool
+        #   locally and upload on close (S3AtomicOutputStream.java:42-47),
+        #   reads download into an immutable local cache
+        #   (S3StorageOps.java:110-117 prepareToReadLocal). Data files
+        #   are immutable at uuid-unique paths, so the cache never needs
+        #   invalidation.
+        #
+        # ``data_plane="auto"`` picks ``direct`` when
+        # org.apache.hadoop.fs.s3a.S3AFileSystem is loadable in Spark's
+        # JVM (this container ships no hadoop-aws jar, so tests exercise
+        # ``spool`` end-to-end and pin the ``direct`` lane's URI handoff
+        # with a forced mode).
         from olympia_spark.catalog.storage import LocalStorage
         self._object_store = not isinstance(self.catalog.storage,
                                             LocalStorage)
+        if not self._object_store:
+            self.data_plane = "local"
+        elif data_plane == "auto":
+            self.data_plane = ("direct" if _s3a_on_classpath(spark)
+                               else "spool")
+        elif data_plane in ("direct", "spool"):
+            self.data_plane = data_plane
+        else:
+            raise ValueError(f"unknown data_plane {data_plane!r} "
+                             "(expected auto|direct|spool)")
+        if self.data_plane == "direct":
+            self._configure_s3a()
         self._local_root = (self.catalog.storage.cache_dir
                             if self._object_store
                             else self.catalog.storage.root)
@@ -468,6 +506,45 @@ class Engine:
                     missing))
         return [self._abs(p) for p in rel_paths]
 
+    def _configure_s3a(self) -> None:
+        """Direct lane: propagate the storage client's endpoint/addressing
+        to Spark's Hadoop conf so executors resolve the same object store
+        the catalog talks to (custom endpoints — MinIO, localstack — need
+        path-style addressing; AWS proper needs neither key)."""
+        s = self.catalog.storage
+        client = getattr(s, "_s3", None)
+        endpoint = str(getattr(getattr(client, "meta", None),
+                               "endpoint_url", "") or "")
+        if endpoint and "amazonaws.com" not in endpoint:
+            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+            hconf.set("fs.s3a.endpoint", endpoint)
+            hconf.set("fs.s3a.path.style.access", "true")
+
+    def _s3a_uri(self, rel: str) -> str:
+        """The executor-readable Spark URI of a warehouse-relative data
+        path in the direct lane."""
+        s = self.catalog.storage
+        key = f"{s.root}/{rel}" if s.root else rel
+        return f"s3a://{s.bucket}/{key}"
+
+    def _scan_uri(self, rel: str) -> str:
+        """The ONE path Spark reads/writes for a warehouse-relative data
+        path, per lane: local/spool → local filesystem path (spool
+        downloads happen in :meth:`_scan_uris`), direct → ``s3a://``
+        object URI (executors stream the object store; the driver moves
+        no data bytes). Absolute paths (external tables) pass through."""
+        if self.data_plane == "direct" and not os.path.isabs(rel):
+            return self._s3a_uri(rel)
+        return self._abs(rel)
+
+    def _scan_uris(self, rel_paths: list[str]) -> list[str]:
+        """Lane-dispatched scan path list: spool lane materializes the
+        local cache first (one parallel download for all missing files);
+        direct lane is pure URI construction — zero driver I/O."""
+        if self.data_plane == "direct":
+            return [self._scan_uri(p) for p in rel_paths]
+        return self._ensure_local(rel_paths)
+
     def _data_uri(self, rel: str) -> str:
         """The AUTHORITATIVE URI of a data file — what external readers
         (Iceberg metadata exports) should record: the s3:// object URI
@@ -486,11 +563,6 @@ class Engine:
         if self._object_store and not os.path.isabs(rel):
             return self.catalog.storage.exists(rel)
         return os.path.exists(self._abs(rel))
-
-    def _delete_data_file(self, rel: str) -> None:
-        """Remove a data file from the warehouse; S3Storage.delete also
-        evicts the read-local cache copy (same path as self._abs)."""
-        self.catalog.storage.delete(rel)
 
     def _record_select(self, txn: Transaction, ns: str, tbl: str,
                        columns: list[str], predicate: str = "") -> None:
@@ -591,14 +663,14 @@ class Engine:
                     for k, v in tdef.properties.items()
                     if k.startswith("read.option.")}
             reader = self.spark.read.schema(schema).options(**opts)
-            paths = self._ensure_local(rel_paths)
+            paths = self._scan_uris(rel_paths)
             return (reader.csv(paths) if tdef.format == "CSV"
                     else reader.json(paths))
         if not tdef.partition_by:
             return self._to_logical(
                 self.spark.read.schema(phys).parquet(
-                    *self._ensure_local(rel_paths)), tdef)
-        self._ensure_local(rel_paths)   # one parallel download for all
+                    *self._scan_uris(rel_paths)), tdef)
+        self._scan_uris(rel_paths)   # spool lane: one download for all
         groups: dict[str, list[str]] = {}
         for p in rel_paths:
             # data/ns/tbl/<uuid>/col=val/.../file.parquet → base is the
@@ -607,8 +679,8 @@ class Engine:
             groups.setdefault(base, []).append(p)
         parts = [
             self.spark.read.schema(phys)
-            .option("basePath", self._abs(base))
-            .parquet(*[self._abs(p) for p in paths])
+            .option("basePath", self._scan_uri(base))
+            .parquet(*[self._scan_uri(p) for p in paths])
             for base, paths in sorted(groups.items())]
         out = parts[0]
         for df in parts[1:]:
@@ -1099,7 +1171,10 @@ class Engine:
                      tdef: TableDef | None = None,
                      generated_applied: bool = False) -> list[DataFile]:
         rel_dir = f"{_DATA_DIR}/{ns}/{tbl}/{uuid.uuid4()}"
-        out_dir = self._abs(rel_dir)
+        # direct lane: executors write straight to the object store
+        # (s3a://); spool lane: write into the local read-cache dir,
+        # then upload every part file below
+        out_dir = self._scan_uri(rel_dir)
         if (tdef is not None and not generated_applied
                 and getattr(tdef, "generated_columns", None)):
             df = self._apply_generated(df, tdef)
@@ -1138,12 +1213,13 @@ class Engine:
                     f"{dict(tdef.constraints) if tdef else {}}") from e
             raise
         files = self._collect_stats(rel_dir)
-        if self._object_store:
-            # the executors spooled into the read-local cache dir (the
-            # reference's S3AtomicOutputStream pattern: write local,
-            # upload on close); publish every part file to the object
-            # store in parallel. The local copies stay — they ARE the
-            # read cache, so read-your-writes costs zero GETs.
+        if self._object_store and self.data_plane != "direct":
+            # spool lane only — the executors spooled into the read-local
+            # cache dir (the reference's S3AtomicOutputStream pattern:
+            # write local, upload on close); publish every part file to
+            # the object store in parallel. The local copies stay — they
+            # ARE the read cache, so read-your-writes costs zero GETs.
+            # (The direct lane already wrote to the object store.)
             from concurrent.futures import ThreadPoolExecutor
             storage = self.catalog.storage
             with ThreadPoolExecutor(
@@ -1154,14 +1230,57 @@ class Engine:
                     files))
         return files
 
+    @staticmethod
+    def _footer_stats(md, rel_dir: str, fname: str,
+                      size_bytes: int) -> DataFile:
+        """DataFile from one parquet footer's metadata. ``fname`` is the
+        '/'-separated path relative to the write dir; hive partition
+        segments (col=val) become exact [v, v] stats, so partition
+        columns prune through the same mechanism as data min/max."""
+        stats: dict = {}
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                s = col.statistics
+                if s is None or not s.has_min_max:
+                    continue
+                cname = col.path_in_schema
+                mn, mx = s.min, s.max
+                if isinstance(mn, bytes):
+                    continue          # skip binary stats (not orderable)
+                if not isinstance(mn, (int, float, str, bool)):
+                    mn, mx = str(mn), str(mx)
+                if cname in stats:
+                    stats[cname] = [min(stats[cname][0], mn),
+                                    max(stats[cname][1], mx)]
+                else:
+                    stats[cname] = [mn, mx]
+        for seg in fname.split("/")[:-1]:
+            col, eq, val = seg.partition("=")
+            if eq:
+                v: object = val
+                try:
+                    v = int(val)
+                except ValueError:
+                    try:
+                        v = float(val)
+                    except ValueError:
+                        pass
+                stats[col] = [v, v]
+        return DataFile(path=f"{rel_dir}/{fname}", num_rows=md.num_rows,
+                        size_bytes=size_bytes, stats=stats)
+
     def _collect_stats(self, rel_dir: str) -> list[DataFile]:
         """Per-file rows/bytes/min-max from parquet footers (driver-side,
         footer-only I/O, thread-pooled — a 10k-file write reads footers
         concurrently instead of serializing) — the stats that make DML
-        file pruning work. Hive partition path segments (col=val) become
-        exact [v, v] stats, so partition columns prune through the same
-        mechanism."""
+        file pruning work. Direct lane: list the write prefix on the
+        object store and read each footer via ranged GETs (the driver
+        never downloads data pages); local/spool: walk the local dir."""
         import pyarrow.parquet as pq
+        if self.data_plane == "direct":
+            return self._collect_stats_remote(rel_dir)
         abs_dir = self._abs(rel_dir)
         files = []
         for root, _dirs, names in os.walk(abs_dir):
@@ -1170,49 +1289,38 @@ class Engine:
                     files.append(os.path.join(root, fname))
 
         def one(fpath: str) -> DataFile:
-            fname = os.path.relpath(fpath, abs_dir)
+            fname = os.path.relpath(fpath, abs_dir).replace(os.sep, "/")
             md = pq.ParquetFile(fpath).metadata
-            stats: dict = {}
-            for rg in range(md.num_row_groups):
-                group = md.row_group(rg)
-                for ci in range(group.num_columns):
-                    col = group.column(ci)
-                    s = col.statistics
-                    if s is None or not s.has_min_max:
-                        continue
-                    cname = col.path_in_schema
-                    mn, mx = s.min, s.max
-                    if isinstance(mn, bytes):
-                        continue          # skip binary stats (not orderable)
-                    if not isinstance(mn, (int, float, str, bool)):
-                        mn, mx = str(mn), str(mx)
-                    if cname in stats:
-                        stats[cname] = [min(stats[cname][0], mn),
-                                        max(stats[cname][1], mx)]
-                    else:
-                        stats[cname] = [mn, mx]
-            # hive partition segments → exact-value stats
-            for seg in fname.split(os.sep)[:-1]:
-                col, eq, val = seg.partition("=")
-                if eq:
-                    v: object = val
-                    try:
-                        v = int(val)
-                    except ValueError:
-                        try:
-                            v = float(val)
-                        except ValueError:
-                            pass
-                    stats[col] = [v, v]
-            return DataFile(
-                path=f"{rel_dir}/{fname}", num_rows=md.num_rows,
-                size_bytes=os.path.getsize(fpath), stats=stats)
+            return self._footer_stats(md, rel_dir, fname,
+                                      os.path.getsize(fpath))
 
         if len(files) <= 1:
             return [one(f) for f in sorted(files)]
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(32, len(files))) as pool:
             return list(pool.map(one, sorted(files)))
+
+    def _collect_stats_remote(self, rel_dir: str) -> list[DataFile]:
+        """Direct-lane stats: one LIST of the write prefix, then one
+        footer read per part file over a ranged-GET file object —
+        ~KBs per file regardless of file size, thread-pooled."""
+        import pyarrow.parquet as pq
+        storage = self.catalog.storage
+        keys = sorted(k for k in storage.list(f"{rel_dir}/")
+                      if k.endswith(".parquet"))
+
+        def one(key: str) -> DataFile:
+            fname = key[len(rel_dir) + 1:]
+            with storage.open_ranged(key) as fobj:
+                size = fobj.size()
+                md = pq.ParquetFile(fobj).metadata
+            return self._footer_stats(md, rel_dir, fname, size)
+
+        if len(keys) <= 1:
+            return [one(k) for k in keys]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(32, len(keys))) as pool:
+            return list(pool.map(one, keys))
 
     # --- copy-on-write DML (B29/B30) ----------------------------------------
 
@@ -1296,7 +1404,7 @@ class Engine:
         if not candidates:
             self._finish(txn)
             return 0
-        cand_abs = [self._abs(p) for p in candidates]
+        cand_abs = [self._scan_uri(p) for p in candidates]
         scan = self._scan(tdef, candidates)
         matched_abs = [r[0] for r in (
             self._pred_matches(scan, predicate, txn, name)
@@ -1388,7 +1496,7 @@ class Engine:
             matched_abs = [r[0] for r in (
                 self._pred_matches(scan, predicate, txn, name)
                 .select(F.input_file_name()).distinct().collect())]
-            cand_abs = [self._abs(p) for p in candidates]
+            cand_abs = [self._scan_uri(p) for p in candidates]
             matched = [p for p, a in zip(candidates, cand_abs)
                        if any(m.endswith(a) or a.endswith(
                            m.removeprefix("file://")) for m in matched_abs)]
@@ -1663,8 +1771,8 @@ class Engine:
                 matched_abs = [r["_file"] for r in per_file]
                 n_changed += sum(r["count"] for r in per_file)
                 matched = [p for p in all_paths
-                           if any(m.endswith(self._abs(p)) or
-                                  self._abs(p).endswith(
+                           if any(m.endswith(self._scan_uri(p)) or
+                                  self._scan_uri(p).endswith(
                                       m.removeprefix("file://"))
                                   for m in matched_abs)]
             if matched:
@@ -2469,12 +2577,14 @@ class Engine:
                 p for p in self.catalog.tree.reachable_node_paths(root)
                 if p != path)
             expired_roots.append(path)
-        for node_path in sorted(expired_nodes - keep_nodes):
-            self.catalog.storage.delete(node_path)
-            removed.append(node_path)
-        for path in expired_roots:
-            self.catalog.storage.delete(path)
-            removed.append(path)
+        # interior nodes first, roots last (a crash mid-expiry leaves the
+        # roots readable); each batch is one bulk DeleteObjects per 1000
+        # keys on object stores instead of one round-trip per object
+        doomed_nodes = sorted(expired_nodes - keep_nodes)
+        self.catalog.storage.delete_many(doomed_nodes)
+        removed.extend(doomed_nodes)
+        self.catalog.storage.delete_many(expired_roots)
+        removed.extend(expired_roots)
         self.catalog.storage.overwrite(loc.OLDEST_HINT_PATH,
                                        str(cutoff).encode())
         return removed
@@ -2543,10 +2653,11 @@ class Engine:
                     rel = os.path.relpath(full, self.catalog.storage.root)
                     if rel.endswith(".parquet"):
                         candidates.append(rel)
-        for rel in candidates:
-            if rel not in referenced:
-                self._delete_data_file(rel)
-                removed.append(rel)
+        orphans = [rel for rel in candidates if rel not in referenced]
+        # one bulk delete per 1000 keys (S3 DeleteObjects) — a
+        # million-orphan VACUUM costs ~1000 requests, not a million
+        self.catalog.storage.delete_many(orphans)
+        removed.extend(orphans)
         return removed
 
     # --- views --------------------------------------------------------------
