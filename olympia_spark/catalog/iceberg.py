@@ -133,13 +133,22 @@ def select_snapshot(meta: dict, snapshot_id: int | None = None) -> dict:
                      f"{[s['snapshot-id'] for s in snapshots]}")
 
 
-def _manifest_paths(snapshot: dict) -> list[tuple[str, int]]:
-    """Return (manifest_path, content) pairs for a snapshot. v2 points at
-    a manifest-list avro; v1 may inline the manifest path list."""
+def _manifest_paths(snapshot: dict) -> list[tuple[str, int, int]]:
+    """Return (manifest_path, content, sequence_number) triples for a
+    snapshot. v2 points at a manifest-list avro; v1 may inline the
+    manifest path list (no sequence numbers — 0)."""
     if "manifest-list" in snapshot:
         _, entries = avro_io.read_ocf(_read_bytes(snapshot["manifest-list"]))
-        return [(e["manifest_path"], e.get("content") or 0) for e in entries]
-    return [(p, 0) for p in snapshot.get("manifests", [])]
+        return [(e["manifest_path"], e.get("content") or 0,
+                 int(e.get("sequence_number") or 0)) for e in entries]
+    return [(p, 0, 0) for p in snapshot.get("manifests", [])]
+
+
+def field_names_by_id(schema: dict) -> dict[int, str]:
+    """Top-level field-id → column-name map (resolves a delete file's
+    ``equality_ids`` to the columns an equality delete keys on; spec
+    "Equality Delete Files" — ids reference the table schema)."""
+    return {int(f["id"]): f["name"] for f in schema.get("fields", [])}
 
 
 def live_files(snapshot: dict) -> tuple[list[dict], list[dict]]:
@@ -156,7 +165,7 @@ def live_files(snapshot: dict) -> tuple[list[dict], list[dict]]:
     deletes, 2 equality deletes)."""
     data: list[dict] = []
     deletes: list[dict] = []
-    for path, content in _manifest_paths(snapshot):
+    for path, content, mseq in _manifest_paths(snapshot):
         _, entries = avro_io.read_ocf(_read_bytes(path))
         live = [e for e in entries if e.get("status", 1) in (0, 1)]
         for e in live:
@@ -167,17 +176,25 @@ def live_files(snapshot: dict) -> tuple[list[dict], list[dict]]:
                     f"unsupported iceberg data file format {fmt!r} "
                     f"(parquet-native engine)")
             fcontent = int(df.get("content") or 0)
+            # v2 sequence-number inheritance: a null entry sequence
+            # number inherits the manifest's (spec "Sequence Number
+            # Inheritance" — ADDED entries are written null and take
+            # the manifest-list entry's number)
+            seq = e.get("sequence_number")
             rec = {
                 "file_path": _local_path(df["file_path"]),
                 "record_count": int(df.get("record_count") or -1),
                 "file_size_in_bytes": int(df.get("file_size_in_bytes")
                                           or -1),
                 "partition": df.get("partition") or {},
+                "sequence_number": int(mseq if seq is None else seq),
             }
             if content == 1 or fcontent != 0:
                 # a delete manifest entry defaults to position deletes
                 # when the file record predates the content field
                 rec["content"] = fcontent or 1
+                rec["equality_ids"] = [
+                    int(i) for i in (df.get("equality_ids") or [])]
                 deletes.append(rec)
             else:
                 data.append(rec)

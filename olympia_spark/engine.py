@@ -793,7 +793,7 @@ class Engine:
         entries, deletes = (il.live_files(snapshot) if snapshot
                             else ([], []))
         if deletes:
-            return self._adopt_with_position_deletes(
+            return self._adopt_with_deletes(
                 name, mloc, meta, snapshot, schema, entries, deletes,
                 as_native=as_native)
 
@@ -843,30 +843,33 @@ class Engine:
         self._finish(txn)
         return len(files)
 
-    def _adopt_with_position_deletes(self, name: str, mloc: str,
+    def _adopt_with_deletes(self, name: str, mloc: str,
                                      meta: dict, snapshot: dict,
                                      schema: T.StructType,
                                      entries: list, deletes: list, *,
                                      as_native: bool) -> int:
-        """Merge-on-read (Iceberg v2) adoption: POSITION deletes are
-        applied at adoption time by materializing the net rows — a
-        distributed anti-join of the data scan (with the parquet
-        ``_metadata.file_path`` / ``_metadata.row_index`` hidden
-        columns) against the delete-file (file_path, pos) pairs, then a
-        CTAS into engine-owned files. The Iceberg originals are left
-        untouched for the old catalog; the spec's per-read merge
-        obligation is discharged ONCE here instead of on every scan
-        (the reference's host Iceberg 1.8.1 merges per read —
-        spark/v3.5/build.gradle:38). Equality deletes (content=2) need
-        per-row predicate evaluation against mutable key sets and are
-        refused — most real estates carry only position deletes."""
-        if any(d["content"] == 2 for d in deletes):
-            raise ValueError(
-                "iceberg table has EQUALITY delete files; adoption "
-                "applies position deletes only — rewrite/compact the "
-                "table to remove equality deletes first")
+        """Merge-on-read (Iceberg v2) adoption: delete files are applied
+        at adoption time by materializing the net rows, then a CTAS into
+        engine-owned files. The Iceberg originals are left untouched for
+        the old catalog; the spec's per-read merge obligation is
+        discharged ONCE here instead of on every scan (the reference's
+        host Iceberg 1.8.1 merges per read — spark/v3.5/build.gradle:38).
+
+        * POSITION deletes (content=1): distributed anti-join of the
+          data scan (parquet ``_metadata.file_path`` / ``row_index``
+          hidden columns) against the delete-file (file_path, pos)
+          pairs.
+        * EQUALITY deletes (content=2, the Flink-CDC shape): per delete
+          file, an anti-join on the ``equality_ids`` columns with
+          NULL-SAFE equality (spec: null values match null), scoped by
+          sequence number — a delete applies only to rows whose data
+          file's sequence number is STRICTLY LESS than the delete
+          file's (rows upserted in or after the delete's commit
+          survive)."""
+        from olympia_spark.catalog import iceberg as il
+        pos_dels = [d for d in deletes if d["content"] != 2]
+        eq_dels = [d for d in deletes if d["content"] == 2]
         data_paths = [e["file_path"] for e in entries]
-        del_paths = [d["file_path"] for d in deletes]
         # both sides normalize to a plain path (the data scan emits
         # file:-scheme URIs; delete files record whatever URI form the
         # writer used — spec requires it to match the manifest entry)
@@ -878,16 +881,50 @@ class Engine:
             # away — the net table is simply empty
             net = self.spark.createDataFrame([], schema)
         else:
-            src = (self.spark.read.schema(schema).parquet(*data_paths)
+            net = (self.spark.read.schema(schema).parquet(*data_paths)
                    .select("*",
                            norm(F.col("_metadata.file_path"))
                            .alias("__fp"),
                            F.col("_metadata.row_index").alias("__pos")))
-            dels = (self.spark.read.parquet(*del_paths)
-                    .select(norm(F.col("file_path")).alias("__fp"),
-                            F.col("pos").alias("__pos")))
-            net = (src.join(dels, ["__fp", "__pos"], "left_anti")
-                   .drop("__fp", "__pos"))
+            if pos_dels:
+                dels = (self.spark.read.parquet(
+                            *[d["file_path"] for d in pos_dels])
+                        .select(norm(F.col("file_path")).alias("__fp"),
+                                F.col("pos").alias("__pos")))
+                net = net.join(dels, ["__fp", "__pos"], "left_anti")
+            if eq_dels:
+                name_by_id = il.field_names_by_id(il.current_schema(meta))
+                # per-data-file sequence numbers ride in on a broadcast
+                # (file_path → seq) map — O(files) rows, never data-sized
+                seq_df = self.spark.createDataFrame(
+                    [(e["file_path"], e["sequence_number"])
+                     for e in entries],
+                    T.StructType([
+                        T.StructField("__fp", T.StringType()),
+                        T.StructField("__seq", T.LongType())]))
+                net = net.join(F.broadcast(seq_df), "__fp", "left")
+                for d in eq_dels:
+                    try:
+                        cols = [name_by_id[i] for i in d["equality_ids"]]
+                    except KeyError as e:
+                        raise ValueError(
+                            f"equality delete file {d['file_path']} "
+                            f"references unknown field id {e} — cannot "
+                            f"adopt") from None
+                    if not cols:
+                        raise ValueError(
+                            f"equality delete file {d['file_path']} "
+                            f"records no equality_ids — cannot adopt")
+                    ddf = (self.spark.read.parquet(d["file_path"])
+                           .select(*[F.col(c).alias(f"__d_{c}")
+                                     for c in cols]).dropDuplicates())
+                    cond = F.lit(d["sequence_number"]) > F.col("__seq")
+                    for c in cols:
+                        cond = cond & F.col(c).eqNullSafe(
+                            F.col(f"__d_{c}"))
+                    net = net.join(F.broadcast(ddf), cond, "left_anti")
+                net = net.drop("__seq")
+            net = net.drop("__fp", "__pos")
         prev = ""
         if meta.get("metadata-log"):
             prev = meta["metadata-log"][-1].get("metadata-file", "")
@@ -903,13 +940,17 @@ class Engine:
                 "iceberg.snapshot-id": str(
                     snapshot.get("snapshot-id", "")),
                 "iceberg.table-uuid": meta.get("table-uuid", ""),
-                "iceberg.position-deletes-applied": str(len(deletes)),
+                "iceberg.position-deletes-applied": str(len(pos_dels)),
+                "iceberg.equality-deletes-applied": str(len(eq_dels)),
             }))
         files = self._write_files(net, ns, tbl, [])
         self.catalog.update_table_files(
             txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
             {"added": [f.path for f in files], "adopted_from": mloc,
-             "position_deletes_applied": del_paths})
+             "position_deletes_applied": [d["file_path"]
+                                          for d in pos_dels],
+             "equality_deletes_applied": [d["file_path"]
+                                          for d in eq_dels]})
         self._finish(txn)
         return len(files)
 

@@ -454,12 +454,190 @@ def test_adopt_mor_position_deletes(spark, tmp_path):
     assert tdef.properties["iceberg.position-deletes-applied"] == "1"
 
 
-def test_adopt_mor_equality_deletes_refused(spark, tmp_path):
+def test_adopt_mor_equality_delete_without_ids_refused(spark, tmp_path):
+    """A content=2 delete file that records no equality_ids violates the
+    spec — adoption refuses with a clear error instead of guessing."""
     tdir = _mor_table(tmp_path, delete_content=2)
     eng = Engine(spark, str(tmp_path / "wh"))
     eng.sql("CREATE NAMESPACE lake")
-    with pytest.raises(ValueError, match="EQUALITY"):
+    with pytest.raises(ValueError, match="equality_ids"):
         eng.adopt_iceberg_table("lake.t", tdir)
+
+
+# --- equality deletes (round-7 VERDICT item #2) -----------------------------
+
+
+def _eq_entry_schema() -> dict:
+    """MANIFEST_ENTRY_SCHEMA + the spec's equality_ids field (id 135) —
+    real engines (Flink CDC) write it; our OCF reader decodes with the
+    embedded writer schema, so the field surfaces without being in the
+    package's own write schema."""
+    import copy
+    schema = copy.deepcopy(il.MANIFEST_ENTRY_SCHEMA)
+    schema["fields"][4]["type"]["fields"].append(
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}],
+         "default": None, "field-id": 135})
+    return schema
+
+
+def _eq_entry(status, df, *, content=0, seq=1, eq_ids=None) -> dict:
+    return {"status": status, "snapshot_id": 1, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {"content": content, "file_path": df["file_path"],
+                          "file_format": "PARQUET", "partition": {},
+                          "record_count": df["record_count"],
+                          "file_size_in_bytes": df["file_size_in_bytes"],
+                          "equality_ids": eq_ids}}
+
+
+def _eq_manifest(mdir, entries) -> str:
+    path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+    with open(path, "wb") as f:
+        f.write(avro_io.write_ocf(_eq_entry_schema(), entries))
+    return path
+
+
+def _eq_table(tmp_path, *, delete_rows, eq_ids, extra_file_ids=None,
+              mixed_pos=None):
+    """v2 MOR table: f1 (ids 0-9, seq 1), an equality delete file
+    (seq 2, keys ``delete_rows`` on ``eq_ids`` columns), and optionally
+    f2 at seq 3 (rows written AFTER the delete — must survive) and a
+    position delete file at seq 2."""
+    tdir = str(tmp_path / "iceeq")
+    mdir = os.path.join(tdir, "metadata")
+    ddir = os.path.join(tdir, "data")
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+    f1 = _write_parquet(os.path.join(ddir, "f1.parquet"), list(range(10)))
+    manifests = [(_eq_manifest(mdir, [_eq_entry(1, f1, seq=1)]), 0, 1)]
+    if extra_file_ids:
+        f2 = _write_parquet(os.path.join(ddir, "f2.parquet"),
+                            extra_file_ids)
+        manifests.append(
+            (_eq_manifest(mdir, [_eq_entry(1, f2, seq=3)]), 0, 3))
+    dpath = os.path.join(ddir, "eq1.parquet")
+    pq.write_table(pa.table(delete_rows), dpath)
+    dd = {"file_path": dpath, "record_count": len(delete_rows["id"]),
+          "file_size_in_bytes": os.path.getsize(dpath)}
+    manifests.append(
+        (_eq_manifest(mdir, [_eq_entry(1, dd, content=2, seq=2,
+                                       eq_ids=eq_ids)]), 1, 2))
+    if mixed_pos:
+        ppath = os.path.join(ddir, "pd1.parquet")
+        pq.write_table(pa.table({
+            "file_path": pa.array([f1["file_path"]] * len(mixed_pos),
+                                  pa.string()),
+            "pos": pa.array(mixed_pos, pa.int64())}), ppath)
+        pd_ = {"file_path": ppath, "record_count": len(mixed_pos),
+               "file_size_in_bytes": os.path.getsize(ppath)}
+        manifests.append(
+            (_eq_manifest(mdir, [_eq_entry(1, pd_, content=1, seq=2)]),
+             1, 2))
+    # manifest list with per-manifest sequence numbers
+    mlpath = os.path.join(tdir, "metadata", f"snap-1-{uuid.uuid4()}.avro")
+    recs = [{"manifest_path": m, "manifest_length": os.path.getsize(m),
+             "partition_spec_id": 0, "content": c, "sequence_number": s,
+             "min_sequence_number": s, "added_snapshot_id": 1,
+             "added_files_count": 1, "existing_files_count": 0,
+             "deleted_files_count": 0, "added_rows_count": 0,
+             "existing_rows_count": 0, "deleted_rows_count": 0}
+            for m, c, s in manifests]
+    with open(mlpath, "wb") as f:
+        f.write(avro_io.write_ocf(il.MANIFEST_LIST_SCHEMA, recs))
+    snap = {"snapshot-id": 1, "sequence-number": 3,
+            "timestamp-ms": 1723600000000, "manifest-list": mlpath,
+            "summary": {"operation": "overwrite"}, "schema-id": 0}
+    _metadata(tdir, [snap], current=1)
+    return tdir
+
+
+def test_adopt_mor_equality_deletes_applied(spark, tmp_path):
+    """Equality deletes (Flink-CDC shape) apply at adoption: rows whose
+    id matches a delete row AND whose data sequence number is strictly
+    below the delete's are dropped; rows written after survive."""
+    tdir = _eq_table(
+        tmp_path,
+        delete_rows={"id": pa.array([1, 3, 12], pa.int64())},
+        eq_ids=[1],                       # field id 1 = "id"
+        extra_file_ids=[10, 11, 12])      # seq 3 > delete seq 2 → survive
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    n = eng.adopt_iceberg_table("lake.t", tdir, as_native=True)
+    assert n >= 1
+    ids = {r.id for r in eng.sql("SELECT id FROM lake.t").collect()}
+    # 1 and 3 equality-deleted from f1 (seq 1 < 2); 12 SURVIVES in f2
+    # (seq 3 > 2 — written after the delete)
+    assert ids == (set(range(10)) - {1, 3}) | {10, 11, 12}
+    txn = eng.catalog.begin()
+    tdef = eng.catalog.describe_table(txn, "lake", "t")
+    assert tdef.properties["iceberg.equality-deletes-applied"] == "1"
+    assert tdef.properties["iceberg.position-deletes-applied"] == "0"
+
+
+def test_adopt_mor_multi_column_equality_and_nulls(spark, tmp_path):
+    """Multi-column equality_ids use null-safe equality — a delete row
+    with a NULL value deletes rows where that column IS NULL (spec:
+    'null values match null')."""
+    tdir = str(tmp_path / "icenull")
+    mdir = os.path.join(tdir, "metadata")
+    ddir = os.path.join(tdir, "data")
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+    table = pa.table({
+        "id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "val": pa.array(["a", None, "a", "b", None], pa.string())})
+    fpath = os.path.join(ddir, "f1.parquet")
+    pq.write_table(table, fpath)
+    f1 = {"file_path": fpath, "record_count": 5,
+          "file_size_in_bytes": os.path.getsize(fpath)}
+    dpath = os.path.join(ddir, "eq1.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([1, 3], pa.int64()),
+        "val": pa.array([None, None], pa.string())}), dpath)
+    dd = {"file_path": dpath, "record_count": 2,
+          "file_size_in_bytes": os.path.getsize(dpath)}
+    m1 = _eq_manifest(mdir, [_eq_entry(1, f1, seq=1)])
+    m2 = _eq_manifest(mdir, [_eq_entry(1, dd, content=2, seq=2,
+                                       eq_ids=[1, 2])])
+    mlpath = os.path.join(mdir, f"snap-1-{uuid.uuid4()}.avro")
+    recs = [{"manifest_path": m, "manifest_length": os.path.getsize(m),
+             "partition_spec_id": 0, "content": c, "sequence_number": s,
+             "min_sequence_number": s, "added_snapshot_id": 1,
+             "added_files_count": 1, "existing_files_count": 0,
+             "deleted_files_count": 0, "added_rows_count": 0,
+             "existing_rows_count": 0, "deleted_rows_count": 0}
+            for m, c, s in [(m1, 0, 1), (m2, 1, 2)]]
+    with open(mlpath, "wb") as f:
+        f.write(avro_io.write_ocf(il.MANIFEST_LIST_SCHEMA, recs))
+    snap = {"snapshot-id": 1, "sequence-number": 2,
+            "timestamp-ms": 1723600000000, "manifest-list": mlpath,
+            "summary": {"operation": "overwrite"}, "schema-id": 0}
+    _metadata(tdir, [snap], current=1)
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    eng.adopt_iceberg_table("lake.t", tdir, as_native=True)
+    rows = {(r.id, r.val) for r in
+            eng.sql("SELECT id, val FROM lake.t").collect()}
+    # deleted: (1, NULL) and (3, NULL); (1,'a') survives (val differs)
+    assert rows == {(1, "a"), (2, "a"), (2, "b")}
+
+
+def test_adopt_mor_mixed_position_and_equality(spark, tmp_path):
+    tdir = _eq_table(
+        tmp_path,
+        delete_rows={"id": pa.array([5], pa.int64())},
+        eq_ids=[1],
+        mixed_pos=[0, 2])                 # position-delete ids 0 and 2
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    eng.adopt_iceberg_table("lake.t", tdir, as_native=True)
+    ids = {r.id for r in eng.sql("SELECT id FROM lake.t").collect()}
+    assert ids == set(range(10)) - {0, 2, 5}
+    txn = eng.catalog.begin()
+    tdef = eng.catalog.describe_table(txn, "lake", "t")
+    assert tdef.properties["iceberg.position-deletes-applied"] == "1"
+    assert tdef.properties["iceberg.equality-deletes-applied"] == "1"
 
 
 def test_adopt_mor_all_data_deleted_yields_empty_table(spark, tmp_path):
