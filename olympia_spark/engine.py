@@ -1786,6 +1786,8 @@ class Engine:
         n_changed = 0
         new_files: list[DataFile] = []
         removed: list[str] = []
+        rewrite_out = None          # deferred single-write fast path
+        matched_rows = 0
         if all_paths and rw_clauses:
             if by_src:
                 # WHEN NOT MATCHED BY SOURCE inspects every target row by
@@ -1911,17 +1913,35 @@ class Engine:
                                 e = F.when(F.col("_action") == i,
                                            F.col(f"_u{i}_{c}")).otherwise(e)
                         out_cols.append(e.alias(c))
-                    try:
-                        new_files += self._write_files(
-                            staged.select(*out_cols), ns, tbl,
-                            tdef.partition_by, tdef=tdef)
-                    except Exception as e:  # surface the folded-in guard
-                        if "MERGE_CARDINALITY" in str(e):
-                            raise MergeCardinalityError(
-                                "MERGE: a target row is matched by more "
-                                "than one source row; deduplicate the "
-                                "source on the join key") from e
-                        raise
+                    rewrite_out = staged.select(*out_cols)
+                    # Single-write fast path: a plain upsert (no DELETE
+                    # clause, no BY SOURCE) writes the rewritten files
+                    # and the inserted rows in ONE Spark job below —
+                    # rewrites preserve the matched files' row counts,
+                    # so the insert tally falls out of metadata
+                    # arithmetic instead of a second write job.
+                    matched_rows = sum(
+                        f.num_rows for f in tdef.data_files
+                        if f.path in set(matched))
+                    combinable = (not by_src and not del_idx
+                                  and bool(not_matched_clauses)
+                                  and all(f.num_rows >= 0
+                                          for f in tdef.data_files
+                                          if f.path in set(matched)))
+                    if not combinable:
+                        try:
+                            new_files += self._write_files(
+                                rewrite_out, ns, tbl,
+                                tdef.partition_by, tdef=tdef)
+                        except Exception as e:  # folded-in guard
+                            if "MERGE_CARDINALITY" in str(e):
+                                raise MergeCardinalityError(
+                                    "MERGE: a target row is matched by "
+                                    "more than one source row; "
+                                    "deduplicate the source on the join "
+                                    "key") from e
+                            raise
+                        rewrite_out = None
                     removed += matched
                 finally:
                     # unpersist the PERSISTED plan (staged gets reassigned
@@ -1949,12 +1969,33 @@ class Engine:
                                    F.expr(imap[c]).cast(schema[c].dataType)
                                    ).otherwise(e)
                 ins_cols.append(e.alias(c))
-            ins_files = [f for f in self._write_files(
-                             anti.select(*ins_cols), ns, tbl,
-                             tdef.partition_by, tdef=tdef)
-                         if f.num_rows > 0]     # skip empty part files
-            n_changed += sum(f.num_rows for f in ins_files)
-            new_files += ins_files
+            ins_df = anti.select(*ins_cols)
+            if rewrite_out is not None:
+                # one job writes rewrites + inserts; rewrites preserve
+                # the matched files' row counts (no deletes), so
+                # inserted = written − matched_rows
+                try:
+                    files = [f for f in self._write_files(
+                                 rewrite_out.unionByName(ins_df), ns,
+                                 tbl, tdef.partition_by, tdef=tdef)
+                             if f.num_rows > 0]
+                except Exception as e:       # folded-in guard
+                    if "MERGE_CARDINALITY" in str(e):
+                        raise MergeCardinalityError(
+                            "MERGE: a target row is matched by more "
+                            "than one source row; deduplicate the "
+                            "source on the join key") from e
+                    raise
+                rewrite_out = None
+                n_changed += sum(f.num_rows for f in files) - matched_rows
+                new_files += files
+            else:
+                ins_files = [f for f in self._write_files(
+                                 ins_df, ns, tbl,
+                                 tdef.partition_by, tdef=tdef)
+                             if f.num_rows > 0]     # skip empty part files
+                n_changed += sum(f.num_rows for f in ins_files)
+                new_files += ins_files
         if evolved_names:
             # the merge body succeeded — NOW record the schema evolution,
             # so the alter and the rows land in the one commit (a merge
