@@ -53,34 +53,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry ages past the stale horizon. Round-6 list:
-# (1) new or code-path-changed this round (S3 data plane touched every DML
-# writer; merge restructure; the two de-windowed data_* ops; supplier
-# broadcast; MOR adopt), (2) the 28 queries whose latest green is round 2,
-# (3) the round-3 rest, streaming-heavy last. Round-4/5-green queries rank
-# after in registry order.
+# no query's newest driver entry ages past the stale horizon. Round-7 list
+# (VERDICT r6 item #3): (1) the three r2-age stragglers the r6 window
+# missed (the udf trio), (2) the 47 queries whose latest green is round 3
+# (streaming-heavy last), filling the ~50 driver slots exactly; (3) the
+# queries whose code paths changed THIS round (merge single-write
+# restructure, equality-delete adoption, data-plane scan/write rework —
+# all re-proven locally against their DuckDB oracles at sf0.01 and
+# sf0.1); the rest rank after in registry order.
 _PRIORITY = [
-    # new or changed this round
-    "b80_q18_shape", "b81_rename_column", "b82_merge_schema_evolution",
-    "sim_mips_topk", "text_entropy_gate", "sim_label_propagation",
-    "b78_check_constraint", "b79_generated_partition",
-    "dedup_cross_source", "sim_range_search",
-    "dedup_prefix_hash", "text_ngram_novelty", "data_curriculum_head",
-    "b76_q10_shape", "b77_describe_detail", "data_epoch_shuffle",
-    "data_interleave_sources", "b72_q5_shape", "b05_star_join",
-    "b74_merge_by_source", "b75_replace_where", "b69_zorder_cluster",
-    "b66_iceberg_adopt", "b33_merge_upsert", "b33b_merge_multi",
-    # latest green = round 2
-    "b25b_explode_collect", "b27b_from_json", "b28_insert_append",
-    "b29_delete_where", "b30_update_set", "b32_stream_session_window",
-    "b32_stream_sliding_window", "b32_stream_tumbling_window",
-    "b34_asof_join", "b35_time_rollup", "data_profile",
-    "data_profile_quantiles", "data_sample_per_key", "data_split_stratified",
-    "dedup_exact", "mm_feature_extract", "mm_frame_sample",
-    "mm_metadata_scan", "sim_quantize_int8", "text_fingerprint",
-    "text_langid", "text_redact", "text_rolling_hash", "text_token_count",
-    "text_url_extract", "udf_grouped_custstats", "udf_mapinpandas_tokens",
-    "udf_pandas_tiered",
+    # r2-age stragglers — oldest driver entries in the registry
+    "udf_pandas_tiered", "udf_mapinpandas_tokens", "udf_grouped_custstats",
     # latest green = round 3 (streaming last)
     "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
     "b17_topk", "b18_union", "b18b_union_all", "b19_except",
@@ -96,6 +79,13 @@ _PRIORITY = [
     "text_contamination", "text_ngram_logprob", "text_pii_stats",
     "text_tfidf_topterms", "text_vocab_topk", "b32_stream_dedup",
     "b32_stream_join", "b32_stream_merge_cdc", "b32_stream_stateful_counter",
+    # code paths changed this round (merge single-write, MOR equality
+    # adoption, data-plane scan/write/maintenance rework)
+    "b33_merge_upsert", "b33b_merge_multi", "b74_merge_by_source",
+    "b82_merge_schema_evolution", "b66_iceberg_adopt", "b28_insert_append",
+    "b29_delete_where", "b30_update_set", "b75_replace_where",
+    "b73_dml_subquery", "b68_clone_restore", "b69_zorder_cluster",
+    "b81_rename_column", "b78_check_constraint", "b79_generated_partition",
 ]
 
 

@@ -57,6 +57,17 @@ from olympia_spark.catalog.transactions import Transaction
 _DATA_DIR = "data"
 _ZCOL = "__zorder"
 
+# In-job failure markers raised via F.raise_error inside write jobs and
+# detected on the driver by substring over the (nested) exception text.
+# The bracketed token makes the match collision-resistant: a user row or
+# an unrelated failure whose message merely contains the words
+# "CHECK constraint" / "MERGE" cannot be misclassified, only the exact
+# marker token fires the typed error. End-to-end tests pin the mapping,
+# so a changed Spark exception-wrapping format fails loudly instead of
+# silently downgrading to a raw exception.
+_CHECK_MARKER = "OLYMPIA_CHECK[b3f6c2e9]"
+_CARDINALITY_MARKER = "MERGE_CARDINALITY[b3f6c2e9]"
+
 # statement gate — same normalization as the reference parser
 # (trim, strip trailing ';', collapse whitespace, case-insensitive)
 _BEGIN_RE = re.compile(r"^BEGIN(\s+TRANSACTION)?$", re.I)
@@ -1204,6 +1215,9 @@ class Engine:
                 continue                       # cast/alias target keyword
             if re.match(r"\s*'", e[m.end():]):
                 continue                       # typed literal: DATE '...'
+            if re.match(r"\s*\(", e[m.end():]):
+                continue                       # function call: abs(...) —
+                # a column named `abs` is not referenced by abs(x)
             return True
         return False
 
@@ -1231,7 +1245,7 @@ class Engine:
             c0 = df.columns[0]
             df = df.withColumn(c0, F.when(F.expr(cond), F.col(c0))
                                .otherwise(F.raise_error(F.lit(
-                                   f"OLYMPIA_CHECK: CHECK constraint "
+                                   f"{_CHECK_MARKER}: CHECK constraint "
                                    f"violated on {ns}.{tbl} "
                                    f"(constraints: {names})"))))
         if tdef is not None and tdef.column_mapping:
@@ -1247,7 +1261,7 @@ class Engine:
         try:
             writer.parquet(out_dir)
         except Exception as e:
-            if "OLYMPIA_CHECK" in str(e):
+            if _CHECK_MARKER in str(e):
                 raise CheckConstraintError(
                     f"CHECK constraint violated writing to {ns}.{tbl}; "
                     f"constraints: "
@@ -1855,8 +1869,8 @@ class Engine:
                 # on rows routed elsewhere).
                 guard = F.when((n_src > 1) & (act_chain() >= 0),
                                F.raise_error(F.concat(
-                                   F.lit("MERGE_CARDINALITY: target row "
-                                         "matched by "),
+                                   F.lit(f"{_CARDINALITY_MARKER}: "
+                                         "target row matched by "),
                                    n_src.cast("string"),
                                    F.lit(" source rows"))))
                 staged = joined.select(
@@ -1893,7 +1907,7 @@ class Engine:
                             n_changed += staged.filter(
                                 "_action >= 0").count()
                         except Exception as e:
-                            if "MERGE_CARDINALITY" in str(e):
+                            if _CARDINALITY_MARKER in str(e):
                                 raise MergeCardinalityError(
                                     "MERGE: a target row is matched by "
                                     "more than one source row; deduplicate "
@@ -1934,7 +1948,7 @@ class Engine:
                                 rewrite_out, ns, tbl,
                                 tdef.partition_by, tdef=tdef)
                         except Exception as e:  # folded-in guard
-                            if "MERGE_CARDINALITY" in str(e):
+                            if _CARDINALITY_MARKER in str(e):
                                 raise MergeCardinalityError(
                                     "MERGE: a target row is matched by "
                                     "more than one source row; "
@@ -1980,7 +1994,7 @@ class Engine:
                                  tbl, tdef.partition_by, tdef=tdef)
                              if f.num_rows > 0]
                 except Exception as e:       # folded-in guard
-                    if "MERGE_CARDINALITY" in str(e):
+                    if _CARDINALITY_MARKER in str(e):
                         raise MergeCardinalityError(
                             "MERGE: a target row is matched by more "
                             "than one source row; deduplicate the "
@@ -2166,18 +2180,15 @@ class Engine:
         names = [f.name for f in schema.fields]
         if old not in names:
             raise ValueError(f"no such column: {old}")
-        if new in names:
-            raise ValueError(f"column already exists: {new}")
-        other_physical = {self._phys(tdef, n) for n in names
-                          if n != old}
-        if new in other_physical:
-            raise ValueError(
-                f"column name {new} is the physical (pre-rename) name of "
-                f"another existing column; pick another name")
-        if new in tdef.retired_columns:
-            raise ValueError(
-                f"column name {new} belonged to a dropped column whose "
-                f"data may survive in existing files; pick another name")
+        # same case-INSENSITIVE guard as ALTER ADD COLUMNS / merge
+        # evolution (Spark resolves case-insensitively, so `Value`
+        # colliding with existing `value` — or a case variant of a
+        # retired physical name — is the same hazard as an exact hit);
+        # the column being renamed is excluded so a pure case-change
+        # rename (v → V) stays legal
+        self._check_new_column_names(tdef, [new],
+                                     "ALTER TABLE RENAME COLUMN",
+                                     exclude=old)
         for cname, cexpr in tdef.constraints.items():
             if self._expr_refs(cexpr, old):
                 raise ValueError(
@@ -2213,16 +2224,20 @@ class Engine:
         self._finish(txn)
 
     def _check_new_column_names(self, tdef: TableDef, names: list[str],
-                                ctx: str) -> None:
+                                ctx: str,
+                                exclude: str | None = None) -> None:
         """Shared guard for every path that introduces a column name
-        (ALTER ADD COLUMNS, MERGE schema evolution): CASE-INSENSITIVE —
-        Spark resolves parquet columns that way, so `SCORE` binding a
-        retired physical `score`'s stale bytes is the same resurrection
-        hazard as the exact name."""
+        (ALTER ADD COLUMNS, MERGE schema evolution, RENAME COLUMN):
+        CASE-INSENSITIVE — Spark resolves parquet columns that way, so
+        `SCORE` binding a retired physical `score`'s stale bytes is the
+        same resurrection hazard as the exact name. ``exclude`` names
+        the column being renamed so its own identity doesn't count as a
+        collision."""
         schema = tdef.spark_schema()
-        existing = {f.name.lower() for f in schema.fields}
+        existing = {f.name.lower() for f in schema.fields
+                    if f.name != exclude}
         physical = {self._phys(tdef, f.name).lower()
-                    for f in schema.fields}
+                    for f in schema.fields if f.name != exclude}
         retired = {c.lower() for c in tdef.retired_columns}
         seen: set[str] = set()
         for n in names:

@@ -514,3 +514,64 @@ def test_changefeed_sink_crash_between_cursor_rows_recovers(
     mirror = {(r.id, r.v) for r in
               engine.sql("SELECT id, v FROM ns1.mirror_cf2").collect()}
     assert mirror == src                # BOTH diffs applied exactly once
+
+
+# --- round-7 ADVICE fixes ---------------------------------------------------
+
+
+def test_rename_column_case_insensitive_collisions(spark, tmp_path):
+    """ADVICE r6: RENAME COLUMN must apply the same case-insensitive
+    collision guard as ADD COLUMNS — `Value` vs existing `value` is the
+    same hazard under Spark's case-insensitive resolution."""
+    eng = Engine(spark, str(tmp_path / "wh_rn"))
+    eng.sql("CREATE NAMESPACE ns1")
+    eng.sql("CREATE TABLE ns1.t (id BIGINT, value DOUBLE, v2 DOUBLE)")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.rename_column("ns1.t", "v2", "Value")
+    # case variant of a RETIRED physical name is refused too
+    eng.sql("INSERT INTO ns1.t VALUES (1, 1.0, 2.0)")
+    eng.sql("ALTER TABLE ns1.t DROP COLUMN v2")
+    with pytest.raises(ValueError, match="dropped column"):
+        eng.rename_column("ns1.t", "value", "V2")
+    # a PURE case-change rename of a column onto itself stays legal
+    eng.rename_column("ns1.t", "value", "Value")
+    assert eng.sql("SELECT Value FROM ns1.t").first().Value == 1.0
+
+
+def test_expr_refs_skips_function_invocations(spark, tmp_path):
+    """ADVICE r6: a column named `abs` must be droppable even when a
+    constraint calls the FUNCTION abs(...) — a word followed by '(' is
+    an invocation, not a column reference."""
+    eng = Engine(spark, str(tmp_path / "wh_fn"))
+    assert not Engine._expr_refs("abs(x) > 0", "abs")
+    assert Engine._expr_refs("abs + 1 > 0", "abs")          # real ref
+    assert Engine._expr_refs("abs(x) > abs", "abs")         # mixed
+    eng.sql("CREATE NAMESPACE ns1")
+    eng.sql("CREATE TABLE ns1.t (id BIGINT, abs DOUBLE, x DOUBLE, "
+            "CONSTRAINT pos CHECK (abs(x) >= 0))")
+    # the constraint references x via abs(x) — column `abs` is free
+    eng.sql("ALTER TABLE ns1.t DROP COLUMN abs")
+    with pytest.raises(ValueError, match="constraint"):
+        eng.sql("ALTER TABLE ns1.t DROP COLUMN x")
+
+
+def test_check_marker_is_collision_resistant(spark, tmp_path):
+    """ADVICE r6: the in-job failure markers carry a token so user data
+    containing the words 'OLYMPIA_CHECK'/'MERGE_CARDINALITY' cannot be
+    misclassified as a constraint/cardinality failure."""
+    from olympia_spark.engine import _CARDINALITY_MARKER, _CHECK_MARKER
+    assert _CHECK_MARKER not in "OLYMPIA_CHECK: CHECK constraint violated"
+    assert _CARDINALITY_MARKER not in \
+        "MERGE_CARDINALITY: target row matched by 2 source rows"
+    # end-to-end: the typed error still fires on a real violation...
+    from olympia_spark.catalog.errors import CheckConstraintError
+    eng = Engine(spark, str(tmp_path / "wh_mk"))
+    eng.sql("CREATE NAMESPACE ns1")
+    eng.sql("CREATE TABLE ns1.t (id BIGINT, note STRING, "
+            "CONSTRAINT idpos CHECK (id > 0))")
+    with pytest.raises(CheckConstraintError):
+        eng.sql("INSERT INTO ns1.t VALUES (-1, 'x')")
+    # ...and marker-looking USER DATA writes cleanly
+    eng.sql("INSERT INTO ns1.t VALUES "
+            "(1, 'OLYMPIA_CHECK: CHECK constraint violated on ns1.t')")
+    assert eng.sql("SELECT COUNT(*) AS c FROM ns1.t").first().c == 1
