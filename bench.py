@@ -56,6 +56,15 @@ HEADLINE = [
     "b29_delete_where",
     "b33_merge_upsert",
     "b32_stream_catalog_ingest",
+    # round-4..6 surface (VERDICT r6 item #7): maintenance, bulk load,
+    # Iceberg bridge, merge evolution, LSH-blocked label prop, persisted
+    # dedup index — so perf drift in the newer operators is visible
+    "b69_zorder_cluster",
+    "b67_copy_into",
+    "b66_iceberg_adopt",
+    "b82_merge_schema_evolution",
+    "sim_label_propagation",
+    "dedup_incremental_catalog",
 ]
 
 
@@ -91,8 +100,32 @@ def catalog_metrics() -> dict[str, float]:
         snap = cat.begin()
         cat.describe_table(snap, "b", f"t{i % 200:04d}")
     lookup_ms = (_t.perf_counter() - t0) * 1000 / n_lookups
+
+    # Deep-catalog point lookup at 10k keys (order-128 → 2-level tree;
+    # reference claim docs/index.md:16-19 — lookups stay O(log n) node
+    # reads at millions of objects; the read-COUNT bound is pinned by
+    # tests/test_catalog_scale.py and the moto GET-count contract, this
+    # is the measured latency that goes with it). Each lookup reloads
+    # the root (no warm in-memory tree) — the cold-path number.
+    from olympia_spark.catalog import locations as loc
+    from olympia_spark.catalog.storage import LocalStorage
+    from olympia_spark.catalog.tree import RootNode, Tree
+    tree = Tree(LocalStorage(tempfile.mkdtemp(prefix="olympia_cat10k_")),
+                order=128)
+    root = RootNode(catalog_def_path="def/catalog/x.json", dirty=True)
+    for i in range(10_000):
+        tree.set_value(root, f"key{i:05d}", f"val{i}")
+    tree.write_root(root, 0)
+    t0 = _t.perf_counter()
+    n_lk = 200
+    for i in range(n_lk):
+        fresh = tree.load_root(loc.root_node_path(0))
+        assert tree.search(fresh, f"key{(i * 53) % 10_000:05d}") \
+            is not None
+    lookup10k_ms = (_t.perf_counter() - t0) * 1000 / n_lk
     return {"catalog_commit_ms": round(commit_ms, 2),
-            "catalog_lookup_ms": round(lookup_ms, 2)}
+            "catalog_lookup_ms": round(lookup_ms, 2),
+            "catalog_lookup_ms_10k": round(lookup10k_ms, 2)}
 
 
 def warmup(spark, sf_dir: str) -> float:
