@@ -316,3 +316,31 @@ def temporal_to_micros_expr(colname: str, olympia_type: str):
     # when the remainder is negative (% follows the dividend's sign)
     return F.expr(f"({x} div {d}) - "
                   f"(CASE WHEN {x} % {d} < 0 THEN 1 ELSE 0 END)")
+
+
+_DAY_MICROS = 86_400_000_000
+
+
+def timetz_to_utc_micros_expr(colname: str, olympia_type: str,
+                              offset_colname: str):
+    """TIMETZ3/6/9 → UTC time-of-day in MICROSECONDS (SURVEY §1.3;
+    proto/objects.proto:124-126). The proto declares the type but not a
+    payload layout (the reference's own temporal conversion beyond the
+    enum is TODO — IcebergToOlympia.java:196-201), so this adopts the
+    only widely-used relational encoding (Postgres timetz): the value
+    column is the LOCAL wall-clock time-of-day at the stated precision
+    and a companion column carries the zone as signed seconds EAST of
+    UTC (ISO-8601 sign: ``+02:00`` ⇒ 7200). The result normalizes to
+    UTC — local minus offset — and wraps into [0, 24h) so values from
+    writers in different zones compare correctly. Precision scaling is
+    exactly :func:`temporal_to_micros_expr`'s (ms ×1000 exact, ns true
+    floor-div)."""
+    from pyspark.sql import functions as F
+    t = olympia_type.upper()
+    if not t.startswith("TIMETZ") or t[-1] not in _TEMPORAL_SCALE:
+        raise ValueError(f"not a TIMETZ type: {olympia_type}")
+    micros = temporal_to_micros_expr(colname, "TIME" + t[-1])
+    quoted_off = "`" + offset_colname.replace("`", "``") + "`"
+    off_us = F.expr(f"CAST({quoted_off} AS BIGINT)") * F.lit(1_000_000)
+    day = F.lit(_DAY_MICROS)
+    return ((micros - off_us) % day + day) % day

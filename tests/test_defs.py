@@ -40,3 +40,41 @@ def test_temporal_precision_scales_values(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="temporal"):
         temporal_to_micros_expr("x", "INT8")
+
+
+def test_timetz_normalizes_to_utc_time_of_day(spark):
+    """Round-7 VERDICT item #8: TIMETZ3/6/9 convert by VALUE — local
+    wall-clock time minus the signed seconds-east offset, wrapped into
+    [0, 24h) UTC micros, with the same precision scaling as TIME."""
+    from olympia_spark.catalog.defs import timetz_to_utc_micros_expr
+
+    H = 3_600_000_000                    # one hour in micros
+    df = spark.createDataFrame(
+        [
+            # 23:30:00.123 local at +02:00 → 21:30:00.123 UTC
+            ((23 * 3600 + 30 * 60) * 1000 + 123, 7200),
+            # 01:00 local at +03:00 → 22:00 UTC (wraps below zero)
+            (1 * 3600 * 1000, 10800),
+            # 23:00 local at -05:00 → 04:00 UTC (wraps past midnight)
+            (23 * 3600 * 1000, -18000),
+        ],
+        "t LONG, off INT")
+    rows = df.select(
+        timetz_to_utc_micros_expr("t", "TIMETZ3", "off").alias("u")
+    ).collect()
+    assert rows[0].u == 21 * H + 30 * 60 * 1_000_000 + 123_000
+    assert rows[1].u == 22 * H
+    assert rows[2].u == 4 * H
+    # µs and ns precisions: same normalization, TIME-style scaling
+    df2 = spark.createDataFrame(
+        [(12 * 3600 * 1_000_000, 12 * 3600 * 1_000_000_000 + 999, 0)],
+        "us LONG, ns LONG, off INT")
+    r2 = df2.select(
+        timetz_to_utc_micros_expr("us", "TIMETZ6", "off").alias("a"),
+        timetz_to_utc_micros_expr("ns", "TIMETZ9", "off").alias("b"),
+    ).first()
+    assert r2.a == 12 * H
+    assert r2.b == 12 * H                # ns floor to µs
+    import pytest as _pt
+    with _pt.raises(ValueError, match="TIMETZ"):
+        timetz_to_utc_micros_expr("t", "TIME3", "off")
