@@ -62,6 +62,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # all re-proven locally against their DuckDB oracles at sf0.01 and
 # sf0.1); the rest rank after in registry order.
 _PRIORITY = [
+    # NEW this round — never driver-checked yet
+    "text_bm25_topk", "dedup_winnowing", "data_host_cap",
+    "text_token_freq_spectrum", "data_mad_outliers",
     # r2-age stragglers — oldest driver entries in the registry
     "udf_pandas_tiered", "udf_mapinpandas_tokens", "udf_grouped_custstats",
     # latest green = round 3 (streaming last)

@@ -1201,3 +1201,78 @@ def dedup_cross_source(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("src_a", "src_b")
             .agg(F.count("*").cast("bigint").alias("n_pairs"))
             .orderBy("src_a", "src_b"))
+
+
+# --- C76 winnowing fingerprints (MOSS) --------------------------------------
+
+@query("dedup_winnowing", oracle="""
+WITH eligible AS (
+  SELECT doc_id, text, len(text) AS L FROM documents
+  WHERE len(text) >= 11
+), pos AS (
+  SELECT doc_id, text, L,
+         unnest(generate_series(1, L - 7)) AS p
+  FROM eligible
+), h AS (
+  SELECT doc_id, p, L, md5(substr(text, p, 8)) AS gh FROM pos
+), wmin AS (
+  SELECT doc_id, p, L,
+         MIN(gh) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= L - 10
+), pruned AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp
+                   HAVING COUNT(*) > 50)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM pruned a JOIN pruned b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+ORDER BY shared DESC, doc_a, doc_b
+LIMIT 20
+""")
+def dedup_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """C76 — winnowing document fingerprints (the MOSS algorithm;
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every 8-char gram, keep
+    the MINIMUM hash of each 4-gram window — guaranteeing any shared
+    substring of ≥ 11 chars yields a shared fingerprint — then pair
+    documents sharing ≥ 3 distinct fingerprints. md5 is the portable
+    gram hash (bit-identical across engines). Scale posture: the
+    per-position work is a map + one per-doc window (partitioned by
+    doc, never global); the candidate join is an equi-join on the
+    fingerprint with hot fingerprints (>50 docs — boilerplate) pruned
+    first, the same posting-list cap bounding dedup_hot_shingle_cap —
+    fan-out is ≤ cap² per fingerprint, never all-pairs."""
+    from pyspark.sql import Window as W
+    d = (load(spark, sf, "documents")
+         .filter(F.length("text") >= 11)
+         .select("doc_id", "text", F.length("text").alias("L")))
+    pos = d.select(
+        "doc_id", "text", "L",
+        F.explode(F.sequence(F.lit(1), F.col("L") - 7)).alias("p"))
+    h = pos.select(
+        "doc_id", "p", "L",
+        F.md5(F.expr("substring(text, p, 8)")).alias("gh"))
+    wspec = (W.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3))
+    fps = (h.select("doc_id", "p", "L",
+                    F.min("gh").over(wspec).alias("fp"))
+           .filter(F.col("p") <= F.col("L") - 10)
+           .select("doc_id", "fp").distinct())
+    hot = (fps.groupBy("fp").agg(F.count("*").alias("nd"))
+           .filter("nd > 50").select("fp"))
+    pruned = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("bigint").alias("shared"))
+            .filter("shared >= 3")
+            .orderBy(F.desc("shared"), "doc_a", "doc_b")
+            .limit(20))

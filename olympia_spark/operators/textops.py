@@ -1701,3 +1701,224 @@ def text_entropy_gate(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("h").cast("decimal(25,6)")).cast("double")
                  .alias("h_sum"))
             .orderBy("source"))
+
+
+# --- C75 BM25 retrieval top-k -------------------------------------------------
+
+_BM25_TERMS = ("table", "merge", "hash")
+
+
+@query("text_bm25_topk", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), lens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE w IN ('table', 'merge', 'hash') GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+), terms AS (
+  SELECT t.doc_id,
+         round(ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl)),
+               6) AS s
+  FROM tf t JOIN dfreq d USING (w) JOIN lens l USING (doc_id),
+       corpus c
+)
+SELECT doc_id,
+       CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+FROM terms GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+""")
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """C75 — BM25 retrieval (k1=1.2, b=0.75) of the top-15 documents for
+    a fixed query-term set: the lexical-retrieval primitive of a
+    RAG/contrastive training pipeline. Shapes: one token explode →
+    doc-length agg; term frequencies only for the (tiny) query term set;
+    document frequencies broadcast (|Q| rows); corpus stats broadcast
+    (1 row). The per-doc score is a decimal sum of per-term doubles
+    rounded to 1e-6 — engine-identical totals regardless of summation
+    order (the text_entropy_gate determinism pattern) — and the top-k is
+    TakeOrdered, never a global sort."""
+    d = load(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"))
+    lens = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl"))
+    corpus = lens.agg(F.count("*").cast("bigint").alias("n_docs"),
+                      F.avg("dl").alias("avgdl"))
+    tf = (toks.filter(F.col("w").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "w")
+          .agg(F.count("*").cast("bigint").alias("tf")))
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    terms = (tf.join(F.broadcast(dfreq), "w")
+             .join(lens, "doc_id")
+             .crossJoin(F.broadcast(corpus))
+             .select("doc_id", F.round(
+                 F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
+                       / (F.col("df") + 0.5))
+                 * (F.col("tf") * 2.2)
+                 / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                         / F.col("avgdl"))),
+                 6).alias("s")))
+    return (terms.groupBy("doc_id")
+            .agg(F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+                 .alias("bm25"))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(15))
+
+
+# --- C77 per-host document budget cap ----------------------------------------
+
+@query("data_host_cap", oracle="""
+WITH hosted AS (
+  SELECT source || '-h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+         doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source || '-h' || CAST(doc_id % 7 AS VARCHAR)
+           ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM hosted WHERE rk <= 5
+GROUP BY host
+ORDER BY host
+""")
+def data_host_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """C77 — per-domain budget cap (crawl-politeness / anti-domination
+    curation): keep at most 5 documents per host, best-first by a
+    deterministic (length DESC, doc_id) rank, and report the per-host
+    kept budget. The host key is synthesized from source+id (the fixture
+    has no URL column). One window partitioned by host — the per-key
+    top-N shape that scales with the corpus; no global ordering
+    anywhere."""
+    d = load(spark, sf, "documents")
+    host = F.concat(F.col("source"), F.lit("-h"),
+                    (F.col("doc_id") % 7).cast("string"))
+    w = W.partitionBy("host").orderBy(F.desc("n_chars"), "doc_id")
+    return (d.select(host.alias("host"), "doc_id", "n_chars")
+            .withColumn("rk", F.row_number().over(w))
+            .filter("rk <= 5")
+            .groupBy("host")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.sum("n_chars").cast("bigint").alias("kept_chars"),
+                 F.min("doc_id").cast("bigint").alias("first_doc"))
+            .orderBy("host"))
+
+
+# --- C78 token frequency spectrum ---------------------------------------------
+
+@query("text_token_freq_spectrum", oracle="""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+), counts AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY word
+)
+SELECT c AS occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM counts GROUP BY c
+ORDER BY occurrences
+LIMIT 30
+""")
+def text_token_freq_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """C78 — frequency-of-frequencies (the Zipf spectrum head): how many
+    distinct words occur exactly c times. The vocabulary-pruning /
+    hapax-rate signal for tokenizer training. Two cascaded aggregations,
+    both with map-side partial combine; the second input is
+    vocabulary-sized, the output spectrum-sized — nothing corpus-sized
+    shuffles twice."""
+    d = load(spark, sf, "documents")
+    w = d.select(F.explode(F.expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("word"))
+    counts = w.groupBy("word").agg(F.count("*").cast("bigint").alias("c"))
+    return (counts.groupBy(F.col("c").alias("occurrences"))
+            .agg(F.count("*").cast("bigint").alias("n_words"))
+            .orderBy("occurrences")
+            .limit(30))
+
+
+# --- C79 robust outlier gate (median/MAD) -------------------------------------
+
+@query("data_mad_outliers", oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), med AS (
+  SELECT source, MIN(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                          THEN n_chars END) AS med
+  FROM ranked GROUP BY source
+), dev AS (
+  SELECT d.source, d.n_chars, m.med,
+         abs(d.n_chars - m.med) AS ad,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY abs(d.n_chars - m.med)) AS rn,
+         COUNT(*) OVER (PARTITION BY d.source) AS n
+  FROM documents d JOIN med m USING (source)
+), mad AS (
+  SELECT source, MIN(med) AS med,
+         MIN(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                  THEN ad END) AS mad
+  FROM dev GROUP BY source
+)
+SELECT d.source,
+       CAST(MIN(m.med) AS BIGINT) AS med,
+       CAST(MIN(m.mad) AS BIGINT) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN abs(d.n_chars - m.med) > 3 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM documents d JOIN mad m USING (source)
+GROUP BY d.source
+ORDER BY d.source
+""")
+def data_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """C79 — robust per-source outlier gate: median/MAD on document
+    length (percentile_disc semantics — the actual element at rank
+    ⌈n/2⌉, integer-exact, no FP interpolation), flagging docs more than
+    3 MADs from their source's median. Mean/stddev gates break on the
+    heavy-tailed length distributions of web corpora; median/MAD is the
+    curation-pipeline standard. All windows partition by source — no
+    global window, the shape holds at any corpus size."""
+    d = load(spark, sf, "documents").select("source", "n_chars", "doc_id")
+    w = W.partitionBy("source").orderBy("n_chars")
+    wn = W.partitionBy("source")
+    med = (d.select("source", "n_chars",
+                    F.row_number().over(w).alias("rn"),
+                    F.count("*").over(wn).alias("n"))
+           .groupBy("source")
+           .agg(F.min(F.when(
+               F.col("rn") == F.ceil(F.col("n") / 2.0),
+               F.col("n_chars"))).alias("med")))
+    wad = W.partitionBy("source").orderBy(
+        F.abs(F.col("n_chars") - F.col("med")))
+    mad = (d.join(F.broadcast(med), "source")
+           .select("source", "med",
+                   F.abs(F.col("n_chars") - F.col("med")).alias("ad"),
+                   F.row_number().over(wad).alias("rn"),
+                   F.count("*").over(wn).alias("n"))
+           .groupBy("source")
+           .agg(F.min("med").alias("med"),
+                F.min(F.when(
+                    F.col("rn") == F.ceil(F.col("n") / 2.0),
+                    F.col("ad"))).alias("mad")))
+    return (d.join(F.broadcast(mad), "source")
+            .groupBy("source")
+            .agg(F.min("med").cast("bigint").alias("med"),
+                 F.min("mad").cast("bigint").alias("mad"),
+                 F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.when(
+                     F.abs(F.col("n_chars") - F.col("med"))
+                     > 3 * F.col("mad"), 1).otherwise(0))
+                 .cast("bigint").alias("n_outliers"))
+            .orderBy("source"))

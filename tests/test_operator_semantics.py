@@ -1,0 +1,97 @@
+"""Crafted-input SEMANTIC probes for operators whose DuckDB oracles share
+the generation/transform expression with the Spark side (the recurring
+blind spot: both sides can be broken identically and the hash gate stays
+green). Each test builds a tiny documents fixture with a KNOWN ground
+truth and asserts the registered operator reproduces it."""
+
+from __future__ import annotations
+
+import pytest
+
+from olympia_spark.operators import load_all_modules, registry
+
+load_all_modules()
+
+
+def _docs(spark, tmp_path, rows):
+    """Write rows of (doc_id, text, lang, source, n_chars) as the
+    documents table of a scratch sf dir; returns the dir."""
+    d = str(tmp_path / "sfsem")
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, "
+              "n_chars LONG")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_winnowing_guarantee_shared_substring(spark, tmp_path):
+    """Winnowing's defining property (SIGMOD'03): two documents sharing
+    a sufficiently long substring MUST share fingerprints; unrelated
+    documents must not pair."""
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta", "en", "s0", 0),
+        (2, f"zzz unrelated prefix {shared} qqq", "en", "s0", 0),
+        (3, "completely different content about spark catalyst plans "
+            "and shuffle exchanges nothing else", "en", "s0", 0),
+        (4, "yet another unique document mentioning parquet footers "
+            "and bloom filters only", "en", "s0", 0),
+    ]
+    d = _docs(spark, tmp_path, rows)
+    pairs = {(r.doc_a, r.doc_b): r.shared for r in
+             registry.QUERIES["dedup_winnowing"](spark, d).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_bm25_ranks_heavier_tf_and_ignores_nonmatching(spark, tmp_path):
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"table table table {filler}", "en", "s0", 0),
+        (2, f"table iota kappa {filler}", "en", "s0", 0),
+        (3, f"lambda mu nu {filler}", "en", "s0", 0),   # no query term
+    ]
+    d = _docs(spark, tmp_path, rows)
+    out = registry.QUERIES["text_bm25_topk"](spark, d).collect()
+    ranked = [r.doc_id for r in out]
+    assert ranked.index(1) < ranked.index(2)     # higher tf → higher rank
+    assert 3 not in ranked                       # no query term → no score
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert scores[1] > scores[2] > 0
+
+
+def test_mad_outliers_flags_only_true_outliers(spark, tmp_path):
+    rows = ([(i, "x", "en", "sa", 100) for i in range(10)]
+            + [(10, "x", "en", "sa", 1000)]           # lone outlier
+            + [(20 + i, "x", "en", "sb", 50 + i) for i in range(11)])
+    d = _docs(spark, tmp_path, rows)
+    out = {r.source: r for r in
+           registry.QUERIES["data_mad_outliers"](spark, d).collect()}
+    sa = out["sa"]
+    assert sa.med == 100 and sa.mad == 0
+    assert sa.n_outliers == 1                     # only the 1000-char doc
+    sb = out["sb"]                                 # 50..60 → med 55, mad 3
+    assert sb.med == 55 and sb.mad == 3
+    # |x-55| > 9 → none of 50..60 qualifies
+    assert sb.n_outliers == 0
+
+
+def test_host_cap_keeps_top5_per_host(spark, tmp_path):
+    # 8 docs on ONE synthesized host: ids 0,7,14,...49 (id % 7 == 0)
+    rows = [(i * 7, "x", "en", "sa", 100 + i) for i in range(8)]
+    d = _docs(spark, tmp_path, rows)
+    out = registry.QUERIES["data_host_cap"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.host == "sa-h0" and r.n_kept == 5
+    # keeps the 5 LARGEST n_chars: 103..107
+    assert r.kept_chars == sum(100 + i for i in range(3, 8))
+
+
+def test_token_freq_spectrum_counts_of_counts(spark, tmp_path):
+    rows = [(1, "x x x y", "en", "sa", 0), (2, "y y z", "en", "sa", 0)]
+    d = _docs(spark, tmp_path, rows)
+    out = {r.occurrences: r.n_words for r in
+           registry.QUERIES["text_token_freq_spectrum"](spark, d)
+           .collect()}
+    assert out == {1: 1, 3: 2}      # z once; x and y three times each
