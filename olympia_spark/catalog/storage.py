@@ -280,12 +280,25 @@ class S3Storage(Storage):
             return super().delete_many(paths)
         for i in range(0, len(paths), 1000):
             batch = paths[i:i + 1000]
-            self._s3.delete_objects(
+            resp = self._s3.delete_objects(
                 Bucket=self.bucket,
                 Delete={"Objects": [{"Key": self._key(p)} for p in batch],
                         "Quiet": True})
+            # Quiet mode suppresses per-key SUCCESS entries but still
+            # returns failures in Errors (deny policy, object lock);
+            # boto3 does NOT raise on them — a silent pass here would
+            # report objects deleted that still exist.
+            errors = resp.get("Errors") or []
+            failed = {err.get("Key") for err in errors}
             for p in batch:
-                self._evict(p)
+                if self._key(p) not in failed:
+                    self._evict(p)
+            if errors:
+                first = errors[0]
+                raise StorageWriteFailureError(
+                    f"bulk delete: {len(errors)}/{len(batch)} keys failed "
+                    f"(first: {first.get('Key')!r} {first.get('Code')} "
+                    f"{first.get('Message')})")
 
     def size(self, path: str) -> int:
         try:
@@ -293,7 +306,13 @@ class S3Storage(Storage):
                                         Key=self._key(path))
             return int(resp["ContentLength"])
         except self._s3.exceptions.ClientError as e:
-            raise StorageFileOpenFailureError(path) from e
+            # map ONLY not-found to the open-failure type (callers treat
+            # it as deleted/expired — tree history walks stop on it); a
+            # throttle or auth failure must stay a loud transport error
+            code = str(e.response.get("Error", {}).get("Code", ""))
+            if code in ("404", "NoSuchKey", "NotFound"):
+                raise StorageFileOpenFailureError(path) from e
+            raise
 
     def open_ranged(self, path: str):
         """Seekable file-like backed by ranged GETs — a parquet footer

@@ -381,10 +381,23 @@ def _s3a_on_classpath(spark: SparkSession) -> bool:
     """True when a Hadoop S3A filesystem is loadable in Spark's JVM — the
     prerequisite for handing executors ``s3a://`` URIs directly (the
     hadoop-aws jar provides it on real clusters; this container lacks
-    it, so auto mode falls back to the spool lane)."""
+    it, so auto mode falls back to the spool lane).
+
+    Probes through the current thread's context classloader, not
+    ``Class.forName``: jars shipped with ``spark-submit --jars`` land in
+    Spark's MutableURLClassLoader (the context loader on driver
+    threads), which forName from the py4j gateway never consults —
+    forName-only probing silently spools on properly configured
+    clusters."""
     try:
-        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
-            "org.apache.hadoop.fs.s3a.S3AFileSystem")
+        jvm = spark._jvm
+        loader = (jvm.java.lang.Thread.currentThread()  # type: ignore[union-attr]
+                  .getContextClassLoader())
+        if loader is None:
+            jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.hadoop.fs.s3a.S3AFileSystem")
+        else:
+            loader.loadClass("org.apache.hadoop.fs.s3a.S3AFileSystem")
         return True
     except Exception:
         return False
@@ -427,6 +440,12 @@ class Engine:
         # ``spool`` end-to-end and pin the ``direct`` lane's URI handoff
         # with a forced mode).
         from olympia_spark.catalog.storage import LocalStorage
+        # validate the literal BEFORE branching on warehouse kind — a
+        # typo accepted silently on a posix dev warehouse would only
+        # error once pointed at s3:// in production
+        if data_plane not in ("auto", "direct", "spool"):
+            raise ValueError(f"unknown data_plane {data_plane!r} "
+                             "(expected auto|direct|spool)")
         self._object_store = not isinstance(self.catalog.storage,
                                             LocalStorage)
         if not self._object_store:
@@ -434,11 +453,8 @@ class Engine:
         elif data_plane == "auto":
             self.data_plane = ("direct" if _s3a_on_classpath(spark)
                                else "spool")
-        elif data_plane in ("direct", "spool"):
-            self.data_plane = data_plane
         else:
-            raise ValueError(f"unknown data_plane {data_plane!r} "
-                             "(expected auto|direct|spool)")
+            self.data_plane = data_plane
         if self.data_plane == "direct":
             self._configure_s3a()
         self._local_root = (self.catalog.storage.cache_dir
@@ -527,9 +543,18 @@ class Engine:
         endpoint = str(getattr(getattr(client, "meta", None),
                                "endpoint_url", "") or "")
         if endpoint and "amazonaws.com" not in endpoint:
+            # per-BUCKET keys, not the global fs.s3a.endpoint: the
+            # Hadoop conf is session-wide, so two Engines on one
+            # SparkSession (MinIO + AWS, or two MinIO endpoints) would
+            # clobber each other through the global key. Hadoop's
+            # per-bucket override (fs.s3a.bucket.<b>.*) scopes the
+            # setting to this warehouse's bucket. (Same bucket NAME on
+            # two endpoints still collides — inherent to per-bucket
+            # config; use distinct bucket names across stores.)
             hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
-            hconf.set("fs.s3a.endpoint", endpoint)
-            hconf.set("fs.s3a.path.style.access", "true")
+            hconf.set(f"fs.s3a.bucket.{s.bucket}.endpoint", endpoint)
+            hconf.set(f"fs.s3a.bucket.{s.bucket}.path.style.access",
+                      "true")
 
     def _s3a_uri(self, rel: str) -> str:
         """The executor-readable Spark URI of a warehouse-relative data
@@ -876,7 +901,11 @@ class Engine:
           sequence number — a delete applies only to rows whose data
           file's sequence number is STRICTLY LESS than the delete
           file's (rows upserted in or after the delete's commit
-          survive)."""
+          survive) — AND by partition: a delete file written with a
+          partition tuple applies only to data files of that partition
+          (spec "Scan Planning": "an equality delete file stored with
+          an unpartitioned spec is applied as a global delete",
+          otherwise it applies to its own partition only)."""
         from olympia_spark.catalog import iceberg as il
         pos_dels = [d for d in deletes if d["content"] != 2]
         eq_dels = [d for d in deletes if d["content"] == 2]
@@ -905,14 +934,23 @@ class Engine:
                 net = net.join(dels, ["__fp", "__pos"], "left_anti")
             if eq_dels:
                 name_by_id = il.field_names_by_id(il.current_schema(meta))
-                # per-data-file sequence numbers ride in on a broadcast
-                # (file_path → seq) map — O(files) rows, never data-sized
+
+                # canonical partition-tuple string for scope matching
+                # (data file's tuple == delete file's tuple)
+                def pcanon(p) -> str:
+                    return json.dumps(p or {}, sort_keys=True,
+                                      default=str)
+                # per-data-file sequence numbers + partition tuples ride
+                # in on a broadcast (file_path → seq, part) map —
+                # O(files) rows, never data-sized
                 seq_df = self.spark.createDataFrame(
-                    [(e["file_path"], e["sequence_number"])
+                    [(e["file_path"], e["sequence_number"],
+                      pcanon(e.get("partition")))
                      for e in entries],
                     T.StructType([
                         T.StructField("__fp", T.StringType()),
-                        T.StructField("__seq", T.LongType())]))
+                        T.StructField("__seq", T.LongType()),
+                        T.StructField("__part", T.StringType())]))
                 net = net.join(F.broadcast(seq_df), "__fp", "left")
                 for d in eq_dels:
                     try:
@@ -930,11 +968,17 @@ class Engine:
                            .select(*[F.col(c).alias(f"__d_{c}")
                                      for c in cols]).dropDuplicates())
                     cond = F.lit(d["sequence_number"]) > F.col("__seq")
+                    dpart = d.get("partition") or {}
+                    if dpart:
+                        # partition-scoped delete: rows in other
+                        # partitions must survive even on key match
+                        cond = cond & (F.col("__part")
+                                       == F.lit(pcanon(dpart)))
                     for c in cols:
                         cond = cond & F.col(c).eqNullSafe(
                             F.col(f"__d_{c}"))
                     net = net.join(F.broadcast(ddf), cond, "left_anti")
-                net = net.drop("__seq")
+                net = net.drop("__seq", "__part")
             net = net.drop("__fp", "__pos")
         prev = ""
         if meta.get("metadata-log"):
@@ -1827,10 +1871,10 @@ class Engine:
                             .groupBy("_file").count().collect())
                 matched_abs = [r["_file"] for r in per_file]
                 n_changed += sum(r["count"] for r in per_file)
-                matched = [p for p in all_paths
-                           if any(m.endswith(self._scan_uri(p)) or
-                                  self._scan_uri(p).endswith(
-                                      m.removeprefix("file://"))
+                cand_abs = [(p, self._scan_uri(p)) for p in all_paths]
+                matched = [p for p, uri in cand_abs
+                           if any(m.endswith(uri) or
+                                  uri.endswith(m.removeprefix("file://"))
                                   for m in matched_abs)]
             if matched:
                 affected = (self._scan(tdef, matched)

@@ -57,6 +57,10 @@ def test_posix_warehouse_is_local_lane(spark, tmp_path):
     # data_plane override is meaningless for posix — still local
     eng2 = Engine(spark, str(tmp_path / "wh"), data_plane="direct")
     assert eng2.data_plane == "local"
+    # but a TYPO is rejected even on posix — it must not first surface
+    # in production when the same config string hits an s3:// warehouse
+    with pytest.raises(ValueError, match="data_plane"):
+        Engine(spark, str(tmp_path / "wh"), data_plane="spol")
 
 
 def test_auto_resolves_spool_without_s3a_jar(spark, s3_env):
@@ -97,8 +101,27 @@ def test_direct_mode_configures_custom_endpoint(spark, s3_env):
     eng.catalog.storage = storage
     eng._configure_s3a()
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
-    assert hconf.get("fs.s3a.path.style.access") == "true"
+    # per-BUCKET keys, so a second engine on another bucket/endpoint
+    # cannot clobber this warehouse's resolution through the shared
+    # session-global Hadoop conf
+    assert hconf.get(f"fs.s3a.bucket.{s3_env}.endpoint") == \
+        "http://localhost:9000"
+    assert hconf.get(f"fs.s3a.bucket.{s3_env}.path.style.access") == "true"
+    assert hconf.get("fs.s3a.endpoint") is None
+
+    # a second engine against a DIFFERENT bucket+endpoint coexists
+    client2 = boto3.client("s3", region_name="us-east-1",
+                           endpoint_url="http://localhost:9001")
+    storage2 = S3Storage("otherlake", "lake", client=client2)
+    eng2 = Engine.__new__(Engine)
+    eng2.spark = spark
+    eng2.catalog = _Cat()
+    eng2.catalog.storage = storage2
+    eng2._configure_s3a()
+    assert hconf.get(f"fs.s3a.bucket.{s3_env}.endpoint") == \
+        "http://localhost:9000"
+    assert hconf.get("fs.s3a.bucket.otherlake.endpoint") == \
+        "http://localhost:9001"
 
 
 # --- URI handoff -------------------------------------------------------------
@@ -331,6 +354,77 @@ def test_delete_many_batches_1000_per_request(s3_env):
     assert counting.single_calls == 0
     for k in keys[:5]:
         assert not storage.exists(k)
+
+
+class _PartialFailDeleteClient:
+    """DeleteObjects returns HTTP 200 with per-key failures in Errors
+    (deny policy / object lock) — boto3 does NOT raise on these."""
+
+    def __init__(self, inner, fail_keys):
+        self._inner = inner
+        self._fail = set(fail_keys)
+
+    def delete_objects(self, **kw):
+        objs = kw["Delete"]["Objects"]
+        ok = [o for o in objs if o["Key"] not in self._fail]
+        self._inner.delete_objects(
+            Bucket=kw["Bucket"],
+            Delete={"Objects": ok or [{"Key": "__none__"}], "Quiet": True})
+        return {"Errors": [{"Key": o["Key"], "Code": "AccessDenied",
+                            "Message": "denied"}
+                           for o in objs if o["Key"] in self._fail]}
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_delete_many_raises_on_per_key_failures(s3_env):
+    from olympia_spark.catalog.errors import StorageWriteFailureError
+    from olympia_spark.catalog.storage import S3Storage
+    inner = boto3.client("s3", region_name="us-east-1")
+    storage = S3Storage(s3_env, "lake",
+                        client=_PartialFailDeleteClient(
+                            inner, {"lake/data/o/locked"}))
+    for k in ("data/o/a", "data/o/locked", "data/o/b"):
+        storage.overwrite(k, b"x")
+    with pytest.raises(StorageWriteFailureError, match="locked"):
+        storage.delete_many(["data/o/a", "data/o/locked", "data/o/b"])
+    # succeeded keys really deleted + cache-evicted; failed key's cache
+    # copy survives (the object still exists remotely)
+    assert not storage.exists("data/o/a")
+    assert not storage.exists("data/o/b")
+    assert not os.path.exists(storage.local_cache_path("data/o/a"))
+
+
+def test_size_maps_only_not_found(s3_env):
+    """A throttle/auth ClientError on head_object must NOT surface as
+    the deleted/expired signal (StorageFileOpenFailureError) — history
+    walks treat that type as end-of-history."""
+    from botocore.exceptions import ClientError
+    from olympia_spark.catalog.errors import StorageFileOpenFailureError
+    from olympia_spark.catalog.storage import S3Storage
+
+    class _ThrottlingClient:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def head_object(self, **kw):
+            raise ClientError(
+                {"Error": {"Code": "SlowDown", "Message": "slow down"},
+                 "ResponseMetadata": {"HTTPStatusCode": 503}},
+                "HeadObject")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    inner = boto3.client("s3", region_name="us-east-1")
+    throttled = S3Storage(s3_env, "lake", client=_ThrottlingClient(inner))
+    with pytest.raises(ClientError, match="SlowDown"):
+        throttled.size("data/x.parquet")
+    # genuine 404 still maps to the open-failure type
+    plain = S3Storage(s3_env, "lake", client=inner)
+    with pytest.raises(StorageFileOpenFailureError):
+        plain.size("data/definitely-missing.parquet")
 
 
 def test_vacuum_uses_bulk_delete(spark, s3_env):

@@ -667,3 +667,77 @@ def test_adopt_mor_all_data_deleted_yields_empty_table(spark, tmp_path):
     eng.sql("CREATE NAMESPACE lake")
     eng.adopt_iceberg_table("lake.t", tdir, as_native=True)
     assert eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n == 0
+
+
+def test_adopt_mor_partition_scoped_equality_delete(spark, tmp_path):
+    """An equality delete file stored WITH a partition tuple applies
+    only inside that partition (spec "Scan Planning": only a delete
+    file stored with an unpartitioned spec is a global delete) — a
+    same-key row in ANOTHER partition must survive. Regression: the
+    adoption anti-join originally keyed on equality columns + sequence
+    number only, silently dropping the cross-partition row."""
+    import copy
+    tdir = str(tmp_path / "icepart")
+    mdir = os.path.join(tdir, "metadata")
+    ddir = os.path.join(tdir, "data")
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+    # partitioned entry schema (identity region string) + equality_ids
+    schema = copy.deepcopy(il.MANIFEST_ENTRY_SCHEMA)
+    schema["fields"][4]["type"]["fields"][3]["type"]["fields"] = [
+        {"name": "region", "type": ["null", "string"],
+         "default": None, "field-id": 1000}]
+    schema["fields"][4]["type"]["fields"].append(
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}],
+         "default": None, "field-id": 135})
+
+    def entry(df, *, content=0, seq, region, eq_ids=None):
+        return {"status": 1, "snapshot_id": 1, "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content, "file_path": df["file_path"],
+                    "file_format": "PARQUET",
+                    "partition": {"region": region},
+                    "record_count": df["record_count"],
+                    "file_size_in_bytes": df["file_size_in_bytes"],
+                    "equality_ids": eq_ids}}
+
+    def manifest(entries):
+        path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+        with open(path, "wb") as f:
+            f.write(avro_io.write_ocf(schema, entries))
+        return path
+
+    f_eu = _write_parquet(os.path.join(ddir, "eu.parquet"), [1, 5, 7])
+    f_us = _write_parquet(os.path.join(ddir, "us.parquet"), [5, 9])
+    dpath = os.path.join(ddir, "eq-eu.parquet")
+    pq.write_table(pa.table({"id": pa.array([5], pa.int64())}), dpath)
+    dd = {"file_path": dpath, "record_count": 1,
+          "file_size_in_bytes": os.path.getsize(dpath)}
+    manifests = [
+        (manifest([entry(f_eu, seq=1, region="eu")]), 0, 1),
+        (manifest([entry(f_us, seq=1, region="us")]), 0, 1),
+        (manifest([entry(dd, content=2, seq=2, region="eu",
+                         eq_ids=[1])]), 1, 2),
+    ]
+    mlpath = os.path.join(mdir, f"snap-1-{uuid.uuid4()}.avro")
+    recs = [{"manifest_path": m, "manifest_length": os.path.getsize(m),
+             "partition_spec_id": 0, "content": c, "sequence_number": s,
+             "min_sequence_number": s, "added_snapshot_id": 1,
+             "added_files_count": 1, "existing_files_count": 0,
+             "deleted_files_count": 0, "added_rows_count": 0,
+             "existing_rows_count": 0, "deleted_rows_count": 0}
+            for m, c, s in manifests]
+    with open(mlpath, "wb") as f:
+        f.write(avro_io.write_ocf(il.MANIFEST_LIST_SCHEMA, recs))
+    snap = {"snapshot-id": 1, "sequence-number": 2,
+            "timestamp-ms": 1723600000000, "manifest-list": mlpath,
+            "summary": {"operation": "overwrite"}, "schema-id": 0}
+    _metadata(tdir, [snap], current=1)
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    eng.adopt_iceberg_table("lake.t", tdir, as_native=True)
+    ids = sorted(r.id for r in eng.sql("SELECT id FROM lake.t").collect())
+    # eu id=5 dropped (same partition, seq 1 < 2); us id=5 SURVIVES
+    assert ids == [1, 5, 7, 9]
