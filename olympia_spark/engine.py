@@ -2332,17 +2332,11 @@ class Engine:
         self._finish(txn)
 
     @staticmethod
-    def _split_generated_columns(cols: str) -> tuple[str, dict, dict]:
-        """Split a CREATE TABLE column list into (plain DDL, generated
-        map, constraints map): ``c DATE GENERATED ALWAYS AS (expr)``
-        entries lose the GENERATED clause (the type stays in the
-        schema) and contribute name -> expr; standard-SQL
-        ``CONSTRAINT name CHECK (expr)`` list items become constraint
-        entries — which also makes SHOW CREATE TABLE output round-trip
-        through this parser. The split is parenthesis-aware so
-        expressions containing commas survive."""
+    def _split_top_level(s: str) -> list[str]:
+        """Split on commas at paren depth 0 (column lists / partition
+        lists whose entries may contain parenthesized commas)."""
         parts, depth, cur = [], 0, []
-        for ch in cols:
+        for ch in s:
             if ch == "(":
                 depth += 1
             elif ch == ")":
@@ -2354,6 +2348,19 @@ class Engine:
                 cur.append(ch)
         if cur:
             parts.append("".join(cur))
+        return parts
+
+    @staticmethod
+    def _split_generated_columns(cols: str) -> tuple[str, dict, dict]:
+        """Split a CREATE TABLE column list into (plain DDL, generated
+        map, constraints map): ``c DATE GENERATED ALWAYS AS (expr)``
+        entries lose the GENERATED clause (the type stays in the
+        schema) and contribute name -> expr; standard-SQL
+        ``CONSTRAINT name CHECK (expr)`` list items become constraint
+        entries — which also makes SHOW CREATE TABLE output round-trip
+        through this parser. The split is parenthesis-aware so
+        expressions containing commas survive."""
+        parts = Engine._split_top_level(cols)
         plain, gen, cons = [], {}, {}
         for p in parts:
             m = re.match(r"\s*CONSTRAINT\s+(\w+)\s+CHECK"
@@ -2369,6 +2376,114 @@ class Engine:
             else:
                 plain.append(p.strip())
         return ", ".join(plain), gen, cons
+
+    @staticmethod
+    def _expand_partition_transforms(
+            partition_by: list[str], schema: T.StructType,
+    ) -> tuple[list[str], list[T.StructField], dict[str, str]]:
+        """Iceberg-style partition TRANSFORMS as first-class SQL sugar:
+        ``PARTITIONED BY (days(ts), bucket(16, id), truncate(4, s))``
+        desugars each transform into a hidden GENERATED column (computed
+        at the writer chokepoint like any B79 generated column) and
+        partitions on it — the Iceberg hidden-partitioning model
+        (spec "Partition Transforms"; reference host stack reads these
+        natively via Iceberg 1.8.1, spark/v3.5/build.gradle:38).
+
+        Transform value semantics follow the Iceberg spec: years/months/
+        hours count from the 1970 epoch, days is the human-readable
+        DATE, truncate is floor-truncation (negative ints truncate
+        DOWN, matching ``v - pmod(v, w)``), strings truncate by prefix.
+        Deviation (documented): bucket() hashes with xxhash64, not
+        Iceberg's murmur3 — bucket numbering differs from a native
+        Iceberg writer's, so Iceberg EXPORT refuses bucket-partitioned
+        tables rather than publish wrong transform metadata.
+
+        Returns (rewritten partition column list, extra schema fields,
+        generated-column map)."""
+        by_lower = {f.name.lower(): f for f in schema.fields}
+
+        def src_field(src: str, kind: str) -> T.StructField:
+            f = by_lower.get(src.lower())
+            if f is None:
+                raise ValueError(
+                    f"partition transform {kind}({src}): column {src} "
+                    f"not in the table schema")
+            return f
+
+        out: list[str] = []
+        extra: list[T.StructField] = []
+        gen: dict[str, str] = {}
+        for p in partition_by:
+            m = re.match(r"^\s*(years|months|days|hours|bucket|truncate)"
+                         r"\s*\((.+)\)\s*$", p, re.I)
+            if not m:
+                out.append(p)
+                continue
+            kind = m.group(1).lower()
+            args = [a.strip() for a in m.group(2).split(",")]
+            if kind in ("years", "months", "days", "hours"):
+                if len(args) != 1:
+                    raise ValueError(f"{kind}() takes one column: {p}")
+                src = args[0]
+                src_field(src, kind)
+                name = f"{src}_{kind[:-1]}"
+                if kind == "years":
+                    expr, typ = (f"year({src}) - 1970",
+                                 T.IntegerType())
+                elif kind == "months":
+                    expr = (f"(year({src}) - 1970) * 12 "
+                            f"+ month({src}) - 1")
+                    typ = T.IntegerType()
+                elif kind == "days":
+                    expr, typ = f"cast({src} as date)", T.DateType()
+                else:
+                    expr = (f"cast(floor(unix_micros(cast({src} as "
+                            f"timestamp)) / 3600000000.0) as int)")
+                    typ = T.IntegerType()
+            elif kind == "bucket":
+                if len(args) != 2 or not args[0].isdigit():
+                    raise ValueError(
+                        f"bucket(N, col) expects a positive int width: "
+                        f"{p}")
+                n, src = int(args[0]), args[1]
+                if n <= 0:
+                    raise ValueError(f"bucket width must be > 0: {p}")
+                src_field(src, kind)
+                name = f"{src}_bucket"
+                expr = f"cast(pmod(xxhash64({src}), {n}) as int)"
+                typ = T.IntegerType()
+            else:  # truncate(W, col)
+                if len(args) != 2 or not args[0].isdigit():
+                    raise ValueError(
+                        f"truncate(W, col) expects a positive int "
+                        f"width: {p}")
+                w, src = int(args[0]), args[1]
+                if w <= 0:
+                    raise ValueError(f"truncate width must be > 0: {p}")
+                f = src_field(src, kind)
+                name = f"{src}_trunc"
+                if isinstance(f.dataType, T.StringType):
+                    expr, typ = (f"substring({src}, 1, {w})",
+                                 T.StringType())
+                elif isinstance(f.dataType, (T.ByteType, T.ShortType,
+                                             T.IntegerType, T.LongType)):
+                    expr, typ = (f"{src} - pmod({src}, {w})",
+                                 f.dataType)
+                else:
+                    raise ValueError(
+                        f"truncate() supports string/integral columns, "
+                        f"got {f.dataType.simpleString()} for {src}")
+            if name.lower() in by_lower:
+                raise ValueError(
+                    f"partition transform {p} would synthesize column "
+                    f"{name}, which already exists in the schema — "
+                    f"rename the existing column or partition on it "
+                    f"directly")
+            out.append(name)
+            extra.append(T.StructField(name, typ))
+            gen[name] = expr
+            by_lower[name.lower()] = extra[-1]
+        return out, extra, gen
 
     def add_constraint(self, name: str, cname: str, expr: str) -> None:
         """``ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>)``
@@ -3233,7 +3348,7 @@ class Engine:
             return spark.createDataFrame(
                 [(add, rm)], "files_restored long, files_removed long")
         m = re.match(r"CREATE( OR REPLACE)? TABLE( IF NOT EXISTS)? (\S+?)\s*"
-                     r"(?:\((.+?)\))?\s*(?:PARTITIONED BY \(([\w, ]+)\))?"
+                     r"(?:\((.+?)\))?\s*(?:PARTITIONED BY \(([\w, ()]+)\))?"
                      r"\s*(?:TBLPROPERTIES \((.+?)\))?"
                      r"\s*(?:AS (SELECT .+))?$",
                      norm, re.I | re.S)
@@ -3241,7 +3356,10 @@ class Engine:
             (or_replace, if_not_exists, name, cols, part, props_raw,
              ctas) = m.groups()
             ns, tbl = self._split(name)
-            partition_by = ([c.strip() for c in part.split(",")]
+            # paren-aware split: transform entries like bucket(16, id)
+            # contain top-level-looking commas inside their parens
+            partition_by = ([c.strip() for c in
+                             self._split_top_level(part)]
                             if part else [])
             properties = {}
             if props_raw:
@@ -3258,10 +3376,17 @@ class Engine:
                 self.catalog.drop_table(txn, ns, tbl)
             if ctas:
                 df = spark.sql(self._resolve_sql(ctas, txn))
-                self.catalog.create_table(txn, ns, tbl, TableDef(
-                    schema_json=df.schema.json(),
-                    partition_by=partition_by, properties=properties))
-                files = self._write_files(df, ns, tbl, partition_by)
+                partition_by, extra, tgen = \
+                    self._expand_partition_transforms(partition_by,
+                                                      df.schema)
+                schema = T.StructType(list(df.schema.fields) + extra)
+                tdef_new = TableDef(
+                    schema_json=schema.json(),
+                    partition_by=partition_by,
+                    generated_columns=tgen, properties=properties)
+                self.catalog.create_table(txn, ns, tbl, tdef_new)
+                files = self._write_files(df, ns, tbl, partition_by,
+                                          tdef=tdef_new)
                 self.catalog.update_table_files(
                     txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
                     {"added": [f.path for f in files]})
@@ -3272,6 +3397,18 @@ class Engine:
                     if g not in {f.name for f in schema.fields}:
                         raise ValueError(
                             f"generated column {g} missing from schema")
+                partition_by, extra, tgen = \
+                    self._expand_partition_transforms(partition_by,
+                                                      schema)
+                if extra:
+                    dup = set(tgen) & set(gen)
+                    if dup:
+                        raise ValueError(
+                            f"partition transform column(s) collide "
+                            f"with declared generated columns: "
+                            f"{sorted(dup)}")
+                    schema = T.StructType(list(schema.fields) + extra)
+                    gen = {**gen, **tgen}
                 # constraint/generated expressions must ANALYZE against
                 # the declared schema NOW — a typo'd column name caught
                 # at DDL time, not as an AnalysisException bricking the
@@ -3435,8 +3572,8 @@ class Engine:
                     raise ValueError("REPLACE WHERE: empty predicate")
             txn_src = self._txn()
             ns, tbl = self._split(name)
-            schema = self.catalog.describe_table(
-                txn_src, ns, tbl).spark_schema()
+            tdef_ins = self.catalog.describe_table(txn_src, ns, tbl)
+            schema = tdef_ins.spark_schema()
             col_list: list[str] | None = None
             if payload.startswith("("):
                 # explicit column list: INSERT INTO t (a, b) VALUES/SELECT
@@ -3451,6 +3588,21 @@ class Engine:
                         f"exist in {name}")
             target_cols = col_list or [f.name for f in schema.fields]
             if re.match(r"VALUES", payload, re.I):
+                if col_list is None and tdef_ins.generated_columns:
+                    # hidden-partitioning ergonomics: a bare VALUES
+                    # insert may supply only the non-generated columns
+                    # (the engine owns generated ones and recomputes
+                    # them at the writer regardless) — the tuple arity
+                    # decides which binding applies
+                    i0 = payload.index("(")
+                    arity = len(self._split_top_level(
+                        payload[i0 + 1:_match_paren(payload, i0) - 1]))
+                    plain_cols = [f.name for f in schema.fields
+                                  if f.name not in
+                                  tdef_ins.generated_columns]
+                    if (arity == len(plain_cols)
+                            and arity != len(target_cols)):
+                        target_cols = plain_cols
                 df = spark.sql(f"SELECT * FROM ({payload}) "
                                f"AS v({', '.join(target_cols)})")
             else:

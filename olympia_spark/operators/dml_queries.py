@@ -698,3 +698,53 @@ def b82_merge_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum, "
         "CAST(SUM(COALESCE(flag, 0)) AS BIGINT) AS flagged "
         "FROM ns1.events_me")
+
+
+@query("b83_partition_transforms", oracle="""
+SELECT CAST(ts AS DATE) AS ts_day,
+       substring(event_type, 1, 4) AS type_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def b83_partition_transforms(spark: SparkSession, sf: str) -> DataFrame:
+    """B83 — Iceberg-style partition TRANSFORMS as first-class DDL
+    (spec "Partition Transforms"; the reference's host stack reads
+    transform-partitioned tables natively via Iceberg 1.8.1,
+    spark/v3.5/build.gradle:38): ``PARTITIONED BY (days(ts),
+    truncate(4, event_type))`` desugars into hidden generated columns
+    computed at the writer chokepoint; the hive layout stores them in
+    paths, partition values become exact file stats, and predicates on
+    the transform columns partition-prune. The oracle recomputes both
+    transform derivations from the raw fixture — proving every stored
+    hidden value matches its definition."""
+    from pyspark.sql import functions as F
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_dmlpt_"))
+        eng.sql("CREATE NAMESPACE ns1")
+        return eng
+
+    eng = get_or_create(_DML_ENGINES, spark, sf + "#pt", build)
+    txn = eng.catalog.begin()
+    if eng.catalog.table_exists(txn, "ns1", "events_pt"):
+        eng.sql("DROP TABLE ns1.events_pt")
+    eng.sql("CREATE TABLE ns1.events_pt ("
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+            ") PARTITIONED BY (days(ts), truncate(4, event_type))")
+    eng.write_table(load(spark, sf, "events"), "ns1.events_pt")
+    return (eng.sql(
+        "SELECT ts_day, event_type_trunc AS type_prefix, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
+        "FROM ns1.events_pt "
+        "WHERE ts_day BETWEEN DATE '2024-01-05' AND DATE '2024-01-09' "
+        "GROUP BY ts_day, event_type_trunc "
+        "ORDER BY ts_day, type_prefix")
+        .select("ts_day", "type_prefix",
+                F.col("n").cast("bigint").alias("n"), "value_sum"))

@@ -1250,3 +1250,94 @@ def test_merge_evolution_key_normalization_and_by_source(engine, spark):
         engine.merge("ns1.mk", src, on="t.id = s.id",
                      matched_clauses=[(None, "update", {"x.y": "s.v"})],
                      schema_evolution=True)
+
+
+def test_partition_transform_sugar(engine, spark):
+    """B83 — Iceberg-style partition transforms as first-class SQL:
+    PARTITIONED BY (days(ts), bucket(N, c), truncate(W, c), years/
+    months/hours) desugar into hidden generated columns computed at the
+    writer chokepoint (spec "Partition Transforms"; value semantics:
+    epoch-relative years/months/hours, DATE days, floor truncation)."""
+    engine.sql("CREATE TABLE ns1.pt (id BIGINT, ts TIMESTAMP, s STRING)"
+               " PARTITIONED BY (days(ts))")
+    engine.sql("INSERT INTO ns1.pt (id, ts, s) VALUES "
+               "(1, TIMESTAMP '2024-01-01 10:00:00', 'alpha'), "
+               "(2, TIMESTAMP '2024-01-02 23:59:59', 'beta'), "
+               "(3, TIMESTAMP '2024-01-02 00:00:00', 'gamma')")
+    rows = {(r.id, str(r.ts_day)) for r in
+            engine.sql("SELECT id, ts_day FROM ns1.pt").collect()}
+    assert rows == {(1, "2024-01-01"), (2, "2024-01-02"),
+                    (3, "2024-01-02")}
+    # the transform column partition-prunes like any hidden partition
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "pt")
+    assert tdef.partition_by == ["ts_day"]
+    assert tdef.generated_columns == {"ts_day": "cast(ts as date)"}
+    cand = engine._candidate_files(tdef, "ts_day = '2024-01-01'")
+    assert len(cand) < len(tdef.data_files)
+
+    # epoch-relative transforms (Iceberg spec values)
+    engine.sql("CREATE TABLE ns1.pt2 (id BIGINT, ts TIMESTAMP) "
+               "PARTITIONED BY (years(ts), months(ts), hours(ts))")
+    engine.sql("INSERT INTO ns1.pt2 (id, ts) VALUES "
+               "(1, TIMESTAMP '1970-01-01 02:30:00'), "
+               "(2, TIMESTAMP '2024-03-05 01:00:00')")
+    r = {x.id: x for x in engine.sql(
+        "SELECT id, ts_year, ts_month, ts_hour FROM ns1.pt2").collect()}
+    assert (r[1].ts_year, r[1].ts_month) == (0, 0)
+    assert (r[2].ts_year, r[2].ts_month) == (54, 54 * 12 + 2)
+    # hours since epoch: 1970-01-01T02:30 UTC-session → 2
+    assert r[1].ts_hour == 2
+
+    # truncate: string prefix + integral floor (negatives go DOWN)
+    engine.sql("CREATE TABLE ns1.pt3 (id BIGINT, s STRING) "
+               "PARTITIONED BY (truncate(3, s))")
+    engine.sql("INSERT INTO ns1.pt3 (id, s) VALUES (1, 'abcdef'), "
+               "(2, 'ab')")
+    assert {(x.id, x.s_trunc) for x in engine.sql(
+        "SELECT id, s_trunc FROM ns1.pt3").collect()} == \
+        {(1, "abc"), (2, "ab")}
+    engine.sql("CREATE TABLE ns1.pt4 (id BIGINT, v BIGINT) "
+               "PARTITIONED BY (truncate(10, v))")
+    engine.sql("INSERT INTO ns1.pt4 (id, v) VALUES (1, 17), (2, -3)")
+    assert {(x.id, x.v_trunc) for x in engine.sql(
+        "SELECT id, v_trunc FROM ns1.pt4").collect()} == \
+        {(1, 10), (2, -10)}
+
+    # bucket: stable hash in [0, N)
+    engine.sql("CREATE TABLE ns1.pt5 (id BIGINT) "
+               "PARTITIONED BY (bucket(4, id))")
+    engine.sql("INSERT INTO ns1.pt5 VALUES (1), (2), (3), (100)")
+    bks = [x.id_bucket for x in
+           engine.sql("SELECT id_bucket FROM ns1.pt5").collect()]
+    assert all(0 <= b < 4 for b in bks)
+
+    # CTAS with a transform
+    engine.sql("CREATE TABLE ns1.pt6 PARTITIONED BY (days(ts)) AS "
+               "SELECT id, ts FROM ns1.pt")
+    assert str(engine.sql("SELECT ts_day FROM ns1.pt6 WHERE id = 1")
+               .first().ts_day) == "2024-01-01"
+
+    # SHOW CREATE output desugared form is accepted by the parser
+    ddl = engine.sql("SHOW CREATE TABLE ns1.pt").first().createtab_stmt
+    engine.sql(ddl.replace("ns1.pt", "ns1.pt7"))
+    engine.sql("INSERT INTO ns1.pt7 (id, ts, s) VALUES "
+               "(9, TIMESTAMP '2025-05-05 05:05:05', 'x')")
+    assert str(engine.sql("SELECT ts_day FROM ns1.pt7").first().ts_day) \
+        == "2025-05-05"
+
+
+def test_partition_transform_errors(engine, spark):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not in the table schema"):
+        engine.sql("CREATE TABLE ns1.bad1 (id BIGINT) "
+                   "PARTITIONED BY (days(nope))")
+    with _pt.raises(ValueError, match="already exists"):
+        engine.sql("CREATE TABLE ns1.bad2 (id BIGINT, ts TIMESTAMP, "
+                   "ts_day DATE) PARTITIONED BY (days(ts))")
+    with _pt.raises(ValueError, match="width"):
+        engine.sql("CREATE TABLE ns1.bad3 (id BIGINT) "
+                   "PARTITIONED BY (bucket(0, id))")
+    with _pt.raises(ValueError, match="string/integral"):
+        engine.sql("CREATE TABLE ns1.bad4 (id BIGINT, d DOUBLE) "
+                   "PARTITIONED BY (truncate(2, d))")
