@@ -65,7 +65,9 @@ _PRIORITY = [
     # NEW this round — never driver-checked yet
     "text_bm25_topk", "dedup_winnowing", "data_host_cap",
     "text_token_freq_spectrum", "data_mad_outliers",
-    "b83_partition_transforms",
+    "b83_partition_transforms", "text_segment_dedup",
+    "data_source_kl_drift", "data_dsir_weights",
+    "dedup_semantic_cluster", "data_ppl_buckets",
     # r2-age stragglers — oldest driver entries in the registry
     "udf_pandas_tiered", "udf_mapinpandas_tokens", "udf_grouped_custstats",
     # latest green = round 3 (streaming last)

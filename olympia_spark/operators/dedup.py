@@ -1276,3 +1276,70 @@ def dedup_winnowing(spark: SparkSession, sf: str) -> DataFrame:
             .filter("shared >= 3")
             .orderBy(F.desc("shared"), "doc_a", "doc_b")
             .limit(20))
+
+
+# --- C83 SemDeDup: cluster-scoped semantic dedup with keep policy ------------
+
+@query("dedup_semantic_cluster", oracle="""
+WITH pairs AS (
+  SELECT b.vec_id AS v2
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 4) >= 0.4
+), dropped AS (
+  SELECT DISTINCT v2 FROM pairs
+)
+SELECT CAST(e.label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN d.v2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN d.v2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN d.v2 IS NULL THEN e.vec_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.v2
+GROUP BY e.label ORDER BY label
+""")
+def dedup_semantic_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """C83 — SemDeDup (Abbas et al. 2023): semantic deduplication
+    scoped to embedding CLUSTERS — within each cluster, a vector is
+    dropped when an earlier (lower-id) cluster-mate sits within cosine
+    ≥ 0.4; survivors are the kept set. Differs from
+    dedup_embedding_cosine (which only LISTS near-dup pairs) by
+    materializing the greedy keep/drop DECISION and the per-cluster
+    retention summary — the thing a curation pipeline actually applies.
+    The fixture's ``label`` column stands in for the k-means/IVF
+    cluster id the C8 lane would assign at scale.
+
+    Scale: the pair space is Σ per-cluster² (SemDeDup's design premise:
+    clusters are small by construction), an equi-join on the cluster
+    key — never corpus all-pairs; the drop set is near-dup-sized and
+    broadcast back for the per-cluster rollup. Cosine applies to the
+    ROUNDED value in both engines so boundary pairs cannot flip on FP
+    order."""
+    e = load(spark, sf, "embeddings")
+    norms = e.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(F.expr(_DOT_SPARK.format(a="embedding", b="embedding")))
+         .alias("nrm"))
+    a, b = norms.alias("a"), norms.alias("b")
+    dot = F.expr(_DOT_SPARK.format(a="a.embedding", b="b.embedding"))
+    sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    dropped = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                      & (F.col("a.vec_id") < F.col("b.vec_id")))
+               .filter(sim >= 0.4)
+               .select(F.col("b.vec_id").alias("v2"))
+               .distinct())
+    is_drop = F.col("v2").isNotNull()
+    return (e.join(F.broadcast(dropped),
+                   e.vec_id == F.col("v2"), "left")
+            .groupBy(F.col("label").cast("int").alias("label"))
+            .agg(F.count("*").cast("bigint").alias("n_vecs"),
+                 F.sum(F.when(is_drop, 1).otherwise(0))
+                 .cast("bigint").alias("n_dropped"),
+                 F.sum(F.when(is_drop, 0).otherwise(1))
+                 .cast("bigint").alias("n_kept"),
+                 F.sum(F.when(is_drop, 0).otherwise(F.col("vec_id")))
+                 .cast("bigint").alias("kept_id_sum"))
+            .orderBy("label"))

@@ -1922,3 +1922,326 @@ def data_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
                      > 3 * F.col("mad"), 1).otherwise(0))
                  .cast("bigint").alias("n_outliers"))
             .orderBy("source"))
+
+
+# --- C80 intra-document segment dedup ----------------------------------------
+
+@query("text_segment_dedup", oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+), segs AS (
+  SELECT doc_id, source, CAST(floor(pos / 2) AS BIGINT) AS seg_idx,
+         string_agg(word, ' ' ORDER BY pos) AS seg
+  FROM w GROUP BY 1, 2, 3
+), marked AS (
+  SELECT *, MIN(seg_idx) OVER (PARTITION BY doc_id, seg) AS first_idx
+  FROM segs
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN seg_idx = first_idx THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN seg_idx = first_idx THEN len(seg) ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM marked GROUP BY source ORDER BY source
+""")
+def text_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C80 — INTRA-document segment dedup (the C4 paragraph-dedup step:
+    drop repeated spans WITHIN a document, keep the first occurrence).
+    Documents split into fixed 2-word segments (fixture texts are short
+    word streams; real corpora would segment on paragraphs); a segment
+    is dropped when an identical segment appeared earlier in the SAME
+    document. Differs from C38 (repetition signals — measures only) by
+    actually computing the kept set.
+
+    Scale: segment construction is a higher-order-function map (no
+    shuffle); the first-occurrence window partitions by (doc_id,
+    segment) — per-document keys, so state never exceeds one document's
+    segments and the exchange carries (doc_id, seg_idx, hash)-sized
+    rows, never full text."""
+    d = load(spark, sf, "documents")
+    seg_expr = F.expr(
+        "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 2.0) "
+        "as int) - 1), "
+        "i -> array_join(slice(split(text, ' '), i * 2 + 1, 2), ' '))")
+    segs = d.select("doc_id", "source",
+                    F.posexplode(seg_expr).alias("seg_idx", "seg"))
+    first = F.min("seg_idx").over(W.partitionBy("doc_id", "seg"))
+    kept = F.col("seg_idx") == F.col("first_idx")
+    return (segs.withColumn("first_idx", first)
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_segments"),
+                 F.sum(F.when(kept, 1).otherwise(0))
+                 .cast("bigint").alias("n_kept"),
+                 F.sum(F.when(kept, F.length("seg")).otherwise(0))
+                 .cast("bigint").alias("kept_chars"))
+            .orderBy("source"))
+
+
+# --- C81 per-source distribution drift (KL divergence) -----------------------
+
+@query("data_source_kl_drift", oracle="""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), s AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sw GROUP BY 1
+), cw AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cw) AS BIGINT) AS n FROM cw
+)
+SELECT sw.source, s.ns AS n_tokens,
+       CAST(SUM(CAST(round(
+         (CAST(sw.c AS DOUBLE) / s.ns)
+         * ln(CAST(sw.c AS DOUBLE) * t.n
+              / (CAST(s.ns AS DOUBLE) * cw.cw)), 6)
+         AS DECIMAL(25,6))) AS DOUBLE) AS kl
+FROM sw
+JOIN s USING (source) JOIN cw USING (w) CROSS JOIN tot t
+GROUP BY 1, 2 ORDER BY 1
+""")
+def data_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """C81 — corpus-mixture drift monitor: per-source KL divergence of
+    the source's unigram distribution from the corpus-wide one,
+    KL(P_src ‖ P_corpus) = Σ_w P_src(w)·ln(P_src(w)/P_corpus(w)).
+    The signal a mixture pipeline watches to catch a source whose
+    content shifted (scraper broke, domain drifted) before it poisons
+    the training mix. Support(src) ⊆ support(corpus) by construction,
+    so every term is finite.
+
+    Scale: ONE corpus-sized explode→(source, word) partial+final agg;
+    everything after operates on the vocabulary-sized count relation
+    (cached — it feeds three subplans), with per-source totals and
+    per-word corpus counts BROADCAST back. Per-term doubles are rounded
+    1e-6 and DECIMAL-summed for cross-engine bit-stability (the
+    entropy-gate pattern)."""
+    d = load(spark, sf, "documents")
+    tok = d.select("source", F.explode(F.expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"))
+    sw = (tok.groupBy("source", "w")
+          .agg(F.count("*").alias("c"))
+          .localCheckpoint())          # vocab×sources rows, feeds 3 plans
+    s = sw.groupBy("source").agg(F.sum("c").alias("ns"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = cw.agg(F.sum("cw").alias("n"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("ns"))
+        * F.log(F.col("c").cast("double") * F.col("n")
+                / (F.col("ns").cast("double") * F.col("cw"))), 6)
+    return (sw.join(F.broadcast(s), "source")
+            .join(F.broadcast(cw), "w")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("source", "ns")
+            .agg(F.sum(term.cast("decimal(25,6)")).cast("double")
+                 .alias("kl"))
+            .select("source", F.col("ns").cast("bigint")
+                    .alias("n_tokens"), "kl")
+            .orderBy("source"))
+
+
+# --- C82 DSIR importance weights ---------------------------------------------
+
+@query("data_dsir_weights", oracle="""
+WITH w AS (
+  SELECT doc_id, lang, source,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang, source,
+         word || ' ' || lead(word) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM w
+), feat AS (
+  SELECT doc_id, lang, source,
+         (ascii(substring(md5(bigram), 1, 1)) * 256
+          + ascii(substring(md5(bigram), 2, 1))) % 256 AS bucket
+  FROM bg WHERE bigram IS NOT NULL
+), fc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_t
+  FROM feat GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_t) AS BIGINT) AS n_t
+  FROM fc
+), lr AS (
+  SELECT bucket, round(ln(
+           CAST((c_t + 1) AS DOUBLE) * (n_r + 256)
+           / (CAST((c_r + 1) AS DOUBLE) * (n_t + 256))), 6) AS logratio
+  FROM fc CROSS JOIN tot
+), docw AS (
+  SELECT f.doc_id, f.source,
+         SUM(CAST(lr.logratio AS DECIMAL(25,6))) AS logw
+  FROM feat f JOIN lr USING (bucket)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_upweighted,
+       CAST(SUM(logw) AS DOUBLE) AS total_logw
+FROM docw GROUP BY source ORDER BY source
+""")
+def data_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """C82 — Data Selection with Importance Resampling (DSIR, Xie et
+    al. 2023): per-document log importance weight under a hashed-bigram
+    bag-of-features model, log w(x) = Σ_f log(p_target(f)/p_raw(f))
+    with add-1 smoothing over 256 feature buckets. Target distribution
+    = the 'en' slice (the domain to up-sample); raw = whole corpus.
+    Positive-log documents are the ones importance resampling would
+    up-weight. The feature hash is the first two hex chars of
+    md5(bigram) — md5 being the cross-engine-stable primitive.
+
+    Scale: bigram construction is a higher-order-function map over the
+    words array (no shuffle, no lead window — the oracle's window is
+    DuckDB-side only); bucket counts are a single 256-row partial+final
+    agg with the target counted by conditional sum IN the same pass;
+    log-ratios broadcast back; the per-doc sum shuffles (doc_id,
+    bucket)-sized rows. Two corpus passes total, both map-heavy."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("ws"))
+    bigram_expr = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+    feat = d.select(
+        "doc_id", "lang", "source",
+        F.explode(bigram_expr).alias("bigram")).select(
+        "doc_id", "lang", "source",
+        F.pmod(F.ascii(F.substring(F.md5("bigram"), 1, 1)) * 256
+               + F.ascii(F.substring(F.md5("bigram"), 2, 1)),
+               F.lit(256)).alias("bucket"))
+    fc = (feat.groupBy("bucket")
+          .agg(F.count("*").alias("c_r"),
+               F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+               .alias("c_t")))
+    tot = fc.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    lr = (fc.crossJoin(F.broadcast(tot))
+          .select("bucket", F.round(F.log(
+              (F.col("c_t") + 1).cast("double") * (F.col("n_r") + 256)
+              / ((F.col("c_r") + 1).cast("double")
+                 * (F.col("n_t") + 256))), 6).alias("logratio")))
+    docw = (feat.join(F.broadcast(lr), "bucket")
+            .groupBy("doc_id", "source")
+            .agg(F.sum(F.col("logratio").cast("decimal(25,6)"))
+                 .alias("logw")))
+    return (docw.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("logw") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_upweighted"),
+                 F.sum("logw").cast("double").alias("total_logw"))
+            .orderBy("source"))
+
+
+# --- C84 CCNet-style perplexity buckets --------------------------------------
+
+@query("data_ppl_buckets", oracle="""
+WITH arrs AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang, unnest(arr) AS w,
+         unnest(range(1, len(arr) + 1)) AS pos
+  FROM arrs
+), bigrams AS (
+  SELECT doc_id, lang, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+), bg AS (SELECT doc_id, lang, w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
+counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY w1),
+docs AS (
+  SELECT doc_id, lang,
+         ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c12 AS DOUBLE)
+                                      / CAST(c1 AS DOUBLE)), 6)
+                             AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*), 6) AS lp
+  FROM bg JOIN counts USING (w1, w2) JOIN ctx USING (w1)
+  GROUP BY doc_id, lang
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY lp DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM docs
+), bucketed AS (
+  SELECT lang,
+         CASE WHEN rk <= CAST(ceil(n / 3.0) AS BIGINT) THEN 'head'
+              WHEN rk <= CAST(ceil(2 * n / 3.0) AS BIGINT) THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         lp, doc_id
+  FROM ranked
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_logprob,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+""")
+def data_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """C84 — CCNet perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-trained bigram LM (the C25 scorer),
+    then split EACH LANGUAGE into head/middle/tail terciles by score —
+    head = lowest perplexity (cleanest), tail = highest. The per-lang
+    cut is the point: a single global threshold would empty the buckets
+    of whichever language the LM fits worst. Cutoffs are exact-rank
+    (row_number ≤ ceil(n/3), doc_id tie-break) — percentile_disc
+    semantics, no interpolated quantiles.
+
+    Scale: one tokenize→bigram pass; count tables are vocabulary-sized;
+    the tercile window partitions by lang over doc-sized rows (id +
+    score only, never text). Per-doc scores are rounded-6 doubles of
+    exact integer ratios DECIMAL-accumulated — rank order is therefore
+    bit-identical across engines."""
+    from pyspark.sql import Window
+    d = load(spark, sf, "documents")
+    toks = d.repartition(16, "doc_id").select(
+        "doc_id", "lang",
+        F.posexplode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .alias("pos", "w"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (toks.select("doc_id", "lang", F.col("w").alias("w1"),
+                      F.lead("w").over(wd).alias("w2"))
+          .where(F.col("w2").isNotNull())
+          .cache())
+    try:
+        counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        ctx = counts.groupBy("w1").agg(F.sum("c12").cast("long")
+                                       .alias("c1"))
+        term = (F.round(F.log(F.col("c12").cast("double")
+                              / F.col("c1").cast("double")), 6)
+                .cast("decimal(25,6)"))
+        docs = (bg.join(counts, ["w1", "w2"]).join(ctx, ["w1"])
+                .groupBy("doc_id", "lang")
+                .agg(F.round(F.sum(term).cast("double")
+                             / F.count("*"), 6).alias("lp")))
+        wl = Window.partitionBy("lang").orderBy(F.desc("lp"), "doc_id")
+        ranked = (docs
+                  .withColumn("rk", F.row_number().over(wl))
+                  .withColumn("n", F.count("*").over(
+                      Window.partitionBy("lang"))))
+        bucket = (F.when(F.col("rk") <= F.ceil(F.col("n") / 3.0)
+                         .cast("bigint"), "head")
+                  .when(F.col("rk") <= F.ceil(2 * F.col("n") / 3.0)
+                        .cast("bigint"), "middle")
+                  .otherwise("tail"))
+        out = (ranked.select("lang", bucket.alias("bucket"), "lp",
+                             "doc_id")
+               .groupBy("lang", "bucket")
+               .agg(F.count("*").cast("bigint").alias("n_docs"),
+                    F.round(F.sum(F.col("lp").cast("decimal(25,6)"))
+                            .cast("double") / F.count("*"), 6)
+                    .alias("mean_logprob"),
+                    F.sum("doc_id").cast("bigint").alias("doc_id_sum"))
+               .orderBy("lang", "bucket")
+               .localCheckpoint())
+        return out
+    finally:
+        bg.unpersist()
