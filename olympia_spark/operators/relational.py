@@ -1925,3 +1925,106 @@ def b80_q18(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum(qmilli).cast("bigint").alias("qty_milli"))
             .orderBy(F.desc("o_totalprice"), "o_orderkey")
             .limit(25))
+
+
+# --- B84 TPC-H Q7 shape (volume shipping between two nations) ---------------
+
+@query("b84_q7_shape", oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey
+    AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def b84_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by year — the TWO-ROLE dimension pattern (nation joins the
+    plan twice, once as the supplier's nation and once as the
+    customer's) plus a disjunctive cross-filter over the pair. Both
+    nation roles are constant-size broadcasts; the pair predicate
+    applies AFTER both roles resolve (it references columns of both),
+    and the year extraction stays in the aggregate key. lineitem
+    exchanges once on orderkey; the supplier side is left to the
+    optimizer exactly as in Q5 (scales with the corpus — no forced
+    hint). Reference: the query surface its Spark host runs
+    (docs/spark.md:1-50); shape from the public TPC-H spec Q7."""
+    s = load(spark, sf, "supplier")
+    li = (load(spark, sf, "lineitem")
+          .filter("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+                  "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"))
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(s, li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+            .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(_dsum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")), "revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+# --- B85 TPC-H Q14 shape (promotion revenue share) --------------------------
+
+@query("b85_q14_shape", oracle=f"""
+SELECT
+  {dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 'promo_revenue')},
+  {dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')},
+  ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+            AS DECIMAL(25,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(25,6))) AS DOUBLE), 4) AS promo_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""")
+def b85_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue on PROMO-type parts — the conditional-aggregate-ratio
+    pattern (both the CASE'd numerator and the denominator come out of
+    ONE aggregation pass over one join). The month filter pushes into
+    the lineitem scan; part is a dimension join. Both sums are exact
+    DECIMAL accumulations, so the double ratio is bit-identical across
+    engines before the final 4-dp round."""
+    li = (load(spark, sf, "lineitem")
+          .filter("l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' AND "
+                  "l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"))
+    p = load(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = (li.join(p, li.l_partkey == p.p_partkey)
+           .agg(_dsum(promo, "promo_revenue"),
+                _dsum(rev, "total_revenue")))
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        F.round(100.0 * F.col("promo_revenue")
+                / F.col("total_revenue"), 4).alias("promo_pct"))

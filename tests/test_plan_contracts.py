@@ -489,3 +489,68 @@ def test_label_propagation_blocked_join_no_cartesian(spark):
     plan = _plan(registry.QUERIES["sim_label_propagation"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "text_segment_dedup", "data_source_kl_drift", "data_dsir_weights",
+    "dedup_semantic_cluster", "data_ppl_buckets", "text_bm25_topk",
+    "dedup_winnowing", "data_host_cap", "text_token_freq_spectrum",
+    "data_mad_outliers",
+])
+def test_round7_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+def test_dsir_has_no_window(spark):
+    """C82: bigrams are built with higher-order functions over the
+    words array — a per-doc lead() window (the oracle's formulation)
+    would shuffle the corpus just to pair adjacent words."""
+    plan = _plan(registry.QUERIES["data_dsir_weights"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan   # log-ratios broadcast back
+
+
+def test_segment_dedup_no_global_window(spark):
+    """C80: the first-occurrence window partitions by (doc_id, seg) —
+    fine-grained keys; an un-partitioned window would serialize."""
+    plan = _plan(registry.QUERIES["text_segment_dedup"](spark, SF))
+    import re as _re
+    # every Window in the plan must carry a partition spec with doc_id
+    for m in _re.finditer(r"Arguments:.*windowspecdefinition\(([^)]*)\)",
+                          plan):
+        assert "doc_id" in m.group(1), plan
+
+
+def test_kl_drift_broadcasts_vocab_stats(spark):
+    """C81: per-source totals and per-word corpus counts meet the
+    vocab-sized count relation via broadcast — never a corpus-sized
+    sort-merge join."""
+    plan = _plan(registry.QUERIES["data_source_kl_drift"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_cluster_equi_join_no_cartesian(spark):
+    """C83: pair generation must ride the cluster equi-join key."""
+    plan = _plan(registry.QUERIES["dedup_semantic_cluster"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q7_two_role_broadcast_no_cartesian(spark):
+    """B84: both nation roles broadcast; the disjunctive pair filter
+    must not degrade the plan to a cartesian product."""
+    plan = _plan(registry.QUERIES["b84_q7_shape"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q14_single_aggregation_pass(spark):
+    """B85: numerator and denominator come from ONE HashAggregate pair
+    (partial+final), not two scans of the join."""
+    plan = _plan(registry.QUERIES["b85_q14_shape"](spark, SF))
+    assert "PushedFilters" in plan, plan
+    # one partial+final pair over the join; formatted explain mentions
+    # each operator twice (tree + details) → exactly 4 occurrences
+    assert plan.count("HashAggregate") == 4, plan
