@@ -68,7 +68,7 @@ _PRIORITY = [
     "b83_partition_transforms", "text_segment_dedup",
     "data_source_kl_drift", "data_dsir_weights",
     "dedup_semantic_cluster", "data_ppl_buckets",
-    "b84_q7_shape", "b85_q14_shape",
+    "b84_q7_shape", "b85_q14_shape", "b86_partition_evolution",
     # r2-age stragglers — oldest driver entries in the registry
     "udf_pandas_tiered", "udf_mapinpandas_tokens", "udf_grouped_custstats",
     # latest green = round 3 (streaming last)

@@ -702,7 +702,14 @@ class Engine:
             paths = self._scan_uris(rel_paths)
             return (reader.csv(paths) if tdef.format == "CSV"
                     else reader.json(paths))
-        if not tdef.partition_by:
+        # plain single-read branch ONLY when nothing needs per-write-dir
+        # handling: no current partitioning, no hive-encoded paths from
+        # an earlier partition spec, and no generated columns that might
+        # need on-read derivation (partition-spec evolution, B86)
+        hive_encoded = any("=" in seg for p in rel_paths
+                           for seg in p.split("/")[:-1])
+        if (not tdef.partition_by and not hive_encoded
+                and not tdef.generated_columns):
             return self._to_logical(
                 self.spark.read.schema(phys).parquet(
                     *self._scan_uris(rel_paths)), tdef)
@@ -713,15 +720,35 @@ class Engine:
             # first 4 segments (one write = one basePath)
             base = "/".join(p.split("/")[:4])
             groups.setdefault(base, []).append(p)
-        parts = [
-            self.spark.read.schema(phys)
-            .option("basePath", self._scan_uri(base))
-            .parquet(*[self._scan_uri(p) for p in paths])
-            for base, paths in sorted(groups.items())]
+        # partition-SPEC EVOLUTION (B86): write dirs created before a
+        # generated column became a partition field carry neither the
+        # hive dir nor (if the column never existed) the in-file value.
+        # For those groups the column is DERIVED on read from its
+        # generation expression (engine-owned ⇒ stored value ≡ expr, so
+        # coalesce is exact); groups whose paths DO carry the hive dir
+        # are left untouched to keep PartitionFilters pruning.
+        # derive EVERY generated column a group's files carry neither
+        # hive-encoded nor (pre-evolution dirs) in-file; coalesce is the
+        # identity where the stored value exists
+        gen_part = list(tdef.generated_columns)
+        schema_by_name = {f.name: f for f in schema.fields}
+        parts = []
+        for base, paths in sorted(groups.items()):
+            df = (self.spark.read.schema(phys)
+                  .option("basePath", self._scan_uri(base))
+                  .parquet(*[self._scan_uri(p) for p in paths]))
+            df = self._to_logical(df, tdef)
+            for g in gen_part:
+                if not any(f"/{g}=" in p for p in paths):
+                    df = df.withColumn(g, F.coalesce(
+                        F.col(g),
+                        F.expr(tdef.generated_columns[g])
+                        .cast(schema_by_name[g].dataType)))
+            parts.append(df)
         out = parts[0]
         for df in parts[1:]:
             out = out.unionByName(df)
-        return self._to_logical(out, tdef)
+        return out
 
     def create_table(self, name: str, schema: T.StructType,
                      properties: dict | None = None,
@@ -2485,6 +2512,86 @@ class Engine:
             by_lower[name.lower()] = extra[-1]
         return out, extra, gen
 
+    @staticmethod
+    def _transform_field_name(spec: str) -> str | None:
+        """The synthesized column name a transform spelling resolves to
+        (``days(ts)`` → ``ts_day``), or None for a plain column."""
+        m = re.match(r"^\s*(years|months|days|hours|bucket|truncate)"
+                     r"\s*\((.+)\)\s*$", spec, re.I)
+        if not m:
+            return None
+        kind = m.group(1).lower()
+        src = [a.strip() for a in m.group(2).split(",")][-1]
+        suffix = {"bucket": "bucket", "truncate": "trunc"}.get(
+            kind, kind[:-1])
+        return f"{src}_{suffix}"
+
+    def add_partition_field(self, name: str, spec: str) -> None:
+        """``ALTER TABLE ... ADD PARTITION FIELD <col | transform(col)>``
+        — Iceberg partition-spec EVOLUTION (spec "Partition Evolution":
+        specs are versioned, existing data files keep their layout, only
+        new writes use the new spec). Metadata-only: zero bytes move.
+        A transform spelling synthesizes its hidden generated column
+        exactly like CREATE-time B83; existing files neither store nor
+        hive-encode it, so the READ path derives it from the generation
+        expression for pre-evolution write dirs (see ``_scan``) while
+        new writes hive-partition by it and partition-prune."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "ADD PARTITION FIELD")
+        schema = tdef.spark_schema()
+        # resolve the target name FIRST so a duplicate add reports
+        # "already a partition field", not the schema-collision error
+        target = self._transform_field_name(spec) or spec.strip()
+        if target in tdef.partition_by:
+            raise ValueError(
+                f"{target} is already a partition field of {name}")
+        cols, extra, gen = self._expand_partition_transforms(
+            [spec], schema)
+        col = cols[0]
+        if extra:
+            # synthesized column joins the schema through the same
+            # collision guards as ALTER ADD COLUMNS (retired/physical
+            # names included)
+            self._check_new_column_names(tdef, [col],
+                                         "ADD PARTITION FIELD")
+            for f in extra:
+                schema = schema.add(f)
+            tdef.schema_json = schema.json()
+            tdef.generated_columns = {**tdef.generated_columns, **gen}
+        elif col.lower() not in {f.name.lower() for f in schema.fields}:
+            raise ValueError(
+                f"partition field {col} is not in the table schema")
+        tdef.partition_by = [*tdef.partition_by, col]
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER,
+                                 {"add_partition_field": [spec, col]})
+        self._finish(txn)
+
+    def drop_partition_field(self, name: str, spec: str) -> None:
+        """``ALTER TABLE ... DROP PARTITION FIELD <col | transform(col)>``
+        — removes the field from the spec for FUTURE writes; existing
+        hive-encoded files keep their layout and still read (the scan
+        reconstructs or derives the column per write dir). A
+        transform-synthesized generated column stays in the schema as a
+        regular generated column — the Iceberg void-transform
+        analogue."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "DROP PARTITION FIELD")
+        col = self._transform_field_name(spec) or spec.strip()
+        if col not in tdef.partition_by:
+            raise ValueError(
+                f"{col} is not a partition field of {name} "
+                f"(fields: {tdef.partition_by})")
+        tdef.partition_by = [c for c in tdef.partition_by if c != col]
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER,
+                                 {"drop_partition_field": [col]})
+        self._finish(txn)
+
     def add_constraint(self, name: str, cname: str, expr: str) -> None:
         """``ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>)``
         (Delta-style table invariant, beyond-reference): validates the
@@ -3682,6 +3789,16 @@ class Engine:
                      norm, re.I)
         if m:
             self.drop_constraint(m.group(1), m.group(2))
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) ADD PARTITION FIELD (.+)$",
+                     norm, re.I)
+        if m:
+            self.add_partition_field(m.group(1), m.group(2).strip())
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) DROP PARTITION FIELD (.+)$",
+                     norm, re.I)
+        if m:
+            self.drop_partition_field(m.group(1), m.group(2).strip())
             return ok()
         m = re.match(r"ALTER TABLE (\S+\.\S+) ADD COLUMNS?\s*\((.+)\)$",
                      norm, re.I)

@@ -748,3 +748,52 @@ def b83_partition_transforms(spark: SparkSession, sf: str) -> DataFrame:
         "ORDER BY ts_day, type_prefix")
         .select("ts_day", "type_prefix",
                 F.col("n").cast("bigint").alias("n"), "value_sum"))
+
+
+@query("b86_partition_evolution", oracle="""
+SELECT CAST(ts AS DATE) AS ts_day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+GROUP BY 1 ORDER BY 1
+""")
+def b86_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """B86 — partition-spec EVOLUTION (Iceberg spec "Partition
+    Evolution": metadata-only spec change, existing files keep their
+    layout, only new writes use the new spec): half the fixture is
+    written UNPARTITIONED, the table then evolves to
+    ``days(ts)`` hidden partitioning, and the second half writes
+    hive-partitioned. The aggregate reads ACROSS both eras — the
+    pre-evolution files derive ts_day on read from the generation
+    expression, the post-evolution files reconstruct it from the hive
+    layout and partition-prune. The oracle recomputes everything from
+    the raw fixture, proving the two eras agree bit-for-bit."""
+    from pyspark.sql import functions as F
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_dmlpe_"))
+        eng.sql("CREATE NAMESPACE ns1")
+        return eng
+
+    eng = get_or_create(_DML_ENGINES, spark, sf + "#pe", build)
+    txn = eng.catalog.begin()
+    if eng.catalog.table_exists(txn, "ns1", "events_pe"):
+        eng.sql("DROP TABLE ns1.events_pe")
+    eng.sql("CREATE TABLE ns1.events_pe ("
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING)")
+    ev = load(spark, sf, "events")
+    eng.write_table(ev.filter("event_id % 2 = 0"), "ns1.events_pe")
+    eng.sql("ALTER TABLE ns1.events_pe ADD PARTITION FIELD days(ts)")
+    eng.write_table(ev.filter("event_id % 2 = 1"), "ns1.events_pe")
+    return (eng.sql(
+        "SELECT ts_day, COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
+        "FROM ns1.events_pe "
+        "WHERE ts_day BETWEEN DATE '2024-01-10' AND DATE '2024-01-14' "
+        "GROUP BY ts_day ORDER BY ts_day")
+        .select("ts_day", F.col("n").cast("bigint").alias("n"),
+                "value_sum"))

@@ -1341,3 +1341,70 @@ def test_partition_transform_errors(engine, spark):
     with _pt.raises(ValueError, match="string/integral"):
         engine.sql("CREATE TABLE ns1.bad4 (id BIGINT, d DOUBLE) "
                    "PARTITIONED BY (truncate(2, d))")
+
+
+def test_partition_spec_evolution(engine, spark):
+    """B86 — ALTER TABLE ADD/DROP PARTITION FIELD (Iceberg partition
+    evolution): metadata-only spec change; pre-evolution files derive
+    the transform column on read, new writes hive-partition by it."""
+    engine.sql("CREATE TABLE ns1.pe (id BIGINT, ts TIMESTAMP)")
+    engine.sql("INSERT INTO ns1.pe VALUES "
+               "(1, TIMESTAMP '2024-01-01 10:00:00'), "
+               "(2, TIMESTAMP '2024-01-02 09:00:00')")
+    engine.sql("ALTER TABLE ns1.pe ADD PARTITION FIELD days(ts)")
+    # OLD rows: ts_day must be DERIVED (not NULL-filled)
+    rows = {(r.id, str(r.ts_day)) for r in
+            engine.sql("SELECT id, ts_day FROM ns1.pe").collect()}
+    assert rows == {(1, "2024-01-01"), (2, "2024-01-02")}
+    # new writes hive-partition by the synthesized field
+    engine.sql("INSERT INTO ns1.pe VALUES "
+               "(3, TIMESTAMP '2024-02-01 00:00:00')")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "pe")
+    assert tdef.partition_by == ["ts_day"]
+    new_paths = [f.path for f in tdef.data_files if "ts_day=" in f.path]
+    assert new_paths, [f.path for f in tdef.data_files]
+    rows = {(r.id, str(r.ts_day)) for r in
+            engine.sql("SELECT id, ts_day FROM ns1.pe").collect()}
+    assert rows == {(1, "2024-01-01"), (2, "2024-01-02"),
+                    (3, "2024-02-01")}
+    # filters on the evolved field remain correct across both eras
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.pe "
+                      "WHERE ts_day = DATE '2024-01-02'").first().n == 1
+    # COW rewrite of an old row passes the writer chokepoint → the
+    # rewritten file is hive-partitioned and the value recomputed
+    engine.sql("UPDATE ns1.pe SET ts = TIMESTAMP '2024-03-09 05:00:00' "
+               "WHERE id = 1")
+    r = engine.sql("SELECT ts_day FROM ns1.pe WHERE id = 1").first()
+    assert str(r.ts_day) == "2024-03-09"
+    # errors: duplicate field / unknown drop
+    with pytest.raises(ValueError, match="already a partition field"):
+        engine.sql("ALTER TABLE ns1.pe ADD PARTITION FIELD days(ts)")
+    with pytest.raises(ValueError, match="not a partition field"):
+        engine.sql("ALTER TABLE ns1.pe DROP PARTITION FIELD bucket(4, id)")
+    # DROP: future writes unpartitioned, column stays readable
+    engine.sql("ALTER TABLE ns1.pe DROP PARTITION FIELD days(ts)")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "pe")
+    assert tdef.partition_by == []
+    assert "ts_day" in tdef.generated_columns     # void-transform analogue
+    engine.sql("INSERT INTO ns1.pe VALUES "
+               "(4, TIMESTAMP '2024-04-04 04:04:04')")
+    rows = {(r.id, str(r.ts_day)) for r in
+            engine.sql("SELECT id, ts_day FROM ns1.pe").collect()}
+    assert rows == {(1, "2024-03-09"), (2, "2024-01-02"),
+                    (3, "2024-02-01"), (4, "2024-04-04")}
+
+
+def test_partition_evolution_plain_column_and_time_travel(engine, spark):
+    engine.sql("CREATE TABLE ns1.pe2 (id BIGINT, cat STRING)")
+    engine.sql("INSERT INTO ns1.pe2 VALUES (1, 'a'), (2, 'b')")
+    engine.sql("ALTER TABLE ns1.pe2 ADD PARTITION FIELD cat")
+    engine.sql("INSERT INTO ns1.pe2 VALUES (3, 'a')")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.pe2 "
+                      "WHERE cat = 'a'").first().n == 2
+    # time travel to before the evolution still reads the old spec
+    hist = engine.sql("DESCRIBE HISTORY ns1.pe2").collect()
+    assert len(hist) >= 3
+    with pytest.raises(ValueError, match="not in the table schema"):
+        engine.sql("ALTER TABLE ns1.pe2 ADD PARTITION FIELD nope")
