@@ -704,12 +704,16 @@ class Engine:
                     else reader.json(paths))
         # plain single-read branch ONLY when nothing needs per-write-dir
         # handling: no current partitioning, no hive-encoded paths from
-        # an earlier partition spec, and no generated columns that might
-        # need on-read derivation (partition-spec evolution, B86)
+        # an earlier partition spec, and no spec-evolution derive
+        # markers (B86). Never-evolved tables — generated columns
+        # included, their values are always in-file — keep the one
+        # multi-path read.
         hive_encoded = any("=" in seg for p in rel_paths
                            for seg in p.split("/")[:-1])
-        if (not tdef.partition_by and not hive_encoded
-                and not tdef.generated_columns):
+        derive = [c for c in tdef.properties.get(
+                      "spec.derive_on_read", "").split(",")
+                  if c and c in tdef.generated_columns]
+        if not tdef.partition_by and not hive_encoded and not derive:
             return self._to_logical(
                 self.spark.read.schema(phys).parquet(
                     *self._scan_uris(rel_paths)), tdef)
@@ -722,15 +726,13 @@ class Engine:
             groups.setdefault(base, []).append(p)
         # partition-SPEC EVOLUTION (B86): write dirs created before a
         # generated column became a partition field carry neither the
-        # hive dir nor (if the column never existed) the in-file value.
-        # For those groups the column is DERIVED on read from its
-        # generation expression (engine-owned ⇒ stored value ≡ expr, so
-        # coalesce is exact); groups whose paths DO carry the hive dir
-        # are left untouched to keep PartitionFilters pruning.
-        # derive EVERY generated column a group's files carry neither
-        # hive-encoded nor (pre-evolution dirs) in-file; coalesce is the
-        # identity where the stored value exists
-        gen_part = list(tdef.generated_columns)
+        # hive dir nor the in-file value — exactly the columns in the
+        # derive marker. For those groups the column is DERIVED on read
+        # from its generation expression (engine-owned ⇒ stored value
+        # ≡ expr, so coalesce is exact); groups whose paths DO carry
+        # the hive dir are left untouched to keep PartitionFilters
+        # pruning.
+        gen_part = derive
         schema_by_name = {f.name: f for f in schema.fields}
         parts = []
         for base, paths in sorted(groups.items()):
@@ -2360,11 +2362,27 @@ class Engine:
 
     @staticmethod
     def _split_top_level(s: str) -> list[str]:
-        """Split on commas at paren depth 0 (column lists / partition
-        lists whose entries may contain parenthesized commas)."""
-        parts, depth, cur = [], 0, []
-        for ch in s:
-            if ch == "(":
+        """Split on commas at paren depth 0, OUTSIDE string literals
+        (column lists / partition lists / VALUES tuples whose entries
+        may contain parenthesized or quoted commas — a literal
+        ``'a, b'`` must not split; '' is the SQL escape for a quote)."""
+        parts, depth, cur, in_str = [], 0, [], False
+        i = 0
+        while i < len(s):
+            ch = s[i]
+            if in_str:
+                if ch == "'":
+                    if i + 1 < len(s) and s[i + 1] == "'":
+                        cur.append("''")
+                        i += 2
+                        continue
+                    in_str = False
+                cur.append(ch)
+                i += 1
+                continue
+            if ch == "'":
+                in_str = True
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
@@ -2373,6 +2391,7 @@ class Engine:
                 cur = []
             else:
                 cur.append(ch)
+            i += 1
         if cur:
             parts.append("".join(cur))
         return parts
@@ -2542,27 +2561,67 @@ class Engine:
         self._require_native(tdef, name, "ADD PARTITION FIELD")
         schema = tdef.spark_schema()
         # resolve the target name FIRST so a duplicate add reports
-        # "already a partition field", not the schema-collision error
+        # "already a partition field", not the schema-collision error —
+        # CASE-INSENSITIVE like all schema resolution (a case-variant
+        # duplicate would make partitionBy reject every later write)
         target = self._transform_field_name(spec) or spec.strip()
-        if target in tdef.partition_by:
+        if target.lower() in {p.lower() for p in tdef.partition_by}:
             raise ValueError(
                 f"{target} is already a partition field of {name}")
-        cols, extra, gen = self._expand_partition_transforms(
-            [spec], schema)
-        col = cols[0]
+        is_transform = self._transform_field_name(spec) is not None
+        by_lower = {f.name.lower(): f.name for f in schema.fields}
+        if is_transform and target.lower() in by_lower:
+            # RE-ADD after DROP PARTITION FIELD: the synthesized column
+            # stayed in the schema as a generated column — reuse it
+            # (values are already in-file or hive-encoded; no derive
+            # marker needed). A plain column of that name is refused.
+            col = by_lower[target.lower()]
+            if col not in tdef.generated_columns:
+                raise ValueError(
+                    f"partition transform {spec} would synthesize "
+                    f"column {col}, which exists as a plain column — "
+                    f"partition on it directly")
+            extra = []
+        else:
+            cols, extra, gen = self._expand_partition_transforms(
+                [spec], schema)
+            col = cols[0]
         if extra:
             # synthesized column joins the schema through the same
             # collision guards as ALTER ADD COLUMNS (retired/physical
-            # names included)
+            # names included), and its generation expression must
+            # ANALYZE against the schema NOW — days(bigint_col) caught
+            # here, not as an AnalysisException bricking every later
+            # read and write (CREATE-path probe parity)
             self._check_new_column_names(tdef, [col],
                                          "ADD PARTITION FIELD")
+            probe = self.spark.createDataFrame([], schema)
+            for gname, gexpr in gen.items():
+                try:
+                    probe.select(F.expr(gexpr)).schema
+                except Exception as e:
+                    raise ValueError(
+                        f"partition transform {spec}: generated "
+                        f"expression ({gexpr}) does not resolve "
+                        f"against the table schema") from e
             for f in extra:
                 schema = schema.add(f)
             tdef.schema_json = schema.json()
             tdef.generated_columns = {**tdef.generated_columns, **gen}
-        elif col.lower() not in {f.name.lower() for f in schema.fields}:
+            if tdef.data_files:
+                # pre-evolution files carry the column neither in-file
+                # nor hive-encoded — mark it for on-read derivation
+                cur = [c for c in tdef.properties.get(
+                    "spec.derive_on_read", "").split(",") if c]
+                tdef.properties = {
+                    **tdef.properties,
+                    "spec.derive_on_read": ",".join([*cur, col])}
+        elif (not is_transform
+              and col.lower() not in by_lower):
             raise ValueError(
                 f"partition field {col} is not in the table schema")
+        elif not is_transform:
+            col = by_lower[col.lower()]
         tdef.partition_by = [*tdef.partition_by, col]
         self.catalog.alter_table(txn, ns, tbl, tdef,
                                  ActionType.TABLE_ALTER,
@@ -2581,11 +2640,13 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "DROP PARTITION FIELD")
-        col = self._transform_field_name(spec) or spec.strip()
-        if col not in tdef.partition_by:
+        want = (self._transform_field_name(spec) or spec.strip()).lower()
+        match = [c for c in tdef.partition_by if c.lower() == want]
+        if not match:
             raise ValueError(
-                f"{col} is not a partition field of {name} "
+                f"{spec.strip()} is not a partition field of {name} "
                 f"(fields: {tdef.partition_by})")
+        col = match[0]
         tdef.partition_by = [c for c in tdef.partition_by if c != col]
         self.catalog.alter_table(txn, ns, tbl, tdef,
                                  ActionType.TABLE_ALTER,

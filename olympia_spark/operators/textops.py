@@ -2060,8 +2060,10 @@ WITH w AS (
   FROM w
 ), feat AS (
   SELECT doc_id, lang, source,
-         (ascii(substring(md5(bigram), 1, 1)) * 256
-          + ascii(substring(md5(bigram), 2, 1))) % 256 AS bucket
+         (strpos('0123456789abcdef', substring(md5(bigram), 1, 1)) - 1)
+           * 16
+         + (strpos('0123456789abcdef', substring(md5(bigram), 2, 1))
+            - 1) AS bucket
   FROM bg WHERE bigram IS NOT NULL
 ), fc AS (
   SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r,
@@ -2096,8 +2098,10 @@ def data_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     with add-1 smoothing over 256 feature buckets. Target distribution
     = the 'en' slice (the domain to up-sample); raw = whole corpus.
     Positive-log documents are the ones importance resampling would
-    up-weight. The feature hash is the first two hex chars of
-    md5(bigram) — md5 being the cross-engine-stable primitive.
+    up-weight. The feature hash is the integer value of the first two
+    hex DIGITS of md5(bigram) (decoded via their position in the hex
+    alphabet — a full 0..255 range, uniform by md5's avalanche; md5
+    being the cross-engine-stable primitive).
 
     Scale: bigram construction is a higher-order-function map over the
     words array (no shuffle, no lead window — the oracle's window is
@@ -2110,13 +2114,14 @@ def data_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     bigram_expr = F.expr(
         "transform(sequence(1, size(ws) - 1), "
         "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+    hexpos = ("(instr('0123456789abcdef', "
+              "substring(md5(bigram), {i}, 1)) - 1)")
     feat = d.select(
         "doc_id", "lang", "source",
         F.explode(bigram_expr).alias("bigram")).select(
         "doc_id", "lang", "source",
-        F.pmod(F.ascii(F.substring(F.md5("bigram"), 1, 1)) * 256
-               + F.ascii(F.substring(F.md5("bigram"), 2, 1)),
-               F.lit(256)).alias("bucket"))
+        F.expr(f"{hexpos.format(i=1)} * 16 + {hexpos.format(i=2)}")
+        .alias("bucket"))
     fc = (feat.groupBy("bucket")
           .agg(F.count("*").alias("c_r"),
                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))

@@ -517,10 +517,12 @@ def test_segment_dedup_no_global_window(spark):
     fine-grained keys; an un-partitioned window would serialize."""
     plan = _plan(registry.QUERIES["text_segment_dedup"](spark, SF))
     import re as _re
-    # every Window in the plan must carry a partition spec with doc_id
-    for m in _re.finditer(r"Arguments:.*windowspecdefinition\(([^)]*)\)",
-                          plan):
-        assert "doc_id" in m.group(1), plan
+    # every Window in the plan must carry a partition spec with doc_id;
+    # the finditer MUST match at least once or the contract is vacuous
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "doc_id" in s, plan
 
 
 def test_kl_drift_broadcasts_vocab_stats(spark):

@@ -575,3 +575,118 @@ def test_check_marker_is_collision_resistant(spark, tmp_path):
     eng.sql("INSERT INTO ns1.t VALUES "
             "(1, 'OLYMPIA_CHECK: CHECK constraint violated on ns1.t')")
     assert eng.sql("SELECT COUNT(*) AS c FROM ns1.t").first().c == 1
+
+
+# --- round-7 second-pass review findings -------------------------------------
+
+
+def test_split_top_level_string_aware():
+    """A literal 'a, b' must not split; '' escapes a quote."""
+    from olympia_spark.engine import Engine
+    assert Engine._split_top_level("1, 'a, b', 2") == \
+        ["1", " 'a, b'", " 2"]
+    assert Engine._split_top_level("'it''s, fine', x") == \
+        ["'it''s, fine'", " x"]
+    assert Engine._split_top_level("f(a, b), c") == ["f(a, b)", " c"]
+
+
+def test_insert_values_literal_comma_into_transform_table(engine, spark):
+    """Bare VALUES arity detection must be quote-aware: a string
+    literal containing a comma previously miscounted the tuple arity
+    and broke a legitimate INSERT into any generated-column table."""
+    engine.sql("CREATE TABLE ns1.qa (id BIGINT, s STRING, ts TIMESTAMP)"
+               " PARTITIONED BY (days(ts))")
+    engine.sql("INSERT INTO ns1.qa VALUES "
+               "(1, 'a, b', TIMESTAMP '2024-01-01 00:00:00')")
+    r = engine.sql("SELECT s, ts_day FROM ns1.qa").first()
+    assert r.s == "a, b" and str(r.ts_day) == "2024-01-01"
+
+
+def test_add_partition_field_probe_rejects_bad_cast(engine, spark):
+    """days(bigint_col) must fail at ALTER time, not brick reads."""
+    engine.sql("CREATE TABLE ns1.qb (id BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ns1.qb VALUES (1, 2)")
+    with pytest.raises(ValueError, match="does not resolve"):
+        engine.sql("ALTER TABLE ns1.qb ADD PARTITION FIELD days(v)")
+    # table still fully usable
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.qb").first().n == 1
+    engine.sql("INSERT INTO ns1.qb VALUES (2, 3)")
+
+
+def test_add_partition_field_case_variant_rejected(engine, spark):
+    engine.sql("CREATE TABLE ns1.qc (id BIGINT, cat STRING)")
+    engine.sql("ALTER TABLE ns1.qc ADD PARTITION FIELD cat")
+    with pytest.raises(ValueError, match="already a partition field"):
+        engine.sql("ALTER TABLE ns1.qc ADD PARTITION FIELD CAT")
+    # drop accepts the case variant too, then writes stay healthy
+    engine.sql("ALTER TABLE ns1.qc DROP PARTITION FIELD CAT")
+    engine.sql("INSERT INTO ns1.qc VALUES (1, 'x')")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.qc").first().n == 1
+
+
+def test_partition_field_reusable_after_drop(engine, spark):
+    """Iceberg allows re-adding a dropped field; the transform spelling
+    must reuse the surviving generated column, not collide with it."""
+    engine.sql("CREATE TABLE ns1.qd (id BIGINT, ts TIMESTAMP)")
+    engine.sql("ALTER TABLE ns1.qd ADD PARTITION FIELD days(ts)")
+    engine.sql("INSERT INTO ns1.qd VALUES "
+               "(1, TIMESTAMP '2024-01-01 08:00:00')")
+    engine.sql("ALTER TABLE ns1.qd DROP PARTITION FIELD days(ts)")
+    engine.sql("ALTER TABLE ns1.qd ADD PARTITION FIELD days(ts)")
+    engine.sql("INSERT INTO ns1.qd VALUES "
+               "(2, TIMESTAMP '2024-02-02 09:00:00')")
+    rows = {(r.id, str(r.ts_day)) for r in
+            engine.sql("SELECT id, ts_day FROM ns1.qd").collect()}
+    assert rows == {(1, "2024-01-01"), (2, "2024-02-02")}
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "qd")
+    assert tdef.partition_by == ["ts_day"]
+    # a PLAIN column of the synthesized name still refuses the transform
+    engine.sql("CREATE TABLE ns1.qe2 (id BIGINT, ts TIMESTAMP, "
+               "ts_day DATE)")
+    with pytest.raises(ValueError, match="plain column"):
+        engine.sql("ALTER TABLE ns1.qe2 ADD PARTITION FIELD days(ts)")
+
+
+def test_never_evolved_generated_table_single_read(engine, spark):
+    """A never-evolved unpartitioned table with generated columns must
+    keep the single multi-path read (no per-write-dir grouping, no
+    identity coalesce blocking pushdown)."""
+    engine.sql("CREATE TABLE ns1.qf (id BIGINT, ts TIMESTAMP, "
+               "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))")
+    engine.sql("INSERT INTO ns1.qf (id, ts) VALUES "
+               "(1, TIMESTAMP '2024-01-01 00:00:00')")
+    engine.sql("INSERT INTO ns1.qf (id, ts) VALUES "
+               "(2, TIMESTAMP '2024-01-02 00:00:00')")
+    df = engine.sql("SELECT id, d FROM ns1.qf")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Union" not in plan, plan
+    assert "coalesce" not in plan.lower(), plan
+
+
+def test_dsir_hash_uses_full_bucket_range(spark):
+    """Second-pass review: (a*256+b) % 256 == b degenerated the hash to
+    16 buckets while the shared-expression oracle stayed green. Pin the
+    spread: the corpus must hash into (nearly) all 256 buckets."""
+    from olympia_spark.operators import load_all_modules, registry
+    load_all_modules()
+    from olympia_spark.tables import load as tload
+    from pyspark.sql import functions as F
+    d = tload(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.split("text", " ").alias("ws"))
+    bigrams = d.select(F.explode(F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .alias("bigram"))
+    hexpos = ("(instr('0123456789abcdef', "
+              "substring(md5(bigram), {i}, 1)) - 1)")
+    n = (bigrams.select(F.expr(
+        f"{hexpos.format(i=1)} * 16 + {hexpos.format(i=2)}")
+        .alias("bucket"))
+        .agg(F.countDistinct("bucket").alias("n"),
+             F.min("bucket").alias("lo"),
+             F.max("bucket").alias("hi")).first())
+    assert n.n >= 200, n
+    assert n.lo >= 0 and n.hi <= 255, n
