@@ -69,6 +69,7 @@ _PRIORITY = [
     "data_source_kl_drift", "data_dsir_weights",
     "dedup_semantic_cluster", "data_ppl_buckets",
     "b84_q7_shape", "b85_q14_shape", "b86_partition_evolution",
+    "text_contamination_bloom", "data_range_bounds",
     # r2-age stragglers — oldest driver entries in the registry
     "udf_pandas_tiered", "udf_mapinpandas_tokens", "udf_grouped_custstats",
     # latest green = round 3 (streaming last)

@@ -65,6 +65,15 @@ HEADLINE = [
     "b82_merge_schema_evolution",
     "sim_label_propagation",
     "dedup_incremental_catalog",
+    # round-7 surface: hidden-partitioning DDL + spec evolution, the
+    # two-role TPC-H join, and the new curation lanes
+    "b83_partition_transforms",
+    "b86_partition_evolution",
+    "b84_q7_shape",
+    "data_dsir_weights",
+    "dedup_semantic_cluster",
+    "text_contamination_bloom",
+    "data_ppl_buckets",
 ]
 
 

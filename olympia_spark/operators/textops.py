@@ -2250,3 +2250,119 @@ def data_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
         return out
     finally:
         bg.unpersist()
+
+
+# --- C85 Bloom-screened benchmark decontamination ----------------------------
+
+@query("text_contamination_bloom", oracle="""
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+  FROM (SELECT doc_id, source, w,
+               unnest(generate_series(1, len(w) - 4)) AS i
+        FROM base WHERE len(w) >= 5)
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE source = 'src0'
+), bits AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(gram), 1, 4)) AS INTEGER)
+         AS bit
+  FROM bench
+), corpus AS (
+  SELECT doc_id, gram,
+         CAST(('0x' || substr(md5(gram), 1, 4)) AS INTEGER) AS bit
+  FROM g WHERE source <> 'src0'
+), cand AS (
+  SELECT DISTINCT c.doc_id FROM corpus c JOIN bits b ON c.bit = b.bit
+), hit AS (
+  SELECT DISTINCT c.doc_id FROM corpus c JOIN bench h ON c.gram = h.gram
+)
+SELECT CAST((SELECT COUNT(*) FROM bench) AS BIGINT) AS n_bench_grams,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_docs,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_contaminated_docs
+""")
+def text_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """C85 — Bloom-SCREENED decontamination, the 100 TB shape of C31:
+    the benchmark ('src0' as the eval set) compresses to a 2^16-bucket
+    hash bitmap (md5 16-bit prefix — one-hash Bloom filter, exact
+    integers in both engines, no engine-specific sketch); the corpus
+    probes the BROADCAST bitmap first and only screen survivors pay the
+    exact gram verify against the (benchmark-sized, broadcast) gram
+    set. No false negatives by construction — the screen is a strict
+    superset of the exact hit set — and the emitted candidate/hit
+    counts expose the screen's false-positive cost directly.
+
+    Scale: the corpus side never shuffles — both the bitmap (≤ 2^16
+    rows) and the benchmark grams (decontamination premise: benchmark
+    ≪ corpus) broadcast; one distinct-gram pass per side."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w"))
+    gram_arr = ("array_distinct(transform(sequence(1, size(w) - 4), "
+                "i -> array_join(slice(w, i, 5), ' ')))")
+    g = (d.filter(F.size("w") >= 5)
+         .select("doc_id", "source",
+                 F.explode(F.expr(gram_arr)).alias("gram")))
+    bit = F.conv(F.substring(F.md5("gram"), 1, 4), 16, 10).cast("int")
+    bench = g.filter(F.col("source") == "src0").select("gram").distinct()
+    bits = bench.select(bit.alias("bit")).distinct()
+    corpus = (g.filter(F.col("source") != "src0")
+              .select("doc_id", "gram", bit.alias("bit")))
+    n_cand = (corpus.join(F.broadcast(bits), "bit")
+              .select("doc_id").distinct().count())
+    n_hit = (corpus.join(F.broadcast(bench), "gram", "left_semi")
+             .select("doc_id").distinct().count())
+    n_bench = bench.count()
+    n_bits = bits.count()
+    return spark.createDataFrame(
+        [(n_bench, n_bits, n_cand, n_hit)],
+        "n_bench_grams bigint, n_bits bigint, "
+        "n_candidate_docs bigint, n_contaminated_docs bigint")
+
+
+# --- C86 equi-depth range boundaries (range-partitioner planning) ------------
+
+@query("data_range_bounds", oracle="""
+WITH vc AS (
+  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum FROM vc
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+t AS (SELECT unnest(range(1, 8)) AS k)
+SELECT CAST(t.k AS BIGINT) AS k,
+       CAST(ceil(t.k * tot.n / 8.0) AS BIGINT) AS target_rank,
+       CAST(MIN(cum.n_chars) AS BIGINT) AS boundary
+FROM t CROSS JOIN tot
+JOIN cum ON cum.cum >= ceil(t.k * tot.n / 8.0)
+GROUP BY t.k, tot.n ORDER BY k
+""")
+def data_range_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """C86 — equi-depth range boundaries for a sort/partition key: the
+    7 cut points that split the corpus into 8 equal-depth ranges by
+    n_chars — what a RangePartitioner (global sort, write-clustering,
+    ZORDER binning) needs before it can plan. Exact-rank semantics
+    (boundary = smallest value whose cumulative count reaches
+    ceil(k·n/8)) — percentile_disc, not interpolation.
+
+    Scale: the corpus pays ONE partial+final count-by-value agg; the
+    cumulative window runs over the DISTINCT-VALUE relation (bounded
+    key domain — document lengths), not the corpus, and the 7 targets
+    join it broadcast. Production range partitioners sample instead;
+    this is the exact-audit twin."""
+    d = load(spark, sf, "documents")
+    vc = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    wcum = W.orderBy("n_chars").rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    cum = vc.withColumn("cum", F.sum("c").over(wcum))
+    tot = d.agg(F.count("*").alias("n"))
+    t = spark.range(1, 8).select(F.col("id").alias("k"))
+    target = F.ceil(F.col("k") * F.col("n") / 8.0).cast("bigint")
+    return (t.crossJoin(F.broadcast(tot))
+            .join(F.broadcast(cum), cum.cum >= target)
+            .groupBy("k", "n")
+            .agg(F.min("n_chars").cast("bigint").alias("boundary"))
+            .select(F.col("k").cast("bigint").alias("k"),
+                    target.alias("target_rank"), "boundary")
+            .orderBy("k"))
