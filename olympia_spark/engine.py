@@ -971,9 +971,14 @@ class Engine:
                                       default=str)
                 # per-data-file sequence numbers + partition tuples ride
                 # in on a broadcast (file_path → seq, part) map —
-                # O(files) rows, never data-sized
+                # O(files) rows, never data-sized. The manifest path is
+                # normalized EXACTLY like the scan side's norm() — if the
+                # two disagreed (e.g. a file:// URI estate) __seq would
+                # join NULL and every delete condition would evaluate
+                # NULL, silently resurrecting equality-deleted rows.
                 seq_df = self.spark.createDataFrame(
-                    [(e["file_path"], e["sequence_number"],
+                    [(re.sub(r"^file:/+", "/", e["file_path"]),
+                      e["sequence_number"],
                       pcanon(e.get("partition")))
                      for e in entries],
                     T.StructType([
@@ -3515,8 +3520,15 @@ class Engine:
             add, rm = self.restore_table(m.group(1), int(m.group(2)))
             return spark.createDataFrame(
                 [(add, rm)], "files_restored long, files_removed long")
+        # The partition group is BALANCED-paren aware (one nesting level,
+        # enough for transforms like bucket(16, id)): a greedy [\w, ()]+
+        # could swallow a CTAS tail ending in ')' — e.g. `... PARTITIONED
+        # BY (cat) AS SELECT count(x) FROM s GROUP BY (cat)` captured
+        # `cat) AS SELECT ... (cat` and silently dropped the CTAS data.
+        # The balanced form can never consume an unmatched ')'.
         m = re.match(r"CREATE( OR REPLACE)? TABLE( IF NOT EXISTS)? (\S+?)\s*"
-                     r"(?:\((.+?)\))?\s*(?:PARTITIONED BY \(([\w, ()]+)\))?"
+                     r"(?:\((.+?)\))?"
+                     r"\s*(?:PARTITIONED BY \(((?:[\w, ]|\([\w, ]*\))+)\))?"
                      r"\s*(?:TBLPROPERTIES \((.+?)\))?"
                      r"\s*(?:AS (SELECT .+))?$",
                      norm, re.I | re.S)
@@ -3761,13 +3773,30 @@ class Engine:
                     # insert may supply only the non-generated columns
                     # (the engine owns generated ones and recomputes
                     # them at the writer regardless) — the tuple arity
-                    # decides which binding applies
-                    i0 = payload.index("(")
-                    arity = len(self._split_top_level(
-                        payload[i0 + 1:_match_paren(payload, i0) - 1]))
+                    # decides which binding applies. EVERY tuple's arity
+                    # is checked up front: binding by the first tuple
+                    # alone would send a mixed-arity list downstream to
+                    # a Spark error that never mentions this binding.
+                    arities = []
+                    i0 = payload.find("(")
+                    while i0 != -1:
+                        end = _match_paren(payload, i0)
+                        arities.append(len(self._split_top_level(
+                            payload[i0 + 1:end - 1])))
+                        i0 = payload.find("(", end)
                     plain_cols = [f.name for f in schema.fields
                                   if f.name not in
                                   tdef_ins.generated_columns]
+                    if len(set(arities)) > 1:
+                        raise ValueError(
+                            f"INSERT VALUES: tuples have differing "
+                            f"arities {sorted(set(arities))}; a bare "
+                            f"VALUES insert into a table with generated "
+                            f"columns binds either all {len(target_cols)}"
+                            f" columns or the {len(plain_cols)} "
+                            f"non-generated ones — every tuple must "
+                            f"supply the same count")
+                    arity = arities[0]
                     if (arity == len(plain_cols)
                             and arity != len(target_cols)):
                         target_cols = plain_cols

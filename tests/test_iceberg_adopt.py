@@ -499,17 +499,20 @@ def _eq_manifest(mdir, entries) -> str:
 
 
 def _eq_table(tmp_path, *, delete_rows, eq_ids, extra_file_ids=None,
-              mixed_pos=None):
+              mixed_pos=None, f1_uri=False):
     """v2 MOR table: f1 (ids 0-9, seq 1), an equality delete file
     (seq 2, keys ``delete_rows`` on ``eq_ids`` columns), and optionally
     f2 at seq 3 (rows written AFTER the delete — must survive) and a
-    position delete file at seq 2."""
+    position delete file at seq 2. ``f1_uri`` records f1's manifest
+    path in file:// URI form (some writers do)."""
     tdir = str(tmp_path / "iceeq")
     mdir = os.path.join(tdir, "metadata")
     ddir = os.path.join(tdir, "data")
     os.makedirs(mdir)
     os.makedirs(ddir)
     f1 = _write_parquet(os.path.join(ddir, "f1.parquet"), list(range(10)))
+    if f1_uri:
+        f1 = {**f1, "file_path": "file://" + f1["file_path"]}
     manifests = [(_eq_manifest(mdir, [_eq_entry(1, f1, seq=1)]), 0, 1)]
     if extra_file_ids:
         f2 = _write_parquet(os.path.join(ddir, "f2.parquet"),
@@ -573,6 +576,23 @@ def test_adopt_mor_equality_deletes_applied(spark, tmp_path):
     tdef = eng.catalog.describe_table(txn, "lake", "t")
     assert tdef.properties["iceberg.equality-deletes-applied"] == "1"
     assert tdef.properties["iceberg.position-deletes-applied"] == "0"
+
+
+def test_adopt_mor_equality_delete_with_file_uri_paths(spark, tmp_path):
+    """ADVICE r7: a manifest that records data-file paths in file:// URI
+    form must still join the per-file sequence map — seq_df now applies
+    the same norm() as the scan side; before the fix __seq joined NULL,
+    every delete condition evaluated NULL, and the deleted rows silently
+    resurfaced."""
+    tdir = _eq_table(
+        tmp_path,
+        delete_rows={"id": pa.array([1, 3], pa.int64())},
+        eq_ids=[1], f1_uri=True)
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    eng.adopt_iceberg_table("lake.t", tdir, as_native=True)
+    ids = {r.id for r in eng.sql("SELECT id FROM lake.t").collect()}
+    assert ids == set(range(10)) - {1, 3}
 
 
 def test_adopt_mor_multi_column_equality_and_nulls(spark, tmp_path):

@@ -690,3 +690,55 @@ def test_dsir_hash_uses_full_bucket_range(spark):
              F.max("bucket").alias("hi")).first())
     assert n.n >= 200, n
     assert n.lo >= 0 and n.hi <= 255, n
+
+
+def test_partitioned_ctas_ending_in_paren(engine, spark):
+    """ADVICE r8 (medium): the widened CREATE TABLE partition group
+    ([\\w, ()]+, greedy) could swallow a CTAS tail ending in ')' — the
+    statement 'succeeded', creating an empty table with garbage
+    partition columns and silently dropping the CTAS data. The balanced
+    form can never consume an unmatched ')'."""
+    engine.sql("CREATE TABLE ns1.csrc (id BIGINT, cat STRING)")
+    engine.sql("INSERT INTO ns1.csrc VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    engine.sql("CREATE TABLE ns1.cx PARTITIONED BY (cat) AS "
+               "SELECT cat, count(id) AS c FROM ns1.csrc GROUP BY (cat)")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "cx")
+    assert tdef.partition_by == ["cat"]
+    rows = {(r.cat, r.c) for r in
+            engine.sql("SELECT cat, c FROM ns1.cx").collect()}
+    assert rows == {("a", 2), ("b", 1)}
+
+
+def test_partitioned_ctas_with_transform_and_tail_paren(engine, spark):
+    """Transform entries (parens inside the partition list) AND a CTAS
+    tail ending in ')' in the same statement."""
+    engine.sql("CREATE TABLE ns1.tsrc (id BIGINT, ts TIMESTAMP)")
+    engine.sql("INSERT INTO ns1.tsrc VALUES "
+               "(1, TIMESTAMP '2024-01-01 10:00:00'), "
+               "(2, TIMESTAMP '2024-02-01 10:00:00')")
+    engine.sql("CREATE TABLE ns1.tx PARTITIONED BY (months(ts)) AS "
+               "SELECT id, ts FROM ns1.tsrc WHERE id IN (1, 2)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.tx").first().n == 2
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "tx")
+    assert tdef.partition_by == ["ts_month"]
+
+
+def test_bare_values_mixed_arity_clear_error(engine):
+    """ADVICE r8 (low): a bare multi-tuple VALUES insert into a
+    generated-column table was bound by the FIRST tuple's arity only —
+    mixed-arity lists failed downstream with a Spark error that never
+    mentioned the generated-column binding."""
+    engine.sql("CREATE TABLE ns1.gv (id BIGINT, ts TIMESTAMP, "
+               "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))")
+    with pytest.raises(ValueError, match="differing arities"):
+        engine.sql("INSERT INTO ns1.gv VALUES "
+                   "(1, TIMESTAMP '2024-01-01 00:00:00'), "
+                   "(2, TIMESTAMP '2024-01-02 00:00:00', DATE '2024-01-02')")
+    # uniform-arity bindings still work, both forms
+    engine.sql("INSERT INTO ns1.gv VALUES "
+               "(1, TIMESTAMP '2024-01-01 00:00:00'), "
+               "(2, TIMESTAMP '2024-01-02 00:00:00')")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.gv "
+                      "WHERE d = CAST(ts AS DATE)").first().n == 2
