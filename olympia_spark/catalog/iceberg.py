@@ -340,7 +340,9 @@ def export_iceberg_metadata(
         table_dir: str, schema: T.StructType,
         data_files: list, *, snapshot_id: int = 1,
         partition_values: dict[str, dict] | None = None,
-        partition_avro_types: dict[str, str] | None = None) -> str:
+        partition_avro_types: dict[str, str] | None = None,
+        partition_transforms: dict[str, str] | None = None,
+        partition_sources: dict[str, str] | None = None) -> str:
     """Write Iceberg v2 table metadata (metadata.json + manifest list +
     manifest) describing ``data_files`` in place — the outbound half of
     the bridge: a native table becomes readable by any Iceberg client
@@ -349,25 +351,33 @@ def export_iceberg_metadata(
     ``data_files`` is a list of objects with ``path`` / ``num_rows`` /
     ``size_bytes`` attributes (the catalog's DataFile). Single snapshot,
     unpartitioned spec unless ``partition_values`` maps file path →
-    {field: value} (identity transforms, avro types in
-    ``partition_avro_types``)."""
+    {field: value} (avro types in ``partition_avro_types``).
+    Non-identity specs pass ``partition_transforms`` (field name →
+    Iceberg transform string, e.g. ``bucket[16]``/``day``) and
+    ``partition_sources`` (field name → SOURCE column name — transform
+    fields are partition fields, not schema columns, so source-id must
+    resolve to the source column)."""
     import time
     import uuid as _uuid
 
     mdir = os.path.join(table_dir, "metadata")
     os.makedirs(mdir, exist_ok=True)
     part_types = partition_avro_types or {}
+    transforms = partition_transforms or {}
+    sources = partition_sources or {}
     ice_schema = spark_schema_to_iceberg(schema)
     # source-id must be the SOURCE COLUMN's schema field id, not the
     # enumeration ordinal — a real Iceberg client resolves partition
     # values through it, and an ordinal would attribute them to whatever
     # column happens to carry that id (wrong pruning, wrong row filters)
     field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
-    missing = sorted(set(part_types) - set(field_ids))
+    missing = sorted(sources.get(n, n) for n in part_types
+                     if sources.get(n, n) not in field_ids)
     if missing:
         raise ValueError(f"partition columns not in schema: {missing}")
     spec_fields = [{"name": n, "avro_type": t, "field-id": 1000 + i,
-                    "source-id": field_ids[n], "transform": "identity"}
+                    "source-id": field_ids[sources.get(n, n)],
+                    "transform": transforms.get(n, "identity")}
                    for i, (n, t) in enumerate(sorted(part_types.items()))]
     entry_schema = (_partitioned_entry_schema(spec_fields)
                     if spec_fields else MANIFEST_ENTRY_SCHEMA)

@@ -1,0 +1,160 @@
+"""Iceberg bucket-transform hashing: murmur3_x86_32 over the spec's
+single-value binary serialization, numpy-vectorized.
+
+The reference's table plane IS Iceberg (proto/objects.proto:58-69; its
+Spark host pins Iceberg 1.8.1 in spark/v3.5/build.gradle:38), so a
+bucket-partitioned table must number its buckets EXACTLY like a native
+Iceberg writer or an adopted/exported estate silently disagrees about
+which file holds which row. Per the Iceberg spec ("Appendix B: 32-bit
+Hash Requirements"):
+
+- int/long/date/time/timestamp[tz] hash the value as a 64-bit
+  little-endian long: ``hashLong(v) = murmur3_x86_32(littleEndian(v))``
+  (int promotes to long so ``bucket(N, int)`` = ``bucket(N, long)``).
+- string hashes its UTF-8 bytes; uuid/fixed/binary hash raw bytes.
+- decimal hashes the minimal two's-complement big-endian bytes of its
+  unscaled value.
+- ``bucket(N, v) = (hash(v) & Integer.MAX_VALUE) % N``.
+
+Spec-published golden values pin the implementation (see
+tests/test_iceberg_hash.py): hash(34L) = 2017239379,
+hash("iceberg") = 1210000089, hash(date '2017-11-16') = -653330422.
+
+Everything is vectorized: the long path is pure uint32 numpy array
+arithmetic; the bytes path packs variable-length inputs into a padded
+[n, ceil(maxlen/4)] uint32 block matrix and applies each murmur round
+under a per-row length mask — no per-row Python in either lane.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+try:  # executors can't import the repo when the driver runs elsewhere
+    import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover — registration is best-effort
+    pass
+
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
+
+
+def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
+    return ((x << np.uint32(r)) | (x >> np.uint32(32 - r))).astype(
+        np.uint32)
+
+
+def _mix_k1(k1: np.ndarray) -> np.ndarray:
+    k1 = (k1 * _C1).astype(np.uint32)
+    k1 = _rotl32(k1, 15)
+    return (k1 * _C2).astype(np.uint32)
+
+
+def _mix_h1(h1: np.ndarray, k1: np.ndarray) -> np.ndarray:
+    h1 = h1 ^ k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * np.uint32(5) + np.uint32(0xE6546B64)).astype(np.uint32)
+
+
+def _fmix(h1: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    h1 = h1 ^ nbytes.astype(np.uint32)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = (h1 * np.uint32(0x85EBCA6B)).astype(np.uint32)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = (h1 * np.uint32(0xC2B2AE35)).astype(np.uint32)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    return h1
+
+
+def murmur3_long(values: np.ndarray) -> np.ndarray:
+    """murmur3_x86_32(seed=0) of each int64 as 8 little-endian bytes —
+    Iceberg's hashLong. Input int64 array, output int32 array."""
+    v = values.astype(np.int64).view(np.uint64)
+    k_lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k_hi = (v >> np.uint64(32)).astype(np.uint32)
+    h1 = np.zeros(len(v), np.uint32)
+    h1 = _mix_h1(h1, _mix_k1(k_lo))
+    h1 = _mix_h1(h1, _mix_k1(k_hi))
+    return _fmix(h1, np.full(len(v), 8, np.uint32)).view(np.int32)
+
+
+def murmur3_bytes(values: list[bytes | None]) -> np.ndarray:
+    """murmur3_x86_32(seed=0) of variable-length byte strings,
+    vectorized: rows are packed into one contiguous uint8 buffer padded
+    to 4-byte little-endian blocks; each block round and the tail round
+    apply under a per-row "row still has bytes here" mask. Output int32;
+    None rows yield 0 (callers mask them back to NULL)."""
+    n = len(values)
+    lens = np.fromiter((len(b) if b is not None else 0 for b in values),
+                       np.int64, n)
+    max_blocks = int((lens.max() if n else 0) + 3) // 4
+    h1 = np.zeros(n, np.uint32)
+    if max_blocks == 0:
+        return _fmix(h1, np.zeros(n, np.uint32)).view(np.int32)
+    buf = np.zeros((n, max_blocks * 4), np.uint8)
+    for i, b in enumerate(values):          # one memcpy per row, no math
+        if b:
+            buf[i, :len(b)] = np.frombuffer(b, np.uint8)
+    blocks = buf.view(np.uint32).reshape(n, max_blocks)  # little-endian
+    full = lens // 4                         # full 4-byte blocks per row
+    for j in range(max_blocks):
+        mask = full > j
+        if not mask.any():
+            break
+        k1 = _mix_k1(blocks[:, j])
+        h1 = np.where(mask, _mix_h1(h1, k1), h1)
+    # tail (1-3 trailing bytes): mixed into h1 WITHOUT the h1-rotation
+    # round, per the reference algorithm
+    tail_len = lens % 4
+    has_tail = tail_len > 0
+    if has_tail.any():
+        tail_block = blocks[np.arange(n), np.minimum(full, max_blocks - 1)]
+        keep = np.where(
+            has_tail,
+            (np.uint64(1) << (tail_len.astype(np.uint64) * np.uint64(8)))
+            - np.uint64(1),
+            np.uint64(0)).astype(np.uint64)
+        k1 = (tail_block.astype(np.uint64) & keep).astype(np.uint32)
+        h1 = np.where(has_tail, h1 ^ _mix_k1(k1), h1)
+    return _fmix(h1, lens.astype(np.uint32)).view(np.int32)
+
+
+def register_iceberg_hash(spark) -> None:
+    """Register the Iceberg bucket hash as two pandas UDFs (Arrow batch
+    transfer, numpy math — never per-row Python):
+
+    - ``iceberg_hash_long(BIGINT) -> INT``: int/long/date/time/timestamp
+      lanes (callers pre-convert with unix_date/unix_micros/cast).
+    - ``iceberg_hash_str(STRING) -> INT``: UTF-8 byte hashing.
+
+    Idempotent per session — registration overwrites in place."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # no pd.Series annotations: `from __future__ import annotations`
+    # stringifies hints and pyspark's resolver can't evaluate them here
+    # — the explicit SCALAR pandas-udf form is equivalent
+    def _hash_long(s):
+        mask = s.isna()
+        vals = s.fillna(0).to_numpy(np.int64)
+        out = pd.array(murmur3_long(vals), dtype="Int32")
+        out[mask.to_numpy()] = None
+        return pd.Series(out)
+
+    def _hash_str(s):
+        mask = s.isna()
+        raw = [None if pd.isna(v) else str(v).encode("utf-8") for v in s]
+        out = pd.array(murmur3_bytes(raw), dtype="Int32")
+        out[mask.to_numpy()] = None
+        return pd.Series(out)
+
+    iceberg_hash_long = F.pandas_udf(_hash_long, T.IntegerType())
+    iceberg_hash_str = F.pandas_udf(_hash_str, T.IntegerType())
+
+    spark.udf.register("iceberg_hash_long", iceberg_hash_long)
+    spark.udf.register("iceberg_hash_str", iceberg_hash_str)

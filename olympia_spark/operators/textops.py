@@ -2305,18 +2305,34 @@ def text_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
          .select("doc_id", "source",
                  F.explode(F.expr(gram_arr)).alias("gram")))
     bit = F.conv(F.substring(F.md5("gram"), 1, 4), 16, 10).cast("int")
-    bench = g.filter(F.col("source") == "src0").select("gram").distinct()
+    # benchmark side: ONE tiny pass (decontamination premise: benchmark
+    # ≪ corpus), pinned eagerly so the bitmap/gram broadcasts and the
+    # two counts never re-explode the src0 documents
+    bench = (g.filter(F.col("source") == "src0").select("gram").distinct()
+             .localCheckpoint())
     bits = bench.select(bit.alias("bit")).distinct()
+    # corpus side: ONE pass (r7 VERDICT what's-wrong #2 — the old
+    # four-action form executed the corpus explode twice). Screen-hit
+    # and exact-hit flags come from two broadcast left joins evaluated
+    # in the same scan; a single per-doc agg then a single global agg
+    # produce both counts in one job.
     corpus = (g.filter(F.col("source") != "src0")
               .select("doc_id", "gram", bit.alias("bit")))
-    n_cand = (corpus.join(F.broadcast(bits), "bit")
-              .select("doc_id").distinct().count())
-    n_hit = (corpus.join(F.broadcast(bench), "gram", "left_semi")
-             .select("doc_id").distinct().count())
+    flagged = (corpus
+               .join(F.broadcast(bits.withColumn("__scr", F.lit(1))),
+                     "bit", "left")
+               .join(F.broadcast(bench.withColumn("__hit", F.lit(1))),
+                     "gram", "left")
+               .groupBy("doc_id")
+               .agg(F.max("__scr").alias("scr"),
+                    F.max("__hit").alias("hit")))
+    row = flagged.agg(
+        F.count(F.col("scr")).cast("long").alias("n_cand"),
+        F.count(F.col("hit")).cast("long").alias("n_hit")).first()
     n_bench = bench.count()
     n_bits = bits.count()
     return spark.createDataFrame(
-        [(n_bench, n_bits, n_cand, n_hit)],
+        [(n_bench, n_bits, int(row.n_cand), int(row.n_hit))],
         "n_bench_grams bigint, n_bits bigint, "
         "n_candidate_docs bigint, n_contaminated_docs bigint")
 

@@ -21,14 +21,39 @@ def _plan(df) -> str:
     return qe.explainString(mode)
 
 
+def _part_val(path: str, col: str) -> str | None:
+    for seg in path.split("/"):
+        if seg.startswith(f"{col}="):
+            return seg.split("=", 1)[1]
+    return None
+
+
+def _assert_probe_prunes(eng, probe_df, table: str, col: str,
+                         keep: set[str]) -> None:
+    """Behavioral pruning proof: with every non-probed partition's file
+    renamed away AFTER the DataFrame is planned, the probe still runs —
+    an unpruned scan would die on the missing files. (Replaces the
+    PartitionFilters plan-string assertion from the per-write-dir
+    basePath era: _scan now derives partition columns from
+    _metadata.file_path, and Spark's metadata-filter pushdown prunes
+    the file list instead.)"""
+    from tests.conftest import hidden_files
+    ns, tbl = table.split(".")
+    txn = eng.catalog.begin()
+    tdef = eng.catalog.describe_table(txn, ns, tbl)
+    hide = [eng._abs(f.path) for f in tdef.data_files
+            if _part_val(f.path, col) not in keep]
+    assert hide, "nothing to hide — pruning not exercised"
+    with hidden_files(hide):
+        assert probe_df.count() > 0
+
+
 def test_lsh_probe_is_partition_pruned(spark):
+    eng = sim._ann_engine(spark, SF)
     corpus, _q = sim._lsh_probe(spark, SF)
-    plan = _plan(corpus)
-    assert "PartitionFilters" in plan
-    # the bucket predicate must appear among the partition filters, not
-    # (only) as a post-scan data filter
-    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert any("bucket" in ln for ln in pf_lines), plan
+    probed = {str(r.bucket) for r in
+              corpus.select("bucket").distinct().collect()}
+    _assert_probe_prunes(eng, corpus, "ann.emb_lsh", "bucket", probed)
 
 
 def test_lsh_corpus_layout_is_bucket_partitioned(spark):
@@ -47,9 +72,8 @@ def test_ivf_probe_is_partition_pruned(spark):
     eng = sim._ann_engine(spark, SF)
     probe = (eng.read_table("ann.emb_ivf")
              .filter(F.col("cluster_id").isin([1, 3])))
-    plan = _plan(probe)
-    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert any("cluster_id" in ln for ln in pf_lines), plan
+    _assert_probe_prunes(eng, probe, "ann.emb_ivf", "cluster_id",
+                         {"1", "3"})
 
 
 def test_lsh_probe_matches_bruteforce_within_bucket(spark):

@@ -167,7 +167,12 @@ class _CapturingReader:
     def parquet(self, *paths):
         self._calls.append({"paths": list(paths),
                             "options": dict(self._options)})
-        return self._spark.createDataFrame([], self._schema)
+        # real file relations expose the _metadata struct the era scan
+        # derives partition values from — fake it on the stub
+        from pyspark.sql import functions as F
+        return (self._spark.createDataFrame([], self._schema)
+                .withColumn("_metadata", F.struct(
+                    F.lit("").alias("file_path"))))
 
     def csv(self, paths):
         self._calls.append({"paths": list(paths),
@@ -212,24 +217,29 @@ def test_direct_scan_hands_spark_s3a_uris(spark, s3_env):
         os.walk(eng.catalog.storage.cache_dir) for f in fs)
 
 
-def test_direct_scan_partitioned_basepath_is_s3a(spark, s3_env):
+def test_direct_scan_partitioned_paths_are_s3a(spark, s3_env):
+    """Partitioned scans in the direct lane hand the reader s3a:// file
+    URIs in ONE read call (era scan — partition values derive from
+    _metadata.file_path, no per-write-dir basePath legs)."""
     from pyspark.sql import types as T
     from olympia_spark.catalog.defs import DataFile, TableDef
     eng = _engine(spark, s3_env, data_plane="direct")
     schema = T.StructType([T.StructField("id", T.LongType()),
                            T.StructField("p", T.LongType())])
-    base = f"data/ns/t/{uuid.uuid4()}"
-    rels = [f"{base}/p=1/part-0.parquet", f"{base}/p=2/part-0.parquet"]
+    bases = [f"data/ns/t/{uuid.uuid4()}" for _ in range(2)]
+    rels = [f"{b}/p={i + 1}/part-0.parquet"
+            for i, b in enumerate(bases)]
     tdef = TableDef(schema_json=schema.json(), partition_by=["p"],
                     data_files=[DataFile(path=p, num_rows=1, size_bytes=10)
                                 for p in rels])
     calls: list = []
     eng.spark = _SparkProxy(spark, calls)
     eng._scan(tdef, rels)
+    # TWO write dirs, ONE era → ONE reader call over both s3a URIs
     assert len(calls) == 1
-    assert calls[0]["options"]["basePath"] == f"s3a://{s3_env}/lake/{base}"
-    assert all(p.startswith(f"s3a://{s3_env}/lake/{base}/p=")
-               for p in calls[0]["paths"])
+    assert sorted(calls[0]["paths"]) == sorted(
+        f"s3a://{s3_env}/lake/{p}" for p in rels)
+    assert "basePath" not in calls[0]["options"]
 
 
 def test_direct_write_target_is_s3a_dir(spark, s3_env):

@@ -159,16 +159,30 @@ def test_partitioned_dml_prunes_partitions(engine, sf_dir):
 
 
 def test_partitioned_sql_create_and_plan_pruning(engine, spark):
+    """Partition predicates must prune FILES, not just rows: with every
+    bucket='bb' file renamed away after the DataFrame is planned, the
+    bucket='aa' query still runs — an unpruned scan would die on the
+    missing file. (The behavioral form of the old PartitionFilters
+    plan assertion, which the union-free _metadata.file_path scan
+    replaced.)"""
+    from tests.conftest import hidden_files
     engine.sql("CREATE TABLE ns1.pt (id BIGINT, bucket STRING) "
                "PARTITIONED BY (bucket)")
     for b in ("aa", "bb"):
         df = spark.range(50).selectExpr("id", f"'{b}' AS bucket")
         engine.write_table(df, "ns1.pt")
-    plan = (engine.sql("SELECT * FROM ns1.pt WHERE bucket = 'aa'")
-            ._jdf.queryExecution().executedPlan().toString())
-    assert "PartitionFilters: [isnotnull(bucket" in plan
-    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.pt "
-                      "WHERE bucket = 'aa'").first().n == 50
+    q = engine.sql("SELECT COUNT(*) AS n FROM ns1.pt WHERE bucket = 'aa'")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "pt")
+    bb_files = [engine._abs(f.path) for f in tdef.data_files
+                if "/bucket=bb/" in f.path]
+    assert bb_files
+    with hidden_files(bb_files):
+        assert q.first().n == 50
+    # and a single scan node serves the whole 2-write table (no
+    # per-write-dir union legs)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_remove_orphan_files(engine, spark):
@@ -912,3 +926,54 @@ def test_zorder_tolerates_nan_values(engine, spark):
     engine.compact_table("ns1.zn2", min_files=1, zorder_by=["x"],
                          target_files=2)
     assert engine.sql("SELECT COUNT(*) AS n FROM ns1.zn2").first().n == 50
+
+
+def test_fifty_commit_partitioned_table_plans_one_scan(engine, spark):
+    """VERDICT r7 next-round #1: a partitioned table with 50 appends
+    (a month and a half of daily loads) must plan ONE parquet relation,
+    not a 50-leg union — plan size must be O(layout eras), never
+    O(write dirs). And the data must still read back complete."""
+    engine.sql("CREATE TABLE ns1.daily (id BIGINT, day STRING) "
+               "PARTITIONED BY (day)")
+    one = spark.createDataFrame([(0, "x")], "id BIGINT, day STRING")
+    for i in range(50):
+        engine.write_table(
+            one.selectExpr(f"CAST({i} AS BIGINT) AS id",
+                           f"'d{i % 5}' AS day"), "ns1.daily")
+    df = engine.sql("SELECT * FROM ns1.daily")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Relation") == 1, opt
+    assert "Union" not in opt, opt
+    assert df.count() == 50
+    # partition predicate still prunes files (behavioral, not plan-string)
+    from tests.conftest import hidden_files
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "daily")
+    q = engine.sql("SELECT COUNT(*) AS n FROM ns1.daily WHERE day = 'd0'")
+    hide = [engine._abs(f.path) for f in tdef.data_files
+            if "/day=d0/" not in f.path]
+    assert len(hide) == 40
+    with hidden_files(hide):
+        assert q.first().n == 10
+
+
+def test_partition_evolution_plans_one_scan_per_era(engine, spark):
+    """Spec evolution creates a second layout era — the plan is bounded
+    by ERA count (2 relations), not by write-dir count (4)."""
+    engine.sql("CREATE TABLE ns1.evo (id BIGINT, ts TIMESTAMP)")
+    ins = ("INSERT INTO ns1.evo VALUES ({i}, "
+           "TIMESTAMP '2024-01-0{d} 10:00:00')")
+    engine.sql(ins.format(i=1, d=1))
+    engine.sql(ins.format(i=2, d=2))
+    engine.sql("ALTER TABLE ns1.evo ADD PARTITION FIELD days(ts)")
+    engine.sql(ins.format(i=3, d=3))
+    engine.sql(ins.format(i=4, d=4))
+    df = engine.sql("SELECT id, ts, ts_day FROM ns1.evo")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Relation") == 2, opt
+    assert df.count() == 4
+    # pre-evolution rows derive ts_day on read; post-evolution rows get
+    # it from the hive path — all four agree with the generation expr
+    n = engine.sql("SELECT COUNT(*) AS n FROM ns1.evo "
+                   "WHERE ts_day = CAST(ts AS DATE)").first().n
+    assert n == 4
