@@ -933,8 +933,11 @@ def test_fifty_commit_partitioned_table_plans_one_scan(engine, spark):
     (a month and a half of daily loads) must plan ONE parquet relation,
     not a 50-leg union — plan size must be O(layout eras), never
     O(write dirs). And the data must still read back complete."""
+    # auto-compaction off: this test pins plan boundedness at raw
+    # write-dir count — compaction would mask the union-legs regression
     engine.sql("CREATE TABLE ns1.daily (id BIGINT, day STRING) "
-               "PARTITIONED BY (day)")
+               "PARTITIONED BY (day) "
+               "TBLPROPERTIES ('auto.compact.threshold'='off')")
     one = spark.createDataFrame([(0, "x")], "id BIGINT, day STRING")
     for i in range(50):
         engine.write_table(
@@ -977,3 +980,60 @@ def test_partition_evolution_plans_one_scan_per_era(engine, spark):
     n = engine.sql("SELECT COUNT(*) AS n FROM ns1.evo "
                    "WHERE ts_day = CAST(ts AS DATE)").first().n
     assert n == 4
+
+
+def test_auto_compaction_bounds_write_dir_count(engine, spark):
+    """40 appends with the default auto.compact.threshold=32: the
+    write-dir count stays bounded by construction, history/time travel
+    still work (compaction is a versioned commit), and the data reads
+    back complete."""
+    engine.sql("CREATE TABLE ns1.ac (id BIGINT)")
+    one = spark.createDataFrame([(0,)], "id BIGINT")
+    for i in range(40):
+        engine.write_table(one.selectExpr(f"CAST({i} AS BIGINT) AS id"),
+                           "ns1.ac")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "ac")
+    dirs = {f.path.split("/")[3] for f in tdef.data_files}
+    assert len(dirs) <= 32, len(dirs)
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ac").first().n == 40
+    assert engine.sql(
+        "SELECT CAST(SUM(id) AS BIGINT) AS s FROM ns1.ac").first().s \
+        == sum(range(40))
+    # a pre-compaction version is still readable
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ac "
+                      "VERSION AS OF 10").first().n <= 40
+
+
+def test_auto_compaction_off_property(engine, spark):
+    engine.sql("CREATE TABLE ns1.nc (id BIGINT) "
+               "TBLPROPERTIES ('auto.compact.threshold'='off')")
+    one = spark.createDataFrame([(0,)], "id BIGINT")
+    for i in range(36):
+        engine.write_table(one, "ns1.nc")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "nc")
+    dirs = {f.path.split("/")[3] for f in tdef.data_files}
+    assert len(dirs) == 36
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.nc").first().n == 36
+
+
+def test_auto_compaction_skipped_inside_explicit_txn(engine, spark):
+    """Maintenance never injects its own commit into a user BEGIN block."""
+    engine.sql("CREATE TABLE ns1.tx (id BIGINT) "
+               "TBLPROPERTIES ('auto.compact.threshold'='2')")
+    one = spark.createDataFrame([(0,)], "id BIGINT")
+    engine.sql("BEGIN")
+    for _ in range(5):
+        engine.write_table(one, "ns1.tx")
+    engine.sql("COMMIT")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "tx")
+    dirs = {f.path.split("/")[3] for f in tdef.data_files}
+    assert len(dirs) == 5          # untouched during the txn
+    # the next autonomous append triggers the deferred compaction
+    engine.write_table(one, "ns1.tx")
+    txn = engine.catalog.begin()
+    tdef = engine.catalog.describe_table(txn, "ns1", "tx")
+    dirs = {f.path.split("/")[3] for f in tdef.data_files}
+    assert len(dirs) <= 2
