@@ -53,47 +53,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry ages past the stale horizon. Round-7 list
-# (VERDICT r6 item #3): (1) the three r2-age stragglers the r6 window
-# missed (the udf trio), (2) the 47 queries whose latest green is round 3
-# (streaming-heavy last), filling the ~50 driver slots exactly; (3) the
-# queries whose code paths changed THIS round (merge single-write
-# restructure, equality-delete adoption, data-plane scan/write rework —
-# all re-proven locally against their DuckDB oracles at sf0.01 and
-# sf0.1); the rest rank after in registry order.
+# no query's newest driver entry ages past the stale horizon. Round-8 list
+# (VERDICT r7 item #3): (1) the 16 queries whose latest green is still
+# round 3 — the r7 window covered everything newer; (2) the queries whose
+# code paths changed THIS round (union-free era scan + auto-compaction →
+# every partitioned/DML lane, murmur3 bucket transforms → b83/b86/export,
+# batched equality deletes → b66, single-pass bloom, the four
+# repartition(16) removals — all re-proven locally against their DuckDB
+# oracles at sf0.01 and sf0.1); (3) the r4-age batch fills the remaining
+# slots (oldest-first). The rest rank after in registry order.
 _PRIORITY = [
     # NEW this round — never driver-checked yet
-    "text_bm25_topk", "dedup_winnowing", "data_host_cap",
-    "text_token_freq_spectrum", "data_mad_outliers",
-    "b83_partition_transforms", "text_segment_dedup",
-    "data_source_kl_drift", "data_dsir_weights",
-    "dedup_semantic_cluster", "data_ppl_buckets",
-    "b84_q7_shape", "b85_q14_shape", "b86_partition_evolution",
-    "text_contamination_bloom", "data_range_bounds",
-    # r2-age stragglers — oldest driver entries in the registry
-    "udf_pandas_tiered", "udf_mapinpandas_tokens", "udf_grouped_custstats",
-    # latest green = round 3 (streaming last)
-    "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
-    "b17_topk", "b18_union", "b18b_union_all", "b19_except",
-    "b19b_intersect", "b19c_except_intersect_all", "b20_cte_subquery",
-    "b21_string_fns", "b22_date_fns", "b22b_date_trunc_diff", "b23_math_fns",
-    "b36_sessionize", "b37_pivot", "b38_range_frame_window",
-    "b39_lateral_topn", "b40_skew_salted_join", "b41_bloom_join_prune",
-    "b42_unpivot", "b43_gap_fill", "b44_string_agg", "b45_not_in_nulls",
-    "b46_grouping_sets", "b47_values_join", "data_heavy_hitters",
-    "dedup_cluster", "dedup_containment", "dedup_edit_distance",
+    "b87_q2_shape", "b88_q12_shape", "b89_q16_shape", "b90_q19_shape",
+    "data_shard_plan", "data_salt_plan", "text_line_dedup",
+    # latest green = round 3 — the 16 stragglers (VERDICT r7 names them)
     "dedup_incremental", "dedup_incremental_catalog", "dedup_minhash_lsh",
-    "dedup_simhash", "sim_centroid", "text_boilerplate", "text_chunk_tokens",
-    "text_contamination", "text_ngram_logprob", "text_pii_stats",
-    "text_tfidf_topterms", "text_vocab_topk", "b32_stream_dedup",
-    "b32_stream_join", "b32_stream_merge_cdc", "b32_stream_stateful_counter",
-    # code paths changed this round (merge single-write, MOR equality
-    # adoption, data-plane scan/write/maintenance rework)
-    "b33_merge_upsert", "b33b_merge_multi", "b74_merge_by_source",
-    "b82_merge_schema_evolution", "b66_iceberg_adopt", "b28_insert_append",
-    "b29_delete_where", "b30_update_set", "b75_replace_where",
-    "b73_dml_subquery", "b68_clone_restore", "b69_zorder_cluster",
-    "b81_rename_column", "b78_check_constraint", "b79_generated_partition",
+    "dedup_simhash", "sim_centroid", "text_boilerplate",
+    "text_chunk_tokens", "text_contamination", "text_ngram_logprob",
+    "text_pii_stats", "text_tfidf_topterms", "text_vocab_topk",
+    "b32_stream_dedup", "b32_stream_join", "b32_stream_merge_cdc",
+    "b32_stream_stateful_counter",
+    # code paths changed this round (scan rework, murmur3 buckets,
+    # batched eq-deletes, one-pass bloom, keyed-only repartitions,
+    # auto-compaction at the append chokepoint)
+    "dedup_edit_distance", "data_ppl_buckets", "text_contamination_bloom",
+    "b83_partition_transforms", "b86_partition_evolution",
+    "b79_generated_partition", "b66_iceberg_adopt", "b28_insert_append",
+    "b29_delete_where", "b30_update_set", "b69_zorder_cluster",
+    "b68_clone_restore",
+    # r4-age batch (oldest remaining driver entries)
+    "b01_scan_count", "b02_projection", "b03_filter", "b04_join_inner",
+    "b06_outer_join", "b06b_full_outer_join", "b07_semi_join",
+    "b07b_anti_join", "b08_range_join", "b14b_row_number_ntile",
+    "b25_array_fns", "b26_struct_map", "b27_json", "b48_exists_subquery",
+    "b49_stats_agg", "b50_carry_forward", "b51_median_mode",
+    "b52_array_setops", "b53_external_sources", "b54_approx_quantile_check",
+    "b55_bucketed_join", "b56_interval_join", "b57_window_count_distinct",
+    "b58_table_changes", "b59_qualify", "b60_select_exclude",
+    "b61_recursive_cte", "b62_scd2_build", "b63_txn_multi_table",
+    "b63b_txn_rollback", "b32_stream_catalog_ingest",
+    "b32_stream_watermark_append", "text_quality_score",
+    "dedup_ngram_jaccard", "text_repetition", "data_mixture_sample",
+    "data_dedup_keep_best", "sim_knn_graph", "graph_pagerank",
+    "dedup_threshold_sweep", "text_length_histogram",
 ]
 
 

@@ -74,6 +74,12 @@ HEADLINE = [
     "dedup_semantic_cluster",
     "text_contamination_bloom",
     "data_ppl_buckets",
+    # round-8 surface: the new TPC-H shapes and curation planners
+    "b87_q2_shape",
+    "b88_q12_shape",
+    "b90_q19_shape",
+    "data_shard_plan",
+    "text_line_dedup",
 ]
 
 
@@ -189,24 +195,53 @@ def main() -> None:
     _sim._ann_engine(spark, sf_dir)
     ann_build_sec = round(time.perf_counter() - t0, 4)
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
-        # belt-and-braces: operators release their own caches (try/finally
-        # unpersist), but any straggler must not tax the NEXT query's
-        # storage memory — clear between timings, outside the timed window
-        del df
-        spark.catalog.clearCache()
+    def timed_sweep(target_dir: str, label: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = registry.QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            df = fn(spark, target_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            out[name] = round(dt, 4)
+            print(f"# {label} {name}: {dt:.3f}s rows={n}",
+                  file=sys.stderr)
+            # belt-and-braces: operators release their own caches
+            # (try/finally unpersist), but any straggler must not tax
+            # the NEXT query's storage memory — clear between timings,
+            # outside the timed window
+            del df
+            spark.catalog.clearCache()
+        return out
+
+    timings = timed_sweep(sf_dir, "sf_main")
+    total = sum(timings.values())
+
+    # Dual-scale sweep (VERDICT r7 #8): re-time the same set one scale
+    # down and report the per-query growth ratio. The fixture step is
+    # 10x data, so a ratio well above 10 means SUPER-LINEAR cost —
+    # exactly the scale pathology a single-scale number hides. Ratios
+    # below 10 are normal (per-query fixed cost amortizes with size).
+    small_dir = "/root/testdata/sf0.01"
+    scaling: dict[str, float] = {}
+    timings_small: dict[str, float] = {}
+    superlinear: list[str] = []
+    if (os.path.isdir(small_dir)
+            and os.path.realpath(small_dir) != os.path.realpath(sf_dir)
+            and os.environ.get("SPARK_GRAFT_DUAL_SCALE", "1") != "0"):
+        _sim._ann_engine(spark, small_dir)    # index build untimed here too
+        timings_small = timed_sweep(small_dir, "sf_small")
+        for name, t_big in timings.items():
+            t_small = timings_small.get(name, 0.0)
+            # clamp the denominator: sub-100ms small-scale readings are
+            # scheduler noise and would mint fake 50x ratios
+            scaling[name] = round(t_big / max(t_small, 0.1), 2)
+        superlinear = sorted(n for n, r in scaling.items() if r > 10)
+        if superlinear:
+            print(f"# SUPERLINEAR (>10x on 10x data): {superlinear}",
+                  file=sys.stderr)
 
     cat_ms = catalog_metrics()
     cat_ms["ann_index_build_sec"] = ann_build_sec
@@ -220,6 +255,9 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "queries_sf0.01": timings_small,
+        "scaling": scaling,
+        "superlinear": superlinear,
         "catalog": cat_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }))

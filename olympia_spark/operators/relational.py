@@ -2028,3 +2028,177 @@ def b85_q14(spark: SparkSession, sf: str) -> DataFrame:
         "promo_revenue", "total_revenue",
         F.round(100.0 * F.col("promo_revenue")
                 / F.col("total_revenue"), 4).alias("promo_pct"))
+
+
+# --- B87 TPC-H Q2 shape (min-cost supplier) ---------------------------------
+
+@query("b87_q2_shape", oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(MIN(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), rs AS (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = (SELECT MIN(r_name) FROM region)
+), best AS (
+  SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+         MIN(c.unit_cost) OVER (PARTITION BY c.l_partkey) AS best_cost
+  FROM cost c JOIN rs ON c.l_suppkey = rs.s_suppkey
+)
+SELECT s_acctbal, s_name, CAST(p_partkey AS BIGINT) AS p_partkey,
+       p_brand, unit_cost
+FROM best
+JOIN rs ON l_suppkey = rs.s_suppkey
+JOIN part ON l_partkey = p_partkey
+WHERE unit_cost = best_cost AND p_size <= 10 AND p_type = 'SMALL'
+ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 20
+""")
+def b87_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated-scalar-
+    subquery pattern — for each qualifying part, keep only the
+    region-local supplier(s) whose unit cost equals the per-part
+    MINIMUM. (The fixture has no partsupp table; the (part, supplier)
+    unit-cost relation derives from lineitem, which preserves the
+    query SHAPE: build cost relation → correlate per-part min →
+    equality filter → dimension joins.) Spark-first: the correlation
+    decorrelates into a window MIN over the part key — one shuffle by
+    l_partkey, no per-part subquery execution; region/nation/supplier
+    are broadcast dimensions. Unit cost is an IEEE division + MIN +
+    4-dp round, bit-identical across engines."""
+    li = load(spark, sf, "lineitem")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.round(F.min(F.col("l_extendedprice")
+                               / F.col("l_quantity")), 4)
+                 .alias("unit_cost")))
+    reg = load(spark, sf, "region")
+    first_region = reg.agg(F.min("r_name")).first()[0]
+    rs = (load(spark, sf, "supplier")
+          .join(F.broadcast(load(spark, sf, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(reg.filter(F.col("r_name") == first_region)),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal"))
+    best = (cost.join(rs, cost.l_suppkey == rs.s_suppkey)
+            .withColumn("best_cost",
+                        F.min("unit_cost").over(
+                            W.partitionBy("l_partkey"))))
+    p = (load(spark, sf, "part")
+         .filter("p_size <= 10 AND p_type = 'SMALL'"))
+    return (best.filter(F.col("unit_cost") == F.col("best_cost"))
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name",
+                    F.col("p_partkey").cast("long").alias("p_partkey"),
+                    "p_brand", "unit_cost")
+            .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+            .limit(20))
+
+
+# --- B88 TPC-H Q12 shape (two-class conditional counts) ---------------------
+
+@query("b88_q12_shape", oracle="""
+SELECT l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def b88_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority split): one fact-dimension
+    join, then BOTH priority classes counted in a single aggregation
+    pass via CASE — never two scans. The year filter pushes into the
+    lineitem scan; the orders side joins on the key only (column
+    pruning keeps the scan at 2 columns)."""
+    li = (load(spark, sf, "lineitem")
+          .filter("l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND "
+                  "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")
+          .select("l_orderkey", "l_returnflag"))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("l_returnflag").alias("ship_class"))
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("ship_class"))
+
+
+# --- B89 TPC-H Q16 shape (supplier-count with NOT IN exclusion) -------------
+
+@query("b89_q16_shape", oracle="""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 25
+""")
+def b89_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part class): distinct
+    supplier counts per (brand, type, size) with a NOT IN exclusion of
+    flagged suppliers — the exclusion is a broadcast ANTI join on a
+    tiny key list (Q16's complaint subquery; negative balance stands in
+    for the complaint predicate), and the count-distinct runs as ONE
+    partial+final aggregation keyed by the group columns."""
+    excl = (load(spark, sf, "supplier")
+            .filter("s_acctbal < 0").select("s_suppkey"))
+    p = (load(spark, sf, "part")
+         .filter("p_brand <> 'Brand#1' AND "
+                 "p_size IN (1, 4, 9, 16, 25, 36, 49)")
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(excl),
+                    F.col("l_suppkey") == F.col("s_suppkey"),
+                    "left_anti")
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type",
+                     F.col("p_size").cast("long").alias("p_size"))
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size")
+            .limit(25))
+
+
+# --- B90 TPC-H Q19 shape (disjunctive predicate join) -----------------------
+
+@query("b90_q19_shape", oracle=f"""
+SELECT {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+""")
+def b90_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunction of brand/size/quantity windows):
+    the OR-of-ANDs predicate splits across the join — Catalyst derives
+    the per-side implied filters (p_brand IN (...), p_size <= 50,
+    l_quantity <= 40) and pushes them into BOTH scans, so the join
+    input is pre-filtered even though the full predicate can only
+    evaluate post-join. Revenue accumulates in exact DECIMAL."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40)))
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .filter(cond)
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       "revenue"),
+                 F.count("*").cast("long").alias("n_lines")))

@@ -2382,3 +2382,161 @@ def data_range_bounds(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("k").cast("bigint").alias("k"),
                     target.alias("target_rank"), "boundary")
             .orderBy("k"))
+
+
+# --- C87 balanced shard planning ---------------------------------------------
+
+@query("data_shard_plan", oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS toks FROM documents
+), r AS (
+  SELECT doc_id, toks,
+         ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) - 1 AS rk
+  FROM t
+), a AS (
+  SELECT doc_id, toks,
+         CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+              ELSE 7 - (rk % 8) END AS BIGINT) AS shard
+  FROM r
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS tok_sum
+FROM a GROUP BY shard ORDER BY shard
+""")
+def data_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """C87 — balanced training-shard planning: assign documents to 8
+    shards so per-shard token totals equalize, via SERPENTINE
+    (boustrophedon) placement over the size-descending rank — the
+    deterministic cousin of LPT bin packing (within ~one max-doc of
+    optimal for heavy-tailed corpora) that needs no iterative state.
+    The pre-shard planning pass every fixed-budget pretraining run
+    does before writing tfrecord/arrow shards.
+
+    Scale: the window ranks (doc_id, token_count) METADATA — 16 bytes
+    a row, never text; at 1B docs that is one ~16 GB sort, a routine
+    Spark job, and the assignment/aggregation are pure map + one
+    partial+final agg. (Same metadata-window budget as C68's
+    curriculum ordering.)"""
+    d = load(spark, sf, "documents")
+    t = d.select("doc_id", F.size(_words(F.col("text"))).alias("toks"))
+    rk = (F.row_number().over(
+        W.orderBy(F.col("toks").desc(), "doc_id")) - 1)
+    a = t.withColumn("rk", rk).withColumn(
+        "shard",
+        F.when((F.col("rk") / 8).cast("int") % 2 == 0,
+               F.col("rk") % 8)
+        .otherwise(7 - F.col("rk") % 8).cast("long"))
+    return (a.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("toks").cast("long").alias("tok_sum"))
+            .orderBy("shard"))
+
+
+# --- C88 skew salting plan ----------------------------------------------------
+
+@query("data_salt_plan", oracle="""
+WITH kc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, cnt,
+       CAST(CEIL(cnt / 200.0) AS BIGINT) AS salt_factor,
+       CAST(CEIL(cnt / CEIL(cnt / 200.0)) AS BIGINT) AS max_rows_per_task
+FROM kc WHERE cnt > 200
+ORDER BY cnt DESC, user_id LIMIT 20
+""")
+def data_salt_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """C88 — skew-salting plan: per-key row counts against a
+    200-rows-per-task cap emit the SALT FACTOR each hot key needs
+    (ceil(cnt/cap) sub-splits) and the resulting worst task size — the
+    planning query behind B40's salted join: measure skew first, salt
+    exactly the keys that need it, leave the long tail unsalted.
+    At 100 TB this plan is what turns one 2-hour straggler into 40
+    three-minute tasks.
+
+    Scale: ONE partial+final count agg keyed by user_id; the plan
+    output is hot-keys-only (cap filter + top-k), never corpus-sized."""
+    ev = load(spark, sf, "events")
+    kc = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    salt = F.ceil(F.col("cnt") / 200.0)
+    return (kc.filter(F.col("cnt") > 200)
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    F.col("cnt").cast("long").alias("cnt"),
+                    salt.cast("long").alias("salt_factor"),
+                    F.ceil(F.col("cnt") / salt).cast("long")
+                    .alias("max_rows_per_task"))
+            .orderBy(F.col("cnt").desc(), "user_id")
+            .limit(20))
+
+
+# --- C89 cross-document chunk dedup (keep-first) ------------------------------
+
+@query("text_line_dedup", oracle="""
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), ln AS (
+  SELECT doc_id, source, i AS pos,
+         array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS line
+  FROM (SELECT doc_id, source, w,
+               unnest(generate_series(0,
+                 CAST(CEIL(len(w) / 8.0) AS INT) - 1)) AS i
+        FROM base)
+), keeper AS (
+  SELECT line, MIN(doc_id) AS kd FROM ln GROUP BY line
+), kp AS (
+  SELECT ln.line, keeper.kd, MIN(ln.pos) AS kpos
+  FROM ln JOIN keeper ON ln.line = keeper.line
+       AND ln.doc_id = keeper.kd
+  GROUP BY ln.line, keeper.kd
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS total_lines,
+       CAST(SUM(CASE WHEN kp.kd IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_lines,
+       ROUND(SUM(CASE WHEN kp.kd IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 4) AS retained_frac
+FROM ln LEFT JOIN kp ON ln.line = kp.line AND ln.doc_id = kp.kd
+     AND ln.pos = kp.kpos
+GROUP BY source ORDER BY source
+""")
+def text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C89 — cross-document KEEP-FIRST unit dedup (the CCNet/Dolma
+    line-dedup pass): every duplicated unit survives only at its first
+    occurrence corpus-wide (smallest doc_id, then smallest position
+    within that doc); all other copies — including repeats inside the
+    keeper document — drop. Fixture texts are single-line, so the
+    dedup unit is the deterministic 8-token chunk (C30's chunking);
+    on real corpora the split is '\\n'.
+
+    Scale: exchanges carry (unit-hash, doc_id, pos), never text; the
+    keeper resolution is two partial+final MIN aggregations keyed by
+    the unit, and the final membership join is an equi-join on the
+    same key — the identical shuffle key end-to-end, so AQE can reuse
+    the partitioning. Per-source retained fractions are the numbers a
+    curation dashboard tracks release-over-release."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "source", _words(F.col("text")).alias("w"))
+    ln = d.select(
+        "doc_id", "source",
+        F.posexplode(F.expr(
+            "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),"
+            " i -> array_join(slice(w, i * 8 + 1, 8), ' '))"))
+        .alias("pos", "line"))
+    keeper = (ln.groupBy(F.col("line").alias("kline"))
+              .agg(F.min("doc_id").alias("kd")))
+    kp = (ln.join(keeper, (F.col("line") == F.col("kline"))
+                  & (F.col("doc_id") == F.col("kd")))
+          .groupBy("kline", "kd")
+          .agg(F.min("pos").alias("kpos")))
+    kept = (ln.join(kp, (F.col("line") == F.col("kline"))
+                    & (F.col("doc_id") == F.col("kd"))
+                    & (F.col("pos") == F.col("kpos")), "left"))
+    return (kept.groupBy("source")
+            .agg(F.count("*").cast("long").alias("total_lines"),
+                 F.sum(F.when(F.col("kd").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("kept_lines"),
+                 F.round(
+                     F.sum(F.when(F.col("kd").isNotNull(), 1)
+                           .otherwise(0)) / F.count("*"), 4)
+                 .alias("retained_frac"))
+            .orderBy("source"))

@@ -606,3 +606,45 @@ def test_keyed_repartition_has_no_fixed_count_in_plan(spark, name):
     assert rep, opt
     import re
     assert not any(re.search(r"\],\s*\d+\s*$", ln.rstrip()) for ln in rep), rep
+
+
+@pytest.mark.parametrize("name", [
+    "b87_q2_shape", "b88_q12_shape", "b89_q16_shape", "b90_q19_shape",
+    "data_shard_plan", "data_salt_plan", "text_line_dedup",
+])
+def test_round8_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q2_decorrelates_to_window_min_with_broadcast_dims(spark):
+    """B87: the per-part min-cost correlation must run as ONE window
+    over the part key (no per-part subquery re-execution) and the
+    region/supplier dimensions must broadcast."""
+    plan = _plan(registry.QUERIES["b87_q2_shape"](spark, SF))
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q19_pushes_implied_filters_into_both_scans(spark):
+    """B90: Catalyst must derive the per-side implications of the
+    OR-of-ANDs (p_brand IN (...) on the part scan, l_quantity bounds
+    on the lineitem scan) — without them both scans read everything
+    and the disjunction evaluates on the full join."""
+    plan = _plan(registry.QUERIES["b90_q19_shape"](spark, SF))
+    pushed = "\n".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "p_brand" in pushed, plan
+    assert "l_quantity" in pushed, plan
+
+
+def test_line_dedup_single_shuffle_key(spark):
+    """C89: keeper resolution and membership all key on the unit —
+    hash joins / aggs only, nothing keyed wider than the line."""
+    plan = _plan(registry.QUERIES["text_line_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
