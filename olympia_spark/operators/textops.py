@@ -2436,36 +2436,41 @@ def data_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("data_salt_plan", oracle="""
 WITH kc AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY user_id
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type
 )
-SELECT CAST(user_id AS BIGINT) AS user_id, cnt,
-       CAST(CEIL(cnt / 200.0) AS BIGINT) AS salt_factor,
-       CAST(CEIL(cnt / CEIL(cnt / 200.0)) AS BIGINT) AS max_rows_per_task
-FROM kc WHERE cnt > 200
-ORDER BY cnt DESC, user_id LIMIT 20
+SELECT event_type, cnt,
+       CAST(CEIL(cnt / 100.0) AS BIGINT) AS salt_factor,
+       CAST(CEIL(cnt / CEIL(cnt / 100.0)) AS BIGINT) AS max_rows_per_task
+FROM kc WHERE cnt > 100
+ORDER BY cnt DESC, event_type LIMIT 20
 """)
 def data_salt_plan(spark: SparkSession, sf: str) -> DataFrame:
     """C88 — skew-salting plan: per-key row counts against a
-    200-rows-per-task cap emit the SALT FACTOR each hot key needs
+    100-rows-per-task cap emit the SALT FACTOR each hot key needs
     (ceil(cnt/cap) sub-splits) and the resulting worst task size — the
     planning query behind B40's salted join: measure skew first, salt
     exactly the keys that need it, leave the long tail unsalted.
     At 100 TB this plan is what turns one 2-hour straggler into 40
-    three-minute tasks.
+    three-minute tasks. Keyed on event_type — the realistic skew case
+    is a LOW-cardinality hot dimension, and the fixture's user_id is
+    near-uniform, which would make the plan empty at every scale (the
+    vacuous-green trap: both engines agreeing on an empty result
+    proves nothing — tests/test_operator_semantics pins non-emptiness
+    and the per-task bound).
 
-    Scale: ONE partial+final count agg keyed by user_id; the plan
+    Scale: ONE partial+final count agg keyed by event_type; the plan
     output is hot-keys-only (cap filter + top-k), never corpus-sized."""
     ev = load(spark, sf, "events")
-    kc = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    salt = F.ceil(F.col("cnt") / 200.0)
-    return (kc.filter(F.col("cnt") > 200)
-            .select(F.col("user_id").cast("long").alias("user_id"),
+    kc = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    salt = F.ceil(F.col("cnt") / 100.0)
+    return (kc.filter(F.col("cnt") > 100)
+            .select("event_type",
                     F.col("cnt").cast("long").alias("cnt"),
                     salt.cast("long").alias("salt_factor"),
                     F.ceil(F.col("cnt") / salt).cast("long")
                     .alias("max_rows_per_task"))
-            .orderBy(F.col("cnt").desc(), "user_id")
+            .orderBy(F.col("cnt").desc(), "event_type")
             .limit(20))
 
 

@@ -95,3 +95,86 @@ def test_token_freq_spectrum_counts_of_counts(spark, tmp_path):
            registry.QUERIES["text_token_freq_spectrum"](spark, d)
            .collect()}
     assert out == {1: 1, 3: 2}      # z once; x and y three times each
+
+
+def test_shard_plan_actually_balances(spark, tmp_path):
+    """C87 semantic claim: serpentine placement BALANCES token totals.
+    Crafted skew — one giant doc and many small ones — must still land
+    within one giant-doc of even; and a degenerate assignment (e.g.
+    everything to shard 0) must be impossible: all 8 shards populated."""
+    rows = [(0, " ".join(["w"] * 800), "en", "s", 800)]
+    rows += [(i, " ".join(["w"] * (10 + i % 7)), "en", "s", 10)
+             for i in range(1, 65)]
+    d = _docs(spark, tmp_path, rows)
+    out = {r.shard: (r.n_docs, r.tok_sum) for r in
+           registry.QUERIES["data_shard_plan"](spark, d).collect()}
+    assert set(out) == set(range(8))
+    sums = [v[1] for v in out.values()]
+    assert sum(v[0] for v in out.values()) == 65
+    # every shard except the giant's is within the small-doc range;
+    # the giant's shard exceeds the rest by ~the giant alone
+    rest = sorted(sums)[:-1]
+    assert max(rest) - min(rest) <= 17      # one small doc of slack
+    assert max(sums) >= 800
+
+
+def test_salt_plan_non_vacuous_and_bounded(spark):
+    """C88: the plan must be NON-EMPTY at the gate scales (a uniform
+    key would make both engines agree on an empty result — vacuous
+    green) and every planned key must obey the per-task bound."""
+    rows = registry.QUERIES["data_salt_plan"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "salt plan empty — operator is vacuous at test scale"
+    for r in rows:
+        assert r.salt_factor >= 2
+        assert r.max_rows_per_task <= 100
+        assert r.salt_factor * r.max_rows_per_task >= r.cnt
+
+
+def test_line_dedup_drops_known_duplicates(spark, tmp_path):
+    """C89 ground truth: doc 1 repeats doc 0's chunk twice (cross-doc
+    AND intra-doc) — only doc 0's first copy survives; doc 2 is
+    untouched."""
+    chunk = " ".join(f"t{i}" for i in range(8))      # one 8-token unit
+    other = " ".join(f"u{i}" for i in range(8))
+    rows = [
+        (0, chunk, "en", "a", 10),
+        (1, chunk + " " + chunk, "en", "b", 10),     # two dup copies
+        (2, other, "en", "b", 10),
+    ]
+    d = _docs(spark, tmp_path, rows)
+    out = {r.source: r for r in
+           registry.QUERIES["text_line_dedup"](spark, d).collect()}
+    assert out["a"].total_lines == 1 and out["a"].kept_lines == 1
+    # source b: 3 units (2 dup copies + 1 unique) → only the unique kept
+    assert out["b"].total_lines == 3 and out["b"].kept_lines == 1
+    assert abs(out["b"].retained_frac - round(1 / 3, 4)) < 1e-9
+
+
+def test_q2_shape_equals_independent_min_recompute(spark):
+    """B87: the window-decorrelated min must agree with an independent
+    groupBy-min recompute (different plan, same semantics), and the
+    result must be non-empty at the gate scale."""
+    from pyspark.sql import functions as F
+    from olympia_spark.tables import load
+    sf = "/root/testdata/sf0.01"
+    got = registry.QUERIES["b87_q2_shape"](spark, sf).collect()
+    assert got, "Q2 shape returned no rows — filters too tight"
+    li = load(spark, sf, "lineitem")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.round(F.min(F.col("l_extendedprice")
+                               / F.col("l_quantity")), 4)
+                 .alias("uc")))
+    reg = load(spark, sf, "region")
+    first_region = reg.agg(F.min("r_name")).first()[0]
+    rs = (load(spark, sf, "supplier")
+          .join(load(spark, sf, "nation"),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(reg.filter(F.col("r_name") == first_region),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey"))
+    best = (cost.join(rs, cost.l_suppkey == rs.s_suppkey)
+            .groupBy("l_partkey").agg(F.min("uc").alias("mc")))
+    mins = {r.l_partkey: r.mc for r in best.collect()}
+    for r in got:
+        assert abs(r.unit_cost - mins[r.p_partkey]) < 1e-12, r
