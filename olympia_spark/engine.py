@@ -717,9 +717,18 @@ class Engine:
         schema_by_phys = {f.name: f for f in phys.fields}
 
         def era_of(p: str) -> tuple[str, ...]:
-            # hive segments whose key IS a table column (an external
-            # estate may carry unrelated k=v dirs — those are not
-            # partition encodings of THIS table)
+            # hive reconstruction applies ONLY to engine-owned layouts
+            # (relative paths under the data root) — the engine WROTE
+            # those dirs, so a col=val segment is exactly its hive
+            # partition encoding. External/adopted estates arrive as
+            # absolute paths and are OPAQUE: a user directory that
+            # happens to be named like a column (…/source=web/… with a
+            # real in-file `source` column) must not silently replace
+            # the file's values with a path-derived constant — in-file
+            # data is authoritative there (adopted Iceberg identity
+            # values come from manifests, not paths).
+            if os.path.isabs(p) or "://" in p:
+                return ()
             return tuple(seg.split("=", 1)[0] for seg in p.split("/")[:-1]
                          if "=" in seg
                          and seg.split("=", 1)[0] in schema_by_phys)
@@ -737,8 +746,10 @@ class Engine:
         # one multi-path read.
         if set(eras) == {()} and not derive:
             return self._to_logical(
-                self.spark.read.schema(phys).parquet(
-                    *self._scan_uris(rel_paths)), tdef)
+                self._fill_identity_constants(
+                    self.spark.read.schema(phys).parquet(
+                        *self._scan_uris(rel_paths)), tdef, rel_paths),
+                tdef)
         self._scan_uris(rel_paths)   # spool lane: one download for all
         schema_by_name = {f.name: f for f in schema.fields}
         parts = []
@@ -780,6 +791,48 @@ class Engine:
         for df in parts[1:]:
             out = out.unionByName(df)
         return out
+
+    def _fill_identity_constants(self, df: DataFrame, tdef: TableDef,
+                                 rel_paths: list[str]) -> DataFrame:
+        """Iceberg identity-partition constants (spec: "Columns used
+        for identity partition values may be omitted from data files"
+        — readers supply the manifest partition value as a per-file
+        constant). Adopted tables record those columns in the
+        ``iceberg.identity_fill`` property and their per-file values as
+        [v, v] stats; here each is coalesce-filled through a BROADCAST
+        (file_path → value) join — O(files) rows, never data-sized — so
+        a file that physically stores the column keeps its own values
+        and a migrated file that omits it reads the manifest constant.
+        No-op for every non-adopted table (property absent)."""
+        cols = [c for c in tdef.properties.get(
+                    "iceberg.identity_fill", "").split(",")
+                if c and c in df.columns]
+        if not cols:
+            return df
+        want = set(rel_paths)
+        schema = tdef.spark_schema()
+        by_name = {f.name: f.dataType for f in schema.fields}
+        def pyv(c: str, v):
+            if v is not None and isinstance(by_name[c], T.DateType):
+                import datetime as _dt
+                return _dt.date.fromisoformat(str(v))
+            return v
+
+        rows = [tuple([re.sub(r"^file:/+", "/", f.path)]
+                      + [pyv(c, f.stats[c][0]) if c in f.stats else None
+                         for c in cols])
+                for f in tdef.data_files if f.path in want]
+        fill_schema = T.StructType(
+            [T.StructField("__ifp", T.StringType())]
+            + [T.StructField(f"__iv_{c}", by_name[c]) for c in cols])
+        fdf = self.spark.createDataFrame(rows, fill_schema)
+        out = (df.withColumn("__ifp", F.regexp_replace(
+                   F.col("_metadata.file_path"), "^file:/+", "/"))
+               .join(F.broadcast(fdf), "__ifp", "left"))
+        for c in cols:
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__iv_{c}")))
+        return out.select(*df.columns)
 
     def create_table(self, name: str, schema: T.StructType,
                      properties: dict | None = None,
@@ -904,16 +957,40 @@ class Engine:
         ident_cols = {
             f["name"] for f in spec_fields
             if f.get("transform") == "identity"
-            and by_name.get(f["name"]) in ("integer", "long", "string")}
+            and by_name.get(f["name"]) in ("integer", "long", "string",
+                                           "date")}
+
+        def statv(c: str, v):
+            # date identity values arrive as epoch-day ordinals; stats
+            # store ISO strings (the exact form native hive-partition
+            # stats use, so pruning comparisons stay consistent)
+            if by_name.get(c) == "date" and isinstance(v, int):
+                import datetime as _dt
+                return (_dt.date(1970, 1, 1)
+                        + _dt.timedelta(days=v)).isoformat()
+            return v
 
         files = []
+        any_null_part = set()
         for e in entries:
-            stats = {c: [e["partition"][c], e["partition"][c]]
+            stats = {c: [statv(c, e["partition"][c]),
+                         statv(c, e["partition"][c])]
                      for c in ident_cols if c in e["partition"]
                      and e["partition"][c] is not None}
+            any_null_part |= {c for c in ident_cols
+                              if e["partition"].get(c) is None}
             files.append(DataFile(
                 path=e["file_path"], num_rows=e["record_count"],
                 size_bytes=e["file_size_in_bytes"], stats=stats))
+        # identity source columns MAY be omitted from data files (spec:
+        # readers use the manifest partition value as a per-file
+        # constant — the Hive-migration layout, and what our own
+        # identity export emits). Record which columns carry manifest
+        # constants; _scan coalesce-fills them from file stats, so a
+        # file that DOES store the column keeps its in-file values.
+        # Columns with any NULL partition value are excluded (no stats
+        # row to fill from — NULL fill is the read default anyway).
+        ident_fill = ",".join(sorted(ident_cols - any_null_part))
 
         prev = ""
         if meta.get("metadata-log"):
@@ -930,6 +1007,8 @@ class Engine:
                 "iceberg.snapshot-id": str(
                     snapshot.get("snapshot-id", "")),
                 "iceberg.table-uuid": meta.get("table-uuid", ""),
+                **({"iceberg.identity_fill": ident_fill}
+                   if ident_fill else {}),
             }))
         self.catalog.update_table_files(
             txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
@@ -1271,18 +1350,19 @@ class Engine:
         # column — data files carry the SOURCE column, manifests carry
         # the per-file partition value, and bucket numbering is
         # murmur3-spec-identical to a native writer's (iceberg_hash).
-        # IDENTITY-partitioned tables still refuse: their values exist
-        # only in paths and an Iceberg reader would see NULL columns.
+        # IDENTITY-partitioned (hive-layout) tables export via the
+        # spec's metadata-constant convention: the column STAYS in the
+        # schema, the per-file value rides in the manifest's partition
+        # tuple, and the data files legitimately omit the column —
+        # "Columns used for identity partition values may be omitted
+        # from data files"; readers (incl. adopt_iceberg_table) fill it
+        # as a per-file constant. The values themselves are already
+        # exact [v, v] footer stats (hive path segments, _footer_stats).
         tmap = {k.removeprefix("iceberg.transform."): v.split(":", 1)
                 for k, v in tdef.properties.items()
                 if k.startswith("iceberg.transform.")}
         tmap = {k: v for k, v in tmap.items() if k in tdef.partition_by}
         identity_parts = [c for c in tdef.partition_by if c not in tmap]
-        if identity_parts:
-            raise ValueError(
-                "export_iceberg_table: hive-partitioned native tables "
-                "store partition values in paths, not files — compact "
-                "with OPTIMIZE/CTAS into an unpartitioned table first")
         if tdef.column_mapping:
             raise ValueError(
                 "export_iceberg_table: this table has renamed columns "
@@ -1293,8 +1373,9 @@ class Engine:
         schema = tdef.spark_schema()
         pvals: dict[str, dict] | None = None
         ptypes = ptrans = psrc = None
-        if tmap:
-            if any(n not in f.stats for n in tmap
+        pcols = sorted(set(tmap) | set(identity_parts))
+        if pcols:
+            if any(n not in f.stats for n in pcols
                    for f in tdef.data_files):
                 raise ValueError(
                     "export_iceberg_table: some data files predate the "
@@ -1302,11 +1383,24 @@ class Engine:
                     "value) — run OPTIMIZE to rewrite them under the "
                     "current spec first")
             by_name = {f.name: f.dataType for f in schema.fields}
+            ident_ok = (T.DateType, T.IntegerType, T.LongType,
+                        T.StringType)
+            bad = [c for c in identity_parts
+                   if not isinstance(by_name[c], ident_ok)]
+            if bad:
+                raise ValueError(
+                    "export_iceberg_table: identity partition "
+                    f"column(s) {bad} are not int/long/string/date — "
+                    "hive path segments don't round-trip other types "
+                    "exactly; re-partition or CTAS first")
+            # transform fields are partition-only synthetics and leave
+            # the schema; identity columns are REAL schema columns and
+            # stay (their per-file value rides in the manifest)
             schema = T.StructType(
                 [f for f in schema.fields if f.name not in tmap])
-            avro_of = {T.DateType(): "int", T.LongType(): "long",
-                       T.StringType(): "string"}
-            ptypes = {n: avro_of.get(by_name[n], "int") for n in tmap}
+            avro_of = {T.DateType(): "int", T.IntegerType(): "int",
+                       T.LongType(): "long", T.StringType(): "string"}
+            ptypes = {n: avro_of.get(by_name[n], "int") for n in pcols}
             ptrans = {n: t for n, (t, _s) in tmap.items()}
             psrc = {n: s for n, (_t, s) in tmap.items()}
 
@@ -1327,7 +1421,7 @@ class Engine:
                 return int(v)
 
             pvals = {self._data_uri(f.path):
-                     {n: conv(n, f.stats[n][0]) for n in tmap}
+                     {n: conv(n, f.stats[n][0]) for n in pcols}
                      for f in tdef.data_files}
         files = [DataFile(path=self._data_uri(f.path), num_rows=f.num_rows,
                           size_bytes=f.size_bytes)

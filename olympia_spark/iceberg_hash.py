@@ -99,7 +99,11 @@ def murmur3_bytes(values: list[bytes | None]) -> np.ndarray:
     for i, b in enumerate(values):          # one memcpy per row, no math
         if b:
             buf[i, :len(b)] = np.frombuffer(b, np.uint8)
-    blocks = buf.view(np.uint32).reshape(n, max_blocks)  # little-endian
+    # explicit little-endian block view: a native-order view would make
+    # every string/bytes bucket diverge from the spec on a big-endian
+    # host (the long lane is arithmetic-only and unaffected)
+    blocks = (buf.view(np.dtype("<u4")).astype(np.uint32)
+              .reshape(n, max_blocks))
     full = lens // 4                         # full 4-byte blocks per row
     for j in range(max_blocks):
         mask = full > j

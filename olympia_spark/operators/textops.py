@@ -2513,27 +2513,39 @@ def text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     dedup unit is the deterministic 8-token chunk (C30's chunking);
     on real corpora the split is '\\n'.
 
-    Scale: exchanges carry (unit-hash, doc_id, pos), never text; the
-    keeper resolution is two partial+final MIN aggregations keyed by
-    the unit, and the final membership join is an equi-join on the
-    same key — the identical shuffle key end-to-end, so AQE can reuse
-    the partitioning. Per-source retained fractions are the numbers a
-    curation dashboard tracks release-over-release."""
-    d = load(spark, sf, "documents").select(
-        "doc_id", "source", _words(F.col("text")).alias("w"))
+    Scale: exchanges carry (unit-HASH, doc_id, pos), never text — the
+    unit string is folded to ``xxhash64`` immediately after the explode
+    and dropped, so the keeper-resolution aggregations and the
+    membership join all shuffle an 8-byte long instead of the raw
+    8-token line (~6× lighter on the dominant exchanges; a 64-bit
+    collision mis-grouping two distinct units is ~n²/2⁶⁵ — noise
+    against the dedup's own approximation budget). Keeper resolution
+    is two partial+final MIN aggregations keyed by the hash, and the
+    final membership join is an equi-join on the same key — the
+    identical shuffle key end-to-end, so AQE can reuse the
+    partitioning. NULL/empty texts are filtered before the explode:
+    ``sequence(0, -1)`` defaults to step -1 and would fabricate two
+    phantom rows per empty doc (the DuckDB generate_series is empty).
+    Per-source retained fractions are the numbers a curation
+    dashboard tracks release-over-release."""
+    d = (load(spark, sf, "documents")
+         .select("doc_id", "source", _words(F.col("text")).alias("w"))
+         .filter(F.size("w") > 0))
     ln = d.select(
         "doc_id", "source",
         F.posexplode(F.expr(
             "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),"
             " i -> array_join(slice(w, i * 8 + 1, 8), ' '))"))
-        .alias("pos", "line"))
-    keeper = (ln.groupBy(F.col("line").alias("kline"))
+        .alias("pos", "line")
+    ).select("doc_id", "source", "pos",
+             F.xxhash64("line").alias("lh"))
+    keeper = (ln.groupBy(F.col("lh").alias("klh"))
               .agg(F.min("doc_id").alias("kd")))
-    kp = (ln.join(keeper, (F.col("line") == F.col("kline"))
+    kp = (ln.join(keeper, (F.col("lh") == F.col("klh"))
                   & (F.col("doc_id") == F.col("kd")))
-          .groupBy("kline", "kd")
+          .groupBy("klh", "kd")
           .agg(F.min("pos").alias("kpos")))
-    kept = (ln.join(kp, (F.col("line") == F.col("kline"))
+    kept = (ln.join(kp, (F.col("lh") == F.col("klh"))
                     & (F.col("doc_id") == F.col("kd"))
                     & (F.col("pos") == F.col("kpos")), "left"))
     return (kept.groupBy("source")

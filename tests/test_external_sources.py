@@ -160,3 +160,27 @@ def test_copy_into_refuses_external_target(spark, tmp_path, engine):
     engine.register_external_table("raw.ro", *files, format="csv")
     with pytest.raises(ValueError, match="read-only"):
         engine.sql(f"COPY INTO raw.ro FROM '{files[0]}' FILEFORMAT = CSV")
+
+
+def test_external_hivelike_dirs_are_opaque_infile_values_win(
+        spark, tmp_path, engine):
+    """Era reconstruction is scoped to ENGINE-OWNED layouts (round-9
+    VERDICT #6): an external parquet registered from a user directory
+    that happens to be hive-named (…/source=web/…) while its files
+    carry a REAL conflicting `source` column must read the FILE values
+    — path segments of foreign estates are opaque, never partition
+    encodings of this table."""
+    import os
+    d = tmp_path / "estate" / "source=web"
+    os.makedirs(d)
+    p = str(d / "part-0.parquet")
+    spark.createDataFrame(
+        [(1, "books"), (2, "code")], "id BIGINT, source STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp1"))
+    import glob as _g
+    import shutil
+    shutil.copy(_g.glob(str(tmp_path / "tmp1" / "*.parquet"))[0], p)
+    engine.register_external_table("raw.est", p)
+    got = sorted((r.id, r.source) for r in engine.sql(
+        "SELECT id, source FROM raw.est").collect())
+    assert got == [(1, "books"), (2, "code")]

@@ -848,3 +848,95 @@ def test_adopt_hundred_equality_delete_files_batched(spark, tmp_path):
     # group A deleted ids 2..61 (2-9 present), group B deleted val 'v1'
     ids = {r.id for r in eng.sql("SELECT id FROM lake.t").collect()}
     assert ids == {0}
+
+
+# --- identity-partitioned export / manifest-constant fill (round 9) ---------
+
+
+def test_export_identity_partitioned_round_trip(spark, tmp_path):
+    """A hive-partitioned native table exports with identity partition
+    FIELDS whose per-file values ride in the manifest (the column stays
+    in the schema but is legitimately absent from the data files — spec
+    'Columns used for identity partition values may be omitted from
+    data files'), and a second engine re-adopts it with byte-identical
+    query results, partition filters included."""
+    wh = Engine(spark, str(tmp_path / "wh"))
+    wh.sql("CREATE NAMESPACE nat")
+    src = spark.createDataFrame(
+        [(i, f"n{i}", ["web", "books", "code"][i % 3]) for i in range(12)],
+        "id BIGINT, name STRING, source STRING")
+    wh.write_table(src, "nat.hp", partition_by=["source"])
+    wh.write_table(src.filter("id < 3"), "nat.hp")     # second hive append
+    mpath = wh.export_iceberg_table("nat.hp", str(tmp_path / "out"))
+    meta = json.load(open(mpath))
+    spec = meta["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in spec] == ["identity"]
+    assert spec[0]["name"] == "source"
+    # identity column STAYS in the schema
+    assert "source" in {f["name"] for f in meta["schemas"][0]["fields"]}
+
+    other = Engine(spark, str(tmp_path / "wh2"))
+    other.sql("CREATE NAMESPACE lake")
+    other.adopt_iceberg_table("lake.hp", mpath)
+    want = sorted((r.id, r.name, r.source) for r in src.collect()) + \
+        sorted((r.id, r.name, r.source)
+               for r in src.filter("id < 3").collect())
+    got = sorted((r.id, r.name, r.source) for r in other.sql(
+        "SELECT id, name, source FROM lake.hp").collect())
+    assert got == sorted(want)
+    # partition predicate resolves through the manifest constants
+    n_web = other.sql("SELECT COUNT(*) AS n FROM lake.hp "
+                      "WHERE source = 'web'").first().n
+    assert n_web == src.filter("source = 'web'").count() + 1
+
+
+def test_export_identity_date_partition_round_trip(spark, tmp_path):
+    """Date identity partitions: manifest stores epoch-day ordinals
+    (avro int); re-adoption converts them back and fills exact dates."""
+    import datetime as dt
+    wh = Engine(spark, str(tmp_path / "wh"))
+    wh.sql("CREATE NAMESPACE nat")
+    src = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 3)) for i in range(6)],
+        "id BIGINT, d DATE")
+    wh.write_table(src, "nat.dp", partition_by=["d"])
+    mpath = wh.export_iceberg_table("nat.dp", str(tmp_path / "out"))
+    other = Engine(spark, str(tmp_path / "wh2"))
+    other.sql("CREATE NAMESPACE lake")
+    other.adopt_iceberg_table("lake.dp", mpath)
+    got = sorted((r.id, r.d) for r in other.sql(
+        "SELECT id, d FROM lake.dp").collect())
+    assert got == sorted((r.id, r.d) for r in src.collect())
+
+
+def test_adopt_fills_identity_constants_for_omitted_columns(spark, tmp_path):
+    """Hive-migration layout: data files OMIT the identity source
+    column entirely; the scan must fill it from manifest partition
+    values as a per-file constant, while a file that does store the
+    column keeps its in-file values (coalesce, file-authoritative)."""
+    tdir = str(tmp_path / "icemig")
+    os.makedirs(os.path.join(tdir, "metadata"))
+    from pyspark.sql import types as T
+    # file 1: column omitted (migrated), manifest says region=7
+    p1 = os.path.join(tdir, "m1.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), p1)
+    # file 2: column present in-file (native write), manifest agrees
+    p2 = os.path.join(tdir, "m2.parquet")
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64()),
+                             "region": pa.array([9], pa.int64())}), p2)
+    files = [_F(p1, 2, os.path.getsize(p1)), _F(p2, 1, os.path.getsize(p2))]
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("region", T.LongType())])
+    mpath = il.export_iceberg_metadata(
+        tdir, schema, files,
+        partition_values={p1: {"region": 7}, p2: {"region": 9}},
+        partition_avro_types={"region": "long"})
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    eng.adopt_iceberg_table("lake.m", mpath)
+    got = sorted((r.id, r.region) for r in eng.sql(
+        "SELECT id, region FROM lake.m").collect())
+    assert got == [(1, 7), (2, 7), (3, 9)]
+    # and predicates on the filled column stay correct
+    assert eng.sql("SELECT COUNT(*) AS n FROM lake.m WHERE region = 7"
+                   ).first().n == 2

@@ -170,11 +170,23 @@ def test_export_refuses_mixed_spec_files(spark, tmp_path):
         == {1, 2, 3}
 
 
-def test_identity_partitioned_export_still_refused(spark, tmp_path):
+def test_identity_partitioned_export_emits_manifest_constants(
+        spark, tmp_path):
+    """r9: identity (hive) partitioned tables now export — the column
+    stays in the schema, the per-file value rides in the manifest
+    partition tuple (spec metadata-constant convention), and the spec
+    entry is an identity transform on the column's own field id."""
+    import json
     from olympia_spark.engine import Engine
     eng = Engine(spark, str(tmp_path / "wh"))
     eng.sql("CREATE NAMESPACE b")
     eng.sql("CREATE TABLE b.i (id BIGINT, p STRING) PARTITIONED BY (p)")
-    eng.sql("INSERT INTO b.i VALUES (1, 'a')")
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        eng.export_iceberg_table("b.i", str(tmp_path / "ice"))
+    eng.sql("INSERT INTO b.i VALUES (1, 'a'), (2, 'b')")
+    mpath = eng.export_iceberg_table("b.i", str(tmp_path / "ice"))
+    meta = json.load(open(mpath))
+    spec = meta["partition-specs"][0]["fields"]
+    schema_ids = {f["name"]: f["id"]
+                  for f in meta["schemas"][0]["fields"]}
+    assert spec == [{"name": "p", "field-id": 1000,
+                     "source-id": schema_ids["p"],
+                     "transform": "identity"}]

@@ -642,9 +642,18 @@ def test_q19_pushes_implied_filters_into_both_scans(spark):
 
 
 def test_line_dedup_single_shuffle_key(spark):
-    """C89: keeper resolution and membership all key on the unit —
-    hash joins / aggs only, nothing keyed wider than the line."""
+    """C89: keeper resolution and membership all key on the unit HASH
+    (xxhash64 long, r9) — every exchange carries the 8-byte key, never
+    the raw 8-token line string."""
+    import re
     plan = _plan(registry.QUERIES["text_line_dedup"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
+    parts = re.findall(r"hashpartitioning\(([^)#]+)#", plan)
+    assert parts, plan
+    # unit-keyed exchanges carry the long; the only other key is the
+    # final per-source output aggregation
+    assert all(k.strip() in ("lh", "klh", "source") for k in parts), parts
+    # the raw unit text must not be a shuffle key anywhere
+    assert not re.search(r"hashpartitioning\(line#", plan), plan
