@@ -53,49 +53,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry ages past the stale horizon. Round-8 list
-# (VERDICT r7 item #3): (1) the 16 queries whose latest green is still
-# round 3 — the r7 window covered everything newer; (2) the queries whose
-# code paths changed THIS round (union-free era scan + auto-compaction →
-# every partitioned/DML lane, murmur3 bucket transforms → b83/b86/export,
-# batched equality deletes → b66, single-pass bloom, the four
-# repartition(16) removals — all re-proven locally against their DuckDB
-# oracles at sf0.01 and sf0.1); (3) the r4-age batch fills the remaining
-# slots (oldest-first). The rest rank after in registry order.
+# no query's newest driver entry ages past the stale horizon. Round-9 list
+# (VERDICT r8 item #3): (1) the two NEW shapes; (2) the 28 queries whose
+# latest green is still round 4 — exactly the batch the verdict names;
+# (3) queries whose code paths changed THIS round (identity Iceberg
+# export/adopt fill + era-scan guard → b66/b86/b79/b83 and external
+# sources, small-file auto-compaction → the append/DML lanes, hashed
+# line-dedup key, two-phase shard-plan rank — all re-proven locally
+# against their DuckDB oracles at sf0.01 and sf0.1); (4) the r5-age batch
+# fills the remaining slots (oldest-first). The rest rank after.
 _PRIORITY = [
     # NEW this round — never driver-checked yet
-    "b87_q2_shape", "b88_q12_shape", "b89_q16_shape", "b90_q19_shape",
-    "data_shard_plan", "data_salt_plan", "text_line_dedup",
-    # latest green = round 3 — the 16 stragglers (VERDICT r7 names them)
-    "dedup_incremental", "dedup_incremental_catalog", "dedup_minhash_lsh",
-    "dedup_simhash", "sim_centroid", "text_boilerplate",
-    "text_chunk_tokens", "text_contamination", "text_ngram_logprob",
-    "text_pii_stats", "text_tfidf_topterms", "text_vocab_topk",
-    "b32_stream_dedup", "b32_stream_join", "b32_stream_merge_cdc",
-    "b32_stream_stateful_counter",
-    # code paths changed this round (scan rework, murmur3 buckets,
-    # batched eq-deletes, one-pass bloom, keyed-only repartitions,
-    # auto-compaction at the append chokepoint)
-    "dedup_edit_distance", "data_ppl_buckets", "text_contamination_bloom",
-    "b83_partition_transforms", "b86_partition_evolution",
-    "b79_generated_partition", "b66_iceberg_adopt", "b28_insert_append",
-    "b29_delete_where", "b30_update_set", "b69_zorder_cluster",
-    "b68_clone_restore",
-    # r4-age batch (oldest remaining driver entries)
-    "b01_scan_count", "b02_projection", "b03_filter", "b04_join_inner",
-    "b06_outer_join", "b06b_full_outer_join", "b07_semi_join",
-    "b07b_anti_join", "b08_range_join", "b14b_row_number_ntile",
-    "b25_array_fns", "b26_struct_map", "b27_json", "b48_exists_subquery",
-    "b49_stats_agg", "b50_carry_forward", "b51_median_mode",
-    "b52_array_setops", "b53_external_sources", "b54_approx_quantile_check",
+    "b91_q21_shape", "b92_q17_shape",
+    # latest green = round 4 — the 28 the r8 verdict names
+    "b32_stream_catalog_ingest", "b32_stream_watermark_append",
+    "b50_carry_forward", "b51_median_mode", "b52_array_setops",
+    "b53_external_sources", "b54_approx_quantile_check",
     "b55_bucketed_join", "b56_interval_join", "b57_window_count_distinct",
     "b58_table_changes", "b59_qualify", "b60_select_exclude",
     "b61_recursive_cte", "b62_scd2_build", "b63_txn_multi_table",
-    "b63b_txn_rollback", "b32_stream_catalog_ingest",
-    "b32_stream_watermark_append", "text_quality_score",
-    "dedup_ngram_jaccard", "text_repetition", "data_mixture_sample",
-    "data_dedup_keep_best", "sim_knn_graph", "graph_pagerank",
-    "dedup_threshold_sweep", "text_length_histogram",
+    "b63b_txn_rollback", "data_class_balance", "data_dedup_keep_best",
+    "data_mixture_sample", "data_pack_sequences", "dedup_ngram_jaccard",
+    "dedup_threshold_sweep", "graph_pagerank", "sim_knn_graph",
+    "text_length_histogram", "text_quality_score", "text_repetition",
+    # code paths changed this round (identity export/adopt fill,
+    # era-scan guard, small-file auto-compaction, hashed C89 key,
+    # two-phase C87 rank)
+    "text_line_dedup", "data_shard_plan", "b66_iceberg_adopt",
+    "b28_insert_append", "b86_partition_evolution",
+    "b79_generated_partition", "b83_partition_transforms",
+    # r5-age batch (oldest remaining driver entries)
+    "b09_cross_join", "b10_q1_agg", "b11_count_distinct",
+    "b11b_distinct_rows", "b12_approx_count_distinct", "b13_rollup",
+    "b13b_cube", "b14_rank_window", "b24_conditional",
+    "b58b_stream_changes", "b64_group_by_all", "b65_tablesample",
+    "b67_copy_into",
+    # remaining r5-age, next in line if the window is wider
+    "b70_analyze_stats", "b71_q3_shape", "b73_dml_subquery",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "dedup_hot_shingle_cap", "dedup_recall_audit", "dedup_span_windows",
+    "dedup_url_canonical", "data_hard_negatives", "data_kcenter_coreset",
+    "data_length_buckets", "data_token_budget", "mm_audio_energy",
+    "mm_decode_image_dims", "pipeline_corpus_curation",
 ]
 
 

@@ -77,9 +77,14 @@ HEADLINE = [
     # round-8 surface: the new TPC-H shapes and curation planners
     "b87_q2_shape",
     "b88_q12_shape",
+    "b89_q16_shape",
     "b90_q19_shape",
     "data_shard_plan",
+    "data_salt_plan",
     "text_line_dedup",
+    # round-9 surface: the decorrelation shapes
+    "b91_q21_shape",
+    "b92_q17_shape",
 ]
 
 
@@ -181,7 +186,10 @@ def warmup(spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all_modules()
-    spark = get_spark("olympia_spark_bench")
+    # no console progress bar: its \r-rewritten stderr stream is what
+    # truncated the driver's BENCH_r08 tail capture mid-JSON
+    spark = get_spark("olympia_spark_bench", extra_conf={
+        "spark.ui.showConsoleProgress": "false"})
     # warm the JVM/session with a trivial action so q1 isn't charged for boot
     spark.range(1).count()
     warmup_sec = warmup(spark, sf_dir)
@@ -250,7 +258,7 @@ def main() -> None:
         print(f"# {k}: {v}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 4),
         "unit": "sec",
@@ -260,7 +268,18 @@ def main() -> None:
         "superlinear": superlinear,
         "catalog": cat_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-    }))
+    }
+    # durable copy first: the driver's tail capture truncated the r8
+    # stdout mid-JSON, so the summary also lands in a file it can read
+    # regardless of stream buffering
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SUMMARY.json"), "w") as fh:
+            json.dump(summary, fh)
+    except OSError as e:  # pragma: no cover — stdout line still emitted
+        print(f"# BENCH_SUMMARY.json not written: {e}", file=sys.stderr)
+    sys.stderr.flush()
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -88,11 +88,17 @@ class Catalog:
     # --- transactions (A3, A4, A5) ------------------------------------------
 
     def begin(self, isolation_level: str | None = None,
-              ttl_millis: int | None = None) -> Transaction:
+              ttl_millis: int | None = None,
+              read_only: bool = False) -> Transaction:
+        """``read_only=True`` returns a snapshot that REFUSES write ops
+        — for decision probes (e.g. should-compact checks) that must
+        never leave a half-open writable transaction behind; discarding
+        it is always safe (it holds no resources by contract)."""
         return txns.begin(
             self.tree,
             isolation_level or self.catalog_def.txn_isolation_level,
-            ttl_millis or self.catalog_def.txn_ttl_millis)
+            ttl_millis or self.catalog_def.txn_ttl_millis,
+            read_only=read_only)
 
     def commit(self, txn: Transaction) -> RootNode:
         return txns.commit(txn)

@@ -2202,3 +2202,103 @@ def b90_q19(spark: SparkSession, sf: str) -> DataFrame:
             .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                        "revenue"),
                  F.count("*").cast("long").alias("n_lines")))
+
+
+# --- B91 TPC-H Q21 shape (stacked EXISTS + NOT EXISTS correlation) ----------
+
+@query("b91_q21_shape", oracle="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+   AND n_name = (SELECT MIN(n_name) FROM nation)
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+""")
+def b91_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    MULTI-correlation composition B48 only exercises singly — an
+    EXISTS and a NOT EXISTS correlated on the SAME fact and the same
+    key, per outer row. (The fixture has no receipt/commit dates;
+    ``l_returnflag = 'R'`` stands in for "late", preserving the
+    shape: late line, another supplier exists on the order, no OTHER
+    supplier is late on it.) Spark-first decorrelation: BOTH
+    subqueries collapse into one windowed pass over lineitem keyed by
+    l_orderkey — n_supp = distinct suppliers on the order (EXISTS ⇔
+    ≥ 2), late_supps = distinct late suppliers (NOT-EXISTS-other-late
+    ⇔ exactly 1, which is l1's own, since l1 is late). Lineitem
+    exchanges ONCE (the window shuffle); the orders join reuses the
+    same l_orderkey partitioning, supplier/nation broadcast; no
+    per-row subquery re-execution anywhere."""
+    li = (load(spark, sf, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_returnflag") == "R").alias("late")))
+    w = W.partitionBy("l_orderkey")
+    x = (li.withColumn(
+             "n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+         .withColumn(
+             "n_late_supp",
+             F.size(F.collect_set(
+                 F.when(F.col("late"), F.col("l_suppkey"))).over(w)))
+         .filter(F.col("late") & (F.col("n_supp") >= 2)
+                 & (F.col("n_late_supp") == 1)))
+    o = (load(spark, sf, "orders")
+         .filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    nat = load(spark, sf, "nation")
+    first_nation = nat.agg(F.min("n_name")).first()[0]
+    s = (load(spark, sf, "supplier")
+         .join(F.broadcast(nat.filter(F.col("n_name") == first_nation)),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name"))
+    return (x.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").cast("long").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(100))
+
+
+# --- B92 TPC-H Q17 shape (correlated scalar AVG per part) -------------------
+
+@query("b92_q17_shape", oracle=f"""
+SELECT {dsum('l_extendedprice', 'small_lot_revenue')},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size <= 20
+  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""")
+def b92_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-lot revenue): the classic correlated
+    SCALAR aggregate — each (part, line) compares l_quantity against
+    a per-part AVG computed over ALL of that part's lines — the shape
+    optimizers historically re-execute per row. (No p_container in
+    the fixture; p_size <= 20 stands in for the container filter.)
+    Spark-first decorrelation: ONE partial+final AVG over lineitem
+    grouped by l_partkey, then an equi-join back to the fact — the
+    aggregate runs exactly once; the filtered part dimension
+    broadcasts into both the threshold join and the revenue filter.
+    Revenue accumulates in exact DECIMAL; the final single-row
+    aggregate is the allowlisted SinglePartition case (its input is a
+    partial agg, O(tasks) rows)."""
+    p = (load(spark, sf, "part")
+         .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 20))
+         .select("p_partkey"))
+    li = load(spark, sf, "lineitem")
+    thresh = (li.join(F.broadcast(p),
+                      F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy("l_partkey")
+              .agg((F.avg("l_quantity") * 0.5).alias("qty_cap")))
+    return (li.join(thresh.withColumnRenamed("l_partkey", "t_partkey"),
+                    (F.col("l_partkey") == F.col("t_partkey"))
+                    & (F.col("l_quantity") < F.col("qty_cap")))
+            .agg(_dsum(F.col("l_extendedprice"), "small_lot_revenue"),
+                 F.count("*").cast("long").alias("n_lines")))

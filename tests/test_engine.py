@@ -101,7 +101,10 @@ def test_update_copy_on_write(engine, sf_dir):
 def test_file_pruning_skips_files(engine):
     """DML must not rewrite files whose stats exclude the predicate."""
     spark = engine.spark
-    engine.sql("CREATE TABLE ns1.parts (id BIGINT, bucket STRING)")
+    # auto-compaction off: the 32-partition range writes would trip the
+    # r9 small-file trigger and pack the very files this test prunes
+    engine.sql("CREATE TABLE ns1.parts (id BIGINT, bucket STRING) "
+               "TBLPROPERTIES ('auto.compact.threshold'='off')")
     for b in ("aa", "bb", "cc"):        # three separate inserts → files
         df = spark.range(100).selectExpr("id", f"'{b}' AS bucket")
         engine.write_table(df, "ns1.parts")

@@ -910,7 +910,11 @@ def test_zorder_tolerates_nan_values(engine, spark):
     """Round-6 ADVICE: NaN quantile boundaries would render as 'nanD' —
     an invalid SQL literal — so OPTIMIZE ... ZORDER BY on a NaN-bearing
     double column must filter them and still cluster the finite range."""
-    engine.sql("CREATE TABLE ns1.zn (id BIGINT, x DOUBLE)")
+    # auto-compaction off: the multi-file INSERT would otherwise
+    # pre-pack the tiny files (r9 small-file trigger) and hide the
+    # net-reduction this test asserts on
+    engine.sql("CREATE TABLE ns1.zn (id BIGINT, x DOUBLE) "
+               "TBLPROPERTIES ('auto.compact.threshold'='off')")
     engine.sql("INSERT INTO ns1.zn SELECT id, "
                "IF(id % 7 = 0, CAST('NaN' AS DOUBLE), CAST(id AS DOUBLE)) "
                "FROM RANGE(200)")
@@ -1037,3 +1041,101 @@ def test_auto_compaction_skipped_inside_explicit_txn(engine, spark):
     tdef = engine.catalog.describe_table(txn, "ns1", "tx")
     dirs = {f.path.split("/")[3] for f in tdef.data_files}
     assert len(dirs) <= 2
+
+
+# --- small-file bin-packing auto-compaction (round 9) -----------------------
+
+
+def test_small_file_compaction_leaves_large_files_alone(engine, spark):
+    """r8 VERDICT #1: a table with large + many tiny files bin-packs
+    ONLY the tiny ones in one versioned commit; the large files'
+    paths are untouched (no whole-table rewrite, no O(T²) lifetime
+    write amplification)."""
+    engine.sql("CREATE TABLE ns1.bp (id BIGINT) TBLPROPERTIES ("
+               "'auto.compact.threshold'='off',"
+               "'auto.compact.file_floor'='2000')")
+    big = spark.range(0, 3000).selectExpr("id")
+    engine.write_table(big.coalesce(1), "ns1.bp")          # ~large file
+    engine.write_table(big.selectExpr("id + 3000 AS id").coalesce(1),
+                       "ns1.bp")
+    one = spark.createDataFrame([(0,)], "id BIGINT")
+    for i in range(6):
+        engine.write_table(
+            one.selectExpr(f"CAST({6000 + i} AS BIGINT) AS id").coalesce(1),
+            "ns1.bp")
+    tdef = engine.catalog.describe_table(engine._txn(), "ns1", "bp")
+    large_paths = {f.path for f in tdef.data_files if f.size_bytes >= 2000}
+    assert len(large_paths) == 2
+    v_before = engine.catalog.tree.load_latest_root().version
+    saved = engine.compact_small_files("ns1.bp")
+    assert saved == 5                      # 6 tiny -> 1 packed file
+    tdef = engine.catalog.describe_table(engine._txn(), "ns1", "bp")
+    after_large = {f.path for f in tdef.data_files if f.size_bytes >= 2000}
+    assert after_large == large_paths      # byte-identical, same paths
+    assert len(tdef.data_files) == 3
+    # exactly one versioned commit
+    assert engine.catalog.tree.load_latest_root().version == v_before + 1
+    assert engine.sql("SELECT COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS s "
+                      "FROM ns1.bp").first() \
+        == (6006, sum(range(6000)) + sum(range(6000, 6006)))
+
+
+def test_append_to_large_file_table_never_rewrites(engine, spark):
+    """The append chokepoint must not trigger any rewrite of large
+    files: 35 large-file appends (> threshold dirs) leave every file
+    in place because none is below the floor."""
+    engine.sql("CREATE TABLE ns1.lg (id BIGINT) TBLPROPERTIES ("
+               "'auto.compact.threshold'='4',"
+               "'auto.compact.file_floor'='100')")   # every file is 'large'
+    one = spark.createDataFrame([(0,)], "id BIGINT")
+    for i in range(8):
+        engine.write_table(
+            one.selectExpr(f"CAST({i} AS BIGINT) AS id").coalesce(1),
+            "ns1.lg")
+    tdef = engine.catalog.describe_table(engine._txn(), "ns1", "lg")
+    assert len(tdef.data_files) == 8       # nothing ever rewritten
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.lg").first().n == 8
+
+
+def test_small_file_compaction_era_local_partition_values_survive(
+        engine, spark):
+    """Hive-partitioned tiny appends pack WITHIN their partition
+    layout: values reconstructed from paths are rewritten under the
+    same hive encoding, so post-compaction reads (and partition
+    pruning) are unchanged."""
+    engine.sql("CREATE TABLE ns1.pp (id BIGINT, src STRING) "
+               "PARTITIONED BY (src) TBLPROPERTIES ("
+               "'auto.compact.threshold'='off')")
+    for i in range(5):
+        engine.sql(f"INSERT INTO ns1.pp VALUES ({i}, 'web'), "
+                   f"({i + 100}, 'books')")
+    saved = engine.compact_small_files("ns1.pp")
+    assert saved > 0
+    rows = engine.sql("SELECT src, COUNT(*) AS n, "
+                      "CAST(SUM(id) AS BIGINT) AS s FROM ns1.pp "
+                      "GROUP BY src ORDER BY src").collect()
+    assert [(r.src, r.n, r.s) for r in rows] == [
+        ("books", 5, sum(range(100, 105))), ("web", 5, sum(range(5)))]
+    tdef = engine.catalog.describe_table(engine._txn(), "ns1", "pp")
+    # every surviving file still hive-encodes its partition
+    assert all("src=" in f.path for f in tdef.data_files)
+
+
+def test_small_file_compaction_respects_byte_budget(engine, spark):
+    """Per-run budget: only ~budget bytes rewrite per trigger; the
+    remainder waits for the next run instead of one unbounded rewrite."""
+    engine.sql("CREATE TABLE ns1.bu (id BIGINT) TBLPROPERTIES ("
+               "'auto.compact.threshold'='off')")
+    one = spark.createDataFrame([(0,)], "id BIGINT")
+    for i in range(10):
+        engine.write_table(
+            one.selectExpr(f"CAST({i} AS BIGINT) AS id").coalesce(1),
+            "ns1.bu")
+    tdef = engine.catalog.describe_table(engine._txn(), "ns1", "bu")
+    sizes = sorted(f.size_bytes for f in tdef.data_files)
+    budget = sum(sizes[:4]) + 1            # fits ~4 smallest files
+    engine.compact_small_files("ns1.bu", budget_bytes=budget)
+    tdef = engine.catalog.describe_table(engine._txn(), "ns1", "bu")
+    assert len(tdef.data_files) == 7       # 4 packed into 1, 6 untouched
+    assert engine.sql("SELECT CAST(SUM(id) AS BIGINT) AS s FROM ns1.bu"
+                      ).first().s == sum(range(10))

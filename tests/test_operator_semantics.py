@@ -178,3 +178,72 @@ def test_q2_shape_equals_independent_min_recompute(spark):
     mins = {r.l_partkey: r.mc for r in best.collect()}
     for r in got:
         assert abs(r.unit_cost - mins[r.p_partkey]) < 1e-12, r
+
+
+def _tpch(spark, tmp_path, **tables):
+    """Write crafted TPC-H-ish tables (name -> (rows, schema)) as a
+    scratch sf dir."""
+    d = str(tmp_path / "sftpch")
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def test_q21_counts_only_sole_late_supplier_on_multi_supplier_orders(
+        spark, tmp_path):
+    """B91 ground truth: supplier 1 waits-blame on order 100 ONLY —
+    order 101 has two late suppliers (NOT EXISTS kills it), order 102
+    is single-supplier (EXISTS kills it), order 103 is status 'O',
+    order 104's supplier sits outside the MIN nation."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            # (orderkey, partkey, suppkey, qty, price, returnflag)
+            (100, 1, 1, 1.0, 10.0, "R"), (100, 1, 2, 1.0, 10.0, "N"),
+            (101, 1, 1, 1.0, 10.0, "R"), (101, 1, 2, 1.0, 10.0, "R"),
+            (102, 1, 1, 1.0, 10.0, "R"),
+            (103, 1, 1, 1.0, 10.0, "R"), (103, 1, 2, 1.0, 10.0, "N"),
+            (104, 1, 3, 1.0, 10.0, "R"), (104, 1, 1, 1.0, 10.0, "N"),
+        ], "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, "
+           "l_quantity DOUBLE, l_extendedprice DOUBLE, "
+           "l_returnflag STRING"),
+        orders=([
+            (100, "F"), (101, "F"), (102, "F"), (103, "O"), (104, "F"),
+        ], "o_orderkey LONG, o_orderstatus STRING"),
+        supplier=([
+            (1, "Supp#1", 10), (2, "Supp#2", 10), (3, "Supp#3", 20),
+        ], "s_suppkey LONG, s_name STRING, s_nationkey LONG"),
+        nation=([
+            (10, "AAA", 1), (20, "BBB", 1),
+        ], "n_nationkey LONG, n_name STRING, n_regionkey LONG"))
+    out = {r.s_name: r.numwait for r in
+           registry.QUERIES["b91_q21_shape"](spark, d).collect()}
+    assert out == {"Supp#1": 1}
+    # and non-vacuous at the driver gate scale
+    assert registry.QUERIES["b91_q21_shape"](
+        spark, "/root/testdata/sf0.01").count() > 0
+
+
+def test_q17_small_lot_threshold_is_per_part_half_avg(spark, tmp_path):
+    """B92 ground truth: part 1's avg qty = 4 → cap 2 → exactly the
+    two qty-1 lines qualify (revenue 3.0 + 5.0); part 2 is the wrong
+    brand and must not contribute even though all its lines are tiny."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (1, 1, 1, 1.0, 3.0, "N"), (2, 1, 1, 1.0, 5.0, "N"),
+            (3, 1, 1, 10.0, 99.0, "N"),
+            (4, 2, 1, 0.5, 77.0, "N"), (5, 2, 1, 0.5, 78.0, "N"),
+        ], "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, "
+           "l_quantity DOUBLE, l_extendedprice DOUBLE, "
+           "l_returnflag STRING"),
+        part=([
+            (1, "Brand#1", 10), (2, "Brand#2", 10),
+        ], "p_partkey LONG, p_brand STRING, p_size LONG"))
+    row = registry.QUERIES["b92_q17_shape"](spark, d).first()
+    assert row.n_lines == 2
+    assert abs(row.small_lot_revenue - 8.0) < 1e-9
+    # non-vacuous at the driver gate scale
+    assert registry.QUERIES["b92_q17_shape"](
+        spark, "/root/testdata/sf0.01").first().n_lines > 0

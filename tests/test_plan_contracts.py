@@ -657,3 +657,83 @@ def test_line_dedup_single_shuffle_key(spark):
     assert all(k.strip() in ("lh", "klh", "source") for k in parts), parts
     # the raw unit text must not be a shuffle key anywhere
     assert not re.search(r"hashpartitioning\(line#", plan), plan
+
+
+# --- round 9: registry-wide SinglePartition ban + new TPC-H shapes ----------
+
+# SinglePartition exchanges whose INPUT is not a grand-total (keys=[])
+# partial aggregate, justified case by case. Keep this list SHORT — a
+# new entry needs the same defense.
+_SINGLE_PARTITION_ALLOWLIST = {
+    # equi-depth boundary assignment: the global cumulative pass runs
+    # over the (n_chars -> count) HISTOGRAM — bounded by the number of
+    # DISTINCT document lengths (≤ max doc length, ~1e5), not by corpus
+    # rows; the exchange input is already an aggregate.
+    "data_range_bounds",
+}
+
+
+def test_registry_has_no_unjustified_single_partition_exchange(spark):
+    """r8 VERDICT #2 (generalized from the C66 contract): NO registry
+    query may plan an `Exchange SinglePartition` over data-scale input
+    — the one-task stage that dies at 100 TB. The only tolerated shape
+    is a grand-total aggregate: the exchange's input operator is a
+    partial/merge aggregate with NO grouping keys (O(tasks) rows move,
+    never O(data)). Everything else must restructure (two-phase rank,
+    keyed windows, broadcast offsets — see data_shard_plan)."""
+    import re
+    bad = {}
+    for name in sorted(registry.QUERIES):
+        df = registry.QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            if re.search(r"Aggregate\(keys=\[\]", nxt):
+                continue                      # grand-total partial agg
+            if name in _SINGLE_PARTITION_ALLOWLIST:
+                continue
+            bad.setdefault(name, []).append(nxt.strip()[:90])
+    assert not bad, bad
+
+
+@pytest.mark.parametrize("name", ["b91_q21_shape", "b92_q17_shape",
+                                  "data_shard_plan"])
+def test_round9_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q21_decorrelates_to_single_windowed_lineitem_pass(spark):
+    """B91: the stacked EXISTS + NOT EXISTS must collapse into ONE
+    window pass keyed on l_orderkey — no per-row subquery
+    re-execution, no nested-loop join, supplier/nation broadcast."""
+    plan = _plan(registry.QUERIES["b91_q21_shape"](spark, SF))
+    assert "Window" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q17_correlated_avg_runs_once_as_aggregate_join(spark):
+    """B92: the correlated scalar AVG decorrelates into ONE grouped
+    aggregate + equi-join — exactly one avg aggregate over lineitem,
+    never a re-executed subquery; the part dimension broadcasts."""
+    plan = _plan(registry.QUERIES["b92_q17_shape"](spark, SF))
+    assert plan.count("partial_avg") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_shard_plan_two_phase_rank_no_single_partition(spark):
+    """C87 (r8 weak FIXED): the global rank must be the two-phase
+    range-partitioned form — a window keyed by partition id, offsets
+    via broadcast map — with NO SinglePartition exchange anywhere."""
+    df = registry.QUERIES["data_shard_plan"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
