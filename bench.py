@@ -85,6 +85,8 @@ HEADLINE = [
     # round-9 surface: the decorrelation shapes
     "b91_q21_shape",
     "b92_q17_shape",
+    "b93_q22_shape",
+    "b94_q20_shape",
 ]
 
 

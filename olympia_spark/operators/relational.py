@@ -2302,3 +2302,122 @@ def b92_q17(spark: SparkSession, sf: str) -> DataFrame:
                     & (F.col("l_quantity") < F.col("qty_cap")))
             .agg(_dsum(F.col("l_extendedprice"), "small_lot_revenue"),
                  F.count("*").cast("long").alias("n_lines")))
+
+
+# --- B93 TPC-H Q22 shape (anti-join + uncorrelated scalar threshold) --------
+
+@query("b93_q22_shape", oracle="""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey < 13
+), thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DECIMAL(25,6))
+           AS total,
+         COUNT(*) AS n
+  FROM pool WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+         AS totacctbal
+FROM pool, thr
+WHERE CAST(c_acctbal AS DECIMAL(25,6)) * n > total
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = pool.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey ORDER BY cntry
+""")
+def b93_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): the UNCORRELATED
+    scalar-subquery threshold (avg positive balance over the country
+    pool) combined with a NOT EXISTS anti-join against the fact —
+    the "rich but dormant customers" report. (Fixture has no c_phone;
+    c_nationkey < 13 stands in for the country-code IN list, and
+    "dormant" = no order since 2000 — every fixture customer has SOME
+    order, so the plain Q22 anti-join would be vacuously empty.)
+
+    Spark-first: the scalar threshold is ONE grand-total aggregate
+    (SinglePartition over keys=[] partials — the allowlisted shape)
+    broadcast into the pool as a 1-row nested-loop side; the
+    above-average test cross-multiplies in exact DECIMAL
+    (c_acctbal·n > Σbal) so NO engine-order-dependent double AVG can
+    flip a boundary customer; the NOT EXISTS lowers to a left-anti
+    hash join on c_custkey with the date filter pushed into the
+    orders scan."""
+    pool = (load(spark, sf, "customer")
+            .filter(F.col("c_nationkey") < 13)
+            .select("c_custkey", "c_nationkey",
+                    F.col("c_acctbal").cast("decimal(25,6)")
+                    .alias("bal")))
+    thr = (pool.filter(F.col("bal") > 0)
+           .agg(F.sum("bal").cast("decimal(25,6)").alias("total"),
+                F.count("*").alias("n")))
+    recent = (load(spark, sf, "orders")
+              .filter(F.col("o_orderdate")
+                      >= "2000-01-01 00:00:00")
+              .select("o_custkey"))
+    return (pool.join(F.broadcast(thr))
+            .filter(F.col("bal") * F.col("n") > F.col("total"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy(F.col("c_nationkey").cast("long").alias("cntry"))
+            .agg(F.count("*").cast("long").alias("numcust"),
+                 F.sum("bal").cast("double").alias("totacctbal"))
+            .orderBy("cntry"))
+
+
+# --- B94 TPC-H Q20 shape (nested semi-join chain over an aggregate) ---------
+
+@query("b94_q20_shape", oracle="""
+WITH w AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS tq,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             THEN l_quantity ELSE 0 END) AS yq
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM w
+                    JOIN part ON p_partkey = l_partkey
+                    WHERE p_name LIKE 'small%' AND yq > 0.5 * tq)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_nationkey < 13)
+ORDER BY s_name, s_suppkey
+""")
+def b94_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers): the NESTED IN chain —
+    supplier IN (suppliers of name-matched parts whose recent shipped
+    share exceeds half their lifetime quantity) AND IN (nation set).
+    (No partsupp in the fixture: availability derives from lineitem
+    totals per (part, supplier), which keeps the defining structure —
+    an aggregate UNDER a semi-join chain, with a per-group threshold.)
+    Spark-first: one partial+final SUM pair per (l_partkey, l_suppkey)
+    computed ONCE, the part-name filter broadcast into it, and both IN
+    predicates lowered to left-semi hash joins (the inner one
+    de-duplicated by the semi join itself — no DISTINCT pass).
+    Quantity sums are integer-valued doubles, so the half-share
+    comparison is exact on both engines."""
+    li = load(spark, sf, "lineitem")
+    recent = F.when(
+        F.col("l_shipdate") >= "1996-01-01 00:00:00",
+        F.col("l_quantity")).otherwise(F.lit(0.0))
+    w = (li.groupBy("l_partkey", "l_suppkey")
+         .agg(F.sum("l_quantity").alias("tq"),
+              F.sum(recent).alias("yq")))
+    p = (load(spark, sf, "part")
+         .filter(F.col("p_name").like("small%")).select("p_partkey"))
+    excess = (w.join(F.broadcast(p),
+                     F.col("l_partkey") == F.col("p_partkey"))
+              .filter(F.col("yq") > 0.5 * F.col("tq"))
+              .select("l_suppkey"))
+    nat = (load(spark, sf, "nation")
+           .filter(F.col("n_nationkey") < 13).select("n_nationkey"))
+    return (load(spark, sf, "supplier")
+            .join(excess, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"),
+                  "left_semi")
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name")
+            .orderBy("s_name", "s_suppkey"))

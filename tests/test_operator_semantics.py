@@ -247,3 +247,56 @@ def test_q17_small_lot_threshold_is_per_part_half_avg(spark, tmp_path):
     # non-vacuous at the driver gate scale
     assert registry.QUERIES["b92_q17_shape"](
         spark, "/root/testdata/sf0.01").first().n_lines > 0
+
+
+def test_q22_exact_decimal_threshold_and_dormancy(spark, tmp_path):
+    """B93 ground truth: pool = nations < 13; avg positive balance =
+    (300+100+300)/3 = 233.3 → c1 and c3 (300) pass the threshold; c4
+    (250, nation 20) is out of the pool; c3 has a recent order and
+    must drop at the anti-join — leaving exactly c1."""
+    import datetime
+    d = _tpch(
+        spark, tmp_path,
+        customer=([
+            (1, "c1", 2, 300.0), (2, "c2", 3, 100.0),
+            (3, "c3", 4, 300.0), (4, "c4", 20, 250.0),
+        ], "c_custkey LONG, c_name STRING, c_nationkey LONG, "
+           "c_acctbal DOUBLE"),
+        orders=([
+            (10, 3, datetime.datetime(2000, 6, 1)),  # recent → c3 drops
+            (11, 1, datetime.datetime(1999, 1, 1)),  # old → c1 dormant
+        ], "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP"))
+    out = [(r.cntry, r.numcust, r.totacctbal) for r in
+           registry.QUERIES["b93_q22_shape"](spark, d).collect()]
+    assert out == [(2, 1, 300.0)]
+
+
+def test_q20_half_share_threshold_and_nation_gate(spark, tmp_path):
+    """B94 ground truth: supplier 1 ships part 1 ('small x') mostly in
+    the recent window (6 of 10 → qualifies); supplier 2's recent share
+    is 4 of 10 (fails); supplier 3 qualifies on quantity but sits in
+    nation 20 (fails the nation gate)."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (1, 1, 1, 4.0, 0.0, "1995-06-01 00:00:00"),
+            (2, 1, 1, 6.0, 0.0, "1996-06-01 00:00:00"),
+            (3, 1, 2, 6.0, 0.0, "1995-06-01 00:00:00"),
+            (4, 1, 2, 4.0, 0.0, "1996-06-01 00:00:00"),
+            (5, 1, 3, 1.0, 0.0, "1996-06-01 00:00:00"),
+            (6, 2, 1, 9.0, 0.0, "1996-06-01 00:00:00"),  # wrong part name
+        ], "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, "
+           "l_quantity DOUBLE, l_extendedprice DOUBLE, "
+           "l_shipdate STRING"),
+        part=([
+            (1, "small x"), (2, "red y"),
+        ], "p_partkey LONG, p_name STRING"),
+        supplier=([
+            (1, "S1", 2), (2, "S2", 2), (3, "S3", 20),
+        ], "s_suppkey LONG, s_name STRING, s_nationkey LONG"),
+        nation=([
+            (2, "AAA", 1), (20, "BBB", 1),
+        ], "n_nationkey LONG, n_name STRING, n_regionkey LONG"))
+    out = [(r.s_suppkey, r.s_name) for r in
+           registry.QUERIES["b94_q20_shape"](spark, d).collect()]
+    assert out == [(1, "S1")]

@@ -700,6 +700,7 @@ def test_registry_has_no_unjustified_single_partition_exchange(spark):
 
 
 @pytest.mark.parametrize("name", ["b91_q21_shape", "b92_q17_shape",
+                                  "b93_q22_shape", "b94_q20_shape",
                                   "data_shard_plan"])
 def test_round9_operators_stay_jvm_side(spark, name):
     plan = _plan(registry.QUERIES[name](spark, SF))
@@ -737,3 +738,24 @@ def test_shard_plan_two_phase_rank_no_single_partition(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_q22_anti_join_and_pushed_date_filter(spark):
+    """B93: the dormancy test must be a left-anti hash join on
+    c_custkey with the date filter pushed into the orders scan; the
+    scalar threshold rides a 1-row broadcast."""
+    plan = _plan(registry.QUERIES["b93_q22_shape"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    pushed = "\n".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "o_orderdate" in pushed, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q20_semi_join_chain_single_aggregate(spark):
+    """B94: both INs must lower to left-semi joins and the per-
+    (part,supp) sums must compute in ONE partial+final pass."""
+    plan = _plan(registry.QUERIES["b94_q20_shape"](spark, SF))
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
