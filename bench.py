@@ -82,11 +82,14 @@ HEADLINE = [
     "data_shard_plan",
     "data_salt_plan",
     "text_line_dedup",
-    # round-9 surface: the decorrelation shapes
+    # round-9 surface: the decorrelation shapes, the metadata-only
+    # partition inventory, and the encoding gate
     "b91_q21_shape",
     "b92_q17_shape",
     "b93_q22_shape",
     "b94_q20_shape",
+    "b95_show_partitions",
+    "text_encoding_gate",
 ]
 
 

@@ -3133,14 +3133,20 @@ class Engine:
                 break
             picked.append(f)
             cum += f.size_bytes
-        eras: dict[tuple[str, ...], list] = {}
+        # group by era AND partition VALUE tuple (exact [v,v] stats):
+        # packing happens within one hive leaf, so a table of many
+        # single-small-file partitions is a NO-OP, not a rewrite that
+        # re-emits the same small files and re-triggers forever
+        eras: dict[tuple, list] = {}
         for f in picked:
-            eras.setdefault(era_of(f.path), []).append(f)
+            era = era_of(f.path)
+            vals = tuple(str(f.stats.get(c, [None])[0]) for c in era)
+            eras.setdefault((era, vals), []).append(f)
         inv = {p: l for l, p in tdef.column_mapping.items()}
         old_paths: list[str] = []
         new_files: list[DataFile] = []
-        for era, group in sorted(eras.items()):
-            if len(group) < 2:          # nothing to pack in this era
+        for (era, _vals), group in sorted(eras.items()):
+            if len(group) < 2:     # nothing to pack in this hive leaf
                 continue
             paths = [f.path for f in group]
             df = self._scan(tdef, paths)
@@ -3834,6 +3840,39 @@ class Engine:
         if m:
             # Delta-style spelling for the $history metadata table
             return self.sql(f"SELECT * FROM {m.group(1)}$history")
+        m = re.match(r"SHOW PARTITIONS (\S+\.\S+)$", norm, re.I)
+        if m:
+            # metadata-only (like DESCRIBE DETAIL): partition values are
+            # exact [v, v] file stats, so the listing with per-partition
+            # file/row/byte counts never opens a data file — at 100 TB
+            # the partition inventory a maintenance planner walks must
+            # not cost a table scan. Files predating the current spec
+            # (no recorded value) report a NULL partition.
+            ns, tbl = self._split(m.group(1))
+            txn = self._txn()
+            tdef = self.catalog.describe_table(txn, ns, tbl)
+            if not tdef.partition_by:
+                raise ValueError(
+                    f"SHOW PARTITIONS: {ns}.{tbl} is not partitioned")
+            pcols = [self._phys(tdef, c) for c in tdef.partition_by]
+            agg: dict[tuple, list[int]] = {}
+            for f in tdef.data_files:
+                key = tuple(
+                    None if c not in f.stats
+                    or f.stats[c][0] == "__HIVE_DEFAULT_PARTITION__"
+                    else str(f.stats[c][0]) for c in pcols)
+                cur = agg.setdefault(key, [0, 0, 0])
+                cur[0] += 1
+                cur[1] += f.num_rows
+                cur[2] += f.size_bytes
+            rows = [(*k, nf, nr, nb) for k, (nf, nr, nb) in
+                    sorted(agg.items(),
+                           key=lambda kv: tuple(
+                               (x is None, x or "") for x in kv[0]))]
+            schema = (", ".join(
+                f"`{c}` string" for c in tdef.partition_by)
+                + ", num_files long, num_rows long, size_bytes long")
+            return spark.createDataFrame(rows, schema)
         m = re.match(r"DESCRIBE DETAIL (\S+\.\S+)$", norm, re.I)
         if m:
             # Delta-style one-row table inspection: physical layout facts

@@ -797,3 +797,37 @@ def b86_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
         "GROUP BY ts_day ORDER BY ts_day")
         .select("ts_day", F.col("n").cast("bigint").alias("n"),
                 "value_sum"))
+
+
+@query("b95_show_partitions", oracle="""
+SELECT event_type AS part_value,
+       CAST(COUNT(*) AS BIGINT) AS num_rows
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def b95_show_partitions(spark: SparkSession, sf: str) -> DataFrame:
+    """B95 — SHOW PARTITIONS (Hive/Delta spelling, metadata-only): the
+    partition inventory with per-partition row counts comes straight
+    from the tracked [v, v] partition stats — ZERO data scan (the plan
+    contract asserts no parquet relation; at 100 TB the maintenance
+    planner's partition walk must not cost a table job). The oracle
+    pins the metadata row counts to the true per-partition COUNT(*)
+    of the raw fixture — the stats-vs-data consistency contract for
+    hive layouts."""
+    from pyspark.sql import functions as F
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+    from olympia_spark.engine import Engine
+
+    def build():
+        eng = Engine(spark, scratch_dir("olympia_dmlp_"))
+        eng.sql("CREATE NAMESPACE ns1")
+        return eng
+
+    eng = get_or_create(_DML_ENGINES, spark, sf + "#parts", build)
+    txn = eng.catalog.begin()
+    if not eng.catalog.table_exists(txn, "ns1", "events_sp"):
+        eng.write_table(load(spark, sf, "events"), "ns1.events_sp",
+                        partition_by=["event_type"])
+    return (eng.sql("SHOW PARTITIONS ns1.events_sp")
+            .select(F.col("event_type").alias("part_value"),
+                    F.col("num_rows"))
+            .orderBy("part_value"))

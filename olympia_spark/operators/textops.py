@@ -2578,3 +2578,60 @@ def text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
                            .otherwise(0)) / F.count("*"), 4)
                  .alias("retained_frac"))
             .orderBy("source"))
+
+
+# --- C90 encoding-quality (mojibake) gate -------------------------------------
+
+@query("text_encoding_gate", oracle="""
+WITH d AS (
+  SELECT source,
+         LENGTH(text) AS n_total,
+         LENGTH(REGEXP_REPLACE(text, '[ -~\t\n\r]', '', 'g')) AS n_susp,
+         LENGTH(text) - LENGTH(REPLACE(text, CHR(65533), '')) AS n_repl
+  FROM documents WHERE LENGTH(text) > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN n_repl > 0
+                OR n_susp * 20 > n_total THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged,
+       CAST(SUM(n_susp) AS BIGINT) AS susp_chars,
+       CAST(SUM(n_repl) AS BIGINT) AS repl_chars
+FROM d GROUP BY source ORDER BY source
+""")
+def text_encoding_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """C90 — encoding-quality gate (mojibake / double-decode damage):
+    per document, count SUSPICIOUS characters (anything outside
+    printable ASCII + tab/newline/CR — for an English-dominant corpus
+    these are overwhelmingly encoding damage: U+FFFD replacement
+    chars, C1 controls from CP-1252-as-UTF-8, isolated latin-1 bytes)
+    and U+FFFD specifically (the decoder's own "I lost a byte" marker
+    — any occurrence flags the doc); flag when replacement chars
+    appear or the suspicious ratio exceeds 5%. The CCNet/Dolma
+    pipelines run exactly this gate before any model-based filter —
+    mojibake text poisons n-gram LMs and wastes tokenizer vocabulary.
+
+    Spark-first: map-only regexp_replace + length arithmetic (JVM
+    whole-stage codegen, no UDF), one partial+final agg by source. The
+    5% test cross-multiplies (n_susp·20 > n_total) — pure integer
+    comparison, no float boundary. Exchanges carry per-source count
+    tuples only. The regex char class is engine-portable ([ -~] plus
+    explicit \\t\\n\\r — identical in RE2 and Java regex)."""
+    d = (load(spark, sf, "documents")
+         .filter(F.length("text") > 0)
+         .select(
+             "source",
+             F.length("text").alias("n_total"),
+             F.length(F.regexp_replace(
+                 F.col("text"), "[ -~\t\n\r]", "")).alias("n_susp"),
+             (F.length("text")
+              - F.length(F.regexp_replace(
+                  F.col("text"), "�", ""))).alias("n_repl")))
+    bad = (F.col("n_repl") > 0) | (F.col("n_susp") * 20 > F.col("n_total"))
+    return (d.groupBy("source")
+            .agg(F.count("*").cast("long").alias("docs"),
+                 F.sum(F.when(bad, 1).otherwise(0)).cast("long")
+                 .alias("flagged"),
+                 F.sum("n_susp").cast("long").alias("susp_chars"),
+                 F.sum("n_repl").cast("long").alias("repl_chars"))
+            .orderBy("source"))

@@ -190,3 +190,28 @@ def test_identity_partitioned_export_emits_manifest_constants(
     assert spec == [{"name": "p", "field-id": 1000,
                      "source-id": schema_ids["p"],
                      "transform": "identity"}]
+
+
+def test_sql_udf_long_lane_matches_numpy_spec(spark):
+    """r9: iceberg_hash_long is a Catalyst-inlined SQL UDF chain — it
+    must be bit-identical to the numpy spec implementation on golden
+    vectors, random 64-bit sweeps, and the extremes, and propagate
+    NULL."""
+    import numpy as np
+    import pandas as pd
+    from olympia_spark.iceberg_hash import murmur3_long, \
+        register_iceberg_hash
+    register_iceberg_hash(spark)
+    assert spark.sql("SELECT iceberg_hash_long(CAST(34 AS BIGINT)) h"
+                     ).first().h == 2017239379
+    assert spark.sql("SELECT iceberg_hash_long(CAST(17486 AS BIGINT)) h"
+                     ).first().h == -653330422    # date '2017-11-16'
+    rng = np.random.default_rng(11)
+    vals = (rng.integers(-2**62, 2**62, 1000).tolist()
+            + [0, -1, 1, 2**62, -2**62, 2**63 - 1, -2**63])
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = [r.h for r in
+           df.selectExpr("iceberg_hash_long(v) AS h").collect()]
+    assert got == murmur3_long(np.array(vals, np.int64)).tolist()
+    assert spark.sql("SELECT iceberg_hash_long(CAST(NULL AS BIGINT)) h"
+                     ).first().h is None

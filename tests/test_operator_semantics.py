@@ -300,3 +300,27 @@ def test_q20_half_share_threshold_and_nation_gate(spark, tmp_path):
     out = [(r.s_suppkey, r.s_name) for r in
            registry.QUERIES["b94_q20_shape"](spark, d).collect()]
     assert out == [(1, "S1")]
+
+
+def test_encoding_gate_flags_mojibake_and_boundary(spark, tmp_path):
+    """C90 ground truth (the fixture corpus is all-clean ASCII, so the
+    FLAG path is unexercised by the oracle gate — pin it on crafted
+    damage): a U+FFFD doc flags regardless of ratio; CP1252-style
+    mojibake ('Ã©' per word) flags on the 5% ratio; exactly-5% does
+    NOT flag (strict >); clean text never flags."""
+    clean = "a clean english sentence with ordinary words only"
+    rows = [
+        (0, clean, "en", "s", 0),
+        (1, "lost byte � here " + clean, "en", "s", 0),   # U+FFFD
+        (2, "cafÃ© " * 10, "en", "s", 0),            # mojibake
+        # exactly 1 suspicious char in 20 → 1*20 > 20 is FALSE
+        (3, "é" + "x" * 19, "en", "s", 0),
+        # 2 suspicious in 20 → 2*20 > 20 → flagged
+        (4, "éé" + "x" * 18, "en", "s", 0),
+    ]
+    d = _docs(spark, tmp_path, rows)
+    out = registry.QUERIES["text_encoding_gate"](spark, d).first()
+    assert out.docs == 5
+    assert out.flagged == 3            # docs 1, 2, 4
+    assert out.repl_chars == 1
+    assert out.susp_chars > 0

@@ -701,6 +701,7 @@ def test_registry_has_no_unjustified_single_partition_exchange(spark):
 
 @pytest.mark.parametrize("name", ["b91_q21_shape", "b92_q17_shape",
                                   "b93_q22_shape", "b94_q20_shape",
+                                  "text_encoding_gate",
                                   "data_shard_plan"])
 def test_round9_operators_stay_jvm_side(spark, name):
     plan = _plan(registry.QUERIES[name](spark, SF))
@@ -759,3 +760,13 @@ def test_q20_semi_join_chain_single_aggregate(spark):
     assert plan.count("LeftSemi") >= 2, plan
     assert "partial_sum" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_show_partitions_is_metadata_only(spark):
+    """B95: the partition inventory must come from tracked stats — the
+    plan may not contain any file scan (LocalTableScan of driver-built
+    rows only)."""
+    plan = registry.QUERIES["b95_show_partitions"](
+        spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan, plan
