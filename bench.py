@@ -89,7 +89,9 @@ HEADLINE = [
     "b93_q22_shape",
     "b94_q20_shape",
     "b95_show_partitions",
+    "b96_q11_shape",
     "text_encoding_gate",
+    "text_quality_linear",
 ]
 
 

@@ -2421,3 +2421,59 @@ def b94_q20(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
                     "s_name")
             .orderBy("s_name", "s_suppkey"))
+
+
+# --- B96 TPC-H Q11 shape (HAVING over a global scalar aggregate) ------------
+
+@query("b96_q11_shape", oracle="""
+WITH v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_nationkey < 13
+  GROUP BY l_partkey
+), t AS (SELECT SUM(val) AS total, COUNT(*) AS n FROM v)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(val AS DOUBLE) AS part_value
+FROM v, t WHERE val * n * 10 > total * 15
+ORDER BY part_value DESC, l_partkey LIMIT 100
+""")
+def b96_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important-stock identification): GROUP BY with
+    a HAVING threshold that is itself a SCALAR AGGREGATE over the same
+    grouped relation — the two-level aggregate + global-threshold
+    correlation. (Per-part value derives from lineitem×supplier of the
+    nation subset — no partsupp in fixtures; Q11's fixed fraction
+    doesn't survive scale changes, so the threshold is scale-FREE:
+    1.5× the mean part value, cross-multiplied in integers/DECIMAL —
+    val·n·10 > total·15 — no float boundary at any SF.)
+
+    Spark-first: the per-part values aggregate computes ONCE — the
+    relation is localCheckpointed (O(parts) rows, parts-sized, not
+    fact-sized), so the grand-total branch re-reads the materialized
+    values instead of re-running the lineitem join+agg (an unpinned
+    shared subtree plans TWICE in Spark: two full fact scans at
+    100 TB — the plan contract asserts the final plan contains NO
+    lineitem scan at all). The threshold is a 1-row broadcast;
+    supplier/nation broadcast into the fact side of the checkpoint
+    job; TakeOrdered for the top-100."""
+    li = load(spark, sf, "lineitem")
+    nat = (load(spark, sf, "nation")
+           .filter(F.col("n_nationkey") < 13).select("n_nationkey"))
+    sup = (load(spark, sf, "supplier")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    v = (li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+         .groupBy("l_partkey")
+         .agg(F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+              .alias("val"))
+         .localCheckpoint())
+    t = v.agg(F.sum("val").alias("total"), F.count("*").alias("n"))
+    return (v.join(F.broadcast(t))
+            .filter(F.col("val") * F.col("n") * 10
+                    > F.col("total") * 15)
+            .select(F.col("l_partkey").cast("long").alias("l_partkey"),
+                    F.col("val").cast("double").alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "l_partkey")
+            .limit(100))

@@ -2635,3 +2635,61 @@ def text_encoding_gate(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum("n_susp").cast("long").alias("susp_chars"),
                  F.sum("n_repl").cast("long").alias("repl_chars"))
             .orderBy("source"))
+
+
+# --- C91 hashed linear quality scorer -----------------------------------------
+
+@query("text_quality_linear", oracle="""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE LENGTH(text) > 0
+), feat AS (
+  SELECT doc_id, source,
+         (CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 64)
+           * 37 % 21 - 10 AS wt
+  FROM tok
+), doc AS (
+  SELECT doc_id, source, COUNT(*) AS n, SUM(wt) AS s
+  FROM feat GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN s * 2 < -1 * n THEN 1 ELSE 0 END) AS BIGINT)
+         AS filtered,
+       CAST(SUM(s) AS BIGINT) AS score_sum,
+       CAST(SUM(n) AS BIGINT) AS tok_sum
+FROM doc GROUP BY source ORDER BY source
+""")
+def text_quality_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """C91 — hashed linear quality scorer (the fasttext/CCNet-style
+    model-based filter's EXECUTION shape): hashing-trick featurization
+    (md5-prefix of each token mod 64 buckets), an integer milli-weight
+    per bucket, per-doc score = Σ weights, and a keep/filter decision
+    by cross-multiplied integer comparison (s·2 < −n ⇔ mean weight
+    < −0.5 milli/token — no float boundary on either engine). The
+    weights here are a DETERMINISTIC stand-in (wt = (bucket·37 mod 21)
+    − 10); a production run swaps in trained milli-weights via a
+    broadcast map over the same plan — the hashing, scoring, and
+    thresholding machinery is what this operator pins.
+
+    Scale: explode → map-only arithmetic → two partial+final aggs
+    (doc, then source) — all JVM built-ins; exchanges carry (doc_id,
+    counts), never text. The per-bucket weight lookup is O(1)
+    arithmetic, so the scorer runs at scan speed — exactly why the
+    hashing trick (Weinberger et al. 2009) is the standard for
+    corpus-scale linear filters."""
+    tok = (load(spark, sf, "documents")
+           .filter(F.length("text") > 0)
+           .select("doc_id", "source",
+                   F.explode(_words(F.col("text"))).alias("w")))
+    wt = (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+          % 64) * 37 % 21 - 10
+    doc = (tok.select("doc_id", "source", wt.alias("wt"))
+           .groupBy("doc_id", "source")
+           .agg(F.count("*").alias("n"), F.sum("wt").alias("s")))
+    return (doc.groupBy("source")
+            .agg(F.count("*").cast("long").alias("docs"),
+                 F.sum(F.when(F.col("s") * 2 < -F.col("n"), 1)
+                       .otherwise(0)).cast("long").alias("filtered"),
+                 F.sum("s").cast("long").alias("score_sum"),
+                 F.sum("n").cast("long").alias("tok_sum"))
+            .orderBy("source"))

@@ -324,3 +324,52 @@ def test_encoding_gate_flags_mojibake_and_boundary(spark, tmp_path):
     assert out.flagged == 3            # docs 1, 2, 4
     assert out.repl_chars == 1
     assert out.susp_chars > 0
+
+
+def test_q11_threshold_is_1_5x_mean_part_value(spark, tmp_path):
+    """B96 ground truth: part values 10/1/1/1 → mean 3.25 → 1.5× mean
+    = 4.875 → only part 1 qualifies; a supplier outside the nation
+    subset must not contribute value."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (1, 1, 1, 1.0, 10.0, "N"),
+            (2, 2, 1, 1.0, 1.0, "N"),
+            (3, 3, 1, 1.0, 1.0, "N"),
+            (4, 4, 1, 1.0, 1.0, "N"),
+            (5, 1, 9, 1.0, 100.0, "N"),   # foreign supplier — excluded
+        ], "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, "
+           "l_quantity DOUBLE, l_extendedprice DOUBLE, "
+           "l_returnflag STRING"),
+        supplier=([
+            (1, "S1", 2), (9, "S9", 20),
+        ], "s_suppkey LONG, s_name STRING, s_nationkey LONG"),
+        nation=([
+            (2, "AAA", 1), (20, "BBB", 1),
+        ], "n_nationkey LONG, n_name STRING, n_regionkey LONG"))
+    out = [(r.l_partkey, r.part_value) for r in
+           registry.QUERIES["b96_q11_shape"](spark, d).collect()]
+    assert out == [(1, 10.0)]
+
+
+def test_quality_linear_matches_independent_hash_recompute(spark, tmp_path):
+    """C91 ground truth: recompute the hashed milli-weights with
+    python hashlib (independent of BOTH engines' md5/conv paths) and
+    check the per-source sums and the cross-multiplied filter."""
+    import hashlib
+
+    def wt(word: str) -> int:
+        return (int(hashlib.md5(word.encode()).hexdigest()[:4], 16)
+                % 64) * 37 % 21 - 10
+
+    texts = {1: "aa bb cc dd", 2: "ee", 3: "aa aa aa"}
+    rows = [(i, t, "en", "s", 0) for i, t in texts.items()]
+    d = _docs(spark, tmp_path, rows)
+    out = registry.QUERIES["text_quality_linear"](spark, d).first()
+    exp = {i: ([wt(w) for w in t.split()]) for i, t in texts.items()}
+    assert out.docs == 3
+    assert out.score_sum == sum(sum(v) for v in exp.values())
+    assert out.tok_sum == sum(len(v) for v in exp.values())
+    want_filtered = sum(
+        1 for v in exp.values() if sum(v) * 2 < -len(v))
+    assert out.filtered == want_filtered

@@ -701,7 +701,8 @@ def test_registry_has_no_unjustified_single_partition_exchange(spark):
 
 @pytest.mark.parametrize("name", ["b91_q21_shape", "b92_q17_shape",
                                   "b93_q22_shape", "b94_q20_shape",
-                                  "text_encoding_gate",
+                                  "b96_q11_shape", "text_encoding_gate",
+                                  "text_quality_linear",
                                   "data_shard_plan"])
 def test_round9_operators_stay_jvm_side(spark, name):
     plan = _plan(registry.QUERIES[name](spark, SF))
@@ -770,3 +771,16 @@ def test_show_partitions_is_metadata_only(spark):
         spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan, plan
     assert "LocalTableScan" in plan or "ExistingRDD" in plan, plan
+
+
+def test_q11_total_reaggregates_small_relation_not_lineitem(spark):
+    """B96: the per-part values relation is materialized ONCE
+    (localCheckpoint) — the final plan re-reads it for both the
+    threshold and the output branch and contains NO lineitem scan at
+    all (an unpinned shared subtree would plan the fact join+agg
+    twice); top-100 via TakeOrdered."""
+    plan = _plan(registry.QUERIES["b96_q11_shape"](spark, SF))
+    assert plan.count("lineitem.parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
