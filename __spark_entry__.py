@@ -65,8 +65,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # NEW this round — never driver-checked yet
     "b91_q21_shape", "b92_q17_shape", "b93_q22_shape", "b94_q20_shape",
-    "b95_show_partitions", "b96_q11_shape", "text_encoding_gate",
-    "text_quality_linear",
+    "b95_show_partitions", "b96_q11_shape", "b97_row_policies",
+    "text_encoding_gate", "text_quality_linear",
     # latest green = round 4 — the 28 the r8 verdict names
     "b32_stream_catalog_ingest", "b32_stream_watermark_append",
     "b50_carry_forward", "b51_median_mode", "b52_array_setops",

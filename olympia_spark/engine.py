@@ -616,13 +616,113 @@ class Engine:
 
     def read_table(self, name: str, txn: Transaction | None = None
                    ) -> DataFrame:
-        """§3.1 read path: tree search → TableDef → parquet scan."""
+        """§3.1 read path: tree search → TableDef → parquet scan, with
+        governance POLICIES (B97 row filter / column masks) applied at
+        this reader-facing chokepoint — every SQL reference (SELECT,
+        views, time travel, MERGE/INSERT sources) resolves through
+        here, while internal rewrite paths (COW DML, compaction,
+        CLONE, export) scan raw via ``_scan`` so a policy can never
+        silently destroy the rows it hides."""
         ns, tbl = self._split(name)
         txn = txn or self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         schema = tdef.spark_schema()
         self._record_select(txn, ns, tbl, [f.name for f in schema.fields])
-        return self._scan(tdef, tdef.file_paths())
+        return self._apply_policies(self._scan(tdef, tdef.file_paths()),
+                                    tdef)
+
+    def _apply_policies(self, df: DataFrame, tdef: TableDef) -> DataFrame:
+        """Row filter evaluates on RAW values (the filter may key on
+        exactly the attribute the mask then hides — the standard
+        lakehouse semantics); masks replace the column expression and
+        cast back to the declared type, so the schema is unchanged.
+        Metadata virtual tables ($files/$partitions) intentionally
+        bypass policies: they expose physical layout, not rows."""
+        rf = tdef.properties.get("policy.row_filter")
+        masks = {k.removeprefix("policy.mask."): v
+                 for k, v in tdef.properties.items()
+                 if k.startswith("policy.mask.")}
+        if not rf and not masks:
+            return df
+        if rf:
+            df = df.filter(F.expr(rf))
+        if masks:
+            types = {f.name: f.dataType
+                     for f in tdef.spark_schema().fields}
+            df = df.select(*[
+                F.expr(masks[c]).cast(types[c]).alias(c)
+                if c in masks else F.col(c) for c in df.columns])
+        return df
+
+    def set_row_filter(self, name: str, expr: str) -> None:
+        """``ALTER TABLE ... SET ROW FILTER (<expr>)`` (Databricks/
+        Snowflake-style row-level security, beyond-reference): from
+        this commit on, every reader-facing resolution of the table
+        sees only rows where ``expr`` is TRUE. Validated against the
+        current schema before it is admitted (an unanalyzable filter
+        would brick every read)."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "SET ROW FILTER")
+        empty = self.spark.createDataFrame([], tdef.spark_schema())
+        empty.filter(F.expr(expr))          # analyze-or-raise
+        tdef.properties = {**tdef.properties, "policy.row_filter": expr}
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER,
+                                 {"set_row_filter": [expr]})
+        self._finish(txn)
+
+    def drop_row_filter(self, name: str) -> None:
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "DROP ROW FILTER")
+        if "policy.row_filter" not in tdef.properties:
+            raise ValueError(f"{name} has no row filter")
+        tdef.properties = {k: v for k, v in tdef.properties.items()
+                           if k != "policy.row_filter"}
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER,
+                                 {"drop_row_filter": []})
+        self._finish(txn)
+
+    def set_column_mask(self, name: str, col: str, expr: str) -> None:
+        """``ALTER TABLE ... ALTER COLUMN c SET MASK (<expr>)``: every
+        reader-facing resolution replaces ``c`` with ``expr`` (which
+        may reference c itself and other columns), cast back to c's
+        declared type — schema-stable redaction at the resolution
+        chokepoint, zero data rewrite."""
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "SET MASK")
+        schema = tdef.spark_schema()
+        types = {f.name: f.dataType for f in schema.fields}
+        if col not in types:
+            raise ValueError(f"no such column: {col}")
+        empty = self.spark.createDataFrame([], schema)
+        empty.select(F.expr(expr).cast(types[col]))   # analyze-or-raise
+        tdef.properties = {**tdef.properties,
+                           f"policy.mask.{col}": expr}
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER,
+                                 {"set_column_mask": [col, expr]})
+        self._finish(txn)
+
+    def drop_column_mask(self, name: str, col: str) -> None:
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._require_native(tdef, name, "DROP MASK")
+        if f"policy.mask.{col}" not in tdef.properties:
+            raise ValueError(f"{name}.{col} has no mask")
+        tdef.properties = {k: v for k, v in tdef.properties.items()
+                           if k != f"policy.mask.{col}"}
+        self.catalog.alter_table(txn, ns, tbl, tdef,
+                                 ActionType.TABLE_ALTER,
+                                 {"drop_column_mask": [col]})
+        self._finish(txn)
 
     def table_changes(self, name: str, from_version: int,
                       to_version: int) -> DataFrame:
@@ -2531,6 +2631,28 @@ class Engine:
                 raise ValueError(
                     f"cannot rename column {old}: source of generated "
                     f"column {g} ({gexpr})")
+        # governance policies (B97): expressions store the old name and
+        # would brick every read after the rename — conservative refuse
+        # (the mask ON the renamed column re-keys only if its expression
+        # doesn't reference the column; self-referencing masks refuse)
+        rf = tdef.properties.get("policy.row_filter", "")
+        if rf and self._expr_refs(rf, old):
+            raise ValueError(
+                f"cannot rename column {old}: referenced by the row "
+                f"filter ({rf}); DROP ROW FILTER first")
+        for key, mexpr in list(tdef.properties.items()):
+            if not key.startswith("policy.mask."):
+                continue
+            mcol = key.removeprefix("policy.mask.")
+            if self._expr_refs(mexpr, old):
+                raise ValueError(
+                    f"cannot rename column {old}: referenced by the "
+                    f"mask on {mcol} ({mexpr}); DROP MASK first")
+            if mcol == old:
+                tdef.properties = {
+                    **{k: v for k, v in tdef.properties.items()
+                       if k != key},
+                    f"policy.mask.{new}": mexpr}
         mapping = dict(tdef.column_mapping)
         # carry the ORIGINAL physical name through rename chains; renaming
         # BACK to the creation name drops the entry entirely (no identity
@@ -3017,6 +3139,28 @@ class Engine:
                 raise ValueError(
                     f"cannot drop column(s) {hit}: source of generated "
                     f"column {g} ({gexpr}); drop {g} first")
+        # governance policies (B97): dropping a column another policy's
+        # expression references would brick every read; a column's OWN
+        # mask simply leaves with it
+        rf = tdef.properties.get("policy.row_filter", "")
+        hit = [c for c in column_names if rf and self._expr_refs(rf, c)]
+        if hit:
+            raise ValueError(
+                f"cannot drop column(s) {hit}: referenced by the row "
+                f"filter ({rf}); DROP ROW FILTER first")
+        for key, mexpr in list(tdef.properties.items()):
+            if not key.startswith("policy.mask."):
+                continue
+            mcol = key.removeprefix("policy.mask.")
+            if mcol in column_names:
+                tdef.properties = {k: v for k, v in
+                                   tdef.properties.items() if k != key}
+                continue
+            hit = [c for c in column_names if self._expr_refs(mexpr, c)]
+            if hit:
+                raise ValueError(
+                    f"cannot drop column(s) {hit}: referenced by the "
+                    f"mask on {mcol} ({mexpr}); DROP MASK first")
         # dropping a generated column removes its derivation with it
         tdef.generated_columns = {
             g: e for g, e in tdef.generated_columns.items()
@@ -4269,6 +4413,26 @@ class Engine:
             n = self.update(name, assignments, pred or "true")
             return spark.createDataFrame([(n,)], "affected_files_rows long")
 
+        m = re.match(r"ALTER TABLE (\S+\.\S+) SET ROW FILTER "
+                     r"\((.+)\)$", norm, re.I | re.S)
+        if m:
+            self.set_row_filter(m.group(1), m.group(2))
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) DROP ROW FILTER$",
+                     norm, re.I)
+        if m:
+            self.drop_row_filter(m.group(1))
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) ALTER COLUMN (\w+) "
+                     r"SET MASK \((.+)\)$", norm, re.I | re.S)
+        if m:
+            self.set_column_mask(m.group(1), m.group(2), m.group(3))
+            return ok()
+        m = re.match(r"ALTER TABLE (\S+\.\S+) ALTER COLUMN (\w+) "
+                     r"DROP MASK$", norm, re.I)
+        if m:
+            self.drop_column_mask(m.group(1), m.group(2))
+            return ok()
         m = re.match(r"ALTER TABLE (\S+\.\S+) ADD CONSTRAINT (\w+) "
                      r"CHECK\s*\((.+)\)$", norm, re.I | re.S)
         if m:

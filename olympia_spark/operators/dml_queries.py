@@ -831,3 +831,40 @@ def b95_show_partitions(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("event_type").alias("part_value"),
                     F.col("num_rows"))
             .orderBy("part_value"))
+
+
+@query("b97_row_policies", oracle="""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        WHERE value >= 0) AS n_visible,
+       (SELECT CAST(SUM(user_id % 1000) AS BIGINT) FROM events
+        WHERE value >= 0) AS masked_uid_sum,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_after_drop
+""")
+def b97_row_policies(spark: SparkSession, sf: str) -> DataFrame:
+    """B97 — row filters + column masks (Databricks/Snowflake-style
+    row-level security and redaction, beyond-reference): policies are
+    table metadata enforced at the READER-FACING resolution chokepoint
+    — SELECTs, views, MERGE/INSERT sources all see them; internal COW
+    rewrites scan raw, so a filter can never destroy the rows it
+    hides. This query sets filter (value >= 0) + mask (user_id %
+    1000), reads the governed aggregate, then DROPS both policies and
+    re-counts — proving the hidden rows survived untouched. The oracle
+    reproduces all three numbers from the raw fixture."""
+    from pyspark.sql import functions as F
+    eng = _engine_with_events(spark, sf, "events_rp")
+    eng.sql("ALTER TABLE ns1.events_rp SET ROW FILTER (value >= 0)")
+    eng.sql("ALTER TABLE ns1.events_rp ALTER COLUMN user_id "
+            "SET MASK (user_id % 1000)")
+    governed = eng.sql(
+        "SELECT COUNT(*) AS n_visible, "
+        "CAST(SUM(user_id) AS BIGINT) AS masked_uid_sum "
+        "FROM ns1.events_rp")
+    eng.sql("ALTER TABLE ns1.events_rp DROP ROW FILTER")
+    eng.sql("ALTER TABLE ns1.events_rp ALTER COLUMN user_id DROP MASK")
+    after = eng.sql("SELECT COUNT(*) AS n_after_drop "
+                    "FROM ns1.events_rp")
+    return (governed.join(F.broadcast(after))
+            .select(F.col("n_visible").cast("long").alias("n_visible"),
+                    "masked_uid_sum",
+                    F.col("n_after_drop").cast("long")
+                    .alias("n_after_drop")))

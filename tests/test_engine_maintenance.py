@@ -1182,3 +1182,64 @@ def test_show_partitions_metadata_and_edge_cases(engine, spark):
     engine.sql("CREATE TABLE ns1.unp (id BIGINT)")
     with pytest.raises(ValueError, match="not partitioned"):
         engine.sql("SHOW PARTITIONS ns1.unp")
+
+
+# --- B97 row filters / column masks (round 9) -------------------------------
+
+
+def test_row_filter_and_mask_reader_facing_only(engine, spark):
+    """Policies apply at SQL resolution; COW DML sees raw rows — a row
+    filter must never destroy the rows it hides."""
+    engine.sql("CREATE TABLE ns1.rp (id BIGINT, val DOUBLE, ssn STRING)")
+    engine.sql("INSERT INTO ns1.rp VALUES (1, 5.0, 'aaa-11'), "
+               "(2, -3.0, 'bbb-22'), (3, 7.0, 'ccc-33')")
+    engine.sql("ALTER TABLE ns1.rp SET ROW FILTER (val >= 0)")
+    engine.sql("ALTER TABLE ns1.rp ALTER COLUMN ssn SET MASK "
+               "(concat(substr(ssn, 1, 1), '***'))")
+    rows = {r.id: (r.val, r.ssn) for r in
+            engine.sql("SELECT id, val, ssn FROM ns1.rp").collect()}
+    assert rows == {1: (5.0, "a***"), 3: (7.0, "c***")}
+    # schema unchanged by the mask
+    assert [f.name for f in
+            engine.sql("SELECT * FROM ns1.rp").schema.fields] == \
+        ["id", "val", "ssn"]
+    # DML operates on RAW rows: updating a visible row must not drop
+    # the hidden one
+    engine.sql("UPDATE ns1.rp SET val = 9.0 WHERE id = 3")
+    engine.sql("ALTER TABLE ns1.rp DROP ROW FILTER")
+    engine.sql("ALTER TABLE ns1.rp ALTER COLUMN ssn DROP MASK")
+    rows = {r.id: (r.val, r.ssn) for r in
+            engine.sql("SELECT id, val, ssn FROM ns1.rp").collect()}
+    assert rows == {1: (5.0, "aaa-11"), 2: (-3.0, "bbb-22"),
+                    3: (9.0, "ccc-33")}
+
+
+def test_policy_expressions_validate_and_guard_schema_changes(engine):
+    engine.sql("CREATE TABLE ns1.rp2 (id BIGINT, region STRING)")
+    with pytest.raises(Exception):
+        engine.sql("ALTER TABLE ns1.rp2 SET ROW FILTER (nope > 1)")
+    with pytest.raises(Exception):
+        engine.sql("ALTER TABLE ns1.rp2 ALTER COLUMN region "
+                   "SET MASK (missing_col)")
+    engine.sql("ALTER TABLE ns1.rp2 SET ROW FILTER (region <> 'x')")
+    with pytest.raises(ValueError, match="row .?filter"):
+        engine.sql("ALTER TABLE ns1.rp2 DROP COLUMNS (region)")
+    with pytest.raises(ValueError, match="row .?filter"):
+        engine.sql("ALTER TABLE ns1.rp2 RENAME COLUMN region TO r2")
+    engine.sql("ALTER TABLE ns1.rp2 DROP ROW FILTER")
+    # a non-self-referencing mask re-keys through a rename of its column
+    engine.sql("ALTER TABLE ns1.rp2 ALTER COLUMN region SET MASK ('*')")
+    engine.sql("ALTER TABLE ns1.rp2 RENAME COLUMN region TO area")
+    engine.sql("INSERT INTO ns1.rp2 VALUES (1, 'west')")
+    assert engine.sql("SELECT area FROM ns1.rp2").first().area == "*"
+    # dropping a masked column takes its mask with it
+    engine.sql("ALTER TABLE ns1.rp2 DROP COLUMNS (area)")
+    assert engine.sql("SELECT id FROM ns1.rp2").first().id == 1
+
+
+def test_policies_apply_through_views_and_time_travel(engine, spark):
+    engine.sql("CREATE TABLE ns1.rp3 (id BIGINT, v DOUBLE)")
+    engine.sql("INSERT INTO ns1.rp3 VALUES (1, 1.0), (2, -1.0)")
+    engine.sql("CREATE VIEW ns1.rpv AS SELECT id, v FROM ns1.rp3")
+    engine.sql("ALTER TABLE ns1.rp3 SET ROW FILTER (v > 0)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.rpv").first().n == 1
