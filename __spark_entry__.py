@@ -66,6 +66,8 @@ _PRIORITY = [
     # NEW this round — never driver-checked yet
     "b91_q21_shape", "b92_q17_shape", "b93_q22_shape", "b94_q20_shape",
     "b95_show_partitions", "b96_q11_shape", "b97_row_policies",
+    "b98_q6_shape", "b99_q4_shape", "b100_q13_shape", "b101_q15_shape",
+    "b102_q8_shape", "b103_q9_shape",
     "text_encoding_gate", "text_quality_linear",
     # latest green = round 4 — the 28 the r8 verdict names
     "b32_stream_catalog_ingest", "b32_stream_watermark_append",

@@ -90,6 +90,10 @@ HEADLINE = [
     "b94_q20_shape",
     "b95_show_partitions",
     "b96_q11_shape",
+    "b97_row_policies",
+    "b100_q13_shape",
+    "b102_q8_shape",
+    "b103_q9_shape",
     "text_encoding_gate",
     "text_quality_linear",
 ]

@@ -2035,7 +2035,8 @@ def b85_q14(spark: SparkSession, sf: str) -> DataFrame:
 @query("b87_q2_shape", oracle="""
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         ROUND(MIN(l_extendedprice / l_quantity), 4) AS unit_cost
+         CAST(ROUND(CAST(MIN(l_extendedprice / l_quantity)
+                         AS DECIMAL(25,10)), 4) AS DOUBLE) AS unit_cost
   FROM lineitem GROUP BY 1, 2
 ), rs AS (
   SELECT s_suppkey, s_name, s_acctbal
@@ -2068,10 +2069,13 @@ def b87_q2(spark: SparkSession, sf: str) -> DataFrame:
     are broadcast dimensions. Unit cost is an IEEE division + MIN +
     4-dp round, bit-identical across engines."""
     li = load(spark, sf, "lineitem")
+    # decimal-intermediate rounding (see b103): half-mode ties on raw
+    # doubles diverge between engines
     cost = (li.groupBy("l_partkey", "l_suppkey")
             .agg(F.round(F.min(F.col("l_extendedprice")
-                               / F.col("l_quantity")), 4)
-                 .alias("unit_cost")))
+                               / F.col("l_quantity"))
+                         .cast("decimal(25,10)"), 4)
+                 .cast("double").alias("unit_cost")))
     reg = load(spark, sf, "region")
     first_region = reg.agg(F.min("r_name")).first()[0]
     rs = (load(spark, sf, "supplier")
@@ -2477,3 +2481,295 @@ def b96_q11(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("val").cast("double").alias("part_value"))
             .orderBy(F.col("part_value").desc(), "l_partkey")
             .limit(100))
+
+
+# --- B98 TPC-H Q6 shape (single-table predicate revenue) --------------------
+
+@query("b98_q6_shape", oracle=f"""
+SELECT {dsum('l_extendedprice * l_discount', 'revenue')},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def b98_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the canonical
+    single-table scan-dominated query — every predicate (date window,
+    discount band, quantity cap) must PUSH into the parquet scan so
+    row groups outside the year skip on footer stats, and the
+    aggregate is one partial+final pass. The one shape where scan
+    efficiency IS the whole query; revenue in exact DECIMAL."""
+    li = load(spark, sf, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"),
+                   "revenue"),
+             F.count("*").cast("long").alias("n_lines")))
+
+
+# --- B99 TPC-H Q4 shape (EXISTS-gated priority counts) ----------------------
+
+@query("b99_q4_shape", oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def b99_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): a quarter of orders
+    gated by a correlated EXISTS against lineitem ('has a returned
+    line' stands in for the late-line predicate — no commit/receipt
+    dates in the fixture). Spark-first: the EXISTS lowers to a
+    LEFT-SEMI hash join on the order key — the lineitem side is
+    pre-filtered and never duplicated into the count; one grouped
+    count after the semi join."""
+    o = (load(spark, sf, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01 00:00:00")
+                 & (F.col("o_orderdate") < "1996-04-01 00:00:00")))
+    flagged = (load(spark, sf, "lineitem")
+               .filter(F.col("l_returnflag") == "R")
+               .select("l_orderkey"))
+    return (o.join(flagged, F.col("o_orderkey") == F.col("l_orderkey"),
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+# --- B100 TPC-H Q13 shape (distribution of counts) --------------------------
+
+@query("b100_q13_shape", oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) cc
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""")
+def b100_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): the count-of-counts
+    histogram — a LEFT OUTER join whose ON clause carries a
+    non-equi residual (priority exclusion belongs in the join
+    condition, NOT the WHERE — a WHERE would silently drop the
+    zero-order customers the query exists to count), COUNT(col)
+    null-skipping semantics for those zero-order customers, then a
+    second aggregate over the per-customer counts. Two keyed
+    exchanges (custkey, then c_count) — both well-distributed."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = (load(spark, sf, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (c.join(o, F.col("c_custkey") == F.col("o_custkey"),
+                       "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").cast("long").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+# --- B101 TPC-H Q15 shape (top supplier via scalar MAX equality) ------------
+
+@query("b101_q15_shape", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""")
+def b101_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the view-over-aggregate with a
+    scalar MAX equality — the classic "compute the relation, then
+    correlate against its own maximum" pattern. The quarterly revenue
+    relation materializes ONCE (localCheckpoint, supplier-sized) so
+    the MAX branch re-reads it instead of replanning the lineitem
+    aggregate; revenue accumulates in exact DECIMAL, so the equality
+    against MAX is exact on both engines (a double sum would make
+    'equals the max' engine-order-dependent); supplier dimension
+    broadcasts."""
+    li = (load(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01 00:00:00")
+                  & (F.col("l_shipdate") < "1996-04-01 00:00:00")))
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.sum((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))
+                          .cast("decimal(25,6)"))
+                    .alias("total_revenue"))
+               .localCheckpoint())
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (revenue.join(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(s),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name",
+                    F.col("total_revenue").cast("double")
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+# --- B102 TPC-H Q8 shape (market share ratio by year) -----------------------
+
+@query("b102_q8_shape", oracle="""
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+           AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'SMALL'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+       AND r_name = (SELECT MIN(r_name) FROM region)
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation =
+                     (SELECT MIN(n_name) FROM nation) THEN volume
+                ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+""")
+def b102_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the 8-relation join —
+    fact lineitem against part/supplier/orders/customer and a
+    TWO-ROLE nation (customer's nation gates the region, supplier's
+    nation is the share dimension) — with a conditional-share ratio
+    per year. Spark-first: every dimension broadcasts (part filtered,
+    supplier, customer→nation→region chain pre-joined driver-free);
+    numerator and denominator come from ONE aggregation pass via CASE;
+    both accumulate in exact DECIMAL so the final double division is
+    a single deterministic op on identical operands."""
+    first_region = (load(spark, sf, "region")
+                    .agg(F.min("r_name")).first()[0])
+    first_nation = (load(spark, sf, "nation")
+                    .agg(F.min("n_name")).first()[0])
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_regionkey").alias("c_rkey"))
+    reg = (load(spark, sf, "region")
+           .filter(F.col("r_name") == first_region)
+           .select("r_regionkey"))
+    cust = (load(spark, sf, "customer")
+            .join(F.broadcast(n1),
+                  F.col("c_nationkey") == F.col("c_nkey"))
+            .join(F.broadcast(reg),
+                  F.col("c_rkey") == F.col("r_regionkey"))
+            .select("c_custkey"))
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"))
+    sup = (load(spark, sf, "supplier")
+           .join(F.broadcast(n2),
+                 F.col("s_nationkey") == F.col("s_nkey"))
+           .select("s_suppkey", "supp_nation"))
+    p = (load(spark, sf, "part")
+         .filter(F.col("p_type") == "SMALL").select("p_partkey"))
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"))
+    li = load(spark, sf, "lineitem")
+    vol = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+           .select("o_year", "supp_nation",
+                   (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(25,6)").alias("volume")))
+    num = F.sum(F.when(F.col("supp_nation") == first_nation,
+                       F.col("volume")).otherwise(F.lit(0)))
+    return (vol.groupBy("o_year")
+            .agg(F.round(num.cast("double")
+                         / F.sum("volume").cast("double"), 6)
+                 .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+# --- B103 TPC-H Q9 shape (profit by nation and year) ------------------------
+
+@query("b103_q9_shape", oracle="""
+WITH cost AS (
+  SELECT l_partkey AS cp, l_suppkey AS cs,
+         ROUND(CAST(MIN(l_extendedprice / l_quantity)
+                    AS DECIMAL(25,10)), 4) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - unit_cost * l_quantity AS DECIMAL(25,6)))
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN cost ON cp = l_partkey AND cs = l_suppkey
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+""")
+def b103_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit = revenue minus
+    supply cost, grouped by the SUPPLIER's nation and order year,
+    over a name-pattern part filter. (No partsupp: the per-(part,
+    supplier) supply cost derives as the minimum observed unit price
+    — b87's derivation — which preserves the defining structure: a
+    per-(part,supp) attribute joined back into the fact before the
+    two-level grouping.) Spark-first: the cost relation is ONE
+    grouped aggregate joined back on the (partkey, suppkey) pair —
+    the join key matches the aggregate's grouping key so the shuffle
+    partitioning REUSES; part (name-filtered), supplier and nation
+    broadcast; per-line profit casts to exact DECIMAL before the
+    final sum."""
+    li = load(spark, sf, "lineitem")
+    # round through an exact DECIMAL intermediate: ROUND on a raw
+    # double hits half-mode ties (Spark HALF_UP vs DuckDB's float
+    # rounding) on ratios like price/8 — decimal rounding is HALF_UP
+    # on both engines
+    cost = (li.groupBy(F.col("l_partkey").alias("cp"),
+                       F.col("l_suppkey").alias("cs"))
+            .agg(F.round(F.min(F.col("l_extendedprice")
+                               / F.col("l_quantity"))
+                         .cast("decimal(25,10)"), 4)
+                 .alias("unit_cost")))
+    p = (load(spark, sf, "part")
+         .filter(F.col("p_name").like("%red%")).select("p_partkey"))
+    nat = load(spark, sf, "nation").select("n_nationkey",
+                                           F.col("n_name").alias("nation"))
+    sup = (load(spark, sf, "supplier")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "nation"))
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("unit_cost") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cost, (F.col("cp") == F.col("l_partkey"))
+                  & (F.col("cs") == F.col("l_suppkey")))
+            .groupBy("nation", "o_year")
+            .agg(F.sum(profit.cast("decimal(25,6)")).cast("double")
+                 .alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))

@@ -163,8 +163,9 @@ def test_q2_shape_equals_independent_min_recompute(spark):
     li = load(spark, sf, "lineitem")
     cost = (li.groupBy("l_partkey", "l_suppkey")
             .agg(F.round(F.min(F.col("l_extendedprice")
-                               / F.col("l_quantity")), 4)
-                 .alias("uc")))
+                               / F.col("l_quantity"))
+                         .cast("decimal(25,10)"), 4)
+                 .cast("double").alias("uc")))
     reg = load(spark, sf, "region")
     first_region = reg.agg(F.min("r_name")).first()[0]
     rs = (load(spark, sf, "supplier")
@@ -373,3 +374,46 @@ def test_quality_linear_matches_independent_hash_recompute(spark, tmp_path):
     want_filtered = sum(
         1 for v in exp.values() if sum(v) * 2 < -len(v))
     assert out.filtered == want_filtered
+
+
+def test_q13_counts_zero_order_customers_and_residual_condition(
+        spark, tmp_path):
+    """B100 ground truth: c1 has 2 counted orders + 1 urgent
+    (excluded), c2 has only an urgent order (counts as ZERO, must
+    appear), c3 has none at all."""
+    d = _tpch(
+        spark, tmp_path,
+        customer=([
+            (1, "c1", 1, 0.0), (2, "c2", 1, 0.0), (3, "c3", 1, 0.0),
+        ], "c_custkey LONG, c_name STRING, c_nationkey LONG, "
+           "c_acctbal DOUBLE"),
+        orders=([
+            (10, 1, "3-MEDIUM"), (11, 1, "5-LOW"), (12, 1, "1-URGENT"),
+            (13, 2, "1-URGENT"),
+        ], "o_orderkey LONG, o_custkey LONG, o_orderpriority STRING"))
+    out = {r.c_count: r.custdist for r in
+           registry.QUERIES["b100_q13_shape"](spark, d).collect()}
+    assert out == {2: 1, 0: 2}
+
+
+def test_q15_max_equality_keeps_all_tied_suppliers(spark, tmp_path):
+    """B101 ground truth: two suppliers tie at the quarterly maximum —
+    BOTH must survive the scalar-MAX equality (exact DECIMAL, no
+    float-order flakiness); the off-window line never counts."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (1, 1, 1, 1.0, 100.0, 0.0, "1996-02-01 00:00:00"),
+            (2, 1, 2, 1.0, 60.0, 0.0, "1996-02-01 00:00:00"),
+            (3, 1, 2, 1.0, 40.0, 0.0, "1996-03-01 00:00:00"),
+            (4, 1, 3, 1.0, 10.0, 0.0, "1996-02-01 00:00:00"),
+            (5, 1, 1, 1.0, 999.0, 0.0, "1997-06-01 00:00:00"),  # off-win
+        ], "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, "
+           "l_quantity DOUBLE, l_extendedprice DOUBLE, "
+           "l_discount DOUBLE, l_shipdate STRING"),
+        supplier=([
+            (1, "S1", 1), (2, "S2", 1), (3, "S3", 1),
+        ], "s_suppkey LONG, s_name STRING, s_nationkey LONG"))
+    out = [(r.s_suppkey, r.total_revenue) for r in
+           registry.QUERIES["b101_q15_shape"](spark, d).collect()]
+    assert out == [(1, 100.0), (2, 100.0)]

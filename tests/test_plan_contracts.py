@@ -784,3 +784,57 @@ def test_q11_total_reaggregates_small_relation_not_lineitem(spark):
     assert "ExistingRDD" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["b98_q6_shape", "b99_q4_shape",
+                                  "b100_q13_shape", "b101_q15_shape",
+                                  "b102_q8_shape", "b103_q9_shape",
+                                  "b97_row_policies"])
+def test_round9b_operators_stay_jvm_side(spark, name):
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q6_every_predicate_pushes_into_the_scan(spark):
+    """B98: the scan-dominated shape — date window, discount band and
+    quantity cap must ALL reach PushedFilters."""
+    plan = _plan(registry.QUERIES["b98_q6_shape"](spark, SF))
+    pushed = "\n".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, plan)
+
+
+def test_q4_exists_lowers_to_semi_join(spark):
+    plan = _plan(registry.QUERIES["b99_q4_shape"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q13_left_outer_preserves_zero_order_customers(spark):
+    """B100: the priority exclusion must live in the join CONDITION
+    (LeftOuter), never a post-join filter that would drop the
+    zero-order customers."""
+    plan = _plan(registry.QUERIES["b100_q13_shape"](spark, SF))
+    assert "LeftOuter" in plan, plan
+
+
+def test_q15_revenue_relation_materializes_once(spark):
+    """B101: the MAX branch must re-read the materialized revenue
+    relation — no lineitem scan in the final plan."""
+    plan = _plan(registry.QUERIES["b101_q15_shape"](spark, SF))
+    assert plan.count("lineitem.parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_q8_single_aggregation_pass_all_dims_broadcast(spark):
+    """B102: numerator and denominator from ONE aggregation pass
+    (CASE), every dimension a broadcast join — the only non-broadcast
+    join is fact⋈orders."""
+    plan = _plan(registry.QUERIES["b102_q8_shape"](spark, SF))
+    agg_headers = [ln for ln in plan.splitlines()
+                   if ln.strip().startswith("(") and "HashAggregate" in ln]
+    assert len(agg_headers) == 2, plan       # partial + final
+    assert "BroadcastHashJoin" in plan, plan
