@@ -85,6 +85,21 @@ _NUMERIC_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
                   "float": 4, "double": 5}
 
 
+def _hive_era(path: str, schema_names: set[str]) -> tuple[str, ...]:
+    """The ordered tuple of hive-encoded partition COLUMN names in an
+    engine-owned relative path — the table's layout ERA. Applies ONLY
+    to engine-owned layouts: absolute/URI paths (external estates,
+    adopted Iceberg files) are OPAQUE — a user directory that happens
+    to be named like a column (…/source=web/… with a real in-file
+    `source` column) must never have its file values replaced by a
+    path-derived constant. Shared by the scan planner and the
+    small-file packer so the two can't silently diverge."""
+    if os.path.isabs(path) or "://" in path:
+        return ()
+    return tuple(seg.split("=", 1)[0] for seg in path.split("/")[:-1]
+                 if "=" in seg and seg.split("=", 1)[0] in schema_names)
+
+
 def _can_upcast(src: T.DataType, dst: T.DataType) -> bool:
     """Lossless-cast check for schema-bound views: numeric widening, date→
     timestamp, and decimal growth are safe; anything else (string→number,
@@ -622,36 +637,63 @@ class Engine:
         views, time travel, MERGE/INSERT sources) resolves through
         here, while internal rewrite paths (COW DML, compaction,
         CLONE, export) scan raw via ``_scan`` so a policy can never
-        silently destroy the rows it hides."""
+        silently destroy the rows it hides. Policies are taken from
+        the table's CURRENT definition even when ``txn`` is a
+        time-travel snapshot — VERSION AS OF a pre-policy version must
+        not be an RLS escape hatch (if the table has since been
+        dropped, the snapshot's own policies apply)."""
         ns, tbl = self._split(name)
         txn = txn or self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         schema = tdef.spark_schema()
         self._record_select(txn, ns, tbl, [f.name for f in schema.fields])
         return self._apply_policies(self._scan(tdef, tdef.file_paths()),
-                                    tdef)
+                                    tdef, self._current_policies(ns, tbl,
+                                                                 tdef))
 
-    def _apply_policies(self, df: DataFrame, tdef: TableDef) -> DataFrame:
+    def _current_policies(self, ns: str, tbl: str,
+                          fallback: TableDef) -> dict:
+        """The LATEST committed policy set for a table — time-travel /
+        dtxn reads enforce today's governance over yesterday's data.
+        Reads through the ambient explicit txn or a READ-ONLY snapshot
+        — NEVER ``_txn()``, which would replace ``_auto_txn`` mid-
+        statement and silently swallow the enclosing statement's
+        commit (a CREATE VIEW that resolves its SELECT through here
+        would never persist)."""
+        try:
+            probe = self.current_txn or self.catalog.begin(read_only=True)
+            return self.catalog.describe_table(probe, ns, tbl).properties
+        except Exception:   # dropped since the snapshot — snapshot rules
+            return fallback.properties
+
+    def _apply_policies(self, df: DataFrame, tdef: TableDef,
+                        policies: dict | None = None) -> DataFrame:
         """Row filter evaluates on RAW values (the filter may key on
         exactly the attribute the mask then hides — the standard
         lakehouse semantics); masks replace the column expression and
         cast back to the declared type, so the schema is unchanged.
-        Metadata virtual tables ($files/$partitions) intentionally
-        bypass policies: they expose physical layout, not rows."""
-        rf = tdef.properties.get("policy.row_filter")
+        ``policies`` defaults to the tdef's own properties; readers of
+        historical snapshots pass the CURRENT set instead. Metadata
+        virtual tables ($files/$partitions) intentionally bypass
+        policies: they expose physical layout, not rows."""
+        props = tdef.properties if policies is None else policies
+        rf = props.get("policy.row_filter")
         masks = {k.removeprefix("policy.mask."): v
-                 for k, v in tdef.properties.items()
+                 for k, v in props.items()
                  if k.startswith("policy.mask.")}
         if not rf and not masks:
             return df
         if rf:
             df = df.filter(F.expr(rf))
         if masks:
+            # cast targets come from the SNAPSHOT schema (the frame
+            # being governed), so evolved types never mis-cast old data
             types = {f.name: f.dataType
                      for f in tdef.spark_schema().fields}
             df = df.select(*[
                 F.expr(masks[c]).cast(types[c]).alias(c)
-                if c in masks else F.col(c) for c in df.columns])
+                if c in masks and c in types else F.col(c)
+                for c in df.columns])
         return df
 
     def set_row_filter(self, name: str, expr: str) -> None:
@@ -754,7 +796,13 @@ class Engine:
             .withColumn("_change_type", F.lit("insert"))
         deletes = removed.exceptAll(added) \
             .withColumn("_change_type", F.lit("delete"))
-        return inserts.unionByName(deletes)
+        # the change feed is a READER-facing surface (downstream
+        # consumers, streaming CDC) — the table's current governance
+        # policies apply to it exactly like a SELECT; hidden rows'
+        # events drop, masked columns emit masked
+        return self._apply_policies(
+            inserts.unionByName(deletes), d_to,
+            self._current_policies(ns, tbl, d_to))
 
     def _phys(self, tdef: TableDef, col: str) -> str:
         """Physical (in-file) name of a logical column (A15 companion:
@@ -817,21 +865,11 @@ class Engine:
         schema_by_phys = {f.name: f for f in phys.fields}
 
         def era_of(p: str) -> tuple[str, ...]:
-            # hive reconstruction applies ONLY to engine-owned layouts
-            # (relative paths under the data root) — the engine WROTE
-            # those dirs, so a col=val segment is exactly its hive
-            # partition encoding. External/adopted estates arrive as
-            # absolute paths and are OPAQUE: a user directory that
-            # happens to be named like a column (…/source=web/… with a
-            # real in-file `source` column) must not silently replace
-            # the file's values with a path-derived constant — in-file
-            # data is authoritative there (adopted Iceberg identity
-            # values come from manifests, not paths).
-            if os.path.isabs(p) or "://" in p:
-                return ()
-            return tuple(seg.split("=", 1)[0] for seg in p.split("/")[:-1]
-                         if "=" in seg
-                         and seg.split("=", 1)[0] in schema_by_phys)
+            # engine-owned layouts only (_hive_era shared helper):
+            # external/adopted estates are opaque — in-file data is
+            # authoritative there (adopted Iceberg identity values come
+            # from manifests, not paths)
+            return _hive_era(p, schema_by_phys)
 
         derive = [c for c in tdef.properties.get(
                       "spec.derive_on_read", "").split(",")
@@ -1071,14 +1109,11 @@ class Engine:
             return v
 
         files = []
-        any_null_part = set()
         for e in entries:
             stats = {c: [statv(c, e["partition"][c]),
                          statv(c, e["partition"][c])]
                      for c in ident_cols if c in e["partition"]
                      and e["partition"][c] is not None}
-            any_null_part |= {c for c in ident_cols
-                              if e["partition"].get(c) is None}
             files.append(DataFile(
                 path=e["file_path"], num_rows=e["record_count"],
                 size_bytes=e["file_size_in_bytes"], stats=stats))
@@ -1086,11 +1121,12 @@ class Engine:
         # readers use the manifest partition value as a per-file
         # constant — the Hive-migration layout, and what our own
         # identity export emits). Record which columns carry manifest
-        # constants; _scan coalesce-fills them from file stats, so a
-        # file that DOES store the column keeps its in-file values.
-        # Columns with any NULL partition value are excluded (no stats
-        # row to fill from — NULL fill is the read default anyway).
-        ident_fill = ",".join(sorted(ident_cols - any_null_part))
+        # constants; _scan coalesce-fills them PER FILE from the stats,
+        # so a file that DOES store the column keeps its in-file values
+        # and a file whose partition value is NULL simply has no stats
+        # row and reads NULL — one null-valued file must not disable
+        # the fill for every other file of the column.
+        ident_fill = ",".join(sorted(ident_cols))
 
         prev = ""
         if meta.get("metadata-log"):
@@ -1593,10 +1629,17 @@ class Engine:
             thr = int(thr_raw)
             floor = int(tdef.properties.get(
                 "auto.compact.file_floor", str(32 << 20)))
-            small = sum(1 for f in tdef.data_files
-                        if not os.path.isabs(f.path)
-                        and f.size_bytes < floor)
-            if small <= thr:
+            small = [f for f in tdef.data_files
+                     if not os.path.isabs(f.path)
+                     and f.size_bytes < floor]
+            # count only PACKABLE small files (hive leaves holding ≥2)
+            # — a table of many single-small-file partitions must not
+            # re-run a no-op compaction txn on every append forever
+            packable = sum(
+                len(g) for g in
+                self._small_file_leaves(tdef, small).values()
+                if len(g) >= 2)
+            if packable <= thr:
                 return
             self.compact_small_files(f"{ns}.{tbl}")
         except Exception as e:  # pragma: no cover — best-effort lane
@@ -3236,6 +3279,23 @@ class Engine:
         self._finish(txn)
         return len(old_paths) - len(new_files)
 
+    def _small_file_leaves(self, tdef: TableDef,
+                           files: list) -> dict[tuple, list]:
+        """Group files by hive LEAF — (layout era, partition VALUE
+        tuple from the exact [v,v] stats). Packing happens within one
+        leaf, so a table of many single-small-file partitions is a
+        NO-OP, not a rewrite that re-emits the same small files and
+        re-triggers forever. Shared by the packer and the append-time
+        trigger probe so the two agree on what is packable."""
+        schema_by_phys = {f.name
+                          for f in self._physical_schema(tdef).fields}
+        eras: dict[tuple, list] = {}
+        for f in files:
+            era = _hive_era(f.path, schema_by_phys)
+            vals = tuple(str(f.stats.get(c, [None])[0]) for c in era)
+            eras.setdefault((era, vals), []).append(f)
+        return eras
+
     def compact_small_files(self, name: str,
                             floor_bytes: int | None = None,
                             budget_bytes: int | None = None) -> int:
@@ -3259,14 +3319,6 @@ class Engine:
         budget = int(budget_bytes if budget_bytes is not None
                      else tdef.properties.get("auto.compact.max_bytes",
                                               str(2 << 30)))
-        schema_by_phys = {f.name for f in self._physical_schema(tdef).fields}
-
-        def era_of(p: str) -> tuple[str, ...]:
-            # engine-owned rel paths only — external files never rewrite
-            return tuple(seg.split("=", 1)[0] for seg in p.split("/")[:-1]
-                         if "=" in seg
-                         and seg.split("=", 1)[0] in schema_by_phys)
-
         small = sorted((f for f in tdef.data_files
                         if not os.path.isabs(f.path)
                         and f.size_bytes < floor),
@@ -3277,15 +3329,7 @@ class Engine:
                 break
             picked.append(f)
             cum += f.size_bytes
-        # group by era AND partition VALUE tuple (exact [v,v] stats):
-        # packing happens within one hive leaf, so a table of many
-        # single-small-file partitions is a NO-OP, not a rewrite that
-        # re-emits the same small files and re-triggers forever
-        eras: dict[tuple, list] = {}
-        for f in picked:
-            era = era_of(f.path)
-            vals = tuple(str(f.stats.get(c, [None])[0]) for c in era)
-            eras.setdefault((era, vals), []).append(f)
+        eras = self._small_file_leaves(tdef, picked)
         inv = {p: l for l, p in tdef.column_mapping.items()}
         old_paths: list[str] = []
         new_files: list[DataFile] = []

@@ -2646,10 +2646,11 @@ WITH vol AS (
   JOIN nation n2 ON s_nationkey = n2.n_nationkey
 )
 SELECT o_year,
-       ROUND(CAST(SUM(CASE WHEN supp_nation =
+       CAST(ROUND(CAST(CAST(SUM(CASE WHEN supp_nation =
                      (SELECT MIN(n_name) FROM nation) THEN volume
                 ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+             / CAST(SUM(volume) AS DOUBLE) AS DECIMAL(25,10)), 6)
+            AS DOUBLE) AS mkt_share
 FROM vol GROUP BY o_year ORDER BY o_year
 """)
 def b102_q8(spark: SparkSession, sf: str) -> DataFrame:
@@ -2700,10 +2701,13 @@ def b102_q8(spark: SparkSession, sf: str) -> DataFrame:
                    .cast("decimal(25,6)").alias("volume")))
     num = F.sum(F.when(F.col("supp_nation") == first_nation,
                        F.col("volume")).otherwise(F.lit(0)))
+    # the double ratio is one deterministic op on identical operands;
+    # ROUND goes through the DECIMAL intermediate (half-mode tie class)
     return (vol.groupBy("o_year")
-            .agg(F.round(num.cast("double")
-                         / F.sum("volume").cast("double"), 6)
-                 .alias("mkt_share"))
+            .agg(F.round((num.cast("double")
+                          / F.sum("volume").cast("double"))
+                         .cast("decimal(25,10)"), 6)
+                 .cast("double").alias("mkt_share"))
             .orderBy("o_year"))
 
 
@@ -2741,19 +2745,24 @@ def b103_q9(spark: SparkSession, sf: str) -> DataFrame:
     partitioning REUSES; part (name-filtered), supplier and nation
     broadcast; per-line profit casts to exact DECIMAL before the
     final sum."""
-    li = load(spark, sf, "lineitem")
-    # round through an exact DECIMAL intermediate: ROUND on a raw
-    # double hits half-mode ties (Spark HALF_UP vs DuckDB's float
-    # rounding) on ratios like price/8 — decimal rounding is HALF_UP
-    # on both engines
+    p = (load(spark, sf, "part")
+         .filter(F.col("p_name").like("%red%")).select("p_partkey"))
+    # the name filter keys on part attributes only, so restricting the
+    # cost aggregate to matched parts keeps EVERY line of every
+    # retained (part, supp) — the min is unchanged and the cost agg
+    # shuffles the filtered subset, not the whole fact table.
+    # ROUND goes through an exact DECIMAL intermediate: on a raw
+    # double it hits half-mode ties (Spark HALF_UP vs DuckDB's float
+    # rounding) on ratios like price/8.
+    li = (load(spark, sf, "lineitem")
+          .join(F.broadcast(p.select(F.col("p_partkey").alias("fp"))),
+                F.col("l_partkey") == F.col("fp"), "left_semi"))
     cost = (li.groupBy(F.col("l_partkey").alias("cp"),
                        F.col("l_suppkey").alias("cs"))
             .agg(F.round(F.min(F.col("l_extendedprice")
                                / F.col("l_quantity"))
                          .cast("decimal(25,10)"), 4)
                  .alias("unit_cost")))
-    p = (load(spark, sf, "part")
-         .filter(F.col("p_name").like("%red%")).select("p_partkey"))
     nat = load(spark, sf, "nation").select("n_nationkey",
                                            F.col("n_name").alias("nation"))
     sup = (load(spark, sf, "supplier")

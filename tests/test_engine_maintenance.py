@@ -1238,8 +1238,49 @@ def test_policy_expressions_validate_and_guard_schema_changes(engine):
 
 
 def test_policies_apply_through_views_and_time_travel(engine, spark):
+    """Views resolve through the governed chokepoint, and time travel
+    enforces the CURRENT policies over historical data — VERSION AS OF
+    a pre-policy version must not be an RLS escape hatch."""
     engine.sql("CREATE TABLE ns1.rp3 (id BIGINT, v DOUBLE)")
     engine.sql("INSERT INTO ns1.rp3 VALUES (1, 1.0), (2, -1.0)")
+    v_pre = engine.catalog.tree.load_latest_root().version
     engine.sql("CREATE VIEW ns1.rpv AS SELECT id, v FROM ns1.rp3")
     engine.sql("ALTER TABLE ns1.rp3 SET ROW FILTER (v > 0)")
     assert engine.sql("SELECT COUNT(*) AS n FROM ns1.rpv").first().n == 1
+    # pre-policy snapshot: OLD data, CURRENT governance
+    got = engine.sql(f"SELECT COUNT(*) AS n FROM ns1.rp3 "
+                     f"VERSION AS OF {v_pre}").first().n
+    assert got == 1
+    # the change feed is reader-facing: the hidden row's events drop
+    # (from = the pre-insert version, where the table already exists)
+    v_now = engine.catalog.tree.load_latest_root().version
+    cdf = engine.table_changes("ns1.rp3", v_pre - 1, v_now)
+    assert {r.id for r in cdf.collect()} == {1}
+
+
+def test_single_leaf_small_files_never_trigger_autocompact(engine, spark):
+    """The append-time probe counts only PACKABLE small files (leaves
+    with ≥2): a partitioned table of many single-small-file leaves
+    must not run a compaction transaction on every append forever."""
+    engine.sql("CREATE TABLE ns1.np (id BIGINT, src STRING) "
+               "PARTITIONED BY (src) TBLPROPERTIES ("
+               "'auto.compact.threshold'='4')")
+    for i in range(8):                    # 8 leaves, one tiny file each
+        engine.sql(f"INSERT INTO ns1.np VALUES ({i}, 'p{i}')")
+    tdef = engine.catalog.describe_table(engine._txn(), "ns1", "np")
+    assert len(tdef.data_files) == 8      # no packing ever attempted
+    v1 = engine.catalog.tree.load_latest_root().version
+    engine.sql("INSERT INTO ns1.np VALUES (100, 'p99')")
+    # exactly ONE commit for the append — no extra compaction commit
+    assert engine.catalog.tree.load_latest_root().version == v1 + 1
+    # but 5 files piling into ONE leaf do cross the threshold and pack
+    for i in range(5):
+        engine.sql(f"INSERT INTO ns1.np VALUES ({200 + i}, 'p0')")
+    tdef = engine.catalog.describe_table(engine._txn(), "ns1", "np")
+    p0 = [f for f in tdef.data_files if "src=p0" in f.path]
+    # the pack triggered when the 5th p0 file crossed the threshold;
+    # the append after it may add one more
+    assert len(p0) <= 2, p0
+    n_p0 = engine.sql("SELECT COUNT(*) AS n FROM ns1.np "
+                      "WHERE src = 'p0'").first().n
+    assert n_p0 == 6
