@@ -629,27 +629,29 @@ class Engine:
             ActionType.TABLE_SELECT, self.catalog._tbl_key(ns, tbl),
             {"column_names": columns, "expression": predicate}))
 
-    def read_table(self, name: str, txn: Transaction | None = None
-                   ) -> DataFrame:
+    def read_table(self, name: str, txn: Transaction | None = None,
+                   *, historical: bool = False) -> DataFrame:
         """§3.1 read path: tree search → TableDef → parquet scan, with
         governance POLICIES (B97 row filter / column masks) applied at
         this reader-facing chokepoint — every SQL reference (SELECT,
         views, time travel, MERGE/INSERT sources) resolves through
         here, while internal rewrite paths (COW DML, compaction,
         CLONE, export) scan raw via ``_scan`` so a policy can never
-        silently destroy the rows it hides. Policies are taken from
-        the table's CURRENT definition even when ``txn`` is a
-        time-travel snapshot — VERSION AS OF a pre-policy version must
-        not be an RLS escape hatch (if the table has since been
-        dropped, the snapshot's own policies apply)."""
+        silently destroy the rows it hides. ``historical=True`` marks
+        a time-travel/dtxn snapshot read: those enforce the table's
+        CURRENT policies (one extra read-only catalog probe) — VERSION
+        AS OF a pre-policy version must not be an RLS escape hatch.
+        Latest-state reads take the policies straight off the tdef in
+        hand, paying ZERO extra catalog I/O on the hot path."""
         ns, tbl = self._split(name)
         txn = txn or self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         schema = tdef.spark_schema()
         self._record_select(txn, ns, tbl, [f.name for f in schema.fields])
+        policies = (self._current_policies(ns, tbl, tdef)
+                    if historical else tdef.properties)
         return self._apply_policies(self._scan(tdef, tdef.file_paths()),
-                                    tdef, self._current_policies(ns, tbl,
-                                                                 tdef))
+                                    tdef, policies)
 
     def _current_policies(self, ns: str, tbl: str,
                           fallback: TableDef) -> dict:
@@ -659,11 +661,15 @@ class Engine:
         — NEVER ``_txn()``, which would replace ``_auto_txn`` mid-
         statement and silently swallow the enclosing statement's
         commit (a CREATE VIEW that resolves its SELECT through here
-        would never persist)."""
+        would never persist). Only the documented table-dropped case
+        falls back to the snapshot's own properties — any other error
+        (storage hiccup, expired hint) PROPAGATES rather than failing
+        open on governance."""
+        from olympia_spark.catalog.errors import ObjectNotFoundError
         try:
             probe = self.current_txn or self.catalog.begin(read_only=True)
             return self.catalog.describe_table(probe, ns, tbl).properties
-        except Exception:   # dropped since the snapshot — snapshot rules
+        except ObjectNotFoundError:   # dropped since — snapshot rules
             return fallback.properties
 
     def _apply_policies(self, df: DataFrame, tdef: TableDef,
@@ -684,7 +690,19 @@ class Engine:
         if not rf and not masks:
             return df
         if rf:
-            df = df.filter(F.expr(rf))
+            # FAIL-CLOSED: a current filter referencing a column that
+            # does not exist at this snapshot blocks the read with a
+            # clear error — silently skipping the filter would leak the
+            # rows it hides. (Masks below are the opposite case: the
+            # masked column is absent from the frame, so there is
+            # nothing to redact — skipping is the fail-SAFE direction.)
+            try:
+                df = df.filter(F.expr(rf))
+            except Exception as e:
+                raise ValueError(
+                    f"row filter ({rf}) cannot evaluate against this "
+                    f"version's schema — historical reads are blocked "
+                    f"(fail-closed) rather than ungoverned: {e}") from e
         if masks:
             # cast targets come from the SNAPSHOT schema (the frame
             # being governed), so evolved types never mis-cast old data
@@ -905,10 +923,21 @@ class Engine:
                 raw = F.regexp_extract(
                     F.col("_metadata.file_path"),
                     "/" + re.escape(c) + "=([^/]+)/", 1)
+                # TWO decode layers: _metadata.file_path URI-encodes the
+                # already-Hive-escaped dir name (value 'a:b' → dir
+                # 'a%3Ab' → file_path 'a%253Ab'), so one decode strips
+                # the URI layer and the second the Hive layer; '+' is
+                # never escaped by either layer and is protected before
+                # each decode (URLDecoder would turn it into a space)
+
+                def _undecode(col):
+                    return F.url_decode(
+                        F.regexp_replace(col, r"\+", "%2B"))
+
                 df = df.withColumn(c, F.when(
                     raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
                 ).otherwise(
-                    F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+                    _undecode(_undecode(raw))
                 ).cast(schema_by_phys[c].dataType))
             df = self._to_logical(
                 df.select(*[F.col(f.name) for f in phys.fields]), tdef)
@@ -1349,7 +1378,16 @@ class Engine:
             # consistent with their sources
             constraints=dict(sdef.constraints),
             generated_columns=dict(sdef.generated_columns),
-            properties={**sdef.properties,
+            # governance policies come EXACTLY from the source's
+            # CURRENT def (snapshot policy keys stripped first) — CLONE
+            # ... VERSION AS OF of a pre-policy version must not mint
+            # an ungoverned copy of governed data, and a since-dropped
+            # policy must not resurrect on the clone
+            properties={**{k: v for k, v in sdef.properties.items()
+                           if not k.startswith("policy.")},
+                        **{k: v for k, v in self._current_policies(
+                               ns_s, tbl_s, sdef).items()
+                           if k.startswith("policy.")},
                         "cloned_from": f"{source}"
                         + (f"@v{version}" if version is not None else "")}))
         # same warehouse, same relative paths — both defs resolve them
@@ -1541,11 +1579,9 @@ class Engine:
             psrc = {n: s for n, (_t, s) in tmap.items()}
 
             def conv(n: str, v):
-                """Stats partition value → Iceberg manifest value (day
-                transform stores epoch DAYS; strings arrive
-                hive-escaped in stats and unescape here — '+' is never
-                escaped by Hive, and unquote leaves it alone)."""
-                from urllib.parse import unquote
+                """Stats partition value → Iceberg manifest value
+                (day transform stores epoch DAYS; string stats hold the
+                UNESCAPED value since r9 — no decode needed here)."""
                 if isinstance(v, str) and v == "__HIVE_DEFAULT_PARTITION__":
                     return None
                 if isinstance(by_name[n], T.DateType):
@@ -1553,7 +1589,7 @@ class Engine:
                     return (_dt.date.fromisoformat(str(v))
                             - _dt.date(1970, 1, 1)).days
                 if isinstance(by_name[n], T.StringType):
-                    return unquote(str(v))
+                    return str(v)       # stats store UNESCAPED values
                 return int(v)
 
             pvals = {self._data_uri(f.path):
@@ -1782,9 +1818,16 @@ class Engine:
                                     max(stats[cname][1], mx)]
                 else:
                     stats[cname] = [mn, mx]
+        from urllib.parse import unquote
         for seg in fname.split("/")[:-1]:
             col, eq, val = seg.partition("=")
             if eq:
+                # Hive-UNESCAPE before recording: stats must compare
+                # like-for-like with predicate literals ('a:b', not the
+                # dir form 'a%3Ab') — escaped stats wrongly pruned the
+                # very files that match. '+' is never Hive-escaped.
+                if val != "__HIVE_DEFAULT_PARTITION__":
+                    val = unquote(val.replace("+", "%2B"))
                 v: object = val
                 try:
                     v = int(val)
@@ -1932,7 +1975,12 @@ class Engine:
             return 0
         cand_abs = [self._scan_uri(p) for p in candidates]
         scan = self._scan(tdef, candidates)
-        matched_abs = [r[0] for r in (
+        from urllib.parse import unquote
+        # input_file_name() URI-encodes hive-escaped dirs a second time
+        # (src=a%3Ab arrives as src=a%253Ab) — one unquote strips the
+        # URI layer so suffix matching sees the on-disk form; python
+        # unquote leaves '+' alone (not unquote_plus)
+        matched_abs = [unquote(r[0]) for r in (
             self._pred_matches(scan, predicate, txn, name)
             .select(F.input_file_name()).distinct().collect())]
         matched = [p for p, a in zip(candidates, cand_abs)
@@ -2019,7 +2067,8 @@ class Engine:
         n_replaced = 0
         if candidates:
             scan = self._scan(tdef, candidates)
-            matched_abs = [r[0] for r in (
+            from urllib.parse import unquote
+            matched_abs = [unquote(r[0]) for r in (
                 self._pred_matches(scan, predicate, txn, name)
                 .select(F.input_file_name()).distinct().collect())]
             cand_abs = [self._scan_uri(p) for p in candidates]
@@ -2296,7 +2345,10 @@ class Engine:
                 per_file = (scan.alias(target_alias)
                             .join(src, F.expr(prune_pred), "left_semi")
                             .groupBy("_file").count().collect())
-                matched_abs = [r["_file"] for r in per_file]
+                # strip input_file_name's URI layer (hive-escaped dirs
+                # arrive double-encoded — see _rewrite)
+                from urllib.parse import unquote
+                matched_abs = [unquote(r["_file"]) for r in per_file]
                 n_changed += sum(r["count"] for r in per_file)
                 cand_abs = [(p, self._scan_uri(p)) for p in all_paths]
                 matched = [p for p, uri in cand_abs
@@ -3319,17 +3371,37 @@ class Engine:
         budget = int(budget_bytes if budget_bytes is not None
                      else tdef.properties.get("auto.compact.max_bytes",
                                               str(2 << 30)))
-        small = sorted((f for f in tdef.data_files
-                        if not os.path.isabs(f.path)
-                        and f.size_bytes < floor),
-                       key=lambda f: (f.size_bytes, f.path))
-        picked, cum = [], 0
-        for f in small:
-            if picked and cum + f.size_bytes > budget:
+        small = [f for f in tdef.data_files
+                 if not os.path.isabs(f.path) and f.size_bytes < floor]
+        # group FIRST, drop unpackable single-file leaves, THEN spend
+        # the budget on whole leaves — budget consumed by unpackable
+        # singles would make every run a no-op while the trigger keeps
+        # firing (the exact loop the packable-count probe prevents)
+        all_leaves = {k: g for k, g in
+                      self._small_file_leaves(tdef, small).items()
+                      if len(g) >= 2}
+        eras: dict[tuple, list] = {}
+        cum = 0
+        for key, group in sorted(
+                all_leaves.items(),
+                key=lambda kv: (sum(f.size_bytes for f in kv[1]),
+                                kv[0])):
+            g = sorted(group, key=lambda f: (f.size_bytes, f.path))
+            take, tb = [], 0
+            for f in g:
+                if len(take) >= 2 and cum + tb + f.size_bytes > budget:
+                    break               # leaf partially packs this run
+                take.append(f)
+                tb += f.size_bytes
+            if len(take) < 2:
+                if eras:
+                    break               # budget exhausted
+                take = g[:2]            # progress guarantee: pack ≥2
+                tb = sum(f.size_bytes for f in take)
+            eras[key] = take
+            cum += tb
+            if cum >= budget:
                 break
-            picked.append(f)
-            cum += f.size_bytes
-        eras = self._small_file_leaves(tdef, picked)
         inv = {p: l for l, p in tdef.column_mapping.items()}
         old_paths: list[str] = []
         new_files: list[DataFile] = []
@@ -3792,7 +3864,8 @@ class Engine:
                 txn_id, ns, tbl = m.groups()
                 dtxn = self.catalog.load_dist_transaction(txn_id)
                 alias = f"olympia__dtxn__{ns}__{tbl}"
-                self.read_table(f"{ns}.{tbl}", dtxn) \
+                self.read_table(f"{ns}.{tbl}", dtxn,
+                                historical=True) \
                     .createOrReplaceTempView(alias)
                 seg = seg.replace(m.group(0), alias)
             return seg
@@ -3803,7 +3876,7 @@ class Engine:
                 ns, tbl, version = m.group(1), m.group(2), int(m.group(3))
                 snap = self.catalog.at_version(version)
                 alias = f"olympia__tt__{ns}__{tbl}__v{version}"
-                self.read_table(f"{ns}.{tbl}", snap) \
+                self.read_table(f"{ns}.{tbl}", snap, historical=True) \
                     .createOrReplaceTempView(alias)
                 seg = seg.replace(m.group(0), alias)
             return seg
@@ -3822,7 +3895,7 @@ class Engine:
                 version = self.catalog.resolve_tag(tag)
                 snap = self.catalog.at_version(version)
                 alias = f"olympia__tt__{ns}__{tbl}__v{version}"
-                self.read_table(f"{ns}.{tbl}", snap) \
+                self.read_table(f"{ns}.{tbl}", snap, historical=True) \
                     .createOrReplaceTempView(alias)
                 out = out[:m.start()] + alias + out[m.end():]
                 break                       # re-scan: spans have shifted
@@ -3844,7 +3917,7 @@ class Engine:
                 millis = int(parsed.timestamp() * 1000)  # offsets honored
                 snap = self.catalog.before_timestamp(millis)
                 alias = f"olympia__tt__{ns}__{tbl}__t{millis}"
-                self.read_table(f"{ns}.{tbl}", snap) \
+                self.read_table(f"{ns}.{tbl}", snap, historical=True) \
                     .createOrReplaceTempView(alias)
                 out = out[:m.start()] + alias + out[m.end():]
                 break                       # re-scan: spans have shifted
@@ -4030,12 +4103,17 @@ class Engine:
             return self.sql(f"SELECT * FROM {m.group(1)}$history")
         m = re.match(r"SHOW PARTITIONS (\S+\.\S+)$", norm, re.I)
         if m:
-            # metadata-only (like DESCRIBE DETAIL): partition values are
-            # exact [v, v] file stats, so the listing with per-partition
-            # file/row/byte counts never opens a data file — at 100 TB
-            # the partition inventory a maintenance planner walks must
-            # not cost a table scan. Files predating the current spec
-            # (no recorded value) report a NULL partition.
+            # metadata-only (like DESCRIBE DETAIL): partition values
+            # come from the hive PATH segments (url-decoded exactly
+            # like the scan reconstructs them — stats values are
+            # hive-escaped and int-coerced, which would show 'a%3Ab'
+            # for 'a:b' and merge string partitions '0123'/'123'), so
+            # the listing with per-partition file/row/byte counts never
+            # opens a data file — at 100 TB the partition inventory a
+            # maintenance planner walks must not cost a table scan.
+            # Files predating the current spec (no hive segment) report
+            # a NULL partition.
+            from urllib.parse import unquote
             ns, tbl = self._split(m.group(1))
             txn = self._txn()
             tdef = self.catalog.describe_table(txn, ns, tbl)
@@ -4043,12 +4121,22 @@ class Engine:
                 raise ValueError(
                     f"SHOW PARTITIONS: {ns}.{tbl} is not partitioned")
             pcols = [self._phys(tdef, c) for c in tdef.partition_by]
+
+            def pval(path: str, col: str):
+                seg = re.search("/" + re.escape(col) + "=([^/]+)/",
+                                "/" + path)
+                if seg is None:
+                    return None
+                raw = seg.group(1)
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                # Hive escapePathName leaves '+' unescaped (same
+                # convention as the scan-side url_decode)
+                return unquote(raw.replace("+", "%2B"))
+
             agg: dict[tuple, list[int]] = {}
             for f in tdef.data_files:
-                key = tuple(
-                    None if c not in f.stats
-                    or f.stats[c][0] == "__HIVE_DEFAULT_PARTITION__"
-                    else str(f.stats[c][0]) for c in pcols)
+                key = tuple(pval(f.path, c) for c in pcols)
                 cur = agg.setdefault(key, [0, 0, 0])
                 cur[0] += 1
                 cur[1] += f.num_rows

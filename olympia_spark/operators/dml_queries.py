@@ -823,7 +823,7 @@ def b95_show_partitions(spark: SparkSession, sf: str) -> DataFrame:
         return eng
 
     eng = get_or_create(_DML_ENGINES, spark, sf + "#parts", build)
-    txn = eng.catalog.begin()
+    txn = eng.catalog.begin(read_only=True)   # existence probe only
     if not eng.catalog.table_exists(txn, "ns1", "events_sp"):
         eng.write_table(load(spark, sf, "events"), "ns1.events_sp",
                         partition_by=["event_type"])

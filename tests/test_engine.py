@@ -1411,3 +1411,48 @@ def test_partition_evolution_plain_column_and_time_travel(engine, spark):
     assert len(hist) >= 3
     with pytest.raises(ValueError, match="not in the table schema"):
         engine.sql("ALTER TABLE ns1.pe2 ADD PARTITION FIELD nope")
+
+
+def test_escaped_partition_values_read_prune_and_mutate_exactly(engine):
+    """r9 second-pass fix: hive-ESCAPED partition values ('a:b' → dir
+    src=a%3Ab → file_path src=a%253Ab) must (1) read back decoded
+    through the double-encoded _metadata path, (2) compare like-for-
+    like in stats pruning — the escaped stats form used to WRONGLY
+    PRUNE the matching file, silently corrupting DML — and (3) mutate
+    exactly the matching partition."""
+    engine.sql("CREATE TABLE ns1.ep (id BIGINT, v DOUBLE, src STRING) "
+               "PARTITIONED BY (src)")
+    engine.sql("INSERT INTO ns1.ep VALUES (1, 1.0, 'a:b'), "
+               "(2, 2.0, 'plain'), (3, 3.0, 'p=q'), (4, 4.0, '50%off')")
+    got = {r.src for r in engine.sql("SELECT src FROM ns1.ep").collect()}
+    assert got == {"a:b", "plain", "p=q", "50%off"}
+    # predicate on the escaped value: the file must NOT be pruned away
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ep "
+                      "WHERE src = 'a:b'").first().n == 1
+    # DML through the same pruning path
+    n = engine.sql("UPDATE ns1.ep SET v = 10.0 WHERE src = 'a:b'")
+    rows = {r.src: r.v for r in
+            engine.sql("SELECT src, v FROM ns1.ep").collect()}
+    assert rows == {"a:b": 10.0, "plain": 2.0, "p=q": 3.0,
+                    "50%off": 4.0}
+    engine.sql("DELETE FROM ns1.ep WHERE src = 'p=q'")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ep").first().n == 3
+
+
+def test_merge_into_escaped_partition_matches_files(engine, spark):
+    """MERGE's file-match path shares the input_file_name URI-layer
+    normalization: an upsert keyed into an escaped partition must
+    rewrite the right file."""
+    engine.sql("CREATE TABLE ns1.mep (id BIGINT, v DOUBLE, src STRING) "
+               "PARTITIONED BY (src)")
+    engine.sql("INSERT INTO ns1.mep VALUES (1, 1.0, 'a:b'), "
+               "(2, 2.0, 'plain')")
+    srcdf = spark.createDataFrame([(1, 99.0, "a:b")],
+                                  "id LONG, v DOUBLE, src STRING")
+    engine.merge("ns1.mep", srcdf, on="t.id = s.id",
+                 matched_update={"v": "s.v"},
+                 not_matched_insert={"id": "s.id", "v": "s.v",
+                                     "src": "s.src"})
+    rows = {r.id: r.v for r in
+            engine.sql("SELECT id, v FROM ns1.mep").collect()}
+    assert rows == {1: 99.0, 2: 2.0}

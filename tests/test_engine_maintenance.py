@@ -1284,3 +1284,21 @@ def test_single_leaf_small_files_never_trigger_autocompact(engine, spark):
     n_p0 = engine.sql("SELECT COUNT(*) AS n FROM ns1.np "
                       "WHERE src = 'p0'").first().n
     assert n_p0 == 6
+
+
+def test_show_partitions_decodes_hive_escaped_values(engine, spark):
+    """B95 second-pass fix: values come from url-decoded PATH segments
+    — an escaped partition like 'a:b' (dir src=a%3Ab) must display
+    decoded, matching what SELECT returns, and string partitions that
+    int-coerce identically ('0123' vs '123') must stay distinct."""
+    engine.sql("CREATE TABLE ns1.esc (id BIGINT, src STRING) "
+               "PARTITIONED BY (src) TBLPROPERTIES ("
+               "'auto.compact.threshold'='off')")
+    engine.sql("INSERT INTO ns1.esc VALUES (1, 'a:b'), (2, '0123'), "
+               "(3, '123')")
+    rows = {r.src: r.num_rows for r in
+            engine.sql("SHOW PARTITIONS ns1.esc").collect()}
+    assert rows == {"a:b": 1, "0123": 1, "123": 1}
+    sel = {r.src for r in engine.sql(
+        "SELECT DISTINCT src FROM ns1.esc").collect()}
+    assert set(rows) == sel
