@@ -91,7 +91,10 @@ HEADLINE = [
     "b95_show_partitions",
     "b96_q11_shape",
     "b97_row_policies",
+    "b98_q6_shape",
+    "b99_q4_shape",
     "b100_q13_shape",
+    "b101_q15_shape",
     "b102_q8_shape",
     "b103_q9_shape",
     "text_encoding_gate",

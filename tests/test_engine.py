@@ -1423,9 +1423,10 @@ def test_escaped_partition_values_read_prune_and_mutate_exactly(engine):
     engine.sql("CREATE TABLE ns1.ep (id BIGINT, v DOUBLE, src STRING) "
                "PARTITIONED BY (src)")
     engine.sql("INSERT INTO ns1.ep VALUES (1, 1.0, 'a:b'), "
-               "(2, 2.0, 'plain'), (3, 3.0, 'p=q'), (4, 4.0, '50%off')")
+               "(2, 2.0, 'plain'), (3, 3.0, 'p=q'), (4, 4.0, '50%off'), "
+               "(5, 5.0, 'a b'), (6, 6.0, 'a+b')")
     got = {r.src for r in engine.sql("SELECT src FROM ns1.ep").collect()}
-    assert got == {"a:b", "plain", "p=q", "50%off"}
+    assert got == {"a:b", "plain", "p=q", "50%off", "a b", "a+b"}
     # predicate on the escaped value: the file must NOT be pruned away
     assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ep "
                       "WHERE src = 'a:b'").first().n == 1
@@ -1434,9 +1435,11 @@ def test_escaped_partition_values_read_prune_and_mutate_exactly(engine):
     rows = {r.src: r.v for r in
             engine.sql("SELECT src, v FROM ns1.ep").collect()}
     assert rows == {"a:b": 10.0, "plain": 2.0, "p=q": 3.0,
-                    "50%off": 4.0}
+                    "50%off": 4.0, "a b": 5.0, "a+b": 6.0}
     engine.sql("DELETE FROM ns1.ep WHERE src = 'p=q'")
-    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ep").first().n == 3
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ep").first().n == 5
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ep "
+                      "WHERE src = 'a b'").first().n == 1
 
 
 def test_merge_into_escaped_partition_matches_files(engine, spark):
