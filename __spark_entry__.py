@@ -69,6 +69,7 @@ _PRIORITY = [
     "b98_q6_shape", "b99_q4_shape", "b100_q13_shape", "b101_q15_shape",
     "b102_q8_shape", "b103_q9_shape",
     "text_encoding_gate", "text_quality_linear",
+    "data_host_concentration",
     # latest green = round 4 — the 28 the r8 verdict names
     "b32_stream_catalog_ingest", "b32_stream_watermark_append",
     "b50_carry_forward", "b51_median_mode", "b52_array_setops",

@@ -2693,3 +2693,53 @@ def text_quality_linear(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum("s").cast("long").alias("score_sum"),
                  F.sum("n").cast("long").alias("tok_sum"))
             .orderBy("source"))
+
+
+# --- C92 per-source host concentration (Simpson index) -------------------------
+
+@query("data_host_concentration", oracle="""
+WITH h AS (
+  SELECT source,
+         source || '-h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+), s AS (
+  SELECT source, CAST(SUM(n * n) AS BIGINT) AS num,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_hosts
+  FROM h GROUP BY source
+)
+SELECT source, n_hosts, total AS n_docs,
+       CAST(ROUND(CAST(CAST(num AS DOUBLE)
+                       / CAST(total * total AS DOUBLE)
+                       AS DECIMAL(25,10)), 6) AS DOUBLE) AS simpson
+FROM s ORDER BY source
+""")
+def data_host_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """C92 — per-source HOST CONCENTRATION (Simpson index): the
+    probability that two random documents of a source share a host —
+    Σ n_h² / N². The domain-diversity number corpus cards report
+    (C4/Dolma-style: a source whose index approaches 1 is one crawl
+    target wearing a source label; near 1/#hosts is healthy) and the
+    planning input for C77's per-host caps. Host synthesized from
+    source+id like C77 (fixture has no URL column).
+
+    Scale: two stacked partial+final aggregations, both keyed
+    ((source, host) then source) — counts only on the exchanges. The
+    index is EXACT integer arithmetic (Σn², N²) until one final
+    double division of identical operands on both engines; no
+    float-order dependence anywhere."""
+    d = load(spark, sf, "documents")
+    host = F.concat(F.col("source"), F.lit("-h"),
+                    (F.col("doc_id") % 7).cast("string"))
+    h = (d.select("source", host.alias("host"))
+         .groupBy("source", "host").agg(F.count("*").alias("n")))
+    return (h.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_hosts"),
+                 F.sum("n").cast("long").alias("n_docs"),
+                 F.round((F.sum(F.col("n") * F.col("n"))
+                          .cast("double")
+                          / (F.sum("n") * F.sum("n")).cast("double"))
+                         .cast("decimal(25,10)"), 6)
+                 .cast("double").alias("simpson"))
+            .orderBy("source"))

@@ -417,3 +417,21 @@ def test_q15_max_equality_keeps_all_tied_suppliers(spark, tmp_path):
     out = [(r.s_suppkey, r.total_revenue) for r in
            registry.QUERIES["b101_q15_shape"](spark, d).collect()]
     assert out == [(1, 100.0), (2, 100.0)]
+
+
+def test_host_concentration_simpson_ground_truth(spark, tmp_path):
+    """C92: a source where every doc shares one host must score 1.0;
+    a perfectly spread source scores 1/#hosts — computed by hand on
+    crafted ids (host = doc_id % 7)."""
+    # source 'mono': 3 docs all with doc_id % 7 == 0 → one host → 1.0
+    rows = [(0, "x", "en", "mono", 1), (7, "x", "en", "mono", 1),
+            (14, "x", "en", "mono", 1)]
+    # source 'spread': ids 1..4 → 4 distinct hosts → Simpson = 4/16
+    rows += [(i, "x", "en", "spread", 1) for i in range(1, 5)]
+    d = _docs(spark, tmp_path, rows)
+    out = {r.source: r for r in
+           registry.QUERIES["data_host_concentration"](spark, d)
+           .collect()}
+    assert out["mono"].n_hosts == 1 and out["mono"].simpson == 1.0
+    assert out["spread"].n_hosts == 4
+    assert abs(out["spread"].simpson - 0.25) < 1e-9

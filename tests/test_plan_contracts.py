@@ -789,7 +789,8 @@ def test_q11_total_reaggregates_small_relation_not_lineitem(spark):
 @pytest.mark.parametrize("name", ["b98_q6_shape", "b99_q4_shape",
                                   "b100_q13_shape", "b101_q15_shape",
                                   "b102_q8_shape", "b103_q9_shape",
-                                  "b97_row_policies"])
+                                  "b97_row_policies",
+                                  "data_host_concentration"])
 def test_round9b_operators_stay_jvm_side(spark, name):
     plan = _plan(registry.QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan, name
