@@ -1544,6 +1544,16 @@ class Engine:
                 "physical names and carry no Iceberg field ids, so an "
                 "external reader would resolve the renamed columns as "
                 "NULL; materialize with CTAS first")
+        if any(k.startswith("policy.") for k in tdef.properties):
+            # fail-closed (B97): the export references RAW data files —
+            # an external Iceberg reader is outside this engine's
+            # enforcement perimeter and would see every hidden row and
+            # unmasked value
+            raise ValueError(
+                "export_iceberg_table: this table has an active row "
+                "filter or column mask — exporting would hand ungoverned "
+                "raw files to external readers; DROP the policies or "
+                "export a policy-applied CTAS copy instead")
         schema = tdef.spark_schema()
         pvals: dict[str, dict] | None = None
         ptypes = ptrans = psrc = None

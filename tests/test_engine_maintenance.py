@@ -1302,3 +1302,17 @@ def test_show_partitions_decodes_hive_escaped_values(engine, spark):
     sel = {r.src for r in engine.sql(
         "SELECT DISTINCT src FROM ns1.esc").collect()}
     assert set(rows) == sel
+
+
+def test_iceberg_export_refuses_governed_tables(engine, spark, tmp_path):
+    """B97 fail-closed perimeter: an Iceberg export references RAW data
+    files, so exporting a table with an active policy must refuse —
+    external readers would see every hidden row."""
+    engine.sql("CREATE TABLE ns1.gx (id BIGINT, v DOUBLE)")
+    engine.sql("INSERT INTO ns1.gx VALUES (1, 1.0), (2, -1.0)")
+    engine.sql("ALTER TABLE ns1.gx SET ROW FILTER (v > 0)")
+    with pytest.raises(ValueError, match="row .?filter|polic"):
+        engine.export_iceberg_table("ns1.gx", str(tmp_path / "ice"))
+    engine.sql("ALTER TABLE ns1.gx DROP ROW FILTER")
+    assert engine.export_iceberg_table(
+        "ns1.gx", str(tmp_path / "ice2")).endswith(".metadata.json")
