@@ -1,8 +1,11 @@
 """Benchmark runner — driver contract.
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE compact
+JSON line (metric/value/unit/sf + flags + catalog metrics) as the LAST
+stdout line; the FULL summary with the per-query timing maps is written
+to ``BENCH_SUMMARY.json`` (the maps are ~6 KB — bigger than the driver's
+stdout tail-capture window, which truncated the r8/r9 lines mid-JSON).
 
 Each query executes with a count()/collect() action so the full plan runs;
 inputs are re-read per query (no caching) so the numbers reflect scan +
@@ -250,6 +253,14 @@ def main() -> None:
     scaling: dict[str, float] = {}
     timings_small: dict[str, float] = {}
     superlinear: list[str] = []
+    # Declared LINEAR-INGEST lanes: these read/copy every input byte by
+    # design (COPY INTO bulk load; Iceberg adoption walks all manifests +
+    # data), so a ~10x time on 10x data is the correct cost model, not a
+    # pathology. Flagging them every round buries a real quadratic
+    # regression in alert fatigue (VERDICT r9 #3) — they are excluded
+    # from the superlinear alert but still present in `scaling` so a
+    # ratio well ABOVE linear (say 20x) remains visible in the data.
+    ingest_lanes = {"b67_copy_into", "b66_iceberg_adopt"}
     if (os.path.isdir(small_dir)
             and os.path.realpath(small_dir) != os.path.realpath(sf_dir)
             and os.environ.get("SPARK_GRAFT_DUAL_SCALE", "1") != "0"):
@@ -260,7 +271,8 @@ def main() -> None:
             # clamp the denominator: sub-100ms small-scale readings are
             # scheduler noise and would mint fake 50x ratios
             scaling[name] = round(t_big / max(t_small, 0.1), 2)
-        superlinear = sorted(n for n, r in scaling.items() if r > 10)
+        superlinear = sorted(n for n, r in scaling.items()
+                             if r > 10 and n not in ingest_lanes)
         if superlinear:
             print(f"# SUPERLINEAR (>10x on 10x data): {superlinear}",
                   file=sys.stderr)
@@ -283,9 +295,10 @@ def main() -> None:
         "catalog": cat_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
-    # durable copy first: the driver's tail capture truncated the r8
-    # stdout mid-JSON, so the summary also lands in a file it can read
-    # regardless of stream buffering
+    # durable full copy first: the per-query maps are ~6 KB — larger
+    # than the driver's stdout tail-capture window, which clipped the
+    # FRONT of the r8/r9 summary lines mid-JSON. The complete summary
+    # lives here; the stdout line below is the COMPACT contract.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_SUMMARY.json"), "w") as fh:
@@ -293,7 +306,21 @@ def main() -> None:
     except OSError as e:  # pragma: no cover — stdout line still emitted
         print(f"# BENCH_SUMMARY.json not written: {e}", file=sys.stderr)
     sys.stderr.flush()
-    print(json.dumps(summary), flush=True)
+    # LAST stdout line = compact JSON that FITS the capture window
+    # (VERDICT r9 #1/#4): totals + flags + catalog only — no per-query
+    # maps (those exceed the window and un-parse the line).
+    compact = {
+        "metric": summary["metric"],
+        "value": summary["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "total_sf0.01": round(sum(timings_small.values()), 4),
+        "superlinear": superlinear,
+        "catalog": cat_ms,
+        "sf": summary["sf"],
+        "queries_file": "BENCH_SUMMARY.json",
+    }
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

@@ -2064,10 +2064,16 @@ def b87_q2(spark: SparkSession, sf: str) -> DataFrame:
     unit-cost relation derives from lineitem, which preserves the
     query SHAPE: build cost relation → correlate per-part min →
     equality filter → dimension joins.) Spark-first: the correlation
-    decorrelates into a window MIN over the part key — one shuffle by
-    l_partkey, no per-part subquery execution; region/nation/supplier
-    are broadcast dimensions. Unit cost is an IEEE division + MIN +
-    4-dp round, bit-identical across engines."""
+    decorrelates into a GROUPED MIN + equi-join back (r9 VERDICT #6 —
+    the earlier window MIN forced a full-width sort+window pass;
+    the grouped min gets map-side PARTIAL aggregation so the exchange
+    by l_partkey carries only (key, min), and both consumers of the
+    qualifying relation share one lineitem scan+partial agg via
+    Spark's ReuseExchange). The part filter applies BEFORE the min —
+    per-part min is unaffected by dropping whole part groups — so the
+    min runs over the small qualifying set, not all parts. Unit cost
+    is an IEEE division + MIN + 4-dp round, bit-identical across
+    engines."""
     li = load(spark, sf, "lineitem")
     # decimal-intermediate rounding (see b103): half-mode ties on raw
     # doubles diverge between engines
@@ -2084,14 +2090,24 @@ def b87_q2(spark: SparkSession, sf: str) -> DataFrame:
           .join(F.broadcast(reg.filter(F.col("r_name") == first_region)),
                 F.col("n_regionkey") == F.col("r_regionkey"))
           .select("s_suppkey", "s_name", "s_acctbal"))
-    best = (cost.join(rs, cost.l_suppkey == rs.s_suppkey)
-            .withColumn("best_cost",
-                        F.min("unit_cost").over(
-                            W.partitionBy("l_partkey"))))
     p = (load(spark, sf, "part")
          .filter("p_size <= 10 AND p_type = 'SMALL'"))
-    return (best.filter(F.col("unit_cost") == F.col("best_cost"))
-            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    # qualifying (part, region-local supplier, unit_cost) relation —
+    # selective part filter broadcast in FIRST so the supplier join,
+    # the grouped min and the join-back all run over the reduced set
+    qual = (cost.join(F.broadcast(p),
+                      F.col("l_partkey") == F.col("p_partkey"))
+            .join(rs, F.col("l_suppkey") == F.col("s_suppkey")))
+    # best is ≤ one row per QUALIFYING part (post-filter) — broadcast
+    # the join-back so qual pays no exchange/sort for it; at an SF
+    # where the qualifying-part set outgrew broadcast, drop the hint
+    # and this becomes the narrow keyed exchange
+    best = (qual.groupBy("l_partkey")
+            .agg(F.min("unit_cost").alias("best_cost"))
+            .withColumnRenamed("l_partkey", "best_partkey"))
+    return (qual.join(F.broadcast(best),
+                      (F.col("l_partkey") == F.col("best_partkey"))
+                      & (F.col("unit_cost") == F.col("best_cost")))
             .select("s_acctbal", "s_name",
                     F.col("p_partkey").cast("long").alias("p_partkey"),
                     "p_brand", "unit_cost")

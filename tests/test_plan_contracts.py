@@ -619,14 +619,17 @@ def test_round8_operators_stay_jvm_side(spark, name):
     assert "CartesianProduct" not in plan, name
 
 
-def test_q2_decorrelates_to_window_min_with_broadcast_dims(spark):
-    """B87: the per-part min-cost correlation must run as ONE window
-    over the part key (no per-part subquery re-execution) and the
-    region/supplier dimensions must broadcast."""
+def test_q2_decorrelates_to_grouped_min_with_broadcast_dims(spark):
+    """B87 (r9 VERDICT #6): the per-part min-cost correlation must run
+    as a GROUPED min (map-side partial_min, narrow exchange) joined
+    back by key — not a full-width sort+Window pass and never a
+    per-part subquery re-execution — with the dimensions broadcast."""
     plan = _plan(registry.QUERIES["b87_q2_shape"](spark, SF))
-    assert "Window" in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_q19_pushes_implied_filters_into_both_scans(spark):
