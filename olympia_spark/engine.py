@@ -680,8 +680,10 @@ class Engine:
         cast back to the declared type, so the schema is unchanged.
         ``policies`` defaults to the tdef's own properties; readers of
         historical snapshots pass the CURRENT set instead. Metadata
-        virtual tables ($files/$partitions) intentionally bypass
-        policies: they expose physical layout, not rows."""
+        listings ($files/$partitions, SHOW PARTITIONS) are REFUSED on
+        governed tables (see :meth:`_refuse_governed_metadata`) — they
+        can't apply a row policy, and per-file row counts leak the
+        existence and volume of hidden rows."""
         props = tdef.properties if policies is None else policies
         rf = props.get("policy.row_filter")
         masks = {k.removeprefix("policy.mask."): v
@@ -993,8 +995,17 @@ class Engine:
             [T.StructField("__ifp", T.StringType())]
             + [T.StructField(f"__iv_{c}", by_name[c]) for c in cols])
         fdf = self.spark.createDataFrame(rows, fill_schema)
-        out = (df.withColumn("__ifp", F.regexp_replace(
-                   F.col("_metadata.file_path"), "^file:/+", "/"))
+        # _metadata.file_path percent-encodes the raw filesystem path
+        # (space → %20, '%' → %25, non-ASCII → %xx) while the manifest
+        # records the RAW path — decode the URI layer once (with
+        # literal '+' protected, same convention as the hive-era scan
+        # branch) so a migrated file whose path carries a space/%/
+        # non-ASCII char still matches its manifest constant instead of
+        # silently reading NULL.
+        out = (df.withColumn("__ifp", F.url_decode(F.regexp_replace(
+                   F.regexp_replace(
+                       F.col("_metadata.file_path"), "^file:/+", "/"),
+                   r"\+", "%2B")))
                .join(F.broadcast(fdf), "__ifp", "left"))
         for c in cols:
             out = out.withColumn(
@@ -1971,7 +1982,21 @@ class Engine:
         2. one Spark job finds files actually containing matches
            (input_file_name, only file NAMES reach the driver);
         3. rewrite only those files via `transform(df)`;
-        4. CAS-commit added+removed file lists."""
+        4. CAS-commit added+removed file lists.
+
+        GOVERNANCE ASYMMETRY (deliberate — ADVICE r9 #3): predicates
+        here evaluate against RAW scans, not the policy-filtered view.
+        Reads are governed (row filters/masks at ``read_table``);
+        write-side statements are NOT — ``DELETE WHERE true`` removes
+        rows the active row filter hides from the same caller. This is
+        the fail-SAFE direction for data integrity: filtering the COW
+        rewrite through a row policy would make every DML statement
+        silently DESTROY the hidden rows it rewrote around (they would
+        be absent from the rewritten files). The same asymmetry is the
+        lakehouse norm (Delta/Iceberg RLS governs readers; writers are
+        trusted table owners). Deployments that need write-side
+        enforcement should gate DML by privilege, not by policy —
+        policies here are a read-projection mechanism, not an ACL."""
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
@@ -3955,13 +3980,33 @@ class Engine:
 
     # --- metadata virtual tables --------------------------------------------
 
+    @staticmethod
+    def _refuse_governed_metadata(tdef: TableDef, name: str,
+                                  what: str) -> None:
+        """Fail-closed metadata perimeter (same stance as the Iceberg
+        export refusal, engine governance perimeter): per-file /
+        per-partition listings carry paths, min/max stats and EXACT row
+        counts — enough to reveal the existence and volume of rows a
+        row filter hides, and stat boundaries of masked columns. A
+        governed table therefore refuses them outright rather than
+        serving a 'metadata-only' side channel."""
+        if any(k.startswith("policy.") for k in tdef.properties):
+            raise ValueError(
+                f"{what}: {name} has an active row filter or column "
+                f"mask — per-file/partition metadata (paths, stats, "
+                f"exact row counts) would reveal the existence and "
+                f"volume of policy-hidden rows; DROP the policies or "
+                f"inspect a policy-applied CTAS copy instead")
+
     def table_files(self, name: str) -> DataFrame:
         """`ns.t$files` — the tracked file inventory with stats (the
-        engine-side analogue of Iceberg's files metadata table)."""
+        engine-side analogue of Iceberg's files metadata table).
+        Refused on governed tables (fail-closed, like export)."""
         import json as _json
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._refuse_governed_metadata(tdef, f"{ns}.{tbl}", "$files")
         rows = [(f.path, f.num_rows, f.size_bytes, _json.dumps(f.stats))
                 for f in tdef.data_files]
         return self.spark.createDataFrame(
@@ -3988,11 +4033,13 @@ class Engine:
 
     def table_partitions(self, name: str) -> DataFrame:
         """`ns.t$partitions` — per-partition file/row totals from the
-        tracked stats (no data scan)."""
+        tracked stats (no data scan). Refused on governed tables
+        (fail-closed, like export)."""
         import json as _json
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._refuse_governed_metadata(tdef, f"{ns}.{tbl}", "$partitions")
         agg: dict[str, list[int]] = {}
         for f in tdef.data_files:
             part = _json.dumps({c: f.stats.get(c, [None])[0]
@@ -4127,6 +4174,8 @@ class Engine:
             ns, tbl = self._split(m.group(1))
             txn = self._txn()
             tdef = self.catalog.describe_table(txn, ns, tbl)
+            self._refuse_governed_metadata(tdef, f"{ns}.{tbl}",
+                                           "SHOW PARTITIONS")
             if not tdef.partition_by:
                 raise ValueError(
                     f"SHOW PARTITIONS: {ns}.{tbl} is not partitioned")

@@ -178,11 +178,33 @@ def register_iceberg_hash(spark) -> None:
     - ``iceberg_hash_str(STRING) -> INT``: UTF-8 byte hashing —
       variable-length, stays the numpy-vectorized pandas UDF.
 
-    Idempotent per session — registration overwrites in place."""
+    Idempotent per session — registration overwrites in place.
+
+    NAMESPACE CONTRACT (ADVICE r9 #4): the ``_ice_*`` and
+    ``iceberg_hash_*`` names are RESERVED by the engine in the
+    session's temporary-function namespace. Before first registration
+    this probes for pre-existing functions under those names: a
+    user-defined function already holding one is a hard error (the
+    CREATE OR REPLACE would silently clobber it); the engine's own
+    prior registration (detected via the ``_ice_olympia_marker``
+    canary, created last so a half-failed registration never marks)
+    overwrites in place as before."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    _names = [s.split("TEMPORARY FUNCTION ")[1].split("(")[0]
+              for s in _SQL_FUNCS]
+    if not spark.catalog.functionExists("_ice_olympia_marker"):
+        taken = [n for n in _names + ["iceberg_hash_str"]
+                 if spark.catalog.functionExists(n)]
+        if taken:
+            raise ValueError(
+                f"register_iceberg_hash: session already defines "
+                f"{taken} — the engine reserves the '_ice_*' and "
+                f"'iceberg_hash_*' temporary-function names and would "
+                f"silently replace yours; rename the conflicting "
+                f"user functions first")
     for stmt in _SQL_FUNCS:
         spark.sql(stmt)
 
@@ -198,3 +220,7 @@ def register_iceberg_hash(spark) -> None:
 
     iceberg_hash_str = F.pandas_udf(_hash_str, T.IntegerType())
     spark.udf.register("iceberg_hash_str", iceberg_hash_str)
+    # canary LAST: marks "the engine owns these names in this session"
+    # only once every registration above succeeded
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION _ice_olympia_marker() "
+              "RETURNS INT RETURN 1")

@@ -1316,3 +1316,30 @@ def test_iceberg_export_refuses_governed_tables(engine, spark, tmp_path):
     engine.sql("ALTER TABLE ns1.gx DROP ROW FILTER")
     assert engine.export_iceberg_table(
         "ns1.gx", str(tmp_path / "ice2")).endswith(".metadata.json")
+
+
+def test_metadata_listings_refuse_governed_tables(engine, spark):
+    """ADVICE r9 #1: SHOW PARTITIONS and the $files/$partitions virtual
+    tables return per-file paths, stats and EXACT row counts — enough
+    to reveal the existence and volume of rows a row filter hides. On a
+    governed table they refuse (same fail-closed stance as the Iceberg
+    export), and work again once the policies drop."""
+    engine.sql("CREATE TABLE ns1.gml (id BIGINT, src STRING) "
+               "PARTITIONED BY (src)")
+    engine.sql("INSERT INTO ns1.gml VALUES (1, 'a'), (2, 'b')")
+    engine.sql("ALTER TABLE ns1.gml SET ROW FILTER (src <> 'b')")
+    for stmt in ("SHOW PARTITIONS ns1.gml",
+                 "SELECT * FROM ns1.gml$files",
+                 "SELECT * FROM ns1.gml$partitions"):
+        with pytest.raises(ValueError, match="row filter|polic"):
+            engine.sql(stmt)
+    # masks alone also gate the listings (stat min/max leak values)
+    engine.sql("ALTER TABLE ns1.gml DROP ROW FILTER")
+    engine.sql("ALTER TABLE ns1.gml ALTER COLUMN src SET MASK ('*')")
+    with pytest.raises(ValueError, match="row filter|polic"):
+        engine.sql("SHOW PARTITIONS ns1.gml")
+    engine.sql("ALTER TABLE ns1.gml ALTER COLUMN src DROP MASK")
+    rows = {r.src: r.num_rows for r in
+            engine.sql("SHOW PARTITIONS ns1.gml").collect()}
+    assert rows == {"a": 1, "b": 1}
+    assert engine.sql("SELECT * FROM ns1.gml$files").count() == 2

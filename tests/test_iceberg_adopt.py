@@ -940,3 +940,30 @@ def test_adopt_fills_identity_constants_for_omitted_columns(spark, tmp_path):
     # and predicates on the filled column stay correct
     assert eng.sql("SELECT COUNT(*) AS n FROM lake.m WHERE region = 7"
                    ).first().n == 2
+
+
+def test_identity_fill_survives_special_chars_in_path(spark, tmp_path):
+    """ADVICE r9 #2: _metadata.file_path percent-encodes the raw
+    filesystem path (space → %20, '%' → %25, non-ASCII → %xx) while
+    the manifest records the RAW path. Before the URI-layer decode the
+    broadcast fill join missed such files entirely and the identity
+    column silently read NULL instead of the manifest constant."""
+    from pyspark.sql import types as T
+    tdir = str(tmp_path / "ice sp")
+    os.makedirs(os.path.join(tdir, "metadata"))
+    # space, literal %, literal + and a non-ASCII char in the filename
+    p1 = os.path.join(tdir, "part a 50%off+ü.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), p1)
+    files = [_F(p1, 2, os.path.getsize(p1))]
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("region", T.LongType())])
+    mpath = il.export_iceberg_metadata(
+        tdir, schema, files,
+        partition_values={p1: {"region": 7}},
+        partition_avro_types={"region": "long"})
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    eng.adopt_iceberg_table("lake.sp", mpath)
+    got = sorted((r.id, r.region) for r in eng.sql(
+        "SELECT id, region FROM lake.sp").collect())
+    assert got == [(1, 7), (2, 7)]

@@ -215,3 +215,22 @@ def test_sql_udf_long_lane_matches_numpy_spec(spark):
     assert got == murmur3_long(np.array(vals, np.int64)).tolist()
     assert spark.sql("SELECT iceberg_hash_long(CAST(NULL AS BIGINT)) h"
                      ).first().h is None
+
+
+def test_register_refuses_to_clobber_foreign_ice_functions(spark):
+    """ADVICE r9 #4: the _ice_*/iceberg_hash_* temp-function names are
+    reserved — registration over a session where a USER function holds
+    one must refuse instead of silently replacing it; the engine's own
+    marker-backed registration stays idempotent."""
+    import pytest
+    from olympia_spark.iceberg_hash import register_iceberg_hash
+    register_iceberg_hash(spark)            # ours — idempotent
+    register_iceberg_hash(spark)
+    # simulate a foreign session: drop the canary, keep a colliding fn
+    spark.sql("DROP TEMPORARY FUNCTION _ice_olympia_marker")
+    with pytest.raises(ValueError, match="reserves"):
+        register_iceberg_hash(spark)
+    # restore for the rest of the session
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION _ice_olympia_marker() "
+              "RETURNS INT RETURN 1")
+    register_iceberg_hash(spark)
