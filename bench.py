@@ -102,6 +102,11 @@ HEADLINE = [
     "b103_q9_shape",
     "text_encoding_gate",
     "text_quality_linear",
+    # round-10 surface: the TPC-DS starter shapes (VERDICT r9 #5)
+    "b104_rollup_topk",
+    "b105_cumulative_align",
+    "b106_intersect_channels",
+    "b107_multiband_scan",
 ]
 
 

@@ -2798,3 +2798,192 @@ def b103_q9(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum(profit.cast("decimal(25,6)")).cast("double")
                  .alias("sum_profit"))
             .orderBy("nation", F.col("o_year").desc()))
+
+
+# --- B104 TPC-DS Q67 shape (ROLLUP + rank-per-group top-k) -------------------
+
+@query("b104_rollup_topk", oracle="""
+WITH agg AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus, year(l_shipdate))
+)
+SELECT rf, ls, ship_year, sum_qty, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT rf, ls, ship_year, sum_qty,
+         RANK() OVER (PARTITION BY rf
+                      ORDER BY sum_qty DESC NULLS LAST,
+                               ls ASC NULLS FIRST,
+                               ship_year ASC NULLS FIRST) AS rk
+  FROM agg) t
+WHERE rk <= 5 ORDER BY rf NULLS FIRST, rk
+""")
+def b104_rollup_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B104 — TPC-DS Q67 signature shape: a hierarchy ROLLUP feeding a
+    rank-per-group top-k. The defining plan property is ONE Expand
+    (the rollup multiplies rows once) into ONE aggregation pass —
+    never a per-grouping-set re-aggregation — then a single window
+    rank over the top hierarchy level picks each group's top-5 rows
+    ACROSS rollup levels (subtotals compete with leaves, exactly
+    Q67's trick). At 100 TB: Expand triples the agg input but the
+    partial aggregate collapses it map-side before the one keyed
+    exchange; the rank's exchange is by the (low-cardinality) top
+    key only. Rank ordering carries explicit NULLS placement + full
+    tie-break — engine default NULL order differs (Spark ASC=NULLS
+    FIRST, DuckDB=NULLS LAST), a silent cross-engine divergence
+    otherwise."""
+    agg = (load(spark, sf, "lineitem")
+           .rollup(F.col("l_returnflag").alias("rf"),
+                   F.col("l_linestatus").alias("ls"),
+                   F.year("l_shipdate").cast("long").alias("ship_year"))
+           .agg(_dsum(F.col("l_quantity"), "sum_qty")))
+    w = (W.partitionBy("rf")
+         .orderBy(F.col("sum_qty").desc_nulls_last(),
+                  F.col("ls").asc_nulls_first(),
+                  F.col("ship_year").asc_nulls_first()))
+    return (agg.withColumn("rk", F.rank().over(w).cast("long"))
+            .filter(F.col("rk") <= 5)
+            .orderBy(F.col("rf").asc_nulls_first(), "rk"))
+
+
+# --- B105 TPC-DS Q51 shape (FULL OUTER join of two cumulative windows) ------
+
+@query("b105_cumulative_align", oracle="""
+WITH c AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), cc AS (
+  SELECT user_id, day,
+         SUM(cnt) OVER (PARTITION BY user_id ORDER BY day) AS cum_clicks
+  FROM c
+), v AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), vv AS (
+  SELECT user_id, day,
+         SUM(cnt) OVER (PARTITION BY user_id ORDER BY day) AS cum_views
+  FROM v
+), j AS (
+  SELECT user_id, day,
+         MAX(cum_clicks) OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cum,
+         MAX(cum_views) OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS str_cum
+  FROM cc FULL OUTER JOIN vv USING (user_id, day)
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(web_cum - str_cum) AS BIGINT) AS lead_margin
+FROM j WHERE web_cum > str_cum
+GROUP BY day ORDER BY day
+""")
+def b105_cumulative_align(spark: SparkSession, sf: str) -> DataFrame:
+    """B105 — TPC-DS Q51 signature shape: two per-key cumulative
+    series (clicks vs views per user per day) FULL OUTER joined on
+    (key, day), then ALIGNED with a carry-forward MAX window — the
+    Q51 trick: after the outer join, a day present in only one
+    channel has NULL for the other channel's cumulative even though
+    that user has history there; MAX over ROWS UNBOUNDED PRECEDING
+    carries the last known running sum forward (valid because
+    cumulative counts are non-decreasing). Rows where clicks lead
+    views aggregate per day. NULL comparison semantics are the SQL
+    standard on both engines: a user with views but no click history
+    yet has NULL web_cum, and NULL > x drops the row. At 100 TB all
+    three windows and the join share ONE partitioning (user_id) —
+    Spark reuses the exchange across them."""
+    e = load(spark, sf, "events")
+
+    def cum(etype: str, alias: str) -> DataFrame:
+        daily = (e.filter(F.col("event_type") == etype)
+                 .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+                 .agg(F.count("*").alias("cnt")))
+        w = W.partitionBy("user_id").orderBy("day")
+        return daily.select("user_id", "day",
+                            F.sum("cnt").over(w).alias(alias))
+
+    j = cum("click", "cum_clicks").join(
+        cum("view", "cum_views"), ["user_id", "day"], "full_outer")
+    wc = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    aligned = j.select(
+        "day",
+        F.max("cum_clicks").over(wc).alias("web_cum"),
+        F.max("cum_views").over(wc).alias("str_cum"))
+    return (aligned.filter(F.col("web_cum") > F.col("str_cum"))
+            .groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum(F.col("web_cum") - F.col("str_cum")).cast("long")
+                 .alias("lead_margin"))
+            .orderBy("day"))
+
+
+# --- B106 TPC-DS Q14 shape (INTERSECT across channels → shared CTE) ---------
+
+@query("b106_intersect_channels", oracle=f"""
+WITH common_parts AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT l_returnflag AS channel, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+WHERE l_partkey IN (SELECT l_partkey FROM common_parts)
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def b106_intersect_channels(spark: SparkSession, sf: str) -> DataFrame:
+    """B106 — TPC-DS Q14 signature shape: an INTERSECT chain across
+    sales channels builds the 'sold in every channel' key set, which
+    feeds the main aggregation as a shared CTE (Q14's cross_items).
+    Channels here are the return-flag classes of the one fact table
+    the fixture has — same plan shape: N filtered scans → INTERSECT
+    (Spark plans it as distinct + left-semi joins, never a cartesian)
+    → semi-join reduction of the main fact scan → grouped measure.
+    Each channel arm pushes its filter into the scan; at 100 TB the
+    INTERSECT arms are key-only scans (one column read), and the
+    final semi join is an equi hash join on the key set."""
+    li = load(spark, sf, "lineitem")
+
+    def arm(flag: str) -> DataFrame:
+        return (li.filter(F.col("l_returnflag") == flag)
+                .select("l_partkey"))
+
+    common = arm("A").intersect(arm("N")).intersect(arm("R"))
+    return (li.join(common, "l_partkey", "left_semi")
+            .groupBy(F.col("l_returnflag").alias("channel"))
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 _dsum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")), "revenue"))
+            .orderBy("channel"))
+
+
+# --- B107 TPC-DS Q88 shape (single-scan multi-band report) -------------------
+
+_B107_BANDS = [(h, h + 3) for h in range(0, 24, 3)]
+
+@query("b107_multiband_scan", oracle="SELECT "
+       + ", ".join(
+           f"CAST(SUM(CASE WHEN hour(ts) >= {lo} AND hour(ts) < {hi} "
+           f"THEN 1 ELSE 0 END) AS BIGINT) AS band_{lo}_{hi}"
+           for lo, hi in _B107_BANDS)
+       + " FROM events WHERE event_type IN ('click', 'view')")
+def b107_multiband_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """B107 — TPC-DS Q88 signature shape: one report row with N
+    time-band measures (8 three-hour bands) computed as N conditional
+    aggregates over ONE scan — the anti-pattern it exists to pin out
+    is the naive N-subquery translation (Q88 is written as 8 scalar
+    subqueries; a correct engine fuses them). The plan contract pins
+    EXACTLY ONE FileScan. The final Exchange SinglePartition sits
+    over a keys=[] partial aggregate carrying 8 longs — the allowed
+    grand-total form of the registry-wide SinglePartition ban. At
+    100 TB this is the cheapest possible report: map-side partials
+    reduce everything to 8 numbers per task."""
+    h = F.hour("ts")
+    e = (load(spark, sf, "events")
+         .filter(F.col("event_type").isin("click", "view")))
+    return e.agg(*[
+        F.sum(F.when((h >= lo) & (h < hi), 1).otherwise(0)).cast("long")
+        .alias(f"band_{lo}_{hi}")
+        for lo, hi in _B107_BANDS])

@@ -435,3 +435,103 @@ def test_host_concentration_simpson_ground_truth(spark, tmp_path):
     assert out["mono"].n_hosts == 1 and out["mono"].simpson == 1.0
     assert out["spread"].n_hosts == 4
     assert abs(out["spread"].simpson - 0.25) < 1e-9
+
+
+# --- round-10 TPC-DS starter shapes: crafted ground-truth pins ---------------
+
+def test_b104_rollup_rank_ground_truth(spark, tmp_path):
+    """B104 crafted pin: hand-computed rollup totals, rank ordering with
+    NULLS FIRST tiebreaks, and subtotals COMPETING with leaves inside
+    one partition (the Q67 trick the oracle alone can't distinguish
+    from a leaves-only ranking)."""
+    import datetime as dt
+    rows = [
+        ("A", "F", dt.datetime(1995, 6, 1), 10.0),
+        ("A", "F", dt.datetime(1995, 7, 1), 5.0),
+        ("A", "O", dt.datetime(1996, 1, 1), 40.0),
+        ("N", "O", dt.datetime(1996, 2, 1), 7.0),
+    ]
+    d = _tpch(spark, tmp_path, lineitem=(
+        rows, "l_returnflag STRING, l_linestatus STRING, "
+              "l_shipdate TIMESTAMP, l_quantity DOUBLE"))
+    got = {(r.rf, r.ls, r.ship_year, r.sum_qty, r.rk) for r in
+           registry.QUERIES["b104_rollup_topk"](spark, d).collect()}
+    assert got == {
+        (None, None, None, 62.0, 1),        # grand total, own partition
+        ("A", None, None, 55.0, 1),         # rf subtotal beats every leaf
+        ("A", "O", None, 40.0, 2),          # NULL year ranks BEFORE leaf
+        ("A", "O", 1996, 40.0, 3),
+        ("A", "F", None, 15.0, 4),
+        ("A", "F", 1995, 15.0, 5),
+        ("N", None, None, 7.0, 1),          # all-tie partition: NULLS
+        ("N", "O", None, 7.0, 2),           # FIRST tiebreak orders it
+        ("N", "O", 1996, 7.0, 3),
+    }
+
+
+def test_b105_carry_forward_alignment_ground_truth(spark, tmp_path):
+    """B105 crafted pin: a day present in only ONE channel must still
+    see the other channel's carried running sum (day 2 below has no
+    click row, yet web_cum=2 from day 1) — the exact alignment case a
+    naive join-then-compare silently drops; and a NULL history side
+    (user 2, day 1 of user 1) must drop per SQL NULL comparison."""
+    import datetime as dt
+
+    def ev(eid, day, uid, etype):
+        return (eid, dt.datetime(2024, 1, day, 12, 0), uid, etype, 1.0, "")
+    rows = [
+        ev(1, 1, 1, "click"), ev(2, 1, 1, "click"),       # u1 d1: 2 clicks
+        ev(3, 3, 1, "click"),                              # u1 d3: 1 click
+        ev(4, 2, 1, "view"),                               # u1 d2: 1 view
+        ev(5, 4, 1, "view"), ev(6, 4, 1, "view"), ev(7, 4, 1, "view"),
+        ev(8, 1, 2, "view"),                               # u2: views only
+    ]
+    d = _tpch(spark, tmp_path, events=(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+              "event_type STRING, value DOUBLE, props STRING"))
+    got = {(r.day, r.n_users, r.lead_margin) for r in
+           registry.QUERIES["b105_cumulative_align"](spark, d).collect()}
+    # d1: str_cum NULL -> dropped; d2: web 2 (carried) > str 1 -> margin 1
+    # d3: web 3 > str 1 (carried) -> margin 2; d4: web 3 < str 4 -> dropped
+    assert got == {(dt.date(2024, 1, 2), 1, 1), (dt.date(2024, 1, 3), 1, 2)}
+
+
+def test_b106_intersect_requires_all_channels(spark, tmp_path):
+    """B106 crafted pin: only the part present in ALL THREE channels
+    survives the INTERSECT chain — a two-channel part (p2) or a
+    one-channel part (p3) must not leak into the shared CTE."""
+    rows = [
+        (1, "A", 10.0, 0.0), (1, "N", 20.0, 0.0), (1, "R", 30.0, 0.0),
+        (1, "A", 5.0, 0.0),
+        (2, "A", 100.0, 0.0), (2, "N", 100.0, 0.0),
+        (3, "R", 100.0, 0.0),
+    ]
+    d = _tpch(spark, tmp_path, lineitem=(
+        rows, "l_partkey BIGINT, l_returnflag STRING, "
+              "l_extendedprice DOUBLE, l_discount DOUBLE"))
+    got = {(r.channel, r.n_lines, r.revenue) for r in
+           registry.QUERIES["b106_intersect_channels"](spark, d).collect()}
+    assert got == {("A", 2, 15.0), ("N", 1, 20.0), ("R", 1, 30.0)}
+
+
+def test_b107_band_boundaries_and_type_filter(spark, tmp_path):
+    """B107 crafted pin: half-open band boundaries (02:59 in band_0_3,
+    03:00 in band_3_6), the last band reaching 23:xx, and the shared
+    type filter excluding an in-band 'error' event."""
+    import datetime as dt
+
+    def ev(eid, h, mi, etype):
+        return (eid, dt.datetime(2024, 1, 1, h, mi), 1, etype, 1.0, "")
+    rows = [
+        ev(1, 2, 59, "click"),      # band_0_3
+        ev(2, 3, 0, "view"),        # band_3_6 (boundary goes RIGHT)
+        ev(3, 23, 30, "click"),     # band_21_24
+        ev(4, 0, 0, "view"),        # band_0_3
+        ev(5, 4, 0, "error"),       # excluded by type filter
+    ]
+    d = _tpch(spark, tmp_path, events=(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+              "event_type STRING, value DOUBLE, props STRING"))
+    r = registry.QUERIES["b107_multiband_scan"](spark, d).first()
+    assert r.band_0_3 == 2 and r.band_3_6 == 1 and r.band_21_24 == 1
+    assert sum(r) == 4

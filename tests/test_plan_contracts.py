@@ -842,3 +842,58 @@ def test_q8_single_aggregation_pass_all_dims_broadcast(spark):
                    if ln.strip().startswith("(") and "HashAggregate" in ln]
     assert len(agg_headers) == 2, plan       # partial + final
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- round-10 TPC-DS starter shapes (VERDICT r9 #5) --------------------------
+
+def test_b104_one_expand_no_reaggregation(spark):
+    """B104 (Q67 shape): the ROLLUP must plan as EXACTLY ONE Expand
+    feeding ONE aggregation pass (partial+final HashAggregate pair) —
+    a per-grouping-set re-aggregation would multiply the fact scan.
+    The rank filter must also push down as a WindowGroupLimit (top-k
+    never materializes full per-group rankings)."""
+    import re
+    plan = _plan(registry.QUERIES["b104_rollup_topk"](spark, SF))
+    assert len(re.findall(r"\) Expand", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_b105_full_outer_of_cumulative_windows(spark):
+    """B105 (Q51 shape): a real FULL OUTER join aligns the two
+    cumulative series (never an inner/cartesian degradation), and the
+    three windows stay window nodes (no Python evaluation)."""
+    import re
+    plan = _plan(registry.QUERIES["b105_cumulative_align"](spark, SF))
+    assert "FullOuter" in plan, plan
+    assert len(re.findall(r"\) Window\b", plan)) == 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_b106_intersect_pushes_channel_filters(spark):
+    """B106 (Q14 shape): every INTERSECT arm pushes its channel filter
+    into its scan (key-only arm scans), and the set operation plans as
+    joins — never a cartesian."""
+    plan = _plan(registry.QUERIES["b106_intersect_channels"](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert sum("EqualTo(l_returnflag" in ln for ln in pushed) >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # arm scans are key-only: their ReadSchema carries just the key +
+    # filter column, never the wide price columns
+    arm_reads = [ln for ln in plan.splitlines()
+                 if "ReadSchema" in ln and "l_returnflag" in ln
+                 and "l_extendedprice" not in ln]
+    assert len(arm_reads) >= 3, plan
+
+
+def test_b107_exactly_one_scan(spark):
+    """B107 (Q88 shape): N band measures must fuse into ONE scan with
+    ONE aggregation pair — the naive N-scalar-subquery translation
+    (8 scans) is the pinned-out anti-pattern."""
+    import re
+    plan = _plan(registry.QUERIES["b107_multiband_scan"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
