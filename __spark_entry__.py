@@ -53,53 +53,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry ages past the stale horizon. Round-9 list
-# (VERDICT r8 item #3): (1) the two NEW shapes; (2) the 28 queries whose
-# latest green is still round 4 — exactly the batch the verdict names;
-# (3) queries whose code paths changed THIS round (identity Iceberg
-# export/adopt fill + era-scan guard → b66/b86/b79/b83 and external
-# sources, small-file auto-compaction → the append/DML lanes, hashed
-# line-dedup key, two-phase shard-plan rank — all re-proven locally
-# against their DuckDB oracles at sf0.01 and sf0.1); (4) the r5-age batch
-# fills the remaining slots (oldest-first). The rest rank after.
+# no query's newest driver entry ages past the stale horizon. Round-10 list
+# (VERDICT r9 items #1/#2/#5): (1) the FIVE new shapes (b55b engine-bucketed
+# join + the four TPC-DS starters), never driver-checked; (2) queries whose
+# code paths changed and MUST outrank age fills — b83 (murmur3 lane went
+# Catalyst-inlined in r9 but sat at slot 51 of the 50-slot window), b87
+# (window MIN → grouped-min join-back), b66 (identity-fill URI-layer
+# decode) — all re-proven locally against their DuckDB oracles at sf0.01
+# and sf0.1; (3) the COMPLETE 42-query r5-age batch (exactly the set whose
+# newest green is round 5 across CORRECTNESS_r01..r09) — after this round
+# no registry query's newest green is older than r6. 5+3+42 = 50 = window.
 _PRIORITY = [
     # NEW this round — never driver-checked yet
-    "b91_q21_shape", "b92_q17_shape", "b93_q22_shape", "b94_q20_shape",
-    "b95_show_partitions", "b96_q11_shape", "b97_row_policies",
-    "b98_q6_shape", "b99_q4_shape", "b100_q13_shape", "b101_q15_shape",
-    "b102_q8_shape", "b103_q9_shape",
-    "text_encoding_gate", "text_quality_linear",
-    "data_host_concentration",
-    # latest green = round 4 — the 28 the r8 verdict names
-    "b32_stream_catalog_ingest", "b32_stream_watermark_append",
-    "b50_carry_forward", "b51_median_mode", "b52_array_setops",
-    "b53_external_sources", "b54_approx_quantile_check",
-    "b55_bucketed_join", "b56_interval_join", "b57_window_count_distinct",
-    "b58_table_changes", "b59_qualify", "b60_select_exclude",
-    "b61_recursive_cte", "b62_scd2_build", "b63_txn_multi_table",
-    "b63b_txn_rollback", "data_class_balance", "data_dedup_keep_best",
-    "data_mixture_sample", "data_pack_sequences", "dedup_ngram_jaccard",
-    "dedup_threshold_sweep", "graph_pagerank", "sim_knn_graph",
-    "text_length_histogram", "text_quality_score", "text_repetition",
-    # code paths changed this round (identity export/adopt fill,
-    # era-scan guard, small-file auto-compaction, hashed C89 key,
-    # two-phase C87 rank)
-    "text_line_dedup", "data_shard_plan", "b66_iceberg_adopt",
-    "b28_insert_append", "b86_partition_evolution",
-    "b79_generated_partition", "b83_partition_transforms",
-    # r5-age batch (oldest remaining driver entries)
+    "b55b_engine_bucketed_join",
+    "b104_rollup_topk", "b105_cumulative_align",
+    "b106_intersect_channels", "b107_multiband_scan",
+    # changed-path (outrank age fills; VERDICT r9 "what's wrong" #2)
+    "b83_partition_transforms", "b87_q2_shape", "b66_iceberg_adopt",
+    # the 42 r5-age queries (newest green = r5), whole batch this round
     "b09_cross_join", "b10_q1_agg", "b11_count_distinct",
     "b11b_distinct_rows", "b12_approx_count_distinct", "b13_rollup",
     "b13b_cube", "b14_rank_window", "b24_conditional",
     "b58b_stream_changes", "b64_group_by_all", "b65_tablesample",
-    "b67_copy_into",
-    # remaining r5-age, next in line if the window is wider
-    "b70_analyze_stats", "b71_q3_shape", "b73_dml_subquery",
+    "b67_copy_into", "b70_analyze_stats", "b71_q3_shape",
+    "b73_dml_subquery",
+    "data_hard_negatives", "data_kcenter_coreset", "data_length_buckets",
+    "data_token_budget",
     "dedup_embedding_cosine", "dedup_embedding_lsh",
     "dedup_hot_shingle_cap", "dedup_recall_audit", "dedup_span_windows",
-    "dedup_url_canonical", "data_hard_negatives", "data_kcenter_coreset",
-    "data_length_buckets", "data_token_budget", "mm_audio_energy",
-    "mm_decode_image_dims", "pipeline_corpus_curation",
+    "dedup_url_canonical",
+    "mm_audio_energy", "mm_decode_image_dims",
+    "pipeline_corpus_curation",
+    "sim_ann_lsh", "sim_batch_topk", "sim_ivf", "sim_ivfpq_topk",
+    "sim_knn_graph_bucketed", "sim_matryoshka_topk",
+    "sim_pq_recall_audit", "sim_pq_topk", "sim_recall_audit",
+    "sim_topk_bruteforce", "sim_topk_int8",
+    "text_bpe_pairs", "text_c4_filter",
 ]
 
 

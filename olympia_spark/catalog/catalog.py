@@ -340,6 +340,7 @@ class Catalog:
             act_payload.setdefault("added_files", [{
                 "path": f.path, "num_rows": f.num_rows,
                 "size_bytes": f.size_bytes, "stats": f.stats,
+                "dir_files": f.dir_files,
             } for f in add_files])
             return Action(action_type, key, act_payload)
         txn.apply(op)
@@ -684,7 +685,8 @@ class Catalog:
                     DataFile(path=p,
                              num_rows=full.get(p, {}).get("num_rows", -1),
                              size_bytes=full.get(p, {}).get("size_bytes", -1),
-                             stats=full.get(p, {}).get("stats", {}))
+                             stats=full.get(p, {}).get("stats", {}),
+                             dir_files=full.get(p, {}).get("dir_files", -1))
                     for p in action.def_payload["added"] if p not in have]
                 # derive ns/table from the padded object key so the new def
                 # lands under the table's own name, not a fixed placeholder

@@ -71,6 +71,15 @@ class DataFile:
     size_bytes: int = -1
     # column name -> [min, max] as JSON-compatible scalars
     stats: dict = field(default_factory=dict)
+    # how many files the write that produced this file's directory
+    # emitted into it (-1 = unknown / pre-bucketing def). The bucketed
+    # read path uses it as the DIR-COMPLETENESS check: a directory
+    # whose tracked-file count equals dir_files still holds exactly
+    # one bucketed write's full output, so Spark's bucket-id-from-
+    # filename contract is intact and the scan may register it as a
+    # bucketed-table partition; a partial dir downgrades to the plain
+    # scan (bucket files may be missing → wrong empty-bucket inference)
+    dir_files: int = -1
 
 
 @dataclass
@@ -110,6 +119,15 @@ class TableDef:
     # gives Iceberg-style hidden/transform partitioning (e.g.
     # event_date GENERATED ALWAYS AS (CAST(ts AS DATE)))
     generated_columns: dict = field(default_factory=dict)
+    # bucketed layout spec (reference: proto/objects.proto:58-69
+    # delegates layout to Iceberg, whose bucket transform is the same
+    # murmur3 family — here the Spark-native form): {"columns": [...],
+    # "num_buckets": N}. Every write hash-distributes on the LOGICAL
+    # columns (mapped to physical at the writer) and the read path
+    # re-registers complete write dirs as a bucketed session-catalog
+    # table, so joins/aggregations on the bucket key plan with ZERO
+    # exchange on the bucketed side. Empty dict = unbucketed.
+    bucket_by: dict = field(default_factory=dict)
     # mirror of the reference pointer fields for format parity
     metadata_location: str = ""
     previous_metadata_location: str = ""

@@ -479,6 +479,9 @@ class Engine:
                                 or self.catalog.catalog_def.txn_isolation_level)
         self.current_txn: Transaction | None = None
         self._auto_txn: Transaction | None = None
+        # table id -> live session-catalog shadow table name (B55b
+        # bucketed read path); bounds shadow-table accumulation
+        self._shadow_tables: dict[str, str] = {}
         # bucket() partition transforms hash with Iceberg's
         # murmur3_x86_32 through these session UDFs — registration is
         # idempotent and session-wide, so every engine on the session
@@ -897,6 +900,18 @@ class Engine:
         eras: dict[tuple[str, ...], list[str]] = {}
         for p in rel_paths:
             eras.setdefault(era_of(p), []).append(p)
+        # B55b bucketed fast path: an unpartitioned bucketed table whose
+        # requested files form COMPLETE write dirs reads through the
+        # session-catalog shadow table, so the scan's output partitioning
+        # is the bucket hash and downstream joins/aggs on the key plan
+        # with zero exchange. Falls through to the plain scan (same
+        # values, no layout claim) on partial dirs, hive-partitioned
+        # layouts, or adopted identity-fill estates.
+        if (tdef.bucket_by and set(eras) == {()} and not derive
+                and not tdef.properties.get("iceberg.identity_fill")):
+            shadow = self._bucketed_shadow(tdef, rel_paths)
+            if shadow is not None:
+                return self._to_logical(shadow, tdef)
         # plain single-read branch ONLY when nothing needs path-derived
         # columns: no hive-encoded paths and no spec-evolution derive
         # markers (B86). Never-evolved unpartitioned tables — generated
@@ -1015,20 +1030,48 @@ class Engine:
     def create_table(self, name: str, schema: T.StructType,
                      properties: dict | None = None,
                      partition_by: list[str] | None = None,
-                     generated_columns: dict[str, str] | None = None
+                     generated_columns: dict[str, str] | None = None,
+                     bucket_by: tuple[list[str], int] | None = None
                      ) -> None:
+        """``bucket_by=(columns, num_buckets)`` declares the engine-
+        catalog bucketed layout (B55b): every write hash-distributes on
+        the columns into ``num_buckets`` bucket files and reads
+        re-register the layout with the session catalog, so repeated
+        joins/aggs on the bucket key run with no exchange."""
         ns, tbl = self._split(name)
         names = {f.name for f in schema.fields}
         for g in (generated_columns or {}):
             if g not in names:
                 raise ValueError(
                     f"generated column {g} is not in the table schema")
+        bspec = (self._validate_bucket_spec(
+                     names, partition_by or [], list(bucket_by[0]),
+                     int(bucket_by[1]))
+                 if bucket_by else {})
         txn = self._txn()
         self.catalog.create_table(txn, ns, tbl, TableDef(
             schema_json=schema.json(), properties=properties or {},
             partition_by=list(partition_by or []),
-            generated_columns=dict(generated_columns or {})))
+            generated_columns=dict(generated_columns or {}),
+            bucket_by=bspec))
         self._finish(txn)
+
+    @staticmethod
+    def _validate_bucket_spec(schema_names: set, partition_by: list,
+                              cols: list[str], n: int) -> dict:
+        """Shared CLUSTERED BY validation (python API + SQL DDL)."""
+        missing = [c for c in cols if c not in schema_names]
+        if missing:
+            raise ValueError(
+                f"bucket column(s) not in the table schema: {missing}")
+        overlap = sorted(set(cols) & set(partition_by))
+        if overlap:
+            raise ValueError(
+                f"bucket column(s) cannot also be partition "
+                f"column(s): {overlap}")
+        if n < 2:
+            raise ValueError("CLUSTERED BY needs at least 2 buckets")
+        return {"columns": cols, "num_buckets": n}
 
     def register_external_table(self, name: str, *paths: str,
                                 format: str = "parquet",
@@ -1389,6 +1432,9 @@ class Engine:
             # consistent with their sources
             constraints=dict(sdef.constraints),
             generated_columns=dict(sdef.generated_columns),
+            # the clone shares bucketed FILES — inheriting the spec
+            # keeps its reads bucketed and its writes layout-consistent
+            bucket_by=dict(sdef.bucket_by),
             # governance policies come EXACTLY from the source's
             # CURRENT def (snapshot policy keys stripped first) — CLONE
             # ... VERSION AS OF of a pre-policy version must not mint
@@ -1404,7 +1450,8 @@ class Engine:
         # same warehouse, same relative paths — both defs resolve them
         # against the shared root, so the clone is truly zero-copy
         files = [DataFile(path=f.path, num_rows=f.num_rows,
-                          size_bytes=f.size_bytes, stats=dict(f.stats))
+                          size_bytes=f.size_bytes, stats=dict(f.stats),
+                          dir_files=f.dir_files)
                  for f in sdef.data_files]
         self.catalog.update_table_files(
             txn, ns_t, tbl_t, files, [], ActionType.TABLE_INSERT,
@@ -1691,11 +1738,18 @@ class Engine:
                      and f.size_bytes < floor]
             # count only PACKABLE small files (hive leaves holding ≥2)
             # — a table of many single-small-file partitions must not
-            # re-run a no-op compaction txn on every append forever
-            packable = sum(
-                len(g) for g in
-                self._small_file_leaves(tdef, small).values()
-                if len(g) >= 2)
+            # re-run a no-op compaction txn on every append forever.
+            # Bucketed tables pack whole write dirs (≥2 all-small dirs)
+            # — same probe/packer agreement via _bucket_pack_dirs.
+            if tdef.bucket_by:
+                dirs = self._bucket_pack_dirs(tdef, floor)
+                packable = (sum(len(g) for g in dirs.values())
+                            if len(dirs) >= 2 else 0)
+            else:
+                packable = sum(
+                    len(g) for g in
+                    self._small_file_leaves(tdef, small).values()
+                    if len(g) >= 2)
             if packable <= thr:
                 return
             self.compact_small_files(f"{ns}.{tbl}")
@@ -1783,11 +1837,16 @@ class Engine:
             df = self._to_physical(df, tdef)
             partition_by = [self._phys(tdef, c)
                             for c in (partition_by or [])]
-        writer = df.write.mode("error")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        bspec = dict(getattr(tdef, "bucket_by", None) or {})
         try:
-            writer.parquet(out_dir)
+            if bspec:
+                self._write_bucketed(df, out_dir, bspec, tdef,
+                                     partition_by)
+            else:
+                writer = df.write.mode("error")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(out_dir)
         except Exception as e:
             if _CHECK_MARKER in str(e):
                 raise CheckConstraintError(
@@ -1796,6 +1855,15 @@ class Engine:
                     f"{dict(tdef.constraints) if tdef else {}}") from e
             raise
         files = self._collect_stats(rel_dir)
+        if bspec:
+            # dir-completeness bookkeeping for the bucketed read path:
+            # record per leaf dir how many files this write put there
+            by_dir: dict[str, int] = {}
+            for f in files:
+                d = f.path.rsplit("/", 1)[0]
+                by_dir[d] = by_dir.get(d, 0) + 1
+            for f in files:
+                f.dir_files = by_dir[f.path.rsplit("/", 1)[0]]
         if self._object_store and self.data_plane != "direct":
             # spool lane only — the executors spooled into the read-local
             # cache dir (the reference's S3AtomicOutputStream pattern:
@@ -1812,6 +1880,124 @@ class Engine:
                                                     self._abs(f.path)),
                     files))
         return files
+
+    def _write_bucketed(self, df: DataFrame, out_dir: str, bspec: dict,
+                        tdef: TableDef,
+                        partition_by: list[str] | None) -> None:
+        """Bucketed write lane (B55b): Spark's bucket layout exists only
+        through the session catalog (``bucketBy`` requires
+        ``saveAsTable``), so the write stages through a throwaway
+        EXTERNAL table pointed at the engine-owned dir — dropping it
+        afterwards keeps the files, whose NAMES carry the bucket id
+        (Spark's bucket contract, how the read side regroups them).
+        The pre-``repartition(n, cols)`` aligns task boundaries with
+        bucket assignment — both are ``pmod(murmur3(cols), n)`` — so
+        one write emits at most ``num_buckets`` files per hive leaf,
+        not tasks × buckets."""
+        n = int(bspec["num_buckets"])
+        cols = [self._phys(tdef, c) for c in bspec["columns"]]
+        tmp = f"olympia_bucket_stage_{uuid.uuid4().hex}"
+        # pin autoBucketedScan OFF for the write job: when the INPUT is
+        # itself a bucketed scan (compaction, COW rewrites), Spark first
+        # elides the repartition (child partitioning already satisfies
+        # it) and then DisableUnnecessaryBucketedScan un-buckets the
+        # scan — leaving per-input-file tasks and a files×appends
+        # output. With the rule off, the input stays 1-task-per-bucket
+        # and the elided shuffle is exactly right: a zero-shuffle
+        # per-bucket merge.
+        abs_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prev = self.spark.conf.get(abs_key)
+        self.spark.conf.set(abs_key, "false")
+        try:
+            writer = (df.repartition(n, *[F.col(c) for c in cols])
+                      .write.mode("error")
+                      .bucketBy(n, cols[0], *cols[1:])
+                      .sortBy(cols[0], *cols[1:])
+                      .option("path", out_dir))
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.saveAsTable(tmp)
+        finally:
+            self.spark.conf.set(abs_key, prev)
+            self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+
+    def _bucketed_shadow(self, tdef: TableDef,
+                         rel_paths: list[str]) -> DataFrame | None:
+        """Re-register the tracked bucketed layout with the SESSION
+        catalog so Catalyst plans bucket-local joins/aggs (zero
+        exchange on this side). Each complete write dir becomes one
+        partition of a shadow table (metadata-only — no data moves,
+        no symlinks; Spark groups the selected files of ALL partitions
+        by filename bucket id, so bucketing holds across appends).
+        Returns None — caller downgrades to the plain scan — when any
+        dir is INCOMPLETE (some of its files pruned/rewritten away:
+        bucket-id inference would misread missing buckets as empty).
+        DML keeps dirs complete by expanding rewrites to whole dirs
+        (:meth:`_expand_bucket_dirs`), so the downgrade is the
+        documented exception, not the steady state."""
+        by_file = {f.path: f for f in tdef.data_files}
+        dirs: dict[str, list] = {}
+        for p in rel_paths:
+            f = by_file.get(p)
+            if f is None or os.path.isabs(p):
+                return None
+            dirs.setdefault(p.rsplit("/", 1)[0], []).append(f)
+        for group in dirs.values():
+            want = group[0].dir_files
+            if want <= 0 or len(group) != want \
+                    or any(g.dir_files != want for g in group):
+                return None
+        phys = self._physical_schema(tdef)
+        n = int(tdef.bucket_by["num_buckets"])
+        cols = [self._phys(tdef, c) for c in tdef.bucket_by["columns"]]
+        ordered = sorted(dirs)
+        import hashlib
+        key = hashlib.md5("|".join(
+            [self._local_root, tdef.id, str(n),
+             ",".join(cols)] + ordered).encode()).hexdigest()[:16]
+        name = f"olympia_bucketed_{key}"
+        spark = self.spark
+        if not spark.catalog.tableExists(name):
+            self._scan_uris(rel_paths)     # spool lane: materialize cache
+            col_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in phys.fields)
+            bcols = ", ".join(f"`{c}`" for c in cols)
+            import tempfile
+            loc = tempfile.mkdtemp(prefix="olympia_bucket_shadow_")
+            spark.sql(
+                f"CREATE TABLE `{name}` ({col_ddl}, "
+                f"`__olympia_era` STRING) USING PARQUET "
+                f"PARTITIONED BY (__olympia_era) "
+                f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+                f"INTO {n} BUCKETS LOCATION '{loc}'")
+            for i, d in enumerate(ordered):
+                spark.sql(
+                    f"ALTER TABLE `{name}` ADD PARTITION "
+                    f"(__olympia_era='{i}') "
+                    f"LOCATION '{self._scan_uri(d)}'")
+            # bound session-catalog growth: one live shadow per table id
+            # (time-travel reads of other versions re-register cheaply)
+            prev = self._shadow_tables.get(tdef.id)
+            if prev and prev != name:
+                spark.sql(f"DROP TABLE IF EXISTS `{prev}`")
+            self._shadow_tables[tdef.id] = name
+        return spark.table(name).select(
+            *[F.col(f.name) for f in phys.fields])
+
+    def _expand_bucket_dirs(self, tdef: TableDef,
+                            matched: list[str]) -> list[str]:
+        """Bucketed tables rewrite at WRITE-DIR granularity: rewriting a
+        strict subset of a dir's files would leave it incomplete and
+        downgrade every later read to the unbucketed scan. Expansion is
+        semantically free (the COW transforms carry non-matching rows
+        through unchanged) and bounded — one dir is one commit's output,
+        at most ``num_buckets`` files per hive leaf."""
+        if not tdef.bucket_by or not matched:
+            return matched
+        want = {p.rsplit("/", 1)[0] for p in matched}
+        return [f.path for f in tdef.data_files
+                if f.path.rsplit("/", 1)[0] in want]
 
     @staticmethod
     def _footer_stats(md, rel_dir: str, fname: str,
@@ -2021,6 +2207,7 @@ class Engine:
         matched = [p for p, a in zip(candidates, cand_abs)
                    if any(m.endswith(a) or a.endswith(
                        m.removeprefix("file://")) for m in matched_abs)]
+        matched = self._expand_bucket_dirs(tdef, matched)
         if not matched:
             self._finish(txn)
             return 0
@@ -2107,9 +2294,11 @@ class Engine:
                 self._pred_matches(scan, predicate, txn, name)
                 .select(F.input_file_name()).distinct().collect())]
             cand_abs = [self._scan_uri(p) for p in candidates]
-            matched = [p for p, a in zip(candidates, cand_abs)
-                       if any(m.endswith(a) or a.endswith(
-                           m.removeprefix("file://")) for m in matched_abs)]
+            matched = self._expand_bucket_dirs(
+                tdef,
+                [p for p, a in zip(candidates, cand_abs)
+                 if any(m.endswith(a) or a.endswith(
+                     m.removeprefix("file://")) for m in matched_abs)])
             if matched:
                 affected = self._scan(tdef, matched)
                 n_replaced = affected.count()
@@ -2386,10 +2575,12 @@ class Engine:
                 matched_abs = [unquote(r["_file"]) for r in per_file]
                 n_changed += sum(r["count"] for r in per_file)
                 cand_abs = [(p, self._scan_uri(p)) for p in all_paths]
-                matched = [p for p, uri in cand_abs
-                           if any(m.endswith(uri) or
-                                  uri.endswith(m.removeprefix("file://"))
-                                  for m in matched_abs)]
+                matched = self._expand_bucket_dirs(
+                    tdef,
+                    [p for p, uri in cand_abs
+                     if any(m.endswith(uri) or
+                            uri.endswith(m.removeprefix("file://"))
+                            for m in matched_abs)])
             if matched:
                 affected = (self._scan(tdef, matched)
                             .withColumn("_rid",
@@ -2798,6 +2989,13 @@ class Engine:
         if old in tdef.partition_by:
             tdef.partition_by = [new if c == old else c
                                  for c in tdef.partition_by]
+        if old in tdef.bucket_by.get("columns", []):
+            # the layout keys on the PHYSICAL name (unchanged by a
+            # rename) — re-key the logical spec, zero data movement
+            tdef.bucket_by = {
+                **tdef.bucket_by,
+                "columns": [new if c == old else c
+                            for c in tdef.bucket_by["columns"]]}
         self.catalog.alter_table(txn, ns, tbl, tdef,
                                  ActionType.TABLE_ALTER,
                                  {"rename_column": [old, new]})
@@ -3256,6 +3454,14 @@ class Engine:
             # later write's partitionBy would fail — the table bricks
             raise ValueError(
                 f"cannot drop partition column(s) {parts}")
+        bcols = [c for c in column_names
+                 if c in tdef.bucket_by.get("columns", [])]
+        if bcols:
+            # same brick: the bucketed writer hashes these columns
+            raise ValueError(
+                f"cannot drop bucket column(s) {bcols}: the table is "
+                f"CLUSTERED BY them; recreate without the bucket spec "
+                f"(CTAS) first")
         for cname, expr in tdef.constraints.items():
             hit = [c for c in column_names if self._expr_refs(expr, c)]
             if hit:
@@ -3341,6 +3547,15 @@ class Engine:
         self._require_native(tdef, name, "OPTIMIZE")
         if zorder_by is not None and not 1 <= len(zorder_by) <= 4:
             raise ValueError("ZORDER BY takes 1-4 columns")
+        if zorder_by and tdef.bucket_by:
+            # contradictory layouts: the bucketed writer re-distributes
+            # by the bucket hash, which would destroy the z-curve
+            # clustering in the same write — refuse rather than silently
+            # produce neither layout
+            raise ValueError(
+                f"OPTIMIZE ... ZORDER BY: {ns}.{tbl} is CLUSTERED BY "
+                f"{tdef.bucket_by['columns']} — the bucket layout and a "
+                f"z-order rewrite are mutually exclusive; drop one")
         old_paths = tdef.file_paths()
         if not zorder_by and len(old_paths) < min_files:
             self._finish(txn)
@@ -3408,6 +3623,9 @@ class Engine:
                                               str(2 << 30)))
         small = [f for f in tdef.data_files
                  if not os.path.isabs(f.path) and f.size_bytes < floor]
+        if tdef.bucket_by:
+            return self._compact_bucketed(txn, ns, tbl, tdef, floor,
+                                          budget)
         # group FIRST, drop unpackable single-file leaves, THEN spend
         # the budget on whole leaves — budget consumed by unpackable
         # singles would make every run a no-op while the trigger keeps
@@ -3459,6 +3677,53 @@ class Engine:
              "maintenance": "compact-small-files"})
         self._finish(txn)
         return len(old_paths) - len(new_files)
+
+    def _bucket_pack_dirs(self, tdef: TableDef,
+                          floor: int) -> dict[str, list]:
+        """Packable units for a BUCKETED table: whole write dirs whose
+        every file is small (mixed dirs are left alone — packing would
+        rewrite the big files too). Shared by the packer and the
+        append-time trigger probe so the two agree."""
+        by_dir: dict[str, list] = {}
+        for f in tdef.data_files:
+            if not os.path.isabs(f.path):
+                by_dir.setdefault(f.path.rsplit("/", 1)[0], []).append(f)
+        return {d: g for d, g in by_dir.items()
+                if all(f.size_bytes < floor for f in g)}
+
+    def _compact_bucketed(self, txn, ns: str, tbl: str, tdef: TableDef,
+                          floor: int, budget: int) -> int:
+        """Bucketed-table small-file packing: the unit is a WHOLE write
+        dir (all-or-none — a partial take would orphan the dir's bucket
+        layout), merged dirs rewrite through the bucketed writer so the
+        output is ONE complete dir of at most num_buckets files. This
+        is also the per-bucket file-merge a bucketed table needs: k
+        appends × n buckets collapse back to n files."""
+        cand = self._bucket_pack_dirs(tdef, floor)
+        take: list[str] = []
+        cum = 0
+        for d, g in sorted(cand.items(),
+                           key=lambda kv: (sum(f.size_bytes
+                                               for f in kv[1]), kv[0])):
+            b = sum(f.size_bytes for f in g)
+            if len(take) >= 2 and cum + b > budget:
+                break
+            take.append(d)
+            cum += b
+        if len(take) < 2:
+            self._finish(txn)
+            return 0
+        paths = [f.path for f in tdef.data_files
+                 if f.path.rsplit("/", 1)[0] in set(take)]
+        df = self._scan(tdef, paths)
+        new_files = self._write_files(df, ns, tbl, tdef.partition_by,
+                                      tdef=tdef)
+        self.catalog.update_table_files(
+            txn, ns, tbl, new_files, paths, ActionType.TABLE_UPDATE,
+            {"added": [f.path for f in new_files], "removed": paths,
+             "maintenance": "compact-small-files"})
+        self._finish(txn)
+        return len(paths) - len(new_files)
 
     def _zorder(self, df: DataFrame, tdef: TableDef,
                 zorder_by: list[str]) -> DataFrame:
@@ -4257,12 +4522,14 @@ class Engine:
         m = re.match(r"CREATE( OR REPLACE)? TABLE( IF NOT EXISTS)? (\S+?)\s*"
                      r"(?:\((.+?)\))?"
                      r"\s*(?:PARTITIONED BY \(((?:[\w, ]|\([\w, ]*\))+)\))?"
+                     r"\s*(?:CLUSTERED BY \(([\w, ]+)\) "
+                     r"INTO (\d+) BUCKETS)?"
                      r"\s*(?:TBLPROPERTIES \((.+?)\))?"
                      r"\s*(?:AS (SELECT .+))?$",
                      norm, re.I | re.S)
         if m and re.match(r"CREATE( OR REPLACE)? TABLE", norm, re.I):
-            (or_replace, if_not_exists, name, cols, part, props_raw,
-             ctas) = m.groups()
+            (or_replace, if_not_exists, name, cols, part, clust_cols,
+             clust_n, props_raw, ctas) = m.groups()
             ns, tbl = self._split(name)
             # paren-aware split: transform entries like bucket(16, id)
             # contain top-level-looking commas inside their parens
@@ -4282,6 +4549,14 @@ class Engine:
                 # one transaction: the drop and the recreate commit
                 # atomically (a reader never observes the gap)
                 self.catalog.drop_table(txn, ns, tbl)
+            def bucket_spec(schema: T.StructType, pby: list) -> dict:
+                if not clust_cols:
+                    return {}
+                return self._validate_bucket_spec(
+                    {f.name for f in schema.fields}, pby,
+                    [c.strip() for c in clust_cols.split(",")],
+                    int(clust_n))
+
             if ctas:
                 df = spark.sql(self._resolve_sql(ctas, txn))
                 partition_by, extra, tgen, tsp = \
@@ -4292,6 +4567,7 @@ class Engine:
                     schema_json=schema.json(),
                     partition_by=partition_by,
                     generated_columns=tgen,
+                    bucket_by=bucket_spec(schema, partition_by),
                     properties={**properties,
                                 **{f"iceberg.transform.{k}": v
                                    for k, v in tsp.items()}})
@@ -4341,6 +4617,7 @@ class Engine:
                 self.catalog.create_table(txn, ns, tbl, TableDef(
                     schema_json=schema.json(), partition_by=partition_by,
                     generated_columns=gen, constraints=cons,
+                    bucket_by=bucket_spec(schema, partition_by),
                     properties=properties))
             self._finish(txn)
             return ok()
@@ -4377,6 +4654,10 @@ class Engine:
             ddl = f"CREATE TABLE {ns}.{tbl} ({cols})"
             if tdef.partition_by:
                 ddl += f" PARTITIONED BY ({', '.join(tdef.partition_by)})"
+            if tdef.bucket_by:
+                ddl += (f" CLUSTERED BY "
+                        f"({', '.join(tdef.bucket_by['columns'])}) "
+                        f"INTO {tdef.bucket_by['num_buckets']} BUCKETS")
             props = {k: v for k, v in sorted(tdef.properties.items())
                      if k != self._STATS_PROP}
             if props:

@@ -1595,6 +1595,78 @@ def b55_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+# --- B55b ENGINE-catalog bucketed layout (round 10, VERDICT r9 #1) -----------
+
+_B55B_READY: dict[tuple[str, str], object] = {}
+
+
+def _engine_bucketed(spark: SparkSession, sf: str):
+    """Stand up an ENGINE warehouse with orders+customer as CLUSTERED BY
+    catalog tables (8 buckets on the join key), loaded once per
+    (session, sf). Orders lands in TWO appends — two write dirs — so the
+    query proves the layout survives multi-commit history, versioning
+    included, not just a one-shot write."""
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        from olympia_spark.engine import Engine
+        eng = Engine(spark, scratch_dir("olympia_b55b_wh_"))
+        eng.sql("CREATE NAMESPACE b55b")
+        eng.sql("CREATE TABLE b55b.orders (o_orderkey BIGINT, "
+                "o_custkey BIGINT, o_totalprice DOUBLE) "
+                "CLUSTERED BY (o_custkey) INTO 8 BUCKETS")
+        eng.sql("CREATE TABLE b55b.customer (c_custkey BIGINT, "
+                "c_mktsegment STRING) "
+                "CLUSTERED BY (c_custkey) INTO 8 BUCKETS")
+        o = (load(spark, sf, "orders")
+             .select("o_orderkey", "o_custkey", "o_totalprice"))
+        eng.write_table(o.filter("o_orderkey % 2 = 0"), "b55b.orders")
+        eng.write_table(o.filter("o_orderkey % 2 = 1"), "b55b.orders")
+        eng.write_table(load(spark, sf, "customer")
+                        .select("c_custkey", "c_mktsegment"),
+                        "b55b.customer")
+        return eng
+
+    return get_or_create(_B55B_READY, spark, sf, build)
+
+
+@query("b55b_engine_bucketed_join", oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n, {dsum('o_totalprice', 'price_sum')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def b55b_engine_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B55b — the bucketed layout as a property of the ENGINE's own
+    versioned tables, not a session-catalog demo (B55): TableDef
+    records ``bucket_by``, every write hash-distributes through a
+    bucketed staging table into engine-owned dirs, and table
+    resolution re-registers the complete dirs with the session catalog
+    so the sort-merge join plans with ZERO exchange on either side
+    (plan contract: tests/test_engine_bucketed.py). Composes with the
+    whole table plane — versioning/time travel, COW DML (rewrites
+    expand to whole write dirs so the layout survives), compaction
+    (whole-dir packing merges per-bucket files), policies. At 100 TB
+    this removes the recurring shuffle from every join/agg on the
+    bucket key — the single biggest repeated-ETL saving — while
+    keeping the engine's ACID semantics. Values are identical to the
+    plain join, which is what the oracle checks."""
+    eng = _engine_bucketed(spark, sf)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = eng.read_table("b55b.orders")
+        c = eng.read_table("b55b.customer")
+        return (o.join(c, o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n"),
+                     _dsum(F.col("o_totalprice"), "price_sum"))
+                .orderBy("c_mktsegment")
+                .localCheckpoint())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 # --- B56 interval overlap join via grid cells --------------------------------
 
 @query("b56_interval_join", oracle="""
