@@ -479,9 +479,6 @@ class Engine:
                                 or self.catalog.catalog_def.txn_isolation_level)
         self.current_txn: Transaction | None = None
         self._auto_txn: Transaction | None = None
-        # table id -> live session-catalog shadow table name (B55b
-        # bucketed read path); bounds shadow-table accumulation
-        self._shadow_tables: dict[str, str] = {}
         # bucket() partition transforms hash with Iceberg's
         # murmur3_x86_32 through these session UDFs — registration is
         # idempotent and session-wide, so every engine on the session
@@ -1733,9 +1730,6 @@ class Engine:
             thr = int(thr_raw)
             floor = int(tdef.properties.get(
                 "auto.compact.file_floor", str(32 << 20)))
-            small = [f for f in tdef.data_files
-                     if not os.path.isabs(f.path)
-                     and f.size_bytes < floor]
             # count only PACKABLE small files (hive leaves holding ≥2)
             # — a table of many single-small-file partitions must not
             # re-run a no-op compaction txn on every append forever.
@@ -1746,6 +1740,9 @@ class Engine:
                 packable = (sum(len(g) for g in dirs.values())
                             if len(dirs) >= 2 else 0)
             else:
+                small = [f for f in tdef.data_files
+                         if not os.path.isabs(f.path)
+                         and f.size_bytes < floor]
                 packable = sum(
                     len(g) for g in
                     self._small_file_leaves(tdef, small).values()
@@ -1952,9 +1949,19 @@ class Engine:
         cols = [self._phys(tdef, c) for c in tdef.bucket_by["columns"]]
         ordered = sorted(dirs)
         import hashlib
+        # key = warehouse + table id + bucket spec + PHYSICAL SCHEMA +
+        # dir set: schema in the key means ADD/DROP/RENAME COLUMN mints
+        # a fresh shadow instead of re-serving stale columns (review
+        # r10 finding #2). Shadows are NEVER dropped — earlier-returned
+        # DataFrames reference theirs lazily, and dropping on
+        # re-registration crashed any later action on them (review r10
+        # finding #1, reproduced); stale entries are empty external
+        # defs in the in-memory session catalog, bytes-per-entry small
+        # and bounded by distinct (schema, file-set) states read this
+        # session.
         key = hashlib.md5("|".join(
-            [self._local_root, tdef.id, str(n),
-             ",".join(cols)] + ordered).encode()).hexdigest()[:16]
+            [self._local_root, tdef.id, str(n), ",".join(cols),
+             phys.json()] + ordered).encode()).hexdigest()[:16]
         name = f"olympia_bucketed_{key}"
         spark = self.spark
         if not spark.catalog.tableExists(name):
@@ -1976,12 +1983,6 @@ class Engine:
                     f"ALTER TABLE `{name}` ADD PARTITION "
                     f"(__olympia_era='{i}') "
                     f"LOCATION '{self._scan_uri(d)}'")
-            # bound session-catalog growth: one live shadow per table id
-            # (time-travel reads of other versions re-register cheaply)
-            prev = self._shadow_tables.get(tdef.id)
-            if prev and prev != name:
-                spark.sql(f"DROP TABLE IF EXISTS `{prev}`")
-            self._shadow_tables[tdef.id] = name
         return spark.table(name).select(
             *[F.col(f.name) for f in phys.fields])
 
@@ -2165,9 +2166,12 @@ class Engine:
                  transform) -> int:
         """Shared copy-on-write core for DELETE/UPDATE:
         1. stats-prune candidate files;
-        2. one Spark job finds files actually containing matches
-           (input_file_name, only file NAMES reach the driver);
-        3. rewrite only those files via `transform(df)`;
+        2. one Spark job finds files actually containing matches AND
+           the exact per-file match counts (input_file_name groupBy —
+           only file names + counts reach the driver; the summed count
+           is the returned rows-affected number);
+        3. rewrite only those files via `transform(df)` (bucketed
+           tables expand to whole write dirs);
         4. CAS-commit added+removed file lists.
 
         GOVERNANCE ASYMMETRY (deliberate — ADVICE r9 #3): predicates
@@ -2200,10 +2204,17 @@ class Engine:
         # input_file_name() URI-encodes hive-escaped dirs a second time
         # (src=a%3Ab arrives as src=a%253Ab) — one unquote strips the
         # URI layer so suffix matching sees the on-disk form; python
-        # unquote leaves '+' alone (not unquote_plus)
-        matched_abs = [unquote(r[0]) for r in (
-            self._pred_matches(scan, predicate, txn, name)
-            .select(F.input_file_name()).distinct().collect())]
+        # unquote leaves '+' alone (not unquote_plus). Per-FILE match
+        # counts ride the same job, so the returned row count is the
+        # EXACT number of predicate-matching rows — not the row count
+        # of the rewritten files, which bucketed-table dir expansion
+        # would inflate to whole commits (review r10 #4) — and the
+        # separate pre-rewrite count job disappears.
+        per_file = (self._pred_matches(scan, predicate, txn, name)
+                    .groupBy(F.input_file_name().alias("_f"))
+                    .count().collect())
+        matched_abs = [unquote(r["_f"]) for r in per_file]
+        n_matched = sum(r["count"] for r in per_file)
         matched = [p for p, a in zip(candidates, cand_abs)
                    if any(m.endswith(a) or a.endswith(
                        m.removeprefix("file://")) for m in matched_abs)]
@@ -2212,7 +2223,6 @@ class Engine:
             self._finish(txn)
             return 0
         affected = self._scan(tdef, matched)
-        n_before = affected.count()
         new_files = self._write_files(transform(affected, txn), ns, tbl,
                                       tdef.partition_by, tdef=tdef)
         action = (ActionType.TABLE_DELETE if transform.__name__ == "_delete"
@@ -2222,7 +2232,7 @@ class Engine:
             {"added": [f.path for f in new_files], "removed": matched,
              "expression": predicate})
         self._finish(txn)
-        return n_before
+        return n_matched
 
     def replace_where(self, name: str, df: DataFrame,
                       predicate: str) -> int:
@@ -3556,6 +3566,14 @@ class Engine:
                 f"OPTIMIZE ... ZORDER BY: {ns}.{tbl} is CLUSTERED BY "
                 f"{tdef.bucket_by['columns']} — the bucket layout and a "
                 f"z-order rewrite are mutually exclusive; drop one")
+        if target_files is not None and tdef.bucket_by:
+            # the bucketed writer emits one file per bucket regardless —
+            # honoring target_files is impossible, so refuse loudly
+            # (review r10 #5) instead of silently ignoring the knob
+            raise ValueError(
+                f"OPTIMIZE: {ns}.{tbl} is CLUSTERED BY — its file count "
+                f"is fixed at num_buckets="
+                f"{tdef.bucket_by['num_buckets']}; drop target_files")
         old_paths = tdef.file_paths()
         if not zorder_by and len(old_paths) < min_files:
             self._finish(txn)
@@ -3569,6 +3587,8 @@ class Engine:
             df = self._zorder(df, tdef, zorder_by)
             out_df = (df.repartitionByRange(n_out, F.col(_ZCOL))
                       .sortWithinPartitions(_ZCOL).drop(_ZCOL))
+        elif tdef.bucket_by:
+            out_df = df      # the bucketed writer distributes itself
         else:
             out_df = df.coalesce(n_out)
         new_files = self._write_files(out_df, ns, tbl, tdef.partition_by,
@@ -3621,11 +3641,11 @@ class Engine:
         budget = int(budget_bytes if budget_bytes is not None
                      else tdef.properties.get("auto.compact.max_bytes",
                                               str(2 << 30)))
-        small = [f for f in tdef.data_files
-                 if not os.path.isabs(f.path) and f.size_bytes < floor]
         if tdef.bucket_by:
             return self._compact_bucketed(txn, ns, tbl, tdef, floor,
                                           budget)
+        small = [f for f in tdef.data_files
+                 if not os.path.isabs(f.path) and f.size_bytes < floor]
         # group FIRST, drop unpackable single-file leaves, THEN spend
         # the budget on whole leaves — budget consumed by unpackable
         # singles would make every run a no-op while the trigger keeps
@@ -4840,7 +4860,7 @@ class Engine:
             if replace_pred is not None:
                 n = self.replace_where(name, df, replace_pred)
                 return spark.createDataFrame(
-                    [(n,)], "affected_files_rows long")
+                    [(n,)], "rows_affected long")
             self.write_table(df, name,
                              mode=("overwrite"
                                    if kind.upper() == "OVERWRITE"
@@ -4868,12 +4888,12 @@ class Engine:
                            not_matched_clauses=not_matched_clauses,
                            not_matched_by_source_clauses=by_source_clauses,
                            schema_evolution=bool(evolve))
-            return spark.createDataFrame([(n,)], "affected_files_rows long")
+            return spark.createDataFrame([(n,)], "rows_affected long")
         m = re.match(r"DELETE FROM (\S+\.\S+)(?: WHERE (.+))?$",
                      norm, re.I | re.S)
         if m:
             n = self.delete_from(m.group(1), m.group(2) or "true")
-            return spark.createDataFrame([(n,)], "affected_files_rows long")
+            return spark.createDataFrame([(n,)], "rows_affected long")
         m = re.match(r"UPDATE (\S+\.\S+) SET (.+?)(?: WHERE (.+))?$",
                      norm, re.I | re.S)
         if m:
@@ -4883,7 +4903,7 @@ class Engine:
                 col, _, expr = part.partition("=")
                 assignments[col.strip()] = expr.strip()
             n = self.update(name, assignments, pred or "true")
-            return spark.createDataFrame([(n,)], "affected_files_rows long")
+            return spark.createDataFrame([(n,)], "rows_affected long")
 
         m = re.match(r"ALTER TABLE (\S+\.\S+) SET ROW FILTER "
                      r"\((.+)\)$", norm, re.I | re.S)

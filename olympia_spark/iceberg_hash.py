@@ -185,10 +185,11 @@ def register_iceberg_hash(spark) -> None:
     session's temporary-function namespace. Before first registration
     this probes for pre-existing functions under those names: a
     user-defined function already holding one is a hard error (the
-    CREATE OR REPLACE would silently clobber it); the engine's own
-    prior registration (detected via the ``_ice_olympia_marker``
-    canary, created last so a half-failed registration never marks)
-    overwrites in place as before."""
+    CREATE OR REPLACE would silently clobber it). The
+    ``_ice_olympia_marker`` canary is created right after a CLEAN
+    probe and before the function batch, so the engine's own prior —
+    even half-failed — registration re-registers (and repairs) in
+    place instead of tripping the probe on its own leftovers."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -205,6 +206,14 @@ def register_iceberg_hash(spark) -> None:
                 f"'iceberg_hash_*' temporary-function names and would "
                 f"silently replace yours; rename the conflicting "
                 f"user functions first")
+        # canary IMMEDIATELY after the clean probe, BEFORE the function
+        # batch: a registration that fails midway (transient Spark
+        # error) leaves the marker in place, so the next call re-runs
+        # every CREATE OR REPLACE and REPAIRS the half-state instead of
+        # mistaking the engine's own leftovers for user functions and
+        # bricking every later Engine() construction (review r10 #3)
+        spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION "
+                  "_ice_olympia_marker() RETURNS INT RETURN 1")
     for stmt in _SQL_FUNCS:
         spark.sql(stmt)
 
@@ -220,7 +229,3 @@ def register_iceberg_hash(spark) -> None:
 
     iceberg_hash_str = F.pandas_udf(_hash_str, T.IntegerType())
     spark.udf.register("iceberg_hash_str", iceberg_hash_str)
-    # canary LAST: marks "the engine owns these names in this session"
-    # only once every registration above succeeded
-    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION _ice_olympia_marker() "
-              "RETURNS INT RETURN 1")

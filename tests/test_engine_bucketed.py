@@ -247,3 +247,64 @@ def test_governed_bucketed_table_still_filters(engine, spark):
     engine.sql("ALTER TABLE b.o SET ROW FILTER (ck <> 0)")
     n = engine.sql("SELECT COUNT(*) AS n FROM b.o").first().n
     assert n == 600 - 12
+
+
+def test_earlier_dataframes_survive_later_reregistration(engine, spark):
+    """Review r10 #1 (reproduced): re-registering a table's shadow
+    after a write must NOT invalidate DataFrames returned earlier —
+    they lazily reference their own shadow. Also covers the one-
+    statement current+time-travel combination, which registers two
+    shadows of the same table."""
+    _mk(engine, spark)
+    df1 = engine.read_table("b.o")              # shadow #1
+    v_pre = engine.catalog.tree.load_latest_root().version
+    engine.write_table(
+        spark.range(600, 650).select(
+            F.col("id").alias("ok"), (F.col("id") % 50).alias("ck"),
+            F.lit(0.0).alias("v")), "b.o")
+    df2 = engine.read_table("b.o")              # shadow #2 (new dirs)
+    assert df2.count() == 650
+    assert df1.count() == 600                   # shadow #1 still alive
+    # current + VERSION AS OF in ONE statement: both shadows resolve
+    got = engine.sql(
+        f"SELECT (SELECT COUNT(*) FROM b.o) - "
+        f"(SELECT COUNT(*) FROM b.o VERSION AS OF {v_pre}) AS d")
+    assert got.first().d == 50
+    # DML whose subquery re-reads the same bucketed table: the
+    # in-flight rewrite frame must survive the inner re-registration
+    n = engine.sql("DELETE FROM b.o WHERE ok IN "
+                   "(SELECT ok FROM b.o WHERE ck = 1)").first()[0]
+    assert n == 13
+    assert engine.read_table("b.o").count() == 650 - 13
+
+
+def test_schema_evolution_refreshes_bucketed_shadow(engine, spark):
+    """Review r10 #2 (reproduced): the shadow cache key carries the
+    physical schema — ADD COLUMNS after a read must mint a fresh
+    shadow, not re-serve the pre-alter column set."""
+    _mk(engine, spark)
+    assert engine.read_table("b.o").count() == 600   # registers shadow
+    engine.sql("ALTER TABLE b.o ADD COLUMNS (extra STRING)")
+    df = engine.read_table("b.o")
+    assert "extra" in df.columns
+    assert df.filter("extra IS NULL").count() == 600
+    # and writes carrying the new column land + read back bucketed
+    engine.write_table(
+        spark.range(600, 610).select(
+            F.col("id").alias("ok"), (F.col("id") % 50).alias("ck"),
+            F.lit(1.0).alias("v"), F.lit("x").alias("extra")), "b.o")
+    assert engine.read_table("b.o").filter("extra = 'x'").count() == 10
+
+
+def test_exact_dml_row_counts_on_bucketed_tables(engine, spark):
+    """Review r10 #4: DELETE/UPDATE return the EXACT matching-row
+    count, not the row count of the whole expanded write dirs."""
+    _mk(engine, spark)
+    n = engine.sql("DELETE FROM b.o WHERE ok < 10").first()[0]
+    assert n == 10
+    # ck=5 covers ok ∈ {5, 55, 105, ...} (12 rows) minus ok=5 just
+    # deleted above
+    n = engine.sql("UPDATE b.o SET v = 0 WHERE ck = 5").first()[0]
+    assert n == 11
+    n = engine.sql("DELETE FROM b.o WHERE ok = -1").first()[0]
+    assert n == 0
