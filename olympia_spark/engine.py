@@ -56,6 +56,10 @@ from olympia_spark.catalog.transactions import Transaction
 
 _DATA_DIR = "data"
 _ZCOL = "__zorder"
+# shadow tables (B55b bucketed reads) whose partition registration this
+# process saw COMPLETE — entries are "<applicationId>|<name>" so a
+# restarted session never trusts a prior session's registration
+_SHADOWS_COMPLETE: set[str] = set()
 
 # In-job failure markers raised via F.raise_error inside write jobs and
 # detected on the driver by substring over the (nested) exception text.
@@ -1061,6 +1065,11 @@ class Engine:
         if missing:
             raise ValueError(
                 f"bucket column(s) not in the table schema: {missing}")
+        if len(set(cols)) != len(cols):
+            # Spark's writer/shadow DDL reject duplicate bucket columns
+            # — admitting the spec would brick the first INSERT
+            raise ValueError(
+                f"duplicate bucket column(s) in CLUSTERED BY: {cols}")
         overlap = sorted(set(cols) & set(partition_by))
         if overlap:
             raise ValueError(
@@ -1857,10 +1866,10 @@ class Engine:
             # record per leaf dir how many files this write put there
             by_dir: dict[str, int] = {}
             for f in files:
-                d = f.path.rsplit("/", 1)[0]
+                d = self._dir_of(f.path)
                 by_dir[d] = by_dir.get(d, 0) + 1
             for f in files:
-                f.dir_files = by_dir[f.path.rsplit("/", 1)[0]]
+                f.dir_files = by_dir[self._dir_of(f.path)]
         if self._object_store and self.data_plane != "direct":
             # spool lane only — the executors spooled into the read-local
             # cache dir (the reference's S3AtomicOutputStream pattern:
@@ -1877,6 +1886,15 @@ class Engine:
                                                     self._abs(f.path)),
                     files))
         return files
+
+    @staticmethod
+    def _dir_of(path: str) -> str:
+        """The WRITE-DIR of a tracked file — the grouping key of every
+        bucketed-layout invariant (dir-completeness bookkeeping at
+        write, the shadow read's soundness check, DML dir expansion,
+        whole-dir compaction). One definition so the five call sites
+        can never disagree on what a 'dir' is."""
+        return path.rsplit("/", 1)[0]
 
     def _write_bucketed(self, df: DataFrame, out_dir: str, bspec: dict,
                         tdef: TableDef,
@@ -1938,7 +1956,7 @@ class Engine:
             f = by_file.get(p)
             if f is None or os.path.isabs(p):
                 return None
-            dirs.setdefault(p.rsplit("/", 1)[0], []).append(f)
+            dirs.setdefault(self._dir_of(p), []).append(f)
         for group in dirs.values():
             want = group[0].dir_files
             if want <= 0 or len(group) != want \
@@ -1964,25 +1982,41 @@ class Engine:
              phys.json()] + ordered).encode()).hexdigest()[:16]
         name = f"olympia_bucketed_{key}"
         spark = self.spark
-        if not spark.catalog.tableExists(name):
+        mark = f"{spark.sparkContext.applicationId}|{name}"
+        # only a shadow this SESSION saw through to full registration is
+        # trusted blind; one that exists but is unmarked (half-failed
+        # registration, or another Engine on the session) gets its
+        # partition set verified-and-repaired — a partial shadow served
+        # as complete would silently drop whole write dirs' rows
+        # (review r10 pass-2 #1)
+        if mark not in _SHADOWS_COMPLETE:
             self._scan_uris(rel_paths)     # spool lane: materialize cache
-            col_ddl = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}"
-                for f in phys.fields)
-            bcols = ", ".join(f"`{c}`" for c in cols)
-            import tempfile
-            loc = tempfile.mkdtemp(prefix="olympia_bucket_shadow_")
-            spark.sql(
-                f"CREATE TABLE `{name}` ({col_ddl}, "
-                f"`__olympia_era` STRING) USING PARQUET "
-                f"PARTITIONED BY (__olympia_era) "
-                f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
-                f"INTO {n} BUCKETS LOCATION '{loc}'")
-            for i, d in enumerate(ordered):
+            if not spark.catalog.tableExists(name):
+                col_ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in phys.fields)
+                bcols = ", ".join(f"`{c}`" for c in cols)
+                import tempfile
+                loc = tempfile.mkdtemp(prefix="olympia_bucket_shadow_")
                 spark.sql(
-                    f"ALTER TABLE `{name}` ADD PARTITION "
-                    f"(__olympia_era='{i}') "
-                    f"LOCATION '{self._scan_uri(d)}'")
+                    f"CREATE TABLE `{name}` ({col_ddl}, "
+                    f"`__olympia_era` STRING) USING PARQUET "
+                    f"PARTITIONED BY (__olympia_era) "
+                    f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+                    f"INTO {n} BUCKETS LOCATION '{loc}'")
+            # ONE batched, idempotent statement per chunk (not one
+            # round trip per dir — a thousand-append table would replay
+            # a thousand ALTERs); IF NOT EXISTS makes the repair path
+            # and the fresh path the same statement
+            for lo in range(0, len(ordered), 100):
+                chunk = ordered[lo:lo + 100]
+                parts = " ".join(
+                    f"PARTITION (__olympia_era='{lo + i}') "
+                    f"LOCATION '{self._scan_uri(d)}'"
+                    for i, d in enumerate(chunk))
+                spark.sql(f"ALTER TABLE `{name}` "
+                          f"ADD IF NOT EXISTS {parts}")
+            _SHADOWS_COMPLETE.add(mark)
         return spark.table(name).select(
             *[F.col(f.name) for f in phys.fields])
 
@@ -1996,9 +2030,9 @@ class Engine:
         at most ``num_buckets`` files per hive leaf."""
         if not tdef.bucket_by or not matched:
             return matched
-        want = {p.rsplit("/", 1)[0] for p in matched}
+        want = {self._dir_of(p) for p in matched}
         return [f.path for f in tdef.data_files
-                if f.path.rsplit("/", 1)[0] in want]
+                if self._dir_of(f.path) in want]
 
     @staticmethod
     def _footer_stats(md, rel_dir: str, fname: str,
@@ -3707,7 +3741,7 @@ class Engine:
         by_dir: dict[str, list] = {}
         for f in tdef.data_files:
             if not os.path.isabs(f.path):
-                by_dir.setdefault(f.path.rsplit("/", 1)[0], []).append(f)
+                by_dir.setdefault(self._dir_of(f.path), []).append(f)
         return {d: g for d, g in by_dir.items()
                 if all(f.size_bytes < floor for f in g)}
 
@@ -3734,7 +3768,7 @@ class Engine:
             self._finish(txn)
             return 0
         paths = [f.path for f in tdef.data_files
-                 if f.path.rsplit("/", 1)[0] in set(take)]
+                 if self._dir_of(f.path) in set(take)]
         df = self._scan(tdef, paths)
         new_files = self._write_files(df, ns, tbl, tdef.partition_by,
                                       tdef=tdef)
