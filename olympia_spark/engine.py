@@ -1980,9 +1980,20 @@ class Engine:
         key = hashlib.md5("|".join(
             [self._local_root, tdef.id, str(n), ",".join(cols),
              phys.json()] + ordered).encode()).hexdigest()[:16]
-        name = f"olympia_bucketed_{key}"
+        # ALWAYS database-qualified: the session's current database can
+        # change (USE otherdb) between registration and a later read —
+        # an unqualified name would resolve against the wrong database
+        # while the completeness mark still vouches for it
+        name = f"default.olympia_bucketed_{key}"
         spark = self.spark
-        mark = f"{spark.sparkContext.applicationId}|{name}"
+        app = spark.sparkContext.applicationId
+        mark = f"{app}|{name}"
+        # entries keyed to a previous SparkContext are dead weight —
+        # purge them (same convention as operators/_scratch.py), which
+        # also bounds the set across session restarts in one process
+        for m in [m for m in _SHADOWS_COMPLETE
+                  if not m.startswith(app + "|")]:
+            _SHADOWS_COMPLETE.discard(m)
         # only a shadow this SESSION saw through to full registration is
         # trusted blind; one that exists but is unmarked (half-failed
         # registration, or another Engine on the session) gets its
@@ -1996,10 +2007,10 @@ class Engine:
                     f"`{f.name}` {f.dataType.simpleString()}"
                     for f in phys.fields)
                 bcols = ", ".join(f"`{c}`" for c in cols)
-                import tempfile
-                loc = tempfile.mkdtemp(prefix="olympia_bucket_shadow_")
+                from olympia_spark.operators._scratch import scratch_dir
+                loc = scratch_dir("olympia_bucket_shadow_")
                 spark.sql(
-                    f"CREATE TABLE `{name}` ({col_ddl}, "
+                    f"CREATE TABLE {name} ({col_ddl}, "
                     f"`__olympia_era` STRING) USING PARQUET "
                     f"PARTITIONED BY (__olympia_era) "
                     f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
@@ -2014,7 +2025,7 @@ class Engine:
                     f"PARTITION (__olympia_era='{lo + i}') "
                     f"LOCATION '{self._scan_uri(d)}'"
                     for i, d in enumerate(chunk))
-                spark.sql(f"ALTER TABLE `{name}` "
+                spark.sql(f"ALTER TABLE {name} "
                           f"ADD IF NOT EXISTS {parts}")
             _SHADOWS_COMPLETE.add(mark)
         return spark.table(name).select(
