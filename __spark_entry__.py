@@ -89,6 +89,10 @@ _PRIORITY = [
     "sim_pq_recall_audit", "sim_pq_topk", "sim_recall_audit",
     "sim_topk_bruteforce", "sim_topk_int8",
     "text_bpe_pairs", "text_c4_filter",
+    # bonus round-10 shapes BEYOND the brief (b104-b107 are the four
+    # prescribed TPC-DS starters above): next in line if the window
+    # is wider than 50; both dual-scale oracle-green locally
+    "b108_exists_disjunction", "b109_channel_overlap",
 ]
 
 

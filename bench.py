@@ -111,6 +111,8 @@ HEADLINE = [
     "b106_intersect_channels",
     "b107_multiband_scan",
     "b55b_engine_bucketed_join",
+    "b108_exists_disjunction",
+    "b109_channel_overlap",
 ]
 
 

@@ -2146,7 +2146,15 @@ def b87_q2(spark: SparkSession, sf: str) -> DataFrame:
     min runs over the small qualifying set, not all parts. Unit cost
     is an IEEE division + MIN + 4-dp round, bit-identical across
     engines."""
-    li = load(spark, sf, "lineitem")
+    p = (load(spark, sf, "part")
+         .filter("p_size <= 10 AND p_type = 'SMALL'"))
+    # the selective part filter SEMI-REDUCES the cost aggregate's
+    # input (same legality as b103: the per-(part,supp) min only
+    # drops WHOLE part groups we never emit) — the big groupBy runs
+    # over ~1/50th of lineitem, not all of it
+    li = (load(spark, sf, "lineitem")
+          .join(F.broadcast(p.select(F.col("p_partkey").alias("fp"))),
+                F.col("l_partkey") == F.col("fp"), "left_semi"))
     # decimal-intermediate rounding (see b103): half-mode ties on raw
     # doubles diverge between engines
     cost = (li.groupBy("l_partkey", "l_suppkey")
@@ -2162,11 +2170,7 @@ def b87_q2(spark: SparkSession, sf: str) -> DataFrame:
           .join(F.broadcast(reg.filter(F.col("r_name") == first_region)),
                 F.col("n_regionkey") == F.col("r_regionkey"))
           .select("s_suppkey", "s_name", "s_acctbal"))
-    p = (load(spark, sf, "part")
-         .filter("p_size <= 10 AND p_type = 'SMALL'"))
-    # qualifying (part, region-local supplier, unit_cost) relation —
-    # selective part filter broadcast in FIRST so the supplier join,
-    # the grouped min and the join-back all run over the reduced set
+    # qualifying (part, region-local supplier, unit_cost) relation
     qual = (cost.join(F.broadcast(p),
                       F.col("l_partkey") == F.col("p_partkey"))
             .join(rs, F.col("l_suppkey") == F.col("s_suppkey")))
@@ -3059,3 +3063,89 @@ def b107_multiband_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when((h >= lo) & (h < hi), 1).otherwise(0)).cast("long")
         .alias(f"band_{lo}_{hi}")
         for lo, hi in _B107_BANDS])
+
+
+# --- B108 TPC-DS Q35 shape (EXISTS AND (EXISTS OR EXISTS)) ------------------
+
+@query("b108_exists_disjunction", oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'O')
+  AND (EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT')
+       OR EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '2-HIGH'))
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""")
+def b108_exists_disjunction(spark: SparkSession, sf: str) -> DataFrame:
+    """B108 — TPC-DS Q35/Q10 signature shape: a conjunctive EXISTS
+    plus a DISJUNCTION of two more EXISTS over the same dimension.
+    The plan property worth pinning is the OR arm: Spark cannot plan
+    `EXISTS(a) OR EXISTS(b)` as two semi joins (a semi join FILTERS —
+    it can't contribute to a disjunction), so Catalyst decorrelates
+    each OR arm into an ExistenceJoin (a left join emitting a boolean
+    'exists' flag) and evaluates the OR over the flags, while the
+    conjunctive arm stays a plain LeftSemi. At 100 TB all three arms
+    are equi hash joins on the customer key — never a per-customer
+    re-execution. Expressed in SQL so Catalyst's own decorrelation
+    (the machinery under test) does the planning."""
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+          AND (EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+               OR EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '2-HIGH'))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
+
+
+# --- B109 TPC-DS Q97 shape (channel-overlap classes, one pass) --------------
+
+@query("b109_channel_overlap", oracle="""
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_orderpriority = '5-LOW')
+SELECT CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+       CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+       CAST(SUM(CASE WHEN a.k IS NULL AND b.k IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_only
+FROM a FULL OUTER JOIN b ON a.k = b.k
+""")
+def b109_channel_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """B109 — TPC-DS Q97 signature shape: the channel-overlap report —
+    distinct keys of two channels FULL OUTER joined, the three overlap
+    classes (both / left-only / right-only) counted in ONE conditional
+    aggregation over the join (never three separate
+    intersect/except passes, which would re-shuffle the key sets
+    twice more). The per-side DISTINCT is a partial-aggregatable
+    dedup; the join and both dedups share one key partitioning. The
+    NULL-flag trick needs the JOIN's own null-production — which is
+    why the CASE tests the key columns, not a COUNT."""
+    o = load(spark, sf, "orders")
+
+    def chan(prio: str) -> DataFrame:
+        return (o.filter(F.col("o_orderpriority") == prio)
+                .select(F.col("o_custkey").alias("k")).distinct())
+
+    a = chan("1-URGENT").withColumnRenamed("k", "ak")
+    b = chan("5-LOW").withColumnRenamed("k", "bk")
+    j = a.join(b, a.ak == b.bk, "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("ak").isNotNull() & F.col("bk").isNotNull(),
+                     1).otherwise(0)).cast("long").alias("both_channels"),
+        F.sum(F.when(F.col("ak").isNotNull() & F.col("bk").isNull(),
+                     1).otherwise(0)).cast("long").alias("urgent_only"),
+        F.sum(F.when(F.col("ak").isNull() & F.col("bk").isNotNull(),
+                     1).otherwise(0)).cast("long").alias("low_only"))

@@ -535,3 +535,44 @@ def test_b107_band_boundaries_and_type_filter(spark, tmp_path):
     r = registry.QUERIES["b107_multiband_scan"](spark, d).first()
     assert r.band_0_3 == 2 and r.band_3_6 == 1 and r.band_21_24 == 1
     assert sum(r) == 4
+
+
+def test_b108_exists_disjunction_ground_truth(spark, tmp_path):
+    """B108 crafted pin: the AND arm and the OR-of-EXISTS arms gate
+    independently — c1 (O + URGENT) and c2 (O + HIGH) pass, c3 (O but
+    neither priority) fails the disjunction, c4 (URGENT but no O
+    order) fails the conjunct, c5 (no orders) fails everything."""
+    cust = [(i, f"seg{i}") for i in range(1, 6)]
+    orders = [
+        (100, 1, "O", "3-MEDIUM"), (101, 1, "F", "1-URGENT"),
+        (102, 2, "O", "2-HIGH"),
+        (103, 3, "O", "3-MEDIUM"),
+        (104, 4, "F", "1-URGENT"),
+    ]
+    d = _tpch(
+        spark, tmp_path,
+        customer=(cust, "c_custkey BIGINT, c_mktsegment STRING"),
+        orders=(orders, "o_orderkey BIGINT, o_custkey BIGINT, "
+                        "o_orderstatus STRING, o_orderpriority STRING"))
+    got = {(r.c_mktsegment, r.n_customers) for r in
+           registry.QUERIES["b108_exists_disjunction"](spark, d).collect()}
+    assert got == {("seg1", 1), ("seg2", 1)}
+
+
+def test_b109_overlap_classes_ground_truth(spark, tmp_path):
+    """B109 crafted pin: overlap classes count DISTINCT customers, not
+    orders — customer 2 has two urgent orders yet counts once; 1 is
+    urgent-only, 3 is low-only, 4 is neither channel."""
+    orders = [
+        (100, 1, "O", "1-URGENT"),
+        (101, 2, "O", "1-URGENT"), (102, 2, "O", "1-URGENT"),
+        (103, 2, "O", "5-LOW"),
+        (104, 3, "O", "5-LOW"),
+        (105, 4, "O", "3-MEDIUM"),
+    ]
+    d = _tpch(
+        spark, tmp_path,
+        orders=(orders, "o_orderkey BIGINT, o_custkey BIGINT, "
+                        "o_orderstatus STRING, o_orderpriority STRING"))
+    r = registry.QUERIES["b109_channel_overlap"](spark, d).first()
+    assert (r.both_channels, r.urgent_only, r.low_only) == (1, 1, 1)

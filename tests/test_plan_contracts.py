@@ -897,3 +897,27 @@ def test_b107_exactly_one_scan(spark):
     plan = _plan(registry.QUERIES["b107_multiband_scan"](spark, SF))
     assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b108_or_of_exists_plans_existence_join(spark):
+    """B108 (Q35 shape): `EXISTS(a) OR EXISTS(b)` cannot lower to semi
+    joins (a semi join filters — it can't feed a disjunction); Catalyst
+    must decorrelate each OR arm into an ExistenceJoin flag while the
+    conjunctive arm stays LeftSemi — never a per-row re-execution."""
+    plan = _plan(registry.QUERIES["b108_exists_disjunction"](spark, SF))
+    assert "ExistenceJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_b109_overlap_single_conditional_agg(spark):
+    """B109 (Q97 shape): the three overlap classes come from ONE
+    conditional aggregation over ONE full outer join of two
+    partial-aggregated distincts — not three set-operation passes."""
+    import re
+    plan = _plan(registry.QUERIES["b109_channel_overlap"](spark, SF))
+    assert "FullOuter" in plan, plan
+    # 2 distincts (partial+final each) + 1 grand total (partial+final)
+    assert len(re.findall(r"\) HashAggregate", plan)) == 6, plan
+    assert "partial_count" not in plan  # counts are conditional sums
