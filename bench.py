@@ -275,6 +275,10 @@ def main() -> None:
     from olympia_spark.operators import relational as _rel
     t0 = time.perf_counter()
     _rel._engine_bucketed(spark, sf_dir)
+    # shadow registration is READ-triggered — run the query once
+    # untimed so the timed row is the steady-state shadow-read join
+    # on BOTH scales (review r10 pass-4 #1)
+    registry.QUERIES["b55b_engine_bucketed_join"](spark, sf_dir).count()
     b55b_build_sec = round(time.perf_counter() - t0, 4)
 
     def timed_sweep(target_dir: str, label: str) -> dict[str, float]:
@@ -323,6 +327,8 @@ def main() -> None:
             and os.environ.get("SPARK_GRAFT_DUAL_SCALE", "1") != "0"):
         _sim._ann_engine(spark, small_dir)    # index build untimed here too
         _rel._engine_bucketed(spark, small_dir)
+        registry.QUERIES["b55b_engine_bucketed_join"](spark,
+                                                      small_dir).count()
         timings_small = timed_sweep(small_dir, "sf_small")
         for name, t_big in timings.items():
             t_small = timings_small.get(name, 0.0)

@@ -57,9 +57,9 @@ from olympia_spark.catalog.transactions import Transaction
 _DATA_DIR = "data"
 _ZCOL = "__zorder"
 # shadow tables (B55b bucketed reads) whose partition registration this
-# process saw COMPLETE — entries are "<applicationId>|<name>" so a
-# restarted session never trusts a prior session's registration
-_SHADOWS_COMPLETE: set[str] = set()
+# process saw COMPLETE — (applicationId, name) tuples so a restarted
+# session never trusts a prior session's registration
+_SHADOWS_COMPLETE: set[tuple[str, str]] = set()
 
 # In-job failure markers raised via F.raise_error inside write jobs and
 # detected on the driver by substring over the (nested) exception text.
@@ -1980,19 +1980,19 @@ class Engine:
         key = hashlib.md5("|".join(
             [self._local_root, tdef.id, str(n), ",".join(cols),
              phys.json()] + ordered).encode()).hexdigest()[:16]
-        # ALWAYS database-qualified: the session's current database can
-        # change (USE otherdb) between registration and a later read —
-        # an unqualified name would resolve against the wrong database
+        # ALWAYS catalog+database-qualified: the session's current
+        # database (USE otherdb) OR current catalog (USE CATALOG other)
+        # can change between registration and a later read — a
+        # shorter-qualified name would resolve against the wrong place
         # while the completeness mark still vouches for it
-        name = f"default.olympia_bucketed_{key}"
+        name = f"spark_catalog.default.olympia_bucketed_{key}"
         spark = self.spark
         app = spark.sparkContext.applicationId
-        mark = f"{app}|{name}"
+        mark = (app, name)
         # entries keyed to a previous SparkContext are dead weight —
         # purge them (same convention as operators/_scratch.py), which
         # also bounds the set across session restarts in one process
-        for m in [m for m in _SHADOWS_COMPLETE
-                  if not m.startswith(app + "|")]:
+        for m in [m for m in _SHADOWS_COMPLETE if m[0] != app]:
             _SHADOWS_COMPLETE.discard(m)
         # only a shadow this SESSION saw through to full registration is
         # trusted blind; one that exists but is unmarked (half-failed

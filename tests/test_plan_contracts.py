@@ -920,4 +920,4 @@ def test_b109_overlap_single_conditional_agg(spark):
     assert "FullOuter" in plan, plan
     # 2 distincts (partial+final each) + 1 grand total (partial+final)
     assert len(re.findall(r"\) HashAggregate", plan)) == 6, plan
-    assert "partial_count" not in plan  # counts are conditional sums
+    assert "partial_count" not in plan, plan  # counts: conditional sums
