@@ -334,3 +334,26 @@ def test_duplicate_bucket_columns_refused(engine, spark):
     with pytest.raises(ValueError, match="duplicate bucket"):
         engine.sql("CREATE TABLE b.dup (k BIGINT, v DOUBLE) "
                    "CLUSTERED BY (k, k) INTO 8 BUCKETS")
+
+
+def test_shadow_registration_chunks_past_100_dirs(engine, spark):
+    """The batched ADD IF NOT EXISTS statement chunks at 100 partitions
+    — a table with >100 write dirs must register across chunks with no
+    dir dropped (the exact boundary a single-statement implementation
+    would never exercise)."""
+    engine.sql("CREATE TABLE b.many (id BIGINT, k BIGINT) "
+               "CLUSTERED BY (k) INTO 4 BUCKETS TBLPROPERTIES "
+               "('auto.compact.threshold'='off')")
+    for i in range(105):                      # 105 one-file write dirs
+        engine.write_table(
+            spark.createDataFrame([(i, i % 7)], "id BIGINT, k BIGINT"),
+            "b.many")
+    df = engine.read_table("b.many")
+    assert df.count() == 105
+    agg = df.groupBy("k").agg(F.count("*").alias("n"))
+    qe = agg._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    assert "Exchange" not in qe.explainString(mode)
+    assert {r.k: r.n for r in agg.collect()} == \
+        {k: len([i for i in range(105) if i % 7 == k]) for k in range(7)}
