@@ -357,3 +357,40 @@ def test_shadow_registration_chunks_past_100_dirs(engine, spark):
     assert "Exchange" not in qe.explainString(mode)
     assert {r.k: r.n for r in agg.collect()} == \
         {k: len([i for i in range(105) if i % 7 == k]) for k in range(7)}
+
+
+def test_streaming_ingest_preserves_bucket_layout(engine, spark, tmp_path):
+    """Composition proof: the streaming catalog-ingest sink funnels
+    through the same writer chokepoint, so micro-batches into a
+    CLUSTERED BY table land bucketed (complete dirs) and the
+    post-stream read plans the keyed aggregation with zero Exchange."""
+    from olympia_spark.operators.streaming import catalog_ingest_sink
+    src = str(tmp_path / "ssrc")
+    (spark.range(40).select(
+        F.col("id").alias("event_id"),
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval("
+               "0,0,0,0,0,0,id)").alias("ts"),
+        (F.col("id") % 5).cast("double").alias("value"))
+     .write.parquet(src))
+    schema = spark.read.parquet(src).schema
+    eng2 = Engine(spark, str(tmp_path / "swh"))
+    eng2.sql("CREATE NAMESPACE stream")
+    eng2.create_table("stream.events", schema,
+                      bucket_by=(["event_id"], 4),
+                      properties={"auto.compact.threshold": "off"})
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream.writeStream.foreachBatch(catalog_ingest_sink(eng2))
+         .option("checkpointLocation", str(tmp_path / "sck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    tdef = eng2.catalog.describe_table(eng2._txn(), "stream", "events")
+    assert tdef.bucket_by == {"columns": ["event_id"], "num_buckets": 4}
+    assert all(f.dir_files > 0 for f in tdef.data_files)
+    df = eng2.read_table("stream.events")
+    assert df.count() == 40
+    agg = df.groupBy("event_id").agg(F.sum("value"))
+    qe = agg._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    assert "Exchange" not in qe.explainString(mode)
+    assert agg.count() == 40
