@@ -91,8 +91,9 @@ _PRIORITY = [
     "text_bpe_pairs", "text_c4_filter",
     # bonus round-10 shapes BEYOND the brief (b104-b107 are the four
     # prescribed TPC-DS starters above): next in line if the window
-    # is wider than 50; both dual-scale oracle-green locally
+    # is wider than 50; all four dual-scale oracle-green locally
     "b108_exists_disjunction", "b109_channel_overlap",
+    "b110_returns_netting", "b111_period_growth",
 ]
 
 

@@ -113,6 +113,8 @@ HEADLINE = [
     "b55b_engine_bucketed_join",
     "b108_exists_disjunction",
     "b109_channel_overlap",
+    "b110_returns_netting",
+    "b111_period_growth",
 ]
 
 

@@ -3149,3 +3149,82 @@ def b109_channel_overlap(spark: SparkSession, sf: str) -> DataFrame:
                      1).otherwise(0)).cast("long").alias("urgent_only"),
         F.sum(F.when(F.col("ak").isNull() & F.col("bk").isNotNull(),
                      1).otherwise(0)).cast("long").alias("low_only"))
+
+
+# --- B110 TPC-DS Q93 shape (returns-netted customer value) ------------------
+
+@query("b110_returns_netting", oracle="""
+WITH r AS (
+  SELECT l_orderkey AS rk,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS ret
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))
+                - COALESCE(ret, 0)) AS DOUBLE) AS net_value
+FROM orders LEFT JOIN r ON o_orderkey = rk
+GROUP BY o_custkey
+ORDER BY net_value DESC, o_custkey LIMIT 25
+""")
+def b110_returns_netting(spark: SparkSession, sf: str) -> DataFrame:
+    """B110 — TPC-DS Q93 signature shape: net sales after returns — a
+    LEFT join of the fact against an aggregated returns relation with
+    COALESCE netting (an order with no returns keeps its full value;
+    the join's own NULL production IS the zero-return case), then a
+    customer rollup and a top-k. The returns aggregate pre-reduces to
+    one row per order BEFORE the join (never a row-level
+    fact-to-returns join); exact DECIMAL accumulation end to end with
+    one final double cast; top-25 is TakeOrderedAndProject with a
+    full tiebreak. At 100 TB both the returns agg and the join key on
+    the same order key — one partitioning serves both sides."""
+    r = (load(spark, sf, "lineitem")
+         .filter(F.col("l_returnflag") == "R")
+         .groupBy(F.col("l_orderkey").alias("rk"))
+         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("ret")))
+    o = load(spark, sf, "orders")
+    return (o.join(r, o.o_orderkey == r.rk, "left")
+            .groupBy("o_custkey")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast(DEC)
+                       - F.coalesce(F.col("ret"), F.lit(0)))
+                 .cast("double").alias("net_value"))
+            .orderBy(F.col("net_value").desc(), "o_custkey")
+            .limit(25))
+
+
+# --- B111 TPC-DS Q31 shape (period-over-period growth) ----------------------
+
+@query("b111_period_growth", oracle="""
+WITH m AS (
+  SELECT l_returnflag AS rf,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT rf, mon, n, prev_n FROM (
+  SELECT rf, mon, n,
+         LAG(n) OVER (PARTITION BY rf ORDER BY mon) AS prev_n
+  FROM m) t
+WHERE prev_n IS NOT NULL AND n > prev_n
+ORDER BY rf, mon
+""")
+def b111_period_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """B111 — TPC-DS Q31 signature shape: periodized aggregates
+    aligned to their PREDECESSOR period and filtered on growth — the
+    quarter-over-quarter comparison pattern. Spark-first: the
+    alignment is ONE LAG window over the (small) periodized aggregate,
+    not a self-join of the aggregate on mon = mon - 1 (which Q31's
+    literal SQL does and which doubles the agg); the first period per
+    partition drops via the NULL LAG, SQL semantics on both engines.
+    All arithmetic is integer counts — no FP in the growth
+    comparison."""
+    m = (load(spark, sf, "lineitem")
+         .groupBy(F.col("l_returnflag").alias("rf"),
+                  F.date_trunc("month", F.col("l_shipdate"))
+                  .cast("date").alias("mon"))
+         .agg(F.count("*").cast("long").alias("n")))
+    w = W.partitionBy("rf").orderBy("mon")
+    return (m.withColumn("prev_n", F.lag("n").over(w))
+            .filter(F.col("prev_n").isNotNull()
+                    & (F.col("n") > F.col("prev_n")))
+            .orderBy("rf", "mon"))

@@ -576,3 +576,44 @@ def test_b109_overlap_classes_ground_truth(spark, tmp_path):
                         "o_orderstatus STRING, o_orderpriority STRING"))
     r = registry.QUERIES["b109_channel_overlap"](spark, d).first()
     assert (r.both_channels, r.urgent_only, r.low_only) == (1, 1, 1)
+
+
+def test_b110_netting_ground_truth(spark, tmp_path):
+    """B110 crafted pin: multi-line returns aggregate before netting
+    (order 1: 30+10 off 100), a no-returns order keeps full value, a
+    fully-returned order nets to 0, and an orphan return row (no such
+    order) must not mint an output row (LEFT join direction)."""
+    orders = [(1, 10, 100.0), (2, 10, 50.0), (3, 20, 80.0)]
+    li = [
+        (1, "R", 30.0), (1, "R", 10.0),
+        (3, "R", 80.0),
+        (2, "N", 999.0),          # non-return line — not netted
+        (99, "R", 5.0),           # orphan return — no matching order
+    ]
+    d = _tpch(
+        spark, tmp_path,
+        orders=(orders, "o_orderkey BIGINT, o_custkey BIGINT, "
+                        "o_totalprice DOUBLE"),
+        lineitem=(li, "l_orderkey BIGINT, l_returnflag STRING, "
+                      "l_extendedprice DOUBLE"))
+    got = {(r.o_custkey, r.n_orders, r.net_value) for r in
+           registry.QUERIES["b110_returns_netting"](spark, d).collect()}
+    assert got == {(10, 2, 110.0), (20, 1, 0.0)}
+
+
+def test_b111_growth_ground_truth(spark, tmp_path):
+    """B111 crafted pin: only strictly-growing consecutive months
+    survive — the first month per group (NULL LAG), a drop, and a
+    flat month are all excluded; a single-month group emits nothing."""
+    import datetime as dt
+
+    def li(n, rf, month):
+        return [(rf, dt.datetime(1995, month, d + 1)) for d in range(n)]
+    rows = (li(2, "A", 1) + li(3, "A", 2) + li(1, "A", 3)
+            + li(1, "A", 4) + li(5, "A", 5) + li(4, "N", 6))
+    d = _tpch(spark, tmp_path, lineitem=(
+        rows, "l_returnflag STRING, l_shipdate TIMESTAMP"))
+    got = {(r.rf, r.mon, r.n, r.prev_n) for r in
+           registry.QUERIES["b111_period_growth"](spark, d).collect()}
+    assert got == {("A", dt.date(1995, 2, 1), 3, 2),
+                   ("A", dt.date(1995, 5, 1), 5, 1)}

@@ -921,3 +921,25 @@ def test_b109_overlap_single_conditional_agg(spark):
     # 2 distincts (partial+final each) + 1 grand total (partial+final)
     assert len(re.findall(r"\) HashAggregate", plan)) == 6, plan
     assert "partial_count" not in plan, plan  # counts: conditional sums
+
+
+def test_b110_nets_through_preaggregated_left_join(spark):
+    """B110 (Q93 shape): the returns side pre-aggregates to one row per
+    order BEFORE a LEFT join (partial_sum present — map-side combine),
+    and the top-25 is TakeOrderedAndProject."""
+    plan = _plan(registry.QUERIES["b110_returns_netting"](spark, SF))
+    assert "LeftOuter" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_b111_growth_uses_lag_not_self_join(spark):
+    """B111 (Q31 shape): period alignment is ONE LAG window over the
+    periodized aggregate — never the literal-SQL self-join that would
+    re-aggregate and re-shuffle the fact."""
+    import re
+    plan = _plan(registry.QUERIES["b111_period_growth"](spark, SF))
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
