@@ -53,47 +53,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry ages past the stale horizon. Round-10 list
-# (VERDICT r9 items #1/#2/#5): (1) the FIVE new shapes (b55b engine-bucketed
-# join + the four TPC-DS starters), never driver-checked; (2) queries whose
-# code paths changed and MUST outrank age fills — b83 (murmur3 lane went
-# Catalyst-inlined in r9 but sat at slot 51 of the 50-slot window), b87
-# (window MIN → grouped-min join-back), b66 (identity-fill URI-layer
-# decode) — all re-proven locally against their DuckDB oracles at sf0.01
-# and sf0.1; (3) the COMPLETE 42-query r5-age batch (exactly the set whose
-# newest green is round 5 across CORRECTNESS_r01..r09) — after this round
-# no registry query's newest green is older than r6. 5+3+42 = 50 = window.
+# no query's newest driver entry ages past the stale horizon. Round-11 list
+# (VERDICT r10 "Next round" #1): (1) the four round-10 bonus TPC-DS shapes
+# b108–b111 — the ONLY SURVEY rows without a driver-green entry; (2) this
+# round's new entries (b55c hive+bucket zero-Exchange join, b112 reference
+# binpb-catalog adoption) — the 2 slots VERDICT reserved for changed-path
+# work; (3) the COMPLETE 44-query r6-age batch (exactly the set whose newest
+# green is round 6 across CORRECTNESS_r01..r10) — after this round no
+# registry query's newest green is older than r7. 4+2+44 = 50 = window.
 _PRIORITY = [
-    # NEW this round — never driver-checked yet
-    "b55b_engine_bucketed_join",
-    "b104_rollup_topk", "b105_cumulative_align",
-    "b106_intersect_channels", "b107_multiband_scan",
-    # changed-path (outrank age fills; VERDICT r9 "what's wrong" #2)
-    "b83_partition_transforms", "b87_q2_shape", "b66_iceberg_adopt",
-    # the 42 r5-age queries (newest green = r5), whole batch this round
-    "b09_cross_join", "b10_q1_agg", "b11_count_distinct",
-    "b11b_distinct_rows", "b12_approx_count_distinct", "b13_rollup",
-    "b13b_cube", "b14_rank_window", "b24_conditional",
-    "b58b_stream_changes", "b64_group_by_all", "b65_tablesample",
-    "b67_copy_into", "b70_analyze_stats", "b71_q3_shape",
-    "b73_dml_subquery",
-    "data_hard_negatives", "data_kcenter_coreset", "data_length_buckets",
-    "data_token_budget",
-    "dedup_embedding_cosine", "dedup_embedding_lsh",
-    "dedup_hot_shingle_cap", "dedup_recall_audit", "dedup_span_windows",
-    "dedup_url_canonical",
-    "mm_audio_energy", "mm_decode_image_dims",
-    "pipeline_corpus_curation",
-    "sim_ann_lsh", "sim_batch_topk", "sim_ivf", "sim_ivfpq_topk",
-    "sim_knn_graph_bucketed", "sim_matryoshka_topk",
-    "sim_pq_recall_audit", "sim_pq_topk", "sim_recall_audit",
-    "sim_topk_bruteforce", "sim_topk_int8",
-    "text_bpe_pairs", "text_c4_filter",
-    # bonus round-10 shapes BEYOND the brief (b104-b107 are the four
-    # prescribed TPC-DS starters above): next in line if the window
-    # is wider than 50; all four dual-scale oracle-green locally
+    # round-10 bonus shapes — never driver-checked yet (VERDICT #1)
     "b108_exists_disjunction", "b109_channel_overlap",
     "b110_returns_netting", "b111_period_growth",
+    # NEW this round (changed-path slots)
+    "b55c_hive_bucketed_join", "b112_reference_catalog_adopt",
+    # the 44 r6-age queries (newest green = r6), whole batch this round
+    "b05_star_join", "b25b_explode_collect", "b27b_from_json",
+    "b32_stream_session_window", "b32_stream_sliding_window",
+    "b32_stream_tumbling_window", "b33_merge_upsert", "b33b_merge_multi",
+    "b34_asof_join", "b35_time_rollup", "b72_q5_shape",
+    "b74_merge_by_source", "b75_replace_where", "b76_q10_shape",
+    "b77_describe_detail", "b78_check_constraint", "b80_q18_shape",
+    "b81_rename_column", "b82_merge_schema_evolution",
+    "data_curriculum_head", "data_epoch_shuffle", "data_interleave_sources",
+    "data_profile", "data_profile_quantiles", "data_sample_per_key",
+    "data_split_stratified",
+    "dedup_cross_source", "dedup_exact", "dedup_prefix_hash",
+    "mm_feature_extract", "mm_frame_sample", "mm_metadata_scan",
+    "sim_label_propagation", "sim_mips_topk", "sim_quantize_int8",
+    "sim_range_search",
+    "text_entropy_gate", "text_fingerprint", "text_langid",
+    "text_ngram_novelty", "text_redact", "text_rolling_hash",
+    "text_token_count", "text_url_extract",
+    # beyond the window: this round's new TPC-DS shapes + changed-path
+    # extras (dedup_ngram_jaccard default lane re-routed through the
+    # hot-shingle cap) — next in line if the window is wider than 50
+    "b113_moving_avg_neighbor", "b114_shared_cte_two_channel",
+    "b115_frequent_items_semi", "b116_three_channel_ratio",
+    "dedup_ngram_jaccard",
 ]
 
 
