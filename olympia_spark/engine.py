@@ -56,10 +56,14 @@ from olympia_spark.catalog.transactions import Transaction
 
 _DATA_DIR = "data"
 _ZCOL = "__zorder"
-# shadow tables (B55b bucketed reads) whose partition registration this
-# process saw COMPLETE — (applicationId, name) tuples so a restarted
-# session never trusts a prior session's registration
-_SHADOWS_COMPLETE: set[tuple[str, str]] = set()
+# shadow tables (B55b/B55c bucketed reads): per-(applicationId, shadow
+# name) set of WRITE-DIR ids this process saw registered AND on-disk
+# verified — keyed to the applicationId so a restarted session never
+# trusts a prior session's registration, per-dir so appends register
+# only their NEW dirs (r10 VERDICT #3: one shadow per (table, spec,
+# schema), O(new dirs) work per append instead of a full replay under
+# a fresh name)
+_SHADOW_DIRS: dict[tuple[str, str], set[str]] = {}
 
 # In-job failure markers raised via F.raise_error inside write jobs and
 # detected on the driver by substring over the (nested) exception text.
@@ -901,18 +905,26 @@ class Engine:
         eras: dict[tuple[str, ...], list[str]] = {}
         for p in rel_paths:
             eras.setdefault(era_of(p), []).append(p)
-        # B55b bucketed fast path: an unpartitioned bucketed table whose
-        # requested files form COMPLETE write dirs reads through the
-        # session-catalog shadow table, so the scan's output partitioning
-        # is the bucket hash and downstream joins/aggs on the key plan
-        # with zero exchange. Falls through to the plain scan (same
-        # values, no layout claim) on partial dirs, hive-partitioned
-        # layouts, or adopted identity-fill estates.
-        if (tdef.bucket_by and set(eras) == {()} and not derive
+        # B55b/B55c bucketed fast path: a bucketed table whose requested
+        # files form COMPLETE write dirs reads through the session-catalog
+        # shadow table, so the scan's output partitioning is the bucket
+        # hash and downstream joins/aggs on the key plan with zero
+        # exchange. B55c composes this with hive partitioning — the
+        # shadow's partition spec is (hive cols…, era), so the standard
+        # date-partitioned + key-bucketed fact keeps both partition
+        # PRUNING and the bucket plan (r10 VERDICT #2 lifted the
+        # blanket downgrade). Falls through to the plain scan (same
+        # values, no layout claim) on partial dirs, mixed/evolved
+        # layout eras, or adopted identity-fill estates.
+        if (tdef.bucket_by and len(eras) == 1 and not derive
                 and not tdef.properties.get("iceberg.identity_fill")):
-            shadow = self._bucketed_shadow(tdef, rel_paths)
-            if shadow is not None:
-                return self._to_logical(shadow, tdef)
+            era = next(iter(eras))
+            expect = tuple(self._phys(tdef, c)
+                           for c in (tdef.partition_by or []))
+            if era == expect:
+                shadow = self._bucketed_shadow(tdef, rel_paths, era)
+                if shadow is not None:
+                    return self._to_logical(shadow, tdef)
         # plain single-read branch ONLY when nothing needs path-derived
         # columns: no hive-encoded paths and no spec-evolution derive
         # markers (B86). Never-evolved unpartitioned tables — generated
@@ -1862,6 +1874,24 @@ class Engine:
             raise
         files = self._collect_stats(rel_dir)
         if bspec:
+            # zero-row part files are dropped from TRACKING by the DML
+            # paths (num_rows > 0 filters) — delete them from DISK too
+            # and stamp dir_files over live files only, so tracked
+            # count, dir_files and the on-disk count agree; a surviving
+            # zero-row file would mark its dir permanently incomplete
+            # and silently downgrade every later read (ADVICE r10)
+            dead = [f for f in files if f.num_rows == 0]
+            if dead:
+                files = [f for f in files if f.num_rows > 0]
+                if self.data_plane == "direct" and self._object_store:
+                    self.catalog.storage.delete_many(
+                        [f.path for f in dead])
+                else:
+                    for f in dead:
+                        try:
+                            os.remove(self._abs(f.path))
+                        except OSError:
+                            pass
             # dir-completeness bookkeeping for the bucketed read path:
             # record per leaf dir how many files this write put there
             by_dir: dict[str, int] = {}
@@ -1931,25 +1961,77 @@ class Engine:
                       .option("path", out_dir))
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
-            writer.saveAsTable(tmp)
+            # fully qualified like the shadow table: a USE / USE CATALOG
+            # issued between writes must not land the staging table (or
+            # its DROP) in an unexpected namespace (ADVICE r10)
+            writer.saveAsTable(f"spark_catalog.default.{tmp}")
         finally:
             self.spark.conf.set(abs_key, prev)
-            self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS spark_catalog.default.`{tmp}`")
 
-    def _bucketed_shadow(self, tdef: TableDef,
-                         rel_paths: list[str]) -> DataFrame | None:
+    @staticmethod
+    def _dir_era_id(d: str) -> str:
+        """Stable id of a write dir inside its shadow table — the
+        ``__olympia_era`` partition value. Content-derived (dir-name
+        hash, NOT position in a sorted dir list) so the same dir maps
+        to the same partition across reads/appends and registration
+        can diff incrementally (r10 VERDICT #3)."""
+        import hashlib
+        return hashlib.md5(d.encode()).hexdigest()[:16]
+
+    def _dir_file_count(self, d: str) -> int:
+        """On-disk .parquet count of a write dir. Must equal the
+        tracked ``dir_files`` before the dir is vouched into a shadow:
+        a dir whose files were deleted (VACUUM of an expired snapshot)
+        would otherwise silently read as empty buckets, where the
+        plain tracked-path scan fails loudly (ADVICE r10)."""
+        if self.data_plane == "direct" and not os.path.isabs(d):
+            return sum(1 for k in self.catalog.storage.list(f"{d}/")
+                       if k.endswith(".parquet"))
+        try:
+            return sum(1 for fn in os.listdir(self._abs(d))
+                       if fn.endswith(".parquet"))
+        except OSError:
+            return 0
+
+    def _bucketed_shadow(self, tdef: TableDef, rel_paths: list[str],
+                         era: tuple[str, ...] = ()) -> DataFrame | None:
         """Re-register the tracked bucketed layout with the SESSION
         catalog so Catalyst plans bucket-local joins/aggs (zero
         exchange on this side). Each complete write dir becomes one
         partition of a shadow table (metadata-only — no data moves,
         no symlinks; Spark groups the selected files of ALL partitions
         by filename bucket id, so bucketing holds across appends).
+        ``era`` is the table's hive layout (B55c): those columns become
+        leading partition columns of the shadow — their values parsed
+        from the dir path exactly once at registration — so partition
+        predicates still PRUNE (PartitionFilters) while the scan keeps
+        the bucket output partitioning.
+
+        ONE shadow per (warehouse, table id, bucket spec, physical
+        schema); partitions are keyed by dir-name hash and each read
+        registers only dirs this session hasn't vouched yet — appends
+        are O(new dirs), not a replay under a fresh name (r10 VERDICT
+        #3). Shadows are NEVER dropped (earlier-returned DataFrames
+        reference theirs lazily — review r10 finding #1, reproduced)
+        and never shrink: a snapshot read FILTERS the shadow to its own
+        dirs' era ids, so partitions of dropped/foreign file-sets are
+        pruned out, not served.
+
         Returns None — caller downgrades to the plain scan — when any
         dir is INCOMPLETE (some of its files pruned/rewritten away:
-        bucket-id inference would misread missing buckets as empty).
-        DML keeps dirs complete by expanding rewrites to whole dirs
+        bucket-id inference would misread missing buckets as empty),
+        when a new dir's ON-DISK file count disagrees with the tracked
+        count (vacuumed snapshot — the plain scan fails loudly instead
+        of silently serving empty partitions, ADVICE r10), or when a
+        path/partition value can't be embedded in DDL safely (quote or
+        backslash — refused rather than escaped, ADVICE r10). DML keeps
+        dirs complete by expanding rewrites to whole dirs
         (:meth:`_expand_bucket_dirs`), so the downgrade is the
         documented exception, not the steady state."""
+        import hashlib
+        from urllib.parse import unquote
         by_file = {f.path: f for f in tdef.data_files}
         dirs: dict[str, list] = {}
         for p in rel_paths:
@@ -1966,20 +2048,40 @@ class Engine:
         n = int(tdef.bucket_by["num_buckets"])
         cols = [self._phys(tdef, c) for c in tdef.bucket_by["columns"]]
         ordered = sorted(dirs)
-        import hashlib
-        # key = warehouse + table id + bucket spec + PHYSICAL SCHEMA +
-        # dir set: schema in the key means ADD/DROP/RENAME COLUMN mints
-        # a fresh shadow instead of re-serving stale columns (review
-        # r10 finding #2). Shadows are NEVER dropped — earlier-returned
-        # DataFrames reference theirs lazily, and dropping on
-        # re-registration crashed any later action on them (review r10
-        # finding #1, reproduced); stale entries are empty external
-        # defs in the in-memory session catalog, bytes-per-entry small
-        # and bounded by distinct (schema, file-set) states read this
-        # session.
+
+        def unsafe(lit: str) -> bool:
+            # refuse rather than escape: quoting rules differ across
+            # ANSI / escapedStringLiterals session configs, and the
+            # plain-scan fallback is always available and exact
+            return "'" in lit or "\\" in lit
+
+        # B55c: per-dir hive partition VALUES, parsed from the path with
+        # ONE Hive-unescape (tracked rel paths carry no URI layer —
+        # unlike _metadata.file_path in the plain-scan branch; unquote
+        # leaves '+' alone, matching Hive's escapePathName)
+        hive_vals: dict[str, list[str]] = {}
+        for d in ordered:
+            pairs = [seg.partition("=") for seg in d.split("/")
+                     if "=" in seg and seg.split("=", 1)[0] in set(era)]
+            if tuple(c for c, _eq, _v in pairs) != era:
+                return None
+            vals = []
+            for _c, _eq, v in pairs:
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    return None        # NULL partition value — plain scan
+                dec = unquote(v)
+                if dec == "" or unsafe(dec):
+                    return None
+                vals.append(dec)
+            hive_vals[d] = vals
+        # key = warehouse + table id + bucket spec + layout era +
+        # PHYSICAL SCHEMA (NOT the dir set): schema in the key means
+        # ADD/DROP/RENAME COLUMN mints a fresh shadow instead of
+        # re-serving stale columns (review r10 finding #2); the dir set
+        # OUT of the key is what makes appends incremental.
         key = hashlib.md5("|".join(
             [self._local_root, tdef.id, str(n), ",".join(cols),
-             phys.json()] + ordered).encode()).hexdigest()[:16]
+             ",".join(era), phys.json()]).encode()).hexdigest()[:16]
         # ALWAYS catalog+database-qualified: the session's current
         # database (USE otherdb) OR current catalog (USE CATALOG other)
         # can change between registration and a later read — a
@@ -1988,48 +2090,78 @@ class Engine:
         name = f"spark_catalog.default.olympia_bucketed_{key}"
         spark = self.spark
         app = spark.sparkContext.applicationId
-        mark = (app, name)
         # entries keyed to a previous SparkContext are dead weight —
         # purge them (same convention as operators/_scratch.py), which
-        # also bounds the set across session restarts in one process
-        for m in [m for m in _SHADOWS_COMPLETE if m[0] != app]:
-            _SHADOWS_COMPLETE.discard(m)
-        # only a shadow this SESSION saw through to full registration is
-        # trusted blind; one that exists but is unmarked (half-failed
-        # registration, or another Engine on the session) gets its
-        # partition set verified-and-repaired — a partial shadow served
-        # as complete would silently drop whole write dirs' rows
-        # (review r10 pass-2 #1)
-        if mark not in _SHADOWS_COMPLETE:
-            self._scan_uris(rel_paths)     # spool lane: materialize cache
+        # also bounds the map across session restarts in one process
+        for m in [m for m in _SHADOW_DIRS if m[0] != app]:
+            del _SHADOW_DIRS[m]
+        reg = _SHADOW_DIRS.setdefault((app, name), set())
+        era_ids = {d: self._dir_era_id(d) for d in ordered}
+        # only dirs this SESSION saw through registration are trusted
+        # blind; everything else — fresh dirs, a half-failed earlier
+        # registration, another Engine on the session — goes through
+        # the same idempotent verify-and-ADD (review r10 pass-2 #1: a
+        # partial shadow served as complete would silently drop whole
+        # write dirs' rows)
+        new = [d for d in ordered if era_ids[d] not in reg]
+        if new:
+            self._scan_uris(rel_paths)   # spool lane: materialize cache
+            for d in new:
+                if unsafe(self._scan_uri(d)) \
+                        or self._dir_file_count(d) != dirs[d][0].dir_files:
+                    return None
             if not spark.catalog.tableExists(name):
                 col_ddl = ", ".join(
                     f"`{f.name}` {f.dataType.simpleString()}"
                     for f in phys.fields)
                 bcols = ", ".join(f"`{c}`" for c in cols)
+                pcols = ", ".join([f"`{c}`" for c in era]
+                                  + ["`__olympia_era`"])
                 from olympia_spark.operators._scratch import scratch_dir
                 loc = scratch_dir("olympia_bucket_shadow_")
+                if unsafe(loc):
+                    return None
                 spark.sql(
                     f"CREATE TABLE {name} ({col_ddl}, "
                     f"`__olympia_era` STRING) USING PARQUET "
-                    f"PARTITIONED BY (__olympia_era) "
+                    f"PARTITIONED BY ({pcols}) "
                     f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
                     f"INTO {n} BUCKETS LOCATION '{loc}'")
+                # marks vouched for partitions of a table that no
+                # longer existed — re-register this read's FULL dir set
+                # against the fresh table
+                reg.clear()
+                new = list(ordered)
+
+            def pspec(d: str) -> str:
+                kv = [f"`{c}`='{v}'" for c, v in zip(era, hive_vals[d])]
+                kv.append(f"`__olympia_era`='{era_ids[d]}'")
+                return ", ".join(kv)
+
             # ONE batched, idempotent statement per chunk (not one
             # round trip per dir — a thousand-append table would replay
             # a thousand ALTERs); IF NOT EXISTS makes the repair path
             # and the fresh path the same statement
-            for lo in range(0, len(ordered), 100):
-                chunk = ordered[lo:lo + 100]
+            for lo in range(0, len(new), 100):
+                chunk = new[lo:lo + 100]
                 parts = " ".join(
-                    f"PARTITION (__olympia_era='{lo + i}') "
+                    f"PARTITION ({pspec(d)}) "
                     f"LOCATION '{self._scan_uri(d)}'"
-                    for i, d in enumerate(chunk))
+                    for d in chunk)
                 spark.sql(f"ALTER TABLE {name} "
                           f"ADD IF NOT EXISTS {parts}")
-            _SHADOWS_COMPLETE.add(mark)
-        return spark.table(name).select(
-            *[F.col(f.name) for f in phys.fields])
+            # drop any cached relation/file index so this statement —
+            # and only future plans, never already-analyzed ones — sees
+            # the widened partition set
+            spark.catalog.refreshTable(name)
+            reg.update(era_ids[d] for d in new)
+        # filter to THIS read's dirs: the shared shadow accretes
+        # partitions across snapshots/appends, and the era-id predicate
+        # (a partition filter — metadata-only pruning) selects exactly
+        # the tracked file-set of this statement's TableDef
+        df = spark.table(name).where(
+            F.col("__olympia_era").isin(sorted(era_ids.values())))
+        return df.select(*[F.col(f.name) for f in phys.fields])
 
     def _expand_bucket_dirs(self, tdef: TableDef,
                             matched: list[str]) -> list[str]:
@@ -4072,6 +4204,13 @@ class Engine:
         # million-orphan VACUUM costs ~1000 requests, not a million
         self.catalog.storage.delete_many(orphans)
         removed.extend(orphans)
+        if orphans:
+            # bucketed-shadow marks may vouch for dirs this GC just
+            # emptied — drop them so the next bucketed read re-verifies
+            # on-disk completeness (and downgrades to the loud plain
+            # scan) instead of silently serving vacuumed dirs as empty
+            # partitions (ADVICE r10)
+            _SHADOW_DIRS.clear()
         return removed
 
     # --- views --------------------------------------------------------------

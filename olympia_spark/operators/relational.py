@@ -1667,6 +1667,83 @@ def b55b_engine_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+# --- B55c hive-partitioned + bucketed engine layout (round 11) ---------------
+
+_B55C_READY: dict[tuple[str, str], object] = {}
+
+
+def _engine_hive_bucketed(spark: SparkSession, sf: str):
+    """Stand up an ENGINE warehouse whose fact table carries the
+    standard production layout: hive-PARTITIONED BY a coarse dimension
+    (order priority — the date-partition stand-in) AND CLUSTERED BY the
+    join key. Two appends so every hive leaf spans multiple write
+    dirs."""
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        from olympia_spark.engine import Engine
+        eng = Engine(spark, scratch_dir("olympia_b55c_wh_"))
+        eng.sql("CREATE NAMESPACE b55c")
+        eng.sql("CREATE TABLE b55c.orders (o_orderkey BIGINT, "
+                "o_custkey BIGINT, o_totalprice DOUBLE, "
+                "o_orderpriority STRING) "
+                "PARTITIONED BY (o_orderpriority) "
+                "CLUSTERED BY (o_custkey) INTO 8 BUCKETS "
+                "TBLPROPERTIES ('auto.compact.threshold'='off')")
+        eng.sql("CREATE TABLE b55c.customer (c_custkey BIGINT, "
+                "c_mktsegment STRING) "
+                "CLUSTERED BY (c_custkey) INTO 8 BUCKETS")
+        o = (load(spark, sf, "orders")
+             .select("o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderpriority"))
+        eng.write_table(o.filter("o_orderkey % 2 = 0"), "b55c.orders")
+        eng.write_table(o.filter("o_orderkey % 2 = 1"), "b55c.orders")
+        eng.write_table(load(spark, sf, "customer")
+                        .select("c_custkey", "c_mktsegment"),
+                        "b55c.customer")
+        return eng
+
+    return get_or_create(_B55C_READY, spark, sf, build)
+
+
+@query("b55c_hive_bucketed_join", oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n, {dsum('o_totalprice', 'price_sum')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def b55c_hive_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B55c — the COMPOSED production layout (r10 VERDICT #2): a fact
+    table hive-PARTITIONED BY a coarse column and CLUSTERED BY the join
+    key keeps BOTH properties on the read path — the partition
+    predicate prunes whole hive leaves at the metadata level
+    (PartitionFilters, no data pages opened) and the join on the bucket
+    key plans with ZERO Exchange on either side (the engine re-registers
+    complete write dirs as (hive value, era) partitions of a bucketed
+    shadow table; plan contract:
+    tests/test_engine_bucketed.py::test_hive_bucketed_join_zero_exchange_and_pruning).
+    Before r11 this layout silently downgraded to the plain era scan —
+    at 100 TB that meant every date-filtered join on a date-partitioned
+    + key-bucketed fact re-shuffled the fact side. Values are identical
+    to the plain join, which is what the oracle checks."""
+    eng = _engine_hive_bucketed(spark, sf)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = eng.read_table("b55c.orders") \
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        c = eng.read_table("b55c.customer")
+        return (o.join(c, o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n"),
+                     _dsum(F.col("o_totalprice"), "price_sum"))
+                .orderBy("c_mktsegment")
+                .localCheckpoint())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 # --- B56 interval overlap join via grid cells --------------------------------
 
 @query("b56_interval_join", oracle="""

@@ -119,19 +119,104 @@ def test_time_travel_reads_old_bucketed_version(engine, spark):
     assert engine.sql("SELECT COUNT(*) AS n FROM b.o").first().n == 300
 
 
-def test_partitioned_bucketed_table_downgrades_to_plain_scan(engine, spark):
-    """bucket+hive-partition composes for WRITES (layout on disk) but
-    the read path downgrades to the plain era scan — documented
-    exception; values must stay exact."""
+def _plan_of(df, spark):
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    return qe.explainString(mode)
+
+
+def _mk_pb(engine, spark, rows=100):
     engine.sql("CREATE TABLE b.pb (id BIGINT, k BIGINT, src STRING) "
-               "PARTITIONED BY (src) CLUSTERED BY (k) INTO 4 BUCKETS")
-    df = spark.range(100).select(
+               "PARTITIONED BY (src) CLUSTERED BY (k) INTO 4 BUCKETS "
+               "TBLPROPERTIES ('auto.compact.threshold'='off')")
+    df = spark.range(rows).select(
         F.col("id"), (F.col("id") % 10).alias("k"),
         F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"))
     engine.write_table(df, "b.pb")
+
+
+def test_hive_partitioned_bucketed_values_exact(engine, spark):
+    """B55c: bucket+hive-partition composes on the READ path too now —
+    values must stay exact under the shadow fast path."""
+    _mk_pb(engine, spark)
     got = engine.sql("SELECT COUNT(*) AS n, SUM(k) AS s FROM b.pb "
                      "WHERE src = 'a'").first()
     assert (got.n, got.s) == (50, sum(i % 10 for i in range(0, 100, 2)))
+    # unfiltered read sees both partitions
+    assert engine.read_table("b.pb").count() == 100
+
+
+def test_hive_bucketed_join_zero_exchange_and_pruning(engine, spark):
+    """THE b55c plan contract: a hive-partitioned + key-bucketed fact
+    joined on the bucket key plans with ZERO Exchange, and a partition
+    predicate reaches PartitionFilters (metadata pruning) — the
+    standard date-partitioned + key-bucketed production layout keeps
+    BOTH properties (r10 VERDICT #2 lifted the blanket downgrade)."""
+    _mk_pb(engine, spark, rows=400)
+    engine.sql("CREATE TABLE b.dim (k BIGINT, seg STRING) "
+               "CLUSTERED BY (k) INTO 4 BUCKETS")
+    engine.write_table(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+            .alias("seg")), "b.dim")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        f = engine.read_table("b.pb").filter("src = 'a'")
+        d = engine.read_table("b.dim")
+        j = f.join(d, "k")
+        plan = _plan_of(j, spark)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # the src predicate prunes at the partition level, not per-row
+        assert "src" in plan.split("PartitionFilters")[1].split("\n")[0]
+        assert j.count() == 200
+        got = {(r.seg, r.n) for r in
+               j.groupBy("seg").agg(F.count("*").alias("n")).collect()}
+        # even ids: k = id % 10 ∈ {0,2,4,6,8}, 40 rows each;
+        # seg s(k%3): k∈{0,6}→s0, k∈{4}→s1, k∈{2,8}→s2
+        assert got == {("s0", 80), ("s1", 40), ("s2", 80)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_hive_bucketed_dml_and_compaction_keep_layout(engine, spark):
+    """COW DML and whole-dir compaction on the COMPOSED layout: dirs
+    stay complete, the keyed agg stays exchange-free, values exact."""
+    _mk_pb(engine, spark, rows=200)
+    engine.write_table(          # second append → >1 dir per hive leaf
+        spark.range(200, 300).select(
+            F.col("id"), (F.col("id") % 10).alias("k"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+            .alias("src")), "b.pb")
+    engine.sql("DELETE FROM b.pb WHERE id % 7 = 0")
+    engine.sql("UPDATE b.pb SET k = k + 100 WHERE id = 1")
+    expect = {i for i in range(300) if i % 7 != 0}
+    rows = {r.id: (r.k, r.src) for r in
+            engine.read_table("b.pb").collect()}
+    assert set(rows) == expect
+    assert rows[1] == (101, "b") and rows[2] == (2, "a")
+    tdef = engine.catalog.describe_table(engine._txn(), "b", "pb")
+    by_dir: dict[str, list] = {}
+    for f in tdef.data_files:
+        by_dir.setdefault(f.path.rsplit("/", 1)[0], []).append(f)
+    for g in by_dir.values():
+        assert g[0].dir_files == len(g) > 0
+    # two more appends → several small dirs per hive leaf to pack
+    for lo in (300, 400):
+        engine.write_table(
+            spark.range(lo, lo + 100).select(
+                F.col("id"), (F.col("id") % 10).alias("k"),
+                F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+                .alias("src")), "b.pb")
+        expect |= set(range(lo, lo + 100))
+    saved = engine.compact_small_files("b.pb")
+    assert saved > 0
+    agg = engine.read_table("b.pb").groupBy("k").agg(F.count("*"))
+    assert "Exchange" not in _plan_of(agg, spark)
+    assert engine.read_table("b.pb").count() == len(expect)
 
 
 def test_bucket_column_rename_rekeys_and_drop_refuses(engine, spark):
@@ -312,9 +397,9 @@ def test_exact_dml_row_counts_on_bucketed_tables(engine, spark):
 
 def test_half_registered_shadow_repairs_on_next_read(engine, spark):
     """Review r10 pass-2 #1: a shadow whose partition registration
-    failed midway must not be served as complete — the unmarked-exists
-    path re-runs the idempotent batched ADD IF NOT EXISTS and repairs.
-    Simulated by dropping one partition and clearing the process mark
+    failed midway must not be served as complete — the unmarked dirs
+    re-run the idempotent batched ADD IF NOT EXISTS and repair.
+    Simulated by dropping one partition and clearing the process marks
     (exactly the state a mid-registration crash leaves)."""
     from olympia_spark import engine as engine_mod
     _mk(engine, spark)
@@ -325,9 +410,85 @@ def test_half_registered_shadow_repairs_on_next_read(engine, spark):
               if spark.table(t).count() == 600]
     assert target
     name = target[0]
-    spark.sql(f"ALTER TABLE `{name}` DROP PARTITION (__olympia_era='1')")
-    engine_mod._SHADOWS_COMPLETE.clear()             # fresh-process view
-    assert engine.read_table("b.o").count() == 600   # repaired, not 300
+    part = spark.sql(f"SHOW PARTITIONS `{name}`").first()[0]
+    era = part.split("__olympia_era=")[1]
+    spark.sql(f"ALTER TABLE `{name}` "
+              f"DROP PARTITION (__olympia_era='{era}')")
+    engine_mod._SHADOW_DIRS.clear()                  # fresh-process view
+    assert engine.read_table("b.o").count() == 600   # repaired, not less
+
+
+def test_one_shadow_per_table_and_incremental_appends(
+        engine, spark, monkeypatch):
+    """r10 VERDICT #3: ONE shadow per (table, spec, schema) — appends
+    must not mint new session-catalog tables — and registration after
+    an append ADDs only the NEW dirs (O(new dirs), not a full replay).
+    The trailing no-new-dirs read issues no DDL at all."""
+    _mk(engine, spark)                               # 3 write dirs
+
+    def shadow_count():
+        return len([t.name for t in spark.catalog.listTables()
+                    if t.name.startswith("olympia_bucketed_")])
+
+    assert engine.read_table("b.o").count() == 600
+    base = shadow_count()
+    adds: list[str] = []
+    orig = spark.sql
+
+    def spy(q, *a, **kw):
+        if "ADD IF NOT EXISTS" in q:
+            adds.append(q)
+        return orig(q, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", spy)
+    engine.write_table(
+        spark.range(600, 650).select(
+            F.col("id").alias("ok"), (F.col("id") % 50).alias("ck"),
+            F.lit(0.0).alias("v")), "b.o")
+    assert engine.read_table("b.o").count() == 650
+    assert shadow_count() == base                    # same shadow reused
+    assert len(adds) == 1 and adds[0].count("PARTITION") == 1, adds
+    adds.clear()
+    assert engine.read_table("b.o").count() == 650   # all dirs vouched
+    assert adds == []
+    # the accreted shadow serves OLD snapshots through the era filter:
+    # both reads stay exchange-free
+    agg = engine.read_table("b.o").groupBy("ck").agg(F.count("*"))
+    assert "Exchange" not in _plan_of(agg, spark)
+
+
+def test_vacuumed_bucketed_dir_fails_loud_not_silently_empty(
+        engine, spark, tmp_path):
+    """ADVICE r10 (medium): a bucketed snapshot whose files were
+    deleted out from under it (VACUUM of an expired version) must NOT
+    silently read as empty partitions — registration re-verifies the
+    on-disk count, downgrades to the tracked-path plain scan, and THAT
+    fails loudly on the missing file."""
+    import os
+    from olympia_spark import engine as engine_mod
+    _mk(engine, spark)
+    tdef = engine.catalog.describe_table(engine._txn(), "b", "o")
+    victim = engine._abs(tdef.data_files[0].path)
+    os.remove(victim)
+    engine_mod._SHADOW_DIRS.clear()    # next read re-verifies each dir
+    with pytest.raises(Exception):
+        engine.read_table("b.o").count()
+
+
+def test_quoted_warehouse_path_downgrades_not_breaks(spark, tmp_path):
+    """ADVICE r10: a warehouse path containing a single quote cannot be
+    embedded in shadow DDL — the read refuses the fast path (plain
+    scan, exact values) instead of emitting broken SQL."""
+    eng = Engine(spark, str(tmp_path / "it's wh"))
+    eng.sql("CREATE NAMESPACE q")
+    eng.sql("CREATE TABLE q.t (k BIGINT, v DOUBLE) "
+            "CLUSTERED BY (k) INTO 4 BUCKETS")
+    eng.write_table(
+        spark.range(50).select(F.col("id").alias("k"),
+                               (F.col("id") * 2.0).alias("v")), "q.t")
+    df = eng.read_table("q.t")
+    assert df.count() == 50
+    assert df.agg(F.sum("v")).first()[0] == sum(i * 2.0 for i in range(50))
 
 
 def test_duplicate_bucket_columns_refused(engine, spark):
