@@ -17,7 +17,8 @@ from olympia_spark.catalog import locations as loc
 from olympia_spark.catalog import transactions as txns
 from olympia_spark.catalog.actions import Action, ActionType
 from olympia_spark.catalog.defs import (CatalogDef, NamespaceDef, TableDef,
-                                        ViewDef, from_json, to_json)
+                                        ViewDef, read_def,
+                                        write_def)
 from olympia_spark.catalog.errors import (NamespaceNotEmptyError,
                                           ObjectAlreadyExistsError,
                                           ObjectNotFoundError)
@@ -40,6 +41,14 @@ class Catalog:
         self.storage = storage
         self.catalog_def = catalog_def
         self.catalog_def_path = catalog_def_path
+        # every def this catalog writes uses the format its own def
+        # uses — a reference-written (.binpb) catalog STAYS reference-
+        # format under our DDL/DML, so the Java reference can keep
+        # reading it
+        self.def_suffix = (loc.BINPB_FILE_SUFFIX
+                           if catalog_def_path.endswith(
+                               loc.BINPB_FILE_SUFFIX)
+                           else loc.DEF_FILE_SUFFIX)
         self.tree = Tree(
             storage, order=catalog_def.order,
             node_file_max_size_bytes=catalog_def.node_file_max_size_bytes)
@@ -59,16 +68,24 @@ class Catalog:
 
     @classmethod
     def create(cls, location: str | Storage,
-               catalog_def: CatalogDef | None = None) -> "Catalog":
+               catalog_def: CatalogDef | None = None,
+               def_format: str = "json") -> "Catalog":
         """A2 — write CatalogDef + empty root v0 + latest hint
-        (Olympia.java:53-63)."""
+        (Olympia.java:53-63). ``def_format="binpb"`` creates a
+        REFERENCE-format catalog: every def file (this one and all
+        later namespace/table/view/dtxn defs) is written as proto3
+        wire bytes under the reference's .binpb suffix
+        (ObjectDefinitions.java, proto_io.py) — readable by the Java
+        reference in place."""
         storage = (location if isinstance(location, Storage)
                    else storage_for(location))
         if cls.exists(storage):
             raise ObjectAlreadyExistsError(f"catalog at {storage.root}")
         cdef = catalog_def or CatalogDef()
-        def_path = loc.new_catalog_def_path()
-        storage.write_atomic(def_path, to_json(cdef))
+        suffix = (loc.BINPB_FILE_SUFFIX if def_format == "binpb"
+                  else loc.DEF_FILE_SUFFIX)
+        def_path = loc.new_catalog_def_path(suffix)
+        storage.write_atomic(def_path, write_def(cdef, def_path))
         tree = Tree(storage, order=cdef.order)
         root = RootNode(catalog_def_path=def_path)
         tree.write_root(root, 0)
@@ -81,7 +98,8 @@ class Catalog:
                    else storage_for(location))
         tree = Tree(storage)
         root = tree.load_latest_root()
-        cdef = from_json(storage.read_cached(root.catalog_def_path))
+        cdef = read_def(storage.read_cached(root.catalog_def_path),
+                        root.catalog_def_path)
         tree.order = cdef.order
         return cls(storage, cdef, root.catalog_def_path)
 
@@ -104,25 +122,29 @@ class Catalog:
         return txns.commit(txn)
 
     def save_dist_transaction(self, txn: Transaction) -> str:
-        return txns.save_dist_transaction(txn)
+        return txns.save_dist_transaction(txn, self.def_suffix)
 
     def load_dist_transaction(self, txn_id: str) -> Transaction:
-        txn = txns.load_dist_transaction(self.tree, txn_id)
+        txn = txns.load_dist_transaction(self.tree, txn_id,
+                                         self.def_suffix)
         # install payload-replay ops so resolvable conflicts roll forward
         for action in list(txn.write_actions):
             txn.ops.append(self._payload_replay_op(action))
         return txn
 
     def dist_transaction_exists(self, txn_id: str) -> bool:
-        return txns.dist_transaction_exists(self.tree, txn_id)
+        return txns.dist_transaction_exists(self.tree, txn_id,
+                                            self.def_suffix)
 
     def list_dist_transactions(self) -> list[str]:
         """sys.dtxns virtualization support (A36)."""
         out = []
         for path in self.storage.list(loc.DIST_TXN_DEF_DIR + "/"):
             name = path.rsplit("/", 1)[-1]
-            if name.endswith(loc.DEF_FILE_SUFFIX):
-                out.append(name[:-len(loc.DEF_FILE_SUFFIX)])
+            for sfx in (loc.DEF_FILE_SUFFIX, loc.BINPB_FILE_SUFFIX):
+                if name.endswith(sfx):
+                    out.append(name[:-len(sfx)])
+                    break
         return out
 
     # --- key helpers --------------------------------------------------------
@@ -164,7 +186,7 @@ class Catalog:
         path = self.tree.search(txn.running_root, key)
         if path is None:
             raise ObjectNotFoundError(f"namespace {ns}")
-        return from_json(self.storage.read_cached(path))
+        return read_def(self.storage.read_cached(path), path)
 
     def create_namespace(self, txn: Transaction, ns: str,
                          properties: dict | None = None) -> None:
@@ -174,9 +196,11 @@ class Catalog:
         def op(t: Transaction) -> Action:
             if self.tree.search(t.running_root, key) is not None:
                 raise ObjectAlreadyExistsError(f"namespace {ns}")
-            def_path = loc.new_namespace_def_path(ns)
+            def_path = loc.new_namespace_def_path(ns, self.def_suffix)
             self.storage.write_atomic(
-                def_path, to_json(NamespaceDef(properties=properties or {})))
+                def_path,
+                write_def(NamespaceDef(properties=properties or {}),
+                          def_path))
             self.tree.set_value(t.running_root, key, def_path)
             return Action(ActionType.NAMESPACE_CREATE, key)
         txn.apply(op)
@@ -191,10 +215,10 @@ class Catalog:
             cur_path = self.tree.search(t.running_root, key)
             if cur_path is None:
                 raise ObjectNotFoundError(f"namespace {ns}")
-            cur: NamespaceDef = from_json(self.storage.read_cached(cur_path))
+            cur: NamespaceDef = read_def(self.storage.read_cached(cur_path), cur_path)
             cur.properties = dict(properties)
-            def_path = loc.new_namespace_def_path(ns)
-            self.storage.write_atomic(def_path, to_json(cur))
+            def_path = loc.new_namespace_def_path(ns, self.def_suffix)
+            self.storage.write_atomic(def_path, write_def(cur, def_path))
             self.tree.set_value(t.running_root, key, def_path)
             return Action(action_type, key)
         txn.apply(op)
@@ -261,13 +285,23 @@ class Catalog:
         return self.tree.search(txn.running_root, key) is not None
 
     def describe_table(self, txn: Transaction, ns: str, tbl: str) -> TableDef:
-        """A13 (Olympia.java:383-406)."""
+        """A13 (Olympia.java:383-406). A def written by the Java
+        reference is an Iceberg POINTER (proto/objects.proto:58-69 —
+        id + format + ``iceberg_metadata_location``, no tracked files);
+        it is hydrated here IN MEMORY from the Iceberg metadata it
+        points at (schema + live data files + identity-fill constants),
+        never committed — so a reference-written catalog is queryable
+        in place and the reference stays the owner of its metadata."""
         key = self._tbl_key(ns, tbl)
         txn.record_read(Action(ActionType.TABLE_DESCRIBE, key))
         path = self.tree.search(txn.running_root, key)
         if path is None:
             raise ObjectNotFoundError(f"table {ns}.{tbl}")
-        return from_json(self.storage.read_cached(path))
+        tdef = read_def(self.storage.read_cached(path), path)
+        if (tdef.format == "ICEBERG" and not tdef.data_files
+                and not tdef.schema_json and tdef.metadata_location):
+            _hydrate_iceberg_pointer(tdef)
+        return tdef
 
     def create_table(self, txn: Transaction, ns: str, tbl: str,
                      table_def: TableDef) -> None:
@@ -280,8 +314,9 @@ class Catalog:
                 raise ObjectNotFoundError(f"namespace {ns}")
             if self.tree.search(t.running_root, key) is not None:
                 raise ObjectAlreadyExistsError(f"table {ns}.{tbl}")
-            def_path = loc.new_table_def_path(ns, tbl)
-            self.storage.write_atomic(def_path, to_json(table_def))
+            def_path = loc.new_table_def_path(ns, tbl, self.def_suffix)
+            self.storage.write_atomic(def_path,
+                                      write_def(table_def, def_path))
             self.tree.set_value(t.running_root, key, def_path)
             return Action(ActionType.TABLE_CREATE, key)
         txn.apply(op)
@@ -298,8 +333,9 @@ class Catalog:
         def op(t: Transaction) -> Action:
             if self.tree.search(t.running_root, key) is None:
                 raise ObjectNotFoundError(f"table {ns}.{tbl}")
-            def_path = loc.new_table_def_path(ns, tbl)
-            self.storage.write_atomic(def_path, to_json(table_def))
+            def_path = loc.new_table_def_path(ns, tbl, self.def_suffix)
+            self.storage.write_atomic(def_path,
+                                      write_def(table_def, def_path))
             self.tree.set_value(t.running_root, key, def_path)
             return Action(action_type, key, payload or {})
         txn.apply(op)
@@ -319,7 +355,7 @@ class Catalog:
             cur_path = self.tree.search(t.running_root, key)
             if cur_path is None:
                 raise ObjectNotFoundError(f"table {ns}.{tbl}")
-            cur: TableDef = from_json(self.storage.read_cached(cur_path))
+            cur: TableDef = read_def(self.storage.read_cached(cur_path), cur_path)
             removed = set(remove_paths)
             cur.data_files = ([f for f in cur.data_files
                                if f.path not in removed] + list(add_files))
@@ -328,8 +364,8 @@ class Catalog:
                 # e.g. streaming micro-batch ids — the idempotency marker
                 # that makes batch replays exactly-once (SURVEY §7)
                 cur.properties.update(extra_properties)
-            def_path = loc.new_table_def_path(ns, tbl)
-            self.storage.write_atomic(def_path, to_json(cur))
+            def_path = loc.new_table_def_path(ns, tbl, self.def_suffix)
+            self.storage.write_atomic(def_path, write_def(cur, def_path))
             self.tree.set_value(t.running_root, key, def_path)
             act_payload = dict(payload) if payload is not None else {
                 "added": [f.path for f in add_files],
@@ -403,7 +439,7 @@ class Catalog:
         path = self.tree.search(txn.running_root, key)
         if path is None:
             raise ObjectNotFoundError(f"view {ns}.{view}")
-        return from_json(self.storage.read_cached(path))
+        return read_def(self.storage.read_cached(path), path)
 
     def create_view(self, txn: Transaction, ns: str, view: str,
                     view_def: ViewDef, replace: bool = False) -> None:
@@ -417,8 +453,9 @@ class Catalog:
             exists = self.tree.search(t.running_root, key) is not None
             if exists and not replace:
                 raise ObjectAlreadyExistsError(f"view {ns}.{view}")
-            def_path = loc.new_view_def_path(ns, view)
-            self.storage.write_atomic(def_path, to_json(view_def))
+            def_path = loc.new_view_def_path(ns, view, self.def_suffix)
+            self.storage.write_atomic(def_path,
+                                      write_def(view_def, def_path))
             self.tree.set_value(t.running_root, key, def_path)
             return Action(ActionType.VIEW_REPLACE if exists
                           else ActionType.VIEW_CREATE, key)
@@ -573,8 +610,9 @@ class Catalog:
         self.catalog_def.exported_snapshots[name] = root_path
         self.catalog_def.properties[
             f"export.{name}.created_at_millis"] = str(int(time.time() * 1000))
-        new_def_path = loc.new_catalog_def_path()
-        self.storage.write_atomic(new_def_path, to_json(self.catalog_def))
+        new_def_path = loc.new_catalog_def_path(self.def_suffix)
+        self.storage.write_atomic(new_def_path,
+                write_def(self.catalog_def, new_def_path))
         self.catalog_def_path = new_def_path
         txn = self.begin()
 
@@ -601,10 +639,11 @@ class Catalog:
         new_props = dict(self.catalog_def.properties)
         mutate(new_props)
         prev_props = self.catalog_def.properties
-        new_def_path = loc.new_catalog_def_path()
+        new_def_path = loc.new_catalog_def_path(self.def_suffix)
         self.catalog_def.properties = new_props
         try:
-            self.storage.write_atomic(new_def_path, to_json(self.catalog_def))
+            self.storage.write_atomic(new_def_path,
+                write_def(self.catalog_def, new_def_path))
             txn = self.begin()
 
             def op(t: Transaction) -> Action:
@@ -677,7 +716,7 @@ class Catalog:
                 cur_path = self.tree.search(t.running_root, key)
                 if cur_path is None:
                     raise ObjectNotFoundError(key)
-                cur: TableDef = from_json(self.storage.read_cached(cur_path))
+                cur: TableDef = read_def(self.storage.read_cached(cur_path), cur_path)
                 have = {f.path for f in cur.data_files}
                 full = {e["path"]: e for e in
                         action.def_payload.get("added_files", [])}
@@ -693,8 +732,9 @@ class Catalog:
                 ns, tbl = loc.parse_table_key(
                     key, self.catalog_def.namespace_name_max_size_bytes,
                     self.catalog_def.table_name_max_size_bytes)
-                def_path_new = loc.new_table_def_path(ns, tbl)
-                self.storage.write_atomic(def_path_new, to_json(cur))
+                def_path_new = loc.new_table_def_path(ns, tbl, self.def_suffix)
+                self.storage.write_atomic(def_path_new,
+                                          write_def(cur, def_path_new))
                 self.tree.set_value(t.running_root, key, def_path_new)
                 return action
             raise CommitConflictError(
@@ -705,3 +745,32 @@ class Catalog:
 
 def now_millis() -> int:
     return int(time.time() * 1000)
+
+
+def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
+    """Materialize a reference-written Iceberg-pointer TableDef for
+    reading: resolve its current snapshot's live files + schema from
+    the Iceberg metadata (the refresh the reference's
+    OlympiaIcebergTableOperations.java:87-119 performs per read).
+    Mutates the in-memory def only. Snapshots carrying v2 delete files
+    refuse loudly — applying them needs a one-time materialization
+    (engine.adopt_iceberg_table), not a silent partial read."""
+    from olympia_spark.catalog import iceberg as il
+    mloc = il.resolve_metadata_location(tdef.metadata_location)
+    meta = il.load_table_metadata(mloc)
+    schema = il.iceberg_schema_to_spark(il.current_schema(meta))
+    snapshot = il.select_snapshot(meta, None)
+    entries, deletes = (il.live_files(snapshot) if snapshot
+                        else ([], []))
+    if deletes:
+        raise ValueError(
+            f"Iceberg pointer {tdef.metadata_location} carries v2 "
+            f"delete files; adopt it explicitly "
+            f"(adopt_iceberg_table applies the deletes once)")
+    files, ident_fill = il.adopted_files(meta, schema, entries)
+    tdef.schema_json = schema.json()
+    tdef.data_files = files
+    if ident_fill:
+        tdef.properties.setdefault("iceberg.identity_fill", ident_fill)
+    tdef.properties.setdefault("iceberg.format-version",
+                               str(meta.get("format-version", 1)))

@@ -206,6 +206,29 @@ def from_json(data: bytes):
     return obj
 
 
+# --- suffix-dispatched codec (reference .binpb interop, proto_io.py) ---------
+
+def read_def(data: bytes, path: str):
+    """Decode a def file by its path suffix: ``.binpb`` (what the Java
+    reference writes — ObjectDefinitions.java, FileLocations.java:43)
+    through the hand-rolled proto3 codec, anything else as our JSON
+    lane. The ONE read chokepoint, so a reference-written catalog is
+    readable in place."""
+    if path.endswith(".binpb"):
+        from olympia_spark.catalog import proto_io
+        return proto_io.decode_def(data, path)
+    return from_json(data)
+
+
+def write_def(obj, path: str) -> bytes:
+    """Encode a def for the given target path (suffix-dispatched, the
+    inverse of :func:`read_def`)."""
+    if path.endswith(".binpb"):
+        from olympia_spark.catalog import proto_io
+        return proto_io.encode_def(obj)
+    return to_json(obj)
+
+
 # --- type mapping (SURVEY §1.3) ---------------------------------------------
 
 # Olympia Column.DataType name -> constructor of Spark type

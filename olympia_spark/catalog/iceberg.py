@@ -479,3 +479,50 @@ def resolve_metadata_location(table_location: str) -> str:
             return -1
 
     return os.path.join(mdir, max(cands, key=lambda n: (_version(n), n)))
+
+
+def adopted_files(meta: dict, schema, entries: list) -> tuple[list, str]:
+    """DataFile entries (+ the identity-fill column csv) for an Iceberg
+    snapshot's live data files — the shared adoption step behind BOTH
+    the explicit adopt lane (engine.adopt_iceberg_table, B66) and the
+    in-place hydration of reference-written pointer defs
+    (catalog.describe_table ← proto_io interop, B112).
+
+    Identity-transform partition values become exact ``[v, v]`` file
+    stats so catalog-side predicate pruning works on adopted files too
+    — restricted to int/long/string/date source columns (other types
+    surface as raw ordinals in the manifest, which would mis-compare
+    against predicate literals); date ordinals are converted to the
+    ISO strings native hive-partition stats use. The returned csv names
+    the identity source columns data files MAY omit (Iceberg spec:
+    readers supply the manifest partition value as a per-file
+    constant) — the scan coalesce-fills them per file."""
+    from olympia_spark.catalog.defs import DataFile
+
+    specs = {s.get("spec-id"): s.get("fields", [])
+             for s in meta.get("partition-specs", [])}
+    spec_fields = specs.get(meta.get("default-spec-id"),
+                            meta.get("partition-spec", []))
+    by_name = {f.name: f.dataType.typeName() for f in schema.fields}
+    ident_cols = {
+        f["name"] for f in spec_fields
+        if f.get("transform") == "identity"
+        and by_name.get(f["name"]) in ("integer", "long", "string",
+                                       "date")}
+
+    def statv(c: str, v):
+        if by_name.get(c) == "date" and isinstance(v, int):
+            import datetime as _dt
+            return (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+        return v
+
+    files = []
+    for e in entries:
+        stats = {c: [statv(c, e["partition"][c]),
+                     statv(c, e["partition"][c])]
+                 for c in ident_cols if c in e["partition"]
+                 and e["partition"][c] is not None}
+        files.append(DataFile(
+            path=e["file_path"], num_rows=e["record_count"],
+            size_bytes=e["file_size_in_bytes"], stats=stats))
+    return files, ",".join(sorted(ident_cols))

@@ -34,6 +34,9 @@ VIEW_DEF_DIR = f"{DEF_DIR}/view"
 DIST_TXN_DEF_DIR = f"{DEF_DIR}/dtxn"
 
 DEF_FILE_SUFFIX = ".json"
+# reference FileLocations.java:43 PROTOBUF_BINARY_FILE_SUFFIX — def
+# files in a reference-format catalog (proto_io.py interop lane)
+BINPB_FILE_SUFFIX = ".binpb"
 ARROW_FILE_SUFFIX = ".arrow"
 
 _VERSION_BITS = 64
@@ -84,24 +87,27 @@ def new_node_path() -> str:
     return f"{NODE_DIR}/{uuid.uuid4()}{ARROW_FILE_SUFFIX}"
 
 
-def new_catalog_def_path() -> str:
-    return f"{CATALOG_DEF_DIR}/{uuid.uuid4()}{DEF_FILE_SUFFIX}"
+def new_catalog_def_path(suffix: str = DEF_FILE_SUFFIX) -> str:
+    return f"{CATALOG_DEF_DIR}/{uuid.uuid4()}{suffix}"
 
 
-def new_namespace_def_path(namespace: str) -> str:
-    return f"{NAMESPACE_DEF_DIR}/{uuid.uuid4()}-{namespace}{DEF_FILE_SUFFIX}"
+def new_namespace_def_path(namespace: str,
+                           suffix: str = DEF_FILE_SUFFIX) -> str:
+    return f"{NAMESPACE_DEF_DIR}/{uuid.uuid4()}-{namespace}{suffix}"
 
 
-def new_table_def_path(namespace: str, table: str) -> str:
-    return f"{TABLE_DEF_DIR}/{uuid.uuid4()}-{namespace}-{table}{DEF_FILE_SUFFIX}"
+def new_table_def_path(namespace: str, table: str,
+                       suffix: str = DEF_FILE_SUFFIX) -> str:
+    return f"{TABLE_DEF_DIR}/{uuid.uuid4()}-{namespace}-{table}{suffix}"
 
 
-def new_view_def_path(namespace: str, view: str) -> str:
-    return f"{VIEW_DEF_DIR}/{uuid.uuid4()}-{namespace}-{view}{DEF_FILE_SUFFIX}"
+def new_view_def_path(namespace: str, view: str,
+                      suffix: str = DEF_FILE_SUFFIX) -> str:
+    return f"{VIEW_DEF_DIR}/{uuid.uuid4()}-{namespace}-{view}{suffix}"
 
 
-def dist_txn_def_path(txn_id: str) -> str:
-    return f"{DIST_TXN_DEF_DIR}/{txn_id}{DEF_FILE_SUFFIX}"
+def dist_txn_def_path(txn_id: str, suffix: str = DEF_FILE_SUFFIX) -> str:
+    return f"{DIST_TXN_DEF_DIR}/{txn_id}{suffix}"
 
 
 # --- object key encoding ----------------------------------------------------

@@ -28,7 +28,8 @@ from dataclasses import dataclass, field
 from olympia_spark.catalog import locations as loc
 from olympia_spark.catalog.actions import (NO_CONFLICT, UNRESOLVABLE, Action,
                                            analyze_all)
-from olympia_spark.catalog.defs import DistTransactionDef, from_json, to_json
+from olympia_spark.catalog.defs import (DistTransactionDef, read_def,
+                                        write_def)
 from olympia_spark.catalog.errors import (CommitConflictError,
                                           StorageAtomicSealFailureError,
                                           TransactionValueError)
@@ -155,7 +156,8 @@ def _resolve_or_raise(txn: Transaction, lost_version: int) -> None:
 
 # --- distributed transactions (A5) ------------------------------------------
 
-def save_dist_transaction(txn: Transaction) -> str:
+def save_dist_transaction(txn: Transaction,
+                          suffix: str = loc.DEF_FILE_SUFFIX) -> str:
     """Persist the handle: running tree nodes (unversioned root at a
     node/ path) + DistTransactionDef (Olympia.java:130-147)."""
     tree = txn.tree
@@ -174,22 +176,26 @@ def save_dist_transaction(txn: Transaction) -> str:
         began_at_millis=txn.began_at_millis,
         expire_at_millis=txn.began_at_millis + txn.ttl_millis,
         actions=[[a.object_key, a.to_json()] for a in txn.actions])
-    path = loc.dist_txn_def_path(txn.id)
-    tree.storage.overwrite(path, to_json(d))
+    path = loc.dist_txn_def_path(txn.id, suffix)
+    tree.storage.overwrite(path, write_def(d, path))
     return path
 
 
-def dist_transaction_exists(tree: Tree, txn_id: str) -> bool:
-    return tree.storage.exists(loc.dist_txn_def_path(txn_id))
+def dist_transaction_exists(tree: Tree, txn_id: str,
+                            suffix: str = loc.DEF_FILE_SUFFIX) -> bool:
+    return tree.storage.exists(loc.dist_txn_def_path(txn_id, suffix))
 
 
-def load_dist_transaction(tree: Tree, txn_id: str) -> Transaction:
+def load_dist_transaction(tree: Tree, txn_id: str,
+                          suffix: str = loc.DEF_FILE_SUFFIX
+                          ) -> Transaction:
     """Resume in any process (Olympia.java:149-169). Replay closures are
     process-local and cannot be serialized, so a resumed transaction that
     loses its CAS replays from the *action payloads* instead (the catalog
     layer installs payload-replay ops for the write actions it knows how
     to re-apply; anything else makes a lost CAS unresolvable)."""
-    d = from_json(tree.storage.read(loc.dist_txn_def_path(txn_id)))
+    dpath = loc.dist_txn_def_path(txn_id, suffix)
+    d = read_def(tree.storage.read(dpath), dpath)
     beginning = tree.load_root(d.beginning_root_path)
     running = RootNode(path=d.running_root_path)
     tree._parse(tree._read_table(d.running_root_path), running)

@@ -1183,51 +1183,16 @@ class Engine:
                 name, mloc, meta, snapshot, schema, entries, deletes,
                 as_native=as_native)
 
-        # identity-transform partition values become [v, v] file stats so
-        # the catalog's predicate pruning works on adopted files too —
-        # restricted to int/long/string source columns (date/time values
-        # surface as raw ordinals in the manifest, which would mis-compare
-        # against predicate literals)
-        specs = {s.get("spec-id"): s.get("fields", [])
-                 for s in meta.get("partition-specs", [])}
-        spec_fields = specs.get(meta.get("default-spec-id"),
-                                meta.get("partition-spec", []))
-        by_name = {f.name: f.dataType.typeName() for f in schema.fields}
-        ident_cols = {
-            f["name"] for f in spec_fields
-            if f.get("transform") == "identity"
-            and by_name.get(f["name"]) in ("integer", "long", "string",
-                                           "date")}
-
-        def statv(c: str, v):
-            # date identity values arrive as epoch-day ordinals; stats
-            # store ISO strings (the exact form native hive-partition
-            # stats use, so pruning comparisons stay consistent)
-            if by_name.get(c) == "date" and isinstance(v, int):
-                import datetime as _dt
-                return (_dt.date(1970, 1, 1)
-                        + _dt.timedelta(days=v)).isoformat()
-            return v
-
-        files = []
-        for e in entries:
-            stats = {c: [statv(c, e["partition"][c]),
-                         statv(c, e["partition"][c])]
-                     for c in ident_cols if c in e["partition"]
-                     and e["partition"][c] is not None}
-            files.append(DataFile(
-                path=e["file_path"], num_rows=e["record_count"],
-                size_bytes=e["file_size_in_bytes"], stats=stats))
-        # identity source columns MAY be omitted from data files (spec:
-        # readers use the manifest partition value as a per-file
-        # constant — the Hive-migration layout, and what our own
-        # identity export emits). Record which columns carry manifest
-        # constants; _scan coalesce-fills them PER FILE from the stats,
-        # so a file that DOES store the column keeps its in-file values
-        # and a file whose partition value is NULL simply has no stats
-        # row and reads NULL — one null-valued file must not disable
-        # the fill for every other file of the column.
-        ident_fill = ",".join(sorted(ident_cols))
+        # identity-transform partition values become [v, v] file stats
+        # ([shared with pointer-def hydration] iceberg.adopted_files);
+        # ident_fill names the identity source columns data files MAY
+        # omit (spec: readers use the manifest partition value as a
+        # per-file constant — the Hive-migration layout, and what our
+        # own identity export emits). _scan coalesce-fills them PER
+        # FILE from the stats, so a file that DOES store the column
+        # keeps its in-file values and a file whose partition value is
+        # NULL simply has no stats row and reads NULL.
+        files, ident_fill = il.adopted_files(meta, schema, entries)
 
         prev = ""
         if meta.get("metadata-log"):
@@ -4141,7 +4106,7 @@ class Engine:
         expired versions). Only files under data/ are considered — node
         and def files belong to the version-expiry path."""
         from olympia_spark.catalog import locations as loc
-        from olympia_spark.catalog.defs import from_json
+        from olympia_spark.catalog.defs import read_def
         referenced: set[str] = set()
 
         def collect(root) -> None:
@@ -4149,7 +4114,8 @@ class Engine:
                 if not def_path.startswith(loc.TABLE_DEF_DIR):
                     continue
                 try:
-                    tdef = from_json(self.catalog.storage.read(def_path))
+                    tdef = read_def(
+                        self.catalog.storage.read(def_path), def_path)
                 except Exception:  # noqa: BLE001 — expired def file
                     continue
                 if isinstance(tdef, TableDef):
@@ -4528,11 +4494,12 @@ class Engine:
         """`sys.dtxns` — the catalog itself as a queryable table
         (docs/iceberg.md:73-179)."""
         from olympia_spark.catalog import locations as loc
-        from olympia_spark.catalog.defs import from_json
+        from olympia_spark.catalog.defs import read_def
         rows = []
         for txn_id in self.catalog.list_dist_transactions():
-            d = from_json(self.catalog.storage.read(
-                loc.dist_txn_def_path(txn_id)))
+            dpath = loc.dist_txn_def_path(
+                txn_id, self.catalog.def_suffix)
+            d = read_def(self.catalog.storage.read(dpath), dpath)
             rows.append((d.id, d.isolation_level, d.began_at_millis,
                          d.expire_at_millis, len(d.actions)))
         schema = ("txn_id string, isolation_level string, "

@@ -1,0 +1,348 @@
+"""Reference protobuf def-file interop (round 11, VERDICT r10 #4).
+
+Covers three layers:
+1. the hand-rolled proto3 wire codec — GOLDEN BYTES hand-derived from
+   the proto3 encoding spec against the reference's defaults
+   (ObjectDefinitions.java:33-48), plus an independent in-test wire
+   walker that shares no code with the codec;
+2. dataclass round-trips for every def type (nested schema types,
+   maps, unknown-field skipping);
+3. catalog-level: a .binpb catalog is created, mutated and reloaded
+   with every def file staying reference-format, and a
+   reference-style Iceberg POINTER table def hydrates at describe
+   time and serves rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from olympia_spark.catalog import proto_io as pio
+from olympia_spark.catalog.catalog import Catalog
+from olympia_spark.catalog.defs import (CatalogDef, DataFile,
+                                        DistTransactionDef, NamespaceDef,
+                                        TableDef, ViewDef)
+
+# --- 1. golden wire bytes ------------------------------------------------------
+
+
+def test_catalog_def_golden_bytes_reference_defaults():
+    """CatalogDef with the reference's defaults
+    (ObjectDefinitions.java:71-82: order 128, name maxes 100, node max
+    1 MiB, ttl 3 days, SNAPSHOT isolation) — bytes hand-derived from
+    the proto3 spec: proto3 omits default-valued scalars
+    (major_version 0, isolation SNAPSHOT=0), varints are LEB128."""
+    d = CatalogDef(id="c0ffee")
+    got = pio.encode_catalog_def(d)
+    expect = bytes([
+        0x0A, 0x06, *b"c0ffee",          # 1: id
+        0x18, 0x80, 0x01,                # 3: order = 128
+        0x20, 0x64,                      # 4: ns name max = 100
+        0x28, 0x64,                      # 5: table name max = 100
+        0x30, 0x64,                      # 6: view name max = 100
+        0x38, 0x80, 0x80, 0x40,          # 7: node max = 1048576
+        0x48, 0x80, 0xA8, 0xCC, 0x7B,    # 9: ttl = 259200000 (3 days)
+    ])
+    assert got == expect
+    back = pio.decode_catalog_def(got)
+    assert back.order == 128 and back.txn_ttl_millis == 259_200_000
+    assert back.txn_isolation_level == "SNAPSHOT"
+    assert back.node_file_max_size_bytes == 1_048_576
+
+
+def test_pointer_table_def_golden_bytes():
+    """A reference-written table def is id + metadata location only
+    (objects.proto:58-69; table_format ICEBERG=0 omitted per proto3)."""
+    d = TableDef(id="t1", format="ICEBERG", schema_json="",
+                 metadata_location="/tmp/m.metadata.json")
+    got = pio.encode_table_def(d)
+    expect = (bytes([0x0A, 0x02]) + b"t1"
+              + bytes([0x22, 0x14]) + b"/tmp/m.metadata.json")
+    assert got == expect
+    back = pio.decode_table_def(got)
+    assert back.format == "ICEBERG"
+    assert back.metadata_location == "/tmp/m.metadata.json"
+    assert back.data_files == [] and back.schema_json == ""
+
+
+def test_namespace_def_golden_bytes_with_property():
+    d = NamespaceDef(id="n1", properties={"owner": "ref"})
+    got = pio.encode_namespace_def(d)
+    expect = (bytes([0x0A, 0x02]) + b"n1"
+              + bytes([0x12, 0x0C])            # 2: map entry, len 12
+              + bytes([0x0A, 0x05]) + b"owner"
+              + bytes([0x12, 0x03]) + b"ref")
+    assert got == expect
+    assert pio.decode_namespace_def(got).properties == {"owner": "ref"}
+
+
+def _walk_wire(data: bytes) -> list[tuple[int, int, object]]:
+    """Independent minimal proto3 walker (shares NO code with the
+    codec): list of (field, wire_type, payload)."""
+    out, pos = [], 0
+
+    def vint(p):
+        v = s = 0
+        while True:
+            b = data[p]
+            p += 1
+            v |= (b & 0x7F) << s
+            if not b & 0x80:
+                return v, p
+            s += 7
+
+    while pos < len(data):
+        key, pos = vint(pos)
+        f, w = key >> 3, key & 7
+        if w == 0:
+            v, pos = vint(pos)
+            out.append((f, w, v))
+        elif w == 2:
+            ln, pos = vint(pos)
+            out.append((f, w, bytes(data[pos:pos + ln])))
+            pos += ln
+        else:
+            raise AssertionError(f"unexpected wire type {w}")
+    return out
+
+
+def test_encoded_fields_verified_by_independent_walker():
+    d = CatalogDef(id="x", txn_isolation_level="SERIALIZABLE",
+                   properties={"a": "1", "b": "2"},
+                   exported_snapshots={"snap": "vn/000"})
+    fields = _walk_wire(pio.encode_catalog_def(d))
+    by_num = {}
+    for f, _w, v in fields:
+        by_num.setdefault(f, []).append(v)
+    assert by_num[1] == [b"x"]
+    assert by_num[10] == [1]                       # SERIALIZABLE
+    assert len(by_num[8]) == 2 and len(by_num[11]) == 1
+    # map entry payloads are themselves {1: key, 2: value} messages
+    entry = _walk_wire(by_num[11][0])
+    assert (1, 2, b"snap") in entry and (2, 2, b"vn/000") in entry
+    # ascending field order (protobuf-java canonical serialization)
+    nums = [f for f, _w, _v in fields]
+    assert nums == sorted(nums)
+
+
+def test_unknown_fields_skipped_all_wire_types():
+    base = pio.encode_namespace_def(NamespaceDef(id="k"))
+    # append unknown fields 12-15 covering every wire type we must
+    # skip: varint, len-delim, fixed64, fixed32
+    extra = (bytes([15 << 3 | 0, 0x7F])
+             + bytes([14 << 3 | 2, 0x03]) + b"abc"
+             + bytes([13 << 3 | 1]) + b"\x01" * 8
+             + bytes([12 << 3 | 5]) + b"\x02" * 4)
+    back = pio.decode_namespace_def(base + extra)
+    assert back.id == "k" and back.properties == {}
+
+
+# --- 2. dataclass round-trips --------------------------------------------------
+
+
+def test_native_table_def_round_trips_losslessly():
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.ArrayType(T.DoubleType()))])),
+        T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+    ])
+    d = TableDef(
+        id="tid", format="PARQUET", schema_json=schema.json(),
+        data_files=[DataFile(path="data/a/b/f1.parquet", num_rows=10,
+                             size_bytes=999, stats={"k": [1, 9]},
+                             dir_files=2)],
+        partition_by=["k"], column_mapping={"k": "k0"},
+        retired_columns=["old"], constraints={"c1": "k > 0"},
+        generated_columns={"g": "k + 1"},
+        bucket_by={"columns": ["k"], "num_buckets": 8},
+        properties={"p": "v"}, metadata_location="m1",
+        previous_metadata_location="m0")
+    back = pio.decode_table_def(pio.encode_table_def(d))
+    assert back == d
+
+
+def test_view_def_round_trips_with_nested_schema():
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("arr", T.ArrayType(
+            T.StructType([T.StructField("x", T.DateType())])), True),
+    ])
+    d = ViewDef(id="v1", sql_text="SELECT 1 AS n", plan_ir_json="{}",
+                schema_json=schema.json(), default_namespace="ns1",
+                referenced_objects=["ns1.t1", "ns2.t2"],
+                schema_binding=True, properties={"comment": "hi"})
+    back = pio.decode_view_def(pio.encode_view_def(d))
+    # nullability survives; nested types map through the Olympia enum
+    # (INT4/DATE/LIST/STRUCT), so exact type identity is asserted
+    assert back.schema_json == d.schema_json
+    assert back.sql_text == d.sql_text
+    assert back.referenced_objects == d.referenced_objects
+    assert back.schema_binding and back.default_namespace == "ns1"
+    assert back.properties == d.properties
+
+
+def test_reference_view_def_substrait_payload_preserved():
+    """A view written by the reference carries Substrait bytes we can't
+    execute — they must survive a decode/encode round-trip bit-exact
+    (documented deviation: preserved, not executable)."""
+    raw = pio.encode_message("ViewDef", {
+        "id": "rv", "schema_binding": 1,
+        "substrait_read_rel": b"\x01\x02\xFF substrait"})
+    v = pio.decode_view_def(raw)
+    assert v.sql_text == ""            # nothing executable
+    assert pio.encode_view_def(v) == raw
+
+
+def test_dist_txn_round_trip_and_reference_parse_of_actions_field():
+    d = DistTransactionDef(
+        id="dt1", isolation_level="SERIALIZABLE",
+        beginning_root_path="vn/0", running_root_path="node/x.arrow",
+        began_at_millis=123, expire_at_millis=456,
+        actions=[["k1", "{\"type\": \"TABLE_CREATE\"}"]])
+    enc = pio.encode_dist_txn_def(d)
+    assert pio.decode_dist_txn_def(enc) == d
+    # the reference's parser (objects.proto:89-96) would skip field 100:
+    # the walker sees it as an ordinary unknown length-delimited field
+    # and the REMAINING fields decode to the same values
+    fields = {f: v for f, _w, v in _walk_wire(enc)}
+    assert fields[1] == b"dt1" and fields[2] == 1
+    assert fields[5] == 123 and fields[6] == 456
+    assert 100 in fields               # our extension rides along
+
+
+def test_varint_negative_refused():
+    with pytest.raises(ValueError, match="negative"):
+        pio.encode_message("CatalogDef", {"order": -1})
+
+
+@pytest.mark.parametrize("n", [0, 1, 127, 128, 300, 2 ** 21,
+                               2 ** 32 - 1, 2 ** 63 - 1])
+def test_varint_boundaries_round_trip(n):
+    d = CatalogDef(id="b", node_file_max_size_bytes=n)
+    assert pio.decode_catalog_def(
+        pio.encode_catalog_def(d)).node_file_max_size_bytes == n
+
+
+def test_hypothesis_namespace_def_round_trip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    text = st.text(min_size=0, max_size=40)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(min_size=1, max_size=60),
+           st.dictionaries(text.filter(bool), text, max_size=8))
+    def check(nid, props):
+        d = NamespaceDef(id=nid, properties=props)
+        assert pio.decode_namespace_def(
+            pio.encode_namespace_def(d)) == d
+
+    check()
+
+
+# --- 3. catalog level -----------------------------------------------------------
+
+
+def _def_files(root: str) -> list[str]:
+    return [p for p in glob.glob(os.path.join(root, "def", "**", "*"),
+                                 recursive=True) if os.path.isfile(p)]
+
+
+def test_binpb_catalog_end_to_end(spark, tmp_path):
+    """A def_format='binpb' catalog: every def file written by DDL/DML
+    through the ENGINE carries the reference suffix + parses with the
+    proto codec; reload from disk round-trips; values are exact."""
+    from pyspark.sql import functions as F
+
+    from olympia_spark.engine import Engine
+    wh = str(tmp_path / "refwh")
+    Catalog.create(wh, def_format="binpb")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE NAMESPACE interop")
+    eng.sql("CREATE TABLE interop.t (k BIGINT, v DOUBLE)")
+    eng.write_table(
+        spark.range(20).select(F.col("id").alias("k"),
+                               (F.col("id") * 0.5).alias("v")),
+        "interop.t")
+    eng.sql("DELETE FROM interop.t WHERE k >= 15")
+    eng.sql("CREATE VIEW interop.w AS SELECT k FROM interop.t "
+            "WHERE k < 5")
+    files = _def_files(wh)
+    assert files and all(f.endswith(".binpb") for f in files)
+    # every def parses with the proto codec (path-dispatched)
+    for f in files:
+        rel = os.path.relpath(f, wh)
+        obj = pio.decode_def(open(f, "rb").read(), rel)
+        assert obj is not None
+    # a FRESH process view (reload from disk only)
+    eng2 = Engine(spark, wh)
+    assert eng2.catalog.def_suffix == ".binpb"
+    got = eng2.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM interop.t") \
+        .first()
+    assert (got.n, got.s) == (15, sum(i * 0.5 for i in range(15)))
+    assert eng2.sql("SELECT COUNT(*) AS n FROM interop.w").first().n == 5
+
+
+def test_binpb_catalog_dist_txn_save_load(tmp_path):
+    wh = str(tmp_path / "refwh2")
+    cat = Catalog.create(wh, def_format="binpb")
+    txn = cat.begin()
+    cat.create_namespace(txn, "n1", {"p": "1"})
+    path = cat.save_dist_transaction(txn)
+    assert path.endswith(".binpb")
+    txn_id = txn.id
+    assert cat.dist_transaction_exists(txn_id)
+    assert txn_id in cat.list_dist_transactions()
+    resumed = cat.load_dist_transaction(txn_id)
+    cat.commit(resumed)
+    probe = cat.begin(read_only=True)
+    assert cat.describe_namespace(probe, "n1").properties == {"p": "1"}
+    dtxn_files = glob.glob(os.path.join(wh, "def", "dtxn", "*"))
+    assert dtxn_files and all(f.endswith(".binpb") for f in dtxn_files)
+
+
+def test_reference_pointer_table_def_hydrates_and_reads(spark, tmp_path):
+    """THE interop read path: a catalog whose table def is exactly what
+    the Java reference writes (id + iceberg_metadata_location, binpb)
+    serves rows in place — describe_table hydrates schema + files from
+    the Iceberg metadata."""
+    from pyspark.sql import functions as F
+
+    from olympia_spark.engine import Engine
+    # 1. a native engine exports one of its tables as Iceberg metadata
+    src_wh = str(tmp_path / "srcwh")
+    src = Engine(spark, src_wh)
+    src.sql("CREATE NAMESPACE s")
+    src.sql("CREATE TABLE s.t (k BIGINT, v DOUBLE)")
+    src.write_table(
+        spark.range(30).select(F.col("id").alias("k"),
+                               (F.col("id") * 2.0).alias("v")), "s.t")
+    mloc = src.export_iceberg_table("s.t", str(tmp_path / "ice"))
+    # 2. a reference-format catalog holding ONLY the pointer def
+    ref_wh = str(tmp_path / "refwh3")
+    cat = Catalog.create(ref_wh, def_format="binpb")
+    txn = cat.begin()
+    cat.create_namespace(txn, "adopted")
+    cat.create_table(txn, "adopted", "t",
+                     TableDef(format="ICEBERG", schema_json="",
+                              metadata_location=mloc))
+    cat.commit(txn)
+    # the stored def is pointer-minimal (no ext property)
+    tdef_file = glob.glob(
+        os.path.join(ref_wh, "def", "table", "*.binpb"))[0]
+    stored = pio.decode_table_def(open(tdef_file, "rb").read())
+    assert stored.metadata_location == mloc
+    assert "olympia-spark.table_ext" not in stored.properties
+    # 3. read it in place through a fresh engine
+    eng = Engine(spark, ref_wh)
+    got = eng.sql(
+        "SELECT COUNT(*) AS n, SUM(v) AS s FROM adopted.t").first()
+    assert (got.n, got.s) == (30, sum(i * 2.0 for i in range(30)))
+    got2 = eng.sql("SELECT v FROM adopted.t WHERE k = 7").first()
+    assert got2.v == 14.0
