@@ -3305,3 +3305,243 @@ def b111_period_growth(spark: SparkSession, sf: str) -> DataFrame:
             .filter(F.col("prev_n").isNotNull()
                     & (F.col("n") > F.col("prev_n")))
             .orderBy("rf", "mon"))
+
+
+# --- B113 TPC-DS Q47/Q57 shape (moving-average neighbor comparison) ----------
+
+@query("b113_moving_avg_neighbor", oracle="""
+WITH m AS (
+  SELECT l_returnflag AS rf,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT rf, mon, n, prev_n, next_n,
+       CAST(win_sum AS DOUBLE) / win_cnt AS avg_win
+FROM (
+  SELECT rf, mon, n,
+         LAG(n)  OVER (PARTITION BY rf ORDER BY mon) AS prev_n,
+         LEAD(n) OVER (PARTITION BY rf ORDER BY mon) AS next_n,
+         SUM(n)  OVER (PARTITION BY rf ORDER BY mon
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+             AS win_sum,
+         COUNT(n) OVER (PARTITION BY rf ORDER BY mon
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+             AS win_cnt
+  FROM m) t
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n * win_cnt > win_sum
+ORDER BY rf, mon
+""")
+def b113_moving_avg_neighbor(spark: SparkSession, sf: str) -> DataFrame:
+    """B113 — TPC-DS Q47/Q57 signature shape: each period's value
+    compared against the CENTERED moving average of its ±1-row
+    neighborhood, with the neighbors themselves (LAG/LEAD) carried
+    into the output — the monthly-sales-anomaly pattern. Spark-first:
+    all four window expressions (SUM/COUNT over ROWS ±1, LAG, LEAD)
+    share ONE partitioning+ordering, so Catalyst plans a single Window
+    operator over a single sort — one Exchange for the whole
+    neighborhood analysis (plan contract:
+    tests/test_plan_contracts.py::test_b113_single_window_pass), where
+    Q47's literal SQL self-joins the CTE three times (v, lag, lead) and
+    re-shuffles it each time. The above-average filter is EXACT integer
+    arithmetic (n * win_cnt > win_sum) — the double division appears
+    only in the output column, never in the predicate, so boundary
+    rows can't flap between engines. Boundary months (no predecessor
+    or no successor) drop via NULL LAG/LEAD, both engines' SQL
+    semantics."""
+    m = (load(spark, sf, "lineitem")
+         .groupBy(F.col("l_returnflag").alias("rf"),
+                  F.date_trunc("month", F.col("l_shipdate"))
+                  .cast("date").alias("mon"))
+         .agg(F.count("*").cast("long").alias("n")))
+    w = W.partitionBy("rf").orderBy("mon")
+    wavg = w.rowsBetween(-1, 1)
+    return (m.select(
+                "rf", "mon", "n",
+                F.lag("n").over(w).alias("prev_n"),
+                F.lead("n").over(w).alias("next_n"),
+                F.sum("n").over(wavg).alias("win_sum"),
+                F.count("n").over(wavg).alias("win_cnt"))
+            .filter(F.col("prev_n").isNotNull()
+                    & F.col("next_n").isNotNull()
+                    & (F.col("n") * F.col("win_cnt") > F.col("win_sum")))
+            .select("rf", "mon", "n", "prev_n", "next_n",
+                    (F.col("win_sum").cast("double") / F.col("win_cnt"))
+                    .alias("avg_win"))
+            .orderBy("rf", "mon"))
+
+
+# --- B114 TPC-DS Q64 shape (two-channel self-join of a shared wide CTE) ------
+
+@query("b114_shared_cte_two_channel", oracle="""
+WITH cs AS (
+  SELECT o_custkey AS k, c_mktsegment AS seg,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS total
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT t1.k AS o_custkey, t1.seg AS seg,
+       CAST(t1.total AS DOUBLE) AS total_1995,
+       CAST(t2.total AS DOUBLE) AS total_1996
+FROM cs t1 JOIN cs t2 ON t1.k = t2.k
+WHERE t1.y = 1995 AND t2.y = 1996 AND t2.total > t1.total * 2
+ORDER BY o_custkey
+""")
+def b114_shared_cte_two_channel(spark: SparkSession, sf: str) -> DataFrame:
+    """B114 — TPC-DS Q64 signature shape: a WIDE shared CTE (fact ×
+    dim per-entity-per-year rollup) self-joined across two periods of
+    the same entity, keeping pairs where the later period outgrew the
+    earlier — Q64's cross_sales CTE joined to itself on item for two
+    sale years. The expensive CTE must materialize ONCE: b96's
+    localCheckpoint discipline pins it (plan contract:
+    tests/test_plan_contracts.py::test_b114_cte_materializes_once —
+    without it Catalyst inlines the subtree into BOTH join legs and
+    the fact×dim join + rollup runs twice). The dim side broadcasts
+    into the CTE; the self-join keys on the entity and both legs
+    arrive pre-partitioned by the checkpoint's layout. Growth
+    comparison is exact DECIMAL; doubles appear only in output
+    columns."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    cs = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .groupBy(F.col("o_custkey").alias("k"),
+                   F.col("c_mktsegment").alias("seg"),
+                   F.year("o_orderdate").cast("int").alias("y"))
+          .agg(F.count("*").cast("long").alias("n"),
+               F.sum(F.col("o_totalprice").cast(DEC)).alias("total"))
+          .localCheckpoint())
+    t1 = cs.filter(F.col("y") == 1995) \
+        .select("k", "seg", F.col("total").alias("total_a"))
+    t2 = cs.filter(F.col("y") == 1996) \
+        .select(F.col("k").alias("k2"), F.col("total").alias("total_b"))
+    return (t1.join(t2, t1.k == t2.k2)
+            .filter(F.col("total_b") > F.col("total_a") * 2)
+            .select(F.col("k").alias("o_custkey"), "seg",
+                    F.col("total_a").cast("double").alias("total_1995"),
+                    F.col("total_b").cast("double").alias("total_1996"))
+            .orderBy("o_custkey"))
+
+
+# --- B115 TPC-DS Q23 shape (frequent-item-set semi-reduction) -----------------
+
+@query("b115_frequent_items_semi", oracle="""
+WITH freq_parts AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING COUNT(*) > 30
+), big_cust AS (
+  SELECT o_custkey FROM orders
+  GROUP BY o_custkey HAVING COUNT(*) > 10
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS frequent_sales
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_partkey IN (SELECT l_partkey FROM freq_parts)
+  AND o_custkey IN (SELECT o_custkey FROM big_cust)
+""")
+def b115_frequent_items_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """B115 — TPC-DS Q23 signature shape: two HAVING-reduced frequent
+    sets (items sold in >30 line items ≈ Q23's frequent_ss_items;
+    customers with >10 orders ≈ best_ss_customer) gate the final sales
+    scan through SEMI-joins — the total is over base rows, so the
+    reductions must deduplicate, never multiply (an inner join against
+    the aggregates would be correct here only by the accident of their
+    single-row-per-key shape; the semi-join states the intent and
+    frees the optimizer from proving it). Both gate aggregates carry
+    map-side partial counts and HAVING prunes them to small key sets
+    BEFORE any join; the thresholds sit at the scale-free per-key
+    means (lineitem/part ≈ 30, orders/customer ≈ 10 at every TPC-H
+    sf), so selectivity holds from sf0.001 to 100 TB. Plan contract:
+    two LeftSemi joins
+    (tests/test_plan_contracts.py::test_b115_two_semi_joins)."""
+    li = load(spark, sf, "lineitem")
+    freq = (li.groupBy("l_partkey").agg(F.count("*").alias("pn"))
+            .filter(F.col("pn") > 30).select("l_partkey"))
+    big = (load(spark, sf, "orders")
+           .groupBy("o_custkey").agg(F.count("*").alias("cn"))
+           .filter(F.col("cn") > 10).select("o_custkey"))
+    okeys = load(spark, sf, "orders") \
+        .join(big, "o_custkey", "left_semi").select("o_orderkey")
+    return (li.join(freq, "l_partkey", "left_semi")
+            .join(okeys.withColumnRenamed("o_orderkey", "ok"),
+                  F.col("l_orderkey") == F.col("ok"), "left_semi")
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum(F.col("l_extendedprice").cast(DEC))
+                 .cast("double").alias("frequent_sales")))
+
+
+# --- B116 TPC-DS Q78 shape (three-channel presence-class report) --------------
+
+@query("b116_three_channel_ratio", oracle="""
+WITH a AS (SELECT o_custkey AS k,
+                  SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS va
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+     b AS (SELECT o_custkey AS k,
+                  SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS vb
+           FROM orders WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+           GROUP BY 1),
+     c AS (SELECT o_custkey AS k,
+                  SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS vc
+           FROM orders
+           WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+           GROUP BY 1),
+     ab AS (SELECT COALESCE(a.k, b.k) AS k, va, vb
+            FROM a FULL OUTER JOIN b ON a.k = b.k)
+SELECT CONCAT(CASE WHEN va IS NULL THEN '-' ELSE 'U' END,
+              CASE WHEN vb IS NULL THEN '-' ELSE 'M' END,
+              CASE WHEN vc IS NULL THEN '-' ELSE 'L' END) AS presence,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(COALESCE(va, 0) + COALESCE(vb, 0) + COALESCE(vc, 0))
+            AS DOUBLE) AS total_value
+FROM ab FULL OUTER JOIN c ON ab.k = c.k
+GROUP BY 1 ORDER BY 1
+""")
+def b116_three_channel_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """B116 — TPC-DS Q78 signature shape: per-entity totals in THREE
+    channels aligned side by side, entities classed by channel
+    presence (b109's null-flag trick over three sides), per-class
+    counts and summed value. Spark-first: the literal SQL (the oracle)
+    chains two FULL OUTER joins whose second key is
+    COALESCE(a.k, b.k) — an expression that destroys the first join's
+    partitioning and forces a third shuffle. This plan instead TAGS
+    each channel and aligns all three in ONE conditional aggregation
+    over the union (channel→column pivot): a single Exchange on the
+    entity key replaces two wide full-outer joins, and the NULL
+    production falls out of the per-channel sums being absent — the
+    same rows, one shuffle (plan contract:
+    tests/test_plan_contracts.py::test_b116_single_alignment_exchange).
+    At 100 TB this is the difference between one key-partitioned pass
+    over the union and three. Presence classes and counts are exact;
+    DECIMAL value sums cast to double only in the output."""
+    o = load(spark, sf, "orders")
+    p = F.col("o_orderpriority")
+    tagged = o.select(
+        F.col("o_custkey").alias("k"),
+        F.when(p == "1-URGENT", F.lit("a"))
+         .when(p.isin("2-HIGH", "3-MEDIUM"), F.lit("b"))
+         .otherwise(F.lit("c")).alias("ch"),
+        F.col("o_totalprice").cast(DEC).alias("v"))
+    per_key = (tagged.groupBy("k")
+               .agg(F.sum(F.when(F.col("ch") == "a", F.col("v")))
+                    .alias("va"),
+                    F.sum(F.when(F.col("ch") == "b", F.col("v")))
+                    .alias("vb"),
+                    F.sum(F.when(F.col("ch") == "c", F.col("v")))
+                    .alias("vc")))
+    flag = (lambda col, tag: F.when(F.col(col).isNull(), F.lit("-"))
+            .otherwise(F.lit(tag)))
+    zero = F.lit(0).cast(DEC)
+    return (per_key.select(
+                F.concat(flag("va", "U"), flag("vb", "M"),
+                         flag("vc", "L")).alias("presence"),
+                (F.coalesce(F.col("va"), zero)
+                 + F.coalesce(F.col("vb"), zero)
+                 + F.coalesce(F.col("vc"), zero)).alias("val"))
+            .groupBy("presence")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum("val").cast("double").alias("total_value"))
+            .orderBy("presence"))

@@ -617,3 +617,99 @@ def test_b111_growth_ground_truth(spark, tmp_path):
            registry.QUERIES["b111_period_growth"](spark, d).collect()}
     assert got == {("A", dt.date(1995, 2, 1), 3, 2),
                    ("A", dt.date(1995, 5, 1), 5, 1)}
+
+
+# --- round-11 TPC-DS shapes: crafted ground-truth pins ------------------------
+
+def test_b113_neighbor_comparison_ground_truth(spark, tmp_path):
+    """B113 crafted pin: strict above-centered-average (a tie must NOT
+    qualify), boundary months drop (no LAG or no LEAD), and the
+    carried neighbors/average are exact."""
+    import datetime as dt
+    rows = []
+    # rf A months: counts 1, 5, 3 → month 2 qualifies (5*3 > 9)
+    for mon, cnt in ((1, 1), (2, 5), (3, 3)):
+        rows += [("A", dt.date(1995, mon, 15))] * cnt
+    # rf B: all-equal counts → middle month TIES the average: excluded
+    for mon in (1, 2, 3):
+        rows += [("B", dt.date(1995, mon, 15))] * 2
+    # rf C: single month → no neighbors, excluded
+    rows += [("C", dt.date(1995, 1, 15))] * 4
+    d = _tpch(spark, tmp_path, lineitem=(
+        rows, "l_returnflag STRING, l_shipdate DATE"))
+    got = [(r.rf, r.mon, r.n, r.prev_n, r.next_n, r.avg_win) for r in
+           registry.QUERIES["b113_moving_avg_neighbor"](spark, d)
+           .collect()]
+    assert got == [("A", dt.date(1995, 2, 1), 5, 1, 3, 3.0)]
+
+
+def test_b114_strict_growth_and_period_presence(spark, tmp_path):
+    """B114 crafted pin: only entities present in BOTH periods with
+    STRICTLY more than 2x growth survive — a exactly-2x entity and
+    single-period entities must drop."""
+    import datetime as dt
+    orders = [
+        (1, dt.date(1995, 3, 1), 10.0), (1, dt.date(1996, 3, 1), 30.0),
+        (2, dt.date(1995, 3, 1), 10.0), (2, dt.date(1996, 3, 1), 20.0),
+        (3, dt.date(1996, 3, 1), 99.0),
+        (4, dt.date(1995, 3, 1), 99.0),
+    ]
+    d = _tpch(
+        spark, tmp_path,
+        orders=(orders, "o_custkey LONG, o_orderdate DATE, "
+                        "o_totalprice DOUBLE"),
+        customer=([(1, "AUTO"), (2, "AUTO"), (3, "AUTO"), (4, "AUTO")],
+                  "c_custkey LONG, c_mktsegment STRING"))
+    got = [(r.o_custkey, r.seg, r.total_1995, r.total_1996) for r in
+           registry.QUERIES["b114_shared_cte_two_channel"](spark, d)
+           .collect()]
+    assert got == [(1, "AUTO", 10.0, 30.0)]
+
+
+def test_b115_both_gates_must_pass(spark, tmp_path):
+    """B115 crafted pin: a line item counts only when its PART crosses
+    the frequency gate AND its ORDER's customer crosses the volume
+    gate — one frequent part sold once to a small customer must not
+    leak through."""
+    lineitem, orders = [], []
+    # customer 1: 11 orders (passes >10); customer 2: 1 order
+    for ok in range(1, 12):
+        orders.append((ok, 1))
+    orders.append((12, 2))
+    # part 1: 31 line items (passes >30) — 30 on c1's order 1, one on
+    # c2's order 12 (that one must be excluded by the customer gate)
+    lineitem += [(1, 1, 5.0)] * 30
+    lineitem.append((12, 1, 5.0))
+    # part 2: below the frequency gate even on a big customer
+    lineitem.append((1, 2, 100.0))
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=(lineitem, "l_orderkey LONG, l_partkey LONG, "
+                            "l_extendedprice DOUBLE"),
+        orders=(orders, "o_orderkey LONG, o_custkey LONG"))
+    got = registry.QUERIES["b115_frequent_items_semi"](spark, d).first()
+    assert (got.n_lines, got.frequent_sales) == (30, 150.0)
+    # non-vacuous at the driver gate scale
+    assert registry.QUERIES["b115_frequent_items_semi"](
+        spark, "/root/testdata/sf0.01").first().n_lines > 0
+
+
+def test_b116_presence_classes_ground_truth(spark, tmp_path):
+    """B116 crafted pin: each of four customers lands in a distinct
+    presence class; per-class value sums include every channel the
+    customer touched."""
+    orders = [
+        (1, "1-URGENT", 10.0),                       # U--
+        (2, "1-URGENT", 1.0), (2, "5-LOW", 2.0),     # U-L
+        (3, "1-URGENT", 1.0), (3, "2-HIGH", 2.0),
+        (3, "4-NOT SPECIFIED", 4.0),                 # UML
+        (4, "3-MEDIUM", 7.0),                        # -M-
+    ]
+    d = _tpch(spark, tmp_path, orders=(
+        orders, "o_custkey LONG, o_orderpriority STRING, "
+                "o_totalprice DOUBLE"))
+    got = {r.presence: (r.n_customers, r.total_value) for r in
+           registry.QUERIES["b116_three_channel_ratio"](spark, d)
+           .collect()}
+    assert got == {"U--": (1, 10.0), "U-L": (1, 3.0),
+                   "UML": (1, 7.0), "-M-": (1, 7.0)}

@@ -943,3 +943,58 @@ def test_b111_growth_uses_lag_not_self_join(spark):
     assert len(re.findall(r"\) Window\b", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+# --- round-11 TPC-DS shapes (VERDICT r10 #5) ---------------------------------
+
+def test_b113_single_window_pass(spark):
+    """B113 (Q47/Q57 shape): the centered average, LAG and LEAD share
+    one partitioning+ordering — Catalyst must plan a SINGLE Window
+    operator over a single sort, never the literal-SQL triple
+    self-join of the periodized CTE."""
+    import re
+    plan = _plan(registry.QUERIES["b113_moving_avg_neighbor"](spark, SF))
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_b114_cte_materializes_once(spark):
+    """B114 (Q64 shape): the wide shared CTE must compute ONCE — the
+    localCheckpoint pins it, so the self-join plan contains NO
+    HashAggregate (both legs read the materialized rollup) and no
+    second fact scan."""
+    import re
+    plan = _plan(registry.QUERIES["b114_shared_cte_two_channel"](
+        spark, SF))
+    assert "HashAggregate" not in plan, plan
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 1, plan
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_b115_two_semi_joins(spark):
+    """B115 (Q23 shape): both frequent-set gates apply as LeftSemi
+    joins (dedup-by-construction, never value-multiplying inner
+    joins), each over a HAVING-pruned partial-aggregated set."""
+    import re
+    plan = _plan(registry.QUERIES["b115_frequent_items_semi"](spark, SF))
+    assert len(re.findall(r"LeftSemi", plan)) >= 2, plan
+    assert "partial_count" in plan, plan     # map-side combine on gates
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_b116_single_alignment_exchange(spark):
+    """B116 (Q78 shape): the three-channel alignment is ONE conditional
+    aggregation on the entity key — no full-outer join chain; the only
+    exchanges are the two aggregation hash-partitionings (key
+    alignment + class rollup) and the output sort's range
+    partitioning, over a SINGLE fact scan (the literal SQL scans
+    orders three times and shuffles four)."""
+    import re
+    plan = _plan(registry.QUERIES["b116_three_channel_ratio"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Exchange", plan)) == 3, plan
+    assert len(re.findall(r"hashpartitioning", plan)) == 2, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
