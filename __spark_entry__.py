@@ -58,16 +58,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # b108–b111 — the ONLY SURVEY rows without a driver-green entry; (2) this
 # round's new entries (b55c hive+bucket zero-Exchange join, b112 reference
 # binpb-catalog adoption) — the 2 slots VERDICT reserved for changed-path
-# work; (3) the COMPLETE 44-query r6-age batch (exactly the set whose newest
-# green is round 6 across CORRECTNESS_r01..r10) — after this round no
-# registry query's newest green is older than r7. 4+2+44 = 50 = window.
+# work; (3) dedup_ngram_jaccard, whose SEMANTICS and oracle changed this
+# round (df-capped candidates + exact rescore, VERDICT #6) — changed
+# paths outrank age fills (VERDICT r9 "wrong" #2 precedent); (4) the
+# COMPLETE 44-query r6-age batch (exactly the set whose newest green is
+# round 6 across CORRECTNESS_r01..r10) — after this round no registry
+# query's newest green should be older than r7. 4+3+44 = 51 vs a ~50
+# window: at most the final age fill slips one round.
 _PRIORITY = [
     # round-10 bonus shapes — never driver-checked yet (VERDICT #1)
     "b108_exists_disjunction", "b109_channel_overlap",
     "b110_returns_netting", "b111_period_growth",
     # NEW this round (changed-path slots)
     "b55c_hive_bucketed_join", "b112_reference_catalog_adopt",
+    # CHANGED SEMANTICS this round (r10 VERDICT #6: the default n-gram
+    # lane is now df-capped candidates + exact rescore, with the oracle
+    # updated to the same cap rule) — its pre-r11 green no longer
+    # describes current code, so it outranks pure age fills
+    "dedup_ngram_jaccard",
     # the 44 r6-age queries (newest green = r6), whole batch this round
+    # (if the window cuts below 51, the tail entry ages one more round —
+    # its code is unchanged since its r6 green, unlike everything above)
     "b05_star_join", "b25b_explode_collect", "b27b_from_json",
     "b32_stream_session_window", "b32_stream_sliding_window",
     "b32_stream_tumbling_window", "b33_merge_upsert", "b33b_merge_multi",
@@ -85,12 +96,11 @@ _PRIORITY = [
     "text_entropy_gate", "text_fingerprint", "text_langid",
     "text_ngram_novelty", "text_redact", "text_rolling_hash",
     "text_token_count", "text_url_extract",
-    # beyond the window: this round's new TPC-DS shapes + changed-path
-    # extras (dedup_ngram_jaccard default lane re-routed through the
-    # hot-shingle cap) — next in line if the window is wider than 50
+    # beyond the window: this round's new TPC-DS shapes + the uncapped
+    # exact n-gram lane — next in line if the window is wider than 51
     "b113_moving_avg_neighbor", "b114_shared_cte_two_channel",
     "b115_frequent_items_semi", "b116_three_channel_ratio",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_exact",
 ]
 
 

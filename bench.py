@@ -115,6 +115,18 @@ HEADLINE = [
     "b109_channel_overlap",
     "b110_returns_netting",
     "b111_period_growth",
+    # round-11 surface: the composed hive+bucket engine lane, the
+    # reference binpb-catalog adoption, the new TPC-DS shapes, and the
+    # capped-vs-exact n-gram pair (VERDICT r10 #6: the capped default
+    # must scale ≤~2x on 10x data; the exact lane stays visible so its
+    # declared quadratic is measured, not hidden)
+    "b55c_hive_bucketed_join",
+    "b112_reference_catalog_adopt",
+    "b113_moving_avg_neighbor",
+    "b114_shared_cte_two_channel",
+    "b115_frequent_items_semi",
+    "b116_three_channel_ratio",
+    "dedup_ngram_jaccard_exact",
 ]
 
 
@@ -283,6 +295,15 @@ def main() -> None:
     registry.QUERIES["b55b_engine_bucketed_join"](spark, sf_dir).count()
     b55b_build_sec = round(time.perf_counter() - t0, 4)
 
+    # round-11 one-time builds, same asymmetric-warm discipline: the
+    # b55c hive+bucket warehouse, and b112's iceberg-export +
+    # binpb-catalog fixture — both are LOADS done once per (session,
+    # sf); the timed rows are the steady-state reads
+    t0 = time.perf_counter()
+    registry.QUERIES["b55c_hive_bucketed_join"](spark, sf_dir).count()
+    registry.QUERIES["b112_reference_catalog_adopt"](spark, sf_dir).count()
+    r11_build_sec = round(time.perf_counter() - t0, 4)
+
     def timed_sweep(target_dir: str, label: str) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in HEADLINE:
@@ -331,6 +352,10 @@ def main() -> None:
         _rel._engine_bucketed(spark, small_dir)
         registry.QUERIES["b55b_engine_bucketed_join"](spark,
                                                       small_dir).count()
+        registry.QUERIES["b55c_hive_bucketed_join"](spark,
+                                                    small_dir).count()
+        registry.QUERIES["b112_reference_catalog_adopt"](
+            spark, small_dir).count()
         timings_small = timed_sweep(small_dir, "sf_small")
         for name, t_big in timings.items():
             t_small = timings_small.get(name, 0.0)
@@ -346,7 +371,16 @@ def main() -> None:
     cat_ms = catalog_metrics()
     cat_ms["ann_index_build_sec"] = ann_build_sec
     cat_ms["b55b_build_sec"] = b55b_build_sec
+    cat_ms["r11_build_sec"] = r11_build_sec
     cat_ms["warmup_sec"] = warmup_sec
+    # box-state stamp (VERDICT r10 #7): round-over-round comparisons are
+    # only meaningful on an idle box — record the 1/5/15-min load so a
+    # loaded-box run is visibly a loaded-box run
+    try:
+        cat_ms["load_avg_1m"], cat_ms["load_avg_5m"], \
+            cat_ms["load_avg_15m"] = (round(x, 2) for x in os.getloadavg())
+    except OSError:  # pragma: no cover — non-POSIX
+        pass
     for k, v in cat_ms.items():
         print(f"# {k}: {v}", file=sys.stderr)
 

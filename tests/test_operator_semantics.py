@@ -713,3 +713,29 @@ def test_b116_presence_classes_ground_truth(spark, tmp_path):
            .collect()}
     assert got == {"U--": (1, 10.0), "U-L": (1, 3.0),
                    "UML": (1, 7.0), "-M-": (1, 7.0)}
+
+
+def test_c2_cap_semantics_exact_scores_capped_candidates(spark, tmp_path):
+    """C2 crafted pin (r10 VERDICT #6): a pair whose ENTIRE overlap is
+    >-cap boilerplate shingles is excluded from candidates, while a
+    pair reachable through one non-hot shingle is scored EXACTLY —
+    hot shingles still count toward its intersection (unlike C59's
+    lower bound). The uncapped _exact lane still sees the boilerplate
+    pairs."""
+    boiler = "w1 w2 w3 w4 w5"               # 3 shingles, df=20 → hot
+    docs = [(i, boiler, "s") for i in range(1, 19)]
+    docs.append((19, boiler + " alpha beta gamma", "s"))
+    docs.append((20, boiler + " alpha beta gamma delta", "s"))
+    d = _tpch(spark, tmp_path, documents=(
+        docs, "doc_id LONG, text STRING, source STRING"))
+    got = [(r.d1, r.d2, r.jaccard) for r in
+           registry.QUERIES["dedup_ngram_jaccard"](spark, d).collect()]
+    # exact score 6/7 (3 hot + 3 rare shared, |19|=6, |20|=7): the hot
+    # shingles COUNT in the score even though they minted no candidate
+    assert got == [(19, 20, 0.8571)]
+    exact = {(r.d1, r.d2): r.jaccard for r in
+             registry.QUERIES["dedup_ngram_jaccard_exact"](spark, d)
+             .collect()}
+    # 153 identical-boilerplate pairs at 1.0 + the (19,20) pair
+    assert len(exact) == 154
+    assert exact[(1, 2)] == 1.0 and exact[(19, 20)] == 0.8571
