@@ -96,10 +96,13 @@ _PRIORITY = [
     "text_entropy_gate", "text_fingerprint", "text_langid",
     "text_ngram_novelty", "text_redact", "text_rolling_hash",
     "text_token_count", "text_url_extract",
-    # beyond the window: this round's new TPC-DS shapes + the uncapped
-    # exact n-gram lane — next in line if the window is wider than 51
+    # beyond the window: this round's new TPC-DS shapes (4 prescribed +
+    # 4 bonus) + the uncapped exact n-gram lane — next in line if the
+    # window is wider than 51; all dual-scale oracle-green locally
     "b113_moving_avg_neighbor", "b114_shared_cte_two_channel",
     "b115_frequent_items_semi", "b116_three_channel_ratio",
+    "b117_count_band_customers", "b118_equal_share_channels",
+    "b119_return_ratio_topk", "b120_below_avg_items",
     "dedup_ngram_jaccard_exact",
 ]
 

@@ -126,6 +126,10 @@ HEADLINE = [
     "b114_shared_cte_two_channel",
     "b115_frequent_items_semi",
     "b116_three_channel_ratio",
+    "b117_count_band_customers",
+    "b118_equal_share_channels",
+    "b119_return_ratio_topk",
+    "b120_below_avg_items",
     "dedup_ngram_jaccard_exact",
 ]
 

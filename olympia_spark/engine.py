@@ -4014,6 +4014,58 @@ class Engine:
             rows, "column_name string, n_distinct long, n_nulls long, "
                   "min_num double, max_num double")
 
+    def export_reference_catalog(self, dest_dir: str) -> str:
+        """Publish this catalog's CURRENT version as a REFERENCE-format
+        warehouse (every def file proto3 ``.binpb`` — what the Java
+        reference's ``ObjectDefinitions.parseFrom`` reads): namespaces,
+        tables and views re-created at ``dest_dir`` in one commit. The
+        outbound half of the B112 interop lane (the inbound half reads
+        a reference-written catalog in place).
+
+        Data moves ZERO bytes: native tables' tracked files are
+        referenced in place via authoritative absolute URIs
+        (:meth:`_data_uri`); Iceberg-pointer tables stay POINTERS
+        (id + metadata location — byte-minimal, exactly the reference's
+        own TableDef shape) and re-hydrate at the destination.
+        Bucketed tables keep their spec but read at the destination
+        through the plain scan (the zero-Exchange shadow requires
+        engine-owned relative dirs); values are identical."""
+        import dataclasses
+        probe = self.catalog.begin(read_only=True)
+        src_def = self.catalog.catalog_def
+        dest = Catalog.create(dest_dir, dataclasses.replace(
+            src_def,
+            # exported-snapshot roots and their retention stamps refer
+            # to THIS warehouse's version files — meaningless at dest
+            exported_snapshots={},
+            properties={k: v for k, v in src_def.properties.items()
+                        if not k.startswith("export.")},
+        ), def_format="binpb")
+        txn = dest.begin()
+        for ns in self.catalog.show_namespaces(probe):
+            dest.create_namespace(
+                txn, ns,
+                self.catalog.describe_namespace(probe, ns).properties)
+            for tbl in self.catalog.show_tables(probe, ns):
+                tdef = self.catalog.describe_table(probe, ns, tbl)
+                if tdef.format == "ICEBERG" and tdef.metadata_location:
+                    copy = dataclasses.replace(
+                        tdef, schema_json="", data_files=[])
+                else:
+                    copy = dataclasses.replace(tdef, data_files=[
+                        dataclasses.replace(
+                            f, path=(f.path if os.path.isabs(f.path)
+                                     or "://" in f.path
+                                     else self._data_uri(f.path)))
+                        for f in tdef.data_files])
+                dest.create_table(txn, ns, tbl, copy)
+            for view in self.catalog.show_views(probe, ns):
+                dest.create_view(
+                    txn, ns, view,
+                    self.catalog.describe_view(probe, ns, view))
+        dest.commit(txn)
+        return dest_dir
+
     def expire_versions(self, keep_last: int,
                         protect_exports: bool = True,
                         protect_tags: bool = True) -> list[str]:

@@ -3545,3 +3545,181 @@ def b116_three_channel_ratio(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_customers"),
                  F.sum("val").cast("double").alias("total_value"))
             .orderBy("presence"))
+
+
+# --- B117 TPC-DS Q34/Q73 shape (count-band entities joined back) --------------
+
+@query("b117_count_band_customers", oracle="""
+WITH cnt AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) BETWEEN 15 AND 20
+)
+SELECT c_custkey, c_name, c_mktsegment, n_orders
+FROM cnt JOIN customer ON k = c_custkey
+ORDER BY n_orders DESC, c_custkey
+""")
+def b117_count_band_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """B117 — TPC-DS Q34/Q73 signature shape: entities whose activity
+    COUNT falls in a band (the "customers who bought 15-20 baskets"
+    report), then joined back to the dimension for attributes. The
+    band applies as HAVING on the fact aggregate BEFORE any join —
+    the aggregate reduces |orders| to |customers-in-band| (tiny), and
+    THAT side drives a broadcast join against the dimension
+    (plan-asserted BroadcastHashJoin; the literal SQL's
+    dim ⋈ fact-then-filter order would shuffle the dimension for rows
+    the band immediately discards). The band boundaries are inclusive
+    integer counts (crafted pin); ORDER BY carries a full tiebreak."""
+    cnt = (load(spark, sf, "orders")
+           .groupBy(F.col("o_custkey").alias("k"))
+           .agg(F.count("*").cast("long").alias("n_orders"))
+           .filter(F.col("n_orders").between(15, 20)))
+    c = load(spark, sf, "customer") \
+        .select("c_custkey", "c_name", "c_mktsegment")
+    return (c.join(F.broadcast(cnt), c.c_custkey == cnt.k)
+            .select("c_custkey", "c_name", "c_mktsegment", "n_orders")
+            .orderBy(F.col("n_orders").desc(), "c_custkey"))
+
+
+# --- B118 TPC-DS Q58 shape (equal-share across three channels) ----------------
+
+@query("b118_equal_share_channels", oracle="""
+WITH p AS (
+  SELECT l_partkey,
+         SUM(CASE WHEN l_returnflag = 'A'
+                  THEN CAST(l_extendedprice AS DECIMAL(25,6)) END) AS ra,
+         SUM(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(l_extendedprice AS DECIMAL(25,6)) END) AS rn,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_extendedprice AS DECIMAL(25,6)) END) AS rr
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, CAST(ra AS DOUBLE) AS rev_a,
+       CAST(rn AS DOUBLE) AS rev_n, CAST(rr AS DOUBLE) AS rev_r
+FROM p
+WHERE ra IS NOT NULL AND rn IS NOT NULL AND rr IS NOT NULL
+  AND ra * 30 BETWEEN (ra + rn + rr) * 9 AND (ra + rn + rr) * 11
+  AND rn * 30 BETWEEN (ra + rn + rr) * 9 AND (ra + rn + rr) * 11
+  AND rr * 30 BETWEEN (ra + rn + rr) * 9 AND (ra + rn + rr) * 11
+ORDER BY l_partkey
+""")
+def b118_equal_share_channels(spark: SparkSession, sf: str) -> DataFrame:
+    """B118 — TPC-DS Q58 signature shape: items whose revenue is
+    BALANCED across all three channels (each within ±10% of the
+    three-channel average). Spark-first: Q58's literal SQL builds
+    three per-channel CTEs and joins them twice; here all three
+    channel sums come from ONE conditional aggregation over one scan —
+    zero joins (plan-asserted). The ±10% test is EXACT decimal
+    cross-multiplication (rev·30 vs sum·9‥sum·11 — avg = sum/3 never
+    materializes as a lossy division); presence in all three channels
+    via the conditional sums' own NULL production. Doubles appear only
+    in output columns."""
+    li = load(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+
+    def chan(flag: str, alias: str):
+        return F.sum(F.when(F.col("l_returnflag") == flag, price)) \
+            .alias(alias)
+
+    p = (li.groupBy("l_partkey")
+         .agg(chan("A", "ra"), chan("N", "rn"), chan("R", "rr")))
+    s = F.col("ra") + F.col("rn") + F.col("rr")
+
+    def near(col: str):
+        return (F.col(col) * 30).between(s * 9, s * 11)
+
+    return (p.filter(F.col("ra").isNotNull() & F.col("rn").isNotNull()
+                     & F.col("rr").isNotNull()
+                     & near("ra") & near("rn") & near("rr"))
+            .select("l_partkey",
+                    F.col("ra").cast("double").alias("rev_a"),
+                    F.col("rn").cast("double").alias("rev_n"),
+                    F.col("rr").cast("double").alias("rev_r"))
+            .orderBy("l_partkey"))
+
+
+# --- B119 TPC-DS Q49 shape (worst-return-ratio top-k per channel) --------------
+
+@query("b119_return_ratio_topk", oracle="""
+WITH g AS (
+  SELECT l_linestatus AS ch, l_partkey,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ret_qty,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty
+  FROM lineitem GROUP BY 1, 2
+), rk AS (
+  SELECT ch, l_partkey, ret_qty, tot_qty,
+         CAST(ret_qty * 1000000 // tot_qty AS BIGINT) AS ratio_ppm,
+         ROW_NUMBER() OVER (PARTITION BY ch
+                            ORDER BY ret_qty * 1000000 // tot_qty DESC,
+                                     l_partkey) AS rk
+  FROM g
+)
+SELECT ch, l_partkey, ret_qty, tot_qty, ratio_ppm, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 10 ORDER BY ch, rk
+""")
+def b119_return_ratio_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B119 — TPC-DS Q49 signature shape: the worst return-ratio items
+    per channel, top-k each. Q49's literal SQL runs one subquery per
+    channel and UNIONs three rankings; here the channel is a partition
+    column of ONE window over ONE conditional aggregate — one scan, one
+    agg, one rank, and the rank<=10 filter pushes down as a
+    WindowGroupLimit (plan-asserted — full per-channel rankings never
+    materialize). The ratio is an exact INTEGER ppm (ret·10⁶ div tot) —
+    floating-point ratios would let ranking ties flap between engines;
+    ROW_NUMBER carries the partkey tiebreak for the same reason."""
+    li = load(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    g = (li.groupBy(F.col("l_linestatus").alias("ch"), "l_partkey")
+         .agg(F.sum(F.when(F.col("l_returnflag") == "R", qty)
+                    .otherwise(F.lit(0))).cast("long").alias("ret_qty"),
+              F.sum(qty).cast("long").alias("tot_qty")))
+    ppm = F.expr("ret_qty * 1000000 div tot_qty").cast("long")
+    w = W.partitionBy("ch").orderBy(F.col("ratio_ppm").desc(),
+                                    "l_partkey")
+    return (g.withColumn("ratio_ppm", ppm)
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 10)
+            .select("ch", "l_partkey", "ret_qty", "tot_qty",
+                    "ratio_ppm", "rk")
+            .orderBy("ch", "rk"))
+
+
+# --- B120 TPC-DS Q65 shape (below-average items per group) ---------------------
+
+@query("b120_below_avg_items", oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, l_partkey, CAST(rev AS DOUBLE) AS rev
+FROM (
+  SELECT l_suppkey, l_partkey, rev,
+         SUM(rev) OVER (PARTITION BY l_suppkey) AS s,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS c
+  FROM sp) t
+WHERE rev * 4 * c <= s
+ORDER BY l_suppkey, l_partkey
+""")
+def b120_below_avg_items(spark: SparkSession, sf: str) -> DataFrame:
+    """B120 — TPC-DS Q65 signature shape: items selling at or below
+    25% of their group's average — the slow-mover report. Q65's
+    literal SQL aggregates the fact TWICE (once per item, once per
+    store for the average) and joins the two; here the per-group
+    average comes from an unbounded window over the per-item rollup —
+    ONE aggregation, ONE window, ZERO joins (plan-asserted), and the
+    window input is the already-reduced rollup, never fact-sized.
+    The 25% test is exact decimal cross-multiplication
+    (rev·4·count ≤ sum — the average never materializes as a
+    division); the boundary is inclusive (crafted pin)."""
+    sp = (load(spark, sf, "lineitem")
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev")))
+    w = W.partitionBy("l_suppkey")
+    return (sp.withColumn("s", F.sum("rev").over(w))
+            .withColumn("c", F.count("*").over(w))
+            .filter(F.col("rev") * 4 * F.col("c") <= F.col("s"))
+            .select("l_suppkey", "l_partkey",
+                    F.col("rev").cast("double").alias("rev"))
+            .orderBy("l_suppkey", "l_partkey"))

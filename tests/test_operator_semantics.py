@@ -739,3 +739,87 @@ def test_c2_cap_semantics_exact_scores_capped_candidates(spark, tmp_path):
     # 153 identical-boilerplate pairs at 1.0 + the (19,20) pair
     assert len(exact) == 154
     assert exact[(1, 2)] == 1.0 and exact[(19, 20)] == 0.8571
+
+
+def test_b117_band_boundaries_inclusive(spark, tmp_path):
+    """B117 crafted pin: counts 14/15/20/21 → only the 15 and 20
+    customers survive (BETWEEN is inclusive on both edges)."""
+    orders = []
+    for cust, n in ((1, 14), (2, 15), (3, 20), (4, 21)):
+        orders += [(cust,)] * n
+    d = _tpch(
+        spark, tmp_path,
+        orders=(orders, "o_custkey LONG"),
+        customer=([(1, "a", "S1"), (2, "b", "S2"),
+                   (3, "c", "S3"), (4, "d", "S4")],
+                  "c_custkey LONG, c_name STRING, c_mktsegment STRING"))
+    got = [(r.c_custkey, r.n_orders) for r in
+           registry.QUERIES["b117_count_band_customers"](spark, d)
+           .collect()]
+    assert got == [(3, 20), (2, 15)]     # n_orders DESC, custkey tiebreak
+
+
+def test_b118_ten_percent_edges_inclusive_and_presence(spark, tmp_path):
+    """B118 crafted pin: a part sitting EXACTLY on both ±10% edges
+    (9/10/11 around avg 10) is kept; a part outside one edge and a
+    part missing one channel drop."""
+    li = []
+    # part 1: channel revenues 9 / 10 / 11 — both edges exact
+    for flag, price in (("A", 9.0), ("N", 10.0), ("R", 11.0)):
+        li.append((1, flag, price))
+    # part 2: 8 / 10 / 12 — A below the lower edge
+    for flag, price in (("A", 8.0), ("N", 10.0), ("R", 12.0)):
+        li.append((2, flag, price))
+    # part 3: balanced but only two channels present
+    for flag, price in (("A", 10.0), ("N", 10.0)):
+        li.append((3, flag, price))
+    d = _tpch(spark, tmp_path, lineitem=(
+        li, "l_partkey LONG, l_returnflag STRING, "
+            "l_extendedprice DOUBLE"))
+    got = [(r.l_partkey, r.rev_a, r.rev_n, r.rev_r) for r in
+           registry.QUERIES["b118_equal_share_channels"](spark, d)
+           .collect()]
+    assert got == [(1, 9.0, 10.0, 11.0)]
+
+
+def test_b119_integer_ppm_and_tiebreak(spark, tmp_path):
+    """B119 crafted pin: the ratio is FLOOR integer ppm (1/3 →
+    333333), equal ratios break by partkey, and the limit counts per
+    channel."""
+    li = []
+    # channel O: part 1 ratio 1/3; parts 2 and 3 both 1/2 (tie)
+    li += [(101, "O", "R", 1.0), (101, "O", "N", 2.0)]
+    li += [(102, "O", "R", 1.0), (102, "O", "N", 1.0)]
+    li += [(103, "O", "R", 1.0), (103, "O", "N", 1.0)]
+    # channel F: one part, full returns
+    li += [(201, "F", "R", 4.0)]
+    d = _tpch(spark, tmp_path, lineitem=(
+        [(p, ls, rf, q) for p, ls, rf, q in li],
+        "l_partkey LONG, l_linestatus STRING, l_returnflag STRING, "
+        "l_quantity DOUBLE"))
+    got = [(r.ch, r.l_partkey, r.ratio_ppm, r.rk) for r in
+           registry.QUERIES["b119_return_ratio_topk"](spark, d)
+           .collect()]
+    assert got == [
+        ("F", 201, 1000000, 1),
+        ("O", 102, 500000, 1),          # tie with 103 → partkey order
+        ("O", 103, 500000, 2),
+        ("O", 101, 333333, 3),          # floor(1000000/3)
+    ]
+
+
+def test_b120_quarter_average_boundary_inclusive(spark, tmp_path):
+    """B120 crafted pin: rev·4·count ≤ sum is INCLUSIVE — three items
+    at exactly 25% of their group average survive, the heavy item and
+    a single-item group drop."""
+    li = ([(1, p, r) for p, r in ((1, 1.0), (2, 1.0), (3, 1.0),
+                                  (4, 13.0))]
+          + [(2, 9, 5.0)])
+    d = _tpch(spark, tmp_path, lineitem=(
+        li, "l_suppkey LONG, l_partkey LONG, l_extendedprice DOUBLE"))
+    got = [(r.l_suppkey, r.l_partkey, r.rev) for r in
+           registry.QUERIES["b120_below_avg_items"](spark, d).collect()]
+    # supplier 1: sum 16, count 4 → avg 4, quarter 1 — the three 1.0
+    # items sit exactly on the edge; 13.0 drops; supplier 2's single
+    # item can never be ≤ a quarter of itself
+    assert got == [(1, 1, 1.0), (1, 2, 1.0), (1, 3, 1.0)]

@@ -998,3 +998,48 @@ def test_b116_single_alignment_exchange(spark):
     assert len(re.findall(r"\) Exchange", plan)) == 3, plan
     assert len(re.findall(r"hashpartitioning", plan)) == 2, plan
     assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+
+
+def test_b117_band_reduces_before_broadcast_join(spark):
+    """B117 (Q34/Q73 shape): the count band applies in the aggregate
+    (partial+final pair) and the reduced side BROADCASTS into the
+    dimension join — never a shuffle join of the full dimension."""
+    import re
+    plan = _plan(registry.QUERIES["b117_count_band_customers"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b118_three_channels_one_scan_no_join(spark):
+    """B118 (Q58 shape): all three channel sums from ONE conditional
+    aggregation over ONE scan — the literal SQL's three CTEs + two
+    joins are the pinned-out anti-pattern."""
+    import re
+    plan = _plan(registry.QUERIES["b118_equal_share_channels"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b119_per_channel_rank_pushes_group_limit(spark):
+    """B119 (Q49 shape): one window ranks ALL channels (partition
+    column, not per-channel subqueries) and the rank<=10 filter pushes
+    down as WindowGroupLimit."""
+    import re
+    plan = _plan(registry.QUERIES["b119_return_ratio_topk"](spark, SF))
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b120_window_average_no_reaggregation(spark):
+    """B120 (Q65 shape): the group average comes from a window over the
+    per-item rollup — one aggregation pass, zero joins (the literal
+    SQL re-aggregates the fact and joins)."""
+    import re
+    plan = _plan(registry.QUERIES["b120_below_avg_items"](spark, SF))
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan

@@ -346,3 +346,68 @@ def test_reference_pointer_table_def_hydrates_and_reads(spark, tmp_path):
     assert (got.n, got.s) == (30, sum(i * 2.0 for i in range(30)))
     got2 = eng.sql("SELECT v FROM adopted.t WHERE k = 7").first()
     assert got2.v == 14.0
+
+
+def test_export_reference_catalog_round_trip(spark, tmp_path):
+    """The OUTBOUND interop half: export_reference_catalog mirrors a
+    JSON catalog into a .binpb warehouse (zero data movement — files
+    referenced in place), and a fresh engine at the destination serves
+    identical table, view and bucketed-table values."""
+    from pyspark.sql import functions as F
+
+    from olympia_spark.engine import Engine
+    src = Engine(spark, str(tmp_path / "json_wh"))
+    src.sql("CREATE NAMESPACE ex")
+    src.sql("CREATE TABLE ex.t (k BIGINT, v DOUBLE)")
+    src.write_table(
+        spark.range(40).select(F.col("id").alias("k"),
+                               (F.col("id") * 1.5).alias("v")), "ex.t")
+    src.sql("CREATE TABLE ex.bk (k BIGINT, v DOUBLE) "
+            "CLUSTERED BY (k) INTO 4 BUCKETS")
+    src.write_table(
+        spark.range(10).select(F.col("id").alias("k"),
+                               F.lit(2.0).alias("v")), "ex.bk")
+    src.sql("CREATE VIEW ex.w AS SELECT k FROM ex.t WHERE k < 10")
+    dest_dir = src.export_reference_catalog(str(tmp_path / "ref_out"))
+    files = _def_files(dest_dir)
+    assert files and all(f.endswith(".binpb") for f in files)
+    eng = Engine(spark, dest_dir)
+    got = eng.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM ex.t").first()
+    assert (got.n, got.s) == (40, sum(i * 1.5 for i in range(40)))
+    assert eng.sql("SELECT COUNT(*) AS n FROM ex.w").first().n == 10
+    # bucketed spec survives; values exact through the plain-scan lane
+    tdef = eng.catalog.describe_table(eng._txn(), "ex", "bk")
+    assert tdef.bucket_by == {"columns": ["k"], "num_buckets": 4}
+    assert eng.sql("SELECT SUM(v) AS s FROM ex.bk").first().s == 20.0
+    # the source is untouched and still serves its own reads
+    assert src.sql("SELECT COUNT(*) AS n FROM ex.t").first().n == 40
+
+
+def test_export_reference_catalog_keeps_iceberg_pointers(spark, tmp_path):
+    """A pointer table stays a POINTER in the exported catalog (the
+    reference's own TableDef shape), not a materialized file list."""
+    from pyspark.sql import functions as F
+
+    from olympia_spark.engine import Engine
+    src_wh = str(tmp_path / "srcwh")
+    src = Engine(spark, src_wh)
+    src.sql("CREATE NAMESPACE s")
+    src.sql("CREATE TABLE s.t (k BIGINT)")
+    src.write_table(spark.range(5).select(F.col("id").alias("k")), "s.t")
+    mloc = src.export_iceberg_table("s.t", str(tmp_path / "ice"))
+    ref_wh = str(tmp_path / "ptr_wh")
+    cat = Catalog.create(ref_wh)
+    txn = cat.begin()
+    cat.create_namespace(txn, "p")
+    cat.create_table(txn, "p", "t",
+                     TableDef(format="ICEBERG", schema_json="",
+                              metadata_location=mloc))
+    cat.commit(txn)
+    eng = Engine(spark, ref_wh)
+    out = eng.export_reference_catalog(str(tmp_path / "ptr_out"))
+    tdef_file = glob.glob(os.path.join(out, "def", "table", "*.binpb"))[0]
+    stored = pio.decode_table_def(open(tdef_file, "rb").read())
+    assert stored.metadata_location == mloc
+    assert stored.data_files == [] and stored.schema_json == ""
+    assert Engine(spark, out).sql(
+        "SELECT COUNT(*) AS n FROM p.t").first().n == 5
