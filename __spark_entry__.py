@@ -103,6 +103,7 @@ _PRIORITY = [
     "b115_frequent_items_semi", "b116_three_channel_ratio",
     "b117_count_band_customers", "b118_equal_share_channels",
     "b119_return_ratio_topk", "b120_below_avg_items",
+    "b121_growth_vs_channel", "b122_rollup_level_rank",
     "dedup_ngram_jaccard_exact",
 ]
 

@@ -130,6 +130,8 @@ HEADLINE = [
     "b118_equal_share_channels",
     "b119_return_ratio_topk",
     "b120_below_avg_items",
+    "b121_growth_vs_channel",
+    "b122_rollup_level_rank",
     "dedup_ngram_jaccard_exact",
 ]
 

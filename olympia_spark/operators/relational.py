@@ -3723,3 +3723,119 @@ def b120_below_avg_items(spark: SparkSession, sf: str) -> DataFrame:
             .select("l_suppkey", "l_partkey",
                     F.col("rev").cast("double").alias("rev"))
             .orderBy("l_suppkey", "l_partkey"))
+
+
+# --- B121 TPC-DS Q74 shape (cross-channel growth comparison) -------------------
+
+@query("b121_growth_vs_channel", oracle="""
+WITH t AS (
+  SELECT o_custkey AS k,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'u' ELSE 'r' END
+             AS ch,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS total
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT u1.k AS o_custkey,
+       CAST(u1.total AS DOUBLE) AS urgent_1995,
+       CAST(u2.total AS DOUBLE) AS urgent_1996,
+       CAST(r1.total AS DOUBLE) AS rest_1995,
+       CAST(r2.total AS DOUBLE) AS rest_1996
+FROM t u1
+JOIN t u2 ON u1.k = u2.k
+JOIN t r1 ON u1.k = r1.k
+JOIN t r2 ON u1.k = r2.k
+WHERE u1.ch = 'u' AND u1.y = 1995 AND u2.ch = 'u' AND u2.y = 1996
+  AND r1.ch = 'r' AND r1.y = 1995 AND r2.ch = 'r' AND r2.y = 1996
+  AND u2.total * r1.total > u1.total * r2.total
+ORDER BY o_custkey
+""")
+def b121_growth_vs_channel(spark: SparkSession, sf: str) -> DataFrame:
+    """B121 — TPC-DS Q74 signature shape: customers whose year-over-year
+    growth in one channel OUTPACED their growth in another. Q74's
+    literal SQL (the oracle) joins the year-totals CTE to itself FOUR
+    ways; Spark-first all four cells ((urgent, rest) × (1995, 1996))
+    come from ONE conditional aggregation per customer — one scan, one
+    exchange, zero joins (plan-asserted). The ratio comparison
+    u2/u1 > r2/r1 runs as exact decimal cross-multiplication
+    u2·r1 > u1·r2 (legal: totals are sums of positive prices — both
+    denominators positive) — no division, no FP, no boundary flap.
+    Presence in all four cells via the conditional sums' NULL
+    production, exactly the inner-join semantics of the literal SQL."""
+    o = load(spark, sf, "orders")
+    price = F.col("o_totalprice").cast(DEC)
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    y = F.year("o_orderdate")
+
+    def cell(is_urgent, year: int, alias: str):
+        cond = (urgent if is_urgent else ~urgent) & (y == year)
+        return F.sum(F.when(cond, price)).alias(alias)
+
+    t = (o.groupBy(F.col("o_custkey").alias("k"))
+         .agg(cell(True, 1995, "u1"), cell(True, 1996, "u2"),
+              cell(False, 1995, "r1"), cell(False, 1996, "r2")))
+    return (t.filter(F.col("u1").isNotNull() & F.col("u2").isNotNull()
+                     & F.col("r1").isNotNull() & F.col("r2").isNotNull()
+                     & (F.col("u2") * F.col("r1")
+                        > F.col("u1") * F.col("r2")))
+            .select(F.col("k").alias("o_custkey"),
+                    F.col("u1").cast("double").alias("urgent_1995"),
+                    F.col("u2").cast("double").alias("urgent_1996"),
+                    F.col("r1").cast("double").alias("rest_1995"),
+                    F.col("r2").cast("double").alias("rest_1996"))
+            .orderBy("o_custkey"))
+
+
+# --- B122 TPC-DS Q36 shape (rank within rollup hierarchy levels) ---------------
+
+@query("b122_rollup_level_rank", oracle="""
+WITH r AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000000 // COUNT(*)
+              AS BIGINT) AS qty_ppm,
+         CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
+             AS lochierarchy,
+         GROUPING(l_linestatus) AS g_ls
+  FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+)
+SELECT rf, ls, qty_ppm, lochierarchy,
+       CAST(RANK() OVER (
+          PARTITION BY lochierarchy,
+                       CASE WHEN g_ls = 0 THEN rf END
+          ORDER BY qty_ppm ASC, rf NULLS FIRST, ls NULLS FIRST)
+          AS BIGINT) AS rk
+FROM r
+ORDER BY lochierarchy DESC, rf NULLS FIRST, ls NULLS FIRST
+""")
+def b122_rollup_level_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """B122 — TPC-DS Q36 signature shape: a measure ranked WITHIN each
+    level of a ROLLUP hierarchy — leaves compete against sibling
+    leaves under their parent, subtotals against sibling subtotals
+    (the window PARTITION key is (grouping depth, parent-when-leaf),
+    Q36's lochierarchy trick). One Expand feeds one aggregation pass
+    feeds one window (plan-asserted — never one ranking query per
+    hierarchy level). The ranked measure is an exact integer ppm
+    (qty·10⁶ div count — a DECIMAL or double ratio would let rank
+    ties flap between engines, memory class #8), with deterministic
+    NULLS FIRST tiebreaks on both the rank and the output order."""
+    li = load(spark, sf, "lineitem")
+    r = (li.rollup("l_returnflag", "l_linestatus")
+         .agg(F.expr("sum(cast(l_quantity as bigint)) * 1000000 "
+                     "div count(*)").cast("long").alias("qty_ppm"),
+              (F.grouping("l_returnflag")
+               + F.grouping("l_linestatus")).cast("long")
+              .alias("lochierarchy"),
+              F.grouping("l_linestatus").alias("g_ls"))
+         .withColumnRenamed("l_returnflag", "rf")
+         .withColumnRenamed("l_linestatus", "ls"))
+    w = W.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_ls") == 0, F.col("rf"))) \
+        .orderBy(F.col("qty_ppm").asc(),
+                 F.col("rf").asc_nulls_first(),
+                 F.col("ls").asc_nulls_first())
+    return (r.withColumn("rk", F.rank().over(w).cast("long"))
+            .select("rf", "ls", "qty_ppm", "lochierarchy", "rk")
+            .orderBy(F.col("lochierarchy").desc(),
+                     F.col("rf").asc_nulls_first(),
+                     F.col("ls").asc_nulls_first()))

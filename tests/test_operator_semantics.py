@@ -823,3 +823,53 @@ def test_b120_quarter_average_boundary_inclusive(spark, tmp_path):
     # items sit exactly on the edge; 13.0 drops; supplier 2's single
     # item can never be ≤ a quarter of itself
     assert got == [(1, 1, 1.0), (1, 2, 1.0), (1, 3, 1.0)]
+
+
+def test_b121_cross_channel_growth_strict_and_presence(spark, tmp_path):
+    """B121 crafted pin: urgent growth must STRICTLY beat rest growth
+    (cross-multiplied — equal growth drops), and a customer missing
+    any of the four cells drops."""
+    import datetime as dt
+
+    def rows(cust, urgent_95, urgent_96, rest_95, rest_96):
+        out = []
+        for total, prio, yr in ((urgent_95, "1-URGENT", 1995),
+                                (urgent_96, "1-URGENT", 1996),
+                                (rest_95, "5-LOW", 1995),
+                                (rest_96, "5-LOW", 1996)):
+            if total is not None:
+                out.append((cust, prio, dt.date(yr, 6, 1), total))
+        return out
+
+    orders = (rows(1, 10.0, 30.0, 10.0, 20.0)    # 3x vs 2x → keep
+              + rows(2, 10.0, 20.0, 10.0, 30.0)  # 2x vs 3x → drop
+              + rows(3, 10.0, 20.0, 10.0, 20.0)  # equal → drop (strict)
+              + rows(4, None, 20.0, 10.0, 20.0))  # missing a cell → drop
+    d = _tpch(spark, tmp_path, orders=(
+        orders, "o_custkey LONG, o_orderpriority STRING, "
+                "o_orderdate DATE, o_totalprice DOUBLE"))
+    got = [(r.o_custkey, r.urgent_1995, r.urgent_1996) for r in
+           registry.QUERIES["b121_growth_vs_channel"](spark, d)
+           .collect()]
+    assert got == [(1, 10.0, 30.0)]
+
+
+def test_b122_subtotals_rank_against_siblings_only(spark, tmp_path):
+    """B122 crafted pin: leaves rank against sibling leaves under
+    their parent, subtotals against sibling subtotals, the grand total
+    alone — and equal measures resolve by the NULLS FIRST tiebreaks."""
+    li = [("A", "F", 2.0), ("A", "O", 4.0), ("N", "O", 3.0)]
+    d = _tpch(spark, tmp_path, lineitem=(
+        li, "l_returnflag STRING, l_linestatus STRING, "
+            "l_quantity DOUBLE"))
+    got = [(r.rf, r.ls, r.qty_ppm, r.lochierarchy, r.rk) for r in
+           registry.QUERIES["b122_rollup_level_rank"](spark, d)
+           .collect()]
+    assert got == [
+        (None, None, 3_000_000, 2, 1),          # grand total, alone
+        ("A", None, 3_000_000, 1, 1),           # subtotal tie → rf order
+        ("N", None, 3_000_000, 1, 2),
+        ("A", "F", 2_000_000, 0, 1),            # A's leaves compete
+        ("A", "O", 4_000_000, 0, 2),
+        ("N", "O", 3_000_000, 0, 1),            # N's leaf, own partition
+    ]

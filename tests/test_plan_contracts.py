@@ -1043,3 +1043,25 @@ def test_b120_window_average_no_reaggregation(spark):
     assert len(re.findall(r"\) Window\b", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b121_four_cells_one_aggregation_no_joins(spark):
+    """B121 (Q74 shape): all four (channel x year) cells from ONE
+    conditional aggregation — the literal SQL's four-way self-join of
+    the totals CTE is the pinned-out anti-pattern."""
+    import re
+    plan = _plan(registry.QUERIES["b121_growth_vs_channel"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b122_one_expand_one_window(spark):
+    """B122 (Q36 shape): ONE Expand feeds ONE aggregation pass feeds
+    ONE window — never a ranking query per hierarchy level."""
+    import re
+    plan = _plan(registry.QUERIES["b122_rollup_level_rank"](spark, SF))
+    assert len(re.findall(r"\) Expand", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert "Join" not in plan, plan

@@ -411,3 +411,57 @@ def test_export_reference_catalog_keeps_iceberg_pointers(spark, tmp_path):
     assert stored.data_files == [] and stored.schema_json == ""
     assert Engine(spark, out).sql(
         "SELECT COUNT(*) AS n FROM p.t").first().n == 5
+
+
+def test_binpb_catalog_on_object_store(spark, tmp_path):
+    """The reference's premise is def files ON OBJECT STORAGE — a
+    binpb catalog over the S3 storage abstraction (moto) must write
+    every def as a .binpb object, survive a cache-wiped reload (all
+    bytes re-fetched from the store), and keep serving exact values.
+    Also composes with the bucketed layout: TableDef.bucket_by
+    round-trips through the proto ext property."""
+    moto = pytest.importorskip("moto")
+    boto3 = pytest.importorskip("boto3")
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from olympia_spark.engine import Engine
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+    os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+    m = moto.mock_aws()
+    m.start()
+    try:
+        bucket = f"wh-{_uuid.uuid4().hex[:12]}"
+        s3 = boto3.client("s3", region_name="us-east-1")
+        s3.create_bucket(Bucket=bucket)
+        from olympia_spark.catalog.storage import storage_for
+        Catalog.create(storage_for(f"s3://{bucket}/lake"),
+                       def_format="binpb")
+        eng = Engine(spark, f"s3://{bucket}/lake")
+        eng.sql("CREATE NAMESPACE s3ns")
+        eng.sql("CREATE TABLE s3ns.t (k BIGINT, v DOUBLE) "
+                "CLUSTERED BY (k) INTO 4 BUCKETS")
+        eng.write_table(
+            spark.range(25).select(F.col("id").alias("k"),
+                                   (F.col("id") * 3.0).alias("v")),
+            "s3ns.t")
+        eng.sql("DELETE FROM s3ns.t WHERE k >= 20")
+        # every def object in the store is .binpb
+        keys = [o["Key"] for o in s3.list_objects_v2(
+            Bucket=bucket, Prefix="lake/def/")["Contents"]]
+        assert keys and all(k.endswith(".binpb") for k in keys)
+        # different machine: wipe the read cache, reload from the store
+        shutil.rmtree(eng.catalog.storage.cache_dir, ignore_errors=True)
+        eng2 = Engine(spark, f"s3://{bucket}/lake")
+        assert eng2.catalog.def_suffix == ".binpb"
+        tdef = eng2.catalog.describe_table(eng2._txn(), "s3ns", "t")
+        assert tdef.bucket_by == {"columns": ["k"], "num_buckets": 4}
+        got = eng2.sql(
+            "SELECT COUNT(*) AS n, SUM(v) AS s FROM s3ns.t").first()
+        assert (got.n, got.s) == (20, sum(i * 3.0 for i in range(20)))
+    finally:
+        m.stop()
