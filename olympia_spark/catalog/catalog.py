@@ -121,20 +121,38 @@ class Catalog:
     def commit(self, txn: Transaction) -> RootNode:
         return txns.commit(txn)
 
+    def _dtxn_suffix(self, txn_id: str) -> str:
+        """The suffix a dist-txn handle actually lives under: the
+        catalog's own format first, then the OTHER one — a warehouse
+        can legitimately hold handles from a mixed-format writer pair
+        (e.g. the Java reference saved a .binpb handle into a catalog
+        we otherwise manage as .json); listing accepted both, so
+        loading must too (review r11 finding). Falls back to the
+        catalog's own suffix for handles that don't exist yet."""
+        other = (loc.BINPB_FILE_SUFFIX
+                 if self.def_suffix == loc.DEF_FILE_SUFFIX
+                 else loc.DEF_FILE_SUFFIX)
+        for sfx in (self.def_suffix, other):
+            if self.storage.exists(loc.dist_txn_def_path(txn_id, sfx)):
+                return sfx
+        return self.def_suffix
+
     def save_dist_transaction(self, txn: Transaction) -> str:
-        return txns.save_dist_transaction(txn, self.def_suffix)
+        # re-saving an existing handle keeps ITS format (overwrite in
+        # place), a fresh handle takes the catalog's
+        return txns.save_dist_transaction(txn, self._dtxn_suffix(txn.id))
 
     def load_dist_transaction(self, txn_id: str) -> Transaction:
         txn = txns.load_dist_transaction(self.tree, txn_id,
-                                         self.def_suffix)
+                                         self._dtxn_suffix(txn_id))
         # install payload-replay ops so resolvable conflicts roll forward
         for action in list(txn.write_actions):
             txn.ops.append(self._payload_replay_op(action))
         return txn
 
     def dist_transaction_exists(self, txn_id: str) -> bool:
-        return txns.dist_transaction_exists(self.tree, txn_id,
-                                            self.def_suffix)
+        return self.storage.exists(
+            loc.dist_txn_def_path(txn_id, self._dtxn_suffix(txn_id)))
 
     def list_dist_transactions(self) -> list[str]:
         """sys.dtxns virtualization support (A36)."""
@@ -747,6 +765,14 @@ def now_millis() -> int:
     return int(time.time() * 1000)
 
 
+# resolved metadata location -> (schema_json, files, ident_fill, fmtver):
+# an Iceberg metadata.json names ONE immutable snapshot lineage, so the
+# hydration of a given resolved location never changes — memoized
+# because describe_table runs several times per statement and a full
+# manifest walk per call would dominate planning latency (review r11)
+_POINTER_HYDRATION: dict[str, tuple] = {}
+
+
 def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
     """Materialize a reference-written Iceberg-pointer TableDef for
     reading: resolve its current snapshot's live files + schema from
@@ -755,22 +781,31 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
     Mutates the in-memory def only. Snapshots carrying v2 delete files
     refuse loudly — applying them needs a one-time materialization
     (engine.adopt_iceberg_table), not a silent partial read."""
+    import dataclasses
+
     from olympia_spark.catalog import iceberg as il
     mloc = il.resolve_metadata_location(tdef.metadata_location)
-    meta = il.load_table_metadata(mloc)
-    schema = il.iceberg_schema_to_spark(il.current_schema(meta))
-    snapshot = il.select_snapshot(meta, None)
-    entries, deletes = (il.live_files(snapshot) if snapshot
-                        else ([], []))
-    if deletes:
-        raise ValueError(
-            f"Iceberg pointer {tdef.metadata_location} carries v2 "
-            f"delete files; adopt it explicitly "
-            f"(adopt_iceberg_table applies the deletes once)")
-    files, ident_fill = il.adopted_files(meta, schema, entries)
-    tdef.schema_json = schema.json()
-    tdef.data_files = files
+    hit = _POINTER_HYDRATION.get(mloc)
+    if hit is None:
+        meta = il.load_table_metadata(mloc)
+        schema = il.iceberg_schema_to_spark(il.current_schema(meta))
+        snapshot = il.select_snapshot(meta, None)
+        entries, deletes = (il.live_files(snapshot) if snapshot
+                            else ([], []))
+        if deletes:
+            raise ValueError(
+                f"Iceberg pointer {tdef.metadata_location} carries v2 "
+                f"delete files; adopt it explicitly "
+                f"(adopt_iceberg_table applies the deletes once)")
+        files, ident_fill = il.adopted_files(meta, schema, entries)
+        hit = (schema.json(), files, ident_fill,
+               str(meta.get("format-version", 1)))
+        _POINTER_HYDRATION[mloc] = hit
+    schema_json, files, ident_fill, fmtver = hit
+    tdef.schema_json = schema_json
+    # fresh DataFile copies per describe: callers treat defs as their
+    # own snapshots and may stamp fields (dir_files) on file entries
+    tdef.data_files = [dataclasses.replace(f) for f in files]
     if ident_fill:
         tdef.properties.setdefault("iceberg.identity_fill", ident_fill)
-    tdef.properties.setdefault("iceberg.format-version",
-                               str(meta.get("format-version", 1)))
+    tdef.properties.setdefault("iceberg.format-version", fmtver)

@@ -286,6 +286,13 @@ def _iso_num(level: str) -> int:
     return _ISOLATION.index(level) if level in _ISOLATION else 0
 
 
+def _iso_name(num: int) -> str:
+    # proto3 enums are OPEN: a foreign/newer writer may serialize a
+    # value we don't know — fall back to the 0-default instead of
+    # crashing the whole def read (review r11 finding)
+    return _ISOLATION[num] if 0 <= num < len(_ISOLATION) else _ISOLATION[0]
+
+
 def encode_catalog_def(d: CatalogDef) -> bytes:
     props = dict(d.properties)
     if d.name:
@@ -303,20 +310,33 @@ def encode_catalog_def(d: CatalogDef) -> bytes:
 
 
 def decode_catalog_def(data: bytes) -> CatalogDef:
+    from olympia_spark.catalog.defs import (
+        CATALOG_ORDER_DEFAULT, NAME_MAX_SIZE_BYTES_DEFAULT,
+        NODE_FILE_MAX_SIZE_BYTES_DEFAULT, TXN_TTL_MILLIS_DEFAULT)
     m = decode_message("CatalogDef", data)
     props = m.get("properties", {})
     ext = json.loads(props.pop(_EXT_CATALOG, "{}"))
+    # absent (or zero — proto3 can't tell them apart) sizing fields
+    # take the reference's documented defaults
+    # (ObjectDefinitions.java:33-49): a 0 order/name-max/node-max is
+    # unusable by construction, so a writer omitting them meant the
+    # defaults, not a broken catalog (review r11 finding)
     return CatalogDef(
         id=m.get("id", ""), name=ext.get("name", ""),
         major_version=m.get("major_version", 0),
-        order=m.get("order", 0) or 2,   # order 0 is unusable; floor it
+        order=m.get("order", 0) or CATALOG_ORDER_DEFAULT,
         namespace_name_max_size_bytes=m.get(
-            "namespace_name_max_size_bytes", 0),
-        table_name_max_size_bytes=m.get("table_name_max_size_bytes", 0),
-        view_name_max_size_bytes=m.get("view_name_max_size_bytes", 0),
-        node_file_max_size_bytes=m.get("node_file_max_size_bytes", 0),
-        txn_isolation_level=_ISOLATION[m.get("txn_isolation_level", 0)],
-        txn_ttl_millis=m.get("txn_ttl_millis", 0),
+            "namespace_name_max_size_bytes", 0)
+        or NAME_MAX_SIZE_BYTES_DEFAULT,
+        table_name_max_size_bytes=m.get("table_name_max_size_bytes", 0)
+        or NAME_MAX_SIZE_BYTES_DEFAULT,
+        view_name_max_size_bytes=m.get("view_name_max_size_bytes", 0)
+        or NAME_MAX_SIZE_BYTES_DEFAULT,
+        node_file_max_size_bytes=m.get("node_file_max_size_bytes", 0)
+        or NODE_FILE_MAX_SIZE_BYTES_DEFAULT,
+        txn_isolation_level=_iso_name(m.get("txn_isolation_level", 0)),
+        txn_ttl_millis=m.get("txn_ttl_millis", 0)
+        or TXN_TTL_MILLIS_DEFAULT,
         properties=props,
         exported_snapshots=m.get("exported_snapshots", {}))
 
@@ -333,25 +353,28 @@ def decode_namespace_def(data: bytes) -> NamespaceDef:
 
 
 def encode_table_def(d: TableDef) -> bytes:
+    import dataclasses
     props = dict(d.properties)
-    ext: dict = {}
-    if d.format != "ICEBERG" or d.schema_json or d.data_files:
-        # anything beyond a pure Iceberg pointer rides in the ext
-        # property — a reference-written def stays byte-minimal
-        import dataclasses
-        ext = {
-            "format": d.format,
-            "schema_json": d.schema_json,
-            "data_files": [dataclasses.asdict(f) for f in d.data_files],
-            "partition_by": d.partition_by,
-            "column_mapping": d.column_mapping,
-            "retired_columns": d.retired_columns,
-            "constraints": d.constraints,
-            "generated_columns": d.generated_columns,
-            "bucket_by": d.bucket_by,
-        }
-        props[_EXT_TABLE] = json.dumps(
-            {k: v for k, v in ext.items() if v}, sort_keys=True)
+    # EVERY field beyond the pure Iceberg-pointer shape rides in the
+    # ext property (a pointer def annotated with e.g. bucket_by or
+    # constraints must round-trip losslessly too — review r11 finding);
+    # a reference-written pointer def has no non-defaults and stays
+    # byte-minimal (no ext property at all)
+    ext = {k: v for k, v in {
+        "format": d.format if d.format != "ICEBERG" else "",
+        "schema_json": d.schema_json,
+        "data_files": [dataclasses.asdict(f) for f in d.data_files],
+        "partition_by": d.partition_by,
+        "column_mapping": d.column_mapping,
+        "retired_columns": d.retired_columns,
+        "constraints": d.constraints,
+        "generated_columns": d.generated_columns,
+        "bucket_by": d.bucket_by,
+    }.items() if v}
+    if ext:
+        if "format" not in ext:
+            ext["format"] = d.format
+        props[_EXT_TABLE] = json.dumps(ext, sort_keys=True)
     return encode_message("TableDef", {
         "id": d.id, "table_format": 0,   # ICEBERG — the only enum value
         "properties": props,
@@ -440,7 +463,8 @@ def encode_view_def(d: ViewDef) -> bytes:
     props = dict(d.properties)
     sub_b64 = props.pop(_EXT_SUBSTRAIT, "")
     ext = {k: v for k, v in
-           (("sql_text", d.sql_text), ("plan_ir_json", d.plan_ir_json))
+           (("sql_text", d.sql_text), ("plan_ir_json", d.plan_ir_json),
+            ("schema_json", d.schema_json))
            if v}
     if ext:
         props[_EXT_VIEW] = json.dumps(ext, sort_keys=True)
@@ -472,7 +496,13 @@ def decode_view_def(data: bytes) -> ViewDef:
         id=m.get("id", ""),
         sql_text=ext.get("sql_text", ""),
         plan_ir_json=ext.get("plan_ir_json", ""),
-        schema_json=_proto_schema_to_json(m.get("schema")),
+        # exact Spark schema preferred when present: the proto Schema
+        # round-trip is LOSSY (DECIMAL collapses to (38,10), timestamp
+        # precision to *6, nested nullability to true) and would break
+        # schema-bound views (review r11 finding); the proto field is
+        # the cross-engine-readable projection, not the contract
+        schema_json=ext.get("schema_json")
+        or _proto_schema_to_json(m.get("schema")),
         default_namespace=m.get("default_namespace_name", ""),
         referenced_objects=[
             f"{r.get('namespace_name', '')}.{r.get('name', '')}"
@@ -498,7 +528,7 @@ def decode_dist_txn_def(data: bytes) -> DistTransactionDef:
     raw = m.get("x_actions_json", b"")
     return DistTransactionDef(
         id=m.get("id", ""),
-        isolation_level=_ISOLATION[m.get("isolation_level", 0)],
+        isolation_level=_iso_name(m.get("isolation_level", 0)),
         beginning_root_path=m.get("beginning_root_node_file_path", ""),
         running_root_path=m.get("running_root_node_file_path", ""),
         began_at_millis=m.get("began_at_millis", 0),

@@ -945,6 +945,14 @@ class Engine:
                 [f for f in phys.fields if f.name not in enc])
             df = self.spark.read.schema(read_schema).parquet(
                 *[self._scan_uri(p) for p in paths])
+            if not era:
+                # a mixed-layout table's PATH-OPAQUE era (adopted
+                # Iceberg files, exported absolute paths) still needs
+                # its manifest-constant fill — the single-read branch
+                # below applies it, and before r11 this union branch
+                # silently skipped it (identity columns read NULL the
+                # moment an engine-written hive era joined the table)
+                df = self._fill_identity_constants(df, tdef, paths)
             for c in era:
                 # value segment is always mid-path (…/c=v/file.parquet);
                 # Hive-escaped %xx via url_decode, with literal '+'
@@ -1007,8 +1015,11 @@ class Engine:
         if not cols:
             return df
         want = set(rel_paths)
-        schema = tdef.spark_schema()
-        by_name = {f.name: f.dataType for f in schema.fields}
+        # PHYSICAL schema: identity_fill records physical names and the
+        # frame here is pre-_to_logical — a renamed fill column must
+        # still resolve its type (logical lookup KeyError'd)
+        by_name = {f.name: f.dataType
+                   for f in self._physical_schema(tdef).fields}
         def pyv(c: str, v):
             if v is not None and isinstance(by_name[c], T.DateType):
                 import datetime as _dt
@@ -4058,6 +4069,7 @@ class Engine:
                                      or "://" in f.path
                                      else self._data_uri(f.path)))
                         for f in tdef.data_files])
+                    self._export_mark_identity_fill(ns, tbl, tdef, copy)
                 dest.create_table(txn, ns, tbl, copy)
             for view in self.catalog.show_views(probe, ns):
                 dest.create_view(
@@ -4065,6 +4077,62 @@ class Engine:
                     self.catalog.describe_view(probe, ns, view))
         dest.commit(txn)
         return dest_dir
+
+    def _export_mark_identity_fill(self, ns: str, tbl: str,
+                                   tdef: TableDef,
+                                   copy: TableDef) -> None:
+        """Hive-partitioned native tables exported by
+        :meth:`export_reference_catalog` lose their path-derived
+        partition values at the destination (absolute paths are
+        layout-OPAQUE by design — a user dir that happens to look like
+        col=val must never override in-file data), so the partition
+        columns become Iceberg-style METADATA CONSTANTS: each file's
+        value already rides in its exact ``[v, v]`` stats (hive path
+        segments, :meth:`_footer_stats`) and the destination's scan
+        coalesce-fills them per file (``iceberg.identity_fill`` — the
+        spec's own convention for exactly this layout). Before r11 the
+        exported table silently read those columns as NULL (review r11
+        finding #1). REFUSES loudly when the stat typing cannot be
+        faithful: non-scalar partition column types, spec-evolution
+        derive markers, a missing per-file stat, or a STRING partition
+        value that the stat parser coerced to a number ('0123' → 123 —
+        re-deriving '123' would be silent wrong data)."""
+        if not tdef.partition_by:
+            return
+        if tdef.properties.get("spec.derive_on_read"):
+            raise ValueError(
+                f"export_reference_catalog: {ns}.{tbl} carries "
+                f"partition-spec-evolution derive markers; compact it "
+                f"first (derive-on-read has no destination-side lane)")
+        by_name = {f.name: f.dataType
+                   for f in self._physical_schema(tdef).fields}
+        pcols = [self._phys(tdef, c) for c in tdef.partition_by]
+        ok_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                    T.FloatType, T.DoubleType, T.StringType, T.DateType)
+        for c in pcols:
+            if not isinstance(by_name.get(c), ok_types):
+                raise ValueError(
+                    f"export_reference_catalog: {ns}.{tbl} partition "
+                    f"column {c} has type {by_name.get(c)} — per-file "
+                    f"constants support int/float/string/date only")
+        for f in tdef.data_files:
+            for c in pcols:
+                v = f.stats.get(c, [None])[0]
+                if v is None:
+                    raise ValueError(
+                        f"export_reference_catalog: {ns}.{tbl} file "
+                        f"{f.path} records no partition value for {c}")
+                if isinstance(by_name[c], T.StringType) \
+                        and not isinstance(v, str):
+                    raise ValueError(
+                        f"export_reference_catalog: {ns}.{tbl} string "
+                        f"partition value {v!r} for {c} was stat-typed "
+                        f"as a number; re-deriving it would corrupt "
+                        f"leading zeros/format — not exportable")
+        have = [c for c in copy.properties.get(
+                    "iceberg.identity_fill", "").split(",") if c]
+        copy.properties["iceberg.identity_fill"] = ",".join(
+            sorted(set(have) | set(pcols)))
 
     def expire_versions(self, keep_last: int,
                         protect_exports: bool = True,
@@ -4550,7 +4618,7 @@ class Engine:
         rows = []
         for txn_id in self.catalog.list_dist_transactions():
             dpath = loc.dist_txn_def_path(
-                txn_id, self.catalog.def_suffix)
+                txn_id, self.catalog._dtxn_suffix(txn_id))
             d = read_def(self.catalog.storage.read(dpath), dpath)
             rows.append((d.id, d.isolation_level, d.began_at_millis,
                          d.expire_at_millis, len(d.actions)))
