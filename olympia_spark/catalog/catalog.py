@@ -21,7 +21,8 @@ from olympia_spark.catalog.defs import (CatalogDef, NamespaceDef, TableDef,
                                         write_def)
 from olympia_spark.catalog.errors import (NamespaceNotEmptyError,
                                           ObjectAlreadyExistsError,
-                                          ObjectNotFoundError)
+                                          ObjectNotFoundError,
+                                          TransactionValueError)
 from olympia_spark.catalog.storage import Storage, storage_for
 from olympia_spark.catalog.transactions import Transaction
 from olympia_spark.catalog.tree import RootNode, Tree
@@ -121,21 +122,34 @@ class Catalog:
     def commit(self, txn: Transaction) -> RootNode:
         return txns.commit(txn)
 
-    def _dtxn_suffix(self, txn_id: str) -> str:
-        """The suffix a dist-txn handle actually lives under: the
-        catalog's own format first, then the OTHER one — a warehouse
-        can legitimately hold handles from a mixed-format writer pair
-        (e.g. the Java reference saved a .binpb handle into a catalog
-        we otherwise manage as .json); listing accepted both, so
-        loading must too (review r11 finding). Falls back to the
-        catalog's own suffix for handles that don't exist yet."""
+    def _dtxn_probe(self, txn_id: str) -> str | None:
+        """The suffix a dist-txn handle actually lives under (None if
+        it doesn't exist): the catalog's own format first, then the
+        OTHER one — a warehouse can legitimately hold handles from a
+        mixed-format writer pair (e.g. the Java reference saved a
+        .binpb handle into a catalog we otherwise manage as .json);
+        listing accepted both, so loading must too (review r11
+        finding). A handle present under BOTH suffixes is AMBIGUOUS —
+        one copy is stale, and silently resuming it would discard the
+        other writer's progress (review r11 pass-2 #3): refuse loudly
+        and name both files."""
         other = (loc.BINPB_FILE_SUFFIX
                  if self.def_suffix == loc.DEF_FILE_SUFFIX
                  else loc.DEF_FILE_SUFFIX)
-        for sfx in (self.def_suffix, other):
-            if self.storage.exists(loc.dist_txn_def_path(txn_id, sfx)):
-                return sfx
-        return self.def_suffix
+        found = [sfx for sfx in (self.def_suffix, other)
+                 if self.storage.exists(
+                     loc.dist_txn_def_path(txn_id, sfx))]
+        if len(found) == 2:
+            raise TransactionValueError(
+                f"distributed transaction {txn_id} exists under BOTH "
+                f"{loc.dist_txn_def_path(txn_id, found[0])} and "
+                f"{loc.dist_txn_def_path(txn_id, found[1])} — one is a "
+                f"stale duplicate from a mixed-format writer; delete "
+                f"it before resuming")
+        return found[0] if found else None
+
+    def _dtxn_suffix(self, txn_id: str) -> str:
+        return self._dtxn_probe(txn_id) or self.def_suffix
 
     def save_dist_transaction(self, txn: Transaction) -> str:
         # re-saving an existing handle keeps ITS format (overwrite in
@@ -151,8 +165,7 @@ class Catalog:
         return txn
 
     def dist_transaction_exists(self, txn_id: str) -> bool:
-        return self.storage.exists(
-            loc.dist_txn_def_path(txn_id, self._dtxn_suffix(txn_id)))
+        return self._dtxn_probe(txn_id) is not None
 
     def list_dist_transactions(self) -> list[str]:
         """sys.dtxns virtualization support (A36)."""
@@ -161,7 +174,9 @@ class Catalog:
             name = path.rsplit("/", 1)[-1]
             for sfx in (loc.DEF_FILE_SUFFIX, loc.BINPB_FILE_SUFFIX):
                 if name.endswith(sfx):
-                    out.append(name[:-len(sfx)])
+                    txn_id = name[:-len(sfx)]
+                    if txn_id not in out:   # both-suffix dup → one row
+                        out.append(txn_id)
                     break
         return out
 
@@ -765,12 +780,16 @@ def now_millis() -> int:
     return int(time.time() * 1000)
 
 
-# resolved metadata location -> (schema_json, files, ident_fill, fmtver):
-# an Iceberg metadata.json names ONE immutable snapshot lineage, so the
-# hydration of a given resolved location never changes — memoized
-# because describe_table runs several times per statement and a full
-# manifest walk per call would dominate planning latency (review r11)
-_POINTER_HYDRATION: dict[str, tuple] = {}
+# (resolved metadata path, mtime_ns, size) -> (schema_json, files,
+# ident_fill, fmtver): memoized because describe_table runs several
+# times per statement and a full manifest walk per call would dominate
+# planning latency (review r11). The key carries the file's mtime+size
+# because metadata at a FIXED path can be rewritten in place (our own
+# export_iceberg_metadata overwrites v1.metadata.json) — a bare-path
+# key would serve the stale snapshot for the life of the process
+# (review r11 pass-2 #2). Bounded FIFO so churning tables don't leak.
+_POINTER_HYDRATION: dict[tuple, tuple] = {}
+_POINTER_HYDRATION_MAX = 64
 
 
 def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
@@ -783,9 +802,16 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
     (engine.adopt_iceberg_table), not a silent partial read."""
     import dataclasses
 
+    import os as _os
+
     from olympia_spark.catalog import iceberg as il
     mloc = il.resolve_metadata_location(tdef.metadata_location)
-    hit = _POINTER_HYDRATION.get(mloc)
+    try:
+        st = _os.stat(il._local_path(mloc))
+        key = (mloc, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None                    # non-local/odd path: no caching
+    hit = _POINTER_HYDRATION.get(key) if key else None
     if hit is None:
         meta = il.load_table_metadata(mloc)
         schema = il.iceberg_schema_to_spark(il.current_schema(meta))
@@ -800,7 +826,10 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
         files, ident_fill = il.adopted_files(meta, schema, entries)
         hit = (schema.json(), files, ident_fill,
                str(meta.get("format-version", 1)))
-        _POINTER_HYDRATION[mloc] = hit
+        if key:
+            while len(_POINTER_HYDRATION) >= _POINTER_HYDRATION_MAX:
+                _POINTER_HYDRATION.pop(next(iter(_POINTER_HYDRATION)))
+            _POINTER_HYDRATION[key] = hit
     schema_json, files, ident_fill, fmtver = hit
     tdef.schema_json = schema_json
     # fresh DataFile copies per describe: callers treat defs as their

@@ -4118,6 +4118,8 @@ class Engine:
         for f in tdef.data_files:
             for c in pcols:
                 v = f.stats.get(c, [None])[0]
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    continue           # NULL partition — handled below
                 if v is None:
                     raise ValueError(
                         f"export_reference_catalog: {ns}.{tbl} file "
@@ -4129,6 +4131,20 @@ class Engine:
                         f"partition value {v!r} for {c} was stat-typed "
                         f"as a number; re-deriving it would corrupt "
                         f"leading zeros/format — not exportable")
+        # NULL partition values (__HIVE_DEFAULT_PARTITION__ dirs): the
+        # source scan maps the sentinel to NULL, so the exported file
+        # simply carries NO constant for that column — the fill leaves
+        # it NULL, matching source semantics. Leaving the sentinel in
+        # would surface as a phantom string key (or crash the date/int
+        # fill) at the destination (review r11 pass-2 #1). New dicts,
+        # not in-place edits: replace() copies share the stats dict
+        # with the probe snapshot.
+        for f in copy.data_files:
+            drop = [c for c in pcols if f.stats.get(c, [None])[0]
+                    == "__HIVE_DEFAULT_PARTITION__"]
+            if drop:
+                f.stats = {k: v for k, v in f.stats.items()
+                           if k not in drop}
         have = [c for c in copy.properties.get(
                     "iceberg.identity_fill", "").split(",") if c]
         copy.properties["iceberg.identity_fill"] = ",".join(

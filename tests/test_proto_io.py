@@ -570,7 +570,7 @@ def test_unknown_enum_values_fall_back_not_crash():
     assert pio.decode_dist_txn_def(raw2).isolation_level == "SNAPSHOT"
 
 
-def test_view_schema_exact_through_binpb(spark, tmp_path):
+def test_view_schema_exact_through_binpb():
     """Review r11 finding: schema-BOUND views must keep their exact
     bound schema (decimal precision included) through the binpb lane —
     the lossy proto Schema projection must not replace it."""
@@ -613,3 +613,87 @@ def test_mixed_suffix_dtxn_loads(tmp_path):
     txn2 = cat.begin()
     cat.create_namespace(txn2, "m2")
     assert cat.save_dist_transaction(txn2).endswith(".json")
+
+
+def test_export_null_partition_values_read_null(spark, tmp_path):
+    """Review r11 pass-2 #1: NULL partition values
+    (__HIVE_DEFAULT_PARTITION__ dirs) export as files with NO constant
+    for the column — the destination reads NULL, never the sentinel
+    string or a fill crash."""
+    from pyspark.sql import functions as F
+
+    from olympia_spark.engine import Engine
+    src = Engine(spark, str(tmp_path / "null_src"))
+    src.sql("CREATE NAMESPACE h")
+    src.sql("CREATE TABLE h.n (id BIGINT, src STRING) "
+            "PARTITIONED BY (src)")
+    src.write_table(
+        spark.range(10).select(
+            F.col("id"),
+            F.when(F.col("id") < 4, F.lit(None).cast("string"))
+            .otherwise(F.lit("a")).alias("src")), "h.n")
+    out = src.export_reference_catalog(str(tmp_path / "null_out"))
+    eng = Engine(spark, out)
+    assert eng.sql("SELECT COUNT(*) AS n FROM h.n WHERE src IS NULL") \
+        .first().n == 4
+    assert eng.sql("SELECT COUNT(*) AS n FROM h.n WHERE src = 'a'") \
+        .first().n == 6
+    assert eng.sql("SELECT COUNT(*) AS n FROM h.n "
+                   "WHERE src = '__HIVE_DEFAULT_PARTITION__'") \
+        .first().n == 0
+
+
+def test_both_suffix_dtxn_refuses_ambiguity(tmp_path):
+    """Review r11 pass-2 #3: a handle present under BOTH suffixes is an
+    ambiguous mixed-writer state — resuming either copy silently could
+    discard the other's progress; the catalog refuses loudly and the
+    listing stays deduplicated."""
+    from olympia_spark.catalog import locations as loc
+    from olympia_spark.catalog import proto_io as pio2
+    from olympia_spark.catalog.defs import read_def
+    from olympia_spark.catalog.errors import TransactionValueError
+    wh = str(tmp_path / "dup")
+    cat = Catalog.create(wh)
+    txn = cat.begin()
+    cat.create_namespace(txn, "m")
+    path = cat.save_dist_transaction(txn)
+    handle = read_def(cat.storage.read(path), path)
+    cat.storage.overwrite(
+        loc.dist_txn_def_path(txn.id, loc.BINPB_FILE_SUFFIX),
+        pio2.encode_dist_txn_def(handle))
+    assert cat.list_dist_transactions().count(txn.id) == 1
+    with pytest.raises(TransactionValueError, match="BOTH"):
+        cat.load_dist_transaction(txn.id)
+
+
+def test_pointer_hydration_sees_rewritten_metadata(spark, tmp_path):
+    """Review r11 pass-2 #2: metadata at a FIXED path can be rewritten
+    in place (our own export_iceberg_table always writes
+    v1.metadata.json) — the hydration cache must key on file identity
+    (mtime+size), so a re-export at the same destination serves the NEW
+    snapshot, not the memoized old one."""
+    from pyspark.sql import functions as F
+
+    from olympia_spark.engine import Engine
+    src = Engine(spark, str(tmp_path / "grow_src"))
+    src.sql("CREATE NAMESPACE s")
+    src.sql("CREATE TABLE s.t (k BIGINT)")
+    src.write_table(spark.range(5).select(F.col("id").alias("k")), "s.t")
+    ice = str(tmp_path / "ice")
+    mloc = src.export_iceberg_table("s.t", ice)
+    ref_wh = str(tmp_path / "ptr")
+    cat = Catalog.create(ref_wh)
+    txn = cat.begin()
+    cat.create_namespace(txn, "p")
+    cat.create_table(txn, "p", "t",
+                     TableDef(format="ICEBERG", schema_json="",
+                              metadata_location=mloc))
+    cat.commit(txn)
+    eng = Engine(spark, ref_wh)
+    assert eng.sql("SELECT COUNT(*) AS n FROM p.t").first().n == 5
+    # the table grows; the export REWRITES the same metadata path
+    src.write_table(spark.range(5, 12).select(F.col("id").alias("k")),
+                    "s.t")
+    mloc2 = src.export_iceberg_table("s.t", ice)
+    assert mloc2 == mloc                     # same path, new content
+    assert eng.sql("SELECT COUNT(*) AS n FROM p.t").first().n == 12
