@@ -151,6 +151,24 @@ class Catalog:
     def _dtxn_suffix(self, txn_id: str) -> str:
         return self._dtxn_probe(txn_id) or self.def_suffix
 
+    def dtxn_def_paths(self, txn_id: str) -> list[str]:
+        """EVERY existing def path of a dist-txn handle (0, 1 or — in
+        the ambiguous mixed-writer state — 2 entries, own format
+        first). The NON-RAISING read surface for observability and GC:
+        resume must refuse ambiguity (:meth:`_dtxn_probe`), but a
+        reader that only needs the handle's CONTENT — sys.dtxns rows,
+        orphan-GC root pinning — must keep working on (indeed,
+        ESPECIALLY on) an ambiguous handle (review r11 pass-3: the
+        raise routed into GC's catch-and-continue deleted a live
+        transaction's files)."""
+        other = (loc.BINPB_FILE_SUFFIX
+                 if self.def_suffix == loc.DEF_FILE_SUFFIX
+                 else loc.DEF_FILE_SUFFIX)
+        return [p for p in
+                (loc.dist_txn_def_path(txn_id, self.def_suffix),
+                 loc.dist_txn_def_path(txn_id, other))
+                if self.storage.exists(p)]
+
     def save_dist_transaction(self, txn: Transaction) -> str:
         # re-saving an existing handle keeps ITS format (overwrite in
         # place), a fresh handle takes the catalog's
@@ -802,15 +820,21 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
     (engine.adopt_iceberg_table), not a silent partial read."""
     import dataclasses
 
-    import os as _os
+    import hashlib as _hashlib
 
     from olympia_spark.catalog import iceberg as il
     mloc = il.resolve_metadata_location(tdef.metadata_location)
     try:
-        st = _os.stat(il._local_path(mloc))
-        key = (mloc, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None                    # non-local/odd path: no caching
+        # CONTENT hash, not mtime+size: metadata rewritten in place
+        # within one mtime tick at equal length would still serve the
+        # stale snapshot (review r11 pass-3 #4 — memory blind-spot
+        # class #2). The metadata JSON is KBs; hashing it is noise next
+        # to the manifest walk the cache exists to skip. ValueError is
+        # _local_path's non-local-scheme refusal — those paths simply
+        # don't cache (OSError likewise: vanished/unstatable file).
+        key = (mloc, _hashlib.md5(il._read_bytes(mloc)).hexdigest())
+    except (OSError, ValueError):
+        key = None
     hit = _POINTER_HYDRATION.get(key) if key else None
     if hit is None:
         meta = il.load_table_metadata(mloc)

@@ -4278,13 +4278,27 @@ class Engine:
             except Exception:  # noqa: BLE001 — export root may be foreign
                 continue
         # saved-but-uncommitted distributed transactions reference files
-        # no version root knows about yet — they are NOT orphans
+        # no version root knows about yet — they are NOT orphans.
+        # Protection reads EVERY existing copy of each handle directly
+        # (both def formats when a mixed-writer pair left duplicates):
+        # resume-time ambiguity refusal must never route into this
+        # catch-and-continue — that deleted a live transaction's files
+        # (review r11 pass-3 #1). GC pins the UNION of the copies'
+        # running roots; deciding which copy is current stays the
+        # resume path's problem.
+        from olympia_spark.catalog.defs import read_def
+        from olympia_spark.catalog.tree import RootNode
         for txn_id in self.catalog.list_dist_transactions():
-            try:
-                dtxn = self.catalog.load_dist_transaction(txn_id)
-                collect(dtxn.running_root)
-            except Exception:  # noqa: BLE001 — corrupt/expired handle
-                continue
+            for dpath in self.catalog.dtxn_def_paths(txn_id):
+                try:
+                    d = read_def(self.catalog.storage.read(dpath), dpath)
+                    running = RootNode(path=d.running_root_path)
+                    tree = self.catalog.tree
+                    tree._parse(tree._read_table(d.running_root_path),
+                                running)
+                    collect(running)
+                except Exception:  # noqa: BLE001 — corrupt/expired
+                    continue
         removed = []
         if self._object_store:
             # enumerate the data prefix via the object-store listing —
@@ -4629,13 +4643,17 @@ class Engine:
     def _sys_dtxns_df(self) -> DataFrame:
         """`sys.dtxns` — the catalog itself as a queryable table
         (docs/iceberg.md:73-179)."""
-        from olympia_spark.catalog import locations as loc
         from olympia_spark.catalog.defs import read_def
         rows = []
         for txn_id in self.catalog.list_dist_transactions():
-            dpath = loc.dist_txn_def_path(
-                txn_id, self.catalog._dtxn_suffix(txn_id))
-            d = read_def(self.catalog.storage.read(dpath), dpath)
+            # NON-raising read surface: an ambiguous (both-suffix)
+            # handle must still show up here — observability is how the
+            # user finds and fixes the duplicate; only RESUME refuses
+            # (review r11 pass-3 #2). Own-format copy first.
+            paths = self.catalog.dtxn_def_paths(txn_id)
+            if not paths:
+                continue
+            d = read_def(self.catalog.storage.read(paths[0]), paths[0])
             rows.append((d.id, d.isolation_level, d.began_at_millis,
                          d.expire_at_millis, len(d.actions)))
         schema = ("txn_id string, isolation_level string, "

@@ -697,3 +697,44 @@ def test_pointer_hydration_sees_rewritten_metadata(spark, tmp_path):
     mloc2 = src.export_iceberg_table("s.t", ice)
     assert mloc2 == mloc                     # same path, new content
     assert eng.sql("SELECT COUNT(*) AS n FROM p.t").first().n == 12
+
+
+def test_gc_protects_ambiguous_dtxn_files(spark, tmp_path):
+    """Review r11 pass-3 #1 (data loss): remove_orphan_files must pin
+    the running roots of EVERY copy of a both-suffix dist-txn handle —
+    the resume-time ambiguity refusal must never route into GC's
+    catch-and-continue and delete a live transaction's files."""
+    from pyspark.sql import functions as F
+
+    from olympia_spark.catalog import locations as loc
+    from olympia_spark.catalog import proto_io as pio2
+    from olympia_spark.catalog.defs import read_def
+    from olympia_spark.engine import Engine
+    eng = Engine(spark, str(tmp_path / "gcwh"))
+    eng.sql("CREATE NAMESPACE g")
+    eng.sql("CREATE TABLE g.t (k BIGINT)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO g.t VALUES (1), (2), (3)")
+    txn_id = eng.begin_dist()                 # saved, uncommitted
+    eng.current_txn = None                    # detach (another process)
+    cat = eng.catalog
+    path = loc.dist_txn_def_path(txn_id, cat.def_suffix)
+    handle = read_def(cat.storage.read(path), path)
+    # mixed-format writer leaves a second copy
+    cat.storage.overwrite(
+        loc.dist_txn_def_path(txn_id, loc.BINPB_FILE_SUFFIX),
+        pio2.encode_dist_txn_def(handle))
+    removed = eng.remove_orphan_files()
+    assert removed == []                      # the txn's files survive
+    # observability still serves the ambiguous handle
+    assert eng._sys_dtxns_df().filter(
+        F.col("txn_id") == txn_id).count() == 1
+    # and resume still refuses until the duplicate is deleted
+    from olympia_spark.catalog.errors import TransactionValueError
+    with pytest.raises(TransactionValueError, match="BOTH"):
+        cat.load_dist_transaction(txn_id)
+    cat.storage.delete(
+        loc.dist_txn_def_path(txn_id, loc.BINPB_FILE_SUFFIX))
+    eng.resume_dist(txn_id)
+    eng.sql("COMMIT")
+    assert eng.sql("SELECT COUNT(*) AS n FROM g.t").first().n == 3
