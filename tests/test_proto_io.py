@@ -738,3 +738,74 @@ def test_gc_protects_ambiguous_dtxn_files(spark, tmp_path):
     eng.resume_dist(txn_id)
     eng.sql("COMMIT")
     assert eng.sql("SELECT COUNT(*) AS n FROM g.t").first().n == 3
+
+
+def test_hypothesis_table_def_round_trip():
+    """Property fuzz over the FULL TableDef surface (paths, stats with
+    mixed int/float/str bounds, mappings, constraints, bucket specs) —
+    every generated def must survive encode→decode bit-faithfully."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(min_size=0, max_size=30)
+    word = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1, max_size=20)
+    scalar = st.one_of(st.integers(min_value=-2**40, max_value=2**40),
+                       st.floats(allow_nan=False, allow_infinity=False,
+                                 width=32),
+                       text)
+    data_file = st.builds(
+        DataFile,
+        path=word,
+        num_rows=st.integers(min_value=-1, max_value=2**40),
+        size_bytes=st.integers(min_value=-1, max_value=2**40),
+        stats=st.dictionaries(
+            word, st.tuples(scalar, scalar).map(list), max_size=4),
+        dir_files=st.integers(min_value=-1, max_value=64))
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.builds(
+        TableDef,
+        id=word,
+        format=st.sampled_from(["PARQUET", "ICEBERG", "CSV", "JSON"]),
+        schema_json=st.sampled_from(["", '{"fields":[],"type":"struct"}']),
+        data_files=st.lists(data_file, max_size=3),
+        partition_by=st.lists(word, max_size=3),
+        column_mapping=st.dictionaries(word, word, max_size=3),
+        retired_columns=st.lists(word, max_size=3),
+        constraints=st.dictionaries(word, text, max_size=3),
+        generated_columns=st.dictionaries(word, text, max_size=3),
+        bucket_by=st.one_of(
+            st.just({}),
+            st.fixed_dictionaries({"columns": st.lists(word, min_size=1,
+                                                       max_size=2),
+                                   "num_buckets": st.integers(2, 64)})),
+        properties=st.dictionaries(word, text, max_size=4),
+        metadata_location=text,
+        previous_metadata_location=text))
+    def check(d):
+        assert pio.decode_table_def(pio.encode_table_def(d)) == d
+
+    check()
+
+
+def test_hypothesis_dist_txn_round_trip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    text = st.text(min_size=0, max_size=40)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.builds(
+        DistTransactionDef,
+        id=st.text(min_size=1, max_size=40),
+        isolation_level=st.sampled_from(["SNAPSHOT", "SERIALIZABLE"]),
+        beginning_root_path=text,
+        running_root_path=text,
+        began_at_millis=st.integers(0, 2**50),
+        expire_at_millis=st.integers(0, 2**50),
+        actions=st.lists(st.tuples(text, text).map(list), max_size=4)))
+    def check(d):
+        assert pio.decode_dist_txn_def(pio.encode_dist_txn_def(d)) == d
+
+    check()
