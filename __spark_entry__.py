@@ -104,6 +104,7 @@ _PRIORITY = [
     "b117_count_band_customers", "b118_equal_share_channels",
     "b119_return_ratio_topk", "b120_below_avg_items",
     "b121_growth_vs_channel", "b122_rollup_level_rank",
+    "b123_cov_consecutive_periods",
     "dedup_ngram_jaccard_exact",
 ]
 

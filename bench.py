@@ -132,6 +132,7 @@ HEADLINE = [
     "b120_below_avg_items",
     "b121_growth_vs_channel",
     "b122_rollup_level_rank",
+    "b123_cov_consecutive_periods",
     "dedup_ngram_jaccard_exact",
 ]
 

@@ -3839,3 +3839,67 @@ def b122_rollup_level_rank(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("lochierarchy").desc(),
                      F.col("rf").asc_nulls_first(),
                      F.col("ls").asc_nulls_first()))
+
+
+# --- B123 TPC-DS Q39 shape (exact variance gate + consecutive periods) --------
+
+@query("b123_cov_consecutive_periods", oracle="""
+WITH g AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
+  FROM lineitem GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+), f AS (
+  SELECT rf, ls, mon, n, s,
+         4 * n * (n * ss - s * s) >= (n - 1) * s * s AS dispersed,
+         LAG(mon) OVER (PARTITION BY rf, ls ORDER BY mon) AS pmon,
+         LAG(4 * n * (n * ss - s * s) >= (n - 1) * s * s)
+             OVER (PARTITION BY rf, ls ORDER BY mon) AS pdispersed,
+         LAG(n) OVER (PARTITION BY rf, ls ORDER BY mon) AS pn
+  FROM g
+)
+SELECT rf, ls, mon, n, pn
+FROM f
+WHERE dispersed AND pdispersed AND mon = pmon + INTERVAL 1 MONTH
+ORDER BY rf, ls, mon
+""")
+def b123_cov_consecutive_periods(spark: SparkSession, sf: str) -> DataFrame:
+    """B123 — TPC-DS Q39 signature shape: groups whose demand is HIGHLY
+    DISPERSED (coefficient of variation over a threshold) in two
+    CONSECUTIVE periods — the inventory-volatility pair report.
+    Spark-first twice over: (1) the cov test runs on exact INTEGER
+    sufficient statistics — cov ≥ 0.5 ⟺ 4n(n·Σx² − (Σx)²) ≥ (n−1)(Σx)²
+    — stddev/mean never materialize as floats, so the gate can't flap
+    between engines at the boundary (memory class #8); (2) the
+    consecutive-period pairing is ONE LAG window over the periodized
+    aggregate (Q39's literal SQL self-joins the CTE on mon+1 and
+    re-aggregates), with calendar adjacency checked via month
+    arithmetic, not ordinal position — a gap month breaks the pair on
+    both engines. Groups need n ≥ 2 (sample variance undefined below);
+    one scan, one aggregation, one window, zero joins
+    (plan-asserted)."""
+    li = load(spark, sf, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    g = (li.groupBy(F.col("l_returnflag").alias("rf"),
+                    F.col("l_linestatus").alias("ls"),
+                    F.date_trunc("month", F.col("l_shipdate"))
+                    .cast("date").alias("mon"))
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(q).cast("long").alias("s"),
+              F.sum(q * q).cast("long").alias("ss"))
+         .filter(F.col("n") >= 2))
+    disp = (4 * F.col("n") * (F.col("n") * F.col("ss")
+                              - F.col("s") * F.col("s"))
+            >= (F.col("n") - 1) * F.col("s") * F.col("s"))
+    w = W.partitionBy("rf", "ls").orderBy("mon")
+    f = (g.withColumn("dispersed", disp)
+         .withColumn("pmon", F.lag("mon").over(w))
+         .withColumn("pdispersed", F.lag("dispersed").over(w))
+         .withColumn("pn", F.lag("n").over(w)))
+    return (f.filter(F.col("dispersed") & F.col("pdispersed")
+                     & (F.col("mon") == F.add_months(F.col("pmon"), 1)))
+            .select("rf", "ls", "mon", "n", "pn")
+            .orderBy("rf", "ls", "mon"))

@@ -873,3 +873,29 @@ def test_b122_subtotals_rank_against_siblings_only(spark, tmp_path):
         ("A", "O", 4_000_000, 0, 2),
         ("N", "O", 3_000_000, 0, 1),            # N's leaf, own partition
     ]
+
+
+def test_b123_dispersion_gate_and_calendar_adjacency(spark, tmp_path):
+    """B123 crafted pin: the integer cov gate (8(a-b)^2 vs (a+b)^2 at
+    n=2) admits high-dispersion months only, pairs need BOTH months
+    dispersed AND calendar-adjacent (a gap month breaks the pair), and
+    n=1 months are excluded outright."""
+    import datetime as dt
+
+    def mon(m, *qtys):
+        return [("A", "F", dt.date(1995, m, 10 + i), float(q))
+                for i, q in enumerate(qtys)]
+
+    li = (mon(1, 1, 5)      # dispersed: 8*16=128 >= 36
+          + mon(2, 1, 6)    # dispersed: 8*25=200 >= 49 → pair at Feb
+          + mon(3, 4, 5)    # NOT dispersed: 8*1=8 < 81
+          + mon(4, 1, 9)    # dispersed, but Mar wasn't → no pair
+          + mon(5, 3)       # n=1 → excluded (sample var undefined)
+          + mon(6, 1, 8))   # dispersed, but May excluded → gap → no pair
+    d = _tpch(spark, tmp_path, lineitem=(
+        li, "l_returnflag STRING, l_linestatus STRING, "
+            "l_shipdate DATE, l_quantity DOUBLE"))
+    got = [(r.rf, r.ls, r.mon, r.n, r.pn) for r in
+           registry.QUERIES["b123_cov_consecutive_periods"](spark, d)
+           .collect()]
+    assert got == [("A", "F", dt.date(1995, 2, 1), 2, 2)]

@@ -1065,3 +1065,17 @@ def test_b122_one_expand_one_window(spark):
     assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
     assert len(re.findall(r"\) Window\b", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_b123_one_agg_one_window_no_joins(spark):
+    """B123 (Q39 shape): the cov gate runs on integer sufficient
+    statistics inside ONE aggregation pass and the consecutive-period
+    pairing is ONE LAG window — never the literal-SQL self-join on
+    mon+1 with its second aggregation."""
+    import re
+    plan = _plan(registry.QUERIES["b123_cov_consecutive_periods"](
+        spark, SF))
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
