@@ -555,3 +555,40 @@ def test_streaming_ingest_preserves_bucket_layout(engine, spark, tmp_path):
         .fromString("formatted")
     assert "Exchange" not in qe.explainString(mode)
     assert agg.count() == 40
+
+
+def test_streaming_ingest_into_hive_bucketed_table(engine, spark, tmp_path):
+    """B55c composition proof: micro-batches into a PARTITIONED BY +
+    CLUSTERED BY table land as complete bucketed dirs under their hive
+    leaves, and the post-stream read keeps BOTH partition pruning and
+    the zero-Exchange keyed aggregation."""
+    from olympia_spark.operators.streaming import catalog_ingest_sink
+    src = str(tmp_path / "hb_src")
+    (spark.range(60).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("site"),
+        (F.col("id") % 5).cast("double").alias("value"))
+     .write.parquet(src))
+    schema = spark.read.parquet(src).schema
+    eng2 = __import__("olympia_spark.engine",
+                      fromlist=["Engine"]).Engine(
+        spark, str(tmp_path / "hb_wh"))
+    eng2.sql("CREATE NAMESPACE stream")   # the sink's fixed target
+    eng2.create_table("stream.events", schema,
+                      partition_by=["site"],
+                      bucket_by=(["event_id"], 4),
+                      properties={"auto.compact.threshold": "off"})
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream.writeStream.foreachBatch(catalog_ingest_sink(eng2))
+         .option("checkpointLocation", str(tmp_path / "hb_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    tdef = eng2.catalog.describe_table(eng2._txn(), "stream", "events")
+    assert all(f.dir_files > 0 for f in tdef.data_files)
+    df = eng2.read_table("stream.events").filter("site = 'a'")
+    agg = df.groupBy("event_id").agg(F.sum("value"))
+    plan = _plan_of(agg, spark)
+    assert "Exchange" not in plan, plan
+    assert "site" in plan.split("PartitionFilters")[1].split("\n")[0]
+    assert agg.count() == 30
+    assert eng2.read_table("stream.events").count() == 60
