@@ -183,7 +183,10 @@ class Catalog:
         return txn
 
     def dist_transaction_exists(self, txn_id: str) -> bool:
-        return self._dtxn_probe(txn_id) is not None
+        # existence is a question, not a resume: answer it on the
+        # non-raising surface so an ambiguous BOTH-suffix handle reads
+        # as "exists" (ADVICE r11) — only load/save refuse ambiguity
+        return bool(self.dtxn_def_paths(txn_id))
 
     def list_dist_transactions(self) -> list[str]:
         """sys.dtxns virtualization support (A36)."""
@@ -856,9 +859,11 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
             _POINTER_HYDRATION[key] = hit
     schema_json, files, ident_fill, fmtver = hit
     tdef.schema_json = schema_json
-    # fresh DataFile copies per describe: callers treat defs as their
-    # own snapshots and may stamp fields (dir_files) on file entries
-    tdef.data_files = [dataclasses.replace(f) for f in files]
+    # fresh DataFile copies per describe — stats dicts included, since
+    # replace() would alias the cached dict and an in-place stats edit
+    # would poison every later hydration of this pointer (ADVICE r11)
+    tdef.data_files = [dataclasses.replace(f, stats=dict(f.stats))
+                       for f in files]
     if ident_fill:
         tdef.properties.setdefault("iceberg.identity_fill", ident_fill)
     tdef.properties.setdefault("iceberg.format-version", fmtver)

@@ -186,12 +186,15 @@ _COLUMN_TYPE_NUM = {n: i for i, n in enumerate(_COLUMN_TYPES)}
 _ISOLATION = ["SNAPSHOT", "SERIALIZABLE"]
 
 
-def encode_message(msg_name: str, values: dict) -> bytes:
+def encode_message(msg_name: str, values: dict,
+                   specs: dict | None = None) -> bytes:
     """Encode a field-name→value dict as the named proto message.
     Values at proto3 defaults are omitted; fields are emitted in
     ascending field-number order (the canonical serialization both
-    protobuf-java and protobuf-python produce)."""
-    spec = _SPECS[msg_name]
+    protobuf-java and protobuf-python produce). ``specs`` defaults to
+    the objects.proto tables; catalog/substrait.py passes its own."""
+    specs = _SPECS if specs is None else specs
+    spec = specs[msg_name]
     out = bytearray()
     for num in sorted(spec):
         fname, kind = spec[num]
@@ -213,23 +216,28 @@ def encode_message(msg_name: str, values: dict) -> bytes:
                 entry = (_len_delim(1, k.encode("utf-8"))
                          + _len_delim(2, v[k].encode("utf-8")))
                 out += _len_delim(num, entry)
+        elif kind == "rep_str":
+            for item in v:
+                out += _len_delim(num, item.encode("utf-8"))
         elif kind.startswith("rep_msg:"):
             sub = kind.split(":", 1)[1]
             for item in v:
-                out += _len_delim(num, encode_message(sub, item))
+                out += _len_delim(num, encode_message(sub, item, specs))
         elif kind.startswith("msg:"):
             sub = kind.split(":", 1)[1]
-            out += _len_delim(num, encode_message(sub, v))
+            out += _len_delim(num, encode_message(sub, v, specs))
         else:  # pragma: no cover — spec table is closed
             raise ValueError(kind)
     return bytes(out)
 
 
-def decode_message(msg_name: str, data: bytes) -> dict:
+def decode_message(msg_name: str, data: bytes,
+                   specs: dict | None = None) -> dict:
     """Decode proto message bytes into a field-name→value dict.
     Unknown fields are skipped per their wire type; absent fields are
     simply missing from the dict (callers apply proto3 defaults)."""
-    spec = _SPECS[msg_name]
+    specs = _SPECS if specs is None else specs
+    spec = specs[msg_name]
     out: dict = {}
     pos = 0
     while pos < len(data):
@@ -258,13 +266,15 @@ def decode_message(msg_name: str, data: bytes) -> dict:
                 # map entries share the {1: str, 2: str} shape
                 out.setdefault(fname, {})[
                     entry.get("namespace_name", "")] = entry.get("name", "")
+            elif kind == "rep_str":
+                out.setdefault(fname, []).append(payload.decode("utf-8"))
             elif kind.startswith("rep_msg:"):
                 sub = kind.split(":", 1)[1]
                 out.setdefault(fname, []).append(
-                    decode_message(sub, payload))
+                    decode_message(sub, payload, specs))
             elif kind.startswith("msg:"):
                 sub = kind.split(":", 1)[1]
-                out[fname] = decode_message(sub, payload)
+                out[fname] = decode_message(sub, payload, specs)
         elif wire == 1:           # fixed64 from a foreign writer: skip
             pos += 8
         elif wire == 5:           # fixed32: skip
@@ -560,8 +570,13 @@ def decode_def(data: bytes, path: str):
     path's def/<kind>/ directory (FileLocations.java:33-41 — the
     reference encodes type in the directory, not the payload)."""
     parts = path.split("/")
+    # LAST 'def' segment wins: the def/<kind>/ tail is the reference's
+    # contract; an earlier coincidental 'def' directory in the mount
+    # prefix (/srv/def/wh/def/table/x.binpb) must not win (ADVICE r11)
     try:
-        kind = parts[parts.index("def") + 1]
+        kind = parts[len(parts) - 1 - parts[::-1].index("def") + 1]
     except (ValueError, IndexError):
         raise ValueError(f"not a def path: {path}") from None
+    if kind not in _BY_DIR:
+        raise ValueError(f"not a def path: {path}")
     return _BY_DIR[kind][1](data)

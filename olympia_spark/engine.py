@@ -2012,7 +2012,11 @@ class Engine:
         dirs: dict[str, list] = {}
         for p in rel_paths:
             f = by_file.get(p)
-            if f is None or os.path.isabs(p):
+            if f is None or os.path.isabs(p) or "://" in p:
+                # scheme URIs (file://, s3://) are non-engine-owned
+                # estates (export_reference_catalog writes them) — the
+                # plain scan is the contract there, same as absolute
+                # paths (ADVICE r11: isabs() alone misses URIs)
                 return None
             dirs.setdefault(self._dir_of(p), []).append(f)
         for group in dirs.values():
@@ -2055,8 +2059,16 @@ class Engine:
         # ADD/DROP/RENAME COLUMN mints a fresh shadow instead of
         # re-serving stale columns (review r10 finding #2); the dir set
         # OUT of the key is what makes appends incremental.
+        spark = self.spark
+        app = spark.sparkContext.applicationId
+        # applicationId IN the key: with a PERSISTENT metastore a
+        # same-named shadow from a prior application would survive with
+        # partition LOCATIONs pointing at that app's (vacuumed) spool
+        # cache, and ADD IF NOT EXISTS never repairs an existing
+        # partition's stale location (ADVICE r11) — a per-app name
+        # makes prior-app leftovers unreachable instead of trusted
         key = hashlib.md5("|".join(
-            [self._local_root, tdef.id, str(n), ",".join(cols),
+            [app, self._local_root, tdef.id, str(n), ",".join(cols),
              ",".join(era), phys.json()]).encode()).hexdigest()[:16]
         # ALWAYS catalog+database-qualified: the session's current
         # database (USE otherdb) OR current catalog (USE CATALOG other)
@@ -2064,8 +2076,6 @@ class Engine:
         # shorter-qualified name would resolve against the wrong place
         # while the completeness mark still vouches for it
         name = f"spark_catalog.default.olympia_bucketed_{key}"
-        spark = self.spark
-        app = spark.sparkContext.applicationId
         # entries keyed to a previous SparkContext are dead weight —
         # purge them (same convention as operators/_scratch.py), which
         # also bounds the map across session restarts in one process
@@ -4347,14 +4357,50 @@ class Engine:
         except Exception:       # classic-mode internals; never block DDL
             plan_ir = ""
         refs = sorted(self._referenced_tables(sql_text, txn))
+        props: dict = {}
+        sub = self._substrait_payload_for(sql_text, schema)
+        if sub:
+            # outbound interop: a simple single-table projection also
+            # gets a GENUINE ReadRel payload (named-table + base
+            # schema, catalog/substrait.py), so a binpb view def we
+            # write is executable by the Java reference's
+            # SubstraitUtil — not just carried. Complex views keep the
+            # SQL-text/IR extension only (documented deviation).
+            import base64 as _b64
+            from olympia_spark.catalog.proto_io import _EXT_SUBSTRAIT
+            props[_EXT_SUBSTRAIT] = _b64.b64encode(sub).decode()
         self.catalog.create_view(txn, ns, view, ViewDef(
             sql_text=sql_text, plan_ir_json=plan_ir,
             schema_json=schema.json(),
             default_namespace=ns,
             referenced_objects=[f"{n}.{t}" for n, t in refs],
-            schema_binding=schema_binding),
+            schema_binding=schema_binding,
+            properties=props),
             replace=replace)
         self._finish(txn)
+
+    @staticmethod
+    def _substrait_payload_for(sql_text: str, schema) -> bytes | None:
+        """ReadRel bytes when — and only when — the view is a plain
+        ``SELECT *|col[, col…] FROM ns.tbl`` (no WHERE/JOIN/aggregate/
+        alias/expression): exactly the named-table-scan subset the
+        reference's payload format expresses. Anything richer returns
+        None rather than approximating."""
+        import re
+        m = re.match(
+            r"\s*SELECT\s+(\*|[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+"
+            r"FROM\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$",
+            sql_text, re.IGNORECASE)
+        if not m:
+            return None
+        from olympia_spark.catalog.substrait import encode_read_rel
+        if m.group(1).strip() == "*":
+            cols = [f.name for f in schema.fields]
+        else:
+            cols = [c.strip() for c in m.group(1).split(",")]
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        return encode_read_rel([m.group(2), m.group(3)], cols,
+                               [types.get(c) for c in cols])
 
     def read_view(self, name: str, txn: Transaction | None = None
                   ) -> DataFrame:
@@ -4368,7 +4414,14 @@ class Engine:
         ns, view = self._split(name)
         txn = txn or self._txn()
         vdef = self.catalog.describe_view(txn, ns, view)
-        df = self.spark.sql(self._resolve_sql(vdef.sql_text, txn))
+        if not vdef.sql_text:
+            # reference-authored view: no SQL-text extension, only the
+            # substrait_read_rel payload (objects.proto:81-85) — decode
+            # the named-table scan and execute it (B124; before r12 the
+            # bytes were carried losslessly but not executable)
+            df = self._exec_substrait_view(vdef, ns, view, txn)
+        else:
+            df = self.spark.sql(self._resolve_sql(vdef.sql_text, txn))
         if vdef.schema_binding and vdef.schema_json:
             bound = T.StructType.fromJson(json.loads(vdef.schema_json))
             if [f.name for f in df.schema.fields] != \
@@ -4390,6 +4443,44 @@ class Engine:
             if df.schema != bound:
                 df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
                                  for f in bound.fields])
+        return df
+
+    def _exec_substrait_view(self, vdef: ViewDef, ns: str, view: str,
+                             txn: Transaction) -> DataFrame:
+        """Execute a reference-written Substrait ReadRel view payload
+        (SubstraitUtil.java:26-41 parses; the payload is a named-table
+        scan + base schema — TestSubstraitUtil.java:31-39). The named
+        table resolves through OUR catalog (same tree the view def
+        lives in); base-schema column names project the scan. Payloads
+        beyond that subset, or a view with neither SQL text nor a
+        payload, refuse loudly — never a silently-wrong result."""
+        from olympia_spark.catalog.proto_io import _EXT_SUBSTRAIT
+        from olympia_spark.catalog.substrait import decode_read_rel
+        sub_b64 = vdef.properties.get(_EXT_SUBSTRAIT, "")
+        if not sub_b64:
+            raise ValueError(
+                f"view {ns}.{view} has neither SQL text nor a substrait "
+                f"payload; nothing to execute")
+        import base64
+        rel = decode_read_rel(base64.b64decode(sub_b64))
+        names = rel.table_names
+        if len(names) == 1:
+            tns = vdef.default_namespace or ns
+            tname = names[0]
+        else:
+            # [ns, tbl] or [catalog, ns, tbl] — last two segments;
+            # Substrait name paths are outermost-first
+            tns, tname = names[-2], names[-1]
+        df = self.read_table(f"{tns}.{tname}", txn)
+        if rel.column_names:
+            have = set(df.columns)
+            missing = [c for c in rel.column_names if c not in have]
+            if missing:
+                raise ValueError(
+                    f"view {ns}.{view}: substrait base schema names "
+                    f"{missing} absent from {tns}.{tname} "
+                    f"({sorted(have)}); recreate the view to rebind")
+            df = df.select(*rel.column_names)
         return df
 
     # --- identifier resolution ----------------------------------------------
