@@ -280,6 +280,25 @@ def _reference_catalog_engine(spark: SparkSession, sf: str):
         cat.create_table(txn, "ref", "customer",
                          TableDef(format="ICEBERG", schema_json="",
                                   metadata_location=mpath))
+        # B124: a VIEW exactly as the Java reference authors it — a
+        # ViewDef whose only executable content is a Substrait ReadRel
+        # payload (named-table scan + base-schema projection,
+        # objects.proto:81-85 / TestSubstraitUtil.java:31-39); no SQL
+        # text anywhere in the def
+        import base64 as _b64
+
+        from olympia_spark.catalog.defs import ViewDef
+        from olympia_spark.catalog.proto_io import _EXT_SUBSTRAIT
+        from olympia_spark.catalog.substrait import encode_read_rel
+        payload = encode_read_rel(
+            ["ref", "customer"],
+            ["c_custkey", "c_mktsegment", "c_acctbal"],
+            ["bigint", "string", "double"])
+        cat.create_view(txn, "ref", "customer_view", ViewDef(
+            sql_text="", schema_json="", default_namespace="ref",
+            referenced_objects=["ref.customer"],
+            properties={_EXT_SUBSTRAIT:
+                        _b64.b64encode(payload).decode()}))
         cat.commit(txn)
         return (Engine(spark, ref_wh),)
 
@@ -319,6 +338,43 @@ def b112_reference_catalog_adopt(spark: SparkSession, sf: str) -> DataFrame:
                CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
                    AS bal_sum
         FROM ref.customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """)
+
+
+@query("b124_reference_view_exec", oracle="""
+SELECT c_mktsegment AS segment, COUNT(*) AS n,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal_sum
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def b124_reference_view_exec(spark: SparkSession, sf: str) -> DataFrame:
+    """B124 — Substrait ReadRel VIEW execution (r11 VERDICT missing #1):
+    the reference stores a view as a serialized Substrait ReadRel
+    (proto/objects.proto:81-85; SubstraitUtil.java:26-41 parses it;
+    the payload is a named-table scan + base schema,
+    TestSubstraitUtil.java:31-39). The fixture's ``ref.customer_view``
+    def carries ONLY that payload — no SQL text — projecting
+    (c_custkey, c_mktsegment, c_acctbal) from the Iceberg-pointer
+    table. Before r12 the bytes were preserved but not executable;
+    now catalog/substrait.py decodes the named-table + base-schema
+    subset with the same zero-dependency proto3 wire walker as the
+    def codec (anything richer — filter, mask, extension — refuses
+    loudly), engine._exec_substrait_view resolves the table through
+    the catalog and projects the base-schema names. The query
+    aggregates THROUGH the view via the SQL front-end; the oracle
+    aggregates the pristine parquet — a hash match proves wire decode
+    → name resolution → pointer hydration → projection end to end."""
+    eng = _reference_catalog_engine(spark, sf)
+    return eng.sql("""
+        SELECT c_mktsegment AS segment, COUNT(*) AS n,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                   AS bal_sum
+        FROM ref.customer_view
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """)
