@@ -201,6 +201,43 @@ def live_files(snapshot: dict) -> tuple[list[dict], list[dict]]:
     return data, deletes
 
 
+def resolve_mor_deletes(deletes: list[dict],
+                        name_by_id: dict[int, str]) -> list[dict]:
+    """Normalize delete-file records for merge-on-read application:
+    resolve each equality delete's ``equality_ids`` to column NAMES
+    (spec "Equality Delete Files" — ids reference the table schema)
+    and refuse unknown/absent ids loudly — a silently-skipped delete
+    would resurrect rows. Returns dicts with file_path / content /
+    sequence_number / partition / cols."""
+    out = []
+    for d in deletes:
+        if d["content"] not in (1, 2):
+            # spec defines 1=position, 2=equality; anything else is a
+            # future/unknown kind — applying it as either would be
+            # silently wrong (r11 VERDICT #3: keep this refusal)
+            raise ValueError(
+                f"delete file {d['file_path']} has unknown content "
+                f"value {d['content']} — cannot apply")
+        cols: tuple = ()
+        if d["content"] == 2:
+            try:
+                cols = tuple(name_by_id[i] for i in d["equality_ids"])
+            except (KeyError, TypeError) as e:
+                raise ValueError(
+                    f"equality delete file {d['file_path']} references "
+                    f"unknown field id {e} — cannot apply") from None
+            if not cols:
+                raise ValueError(
+                    f"equality delete file {d['file_path']} records no "
+                    f"equality_ids — cannot apply")
+        out.append({"file_path": d["file_path"],
+                    "content": int(d["content"]),
+                    "sequence_number": int(d["sequence_number"]),
+                    "partition": d.get("partition") or None,
+                    "cols": list(cols)})
+    return out
+
+
 def live_data_files(snapshot: dict) -> list[dict]:
     """Copy-on-write view of :func:`live_files`: returns the data files
     and refuses any snapshot carrying live delete files — callers that
@@ -342,7 +379,8 @@ def export_iceberg_metadata(
         partition_values: dict[str, dict] | None = None,
         partition_avro_types: dict[str, str] | None = None,
         partition_transforms: dict[str, str] | None = None,
-        partition_sources: dict[str, str] | None = None) -> str:
+        partition_sources: dict[str, str] | None = None,
+        delete_files: list[dict] | None = None) -> str:
     """Write Iceberg v2 table metadata (metadata.json + manifest list +
     manifest) describing ``data_files`` in place — the outbound half of
     the bridge: a native table becomes readable by any Iceberg client
@@ -356,7 +394,16 @@ def export_iceberg_metadata(
     Iceberg transform string, e.g. ``bucket[16]``/``day``) and
     ``partition_sources`` (field name → SOURCE column name — transform
     fields are partition fields, not schema columns, so source-id must
-    resolve to the source column)."""
+    resolve to the source column).
+
+    ``delete_files`` makes the snapshot MERGE-ON-READ (v2 row-level
+    deletes, spec "Delete Formats"): each dict carries ``path`` /
+    ``num_rows`` / ``size_bytes`` / ``content`` (1=position,
+    2=equality) / ``equality_ids`` (schema field ids, content=2 only).
+    Delete files land in their own DELETE-content manifest at
+    sequence number 2, data files stay at 1 — so equality deletes
+    apply to every data row (seq 1 < 2) per the spec's
+    strictly-greater rule."""
     import time
     import uuid as _uuid
 
@@ -404,27 +451,65 @@ def export_iceberg_metadata(
     manifest_path = os.path.join(mdir, f"{_uuid.uuid4()}-m0.avro")
     with open(manifest_path, "wb") as fh:
         fh.write(avro_io.write_ocf(entry_schema, entries))
+    mrows = [{
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": 1, "min_sequence_number": 1,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }]
+    last_seq = 1
+    if delete_files:
+        import copy
+        del_schema = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+        del_schema["fields"][4]["type"]["fields"].append(
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "default": None, "field-id": 135})
+        del_entries = [{
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": 2, "file_sequence_number": 2,
+            "data_file": {
+                "content": int(d["content"]),
+                "file_path": (d["path"] if "://" in d["path"]
+                              else os.path.abspath(d["path"])),
+                "file_format": "PARQUET", "partition": {},
+                "record_count": max(int(d["num_rows"]), 0),
+                "file_size_in_bytes": max(int(d["size_bytes"]), 0),
+                "equality_ids": ([int(i) for i in d["equality_ids"]]
+                                 if d.get("equality_ids") else None),
+            }} for d in delete_files]
+        del_manifest = os.path.join(mdir, f"{_uuid.uuid4()}-m1.avro")
+        with open(del_manifest, "wb") as fh:
+            fh.write(avro_io.write_ocf(del_schema, del_entries))
+        mrows.append({
+            "manifest_path": del_manifest,
+            "manifest_length": os.path.getsize(del_manifest),
+            "partition_spec_id": 0, "content": 1,
+            "sequence_number": 2, "min_sequence_number": 2,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(del_entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": 0, "existing_rows_count": 0,
+            "deleted_rows_count": sum(
+                max(int(d["num_rows"]), 0) for d in delete_files),
+        })
+        last_seq = 2
     mlist_path = os.path.join(
         mdir, f"snap-{snapshot_id}-1-{_uuid.uuid4()}.avro")
     with open(mlist_path, "wb") as fh:
-        fh.write(avro_io.write_ocf(MANIFEST_LIST_SCHEMA, [{
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0, "content": 0,
-            "sequence_number": 1, "min_sequence_number": 1,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0, "deleted_files_count": 0,
-            "added_rows_count": total_rows,
-            "existing_rows_count": 0, "deleted_rows_count": 0,
-        }]))
+        fh.write(avro_io.write_ocf(MANIFEST_LIST_SCHEMA, mrows))
     last_column_id = ice_schema.pop("_last_column_id")
     now = int(time.time() * 1000)
     meta = {
         "format-version": 2,
         "table-uuid": str(_uuid.uuid4()),
         "location": os.path.abspath(table_dir),
-        "last-sequence-number": 1,
+        "last-sequence-number": last_seq,
         "last-updated-ms": now,
         "last-column-id": last_column_id,
         "current-schema-id": 0,
@@ -441,7 +526,7 @@ def export_iceberg_metadata(
         "current-snapshot-id": snapshot_id,
         "snapshots": [{
             "snapshot-id": snapshot_id,
-            "sequence-number": 1,
+            "sequence-number": last_seq,
             "timestamp-ms": now,
             "manifest-list": mlist_path,
             "summary": {"operation": "append",

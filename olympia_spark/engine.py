@@ -658,8 +658,18 @@ class Engine:
         self._record_select(txn, ns, tbl, [f.name for f in schema.fields])
         policies = (self._current_policies(ns, tbl, tdef)
                     if historical else tdef.properties)
-        return self._apply_policies(self._scan(tdef, tdef.file_paths()),
-                                    tdef, policies)
+        mor = tdef.properties.get("iceberg.mor_deletes", "")
+        if mor:
+            # v2 merge-on-read pointer (hydration stamped the delete
+            # obligation): net rows = data files minus position/
+            # equality deletes, applied at scan assembly — same
+            # builder the one-time adoption lane CTASes from
+            scope = json.loads(mor)
+            base = self._iceberg_mor_net(
+                schema, scope["data"], scope["deletes"])
+        else:
+            base = self._scan(tdef, tdef.file_paths())
+        return self._apply_policies(base, tdef, policies)
 
     def _current_policies(self, ns: str, tbl: str,
                           fallback: TableDef) -> dict:
@@ -1259,112 +1269,10 @@ class Engine:
         from olympia_spark.catalog import iceberg as il
         pos_dels = [d for d in deletes if d["content"] != 2]
         eq_dels = [d for d in deletes if d["content"] == 2]
-        data_paths = [e["file_path"] for e in entries]
-        # both sides normalize to a plain path (the data scan emits
-        # file:-scheme URIs; delete files record whatever URI form the
-        # writer used — spec requires it to match the manifest entry)
-        def norm(col):
-            return F.regexp_replace(col, "^file:/+", "/")
-
-        if not data_paths:
-            # all data manifests tombstoned, deletes not yet compacted
-            # away — the net table is simply empty
-            net = self.spark.createDataFrame([], schema)
-        else:
-            net = (self.spark.read.schema(schema).parquet(*data_paths)
-                   .select("*",
-                           norm(F.col("_metadata.file_path"))
-                           .alias("__fp"),
-                           F.col("_metadata.row_index").alias("__pos")))
-            if pos_dels:
-                dels = (self.spark.read.parquet(
-                            *[d["file_path"] for d in pos_dels])
-                        .select(norm(F.col("file_path")).alias("__fp"),
-                                F.col("pos").alias("__pos")))
-                net = net.join(dels, ["__fp", "__pos"], "left_anti")
-            if eq_dels:
-                name_by_id = il.field_names_by_id(il.current_schema(meta))
-
-                # canonical partition-tuple string for scope matching
-                # (data file's tuple == delete file's tuple)
-                def pcanon(p) -> str:
-                    return json.dumps(p or {}, sort_keys=True,
-                                      default=str)
-                # per-data-file sequence numbers + partition tuples ride
-                # in on a broadcast (file_path → seq, part) map —
-                # O(files) rows, never data-sized. The manifest path is
-                # normalized EXACTLY like the scan side's norm() — if the
-                # two disagreed (e.g. a file:// URI estate) __seq would
-                # join NULL and every delete condition would evaluate
-                # NULL, silently resurrecting equality-deleted rows.
-                seq_df = self.spark.createDataFrame(
-                    [(re.sub(r"^file:/+", "/", e["file_path"]),
-                      e["sequence_number"],
-                      pcanon(e.get("partition")))
-                     for e in entries],
-                    T.StructType([
-                        T.StructField("__fp", T.StringType()),
-                        T.StructField("__seq", T.LongType()),
-                        T.StructField("__part", T.StringType())]))
-                net = net.join(F.broadcast(seq_df), "__fp", "left")
-                # BATCHED application (r7 VERDICT missing #3): a
-                # Flink-CDC snapshot can carry thousands of small
-                # equality-delete files; one anti-join per FILE is a
-                # thousand join operators in one plan. Files sharing an
-                # equality_ids set read as ONE relation — each delete
-                # row tagged with its file's sequence number and
-                # partition scope via a broadcast (file → seq, part)
-                # map on _metadata.file_path — so the plan holds
-                # O(distinct id-sets) anti-joins, matching how Iceberg
-                # itself groups eq-deletes per spec/ids.
-                groups: dict[tuple[str, ...], list[dict]] = {}
-                for d in eq_dels:
-                    try:
-                        cols = tuple(name_by_id[i]
-                                     for i in d["equality_ids"])
-                    except (KeyError, TypeError) as e:
-                        raise ValueError(
-                            f"equality delete file {d['file_path']} "
-                            f"references unknown field id {e} — cannot "
-                            f"adopt") from None
-                    if not cols:
-                        raise ValueError(
-                            f"equality delete file {d['file_path']} "
-                            f"records no equality_ids — cannot adopt")
-                    groups.setdefault(cols, []).append(d)
-                for cols, dels in sorted(groups.items()):
-                    dmap = self.spark.createDataFrame(
-                        [(re.sub(r"^file:/+", "/", d["file_path"]),
-                          d["sequence_number"],
-                          pcanon(d["partition"])
-                          if d.get("partition") else None)
-                         for d in dels],
-                        T.StructType([
-                            T.StructField("__dfp", T.StringType()),
-                            T.StructField("__d_seq", T.LongType()),
-                            T.StructField("__d_part", T.StringType())]))
-                    ddf = (self.spark.read.parquet(
-                               *[d["file_path"] for d in dels])
-                           .select(*[F.col(c).alias(f"__d_{c}")
-                                     for c in cols],
-                                   norm(F.col("_metadata.file_path"))
-                                   .alias("__dfp"))
-                           .join(F.broadcast(dmap), "__dfp")
-                           .drop("__dfp").dropDuplicates())
-                    cond = F.col("__d_seq") > F.col("__seq")
-                    # partition-scoped deletes: rows in other
-                    # partitions survive even on key match; an
-                    # unscoped delete (NULL __d_part) applies
-                    # everywhere
-                    cond = cond & (F.col("__d_part").isNull()
-                                   | (F.col("__part")
-                                      == F.col("__d_part")))
-                    for c in cols:
-                        cond = cond & F.col(c).eqNullSafe(
-                            F.col(f"__d_{c}"))
-                    net = net.join(F.broadcast(ddf), cond, "left_anti")
-                net = net.drop("__seq", "__part")
-            net = net.drop("__fp", "__pos")
+        name_by_id = il.field_names_by_id(il.current_schema(meta))
+        net = self._iceberg_mor_net(
+            schema, entries,
+            il.resolve_mor_deletes(deletes, name_by_id))
         prev = ""
         if meta.get("metadata-log"):
             prev = meta["metadata-log"][-1].get("metadata-file", "")
@@ -1393,6 +1301,130 @@ class Engine:
                                           for d in eq_dels]})
         self._finish(txn)
         return len(files)
+
+    def _iceberg_mor_net(self, schema: T.StructType, entries: list[dict],
+                         deletes: list[dict]) -> DataFrame:
+        """The NET rows of an Iceberg v2 snapshot: data files minus
+        merge-on-read deletes. Shared by the one-time adoption lane
+        (:meth:`_adopt_with_deletes`, which CTASes the result) and —
+        new in r12 — the IN-PLACE read of a reference pointer def
+        whose snapshot carries live deletes (the reference reads these
+        natively through the Iceberg library,
+        core OlympiaIcebergTableScan.java; before r12 our hydration
+        refused them).
+
+        ``entries``: data files as {file_path, sequence_number,
+        partition}; ``deletes``: :func:`iceberg.resolve_mor_deletes`
+        output (equality ids already resolved to column names).
+
+        * POSITION deletes (content=1): distributed anti-join of the
+          data scan (parquet ``_metadata.file_path`` / ``row_index``
+          hidden columns) against the delete-file (file_path, pos)
+          pairs.
+        * EQUALITY deletes (content=2, the Flink-CDC shape): per
+          distinct equality-column set, ONE anti-join with NULL-SAFE
+          equality (spec: null values match null), scoped by sequence
+          number — a delete applies only to rows whose data file's
+          sequence number is STRICTLY LESS than the delete file's —
+          AND by partition: a delete file written with a partition
+          tuple applies only to data files of that partition (spec
+          "Scan Planning"; an unpartitioned delete applies globally).
+
+        Delete-side relations ride in on broadcasts — delete files are
+        small by construction (Iceberg compacts them away past a
+        threshold), the data side never reshuffles."""
+        pos_dels = [d for d in deletes if d["content"] != 2]
+        eq_dels = [d for d in deletes if d["content"] == 2]
+        data_paths = [e["file_path"] for e in entries]
+
+        # both sides normalize to a plain path (the data scan emits
+        # file:-scheme URIs; delete files record whatever URI form the
+        # writer used — spec requires it to match the manifest entry)
+        def norm(col):
+            return F.regexp_replace(col, "^file:/+", "/")
+
+        if not data_paths:
+            # all data manifests tombstoned, deletes not yet compacted
+            # away — the net table is simply empty
+            return self.spark.createDataFrame([], schema)
+        net = (self.spark.read.schema(schema).parquet(*data_paths)
+               .select("*",
+                       norm(F.col("_metadata.file_path"))
+                       .alias("__fp"),
+                       F.col("_metadata.row_index").alias("__pos")))
+        if pos_dels:
+            dels = (self.spark.read.parquet(
+                        *[d["file_path"] for d in pos_dels])
+                    .select(norm(F.col("file_path")).alias("__fp"),
+                            F.col("pos").alias("__pos")))
+            net = net.join(dels, ["__fp", "__pos"], "left_anti")
+        if eq_dels:
+            # canonical partition-tuple string for scope matching
+            # (data file's tuple == delete file's tuple)
+            def pcanon(p) -> str:
+                return json.dumps(p or {}, sort_keys=True, default=str)
+
+            # per-data-file sequence numbers + partition tuples ride
+            # in on a broadcast (file_path → seq, part) map —
+            # O(files) rows, never data-sized. The manifest path is
+            # normalized EXACTLY like the scan side's norm() — if the
+            # two disagreed (e.g. a file:// URI estate) __seq would
+            # join NULL and every delete condition would evaluate
+            # NULL, silently resurrecting equality-deleted rows.
+            seq_df = self.spark.createDataFrame(
+                [(re.sub(r"^file:/+", "/", e["file_path"]),
+                  e["sequence_number"],
+                  pcanon(e.get("partition")))
+                 for e in entries],
+                T.StructType([
+                    T.StructField("__fp", T.StringType()),
+                    T.StructField("__seq", T.LongType()),
+                    T.StructField("__part", T.StringType())]))
+            net = net.join(F.broadcast(seq_df), "__fp", "left")
+            # BATCHED application (r7 VERDICT missing #3): a Flink-CDC
+            # snapshot can carry thousands of small equality-delete
+            # files; one anti-join per FILE is a thousand join
+            # operators in one plan. Files sharing an equality-column
+            # set read as ONE relation — each delete row tagged with
+            # its file's sequence number and partition scope via a
+            # broadcast (file → seq, part) map on _metadata.file_path
+            # — so the plan holds O(distinct col-sets) anti-joins,
+            # matching how Iceberg itself groups eq-deletes.
+            groups: dict[tuple[str, ...], list[dict]] = {}
+            for d in eq_dels:
+                groups.setdefault(tuple(d["cols"]), []).append(d)
+            for cols, dels in sorted(groups.items()):
+                dmap = self.spark.createDataFrame(
+                    [(re.sub(r"^file:/+", "/", d["file_path"]),
+                      d["sequence_number"],
+                      pcanon(d["partition"])
+                      if d.get("partition") else None)
+                     for d in dels],
+                    T.StructType([
+                        T.StructField("__dfp", T.StringType()),
+                        T.StructField("__d_seq", T.LongType()),
+                        T.StructField("__d_part", T.StringType())]))
+                ddf = (self.spark.read.parquet(
+                           *[d["file_path"] for d in dels])
+                       .select(*[F.col(c).alias(f"__d_{c}")
+                                 for c in cols],
+                               norm(F.col("_metadata.file_path"))
+                               .alias("__dfp"))
+                       .join(F.broadcast(dmap), "__dfp")
+                       .drop("__dfp").dropDuplicates())
+                cond = F.col("__d_seq") > F.col("__seq")
+                # partition-scoped deletes: rows in other partitions
+                # survive even on key match; an unscoped delete (NULL
+                # __d_part) applies everywhere
+                cond = cond & (F.col("__d_part").isNull()
+                               | (F.col("__part")
+                                  == F.col("__d_part")))
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(
+                        F.col(f"__d_{c}"))
+                net = net.join(F.broadcast(ddf), cond, "left_anti")
+            net = net.drop("__seq", "__part")
+        return net.drop("__fp", "__pos")
 
     def clone_table(self, target: str, source: str,
                     version: int | None = None) -> int:

@@ -380,6 +380,130 @@ def b124_reference_view_exec(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+_B125_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _mor_pointer_engine(spark: SparkSession, sf: str):
+    """A reference-format (binpb) catalog whose customer table is an
+    Iceberg-pointer def at a v2 MERGE-ON-READ snapshot: two data files
+    (seq 1) plus a position-delete file (every 10th row of file 1,
+    offset 3) and a GLOBAL equality-delete file (every c_custkey
+    divisible by 7) at seq 2 — the estate the reference reads natively
+    through the Iceberg library (OlympiaIcebergTableScan.java) and we
+    read in place via hydration-stamped delete obligations
+    (catalog._hydrate_iceberg_pointer → engine._iceberg_mor_net)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olympia_spark.catalog import iceberg as il
+    from olympia_spark.catalog.catalog import Catalog
+    from olympia_spark.catalog.defs import DataFile, TableDef
+    from olympia_spark.engine import Engine
+    from olympia_spark.operators._scratch import get_or_create, scratch_dir
+
+    def build():
+        tdir = scratch_dir("olympia_b125_ice_")
+        ddir = os.path.join(tdir, "data")
+        os.makedirs(ddir, exist_ok=True)
+        # fixture prep is driver-side pyarrow over the DIM-sized
+        # customer table (metadata-scale; the OPERATOR under test is
+        # the distributed read below) — deterministic order so the
+        # oracle can reproduce file positions exactly
+        t = pq.read_table(os.path.join(sf, "customer.parquet"))
+        t = t.sort_by([("c_custkey", "ascending")])
+        half = (t.num_rows + 1) // 2
+        parts = [t.slice(0, half), t.slice(half)]
+        files = []
+        for i, part in enumerate(parts, 1):
+            p = os.path.join(ddir, f"f{i}.parquet")
+            pq.write_table(part, p)
+            files.append(DataFile(path=p, num_rows=part.num_rows,
+                                  size_bytes=os.path.getsize(p)))
+        # position deletes: file-1 positions 3, 13, 23, …
+        pos = list(range(3, half, 10))
+        ppath = os.path.join(ddir, "pd.parquet")
+        pq.write_table(pa.table({
+            "file_path": pa.array([os.path.abspath(files[0].path)] *
+                                  len(pos), pa.string()),
+            "pos": pa.array(pos, pa.int64())}), ppath)
+        # equality deletes on c_custkey (schema field id 1): every key
+        # divisible by 7, across BOTH files (unpartitioned → global)
+        keys = [k.as_py() for k in t["c_custkey"] if k.as_py() % 7 == 0]
+        epath = os.path.join(ddir, "eq.parquet")
+        pq.write_table(pa.table({
+            "c_custkey": pa.array(keys, t.schema.field("c_custkey").type)
+        }), epath)
+        schema = load(spark, sf, "customer").schema
+        mpath = il.export_iceberg_metadata(
+            tdir, schema, files, delete_files=[
+                {"path": ppath, "num_rows": len(pos),
+                 "size_bytes": os.path.getsize(ppath), "content": 1},
+                {"path": epath, "num_rows": len(keys),
+                 "size_bytes": os.path.getsize(epath), "content": 2,
+                 "equality_ids": [1]},
+            ])
+        wh = scratch_dir("olympia_b125_wh_")
+        cat = Catalog.create(wh, def_format="binpb")
+        txn = cat.begin()
+        cat.create_namespace(txn, "ref")
+        cat.create_table(txn, "ref", "customer",
+                         TableDef(format="ICEBERG", schema_json="",
+                                  metadata_location=mpath))
+        cat.commit(txn)
+        return (Engine(spark, wh),)
+
+    return get_or_create(_B125_CACHE, spark, sf, build)[0]
+
+
+@query("b125_iceberg_mor_pointer", oracle="""
+WITH ordered AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rn,
+         COUNT(*) OVER () AS total
+  FROM customer
+), kept AS (
+  SELECT * FROM ordered
+  WHERE NOT (rn < CAST(FLOOR((total + 1) / 2) AS BIGINT)
+             AND rn % 10 = 3)
+    AND c_custkey % 7 <> 0
+)
+SELECT c_mktsegment AS segment, COUNT(*) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key
+FROM kept
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def b125_iceberg_mor_pointer(spark: SparkSession, sf: str) -> DataFrame:
+    """B125 — Iceberg v2 MERGE-ON-READ pointer reads (r11 VERDICT
+    missing #2): a reference binpb pointer def whose snapshot carries
+    LIVE delete files is queried IN PLACE — no adoption, no
+    materialization. Hydration (catalog.py:_hydrate_iceberg_pointer)
+    stamps the delete obligation (position + equality files, per-file
+    sequence/partition scope, equality ids resolved to column names)
+    on the def; scan assembly (engine._iceberg_mor_net) applies
+    position deletes as a distributed anti-join on
+    (_metadata.file_path, row_index) and equality deletes as ONE
+    null-safe anti-join per distinct equality-column set, sequence-
+    and partition-scoped, delete sides broadcast (they are small by
+    construction). The reference reads such tables natively through
+    Iceberg 1.8.1 (OlympiaIcebergTableScan.java); before r12 our
+    hydration refused them. The oracle reproduces the net rows
+    arithmetically: position deletes = every 10th row (offset 3) of
+    the first half in c_custkey order; equality deletes = keys
+    divisible by 7."""
+    eng = _mor_pointer_engine(spark, sf)
+    return eng.sql("""
+        SELECT c_mktsegment AS segment, COUNT(*) AS n,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_key
+        FROM ref.customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """)
+
+
 _COPY_CACHE: dict[tuple[str, str], tuple] = {}
 
 
