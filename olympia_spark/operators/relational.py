@@ -3903,3 +3903,222 @@ def b123_cov_consecutive_periods(spark: SparkSession, sf: str) -> DataFrame:
                      & (F.col("mon") == F.add_months(F.col("pmon"), 1)))
             .select("rf", "ls", "mon", "n", "pn")
             .orderBy("rf", "ls", "mon"))
+
+
+# --- B126 TPC-DS Q5 shape (multi-channel UNION → single rollup) ---------------
+
+@query("b126_q5_channel_rollup", oracle="""
+WITH channels AS (
+  SELECT 'open' AS channel, o_orderpriority AS priority, o_totalprice AS v
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT 'finished', o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT 'pending', o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT COALESCE(channel, 'ALL') AS channel,
+       COALESCE(priority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM channels
+GROUP BY ROLLUP(channel, priority)
+ORDER BY channel, priority
+""")
+def b126_q5_channel_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """B126 — TPC-DS Q5 signature shape: per-channel reports stacked
+    by UNION ALL, then one ROLLUP over (channel, dimension) for the
+    grand-total report. Spark-first: the literal SQL (the oracle)
+    scans the fact once PER CHANNEL and unions — at 100 TB that is
+    three full passes over the same bytes. This plan TAGS each row
+    with its channel in ONE scan (the channels partition the rows, so
+    a CASE is exactly the union) and rolls up once: one scan, one
+    Expand, one aggregation — no Union in the plan (contract:
+    tests/test_plan_contracts.py::test_b126_one_scan_no_union).
+    Rollup NULLs coalesce to 'ALL' labels (priority is never NULL in
+    the data, so the label is unambiguous); value sums accumulate in
+    DECIMAL, cast to double only in the output."""
+    o = load(spark, sf, "orders")
+    s = F.col("o_orderstatus")
+    ch = (F.when(s == "O", F.lit("open"))
+           .when(s == "F", F.lit("finished"))
+           .otherwise(F.lit("pending")))
+    return (o.select(ch.alias("channel"),
+                     F.col("o_orderpriority").alias("priority"),
+                     F.col("o_totalprice").cast(DEC).alias("v"))
+            .rollup("channel", "priority")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum("v").cast("double").alias("total_value"))
+            .select(F.coalesce("channel", F.lit("ALL")).alias("channel"),
+                    F.coalesce("priority", F.lit("ALL")).alias("priority"),
+                    "n_orders", "total_value")
+            .orderBy("channel", "priority"))
+
+
+# --- B127 TPC-DS Q17 shape (three-way fact alignment) -------------------------
+
+@query("b127_q17_fact_alignment", oracle="""
+WITH store AS (SELECT l_partkey AS k, SUM(CAST(l_quantity AS BIGINT)) AS q_s
+               FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1),
+     ret   AS (SELECT l_partkey AS k, SUM(CAST(l_quantity AS BIGINT)) AS q_r
+               FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+     cat   AS (SELECT l_partkey AS k, SUM(CAST(l_quantity AS BIGINT)) AS q_a
+               FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(q_s) AS BIGINT) AS store_qty,
+       CAST(SUM(q_r) AS BIGINT) AS return_qty,
+       CAST(SUM(q_a) AS BIGINT) AS catalog_qty
+FROM store
+JOIN ret ON store.k = ret.k
+JOIN cat ON store.k = cat.k
+JOIN part ON store.k = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""")
+def b127_q17_fact_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """B127 — TPC-DS Q17 signature shape: the SAME fact observed
+    through three event lenses (store sale / return / catalog
+    re-purchase → returnflag N/R/A), per-key quantity statistics
+    aligned across all three, keys present in ALL THREE kept, rolled
+    up by a dimension attribute. Spark-first: the literal SQL (the
+    oracle) builds three CTEs — three scans of the fact — and chains
+    two fact-sized joins before the dimension join. This plan computes
+    all three lenses in ONE conditional aggregation over ONE scan
+    (sum-if per flag), keeps keys where every lens is non-null (the
+    inner-join semantics, quantities being >= 1 make the sums a
+    presence test), and broadcast-joins the part dimension: one fact
+    scan, zero fact-fact joins, one BroadcastHashJoin (contract:
+    tests/test_plan_contracts.py::test_b127_one_fact_scan_broadcast_dim).
+    At 100 TB: one key-partitioned pass instead of three scans + two
+    wide shuffling joins. Quantities are integral by construction —
+    BIGINT arithmetic end to end, no FP drift."""
+    li = load(spark, sf, "lineitem")
+    rf = F.col("l_returnflag")
+    q = F.col("l_quantity").cast("long")
+    g = (li.groupBy(F.col("l_partkey").alias("k"))
+         .agg(F.sum(F.when(rf == "N", q)).alias("q_s"),
+              F.sum(F.when(rf == "R", q)).alias("q_r"),
+              F.sum(F.when(rf == "A", q)).alias("q_a"))
+         .filter(F.col("q_s").isNotNull() & F.col("q_r").isNotNull()
+                 & F.col("q_a").isNotNull()))
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    return (g.join(F.broadcast(p), g.k == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.sum("q_s").cast("long").alias("store_qty"),
+                 F.sum("q_r").cast("long").alias("return_qty"),
+                 F.sum("q_a").cast("long").alias("catalog_qty"))
+            .orderBy("p_brand"))
+
+
+# --- B128 TPC-DS Q72 shape (calendar-shifted range join, off the BNLJ path) ---
+
+@query("b128_q72_shifted_range_join", oracle="""
+WITH demand AS (SELECT l_partkey AS k, l_shipdate AS d
+                FROM lineitem
+                WHERE l_returnflag = 'R' AND l_quantity >= 45),
+     supply AS (SELECT l_partkey AS k, l_shipdate AS sd,
+                       CAST(l_quantity AS BIGINT) AS sq
+                FROM lineitem
+                WHERE l_returnflag = 'N' AND l_quantity <= 5)
+SELECT CAST(date_trunc('month', demand.d) AS DATE) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT demand.k) AS BIGINT) AS n_parts,
+       CAST(SUM(sq) AS BIGINT) AS supply_qty
+FROM demand JOIN supply
+  ON demand.k = supply.k
+ AND supply.sd >= demand.d
+ AND supply.sd < demand.d + INTERVAL 8 DAY
+GROUP BY 1
+ORDER BY 1
+""")
+def b128_q72_shifted_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B128 — TPC-DS Q72 signature shape: a fact×fact join whose
+    business condition is a CALENDAR-SHIFTED window (inventory date
+    within [sale date, sale date + N days]) plus quantity bounds —
+    here: high-quantity returned lines ("demand") matched to
+    low-quantity sold lines of the SAME PART shipped within the next
+    week ("supply"). The scale trap Q72 is famous for: plan the date
+    window as the join condition and Spark has no equi key →
+    BroadcastNestedLoopJoin, a cross product at 100 TB. This plan
+    keeps the PART KEY as the hash-join key and the shifted-date
+    window as a residual join filter — a shuffled equi join that
+    partitions by l_partkey, with the range evaluated per matched
+    pair (contract: tests/test_plan_contracts.py::
+    test_b128_range_join_stays_hash_not_bnlj asserts no
+    BroadcastNestedLoopJoin / CartesianProduct). The quantity bounds
+    push down to both parquet scans. Selectivity keeps the fan-out
+    O(pairs-per-part); output is an exact per-month report."""
+    li = load(spark, sf, "lineitem")
+    demand = (li.filter((F.col("l_returnflag") == "R")
+                        & (F.col("l_quantity") >= 45))
+              .select(F.col("l_partkey").alias("k"),
+                      F.col("l_shipdate").alias("d")))
+    supply = (li.filter((F.col("l_returnflag") == "N")
+                        & (F.col("l_quantity") <= 5))
+              .select(F.col("l_partkey").alias("sk"),
+                      F.col("l_shipdate").alias("sd"),
+                      F.col("l_quantity").cast("long").alias("sq")))
+    j = demand.join(
+        supply,
+        (F.col("k") == F.col("sk"))
+        & (F.col("sd") >= F.col("d"))
+        & (F.col("sd") < F.col("d") + F.expr("INTERVAL 8 DAYS")))
+    return (j.groupBy(F.date_trunc("month", F.col("d")).cast("date")
+                      .alias("mon"))
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.countDistinct("k").cast("long").alias("n_parts"),
+                 F.sum("sq").cast("long").alias("supply_qty"))
+            .orderBy("mon"))
+
+
+# --- B129 TPC-DS Q95 shape (two-hop EXISTS over the same relation) ------------
+
+@query("b129_q95_two_hop_exists", oracle="""
+WITH win AS (SELECT * FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+               AND l_shipdate < TIMESTAMP '1996-01-01')
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM win l1
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_returnflag = 'R')
+""")
+def b129_q95_two_hop_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """B129 — TPC-DS Q95 signature shape: rows of a date window
+    qualified by TWO correlated EXISTS over the SAME fact relation
+    (Q95: an order shipped from more than one warehouse AND having a
+    return). Spark-first: the literal SQL (the oracle) plans two
+    LeftSemi self-joins — the fact shuffles against itself twice. Both
+    existence predicates are ORDER-level properties, so ONE
+    aggregation pass by l_orderkey computes them as sufficient
+    statistics — distinct supplier count ("shipped from ≥2
+    warehouses" ⇔ any row has a different-supplier sibling), a
+    has-return flag, and the window-scoped row count + revenue (the
+    window filters which rows CONTRIBUTE, existence consults the
+    whole order — Q95's exact semantics). Filter the per-order rows,
+    aggregate once more: one scan, zero joins (contract:
+    tests/test_plan_contracts.py::test_b129_no_self_joins). Revenue
+    accumulates in DECIMAL; the double appears only in the output."""
+    li = load(spark, sf, "lineitem")
+    win = ((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+           & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")))
+    rev = F.when(win, (F.col("l_extendedprice")
+                       * (F.lit(1) - F.col("l_discount"))).cast(DEC))
+    per = (li.groupBy("l_orderkey")
+           .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                F.max((F.col("l_returnflag") == "R").cast("int"))
+                .alias("has_ret"),
+                F.count(F.when(win, F.lit(1))).alias("n_win"),
+                F.sum(rev).alias("rev")))
+    return (per.filter((F.col("n_supp") >= 2) & (F.col("has_ret") == 1)
+                       & (F.col("n_win") > 0))
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum("rev").cast("double").alias("revenue")))

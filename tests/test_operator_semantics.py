@@ -899,3 +899,110 @@ def test_b123_dispersion_gate_and_calendar_adjacency(spark, tmp_path):
            registry.QUERIES["b123_cov_consecutive_periods"](spark, d)
            .collect()]
     assert got == [("A", "F", dt.date(1995, 2, 1), 2, 2)]
+
+
+# --- round-12 TPC-DS shapes: crafted ground-truth pins ------------------------
+
+
+def test_b126_rollup_labels_and_totals(spark, tmp_path):
+    """B126 crafted pin: channel tagging partitions the rows exactly
+    (CASE == the literal UNION), rollup emits per-(channel, priority)
+    cells, per-channel subtotals and ONE grand total, NULLs labeled
+    'ALL'."""
+    d = _tpch(spark, tmp_path, orders=([
+        ("O", "1-URGENT", 10.0), ("O", "1-URGENT", 20.0),
+        ("O", "5-LOW", 5.0), ("F", "1-URGENT", 7.0), ("P", "5-LOW", 3.0),
+    ], "o_orderstatus STRING, o_orderpriority STRING, "
+       "o_totalprice DOUBLE"))
+    got = [(r.channel, r.priority, r.n_orders, r.total_value) for r in
+           registry.QUERIES["b126_q5_channel_rollup"](spark, d).collect()]
+    assert got == [
+        ("ALL", "ALL", 5, 45.0),
+        ("finished", "1-URGENT", 1, 7.0), ("finished", "ALL", 1, 7.0),
+        ("open", "1-URGENT", 2, 30.0), ("open", "5-LOW", 1, 5.0),
+        ("open", "ALL", 3, 35.0),
+        ("pending", "5-LOW", 1, 3.0), ("pending", "ALL", 1, 3.0)]
+
+
+def test_b127_requires_all_three_lenses(spark, tmp_path):
+    """B127 crafted pin: a part missing ANY of the three event lenses
+    (N/R/A) is excluded — the conditional aggregation's null test IS
+    the triple inner join; per-brand sums aggregate only qualifying
+    parts."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (1, "N", 2.0), (1, "R", 3.0), (1, "A", 5.0),     # all three
+            (2, "N", 1.0), (2, "R", 1.0),                    # no A → out
+            (3, "N", 4.0), (3, "N", 6.0), (3, "R", 2.0),
+            (3, "A", 1.0),                                   # all three
+            (4, "A", 9.0),                                   # only A → out
+            (5, "N", 7.0), (5, "R", 8.0), (5, "A", 9.0),     # all three
+        ], "l_partkey LONG, l_returnflag STRING, l_quantity DOUBLE"),
+        part=([(1, "X"), (2, "X"), (3, "X"), (4, "Y"), (5, "Y")],
+              "p_partkey LONG, p_brand STRING"))
+    got = [(r.p_brand, r.n_parts, r.store_qty, r.return_qty,
+            r.catalog_qty) for r in
+           registry.QUERIES["b127_q17_fact_alignment"](spark, d).collect()]
+    assert got == [("X", 2, 12, 5, 6), ("Y", 1, 7, 8, 9)]
+
+
+def test_b128_window_boundaries_half_open(spark, tmp_path):
+    """B128 crafted pin: the shifted window is half-open
+    [d, d+8 days) — same-day supply matches, day d+7 matches, day d+8
+    and earlier-than-d do not; quantity bounds gate both sides."""
+    import datetime as dt
+
+    def ts(m, day):
+        return dt.datetime(1995, m, day)
+
+    d = _tpch(spark, tmp_path, lineitem=([
+        # demand (R, qty >= 45)
+        (1, "R", 50.0, ts(1, 10)), (2, "R", 45.0, ts(2, 1)),
+        (9, "R", 44.0, ts(1, 10)),              # qty < 45 → not demand
+        # supply (N, qty <= 5) against part 1's Jan 10 demand
+        (1, "N", 2.0, ts(1, 10)),               # same day → in
+        (1, "N", 3.0, ts(1, 17)),               # d+7 → in
+        (1, "N", 1.0, ts(1, 18)),               # d+8 → OUT (half-open)
+        (1, "N", 1.0, ts(1, 9)),                # before → OUT
+        (1, "N", 6.0, ts(1, 11)),               # qty 6 → not supply
+        (2, "N", 5.0, ts(2, 5)),                # part 2 window → in
+        (3, "N", 1.0, ts(1, 11)),               # no demand for part 3
+    ], "l_partkey LONG, l_returnflag STRING, l_quantity DOUBLE, "
+       "l_shipdate TIMESTAMP"))
+    import datetime as dt2
+    got = [(r.mon, r.n_pairs, r.n_parts, r.supply_qty) for r in
+           registry.QUERIES["b128_q72_shifted_range_join"](spark, d)
+           .collect()]
+    assert got == [(dt2.date(1995, 1, 1), 2, 1, 5),
+                   (dt2.date(1995, 2, 1), 1, 1, 5)]
+
+
+def test_b129_order_level_existence_and_window_revenue(spark, tmp_path):
+    """B129 crafted pin: existence consults the WHOLE order (multi-
+    supplier + has-return), revenue counts only in-window rows of
+    qualifying orders; single-supplier, no-return and out-of-window
+    orders are excluded."""
+    import datetime as dt
+
+    def row(ok, sk, rf, y, m, price, disc=0.0):
+        return (ok, sk, rf, dt.datetime(y, m, 1), price, disc)
+
+    d = _tpch(spark, tmp_path, lineitem=([
+        # order 1: 2 suppliers, return, both rows in window → rev 200
+        row(1, 1, "N", 1995, 3, 100.0),
+        row(1, 2, "R", 1995, 6, 200.0, 0.5),
+        # order 2: single supplier → excluded despite return
+        row(2, 1, "R", 1995, 4, 999.0), row(2, 1, "N", 1995, 5, 999.0),
+        # order 3: two suppliers, no return → excluded
+        row(3, 1, "N", 1995, 4, 999.0), row(3, 2, "N", 1995, 5, 999.0),
+        # order 4: qualifies structurally but NO in-window row → excluded
+        row(4, 1, "N", 1994, 5, 999.0), row(4, 2, "R", 1994, 6, 999.0),
+        # order 5: return row out of window still counts for EXISTENCE,
+        # revenue sums only the in-window row → rev 50
+        row(5, 1, "N", 1995, 7, 50.0), row(5, 2, "R", 1994, 1, 999.0),
+    ], "l_orderkey LONG, l_suppkey LONG, l_returnflag STRING, "
+       "l_shipdate TIMESTAMP, l_extendedprice DOUBLE, "
+       "l_discount DOUBLE"))
+    r = registry.QUERIES["b129_q95_two_hop_exists"](spark, d).collect()[0]
+    assert (r.n_orders, r.revenue) == (2, 250.0)

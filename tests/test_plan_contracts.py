@@ -1079,3 +1079,51 @@ def test_b123_one_agg_one_window_no_joins(spark):
     assert len(re.findall(r"\) Window\b", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+
+
+def test_b126_one_scan_no_union(spark):
+    """B126 (Q5 shape): the channel union is a CASE tag over ONE scan
+    feeding ONE rollup — never a Union of per-channel scans."""
+    import re
+    plan = _plan(registry.QUERIES["b126_q5_channel_rollup"](spark, SF))
+    assert "Union" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\) Expand", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_b127_one_fact_scan_broadcast_dim(spark):
+    """B127 (Q17 shape): three lenses from ONE conditional aggregation
+    over ONE fact scan (zero fact-fact joins); the dimension joins
+    broadcast."""
+    import re
+    plan = _plan(registry.QUERIES["b127_q17_fact_alignment"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_b128_range_join_stays_hash_not_bnlj(spark):
+    """B128 (Q72 shape): the calendar-shifted BETWEEN rides as a
+    residual condition on a PART-KEY equi join — never a
+    BroadcastNestedLoopJoin / cartesian product; the quantity bounds
+    push to the scans."""
+    plan = _plan(registry.QUERIES["b128_q72_shifted_range_join"](
+        spark, SF))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(l_quantity,45" in ln for ln in pushed), plan
+    assert any("LessThanOrEqual(l_quantity,5" in ln for ln in pushed), plan
+
+
+def test_b129_no_self_joins(spark):
+    """B129 (Q95 shape): both correlated EXISTS become sufficient
+    statistics of ONE aggregation pass — zero self-joins, one scan."""
+    import re
+    plan = _plan(registry.QUERIES["b129_q95_two_hop_exists"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
