@@ -53,52 +53,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry ages past the stale horizon. Round-11 list
-# (VERDICT r10 "Next round" #1): (1) the four round-10 bonus TPC-DS shapes
-# b108–b111 — the ONLY SURVEY rows without a driver-green entry; (2) this
-# round's new entries (b55c hive+bucket zero-Exchange join, b112 reference
-# binpb-catalog adoption) — the 2 slots VERDICT reserved for changed-path
-# work; (3) dedup_ngram_jaccard, whose SEMANTICS and oracle changed this
-# round (df-capped candidates + exact rescore, VERDICT #6) — changed
-# paths outrank age fills (VERDICT r9 "wrong" #2 precedent); (4) the
-# COMPLETE 44-query r6-age batch (exactly the set whose newest green is
-# round 6 across CORRECTNESS_r01..r10) — after this round no registry
-# query's newest green should be older than r7. 4+3+44 = 51 vs a ~50
-# window: at most the final age fill slips one round.
+# no query's newest driver entry ages past the stale horizon. Round-12 list
+# (VERDICT r11 "Next round" #1): (1) the 13 queries with NO driver-green
+# row or an r6-age one — the r11 bonus TPC-DS shapes b113–b123, the
+# uncapped n-gram lane, and text_url_extract (rank 51 of the r11 window,
+# the predicted one-round slip); (2) this round's 6 NEW entries — b124
+# substrait view execution, b125 iceberg v2 MOR pointer reads, and the 4
+# prescribed TPC-DS shapes b126–b129 (changed-path work gets driver rows
+# the round it lands, VERDICT r9 precedent); (3) the OLDEST r7-age
+# queries (45 exist; ~31 fit a 50-slot window — the tail, whose code is
+# unchanged since its r7 green, slips to r13 as VERDICT #1 plans).
 _PRIORITY = [
-    # round-10 bonus shapes — never driver-checked yet (VERDICT #1)
-    "b108_exists_disjunction", "b109_channel_overlap",
-    "b110_returns_netting", "b111_period_growth",
-    # NEW this round (changed-path slots)
-    "b55c_hive_bucketed_join", "b112_reference_catalog_adopt",
-    # CHANGED SEMANTICS this round (r10 VERDICT #6: the default n-gram
-    # lane is now df-capped candidates + exact rescore, with the oracle
-    # updated to the same cap rule) — its pre-r11 green no longer
-    # describes current code, so it outranks pure age fills
-    "dedup_ngram_jaccard",
-    # the 44 r6-age queries (newest green = r6), whole batch this round
-    # (if the window cuts below 51, the tail entry ages one more round —
-    # its code is unchanged since its r6 green, unlike everything above)
-    "b05_star_join", "b25b_explode_collect", "b27b_from_json",
-    "b32_stream_session_window", "b32_stream_sliding_window",
-    "b32_stream_tumbling_window", "b33_merge_upsert", "b33b_merge_multi",
-    "b34_asof_join", "b35_time_rollup", "b72_q5_shape",
-    "b74_merge_by_source", "b75_replace_where", "b76_q10_shape",
-    "b77_describe_detail", "b78_check_constraint", "b80_q18_shape",
-    "b81_rename_column", "b82_merge_schema_evolution",
-    "data_curriculum_head", "data_epoch_shuffle", "data_interleave_sources",
-    "data_profile", "data_profile_quantiles", "data_sample_per_key",
-    "data_split_stratified",
-    "dedup_cross_source", "dedup_exact", "dedup_prefix_hash",
-    "mm_feature_extract", "mm_frame_sample", "mm_metadata_scan",
-    "sim_label_propagation", "sim_mips_topk", "sim_quantize_int8",
-    "sim_range_search",
-    "text_entropy_gate", "text_fingerprint", "text_langid",
-    "text_ngram_novelty", "text_redact", "text_rolling_hash",
-    "text_token_count", "text_url_extract",
-    # beyond the window: this round's new TPC-DS shapes (4 prescribed +
-    # 4 bonus) + the uncapped exact n-gram lane — next in line if the
-    # window is wider than 51; all dual-scale oracle-green locally
+    # never driver-checked (r11 additions past the 50-slot window)
     "b113_moving_avg_neighbor", "b114_shared_cte_two_channel",
     "b115_frequent_items_semi", "b116_three_channel_ratio",
     "b117_count_band_customers", "b118_equal_share_channels",
@@ -106,6 +72,29 @@ _PRIORITY = [
     "b121_growth_vs_channel", "b122_rollup_level_rank",
     "b123_cov_consecutive_periods",
     "dedup_ngram_jaccard_exact",
+    # oldest green in the whole registry (r6)
+    "text_url_extract",
+    # NEW this round (changed-path slots)
+    "b124_reference_view_exec", "b125_iceberg_mor_pointer",
+    "b126_q5_channel_rollup", "b127_q17_fact_alignment",
+    "b128_q72_shifted_range_join", "b129_q95_two_hop_exists",
+    # the 45 r7-age queries (newest green = r7), oldest batch —
+    # ~31 fit; the tail ages one more round (code unchanged since r7)
+    "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
+    "b17_topk", "b18_union", "b18b_union_all", "b19_except",
+    "b19b_intersect", "b19c_except_intersect_all", "b20_cte_subquery",
+    "b21_string_fns", "b22_date_fns", "b22b_date_trunc_diff",
+    "b23_math_fns", "b36_sessionize", "b37_pivot",
+    "b38_range_frame_window", "b39_lateral_topn", "b40_skew_salted_join",
+    "b41_bloom_join_prune", "b42_unpivot", "b43_gap_fill",
+    "b44_string_agg", "b45_not_in_nulls", "b46_grouping_sets",
+    "b47_values_join", "b84_q7_shape", "b85_q14_shape",
+    "data_dsir_weights", "data_heavy_hitters", "data_host_cap",
+    "data_mad_outliers", "data_range_bounds", "data_source_kl_drift",
+    "dedup_cluster", "dedup_containment", "dedup_semantic_cluster",
+    "dedup_winnowing", "text_bm25_topk", "text_segment_dedup",
+    "text_token_freq_spectrum", "udf_grouped_custstats",
+    "udf_mapinpandas_tokens", "udf_pandas_tiered",
 ]
 
 
