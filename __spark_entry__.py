@@ -95,6 +95,12 @@ _PRIORITY = [
     "dedup_winnowing", "text_bm25_topk", "text_segment_dedup",
     "text_token_freq_spectrum", "udf_grouped_custstats",
     "udf_mapinpandas_tokens", "udf_pandas_tiered",
+    # beyond the window: this round's bonus TPC-DS shapes — next in
+    # line if the window is wider; all dual-scale oracle-green locally
+    "b130_q1_above_avg_returns", "b131_q59_weekday_ratio",
+    "b132_q90_am_pm_ratio", "b133_q92_excess_discount",
+    "b134_q75_yoy_decline", "b135_q89_monthly_deviation",
+    "b136_q21_pivot_balance",
 ]
 
 

@@ -143,6 +143,13 @@ HEADLINE = [
     "b127_q17_fact_alignment",
     "b128_q72_shifted_range_join",
     "b129_q95_two_hop_exists",
+    "b130_q1_above_avg_returns",
+    "b131_q59_weekday_ratio",
+    "b132_q90_am_pm_ratio",
+    "b133_q92_excess_discount",
+    "b134_q75_yoy_decline",
+    "b135_q89_monthly_deviation",
+    "b136_q21_pivot_balance",
 ]
 
 

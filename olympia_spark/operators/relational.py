@@ -4122,3 +4122,345 @@ def b129_q95_two_hop_exists(spark: SparkSession, sf: str) -> DataFrame:
                        & (F.col("n_win") > 0))
             .agg(F.count("*").cast("long").alias("n_orders"),
                  F.sum("rev").cast("double").alias("revenue")))
+
+
+# --- B130 TPC-DS Q1 shape (above group-average returns) -----------------------
+
+@query("b130_q1_above_avg_returns", oracle="""
+WITH ret AS (
+  SELECT o_custkey AS ck,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS rv
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1),
+ red AS (SELECT ck, rv, c_nationkey AS nk
+         FROM ret JOIN customer ON ck = c_custkey),
+ per_n AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(rv) AS tot
+           FROM red GROUP BY 1)
+SELECT ck AS c_custkey, red.nk AS nation, CAST(rv AS DOUBLE) AS ret_value
+FROM red JOIN per_n ON red.nk = per_n.nk
+WHERE rv * 5 * cnt > 6 * tot
+ORDER BY nation, c_custkey
+""")
+def b130_q1_above_avg_returns(spark: SparkSession, sf: str) -> DataFrame:
+    """B130 — TPC-DS Q1 signature shape: customers whose return value
+    exceeds 1.2× the AVERAGE return value of their group (store → here
+    nation). Spark-first: the literal SQL re-aggregates the
+    per-customer CTE per group and joins it back (or runs a correlated
+    AVG subquery — a self-join either way); this plan computes the
+    group count/total as WINDOW functions over the same per-customer
+    rows — one partitioned pass, no re-aggregation join (contract:
+    tests/test_plan_contracts.py::test_b130_window_not_reaggregation).
+    The 1.2× gate runs MULTIPLICATIVELY on exact decimals
+    (5·rv·cnt > 6·Σrv ⇔ rv > 1.2·avg) — no decimal division, no FP
+    boundary to flap between engines (memory class #8). The customer
+    dimension joins broadcast."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    ret = (li.filter(F.col("l_returnflag") == "R")
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy(F.col("o_custkey").alias("ck"))
+           .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("rv")))
+    red = (ret.join(F.broadcast(c), ret.ck == c.c_custkey)
+           .select("ck", "rv", F.col("c_nationkey").alias("nk")))
+    w = W.partitionBy("nk")
+    return (red.withColumn("cnt", F.count("*").over(w))
+            .withColumn("tot", F.sum("rv").over(w))
+            .filter(F.col("rv") * 5 * F.col("cnt")
+                    > 6 * F.col("tot"))
+            .select(F.col("ck").alias("c_custkey"),
+                    F.col("nk").alias("nation"),
+                    F.col("rv").cast("double").alias("ret_value"))
+            .orderBy("nation", "c_custkey"))
+
+
+# --- B131 TPC-DS Q59 shape (week-over-week ratio report) ----------------------
+
+@query("b131_q59_weekday_ratio", oracle="""
+WITH y1 AS (
+  SELECT o_orderpriority AS pri, EXTRACT(dow FROM o_orderdate) AS wd,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s1
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+  GROUP BY 1, 2),
+ y2 AS (
+  SELECT o_orderpriority AS pri, EXTRACT(dow FROM o_orderdate) AS wd,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s2
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+  GROUP BY 1, 2)
+SELECT y1.pri AS priority, CAST(y1.wd AS INT) AS weekday,
+       CAST(s1 AS DOUBLE) AS v_prev, CAST(s2 AS DOUBLE) AS v_cur,
+       CAST(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DOUBLE) AS ratio
+FROM y1 JOIN y2 ON y1.pri = y2.pri AND y1.wd = y2.wd
+ORDER BY priority, weekday
+""")
+def b131_q59_weekday_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """B131 — TPC-DS Q59 signature shape: the same periodic report
+    (sales per weekday) for two consecutive periods, aligned
+    cell-by-cell and expressed as a ratio. Spark-first: the literal
+    SQL builds one CTE per year and joins — two scans, one shuffle
+    join; this plan TAGS the year in ONE scan and aligns both periods
+    in one conditional aggregation, ratio-ing the cells in place: one
+    scan, zero joins (contract: tests/test_plan_contracts.py::
+    test_b131_one_scan_no_period_join). Weekday numbering aligned to
+    DuckDB's dow (Sunday=0): Spark's dayofweek()−1. Sums accumulate
+    in DECIMAL; the ratio divides the two exact values as doubles —
+    the one FP op, identical IEEE division on both engines."""
+    o = load(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    g = (o.filter(yr.isin(1996, 1997))
+         .groupBy(F.col("o_orderpriority").alias("priority"),
+                  (F.dayofweek("o_orderdate") - 1).alias("weekday"))
+         .agg(F.sum(F.when(yr == 1996,
+                           F.col("o_totalprice").cast(DEC))).alias("s1"),
+              F.sum(F.when(yr == 1997,
+                           F.col("o_totalprice").cast(DEC))).alias("s2"))
+         .filter(F.col("s1").isNotNull() & F.col("s2").isNotNull()))
+    return (g.select("priority", F.col("weekday").cast("int"),
+                     F.col("s1").cast("double").alias("v_prev"),
+                     F.col("s2").cast("double").alias("v_cur"),
+                     (F.col("s2").cast("double")
+                      / F.col("s1").cast("double")).alias("ratio"))
+            .orderBy("priority", "weekday"))
+
+
+# --- B132 TPC-DS Q90 shape (am/pm activity ratio) ------------------------------
+
+@query("b132_q90_am_pm_ratio", oracle="""
+SELECT event_type,
+       CAST(COUNT(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 6 AND 11
+                       THEN 1 END) AS BIGINT) AS n_am,
+       CAST(COUNT(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 23
+                       THEN 1 END) AS BIGINT) AS n_pm,
+       CAST(CAST(COUNT(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 6 AND 11
+                            THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(CASE WHEN EXTRACT(hour FROM ts)
+                              BETWEEN 18 AND 23 THEN 1 END) AS DOUBLE)
+            AS DOUBLE) AS am_pm_ratio
+FROM events
+GROUP BY event_type
+HAVING COUNT(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 23
+             THEN 1 END) > 0
+ORDER BY event_type
+""")
+def b132_q90_am_pm_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """B132 — TPC-DS Q90 signature shape: the ratio of activity in two
+    disjoint time-of-day bands (am vs pm web sales). Spark-first: the
+    literal Q90 runs the SAME join pipeline twice — once per band —
+    and divides two scalar subqueries; this plan computes both bands
+    as conditional counts in ONE aggregation over ONE scan (contract:
+    tests/test_plan_contracts.py::test_b132_single_scan_both_bands).
+    Counts are exact integers; the ratio is the only FP op (identical
+    IEEE division on both engines); pm=0 groups are excluded rather
+    than emitting engine-specific inf/NULL."""
+    e = load(spark, sf, "events")
+    h = F.hour("ts")
+    am = F.count(F.when(h.between(6, 11), F.lit(1)))
+    pm = F.count(F.when(h.between(18, 23), F.lit(1)))
+    return (e.groupBy("event_type")
+            .agg(am.cast("long").alias("n_am"),
+                 pm.cast("long").alias("n_pm"))
+            .filter(F.col("n_pm") > 0)
+            .select("event_type", "n_am", "n_pm",
+                    (F.col("n_am").cast("double")
+                     / F.col("n_pm").cast("double")).alias("am_pm_ratio"))
+            .orderBy("event_type"))
+
+
+# --- B133 TPC-DS Q92 shape (excess-discount revenue) ---------------------------
+
+@query("b133_q92_excess_discount", oracle="""
+WITH win AS (
+  SELECT l_partkey, CAST(l_discount AS DECIMAL(25,6)) AS d,
+         CAST(l_extendedprice AS DECIMAL(25,6)) AS p
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-07-01'),
+ per_part AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(d) AS sd
+  FROM win GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(p) AS DOUBLE) AS excess_revenue
+FROM win JOIN per_part USING (l_partkey)
+WHERE d * 10 * cnt > 13 * sd
+""")
+def b133_q92_excess_discount(spark: SparkSession, sf: str) -> DataFrame:
+    """B133 — TPC-DS Q92 signature shape: rows whose discount exceeds
+    1.3× the item's average discount over a date window, revenue
+    summed. Spark-first: the literal SQL runs a correlated scalar-AVG
+    subquery per item — a re-aggregation self-join; this plan takes
+    the per-item count/total as WINDOW functions over the
+    window-filtered scan: one scan, one Window, zero joins (contract:
+    tests/test_plan_contracts.py::test_b133_window_no_self_join). The
+    1.3× gate is MULTIPLICATIVE on exact decimals
+    (10·d·cnt > 13·Σd ⇔ d > 1.3·avg) — no decimal division, no FP
+    boundary (memory class #8); the date window pushes to the scan."""
+    li = load(spark, sf, "lineitem")
+    win = (li.filter(
+               (F.col("l_shipdate")
+                >= F.lit("1995-01-01").cast("timestamp"))
+               & (F.col("l_shipdate")
+                  < F.lit("1995-07-01").cast("timestamp")))
+           .select("l_partkey",
+                   F.col("l_discount").cast(DEC).alias("d"),
+                   F.col("l_extendedprice").cast(DEC).alias("p")))
+    w = W.partitionBy("l_partkey")
+    return (win.withColumn("cnt", F.count("*").over(w))
+            .withColumn("sd", F.sum("d").over(w))
+            .filter(F.col("d") * 10 * F.col("cnt") > 13 * F.col("sd"))
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum("p").cast("double").alias("excess_revenue")))
+
+
+# --- B134 TPC-DS Q75 shape (year-over-year decline, channel-netted) ------------
+
+@query("b134_q75_yoy_decline", oracle="""
+WITH per AS (
+  SELECT p_brand AS brand, EXTRACT(year FROM l_shipdate) AS yr,
+         CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                       THEN CAST(l_quantity AS BIGINT)
+                       ELSE -CAST(l_quantity AS BIGINT) END)
+              AS BIGINT) AS net_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2)
+SELECT cur.brand AS brand, CAST(cur.yr AS INT) AS yr,
+       prev.net_qty AS qty_prev, cur.net_qty AS qty_cur
+FROM per cur JOIN per prev
+  ON cur.brand = prev.brand AND cur.yr = prev.yr + 1
+WHERE cur.net_qty < prev.net_qty
+ORDER BY cur.brand, yr
+""")
+def b134_q75_yoy_decline(spark: SparkSession, sf: str) -> DataFrame:
+    """B134 — TPC-DS Q75 signature shape: sales NETTED against returns
+    per (brand, year) across channels, consecutive years aligned,
+    declining cells reported. Spark-first: the literal SQL self-joins
+    the netted CTE on yr+1 — re-shuffling the aggregate against
+    itself; this plan pairs consecutive years with ONE LAG window over
+    the per-(brand, year) aggregate, adjacency checked on the year
+    VALUE (a gap year breaks the pair on both engines — memory: the
+    b123 calendar-adjacency rule): one fact scan, one broadcast
+    dimension join, one Window, zero self-joins (contract:
+    tests/test_plan_contracts.py::test_b134_lag_not_self_join).
+    Quantities net in BIGINT — sales minus returns is exact integer
+    arithmetic end to end."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    q = F.col("l_quantity").cast("long")
+    per = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy(F.col("p_brand").alias("brand"),
+                    F.year("l_shipdate").alias("yr"))
+           .agg(F.sum(F.when(F.col("l_returnflag") != "R", q)
+                      .otherwise(-q)).alias("net_qty")))
+    w = W.partitionBy("brand").orderBy("yr")
+    return (per.withColumn("pyr", F.lag("yr").over(w))
+            .withColumn("qty_prev", F.lag("net_qty").over(w))
+            .filter((F.col("yr") == F.col("pyr") + 1)
+                    & (F.col("net_qty") < F.col("qty_prev")))
+            .select("brand", F.col("yr").cast("int").alias("yr"),
+                    "qty_prev", F.col("net_qty").alias("qty_cur"))
+            .orderBy("brand", "yr"))
+
+
+# --- B135 TPC-DS Q89 shape (monthly deviation from the yearly mean) ------------
+
+@query("b135_q89_monthly_deviation", oracle="""
+WITH per AS (
+  SELECT p_brand AS brand,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS v
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE EXTRACT(year FROM l_shipdate) = 1997
+  GROUP BY 1, 2),
+ yearly AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(v) AS tot
+            FROM per GROUP BY 1)
+SELECT per.brand, mon, CAST(v AS DOUBLE) AS month_value
+FROM per JOIN yearly ON per.brand = yearly.brand
+WHERE ABS(v * cnt - tot) * 10 > tot
+ORDER BY per.brand, mon
+""")
+def b135_q89_monthly_deviation(spark: SparkSession, sf: str) -> DataFrame:
+    """B135 — TPC-DS Q89 signature shape: monthly cells that deviate
+    from their group's yearly mean by more than a threshold (Q89:
+    |sum - avg| / avg > 0.1). Spark-first: the literal SQL
+    re-aggregates the monthly CTE per brand and joins back; this plan
+    takes the yearly count/total as WINDOW functions over the monthly
+    rows — one partitioned pass, no re-aggregation join (contract:
+    tests/test_plan_contracts.py::test_b135_window_not_reaggregation).
+    The 10% gate is MULTIPLICATIVE on exact decimals
+    (|v·cnt − Σv|·10 > Σv ⇔ |v − avg| > 0.1·avg) — no decimal
+    division, no FP flap (memory class #8)."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    per = (li.filter(F.year("l_shipdate") == 1997)
+           .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy(F.col("p_brand").alias("brand"),
+                    F.date_trunc("month", F.col("l_shipdate"))
+                    .cast("date").alias("mon"))
+           .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("v")))
+    w = W.partitionBy("brand")
+    return (per.withColumn("cnt", F.count("*").over(w))
+            .withColumn("tot", F.sum("v").over(w))
+            .filter(F.abs(F.col("v") * F.col("cnt") - F.col("tot")) * 10
+                    > F.col("tot"))
+            .select("brand", "mon",
+                    F.col("v").cast("double").alias("month_value"))
+            .orderBy("brand", "mon"))
+
+
+# --- B136 TPC-DS Q21 shape (before/after pivot-date balance) --------------------
+
+@query("b136_q21_pivot_balance", oracle="""
+WITH w AS (
+  SELECT l_partkey,
+         SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-06-01'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS bef,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS aft
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-04-02'
+    AND l_shipdate < TIMESTAMP '1997-07-31'
+  GROUP BY 1)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(bef) AS BIGINT) AS qty_before,
+       CAST(SUM(aft) AS BIGINT) AS qty_after
+FROM w JOIN part ON l_partkey = p_partkey
+WHERE bef > 0 AND aft > 0 AND 2 * aft <= 3 * bef AND 2 * bef <= 3 * aft
+GROUP BY 1
+ORDER BY 1
+""")
+def b136_q21_pivot_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """B136 — TPC-DS Q21 signature shape: per-item quantity split
+    around a pivot date (warehouse inventory before/after a sales-
+    price change), keeping items whose balance stays within
+    [2/3, 3/2]. Spark-first: the ratio bound runs as INTEGER
+    cross-multiplication (2·aft ≤ 3·bef ∧ 2·bef ≤ 3·aft) — the
+    division the literal Q21 writes (bef/aft BETWEEN 2.0/3.0 AND
+    3.0/2.0) would put an FP boundary on exact integers (memory class
+    #8). Both sides of the split come from ONE conditional aggregation
+    over ONE date-window-pushed scan (the literal SQL's CASE inside
+    SUM is kept — this shape's point is the exact gate), dimension
+    joined broadcast: contract tests/test_plan_contracts.py::
+    test_b136_single_scan_integer_gate."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    q = F.col("l_quantity").cast("long")
+    pivot = F.lit("1997-06-01").cast("timestamp")
+    w = (li.filter(
+             (F.col("l_shipdate")
+              >= F.lit("1997-04-02").cast("timestamp"))
+             & (F.col("l_shipdate")
+                < F.lit("1997-07-31").cast("timestamp")))
+         .groupBy("l_partkey")
+         .agg(F.sum(F.when(F.col("l_shipdate") < pivot, q)
+                    .otherwise(F.lit(0))).alias("bef"),
+              F.sum(F.when(F.col("l_shipdate") >= pivot, q)
+                    .otherwise(F.lit(0))).alias("aft"))
+         .filter((F.col("bef") > 0) & (F.col("aft") > 0)
+                 & (2 * F.col("aft") <= 3 * F.col("bef"))
+                 & (2 * F.col("bef") <= 3 * F.col("aft"))))
+    return (w.join(F.broadcast(p), w.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.sum("bef").cast("long").alias("qty_before"),
+                 F.sum("aft").cast("long").alias("qty_after"))
+            .orderBy("p_brand"))

@@ -1006,3 +1006,149 @@ def test_b129_order_level_existence_and_window_revenue(spark, tmp_path):
        "l_discount DOUBLE"))
     r = registry.QUERIES["b129_q95_two_hop_exists"](spark, d).collect()[0]
     assert (r.n_orders, r.revenue) == (2, 250.0)
+
+
+def test_b130_group_average_gate_and_single_member_groups(spark, tmp_path):
+    """B130 crafted pin: the 1.2x gate admits only members strictly
+    above their group's mean x1.2 (nation 1: avg 200 -> only the 400
+    return qualifies); a single-member group can never beat 1.2x its
+    own average; N-flag rows never count as returns."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (10, 100.0, "R"), (20, 100.0, "R"), (30, 400.0, "R"),
+            (40, 50.0, "R"),
+            (11, 999.0, "N"),                  # not a return → ignored
+        ], "l_orderkey LONG, l_extendedprice DOUBLE, "
+           "l_returnflag STRING"),
+        orders=([(10, 1), (11, 1), (20, 2), (30, 3), (40, 4)],
+                "o_orderkey LONG, o_custkey LONG"),
+        customer=([(1, 1), (2, 1), (3, 1), (4, 2)],
+                  "c_custkey LONG, c_nationkey INT"))
+    got = [(r.c_custkey, r.nation, r.ret_value) for r in
+           registry.QUERIES["b130_q1_above_avg_returns"](spark, d)
+           .collect()]
+    assert got == [(3, 1, 400.0)]
+
+
+def test_b131_cells_need_both_periods(spark, tmp_path):
+    """B131 crafted pin: a (priority, weekday) cell present in only one
+    period drops; weekday numbering is DuckDB dow (Sunday=0); years
+    outside the pair are ignored."""
+    import datetime as dt
+    d = _tpch(spark, tmp_path, orders=([
+        ("P", dt.datetime(1996, 1, 7), 10.0),    # Sunday 1996 → dow 0
+        ("P", dt.datetime(1997, 1, 5), 30.0),    # Sunday 1997 → dow 0
+        ("P", dt.datetime(1996, 1, 8), 5.0),     # Monday, 1996 only → out
+        ("P", dt.datetime(1998, 1, 4), 99.0),    # outside pair → ignored
+    ], "o_orderpriority STRING, o_orderdate TIMESTAMP, "
+       "o_totalprice DOUBLE"))
+    got = [(r.priority, r.weekday, r.v_prev, r.v_cur, r.ratio) for r in
+           registry.QUERIES["b131_q59_weekday_ratio"](spark, d).collect()]
+    assert got == [("P", 0, 10.0, 30.0, 3.0)]
+
+
+def test_b132_band_boundaries_and_zero_pm(spark, tmp_path):
+    """B132 crafted pin: hour bands are inclusive [6,11]/[18,23], noon
+    belongs to neither, pm=0 groups are excluded (no inf/NULL rows)."""
+    import datetime as dt
+
+    def ev(t, hour):
+        return (t, dt.datetime(2024, 1, 1, hour, 30))
+
+    d = _tpch(spark, tmp_path, events=([
+        ev("A", 6), ev("A", 11), ev("A", 18),
+        ev("B", 12), ev("B", 23),
+        ev("C", 7),                               # pm = 0 → excluded
+    ], "event_type STRING, ts TIMESTAMP"))
+    got = [(r.event_type, r.n_am, r.n_pm, r.am_pm_ratio) for r in
+           registry.QUERIES["b132_q90_am_pm_ratio"](spark, d).collect()]
+    assert got == [("A", 2, 1, 2.0), ("B", 0, 1, 0.0)]
+
+
+def test_b133_excess_gate_strict_and_windowed(spark, tmp_path):
+    """B133 crafted pin: only rows STRICTLY above 1.3x the item's
+    window average qualify (part 1: 0.04 > 1.3x0.02; the 0.01 rows
+    don't); a single-row item can't exceed its own average;
+    out-of-window rows contribute to neither the average nor the
+    revenue."""
+    import datetime as dt
+    in_win, out_win = dt.datetime(1995, 3, 1), dt.datetime(1996, 3, 1)
+    d = _tpch(spark, tmp_path, lineitem=([
+        (1, 0.01, 50.0, in_win), (1, 0.01, 60.0, in_win),
+        (1, 0.04, 100.0, in_win),
+        (2, 0.05, 999.0, in_win),
+        (1, 0.99, 999.0, out_win),               # outside window
+    ], "l_partkey LONG, l_discount DOUBLE, l_extendedprice DOUBLE, "
+       "l_shipdate TIMESTAMP"))
+    r = registry.QUERIES["b133_q92_excess_discount"](spark, d).collect()[0]
+    assert (r.n_lines, r.excess_revenue) == (1, 100.0)
+
+
+def test_b134_decline_needs_adjacent_years(spark, tmp_path):
+    """B134 crafted pin: returns NET against sales; only a decline in
+    the IMMEDIATELY following year reports (a gap year breaks the
+    pair); rising years don't report."""
+    import datetime as dt
+
+    def li(pk, rf, qty, y):
+        return (pk, rf, float(qty), dt.datetime(y, 6, 1))
+
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            li(1, "N", 12, 1996), li(1, "R", 2, 1996),   # X net 10
+            li(1, "N", 5, 1997),                          # X net 5 ↓
+            li(1, "N", 3, 1999),                          # gap → no pair
+            li(2, "N", 5, 1996), li(2, "N", 7, 1997),     # Y rising
+        ], "l_partkey LONG, l_returnflag STRING, l_quantity DOUBLE, "
+           "l_shipdate TIMESTAMP"),
+        part=([(1, "X"), (2, "Y")], "p_partkey LONG, p_brand STRING"))
+    got = [(r.brand, r.yr, r.qty_prev, r.qty_cur) for r in
+           registry.QUERIES["b134_q75_yoy_decline"](spark, d).collect()]
+    assert got == [("X", 1997, 10, 5)]
+
+
+def test_b135_deviation_gate_exact_boundary(spark, tmp_path):
+    """B135 crafted pin: months 100/100/130 (total 330, mean 110) —
+    only the 130 month deviates by more than 10% of the mean (20 > 11;
+    the 100 months sit at 10 < 11); non-1997 rows are ignored."""
+    import datetime as dt
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (1, 100.0, dt.datetime(1997, 1, 5)),
+            (1, 100.0, dt.datetime(1997, 2, 5)),
+            (1, 130.0, dt.datetime(1997, 3, 5)),
+            (1, 999.0, dt.datetime(1996, 3, 5)),     # wrong year
+        ], "l_partkey LONG, l_extendedprice DOUBLE, "
+           "l_shipdate TIMESTAMP"),
+        part=([(1, "X")], "p_partkey LONG, p_brand STRING"))
+    got = [(r.brand, r.mon, r.month_value) for r in
+           registry.QUERIES["b135_q89_monthly_deviation"](spark, d)
+           .collect()]
+    assert got == [("X", dt.date(1997, 3, 1), 130.0)]
+
+
+def test_b136_integer_ratio_boundary_inclusive(spark, tmp_path):
+    """B136 crafted pin: the integer cross-multiplication gate keeps
+    the EXACT 3/2 boundary (bef 30 / aft 20: 2x30 == 3x20 → in), drops
+    4:1 and 10:16 imbalances and bef=0 items; out-of-window rows are
+    invisible."""
+    import datetime as dt
+    may, jun = dt.datetime(1997, 5, 10), dt.datetime(1997, 6, 10)
+    far = dt.datetime(1997, 1, 1)
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (1, 30.0, may), (1, 20.0, jun),       # ratio 3/2 exact → in
+            (2, 40.0, may), (2, 10.0, jun),       # 4:1 → out
+            (3, 10.0, may), (3, 16.0, jun),       # 10:16 → out
+            (4, 5.0, jun),                        # bef 0 → out
+            (1, 99.0, far),                       # out of window
+        ], "l_partkey LONG, l_quantity DOUBLE, l_shipdate TIMESTAMP"),
+        part=([(1, "X"), (2, "X"), (3, "Y"), (4, "Y")],
+              "p_partkey LONG, p_brand STRING"))
+    got = [(r.p_brand, r.n_parts, r.qty_before, r.qty_after) for r in
+           registry.QUERIES["b136_q21_pivot_balance"](spark, d).collect()]
+    assert got == [("X", 1, 30, 20)]

@@ -1127,3 +1127,82 @@ def test_b129_no_self_joins(spark):
     plan = _plan(registry.QUERIES["b129_q95_two_hop_exists"](spark, SF))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+
+
+def test_b130_window_not_reaggregation(spark):
+    """B130 (Q1 shape): the group mean comes from a window over the
+    per-customer rows — ONE aggregation pass, no CTE re-aggregation
+    join; the customer dim joins broadcast."""
+    import re
+    plan = _plan(registry.QUERIES["b130_q1_above_avg_returns"](
+        spark, SF))
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_b131_one_scan_no_period_join(spark):
+    """B131 (Q59 shape): both periods from ONE tagged scan — never a
+    per-year CTE join."""
+    import re
+    plan = _plan(registry.QUERIES["b131_q59_weekday_ratio"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+
+
+def test_b132_single_scan_both_bands(spark):
+    """B132 (Q90 shape): both time-of-day bands from ONE conditional
+    aggregation — never two scalar-subquery pipelines."""
+    import re
+    plan = _plan(registry.QUERIES["b132_q90_am_pm_ratio"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b133_window_no_self_join(spark):
+    """B133 (Q92 shape): the per-item average is a window over the
+    window-filtered scan — no correlated-subquery self-join; the date
+    filter pushes down."""
+    import re
+    plan = _plan(registry.QUERIES["b133_q92_excess_discount"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_b134_lag_not_self_join(spark):
+    """B134 (Q75 shape): consecutive years pair via ONE LAG window over
+    the per-(brand, year) aggregate — never the yr+1 self-join; the
+    dimension joins broadcast."""
+    import re
+    plan = _plan(registry.QUERIES["b134_q75_yoy_decline"](spark, SF))
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_b135_window_not_reaggregation(spark):
+    """B135 (Q89 shape): the yearly mean is a window over the monthly
+    rows — one aggregation pass, no re-aggregation join."""
+    import re
+    plan = _plan(registry.QUERIES["b135_q89_monthly_deviation"](
+        spark, SF))
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_b136_single_scan_integer_gate(spark):
+    """B136 (Q21 shape): before/after from ONE conditional aggregation
+    over one date-pushed scan; dimension broadcast; the ratio gate is
+    integer arithmetic (no division in the plan)."""
+    import re
+    plan = _plan(registry.QUERIES["b136_q21_pivot_balance"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
