@@ -819,8 +819,12 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
     the Iceberg metadata (the refresh the reference's
     OlympiaIcebergTableOperations.java:87-119 performs per read).
     Mutates the in-memory def only. Snapshots carrying v2 delete files
-    refuse loudly — applying them needs a one-time materialization
-    (engine.adopt_iceberg_table), not a silent partial read."""
+    (r12) stamp the delete obligation as ``iceberg.mor_deletes`` —
+    resolved equality columns + per-data-file sequence/partition scope
+    — which the engine's MOR-aware scan applies at assembly
+    (engine._iceberg_mor_net); unknown delete kinds, delete files with
+    no equality ids, and the MOR×identity-fill combination refuse
+    loudly HERE rather than reading wrong."""
     import dataclasses
 
     import hashlib as _hashlib
@@ -867,6 +871,19 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
                          for e in entries],
             }, sort_keys=True, default=str)
         files, ident_fill = il.adopted_files(meta, schema, entries)
+        if mor and ident_fill:
+            # identity-partitioned estates may OMIT the identity column
+            # from data files (readers fill it from manifest constants)
+            # — the MOR net-rows scan reads the files directly and
+            # would serve those columns as NULL. Refuse loudly rather
+            # than silently NULLing (review r12 pass-1); compact the
+            # deletes away upstream, or drop the identity spec.
+            raise ValueError(
+                f"Iceberg pointer {tdef.metadata_location} combines "
+                f"merge-on-read deletes with identity-fill partition "
+                f"columns ({ident_fill}); the in-place MOR read cannot "
+                f"fill manifest constants — compact the table's "
+                f"deletes first")
         hit = (schema.json(), files, ident_fill,
                str(meta.get("format-version", 1)), mor)
         if key:
@@ -882,6 +899,13 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
                        for f in files]
     if ident_fill:
         tdef.properties.setdefault("iceberg.identity_fill", ident_fill)
+    # ALWAYS overwrite-or-pop, never keep-if-present: the stamp
+    # describes THIS hydration's snapshot; a stale copy that rode in on
+    # persisted properties (an exported def, an old ANALYZE commit)
+    # would replay the OLD file list and OLD deletes over a since-
+    # compacted estate (review r12 pass-2, empirically reproduced)
     if mor:
         tdef.properties["iceberg.mor_deletes"] = mor
+    else:
+        tdef.properties.pop("iceberg.mor_deletes", None)
     tdef.properties.setdefault("iceberg.format-version", fmtver)

@@ -486,10 +486,16 @@ def export_iceberg_metadata(
         del_manifest = os.path.join(mdir, f"{_uuid.uuid4()}-m1.avro")
         with open(del_manifest, "wb") as fh:
             fh.write(avro_io.write_ocf(del_schema, del_entries))
+        # deletes are written UNPARTITIONED (global scope): on a
+        # partitioned table they must reference an unpartitioned spec
+        # — declaring spec 0 with an empty partition struct would make
+        # a spec-conforming external reader mis-plan them (review r12
+        # pass-2); the extra spec is appended to partition-specs below
+        del_spec_id = 1 if spec_fields else 0
         mrows.append({
             "manifest_path": del_manifest,
             "manifest_length": os.path.getsize(del_manifest),
-            "partition_spec_id": 0, "content": 1,
+            "partition_spec_id": del_spec_id, "content": 1,
             "sequence_number": 2, "min_sequence_number": 2,
             "added_snapshot_id": snapshot_id,
             "added_files_count": len(del_entries),
@@ -515,9 +521,14 @@ def export_iceberg_metadata(
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": [
-            {k: v for k, v in f.items() if k != "avro_type"}
-            for f in spec_fields]}],
+        "partition-specs": (
+            [{"spec-id": 0, "fields": [
+                {k: v for k, v in f.items() if k != "avro_type"}
+                for f in spec_fields]}]
+            # the unpartitioned spec delete manifests reference on a
+            # partitioned table (del_spec_id above)
+            + ([{"spec-id": 1, "fields": []}]
+               if delete_files and spec_fields else [])),
         "last-partition-id": (spec_fields[-1]["field-id"]
                               if spec_fields else 999),
         "default-sort-order-id": 0,

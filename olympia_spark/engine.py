@@ -71,6 +71,13 @@ _SHADOW_DIRS: dict[tuple[str, str], set[str]] = {}
 # plain scan, never silently serve vacuumed dirs as empty partitions)
 _SHADOW_PROBE_CURSOR: dict[tuple[str, str], int] = {}
 
+# TableDef properties minted by pointer HYDRATION (describe-time, from
+# the live Iceberg metadata) — they describe one snapshot and must never
+# be persisted into a def file, where they would outlive the snapshot
+_HYDRATION_PROPS = frozenset({
+    "iceberg.mor_deletes", "iceberg.identity_fill",
+    "iceberg.format-version"})
+
 # In-job failure markers raised via F.raise_error inside write jobs and
 # detected on the driver by substring over the (nested) exception text.
 # The bracketed token makes the match collision-resistant: a user row or
@@ -664,18 +671,23 @@ class Engine:
         self._record_select(txn, ns, tbl, [f.name for f in schema.fields])
         policies = (self._current_policies(ns, tbl, tdef)
                     if historical else tdef.properties)
-        mor = tdef.properties.get("iceberg.mor_deletes", "")
-        if mor:
-            # v2 merge-on-read pointer (hydration stamped the delete
-            # obligation): net rows = data files minus position/
-            # equality deletes, applied at scan assembly — same
-            # builder the one-time adoption lane CTASes from
-            scope = json.loads(mor)
-            base = self._iceberg_mor_net(
-                schema, scope["data"], scope["deletes"])
-        else:
-            base = self._scan(tdef, tdef.file_paths())
+        base = (self._mor_scan(tdef)
+                or self._scan(tdef, tdef.file_paths()))
         return self._apply_policies(base, tdef, policies)
+
+    def _mor_scan(self, tdef: TableDef) -> DataFrame | None:
+        """The net-rows scan of a merge-on-read pointer def, or None
+        when the def carries no delete obligation. EVERY reader surface
+        that scans a tdef's files wholesale must route through this
+        (read_table, ANALYZE, the change feed) — a raw ``_scan`` on a
+        MOR def resurrects deleted rows (review r12 pass-2, reproduced
+        on ANALYZE)."""
+        mor = tdef.properties.get("iceberg.mor_deletes", "")
+        if not mor:
+            return None
+        scope = json.loads(mor)
+        return self._iceberg_mor_net(
+            tdef.spark_schema(), scope["data"], scope["deletes"])
 
     def _current_policies(self, ns: str, tbl: str,
                           fallback: TableDef) -> dict:
@@ -831,11 +843,26 @@ class Engine:
         d_to = self.catalog.describe_table(t_to, ns, tbl)
         paths_from = set(d_from.file_paths())
         paths_to = set(d_to.file_paths())
-        # scan with the TO-version schema (additive evolution fills NULLs)
-        entered = sorted(paths_to - paths_from)
-        left = sorted(paths_from - paths_to)
-        added = self._scan(d_to, entered)
-        removed = self._scan(d_to, left)
+        if d_from.properties.get("iceberg.mor_deletes") \
+                or d_to.properties.get("iceberg.mor_deletes"):
+            # MOR pointers: a file-diff scan would emit events for
+            # merge-on-read-DELETED rows that were never logically
+            # present (review r12 pass-2). Diff the NET relations of
+            # both snapshots instead — O(two snapshots), not O(changed
+            # files), the honest cost when row-level deletes ride in
+            # separate files rather than rewritten data files.
+            net_from = (self._mor_scan(d_from)
+                        or self._scan(d_from, d_from.file_paths()))
+            net_to = (self._mor_scan(d_to)
+                      or self._scan(d_to, d_to.file_paths()))
+            added, removed = net_to, net_from
+        else:
+            # scan with the TO-version schema (additive evolution
+            # fills NULLs)
+            entered = sorted(paths_to - paths_from)
+            left = sorted(paths_from - paths_to)
+            added = self._scan(d_to, entered)
+            removed = self._scan(d_to, left)
         inserts = added.exceptAll(removed) \
             .withColumn("_change_type", F.lit("insert"))
         deletes = removed.exceptAll(added) \
@@ -1276,6 +1303,15 @@ class Engine:
         pos_dels = [d for d in deletes if d["content"] != 2]
         eq_dels = [d for d in deletes if d["content"] == 2]
         name_by_id = il.field_names_by_id(il.current_schema(meta))
+        _, ident_fill = il.adopted_files(meta, schema, entries)
+        if ident_fill:
+            # same refusal as pointer hydration (review r12 pass-1):
+            # the net-rows scan reads data files directly, so identity
+            # columns the files omit would materialize as NULL
+            raise ValueError(
+                f"iceberg table at {mloc} combines merge-on-read "
+                f"deletes with identity-fill partition columns "
+                f"({ident_fill}); compact the deletes first")
         net = self._iceberg_mor_net(
             schema, entries,
             il.resolve_mor_deletes(deletes, name_by_id))
@@ -2119,6 +2155,8 @@ class Engine:
         # also bounds the map across session restarts in one process
         for m in [m for m in _SHADOW_DIRS if m[0] != app]:
             del _SHADOW_DIRS[m]
+        for m in [m for m in _SHADOW_PROBE_CURSOR if m[0] != app]:
+            del _SHADOW_PROBE_CURSOR[m]
         reg = _SHADOW_DIRS.setdefault((app, name), set())
         era_ids = {d: self._dir_era_id(d) for d in ordered}
         # only dirs this SESSION saw through registration are trusted
@@ -4045,7 +4083,10 @@ class Engine:
                    if isinstance(f.dataType, (
                        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                        T.FloatType, T.DoubleType, T.DecimalType))}
-        df = self._scan(tdef, tdef.file_paths())
+        # MOR pointers: stats must describe the NET rows, not the raw
+        # files (review r12 pass-2 — ANALYZE reported 15 where SELECT
+        # correctly returns 12)
+        df = self._mor_scan(tdef) or self._scan(tdef, tdef.file_paths())
         aggs = [F.count("*").alias("__n")]
         for c in columns:
             aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
@@ -4066,6 +4107,17 @@ class Engine:
                 ent["max"] = row[f"{c}__max"]
             stats["columns"][c] = ent
         tdef.properties[self._STATS_PROP] = json.dumps(stats, sort_keys=True)
+        if tdef.format == "ICEBERG" and tdef.metadata_location:
+            # persist the stats WITHOUT freezing the pointer: the
+            # in-memory def holds hydration output (files, schema, mor
+            # stamp) — committing it verbatim would stop describe_table
+            # from ever re-reading the live Iceberg metadata, replaying
+            # this snapshot forever (review r12 pass-2)
+            import dataclasses
+            tdef = dataclasses.replace(
+                tdef, schema_json="", data_files=[],
+                properties={k: v for k, v in tdef.properties.items()
+                            if k not in _HYDRATION_PROPS})
         self.catalog.alter_table(txn, ns, tbl, tdef)
         self._finish(txn)
         return stats
@@ -4124,8 +4176,16 @@ class Engine:
             for tbl in self.catalog.show_tables(probe, ns):
                 tdef = self.catalog.describe_table(probe, ns, tbl)
                 if tdef.format == "ICEBERG" and tdef.metadata_location:
+                    # hydration-only properties must NOT persist: they
+                    # describe the PROBE's snapshot, and a stale
+                    # mor_deletes stamp at the destination would replay
+                    # old files/deletes over a since-compacted estate
+                    # (review r12 pass-2, empirically reproduced)
                     copy = dataclasses.replace(
-                        tdef, schema_json="", data_files=[])
+                        tdef, schema_json="", data_files=[],
+                        properties={
+                            k: v for k, v in tdef.properties.items()
+                            if k not in _HYDRATION_PROPS})
                 else:
                     copy = dataclasses.replace(tdef, data_files=[
                         dataclasses.replace(
@@ -4413,7 +4473,7 @@ class Engine:
             plan_ir = ""
         refs = sorted(self._referenced_tables(sql_text, txn))
         props: dict = {}
-        sub = self._substrait_payload_for(sql_text, schema)
+        sub = self._substrait_payload_for(sql_text, txn)
         if sub:
             # outbound interop: a simple single-table projection also
             # gets a GENUINE ReadRel payload (named-table + base
@@ -4434,13 +4494,18 @@ class Engine:
             replace=replace)
         self._finish(txn)
 
-    @staticmethod
-    def _substrait_payload_for(sql_text: str, schema) -> bytes | None:
+    def _substrait_payload_for(self, sql_text: str,
+                               txn: Transaction) -> bytes | None:
         """ReadRel bytes when — and only when — the view is a plain
         ``SELECT *|col[, col…] FROM ns.tbl`` (no WHERE/JOIN/aggregate/
         alias/expression): exactly the named-table-scan subset the
         reference's payload format expresses. Anything richer returns
-        None rather than approximating."""
+        None rather than approximating. Column names normalize to the
+        TABLE schema's case — Spark resolved the SELECT
+        case-insensitively, but the payload's base-schema names are
+        matched case-SENSITIVELY at execution, here and by the Java
+        reference (review r12 pass-2: the view's own output schema
+        carries the query-case names, so it cannot be the source)."""
         import re
         m = re.match(
             r"\s*SELECT\s+(\*|[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+"
@@ -4448,14 +4513,26 @@ class Engine:
             sql_text, re.IGNORECASE)
         if not m:
             return None
+        try:
+            tschema = self.read_table(
+                f"{m.group(2)}.{m.group(3)}", txn).schema
+        except Exception:      # view over a view / vanished table —
+            return None        # SQL text stays authoritative
         from olympia_spark.catalog.substrait import encode_read_rel
+        by_lower = {f.name.lower(): f for f in tschema.fields}
         if m.group(1).strip() == "*":
-            cols = [f.name for f in schema.fields]
+            fields = list(tschema.fields)
         else:
-            cols = [c.strip() for c in m.group(1).split(",")]
-        types = {f.name: f.dataType.simpleString() for f in schema.fields}
-        return encode_read_rel([m.group(2), m.group(3)], cols,
-                               [types.get(c) for c in cols])
+            fields = []
+            for c in (x.strip() for x in m.group(1).split(",")):
+                f = by_lower.get(c.lower())
+                if f is None:          # not a plain table column
+                    return None
+                fields.append(f)
+        return encode_read_rel(
+            [m.group(2), m.group(3)],
+            [f.name for f in fields],
+            [f.dataType.simpleString() for f in fields])
 
     def read_view(self, name: str, txn: Transaction | None = None
                   ) -> DataFrame:

@@ -1054,3 +1054,155 @@ def test_pointer_mor_equality_without_ids_refused(spark, tmp_path):
     eng = _pointer_engine(spark, tmp_path, tdir)
     with pytest.raises(ValueError, match="equality_ids"):
         eng.sql("SELECT id FROM lake.t").collect()
+
+
+def test_pointer_mor_with_identity_fill_refused(spark, tmp_path):
+    """Review r12 pass-1: identity-partitioned estates may OMIT the
+    identity column from data files; the in-place MOR scan reads files
+    directly and would serve those columns as NULL — hydration refuses
+    the combination loudly instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olympia_spark.catalog.defs import DataFile
+    tdir = str(tmp_path / "icemorid")
+    os.makedirs(os.path.join(tdir, "metadata"))
+    p1 = os.path.join(tdir, "f1.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64())}), p1)
+    dpath = os.path.join(tdir, "pd.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array([os.path.abspath(p1)], pa.string()),
+        "pos": pa.array([0], pa.int64())}), dpath)
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("region", T.LongType())])
+    mpath = il.export_iceberg_metadata(
+        tdir, schema,
+        [DataFile(path=p1, num_rows=3, size_bytes=os.path.getsize(p1))],
+        partition_values={p1: {"region": 7}},
+        partition_avro_types={"region": "long"},
+        delete_files=[{"path": dpath, "num_rows": 1,
+                       "size_bytes": os.path.getsize(dpath),
+                       "content": 1}])
+    eng = _pointer_engine(spark, tmp_path, mpath)
+    with pytest.raises(ValueError, match="identity-fill"):
+        eng.sql("SELECT id FROM lake.t").collect()
+    # the one-time adopt lane refuses the same combination
+    eng2 = Engine(spark, str(tmp_path / "wh2"))
+    eng2.sql("CREATE NAMESPACE lake")
+    with pytest.raises(ValueError, match="identity-fill"):
+        eng2.adopt_iceberg_table("lake.m", mpath)
+
+
+def test_pointer_mor_analyze_and_changefeed_see_net_rows(spark, tmp_path):
+    """Review r12 pass-2 (both empirically reproduced): EVERY reader
+    surface must apply the MOR obligation — ANALYZE reported the raw
+    15 rows where SELECT returns 12, and the ANALYZE commit froze the
+    hydrated def (files + mor stamp) into the catalog, stopping every
+    later metadata refresh."""
+    import json as _json
+    tdir = _mor_table(tmp_path)
+    eng = _pointer_engine(spark, tmp_path, tdir)
+    stats = eng.analyze_table("lake.t", columns=["id"])
+    assert stats["row_count"] == 12          # net, not raw 15
+    # the committed def must stay pointer-minimal: no frozen file
+    # list, no persisted hydration stamp
+    txn = eng.catalog.begin(read_only=True)
+    raw_path = eng.catalog.tree.search(
+        txn.running_root, eng.catalog._tbl_key("lake", "t"))
+    from olympia_spark.catalog.defs import read_def
+    stored = read_def(eng.catalog.storage.read(raw_path), raw_path)
+    assert not stored.data_files and not stored.schema_json
+    assert "iceberg.mor_deletes" not in stored.properties
+    # stats themselves persisted and served
+    assert _json.loads(stored.properties[eng._STATS_PROP])[
+        "row_count"] == 12
+    # reads after ANALYZE still hydrate fresh and stay net
+    assert eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n == 12
+
+
+def test_pointer_mor_export_does_not_persist_stale_stamp(spark,
+                                                         tmp_path):
+    """Review r12 pass-2 (empirically reproduced): exporting a hydrated
+    MOR pointer persisted the snapshot-scoped mor stamp; when the
+    pinned metadata was rewritten in place to a compacted estate, the
+    destination replayed the OLD file list + deletes forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olympia_spark.catalog.defs import read_def
+    from olympia_spark.engine import Engine
+    tdir = _mor_table(tmp_path)               # 15 rows, 3 pos-deletes
+    eng = _pointer_engine(spark, tmp_path, tdir)
+    assert eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n == 12
+    dest = eng.export_reference_catalog(str(tmp_path / "dest"))
+    deng = Engine(spark, dest)
+    # destination def carries NO hydration-only properties
+    txn = deng.catalog.begin(read_only=True)
+    raw_path = deng.catalog.tree.search(
+        txn.running_root, deng.catalog._tbl_key("lake", "t"))
+    stored = read_def(deng.catalog.storage.read(raw_path), raw_path)
+    assert "iceberg.mor_deletes" not in stored.properties
+    assert deng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n == 12
+    # compact IN PLACE: same metadata path, 13 net rows, no deletes
+    from olympia_spark.catalog.defs import DataFile
+    ddir = os.path.join(tdir, "data")
+    cpath = os.path.join(ddir, "compacted.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array(sorted(set(range(15)) - {1, 3, 10}) + [99],
+                       pa.int64()),
+        "val": pa.array([f"v{i}" for i in
+                         sorted(set(range(15)) - {1, 3, 10}) + [99]],
+                        pa.string())}), cpath)
+    new_meta = il.export_iceberg_metadata(
+        tdir, deng.read_table("lake.t").schema,
+        [DataFile(path=cpath, num_rows=13,
+                  size_bytes=os.path.getsize(cpath))])
+    # rewrite the PINNED path in place (the defs point at
+    # v3.metadata.json — the exact in-place-rewrite flow
+    # test_pointer_hydration_sees_rewritten_metadata exercises)
+    import shutil
+    shutil.copyfile(new_meta,
+                    os.path.join(tdir, "metadata", "v3.metadata.json"))
+    # both catalogs serve the NEW snapshot — nothing replays the old
+    assert deng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n == 13
+    assert eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n == 13
+
+
+def test_pointer_mor_changefeed_never_resurrects(spark, tmp_path):
+    """Review r12 pass-2: the change feed across pointer refreshes must
+    diff NET relations — a file-diff over raw MOR files would emit
+    events for rows that were never logically present (the position-
+    deleted ids 1/3/10)."""
+    import dataclasses
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olympia_spark.catalog.defs import DataFile
+    tdir = _mor_table(tmp_path)               # net ids: 0..14 − {1,3,10}
+    eng = _pointer_engine(spark, tmp_path, tdir)
+    v_from = eng.catalog.tree.find_latest_version()
+    # new compacted metadata (same net rows + id 99), point the def at it
+    tdir2 = str(tmp_path / "ice2")
+    os.makedirs(os.path.join(tdir2, "metadata"))
+    keep = sorted(set(range(15)) - {1, 3, 10}) + [99]
+    cpath = os.path.join(tdir2, "c.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array(keep, pa.int64()),
+        "val": pa.array([f"v{i}" for i in keep], pa.string())}), cpath)
+    m2 = il.export_iceberg_metadata(
+        tdir2, eng.read_table("lake.t").schema,
+        [DataFile(path=cpath, num_rows=len(keep),
+                  size_bytes=os.path.getsize(cpath))])
+    txn = eng.catalog.begin()
+    cur = eng.catalog.describe_table(txn, "lake", "t")
+    eng.catalog.alter_table(txn, "lake", "t", dataclasses.replace(
+        cur, metadata_location=m2, data_files=[], schema_json="",
+        properties={k: v for k, v in cur.properties.items()
+                    if not k.startswith("iceberg.")}))
+    eng.catalog.commit(txn)
+    v_to = eng.catalog.tree.find_latest_version()
+    changes = eng.table_changes("lake.t", v_from, v_to).collect()
+    got = sorted((r.id, r._change_type) for r in changes)
+    assert got == [(99, "insert")], got       # never ids 1/3/10

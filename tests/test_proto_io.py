@@ -664,6 +664,9 @@ def test_both_suffix_dtxn_refuses_ambiguity(tmp_path):
     assert cat.list_dist_transactions().count(txn.id) == 1
     with pytest.raises(TransactionValueError, match="BOTH"):
         cat.load_dist_transaction(txn.id)
+    # ADVICE r11: the existence PREDICATE answers on the non-raising
+    # surface — an ambiguous handle exists; only load/save refuse
+    assert cat.dist_transaction_exists(txn.id)
 
 
 def test_pointer_hydration_sees_rewritten_metadata(spark, tmp_path):

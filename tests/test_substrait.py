@@ -243,3 +243,27 @@ def test_simple_view_gets_genuine_readrel_payload(spark, tmp_path):
     m = decode_message("ViewDef", raw)
     assert decode_read_rel(m["substrait_read_rel"]).column_names == [
         "c_custkey", "c_name"]
+
+
+def test_payload_case_normalizes_to_schema(spark, tmp_path):
+    """Review r12 pass-2: Spark resolves the view's SELECT case-
+    insensitively, but the payload's base-schema names match
+    case-SENSITIVELY at execution (ours and the Java reference's) —
+    an uppercase SELECT must still emit an executable payload with
+    schema-case names and full type info."""
+    from olympia_spark.catalog.catalog import Catalog
+    from olympia_spark.engine import Engine
+    wh = str(tmp_path / "case")
+    Catalog.create(wh, def_format="binpb")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE NAMESPACE ref")
+    eng.register_external_table(
+        "ref.customer", os.path.join(SF, "customer.parquet"))
+    eng.create_view("ref.upper",
+                    "SELECT C_CUSTKEY, C_Name FROM ref.customer")
+    ro = eng.catalog.begin(read_only=True)
+    vdef = eng.catalog.describe_view(ro, "ref", "upper")
+    rel = decode_read_rel(
+        base64.b64decode(vdef.properties[_EXT_SUBSTRAIT]))
+    assert rel.column_names == ["c_custkey", "c_name"]
+    assert rel.column_types == ["bigint", "string"]
