@@ -897,15 +897,17 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
     # would poison every later hydration of this pointer (ADVICE r11)
     tdef.data_files = [dataclasses.replace(f, stats=dict(f.stats))
                        for f in files]
-    if ident_fill:
-        tdef.properties.setdefault("iceberg.identity_fill", ident_fill)
-    # ALWAYS overwrite-or-pop, never keep-if-present: the stamp
-    # describes THIS hydration's snapshot; a stale copy that rode in on
-    # persisted properties (an exported def, an old ANALYZE commit)
-    # would replay the OLD file list and OLD deletes over a since-
-    # compacted estate (review r12 pass-2, empirically reproduced)
-    if mor:
-        tdef.properties["iceberg.mor_deletes"] = mor
-    else:
-        tdef.properties.pop("iceberg.mor_deletes", None)
-    tdef.properties.setdefault("iceberg.format-version", fmtver)
+    # EVERY hydration stamp is overwrite-or-pop, never keep-if-present:
+    # each describes THIS hydration's snapshot; a stale copy that rode
+    # in on persisted properties (a pre-fix ANALYZE/ALTER commit, an
+    # exported def) would replay the OLD file list, OLD deletes or an
+    # OLD identity-fill column set over a since-evolved estate (review
+    # r12 pass-2 reproduced the mor case; pass-3 flagged the
+    # setdefault twins)
+    for k, v in (("iceberg.identity_fill", ident_fill),
+                 ("iceberg.mor_deletes", mor)):
+        if v:
+            tdef.properties[k] = v
+        else:
+            tdef.properties.pop(k, None)
+    tdef.properties["iceberg.format-version"] = fmtver

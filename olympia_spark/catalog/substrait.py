@@ -52,7 +52,7 @@ from olympia_spark.catalog.proto_io import decode_message, encode_message
 # the wire (an empty embedded message still writes its tag)
 _SPECS: dict[str, dict[int, tuple[str, str]]] = {
     "ReadRel": {
-        1: ("common", "bytes"),
+        1: ("common", "msg:RelCommon"),
         2: ("base_schema", "msg:NamedStruct"),
         3: ("filter", "bytes"),
         4: ("projection", "bytes"),
@@ -66,6 +66,16 @@ _SPECS: dict[str, dict[int, tuple[str, str]]] = {
     "NamedTable": {
         1: ("names", "rep_str"),
         10: ("advanced_extension", "bytes"),
+    },
+    # RelCommon (algebra.proto): direct=1 is the identity emit (safe to
+    # ignore), emit=2 REMAPS/DROPS output columns (load-bearing —
+    # refuse), hints=3 are optimizer hints (ignorable),
+    # advanced_extension=4 may carry required enhancements (refuse)
+    "RelCommon": {
+        1: ("direct", "bytes"),
+        2: ("emit", "bytes"),
+        3: ("hints", "bytes"),
+        4: ("advanced_extension", "bytes"),
     },
     "NamedStruct": {
         1: ("names", "rep_str"),
@@ -166,6 +176,18 @@ def decode_read_rel(data: bytes) -> ReadRelView:
     refusing every construct past the named-table + base-schema subset
     (SubstraitUtil.java only ever parses and re-serializes these)."""
     m = decode_message("ReadRel", data, _SPECS)
+    common = m.get("common") or {}
+    if "emit" in common:
+        # common.emit REMAPS (reorders/drops) the output columns —
+        # ignoring it would serve base-schema order silently wrong
+        # (review r12 pass-3); common.direct and hints are the
+        # identity/ignorable cases and pass through
+        raise SubstraitUnsupported(
+            "substrait ReadRel.common carries an emit output-mapping; "
+            "only the direct (identity) emit is executable")
+    if "advanced_extension" in common:
+        raise SubstraitUnsupported(
+            "substrait ReadRel.common carries an advanced extension")
     for f, why in (
             ("filter", "a filter expression"),
             ("best_effort_filter", "a best-effort filter"),

@@ -675,19 +675,23 @@ class Engine:
                 or self._scan(tdef, tdef.file_paths()))
         return self._apply_policies(base, tdef, policies)
 
-    def _mor_scan(self, tdef: TableDef) -> DataFrame | None:
+    def _mor_scan(self, tdef: TableDef,
+                  schema: T.StructType | None = None) -> DataFrame | None:
         """The net-rows scan of a merge-on-read pointer def, or None
         when the def carries no delete obligation. EVERY reader surface
         that scans a tdef's files wholesale must route through this
         (read_table, ANALYZE, the change feed) — a raw ``_scan`` on a
         MOR def resurrects deleted rows (review r12 pass-2, reproduced
-        on ANALYZE)."""
+        on ANALYZE). ``schema`` overrides the def's own (the change
+        feed scans the FROM snapshot with the TO schema so additive
+        evolution fills NULLs)."""
         mor = tdef.properties.get("iceberg.mor_deletes", "")
         if not mor:
             return None
         scope = json.loads(mor)
         return self._iceberg_mor_net(
-            tdef.spark_schema(), scope["data"], scope["deletes"])
+            schema or tdef.spark_schema(), scope["data"],
+            scope["deletes"])
 
     def _current_policies(self, ns: str, tbl: str,
                           fallback: TableDef) -> dict:
@@ -851,8 +855,13 @@ class Engine:
             # both snapshots instead — O(two snapshots), not O(changed
             # files), the honest cost when row-level deletes ride in
             # separate files rather than rewritten data files.
-            net_from = (self._mor_scan(d_from)
-                        or self._scan(d_from, d_from.file_paths()))
+            # BOTH nets scan with the TO-version schema — the same
+            # invariant as the file-diff branch (additive evolution
+            # fills NULLs; mismatched schemas would break exceptAll —
+            # review r12 pass-3)
+            to_schema = d_to.spark_schema()
+            net_from = (self._mor_scan(d_from, schema=to_schema)
+                        or self._scan(d_to, d_from.file_paths()))
             net_to = (self._mor_scan(d_to)
                       or self._scan(d_to, d_to.file_paths()))
             added, removed = net_to, net_from
@@ -4107,20 +4116,28 @@ class Engine:
                 ent["max"] = row[f"{c}__max"]
             stats["columns"][c] = ent
         tdef.properties[self._STATS_PROP] = json.dumps(stats, sort_keys=True)
+        self.catalog.alter_table(txn, ns, tbl, self._persistable(tdef))
+        self._finish(txn)
+        return stats
+
+    @staticmethod
+    def _persistable(tdef: TableDef) -> TableDef:
+        """A def safe to COMMIT. Iceberg-pointer defs persist
+        pointer-minimal: describe_table fills schema/files/stamps from
+        the LIVE metadata at read time, and committing that hydration
+        output verbatim (an ANALYZE or SET TBLPROPERTIES on a pointer)
+        would defeat the 'not data_files and not schema_json' hydration
+        guard — the pointer freezes at this snapshot and external
+        compactions/new deletes are never seen again (review r12
+        pass-2 reproduced it on ANALYZE; pass-3 found the same hole in
+        SET TBLPROPERTIES). Native defs pass through untouched."""
         if tdef.format == "ICEBERG" and tdef.metadata_location:
-            # persist the stats WITHOUT freezing the pointer: the
-            # in-memory def holds hydration output (files, schema, mor
-            # stamp) — committing it verbatim would stop describe_table
-            # from ever re-reading the live Iceberg metadata, replaying
-            # this snapshot forever (review r12 pass-2)
             import dataclasses
-            tdef = dataclasses.replace(
+            return dataclasses.replace(
                 tdef, schema_json="", data_files=[],
                 properties={k: v for k, v in tdef.properties.items()
                             if k not in _HYDRATION_PROPS})
-        self.catalog.alter_table(txn, ns, tbl, tdef)
-        self._finish(txn)
-        return stats
+        return tdef
 
     def show_stats(self, name: str) -> DataFrame:
         """``SHOW STATS [FOR] ns.tbl`` — the recorded ANALYZE output as a
@@ -4514,8 +4531,13 @@ class Engine:
         if not m:
             return None
         try:
-            tschema = self.read_table(
-                f"{m.group(2)}.{m.group(3)}", txn).schema
+            # describe, don't read: a full read_table would build the
+            # whole governed scan (MOR delete-file I/O included) and
+            # stamp a TABLE_SELECT conflict surface into the CREATE
+            # VIEW transaction just to learn the schema (review r12
+            # pass-3)
+            tschema = self.catalog.describe_table(
+                txn, m.group(2), m.group(3)).spark_schema()
         except Exception:      # view over a view / vanished table —
             return None        # SQL text stays authoritative
         from olympia_spark.catalog.substrait import encode_read_rel
@@ -5507,7 +5529,10 @@ class Engine:
             tdef = self.catalog.describe_table(txn, ns, tbl)
             tdef.properties.update(dict(
                 re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2))))
-            self.catalog.alter_table(txn, ns, tbl, tdef)
+            # pointer defs persist pointer-minimal (review r12 pass-3:
+            # committing the hydrated def froze the pointer)
+            self.catalog.alter_table(txn, ns, tbl,
+                                     self._persistable(tdef))
             self._finish(txn)
             return ok()
         m = re.match(r"ALTER (?:NAMESPACE|DATABASE|SCHEMA) "

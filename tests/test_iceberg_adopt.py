@@ -1206,3 +1206,41 @@ def test_pointer_mor_changefeed_never_resurrects(spark, tmp_path):
     changes = eng.table_changes("lake.t", v_from, v_to).collect()
     got = sorted((r.id, r._change_type) for r in changes)
     assert got == [(99, "insert")], got       # never ids 1/3/10
+
+
+def test_pointer_stays_pointer_after_set_tblproperties(spark, tmp_path):
+    """Review r12 pass-3: SET TBLPROPERTIES on an Iceberg pointer must
+    not commit the hydrated def — the frozen file list would defeat
+    hydration forever (the same class ANALYZE had)."""
+    from olympia_spark.catalog.defs import read_def
+    tdir = _mor_table(tmp_path)
+    eng = _pointer_engine(spark, tmp_path, tdir)
+    eng.sql("ALTER TABLE lake.t SET TBLPROPERTIES ('owner' = 'me')")
+    txn = eng.catalog.begin(read_only=True)
+    raw_path = eng.catalog.tree.search(
+        txn.running_root, eng.catalog._tbl_key("lake", "t"))
+    stored = read_def(eng.catalog.storage.read(raw_path), raw_path)
+    assert stored.properties.get("owner") == "me"
+    assert not stored.data_files and not stored.schema_json
+    assert "iceberg.mor_deletes" not in stored.properties
+    assert eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n == 12
+
+
+def test_stale_identity_fill_property_is_rehydrated(spark, tmp_path):
+    """Review r12 pass-3: a persisted (stale) iceberg.identity_fill on
+    a pointer def must be overwritten by hydration, not setdefault-kept
+    — an unpartitioned snapshot clears it entirely."""
+    from olympia_spark.catalog.catalog import Catalog
+    from olympia_spark.catalog.defs import TableDef
+    tdir = _mor_table(tmp_path)
+    wh = str(tmp_path / "stale_wh")
+    cat = Catalog.create(wh, def_format="binpb")
+    txn = cat.begin()
+    cat.create_namespace(txn, "lake")
+    cat.create_table(txn, "lake", "t", TableDef(
+        format="ICEBERG", schema_json="",
+        metadata_location=il.resolve_metadata_location(tdir),
+        properties={"iceberg.identity_fill": "ghost_col"}))
+    cat.commit(txn)
+    tdef = cat.describe_table(cat.begin(read_only=True), "lake", "t")
+    assert "iceberg.identity_fill" not in tdef.properties

@@ -267,3 +267,21 @@ def test_payload_case_normalizes_to_schema(spark, tmp_path):
         base64.b64decode(vdef.properties[_EXT_SUBSTRAIT]))
     assert rel.column_names == ["c_custkey", "c_name"]
     assert rel.column_types == ["bigint", "string"]
+
+
+def test_relcommon_emit_refuses_direct_passes():
+    """Review r12 pass-3: ReadRel.common.emit REMAPS output columns —
+    executing base-schema order would be silently wrong; the identity
+    (direct) emit and plain hints pass through."""
+    base = {"named_table": {"names": ["t"]}}
+    with pytest.raises(SubstraitUnsupported, match="emit"):
+        decode_read_rel(encode_message("ReadRel", {
+            **base, "common": {"emit": b"\x08\x02\x08\x00"}}, _SPECS))
+    with pytest.raises(SubstraitUnsupported, match="advanced extension"):
+        decode_read_rel(encode_message("ReadRel", {
+            **base, "common": {"advanced_extension": b"\x0a\x00"}},
+            _SPECS))
+    ok = decode_read_rel(encode_message("ReadRel", {
+        **base, "common": {"direct": b"", "hints": b"\x0a\x00"}},
+        _SPECS))
+    assert ok.table_names == ["t"]
