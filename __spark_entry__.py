@@ -100,7 +100,9 @@ _PRIORITY = [
     "b130_q1_above_avg_returns", "b131_q59_weekday_ratio",
     "b132_q90_am_pm_ratio", "b133_q92_excess_discount",
     "b134_q75_yoy_decline", "b135_q89_monthly_deviation",
-    "b136_q21_pivot_balance",
+    "b136_q21_pivot_balance", "b137_q98_revenue_share",
+    "b138_q94_exists_not_exists", "b139_q61_promo_ratio",
+    "b140_q33_restricted_channels", "b141_q82_banded_inventory",
 ]
 
 

@@ -150,6 +150,11 @@ HEADLINE = [
     "b134_q75_yoy_decline",
     "b135_q89_monthly_deviation",
     "b136_q21_pivot_balance",
+    "b137_q98_revenue_share",
+    "b138_q94_exists_not_exists",
+    "b139_q61_promo_ratio",
+    "b140_q33_restricted_channels",
+    "b141_q82_banded_inventory",
 ]
 
 

@@ -4464,3 +4464,207 @@ def b136_q21_pivot_balance(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum("bef").cast("long").alias("qty_before"),
                  F.sum("aft").cast("long").alias("qty_after"))
             .orderBy("p_brand"))
+
+
+# --- B137 TPC-DS Q98/Q20 shape (revenue share within category) ------------------
+
+@query("b137_q98_revenue_share", oracle="""
+WITH per AS (
+  SELECT p_type AS cat, p_brand AS brand,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+ tot AS (SELECT cat, SUM(rev) AS trev FROM per GROUP BY 1)
+SELECT per.cat AS cat, brand, CAST(rev AS DOUBLE) AS revenue,
+       CAST(CAST(rev AS DOUBLE) / CAST(trev AS DOUBLE) AS DOUBLE)
+           AS share
+FROM per JOIN tot ON per.cat = tot.cat
+ORDER BY per.cat, brand
+""")
+def b137_q98_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """B137 — TPC-DS Q98/Q20 signature shape: each item's revenue as a
+    SHARE of its category's total. Spark-first: the literal SQL
+    re-aggregates the per-item CTE per category and joins back; this
+    plan takes the category total as a WINDOW sum over the per-item
+    rows — one partitioned pass, no re-aggregation join (contract:
+    tests/test_plan_contracts.py::test_b137_window_share). Revenues
+    accumulate in DECIMAL; the share divides the two EXACT values as
+    doubles (identical IEEE division on both engines — never
+    decimal÷decimal, whose result scale rules differ across engines).
+    The dimension joins broadcast."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").select("p_partkey", "p_type", "p_brand")
+    per = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy(F.col("p_type").alias("cat"),
+                    F.col("p_brand").alias("brand"))
+           .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev")))
+    w = W.partitionBy("cat")
+    return (per.withColumn("trev", F.sum("rev").over(w))
+            .select("cat", "brand",
+                    F.col("rev").cast("double").alias("revenue"),
+                    (F.col("rev").cast("double")
+                     / F.col("trev").cast("double")).alias("share"))
+            .orderBy("cat", "brand"))
+
+
+# --- B138 TPC-DS Q94 shape (EXISTS + NOT EXISTS order qualification) ------------
+
+@query("b138_q94_exists_not_exists", oracle="""
+WITH win AS (SELECT * FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01')
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM win l1
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_returnflag = 'R')
+""")
+def b138_q94_exists_not_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """B138 — TPC-DS Q94 signature shape: b129's NOT-EXISTS twin
+    (orders shipped from more than one warehouse with NO return). The
+    literal SQL plans a LeftSemi AND a LeftAnti self-shuffle of the
+    fact; both order-level properties come from the SAME one-pass
+    sufficient statistics as b129 — the has-return flag just gates
+    NEGATIVELY. One scan, zero joins (contract:
+    tests/test_plan_contracts.py::test_b138_no_self_joins)."""
+    li = load(spark, sf, "lineitem")
+    win = ((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+           & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    rev = F.when(win, (F.col("l_extendedprice")
+                       * (F.lit(1) - F.col("l_discount"))).cast(DEC))
+    per = (li.groupBy("l_orderkey")
+           .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                F.max((F.col("l_returnflag") == "R").cast("int"))
+                .alias("has_ret"),
+                F.count(F.when(win, F.lit(1))).alias("n_win"),
+                F.sum(rev).alias("rev")))
+    return (per.filter((F.col("n_supp") >= 2) & (F.col("has_ret") == 0)
+                       & (F.col("n_win") > 0))
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum("rev").cast("double").alias("revenue")))
+
+
+# --- B139 TPC-DS Q61 shape (promotional-revenue ratio) ---------------------------
+
+@query("b139_q61_promo_ratio", oracle="""
+SELECT CAST(SUM(CASE WHEN l_discount > 0.05
+                     THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+            AS DOUBLE) AS promo_rev,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+            AS DOUBLE) AS total_rev,
+       CAST(CAST(SUM(CASE WHEN l_discount > 0.05
+                          THEN CAST(l_extendedprice AS DECIMAL(25,6))
+                          END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                   AS DOUBLE) AS DOUBLE) AS promo_share
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+""")
+def b139_q61_promo_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """B139 — TPC-DS Q61 signature shape: promotional revenue as a
+    share of total revenue over a window. The literal Q61 runs the
+    ENTIRE join pipeline twice (one CTE with the promotion join, one
+    without) and cross-joins two scalars; both numbers are conditional
+    sums of ONE scan here (contract: tests/test_plan_contracts.py::
+    test_b139_one_scan_two_scalars). DECIMAL-exact sums; the share is
+    the single IEEE division; the date window pushes to the scan."""
+    li = load(spark, sf, "lineitem")
+    win = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp")))
+    price = F.col("l_extendedprice").cast(DEC)
+    promo = F.sum(F.when(F.col("l_discount") > 0.05, price))
+    total = F.sum(price)
+    return win.agg(
+        promo.cast("double").alias("promo_rev"),
+        total.cast("double").alias("total_rev"),
+        (promo.cast("double") / total.cast("double"))
+        .alias("promo_share"))
+
+
+# --- B140 TPC-DS Q33/Q56 shape (restricted-item multi-channel totals) ------------
+
+@query("b140_q33_restricted_channels", oracle="""
+WITH items AS (SELECT p_partkey, p_brand FROM part
+               WHERE p_type LIKE 'PROMO%'),
+ a AS (SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS v
+       FROM lineitem JOIN items ON l_partkey = p_partkey
+       WHERE l_returnflag = 'N' GROUP BY 1),
+ b AS (SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS v
+       FROM lineitem JOIN items ON l_partkey = p_partkey
+       WHERE l_returnflag = 'R' GROUP BY 1),
+ c AS (SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS v
+       FROM lineitem JOIN items ON l_partkey = p_partkey
+       WHERE l_returnflag = 'A' GROUP BY 1),
+ u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL
+       SELECT * FROM c)
+SELECT p_brand, CAST(SUM(v) AS DOUBLE) AS total_value
+FROM u GROUP BY p_brand ORDER BY p_brand
+""")
+def b140_q33_restricted_channels(spark: SparkSession, sf: str
+                                 ) -> DataFrame:
+    """B140 — TPC-DS Q33/Q56/Q60 signature shape: per-channel totals
+    over a RESTRICTED item subset, unioned and re-aggregated by item
+    attribute. The literal SQL scans the fact once per channel (three
+    scans, three joins, a Union, a re-aggregation); the channels
+    partition the rows, so ONE scan + ONE broadcast join against the
+    restricted dimension + ONE aggregation produces the identical
+    union-total (contract: tests/test_plan_contracts.py::
+    test_b140_one_scan_one_join_no_union). DECIMAL-exact sums."""
+    li = load(spark, sf, "lineitem")
+    items = (load(spark, sf, "part")
+             .filter(F.col("p_type").like("PROMO%"))
+             .select("p_partkey", "p_brand"))
+    return (li.join(F.broadcast(items), li.l_partkey == items.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum(F.col("l_extendedprice").cast(DEC))
+                 .cast("double").alias("total_value"))
+            .orderBy("p_brand"))
+
+
+# --- B141 TPC-DS Q82 shape (banded inventory + selective dimension) --------------
+
+@query("b141_q82_banded_inventory", oracle="""
+SELECT p_brand,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 20
+  AND l_quantity BETWEEN 20 AND 30
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY p_brand
+ORDER BY p_brand
+""")
+def b141_q82_banded_inventory(spark: SparkSession, sf: str) -> DataFrame:
+    """B141 — TPC-DS Q37/Q82 signature shape: a fact restricted by a
+    quantity band AND a date window, joined to a dimension restricted
+    by an attribute band. The scale property: BOTH band predicates
+    push into the parquet scans (PushedFilters, plan-asserted) and
+    the pre-filtered dimension broadcasts — the join input is already
+    minimal on both sides; no SortMergeJoin (contract:
+    tests/test_plan_contracts.py::test_b141_bands_pushed_broadcast).
+    Exact distinct-part counts; DECIMAL-exact revenue."""
+    li = (load(spark, sf, "lineitem")
+          .filter(F.col("l_quantity").between(20, 30)
+                  & (F.col("l_shipdate")
+                     >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01").cast("timestamp"))))
+    p = (load(spark, sf, "part")
+         .filter(F.col("p_size").between(10, 20))
+         .select("p_partkey", "p_brand"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.countDistinct("l_partkey").cast("long")
+                 .alias("n_parts"),
+                 F.sum(F.col("l_extendedprice").cast(DEC))
+                 .cast("double").alias("revenue"))
+            .orderBy("p_brand"))

@@ -1152,3 +1152,100 @@ def test_b136_integer_ratio_boundary_inclusive(spark, tmp_path):
     got = [(r.p_brand, r.n_parts, r.qty_before, r.qty_after) for r in
            registry.QUERIES["b136_q21_pivot_balance"](spark, d).collect()]
     assert got == [("X", 1, 30, 20)]
+
+
+def test_b137_share_within_category(spark, tmp_path):
+    """B137 crafted pin: shares divide each brand's exact revenue by
+    its OWN category's total (cross-category totals must not leak);
+    a single-brand category gets share 1.0."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([(1, 30.0), (2, 70.0), (3, 50.0)],
+                  "l_partkey LONG, l_extendedprice DOUBLE"),
+        part=([(1, "T1", "A"), (2, "T1", "B"), (3, "T2", "C")],
+              "p_partkey LONG, p_type STRING, p_brand STRING"))
+    got = [(r.cat, r.brand, r.revenue, r.share) for r in
+           registry.QUERIES["b137_q98_revenue_share"](spark, d).collect()]
+    assert got == [("T1", "A", 30.0, 30.0 / 100.0),
+                   ("T1", "B", 70.0, 70.0 / 100.0),
+                   ("T2", "C", 50.0, 1.0)]
+
+
+def test_b138_not_exists_gates_negatively(spark, tmp_path):
+    """B138 crafted pin: a return ANYWHERE in the order disqualifies it
+    (NOT EXISTS), single-supplier and out-of-window orders drop, and
+    only in-window rows contribute revenue."""
+    import datetime as dt
+
+    def row(ok, sk, rf, y, m, price):
+        return (ok, sk, rf, dt.datetime(y, m, 1), price, 0.0)
+
+    d = _tpch(spark, tmp_path, lineitem=([
+        row(1, 1, "N", 1996, 3, 100.0), row(1, 2, "N", 1996, 4, 50.0),
+        row(2, 1, "N", 1996, 3, 999.0), row(2, 2, "R", 1996, 4, 999.0),
+        row(3, 1, "N", 1996, 5, 999.0),
+        row(4, 1, "N", 1995, 3, 999.0), row(4, 2, "N", 1995, 4, 999.0),
+    ], "l_orderkey LONG, l_suppkey LONG, l_returnflag STRING, "
+       "l_shipdate TIMESTAMP, l_extendedprice DOUBLE, "
+       "l_discount DOUBLE"))
+    r = registry.QUERIES["b138_q94_exists_not_exists"](spark, d) \
+        .collect()[0]
+    assert (r.n_orders, r.revenue) == (1, 150.0)
+
+
+def test_b139_promo_boundary_strict(spark, tmp_path):
+    """B139 crafted pin: the promo gate is STRICTLY > 0.05 (a 0.05
+    discount is not promotional); out-of-window rows touch neither
+    numerator nor denominator."""
+    import datetime as dt
+    in_w, out_w = dt.datetime(1996, 3, 1), dt.datetime(1997, 3, 1)
+    d = _tpch(spark, tmp_path, lineitem=([
+        (100.0, 0.06, in_w), (50.0, 0.05, in_w), (50.0, 0.10, in_w),
+        (999.0, 0.99, out_w),
+    ], "l_extendedprice DOUBLE, l_discount DOUBLE, "
+       "l_shipdate TIMESTAMP"))
+    r = registry.QUERIES["b139_q61_promo_ratio"](spark, d).collect()[0]
+    assert (r.promo_rev, r.total_rev, r.promo_share) == (150.0, 200.0,
+                                                         0.75)
+
+
+def test_b140_subset_and_channel_union_totals(spark, tmp_path):
+    """B140 crafted pin: only PROMO-prefixed items count, and the
+    brand total equals the sum ACROSS all three channels (the union
+    the literal SQL builds)."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([(1, "N", 10.0), (1, "R", 20.0), (1, "A", 30.0),
+                   (2, "N", 999.0), (3, "A", 5.0)],
+                  "l_partkey LONG, l_returnflag STRING, "
+                  "l_extendedprice DOUBLE"),
+        part=([(1, "PROMO A", "B1"), (2, "STD B", "B9"),
+               (3, "PROMO B", "B2")],
+              "p_partkey LONG, p_type STRING, p_brand STRING"))
+    got = [(r.p_brand, r.total_value) for r in
+           registry.QUERIES["b140_q33_restricted_channels"](spark, d)
+           .collect()]
+    assert got == [("B1", 60.0), ("B2", 5.0)]
+
+
+def test_b141_both_bands_gate(spark, tmp_path):
+    """B141 crafted pin: a row must pass the size band AND the
+    quantity band AND the date window; distinct parts count once."""
+    import datetime as dt
+    in_d, out_d = dt.datetime(1997, 6, 1), dt.datetime(1996, 6, 1)
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (1, 25.0, 100.0, in_d),          # all bands → in
+            (1, 35.0, 999.0, in_d),          # qty out
+            (1, 25.0, 999.0, out_d),         # date out
+            (2, 25.0, 999.0, in_d),          # size out (part 2)
+            (1, 20.0, 40.0, in_d),           # qty boundary → in
+        ], "l_partkey LONG, l_quantity DOUBLE, "
+           "l_extendedprice DOUBLE, l_shipdate TIMESTAMP"),
+        part=([(1, 15, "X"), (2, 25, "Y")],
+              "p_partkey LONG, p_size INT, p_brand STRING"))
+    got = [(r.p_brand, r.n_parts, r.revenue) for r in
+           registry.QUERIES["b141_q82_banded_inventory"](spark, d)
+           .collect()]
+    assert got == [("X", 1, 140.0)]

@@ -1206,3 +1206,62 @@ def test_b136_single_scan_integer_gate(spark):
     assert "SortMergeJoin" not in plan, plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_b137_window_share(spark):
+    """B137 (Q98 shape): the category total is a window sum over the
+    per-item rows — one aggregation pass, no re-aggregation join; the
+    dimension broadcasts."""
+    import re
+    plan = _plan(registry.QUERIES["b137_q98_revenue_share"](spark, SF))
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_b138_no_self_joins(spark):
+    """B138 (Q94 shape): EXISTS and NOT EXISTS both come from the same
+    one-pass order statistics — zero self-joins, one scan."""
+    import re
+    plan = _plan(registry.QUERIES["b138_q94_exists_not_exists"](
+        spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+
+
+def test_b139_one_scan_two_scalars(spark):
+    """B139 (Q61 shape): promo and total are conditional sums of ONE
+    scan — never two pipelines cross-joined; the window pushes down."""
+    import re
+    plan = _plan(registry.QUERIES["b139_q61_promo_ratio"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_b140_one_scan_one_join_no_union(spark):
+    """B140 (Q33 shape): the three-channel union is ONE scan + ONE
+    broadcast join against the restricted dimension."""
+    import re
+    plan = _plan(registry.QUERIES["b140_q33_restricted_channels"](
+        spark, SF))
+    assert "Union" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_b141_bands_pushed_broadcast(spark):
+    """B141 (Q82 shape): both band predicates push into their scans;
+    the pre-filtered dimension broadcasts."""
+    plan = _plan(registry.QUERIES["b141_q82_banded_inventory"](
+        spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(l_quantity,20" in ln
+               for ln in pushed), plan
+    assert any("GreaterThanOrEqual(p_size,10" in ln
+               for ln in pushed), plan
