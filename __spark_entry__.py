@@ -103,6 +103,7 @@ _PRIORITY = [
     "b136_q21_pivot_balance", "b137_q98_revenue_share",
     "b138_q94_exists_not_exists", "b139_q61_promo_ratio",
     "b140_q33_restricted_channels", "b141_q82_banded_inventory",
+    "b142_q62_lag_band_matrix", "b143_q66_quarterly_pivot",
 ]
 
 

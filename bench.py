@@ -155,6 +155,8 @@ HEADLINE = [
     "b139_q61_promo_ratio",
     "b140_q33_restricted_channels",
     "b141_q82_banded_inventory",
+    "b142_q62_lag_band_matrix",
+    "b143_q66_quarterly_pivot",
 ]
 
 

@@ -4668,3 +4668,106 @@ def b141_q82_banded_inventory(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("l_extendedprice").cast(DEC))
                  .cast("double").alias("revenue"))
             .orderBy("p_brand"))
+
+
+# --- B142 TPC-DS Q62/Q99 shape (shipping-lag band matrix) ------------------------
+
+@query("b142_q62_lag_band_matrix", oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                          <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                          > 30
+                      AND date_diff('day', o_orderdate, l_shipdate)
+                          <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                          > 60
+                      AND date_diff('day', o_orderdate, l_shipdate)
+                          <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                          > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90p
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def b142_q62_lag_band_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """B142 — TPC-DS Q62/Q99 signature shape: the shipping-lag report
+    — days between order and ship, banded into a count MATRIX per
+    group. The bands are INTEGER day arithmetic (exact on both
+    engines) computed as conditional counts of ONE post-join pass: the
+    fact-fact join shuffles ONCE on the order key and every band falls
+    out of the same rows (contract: tests/test_plan_contracts.py::
+    test_b142_one_join_band_matrix — exactly one join, no per-band
+    re-scan, never a nested-loop). Band edges are half-open (30 < lag
+    ≤ 60), pinned by the crafted test."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long") \
+            .alias(name)
+
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(band(lag <= 30, "d30"),
+                 band((lag > 30) & (lag <= 60), "d60"),
+                 band((lag > 60) & (lag <= 90), "d90"),
+                 band(lag > 90, "d90p"))
+            .orderBy("priority"))
+
+
+# --- B143 TPC-DS Q66 shape (periodized two-family pivot) -------------------------
+
+@query("b143_q66_quarterly_pivot", oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS q1_n,
+       CAST(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS q2_n,
+       CAST(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS q3_n,
+       CAST(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS q4_n,
+       CAST(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 1
+                     THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+            AS DOUBLE) AS q1_v,
+       CAST(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 2
+                     THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+            AS DOUBLE) AS q2_v,
+       CAST(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 3
+                     THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+            AS DOUBLE) AS q3_v,
+       CAST(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 4
+                     THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+            AS DOUBLE) AS q4_v
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1997
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def b143_q66_quarterly_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """B143 — TPC-DS Q66 signature shape: the periodized WIDE report —
+    TWO aggregate families (counts and value sums) pivoted across the
+    year's periods into one row per group. Q66's literal SQL computes
+    each family in a separate channel CTE and joins; here all eight
+    cells are conditional aggregates of ONE scan (contract:
+    tests/test_plan_contracts.py::test_b143_single_scan_wide_pivot).
+    Counts exact integers; value sums DECIMAL-exact, double only in
+    the output; quarter boundaries are calendar-exact on both
+    engines."""
+    o = load(spark, sf, "orders")
+    qtr = F.quarter("o_orderdate")
+    price = F.col("o_totalprice").cast(DEC)
+    aggs = []
+    for q in (1, 2, 3, 4):
+        aggs.append(F.sum(F.when(qtr == q, 1).otherwise(0))
+                    .cast("long").alias(f"q{q}_n"))
+    for q in (1, 2, 3, 4):
+        aggs.append(F.sum(F.when(qtr == q, price))
+                    .cast("double").alias(f"q{q}_v"))
+    return (o.filter(F.year("o_orderdate") == 1997)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(*aggs)
+            .orderBy("priority"))

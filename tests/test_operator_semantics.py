@@ -1249,3 +1249,44 @@ def test_b141_both_bands_gate(spark, tmp_path):
            registry.QUERIES["b141_q82_banded_inventory"](spark, d)
            .collect()]
     assert got == [("X", 1, 140.0)]
+
+
+def test_b142_band_edges_half_open(spark, tmp_path):
+    """B142 crafted pin: lag bands are (lo, hi] half-open — lag 30 in
+    d30, 31 in d60, 60 in d60, 61 in d90, 91 in d90p; exact integer
+    day arithmetic."""
+    import datetime as dt
+    base = dt.datetime(1995, 1, 1)
+
+    def li(ok, lag):
+        return (ok, base + dt.timedelta(days=lag))
+
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([li(1, 30), li(1, 31), li(1, 60), li(1, 61),
+                   li(1, 91), li(1, 0)],
+                  "l_orderkey LONG, l_shipdate TIMESTAMP"),
+        orders=([(1, base, "P")],
+                "o_orderkey LONG, o_orderdate TIMESTAMP, "
+                "o_orderpriority STRING"))
+    r = registry.QUERIES["b142_q62_lag_band_matrix"](spark, d) \
+        .collect()[0]
+    assert (r.priority, r.d30, r.d60, r.d90, r.d90p) == ("P", 2, 2, 1, 1)
+
+
+def test_b143_quarter_cells_and_nulls(spark, tmp_path):
+    """B143 crafted pin: each order lands in exactly one quarter cell;
+    a quarter with no orders counts 0 and sums NULL; non-1997 rows
+    are invisible."""
+    import datetime as dt
+    d = _tpch(spark, tmp_path, orders=([
+        ("P", dt.datetime(1997, 2, 1), 10.0),
+        ("P", dt.datetime(1997, 3, 31), 20.0),
+        ("P", dt.datetime(1997, 10, 1), 40.0),
+        ("P", dt.datetime(1996, 5, 1), 999.0),
+    ], "o_orderpriority STRING, o_orderdate TIMESTAMP, "
+       "o_totalprice DOUBLE"))
+    r = registry.QUERIES["b143_q66_quarterly_pivot"](spark, d) \
+        .collect()[0]
+    assert (r.q1_n, r.q2_n, r.q3_n, r.q4_n) == (2, 0, 0, 1)
+    assert (r.q1_v, r.q2_v, r.q3_v, r.q4_v) == (30.0, None, None, 40.0)

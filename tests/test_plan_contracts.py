@@ -1265,3 +1265,27 @@ def test_b141_bands_pushed_broadcast(spark):
                for ln in pushed), plan
     assert any("GreaterThanOrEqual(p_size,10" in ln
                for ln in pushed), plan
+
+
+def test_b142_one_join_band_matrix(spark):
+    """B142 (Q62/Q99 shape): all lag bands are conditional counts of
+    ONE post-join pass — exactly one equi join, never nested-loop or
+    per-band re-scans."""
+    import re
+    plan = _plan(registry.QUERIES["b142_q62_lag_band_matrix"](
+        spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert len(re.findall(r"Join", plan)) >= 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b143_single_scan_wide_pivot(spark):
+    """B143 (Q66 shape): all eight period cells from ONE conditional
+    aggregation over ONE scan — no per-family channel CTE join."""
+    import re
+    plan = _plan(registry.QUERIES["b143_q66_quarterly_pivot"](
+        spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
