@@ -57,12 +57,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (VERDICT r11 "Next round" #1): (1) the 13 queries with NO driver-green
 # row or an r6-age one — the r11 bonus TPC-DS shapes b113–b123, the
 # uncapped n-gram lane, and text_url_extract (rank 51 of the r11 window,
-# the predicted one-round slip); (2) this round's 6 NEW entries — b124
-# substrait view execution, b125 iceberg v2 MOR pointer reads, and the 4
-# prescribed TPC-DS shapes b126–b129 (changed-path work gets driver rows
-# the round it lands, VERDICT r9 precedent); (3) the OLDEST r7-age
-# queries (45 exist; ~31 fit a 50-slot window — the tail, whose code is
-# unchanged since its r7 green, slips to r13 as VERDICT #1 plans).
+# the predicted one-round slip); (2) this round's 20 NEW entries — b124
+# substrait view execution, b125 iceberg v2 MOR pointer reads, the 4
+# prescribed TPC-DS shapes b126–b129 and the 14 bonus shapes b130–b143
+# (a never-driver-checked entry is riskier than a stale-but-unchanged
+# r7 green — the exact lesson of the b113–b123 backlog this round pays
+# down; VERDICT r9/r11 precedent); (3) the OLDEST r7-age queries (45
+# exist; ~17 fit a 50-slot window — the remainder, code unchanged since
+# its r7 green, is explicitly queued for r13).
 _PRIORITY = [
     # never driver-checked (r11 additions past the 50-slot window)
     "b113_moving_avg_neighbor", "b114_shared_cte_two_channel",
@@ -74,12 +76,20 @@ _PRIORITY = [
     "dedup_ngram_jaccard_exact",
     # oldest green in the whole registry (r6)
     "text_url_extract",
-    # NEW this round (changed-path slots)
+    # NEW this round (changed-path slots): prescribed + bonus shapes
     "b124_reference_view_exec", "b125_iceberg_mor_pointer",
     "b126_q5_channel_rollup", "b127_q17_fact_alignment",
     "b128_q72_shifted_range_join", "b129_q95_two_hop_exists",
+    "b130_q1_above_avg_returns", "b131_q59_weekday_ratio",
+    "b132_q90_am_pm_ratio", "b133_q92_excess_discount",
+    "b134_q75_yoy_decline", "b135_q89_monthly_deviation",
+    "b136_q21_pivot_balance", "b137_q98_revenue_share",
+    "b138_q94_exists_not_exists", "b139_q61_promo_ratio",
+    "b140_q33_restricted_channels", "b141_q82_banded_inventory",
+    "b142_q62_lag_band_matrix", "b143_q66_quarterly_pivot",
     # the 45 r7-age queries (newest green = r7), oldest batch —
-    # ~31 fit; the tail ages one more round (code unchanged since r7)
+    # ~17 fit a 50-slot window; the remainder ages one more round
+    # (code unchanged since its r7 green) and leads the r13 fills
     "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
     "b17_topk", "b18_union", "b18b_union_all", "b19_except",
     "b19b_intersect", "b19c_except_intersect_all", "b20_cte_subquery",
@@ -95,15 +105,6 @@ _PRIORITY = [
     "dedup_winnowing", "text_bm25_topk", "text_segment_dedup",
     "text_token_freq_spectrum", "udf_grouped_custstats",
     "udf_mapinpandas_tokens", "udf_pandas_tiered",
-    # beyond the window: this round's bonus TPC-DS shapes — next in
-    # line if the window is wider; all dual-scale oracle-green locally
-    "b130_q1_above_avg_returns", "b131_q59_weekday_ratio",
-    "b132_q90_am_pm_ratio", "b133_q92_excess_discount",
-    "b134_q75_yoy_decline", "b135_q89_monthly_deviation",
-    "b136_q21_pivot_balance", "b137_q98_revenue_share",
-    "b138_q94_exists_not_exists", "b139_q61_promo_ratio",
-    "b140_q33_restricted_channels", "b141_q82_banded_inventory",
-    "b142_q62_lag_band_matrix", "b143_q66_quarterly_pivot",
 ]
 
 
