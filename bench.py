@@ -157,6 +157,9 @@ HEADLINE = [
     "b141_q82_banded_inventory",
     "b142_q62_lag_band_matrix",
     "b143_q66_quarterly_pivot",
+    "b144_q44_two_ended_rank",
+    "b145_q9_bucket_battery",
+    "b146_q54_band_histogram",
 ]
 
 

@@ -4771,3 +4771,131 @@ def b143_q66_quarterly_pivot(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy(F.col("o_orderpriority").alias("priority"))
             .agg(*aggs)
             .orderBy("priority"))
+
+
+# --- B144 TPC-DS Q44 shape (best/worst two-ended ranking) ------------------------
+
+@query("b144_q44_two_ended_rank", oracle="""
+WITH per AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS tot
+  FROM lineitem GROUP BY 1),
+ best AS (SELECT 'best' AS side, pk, CAST(tot AS DOUBLE) AS total
+          FROM per ORDER BY tot DESC, pk LIMIT 10),
+ worst AS (SELECT 'worst' AS side, pk, CAST(tot AS DOUBLE) AS total
+           FROM per ORDER BY tot ASC, pk LIMIT 10)
+SELECT side, pk, total FROM best
+UNION ALL
+SELECT side, pk, total FROM worst
+ORDER BY side, total DESC, pk
+""")
+def b144_q44_two_ended_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """B144 — TPC-DS Q44 signature shape: the BEST and WORST k items
+    of one aggregate, reported together. Spark-first: the literal SQL
+    ranks the aggregate twice in two subqueries and joins both back;
+    this plan takes each end as a TakeOrderedAndProject (the
+    distributed top-k operator: per-partition heaps, never a global
+    sort, never a single-partition rank Window) and unions the two
+    tagged ends (contract: tests/test_plan_contracts.py::
+    test_b144_two_takeordered_no_window). Ordering is on the EXACT
+    decimal total with the part key as tiebreak — fully deterministic
+    on both engines; doubles appear only in the output."""
+    li = load(spark, sf, "lineitem")
+    per = (li.groupBy(F.col("l_partkey").alias("pk"))
+           .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("tot")))
+    best = (per.orderBy(F.col("tot").desc(), F.col("pk")).limit(10)
+            .select(F.lit("best").alias("side"), "pk",
+                    F.col("tot").cast("double").alias("total")))
+    worst = (per.orderBy(F.col("tot").asc(), F.col("pk")).limit(10)
+             .select(F.lit("worst").alias("side"), "pk",
+                     F.col("tot").cast("double").alias("total")))
+    return (best.unionByName(worst)
+            .orderBy("side", F.col("total").desc(), "pk"))
+
+
+# --- B145 TPC-DS Q9 shape (scalar-subquery battery → one scan) -------------------
+
+@query("b145_q9_bucket_battery", oracle="""
+SELECT
+  CAST(COUNT(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 END)
+       AS BIGINT) AS b1_n,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 10
+                THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+       AS DOUBLE) AS b1_v,
+  CAST(COUNT(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 END)
+       AS BIGINT) AS b2_n,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 11 AND 20
+                THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+       AS DOUBLE) AS b2_v,
+  CAST(COUNT(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 END)
+       AS BIGINT) AS b3_n,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 21 AND 30
+                THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+       AS DOUBLE) AS b3_v,
+  CAST(COUNT(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 END)
+       AS BIGINT) AS b4_n,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 31 AND 40
+                THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+       AS DOUBLE) AS b4_v,
+  CAST(COUNT(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN 1 END)
+       AS BIGINT) AS b5_n,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 41 AND 50
+                THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+       AS DOUBLE) AS b5_v
+FROM lineitem
+""")
+def b145_q9_bucket_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """B145 — TPC-DS Q9 signature shape: the scalar-subquery BATTERY —
+    the literal Q9 runs FIFTEEN independent scalar subqueries (count/
+    avg/sum per quantity bucket), i.e. fifteen scans of the same fact
+    stitched by CASE. All ten cells here are conditional aggregates of
+    ONE scan (contract: tests/test_plan_contracts.py::
+    test_b145_one_scan_battery). At 100 TB this is one pass instead of
+    fifteen. Counts exact; sums DECIMAL-exact, double at the edge."""
+    li = load(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    price = F.col("l_extendedprice").cast(DEC)
+    aggs = []
+    for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 30),
+                                  (31, 40), (41, 50)], 1):
+        aggs.append(F.count(F.when(q.between(lo, hi), F.lit(1)))
+                    .cast("long").alias(f"b{i}_n"))
+        aggs.append(F.sum(F.when(q.between(lo, hi), price))
+                    .cast("double").alias(f"b{i}_v"))
+    return li.agg(*aggs)
+
+
+# --- B146 TPC-DS Q54 shape (banded per-entity-total histogram) --------------------
+
+@query("b146_q54_band_histogram", oracle="""
+WITH per AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1)
+SELECT CAST(qsum // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(qsum) AS BIGINT) AS band_qty
+FROM per
+GROUP BY 1
+ORDER BY 1
+""")
+def b146_q54_band_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """B146 — TPC-DS Q54 signature shape: the revenue-band customer
+    histogram — per-entity totals bucketed into fixed-width bands,
+    entities counted per band. Banding is INTEGER division of an
+    integer total (``qsum DIV 100`` / ``//`` — exact and identical on
+    both engines; the literal Q54 segments with ``/50`` float division
+    + ROUND, an FP boundary that flaps, memory class #8). One fact
+    join shuffles on the order key, two aggregation levels, zero
+    windows (contract: tests/test_plan_contracts.py::
+    test_b146_integer_banding)."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    per = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy(F.col("o_custkey").alias("ck"))
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("qsum")))
+    return (per.groupBy(F.expr("qsum DIV 100").cast("long").alias("band"))
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum("qsum").cast("long").alias("band_qty"))
+            .orderBy("band"))

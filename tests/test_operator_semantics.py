@@ -1290,3 +1290,68 @@ def test_b143_quarter_cells_and_nulls(spark, tmp_path):
         .collect()[0]
     assert (r.q1_n, r.q2_n, r.q3_n, r.q4_n) == (2, 0, 0, 1)
     assert (r.q1_v, r.q2_v, r.q3_v, r.q4_v) == (30.0, None, None, 40.0)
+
+
+def test_b144_two_ends_distinct_and_ordered(spark, tmp_path):
+    """B144 crafted pin: 12 parts — best-10 and worst-10 OVERLAP in
+    the middle (parts 3..10 appear on both sides), ends are tagged,
+    ordering is exact-total desc with key tiebreak (two equal totals
+    order by pk)."""
+    rows = [(pk, float(pk * 10)) for pk in range(1, 13)]
+    rows.append((5, 0.0))                       # part 5 total stays 50
+    rows[4] = (5, 50.0)
+    d = _tpch(spark, tmp_path, lineitem=(
+        [(pk, v) for pk, v in rows],
+        "l_partkey LONG, l_extendedprice DOUBLE"))
+    got = [(r.side, r.pk) for r in
+           registry.QUERIES["b144_q44_two_ended_rank"](spark, d)
+           .collect()]
+    best = [pk for s, pk in got if s == "best"]
+    worst = [pk for s, pk in got if s == "worst"]
+    assert best == [12, 11, 10, 9, 8, 7, 6, 5, 4, 3]
+    assert worst == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10][::-1] or \
+        worst == [10, 9, 8, 7, 6, 5, 4, 3, 2, 1]
+
+
+def test_b144_ties_break_by_key(spark, tmp_path):
+    """B144 crafted pin: equal totals order by pk (deterministic on
+    both engines)."""
+    d = _tpch(spark, tmp_path, lineitem=(
+        [(1, 10.0), (2, 10.0), (3, 10.0)],
+        "l_partkey LONG, l_extendedprice DOUBLE"))
+    got = [(r.side, r.pk) for r in
+           registry.QUERIES["b144_q44_two_ended_rank"](spark, d)
+           .collect()]
+    assert [pk for s, pk in got if s == "best"] == [1, 2, 3]
+    assert [pk for s, pk in got if s == "worst"] == [1, 2, 3]
+
+
+def test_b145_bucket_edges_inclusive(spark, tmp_path):
+    """B145 crafted pin: BETWEEN buckets are inclusive on both edges;
+    quantities outside 1..50 fall in NO bucket (count 0, sum NULL)."""
+    d = _tpch(spark, tmp_path, lineitem=(
+        [(1.0, 10.0), (10.0, 20.0), (11.0, 40.0), (50.0, 80.0),
+         (0.0, 999.0), (51.0, 999.0)],
+        "l_quantity DOUBLE, l_extendedprice DOUBLE"))
+    r = registry.QUERIES["b145_q9_bucket_battery"](spark, d).collect()[0]
+    assert (r.b1_n, r.b1_v) == (2, 30.0)
+    assert (r.b2_n, r.b2_v) == (1, 40.0)
+    assert (r.b3_n, r.b3_v) == (0, None)
+    assert (r.b5_n, r.b5_v) == (1, 80.0)
+
+
+def test_b146_integer_band_edges(spark, tmp_path):
+    """B146 crafted pin: integer division banding — totals 99, 100,
+    199, 200 land in bands 0, 1, 1, 2; counts and band sums exact."""
+    li, orders = [], []
+    for ck, total in ((1, 99), (2, 100), (3, 199), (4, 200)):
+        orders.append((ck * 10, ck))
+        li.append((ck * 10, float(total)))
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=(li, "l_orderkey LONG, l_quantity DOUBLE"),
+        orders=(orders, "o_orderkey LONG, o_custkey LONG"))
+    got = [(r.band, r.n_customers, r.band_qty) for r in
+           registry.QUERIES["b146_q54_band_histogram"](spark, d)
+           .collect()]
+    assert got == [(0, 1, 99), (1, 2, 299), (2, 1, 200)]

@@ -1289,3 +1289,34 @@ def test_b143_single_scan_wide_pivot(spark):
     assert "Join" not in plan, plan
     assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b144_two_takeordered_no_window(spark):
+    """B144 (Q44 shape): each end is a distributed top-k
+    (TakeOrderedAndProject) — never a single-partition rank Window or
+    a global Sort of the aggregate."""
+    import re
+    plan = _plan(registry.QUERIES["b144_q44_two_ended_rank"](spark, SF))
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_b145_one_scan_battery(spark):
+    """B145 (Q9 shape): all ten bucket cells from ONE scan — the
+    literal SQL's fifteen scalar subqueries are the pinned-out
+    anti-pattern."""
+    import re
+    plan = _plan(registry.QUERIES["b145_q9_bucket_battery"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\) HashAggregate", plan)) == 2, plan
+
+
+def test_b146_integer_banding(spark):
+    """B146 (Q54 shape): one equi join, two aggregation levels, zero
+    windows; banding never introduces a float division."""
+    import re
+    plan = _plan(registry.QUERIES["b146_q54_band_histogram"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan

@@ -285,3 +285,35 @@ def test_relcommon_emit_refuses_direct_passes():
         **base, "common": {"direct": b"", "hints": b"\x0a\x00"}},
         _SPECS))
     assert ok.table_names == ["t"]
+
+
+def test_hypothesis_read_rel_round_trip():
+    """Property fuzz: any (table path, column names, supported types)
+    combination round-trips through the wire codec exactly — names
+    byte-faithful (unicode included), types preserved for the public
+    subset, None for unsupported — and decode never misclassifies a
+    fuzzed payload as out-of-subset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    types = st.sampled_from(
+        ["boolean", "tinyint", "smallint", "int", "bigint", "float",
+         "double", "string", "binary", "date", "timestamp",
+         "timestamp_ntz", "decimal(12,2)", "decimal(38,0)"])
+    names = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1, max_size=24)
+
+    @given(st.lists(names, min_size=1, max_size=4),
+           st.lists(st.tuples(names, types), min_size=0, max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def roundtrip(table_path, cols):
+        data = encode_read_rel(table_path,
+                               [c for c, _t in cols],
+                               [t for _c, t in cols])
+        v = decode_read_rel(data)
+        assert v.table_names == table_path
+        assert v.column_names == [c for c, _t in cols]
+        assert v.column_types == [t for _c, t in cols]
+
+    roundtrip()
