@@ -57,14 +57,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # (VERDICT r11 "Next round" #1): (1) the 13 queries with NO driver-green
 # row or an r6-age one — the r11 bonus TPC-DS shapes b113–b123, the
 # uncapped n-gram lane, and text_url_extract (rank 51 of the r11 window,
-# the predicted one-round slip); (2) this round's 20 NEW entries — b124
+# the predicted one-round slip); (2) this round's 23 NEW entries — b124
 # substrait view execution, b125 iceberg v2 MOR pointer reads, the 4
-# prescribed TPC-DS shapes b126–b129 and the 14 bonus shapes b130–b143
+# prescribed TPC-DS shapes b126–b129 and the 17 bonus shapes b130–b146
 # (a never-driver-checked entry is riskier than a stale-but-unchanged
 # r7 green — the exact lesson of the b113–b123 backlog this round pays
-# down; VERDICT r9/r11 precedent); (3) the OLDEST r7-age queries (45
-# exist; ~17 fit a 50-slot window — the remainder, code unchanged since
-# its r7 green, is explicitly queued for r13).
+# down; VERDICT r9/r11 precedent); (3) the OLDEST r7-age queries — 36
+# higher-priority entries consume the window first, so ~14 of the 45
+# fit a 50-slot window; the remainder, code unchanged since its r7
+# green, is explicitly queued to lead the r13 fills.
 _PRIORITY = [
     # never driver-checked (r11 additions past the 50-slot window)
     "b113_moving_avg_neighbor", "b114_shared_cte_two_channel",

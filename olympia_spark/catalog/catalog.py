@@ -911,3 +911,9 @@ def _hydrate_iceberg_pointer(tdef: TableDef) -> None:
         else:
             tdef.properties.pop(k, None)
     tdef.properties["iceberg.format-version"] = fmtver
+    # transient marker: THIS def's files/schema/stamps are hydration
+    # output. engine._persistable keys its strip on it, so an ADOPTED
+    # (materialized, snapshot-pinned) def — same format+pointer shape,
+    # but with PERSISTED files — is never pointer-ized by an ALTER
+    # (review r12 pass-4). Stripped with the rest at every persist.
+    tdef.properties["iceberg.hydrated"] = "true"

@@ -76,7 +76,7 @@ _SHADOW_PROBE_CURSOR: dict[tuple[str, str], int] = {}
 # be persisted into a def file, where they would outlive the snapshot
 _HYDRATION_PROPS = frozenset({
     "iceberg.mor_deletes", "iceberg.identity_fill",
-    "iceberg.format-version"})
+    "iceberg.format-version", "iceberg.hydrated"})
 
 # In-job failure markers raised via F.raise_error inside write jobs and
 # detected on the driver by substring over the (nested) exception text.
@@ -847,6 +847,25 @@ class Engine:
         d_to = self.catalog.describe_table(t_to, ns, tbl)
         paths_from = set(d_from.file_paths())
         paths_to = set(d_to.file_paths())
+        import dataclasses as _dc
+
+        # FROM-side scans need the TO schema (additive evolution fills
+        # NULLs) but the FROM version's FILE METADATA: departed files
+        # are absent from d_to.data_files, so identity-fill constants
+        # (carried as per-file stats) would silently read NULL and
+        # un-cancel exceptAll pairs — every untouched row of a
+        # rewritten file would surface as a spurious delete+insert
+        # (review r12 pass-4). identity_fill follows the FROM def too:
+        # the departed files' fill semantics are theirs.
+        d_mix = _dc.replace(
+            d_to, data_files=list(d_from.data_files),
+            properties={
+                **{k: v for k, v in d_to.properties.items()
+                   if k != "iceberg.identity_fill"},
+                **({"iceberg.identity_fill":
+                    d_from.properties["iceberg.identity_fill"]}
+                   if "iceberg.identity_fill" in d_from.properties
+                   else {})})
         if d_from.properties.get("iceberg.mor_deletes") \
                 or d_to.properties.get("iceberg.mor_deletes"):
             # MOR pointers: a file-diff scan would emit events for
@@ -861,7 +880,7 @@ class Engine:
             # review r12 pass-3)
             to_schema = d_to.spark_schema()
             net_from = (self._mor_scan(d_from, schema=to_schema)
-                        or self._scan(d_to, d_from.file_paths()))
+                        or self._scan(d_mix, d_from.file_paths()))
             net_to = (self._mor_scan(d_to)
                       or self._scan(d_to, d_to.file_paths()))
             added, removed = net_to, net_from
@@ -871,7 +890,7 @@ class Engine:
             entered = sorted(paths_to - paths_from)
             left = sorted(paths_from - paths_to)
             added = self._scan(d_to, entered)
-            removed = self._scan(d_to, left)
+            removed = self._scan(d_mix, left)
         inserts = added.exceptAll(removed) \
             .withColumn("_change_type", F.lit("insert"))
         deletes = removed.exceptAll(added) \
@@ -4122,7 +4141,7 @@ class Engine:
 
     @staticmethod
     def _persistable(tdef: TableDef) -> TableDef:
-        """A def safe to COMMIT. Iceberg-pointer defs persist
+        """A def safe to COMMIT. HYDRATED pointer defs persist
         pointer-minimal: describe_table fills schema/files/stamps from
         the LIVE metadata at read time, and committing that hydration
         output verbatim (an ANALYZE or SET TBLPROPERTIES on a pointer)
@@ -4130,8 +4149,13 @@ class Engine:
         guard — the pointer freezes at this snapshot and external
         compactions/new deletes are never seen again (review r12
         pass-2 reproduced it on ANALYZE; pass-3 found the same hole in
-        SET TBLPROPERTIES). Native defs pass through untouched."""
-        if tdef.format == "ICEBERG" and tdef.metadata_location:
+        SET TBLPROPERTIES). The strip keys on the transient
+        ``iceberg.hydrated`` marker, NOT on the format+pointer shape:
+        an ADOPTED def shares that shape but its persisted file list
+        IS its snapshot pin — wiping it would silently convert the pin
+        into a live pointer (review r12 pass-4). Native and adopted
+        defs pass through untouched."""
+        if tdef.properties.get("iceberg.hydrated"):
             import dataclasses
             return dataclasses.replace(
                 tdef, schema_json="", data_files=[],
@@ -4192,18 +4216,21 @@ class Engine:
                 self.catalog.describe_namespace(probe, ns).properties)
             for tbl in self.catalog.show_tables(probe, ns):
                 tdef = self.catalog.describe_table(probe, ns, tbl)
-                if tdef.format == "ICEBERG" and tdef.metadata_location:
-                    # hydration-only properties must NOT persist: they
-                    # describe the PROBE's snapshot, and a stale
-                    # mor_deletes stamp at the destination would replay
-                    # old files/deletes over a since-compacted estate
-                    # (review r12 pass-2, empirically reproduced)
-                    copy = dataclasses.replace(
-                        tdef, schema_json="", data_files=[],
-                        properties={
-                            k: v for k, v in tdef.properties.items()
-                            if k not in _HYDRATION_PROPS})
+                if tdef.properties.get("iceberg.hydrated"):
+                    # same persist rule as every ALTER surface
+                    # (review r12 pass-4 deduped the inline copy):
+                    # HYDRATED pointer defs export pointer-minimal —
+                    # hydration-only properties describe the PROBE's
+                    # snapshot, and a stale mor_deletes stamp at the
+                    # destination would replay old files/deletes over
+                    # a since-compacted estate (pass-2, reproduced).
+                    copy = self._persistable(tdef)
                 else:
+                    # native AND adopted (snapshot-pinned) defs export
+                    # WITH their file list — an adopted def's pin IS
+                    # its content (pass-4: the format+pointer shape
+                    # alone must not pointer-ize it) — with relative
+                    # engine paths mapped to authoritative URIs
                     copy = dataclasses.replace(tdef, data_files=[
                         dataclasses.replace(
                             f, path=(f.path if os.path.isabs(f.path)

@@ -1244,3 +1244,75 @@ def test_stale_identity_fill_property_is_rehydrated(spark, tmp_path):
     cat.commit(txn)
     tdef = cat.describe_table(cat.begin(read_only=True), "lake", "t")
     assert "iceberg.identity_fill" not in tdef.properties
+
+
+def test_adopted_pin_survives_set_tblproperties(spark, tmp_path, ice_table):
+    """Review r12 pass-4: _persistable must key on the HYDRATION
+    marker, not on the format+pointer shape — an ADOPTED def's
+    persisted file list IS its snapshot pin; an ALTER must not wipe it
+    into a live pointer."""
+    tdir, *_ = ice_table
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    n = eng.adopt_iceberg_table("lake.t", tdir, snapshot_id=1)
+    before = eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n
+    eng.sql("ALTER TABLE lake.t SET TBLPROPERTIES ('owner' = 'me')")
+    txn = eng.catalog.begin(read_only=True)
+    tdef = eng.catalog.describe_table(txn, "lake", "t")
+    assert tdef.properties.get("owner") == "me"
+    assert len(tdef.data_files) == n          # pin intact, not wiped
+    assert eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n \
+        == before
+
+
+def test_adopted_pin_exports_with_files(spark, tmp_path, ice_table):
+    """Review r12 pass-4: export keeps an ADOPTED def's pinned file
+    list (only HYDRATED pointer defs export pointer-minimal)."""
+    from olympia_spark.catalog.defs import read_def
+    tdir, *_ = ice_table
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    n = eng.adopt_iceberg_table("lake.t", tdir, snapshot_id=1)
+    dest = Engine(spark, eng.export_reference_catalog(
+        str(tmp_path / "dest")))
+    txn = dest.catalog.begin(read_only=True)
+    raw_path = dest.catalog.tree.search(
+        txn.running_root, dest.catalog._tbl_key("lake", "t"))
+    stored = read_def(dest.catalog.storage.read(raw_path), raw_path)
+    assert len(stored.data_files) == n
+    assert dest.sql("SELECT COUNT(*) AS n FROM lake.t").first().n \
+        == eng.sql("SELECT COUNT(*) AS n FROM lake.t").first().n
+
+
+def test_changefeed_fills_identity_constants_for_departed_files(
+        spark, tmp_path):
+    """Review r12 pass-4: CDC scans departed files with the FROM
+    version's file metadata — identity-fill constants must not read
+    NULL (which would un-cancel exceptAll pairs and report every
+    untouched row of a rewritten file as a spurious delete+insert)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+    tdir = str(tmp_path / "icecdc")
+    os.makedirs(os.path.join(tdir, "metadata"))
+    # file omits the identity column 'region' (Hive-migration layout)
+    p1 = os.path.join(tdir, "m1.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64())}), p1)
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("region", T.LongType())])
+    mpath = il.export_iceberg_metadata(
+        tdir, schema, [_F(p1, 3, os.path.getsize(p1))],
+        partition_values={p1: {"region": 7}},
+        partition_avro_types={"region": "long"})
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE NAMESPACE lake")
+    eng.adopt_iceberg_table("lake.c", mpath, as_native=True)
+    v0 = eng.catalog.tree.find_latest_version()
+    eng.sql("DELETE FROM lake.c WHERE id = 2")     # rewrites the file
+    v1 = eng.catalog.tree.find_latest_version()
+    ch = sorted((r.id, r.region, r._change_type) for r in
+                eng.table_changes("lake.c", v0, v1).collect())
+    # ONLY the deleted row appears, with its filled region — rows 1
+    # and 3 cancel exactly (no NULL-region spurious pairs)
+    assert ch == [(2, 7, "delete")], ch
