@@ -89,7 +89,7 @@ _PRIORITY = [
     "b140_q33_restricted_channels", "b141_q82_banded_inventory",
     "b142_q62_lag_band_matrix", "b143_q66_quarterly_pivot",
     "b144_q44_two_ended_rank", "b145_q9_bucket_battery",
-    "b146_q54_band_histogram",
+    "b146_q54_band_histogram", "b147_q45_semi_or_local",
     # the 45 r7-age queries (newest green = r7), oldest batch —
     # ~17 fit a 50-slot window; the remainder ages one more round
     # (code unchanged since its r7 green) and leads the r13 fills

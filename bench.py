@@ -160,6 +160,7 @@ HEADLINE = [
     "b144_q44_two_ended_rank",
     "b145_q9_bucket_battery",
     "b146_q54_band_histogram",
+    "b147_q45_semi_or_local",
 ]
 
 

@@ -4899,3 +4899,50 @@ def b146_q54_band_histogram(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_customers"),
                  F.sum("qsum").cast("long").alias("band_qty"))
             .orderBy("band"))
+
+
+# --- B147 TPC-DS Q45 shape (disjunction across a semi-join) ----------------------
+
+@query("b147_q45_semi_or_local", oracle="""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 5)
+   OR l_quantity >= 49
+GROUP BY 1
+ORDER BY 1
+""")
+def b147_q45_semi_or_local(spark: SparkSession, sf: str) -> DataFrame:
+    """B147 — TPC-DS Q45 signature shape: a row qualifies when it
+    passes a SEMI-JOIN membership test OR a local predicate — the
+    disjunction spans two different mechanisms, so neither can push
+    as a plain filter and a naive plan unions two full passes. Here
+    the membership test becomes a broadcast LEFT join against the
+    (small, pre-filtered) subset producing a marker column; the OR is
+    then one row-local filter over ONE scan (the same existence-join
+    rewrite Catalyst applies to literal IN-OR SQL — made explicit so
+    the contract is plan-asserted: one fact scan, one broadcast join,
+    no union, no BNLJ; tests/test_plan_contracts.py::
+    test_b147_semi_or_one_pass). The local arm keeps rows whose part
+    is OUTSIDE the subset (pinned)."""
+    li = load(spark, sf, "lineitem")
+    # dropDuplicates = IN's set semantics: a duplicate subset key must
+    # MARK the row once, never multiply it through the left join (the
+    # part key is unique here, but the shape must stay correct for any
+    # subset query); the dedup runs on the tiny pre-broadcast side
+    sub = (load(spark, sf, "part")
+           .filter(F.col("p_size") < 5)
+           .select(F.col("p_partkey").alias("sk"))
+           .dropDuplicates(["sk"])
+           .withColumn("in_subset", F.lit(True)))
+    return (li.join(F.broadcast(sub), li.l_partkey == sub.sk, "left")
+            .filter(F.col("in_subset").isNotNull()
+                    | (F.col("l_quantity") >= 49))
+            .groupBy(F.date_trunc("month", F.col("l_shipdate"))
+                     .cast("date").alias("mon"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.col("l_extendedprice").cast(DEC))
+                 .cast("double").alias("revenue"))
+            .orderBy("mon"))

@@ -1356,3 +1356,27 @@ def test_b146_integer_band_edges(spark, tmp_path):
            registry.QUERIES["b146_q54_band_histogram"](spark, d)
            .collect()]
     assert got == [(0, 1, 99), (1, 2, 299), (2, 1, 200)]
+
+
+def test_b147_or_spans_semi_and_local(spark, tmp_path):
+    """B147 crafted pin: a row qualifies via subset membership OR the
+    local predicate — a high-quantity row whose part is OUTSIDE the
+    subset must survive, a low-quantity outside-subset row must not;
+    a duplicate subset key marks, never multiplies."""
+    import datetime as dt
+    ts = dt.datetime(1996, 3, 1)
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (1, 10.0, 100.0, ts),      # in subset, low qty → in (semi)
+            (2, 49.0, 200.0, ts),      # outside, qty 49 → in (local)
+            (2, 48.0, 999.0, ts),      # outside, qty 48 → OUT
+            (1, 49.0, 400.0, ts),      # both arms → counted ONCE
+        ], "l_partkey LONG, l_quantity DOUBLE, "
+           "l_extendedprice DOUBLE, l_shipdate TIMESTAMP"),
+        part=([(1, 3), (1, 4), (2, 9)],   # part 1 twice under size 5
+              "p_partkey LONG, p_size INT"))
+    got = [(r.mon, r.n, r.revenue) for r in
+           registry.QUERIES["b147_q45_semi_or_local"](spark, d)
+           .collect()]
+    assert got == [(dt.date(1996, 3, 1), 3, 700.0)]

@@ -1320,3 +1320,15 @@ def test_b146_integer_banding(spark):
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
+
+
+def test_b147_semi_or_one_pass(spark):
+    """B147 (Q45 shape): the semi-OR-local disjunction is one fact
+    scan + one broadcast marker join — never a union of two passes,
+    never a nested loop."""
+    import re
+    plan = _plan(registry.QUERIES["b147_q45_semi_or_local"](spark, SF))
+    assert "Union" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
