@@ -91,7 +91,7 @@ _PRIORITY = [
     "b144_q44_two_ended_rank", "b145_q9_bucket_battery",
     "b146_q54_band_histogram", "b147_q45_semi_or_local",
     # the 45 r7-age queries (newest green = r7), oldest batch —
-    # ~17 fit a 50-slot window; the remainder ages one more round
+    # ~13 fit a 50-slot window; the remainder ages one more round
     # (code unchanged since its r7 green) and leads the r13 fills
     "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
     "b17_topk", "b18_union", "b18b_union_all", "b19_except",
