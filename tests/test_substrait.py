@@ -317,3 +317,47 @@ def test_hypothesis_read_rel_round_trip():
         assert v.column_types == [t for _c, t in cols]
 
     roundtrip()
+
+
+def test_schema_bound_substrait_view_enforces(spark, tmp_path):
+    """The reference ALWAYS writes schema_binding for Iceberg-served
+    views (IcebergToOlympia.parseViewDef sets it whenever a schema is
+    present): a substrait view bound to its creation-time schema keeps
+    serving while the shape holds, and a STRUCTURAL drift of the
+    underlying table refuses instead of silently changing the view's
+    shape."""
+    import pyspark.sql.types as T
+    eng = _binpb_engine_with_view(
+        spark, tmp_path, cols=["c_custkey", "c_mktsegment"],
+        schema_binding=True)
+    # stamp the bound schema the way the reference's ViewDef carries it
+    ro = eng.catalog.begin(read_only=True)
+    vdef = eng.catalog.describe_view(ro, "ref", "v")
+    assert vdef.schema_binding
+    bound = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_mktsegment", T.StringType())])
+    import dataclasses
+    txn = eng.catalog.begin()
+    eng.catalog.create_view(
+        txn, "ref", "v",
+        dataclasses.replace(vdef, schema_json=bound.json()),
+        replace=True)
+    eng.catalog.commit(txn)
+    assert eng.read_view("ref.v").count() > 0
+    # structural drift: re-point the table at a schema missing a bound
+    # column — the bound view must refuse loudly
+    txn = eng.catalog.begin()
+    tdef = eng.catalog.describe_table(txn, "ref", "customer")
+    nar = (eng.read_table("ref.customer")
+           .select("c_custkey", "c_name"))
+    import glob as _glob
+    d = str(tmp_path / "narrow")
+    nar.coalesce(1).write.mode("overwrite").parquet(d)
+    part = _glob.glob(f"{d}/part-*.parquet")[0]
+    eng.catalog.commit(txn)
+    eng.sql("DROP TABLE ref.customer")
+    eng.register_external_table("ref.customer", part)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="c_mktsegment"):
+        eng.read_view("ref.v").count()
