@@ -57,13 +57,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (VERDICT r11 "Next round" #1): (1) the 13 queries with NO driver-green
 # row or an r6-age one — the r11 bonus TPC-DS shapes b113–b123, the
 # uncapped n-gram lane, and text_url_extract (rank 51 of the r11 window,
-# the predicted one-round slip); (2) this round's 24 NEW entries — b124
+# the predicted one-round slip); (2) this round's 29 NEW entries — b124
 # substrait view execution, b125 iceberg v2 MOR pointer reads, the 4
-# prescribed TPC-DS shapes b126–b129 and the 18 bonus shapes b130–b147
+# prescribed TPC-DS shapes b126–b129, the 21 bonus shapes b130–b150 and
+# the two retrieval/audit lanes sim_rrf_fusion + sim_covariance_pairs
 # (a never-driver-checked entry is riskier than a stale-but-unchanged
 # r7 green — the exact lesson of the b113–b123 backlog this round pays
-# down; VERDICT r9/r11 precedent); (3) the OLDEST r7-age queries — 37
-# higher-priority entries consume the window first, so ~13 of the 45
+# down; VERDICT r9/r11 precedent); (3) the OLDEST r7-age queries — 42
+# higher-priority entries consume the window first, so ~8 of the 45
 # fit a 50-slot window; the remainder, code unchanged since its r7
 # green, is explicitly queued to lead the r13 fills.
 _PRIORITY = [
@@ -90,6 +91,8 @@ _PRIORITY = [
     "b142_q62_lag_band_matrix", "b143_q66_quarterly_pivot",
     "b144_q44_two_ended_rank", "b145_q9_bucket_battery",
     "b146_q54_band_histogram", "b147_q45_semi_or_local",
+    "b148_q28_distinct_battery", "b149_q70_rank_gated_rollup",
+    "b150_q38_setop_counts", "sim_rrf_fusion", "sim_covariance_pairs",
     # the 45 r7-age queries (newest green = r7), oldest batch —
     # ~13 fit a 50-slot window; the remainder ages one more round
     # (code unchanged since its r7 green) and leads the r13 fills

@@ -161,6 +161,11 @@ HEADLINE = [
     "b145_q9_bucket_battery",
     "b146_q54_band_histogram",
     "b147_q45_semi_or_local",
+    "b148_q28_distinct_battery",
+    "b149_q70_rank_gated_rollup",
+    "b150_q38_setop_counts",
+    "sim_rrf_fusion",
+    "sim_covariance_pairs",
 ]
 
 

@@ -4946,3 +4946,206 @@ def b147_q45_semi_or_local(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("l_extendedprice").cast(DEC))
                  .cast("double").alias("revenue"))
             .orderBy("mon"))
+
+
+# --- B148 TPC-DS Q28 shape (multi-band COUNT DISTINCT battery) --------------------
+
+@query("b148_q28_distinct_battery", oracle="""
+SELECT
+  CAST(COUNT(CASE WHEN l_quantity BETWEEN 1 AND 12 THEN 1 END)
+       AS BIGINT) AS b1_n,
+  CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 1 AND 12
+                           THEN l_extendedprice END) AS BIGINT) AS b1_d,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 12
+                THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+       AS DOUBLE) AS b1_v,
+  CAST(COUNT(CASE WHEN l_quantity BETWEEN 13 AND 25 THEN 1 END)
+       AS BIGINT) AS b2_n,
+  CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 13 AND 25
+                           THEN l_extendedprice END) AS BIGINT) AS b2_d,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 13 AND 25
+                THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+       AS DOUBLE) AS b2_v,
+  CAST(COUNT(CASE WHEN l_quantity BETWEEN 26 AND 37 THEN 1 END)
+       AS BIGINT) AS b3_n,
+  CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 26 AND 37
+                           THEN l_extendedprice END) AS BIGINT) AS b3_d,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 26 AND 37
+                THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+       AS DOUBLE) AS b3_v,
+  CAST(COUNT(CASE WHEN l_quantity BETWEEN 38 AND 50 THEN 1 END)
+       AS BIGINT) AS b4_n,
+  CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 38 AND 50
+                           THEN l_extendedprice END) AS BIGINT) AS b4_d,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 38 AND 50
+                THEN CAST(l_extendedprice AS DECIMAL(25,6)) END)
+       AS DOUBLE) AS b4_v
+FROM lineitem
+""")
+def b148_q28_distinct_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """B148 — TPC-DS Q28 signature shape: the multi-band COUNT
+    DISTINCT battery — the literal Q28 cross-joins SIX independent
+    scalar subqueries, each scanning the fact once for a band's
+    (avg, count, count-distinct-price) triple. All bands here are
+    conditional aggregates of ONE scan; the per-band DISTINCT counts
+    (`COUNT(DISTINCT CASE WHEN band THEN price END)` — NULL outside
+    the band, ignored by DISTINCT on both engines) lower through ONE
+    Expand into a single aggregation pipeline instead of six scans
+    (contract: tests/test_plan_contracts.py::
+    test_b148_one_scan_multi_distinct). Distinctness compares raw
+    double equality — no arithmetic, so no FP boundary (memory class
+    #8); band sums are DECIMAL-exact, double only at the edge."""
+    li = load(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    aggs = []
+    for i, (lo, hi) in enumerate([(1, 12), (13, 25), (26, 37),
+                                  (38, 50)], 1):
+        band = q.between(lo, hi)
+        aggs.append(F.count(F.when(band, F.lit(1)))
+                    .cast("long").alias(f"b{i}_n"))
+        aggs.append(F.countDistinct(F.when(band, price))
+                    .cast("long").alias(f"b{i}_d"))
+        aggs.append(F.sum(F.when(band, price.cast(DEC)))
+                    .cast("double").alias(f"b{i}_v"))
+    return li.agg(*aggs)
+
+
+# --- B149 TPC-DS Q70 shape (rank-gated rollup hierarchy) ---------------------------
+
+@query("b149_q70_rank_gated_rollup", oracle="""
+WITH per AS (
+  SELECT n_name AS nation, s_name AS supp,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+), top5 AS (
+  SELECT nation FROM (
+    SELECT nation,
+           ROW_NUMBER() OVER (ORDER BY SUM(rev) DESC, nation) AS rnk
+    FROM per GROUP BY nation) WHERE rnk <= 5
+), r AS (
+  SELECT nation, supp, SUM(rev) AS revd,
+         CAST(GROUPING(nation) + GROUPING(supp) AS BIGINT)
+             AS lochierarchy,
+         GROUPING(supp) AS g_s
+  FROM per
+  WHERE nation IN (SELECT nation FROM top5)
+  GROUP BY ROLLUP (nation, supp)
+)
+SELECT nation, supp, CAST(revd AS DOUBLE) AS revenue, lochierarchy,
+       CAST(RANK() OVER (
+          PARTITION BY lochierarchy,
+                       CASE WHEN g_s = 0 THEN nation END
+          ORDER BY revd DESC, nation NULLS FIRST, supp NULLS FIRST)
+          AS BIGINT) AS rk
+FROM r
+ORDER BY lochierarchy DESC, nation NULLS FIRST, supp NULLS FIRST
+""")
+def b149_q70_rank_gated_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """B149 — TPC-DS Q70 signature shape: a ROLLUP hierarchy GATED by
+    a windowed-rank top-N computed over the same fact — Q70 restricts
+    the (state, county) rollup to the top-5 states by a rank-window
+    subquery, which the literal SQL answers by scanning the fact
+    TWICE (once in the gate, once outer). Here the per-(nation,
+    supplier) aggregate is computed ONCE and pinned (localCheckpoint);
+    the gate derives from that supplier-cardinality relation via
+    TakeOrderedAndProject (top-5 by exact DECIMAL total with a name
+    tiebreak — deterministic ROW_NUMBER semantics on both engines,
+    never a global rank window over data-scale input) and broadcasts
+    back as a semi-join; the rollup then re-aggregates the SAME pinned
+    rows (SUM of sums — exact over DECIMAL). Final plan touches no
+    parquet (contract: tests/test_plan_contracts.py::
+    test_b149_gate_reuses_pinned_aggregate). Extends b122 (Q36
+    level-rank): the new element is the rank gate feeding the rollup."""
+    li = load(spark, sf, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name",
+                                           "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    per = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"),
+                    F.col("s_name").alias("supp"))
+           .agg(F.sum(F.expr(
+               "CAST(l_extendedprice * (1 - l_discount) "
+               "AS DECIMAL(25,6))")).alias("rev"))
+           ).localCheckpoint()
+    top5 = (per.groupBy("nation").agg(F.sum("rev").alias("tot"))
+            .orderBy(F.col("tot").desc(), "nation").limit(5)
+            .select("nation"))
+    gated = per.join(F.broadcast(top5), "nation", "left_semi")
+    r = (gated.rollup("nation", "supp")
+         .agg(F.sum("rev").alias("revd"),
+              (F.grouping("nation") + F.grouping("supp")).cast("long")
+              .alias("lochierarchy"),
+              F.grouping("supp").alias("g_s")))
+    w = W.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_s") == 0, F.col("nation"))) \
+        .orderBy(F.col("revd").desc(),
+                 F.col("nation").asc_nulls_first(),
+                 F.col("supp").asc_nulls_first())
+    return (r.withColumn("rk", F.rank().over(w).cast("long"))
+            .select("nation", "supp",
+                    F.col("revd").cast("double").alias("revenue"),
+                    "lochierarchy", "rk")
+            .orderBy(F.col("lochierarchy").desc(),
+                     F.col("nation").asc_nulls_first(),
+                     F.col("supp").asc_nulls_first()))
+
+
+# --- B150 TPC-DS Q38/Q87 shape (set-op counting over distinct tuples) -------------
+
+@query("b150_q38_setop_counts", oracle="""
+WITH a AS (SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS d
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE event_type = 'view'),
+c AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE event_type = 'purchase')
+SELECT
+  CAST((SELECT COUNT(*) FROM
+        (SELECT * FROM a INTERSECT SELECT * FROM b
+         INTERSECT SELECT * FROM c)) AS BIGINT) AS n_all3,
+  CAST((SELECT COUNT(*) FROM
+        (SELECT * FROM a EXCEPT SELECT * FROM b
+         EXCEPT SELECT * FROM c)) AS BIGINT) AS n_first_only
+""")
+def b150_q38_setop_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """B150 — TPC-DS Q38/Q87 signature shape: COUNT over INTERSECT /
+    EXCEPT chains of per-channel DISTINCT tuple sets ((customer, date)
+    in Q38; (user, day) here). The literal SQL materializes three
+    distinct sets and runs two set-op pipelines — five aggregations
+    and two join trees over data-scale inputs. Here ONE scan groups by
+    the tuple with per-channel presence flags, and both set-op counts
+    are conditional aggregates of that single pass (INTERSECT = all
+    flags present, EXCEPT chain = first present and others absent —
+    exact because set ops are DISTINCT-multiset on both engines and
+    the group-by IS the distinct). The oracle runs the literal
+    INTERSECT/EXCEPT SQL, proving the rewrite (b116 precedent).
+    Contract: one scan, no Union/set-op nodes
+    (tests/test_plan_contracts.py::test_b150_one_scan_no_setops)."""
+    ev = (load(spark, sf, "events")
+          .filter(F.col("event_type").isin("click", "view", "purchase"))
+          .select("user_id",
+                  F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+                  "event_type"))
+    g = (ev.groupBy("user_id", "d")
+         .agg(F.max(F.when(F.col("event_type") == "click", 1)).alias("a"),
+              F.max(F.when(F.col("event_type") == "view", 1)).alias("b"),
+              F.max(F.when(F.col("event_type") == "purchase", 1))
+              .alias("c")))
+    return g.agg(
+        F.count(F.when(F.col("a").isNotNull() & F.col("b").isNotNull()
+                       & F.col("c").isNotNull(), 1))
+        .cast("long").alias("n_all3"),
+        F.count(F.when(F.col("a").isNotNull() & F.col("b").isNull()
+                       & F.col("c").isNull(), 1))
+        .cast("long").alias("n_first_only"))

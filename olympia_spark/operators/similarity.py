@@ -1312,3 +1312,141 @@ def sim_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
                          F.col("seed_label").alias("pred_label"))
             .agg(F.count("*").cast("bigint").alias("n"))
             .orderBy("true_label", "pred_label"))
+
+
+# --- C93 reciprocal-rank fusion ------------------------------------------------
+
+def _rrf_sql(engine: str) -> str:
+    cos = _cosine("e.embedding", "q.embedding", engine)
+    dot = _dot_col("e.embedding", "q.embedding", engine)
+    return f"""
+WITH base AS (
+  SELECT e.vec_id, ROUND({cos}, 4) AS cs, ROUND({dot}, 4) AS dp
+  FROM embeddings e,
+       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+), l1 AS (
+  SELECT vec_id, cs FROM base ORDER BY cs DESC, vec_id LIMIT 20
+), r1 AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS rnk
+  FROM l1
+), l2 AS (
+  SELECT vec_id, dp FROM base ORDER BY dp DESC, vec_id LIMIT 20
+), r2 AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY dp DESC, vec_id) AS rnk
+  FROM l2
+)
+SELECT COALESCE(r1.vec_id, r2.vec_id) AS vec_id,
+       ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r1.rnk), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + r2.rnk), 0), 6)
+           AS rrf_score
+FROM r1 FULL OUTER JOIN r2 ON r1.vec_id = r2.vec_id
+ORDER BY rrf_score DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_rrf_fusion", oracle=_rrf_sql("duck"))
+def sim_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers — the standard way to
+    combine heterogeneous rankers (sparse + dense, or two dense views)
+    without score calibration: ``score(d) = Σ_r 1/(k + rank_r(d))``
+    over the lists that contain d (k=60, the literature default).
+    The two retrievers here are cosine and raw inner product against
+    the same query vector — they genuinely disagree on ordering
+    because document norms differ. Each list is a top-20
+    TakeOrdered pass over the corpus (vectors never shuffle — only
+    20 rows leave each retriever); the fusion is a FULL OUTER join of
+    two 20-row lists, O(k) work independent of corpus size. Ranks are
+    deterministic (ROUNDed metric + vec_id tiebreak), and 1/(60+r) on
+    identical integer ranks is the same IEEE double on both engines.
+    The rank window runs over the LIMITed 20-row list — bounded input,
+    see the SinglePartition allowlist defense."""
+    return _run(spark, sf, _rrf_sql("spark"))
+
+
+# --- C94 embedding covariance pairs (distributed partial-Gram) -------------------
+
+@query("sim_covariance_pairs", oracle="""
+WITH q AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(1, len(embedding))) AS INT) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings
+), dims AS (
+  SELECT i, SUM(v) AS s FROM q GROUP BY i
+), nn AS (SELECT COUNT(*) AS n FROM embeddings),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS spp
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j,
+       CAST(nn.n * p.spp - da.s * db.s AS BIGINT) AS cov_num
+FROM pairs p
+CROSS JOIN nn
+JOIN dims da ON p.i = da.i
+JOIN dims db ON p.j = db.i
+ORDER BY ABS(nn.n * p.spp - da.s * db.s) DESC, p.i, p.j
+LIMIT 10
+""")
+def sim_covariance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top correlated embedding-dimension pairs via a DISTRIBUTED
+    partial-Gram pass — the building block behind feature whitening,
+    PCA preprocessing and redundancy audits of an embedding corpus.
+    Each partition computes its dim×dim Gram matrix and per-dim sums
+    in ONE vectorized matmul (Arrow batch → numpy int64), emitting
+    dim(dim-1)/2 + dim rows per partition — the shuffle carries
+    O(partitions · dim²) partial sums, NEVER the vectors (the naive
+    explode-and-self-join shape shuffles rows × dim² and dies at
+    100 TB; the DuckDB oracle is exactly that literal shape, proving
+    the rewrite). Covariance numerators are exact integers over
+    quantized values — the quantizer is floor(1000x + 0.5), the SAME
+    arithmetic expression on both engines, so no library ROUND tie
+    semantics enter (memory class #8); cov_num = N·Σqq − Σq·Σq'
+    stays within int64 here (|q| ≤ ~600, N ≤ 2000 → ≤ 1.5e12; a
+    100 TB deployment promotes the final combine to DECIMAL(38,0),
+    the partials stay int64 per ~128 MiB partition)."""
+    import numpy as np
+    import pandas as pd
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(M * 1000.0 + 0.5).astype(np.int64)
+            d = Q.shape[1]
+            G = Q.T @ Q
+            iu, ju = np.triu_indices(d, 1)
+            yield pd.DataFrame({
+                "i": np.concatenate([iu + 1, np.arange(1, d + 1)]),
+                "j": np.concatenate([ju + 1, np.full(d, -1)]),
+                "spp": np.concatenate([G[iu, ju], np.zeros(d, np.int64)]),
+                "si": np.concatenate([np.zeros(len(iu), np.int64),
+                                      Q.sum(axis=0)]),
+                "n": np.concatenate([np.zeros(len(iu), np.int64),
+                                     np.full(d, len(Q), np.int64)]),
+            })
+
+    e = load(spark, sf, "embeddings").select("embedding")
+    out = e.mapInPandas(gram, schema="i INT, j INT, spp LONG, si LONG, n LONG")
+    agg = (out.groupBy("i", "j")
+           .agg(F.sum("spp").alias("spp"), F.sum("si").alias("si"),
+                F.sum("n").alias("nn"))
+           ).localCheckpoint()
+    dims = agg.filter("j = -1").select(
+        "i", F.col("si").alias("s"), F.col("nn").alias("N"))
+    pairs = agg.filter("j >= 0").select("i", "j", "spp")
+    da = dims.select(F.col("i").alias("ii"), F.col("s").alias("sa"), "N")
+    db = dims.select(F.col("i").alias("jj"), F.col("s").alias("sb"))
+    cov = (pairs.join(F.broadcast(da), pairs.i == da.ii)
+           .join(F.broadcast(db), pairs.j == db.jj)
+           .select("i", "j",
+                   (F.col("N") * F.col("spp") - F.col("sa") * F.col("sb"))
+                   .cast("long").alias("cov_num")))
+    return (cov.orderBy(F.abs(F.col("cov_num")).desc(), "i", "j")
+            .limit(10))

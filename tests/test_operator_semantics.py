@@ -1380,3 +1380,130 @@ def test_b147_or_spans_semi_and_local(spark, tmp_path):
            registry.QUERIES["b147_q45_semi_or_local"](spark, d)
            .collect()]
     assert got == [(dt.date(1996, 3, 1), 3, 700.0)]
+
+
+# --- round 12 (session 2): b148-b150 + RRF fusion + covariance pairs ---------
+
+def test_b148_distinct_counts_per_band(spark, tmp_path):
+    """B148 crafted pin: DISTINCT is PER BAND (price 10.0 appears in
+    bands 1 and 2 and counts once in each), duplicate prices inside a
+    band collapse, band boundaries 12/13 and 37/38 land exactly, an
+    empty band yields (0, 0, NULL), out-of-range rows vanish."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([
+            (5.0, 10.0), (6.0, 10.0), (7.0, 20.0), (12.0, 30.0),  # band 1
+            (15.0, 10.0),                                          # band 2
+            (26.0, 5.0), (37.0, 5.0),                              # band 3
+            (38.0, 7.5), (50.0, 7.5),                              # band 4
+            (0.0, 99.0), (51.0, 99.0),                             # outside
+        ], "l_quantity DOUBLE, l_extendedprice DOUBLE"))
+    r = registry.QUERIES["b148_q28_distinct_battery"](spark, d).collect()[0]
+    assert (r.b1_n, r.b1_d, r.b1_v) == (4, 3, 70.0)
+    assert (r.b2_n, r.b2_d, r.b2_v) == (1, 1, 10.0)
+    assert (r.b3_n, r.b3_d, r.b3_v) == (2, 1, 10.0)
+    assert (r.b4_n, r.b4_d, r.b4_v) == (2, 1, 15.0)
+
+
+def test_b149_rank_gate_and_level_ranks(spark, tmp_path):
+    """B149 crafted pin: nations NE and NF TIE at total 60 — the gate's
+    deterministic (total DESC, nation) tiebreak keeps NE and drops NF
+    (and NG); the rollup covers ONLY gated rows (grand total 400);
+    leaves rank within their nation, subtotals within the level."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([(1, 60.0, 0.0), (2, 40.0, 0.0), (3, 90.0, 0.0),
+                   (4, 80.0, 0.0), (5, 70.0, 0.0), (6, 60.0, 0.0),
+                   (7, 60.0, 0.0), (8, 40.0, 0.0)],
+                  "l_suppkey LONG, l_extendedprice DOUBLE, "
+                  "l_discount DOUBLE"),
+        supplier=([(1, "S1", 0), (2, "S2", 0), (3, "S3", 1), (4, "S4", 2),
+                   (5, "S5", 3), (6, "S6", 4), (7, "S7", 5), (8, "S8", 6)],
+                  "s_suppkey LONG, s_name STRING, s_nationkey INT"),
+        nation=([(0, "NA"), (1, "NB"), (2, "NC"), (3, "ND"), (4, "NE"),
+                 (5, "NF"), (6, "NG")],
+                "n_nationkey INT, n_name STRING"))
+    got = [(r.nation, r.supp, r.revenue, r.lochierarchy, r.rk) for r in
+           registry.QUERIES["b149_q70_rank_gated_rollup"](spark, d)
+           .collect()]
+    assert got == [
+        (None, None, 400.0, 2, 1),
+        ("NA", None, 100.0, 1, 1), ("NB", None, 90.0, 1, 2),
+        ("NC", None, 80.0, 1, 3), ("ND", None, 70.0, 1, 4),
+        ("NE", None, 60.0, 1, 5),
+        ("NA", "S1", 60.0, 0, 1), ("NA", "S2", 40.0, 0, 2),
+        ("NB", "S3", 90.0, 0, 1), ("NC", "S4", 80.0, 0, 1),
+        ("ND", "S5", 70.0, 0, 1), ("NE", "S6", 60.0, 0, 1),
+    ]
+
+
+def test_b150_setop_classes(spark, tmp_path):
+    """B150 crafted pin: a tuple in all three channels counts in
+    n_all3; first-channel-only tuples count in n_first_only even when
+    the click repeats (DISTINCT multiset semantics) or a filtered-out
+    event type shares the day; partial overlaps count in neither."""
+    import datetime as dt
+    t1, t2 = dt.datetime(2024, 5, 1, 9), dt.datetime(2024, 5, 2, 9)
+    rows = [
+        (1, t1, "click"), (1, t1, "view"), (1, t1, "purchase"),  # all 3
+        (2, t1, "click"), (2, t1, "click"),                      # dup click
+        (3, t1, "click"), (3, t1, "view"),                       # a+b only
+        (4, t1, "view"), (4, t1, "purchase"),                    # no click
+        (1, t2, "click"), (1, t2, "purchase"),                   # no view
+        (5, t1, "error"), (5, t1, "click"),                      # error ignored
+    ]
+    d = _tpch(spark, tmp_path,
+              events=(rows, "user_id LONG, ts TIMESTAMP, "
+                            "event_type STRING"))
+    r = registry.QUERIES["b150_q38_setop_counts"](spark, d).collect()[0]
+    assert (r.n_all3, r.n_first_only) == (1, 2)
+
+
+def test_sim_rrf_fusion_disagreeing_rankers(spark, tmp_path):
+    """C93 crafted pin: cosine and dot product order the corpus
+    DIFFERENTLY (norms differ); symmetric rank pairs (1,3)/(3,1) and
+    (2,4)/(4,2) fuse to EQUAL scores and fall back to the vec_id
+    tiebreak — the fusion arithmetic and both rank lists are pinned.
+    Expected scores: 1/61+1/63 = 0.032266, 1/62+1/64 = 0.031754."""
+    rows = [
+        (0, [1.0, 0.0], 0),      # query
+        (1, [0.5, 0.0], 0),      # cos r1 (1.0), dot r3 (0.5)
+        (2, [2.0, 0.1], 0),      # cos r3 (0.9988), dot r1 (2.0)
+        (3, [0.9, 0.45], 0),     # cos r4 (0.8944), dot r2 (0.9)
+        (4, [0.1, 0.0], 0),      # cos r2 (1.0, id tiebreak), dot r4
+    ]
+    d = _tpch(spark, tmp_path,
+              embeddings=(rows, "vec_id LONG, embedding ARRAY<FLOAT>, "
+                                "label INT"))
+    got = [(r.vec_id, r.rrf_score) for r in
+           registry.QUERIES["sim_rrf_fusion"](spark, d).collect()]
+    assert got == [(1, 0.032266), (2, 0.032266),
+                   (3, 0.031754), (4, 0.031754)]
+
+
+def test_sim_covariance_pairs_hand_computed(spark, tmp_path):
+    """C94 crafted pin vs an INDEPENDENT hand computation (neither
+    engine's path): q = floor(1000x+0.5) gives rows [1,2,-3], [2,1,0],
+    [3,-1,1] (the -0.003 → -3 case pins the negative-half quantizer);
+    N=3, S=[6,2,-2]; cov_num(i,j) = N·Σqq − SiSj → (2,3)=-17,
+    (1,3)=12, (1,2)=-9, ordered by |cov| desc. Arrow batches are
+    forced to ONE ROW so the cross-batch partial-Gram merge is what
+    produces the totals."""
+    rows = [
+        (1, [0.001, 0.002, -0.003], 0),
+        (2, [0.002, 0.001, 0.0], 0),
+        (3, [0.003, -0.001, 0.001], 0),
+    ]
+    d = _tpch(spark, tmp_path,
+              embeddings=(rows, "vec_id LONG, embedding ARRAY<FLOAT>, "
+                                "label INT"))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        got = [(r.i, r.j, r.cov_num) for r in
+               registry.QUERIES["sim_covariance_pairs"](spark, d)
+               .collect()]
+    finally:
+        spark.conf.set(key, old)
+    assert got == [(2, 3, -17), (1, 3, 12), (1, 2, -9)]

@@ -1332,3 +1332,69 @@ def test_b147_semi_or_one_pass(spark):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
+
+
+# --- round 12 (session 2): b148-b150 + RRF fusion + covariance pairs ---------
+
+def test_b148_one_scan_multi_distinct(spark):
+    """B148 (Q28 shape): all four bands' (count, count-distinct, sum)
+    cells from ONE scan — the literal SQL's six cross-joined scalar
+    subqueries are the pinned-out anti-pattern; the per-band DISTINCTs
+    lower through a single Expand, never separate scans."""
+    import re
+    plan = _plan(registry.QUERIES["b148_q28_distinct_battery"](spark, SF))
+    assert "Join" not in plan, plan
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+
+
+def test_b149_gate_reuses_pinned_aggregate(spark):
+    """B149 (Q70 shape): the rank gate and the rollup both read the
+    PINNED per-(nation,supplier) aggregate — the final plan touches no
+    parquet (the fact scanned once, at checkpoint time), the gate is a
+    TakeOrderedAndProject (never a global rank window over data-scale
+    input) broadcast back as a semi-join."""
+    plan = _plan(registry.QUERIES["b149_q70_rank_gated_rollup"](spark, SF))
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Expand" in plan, plan          # the rollup
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_b150_one_scan_no_setops(spark):
+    """B150 (Q38/Q87 shape): both set-op counts from ONE scan — no
+    Union/Intersect/Except trees, no joins; the group-by IS the
+    distinct and the set ops are conditional aggregates."""
+    import re
+    plan = _plan(registry.QUERIES["b150_q38_setop_counts"](spark, SF))
+    assert "Join" not in plan, plan
+    assert "Union" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+
+
+def test_sim_rrf_fusion_bounded_lists(spark):
+    """C93: each retriever list is a TakeOrderedAndProject top-20 pass
+    (vectors never shuffle); the rank windows run AFTER the limit over
+    20-row inputs, and the fusion join sees two 20-row sides — no
+    data-scale window, sort or single-partition exchange anywhere."""
+    import re
+    plan = _plan(registry.QUERIES["sim_rrf_fusion"](spark, SF))
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 3, plan
+    for i, ln in enumerate(plan.splitlines()):
+        assert "Exchange SinglePartition" not in ln, plan
+
+
+def test_sim_covariance_pairs_partial_gram(spark):
+    """C94: the Gram pass is pinned (localCheckpoint) — the final plan
+    reads the O(dim²) aggregate from ExistingRDD, joins the 64-row dim
+    sums by broadcast, and takes the top pairs with
+    TakeOrderedAndProject; parquet is never re-scanned and no
+    data-scale shuffle appears downstream."""
+    plan = _plan(registry.QUERIES["sim_covariance_pairs"](spark, SF))
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
