@@ -94,7 +94,7 @@ _PRIORITY = [
     "b148_q28_distinct_battery", "b149_q70_rank_gated_rollup",
     "b150_q38_setop_counts", "sim_rrf_fusion", "sim_covariance_pairs",
     # the 45 r7-age queries (newest green = r7), oldest batch —
-    # ~13 fit a 50-slot window; the remainder ages one more round
+    # ~8 fit a 50-slot window; the remainder ages one more round
     # (code unchanged since its r7 green) and leads the r13 fills
     "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
     "b17_topk", "b18_union", "b18b_union_all", "b19_except",

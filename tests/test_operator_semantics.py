@@ -1386,22 +1386,22 @@ def test_b147_or_spans_semi_and_local(spark, tmp_path):
 
 def test_b148_distinct_counts_per_band(spark, tmp_path):
     """B148 crafted pin: DISTINCT is PER BAND (price 10.0 appears in
-    bands 1 and 2 and counts once in each), duplicate prices inside a
+    bands 1 and 3 and counts once in each), duplicate prices inside a
     band collapse, band boundaries 12/13 and 37/38 land exactly, an
-    empty band yields (0, 0, NULL), out-of-range rows vanish."""
+    EMPTY band (band 2) yields (0, 0, NULL), out-of-range rows
+    vanish."""
     d = _tpch(
         spark, tmp_path,
         lineitem=([
             (5.0, 10.0), (6.0, 10.0), (7.0, 20.0), (12.0, 30.0),  # band 1
-            (15.0, 10.0),                                          # band 2
-            (26.0, 5.0), (37.0, 5.0),                              # band 3
+            (26.0, 5.0), (37.0, 5.0), (26.0, 10.0),                # band 3
             (38.0, 7.5), (50.0, 7.5),                              # band 4
             (0.0, 99.0), (51.0, 99.0),                             # outside
         ], "l_quantity DOUBLE, l_extendedprice DOUBLE"))
     r = registry.QUERIES["b148_q28_distinct_battery"](spark, d).collect()[0]
     assert (r.b1_n, r.b1_d, r.b1_v) == (4, 3, 70.0)
-    assert (r.b2_n, r.b2_d, r.b2_v) == (1, 1, 10.0)
-    assert (r.b3_n, r.b3_d, r.b3_v) == (2, 1, 10.0)
+    assert (r.b2_n, r.b2_d, r.b2_v) == (0, 0, None)
+    assert (r.b3_n, r.b3_d, r.b3_v) == (3, 2, 20.0)
     assert (r.b4_n, r.b4_d, r.b4_v) == (2, 1, 15.0)
 
 

@@ -1382,8 +1382,7 @@ def test_sim_rrf_fusion_bounded_lists(spark):
     import re
     plan = _plan(registry.QUERIES["sim_rrf_fusion"](spark, SF))
     assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 3, plan
-    for i, ln in enumerate(plan.splitlines()):
-        assert "Exchange SinglePartition" not in ln, plan
+    assert "Exchange SinglePartition" not in plan, plan
 
 
 def test_sim_covariance_pairs_partial_gram(spark):

@@ -345,19 +345,37 @@ def test_schema_bound_substrait_view_enforces(spark, tmp_path):
         replace=True)
     eng.catalog.commit(txn)
     assert eng.read_view("ref.v").count() > 0
-    # structural drift: re-point the table at a schema missing a bound
-    # column — the bound view must refuse loudly
-    txn = eng.catalog.begin()
-    tdef = eng.catalog.describe_table(txn, "ref", "customer")
-    nar = (eng.read_table("ref.customer")
-           .select("c_custkey", "c_name"))
+
     import glob as _glob
-    d = str(tmp_path / "narrow")
-    nar.coalesce(1).write.mode("overwrite").parquet(d)
-    part = _glob.glob(f"{d}/part-*.parquet")[0]
-    eng.catalog.commit(txn)
-    eng.sql("DROP TABLE ref.customer")
-    eng.register_external_table("ref.customer", part)
     import pytest as _pt
+    from pyspark.sql import functions as F
+
+    def _repoint(df, sub):
+        d = str(tmp_path / sub)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = _glob.glob(f"{d}/part-*.parquet")[0]
+        eng.sql("DROP TABLE ref.customer")
+        eng.register_external_table("ref.customer", part)
+
+    base = eng.read_table("ref.customer")
+    # COMPATIBLE drift (the binding block's cast-back lane): c_custkey
+    # narrows to INT under the table — int→bigint is losslessly
+    # castable, so the bound view keeps serving WITH the bound LongType
+    _repoint(base.withColumn("c_custkey",
+                             F.col("c_custkey").cast("int")), "inted")
+    got = eng.read_view("ref.v")
+    assert dict(got.dtypes)["c_custkey"] == "bigint"
+    assert got.count() > 0
+    # INCOMPATIBLE type drift (the binding block's refusal lane — the
+    # substrait base-schema name check passes, both names still exist):
+    # c_custkey drifts to STRING, string→bigint is NOT lossless
+    _repoint(base.withColumn("c_custkey",
+                             F.col("c_custkey").cast("string")), "strd")
+    with _pt.raises(ValueError, match="schema-bound"):
+        eng.read_view("ref.v").count()
+    # structural drift: a schema MISSING a bound column refuses too
+    # (this one trips the substrait base-schema check, which runs
+    # before the binding block — both layers must refuse, never serve)
+    _repoint(base.select("c_custkey", "c_name"), "narrow")
     with _pt.raises(ValueError, match="c_mktsegment"):
         eng.read_view("ref.v").count()
