@@ -1507,3 +1507,100 @@ def test_sim_covariance_pairs_hand_computed(spark, tmp_path):
     finally:
         spark.conf.set(key, old)
     assert got == [(2, 3, -17), (1, 3, 12), (1, 2, -9)]
+
+
+def test_sim_covariance_pairs_random_vs_numpy(spark, tmp_path):
+    """C94 independent recompute: seeded random vectors, expected
+    top pairs computed DIRECTLY in numpy (quantize → full Gram →
+    numerators → sort) — neither engine's path; Arrow batches forced
+    to 7 rows so the cross-batch partial merge carries the totals."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    X = (rng.rand(40, 5).astype(np.float32) - 0.5)
+    rows = [(int(i), [float(v) for v in X[i]], 0) for i in range(40)]
+    Q = np.floor(X.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+    N, S, G = len(Q), Q.sum(axis=0), Q.T @ Q
+    exp = sorted(
+        ((i + 1, j + 1, int(N * G[i, j] - S[i] * S[j]))
+         for i in range(5) for j in range(i + 1, 5)),
+        key=lambda t: (-abs(t[2]), t[0], t[1]))[:10]
+    d = _tpch(spark, tmp_path,
+              embeddings=(rows, "vec_id LONG, embedding ARRAY<FLOAT>, "
+                                "label INT"))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        got = [(r.i, r.j, r.cov_num) for r in
+               registry.QUERIES["sim_covariance_pairs"](spark, d)
+               .collect()]
+    finally:
+        spark.conf.set(key, old)
+    assert got == exp
+
+
+def test_sim_rrf_fusion_random_vs_python(spark, tmp_path):
+    """C93 independent recompute: seeded random corpus; ranks and the
+    fused ordering recomputed in PLAIN PYTHON (left-fold dot products
+    mirroring Spark's aggregate(zip_with) evaluation order, half-up
+    rounding) — neither engine's SQL path."""
+    import math
+    import numpy as np
+    rng = np.random.RandomState(11)
+    X = (rng.rand(30, 4).astype(np.float32) - 0.5)
+    rows = [(int(i), [float(v) for v in X[i]], 0) for i in range(30)]
+    Xd = X.astype(np.float64)
+
+    def fdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def r(v, p):
+        m = 10 ** p
+        return (math.floor(v * m + 0.5) / m if v >= 0
+                else -math.floor(-v * m + 0.5) / m)
+
+    qv = Xd[0]
+    qn = math.sqrt(fdot(qv, qv))
+    base = []
+    for i in range(1, 30):
+        dp = fdot(Xd[i], qv)
+        cs = dp / (math.sqrt(fdot(Xd[i], Xd[i])) * qn)
+        base.append((i, r(cs, 4), r(dp, 4)))
+    l1 = sorted(base, key=lambda t: (-t[1], t[0]))[:20]
+    l2 = sorted(base, key=lambda t: (-t[2], t[0]))[:20]
+    rk1 = {t[0]: k + 1 for k, t in enumerate(l1)}
+    rk2 = {t[0]: k + 1 for k, t in enumerate(l2)}
+    fused = [(v, r((1.0 / (60 + rk1[v]) if v in rk1 else 0.0)
+                   + (1.0 / (60 + rk2[v]) if v in rk2 else 0.0), 6))
+             for v in set(rk1) | set(rk2)]
+    exp = sorted(fused, key=lambda t: (-t[1], t[0]))[:10]
+    d = _tpch(spark, tmp_path,
+              embeddings=(rows, "vec_id LONG, embedding ARRAY<FLOAT>, "
+                                "label INT"))
+    got = [(r_.vec_id, r_.rrf_score) for r_ in
+           registry.QUERIES["sim_rrf_fusion"](spark, d).collect()]
+    assert got == exp
+
+
+def test_b150_random_vs_python_setops(spark, tmp_path):
+    """B150 independent recompute: seeded random event stream, both
+    counts recomputed with PLAIN PYTHON set algebra."""
+    import datetime as dt
+    import random
+    rnd = random.Random(5)
+    types = ["click", "view", "purchase", "error"]
+    rows = [(rnd.randint(1, 12),
+             dt.datetime(2024, 3, rnd.randint(1, 6), rnd.randint(0, 23)),
+             rnd.choice(types)) for _ in range(300)]
+    sets = {t: {(u, ts.date()) for (u, ts, ty) in rows if ty == t}
+            for t in ("click", "view", "purchase")}
+    exp = (len(sets["click"] & sets["view"] & sets["purchase"]),
+           len(sets["click"] - sets["view"] - sets["purchase"]))
+    d = _tpch(spark, tmp_path,
+              events=(rows, "user_id LONG, ts TIMESTAMP, "
+                            "event_type STRING"))
+    got = registry.QUERIES["b150_q38_setop_counts"](spark, d).collect()[0]
+    assert (got.n_all3, got.n_first_only) == exp
