@@ -57,14 +57,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # (VERDICT r11 "Next round" #1): (1) the 13 queries with NO driver-green
 # row or an r6-age one — the r11 bonus TPC-DS shapes b113–b123, the
 # uncapped n-gram lane, and text_url_extract (rank 51 of the r11 window,
-# the predicted one-round slip); (2) this round's 29 NEW entries — b124
+# the predicted one-round slip); (2) this round's 30 NEW entries — b124
 # substrait view execution, b125 iceberg v2 MOR pointer reads, the 4
-# prescribed TPC-DS shapes b126–b129, the 21 bonus shapes b130–b150 and
-# the two retrieval/audit lanes sim_rrf_fusion + sim_covariance_pairs
+# prescribed TPC-DS shapes b126–b129, the 21 bonus shapes b130–b150,
+# the two retrieval/audit lanes sim_rrf_fusion + sim_covariance_pairs,
+# and b151 materialized-view incremental refresh
 # (a never-driver-checked entry is riskier than a stale-but-unchanged
 # r7 green — the exact lesson of the b113–b123 backlog this round pays
-# down; VERDICT r9/r11 precedent); (3) the OLDEST r7-age queries — 42
-# higher-priority entries consume the window first, so ~8 of the 45
+# down; VERDICT r9/r11 precedent); (3) the OLDEST r7-age queries — 43
+# higher-priority entries consume the window first, so ~7 of the 45
 # fit a 50-slot window; the remainder, code unchanged since its r7
 # green, is explicitly queued to lead the r13 fills.
 _PRIORITY = [
@@ -93,8 +94,9 @@ _PRIORITY = [
     "b146_q54_band_histogram", "b147_q45_semi_or_local",
     "b148_q28_distinct_battery", "b149_q70_rank_gated_rollup",
     "b150_q38_setop_counts", "sim_rrf_fusion", "sim_covariance_pairs",
+    "b151_materialized_view",
     # the 45 r7-age queries (newest green = r7), oldest batch —
-    # ~8 fit a 50-slot window; the remainder ages one more round
+    # ~7 fit a 50-slot window; the remainder ages one more round
     # (code unchanged since its r7 green) and leads the r13 fills
     "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
     "b17_topk", "b18_union", "b18b_union_all", "b19_except",

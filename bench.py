@@ -166,6 +166,7 @@ HEADLINE = [
     "b150_q38_setop_counts",
     "sim_rrf_fusion",
     "sim_covariance_pairs",
+    "b151_materialized_view",
 ]
 
 

@@ -1637,6 +1637,7 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "COPY INTO")
+        self._mv_guard(tdef, name, "COPY INTO")
         ledger = set(json.loads(
             tdef.properties.get("copy_into.loaded", "[]")))
         new = [p for p in found if p not in ledger]
@@ -1783,6 +1784,7 @@ class Engine:
                 partition_by=list(partition_by or [])))
         tdef0 = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef0, name, "write_table")
+        self._mv_guard(tdef0, name, "write_table")
         new_files = self._write_files(df, ns, tbl, tdef0.partition_by,
                                       tdef=tdef0)
         tdef = self.catalog.describe_table(txn, ns, tbl)
@@ -2474,6 +2476,7 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "DELETE/UPDATE")
+        self._mv_guard(tdef, name, "DELETE/UPDATE")
         schema = tdef.spark_schema()
         self._record_select(txn, ns, tbl,
                             [f.name for f in schema.fields], predicate)
@@ -2531,6 +2534,7 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "INSERT OVERWRITE REPLACE WHERE")
+        self._mv_guard(tdef, name, "INSERT OVERWRITE REPLACE WHERE")
         schema = tdef.spark_schema()
         df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
                          for f in schema.fields])
@@ -2716,6 +2720,7 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "MERGE")
+        self._mv_guard(tdef, name, "MERGE")
         schema = tdef.spark_schema()
         evolved_names: list[str] = []
         if schema_evolution:
@@ -4664,6 +4669,294 @@ class Engine:
             df = df.select(*rel.column_names)
         return df
 
+    # --- materialized views ---------------------------------------------------
+    #
+    # Beyond-reference: the reference catalog carries only plain views
+    # (proto/objects.proto:79-85). An MV here is an ordinary engine
+    # TABLE whose TableDef carries the stored query, its referenced
+    # source tables, and the catalog version whose source state the
+    # materialization reflects — so SELECT/DESCRIBE/time travel all
+    # come for free, and REFRESH is a normal versioned commit.
+
+    _MV_QUERY_PROP = "mv.query"
+    _MV_VERSION_PROP = "mv.refresh.version"
+    _MV_SOURCES_PROP = "mv.sources"
+
+    def create_materialized_view(self, name: str, sql_text: str,
+                                 replace: bool = False) -> None:
+        """CREATE MATERIALIZED VIEW name AS <query>: run the query once
+        and persist the result as an engine table, stamped with the
+        query text, its referenced catalog tables, and the catalog
+        version every read in this statement saw (txn.base_version) —
+        the watermark REFRESH increments from. The query resolves
+        through the governed read path exactly like a view, so the
+        materialization stores policy-filtered rows. Refused inside an
+        explicit transaction: an uncommitted source write would be
+        both READ by the materialization and REPLAYED by the next
+        refresh (double-count)."""
+        if self.current_txn is not None:
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW cannot run inside an explicit "
+                "transaction (the refresh watermark must be a committed "
+                "catalog version)")
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        refs = sorted(self._referenced_tables(sql_text, txn))
+        if (ns, tbl) in refs:
+            raise ValueError(
+                f"materialized view {ns}.{tbl} cannot reference itself")
+        if not refs:
+            raise ValueError(
+                "a materialized view must reference at least one "
+                "catalog table")
+        df = self.spark.sql(self._resolve_sql(sql_text, txn))
+        if self.catalog.table_exists(txn, ns, tbl):
+            if not replace:
+                raise ValueError(f"table {ns}.{tbl} already exists")
+            old = self.catalog.describe_table(txn, ns, tbl)
+            if not old.properties.get(self._MV_QUERY_PROP):
+                raise ValueError(
+                    f"{ns}.{tbl} exists and is not a materialized view")
+            self.catalog.drop_table(txn, ns, tbl)
+        tdef = TableDef(
+            schema_json=df.schema.json(),
+            properties={
+                self._MV_QUERY_PROP: sql_text,
+                self._MV_VERSION_PROP: str(txn.base_version),
+                self._MV_SOURCES_PROP: json.dumps(
+                    [f"{n}.{t}" for n, t in refs]),
+            })
+        self.catalog.create_table(txn, ns, tbl, tdef)
+        files = self._write_files(df, ns, tbl, [], tdef=tdef)
+        self.catalog.update_table_files(
+            txn, ns, tbl, files, [], ActionType.TABLE_INSERT,
+            {"added": [f.path for f in files]})
+        self._finish(txn)
+
+    def refresh_materialized_view(self, name: str,
+                                  full: bool = False) -> DataFrame:
+        """REFRESH MATERIALIZED VIEW — three lanes, cheapest first:
+
+        * ``noop`` — no source's file list changed since the recorded
+          version (metadata-only probe, COMMITS NOTHING — the
+          watermark advances only when a refresh rewrites).
+        * ``incremental`` — a single-source GROUP-BY aggregation
+          (COUNT/SUM/MIN/MAX, `_mv_incremental_plan`) whose delta since
+          the recorded version is APPEND-ONLY: the change feed
+          (O(changed files), never O(table)) aggregates through the
+          SAME query shape and merges into the stored aggregate-sized
+          result. This is the 100 TB point — a dashboard aggregate
+          over a daily-append fact refreshes by scanning one day's
+          files; only the aggregate-sized MV table rewrites.
+        * ``full`` — everything else (deletes/updates in the delta
+          need retraction state; multi-source or non-incrementalizable
+          queries; ``FULL`` requested; the recorded version's root no
+          longer loadable): rerun the stored query and overwrite.
+
+        The data rewrite and the new version stamp commit ATOMICALLY
+        (one update_table_files CAS). Returns a one-row report
+        ``(mode, delta_rows)``; delta_rows counts change-feed events
+        consumed by the incremental lane (0 otherwise)."""
+        if self.current_txn is not None:
+            raise ValueError(
+                "REFRESH MATERIALIZED VIEW cannot run inside an explicit "
+                "transaction (uncommitted source writes would be read "
+                "now and replayed by the next refresh)")
+        ns, tbl = self._split(name)
+        txn = self._txn()
+        tdef = self.catalog.describe_table(txn, ns, tbl)
+        q = tdef.properties.get(self._MV_QUERY_PROP)
+        if not q:
+            raise ValueError(f"{ns}.{tbl} is not a materialized view")
+        last = int(tdef.properties[self._MV_VERSION_PROP])
+        cur = txn.base_version
+        sources = json.loads(
+            tdef.properties.get(self._MV_SOURCES_PROP, "[]"))
+
+        def report(mode: str, n: int) -> DataFrame:
+            self._finish(txn)
+            return self.spark.createDataFrame(
+                [(mode, n)], "mode string, delta_rows long")
+
+        if cur <= last:
+            return report("noop", 0)
+        # metadata-only change probe: per-source file-list diff
+        changed, stale_ok = [], True
+        try:
+            t_last = self.catalog.at_version(last)
+            for s in sources:
+                sns, stbl = self._split(s)
+                f0 = set(self.catalog.describe_table(
+                    t_last, sns, stbl).file_paths())
+                f1 = set(self.catalog.describe_table(
+                    txn, sns, stbl).file_paths())
+                if f0 != f1:
+                    changed.append(s)
+        except Exception:
+            # expired root / renamed source — the full lane re-derives
+            changed, stale_ok = list(sources), False
+        if not changed:
+            # COMMIT NOTHING: stamping the watermark here would itself
+            # advance the catalog version, so every no-op refresh would
+            # re-probe forever (and pile up metadata commits). The
+            # probe is O(sources) metadata reads; the watermark only
+            # advances when a refresh actually rewrites, after which
+            # the cur<=last fast path short-circuits.
+            return report("noop", 0)
+        plan = (None if (full or not stale_ok or len(sources) != 1)
+                else self._mv_incremental_plan(q, sources[0]))
+        delta = None
+        if plan is not None:
+            # localCheckpoint: consumed by the retraction probe AND the
+            # delta aggregation — O(changed files) rows, pinned once
+            delta = self.table_changes(sources[0], last,
+                                       cur).localCheckpoint()
+            if delta.filter(F.col("_change_type") == "delete") \
+                    .limit(1).count():
+                plan = None     # retractions → full recompute
+        if plan is not None:
+            ins = (delta.filter(F.col("_change_type") == "insert")
+                   .drop("_change_type"))
+            merged = self._mv_merge(
+                self._scan(tdef, tdef.file_paths()),
+                self._mv_apply_query(plan, ins),
+                plan, tdef.spark_schema())
+            mode, n = "incremental", delta.count()
+        else:
+            merged = self.spark.sql(self._resolve_sql(q, txn))
+            schema = tdef.spark_schema()
+            merged = merged.select(*[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields])
+            mode, n = "full", 0
+        tdef2 = self.catalog.describe_table(txn, ns, tbl)
+        files = self._write_files(merged, ns, tbl, [], tdef=tdef2)
+        self.catalog.update_table_files(
+            txn, ns, tbl, files, tdef2.file_paths(), ActionType.TABLE_UPDATE,
+            {"added": [f.path for f in files],
+             "removed": tdef2.file_paths(),
+             "expression": f"mv refresh {mode}"},
+            extra_properties={self._MV_VERSION_PROP: str(cur)})
+        return report(mode, n)
+
+    _MV_AGG_RE = re.compile(
+        r"^(COUNT|SUM|MIN|MAX)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S)
+
+    def _mv_incremental_plan(self, q: str, source: str):
+        """Parse the stored query into an incrementally-maintainable
+        shape, or None (→ full lane): exactly one FROM over the known
+        source, no second SELECT / JOIN / DISTINCT / window / HAVING /
+        UNION / LIMIT / ORDER (word-boundary scan — a false hit merely
+        downgrades to the always-correct full recompute), select items
+        either bare GROUP BY columns or COUNT/SUM/MIN/MAX aggregates
+        with aliases. These are the self-maintainable aggregates under
+        APPEND-ONLY deltas (SUM/COUNT add; MIN/MAX are monotone under
+        inserts — deletes would need retraction state)."""
+        norm = _normalize(q)
+        low = norm.lower()
+        if len(re.findall(r"\bselect\b", low)) != 1:
+            return None
+        for kw in ("join", "over", "distinct", "having",
+                   "union", "limit", "order"):
+            if re.search(rf"\b{kw}\b", low):
+                return None
+        m = re.match(r"SELECT (.+?) FROM (\S+)"
+                     r"(?: WHERE (.+?))?(?: GROUP BY (.+))?$",
+                     norm, re.I | re.S)
+        if not m:
+            return None
+        items_raw, src, where, gb = m.groups()
+        if src.rstrip(";").lower() != source.lower():
+            return None
+        group_cols = [c.strip() for c in gb.split(",")] if gb else []
+        if not all(re.fullmatch(r"\w+", c) for c in group_cols):
+            return None
+        aggs = []
+        for item in self._split_top_level(items_raw):
+            item = item.strip()
+            if re.fullmatch(r"\w+", item):
+                if item not in group_cols:
+                    return None
+                continue
+            am = self._MV_AGG_RE.match(item)
+            if not am:
+                return None
+            aggs.append((am.group(1).upper(), am.group(2).strip(),
+                         am.group(3)))
+        if not aggs:
+            return None
+        return {"group": group_cols, "aggs": aggs,
+                "where": where, "source": source}
+
+    def _mv_apply_query(self, plan: dict, rows: DataFrame) -> DataFrame:
+        """Run the parsed MV aggregation over a rows relation (the
+        append-only delta) — same WHERE, same grouping, same aggregate
+        expressions, so the delta aggregate is type- and
+        semantics-identical to the stored one."""
+        alias = f"olympia__mv_delta__{uuid.uuid4().hex[:8]}"
+        rows.createOrReplaceTempView(alias)
+        sel = list(plan["group"])
+        sel += [f"{kind}({inner}) AS {out}"
+                for kind, inner, out in plan["aggs"]]
+        sql = f"SELECT {', '.join(sel)} FROM {alias}"
+        if plan["where"]:
+            sql += f" WHERE {plan['where']}"
+        if plan["group"]:
+            sql += f" GROUP BY {', '.join(plan['group'])}"
+        out = self.spark.sql(sql)
+        self.spark.catalog.dropTempView(alias)   # plan already resolved
+        return out
+
+    @staticmethod
+    def _mv_merge(old: DataFrame, delta: DataFrame, plan: dict,
+                  schema: T.StructType) -> DataFrame:
+        """Merge a delta aggregate into the stored one: FULL OUTER join
+        on the group keys (null-safe — NULL group values are real
+        groups), then per-aggregate combine: SUM/COUNT add, MIN least,
+        MAX greatest, each skipping the side where the group is absent
+        (SQL semantics: a NULL stored SUM merged with a delta value is
+        the delta value — 'no rows' and 'all-NULL inputs' combine
+        identically). Global aggregates (no GROUP BY) join on a
+        constant key — two one-row sides. Output casts back to the
+        MV's recorded schema so repeated merges never widen types."""
+        keys = list(plan["group"]) or ["__mv_k"]
+        if not plan["group"]:
+            old = old.withColumn("__mv_k", F.lit(1))
+            delta = delta.withColumn("__mv_k", F.lit(1))
+        o, d = old.alias("o"), delta.alias("d")
+        cond = None
+        for k in keys:
+            c = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
+            cond = c if cond is None else cond & c
+        j = o.join(d, cond, "full_outer")
+        cols = [F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k)
+                for k in plan["group"]]
+        for kind, _inner, out in plan["aggs"]:
+            a, b = F.col(f"o.{out}"), F.col(f"d.{out}")
+            if kind in ("SUM", "COUNT"):
+                combine = a + b
+            elif kind == "MIN":
+                combine = F.least(a, b)
+            else:
+                combine = F.greatest(a, b)
+            cols.append(F.when(a.isNull(), b).when(b.isNull(), a)
+                        .otherwise(combine).alias(out))
+        return j.select(*cols).select(*[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in schema.fields])
+
+    @staticmethod
+    def _mv_guard(tdef: TableDef, name: str, op: str) -> None:
+        """Refuse direct DML against a materialized view — its rows
+        DERIVE from the stored query; a direct write would be silently
+        overwritten by the next refresh. REFRESH (which writes through
+        the internal paths below this guard) is the only writer."""
+        if tdef.properties.get("mv.query"):
+            raise ValueError(
+                f"{op}: {name} is a MATERIALIZED VIEW — its rows derive "
+                f"from its stored query; use REFRESH MATERIALIZED VIEW "
+                f"(or DROP it) instead of direct writes")
+
     # --- identifier resolution ----------------------------------------------
 
     @staticmethod
@@ -5304,6 +5597,7 @@ class Engine:
             txn = self._txn()
             tdef = self.catalog.describe_table(txn, ns, tbl)
             self._require_native(tdef, m.group(1), "TRUNCATE")
+            self._mv_guard(tdef, m.group(1), "TRUNCATE")
             self.catalog.update_table_files(
                 txn, ns, tbl, [], tdef.file_paths(), ActionType.TABLE_DELETE,
                 {"added": [], "removed": tdef.file_paths(),
@@ -5319,6 +5613,29 @@ class Engine:
             except ObjectNotFoundError:
                 if not m.group(1):
                     raise
+            self._finish(txn)
+            return ok()
+        m = re.match(r"CREATE( OR REPLACE)? MATERIALIZED VIEW (\S+\.\S+) "
+                     r"AS (.+)$", norm, re.I | re.S)
+        if m:
+            self.create_materialized_view(m.group(2), m.group(3),
+                                          replace=bool(m.group(1)))
+            return ok()
+        m = re.match(r"REFRESH MATERIALIZED VIEW (\S+\.\S+)( FULL)?$",
+                     norm, re.I)
+        if m:
+            return self.refresh_materialized_view(
+                m.group(1), full=bool(m.group(2)))
+        m = re.match(r"DROP MATERIALIZED VIEW (\S+\.\S+)$", norm, re.I)
+        if m:
+            ns, tbl = self._split(m.group(1))
+            txn = self._txn()
+            tdef = self.catalog.describe_table(txn, ns, tbl)
+            if not tdef.properties.get(self._MV_QUERY_PROP):
+                raise ValueError(
+                    f"{ns}.{tbl} is not a materialized view "
+                    f"(use DROP TABLE)")
+            self.catalog.drop_table(txn, ns, tbl)
             self._finish(txn)
             return ok()
         m = re.match(r"CREATE( OR REPLACE)? VIEW (\S+\.\S+) AS (.+)$",
@@ -5365,6 +5682,7 @@ class Engine:
             txn_src = self._txn()
             ns, tbl = self._split(name)
             tdef_ins = self.catalog.describe_table(txn_src, ns, tbl)
+            self._mv_guard(tdef_ins, name, "INSERT")
             schema = tdef_ins.spark_schema()
             col_list: list[str] | None = None
             if payload.startswith("("):

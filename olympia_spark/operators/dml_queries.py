@@ -868,3 +868,56 @@ def b97_row_policies(spark: SparkSession, sf: str) -> DataFrame:
                     "masked_uid_sum",
                     F.col("n_after_drop").cast("long")
                     .alias("n_after_drop")))
+
+
+# --- B151 materialized view with incremental refresh -------------------------
+
+@query("b151_materialized_view", oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum('o_totalprice', 'revenue')},
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM (SELECT o_orderpriority, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 0.5 AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'F')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def b151_materialized_view(spark: SparkSession, sf: str) -> DataFrame:
+    """B151 — materialized view with INCREMENTAL refresh (beyond-
+    reference; the reference catalog carries only plain views,
+    proto/objects.proto:79-85): CREATE MATERIALIZED VIEW persists an
+    aggregation over orders with its refresh watermark; an append to
+    the source then REFRESH consumes ONLY the change feed since that
+    watermark (O(changed files), engine.refresh_materialized_view) and
+    merges the delta aggregate into the stored aggregate-sized result —
+    the refresh is asserted to take the incremental lane, so the
+    driver-checked numbers are the MERGED ones, never a silent full
+    recompute. The oracle reproduces the post-refresh state as a pure
+    SELECT over source ∪ appended rows. SUM accumulates in exact
+    DECIMAL inside the MV (double only at the output edge)."""
+    eng = _engine_with_events(spark, sf, "mv_unused")
+    txn = eng.catalog.begin(read_only=True)
+    if eng.catalog.table_exists(txn, "ns1", "mv_rev"):
+        eng.sql("DROP MATERIALIZED VIEW ns1.mv_rev")
+    if eng.catalog.table_exists(txn, "ns1", "orders_mvsrc"):
+        eng.sql("DROP TABLE ns1.orders_mvsrc")
+    eng.write_table(load(spark, sf, "orders"), "ns1.orders_mvsrc")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_rev AS "
+            "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+            "SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec, "
+            "MAX(o_totalprice) AS max_price "
+            "FROM ns1.orders_mvsrc GROUP BY o_orderpriority")
+    eng.sql("INSERT INTO ns1.orders_mvsrc "
+            "SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, "
+            "o_orderstatus, o_totalprice + 0.5 AS o_totalprice, "
+            "o_orderdate, o_orderpriority "
+            "FROM ns1.orders_mvsrc WHERE o_orderstatus = 'F'")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_rev").collect()[0]
+    if rep.mode != "incremental":    # the lane IS the operator
+        raise AssertionError(f"expected incremental refresh, got {rep}")
+    return eng.sql(
+        "SELECT o_orderpriority, n_orders, "
+        "CAST(rev_dec AS DOUBLE) AS revenue, max_price "
+        "FROM ns1.mv_rev ORDER BY o_orderpriority")

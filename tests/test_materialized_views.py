@@ -1,0 +1,275 @@
+"""Materialized views (B151, beyond-reference): create / refresh lanes
+(noop, incremental, full) / DML refusal / merge edge semantics.
+
+The reference catalog carries only plain views (proto/objects.proto:
+79-85); an MV here is an engine table stamped with its stored query,
+sources and refresh watermark — see engine.create_materialized_view.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olympia_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.sql("CREATE NAMESPACE ns1")
+    return e
+
+
+def _seed(eng, rows, schema="id LONG, grp STRING, v DOUBLE",
+          tbl="src"):
+    eng.write_table(eng.spark.createDataFrame(rows, schema), f"ns1.{tbl}")
+
+
+AGG = ("SELECT grp, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS mn, "
+       "MAX(v) AS mx FROM ns1.src GROUP BY grp")
+
+
+def _mv_rows(eng):
+    return [tuple(r) for r in
+            eng.sql("SELECT * FROM ns1.mv ORDER BY grp NULLS FIRST")
+            .collect()]
+
+
+def test_create_select_noop_and_watermark(eng):
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    assert _mv_rows(eng) == [("A", 2, 30.0, 10.0, 20.0),
+                             ("B", 1, 5.0, 5.0, 5.0)]
+    v = eng.catalog.history()[0]["version"]
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("noop", 0)
+    # a no-op refresh commits NOTHING — no version churn, ever
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "noop"
+    assert eng.catalog.history()[0]["version"] == v
+
+
+def test_incremental_append_merges_and_counts_delta_only(eng):
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 7.0), (5, 'C', 1.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    # delta_rows == appended rows: the refresh consumed the CHANGE FEED,
+    # not the table — the observable O(delta) evidence
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
+    assert _mv_rows(eng) == [("A", 2, 30.0, 10.0, 20.0),
+                             ("B", 2, 12.0, 5.0, 7.0),
+                             ("C", 1, 1.0, 1.0, 1.0)]
+    # cross-check vs a from-scratch recompute
+    full = [tuple(x) for x in
+            eng.read_table("ns1.src").groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"),
+                 F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .orderBy("grp").collect()]
+    assert _mv_rows(eng) == full
+
+
+def test_incremental_null_group_key_and_where(eng, tmp_path):
+    _seed(eng, [(1, None, 4.0), (2, "A", 1.0), (3, "A", -9.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM ns1.src "
+            "WHERE v > 0 GROUP BY grp")
+    assert _mv_rows(eng) == [(None, 1, 4.0), ("A", 1, 1.0)]
+    # NULL-key group must MERGE with the existing NULL-key group
+    # (eqNullSafe join), and the WHERE applies to the delta too
+    eng.sql("INSERT INTO ns1.src VALUES "
+            "(4, NULL, 6.0), (5, 'A', 2.0), (6, 'A', -5.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(eng) == [(None, 2, 10.0), ("A", 2, 3.0)]
+
+
+def test_incremental_global_aggregate(eng):
+    _seed(eng, [(1, "A", 10.0), (2, "B", 2.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT COUNT(*) AS n, SUM(v) AS sv, MAX(v) AS mx "
+            "FROM ns1.src")
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'C', 30.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [(3, 42.0, 30.0)]
+
+
+def test_deletes_force_full_lane(eng):
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    eng.sql("DELETE FROM ns1.src WHERE id = 2")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert _mv_rows(eng) == [("A", 1, 10.0, 10.0, 10.0)]
+
+
+def test_non_incrementalizable_shapes_take_full_lane(eng):
+    _seed(eng, [(1, "A", 10.0), (2, "A", 10.0)])
+    _seed(eng, [("A", "x")], schema="grp STRING, tag STRING", tbl="dim")
+    # DISTINCT inside an aggregate → full
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(DISTINCT v) AS nd FROM ns1.src GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 10.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 1)]
+    # multi-source (join) → full
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv2 AS "
+            "SELECT s.grp AS grp, COUNT(*) AS n FROM ns1.src s "
+            "JOIN ns1.dim d ON s.grp = d.grp GROUP BY s.grp")
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'A', 3.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2").collect()[0]
+    assert r.mode == "full"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv2").collect()] == [("A", 4)]
+
+
+def test_refresh_full_keyword_overrides_incremental(eng):
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv FULL").collect()[0]
+    assert r.mode == "full"
+    assert _mv_rows(eng) == [("A", 2, 3.0, 1.0, 2.0)]
+
+
+def test_dml_refusals_and_drop(eng):
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    for stmt in ("INSERT INTO ns1.mv VALUES ('Z', 1, 1.0, 1.0, 1.0)",
+                 "DELETE FROM ns1.mv WHERE n > 0",
+                 "UPDATE ns1.mv SET n = 0",
+                 "TRUNCATE TABLE ns1.mv",
+                 "INSERT OVERWRITE ns1.mv REPLACE WHERE n > 0 "
+                 "SELECT * FROM ns1.mv"):
+        with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+            eng.sql(stmt)
+    with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+        eng.write_table(eng.spark.range(1), "ns1.mv")
+    with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+        eng.merge("ns1.mv", eng.spark.createDataFrame(
+            [("A",)], "grp string"), "t.grp = s.grp",
+            not_matched_insert={"grp": "s.grp"})
+    # DROP MATERIALIZED VIEW works; DROP MATERIALIZED VIEW on a plain
+    # table refuses
+    eng.sql("DROP MATERIALIZED VIEW ns1.mv")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        eng.sql("DROP MATERIALIZED VIEW ns1.src")
+
+
+def test_create_guards(eng):
+    _seed(eng, [(1, "A", 1.0)])
+    with pytest.raises(ValueError, match="reference itself"):
+        eng.sql("CREATE MATERIALIZED VIEW ns1.src AS "
+                "SELECT grp, COUNT(*) AS n FROM ns1.src GROUP BY grp")
+    with pytest.raises(ValueError, match="at least one catalog table"):
+        eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS SELECT 1 AS x")
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    # OR REPLACE re-materializes; replacing a plain table refuses
+    eng.sql("CREATE OR REPLACE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src GROUP BY grp")
+    assert eng.sql("SELECT * FROM ns1.mv").columns == ["grp", "n"]
+    _seed(eng, [(9, "Z", 9.0)], tbl="src2")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        eng.sql("CREATE OR REPLACE MATERIALIZED VIEW ns1.src AS "
+                "SELECT grp, COUNT(*) AS n FROM ns1.src2 GROUP BY grp")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        eng.sql("REFRESH MATERIALIZED VIEW ns1.src")
+
+
+def test_refused_inside_explicit_transaction(eng):
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    eng.sql("BEGIN")
+    try:
+        with pytest.raises(ValueError, match="explicit transaction"):
+            eng.sql("REFRESH MATERIALIZED VIEW ns1.mv")
+        with pytest.raises(ValueError, match="explicit transaction"):
+            eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv2 AS {AGG}")
+    finally:
+        eng.sql("ROLLBACK")
+
+
+def test_time_travel_sees_pre_refresh_aggregate(eng):
+    _seed(eng, [(1, "A", 10.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 20.0)")
+    eng.sql("REFRESH MATERIALIZED VIEW ns1.mv")
+    assert _mv_rows(eng) == [("A", 2, 30.0, 10.0, 20.0)]
+    old = [tuple(r) for r in eng.sql(
+        f"SELECT * FROM ns1.mv VERSION AS OF {v0}").collect()]
+    assert old == [("A", 1, 10.0, 10.0, 10.0)]
+
+
+def test_governed_source_materializes_filtered_rows(eng):
+    """The MV query resolves through the governed read path (like a
+    view): a row filter on the source is applied both at creation and
+    by the incremental delta (table_changes is reader-facing)."""
+    _seed(eng, [(1, "A", 1.0), (2, "B", 2.0)])
+    eng.sql("ALTER TABLE ns1.src SET ROW FILTER (grp = 'A')")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src GROUP BY grp")
+    assert [tuple(r) for r in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 1)]
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 3.0), (4, 'B', 4.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 2)]
+
+
+def test_randomized_refresh_sequence_matches_recompute(eng):
+    """Soak: a seeded random sequence of appends (and one delete)
+    with a refresh after each step — after every refresh the MV must
+    equal a from-scratch recompute, whatever lane ran; appends take
+    the incremental lane, the delete step the full lane."""
+    import random
+    rnd = random.Random(13)
+    rows = [(i, rnd.choice(["A", "B", None]),
+             float(rnd.randint(-50, 50))) for i in range(20)]
+    _seed(eng, rows)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    next_id = 20
+    for step in range(6):
+        if step == 3:
+            eng.sql("DELETE FROM ns1.src WHERE id % 5 = 0")
+        else:
+            vals = ", ".join(
+                f"({next_id + k}, "
+                + (f"'{g}'" if (g := rnd.choice(['A', 'B', 'C', None]))
+                   else "NULL")
+                + f", {float(rnd.randint(-50, 50))})"
+                for k in range(rnd.randint(1, 4)))
+            next_id += 4
+            eng.sql(f"INSERT INTO ns1.src VALUES {vals}")
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+        assert r.mode == ("full" if step == 3 else "incremental"), (step, r)
+        full = [tuple(x) for x in
+                eng.read_table("ns1.src").groupBy("grp")
+                .agg(F.count("*").alias("n"), F.sum("v").alias("sv"),
+                     F.min("v").alias("mn"), F.max("v").alias("mx"))
+                .orderBy(F.col("grp").asc_nulls_first()).collect()]
+        assert _mv_rows(eng) == full, step
+
+
+def test_empty_source_creation_then_first_append(eng):
+    """An MV created over an EMPTY source (zero stored groups) must
+    take the first append through the incremental merge — the full
+    outer join against an empty stored side keeps every delta group."""
+    _seed(eng, [])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM ns1.src "
+            "GROUP BY grp")
+    assert eng.sql("SELECT * FROM ns1.mv").count() == 0
+    eng.sql("INSERT INTO ns1.src VALUES (1, 'A', 5.0), (2, 'A', 6.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 2, 11.0)]
