@@ -1594,6 +1594,10 @@ class Engine:
         txn = self._txn()
         cur = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(cur, name, "RESTORE")
+        # restoring an MV would rewrite its rows UNDER the refresh
+        # watermark — later refreshes would noop forever against stale
+        # numbers; recompute via REFRESH ... FULL instead
+        self._mv_guard(cur, name, "RESTORE")
         cur_paths = set(cur.file_paths())
         old_paths = {f.path for f in old.data_files}
         add = [f for f in old.data_files if f.path not in cur_paths]
@@ -4680,7 +4684,42 @@ class Engine:
 
     _MV_QUERY_PROP = "mv.query"
     _MV_VERSION_PROP = "mv.refresh.version"
+    _MV_REFS_PROP = "mv.refs"
     _MV_SOURCES_PROP = "mv.sources"
+    _MV_VIEWS_PROP = "mv.view_hash"
+
+    def _mv_expand_sources(self, refs, txn):
+        """(tables, view_texts): referenced views expand TRANSITIVELY
+        into the tables they read — a view is not a data object, so a
+        probe describing it as a table would raise and force an
+        eternal full-recompute loop (review r12 s2). view_texts maps
+        each reached view to its definition text (SQL, or the
+        substrait payload b64 for reference-authored views) so the
+        probe can detect a redefined view."""
+        from olympia_spark.catalog.proto_io import _EXT_SUBSTRAIT
+        tables, view_texts, seen = set(), {}, set()
+        stack = [(n, o) for n, o in refs]
+        while stack:
+            vns, obj = stack.pop()
+            if (vns, obj) in seen:
+                continue
+            seen.add((vns, obj))
+            if self.catalog.table_exists(txn, vns, obj):
+                tables.add((vns, obj))
+            elif self.catalog.view_exists(txn, vns, obj):
+                vdef = self.catalog.describe_view(txn, vns, obj)
+                view_texts[f"{vns}.{obj}"] = (
+                    vdef.sql_text
+                    or vdef.properties.get(_EXT_SUBSTRAIT, ""))
+                stack.extend(self._split(r)
+                             for r in vdef.referenced_objects)
+        return tables, view_texts
+
+    @staticmethod
+    def _mv_view_hash(view_texts: dict) -> str:
+        import hashlib
+        return hashlib.md5(json.dumps(sorted(view_texts.items()))
+                           .encode()).hexdigest()
 
     def create_materialized_view(self, name: str, sql_text: str,
                                  replace: bool = False) -> None:
@@ -4705,7 +4744,8 @@ class Engine:
         if (ns, tbl) in refs:
             raise ValueError(
                 f"materialized view {ns}.{tbl} cannot reference itself")
-        if not refs:
+        tables, view_texts = self._mv_expand_sources(refs, txn)
+        if not tables:
             raise ValueError(
                 "a materialized view must reference at least one "
                 "catalog table")
@@ -4723,8 +4763,15 @@ class Engine:
             properties={
                 self._MV_QUERY_PROP: sql_text,
                 self._MV_VERSION_PROP: str(txn.base_version),
-                self._MV_SOURCES_PROP: json.dumps(
+                # direct refs (re-expanded by every probe), the tables
+                # the expansion reached, and a digest of every referenced
+                # view's definition — a view BODY change is invisible to
+                # file-list diffs and must still force a recompute
+                self._MV_REFS_PROP: json.dumps(
                     [f"{n}.{t}" for n, t in refs]),
+                self._MV_SOURCES_PROP: json.dumps(
+                    sorted(f"{n}.{t}" for n, t in tables)),
+                self._MV_VIEWS_PROP: self._mv_view_hash(view_texts),
             })
         self.catalog.create_table(txn, ns, tbl, tdef)
         files = self._write_files(df, ns, tbl, [], tdef=tdef)
@@ -4778,24 +4825,52 @@ class Engine:
             return self.spark.createDataFrame(
                 [(mode, n)], "mode string, delta_rows long")
 
-        if cur <= last:
+        if cur <= last and not full:
+            # FULL always recomputes — it is the user's override for
+            # every change the probe below cannot see
             return report("noop", 0)
-        # metadata-only change probe: per-source file-list diff
-        changed, stale_ok = [], True
+
+        # metadata-only change probe: per-source SIGNATURE diff — the
+        # signature is (file list, policy props): a row-filter/mask
+        # change alters what the stored query returns without touching
+        # a single data file (review r12 s2 — the governance leak).
+        # Referenced views re-expand and re-hash first: a redefined
+        # view (or one re-pointed at different tables) is likewise
+        # invisible to file diffs.
+        def pol(td):
+            return sorted((k, v) for k, v in td.properties.items()
+                          if k == "policy.row_filter"
+                          or k.startswith("policy.mask."))
+
+        # files_changed → incremental candidate; force_full → the
+        # change is NOT representable as a data delta (policy flip,
+        # view redefinition, source-set drift, expired roots): the
+        # stored rows were materialized under the OLD semantics, so
+        # only a recompute is sound — an "empty delta" incremental
+        # merge would silently keep them (review r12 s2)
+        files_changed, force_full = [], False
         try:
-            t_last = self.catalog.at_version(last)
-            for s in sources:
-                sns, stbl = self._split(s)
-                f0 = set(self.catalog.describe_table(
-                    t_last, sns, stbl).file_paths())
-                f1 = set(self.catalog.describe_table(
-                    txn, sns, stbl).file_paths())
-                if f0 != f1:
-                    changed.append(s)
+            refs = [self._split(r) for r in json.loads(
+                tdef.properties.get(self._MV_REFS_PROP, "[]"))]
+            tables_now, vtexts_now = self._mv_expand_sources(refs, txn)
+            if (sorted(f"{n}.{t}" for n, t in tables_now) != sorted(sources)
+                    or self._mv_view_hash(vtexts_now)
+                    != tdef.properties.get(self._MV_VIEWS_PROP)):
+                force_full = True
+            else:
+                t_last = self.catalog.at_version(last)
+                for s in sources:
+                    sns, stbl = self._split(s)
+                    td0 = self.catalog.describe_table(t_last, sns, stbl)
+                    td1 = self.catalog.describe_table(txn, sns, stbl)
+                    if pol(td0) != pol(td1):
+                        force_full = True
+                    if sorted(td0.file_paths()) != sorted(td1.file_paths()):
+                        files_changed.append(s)
         except Exception:
             # expired root / renamed source — the full lane re-derives
-            changed, stale_ok = list(sources), False
-        if not changed:
+            force_full = True
+        if not files_changed and not force_full and not full:
             # COMMIT NOTHING: stamping the watermark here would itself
             # advance the catalog version, so every no-op refresh would
             # re-probe forever (and pile up metadata commits). The
@@ -4803,7 +4878,7 @@ class Engine:
             # advances when a refresh actually rewrites, after which
             # the cur<=last fast path short-circuits.
             return report("noop", 0)
-        plan = (None if (full or not stale_ok or len(sources) != 1)
+        plan = (None if (full or force_full or len(sources) != 1)
                 else self._mv_incremental_plan(q, sources[0]))
         delta = None
         if plan is not None:
@@ -4829,12 +4904,11 @@ class Engine:
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 for f in schema.fields])
             mode, n = "full", 0
-        tdef2 = self.catalog.describe_table(txn, ns, tbl)
-        files = self._write_files(merged, ns, tbl, [], tdef=tdef2)
+        files = self._write_files(merged, ns, tbl, [], tdef=tdef)
         self.catalog.update_table_files(
-            txn, ns, tbl, files, tdef2.file_paths(), ActionType.TABLE_UPDATE,
+            txn, ns, tbl, files, tdef.file_paths(), ActionType.TABLE_UPDATE,
             {"added": [f.path for f in files],
-             "removed": tdef2.file_paths(),
+             "removed": tdef.file_paths(),
              "expression": f"mv refresh {mode}"},
             extra_properties={self._MV_VERSION_PROP: str(cur)})
         return report(mode, n)
@@ -4857,7 +4931,16 @@ class Engine:
         if len(re.findall(r"\bselect\b", low)) != 1:
             return None
         for kw in ("join", "over", "distinct", "having",
-                   "union", "limit", "order"):
+                   "union", "limit", "order",
+                   # time-/run-dependent expressions: applying them to
+                   # the DELTA only would freeze the stored rows at
+                   # their old evaluation (no retraction of rows that
+                   # aged out of a current_timestamp window) — silently
+                   # wrong merged numbers, so: full lane (review r12 s2)
+                   "current_date", "current_timestamp", "localtimestamp",
+                   "now", "today", "rand", "randn", "random", "uuid",
+                   "unix_timestamp", "input_file_name",
+                   "monotonically_increasing_id"):
             if re.search(rf"\b{kw}\b", low):
                 return None
         m = re.match(r"SELECT (.+?) FROM (\S+)"
@@ -4868,21 +4951,35 @@ class Engine:
         items_raw, src, where, gb = m.groups()
         if src.rstrip(";").lower() != source.lower():
             return None
+        # qualified references (t.v / ns1.src.v) resolve at creation
+        # because _resolve_sql pins the table behind an alias, but the
+        # delta re-aggregation runs over a TEMP VIEW where they cannot
+        # resolve — full lane, never a mid-refresh AnalysisException
+        # (review r12 s2)
+        if re.search(r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*",
+                     items_raw + " " + (where or "")):
+            return None
         group_cols = [c.strip() for c in gb.split(",")] if gb else []
         if not all(re.fullmatch(r"\w+", c) for c in group_cols):
             return None
-        aggs = []
+        aggs, bare = [], set()
         for item in self._split_top_level(items_raw):
             item = item.strip()
             if re.fullmatch(r"\w+", item):
                 if item not in group_cols:
                     return None
+                bare.add(item)
                 continue
             am = self._MV_AGG_RE.match(item)
             if not am:
                 return None
             aggs.append((am.group(1).upper(), am.group(2).strip(),
                          am.group(3)))
+        if bare != set(group_cols):
+            # a GROUP BY key missing from the SELECT list is valid SQL
+            # but the merge join needs every key ON the stored side —
+            # full lane (review r12 s2)
+            return None
         if not aggs:
             return None
         return {"group": group_cols, "aggs": aggs,

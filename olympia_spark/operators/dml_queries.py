@@ -28,7 +28,9 @@ from olympia_spark.tables import load
 _DML_ENGINES: dict[tuple[str, str], object] = {}
 
 
-def _engine_with_events(spark: SparkSession, sf: str, tbl: str):
+def _dml_engine(spark: SparkSession, sf: str):
+    """The shared scratch engine WITHOUT any table seed — for queries
+    that stand up their own tables (b151 pays no unused events write)."""
     from olympia_spark.engine import Engine
     from olympia_spark.operators._scratch import get_or_create, scratch_dir
 
@@ -37,7 +39,11 @@ def _engine_with_events(spark: SparkSession, sf: str, tbl: str):
         eng.sql("CREATE NAMESPACE ns1")
         return eng
 
-    eng = get_or_create(_DML_ENGINES, spark, sf, build)
+    return get_or_create(_DML_ENGINES, spark, sf, build)
+
+
+def _engine_with_events(spark: SparkSession, sf: str, tbl: str):
+    eng = _dml_engine(spark, sf)
     txn = eng.catalog.begin()
     if eng.catalog.table_exists(txn, "ns1", tbl):
         eng.sql(f"DROP TABLE ns1.{tbl}")     # re-entry: reset mutated state
@@ -897,7 +903,7 @@ def b151_materialized_view(spark: SparkSession, sf: str) -> DataFrame:
     recompute. The oracle reproduces the post-refresh state as a pure
     SELECT over source ∪ appended rows. SUM accumulates in exact
     DECIMAL inside the MV (double only at the output edge)."""
-    eng = _engine_with_events(spark, sf, "mv_unused")
+    eng = _dml_engine(spark, sf)
     txn = eng.catalog.begin(read_only=True)
     if eng.catalog.table_exists(txn, "ns1", "mv_rev"):
         eng.sql("DROP MATERIALIZED VIEW ns1.mv_rev")

@@ -273,3 +273,113 @@ def test_empty_source_creation_then_first_append(eng):
     assert r.mode == "incremental"
     assert [tuple(x) for x in
             eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 2, 11.0)]
+
+
+# --- review regressions (r12 s2 pass) ----------------------------------------
+
+def test_full_keyword_beats_noop_and_policy_change_is_seen(eng):
+    """Review r12 s2: (a) FULL must recompute even when the probe sees
+    no change; (b) a row-filter change on the source is metadata-only
+    (file lists untouched) but CHANGES what the stored query returns —
+    the probe's signature includes policy props, so a plain REFRESH
+    recomputes and the MV stops serving rows the new policy hides."""
+    _seed(eng, [(1, "A", 1.0), (2, "B", 2.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src GROUP BY grp")
+    # (a) nothing changed at all — FULL still recomputes
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv FULL").collect()[0]
+    assert r.mode == "full"
+    # (b) policy change without any file change
+    eng.sql("ALTER TABLE ns1.src SET ROW FILTER (grp = 'A')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 1)]
+    # dropping the filter is seen too
+    eng.sql("ALTER TABLE ns1.src DROP ROW FILTER")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert sorted(tuple(x) for x in
+                  eng.sql("SELECT * FROM ns1.mv").collect()) == \
+        [("A", 1), ("B", 1)]
+
+
+def test_group_key_missing_from_select_downgrades(eng):
+    """Review r12 s2: GROUP BY key absent from the SELECT list is
+    valid SQL but unmergeable (the stored side has no key column) —
+    the refresh must take the full lane, never crash mid-merge."""
+    _seed(eng, [(1, "A", 1.0), (2, "B", 2.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT COUNT(*) AS n FROM ns1.src GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 3.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert sorted(x.n for x in
+                  eng.sql("SELECT * FROM ns1.mv").collect()) == [1, 2]
+
+
+def test_qualified_refs_and_time_functions_downgrade(eng):
+    """Review r12 s2: qualified column references resolve at creation
+    (the table is pinned behind an alias) but not over the delta temp
+    view; time-dependent predicates applied to the delta only would
+    never retract aged-out stored rows. Both shapes must take the
+    full lane."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, SUM(ns1.src.v) AS sv FROM ns1.src GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 3.0)]
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv2 AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src "
+            "WHERE v < UNIX_TIMESTAMP() GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 5.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2").collect()[0]
+    assert r.mode == "full"
+
+
+def test_mv_over_view_noops_and_sees_redefinition(eng):
+    """Review r12 s2: an MV over a plain VIEW must (a) noop without
+    version churn while nothing changed (the probe expands the view to
+    its tables instead of describing it as a table), (b) detect an
+    append to the view's underlying table, and (c) detect a
+    REDEFINITION of the view — invisible to file diffs — via the
+    stored view-definition hash."""
+    _seed(eng, [(1, "A", 1.0), (2, "B", 2.0)])
+    eng.create_view("ns1.v", "SELECT grp, v FROM ns1.src WHERE grp = 'A'")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.v GROUP BY grp")
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 1)]
+    ver = eng.catalog.history()[0]["version"]
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "noop"
+    assert eng.catalog.history()[0]["version"] == ver   # no churn
+    # (b) underlying table changed → refresh (full: FROM is a view)
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 3.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 2)]
+    # (c) view redefinition, zero file changes → refresh
+    eng.create_view("ns1.v", "SELECT grp, v FROM ns1.src WHERE grp = 'B'",
+                    replace=True)
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("B", 1)]
+
+
+def test_restore_refuses_on_mv(eng):
+    """Review r12 s2: RESTORE would rewrite MV rows under the refresh
+    watermark — later refreshes would noop forever against stale
+    numbers."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0)")
+    eng.sql("REFRESH MATERIALIZED VIEW ns1.mv")
+    with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+        eng.sql(f"RESTORE TABLE ns1.mv TO VERSION AS OF {v0}")
