@@ -4721,6 +4721,16 @@ class Engine:
         return hashlib.md5(json.dumps(sorted(view_texts.items()))
                            .encode()).hexdigest()
 
+    @staticmethod
+    def _policy_props(props: dict) -> list[tuple[str, str]]:
+        """THE definition of reader-policy state on a TableDef — the
+        row filter and every column mask. The read path (_apply_policies)
+        parses these same keys; the MV refresh probe compares them
+        across versions (one definition site, review r12 s2 pass 2)."""
+        return sorted((k, v) for k, v in props.items()
+                      if k == "policy.row_filter"
+                      or k.startswith("policy.mask."))
+
     def create_materialized_view(self, name: str, sql_text: str,
                                  replace: bool = False) -> None:
         """CREATE MATERIALIZED VIEW name AS <query>: run the query once
@@ -4745,6 +4755,15 @@ class Engine:
             raise ValueError(
                 f"materialized view {ns}.{tbl} cannot reference itself")
         tables, view_texts = self._mv_expand_sources(refs, txn)
+        if (ns, tbl) in tables:
+            # view-mediated self-reference: the query reads a VIEW that
+            # reads this MV (only possible under OR REPLACE) — the MV's
+            # own refresh rewrite would register as a source change and
+            # full-recompute a self-compounding result forever
+            # (review r12 s2 pass 2, reproduced)
+            raise ValueError(
+                f"materialized view {ns}.{tbl} cannot reference itself "
+                f"(reached through a referenced view)")
         if not tables:
             raise ValueError(
                 "a materialized view must reference at least one "
@@ -4837,10 +4856,13 @@ class Engine:
         # Referenced views re-expand and re-hash first: a redefined
         # view (or one re-pointed at different tables) is likewise
         # invisible to file diffs.
-        def pol(td):
-            return sorted((k, v) for k, v in td.properties.items()
-                          if k == "policy.row_filter"
-                          or k.startswith("policy.mask."))
+        # legacy MVs (persisted before mv.refs existed) fall back to
+        # the table sources as the direct refs — their expansion is the
+        # identity, so an unchanged legacy MV still noops; the rewrite
+        # stamp below backfills all three props (review r12 s2 pass 2)
+        refs_raw = json.loads(
+            tdef.properties.get(self._MV_REFS_PROP, "null")) or sources
+        stored_hash = tdef.properties.get(self._MV_VIEWS_PROP)
 
         # files_changed → incremental candidate; force_full → the
         # change is NOT representable as a data delta (policy flip,
@@ -4849,13 +4871,13 @@ class Engine:
         # only a recompute is sound — an "empty delta" incremental
         # merge would silently keep them (review r12 s2)
         files_changed, force_full = [], False
+        tables_now, vtexts_now = set(), {}
         try:
-            refs = [self._split(r) for r in json.loads(
-                tdef.properties.get(self._MV_REFS_PROP, "[]"))]
-            tables_now, vtexts_now = self._mv_expand_sources(refs, txn)
+            tables_now, vtexts_now = self._mv_expand_sources(
+                [self._split(r) for r in refs_raw], txn)
             if (sorted(f"{n}.{t}" for n, t in tables_now) != sorted(sources)
-                    or self._mv_view_hash(vtexts_now)
-                    != tdef.properties.get(self._MV_VIEWS_PROP)):
+                    or (stored_hash is not None
+                        and self._mv_view_hash(vtexts_now) != stored_hash)):
                 force_full = True
             else:
                 t_last = self.catalog.at_version(last)
@@ -4863,7 +4885,8 @@ class Engine:
                     sns, stbl = self._split(s)
                     td0 = self.catalog.describe_table(t_last, sns, stbl)
                     td1 = self.catalog.describe_table(txn, sns, stbl)
-                    if pol(td0) != pol(td1):
+                    if self._policy_props(td0.properties) \
+                            != self._policy_props(td1.properties):
                         force_full = True
                     if sorted(td0.file_paths()) != sorted(td1.file_paths()):
                         files_changed.append(s)
@@ -4879,7 +4902,7 @@ class Engine:
             # the cur<=last fast path short-circuits.
             return report("noop", 0)
         plan = (None if (full or force_full or len(sources) != 1)
-                else self._mv_incremental_plan(q, sources[0]))
+                else self._mv_incremental_plan(q, sources[0], txn))
         delta = None
         if plan is not None:
             # localCheckpoint: consumed by the retraction probe AND the
@@ -4905,18 +4928,50 @@ class Engine:
                 for f in schema.fields])
             mode, n = "full", 0
         files = self._write_files(merged, ns, tbl, [], tdef=tdef)
+        # restamp the WHOLE dependency record, not just the watermark:
+        # a force_full caused by a view redefinition or source drift
+        # must store the NEW expansion, or every later refresh
+        # re-detects the same drift and full-recomputes forever
+        # (review r12 s2 pass 2, reproduced). On expansion failure
+        # (expired roots path) the old record stays.
+        extra = {self._MV_VERSION_PROP: str(cur),
+                 self._MV_REFS_PROP: json.dumps(list(refs_raw))}
+        if tables_now:
+            extra[self._MV_SOURCES_PROP] = json.dumps(
+                sorted(f"{t[0]}.{t[1]}" for t in tables_now))
+            extra[self._MV_VIEWS_PROP] = self._mv_view_hash(vtexts_now)
         self.catalog.update_table_files(
             txn, ns, tbl, files, tdef.file_paths(), ActionType.TABLE_UPDATE,
             {"added": [f.path for f in files],
              "removed": tdef.file_paths(),
              "expression": f"mv refresh {mode}"},
-            extra_properties={self._MV_VERSION_PROP: str(cur)})
+            extra_properties=extra)
         return report(mode, n)
 
     _MV_AGG_RE = re.compile(
         r"^(COUNT|SUM|MIN|MAX)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S)
 
-    def _mv_incremental_plan(self, q: str, source: str):
+    # identifier WHITELIST for the incremental lane: aggregate inners,
+    # WHERE and GROUP BY may use source columns plus these deterministic
+    # keywords/functions/type names ONLY. A blacklist of banned
+    # functions cannot keep up with Spark's alias surface (curdate
+    # slipped the first version — review r12 s2 pass 2, reproduced);
+    # anything unrecognized downgrades to the always-correct full lane.
+    _MV_SAFE_WORDS = frozenset("""
+        count sum min max cast as and or not between in is null
+        true false like rlike case when then else end coalesce nullif
+        if ifnull nvl abs round floor ceil ceiling sign greatest least
+        upper lower trim ltrim rtrim length char_length substring
+        substr concat replace split_part lpad rpad year month day
+        dayofmonth dayofweek hour minute second quarter weekofyear
+        date_trunc trunc to_date to_timestamp date_format datediff
+        date_add date_sub add_months last_day unix_date months_between
+        decimal bigint int integer smallint tinyint double float real
+        string varchar char boolean long timestamp date numeric
+        interval days hours minutes seconds months years
+    """.split())
+
+    def _mv_incremental_plan(self, q: str, source: str, txn=None):
         """Parse the stored query into an incrementally-maintainable
         shape, or None (→ full lane): exactly one FROM over the known
         source, no second SELECT / JOIN / DISTINCT / window / HAVING /
@@ -4931,16 +4986,7 @@ class Engine:
         if len(re.findall(r"\bselect\b", low)) != 1:
             return None
         for kw in ("join", "over", "distinct", "having",
-                   "union", "limit", "order",
-                   # time-/run-dependent expressions: applying them to
-                   # the DELTA only would freeze the stored rows at
-                   # their old evaluation (no retraction of rows that
-                   # aged out of a current_timestamp window) — silently
-                   # wrong merged numbers, so: full lane (review r12 s2)
-                   "current_date", "current_timestamp", "localtimestamp",
-                   "now", "today", "rand", "randn", "random", "uuid",
-                   "unix_timestamp", "input_file_name",
-                   "monotonically_increasing_id"):
+                   "union", "limit", "order"):
             if re.search(rf"\b{kw}\b", low):
                 return None
         m = re.match(r"SELECT (.+?) FROM (\S+)"
@@ -4981,6 +5027,26 @@ class Engine:
             # full lane (review r12 s2)
             return None
         if not aggs:
+            return None
+        # identifier WHITELIST: every word token in the select items /
+        # WHERE / GROUP BY must be a source column, a safe deterministic
+        # keyword/function/type, or one of the output aliases.
+        # Time-/run-dependent expressions (current_date, curdate, rand,
+        # uuid, …) are exactly the ones NOT here — applying them to the
+        # delta only would freeze stored rows at their old evaluation
+        # with no retraction, silently wrong (review r12 s2 pass 2)
+        if txn is None:
+            return None
+        sns, stbl = self._split(source)
+        src_cols = {f.name.lower() for f in
+                    self.catalog.describe_table(txn, sns, stbl)
+                    .spark_schema().fields}
+        aliases = {out.lower() for _k, _i, out in aggs}
+        body = " ".join(filter(None, (items_raw, where, gb)))
+        scrubbed = re.sub(r"'(?:[^']|'')*'", " ", body)
+        idents = {t.lower() for t in
+                  re.findall(r"[A-Za-z_]\w*", scrubbed)}
+        if idents - self._MV_SAFE_WORDS - src_cols - aliases:
             return None
         return {"group": group_cols, "aggs": aggs,
                 "where": where, "source": source}

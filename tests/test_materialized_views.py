@@ -383,3 +383,84 @@ def test_restore_refuses_on_mv(eng):
     eng.sql("REFRESH MATERIALIZED VIEW ns1.mv")
     with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
         eng.sql(f"RESTORE TABLE ns1.mv TO VERSION AS OF {v0}")
+
+
+# --- review regressions (r12 s2 pass 2) ---------------------------------------
+
+def test_unknown_functions_downgrade_via_whitelist(eng):
+    """Pass-2: the incremental gate is an identifier WHITELIST, not a
+    banned-function blacklist — curdate() (the alias that slipped the
+    blacklist) and any future nondeterministic function downgrade to
+    the full lane; whitelisted deterministic shapes still qualify."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src "
+            "WHERE v < 100 AND grp IS NOT NULL GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "incremental"
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv2 AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src "
+            "WHERE v < CAST(DATE_FORMAT(CURDATE(), 'D') AS DOUBLE) "
+            "GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 0.5)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2") \
+        .collect()[0].mode == "full"
+
+
+def test_view_redefinition_full_once_then_noop(eng):
+    """Pass-2: a force_full refresh restamps the WHOLE dependency
+    record (sources + view hash), so the drift is consumed ONCE — the
+    next refresh noops with zero version churn instead of recomputing
+    forever."""
+    _seed(eng, [(1, "A", 1.0), (2, "B", 2.0)])
+    eng.create_view("ns1.v", "SELECT grp, v FROM ns1.src WHERE grp = 'A'")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.v GROUP BY grp")
+    eng.create_view("ns1.v", "SELECT grp, v FROM ns1.src WHERE grp = 'B'",
+                    replace=True)
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    ver = eng.catalog.history()[0]["version"]
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "noop"
+    assert eng.catalog.history()[0]["version"] == ver
+
+
+def test_self_reference_through_view_refused(eng):
+    """Pass-2: OR REPLACE over a view that reads the MV itself is a
+    view-mediated self-reference — the expanded table set catches what
+    the direct-refs check cannot."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src GROUP BY grp")
+    eng.create_view("ns1.w", "SELECT grp, n FROM ns1.mv")
+    with pytest.raises(ValueError, match="reference itself"):
+        eng.sql("CREATE OR REPLACE MATERIALIZED VIEW ns1.mv AS "
+                "SELECT grp, SUM(n) AS n FROM ns1.w GROUP BY grp")
+
+
+def test_legacy_mv_without_refs_props_still_noops_and_backfills(eng):
+    """Pass-2: an MV persisted before mv.refs/mv.view_hash existed
+    (simulated by stripping the props) must still noop while unchanged
+    — the probe falls back to mv.sources as the direct refs — and the
+    next real refresh backfills the full dependency record."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src GROUP BY grp")
+    txn = eng.catalog.begin()
+    tdef = eng.catalog.describe_table(txn, "ns1", "mv")
+    tdef.properties.pop(eng._MV_REFS_PROP)
+    tdef.properties.pop(eng._MV_VIEWS_PROP)
+    eng.catalog.alter_table(txn, "ns1", "mv", tdef)
+    eng.catalog.commit(txn)
+    ver = eng.catalog.history()[0]["version"]
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "noop"
+    assert eng.catalog.history()[0]["version"] == ver
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "incremental"
+    ro = eng.catalog.begin(read_only=True)
+    props = eng.catalog.describe_table(ro, "ns1", "mv").properties
+    assert eng._MV_REFS_PROP in props and eng._MV_VIEWS_PROP in props
