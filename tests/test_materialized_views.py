@@ -464,3 +464,37 @@ def test_legacy_mv_without_refs_props_still_noops_and_backfills(eng):
     ro = eng.catalog.begin(read_only=True)
     props = eng.catalog.describe_table(ro, "ns1", "mv").properties
     assert eng._MV_REFS_PROP in props and eng._MV_VIEWS_PROP in props
+
+
+def test_concurrent_source_append_during_refresh(eng, spark, monkeypatch):
+    """A SECOND engine commits a source append BETWEEN the refresh's
+    delta computation and its CAS commit (injected at the MV write):
+    the refresh's commit must merge past the concurrent source commit
+    (different keys — resolvable), its watermark stays at the version
+    it actually READ, and the next refresh picks the mid-flight append
+    up incrementally. Nothing is lost, nothing double-counts."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM ns1.src "
+            "GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0)")
+    other = Engine(spark, eng.catalog.storage.root)
+    cls = type(eng)
+    orig = cls._write_files
+    fired = {}
+
+    def hooked(self, df, ns, tbl, *a, **k):
+        if not fired and (ns, tbl) == ("ns1", "mv"):
+            fired["x"] = True
+            other.sql("INSERT INTO ns1.src VALUES (3, 'B', 5.0)")
+        return orig(self, df, ns, tbl, *a, **k)
+
+    monkeypatch.setattr(cls, "_write_files", hooked)
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    # the mid-flight append is NOT in this refresh (read before it)…
+    assert _mv_rows(eng) == [("A", 2, 3.0)]
+    # …and the NEXT refresh consumes exactly it
+    r2 = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r2.mode, r2.delta_rows) == ("incremental", 1)
+    assert _mv_rows(eng) == [("A", 2, 3.0), ("B", 1, 5.0)]
