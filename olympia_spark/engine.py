@@ -4875,7 +4875,7 @@ class Engine:
         try:
             tables_now, vtexts_now = self._mv_expand_sources(
                 [self._split(r) for r in refs_raw], txn)
-            if (sorted(f"{n}.{t}" for n, t in tables_now) != sorted(sources)
+            if (sorted(f"{t[0]}.{t[1]}" for t in tables_now) != sorted(sources)
                     or (stored_hash is not None
                         and self._mv_view_hash(vtexts_now) != stored_hash)):
                 force_full = True
@@ -4893,6 +4893,17 @@ class Engine:
         except Exception:
             # expired root / renamed source — the full lane re-derives
             force_full = True
+        if (ns, tbl) in tables_now:
+            # a referenced view was REPOINTED at this MV after creation
+            # — a refresh would recompute the MV from its own previous
+            # output and compound a wrong result forever (review r12 s2
+            # pass 3, reproduced); refuse loudly, OUTSIDE the probe's
+            # catch-and-downgrade
+            raise ValueError(
+                f"materialized view {ns}.{tbl}: its dependency graph "
+                f"now reaches itself (a referenced view was redefined "
+                f"over the MV); repoint the view or drop and recreate "
+                f"the MV")
         if not files_changed and not force_full and not full:
             # COMMIT NOTHING: stamping the watermark here would itself
             # advance the catalog version, so every no-op refresh would
@@ -5044,6 +5055,18 @@ class Engine:
         aliases = {out.lower() for _k, _i, out in aggs}
         body = " ".join(filter(None, (items_raw, where, gb)))
         scrubbed = re.sub(r"'(?:[^']|'')*'", " ", body)
+        # digit-led literals (25, 1e5, 1.5E-3, 0x1F) tokenize as bogus
+        # identifiers (e5, x1F) and would silently cost the incremental
+        # lane — scrub them first (review r12 s2 pass 3)
+        scrubbed = re.sub(r"\b\d[\w.]*", " ", scrubbed)
+        # a token followed by '(' is a FUNCTION CALL and must be a safe
+        # word in its own right — a source column or alias named rand/
+        # uuid/now must not whitelist the function of the same name
+        # (review r12 s2 pass 3, reproduced)
+        calls = {t.lower() for t in
+                 re.findall(r"([A-Za-z_]\w*)\s*\(", scrubbed)}
+        if calls - self._MV_SAFE_WORDS:
+            return None
         idents = {t.lower() for t in
                   re.findall(r"[A-Za-z_]\w*", scrubbed)}
         if idents - self._MV_SAFE_WORDS - src_cols - aliases:

@@ -498,3 +498,54 @@ def test_concurrent_source_append_during_refresh(eng, spark, monkeypatch):
     r2 = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
     assert (r2.mode, r2.delta_rows) == ("incremental", 1)
     assert _mv_rows(eng) == [("A", 2, 3.0), ("B", 1, 5.0)]
+
+
+# --- review regressions (r12 s2 pass 3) ---------------------------------------
+
+def test_refresh_refuses_when_view_repointed_at_mv(eng):
+    """Pass-3: the create-time self-reference check cannot see a view
+    REPOINTED at the MV afterwards — refresh re-expands and must
+    refuse loudly instead of recomputing the MV from its own previous
+    output forever."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.create_view("ns1.v", "SELECT grp, v FROM ns1.src")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.v GROUP BY grp")
+    eng.create_view("ns1.v", "SELECT grp, CAST(n AS DOUBLE) AS v "
+                             "FROM ns1.mv", replace=True)
+    with pytest.raises(ValueError, match="reaches itself"):
+        eng.sql("REFRESH MATERIALIZED VIEW ns1.mv")
+
+
+def test_column_named_like_function_cannot_launder_the_call(eng):
+    """Pass-3: a source column named `rand` must not whitelist the
+    FUNCTION rand() — call tokens are checked against safe words only.
+    The bare column reference stays incremental."""
+    _seed(eng, [(1, "A", 0.5)], schema="id LONG, grp STRING, rand DOUBLE")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src "
+            "WHERE rand() < 2.0 GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 0.5)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv2 AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src "
+            "WHERE rand < 2.0 GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 0.5)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2") \
+        .collect()[0].mode == "incremental"
+
+
+def test_exponent_literals_keep_the_incremental_lane(eng):
+    """Pass-3: 1e5 / 1.5E-3 / 0x1F tokenize as bogus identifiers (e5,
+    x1F) unless numeric literals are scrubbed — deterministic queries
+    with such literals must keep the incremental lane."""
+    _seed(eng, [(1, "A", 10.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, SUM(v) AS sv FROM ns1.src "
+            "WHERE v < 1e5 AND v > -1.5E-3 GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 20.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 30.0)]
