@@ -6094,6 +6094,24 @@ class Engine:
             self._finish(txn)
             return ok()
 
+        m = re.match(r"EXPLAIN(?: (EXTENDED|FORMATTED|COST|CODEGEN))?\s+(.+)$",
+                     norm, re.I | re.S)
+        if m:
+            # EXPLAIN over the FULL engine query surface (views, time
+            # travel, QUALIFY/EXCLUDE rewrites, sys tables) by recursing
+            # through sql() for the inner query — restricted to read
+            # queries: EXPLAIN DELETE would otherwise EXECUTE the DML
+            if not re.match(r"(SELECT|WITH|VALUES|TABLE|FROM)\b",
+                            m.group(2), re.I):
+                raise ValueError(
+                    "EXPLAIN supports read queries "
+                    "(SELECT/WITH/VALUES/TABLE) only")
+            inner = self.sql(m.group(2))
+            jmode = spark._jvm.org.apache.spark.sql.execution \
+                .ExplainMode.fromString((m.group(1) or "simple").lower())
+            return spark.createDataFrame(
+                [(inner._jdf.queryExecution().explainString(jmode),)],
+                "plan string")
         # pass-through: resolve catalog identifiers, delegate to Catalyst
         txn = self._txn()
         if re.search(r"\bsys\.dtxns\b(?!\.dtxn_)", norm):

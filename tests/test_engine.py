@@ -1459,3 +1459,23 @@ def test_merge_into_escaped_partition_matches_files(engine, spark):
     rows = {r.id: r.v for r in
             engine.sql("SELECT id, v FROM ns1.mep").collect()}
     assert rows == {1: 99.0, 2: 2.0}
+
+
+def test_explain_statement(engine):
+    """EXPLAIN [FORMATTED|EXTENDED] <query> returns the Catalyst plan
+    for the resolved engine query (catalog tables, views, rewrites all
+    apply); DML under EXPLAIN refuses instead of executing."""
+    engine.sql("CREATE TABLE ns1.ex (x BIGINT)")
+    engine.sql("INSERT INTO ns1.ex VALUES (1), (2)")
+    plan = engine.sql("EXPLAIN SELECT x FROM ns1.ex WHERE x > 1") \
+        .collect()[0].plan
+    assert "Physical Plan" in plan
+    plan = engine.sql("EXPLAIN FORMATTED SELECT COUNT(*) AS n "
+                      "FROM ns1.ex").collect()[0].plan
+    assert "HashAggregate" in plan and "Scan" in plan
+    import pytest as _pt
+    with _pt.raises(ValueError, match="read queries"):
+        engine.sql("EXPLAIN DELETE FROM ns1.ex WHERE x = 1")
+    # nothing executed: both rows still there
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ex") \
+        .collect()[0].n == 2

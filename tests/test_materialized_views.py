@@ -549,3 +549,35 @@ def test_exponent_literals_keep_the_incremental_lane(eng):
     assert r.mode == "incremental"
     assert [tuple(x) for x in
             eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 30.0)]
+
+
+@pytest.mark.parametrize("items,where", [
+    ("grp, COUNT(*) AS n, SUM(CASE WHEN v > 0 THEN v ELSE 0 END) AS pos",
+     None),
+    ("grp, SUM(CAST(v AS DECIMAL(20,4))) AS sv, MIN(v) AS mn", "v <> 0"),
+    ("grp, COUNT(id) AS n", "v BETWEEN -10 AND 10 AND grp IN ('A', 'B')"),
+    ("grp, MIN(tag) AS t0, MAX(tag) AS t1", "tag LIKE 'x%'"),
+])
+def test_incremental_shapes_match_recompute(eng, items, where):
+    """Grammar sweep: whitelisted aggregate shapes (CASE/CAST inners,
+    BETWEEN/IN/LIKE predicates, string MIN/MAX) must all take the
+    incremental lane and match a from-scratch recompute after two
+    append rounds."""
+    rows = [(1, "A", 4.0, "xa"), (2, "B", -3.0, "xb"), (3, "A", 0.0, "ya")]
+    _seed(eng, rows, schema="id LONG, grp STRING, v DOUBLE, tag STRING")
+    q = f"SELECT {items} FROM ns1.src" + (f" WHERE {where}" if where else "")
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {q} GROUP BY grp")
+    for batch in ("(4, 'B', 7.5, 'xc'), (5, 'C', 2.0, 'xz')",
+                  "(6, 'A', -1.0, 'x_'), (7, NULL, 5.0, 'yq')"):
+        eng.sql(f"INSERT INTO ns1.src VALUES {batch}")
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+        assert r.mode == "incremental", (items, where, r)
+        # recompute from scratch over the CURRENT source rows
+        eng.read_table("ns1.src").createOrReplaceTempView("__mvsrc")
+        got = sorted(map(tuple, eng.sql(
+            "SELECT * FROM ns1.mv").collect()),
+            key=lambda t: (t[0] is None, t))
+        want = sorted(map(tuple, eng.spark.sql(
+            f"{q.replace('ns1.src', '__mvsrc')} GROUP BY grp").collect()),
+            key=lambda t: (t[0] is None, t))
+        assert got == want, (items, where)
