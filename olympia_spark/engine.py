@@ -5054,11 +5054,22 @@ class Engine:
                     .spark_schema().fields}
         aliases = {out.lower() for _k, _i, out in aggs}
         body = " ".join(filter(None, (items_raw, where, gb)))
+        # scrub BOTH literal syntaxes (Spark treats double quotes as
+        # string literals by default — leaving them would tokenize
+        # their contents as unknown identifiers and silently cost the
+        # incremental lane, the same class as the numeric-literal bug;
+        # review r12 s2 pass 4)
         scrubbed = re.sub(r"'(?:[^']|'')*'", " ", body)
+        scrubbed = re.sub(r'"[^"]*"', " ", scrubbed)
         # digit-led literals (25, 1e5, 1.5E-3, 0x1F) tokenize as bogus
         # identifiers (e5, x1F) and would silently cost the incremental
         # lane — scrub them first (review r12 s2 pass 3)
         scrubbed = re.sub(r"\b\d[\w.]*", " ", scrubbed)
+        # drop backticks so a QUOTED call (`rand`()) meets the call
+        # check below like its bare spelling; backticked names with
+        # special characters fall apart into unknown tokens — the safe
+        # direction (review r12 s2 pass 4)
+        scrubbed = scrubbed.replace("`", "")
         # a token followed by '(' is a FUNCTION CALL and must be a safe
         # word in its own right — a source column or alias named rand/
         # uuid/now must not whitelist the function of the same name
@@ -6106,6 +6117,17 @@ class Engine:
                 raise ValueError(
                     "EXPLAIN supports read queries "
                     "(SELECT/WITH/VALUES/TABLE) only")
+            # Spark admits DML BEHIND those prefixes too (multi-insert
+            # `FROM t INSERT ...`, CTE-led `WITH c AS (...) INSERT`) —
+            # recursing would EXECUTE it; refuse on a literal-stripped
+            # keyword scan (review r12 s2 pass 4)
+            stripped = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", " ",
+                              m.group(2))
+            if re.search(r"\b(INSERT|MERGE|DELETE|UPDATE)\b",
+                         stripped, re.I):
+                raise ValueError(
+                    "EXPLAIN supports read queries only — the statement "
+                    "contains a DML keyword")
             inner = self.sql(m.group(2))
             jmode = spark._jvm.org.apache.spark.sql.execution \
                 .ExplainMode.fromString((m.group(1) or "simple").lower())

@@ -1479,3 +1479,22 @@ def test_explain_statement(engine):
     # nothing executed: both rows still there
     assert engine.sql("SELECT COUNT(*) AS n FROM ns1.ex") \
         .collect()[0].n == 2
+
+
+def test_explain_refuses_hidden_dml(engine):
+    """Pass-4: Spark admits DML behind WITH/FROM prefixes — EXPLAIN
+    must refuse instead of executing it through the recursion."""
+    engine.sql("CREATE TABLE ns1.exg (x BIGINT)")
+    engine.sql("INSERT INTO ns1.exg VALUES (1)")
+    import pytest as _pt
+    for stmt in ("EXPLAIN WITH c AS (SELECT 2 AS x) "
+                 "INSERT INTO ns1.exg SELECT x FROM c",
+                 "EXPLAIN FROM ns1.exg INSERT INTO ns1.exg SELECT x"):
+        with _pt.raises(ValueError, match="read queries"):
+            engine.sql(stmt)
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.exg") \
+        .collect()[0].n == 1
+    # a string literal containing 'insert' is NOT a DML keyword
+    plan = engine.sql("EXPLAIN SELECT x FROM ns1.exg "
+                      "WHERE 'insert' = 'insert'").collect()[0].plan
+    assert "Physical Plan" in plan

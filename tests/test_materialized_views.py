@@ -581,3 +581,27 @@ def test_incremental_shapes_match_recompute(eng, items, where):
             f"{q.replace('ns1.src', '__mvsrc')} GROUP BY grp").collect()),
             key=lambda t: (t[0] is None, t))
         assert got == want, (items, where)
+
+
+def test_backtick_and_double_quote_edges(eng):
+    """Pass-4: a BACKTICK-quoted call (`rand`()) must meet the call
+    whitelist like its bare spelling — a column named rand cannot
+    launder it; a DOUBLE-QUOTED string literal (Spark default) must
+    scrub like a single-quoted one so LIKE "x%" keeps the incremental
+    lane."""
+    _seed(eng, [(1, "A", 0.5, "xa")],
+          schema="id LONG, grp STRING, rand DOUBLE, tag STRING")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src "
+            "WHERE `rand`() < 2.0 GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 0.5, 'xb')")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    eng.sql('CREATE MATERIALIZED VIEW ns1.mv2 AS '
+            'SELECT grp, COUNT(*) AS n FROM ns1.src '
+            'WHERE tag LIKE "x%" GROUP BY grp')
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 0.5, 'xc')")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2") \
+        .collect()[0].mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv2").collect()] == [("A", 3)]
