@@ -138,6 +138,23 @@ def _can_upcast(src: T.DataType, dst: T.DataType) -> bool:
     return False
 
 
+def _scrub_literals(s: str) -> str:
+    """Replace string literals (single- OR double-quoted) and SQL
+    comments with spaces, in ONE combined left-to-right pass — for
+    keyword/identifier scans that must never see literal or comment
+    content. One pass is load-bearing twice over: two sequential
+    regexes cross-pair quotes ACROSS literals (the apostrophe inside
+    "don't" pairs with the one inside "won't", deleting the real code
+    between them — review r12 s2 pass 5, reproduced), and
+    comments-vs-literals ordering is unsolvable sequentially (a quote
+    inside a comment / a ``--`` inside a literal each break the other
+    pass). Callers that must not see backtick-quoted identifiers
+    either (they may CONTAIN quotes) replace those FIRST."""
+    return re.sub(
+        r"'(?:[^']|'')*'|\"[^\"]*\"|--[^\n]*|/\*.*?\*/", " ", s,
+        flags=re.S)
+
+
 def _normalize(sql: str) -> str:
     """Trim, strip trailing ';', collapse whitespace — but NEVER inside
     string literals (captured statement fragments like INSERT payloads and
@@ -5054,22 +5071,22 @@ class Engine:
                     .spark_schema().fields}
         aliases = {out.lower() for _k, _i, out in aggs}
         body = " ".join(filter(None, (items_raw, where, gb)))
-        # scrub BOTH literal syntaxes (Spark treats double quotes as
-        # string literals by default — leaving them would tokenize
-        # their contents as unknown identifiers and silently cost the
-        # incremental lane, the same class as the numeric-literal bug;
-        # review r12 s2 pass 4)
-        scrubbed = re.sub(r"'(?:[^']|'')*'", " ", body)
-        scrubbed = re.sub(r'"[^"]*"', " ", scrubbed)
+        # backtick-quoted identifiers become an (unwhitelistable)
+        # placeholder BEFORE the literal scrub: they may CONTAIN quote
+        # characters that would cross-pair with real literals, and a
+        # quoted call (`rand`()) must not vanish into nothing and slip
+        # the call check — ANY backtick therefore downgrades to the
+        # always-correct full lane (review r12 s2 passes 4+5)
+        scrubbed = re.sub(r"`[^`]*`", " __backtick_ident__ ", body)
+        # BOTH literal syntaxes + comments, one combined pass (Spark
+        # treats double quotes as string literals by default; two
+        # sequential regexes cross-pair quotes across literals —
+        # review r12 s2 passes 4+5, reproduced) — see _scrub_literals
+        scrubbed = _scrub_literals(scrubbed)
         # digit-led literals (25, 1e5, 1.5E-3, 0x1F) tokenize as bogus
         # identifiers (e5, x1F) and would silently cost the incremental
-        # lane — scrub them first (review r12 s2 pass 3)
+        # lane — scrub them too (review r12 s2 pass 3)
         scrubbed = re.sub(r"\b\d[\w.]*", " ", scrubbed)
-        # drop backticks so a QUOTED call (`rand`()) meets the call
-        # check below like its bare spelling; backticked names with
-        # special characters fall apart into unknown tokens — the safe
-        # direction (review r12 s2 pass 4)
-        scrubbed = scrubbed.replace("`", "")
         # a token followed by '(' is a FUNCTION CALL and must be a safe
         # word in its own right — a source column or alias named rand/
         # uuid/now must not whitelist the function of the same name
@@ -6119,15 +6136,21 @@ class Engine:
                     "(SELECT/WITH/VALUES/TABLE) only")
             # Spark admits DML BEHIND those prefixes too (multi-insert
             # `FROM t INSERT ...`, CTE-led `WITH c AS (...) INSERT`) —
-            # recursing would EXECUTE it; refuse on a literal-stripped
-            # keyword scan (review r12 s2 pass 4)
-            stripped = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", " ",
-                              m.group(2))
+            # recursing would EXECUTE it; refuse on a keyword scan over
+            # the statement with backticked identifiers, literals and
+            # comments removed (review r12 s2 passes 4+5). A BARE
+            # alias/CTE named `update` etc. is still refused — the
+            # conservative direction; quote it in backticks or run the
+            # query directly.
+            stripped = _scrub_literals(
+                re.sub(r"`[^`]*`", " ", m.group(2)))
             if re.search(r"\b(INSERT|MERGE|DELETE|UPDATE)\b",
                          stripped, re.I):
                 raise ValueError(
                     "EXPLAIN supports read queries only — the statement "
-                    "contains a DML keyword")
+                    "contains a DML keyword (a bare identifier with a "
+                    "DML name is refused conservatively; backtick-quote "
+                    "it or run the query directly)")
             inner = self.sql(m.group(2))
             jmode = spark._jvm.org.apache.spark.sql.execution \
                 .ExplainMode.fromString((m.group(1) or "simple").lower())

@@ -1498,3 +1498,13 @@ def test_explain_refuses_hidden_dml(engine):
     plan = engine.sql("EXPLAIN SELECT x FROM ns1.exg "
                       "WHERE 'insert' = 'insert'").collect()[0].plan
     assert "Physical Plan" in plan
+
+
+def test_explain_tolerates_quoted_dml_names_and_comments(engine):
+    """Pass-5: backtick-quoted identifiers named like DML keywords and
+    comments mentioning them must not refuse a legitimate EXPLAIN."""
+    engine.sql("CREATE TABLE ns1.exq (`delete` BIGINT)")
+    engine.sql("INSERT INTO ns1.exq VALUES (1)")
+    plan = engine.sql("EXPLAIN SELECT `delete` FROM ns1.exq "
+                      "/* delete old rows later */").collect()[0].plan
+    assert "Physical Plan" in plan

@@ -605,3 +605,27 @@ def test_backtick_and_double_quote_edges(eng):
         .collect()[0].mode == "incremental"
     assert [tuple(x) for x in
             eng.sql("SELECT * FROM ns1.mv2").collect()] == [("A", 3)]
+
+
+def test_cross_paired_quotes_cannot_hide_a_call(eng):
+    """Pass-5: two double-quoted literals each containing an apostrophe
+    must not cross-pair under the scrub and delete the rand() between
+    them — the combined one-pass literal scrub keeps the call visible
+    and the refresh takes the full lane."""
+    _seed(eng, [(1, "A", 1.0, "don't")],
+          schema="id LONG, grp STRING, v DOUBLE, tag STRING")
+    eng.sql('CREATE MATERIALIZED VIEW ns1.mv AS '
+            'SELECT grp, COUNT(*) AS n FROM ns1.src '
+            'WHERE tag <> "don\'t" AND rand() < 2.0 AND tag <> "won\'t" '
+            'GROUP BY grp')
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0, 'x')")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    # a deterministic query with the same literal shapes KEEPS the lane
+    eng.sql('CREATE MATERIALIZED VIEW ns1.mv2 AS '
+            'SELECT grp, COUNT(*) AS n FROM ns1.src '
+            'WHERE tag <> "don\'t" AND v < 100 AND tag <> "won\'t" '
+            'GROUP BY grp')
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 3.0, 'y')")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2") \
+        .collect()[0].mode == "incremental"
