@@ -138,21 +138,32 @@ def _can_upcast(src: T.DataType, dst: T.DataType) -> bool:
     return False
 
 
+_SCRUB_RE = re.compile(
+    r"`[^`]*`"                     # backtick-quoted identifier
+    r"|'(?:[^'\\]|\\.|'')*'"       # single-quoted literal (\-escapes, '')
+    r'|"(?:[^"\\]|\\.)*"'          # double-quoted literal (\-escapes)
+    r"|--[^\n]*"                   # line comment
+    r"|/\*.*?\*/",                 # block comment
+    re.S)
+
+
 def _scrub_literals(s: str) -> str:
-    """Replace string literals (single- OR double-quoted) and SQL
-    comments with spaces, in ONE combined left-to-right pass — for
-    keyword/identifier scans that must never see literal or comment
-    content. One pass is load-bearing twice over: two sequential
-    regexes cross-pair quotes ACROSS literals (the apostrophe inside
-    "don't" pairs with the one inside "won't", deleting the real code
-    between them — review r12 s2 pass 5, reproduced), and
-    comments-vs-literals ordering is unsolvable sequentially (a quote
-    inside a comment / a ``--`` inside a literal each break the other
-    pass). Callers that must not see backtick-quoted identifiers
-    either (they may CONTAIN quotes) replace those FIRST."""
-    return re.sub(
-        r"'(?:[^']|'')*'|\"[^\"]*\"|--[^\n]*|/\*.*?\*/", " ", s,
-        flags=re.S)
+    """Replace quoted identifiers, string literals and SQL comments in
+    ONE combined left-to-right pass — for keyword/identifier scans
+    that must never see quoted or comment content. One pass is
+    load-bearing: ANY sequential quote-stripping pass cross-pairs its
+    delimiter across the other syntax's spans (apostrophes across
+    double-quoted literals, backticks across string literals — review
+    r12 s2 passes 5+6, each reproduced), deleting REAL code between
+    them; backslash escapes must be part of the literal grammar for
+    the same reason (``'don\\'t'`` would otherwise close early and
+    cross-pair). Backtick-quoted identifiers become a POISON
+    placeholder, not nothing — a vanished ``` `rand`() ``` call would
+    slip call-site whitelists (the placeholder is an identifier no
+    whitelist knows, so gated callers downgrade conservatively)."""
+    return _SCRUB_RE.sub(
+        lambda m: " __quoted_ident__ " if m.group(0).startswith("`")
+        else " ", s)
 
 
 def _normalize(sql: str) -> str:
@@ -4933,29 +4944,35 @@ class Engine:
                 else self._mv_incremental_plan(q, sources[0], txn))
         delta = None
         if plan is not None:
-            # localCheckpoint: consumed by the retraction probe AND the
-            # delta aggregation — O(changed files) rows, pinned once
-            delta = self.table_changes(sources[0], last,
-                                       cur).localCheckpoint()
+            # persist: consumed by the retraction probe, the count and
+            # the delta aggregation — O(changed files) rows, cached
+            # once, RELEASED in the finally below (localCheckpoint
+            # would leave a persisted RDD behind for the session
+            # lifetime — one leak per refresh; review r12 s2 pass 6)
+            delta = self.table_changes(sources[0], last, cur).persist()
             if delta.filter(F.col("_change_type") == "delete") \
                     .limit(1).count():
                 plan = None     # retractions → full recompute
-        if plan is not None:
-            ins = (delta.filter(F.col("_change_type") == "insert")
-                   .drop("_change_type"))
-            merged = self._mv_merge(
-                self._scan(tdef, tdef.file_paths()),
-                self._mv_apply_query(plan, ins),
-                plan, tdef.spark_schema())
-            mode, n = "incremental", delta.count()
-        else:
-            merged = self.spark.sql(self._resolve_sql(q, txn))
-            schema = tdef.spark_schema()
-            merged = merged.select(*[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in schema.fields])
-            mode, n = "full", 0
-        files = self._write_files(merged, ns, tbl, [], tdef=tdef)
+        try:
+            if plan is not None:
+                ins = (delta.filter(F.col("_change_type") == "insert")
+                       .drop("_change_type"))
+                merged = self._mv_merge(
+                    self._scan(tdef, tdef.file_paths()),
+                    self._mv_apply_query(plan, ins),
+                    plan, tdef.spark_schema())
+                mode, n = "incremental", delta.count()
+            else:
+                merged = self.spark.sql(self._resolve_sql(q, txn))
+                schema = tdef.spark_schema()
+                merged = merged.select(*[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields])
+                mode, n = "full", 0
+            files = self._write_files(merged, ns, tbl, [], tdef=tdef)
+        finally:
+            if delta is not None:
+                delta.unpersist()
         # restamp the WHOLE dependency record, not just the watermark:
         # a force_full caused by a view redefinition or source drift
         # must store the NEW expansion, or every later refresh
@@ -5071,18 +5088,12 @@ class Engine:
                     .spark_schema().fields}
         aliases = {out.lower() for _k, _i, out in aggs}
         body = " ".join(filter(None, (items_raw, where, gb)))
-        # backtick-quoted identifiers become an (unwhitelistable)
-        # placeholder BEFORE the literal scrub: they may CONTAIN quote
-        # characters that would cross-pair with real literals, and a
-        # quoted call (`rand`()) must not vanish into nothing and slip
-        # the call check — ANY backtick therefore downgrades to the
-        # always-correct full lane (review r12 s2 passes 4+5)
-        scrubbed = re.sub(r"`[^`]*`", " __backtick_ident__ ", body)
-        # BOTH literal syntaxes + comments, one combined pass (Spark
-        # treats double quotes as string literals by default; two
-        # sequential regexes cross-pair quotes across literals —
-        # review r12 s2 passes 4+5, reproduced) — see _scrub_literals
-        scrubbed = _scrub_literals(scrubbed)
+        # quoted identifiers + both literal syntaxes + comments in ONE
+        # pass (see _scrub_literals — every sequential variant of this
+        # cross-paired some delimiter, r12 s2 passes 4-6); backticked
+        # names become the poison placeholder, so ANY backtick
+        # downgrades to the always-correct full lane
+        scrubbed = _scrub_literals(body)
         # digit-led literals (25, 1e5, 1.5E-3, 0x1F) tokenize as bogus
         # identifiers (e5, x1F) and would silently cost the incremental
         # lane — scrub them too (review r12 s2 pass 3)
@@ -6142,8 +6153,7 @@ class Engine:
             # alias/CTE named `update` etc. is still refused — the
             # conservative direction; quote it in backticks or run the
             # query directly.
-            stripped = _scrub_literals(
-                re.sub(r"`[^`]*`", " ", m.group(2)))
+            stripped = _scrub_literals(m.group(2))
             if re.search(r"\b(INSERT|MERGE|DELETE|UPDATE)\b",
                          stripped, re.I):
                 raise ValueError(

@@ -1508,3 +1508,17 @@ def test_explain_tolerates_quoted_dml_names_and_comments(engine):
     plan = engine.sql("EXPLAIN SELECT `delete` FROM ns1.exq "
                       "/* delete old rows later */").collect()[0].plan
     assert "Physical Plan" in plan
+
+
+def test_explain_backtick_inside_literal_cannot_hide_dml(engine):
+    """Pass-6: a backtick INSIDE a string literal must not cross-pair
+    with a real backticked identifier and delete an intervening INSERT
+    from the DML scan — the hidden DML refuses and nothing executes."""
+    engine.sql("CREATE TABLE ns1.exh (a STRING)")
+    engine.sql("INSERT INTO ns1.exh VALUES ('x')")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="read queries"):
+        engine.sql("EXPLAIN WITH q AS (SELECT 'x`y' AS a) "
+                   "INSERT INTO ns1.exh SELECT `a` FROM q")
+    assert engine.sql("SELECT COUNT(*) AS n FROM ns1.exh") \
+        .collect()[0].n == 1

@@ -629,3 +629,43 @@ def test_cross_paired_quotes_cannot_hide_a_call(eng):
     eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 3.0, 'y')")
     assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2") \
         .collect()[0].mode == "incremental"
+
+
+def test_backticks_inside_literals_and_escaped_quotes(eng):
+    """Pass-6: backticks INSIDE string literals must not cross-pair
+    with anything (they are literal content), and backslash-escaped
+    quotes must not close a literal early — in both shapes a rand()
+    between two such literals stays visible to the call whitelist and
+    the refresh takes the full lane; the deterministic twins keep the
+    incremental lane."""
+    _seed(eng, [(1, "A", 1.0, "x")],
+          schema="id LONG, grp STRING, v DOUBLE, tag STRING")
+    cases = [
+        ("tag <> 'a`b' AND rand() < 2.0 AND tag <> 'c`d'", "full"),
+        ("tag <> 'a`b' AND v < 100 AND tag <> 'c`d'", "incremental"),
+        (r"tag <> 'abc\'sum' AND rand() < 2.0 AND tag <> 'min\'xyz'",
+         "full"),
+        (r"tag <> 'abc\'sum' AND v < 100 AND tag <> 'min\'xyz'",
+         "incremental"),
+    ]
+    for i, (where, lane) in enumerate(cases):
+        eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvq{i} AS "
+                f"SELECT grp, COUNT(*) AS n FROM ns1.src "
+                f"WHERE {where} GROUP BY grp")
+        eng.sql(f"INSERT INTO ns1.src VALUES ({i + 10}, 'A', 1.0, 'y')")
+        got = eng.sql(f"REFRESH MATERIALIZED VIEW ns1.mvq{i}") \
+            .collect()[0].mode
+        assert got == lane, (where, got)
+
+
+def test_refresh_leaves_no_persistent_rdds(eng, spark):
+    """Pass-6: the incremental refresh caches the delta for its three
+    consumers and must RELEASE it — a localCheckpoint here leaked one
+    persisted RDD per refresh for the session lifetime."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    for i in range(3):
+        eng.sql(f"INSERT INTO ns1.src VALUES ({i + 2}, 'A', 2.0)")
+        assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+            .collect()[0].mode == "incremental"
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
