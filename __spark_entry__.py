@@ -53,56 +53,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry ages past the stale horizon. Round-12 list
-# (VERDICT r11 "Next round" #1): (1) the 13 queries with NO driver-green
-# row or an r6-age one — the r11 bonus TPC-DS shapes b113–b123, the
-# uncapped n-gram lane, and text_url_extract (rank 51 of the r11 window,
-# the predicted one-round slip); (2) this round's 30 NEW entries — b124
-# substrait view execution, b125 iceberg v2 MOR pointer reads, the 4
-# prescribed TPC-DS shapes b126–b129, the 21 bonus shapes b130–b150,
-# the two retrieval/audit lanes sim_rrf_fusion + sim_covariance_pairs,
-# and b151 materialized-view incremental refresh
-# (a never-driver-checked entry is riskier than a stale-but-unchanged
-# r7 green — the exact lesson of the b113–b123 backlog this round pays
-# down; VERDICT r9/r11 precedent); (3) the OLDEST r7-age queries — 43
-# higher-priority entries consume the window first, so ~7 of the 45
-# fit a 50-slot window; the remainder, code unchanged since its r7
-# green, is explicitly queued to lead the r13 fills.
+# no query's newest driver entry ages past the stale horizon. Round-13 list
+# (VERDICT r12 "Next round" #1, verbatim contract): (1) ALL 38 remaining
+# r7-age queries lead the window — after this round no registry query's
+# newest driver-green predates r8, retiring the staleness ledger the
+# rotation system was built to pay down (their code is unchanged since
+# the r7 green, so they are low-risk fills, but the round contract is a
+# fresh row before the stale horizon); (2) the ≤12 NEW r13 entries —
+# the MV incremental-lane extensions (AVG via SUM/COUNT decomposition,
+# append-only multi-source UNION ALL, the noop/FULL lane gate), the
+# substrait OUTBOUND round-trip, the 4 prescribed TPC-DS shapes
+# (Q4, Q22, Q30/Q81, Q48/Q13) and bonus shapes. 38 + 12 = 50 exactly.
 _PRIORITY = [
-    # never driver-checked (r11 additions past the 50-slot window)
-    "b113_moving_avg_neighbor", "b114_shared_cte_two_channel",
-    "b115_frequent_items_semi", "b116_three_channel_ratio",
-    "b117_count_band_customers", "b118_equal_share_channels",
-    "b119_return_ratio_topk", "b120_below_avg_items",
-    "b121_growth_vs_channel", "b122_rollup_level_rank",
-    "b123_cov_consecutive_periods",
-    "dedup_ngram_jaccard_exact",
-    # oldest green in the whole registry (r6)
-    "text_url_extract",
-    # NEW this round (changed-path slots): prescribed + bonus shapes
-    "b124_reference_view_exec", "b125_iceberg_mor_pointer",
-    "b126_q5_channel_rollup", "b127_q17_fact_alignment",
-    "b128_q72_shifted_range_join", "b129_q95_two_hop_exists",
-    "b130_q1_above_avg_returns", "b131_q59_weekday_ratio",
-    "b132_q90_am_pm_ratio", "b133_q92_excess_discount",
-    "b134_q75_yoy_decline", "b135_q89_monthly_deviation",
-    "b136_q21_pivot_balance", "b137_q98_revenue_share",
-    "b138_q94_exists_not_exists", "b139_q61_promo_ratio",
-    "b140_q33_restricted_channels", "b141_q82_banded_inventory",
-    "b142_q62_lag_band_matrix", "b143_q66_quarterly_pivot",
-    "b144_q44_two_ended_rank", "b145_q9_bucket_battery",
-    "b146_q54_band_histogram", "b147_q45_semi_or_local",
-    "b148_q28_distinct_battery", "b149_q70_rank_gated_rollup",
-    "b150_q38_setop_counts", "sim_rrf_fusion", "sim_covariance_pairs",
-    "b151_materialized_view",
-    # the 45 r7-age queries (newest green = r7), oldest batch —
-    # ~7 fit a 50-slot window; the remainder ages one more round
-    # (code unchanged since its r7 green) and leads the r13 fills
-    "b14c_dist_window", "b15_running_sum", "b16_sort", "b16b_sort_nulls",
-    "b17_topk", "b18_union", "b18b_union_all", "b19_except",
-    "b19b_intersect", "b19c_except_intersect_all", "b20_cte_subquery",
-    "b21_string_fns", "b22_date_fns", "b22b_date_trunc_diff",
-    "b23_math_fns", "b36_sessionize", "b37_pivot",
+    # (1) the 38 r7-age queries — newest driver-green = r7, queued from
+    # r12 (VERDICT r12 What's-wrong #1 / Next-round #1)
+    "b19_except", "b19b_intersect", "b19c_except_intersect_all",
+    "b20_cte_subquery", "b21_string_fns", "b22_date_fns",
+    "b22b_date_trunc_diff", "b23_math_fns", "b36_sessionize", "b37_pivot",
     "b38_range_frame_window", "b39_lateral_topn", "b40_skew_salted_join",
     "b41_bloom_join_prune", "b42_unpivot", "b43_gap_fill",
     "b44_string_agg", "b45_not_in_nulls", "b46_grouping_sets",
@@ -113,6 +80,13 @@ _PRIORITY = [
     "dedup_winnowing", "text_bm25_topk", "text_segment_dedup",
     "text_token_freq_spectrum", "udf_grouped_custstats",
     "udf_mapinpandas_tokens", "udf_pandas_tiered",
+    # (2) NEW this round (never driver-checked)
+    "b151b_mv_avg_refresh", "b151c_mv_union_refresh", "b151d_mv_lanes",
+    "b124b_substrait_roundtrip",
+    "b153_q4_growth_chain", "b154_q22_qoh_rollup",
+    "b155_q30_state_return_gate", "b156_q13_demographic_bands",
+    "b157_q76_null_channel_report", "b158_q46_city_mismatch_pairs",
+    "b159_q50_return_lag_matrix", "b160_q80_netted_channel_rollup",
 ]
 
 
