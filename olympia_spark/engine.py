@@ -3255,6 +3255,7 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "ALTER TABLE RENAME COLUMN")
+        self._mv_guard_schema(tdef, name, "ALTER TABLE RENAME COLUMN")
         schema = tdef.spark_schema()
         names = [f.name for f in schema.fields]
         if old not in names:
@@ -3383,6 +3384,7 @@ class Engine:
         # silently shift every later scan's columns, so schema evolution
         # is part of the read-only contract for external formats
         self._require_native(tdef, name, "ALTER TABLE ADD COLUMNS")
+        self._mv_guard_schema(tdef, name, "ALTER TABLE ADD COLUMNS")
         schema = tdef.spark_schema()
         self._check_new_column_names(
             tdef, [f.name for f in columns.fields], "ALTER TABLE")
@@ -3774,6 +3776,7 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "ALTER TABLE DROP COLUMNS")
+        self._mv_guard_schema(tdef, name, "ALTER TABLE DROP COLUMNS")
         schema = tdef.spark_schema()
         missing = set(column_names) - {f.name for f in schema.fields}
         if missing:
@@ -4715,6 +4718,18 @@ class Engine:
     _MV_REFS_PROP = "mv.refs"
     _MV_SOURCES_PROP = "mv.sources"
     _MV_VIEWS_PROP = "mv.view_hash"
+    _MV_TZ_PROP = "mv.session_tz"
+
+    def _session_tz(self) -> str:
+        """The session timezone MV materializations are stamped with.
+        No default argument: Spark 4 VALIDATES a supplied default as a
+        timezone, so conf.get(key, "") throws INVALID_CONF_VALUE — the
+        key itself is always resolvable on a live session (caught by
+        the r13 driver-contract smoke)."""
+        try:
+            return self.spark.conf.get("spark.sql.session.timeZone")
+        except Exception:  # pragma: no cover — conf plane unavailable
+            return ""
 
     def _mv_expand_sources(self, refs, txn):
         """(tables, view_texts): referenced views expand TRANSITIVELY
@@ -4758,6 +4773,24 @@ class Engine:
         return sorted((k, v) for k, v in props.items()
                       if k == "policy.row_filter"
                       or k.startswith("policy.mask."))
+
+    @staticmethod
+    def _mv_semantic_sig(td: TableDef):
+        """Per-source semantic signature BEYOND the data-file list:
+        policy props (row filter / masks) plus the pointer/MOR state an
+        Iceberg pointer def hydrates — a re-registered pointer whose
+        new snapshot adds ONLY merge-on-read delete files leaves the
+        data-file list unchanged while rows were logically deleted, so
+        a file-list-only probe reports 'noop' on a stale MV (ADVICE
+        r12); changed identity-fill values or a repointed
+        metadata_location likewise change what a scan returns with
+        identical file paths. Any diff forces the always-correct full
+        lane (logical deletes are retractions the incremental merge
+        cannot represent)."""
+        return (Engine._policy_props(td.properties),
+                td.properties.get("iceberg.mor_deletes", ""),
+                td.properties.get("iceberg.identity_fill", ""),
+                td.metadata_location or "")
 
     def create_materialized_view(self, name: str, sql_text: str,
                                  replace: bool = False) -> None:
@@ -4819,6 +4852,13 @@ class Engine:
                 self._MV_SOURCES_PROP: json.dumps(
                     sorted(f"{n}.{t}" for n, t in tables)),
                 self._MV_VIEWS_PROP: self._mv_view_hash(view_texts),
+                # session timezone the materialization was evaluated
+                # under: to_date/date_format/date_trunc-on-string are
+                # zone-dependent, so a later refresh under a DIFFERENT
+                # zone must not merge new-zone delta rows into old-zone
+                # stored rows (ADVICE r12) — the probe forces the full
+                # lane when this drifts
+                self._MV_TZ_PROP: self._session_tz(),
             })
         self.catalog.create_table(txn, ns, tbl, tdef)
         files = self._write_files(df, ns, tbl, [], tdef=tdef)
@@ -4891,6 +4931,7 @@ class Engine:
         refs_raw = json.loads(
             tdef.properties.get(self._MV_REFS_PROP, "null")) or sources
         stored_hash = tdef.properties.get(self._MV_VIEWS_PROP)
+        cur_tz = self._session_tz()
 
         # files_changed → incremental candidate; force_full → the
         # change is NOT representable as a data delta (policy flip,
@@ -4900,6 +4941,15 @@ class Engine:
         # merge would silently keep them (review r12 s2)
         files_changed, force_full = [], False
         tables_now, vtexts_now = set(), {}
+        if tdef.properties.get(self._MV_TZ_PROP) != cur_tz:
+            # session-timezone drift (or a legacy MV without the stamp):
+            # _MV_SAFE_WORDS admits zone-dependent functions (to_date,
+            # date_format, date_trunc on strings) — evaluating the delta
+            # under the NEW zone and merging into stored rows computed
+            # under the OLD one would mix semantics in one MV with no
+            # probe signal (ADVICE r12); recompute whole under the
+            # current zone and restamp
+            force_full = True
         try:
             tables_now, vtexts_now = self._mv_expand_sources(
                 [self._split(r) for r in refs_raw], txn)
@@ -4913,8 +4963,8 @@ class Engine:
                     sns, stbl = self._split(s)
                     td0 = self.catalog.describe_table(t_last, sns, stbl)
                     td1 = self.catalog.describe_table(txn, sns, stbl)
-                    if self._policy_props(td0.properties) \
-                            != self._policy_props(td1.properties):
+                    if self._mv_semantic_sig(td0) \
+                            != self._mv_semantic_sig(td1):
                         force_full = True
                     if sorted(td0.file_paths()) != sorted(td1.file_paths()):
                         files_changed.append(s)
@@ -4943,17 +4993,21 @@ class Engine:
         plan = (None if (full or force_full or len(sources) != 1)
                 else self._mv_incremental_plan(q, sources[0], txn))
         delta = None
-        if plan is not None:
-            # persist: consumed by the retraction probe, the count and
-            # the delta aggregation — O(changed files) rows, cached
-            # once, RELEASED in the finally below (localCheckpoint
-            # would leave a persisted RDD behind for the session
-            # lifetime — one leak per refresh; review r12 s2 pass 6)
-            delta = self.table_changes(sources[0], last, cur).persist()
-            if delta.filter(F.col("_change_type") == "delete") \
-                    .limit(1).count():
-                plan = None     # retractions → full recompute
         try:
+            if plan is not None:
+                # persist: consumed by the retraction probe, the count
+                # and the delta aggregation — O(changed files) rows,
+                # cached once, RELEASED in the finally below, which must
+                # also cover the probe itself: a probe count that throws
+                # (scan failure, expired files) would otherwise leak the
+                # persisted DataFrame for the session lifetime (ADVICE
+                # r12; localCheckpoint leaks likewise, review r12 s2
+                # pass 6)
+                delta = self.table_changes(sources[0], last, cur) \
+                    .persist()
+                if delta.filter(F.col("_change_type") == "delete") \
+                        .limit(1).count():
+                    plan = None     # retractions → full recompute
             if plan is not None:
                 ins = (delta.filter(F.col("_change_type") == "insert")
                        .drop("_change_type"))
@@ -4980,7 +5034,8 @@ class Engine:
         # (review r12 s2 pass 2, reproduced). On expansion failure
         # (expired roots path) the old record stays.
         extra = {self._MV_VERSION_PROP: str(cur),
-                 self._MV_REFS_PROP: json.dumps(list(refs_raw))}
+                 self._MV_REFS_PROP: json.dumps(list(refs_raw)),
+                 self._MV_TZ_PROP: cur_tz}
         if tables_now:
             extra[self._MV_SOURCES_PROP] = json.dumps(
                 sorted(f"{t[0]}.{t[1]}" for t in tables_now))
@@ -5181,6 +5236,20 @@ class Engine:
                 f"{op}: {name} is a MATERIALIZED VIEW — its rows derive "
                 f"from its stored query; use REFRESH MATERIALIZED VIEW "
                 f"(or DROP it) instead of direct writes")
+
+    @staticmethod
+    def _mv_guard_schema(tdef: TableDef, name: str, op: str) -> None:
+        """Refuse schema-altering DDL against a materialized view — its
+        SCHEMA derives from the stored query; an added/dropped/renamed
+        column desyncs the table from the query and only surfaces later
+        as a confusing cast/AnalysisException at the next refresh
+        (ADVICE r12). Recreate the MV with the desired query instead."""
+        if tdef.properties.get("mv.query"):
+            raise ValueError(
+                f"{op}: {name} is a MATERIALIZED VIEW — its schema "
+                f"derives from its stored query; CREATE OR REPLACE "
+                f"MATERIALIZED VIEW with the desired query (or DROP it) "
+                f"instead of altering columns")
 
     # --- identifier resolution ----------------------------------------------
 

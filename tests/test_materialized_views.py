@@ -669,3 +669,104 @@ def test_refresh_leaves_no_persistent_rdds(eng, spark):
         assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
             .collect()[0].mode == "incremental"
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+# --- r13 ADVICE fixes ---------------------------------------------------------
+
+
+def test_schema_ddl_refused_on_mv(eng):
+    """ADVICE r13 (low): ALTER TABLE ADD/DROP/RENAME COLUMN on an MV
+    desyncs its schema from the stored query and only surfaces later as
+    a confusing cast/AnalysisException at the next refresh — refuse at
+    the DDL, naming the remedy."""
+    _seed(eng, [(1, "A", 10.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    for stmt in ("ALTER TABLE ns1.mv ADD COLUMNS (extra DOUBLE)",
+                 "ALTER TABLE ns1.mv RENAME COLUMN n TO n2",
+                 "ALTER TABLE ns1.mv DROP COLUMNS (mx)"):
+        with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+            eng.sql(stmt)
+    # plain source tables still alter fine through the same handlers
+    eng.sql("ALTER TABLE ns1.src ADD COLUMNS (extra DOUBLE)")
+
+
+def test_session_timezone_drift_forces_full_then_restamps(eng):
+    """ADVICE r13 (low): _MV_SAFE_WORDS admits session-timezone-
+    dependent functions (to_date, date_format, …) — a refresh under a
+    DIFFERENT spark.sql.session.timeZone must not merge new-zone delta
+    rows into old-zone stored rows. Zone drift forces the full lane;
+    the rewrite restamps the zone so the NEXT refresh is incremental
+    again."""
+    _seed(eng, [(1, "A", 10.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    old = eng.spark.conf.get("spark.sql.session.timeZone")
+    other = "Pacific/Kiritimati" if old != "Pacific/Kiritimati" else "UTC"
+    try:
+        eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 5.0)")
+        eng.spark.conf.set("spark.sql.session.timeZone", other)
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+        assert r.mode == "full"
+        eng.sql("INSERT INTO ns1.src VALUES (3, 'B', 2.0)")
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+        assert r.mode == "incremental"
+        assert _mv_rows(eng) == [("A", 2, 15.0, 5.0, 10.0),
+                                 ("B", 1, 2.0, 2.0, 2.0)]
+    finally:
+        eng.spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_repointed_source_pointer_forces_full_not_noop(eng):
+    """ADVICE r13 (medium): a source whose DATA-FILE LIST is unchanged
+    but whose pointer state changed (metadata_location repointed — the
+    persistable member of the hydration signature; a delete-only MOR
+    snapshot manifests exactly this way) must NOT probe as 'noop': the
+    stored rows may reflect logically-deleted data."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    txn = eng.catalog.begin()
+    td = eng.catalog.describe_table(txn, "ns1", "src")
+    td.metadata_location = "file:///repointed/v2/metadata.json"
+    eng.catalog.alter_table(txn, "ns1", "src", td)
+    eng.catalog.commit(txn)
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+
+
+def test_mv_semantic_sig_covers_mor_and_pointer_state():
+    """The per-source signature must see every hydration-visible axis:
+    policy props, iceberg.mor_deletes, iceberg.identity_fill, and the
+    metadata_location — four defs differing in exactly one axis each
+    produce four distinct signatures (ADVICE r13 medium)."""
+    from olympia_spark.catalog.defs import TableDef
+    defs = [
+        TableDef(),
+        TableDef(properties={"iceberg.mor_deletes": "[{\"path\": \"d\"}]"}),
+        TableDef(properties={"iceberg.identity_fill": "p_col"}),
+        TableDef(metadata_location="file:///m/v7.metadata.json"),
+    ]
+    sigs = [Engine._mv_semantic_sig(t) for t in defs]
+    assert len({repr(s) for s in sigs}) == 4
+    assert Engine._mv_semantic_sig(TableDef()) == sigs[0]
+
+
+def test_failed_delta_probe_leaves_no_persistent_rdds(eng, spark,
+                                                      monkeypatch):
+    """ADVICE r13 (low): the delta persist + retraction probe must sit
+    INSIDE the try/finally that owns unpersist — a probe that throws
+    (scan failure, expired files) would otherwise leak the persisted
+    DataFrame for the session lifetime."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0)")
+
+    def boom(_self=None, *a, **k):
+        raise RuntimeError("injected: 1/0")
+
+    bad = (spark.createDataFrame([("insert",)], "_change_type string")
+           .select(F.udf(boom, "int")(F.lit(1)).alias("x"),
+                   "_change_type"))
+    monkeypatch.setattr(Engine, "table_changes",
+                        lambda self, *a, **k: bad)
+    with pytest.raises(Exception):
+        eng.sql("REFRESH MATERIALIZED VIEW ns1.mv")
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
