@@ -4829,7 +4829,17 @@ class Engine:
             raise ValueError(
                 "a materialized view must reference at least one "
                 "catalog table")
-        df = self.spark.sql(self._resolve_sql(sql_text, txn))
+        # AVG decomposition (VERDICT r12 #3): if the query is
+        # incrementally maintainable and carries AVG aggregates,
+        # materialize hidden SUM/COUNT companion columns alongside —
+        # see _mv_companions; the declared schema excludes them
+        srcs = sorted(f"{n}.{t}" for n, t in tables)
+        cplan = (self._mv_incremental_plan(sql_text, srcs[0], txn)
+                 if len(srcs) == 1 else None)
+        df = self.spark.sql(self._resolve_sql(
+            self._mv_augmented_sql(cplan) or sql_text, txn))
+        declared = T.StructType([f for f in df.schema.fields
+                                 if not f.name.startswith("__mv_")])
         if self.catalog.table_exists(txn, ns, tbl):
             if not replace:
                 raise ValueError(f"table {ns}.{tbl} already exists")
@@ -4839,7 +4849,7 @@ class Engine:
                     f"{ns}.{tbl} exists and is not a materialized view")
             self.catalog.drop_table(txn, ns, tbl)
         tdef = TableDef(
-            schema_json=df.schema.json(),
+            schema_json=declared.json(),
             properties={
                 self._MV_QUERY_PROP: sql_text,
                 self._MV_VERSION_PROP: str(txn.base_version),
@@ -4875,7 +4885,8 @@ class Engine:
           version (metadata-only probe, COMMITS NOTHING — the
           watermark advances only when a refresh rewrites).
         * ``incremental`` — a single-source GROUP-BY aggregation
-          (COUNT/SUM/MIN/MAX, `_mv_incremental_plan`) whose delta since
+          (COUNT/SUM/MIN/MAX/AVG, `_mv_incremental_plan`; AVG decomposes
+          into hidden SUM/COUNT companion columns) whose delta since
           the recorded version is APPEND-ONLY: the change feed
           (O(changed files), never O(table)) aggregates through the
           SAME query shape and merges into the stored aggregate-sized
@@ -4990,8 +5001,27 @@ class Engine:
             # advances when a refresh actually rewrites, after which
             # the cur<=last fast path short-circuits.
             return report("noop", 0)
-        plan = (None if (full or force_full or len(sources) != 1)
-                else self._mv_incremental_plan(q, sources[0], txn))
+        cplan = (self._mv_incremental_plan(q, sources[0], txn)
+                 if len(sources) == 1 else None)
+        plan = None if (full or force_full) else cplan
+        stored = None
+        if plan is not None:
+            comp_cols = [c for pair in self._mv_companions(plan)
+                         for c in pair[:2]]
+            if not comp_cols:
+                stored = self._scan(tdef, tdef.file_paths())
+            elif tdef.file_paths():
+                # AVG companions live OUTSIDE the declared schema — read
+                # the MV's files RAW (engine-written plain parquet,
+                # never mapped/bucketed/partitioned). A legacy MV whose
+                # files predate the AVG lane lacks them → full recompute
+                # this once, which writes them back
+                stored = self.spark.read.parquet(
+                    *self._scan_uris(tdef.file_paths()))
+                if not set(comp_cols) <= set(stored.columns):
+                    plan, stored = None, None
+            else:  # empty materialization — trivially recompute whole
+                plan = None
         delta = None
         try:
             if plan is not None:
@@ -5012,16 +5042,23 @@ class Engine:
                 ins = (delta.filter(F.col("_change_type") == "insert")
                        .drop("_change_type"))
                 merged = self._mv_merge(
-                    self._scan(tdef, tdef.file_paths()),
+                    stored,
                     self._mv_apply_query(plan, ins),
                     plan, tdef.spark_schema())
                 mode, n = "incremental", delta.count()
             else:
-                merged = self.spark.sql(self._resolve_sql(q, txn))
+                # full recompute still goes through the AUGMENTED query
+                # when the shape is AVG-incrementalizable (cplan), so the
+                # rewrite restores the companions and the NEXT refresh
+                # can take the incremental lane again
+                aug = self._mv_augmented_sql(cplan)
+                merged = self.spark.sql(self._resolve_sql(aug or q, txn))
                 schema = tdef.spark_schema()
-                merged = merged.select(*[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in schema.fields])
+                merged = merged.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name)
+                      for f in schema.fields],
+                    *[F.col(c) for c in merged.columns
+                      if c.startswith("__mv_")])
                 mode, n = "full", 0
             files = self._write_files(merged, ns, tbl, [], tdef=tdef)
         finally:
@@ -5049,7 +5086,40 @@ class Engine:
         return report(mode, n)
 
     _MV_AGG_RE = re.compile(
-        r"^(COUNT|SUM|MIN|MAX)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S)
+        r"^(COUNT|SUM|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S)
+
+    @staticmethod
+    def _mv_companions(plan: dict) -> list[tuple[str, str, str, str]]:
+        """(sum_col, cnt_col, inner_expr, out_alias) per AVG aggregate:
+        AVG is not self-maintainable but decomposes EXACTLY — store
+        SUM(inner) and COUNT(inner) companions beside the avg column
+        (inside the MV's parquet files, OUTSIDE the declared schema, so
+        SELECT/DESCRIBE/time travel never see them — _scan projects the
+        declared schema) and recombine merged_sum / merged_cnt at merge
+        time (VERDICT r12 #3)."""
+        return [(f"__mv_sum__{out}", f"__mv_cnt__{out}", inner, out)
+                for kind, inner, out in plan["aggs"] if kind == "AVG"]
+
+    def _mv_augmented_sql(self, plan: dict | None) -> str | None:
+        """The stored query re-emitted WITH the AVG companion select
+        items, or None when there is nothing to augment. Reconstruction
+        is faithful: plan['select_raw'] is the verbatim (normalized)
+        select list the parse accepted, so declared column order is
+        preserved; companions append after it."""
+        if not plan:
+            return None
+        comp = self._mv_companions(plan)
+        if not comp:
+            return None
+        items = [plan["select_raw"]]
+        items += [f"SUM({inner}) AS {s}, COUNT({inner}) AS {c}"
+                  for s, c, inner, _out in comp]
+        sql = f"SELECT {', '.join(items)} FROM {plan['source']}"
+        if plan["where"]:
+            sql += f" WHERE {plan['where']}"
+        if plan["group"]:
+            sql += f" GROUP BY {', '.join(plan['group'])}"
+        return sql
 
     # identifier WHITELIST for the incremental lane: aggregate inners,
     # WHERE and GROUP BY may use source columns plus these deterministic
@@ -5058,7 +5128,7 @@ class Engine:
     # slipped the first version — review r12 s2 pass 2, reproduced);
     # anything unrecognized downgrades to the always-correct full lane.
     _MV_SAFE_WORDS = frozenset("""
-        count sum min max cast as and or not between in is null
+        count sum min max avg cast as and or not between in is null
         true false like rlike case when then else end coalesce nullif
         if ifnull nvl abs round floor ceil ceiling sign greatest least
         upper lower trim ltrim rtrim length char_length substring
@@ -5077,10 +5147,11 @@ class Engine:
         source, no second SELECT / JOIN / DISTINCT / window / HAVING /
         UNION / LIMIT / ORDER (word-boundary scan — a false hit merely
         downgrades to the always-correct full recompute), select items
-        either bare GROUP BY columns or COUNT/SUM/MIN/MAX aggregates
+        either bare GROUP BY columns or COUNT/SUM/MIN/MAX/AVG aggregates
         with aliases. These are the self-maintainable aggregates under
         APPEND-ONLY deltas (SUM/COUNT add; MIN/MAX are monotone under
-        inserts — deletes would need retraction state)."""
+        inserts; AVG decomposes exactly into SUM/COUNT companions —
+        deletes would need retraction state)."""
         norm = _normalize(q)
         low = norm.lower()
         if len(re.findall(r"\bselect\b", low)) != 1:
@@ -5107,6 +5178,10 @@ class Engine:
             return None
         group_cols = [c.strip() for c in gb.split(",")] if gb else []
         if not all(re.fullmatch(r"\w+", c) for c in group_cols):
+            return None
+        if "__mv_" in norm.lower():
+            # reserve the companion-column namespace: a user item named
+            # __mv_sum__x would collide with the hidden AVG companions
             return None
         aggs, bare = [], set()
         for item in self._split_top_level(items_raw):
@@ -5166,7 +5241,8 @@ class Engine:
         if idents - self._MV_SAFE_WORDS - src_cols - aliases:
             return None
         return {"group": group_cols, "aggs": aggs,
-                "where": where, "source": source}
+                "where": where, "source": source,
+                "select_raw": items_raw}
 
     def _mv_apply_query(self, plan: dict, rows: DataFrame) -> DataFrame:
         """Run the parsed MV aggregation over a rows relation (the
@@ -5178,6 +5254,8 @@ class Engine:
         sel = list(plan["group"])
         sel += [f"{kind}({inner}) AS {out}"
                 for kind, inner, out in plan["aggs"]]
+        sel += [f"SUM({inner}) AS {s}, COUNT({inner}) AS {c}"
+                for s, c, inner, _out in self._mv_companions(plan)]
         sql = f"SELECT {', '.join(sel)} FROM {alias}"
         if plan["where"]:
             sql += f" WHERE {plan['where']}"
@@ -5211,8 +5289,39 @@ class Engine:
         j = o.join(d, cond, "full_outer")
         cols = [F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k)
                 for k in plan["group"]]
+
+        def add_skipping_absent(a, b):
+            # SQL semantics: 'group absent on one side' and 'group
+            # present with all-NULL inputs' combine identically
+            return F.when(a.isNull(), b).when(b.isNull(), a) \
+                .otherwise(a + b)
+
+        companions = Engine._mv_companions(plan)
+        comp_by_out = {out: (s, c) for s, c, _i, out in companions}
+        comp_cols = []
+        for s, c, _inner, _out in companions:
+            # cast merged companions back to the DELTA side's canonical
+            # SUM/COUNT types: decimal addition widens precision every
+            # merge, and the stored files must keep ONE stable physical
+            # type across refreshes
+            s_t = delta.schema[s].dataType
+            c_t = delta.schema[c].dataType
+            comp_cols.append(add_skipping_absent(
+                F.col(f"o.{s}"), F.col(f"d.{s}")).cast(s_t).alias(s))
+            comp_cols.append(add_skipping_absent(
+                F.col(f"o.{c}"), F.col(f"d.{c}")).cast(c_t).alias(c))
         for kind, _inner, out in plan["aggs"]:
             a, b = F.col(f"o.{out}"), F.col(f"d.{out}")
+            if kind == "AVG":
+                # recombined EXACTLY from the merged companions — the
+                # same sum/count division Spark's Average evaluates;
+                # cnt==0 (a group whose every input was NULL) keeps the
+                # NULL avg instead of dividing by zero under ANSI
+                s, c = comp_by_out[out]
+                ms = add_skipping_absent(F.col(f"o.{s}"), F.col(f"d.{s}"))
+                mc = add_skipping_absent(F.col(f"o.{c}"), F.col(f"d.{c}"))
+                cols.append(F.when(mc > 0, ms / mc).alias(out))
+                continue
             if kind in ("SUM", "COUNT"):
                 combine = a + b
             elif kind == "MIN":
@@ -5221,9 +5330,11 @@ class Engine:
                 combine = F.greatest(a, b)
             cols.append(F.when(a.isNull(), b).when(b.isNull(), a)
                         .otherwise(combine).alias(out))
-        return j.select(*cols).select(*[
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            for f in schema.fields])
+        return j.select(*cols, *comp_cols).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in schema.fields],
+            *[F.col(s) for s, _c, _i, _o in companions],
+            *[F.col(c) for _s, c, _i, _o in companions])
 
     @staticmethod
     def _mv_guard(tdef: TableDef, name: str, op: str) -> None:

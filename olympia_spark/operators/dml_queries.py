@@ -927,3 +927,99 @@ def b151_materialized_view(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT o_orderpriority, n_orders, "
         "CAST(rev_dec AS DOUBLE) AS revenue, max_price "
         "FROM ns1.mv_rev ORDER BY o_orderpriority")
+
+
+# --- B151b AVG materialized view incremental refresh (r13) --------------------
+
+@query("b151b_mv_avg_refresh", oracle="""
+SELECT o_orderpriority,
+       AVG(o_totalprice) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+FROM (SELECT o_orderpriority, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 0.25 AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'O')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def b151b_mv_avg_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B151b — AVG on the MV INCREMENTAL lane (VERDICT r12 #3): AVG is
+    not self-maintainable but decomposes exactly — the materialization
+    stores hidden SUM/COUNT companion columns (inside the MV's parquet
+    files, outside the declared schema) and the refresh merge
+    recombines merged_sum/merged_cnt (engine._mv_companions /
+    _mv_merge). The refresh is ASSERTED incremental, so the
+    driver-checked avg values are the merged ones — companions adding
+    across the watermark — never a silent full recompute. Oracle
+    reproduces the post-refresh state as a pure SELECT over
+    source ∪ appended rows."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    if eng.catalog.table_exists(txn, "ns1", "mv_avg"):
+        eng.sql("DROP MATERIALIZED VIEW ns1.mv_avg")
+    if eng.catalog.table_exists(txn, "ns1", "orders_avgsrc"):
+        eng.sql("DROP TABLE ns1.orders_avgsrc")
+    eng.write_table(load(spark, sf, "orders"), "ns1.orders_avgsrc")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_avg AS "
+            "SELECT o_orderpriority, AVG(o_totalprice) AS avg_price, "
+            "COUNT(*) AS n_orders, MIN(o_totalprice) AS min_price "
+            "FROM ns1.orders_avgsrc GROUP BY o_orderpriority")
+    eng.sql("INSERT INTO ns1.orders_avgsrc "
+            "SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, "
+            "o_orderstatus, o_totalprice + 0.25 AS o_totalprice, "
+            "o_orderdate, o_orderpriority "
+            "FROM ns1.orders_avgsrc WHERE o_orderstatus = 'O'")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_avg").collect()[0]
+    if rep.mode != "incremental":    # the lane IS the operator
+        raise AssertionError(f"expected incremental refresh, got {rep}")
+    return eng.sql(
+        "SELECT o_orderpriority, avg_price, n_orders, "
+        "CAST(min_price AS DOUBLE) AS min_price "
+        "FROM ns1.mv_avg ORDER BY o_orderpriority")
+
+
+# --- B151d MV noop / FULL lanes driver gate (r13) -----------------------------
+
+@query("b151d_mv_lanes", oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""")
+def b151d_mv_lanes(spark: SparkSession, sf: str) -> DataFrame:
+    """B151d — the MV NOOP and FULL lanes, driver-gated (b151/b151b
+    gate the incremental lane): a refresh with no source change must
+    probe 'noop' AND COMMIT NOTHING (stamping a watermark on the noop
+    path would advance the catalog version and re-probe forever —
+    memory blind-spot #1); REFRESH ... FULL is the user override that
+    recomputes unconditionally. Both lanes asserted; the returned rows
+    are the post-FULL materialization, oracle-checked against a plain
+    aggregate over the unchanged source."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    if eng.catalog.table_exists(txn, "ns1", "mv_lanes"):
+        eng.sql("DROP MATERIALIZED VIEW ns1.mv_lanes")
+    if eng.catalog.table_exists(txn, "ns1", "orders_lanesrc"):
+        eng.sql("DROP TABLE ns1.orders_lanesrc")
+    eng.write_table(load(spark, sf, "orders"), "ns1.orders_lanesrc")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_lanes AS "
+            "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+            "MAX(o_totalprice) AS max_price "
+            "FROM ns1.orders_lanesrc GROUP BY o_orderstatus")
+    ver = eng.catalog.history()[0]["version"]
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_lanes").collect()[0]
+    if (rep.mode, rep.delta_rows) != ("noop", 0):
+        raise AssertionError(f"expected noop refresh, got {rep}")
+    if eng.catalog.history()[0]["version"] != ver:
+        raise AssertionError("noop refresh committed a version")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_lanes FULL") \
+        .collect()[0]
+    if rep.mode != "full":
+        raise AssertionError(f"expected full refresh, got {rep}")
+    return eng.sql(
+        "SELECT o_orderstatus, n_orders, "
+        "CAST(max_price AS DOUBLE) AS max_price "
+        "FROM ns1.mv_lanes ORDER BY o_orderstatus")

@@ -770,3 +770,125 @@ def test_failed_delta_probe_leaves_no_persistent_rdds(eng, spark,
     with pytest.raises(Exception):
         eng.sql("REFRESH MATERIALIZED VIEW ns1.mv")
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+# --- r13: AVG incremental lane (VERDICT r12 #3) --------------------------------
+
+
+AVG_Q = ("SELECT grp, AVG(v) AS av, COUNT(*) AS n, SUM(v) AS sv "
+         "FROM ns1.src GROUP BY grp")
+
+
+def _avg_rows(eng, mv="mv"):
+    return [tuple(r) for r in
+            eng.sql(f"SELECT * FROM ns1.{mv} ORDER BY grp NULLS FIRST")
+            .collect()]
+
+
+def test_avg_incremental_two_rounds_equals_recompute(eng):
+    """AVG decomposes into hidden SUM/COUNT companions: two append+
+    refresh rounds stay on the incremental lane and the merged avg
+    equals a from-scratch recompute each round."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 7.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AVG_Q}")
+    assert _avg_rows(eng) == [("A", 15.0, 2, 30.0), ("B", 7.0, 1, 7.0)]
+    for batch in ([(4, "A", 30.0), (5, "C", 1.0)],
+                  [(6, "B", 9.0), (7, "C", 3.0)]):
+        vals = ", ".join(f"({i}, '{g}', {v})" for i, g, v in batch)
+        eng.sql(f"INSERT INTO ns1.src VALUES {vals}")
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+        assert (r.mode, r.delta_rows) == ("incremental", 2)
+        full = [tuple(x) for x in
+                eng.read_table("ns1.src").groupBy("grp")
+                .agg(F.avg("v").alias("av"), F.count("*").alias("n"),
+                     F.sum("v").alias("sv")).orderBy("grp").collect()]
+        assert _avg_rows(eng) == full
+
+
+def test_avg_companions_invisible_to_reads(eng):
+    """The companion columns live in the parquet files but OUTSIDE the
+    declared schema: SELECT * / DESCRIBE / time travel never see them,
+    while the raw files DO carry them (the physical evidence)."""
+    _seed(eng, [(1, "A", 10.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT AVG(v) AS av, grp FROM ns1.src GROUP BY grp")
+    df = eng.sql("SELECT * FROM ns1.mv")
+    assert df.columns == ["av", "grp"]   # declared order preserved too
+    txn = eng.catalog.begin(read_only=True)
+    td = eng.catalog.describe_table(txn, "ns1", "mv")
+    raw = eng.spark.read.parquet(*eng._scan_uris(td.file_paths()))
+    assert {"__mv_sum__av", "__mv_cnt__av"} <= set(raw.columns)
+    desc = [f.name for f in td.spark_schema().fields]
+    assert desc == ["av", "grp"]
+
+
+def test_avg_null_inputs_and_global_avg(eng):
+    """A group whose stored inputs were all NULL (avg NULL, cnt 0) must
+    adopt the delta's values; a global AVG (no GROUP BY) merges through
+    the constant-key join."""
+    _seed(eng, [(1, "A", None), (2, "B", 4.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, AVG(v) AS av FROM ns1.src GROUP BY grp")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvg AS "
+            "SELECT AVG(v) AS av, COUNT(*) AS n FROM ns1.src")
+    assert _avg_rows(eng) == [("A", None), ("B", 4.0)]
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 6.0), (4, 'B', NULL)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "incremental"
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mvg") \
+        .collect()[0].mode == "incremental"
+    assert _avg_rows(eng) == [("A", 6.0), ("B", 4.0)]
+    assert [tuple(r) for r in eng.sql(
+        "SELECT * FROM ns1.mvg").collect()] == [(5.0, 4)]
+
+
+def test_avg_integer_column_long_sum_companion(eng):
+    """AVG over an integer column: the companion SUM is a LONG and adds
+    exactly; avg output type (double) matches Spark's Average."""
+    _seed(eng, [(1, "A", 1.0), (2, "A", 2.0)],
+          schema="id LONG, grp STRING, v DOUBLE")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, AVG(id) AS aid FROM ns1.src GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (6, 'A', 3.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "incremental"
+    assert _avg_rows(eng) == [("A", 3.0)]
+
+
+def test_avg_legacy_files_without_companions_full_then_incremental(eng):
+    """An AVG MV whose files lack the companions (legacy materialization,
+    simulated by rewriting the MV's files from the declared projection)
+    must take the FULL lane once — which writes the companions back —
+    then the next refresh is incremental again."""
+    from olympia_spark.catalog.actions import ActionType
+    _seed(eng, [(1, "A", 2.0), (2, "B", 4.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, AVG(v) AS av FROM ns1.src GROUP BY grp")
+    txn = eng.catalog.begin()
+    td = eng.catalog.describe_table(txn, "ns1", "mv")
+    declared_only = eng.read_table("ns1.mv")
+    files = eng._write_files(declared_only, "ns1", "mv", [], tdef=td)
+    eng.catalog.update_table_files(
+        txn, "ns1", "mv", files, td.file_paths(), ActionType.TABLE_UPDATE,
+        {"added": [f.path for f in files], "removed": td.file_paths()})
+    eng.catalog.commit(txn)
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 4.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    assert _avg_rows(eng) == [("A", 3.0), ("B", 4.0)]
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 8.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "incremental"
+    assert _avg_rows(eng) == [("A", 3.0), ("B", 6.0)]
+
+
+def test_companion_namespace_reserved(eng):
+    """A user alias in the companions' __mv_ namespace downgrades to the
+    full lane instead of colliding with the hidden columns."""
+    _seed(eng, [(1, "A", 2.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS __mv_sum__x FROM ns1.src "
+            "GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 3.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
