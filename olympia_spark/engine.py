@@ -4834,8 +4834,10 @@ class Engine:
         # materialize hidden SUM/COUNT companion columns alongside —
         # see _mv_companions; the declared schema excludes them
         srcs = sorted(f"{n}.{t}" for n, t in tables)
-        cplan = (self._mv_incremental_plan(sql_text, srcs[0], txn)
-                 if len(srcs) == 1 else None)
+        cplan = ((self._mv_incremental_plan(sql_text, srcs[0], txn)
+                  or self._mv_union_plan(sql_text, srcs, txn))
+                 if len(srcs) == 1
+                 else self._mv_union_plan(sql_text, srcs, txn))
         df = self.spark.sql(self._resolve_sql(
             self._mv_augmented_sql(cplan) or sql_text, txn))
         declared = T.StructType([f for f in df.schema.fields
@@ -4884,19 +4886,22 @@ class Engine:
         * ``noop`` — no source's file list changed since the recorded
           version (metadata-only probe, COMMITS NOTHING — the
           watermark advances only when a refresh rewrites).
-        * ``incremental`` — a single-source GROUP-BY aggregation
-          (COUNT/SUM/MIN/MAX/AVG, `_mv_incremental_plan`; AVG decomposes
+        * ``incremental`` — a GROUP-BY aggregation over ONE source
+          (`_mv_incremental_plan`) or over a UNION ALL of pure
+          projection/filter branches over known sources
+          (`_mv_union_plan`; COUNT/SUM/MIN/MAX/AVG, AVG decomposing
           into hidden SUM/COUNT companion columns) whose delta since
-          the recorded version is APPEND-ONLY: the change feed
+          the recorded version is APPEND-ONLY: each source's change feed
           (O(changed files), never O(table)) aggregates through the
           SAME query shape and merges into the stored aggregate-sized
           result. This is the 100 TB point — a dashboard aggregate
           over a daily-append fact refreshes by scanning one day's
           files; only the aggregate-sized MV table rewrites.
         * ``full`` — everything else (deletes/updates in the delta
-          need retraction state; multi-source or non-incrementalizable
-          queries; ``FULL`` requested; the recorded version's root no
-          longer loadable): rerun the stored query and overwrite.
+          need retraction state; joined-source or otherwise
+          non-incrementalizable queries; ``FULL`` requested; the
+          recorded version's root no longer loadable): rerun the
+          stored query and overwrite.
 
         The data rewrite and the new version stamp commit ATOMICALLY
         (one update_table_files CAS). Returns a one-row report
@@ -5001,8 +5006,10 @@ class Engine:
             # advances when a refresh actually rewrites, after which
             # the cur<=last fast path short-circuits.
             return report("noop", 0)
-        cplan = (self._mv_incremental_plan(q, sources[0], txn)
-                 if len(sources) == 1 else None)
+        cplan = ((self._mv_incremental_plan(q, sources[0], txn)
+                  or self._mv_union_plan(q, sources, txn))
+                 if len(sources) == 1
+                 else self._mv_union_plan(q, sources, txn))
         plan = None if (full or force_full) else cplan
         stored = None
         if plan is not None:
@@ -5022,30 +5029,37 @@ class Engine:
                     plan, stored = None, None
             else:  # empty materialization — trivially recompute whole
                 plan = None
-        delta = None
+        deltas: dict[str, DataFrame] = {}
         try:
             if plan is not None:
-                # persist: consumed by the retraction probe, the count
-                # and the delta aggregation — O(changed files) rows,
-                # cached once, RELEASED in the finally below, which must
-                # also cover the probe itself: a probe count that throws
-                # (scan failure, expired files) would otherwise leak the
-                # persisted DataFrame for the session lifetime (ADVICE
-                # r12; localCheckpoint leaks likewise, review r12 s2
-                # pass 6)
-                delta = self.table_changes(sources[0], last, cur) \
-                    .persist()
-                if delta.filter(F.col("_change_type") == "delete") \
-                        .limit(1).count():
-                    plan = None     # retractions → full recompute
+                # persist: each changed source's feed is consumed by the
+                # retraction probe, the count and the delta aggregation —
+                # O(changed files) rows, cached once, RELEASED in the
+                # finally below, which must also cover the probe itself:
+                # a probe count that throws (scan failure, expired
+                # files) would otherwise leak the persisted DataFrame
+                # for the session lifetime (ADVICE r12; localCheckpoint
+                # leaks likewise, review r12 s2 pass 6)
+                for s in sorted(set(files_changed)):
+                    d = self.table_changes(s, last, cur).persist()
+                    deltas[s] = d
+                    if d.filter(F.col("_change_type") == "delete") \
+                            .limit(1).count():
+                        plan = None     # retractions → full recompute
+                        break
+                if not deltas:
+                    plan = None         # defensive: nothing to consume
             if plan is not None:
-                ins = (delta.filter(F.col("_change_type") == "insert")
-                       .drop("_change_type"))
+                ins = {s: d.filter(F.col("_change_type") == "insert")
+                       .drop("_change_type") for s, d in deltas.items()}
                 merged = self._mv_merge(
                     stored,
-                    self._mv_apply_query(plan, ins),
+                    self._mv_apply_query(
+                        plan, ins if "branches" in plan
+                        else ins[sources[0]]),
                     plan, tdef.spark_schema())
-                mode, n = "incremental", delta.count()
+                mode = "incremental"
+                n = sum(d.count() for d in deltas.values())
             else:
                 # full recompute still goes through the AUGMENTED query
                 # when the shape is AVG-incrementalizable (cplan), so the
@@ -5062,8 +5076,8 @@ class Engine:
                 mode, n = "full", 0
             files = self._write_files(merged, ns, tbl, [], tdef=tdef)
         finally:
-            if delta is not None:
-                delta.unpersist()
+            for d in deltas.values():
+                d.unpersist()
         # restamp the WHOLE dependency record, not just the watermark:
         # a force_full caused by a view redefinition or source drift
         # must store the NEW expansion, or every later refresh
@@ -5114,7 +5128,8 @@ class Engine:
         items = [plan["select_raw"]]
         items += [f"SUM({inner}) AS {s}, COUNT({inner}) AS {c}"
                   for s, c, inner, _out in comp]
-        sql = f"SELECT {', '.join(items)} FROM {plan['source']}"
+        sql = (f"SELECT {', '.join(items)} "
+               f"FROM {plan.get('from_sql') or plan['source']}")
         if plan["where"]:
             sql += f" WHERE {plan['where']}"
         if plan["group"]:
@@ -5183,6 +5198,35 @@ class Engine:
             # reserve the companion-column namespace: a user item named
             # __mv_sum__x would collide with the hidden AVG companions
             return None
+        aggs = self._mv_parse_select_items(items_raw, group_cols)
+        if aggs is None:
+            return None
+        # identifier WHITELIST: every word token in the select items /
+        # WHERE / GROUP BY must be a source column, a safe deterministic
+        # keyword/function/type, or one of the output aliases.
+        # Time-/run-dependent expressions (current_date, curdate, rand,
+        # uuid, …) are exactly the ones NOT here — applying them to the
+        # delta only would freeze stored rows at their old evaluation
+        # with no retraction, silently wrong (review r12 s2 pass 2)
+        if txn is None:
+            return None
+        src_cols = self._mv_source_cols(source, txn)
+        aliases = {out.lower() for _k, _i, out in aggs}
+        body = " ".join(filter(None, (items_raw, where, gb)))
+        if not self._mv_screen(body, src_cols, aliases):
+            return None
+        return {"group": group_cols, "aggs": aggs,
+                "where": where, "source": source,
+                "select_raw": items_raw}
+
+    def _mv_parse_select_items(self, items_raw: str,
+                               group_cols: list[str]):
+        """Outer select-list parse shared by the single-source and
+        union plans: items are either bare GROUP BY columns or
+        COUNT/SUM/MIN/MAX/AVG aggregates with aliases. Returns the agg
+        list, or None → full lane (including a GROUP BY key missing
+        from the SELECT list — valid SQL, but the merge join needs
+        every key ON the stored side, review r12 s2)."""
         aggs, bare = [], set()
         for item in self._split_top_level(items_raw):
             item = item.strip()
@@ -5196,73 +5240,250 @@ class Engine:
                 return None
             aggs.append((am.group(1).upper(), am.group(2).strip(),
                          am.group(3)))
-        if bare != set(group_cols):
-            # a GROUP BY key missing from the SELECT list is valid SQL
-            # but the merge join needs every key ON the stored side —
-            # full lane (review r12 s2)
+        if bare != set(group_cols) or not aggs:
             return None
-        if not aggs:
-            return None
-        # identifier WHITELIST: every word token in the select items /
-        # WHERE / GROUP BY must be a source column, a safe deterministic
-        # keyword/function/type, or one of the output aliases.
-        # Time-/run-dependent expressions (current_date, curdate, rand,
-        # uuid, …) are exactly the ones NOT here — applying them to the
-        # delta only would freeze stored rows at their old evaluation
-        # with no retraction, silently wrong (review r12 s2 pass 2)
-        if txn is None:
-            return None
+        return aggs
+
+    def _mv_source_cols(self, source: str, txn) -> set[str]:
         sns, stbl = self._split(source)
-        src_cols = {f.name.lower() for f in
-                    self.catalog.describe_table(txn, sns, stbl)
-                    .spark_schema().fields}
-        aliases = {out.lower() for _k, _i, out in aggs}
-        body = " ".join(filter(None, (items_raw, where, gb)))
-        # quoted identifiers + both literal syntaxes + comments in ONE
-        # pass (see _scrub_literals — every sequential variant of this
-        # cross-paired some delimiter, r12 s2 passes 4-6); backticked
-        # names become the poison placeholder, so ANY backtick
-        # downgrades to the always-correct full lane
+        return {f.name.lower() for f in
+                self.catalog.describe_table(txn, sns, stbl)
+                .spark_schema().fields}
+
+    def _mv_screen(self, body: str, allowed_cols: set[str],
+                   aliases: set[str],
+                   banned_calls: frozenset = frozenset()) -> bool:
+        """Identifier WHITELIST for incremental-lane bodies: every word
+        token must be an allowed column, a safe deterministic keyword/
+        function/type, or an output alias; every CALL token must be a
+        safe word in its own right (a column named rand must not
+        whitelist the function rand() — review r12 s2 pass 3) and not
+        in banned_calls (union branches may not aggregate). Quoted
+        identifiers + both literal syntaxes + comments scrub in ONE
+        pass (_scrub_literals — sequential variants cross-paired, r12
+        s2 passes 4-6); digit-led literals scrub before tokenizing."""
         scrubbed = _scrub_literals(body)
-        # digit-led literals (25, 1e5, 1.5E-3, 0x1F) tokenize as bogus
-        # identifiers (e5, x1F) and would silently cost the incremental
-        # lane — scrub them too (review r12 s2 pass 3)
         scrubbed = re.sub(r"\b\d[\w.]*", " ", scrubbed)
-        # a token followed by '(' is a FUNCTION CALL and must be a safe
-        # word in its own right — a source column or alias named rand/
-        # uuid/now must not whitelist the function of the same name
-        # (review r12 s2 pass 3, reproduced)
         calls = {t.lower() for t in
                  re.findall(r"([A-Za-z_]\w*)\s*\(", scrubbed)}
-        if calls - self._MV_SAFE_WORDS:
-            return None
+        if calls - self._MV_SAFE_WORDS or calls & banned_calls:
+            return False
         idents = {t.lower() for t in
                   re.findall(r"[A-Za-z_]\w*", scrubbed)}
-        if idents - self._MV_SAFE_WORDS - src_cols - aliases:
-            return None
-        return {"group": group_cols, "aggs": aggs,
-                "where": where, "source": source,
-                "select_raw": items_raw}
+        return not (idents - self._MV_SAFE_WORDS - allowed_cols
+                    - aliases)
 
-    def _mv_apply_query(self, plan: dict, rows: DataFrame) -> DataFrame:
-        """Run the parsed MV aggregation over a rows relation (the
-        append-only delta) — same WHERE, same grouping, same aggregate
-        expressions, so the delta aggregate is type- and
-        semantics-identical to the stored one."""
-        alias = f"olympia__mv_delta__{uuid.uuid4().hex[:8]}"
-        rows.createOrReplaceTempView(alias)
-        sel = list(plan["group"])
-        sel += [f"{kind}({inner}) AS {out}"
-                for kind, inner, out in plan["aggs"]]
-        sel += [f"SUM({inner}) AS {s}, COUNT({inner}) AS {c}"
-                for s, c, inner, _out in self._mv_companions(plan)]
-        sql = f"SELECT {', '.join(sel)} FROM {alias}"
-        if plan["where"]:
-            sql += f" WHERE {plan['where']}"
-        if plan["group"]:
-            sql += f" GROUP BY {', '.join(plan['group'])}"
-        out = self.spark.sql(sql)
-        self.spark.catalog.dropTempView(alias)   # plan already resolved
+    _MV_AGG_WORDS = frozenset({"count", "sum", "min", "max", "avg"})
+
+    @staticmethod
+    def _mv_code_view(text: str) -> str:
+        """Length-preserving copy with string-literal CONTENTS blanked
+        (quote chars kept) — positions map 1:1 to the original, so
+        paren balancing and keyword matching run on code only. No
+        escape forms: callers refuse backslashes and backticks up
+        front; a doubled quote parses as two adjacent literals, which
+        is equivalent for skipping purposes."""
+        out = list(text)
+        quote = None
+        for i, ch in enumerate(text):
+            if quote:
+                if ch == quote:
+                    quote = None
+                else:
+                    out[i] = " "
+            elif ch in "'\"":
+                quote = ch
+        return "".join(out)
+
+    def _mv_union_plan(self, q: str, sources: list[str], txn=None):
+        """Append-only MULTI-SOURCE incremental shape (VERDICT r12 #4):
+        ``SELECT <group+aggs> FROM (branch UNION ALL branch …) [alias]
+        [WHERE …] [GROUP BY …]`` where every branch is a pure
+        projection/filter ``SELECT items FROM <source> [WHERE …]`` over
+        one known source table — the channel-report shape (cf. b126).
+        Each source's append delta maps through ITS branches only;
+        unchanged sources contribute nothing; the group-key merge is
+        the single-source one. Anything else — joins, aggregating or
+        subquerying branches, branches over views, mismatched branch
+        output names — refuses to the always-correct full lane."""
+        if txn is None:
+            return None
+        norm = _normalize(q)
+        low = norm.lower()
+        if "__mv_" in low or "\\" in norm or "`" in norm:
+            # no escape/quoting forms the position-preserving code view
+            # cannot track — full lane
+            return None
+        code = self._mv_code_view(norm)
+        for kw in ("join", "over", "distinct", "having",
+                   "limit", "order"):
+            if re.search(rf"\b{kw}\b", code, re.I):
+                return None
+        m = re.match(r"SELECT\s(.+?)\sFROM\s*\(", code, re.I | re.S)
+        if not m:
+            return None
+        items_raw = norm[m.start(1):m.end(1)]
+        # balanced-paren scan ON THE CODE VIEW for the FROM subquery
+        depth, j = 1, None
+        for i in range(m.end(), len(code)):
+            if code[i] == "(":
+                depth += 1
+            elif code[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    j = i
+                    break
+        if j is None:
+            return None
+        inner, inner_code = norm[m.end():j], code[m.end():j]
+        rest, rest_code = norm[j + 1:], code[j + 1:]
+        # tail structure located on the code view (an outer WHERE
+        # literal containing ' GROUP BY ' must not split the clause)
+        gm = re.search(r"\bGROUP BY\b", rest_code, re.I)
+        wm = re.search(r"\bWHERE\b", rest_code, re.I)
+        gb = rest[gm.end():].strip() if gm else None
+        w_end = gm.start() if gm else len(rest)
+        where = rest[wm.end():w_end].strip() if wm else None
+        head_end = wm.start() if wm else (gm.start() if gm else len(rest))
+        head = rest[:head_end].strip().rstrip(";")
+        if head and not re.fullmatch(r"(?:AS\s+)?\w+", head, re.I):
+            return None              # only an optional derived-table alias
+        # split the subquery into branches at top-level UNION ALL
+        depth, pos_depth = 0, []
+        for ch in inner_code:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            pos_depth.append(depth)
+        spans = [(um.start(), um.end()) for um in
+                 re.finditer(r"\bUNION\s+ALL\b", inner_code, re.I)
+                 if pos_depth[um.start()] == 0]
+        if not spans:
+            return None
+        if re.search(r"\bUNION\b(?!\s+ALL\b)", inner_code, re.I):
+            return None              # bare UNION dedups — not append-safe
+        branches_txt, prev = [], 0
+        for s0, e0 in spans:
+            branches_txt.append((inner[prev:s0], inner_code[prev:s0]))
+            prev = e0
+        branches_txt.append((inner[prev:], inner_code[prev:]))
+        # one SELECT per branch and none elsewhere — no nested subqueries
+        if len(re.findall(r"\bSELECT\b", code, re.I)) \
+                != 1 + len(branches_txt):
+            return None
+        src_by_low = {s.lower(): s for s in sources}
+        branches, out_names = [], None
+        for btxt, bcode in branches_txt:
+            bm = re.match(r"\s*SELECT\s(.+)\sFROM\s+(\S+)", bcode,
+                          re.I | re.S)
+            if not bm:
+                return None
+            bitems = btxt[bm.start(1):bm.start(1) + len(bm.group(1))]
+            tail, tail_code = (btxt[bm.end(2):], bcode[bm.end(2):])
+            bwm = re.search(r"\bWHERE\b", tail_code, re.I)
+            if tail_code.strip() and not bwm:
+                return None
+            if bwm and tail_code[:bwm.start()].strip():
+                return None
+            bwhere = tail[bwm.end():].strip() if bwm else None
+            src = src_by_low.get(bm.group(2).rstrip(";").lower())
+            if src is None:
+                return None
+            names = []
+            for item in self._split_top_level(bitems):
+                item = item.strip()
+                am = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", item,
+                                  re.I | re.S)
+                if am:
+                    names.append(am.group(2))
+                elif re.fullmatch(r"\w+", item):
+                    names.append(item)
+                else:
+                    return None      # unaliased expression
+            lowered = [n.lower() for n in names]
+            if out_names is None:
+                out_names = lowered
+            elif lowered != out_names:
+                # the delta may include only SOME branches, so the
+                # outer query must resolve identically against any
+                # subset — every branch must emit the same names
+                return None
+            body = " ".join(filter(None, (bitems, bwhere)))
+            if re.search(r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*", body):
+                return None          # qualified refs can't resolve on
+            # the delta temp views (review r12 s2)
+            if not self._mv_screen(body, self._mv_source_cols(src, txn),
+                                   set(lowered),
+                                   banned_calls=self._MV_AGG_WORDS):
+                return None
+            branches.append((src, bitems.strip(), bwhere))
+        if {s.lower() for s, _i, _w in branches} != set(src_by_low):
+            # a recorded source no branch reads (reached via a view,
+            # say) would change without any branch consuming its delta
+            return None
+        group_cols = [c.strip() for c in gb.split(",")] if gb else []
+        if not all(re.fullmatch(r"\w+", c) for c in group_cols):
+            return None
+        if re.search(r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*",
+                     items_raw + " " + (where or "")):
+            return None
+        aggs = self._mv_parse_select_items(items_raw, group_cols)
+        if aggs is None:
+            return None
+        aliases = {out.lower() for _k, _i, out in aggs}
+        body = " ".join(filter(None, (items_raw, where, gb)))
+        if not self._mv_screen(body, set(out_names), aliases):
+            return None
+        return {"group": group_cols, "aggs": aggs, "where": where,
+                "select_raw": items_raw, "branches": branches,
+                "from_sql": f"({inner.strip()}) olympia__mv_u"}
+
+    def _mv_apply_query(self, plan: dict, rows) -> DataFrame:
+        """Run the parsed MV aggregation over the append-only delta —
+        same WHERE, same grouping, same aggregate expressions, so the
+        delta aggregate is type- and semantics-identical to the stored
+        one. ``rows``: a DataFrame (single-source lane) or a
+        {source: DataFrame} map of per-source deltas (union lane —
+        each changed source's delta flows through ITS branches only;
+        branches over unchanged sources are simply absent, which is
+        sound because every branch emits the same output names)."""
+        tmps, views = [], {}
+        try:
+            if "branches" in plan:
+                legs = []
+                for src, bitems, bwhere in plan["branches"]:
+                    if src not in rows:
+                        continue        # unchanged source: empty delta
+                    if src not in views:
+                        a = f"olympia__mv_delta__{uuid.uuid4().hex[:8]}"
+                        rows[src].createOrReplaceTempView(a)
+                        tmps.append(a)
+                        views[src] = a
+                    leg = f"SELECT {bitems} FROM {views[src]}"
+                    if bwhere:
+                        leg += f" WHERE {bwhere}"
+                    legs.append(leg)
+                frm = f"({' UNION ALL '.join(legs)}) olympia__mv_u"
+            else:
+                a = f"olympia__mv_delta__{uuid.uuid4().hex[:8]}"
+                rows.createOrReplaceTempView(a)
+                tmps.append(a)
+                frm = a
+            sel = list(plan["group"])
+            sel += [f"{kind}({inner}) AS {out}"
+                    for kind, inner, out in plan["aggs"]]
+            sel += [f"SUM({inner}) AS {s}, COUNT({inner}) AS {c}"
+                    for s, c, inner, _out in self._mv_companions(plan)]
+            sql = f"SELECT {', '.join(sel)} FROM {frm}"
+            if plan["where"]:
+                sql += f" WHERE {plan['where']}"
+            if plan["group"]:
+                sql += f" GROUP BY {', '.join(plan['group'])}"
+            out = self.spark.sql(sql)
+        finally:
+            for a in tmps:              # plan already resolved
+                self.spark.catalog.dropTempView(a)
         return out
 
     @staticmethod
@@ -5300,12 +5521,14 @@ class Engine:
         comp_by_out = {out: (s, c) for s, c, _i, out in companions}
         comp_cols = []
         for s, c, _inner, _out in companions:
-            # cast merged companions back to the DELTA side's canonical
-            # SUM/COUNT types: decimal addition widens precision every
-            # merge, and the stored files must keep ONE stable physical
-            # type across refreshes
-            s_t = delta.schema[s].dataType
-            c_t = delta.schema[c].dataType
+            # cast merged companions to the STORED side's canonical
+            # types (minted by the augmented create/full recompute):
+            # decimal addition widens precision every merge, and the
+            # union lane's delta types can vary with WHICH branches are
+            # present — the physical type must stay stable across
+            # refreshes
+            s_t = old.schema[s].dataType
+            c_t = old.schema[c].dataType
             comp_cols.append(add_skipping_absent(
                 F.col(f"o.{s}"), F.col(f"d.{s}")).cast(s_t).alias(s))
             comp_cols.append(add_skipping_absent(

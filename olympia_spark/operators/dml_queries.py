@@ -17,6 +17,7 @@ Spark job over the tracked file list.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from olympia_spark.operators.registry import dsum, query
 from olympia_spark.tables import load
@@ -1023,3 +1024,72 @@ def b151d_mv_lanes(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT o_orderstatus, n_orders, "
         "CAST(max_price AS DOUBLE) AS max_price "
         "FROM ns1.mv_lanes ORDER BY o_orderstatus")
+
+
+# --- B151c multi-source UNION ALL materialized view (r13) ---------------------
+
+@query("b151c_mv_union_refresh", oracle="""
+WITH store AS (
+  SELECT o_orderpriority AS pri, o_totalprice AS amt FROM orders
+), web0 AS (
+  SELECT o_orderpriority AS pri, o_totalprice + 1.0 AS amt
+  FROM orders WHERE o_orderstatus = 'O'
+), web AS (
+  SELECT pri, amt FROM web0
+  UNION ALL
+  SELECT pri, amt + 0.5 AS amt FROM web0 WHERE pri = '1-URGENT'
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n_sales,
+       CAST(SUM(CAST(amt AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       AVG(amt) AS avg_amt
+FROM (SELECT pri, amt FROM store
+      UNION ALL
+      SELECT pri, amt FROM web WHERE amt > 1000)
+GROUP BY pri
+ORDER BY pri
+""")
+def b151c_mv_union_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B151c — MULTI-SOURCE incremental refresh (VERDICT r12 #4): an
+    aggregation over a UNION ALL of projection/filter branches over TWO
+    source tables (the channel-report shape, cf. b126) refreshes
+    O(delta) PER SOURCE — an append to one channel consumes only that
+    source's change feed through ITS branch (engine._mv_union_plan /
+    _mv_apply_query); the unchanged channel contributes nothing. The
+    refresh is ASSERTED incremental; AVG rides its SUM/COUNT companions
+    and SUM accumulates in exact DECIMAL. The oracle reproduces the
+    post-refresh state as a pure SELECT over both channels ∪ the
+    appended rows."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    for t in ("mv_channels", "sales_store", "sales_web"):
+        if eng.catalog.table_exists(txn, "ns1", t):
+            kind = "MATERIALIZED VIEW" if t.startswith("mv_") else "TABLE"
+            eng.sql(f"DROP {kind} ns1.{t}")
+    o = load(spark, sf, "orders")
+    eng.write_table(
+        o.select(F.col("o_orderpriority").alias("pri"),
+                 F.col("o_totalprice").alias("amt")), "ns1.sales_store")
+    eng.write_table(
+        o.filter("o_orderstatus = 'O'")
+        .select(F.col("o_orderpriority").alias("pri"),
+                (F.col("o_totalprice") + 1.0).alias("amt")),
+        "ns1.sales_web")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_channels AS "
+            "SELECT pri, COUNT(*) AS n_sales, "
+            "SUM(CAST(amt AS DECIMAL(25,6))) AS rev_dec, "
+            "AVG(amt) AS avg_amt FROM "
+            "(SELECT pri, amt FROM ns1.sales_store "
+            "UNION ALL "
+            "SELECT pri, amt FROM ns1.sales_web WHERE amt > 1000) u "
+            "GROUP BY pri")
+    eng.sql("INSERT INTO ns1.sales_web "
+            "SELECT pri, amt + 0.5 AS amt FROM ns1.sales_web "
+            "WHERE pri = '1-URGENT'")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_channels") \
+        .collect()[0]
+    if rep.mode != "incremental":    # the per-source lane IS the operator
+        raise AssertionError(f"expected incremental refresh, got {rep}")
+    return eng.sql(
+        "SELECT pri, n_sales, CAST(rev_dec AS DOUBLE) AS revenue, "
+        "avg_amt FROM ns1.mv_channels ORDER BY pri")

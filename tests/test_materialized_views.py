@@ -892,3 +892,131 @@ def test_companion_namespace_reserved(eng):
     eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 3.0)")
     assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
         .collect()[0].mode == "full"
+
+
+# --- r13: multi-source UNION ALL incremental lane (VERDICT r12 #4) -------------
+
+
+def _seed_two(eng):
+    _seed(eng, [(1, "A", 10.0), (2, "B", 5.0)], tbl="a")
+    eng.write_table(eng.spark.createDataFrame(
+        [(1, "A", 3.0), (2, "A", 4.0)], "id LONG, grp STRING, w DOUBLE"),
+        "ns1.b")
+
+
+UNION_Q = ("SELECT grp, COUNT(*) AS n, SUM(v) AS sv, AVG(v) AS av FROM "
+           "(SELECT grp, v FROM ns1.a UNION ALL "
+           "SELECT grp, w AS v FROM ns1.b WHERE w > 3) u GROUP BY grp")
+
+
+def test_union_mv_incremental_per_source_deltas(eng):
+    """The channel-report shape: an aggregation over a UNION ALL of
+    projection/filter branches refreshes O(delta) PER SOURCE — appends
+    to either (or both) sources take the incremental lane, branch
+    WHEREs apply to the delta, and AVG merges through its companions."""
+    _seed_two(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {UNION_Q}")
+    assert _mv_rows(eng) == [("A", 2, 14.0, 7.0), ("B", 1, 5.0, 5.0)]
+    eng.sql("INSERT INTO ns1.a VALUES (3, 'B', 7.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    eng.sql("INSERT INTO ns1.b VALUES (9, 'B', 100.0), (10, 'B', 1.0)")
+    eng.sql("INSERT INTO ns1.a VALUES (4, 'A', 2.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 3)
+    assert _mv_rows(eng) == [
+        ("A", 3, 16.0, 16.0 / 3), ("B", 3, 112.0, 112.0 / 3)]
+    # unchanged afterwards → noop, commits nothing
+    ver = eng.catalog.history()[0]["version"]
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "noop"
+    assert eng.catalog.history()[0]["version"] == ver
+
+
+def test_union_mv_single_source_unchanged_contributes_nothing(eng):
+    """Appending to ONE source consumes only that source's change feed;
+    the other branch is absent from the delta union (sound because
+    every branch emits the same output names)."""
+    _seed_two(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {UNION_Q}")
+    eng.sql("INSERT INTO ns1.b VALUES (7, 'B', 6.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    assert _mv_rows(eng) == [("A", 2, 14.0, 7.0), ("B", 2, 11.0, 5.5)]
+
+
+def test_union_mv_same_source_in_two_branches(eng):
+    """One source feeding TWO branches (the b151 oracle shape): its
+    delta flows through both branches' projections."""
+    _seed(eng, [(1, "A", 10.0), (2, "B", 5.0)], tbl="a")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, SUM(v) AS sv FROM "
+            "(SELECT grp, v FROM ns1.a UNION ALL "
+            "SELECT grp, v + 100 AS v FROM ns1.a WHERE grp = 'A') u "
+            "GROUP BY grp")
+    eng.sql("INSERT INTO ns1.a VALUES (3, 'A', 1.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    assert _mv_rows(eng) == [("A", 222.0), ("B", 5.0)]
+
+
+def test_union_mv_retraction_in_one_source_forces_full(eng):
+    _seed_two(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {UNION_Q}")
+    eng.sql("DELETE FROM ns1.a WHERE id = 1")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    # a keeps (B,5); b contributes only (A,4) past the w>3 filter
+    assert _mv_rows(eng) == [("A", 1, 4.0, 4.0), ("B", 1, 5.0, 5.0)]
+    assert eng.spark.sparkContext._jsc.sc() \
+        .getPersistentRDDs().size() == 0
+
+
+def test_union_mv_grammar_refusals_downgrade_to_full(eng):
+    """Shapes the union plan must NOT claim: aggregating branches, bare
+    UNION (dedups — not append-safe), mismatched branch output names,
+    nested subqueries, joins. Each still materializes correctly and
+    refreshes on the FULL lane."""
+    _seed_two(eng)
+    cases = [
+        # aggregating branch
+        "SELECT grp, SUM(v) AS sv FROM (SELECT grp, SUM(v) AS v "
+        "FROM ns1.a GROUP BY grp UNION ALL SELECT grp, w AS v "
+        "FROM ns1.b) u GROUP BY grp",
+        # bare UNION
+        "SELECT grp, COUNT(*) AS n FROM (SELECT grp, v FROM ns1.a "
+        "UNION SELECT grp, w AS v FROM ns1.b) u GROUP BY grp",
+        # mismatched branch output names
+        "SELECT grp, COUNT(*) AS n FROM (SELECT grp, v FROM ns1.a "
+        "UNION ALL SELECT grp, w FROM ns1.b) u GROUP BY grp",
+        # join inside the subquery
+        "SELECT x.grp, COUNT(*) AS n FROM (SELECT a1.grp AS grp "
+        "FROM ns1.a a1 JOIN ns1.b b1 ON a1.id = b1.id "
+        "UNION ALL SELECT grp FROM ns1.b) x GROUP BY x.grp",
+    ]
+    for i, q in enumerate(cases):
+        try:
+            eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvu{i} AS {q}")
+        except Exception:
+            continue     # some shapes may be refused outright — fine
+        eng.sql(f"INSERT INTO ns1.a VALUES ({50 + i}, 'A', 1.0)")
+        got = eng.sql(f"REFRESH MATERIALIZED VIEW ns1.mvu{i}") \
+            .collect()[0].mode
+        assert got == "full", (q, got)
+
+
+def test_union_mv_literal_containing_keywords_stays_sound(eng):
+    """Branch/outer literals containing ' GROUP BY ', ' UNION ALL ' or
+    parens must not confuse the position-preserving code view — the
+    plan still parses and the refresh merges correctly."""
+    _seed_two(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM "
+            "(SELECT grp, v FROM ns1.a WHERE grp <> ' UNION ALL (x' "
+            "UNION ALL SELECT grp, w AS v FROM ns1.b "
+            "WHERE grp <> ' GROUP BY (' ) u "
+            "WHERE grp <> 'zz GROUP BY q' GROUP BY grp")
+    eng.sql("INSERT INTO ns1.a VALUES (5, 'C', 1.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(eng) == [("A", 3,), ("B", 1,), ("C", 1,)]
