@@ -86,7 +86,7 @@ _PRIORITY = [
     "b153_q4_growth_chain", "b154_q22_qoh_rollup",
     "b155_q30_state_return_gate", "b156_q13_demographic_bands",
     "b157_q76_null_channel_report", "b158_q46_city_mismatch_pairs",
-    "b159_q50_return_lag_matrix", "b160_q80_netted_channel_rollup",
+    "b159_q6_dim_avg_gate", "b160_q80_netted_channel_rollup",
 ]
 
 

@@ -168,6 +168,19 @@ HEADLINE = [
     "sim_rrf_fusion",
     "sim_covariance_pairs",
     "b151_materialized_view",
+    # round 13
+    "b151b_mv_avg_refresh",
+    "b151c_mv_union_refresh",
+    "b151d_mv_lanes",
+    "b124b_substrait_roundtrip",
+    "b153_q4_growth_chain",
+    "b154_q22_qoh_rollup",
+    "b155_q30_state_return_gate",
+    "b156_q13_demographic_bands",
+    "b157_q76_null_channel_report",
+    "b158_q46_city_mismatch_pairs",
+    "b159_q6_dim_avg_gate",
+    "b160_q80_netted_channel_rollup",
 ]
 
 

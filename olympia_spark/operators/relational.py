@@ -5149,3 +5149,517 @@ def b150_q38_setop_counts(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.when(F.col("a").isNotNull() & F.col("b").isNull()
                        & F.col("c").isNull(), 1))
         .cast("long").alias("n_first_only"))
+
+
+# --- B153 TPC-DS Q4 shape (three-channel growth chain) -------------------------
+
+@query("b153_q4_growth_chain", oracle="""
+WITH yt AS (
+  SELECT o_custkey AS k,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'c1'
+              WHEN o_orderpriority = '2-HIGH' THEN 'c2'
+              ELSE 'c3' END AS ch,
+         CASE WHEN YEAR(o_orderdate) <= 1997 THEN 1 ELSE 2 END AS per,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS tot
+  FROM orders GROUP BY 1, 2, 3)
+SELECT a1.k AS o_custkey,
+       CAST(b1.tot AS DOUBLE) AS high_p1, CAST(b2.tot AS DOUBLE) AS high_p2,
+       CAST(a1.tot AS DOUBLE) AS urgent_p1, CAST(a2.tot AS DOUBLE) AS urgent_p2,
+       CAST(d1.tot AS DOUBLE) AS rest_p1, CAST(d2.tot AS DOUBLE) AS rest_p2
+FROM yt a1
+  JOIN yt a2 ON a1.k = a2.k AND a2.ch='c1' AND a2.per=2
+  JOIN yt b1 ON a1.k = b1.k AND b1.ch='c2' AND b1.per=1
+  JOIN yt b2 ON a1.k = b2.k AND b2.ch='c2' AND b2.per=2
+  JOIN yt d1 ON a1.k = d1.k AND d1.ch='c3' AND d1.per=1
+  JOIN yt d2 ON a1.k = d2.k AND d2.ch='c3' AND d2.per=2
+WHERE a1.ch='c1' AND a1.per=1
+  AND b2.tot * a1.tot > b1.tot * a2.tot
+  AND b2.tot * d1.tot > b1.tot * d2.tot
+ORDER BY o_custkey
+""")
+def b153_q4_growth_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """B153 — TPC-DS Q4 signature shape (VERDICT r12 #5): customers
+    whose period-over-period growth in ONE channel outpaced their
+    growth in BOTH other channels — Q4's year_total CTE self-joined
+    SIX ways (the literal SQL the oracle runs, per-channel×year cells
+    re-derived by re-scanning the CTE). Spark-first, all six cells
+    ((urgent, high, rest) × (period1, period2)) come from ONE
+    conditional aggregation per customer — one scan, one exchange,
+    ZERO joins (contract: tests/test_plan_contracts.py::
+    test_b153_one_scan_no_joins). Both growth comparisons run as exact
+    decimal cross-multiplication (denominators are sums of positive
+    prices): h2·u1 > h1·u2 AND h2·r1 > h1·r2 — no division, no FP
+    boundary flap. Presence in all six cells via the conditional sums'
+    NULL production, exactly the six-way inner join's semantics.
+    Extends b121 (Q74, two channels): the third channel makes it Q4's
+    full growth CHAIN."""
+    o = load(spark, sf, "orders")
+    price = F.col("o_totalprice").cast(DEC)
+    ch = (F.when(F.col("o_orderpriority") == "1-URGENT", "c1")
+          .when(F.col("o_orderpriority") == "2-HIGH", "c2")
+          .otherwise("c3"))
+    per = F.when(F.year("o_orderdate") <= 1997, 1).otherwise(2)
+
+    def cell(c: str, p: int, alias: str):
+        return F.sum(F.when((ch == c) & (per == p), price)).alias(alias)
+
+    t = (o.groupBy(F.col("o_custkey").alias("k"))
+         .agg(cell("c1", 1, "u1"), cell("c1", 2, "u2"),
+              cell("c2", 1, "h1"), cell("c2", 2, "h2"),
+              cell("c3", 1, "r1"), cell("c3", 2, "r2")))
+    present = None
+    for c in ("u1", "u2", "h1", "h2", "r1", "r2"):
+        cond = F.col(c).isNotNull()
+        present = cond if present is None else present & cond
+    return (t.filter(present
+                     & (F.col("h2") * F.col("u1")
+                        > F.col("h1") * F.col("u2"))
+                     & (F.col("h2") * F.col("r1")
+                        > F.col("h1") * F.col("r2")))
+            .select(F.col("k").alias("o_custkey"),
+                    F.col("h1").cast("double").alias("high_p1"),
+                    F.col("h2").cast("double").alias("high_p2"),
+                    F.col("u1").cast("double").alias("urgent_p1"),
+                    F.col("u2").cast("double").alias("urgent_p2"),
+                    F.col("r1").cast("double").alias("rest_p1"),
+                    F.col("r2").cast("double").alias("rest_p2"))
+            .orderBy("o_custkey"))
+
+
+# --- B154 TPC-DS Q22 shape (average-ordered rollup hierarchy) -------------------
+
+@query("b154_q22_qoh_rollup", oracle="""
+WITH r AS (
+  SELECT p_brand AS brand, p_type AS typ,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000000 // COUNT(*)
+              AS BIGINT) AS qoh_ppm,
+         CAST(GROUPING(p_brand) + GROUPING(p_type) AS BIGINT)
+             AS lochierarchy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY ROLLUP (p_brand, p_type))
+SELECT brand, typ, qoh_ppm, lochierarchy
+FROM r
+ORDER BY qoh_ppm, brand NULLS FIRST, typ NULLS FIRST
+LIMIT 100
+""")
+def b154_q22_qoh_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """B154 — TPC-DS Q22 signature shape (VERDICT r12 #5): average
+    quantity-on-hand over a ROLLUP of item attributes, ORDERED BY the
+    average itself with a top-k cut — Q22's report is the k smallest
+    qoh cells across ALL hierarchy levels mixed together. The ranked
+    measure is an exact integer ppm (qty·10⁶ div count — a double
+    average would let order ties flap between engines at the LIMIT
+    boundary, memory class #8); the dimension join broadcasts (part is
+    the small side); ONE Expand feeds the rollup and the global top-100
+    is a TakeOrderedAndProject, never a full sort (contract:
+    tests/test_plan_contracts.py::test_b154_broadcast_rollup_topk).
+    Extends b122 (Q36 rank-in-level): Q22's new element is the
+    cross-level average ordering + top-k under a dimension join."""
+    li = (load(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1999-01-01"))
+          .select("l_partkey", "l_quantity"))
+    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_type")
+    r = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .rollup("p_brand", "p_type")
+         .agg(F.expr("sum(cast(l_quantity as bigint)) * 1000000 "
+                     "div count(*)").cast("long").alias("qoh_ppm"),
+              (F.grouping("p_brand") + F.grouping("p_type")).cast("long")
+              .alias("lochierarchy"))
+         .withColumnRenamed("p_brand", "brand")
+         .withColumnRenamed("p_type", "typ"))
+    return (r.orderBy(F.col("qoh_ppm").asc(),
+                      F.col("brand").asc_nulls_first(),
+                      F.col("typ").asc_nulls_first())
+            .limit(100)
+            .select("brand", "typ", "qoh_ppm", "lochierarchy"))
+
+
+# --- B155 TPC-DS Q30/Q81 shape (above-group-average returns, entity join-back) --
+
+@query("b155_q30_state_return_gate", oracle="""
+WITH ctr AS (
+  SELECT c_custkey AS k, c_name, n_name AS nation,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6))) AS ret
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3)
+SELECT k AS c_custkey, c_name, nation,
+       CAST(ret AS DOUBLE) AS total_return
+FROM ctr c1
+WHERE ret * (SELECT COUNT(*) FROM ctr c2
+             WHERE c2.nation = c1.nation) * 5
+      > (SELECT SUM(ret) FROM ctr c2
+         WHERE c2.nation = c1.nation) * 6
+ORDER BY c_custkey
+""")
+def b155_q30_state_return_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """B155 — TPC-DS Q30/Q81 signature shape (VERDICT r12 #5):
+    customers whose total returns exceed 1.2× their state's average
+    return, joined back to the customer dimension for the report —
+    Q30's literal SQL (the oracle) re-scans the per-customer CTE in
+    TWO correlated subqueries per row. Spark-first the per-customer
+    return relation aggregates ONCE; the per-nation (sum, count)
+    stats collapse to a 25-row relation that BROADCASTS back (never a
+    data-scale window partitioned by the handful of nations — at 10⁹
+    customers a per-nation window sort is the skew trap), and the
+    1.2× gate runs as exact decimal cross-multiplication
+    ret·cnt·5 > sum·6 — no division, no FP boundary flap. Customer
+    and nation dims broadcast. Contract: tests/test_plan_contracts.py::
+    test_b155_stats_broadcast_no_window."""
+    li = (load(spark, sf, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  F.expr("CAST(l_extendedprice * (1 - l_discount) "
+                         "AS DECIMAL(25,6))").alias("rv")))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_name",
+                                           "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    ctr = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy(F.col("c_custkey").alias("k"), "c_name",
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum("rv").alias("ret"))
+           # pinned: the gate side AND the stats side read this ONE
+           # per-customer aggregate — without it Spark re-derives the
+           # whole fact join for the stats branch (two fact scans at
+           # 100 TB); once-per-query registry lane, so localCheckpoint
+           # is the right pin here (memory blind-spot #8)
+           ).localCheckpoint()
+    stats = (ctr.groupBy("nation")
+             .agg(F.sum("ret").alias("nat_sum"),
+                  F.count("*").alias("nat_cnt")))
+    return (ctr.join(F.broadcast(stats), "nation")
+            .filter(F.col("ret") * F.col("nat_cnt") * 5
+                    > F.col("nat_sum") * 6)
+            .select(F.col("k").alias("c_custkey"), "c_name", "nation",
+                    F.col("ret").cast("double").alias("total_return"))
+            .orderBy("c_custkey"))
+
+
+# --- B156 TPC-DS Q48/Q13 shape (OR-of-ANDs demographic band predicate) ----------
+
+_B156_BANDS = [
+    ("BUILDING", ("1-URGENT",), 50000, 150000),
+    ("MACHINERY", ("2-HIGH",), 100000, 250000),
+    ("AUTOMOBILE", ("3-MEDIUM", "5-LOW"), 10000, 120000),
+]
+
+
+@query("b156_q13_demographic_bands", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS revenue,
+       CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END)
+            AS BIGINT) AS n_band1,
+       CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END)
+            AS BIGINT) AS n_band2,
+       CAST(COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END)
+            AS BIGINT) AS n_band3
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+  AND ((c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+        AND o_totalprice BETWEEN 50000 AND 150000)
+    OR (c_mktsegment = 'MACHINERY' AND o_orderpriority = '2-HIGH'
+        AND o_totalprice BETWEEN 100000 AND 250000)
+    OR (c_mktsegment = 'AUTOMOBILE'
+        AND o_orderpriority IN ('3-MEDIUM', '5-LOW')
+        AND o_totalprice BETWEEN 10000 AND 120000))
+""")
+def b156_q13_demographic_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """B156 — TPC-DS Q48/Q13 signature shape (VERDICT r12 #5): a fact
+    scanned under an OR of conjunctive demographic+measure band
+    clauses — each disjunct pins a dimension attribute, a fact
+    attribute and a fact-measure range. The anti-pattern is one scan
+    (or one UNION leg) PER BAND; Spark-first the whole disjunction
+    evaluates in ONE pass over one broadcast-joined scan, the common
+    conjunct (o_orderstatus) pushes into the parquet scan as a pushed
+    filter, and the per-band tallies are conditional aggregates of the
+    same pass (contract: tests/test_plan_contracts.py::
+    test_b156_one_scan_pushed_common_conjunct). BETWEEN bounds are
+    integer literals against a double measure — identical comparison
+    semantics both engines."""
+    o = (load(spark, sf, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_custkey", "o_orderpriority", "o_totalprice"))
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    band = None
+    tallies = []
+    for i, (seg, pris, lo, hi) in enumerate(_B156_BANDS, 1):
+        cl = ((F.col("c_mktsegment") == seg)
+              & F.col("o_orderpriority").isin(*pris)
+              & F.col("o_totalprice").between(float(lo), float(hi)))
+        band = cl if band is None else band | cl
+        tallies.append(
+            F.count(F.when(F.col("c_mktsegment") == seg, 1))
+            .cast("long").alias(f"n_band{i}"))
+    return (j.filter(band)
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                 .alias("revenue"),
+                 *tallies))
+
+
+# --- B157 TPC-DS Q76 shape (heterogeneous-NULL-column union report) -------------
+
+@query("b157_q76_null_channel_report", oracle="""
+SELECT ch, yr, seg, pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(amt AS DECIMAL(25,6))) AS DOUBLE) AS amount
+FROM (
+  SELECT 'ord' AS ch, CAST(YEAR(o_orderdate) AS INT) AS yr,
+         CAST(NULL AS VARCHAR) AS seg, o_orderpriority AS pri,
+         o_totalprice AS amt
+  FROM orders
+  UNION ALL
+  SELECT 'line' AS ch, CAST(YEAR(l_shipdate) AS INT) AS yr,
+         CAST(NULL AS VARCHAR) AS seg, CAST(NULL AS VARCHAR) AS pri,
+         l_extendedprice AS amt
+  FROM lineitem
+  UNION ALL
+  SELECT 'cust' AS ch, CAST(YEAR(o_orderdate) AS INT) AS yr,
+         c_mktsegment AS seg, CAST(NULL AS VARCHAR) AS pri,
+         o_totalprice AS amt
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+GROUP BY ch, yr, seg, pri
+ORDER BY ch, yr, seg NULLS FIRST, pri NULLS FIRST
+""")
+def b157_q76_null_channel_report(spark: SparkSession, sf: str) -> DataFrame:
+    """B157 — TPC-DS Q76 signature shape (r13, bonus): a single grouped
+    report over a UNION ALL of channels with HETEROGENEOUS columns —
+    each channel projects literal NULL for the dimensions it does not
+    carry (Q76's store/web/catalog legs each null a different key), so
+    the union's grouping keys mix real values and channel-shaped NULLs
+    and every NULL group is a REAL group. One aggregation over the
+    union — never one agg per channel re-unioned; each leg's scan is
+    column-PRUNED to its contribution and the dimension broadcast
+    joins only in the leg that needs it (contract:
+    tests/test_plan_contracts.py::test_b157_pruned_legs_one_agg)."""
+    null_s = F.lit(None).cast("string")
+    o = load(spark, sf, "orders")
+    ord_leg = o.select(
+        F.lit("ord").alias("ch"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        null_s.alias("seg"), F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("amt"))
+    line_leg = load(spark, sf, "lineitem").select(
+        F.lit("line").alias("ch"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+        null_s.alias("seg"), null_s.alias("pri"),
+        F.col("l_extendedprice").alias("amt"))
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    cust_leg = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .select(F.lit("cust").alias("ch"),
+                        F.year("o_orderdate").cast("int").alias("yr"),
+                        F.col("c_mktsegment").alias("seg"),
+                        null_s.alias("pri"),
+                        F.col("o_totalprice").alias("amt")))
+    u = ord_leg.unionAll(line_leg).unionAll(cust_leg)
+    return (u.groupBy("ch", "yr", "seg", "pri")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.col("amt").cast(DEC)).cast("double")
+                 .alias("amount"))
+            .orderBy("ch", "yr", F.col("seg").asc_nulls_first(),
+                     F.col("pri").asc_nulls_first()))
+
+
+# --- B158 TPC-DS Q46/Q68 shape (dim joined twice, cross-copy inequality) --------
+
+@query("b158_q46_city_mismatch_pairs", oracle="""
+WITH per AS (
+  SELECT l_orderkey AS ok, n_name AS supp_nation,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT ok AS o_orderkey, c_name, n2.n_name AS cust_nation,
+       supp_nation, CAST(rev AS DOUBLE) AS revenue
+FROM per
+JOIN orders ON ok = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE supp_nation <> n2.n_name
+ORDER BY rev DESC, o_orderkey, supp_nation
+LIMIT 100
+""")
+def b158_q46_city_mismatch_pairs(spark: SparkSession, sf: str
+                                 ) -> DataFrame:
+    """B158 — TPC-DS Q46/Q68 signature shape (r13, bonus): ONE
+    dimension joined into the query TWICE through different paths
+    (Q46 joins customer_address as current_addr AND customer_addr)
+    with an INEQUALITY across the two copies — here nation reaches the
+    fact via the supplier chain and via the customer chain, and the
+    report keeps per-order rows where the two disagree. Both dimension
+    chains broadcast (supplier/customer/nation are the small sides);
+    the per-(order, supplier-nation) aggregate shuffles ONCE on the
+    fact key; the top-100 is a TakeOrderedAndProject over the EXACT
+    DECIMAL revenue with full tiebreaks (a double sort key would let
+    the LIMIT boundary flap between engines — memory class #8).
+    Contract: tests/test_plan_contracts.py::
+    test_b158_two_dim_copies_broadcast_topk."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.expr("CAST(l_extendedprice * (1 - l_discount) "
+               "AS DECIMAL(25,6))").alias("rv"))
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_name",
+                                           "c_nationkey")
+    per = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n1), s.s_nationkey == n1.sk)
+           .groupBy(F.col("l_orderkey").alias("ok"), "supp_nation")
+           .agg(F.sum("rv").alias("rev")))
+    return (per.join(o, per.ok == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n2), c.c_nationkey == n2.ck)
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .orderBy(F.col("rev").desc(), "ok", "supp_nation")
+            .limit(100)
+            .select(F.col("ok").alias("o_orderkey"), "c_name",
+                    "cust_nation", "supp_nation",
+                    F.col("rev").cast("double").alias("revenue")))
+
+
+# --- B159 TPC-DS Q6 shape (dimension-side category-average gate) ----------------
+
+@query("b159_q6_dim_avg_gate", oracle="""
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(p_retailprice AS DECIMAL(25,6))
+      * (SELECT COUNT(*) FROM part p2 WHERE p2.p_type = part.p_type)
+      > (SELECT SUM(CAST(p_retailprice AS DECIMAL(25,6))) FROM part p2
+         WHERE p2.p_type = part.p_type)
+GROUP BY n_name
+HAVING COUNT(*) >= 10
+ORDER BY cnt, nation
+""")
+def b159_q6_dim_avg_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """B159 — TPC-DS Q6 signature shape (r13, bonus): the fact filtered
+    through a DIMENSION-side average gate — items priced above 1.2×
+    their own category's average — then entity counts with a HAVING
+    floor. Q6's literal SQL (the oracle) runs the category average as
+    a correlated subquery per item. Spark-first the gate is computed
+    ENTIRELY on the part dimension (per-type (sum, count) over the
+    part table — a 6-row stats relation joined back to part, all
+    pre-fact), so the expensive-part set resolves before the fact is
+    touched and broadcasts into the lineitem scan as an equi-join;
+    the above-average gate is exact decimal cross-multiplication
+    price·cnt > sum (Q6 uses 1.2×avg; the synthetic uniform price
+    band [900,1000] makes any factor >1.05 empty at every scale, so
+    the factor here is 1.0 — the gate algebra is identical).
+    Distinct from b92/b120 (fact-side averages):
+    here the average never touches the fact. Contract:
+    tests/test_plan_contracts.py::test_b159_dim_gate_broadcasts."""
+    p = load(spark, sf, "part").select(
+        "p_partkey", "p_type",
+        F.col("p_retailprice").cast(DEC).alias("price"))
+    stats = (p.groupBy("p_type")
+             .agg(F.sum("price").alias("t_sum"),
+                  F.count("*").alias("t_cnt")))
+    exp_parts = (p.join(F.broadcast(stats), "p_type")
+                 .filter(F.col("price") * F.col("t_cnt")
+                         > F.col("t_sum"))
+                 .select("p_partkey"))
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (li.join(F.broadcast(exp_parts),
+                    li.l_partkey == exp_parts.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .filter(F.col("cnt") >= 10)
+            .orderBy("cnt", "nation"))
+
+
+# --- B160 TPC-DS Q80 shape (returns-netted multi-channel rollup) ----------------
+
+@query("b160_q80_netted_channel_rollup", oracle="""
+WITH ret AS (
+  SELECT l_orderkey AS ok,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6))) AS rt
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+), legs AS (
+  SELECT 'open' AS ch, o_orderpriority AS pri,
+         CAST(o_totalprice AS DECIMAL(25,6)) - COALESCE(rt, 0) AS net
+  FROM orders LEFT JOIN ret ON o_orderkey = ok
+  WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT 'done' AS ch, o_orderpriority AS pri,
+         CAST(o_totalprice AS DECIMAL(25,6)) - COALESCE(rt, 0) AS net
+  FROM orders LEFT JOIN ret ON o_orderkey = ok
+  WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT 'pend' AS ch, o_orderpriority AS pri,
+         CAST(o_totalprice AS DECIMAL(25,6)) - COALESCE(rt, 0) AS net
+  FROM orders LEFT JOIN ret ON o_orderkey = ok
+  WHERE o_orderstatus = 'P')
+SELECT ch, pri, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(net) AS DOUBLE) AS net_value,
+       CAST(GROUPING(ch) + GROUPING(pri) AS BIGINT) AS lochierarchy
+FROM legs GROUP BY ROLLUP (ch, pri)
+ORDER BY lochierarchy DESC, ch NULLS FIRST, pri NULLS FIRST
+""")
+def b160_q80_netted_channel_rollup(spark: SparkSession, sf: str
+                                   ) -> DataFrame:
+    """B160 — TPC-DS Q80 signature shape (r13, bonus): a multi-channel
+    report where each channel's gross is NETTED against its returns
+    via a LEFT JOIN before a cross-channel ROLLUP — Q80's literal SQL
+    (the oracle) runs one LEFT-JOINed leg per channel and unions them.
+    The channels here partition ONE fact by status, so Spark-first the
+    three legs collapse: ONE orders scan, ONE left join against the
+    per-order returns aggregate (returns are the small side — the
+    per-order sums of 'R' rows), channel via CASE, one Expand for the
+    rollup, NO Union (contract: tests/test_plan_contracts.py::
+    test_b160_one_scan_one_join_no_union). Netting stays in exact
+    DECIMAL end to end; absent returns net as COALESCE 0 — LEFT JOIN
+    semantics, not dropped rows. Extends b110 (returns netting) and
+    b126 (channel rollup): the composition is Q80's signature."""
+    ret = (load(spark, sf, "lineitem")
+           .filter(F.col("l_returnflag") == "R")
+           .groupBy(F.col("l_orderkey").alias("ok"))
+           .agg(F.sum(F.expr(
+               "CAST(l_extendedprice * (1 - l_discount) "
+               "AS DECIMAL(25,6))")).alias("rt")))
+    o = load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "done")
+        .otherwise("pend").alias("ch"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast(DEC).alias("gross"))
+    netted = (o.join(ret, o.o_orderkey == ret.ok, "left")
+              .select("ch", "pri",
+                      (F.col("gross")
+                       - F.coalesce(F.col("rt"), F.lit(0))).alias("net")))
+    r = (netted.rollup("ch", "pri")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("net").cast("double").alias("net_value"),
+              (F.grouping("ch") + F.grouping("pri")).cast("long")
+              .alias("lochierarchy")))
+    return r.orderBy(F.col("lochierarchy").desc(),
+                     F.col("ch").asc_nulls_first(),
+                     F.col("pri").asc_nulls_first())

@@ -1604,3 +1604,220 @@ def test_b150_random_vs_python_setops(spark, tmp_path):
                             "event_type STRING"))
     got = registry.QUERIES["b150_q38_setop_counts"](spark, d).collect()[0]
     assert (got.n_all3, got.n_first_only) == exp
+
+
+# --- round 13: b153-b160 TPC-DS shape pins -------------------------------------
+
+
+def test_b153_growth_chain_strictness_and_presence(spark, tmp_path):
+    """B153 crafted pin: cust 1 passes (high growth 3× beats both 2×);
+    cust 2 TIES the urgent comparison (strict > excludes); cust 3 is
+    missing one cell (six-way inner-join presence excludes); cust 4
+    TIES the rest comparison (excluded)."""
+    import datetime as dt
+    p1, p2 = dt.datetime(1995, 3, 1), dt.datetime(1998, 3, 1)
+
+    def rows(k, u1, u2, h1, h2, r1=None, r2=None):
+        out = [(k, "1-URGENT", p1, u1), (k, "1-URGENT", p2, u2),
+               (k, "2-HIGH", p1, h1), (k, "2-HIGH", p2, h2)]
+        if r1 is not None:
+            out.append((k, "5-LOW", p1, r1))
+        if r2 is not None:
+            out.append((k, "5-LOW", p2, r2))
+        return out
+
+    d = _tpch(spark, tmp_path, orders=(
+        rows(1, 10.0, 20.0, 10.0, 30.0, 10.0, 20.0)
+        + rows(2, 10.0, 20.0, 10.0, 20.0, 10.0, 10.0)
+        + rows(3, 10.0, 20.0, 10.0, 30.0, None, 20.0)
+        + rows(4, 10.0, 20.0, 10.0, 30.0, 10.0, 30.0),
+        "o_custkey LONG, o_orderpriority STRING, "
+        "o_orderdate TIMESTAMP, o_totalprice DOUBLE"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b153_q4_growth_chain"](spark, d).collect()]
+    assert got == [(1, 10.0, 30.0, 10.0, 20.0, 10.0, 20.0)]
+
+
+def test_b154_exact_ppm_ordering_and_window_filter(spark, tmp_path):
+    """B154 crafted pin: cross-level ordering by the exact integer ppm
+    mixes leaves, subtotals and the grand total deterministically;
+    rows outside the shipdate window never count."""
+    import datetime as dt
+    ship = dt.datetime(1997, 1, 1)
+    out = dt.datetime(1995, 1, 1)          # outside [1996, 1999)
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([(1, 1.0, ship), (1, 2.0, ship), (2, 4.0, ship),
+                   (3, 2.0, ship), (4, 100.0, out)],
+                  "l_partkey LONG, l_quantity DOUBLE, "
+                  "l_shipdate TIMESTAMP"),
+        part=([(1, "B1", "T1"), (2, "B1", "T2"), (3, "B2", "T1"),
+               (4, "B9", "T9")],
+              "p_partkey LONG, p_brand STRING, p_type STRING"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b154_q22_qoh_rollup"](spark, d).collect()]
+    assert got == [
+        ("B1", "T1", 1_500_000, 0),
+        ("B2", None, 2_000_000, 1),
+        ("B2", "T1", 2_000_000, 0),
+        (None, None, 2_250_000, 2),
+        ("B1", None, 2_333_333, 1),
+        ("B1", "T2", 4_000_000, 0),
+    ]
+
+
+def test_b155_gate_boundaries(spark, tmp_path):
+    """B155 crafted pin: ret exactly AT 1.2× the nation average is
+    excluded (strict >, exact decimal cross-multiplication); a
+    single-customer nation can never pass (ret = avg); non-'R' rows
+    never enter the return totals."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([(1, 10.0, 0.0, "R"), (2, 2.0, 0.0, "R"),
+                   (2, 100.0, 0.0, "N"),           # not a return
+                   (3, 6.0, 0.0, "R"), (4, 4.0, 0.0, "R"),
+                   (5, 5.0, 0.0, "R")],
+                  "l_orderkey LONG, l_extendedprice DOUBLE, "
+                  "l_discount DOUBLE, l_returnflag STRING"),
+        orders=([(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)],
+                "o_orderkey LONG, o_custkey LONG"),
+        customer=([(1, "C1", 0), (2, "C2", 0), (3, "C3", 1),
+                   (4, "C4", 1), (5, "C5", 2)],
+                  "c_custkey LONG, c_name STRING, c_nationkey INT"),
+        nation=([(0, "NA"), (1, "NB"), (2, "NC")],
+                "n_nationkey INT, n_name STRING"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b155_q30_state_return_gate"](spark, d)
+           .collect()]
+    # NA: rets {10, 2}: 10·2·5=100 > 12·6=72 ✓, 2 ✗.
+    # NB: rets {6, 4}: 6·2·5=60 vs 10·6=60 — equality ✗ (boundary).
+    # NC: single ret 5: 25 vs 30 ✗.
+    assert got == [(1, "C1", "NA", 10.0)]
+
+
+def test_b156_band_bounds_and_common_conjunct(spark, tmp_path):
+    """B156 crafted pin: BETWEEN bounds are inclusive both ends; the
+    common status conjunct applies to every band; a segment matching
+    one band's attributes but another band's range does not leak."""
+    d = _tpch(
+        spark, tmp_path,
+        orders=([(1, "F", "1-URGENT", 50000.0),     # at lower bound ✓
+                 (2, "F", "1-URGENT", 150000.0),    # at upper bound ✓
+                 (3, "F", "1-URGENT", 49999.99),    # below ✗
+                 (4, "O", "1-URGENT", 60000.0),     # wrong status ✗
+                 (5, "F", "2-HIGH", 100000.0),      # band2 ✓
+                 (6, "F", "3-MEDIUM", 10000.0),     # band3 ✓
+                 (7, "F", "1-URGENT", 50000.0)],    # AUTOMOBILE+URGENT ✗
+                "o_custkey LONG, o_orderstatus STRING, "
+                "o_orderpriority STRING, o_totalprice DOUBLE"),
+        customer=([(1, "BUILDING"), (2, "BUILDING"), (3, "BUILDING"),
+                   (4, "BUILDING"), (5, "MACHINERY"), (6, "AUTOMOBILE"),
+                   (7, "AUTOMOBILE")],
+                  "c_custkey LONG, c_mktsegment STRING"))
+    r = registry.QUERIES["b156_q13_demographic_bands"](spark, d) \
+        .collect()[0]
+    assert (r.n_orders, r.revenue, r.n_band1, r.n_band2, r.n_band3) \
+        == (4, 310000.0, 2, 1, 1)
+
+
+def test_b157_null_groups_are_real_groups(spark, tmp_path):
+    """B157 crafted pin: each channel's literal-NULL dimensions group
+    as REAL groups, distinct across channels; the customer leg joins
+    only where it must."""
+    import datetime as dt
+    d = _tpch(
+        spark, tmp_path,
+        orders=([(1, 1, "A", dt.datetime(1995, 6, 1), 10.0),
+                 (2, 1, "B", dt.datetime(1995, 7, 1), 20.0)],
+                "o_orderkey LONG, o_custkey LONG, o_orderpriority "
+                "STRING, o_orderdate TIMESTAMP, o_totalprice DOUBLE"),
+        lineitem=([(dt.datetime(1996, 1, 1), 5.0)],
+                  "l_shipdate TIMESTAMP, l_extendedprice DOUBLE"),
+        customer=([(1, "SEG1")],
+                  "c_custkey LONG, c_mktsegment STRING"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b157_q76_null_channel_report"](spark, d)
+           .collect()]
+    assert got == [
+        ("cust", 1995, "SEG1", None, 2, 30.0),
+        ("line", 1996, None, None, 1, 5.0),
+        ("ord", 1995, None, "A", 1, 10.0),
+        ("ord", 1995, None, "B", 1, 20.0),
+    ]
+
+
+def test_b158_mismatch_only_and_tie_order(spark, tmp_path):
+    """B158 crafted pin: only (supplier nation ≠ customer nation) pairs
+    survive; per-(order, nation) revenues aggregate before the join;
+    revenue ties order deterministically by (orderkey, nation)."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([(1, 1, 10.0, 0.0), (1, 2, 8.0, 0.0), (1, 2, 2.0, 0.0),
+                   (2, 1, 10.0, 0.0)],
+                  "l_orderkey LONG, l_suppkey LONG, "
+                  "l_extendedprice DOUBLE, l_discount DOUBLE"),
+        supplier=([(1, 0), (2, 1)],
+                  "s_suppkey LONG, s_nationkey INT"),
+        orders=([(1, 1), (2, 2)], "o_orderkey LONG, o_custkey LONG"),
+        customer=([(1, "C1", 0), (2, "C2", 1)],
+                  "c_custkey LONG, c_name STRING, c_nationkey INT"),
+        nation=([(0, "N0"), (1, "N1")],
+                "n_nationkey INT, n_name STRING"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b158_q46_city_mismatch_pairs"](spark, d)
+           .collect()]
+    assert got == [(1, "C1", "N0", "N1", 10.0),
+                   (2, "C2", "N1", "N0", 10.0)]
+
+
+def test_b159_dim_gate_strict_and_having_floor(spark, tmp_path):
+    """B159 crafted pin: a part exactly AT its category average is
+    excluded (strict >); the HAVING floor keeps a nation at exactly 10
+    qualifying items and drops one at 9."""
+    part = [(1, "T1", 10.0), (2, "T1", 20.0),
+            (3, "T2", 10.0), (4, "T2", 10.0)]   # T2: both AT avg ✗
+    li = ([(k, 2) for k in range(1, 11)]          # 10 rows, part 2, NA
+          + [(k, 2) for k in range(11, 20)]       # 9 rows, part 2, NB
+          + [(k, 1) for k in range(1, 6)]         # cheap part — ignored
+          + [(k, 3) for k in range(1, 6)])        # gated-out type
+    orders = [(k, 1 if k <= 10 else 2) for k in range(1, 20)]
+    d = _tpch(
+        spark, tmp_path,
+        part=(part, "p_partkey LONG, p_type STRING, "
+                    "p_retailprice DOUBLE"),
+        lineitem=(li, "l_orderkey LONG, l_partkey LONG"),
+        orders=(orders, "o_orderkey LONG, o_custkey LONG"),
+        customer=([(1, 0), (2, 1)], "c_custkey LONG, c_nationkey INT"),
+        nation=([(0, "NA"), (1, "NB")],
+                "n_nationkey INT, n_name STRING"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b159_q6_dim_avg_gate"](spark, d).collect()]
+    assert got == [("NA", 10)]
+
+
+def test_b160_netting_coalesce_and_negative(spark, tmp_path):
+    """B160 crafted pin: an order without returns nets at gross (LEFT
+    JOIN + COALESCE, never dropped); returns exceeding gross net
+    NEGATIVE; non-'R' rows never net; rollup levels order correctly."""
+    d = _tpch(
+        spark, tmp_path,
+        orders=([(1, "O", "P1", 100.0), (2, "F", "P1", 50.0),
+                 (3, "P", "P2", 20.0)],
+                "o_orderkey LONG, o_orderstatus STRING, "
+                "o_orderpriority STRING, o_totalprice DOUBLE"),
+        lineitem=([(1, 30.0, 0.0, "R"), (1, 999.0, 0.0, "N"),
+                   (3, 20.0, 0.0, "R"), (3, 5.0, 0.0, "R")],
+                  "l_orderkey LONG, l_extendedprice DOUBLE, "
+                  "l_discount DOUBLE, l_returnflag STRING"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b160_q80_netted_channel_rollup"](spark, d)
+           .collect()]
+    assert got == [
+        (None, None, 3, 115.0, 2),
+        ("done", None, 1, 50.0, 1),
+        ("open", None, 1, 70.0, 1),
+        ("pend", None, 1, -5.0, 1),
+        ("done", "P1", 1, 50.0, 0),
+        ("open", "P1", 1, 70.0, 0),
+        ("pend", "P2", 1, -5.0, 0),
+    ]

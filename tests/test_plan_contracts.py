@@ -1397,3 +1397,100 @@ def test_sim_covariance_pairs_partial_gram(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- round 13: b153-b160 TPC-DS shapes ----------------------------------------
+
+def test_b153_one_scan_no_joins(spark):
+    """B153 (Q4 shape): all SIX channel×period cells from ONE
+    conditional aggregation — the literal SQL's six-way CTE self-join
+    is the pinned-out anti-pattern."""
+    import re
+    plan = _plan(registry.QUERIES["b153_q4_growth_chain"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+
+
+def test_b154_broadcast_rollup_topk(spark):
+    """B154 (Q22 shape): the dimension join broadcasts, ONE Expand
+    feeds the rollup, and the global top-100 is a
+    TakeOrderedAndProject — never a full sort."""
+    plan = _plan(registry.QUERIES["b154_q22_qoh_rollup"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Expand" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_b155_stats_broadcast_no_window(spark):
+    """B155 (Q30/Q81 shape): the per-nation stats side is a broadcast
+    of the aggregate-sized relation, never a data-scale window
+    partitioned by the handful of nations; both the gate side and the
+    stats side read the PINNED per-customer aggregate (final plan
+    touches no parquet)."""
+    plan = _plan(registry.QUERIES["b155_q30_state_return_gate"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_b156_one_scan_pushed_common_conjunct(spark):
+    """B156 (Q13/Q48 shape): the OR-of-ANDs evaluates in ONE pass —
+    one orders scan, customer broadcast, no Union; the common conjunct
+    (o_orderstatus) reaches the scan as a pushed filter."""
+    import re
+    plan = _plan(registry.QUERIES["b156_q13_demographic_bands"](spark, SF))
+    assert "Union" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderstatus" in ln and "EqualTo" in ln
+               for ln in pushed), plan
+
+
+def test_b157_pruned_legs_one_agg(spark):
+    """B157 (Q76 shape): one Union feeds ONE grouped aggregation (no
+    per-channel agg re-unioned); each leg's scan is column-pruned —
+    the orders legs never read o_orderkey/o_orderstatus, the lineitem
+    leg never reads quantities/flags."""
+    plan = _plan(registry.QUERIES["b157_q76_null_channel_report"](spark, SF))
+    assert "Union" in plan, plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("o_orderstatus" not in ln for ln in reads), reads
+    assert all("l_returnflag" not in ln for ln in reads), reads
+
+
+def test_b158_two_dim_copies_broadcast_topk(spark):
+    """B158 (Q46/Q68 shape): both dimension chains broadcast (nation
+    enters TWICE), the top-100 is a TakeOrderedAndProject on the exact
+    decimal key, and nothing degenerates to a cartesian product."""
+    plan = _plan(
+        registry.QUERIES["b158_q46_city_mismatch_pairs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_b159_dim_gate_broadcasts(spark):
+    """B159 (Q6 shape): the category-average gate resolves ENTIRELY on
+    the part dimension and broadcasts into the fact scan — no window,
+    no cartesian, and the fact-side join on the gated part set is a
+    BroadcastHashJoin."""
+    plan = _plan(registry.QUERIES["b159_q6_dim_avg_gate"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_b160_one_scan_one_join_no_union(spark):
+    """B160 (Q80 shape): the literal SQL's three LEFT-JOINed channel
+    legs collapse — ONE orders scan, ONE join against the per-order
+    returns aggregate, one Expand for the rollup, NO Union."""
+    import re
+    plan = _plan(
+        registry.QUERIES["b160_q80_netted_channel_rollup"](spark, SF))
+    assert "Union" not in plan, plan
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, \
+        plan                           # orders once, lineitem once
