@@ -166,15 +166,31 @@ def _scrub_literals(s: str) -> str:
         else " ", s)
 
 
+def _strip_comments(s: str) -> str:
+    """Remove SQL comments while PRESERVING every literal and quoted
+    identifier verbatim — the same ONE combined left-to-right grammar
+    as _scrub_literals (one pass is load-bearing: a separate comment
+    pass would cross-pair quote delimiters across comment spans, and a
+    '--' INSIDE a string literal is content, not a comment). Must run
+    BEFORE whitespace collapse: a line comment ends at its newline, so
+    collapsing first would let it swallow every clause after it on the
+    re-assembled single line (r13 review — statement-eating comments).
+    Optimizer hints (`/*+ ... */`) are comments to this engine and are
+    stripped with the rest."""
+    return _SCRUB_RE.sub(
+        lambda m: m.group(0) if m.group(0)[0] in "'\"`" else " ", s)
+
+
 def _normalize(sql: str) -> str:
-    """Trim, strip trailing ';', collapse whitespace — but NEVER inside
-    string literals (captured statement fragments like INSERT payloads and
-    DML predicates are executed from the normalized text, so literal
-    whitespace must survive). Both single-quoted and double-quoted literals
-    are protected (double quotes are Spark string literals when ANSI
-    double-quoted identifiers are off — the default)."""
+    """Strip comments, trim, strip trailing ';', collapse whitespace —
+    but NEVER inside string literals (captured statement fragments like
+    INSERT payloads and DML predicates are executed from the normalized
+    text, so literal whitespace must survive). Both single-quoted and
+    double-quoted literals are protected (double quotes are Spark
+    string literals when ANSI double-quoted identifiers are off — the
+    default)."""
     parts = re.split(r"('(?:[^']|'')*'|\"[^\"]*\")",
-                     sql.strip().rstrip(";").strip())
+                     _strip_comments(sql).strip().rstrip(";").strip())
     return "".join(p if i % 2 else re.sub(r"\s+", " ", p)
                    for i, p in enumerate(parts))
 
@@ -5314,6 +5330,11 @@ class Engine:
             # no escape/quoting forms the position-preserving code view
             # cannot track — full lane
             return None
+        # comments cannot reach this parse: _normalize strips them in
+        # the same one-pass grammar as _scrub_literals BEFORE whitespace
+        # collapse (r13 review — a surviving '-- UNION ALL SELECT …'
+        # comment would otherwise parse as a PHANTOM branch here while
+        # the executed query treats it as a comment)
         code = self._mv_code_view(norm)
         for kw in ("join", "over", "distinct", "having",
                    "limit", "order"):

@@ -1020,3 +1020,56 @@ def test_union_mv_literal_containing_keywords_stays_sound(eng):
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
     assert r.mode == "incremental"
     assert _mv_rows(eng) == [("A", 3,), ("B", 1,), ("C", 1,)]
+
+
+def test_comments_strip_literal_aware_before_normalize(eng):
+    """r13 review (blind-spot #7 class): _normalize collapses newlines,
+    so a surviving `--` comment would swallow every clause after it on
+    the re-assembled line (statement-eating), and in the union plan a
+    comment containing ' UNION ALL SELECT ... ' would parse as a
+    PHANTOM branch. Comments now strip at the SQL entry in the SAME
+    one-pass grammar as _scrub_literals — literal-preserving, so a
+    '--' INSIDE a string literal is content, not a comment. All three
+    MVs parse to their comment-free queries and refresh incrementally
+    with correct values (API-level raw text normalizes through the
+    same helper, so the delta re-emission is comment-free there too)."""
+    _seed_two(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv1 AS "
+            "SELECT grp, COUNT(*) AS n -- per group\n"
+            "FROM ns1.a WHERE v > 0 GROUP BY grp")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv2 AS "
+            "SELECT grp, SUM(v) AS sv FROM "
+            "(SELECT grp, v FROM ns1.a -- UNION ALL SELECT grp, v FROM ns1.b\n"
+            " UNION ALL SELECT grp, w AS v FROM ns1.b) u GROUP BY grp")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv3 AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.a "
+            "WHERE grp <> '--not a comment' GROUP BY grp")
+    eng.sql("INSERT INTO ns1.a VALUES (40, 'A', 1.0)")
+    for mv in ("mv1", "mv2", "mv3"):
+        assert eng.sql(f"REFRESH MATERIALIZED VIEW ns1.{mv}") \
+            .collect()[0].mode == "incremental", mv
+    assert [tuple(r) for r in eng.sql(
+        "SELECT * FROM ns1.mv1 ORDER BY grp").collect()] == \
+        [("A", 2), ("B", 1)]
+    assert [tuple(r) for r in eng.sql(
+        "SELECT * FROM ns1.mv2 ORDER BY grp").collect()] == \
+        [("A", 18.0), ("B", 5.0)]
+    assert [tuple(r) for r in eng.sql(
+        "SELECT * FROM ns1.mv3 ORDER BY grp").collect()] == \
+        [("A", 2), ("B", 1)]
+
+
+def test_comment_in_api_level_query_text_stays_sound(eng):
+    """Direct create_materialized_view calls store RAW sql_text (with
+    the comment); the plan normalizes through the same comment-stripping
+    helper, so the incremental lane's delta re-emission is comment-free
+    and the merged values match a from-scratch recompute."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.create_materialized_view(
+        "ns1.mvapi",
+        "SELECT grp, COUNT(*) AS n -- note\nFROM ns1.src GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mvapi") \
+        .collect()[0].mode == "incremental"
+    assert [tuple(r) for r in eng.sql(
+        "SELECT * FROM ns1.mvapi ORDER BY grp").collect()] == [("A", 2)]
