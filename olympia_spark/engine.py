@@ -168,17 +168,62 @@ def _scrub_literals(s: str) -> str:
 
 def _strip_comments(s: str) -> str:
     """Remove SQL comments while PRESERVING every literal and quoted
-    identifier verbatim — the same ONE combined left-to-right grammar
-    as _scrub_literals (one pass is load-bearing: a separate comment
-    pass would cross-pair quote delimiters across comment spans, and a
-    '--' INSIDE a string literal is content, not a comment). Must run
-    BEFORE whitespace collapse: a line comment ends at its newline, so
+    identifier verbatim — ONE left-to-right scan over the same literal
+    grammar as _scrub_literals (one pass is load-bearing: a separate
+    comment pass would cross-pair quote delimiters across comment
+    spans, and a '--' INSIDE a string literal is content, not a
+    comment). A scanner rather than _SCRUB_RE because Spark bracketed
+    comments NEST (SPARK-28880): the regex's lazy ``/*.*?*/`` would end
+    `/* a /* b */ c */` at the first `*/` and leave ` c */` behind in
+    executed text (r13 review pass 2, reproduced). Must run BEFORE
+    whitespace collapse: a line comment ends at its newline, so
     collapsing first would let it swallow every clause after it on the
-    re-assembled single line (r13 review — statement-eating comments).
-    Optimizer hints (`/*+ ... */`) are comments to this engine and are
-    stripped with the rest."""
-    return _SCRUB_RE.sub(
-        lambda m: m.group(0) if m.group(0)[0] in "'\"`" else " ", s)
+    re-assembled single line. Optimizer hints (`/*+ ... */`) are
+    comments to this engine and strip with the rest."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            q, j = ch, i + 1
+            while j < n:
+                if s[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if s[j] == q:
+                    if q == "'" and s[j + 1:j + 2] == "'":
+                        j += 2          # '' doubling stays inside
+                        continue
+                    break
+                j += 1
+            out.append(s[i:min(j + 1, n)])
+            i = j + 1
+        elif ch == "`":
+            j = s.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(s[i:j + 1])
+            i = j + 1
+        elif s[i:i + 2] == "--":
+            j = s.find("\n", i)
+            out.append(" ")
+            i = n if j < 0 else j       # the newline itself survives
+        elif s[i:i + 2] == "/*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if s[j:j + 2] == "/*":
+                    depth += 1
+                    j += 2
+                elif s[j:j + 2] == "*/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            out.append(" ")
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _normalize(sql: str) -> str:
@@ -3644,6 +3689,11 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "ADD PARTITION FIELD")
+        # an MV's spec/schema derive from the stored query: a transform
+        # spelling would inject a synthesized generated column the next
+        # REFRESH's recompute cannot produce → AnalysisException on
+        # every refresh until the MV is dropped (r13 review pass 2)
+        self._mv_guard_schema(tdef, name, "ADD PARTITION FIELD")
         schema = tdef.spark_schema()
         # resolve the target name FIRST so a duplicate add reports
         # "already a partition field", not the schema-collision error —
@@ -3729,6 +3779,7 @@ class Engine:
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
+        self._mv_guard_schema(tdef, name, "DROP PARTITION FIELD")
         self._require_native(tdef, name, "DROP PARTITION FIELD")
         want = (self._transform_field_name(spec) or spec.strip()).lower()
         match = [c for c in tdef.partition_by if c.lower() == want]
@@ -3756,6 +3807,9 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "ADD CONSTRAINT")
+        # a CHECK on an MV would fire INSIDE the refresh rewrite on
+        # derived rows — refuse up front (r13 review pass 2)
+        self._mv_guard_schema(tdef, name, "ADD CONSTRAINT")
         if cname in tdef.constraints:
             raise ValueError(f"constraint already exists: {cname}")
         scan = self._scan(tdef, tdef.file_paths())
@@ -5243,6 +5297,11 @@ class Engine:
         list, or None → full lane (including a GROUP BY key missing
         from the SELECT list — valid SQL, but the merge join needs
         every key ON the stored side, review r12 s2)."""
+        if len(group_cols) != len(set(group_cols)):
+            # GROUP BY k, k is valid SQL but the merge would mint two
+            # output columns both named k → AMBIGUOUS_REFERENCE at the
+            # first refresh (r13 review pass 2) — full lane
+            return None
         aggs, bare = [], set()
         for item in self._split_top_level(items_raw):
             item = item.strip()
@@ -5394,6 +5453,7 @@ class Engine:
                 != 1 + len(branches_txt):
             return None
         src_by_low = {s.lower(): s for s in sources}
+        cols_by_src: dict[str, set] = {}
         branches, out_names = [], None
         for btxt, bcode in branches_txt:
             bm = re.match(r"\s*SELECT\s(.+)\sFROM\s+(\S+)", bcode,
@@ -5434,7 +5494,9 @@ class Engine:
             if re.search(r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*", body):
                 return None          # qualified refs can't resolve on
             # the delta temp views (review r12 s2)
-            if not self._mv_screen(body, self._mv_source_cols(src, txn),
+            if src not in cols_by_src:   # one describe per SOURCE, not
+                cols_by_src[src] = self._mv_source_cols(src, txn)  # branch
+            if not self._mv_screen(body, cols_by_src[src],
                                    set(lowered),
                                    banned_calls=self._MV_AGG_WORDS):
                 return None
@@ -5532,11 +5594,17 @@ class Engine:
         cols = [F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k)
                 for k in plan["group"]]
 
-        def add_skipping_absent(a, b):
+        def skip_absent(a, b, combine):
             # SQL semantics: 'group absent on one side' and 'group
-            # present with all-NULL inputs' combine identically
+            # present with all-NULL inputs' combine identically — ONE
+            # helper for declared aggregates AND hidden companions so
+            # the null-skipping semantics can never diverge (r13
+            # review pass 2)
             return F.when(a.isNull(), b).when(b.isNull(), a) \
-                .otherwise(a + b)
+                .otherwise(combine)
+
+        def add_skipping_absent(a, b):
+            return skip_absent(a, b, a + b)
 
         companions = Engine._mv_companions(plan)
         comp_by_out = {out: (s, c) for s, c, _i, out in companions}
@@ -5572,8 +5640,7 @@ class Engine:
                 combine = F.least(a, b)
             else:
                 combine = F.greatest(a, b)
-            cols.append(F.when(a.isNull(), b).when(b.isNull(), a)
-                        .otherwise(combine).alias(out))
+            cols.append(skip_absent(a, b, combine).alias(out))
         return j.select(*cols, *comp_cols).select(
             *[F.col(f.name).cast(f.dataType).alias(f.name)
               for f in schema.fields],

@@ -1073,3 +1073,46 @@ def test_comment_in_api_level_query_text_stays_sound(eng):
         .collect()[0].mode == "incremental"
     assert [tuple(r) for r in eng.sql(
         "SELECT * FROM ns1.mvapi ORDER BY grp").collect()] == [("A", 2)]
+
+
+def test_spec_and_constraint_ddl_refused_on_mv(eng):
+    """r13 review pass 2: ADD PARTITION FIELD on an MV injects a
+    synthesized generated column the next refresh cannot produce;
+    ADD CONSTRAINT would fire inside the refresh rewrite — both refuse
+    like the column DDL."""
+    _seed(eng, [(1, "A", 10.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    for stmt in ("ALTER TABLE ns1.mv ADD PARTITION FIELD grp",
+                 "ALTER TABLE ns1.mv ADD CONSTRAINT pos CHECK (n > 0)"):
+        with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+            eng.sql(stmt)
+    # refresh still healthy afterwards
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 1.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "incremental"
+
+
+def test_duplicate_group_by_keys_downgrade_to_full(eng):
+    """r13 review pass 2: GROUP BY k, k is valid SQL but would mint two
+    merge output columns named k — refuse to the full lane instead of
+    an AMBIGUOUS_REFERENCE at the first refresh."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src GROUP BY grp, grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'B', 2.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    assert [tuple(r) for r in eng.sql(
+        "SELECT * FROM ns1.mv ORDER BY grp").collect()] == \
+        [("A", 1), ("B", 1)]
+
+
+def test_nested_bracketed_comments_strip_whole(eng):
+    """r13 review pass 2 (reproduced): Spark bracketed comments NEST
+    (SPARK-28880) — `/* a /* b */ c */` must strip WHOLE, not end at
+    the first `*/` and leave ` c */` in the executed text."""
+    _seed(eng, [(1, "A", 1.0), (2, "B", 2.0)])
+    got = [tuple(r) for r in eng.sql(
+        "SELECT grp /* outer /* inner */ tail */, COUNT(*) AS n "
+        "FROM ns1.src GROUP BY grp ORDER BY grp").collect()]
+    assert got == [("A", 1), ("B", 1)]
