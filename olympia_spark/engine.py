@@ -4860,7 +4860,15 @@ class Engine:
         return (Engine._policy_props(td.properties),
                 td.properties.get("iceberg.mor_deletes", ""),
                 td.properties.get("iceberg.identity_fill", ""),
-                td.metadata_location or "")
+                td.metadata_location or "",
+                # r13 review pass 3: a re-registered external source
+                # over the SAME file paths with different reader
+                # options (header flip) or a changed schema/format
+                # yields different rows with an identical file list
+                td.format,
+                td.schema_json,
+                sorted((k, v) for k, v in td.properties.items()
+                       if k.startswith("read.option.")))
 
     def create_materialized_view(self, name: str, sql_text: str,
                                  replace: bool = False) -> None:
@@ -4910,6 +4918,21 @@ class Engine:
                  else self._mv_union_plan(sql_text, srcs, txn))
         df = self.spark.sql(self._resolve_sql(
             self._mv_augmented_sql(cplan) or sql_text, txn))
+        comp_names = {c for pair in
+                      (self._mv_companions(cplan) if cplan else [])
+                      for c in pair[:2]}
+        rogue = [f.name for f in df.schema.fields
+                 if f.name.startswith("__mv_")
+                 and f.name not in comp_names]
+        if rogue:
+            # the declared-schema strip below would silently DROP a
+            # user column named __mv_* on non-incrementalizable queries
+            # (the plan parsers' namespace check never runs when the
+            # plan is None — r13 review pass 3); refuse instead
+            raise ValueError(
+                f"materialized view output column(s) {rogue}: the "
+                f"__mv_ name prefix is reserved for internal companion "
+                f"columns")
         declared = T.StructType([f for f in df.schema.fields
                                  if not f.name.startswith("__mv_")])
         if self.catalog.table_exists(txn, ns, tbl):
@@ -5026,6 +5049,7 @@ class Engine:
         # only a recompute is sound — an "empty delta" incremental
         # merge would silently keep them (review r12 s2)
         files_changed, force_full = [], False
+        sig_now: dict[str, tuple] = {}
         tables_now, vtexts_now = set(), {}
         if tdef.properties.get(self._MV_TZ_PROP) != cur_tz:
             # session-timezone drift (or a legacy MV without the stamp):
@@ -5049,9 +5073,22 @@ class Engine:
                     sns, stbl = self._split(s)
                     td0 = self.catalog.describe_table(t_last, sns, stbl)
                     td1 = self.catalog.describe_table(txn, sns, stbl)
-                    if self._mv_semantic_sig(td0) \
-                            != self._mv_semantic_sig(td1):
+                    sig_now[s] = self._mv_semantic_sig(td1)
+                    if self._mv_semantic_sig(td0) != sig_now[s]:
                         force_full = True
+                    # a TIME-DEPENDENT policy expression (a row filter
+                    # with current_date(), say) invalidates stored rows
+                    # between refreshes with an UNCHANGED signature and
+                    # no retraction events (rows age out of untouched
+                    # files) — only a recompute, which re-evaluates the
+                    # policy now, is sound (r13 review pass 3). Screen
+                    # with the same whitelist as the query: any
+                    # unrecognized call/identifier forces full.
+                    pcols = {f.name.lower()
+                             for f in td1.spark_schema().fields}
+                    for _k, pexpr in self._policy_props(td1.properties):
+                        if not self._mv_screen(pexpr, pcols, set()):
+                            force_full = True
                     if sorted(td0.file_paths()) != sorted(td1.file_paths()):
                         files_changed.append(s)
         except Exception:
@@ -5119,6 +5156,24 @@ class Engine:
                         break
                 if not deltas:
                     plan = None         # defensive: nothing to consume
+            if plan is not None:
+                # concurrent-commit seal (r13 review pass 3): the change
+                # feeds are governed at the LATEST committed policies
+                # (_current_policies), not at this refresh's pinned
+                # version — a policy/pointer commit that landed between
+                # the probe and the feeds' materialization (the persist
+                # was populated by the retraction probe's count) would
+                # merge new-semantics delta rows into old-semantics
+                # stored rows. Re-describe each source NOW; any
+                # signature drift downgrades to the full lane, whose
+                # recompute is internally consistent.
+                chk = self.catalog.begin(read_only=True)
+                for s in sources:
+                    sns_c, stbl_c = self._split(s)
+                    td_c = self.catalog.describe_table(chk, sns_c, stbl_c)
+                    if self._mv_semantic_sig(td_c) != sig_now.get(s):
+                        plan = None
+                        break
             if plan is not None:
                 ins = {s: d.filter(F.col("_change_type") == "insert")
                        .drop("_change_type") for s, d in deltas.items()}
@@ -5312,6 +5367,24 @@ class Engine:
                 continue
             am = self._MV_AGG_RE.match(item)
             if not am:
+                return None
+            # the greedy inner group also matches COMPOUND forms —
+            # 'MIN(a) + MIN(b) AS m' parses as kind=MIN with inner
+            # 'a) + MIN(b', and the merge would combine a compound
+            # expression with single-aggregate math (silently wrong:
+            # least() of sums-of-mins — r13 review pass 3, reproduced).
+            # A genuine single call's inner is paren-BALANCED and never
+            # dips negative; count on the code view so parens inside
+            # string literals don't miscount.
+            depth = 0
+            for ch in self._mv_code_view(am.group(2)):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        return None
+            if depth != 0:
                 return None
             aggs.append((am.group(1).upper(), am.group(2).strip(),
                          am.group(3)))
@@ -5870,7 +5943,13 @@ class Engine:
         Refused on governed tables (fail-closed, like export)."""
         import json as _json
         ns, tbl = self._split(name)
-        txn = self._txn()
+        # ambient explicit txn or a READ-ONLY snapshot — NEVER _txn(),
+        # which replaces _auto_txn mid-statement and silently swallows
+        # the enclosing statement's commit (a CREATE MATERIALIZED VIEW
+        # whose query joins ns.t$files would stage into a dropped txn
+        # and "succeed" without existing — r13 review pass 3; same
+        # hazard class as _current_policies' documented rule)
+        txn = self.current_txn or self.catalog.begin(read_only=True)
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._refuse_governed_metadata(tdef, f"{ns}.{tbl}", "$files")
         rows = [(f.path, f.num_rows, f.size_bytes, _json.dumps(f.stats))
@@ -5903,7 +5982,8 @@ class Engine:
         (fail-closed, like export)."""
         import json as _json
         ns, tbl = self._split(name)
-        txn = self._txn()
+        # read-only snapshot, never _txn() (see table_files)
+        txn = self.current_txn or self.catalog.begin(read_only=True)
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._refuse_governed_metadata(tdef, f"{ns}.{tbl}", "$partitions")
         agg: dict[str, list[int]] = {}

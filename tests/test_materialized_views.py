@@ -883,15 +883,14 @@ def test_avg_legacy_files_without_companions_full_then_incremental(eng):
 
 
 def test_companion_namespace_reserved(eng):
-    """A user alias in the companions' __mv_ namespace downgrades to the
-    full lane instead of colliding with the hidden columns."""
+    """A user alias in the companions' __mv_ namespace is REFUSED at
+    create (r13 pass 3 hardened the original full-lane downgrade: the
+    declared-schema strip would silently drop the column)."""
     _seed(eng, [(1, "A", 2.0)])
-    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
-            "SELECT grp, COUNT(*) AS __mv_sum__x FROM ns1.src "
-            "GROUP BY grp")
-    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 3.0)")
-    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
-        .collect()[0].mode == "full"
+    with pytest.raises(ValueError, match="__mv_"):
+        eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+                "SELECT grp, COUNT(*) AS __mv_sum__x FROM ns1.src "
+                "GROUP BY grp")
 
 
 # --- r13: multi-source UNION ALL incremental lane (VERDICT r12 #4) -------------
@@ -1116,3 +1115,143 @@ def test_nested_bracketed_comments_strip_whole(eng):
         "SELECT grp /* outer /* inner */ tail */, COUNT(*) AS n "
         "FROM ns1.src GROUP BY grp ORDER BY grp").collect()]
     assert got == [("A", 1), ("B", 1)]
+
+
+# --- r13 review pass 3 --------------------------------------------------------
+
+
+def test_compound_aggregate_expressions_downgrade_to_full(eng):
+    """Pass 3 (reproduced): 'MIN(v) + MAX(v) AS m' matched the greedy
+    aggregate regex as kind=MIN with inner 'v) + MAX(v' — the merge
+    would combine a compound expression with single-aggregate math
+    (least() of compound values, silently wrong). Paren balance on the
+    inner (code view) refuses it to the full lane; a genuine single
+    aggregate whose LITERAL contains a paren stays incremental."""
+    _seed(eng, [(1, "A", 0.0), (2, "A", 10.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, MIN(v) + MAX(v) AS m FROM ns1.src GROUP BY grp")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv2 AS "
+            "SELECT grp, COUNT(CASE WHEN grp = ')' THEN 1 END) AS n "
+            "FROM ns1.src GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', -5.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    assert _mv_rows(eng) == [("A", 5.0)]          # min(-5)+max(10)
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2") \
+        .collect()[0].mode == "incremental"
+
+
+def test_time_dependent_policy_expression_forces_full(eng):
+    """Pass 3: a row filter whose TEXT is unchanged but whose value is
+    time-dependent (current_date()) invalidates stored rows with no
+    retraction events — the probe screens policy expressions with the
+    query whitelist and forces the full lane; a deterministic policy
+    stays incremental."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql("ALTER TABLE ns1.src SET ROW FILTER "
+            "(v >= 0 AND current_date() >= DATE '2000-01-01')")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'A', 2.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    # deterministic policy: one full for the sig change, then back to
+    # the incremental lane
+    eng.sql("ALTER TABLE ns1.src SET ROW FILTER (v >= 0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'B', 3.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "incremental"
+    assert _mv_rows(eng) == [("A", 2), ("B", 1)]
+
+
+def test_concurrent_policy_commit_mid_refresh_downgrades(eng, spark,
+                                                         monkeypatch):
+    """Pass 3: the change feed is governed at the LATEST committed
+    policies, not the refresh's pinned version — a policy commit
+    landing between the probe and the feed must not merge new-policy
+    delta rows into old-policy stored rows. The post-materialization
+    seal re-describes the sources and downgrades to the full lane,
+    whose recompute is internally consistent under the new policy."""
+    from olympia_spark.engine import Engine
+    _seed(eng, [(1, "A", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM ns1.src "
+            "GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'B', 4.0)")
+    other = Engine(spark, eng.catalog.storage.root)
+    cls = type(eng)
+    orig = cls.table_changes
+    fired = {}
+
+    def hooked(self, *a, **k):
+        if not fired:
+            fired["x"] = True
+            other.sql("ALTER TABLE ns1.src SET ROW FILTER (v < 4)")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "table_changes", hooked)
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    # the full lane recomputes AT THE PINNED VERSION (old policy), so
+    # this refresh is internally consistent-at-cur: B present. The
+    # unsealed incremental would instead have consumed a delta governed
+    # by the NEW filter (B's v=4.0 hidden) merged into old-policy
+    # stored rows — a state no single version produces.
+    assert _mv_rows(eng) == [("A", 1, 1.0), ("B", 1, 4.0)]
+    # the NEXT refresh sees the policy signature change and recomputes
+    # under the new filter
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+    assert _mv_rows(eng) == [("A", 1, 1.0)]
+
+
+def test_mv_over_metadata_virtual_table_commits(eng):
+    """Pass 3: the $files lane's table_files() minted a fresh auto-txn
+    mid-statement, so CREATE MATERIALIZED VIEW over ns.t$files staged
+    into a dropped transaction and 'succeeded' WITHOUT existing.
+    table_files/table_partitions now read through a read-only snapshot;
+    the create commits and the MV is queryable."""
+    _seed(eng, [(1, "A", 1.0), (2, "B", 2.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvf AS "
+            "SELECT CAST(SUM(num_rows) AS BIGINT) AS n_rows "
+            "FROM ns1.src$files")
+    assert [tuple(r) for r in
+            eng.sql("SELECT * FROM ns1.mvf").collect()] == [(2,)]
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'C', 3.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mvf") \
+        .collect()[0].mode == "full"
+    assert [tuple(r) for r in
+            eng.sql("SELECT * FROM ns1.mvf").collect()] == [(3,)]
+
+
+def test_reserved_mv_prefix_output_refused_at_create(eng):
+    """Pass 3: on a NON-incrementalizable query the plan parsers'
+    __mv_ namespace check never runs, and the declared-schema strip
+    would silently DROP a user column named __mv_* — create refuses."""
+    _seed(eng, [(1, "A", 1.0)])
+    eng.write_table(eng.spark.createDataFrame(
+        [(1, 2.0)], "id LONG, w DOUBLE"), "ns1.u")
+    with pytest.raises(ValueError, match="__mv_"):
+        eng.sql("CREATE MATERIALIZED VIEW ns1.mvx AS "
+                "SELECT a.grp AS __mv_tag, COUNT(*) AS n "
+                "FROM ns1.src a JOIN ns1.u b ON a.id = b.id "
+                "GROUP BY a.grp")
+
+
+def test_mv_semantic_sig_covers_format_schema_reader_options():
+    """Pass 3: the per-source signature must also see format flips,
+    schema drift and external reader options — a re-registered CSV
+    source over the SAME paths with header=false yields different rows
+    with an identical file list."""
+    from olympia_spark.catalog.defs import TableDef
+    defs = [
+        TableDef(schema_json="s1"),
+        TableDef(schema_json="s2"),
+        TableDef(schema_json="s1", format="CSV"),
+        TableDef(schema_json="s1", format="CSV",
+                 properties={"read.option.header": "false"}),
+    ]
+    sigs = [Engine._mv_semantic_sig(t) for t in defs]
+    assert len({repr(s) for s in sigs}) == 4
