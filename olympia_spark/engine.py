@@ -166,22 +166,28 @@ def _scrub_literals(s: str) -> str:
         else " ", s)
 
 
-def _strip_comments(s: str) -> str:
-    """Remove SQL comments while PRESERVING every literal and quoted
-    identifier verbatim — ONE left-to-right scan over the same literal
-    grammar as _scrub_literals (one pass is load-bearing: a separate
-    comment pass would cross-pair quote delimiters across comment
-    spans, and a '--' INSIDE a string literal is content, not a
-    comment). A scanner rather than _SCRUB_RE because Spark bracketed
-    comments NEST (SPARK-28880): the regex's lazy ``/*.*?*/`` would end
-    `/* a /* b */ c */` at the first `*/` and leave ` c */` behind in
-    executed text (r13 review pass 2, reproduced). Must run BEFORE
-    whitespace collapse: a line comment ends at its newline, so
-    collapsing first would let it swallow every clause after it on the
-    re-assembled single line. Optimizer hints (`/*+ ... */`) are
-    comments to this engine and strip with the rest."""
-    out: list[str] = []
+def _scan_sql(s: str) -> list[tuple[str, str]]:
+    """(kind, text) segments over the SQL literal grammar, ONE
+    left-to-right scan — kind is 'code', 'literal' (quoted string or
+    backtick identifier, verbatim WITH its quotes) or 'comment' (line,
+    or bracketed with NESTING — Spark bracketed comments nest,
+    SPARK-28880, which a lazy regex cannot count; r13 review pass 2,
+    reproduced). One scanner is load-bearing: any second pass with its
+    own quote grammar cross-pairs delimiters across the first pass's
+    spans (blind-spot #7 — _normalize's old whitespace-collapse split
+    missed backslash escapes and backticks, so it collapsed runs of
+    spaces INSIDE real literals of executed statement text; r13 review
+    pass 4, reproduced). Single-quoted literals honor backslash
+    escapes and '' doubling; double-quoted honor backslash escapes;
+    backticks run to the next backtick."""
+    segs: list[tuple[str, str]] = []
     i, n = 0, len(s)
+    code_start = 0
+
+    def flush_code(end: int) -> None:
+        if end > code_start:
+            segs.append(("code", s[code_start:end]))
+
     while i < n:
         ch = s[i]
         if ch in "'\"":
@@ -196,18 +202,26 @@ def _strip_comments(s: str) -> str:
                         continue
                     break
                 j += 1
-            out.append(s[i:min(j + 1, n)])
+            flush_code(i)
+            segs.append(("literal", s[i:min(j + 1, n)]))
             i = j + 1
+            code_start = i
         elif ch == "`":
             j = s.find("`", i + 1)
             j = n - 1 if j < 0 else j
-            out.append(s[i:j + 1])
+            flush_code(i)
+            segs.append(("literal", s[i:j + 1]))
             i = j + 1
+            code_start = i
         elif s[i:i + 2] == "--":
+            flush_code(i)
             j = s.find("\n", i)
-            out.append(" ")
-            i = n if j < 0 else j       # the newline itself survives
+            end = n if j < 0 else j     # the newline itself stays code
+            segs.append(("comment", s[i:end]))
+            i = end
+            code_start = i
         elif s[i:i + 2] == "/*":
+            flush_code(i)
             depth, j = 1, i + 2
             while j < n and depth:
                 if s[j:j + 2] == "/*":
@@ -218,26 +232,47 @@ def _strip_comments(s: str) -> str:
                     j += 2
                 else:
                     j += 1
-            out.append(" ")
+            segs.append(("comment", s[i:j]))
             i = j
+            code_start = i
         else:
-            out.append(ch)
             i += 1
-    return "".join(out)
+    flush_code(n)
+    return segs
+
+
+def _strip_comments(s: str) -> str:
+    """Remove SQL comments while PRESERVING every literal and quoted
+    identifier verbatim (a '--' INSIDE a string literal is content,
+    not a comment). Must run BEFORE whitespace collapse: a line
+    comment ends at its newline, so collapsing first would let it
+    swallow every clause after it on the re-assembled single line
+    (r13 review — statement-eating comments). Optimizer hints
+    (``/*+ ... */``) are comments to this engine and strip with the
+    rest."""
+    return "".join(" " if k == "comment" else t for k, t in _scan_sql(s))
 
 
 def _normalize(sql: str) -> str:
     """Strip comments, trim, strip trailing ';', collapse whitespace —
-    but NEVER inside string literals (captured statement fragments like
-    INSERT payloads and DML predicates are executed from the normalized
-    text, so literal whitespace must survive). Both single-quoted and
-    double-quoted literals are protected (double quotes are Spark
-    string literals when ANSI double-quoted identifiers are off — the
-    default)."""
-    parts = re.split(r"('(?:[^']|'')*'|\"[^\"]*\")",
-                     _strip_comments(sql).strip().rstrip(";").strip())
-    return "".join(p if i % 2 else re.sub(r"\s+", " ", p)
-                   for i, p in enumerate(parts))
+    but NEVER inside string literals or quoted identifiers (captured
+    statement fragments like INSERT payloads and DML predicates are
+    executed from the normalized text, so literal whitespace must
+    survive). Comment removal and the collapse share ONE scanner and
+    therefore one literal grammar — the old two-grammar split missed
+    backslash escapes and collapsed whitespace inside real literals
+    (r13 review pass 4, reproduced)."""
+    parts: list[tuple[str, str]] = []
+    for k, t in _scan_sql(sql):
+        if k == "comment":
+            k, t = "code", " "          # a comment is whitespace here
+        if k == "code" and parts and parts[-1][0] == "code":
+            parts[-1] = ("code", parts[-1][1] + t)   # merge so runs
+        else:                           # spanning a comment collapse
+            parts.append((k, t))        # to ONE space
+    out = "".join(re.sub(r"\s+", " ", t) if k == "code" else t
+                  for k, t in parts)
+    return out.strip().rstrip(";").strip()
 
 
 def _find_kw(s: str, kw: str, start: int = 0) -> int | None:
@@ -5022,8 +5057,14 @@ class Engine:
                 [(mode, n)], "mode string, delta_rows long")
 
         if cur <= last and not full:
-            # FULL always recomputes — it is the user's override for
-            # every change the probe below cannot see
+            # degenerate guard only: the watermark is the version the
+            # refresh READ (its own commit lands later), so after ANY
+            # rewrite cur > last and the steady-state noop path is the
+            # metadata probe below — O(sources) describes, commits
+            # nothing (r13 review pass 4 corrected the earlier claim
+            # that this branch short-circuits repeat refreshes). FULL
+            # always recomputes — the user's override for every change
+            # the probe cannot see.
             return report("noop", 0)
 
         # metadata-only change probe: per-source SIGNATURE diff — the
@@ -5108,10 +5149,15 @@ class Engine:
         if not files_changed and not force_full and not full:
             # COMMIT NOTHING: stamping the watermark here would itself
             # advance the catalog version, so every no-op refresh would
-            # re-probe forever (and pile up metadata commits). The
-            # probe is O(sources) metadata reads; the watermark only
-            # advances when a refresh actually rewrites, after which
-            # the cur<=last fast path short-circuits.
+            # re-probe forever (and pile up metadata commits). THIS
+            # probe — O(sources) metadata reads — IS the steady-state
+            # noop path: the stamped watermark is the version the
+            # refresh READ, so the MV's own commit keeps cur > last
+            # forever and the cheap cur<=last guard above stays
+            # degenerate (stamping the post-commit version instead
+            # would SKIP any source commit that landed between the
+            # read and the CAS — the data-loss case the concurrent-
+            # append test pins).
             return report("noop", 0)
         cplan = ((self._mv_incremental_plan(q, sources[0], txn)
                   or self._mv_union_plan(q, sources, txn))
@@ -5654,6 +5700,18 @@ class Engine:
         identically). Global aggregates (no GROUP BY) join on a
         constant key — two one-row sides. Output casts back to the
         MV's recorded schema so repeated merges never widen types."""
+        # align the delta to the stored schema's types BEFORE the join:
+        # a subset-of-branches union delta skips the full union's type
+        # coercion, so a group key emitted NARROWER by its lone branch
+        # (INT vs the stored STRING) would numeric-promote inside
+        # eqNullSafe and can match SEVERAL stored groups ('01' = 1 AND
+        # '1' = 1 are both true) — double-counted merges (r13 review
+        # pass 4). Casting to the stored types IS the coercion the full
+        # union query would have applied.
+        by_name = {f.name: f.dataType for f in schema.fields}
+        delta = delta.select(*[
+            F.col(c).cast(by_name[c]).alias(c) if c in by_name
+            else F.col(c) for c in delta.columns])
         keys = list(plan["group"]) or ["__mv_k"]
         if not plan["group"]:
             old = old.withColumn("__mv_k", F.lit(1))

@@ -1255,3 +1255,39 @@ def test_mv_semantic_sig_covers_format_schema_reader_options():
     ]
     sigs = [Engine._mv_semantic_sig(t) for t in defs]
     assert len({repr(s) for s in sigs}) == 4
+
+
+def test_union_branch_type_drift_aligns_to_stored_schema(eng):
+    """r13 review pass 4: a subset-of-branches delta skips the full
+    union's type coercion, so merge-join comparisons between the
+    stored keys and a lone branch's ORIGINAL type ride on Spark's
+    comparison coercion instead of the union coercion. In this Spark
+    the two agree (probed: string∪int → int, string∪date → date,
+    string∪bool → boolean — always the non-string side, same as
+    comparison promotion), so no double-match is constructible today;
+    the merge still casts the delta to the STORED schema's types
+    first, making the invariant hold by construction rather than by
+    coercion-table coincidence. Pin: a mixed-type union MV appending
+    through its STRING branch merges exactly like a from-scratch
+    recompute (string '01' lands in int group 1)."""
+    eng.write_table(eng.spark.createDataFrame(
+        [("01",), ("2",)], "k STRING"), "ns1.t1")
+    eng.write_table(eng.spark.createDataFrame(
+        [(1,)], "k INT"), "ns1.t2")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT k, COUNT(*) AS n FROM "
+            "(SELECT k FROM ns1.t1 UNION ALL SELECT k FROM ns1.t2) u "
+            "GROUP BY k")
+    assert [tuple(r) for r in eng.sql(
+        "SELECT * FROM ns1.mv ORDER BY k").collect()] == [(1, 2), (2, 1)]
+    eng.sql("INSERT INTO ns1.t1 VALUES ('01'), ('3')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
+    full = [tuple(x) for x in eng.spark.sql(
+        "SELECT k, COUNT(*) AS n FROM (SELECT CAST(k AS INT) AS k "
+        "FROM VALUES ('01'),('2'),('01'),('3') AS t1(k) "
+        "UNION ALL SELECT k FROM VALUES (1) AS t2(k)) u "
+        "GROUP BY k ORDER BY k").collect()]
+    got = [tuple(x) for x in eng.sql(
+        "SELECT * FROM ns1.mv ORDER BY k").collect()]
+    assert got == full == [(1, 3), (2, 1), (3, 1)]

@@ -120,3 +120,17 @@ def test_normalize_examples():
         == "SELECT 'don''t -- keep' FROM t"
     assert _normalize("SELECT /*+ BROADCAST(t) */ a FROM t") \
         == "SELECT a FROM t"
+
+
+def test_whitespace_inside_escaped_literals_survives_normalize():
+    """r13 review pass 4 (reproduced): the old collapse pass used its
+    own (escape-blind) literal grammar — a backslash-escaped quote
+    closed the literal early and runs of spaces INSIDE the real
+    literal collapsed in executed statement text. The scanner now owns
+    both comment removal and the collapse under one grammar."""
+    assert _normalize(r"SELECT 'a\' -- b   c' AS x") \
+        == r"SELECT 'a\' -- b   c' AS x"
+    assert _normalize("SELECT `an   ident` ,   b FROM t") \
+        == "SELECT `an   ident` , b FROM t"
+    assert _normalize('INSERT INTO t VALUES (\'C:\\dir\\\', "x   y")') \
+        == 'INSERT INTO t VALUES (\'C:\\dir\\\', "x   y")'
