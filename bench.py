@@ -277,6 +277,53 @@ def catalog_metrics() -> dict[str, float]:
         tree1m.write_root(fresh, 1)
         out["catalog_commit_ms_1m"] = round(
             (_t.perf_counter() - t0) * 1000, 2)
+    # 10M-object spot probe (VERDICT r13 #8): keep the O(log₁₂₈ n)
+    # claim measured one decade past 1M as the split paths deepen. The
+    # ~8-min pure-Python build is CACHED in a stable temp dir (marker
+    # file → tree dir) so only the first run on a box pays it; later
+    # runs re-measure lookups against the cached tree. Skip entirely
+    # with SPARK_GRAFT_CATALOG_10M=0.
+    if os.environ.get("SPARK_GRAFT_CATALOG_10M", "1") != "0":
+        import tempfile as _tf
+        cache_root = os.path.join(_tf.gettempdir(), "olympia_cat10m_v1")
+        marker = os.path.join(cache_root, "BUILT")
+        n10m = 10_000_000
+        tree10 = None
+        if os.path.isfile(marker):
+            try:
+                with open(marker) as fh:
+                    built_dir = fh.read().strip()
+                cand = Tree(LocalStorage(built_dir), order=128)
+                # validate: root loads and a probe key resolves
+                fr = cand.load_root(loc.root_node_path(0))
+                assert cand.search(fr, "key00000042") is not None
+                tree10 = cand
+            except Exception:
+                tree10 = None          # stale/corrupt cache → rebuild
+        if tree10 is None:
+            os.makedirs(cache_root, exist_ok=True)
+            build_dir = _tf.mkdtemp(prefix="build_", dir=cache_root)
+            t0 = _t.perf_counter()
+            tree10 = Tree(LocalStorage(build_dir), order=128)
+            root10 = RootNode(catalog_def_path="def/catalog/x.json",
+                              dirty=True)
+            for i in range(n10m):
+                tree10.set_value(root10, f"key{i:08d}", f"val{i}")
+            tree10.write_root(root10, 0)
+            out["catalog_build_sec_10m"] = round(
+                _t.perf_counter() - t0, 2)
+            # marker LAST — a crashed build leaves no marker and the
+            # next run rebuilds into a fresh subdir
+            with open(marker, "w") as fh:
+                fh.write(build_dir)
+        t0 = _t.perf_counter()
+        n_lk10 = 200
+        for i in range(n_lk10):
+            fresh = tree10.load_root(loc.root_node_path(0))
+            assert tree10.search(
+                fresh, f"key{(i * 49999) % n10m:08d}") is not None
+        out["catalog_lookup_ms_10m"] = round(
+            (_t.perf_counter() - t0) * 1000 / n_lk10, 2)
     return out
 
 
@@ -317,6 +364,23 @@ def warmup(spark, sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # idle-box protocol, ENFORCED (VERDICT r13 What's-wrong #1): the
+    # <1.5 load_1m rule kept slipping because nothing checked it. A
+    # loaded box doesn't abort (the driver's per-round run must still
+    # produce a BENCH line) but the run is stamped loaded_box=true in
+    # BOTH JSON outputs and flagged loudly — a number from a loaded box
+    # is a loaded-box number and must never be read as a regression.
+    load_1m_start = None
+    loaded_box = False
+    try:
+        load_1m_start = round(os.getloadavg()[0], 2)
+        loaded_box = load_1m_start > 1.5
+    except OSError:  # pragma: no cover — non-POSIX
+        pass
+    if loaded_box:
+        print(f"# LOADED BOX: load_1m={load_1m_start} > 1.5 at bench "
+              f"start — timings unreliable, re-run on an idle box",
+              file=sys.stderr)
     load_all_modules()
     # no console progress bar: its \r-rewritten stderr stream is what
     # truncated the driver's BENCH_r08 tail capture mid-JSON
@@ -453,9 +517,17 @@ def main() -> None:
                 continue
             try:
                 con.execute(osql).fetchall()          # warm, untimed
-                t0 = time.perf_counter()
-                con.execute(osql).fetchall()
-                duck[name] = round(time.perf_counter() - t0, 4)
+                # median-of-3 (VERDICT r13 What's-wrong #2): the oracle
+                # denominator was a single same-run reading, so the
+                # committed vs-DuckDB ratio flapped with DuckDB's own
+                # cache state (r12→r13 basket swing was two-thirds
+                # oracle movement); three timed runs cost seconds
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(osql).fetchall()
+                    runs.append(time.perf_counter() - t0)
+                duck[name] = round(sorted(runs)[1], 4)
                 if name in timings:
                     vs_duck[name] = round(
                         timings[name] / max(duck[name], 0.001), 2)
@@ -490,8 +562,11 @@ def main() -> None:
         "scaling": scaling,
         "superlinear": superlinear,
         "duckdb": duck,
+        "duckdb_runs": 3,
         "vs_duckdb": vs_duck,
         "catalog": cat_ms,
+        "loaded_box": loaded_box,
+        "load_avg_1m_start": load_1m_start,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     # durable full copy first: the per-query maps are ~6 KB — larger
@@ -514,9 +589,23 @@ def main() -> None:
     try:
         import glob as _glob
         here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
-                  for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))]
-        nxt = (max(rounds) + 1) if rounds else 1
+        # round derivation (ADVICE r13): SPARK_GRAFT_ROUND wins when
+        # set; otherwise, an existing BENCH_r{max}.json WITHOUT a
+        # matching BENCH_SUMMARY_r{max}.json means the driver already
+        # wrote this round's BENCH file and this is a re-run WITHIN the
+        # round — archive as r{max}, not r{max+1} (the old max+1 rule
+        # pre-claimed the next round's slot on any same-round re-run)
+        env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_round and env_round.isdigit():
+            nxt = int(env_round)
+        else:
+            rounds = [int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+                      for p in _glob.glob(
+                          os.path.join(here, "BENCH_r*.json"))]
+            nxt = (max(rounds) + 1) if rounds else 1
+            if rounds and not os.path.exists(os.path.join(
+                    here, f"BENCH_SUMMARY_r{max(rounds):02d}.json")):
+                nxt = max(rounds)
         with open(os.path.join(here, f"BENCH_SUMMARY_r{nxt:02d}.json"),
                   "w") as fh:
             json.dump(summary, fh)
@@ -535,6 +624,9 @@ def main() -> None:
         "total_sf0.01": round(sum(timings_small.values()), 4),
         "superlinear": superlinear,
         "catalog": cat_ms,
+        "loaded_box": loaded_box,
+        "load_avg_1m_start": load_1m_start,
+        "duckdb_runs": 3,
         "sf": summary["sf"],
         "queries_file": "BENCH_SUMMARY.json",
     }

@@ -3814,8 +3814,11 @@ class Engine:
         ns, tbl = self._split(name)
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
-        self._mv_guard_schema(tdef, name, "DROP PARTITION FIELD")
+        # _require_native FIRST, matching every other DDL site (rename/
+        # add/drop column, add partition field, add constraint) so error
+        # precedence for non-native+MV-prop states is uniform (ADVICE r13)
         self._require_native(tdef, name, "DROP PARTITION FIELD")
+        self._mv_guard_schema(tdef, name, "DROP PARTITION FIELD")
         want = (self._transform_field_name(spec) or spec.strip()).lower()
         match = [c for c in tdef.partition_by if c.lower() == want]
         if not match:
@@ -5340,6 +5343,13 @@ class Engine:
         deletes would need retraction state)."""
         norm = _normalize(q)
         low = norm.lower()
+        if "\\" in norm or "`" in norm:
+            # _mv_code_view's documented precondition (no escape forms
+            # it cannot track): a backslash-escaped quote desyncs the
+            # code view, letting a COMPOUND aggregate pass the
+            # paren-balance check as a single call (ADVICE r13 — the
+            # union lane already refused both; mirror it here)
+            return None
         if len(re.findall(r"\bselect\b", low)) != 1:
             return None
         for kw in ("join", "over", "distinct", "having",

@@ -5644,13 +5644,19 @@ def b160_q80_netted_channel_rollup(spark: SparkSession, sf: str
            .agg(F.sum(F.expr(
                "CAST(l_extendedprice * (1 - l_discount) "
                "AS DECIMAL(25,6))")).alias("rt")))
-    o = load(spark, sf, "orders").select(
+    # explicit status-domain filter (VERDICT r13 What's-wrong #3): the
+    # oracle enumerates exactly the O/F/P legs, so a hypothetical fourth
+    # status must drop on the engine side too — an .otherwise("pend")
+    # would silently fold it into the 'pend' channel off-fixture
+    o = (load(spark, sf, "orders")
+         .filter(F.col("o_orderstatus").isin("O", "F", "P"))
+         .select(
         "o_orderkey",
         F.when(F.col("o_orderstatus") == "O", "open")
         .when(F.col("o_orderstatus") == "F", "done")
-        .otherwise("pend").alias("ch"),
+        .when(F.col("o_orderstatus") == "P", "pend").alias("ch"),
         F.col("o_orderpriority").alias("pri"),
-        F.col("o_totalprice").cast(DEC).alias("gross"))
+        F.col("o_totalprice").cast(DEC).alias("gross")))
     netted = (o.join(ret, o.o_orderkey == ret.ok, "left")
               .select("ch", "pri",
                       (F.col("gross")

@@ -128,6 +128,26 @@ def test_non_incrementalizable_shapes_take_full_lane(eng):
             eng.sql("SELECT * FROM ns1.mv2").collect()] == [("A", 4)]
 
 
+def test_backslash_escaped_quote_compound_takes_full_lane(eng):
+    """ADVICE r13: _mv_code_view tracks no escape forms, so a
+    backslash-escaped quote desyncs it — MIN('\\'') || MAX(v) passes
+    the paren-balance check as a SINGLE MIN (real code blanked as
+    literal) and the merge would apply least() to a value containing
+    MAX. The single-source lane must refuse backslashes up front,
+    mirroring _mv_union_plan's guard."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0)])
+    q = ("SELECT grp, MIN('\\'') || MAX(v) AS m "
+         "FROM ns1.src GROUP BY grp")
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {q}")
+    txn = eng.catalog.begin(read_only=True)
+    assert eng._mv_incremental_plan(q, "ns1.src", txn) is None
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 99.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", "'99.0")]
+
+
 def test_refresh_full_keyword_overrides_incremental(eng):
     _seed(eng, [(1, "A", 1.0)])
     eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
@@ -636,17 +656,21 @@ def test_backticks_inside_literals_and_escaped_quotes(eng):
     with anything (they are literal content), and backslash-escaped
     quotes must not close a literal early — in both shapes a rand()
     between two such literals stays visible to the call whitelist and
-    the refresh takes the full lane; the deterministic twins keep the
-    incremental lane."""
+    the refresh takes the full lane. Backslashes and backticks now
+    refuse UNCONDITIONALLY (ADVICE r13): _mv_code_view tracks neither
+    escape nor quoted-identifier forms, so their mere presence
+    downgrades to full even when the WHERE itself is deterministic —
+    the always-correct lane, mirroring _mv_union_plan's guard and
+    keeping _mv_code_view's documented precondition explicit."""
     _seed(eng, [(1, "A", 1.0, "x")],
           schema="id LONG, grp STRING, v DOUBLE, tag STRING")
     cases = [
         ("tag <> 'a`b' AND rand() < 2.0 AND tag <> 'c`d'", "full"),
-        ("tag <> 'a`b' AND v < 100 AND tag <> 'c`d'", "incremental"),
+        ("tag <> 'a`b' AND v < 100 AND tag <> 'c`d'", "full"),
         (r"tag <> 'abc\'sum' AND rand() < 2.0 AND tag <> 'min\'xyz'",
          "full"),
         (r"tag <> 'abc\'sum' AND v < 100 AND tag <> 'min\'xyz'",
-         "incremental"),
+         "full"),
     ]
     for i, (where, lane) in enumerate(cases):
         eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvq{i} AS "

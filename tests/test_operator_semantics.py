@@ -1798,11 +1798,15 @@ def test_b159_dim_gate_strict_and_having_floor(spark, tmp_path):
 def test_b160_netting_coalesce_and_negative(spark, tmp_path):
     """B160 crafted pin: an order without returns nets at gross (LEFT
     JOIN + COALESCE, never dropped); returns exceeding gross net
-    NEGATIVE; non-'R' rows never net; rollup levels order correctly."""
+    NEGATIVE; non-'R' rows never net; rollup levels order correctly.
+    A hypothetical FOURTH status (order 4, 'X') must DROP — the oracle
+    enumerates exactly the O/F/P legs, so the engine filters the same
+    domain instead of folding unknowns into 'pend' (VERDICT r13
+    What's-wrong #3)."""
     d = _tpch(
         spark, tmp_path,
         orders=([(1, "O", "P1", 100.0), (2, "F", "P1", 50.0),
-                 (3, "P", "P2", 20.0)],
+                 (3, "P", "P2", 20.0), (4, "X", "P9", 77.0)],
                 "o_orderkey LONG, o_orderstatus STRING, "
                 "o_orderpriority STRING, o_totalprice DOUBLE"),
         lineitem=([(1, 30.0, 0.0, "R"), (1, 999.0, 0.0, "N"),
