@@ -53,40 +53,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
-# no query's newest driver entry ages past the stale horizon. Round-13 list
-# (VERDICT r12 "Next round" #1, verbatim contract): (1) ALL 38 remaining
-# r7-age queries lead the window — after this round no registry query's
-# newest driver-green predates r8, retiring the staleness ledger the
-# rotation system was built to pay down (their code is unchanged since
-# the r7 green, so they are low-risk fills, but the round contract is a
-# fresh row before the stale horizon); (2) the ≤12 NEW r13 entries —
-# the MV incremental-lane extensions (AVG via SUM/COUNT decomposition,
-# append-only multi-source UNION ALL, the noop/FULL lane gate), the
-# substrait OUTBOUND round-trip, the 4 prescribed TPC-DS shapes
-# (Q4, Q22, Q30/Q81, Q48/Q13) and bonus shapes. 38 + 12 = 50 exactly.
+# no query's newest driver entry ages past the stale horizon (standing
+# invariant: ≤6 rounds). Round-14 list (VERDICT r13 "Next round" #4,
+# verbatim contract): (1) ALL 42 r8-age queries lead the window — after
+# this round no registry query's newest driver-green predates r9
+# (computed from CORRECTNESS_r01–r13: exactly these 42 have newest
+# green = r8); (2) the NEW r14 entries — the MV broadcast-dim JOIN lane
+# (b151e), the MV retraction lane (b151f), and the round's TPC-DS
+# shapes. 42 + 8 = 50 exactly.
 _PRIORITY = [
-    # (1) the 38 r7-age queries — newest driver-green = r7, queued from
-    # r12 (VERDICT r12 What's-wrong #1 / Next-round #1)
-    "b19_except", "b19b_intersect", "b19c_except_intersect_all",
-    "b20_cte_subquery", "b21_string_fns", "b22_date_fns",
-    "b22b_date_trunc_diff", "b23_math_fns", "b36_sessionize", "b37_pivot",
-    "b38_range_frame_window", "b39_lateral_topn", "b40_skew_salted_join",
-    "b41_bloom_join_prune", "b42_unpivot", "b43_gap_fill",
-    "b44_string_agg", "b45_not_in_nulls", "b46_grouping_sets",
-    "b47_values_join", "b84_q7_shape", "b85_q14_shape",
-    "data_dsir_weights", "data_heavy_hitters", "data_host_cap",
-    "data_mad_outliers", "data_range_bounds", "data_source_kl_drift",
-    "dedup_cluster", "dedup_containment", "dedup_semantic_cluster",
-    "dedup_winnowing", "text_bm25_topk", "text_segment_dedup",
-    "text_token_freq_spectrum", "udf_grouped_custstats",
-    "udf_mapinpandas_tokens", "udf_pandas_tiered",
+    # (1) the 42 r8-age queries (VERDICT r13 Next-round #4)
+    "b01_scan_count", "b02_projection", "b03_filter", "b04_join_inner",
+    "b06_outer_join", "b06b_full_outer_join", "b07_semi_join",
+    "b07b_anti_join", "b08_range_join", "b14b_row_number_ntile",
+    "b25_array_fns", "b26_struct_map", "b27_json", "b29_delete_where",
+    "b30_update_set", "b32_stream_dedup", "b32_stream_join",
+    "b32_stream_merge_cdc", "b32_stream_stateful_counter",
+    "b48_exists_subquery", "b49_stats_agg", "b68_clone_restore",
+    "b69_zorder_cluster", "b88_q12_shape", "b89_q16_shape",
+    "b90_q19_shape", "data_ppl_buckets", "data_salt_plan",
+    "dedup_edit_distance", "dedup_incremental", "dedup_incremental_catalog",
+    "dedup_minhash_lsh", "dedup_simhash", "sim_centroid",
+    "text_boilerplate", "text_chunk_tokens", "text_contamination",
+    "text_contamination_bloom", "text_ngram_logprob", "text_pii_stats",
+    "text_tfidf_topterms", "text_vocab_topk",
     # (2) NEW this round (never driver-checked)
-    "b151b_mv_avg_refresh", "b151c_mv_union_refresh", "b151d_mv_lanes",
-    "b124b_substrait_roundtrip",
-    "b153_q4_growth_chain", "b154_q22_qoh_rollup",
-    "b155_q30_state_return_gate", "b156_q13_demographic_bands",
-    "b157_q76_null_channel_report", "b158_q46_city_mismatch_pairs",
-    "b159_q6_dim_avg_gate", "b160_q80_netted_channel_rollup",
+    "b151e_mv_join_refresh", "b151f_mv_retraction_refresh",
+    "b161_q77_channel_pnl", "b162_q2_week_share",
+    "b163_q25_three_lens", "b164_q24_dedup_mean_gate",
+    "b165_q10_prospect_profile", "b166_q69_state_gated_demographics",
 ]
 
 

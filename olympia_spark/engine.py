@@ -4950,15 +4950,14 @@ class Engine:
         # materialize hidden SUM/COUNT companion columns alongside —
         # see _mv_companions; the declared schema excludes them
         srcs = sorted(f"{n}.{t}" for n, t in tables)
-        cplan = ((self._mv_incremental_plan(sql_text, srcs[0], txn)
-                  or self._mv_union_plan(sql_text, srcs, txn))
-                 if len(srcs) == 1
-                 else self._mv_union_plan(sql_text, srcs, txn))
+        cplan = self._mv_plan(sql_text, srcs, txn)
         df = self.spark.sql(self._resolve_sql(
             self._mv_augmented_sql(cplan) or sql_text, txn))
         comp_names = {c for pair in
                       (self._mv_companions(cplan) if cplan else [])
                       for c in pair[:2]}
+        if cplan:
+            comp_names.add(self._MV_ROWCNT)
         rogue = [f.name for f in df.schema.fields
                  if f.name.startswith("__mv_")
                  and f.name not in comp_names]
@@ -5018,21 +5017,27 @@ class Engine:
           version (metadata-only probe, COMMITS NOTHING — the
           watermark advances only when a refresh rewrites).
         * ``incremental`` — a GROUP-BY aggregation over ONE source
-          (`_mv_incremental_plan`) or over a UNION ALL of pure
+          (`_mv_incremental_plan`), over a UNION ALL of pure
           projection/filter branches over known sources
-          (`_mv_union_plan`; COUNT/SUM/MIN/MAX/AVG, AVG decomposing
-          into hidden SUM/COUNT companion columns) whose delta since
-          the recorded version is APPEND-ONLY: each source's change feed
-          (O(changed files), never O(table)) aggregates through the
-          SAME query shape and merges into the stored aggregate-sized
-          result. This is the 100 TB point — a dashboard aggregate
-          over a daily-append fact refreshes by scanning one day's
-          files; only the aggregate-sized MV table rewrites.
-        * ``full`` — everything else (deletes/updates in the delta
-          need retraction state; joined-source or otherwise
-          non-incrementalizable queries; ``FULL`` requested; the
-          recorded version's root no longer loadable): rerun the
-          stored query and overwrite.
+          (`_mv_union_plan`), or over an INNER JOIN of exactly two
+          sources where one side moved (`_mv_join_plan`, VERDICT r13
+          #1 — the fact-JOIN-small-dim dashboard shape; the delta
+          joins the unchanged side read at the pinned version);
+          COUNT/SUM/MIN/MAX/AVG, with SUM/AVG decomposing into hidden
+          SUM/COUNT companion columns and a hidden per-group row
+          count. The delta since the recorded version is each source's
+          change feed (O(changed files), never O(table)), aggregated
+          through the SAME query shape with DELETES SIGNED −1
+          (VERDICT r13 #2): SUM/COUNT/AVG subtract exactly and groups
+          whose row count reaches zero vanish; only MIN/MAX force the
+          full lane under deletes (a delete can un-extreme them). The
+          merge rewrites only the aggregate-sized MV table. This is
+          the 100 TB point — a dashboard aggregate over a daily-append
+          fact refreshes by scanning one day's files.
+        * ``full`` — everything else (deletes against a MIN/MAX plan;
+          both join sides moved; otherwise non-incrementalizable
+          queries; ``FULL`` requested; the recorded version's root no
+          longer loadable): rerun the stored query and overwrite.
 
         The data rewrite and the new version stamp commit ATOMICALLY
         (one update_table_files CAS). Returns a one-row report
@@ -5162,23 +5167,26 @@ class Engine:
             # read and the CAS — the data-loss case the concurrent-
             # append test pins).
             return report("noop", 0)
-        cplan = ((self._mv_incremental_plan(q, sources[0], txn)
-                  or self._mv_union_plan(q, sources, txn))
-                 if len(sources) == 1
-                 else self._mv_union_plan(q, sources, txn))
+        cplan = self._mv_plan(q, sources, txn)
         plan = None if (full or force_full) else cplan
+        if plan is not None and "join" in plan \
+                and len(set(files_changed)) != 1:
+            # the join lane is exact only when ONE side moved: the
+            # unchanged side read whole at the pinned version is the
+            # join's fixpoint. Both sides changed in one window →
+            # ΔF ⋈ ΔD cross terms — recompute.
+            plan = None
         stored = None
         if plan is not None:
+            # companions + the row count live OUTSIDE the declared
+            # schema — read the MV's files RAW (engine-written plain
+            # parquet, never mapped/bucketed/partitioned). A legacy MV
+            # whose files predate the companion set (or the r14 row
+            # count) lacks them → full recompute this once, which
+            # writes them back via the augmented query
             comp_cols = [c for pair in self._mv_companions(plan)
-                         for c in pair[:2]]
-            if not comp_cols:
-                stored = self._scan(tdef, tdef.file_paths())
-            elif tdef.file_paths():
-                # AVG companions live OUTSIDE the declared schema — read
-                # the MV's files RAW (engine-written plain parquet,
-                # never mapped/bucketed/partitioned). A legacy MV whose
-                # files predate the AVG lane lacks them → full recompute
-                # this once, which writes them back
+                         for c in pair[:2]] + [self._MV_ROWCNT]
+            if tdef.file_paths():
                 stored = self.spark.read.parquet(
                     *self._scan_uris(tdef.file_paths()))
                 if not set(comp_cols) <= set(stored.columns):
@@ -5186,36 +5194,44 @@ class Engine:
             else:  # empty materialization — trivially recompute whole
                 plan = None
         deltas: dict[str, DataFrame] = {}
+        has_minmax = plan is not None and any(
+            k in ("MIN", "MAX") for k, _i, _o in plan["aggs"])
         try:
             if plan is not None:
                 # persist: each changed source's feed is consumed by the
-                # retraction probe, the count and the delta aggregation —
-                # O(changed files) rows, cached once, RELEASED in the
-                # finally below, which must also cover the probe itself:
-                # a probe count that throws (scan failure, expired
-                # files) would otherwise leak the persisted DataFrame
-                # for the session lifetime (ADVICE r12; localCheckpoint
-                # leaks likewise, review r12 s2 pass 6)
+                # retraction probe (MIN/MAX plans only), the count and
+                # the delta aggregation — O(changed files) rows, cached
+                # once, RELEASED in the finally below, which must also
+                # cover the probe itself: a probe count that throws
+                # (scan failure, expired files) would otherwise leak the
+                # persisted DataFrame for the session lifetime (ADVICE
+                # r12; localCheckpoint leaks likewise, r12 s2 pass 6)
                 for s in sorted(set(files_changed)):
                     d = self.table_changes(s, last, cur).persist()
                     deltas[s] = d
-                    if d.filter(F.col("_change_type") == "delete") \
+                    if has_minmax and d.filter(
+                            F.col("_change_type") == "delete") \
                             .limit(1).count():
-                        plan = None     # retractions → full recompute
+                        # a delete can un-extreme MIN/MAX (no retraction
+                        # state can restore the runner-up) → full.
+                        # SUM/COUNT/AVG plans keep the incremental lane:
+                        # deletes ride the SIGNED delta and subtract
+                        # exactly (VERDICT r13 #2)
+                        plan = None
                         break
                 if not deltas:
                     plan = None         # defensive: nothing to consume
             if plan is not None:
                 # concurrent-commit seal (r13 review pass 3): the change
                 # feeds are governed at the LATEST committed policies
-                # (_current_policies), not at this refresh's pinned
-                # version — a policy/pointer commit that landed between
-                # the probe and the feeds' materialization (the persist
-                # was populated by the retraction probe's count) would
+                # (_current_policies), baked into each feed's plan at
+                # table_changes() CONSTRUCTION time above — a
+                # policy/pointer commit that landed between this
+                # refresh's pinned read and that construction would
                 # merge new-semantics delta rows into old-semantics
-                # stored rows. Re-describe each source NOW; any
-                # signature drift downgrades to the full lane, whose
-                # recompute is internally consistent.
+                # stored rows. Re-describe each source NOW (after
+                # construction); any signature drift downgrades to the
+                # full lane, whose recompute is internally consistent.
                 chk = self.catalog.begin(read_only=True)
                 for s in sources:
                     sns_c, stbl_c = self._split(s)
@@ -5224,14 +5240,23 @@ class Engine:
                         plan = None
                         break
             if plan is not None:
-                ins = {s: d.filter(F.col("_change_type") == "insert")
-                       .drop("_change_type") for s, d in deltas.items()}
-                merged = self._mv_merge(
-                    stored,
-                    self._mv_apply_query(
-                        plan, ins if "branches" in plan
-                        else ins[sources[0]]),
-                    plan, tdef.spark_schema())
+                if "join" in plan:
+                    # one changed side (enforced above) joins the OTHER
+                    # side read whole at this refresh's pinned version —
+                    # policies baked from the pinned describe, so the
+                    # dim read is deterministic under the seal
+                    (dsrc,) = set(files_changed)
+                    other = next(s for s in sources
+                                 if s.lower() != dsrc.lower())
+                    delta_agg = self._mv_apply_query(
+                        plan, {dsrc: deltas[dsrc]},
+                        dim=(other, self.read_table(other, txn)))
+                else:
+                    delta_agg = self._mv_apply_query(
+                        plan, deltas if "branches" in plan
+                        else deltas[sources[0]])
+                merged = self._mv_merge(stored, delta_agg, plan,
+                                        tdef.spark_schema())
                 mode = "incremental"
                 n = sum(d.count() for d in deltas.values())
             else:
@@ -5276,38 +5301,51 @@ class Engine:
     _MV_AGG_RE = re.compile(
         r"^(COUNT|SUM|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S)
 
+    # hidden per-group row count (COUNT(*) under the MV's own WHERE/
+    # GROUP BY), stored beside the companions: the retraction lane needs
+    # it to tell a VANISHED group (every contributing row deleted → drop
+    # the stored row) from a group whose aggregate merely reached zero
+    _MV_ROWCNT = "__mv_rowcnt"
+
     @staticmethod
     def _mv_companions(plan: dict) -> list[tuple[str, str, str, str]]:
-        """(sum_col, cnt_col, inner_expr, out_alias) per AVG aggregate:
-        AVG is not self-maintainable but decomposes EXACTLY — store
-        SUM(inner) and COUNT(inner) companions beside the avg column
-        (inside the MV's parquet files, OUTSIDE the declared schema, so
-        SELECT/DESCRIBE/time travel never see them — _scan projects the
-        declared schema) and recombine merged_sum / merged_cnt at merge
-        time (VERDICT r12 #3)."""
+        """(sum_col, cnt_col, inner_expr, out_alias) per AVG **and SUM**
+        aggregate: AVG is not self-maintainable but decomposes EXACTLY —
+        store SUM(inner) and COUNT(inner) companions beside the avg
+        column (inside the MV's parquet files, OUTSIDE the declared
+        schema, so SELECT/DESCRIBE/time travel never see them — _scan
+        projects the declared schema) and recombine merged_sum /
+        merged_cnt at merge time (VERDICT r12 #3). SUM joined the
+        companion set for the retraction lane (VERDICT r13 #2): under
+        deletes, SUM must go back to NULL when the last NON-NULL input
+        of a surviving group is deleted — subtraction alone says 0;
+        only the non-null COUNT companion can tell the difference."""
         return [(f"__mv_sum__{out}", f"__mv_cnt__{out}", inner, out)
-                for kind, inner, out in plan["aggs"] if kind == "AVG"]
+                for kind, inner, out in plan["aggs"]
+                if kind in ("AVG", "SUM")]
 
     def _mv_augmented_sql(self, plan: dict | None) -> str | None:
-        """The stored query re-emitted WITH the AVG companion select
-        items, or None when there is nothing to augment. Reconstruction
-        is faithful: plan['select_raw'] is the verbatim (normalized)
-        select list the parse accepted, so declared column order is
-        preserved; companions append after it."""
+        """The stored query re-emitted WITH the hidden companion select
+        items (SUM/AVG sum+count pairs, plus the per-group row count —
+        every incrementalizable plan carries the row count so the
+        retraction lane can drop vanished groups), or None when the
+        plan itself is None. Reconstruction is faithful:
+        plan['select_raw'] is the verbatim (normalized) select list the
+        parse accepted, so declared column order is preserved;
+        companions append after it."""
         if not plan:
-            return None
-        comp = self._mv_companions(plan)
-        if not comp:
             return None
         items = [plan["select_raw"]]
         items += [f"SUM({inner}) AS {s}, COUNT({inner}) AS {c}"
-                  for s, c, inner, _out in comp]
+                  for s, c, inner, _out in self._mv_companions(plan)]
+        items.append(f"COUNT(*) AS {self._MV_ROWCNT}")
         sql = (f"SELECT {', '.join(items)} "
                f"FROM {plan.get('from_sql') or plan['source']}")
         if plan["where"]:
             sql += f" WHERE {plan['where']}"
         if plan["group"]:
-            sql += f" GROUP BY {', '.join(plan['group'])}"
+            sql += (f" GROUP BY "
+                    f"{plan.get('group_sql') or ', '.join(plan['group'])}")
         return sql
 
     # identifier WHITELIST for the incremental lane: aggregate inners,
@@ -5421,32 +5459,39 @@ class Engine:
                     return None
                 bare.add(item)
                 continue
-            am = self._MV_AGG_RE.match(item)
-            if not am:
+            agg = self._mv_agg_item(item)
+            if agg is None:
                 return None
-            # the greedy inner group also matches COMPOUND forms —
-            # 'MIN(a) + MIN(b) AS m' parses as kind=MIN with inner
-            # 'a) + MIN(b', and the merge would combine a compound
-            # expression with single-aggregate math (silently wrong:
-            # least() of sums-of-mins — r13 review pass 3, reproduced).
-            # A genuine single call's inner is paren-BALANCED and never
-            # dips negative; count on the code view so parens inside
-            # string literals don't miscount.
-            depth = 0
-            for ch in self._mv_code_view(am.group(2)):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth < 0:
-                        return None
-            if depth != 0:
-                return None
-            aggs.append((am.group(1).upper(), am.group(2).strip(),
-                         am.group(3)))
+            aggs.append(agg)
         if bare != set(group_cols) or not aggs:
             return None
         return aggs
+
+    @classmethod
+    def _mv_agg_item(cls, item: str) -> tuple[str, str, str] | None:
+        """Parse ONE select item as a single COUNT/SUM/MIN/MAX/AVG call
+        with an alias, or None. The greedy inner group of _MV_AGG_RE
+        also matches COMPOUND forms — 'MIN(a) + MIN(b) AS m' parses as
+        kind=MIN with inner 'a) + MIN(b', and the merge would combine a
+        compound expression with single-aggregate math (silently wrong:
+        least() of sums-of-mins — r13 review pass 3, reproduced). A
+        genuine single call's inner is paren-BALANCED and never dips
+        negative; count on the code view so parens inside string
+        literals don't miscount."""
+        am = cls._MV_AGG_RE.match(item)
+        if not am:
+            return None
+        depth = 0
+        for ch in cls._mv_code_view(am.group(2)):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return None
+        if depth != 0:
+            return None
+        return (am.group(1).upper(), am.group(2).strip(), am.group(3))
 
     def _mv_source_cols(self, source: str, txn) -> set[str]:
         sns, stbl = self._split(source)
@@ -5651,16 +5696,175 @@ class Engine:
                 "select_raw": items_raw, "branches": branches,
                 "from_sql": f"({inner.strip()}) olympia__mv_u"}
 
-    def _mv_apply_query(self, plan: dict, rows) -> DataFrame:
-        """Run the parsed MV aggregation over the append-only delta —
-        same WHERE, same grouping, same aggregate expressions, so the
-        delta aggregate is type- and semantics-identical to the stored
-        one. ``rows``: a DataFrame (single-source lane) or a
-        {source: DataFrame} map of per-source deltas (union lane —
-        each changed source's delta flows through ITS branches only;
+    def _mv_join_plan(self, q: str, sources: list[str], txn=None):
+        """Broadcast-dim JOIN incremental shape (VERDICT r13 #1):
+        ``SELECT <group+aggs> FROM <t1> [AS] a [INNER] JOIN <t2> [AS] b
+        ON <cond> [WHERE …] [GROUP BY …]`` over exactly the two known
+        sources, both under explicit simple aliases (the delta
+        re-execution swaps each table for a temp view and re-binds the
+        SAME alias, so every qualified reference resolves identically).
+        The refresh driver enforces the lane's soundness condition:
+        exactly ONE source's files changed — its change feed joins the
+        OTHER side read whole at the pinned version, exact for INNER
+        joins because (F ∪ ΔF) ⋈ D = (F ⋈ D) ∪ (ΔF ⋈ D); group keys may
+        come from either side (the dashboard shape is fact JOIN
+        small_dim GROUP BY dim.attr). Any OUTER/CROSS/SEMI/NATURAL/
+        USING form, a second join, nested SELECTs, unaliased tables, or
+        an unscreenable identifier → None (the always-correct full
+        lane). A dim whose SEMANTICS drift (policy/schema/pointer — the
+        per-source signature) already forces full via the probe; a dim
+        whose files merely grow is itself handled as the delta side."""
+        if txn is None or len(sources) != 2:
+            return None
+        norm = _normalize(q)
+        if "__mv_" in norm.lower() or "\\" in norm or "`" in norm:
+            return None                 # _mv_code_view precondition
+        code = self._mv_code_view(norm)
+        for kw in ("over", "distinct", "having", "union", "limit",
+                   "order", "left", "right", "full", "cross", "semi",
+                   "anti", "natural", "lateral", "using", "outer"):
+            if re.search(rf"\b{kw}\b", code, re.I):
+                return None
+        if len(re.findall(r"\bSELECT\b", code, re.I)) != 1 \
+                or len(re.findall(r"\bJOIN\b", code, re.I)) != 1:
+            return None
+        m = re.match(
+            r"SELECT\s(.+?)\sFROM\s+(\S+)\s+(?:AS\s+)?(\w+)\s+"
+            r"(?:INNER\s+)?JOIN\s+(\S+)\s+(?:AS\s+)?(\w+)\s+ON\s(.+?)"
+            r"(?:\sWHERE\s(.+?))?(?:\sGROUP BY\s(.+))?$",
+            code, re.I | re.S)
+        if not m:
+            return None
+        # slice every clause from NORM at the code-view spans (the two
+        # are position-identical; literals live only in norm)
+        def _n(i):
+            return (norm[m.start(i):m.end(i)].strip()
+                    if m.group(i) is not None else None)
+        items_raw, tok1, a1, tok2, a2, on_raw, where, gb = \
+            (_n(i) for i in range(1, 9))
+        kw_block = {"join", "inner", "on", "where", "group", "as",
+                    "select", "from"}
+        if a1.lower() in kw_block or a2.lower() in kw_block \
+                or a1.lower() == a2.lower():
+            return None                 # unaliased table or alias clash
+        src_by_low = {s.lower(): s for s in sources}
+        src1 = src_by_low.get(tok1.rstrip(";").lower())
+        src2 = src_by_low.get(tok2.rstrip(";").lower())
+        if src1 is None or src2 is None or src1 == src2:
+            return None
+        group_exprs = [g.strip() for g in gb.split(",")] if gb else []
+        if len(group_exprs) != len({g.lower() for g in group_exprs}):
+            return None                 # duplicate keys → ambiguous out
+        if not all(re.fullmatch(r"\w+(?:\.\w+)?", g)
+                   for g in group_exprs):
+            return None
+        gset = {g.lower() for g in group_exprs}
+        group_out, group_items, aggs, seen_g = [], [], [], set()
+        for item in self._split_top_level(items_raw):
+            item = item.strip()
+            gm = re.fullmatch(
+                r"((?:\w+\.)?\w+)(?:\s+AS\s+(\w+))?", item, re.I | re.S)
+            if gm and gm.group(1).lower() in gset:
+                group_items.append(item)
+                group_out.append(gm.group(2)
+                                 or gm.group(1).split(".")[-1])
+                seen_g.add(gm.group(1).lower())
+                continue
+            agg = self._mv_agg_item(item)
+            if agg is None:
+                return None
+            aggs.append(agg)
+        if seen_g != gset or not aggs:
+            return None                 # every key must be stored
+        outs = [o.lower() for o in group_out] \
+            + [out.lower() for _k, _i, out in aggs]
+        if len(outs) != len(set(outs)):
+            return None                 # merge needs unique out names
+        cols = (self._mv_source_cols(src1, txn)
+                | self._mv_source_cols(src2, txn)
+                | {a1.lower(), a2.lower()})
+        body = " ".join(filter(None, (items_raw, on_raw, where, gb)))
+        if not self._mv_screen(body, cols, set(outs)):
+            return None
+        return {"group": group_out, "group_items": group_items,
+                "group_sql": gb, "aggs": aggs, "where": where,
+                "select_raw": items_raw,
+                "join": {"src1": src1, "a1": a1,
+                         "src2": src2, "a2": a2, "on": on_raw},
+                "from_sql": f"{tok1} {a1} JOIN {tok2} {a2} "
+                            f"ON ({on_raw})"}
+
+    def _mv_plan(self, q: str, sources: list[str], txn):
+        """Route the stored query to its incremental parse by source
+        arity: single-source GROUP BY, then the UNION ALL lane (which
+        also covers single-source self-unions), then the two-source
+        JOIN lane. None → the always-correct full lane."""
+        if len(sources) == 1:
+            return (self._mv_incremental_plan(q, sources[0], txn)
+                    or self._mv_union_plan(q, sources, txn))
+        plan = self._mv_union_plan(q, sources, txn)
+        if plan is None and len(sources) == 2:
+            plan = self._mv_join_plan(q, sources, txn)
+        return plan
+
+    @staticmethod
+    def _mv_signed_agg(kind: str, inner: str) -> str:
+        """The delta-side aggregate expression over a SIGNED change
+        feed (``__mv_sign`` = +1 insert / -1 delete): SUM and COUNT
+        are exactly subtractable, so delete events ride the SAME
+        aggregation as inserts with their sign flipped (VERDICT r13
+        #2) — an insert-only delta degenerates to the plain aggregate
+        (all signs +1). MIN/MAX emit plain: the refresh driver forces
+        the full lane whenever a delta carries deletes and the plan
+        has MIN/MAX (a delete can un-extreme them), so by contract
+        they only ever see insert-only deltas. AVG's declared column
+        emits plain too — the merge recombines it from the signed
+        SUM/COUNT companions and never reads the delta's avg value."""
+        kind = kind.upper()
+        if kind == "COUNT":
+            if inner.strip() == "*":
+                return "CAST(SUM(__mv_sign) AS BIGINT)"
+            return (f"CAST(SUM(CASE WHEN ({inner}) IS NOT NULL "
+                    f"THEN __mv_sign ELSE 0 END) AS BIGINT)")
+        if kind == "SUM":
+            # CASE keeps the inner expression's type exactly (unary
+            # minus is type-preserving); inner * sign would widen
+            # decimals differently from the stored column
+            return (f"SUM(CASE WHEN __mv_sign = 1 THEN ({inner}) "
+                    f"ELSE -({inner}) END)")
+        return f"{kind}({inner})"       # AVG (unused by merge), MIN, MAX
+
+    def _mv_apply_query(self, plan: dict, rows,
+                        dim: tuple[str, DataFrame] | None = None
+                        ) -> DataFrame:
+        """Run the parsed MV aggregation over the change-feed delta —
+        same WHERE, same grouping, signed aggregate expressions
+        (`_mv_signed_agg`), so the delta aggregate is type- and
+        semantics-identical to the stored one with deletes subtracting.
+        ``rows``: a DataFrame (single-source lane) or a
+        {source: DataFrame} map of per-source feeds (union lane — each
+        changed source's delta flows through ITS branches only;
         branches over unchanged sources are simply absent, which is
-        sound because every branch emits the same output names)."""
+        sound because every branch emits the same output names), every
+        feed still carrying ``_change_type``. ``dim`` (join lane): the
+        (name, DataFrame) of the UNCHANGED side read whole at the
+        refresh's pinned version — the delta joins it under the stored
+        query's own aliases, exact for INNER joins because
+        (F ∪ ΔF) ⋈ D = (F ⋈ D) ∪ (ΔF ⋈ D)."""
         tmps, views = [], {}
+
+        def _reg(df: DataFrame) -> str:
+            a = f"olympia__mv_delta__{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(a)
+            tmps.append(a)
+            return a
+
+        def _signed(df: DataFrame) -> str:
+            return _reg(df.withColumn(
+                "__mv_sign",
+                F.when(F.col("_change_type") == "delete", F.lit(-1))
+                .otherwise(F.lit(1))).drop("_change_type"))
+
         try:
             if "branches" in plan:
                 legs = []
@@ -5668,30 +5872,37 @@ class Engine:
                     if src not in rows:
                         continue        # unchanged source: empty delta
                     if src not in views:
-                        a = f"olympia__mv_delta__{uuid.uuid4().hex[:8]}"
-                        rows[src].createOrReplaceTempView(a)
-                        tmps.append(a)
-                        views[src] = a
-                    leg = f"SELECT {bitems} FROM {views[src]}"
+                        views[src] = _signed(rows[src])
+                    leg = (f"SELECT {bitems}, __mv_sign "
+                           f"FROM {views[src]}")
                     if bwhere:
                         leg += f" WHERE {bwhere}"
                     legs.append(leg)
                 frm = f"({' UNION ALL '.join(legs)}) olympia__mv_u"
+            elif "join" in plan:
+                (dsrc, feed), = rows.items()
+                j = plan["join"]
+                d_alias = j["a1"] if dsrc.lower() == j["src1"].lower() \
+                    else j["a2"]
+                m_alias = j["a2"] if d_alias == j["a1"] else j["a1"]
+                frm = (f"{_signed(feed)} {d_alias} JOIN "
+                       f"{_reg(dim[1])} {m_alias} ON ({j['on']})")
             else:
-                a = f"olympia__mv_delta__{uuid.uuid4().hex[:8]}"
-                rows.createOrReplaceTempView(a)
-                tmps.append(a)
-                frm = a
-            sel = list(plan["group"])
-            sel += [f"{kind}({inner}) AS {out}"
+                frm = _signed(rows)
+            sel = list(plan.get("group_items") or plan["group"])
+            sel += [f"{self._mv_signed_agg(kind, inner)} AS {out}"
                     for kind, inner, out in plan["aggs"]]
-            sel += [f"SUM({inner}) AS {s}, COUNT({inner}) AS {c}"
-                    for s, c, inner, _out in self._mv_companions(plan)]
+            for s, c, inner, _out in self._mv_companions(plan):
+                sel.append(f"{self._mv_signed_agg('SUM', inner)} AS {s}")
+                sel.append(f"{self._mv_signed_agg('COUNT', inner)} AS {c}")
+            sel.append(f"{self._mv_signed_agg('COUNT', '*')} "
+                       f"AS {self._MV_ROWCNT}")
             sql = f"SELECT {', '.join(sel)} FROM {frm}"
             if plan["where"]:
                 sql += f" WHERE {plan['where']}"
             if plan["group"]:
-                sql += f" GROUP BY {', '.join(plan['group'])}"
+                gb = plan.get("group_sql") or ", ".join(plan["group"])
+                sql += f" GROUP BY {gb}"
             out = self.spark.sql(sql)
         finally:
             for a in tmps:              # plan already resolved
@@ -5703,13 +5914,18 @@ class Engine:
                   schema: T.StructType) -> DataFrame:
         """Merge a delta aggregate into the stored one: FULL OUTER join
         on the group keys (null-safe — NULL group values are real
-        groups), then per-aggregate combine: SUM/COUNT add, MIN least,
-        MAX greatest, each skipping the side where the group is absent
-        (SQL semantics: a NULL stored SUM merged with a delta value is
-        the delta value — 'no rows' and 'all-NULL inputs' combine
-        identically). Global aggregates (no GROUP BY) join on a
-        constant key — two one-row sides. Output casts back to the
-        MV's recorded schema so repeated merges never widen types."""
+        groups), then per-aggregate combine: COUNT adds (the delta is
+        SIGNED, so deletes arrive negative and subtract), SUM/AVG
+        recombine from their merged sum/count companions, MIN least /
+        MAX greatest (insert-only by the refresh driver's contract),
+        each skipping the side where the group is absent (SQL
+        semantics: a NULL stored SUM merged with a delta value is the
+        delta value — 'no rows' and 'all-NULL inputs' combine
+        identically). Groups whose merged row count reaches zero are
+        dropped — the retraction analogue of never having grouped.
+        Global aggregates (no GROUP BY) join on a constant key — two
+        one-row sides. Output casts back to the MV's recorded schema
+        so repeated merges never widen types."""
         # align the delta to the stored schema's types BEFORE the join:
         # a subset-of-branches union delta skips the full union's type
         # coercion, so a group key emitted NARROWER by its lone branch
@@ -5763,30 +5979,46 @@ class Engine:
                 F.col(f"o.{s}"), F.col(f"d.{s}")).cast(s_t).alias(s))
             comp_cols.append(add_skipping_absent(
                 F.col(f"o.{c}"), F.col(f"d.{c}")).cast(c_t).alias(c))
+        rc = Engine._MV_ROWCNT
+        rc_col = add_skipping_absent(
+            F.col(f"o.{rc}"), F.col(f"d.{rc}")) \
+            .cast(old.schema[rc].dataType).alias(rc)
         for kind, _inner, out in plan["aggs"]:
             a, b = F.col(f"o.{out}"), F.col(f"d.{out}")
-            if kind == "AVG":
+            if kind in ("AVG", "SUM"):
                 # recombined EXACTLY from the merged companions — the
-                # same sum/count division Spark's Average evaluates;
-                # cnt==0 (a group whose every input was NULL) keeps the
-                # NULL avg instead of dividing by zero under ANSI
+                # same sum/count Spark's aggregates evaluate; merged
+                # cnt==0 (a group whose every NON-NULL input is gone —
+                # all-NULL at create, or the retraction lane deleted
+                # the last non-null row) yields NULL, which plain
+                # subtraction cannot express for SUM (it says 0)
                 s, c = comp_by_out[out]
                 ms = add_skipping_absent(F.col(f"o.{s}"), F.col(f"d.{s}"))
                 mc = add_skipping_absent(F.col(f"o.{c}"), F.col(f"d.{c}"))
-                cols.append(F.when(mc > 0, ms / mc).alias(out))
+                cols.append(F.when(
+                    mc > 0, ms / mc if kind == "AVG" else ms).alias(out))
                 continue
-            if kind in ("SUM", "COUNT"):
-                combine = a + b
+            if kind == "COUNT":
+                combine = a + b         # delta side is SIGNED: deletes
+                # arrive as negative counts and subtract here
             elif kind == "MIN":
                 combine = F.least(a, b)
             else:
                 combine = F.greatest(a, b)
             cols.append(skip_absent(a, b, combine).alias(out))
-        return j.select(*cols, *comp_cols).select(
+        res = j.select(*cols, *comp_cols, rc_col)
+        if plan["group"]:
+            # a group whose every contributing row was deleted VANISHES
+            # from the recompute — drop its stored row. Global
+            # aggregates keep their single row (COUNT 0 / SUM NULL /
+            # AVG NULL, exactly the recompute-on-empty result).
+            res = res.filter(F.col(rc) > 0)
+        return res.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name)
               for f in schema.fields],
             *[F.col(s) for s, _c, _i, _o in companions],
-            *[F.col(c) for _s, c, _i, _o in companions])
+            *[F.col(c) for _s, c, _i, _o in companions],
+            F.col(rc))
 
     @staticmethod
     def _mv_guard(tdef: TableDef, name: str, op: str) -> None:

@@ -1093,3 +1093,122 @@ def b151c_mv_union_refresh(spark: SparkSession, sf: str) -> DataFrame:
     return eng.sql(
         "SELECT pri, n_sales, CAST(rev_dec AS DOUBLE) AS revenue, "
         "avg_amt FROM ns1.mv_channels ORDER BY pri")
+
+
+# --- B151e broadcast-dim JOIN materialized view (r14) --------------------------
+
+@query("b151e_mv_join_refresh", oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS pri, o_totalprice AS amt,
+         o_orderstatus AS st FROM orders
+), f AS (
+  SELECT pri, amt FROM base
+  UNION ALL
+  SELECT pri, amt + 0.75 AS amt FROM base WHERE st = 'F'
+), d AS (
+  SELECT DISTINCT pri,
+         CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'hot'
+              ELSE 'std' END AS band
+  FROM base
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(amt AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       CAST(AVG(CAST(amt AS DECIMAL(25,6))) AS DOUBLE) AS avg_amt
+FROM f JOIN d ON f.pri = d.pri
+GROUP BY band
+ORDER BY band
+""")
+def b151e_mv_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B151e — the fact-JOIN-small-dim MV shape on the INCREMENTAL lane
+    (VERDICT r13 #1, engine._mv_join_plan): the most common dashboard
+    MV after plain GROUP BY — ``fact JOIN dim GROUP BY dim.attr``.
+    Under an append-only FACT delta with an UNCHANGED dim, the refresh
+    consumes ONLY the fact's change feed and joins it to the dim at the
+    pinned version — exact for inner joins because (F ∪ ΔF) ⋈ D =
+    (F ⋈ D) ∪ (ΔF ⋈ D) — then merges with the standard group-key
+    machinery. The refresh is ASSERTED incremental, so the
+    driver-checked numbers are the delta-joined merged ones; SUM and
+    AVG ride exact DECIMAL companions. The oracle reproduces the
+    post-refresh state as a pure SELECT over fact ∪ appended rows
+    joined to the same dim expression."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    for t in ("mv_bands", "ord_fact", "ord_dim"):
+        if eng.catalog.table_exists(txn, "ns1", t):
+            kind = "MATERIALIZED VIEW" if t.startswith("mv_") else "TABLE"
+            eng.sql(f"DROP {kind} ns1.{t}")
+    o = load(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("amt"),
+        F.col("o_orderstatus").alias("st"))
+    eng.write_table(o, "ns1.ord_fact")
+    eng.write_table(
+        o.select("pri").distinct().withColumn(
+            "band", F.when(F.col("pri").isin("1-URGENT", "2-HIGH"),
+                           "hot").otherwise("std")), "ns1.ord_dim")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_bands AS "
+            "SELECT d.band AS band, COUNT(*) AS n_orders, "
+            "SUM(CAST(f.amt AS DECIMAL(25,6))) AS rev_dec, "
+            "AVG(CAST(f.amt AS DECIMAL(25,6))) AS avg_dec "
+            "FROM ns1.ord_fact f JOIN ns1.ord_dim d ON f.pri = d.pri "
+            "GROUP BY d.band")
+    eng.sql("INSERT INTO ns1.ord_fact "
+            "SELECT pri, amt + 0.75 AS amt, st FROM ns1.ord_fact "
+            "WHERE st = 'F'")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_bands").collect()[0]
+    if rep.mode != "incremental":    # the join lane IS the operator
+        raise AssertionError(f"expected incremental refresh, got {rep}")
+    return eng.sql(
+        "SELECT band, n_orders, CAST(rev_dec AS DOUBLE) AS revenue, "
+        "CAST(avg_dec AS DOUBLE) AS avg_amt "
+        "FROM ns1.mv_bands ORDER BY band")
+
+
+# --- B151f retraction (DELETE-subtracting) materialized view (r14) -------------
+
+@query("b151f_mv_retraction_refresh", oracle="""
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       CAST(AVG(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS avg_amt
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+ORDER BY pri
+""")
+def b151f_mv_retraction_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B151f — the MV RETRACTION lane (VERDICT r13 #2): a DELETE on the
+    source refreshes O(changed files) with the deleted rows SUBTRACTED
+    through the signed change feed — SUM/COUNT are exactly subtractable
+    and AVG rides its SUM/COUNT companions; only MIN/MAX plans still
+    downgrade to full (pinned by pytest). The refresh is ASSERTED
+    incremental after a bulk DELETE, so the driver-checked numbers are
+    the subtracted ones, never a silent full recompute; a hidden
+    per-group row count drops groups whose every row was deleted. SUM
+    and AVG accumulate in exact DECIMAL so the subtraction is exact.
+    The oracle reproduces the post-delete state as a plain aggregate
+    over the surviving rows."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    if eng.catalog.table_exists(txn, "ns1", "mv_retr"):
+        eng.sql("DROP MATERIALIZED VIEW ns1.mv_retr")
+    if eng.catalog.table_exists(txn, "ns1", "orders_delsrc"):
+        eng.sql("DROP TABLE ns1.orders_delsrc")
+    eng.write_table(load(spark, sf, "orders"), "ns1.orders_delsrc")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_retr AS "
+            "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+            "SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec, "
+            "AVG(CAST(o_totalprice AS DECIMAL(25,6))) AS avg_dec "
+            "FROM ns1.orders_delsrc GROUP BY o_orderpriority")
+    eng.sql("DELETE FROM ns1.orders_delsrc WHERE o_orderstatus = 'F'")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_retr").collect()[0]
+    if rep.mode != "incremental" or rep.delta_rows == 0:
+        # the retraction lane IS the operator: deletes must consume the
+        # change feed, not trigger a recompute
+        raise AssertionError(f"expected incremental refresh, got {rep}")
+    return eng.sql(
+        "SELECT o_orderpriority AS pri, n_orders, "
+        "CAST(rev_dec AS DOUBLE) AS revenue, "
+        "CAST(avg_dec AS DOUBLE) AS avg_amt "
+        "FROM ns1.mv_retr ORDER BY pri")

@@ -117,10 +117,12 @@ def test_non_incrementalizable_shapes_take_full_lane(eng):
     assert r.mode == "full"
     assert [tuple(x) for x in
             eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 1)]
-    # multi-source (join) → full
+    # OUTER join → full (only the two-source INNER shape is
+    # incrementalizable — _mv_join_plan, r14; the aliased inner-join
+    # lane has its own suite below)
     eng.sql("CREATE MATERIALIZED VIEW ns1.mv2 AS "
             "SELECT s.grp AS grp, COUNT(*) AS n FROM ns1.src s "
-            "JOIN ns1.dim d ON s.grp = d.grp GROUP BY s.grp")
+            "LEFT JOIN ns1.dim d ON s.grp = d.grp GROUP BY s.grp")
     eng.sql("INSERT INTO ns1.src VALUES (4, 'A', 3.0)")
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2").collect()[0]
     assert r.mode == "full"
@@ -983,12 +985,16 @@ def test_union_mv_same_source_in_two_branches(eng):
     assert _mv_rows(eng) == [("A", 222.0), ("B", 5.0)]
 
 
-def test_union_mv_retraction_in_one_source_forces_full(eng):
+def test_union_mv_retraction_in_one_source_subtracts(eng):
+    """r14: UNION_Q is COUNT/SUM/AVG-only, so a DELETE in one source
+    rides the SIGNED delta through that source's branches and
+    SUBTRACTS — the incremental lane, not full (deletes forced full
+    only until VERDICT r13 #2)."""
     _seed_two(eng)
     eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {UNION_Q}")
     eng.sql("DELETE FROM ns1.a WHERE id = 1")
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
-    assert r.mode == "full"
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
     # a keeps (B,5); b contributes only (A,4) past the w>3 filter
     assert _mv_rows(eng) == [("A", 1, 4.0, 4.0), ("B", 1, 5.0, 5.0)]
     assert eng.spark.sparkContext._jsc.sc() \
@@ -1315,3 +1321,303 @@ def test_union_branch_type_drift_aligns_to_stored_schema(eng):
     got = [tuple(x) for x in eng.sql(
         "SELECT * FROM ns1.mv ORDER BY k").collect()]
     assert got == full == [(1, 3), (2, 1), (3, 1)]
+
+
+# --- r14: retraction lane (VERDICT r13 #2) -------------------------------------
+
+
+RAGG = ("SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv, "
+        "AVG(v) AS av FROM ns1.src GROUP BY grp")
+
+
+def _recompute_ragg(eng):
+    return [tuple(x) for x in eng.spark.sql(
+        "SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv, "
+        "AVG(v) AS av FROM {df} GROUP BY grp ORDER BY grp NULLS FIRST",
+        df=eng.read_table("ns1.src")).collect()]
+
+
+def test_deletes_subtract_sum_count_avg(eng):
+    """A DELETE on a SUM/COUNT/AVG-only MV refreshes INCREMENTALLY:
+    delete events ride the signed delta (−1) and subtract exactly —
+    never a full recompute (VERDICT r13 #2). Cross-checked against a
+    from-scratch aggregate."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0),
+                (4, "B", None), (5, "C", 7.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {RAGG}")
+    eng.sql("DELETE FROM ns1.src WHERE id IN (1, 4)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
+    assert _mv_rows(eng) == _recompute_ragg(eng) == [
+        ("A", 1, 1, 20.0, 20.0), ("B", 1, 1, 5.0, 5.0),
+        ("C", 1, 1, 7.0, 7.0)]
+    # second wave: mixed insert+delete in ONE window
+    eng.sql("INSERT INTO ns1.src VALUES (6, 'A', 2.0), (7, 'D', 1.0)")
+    eng.sql("DELETE FROM ns1.src WHERE id = 5")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(eng) == _recompute_ragg(eng)
+
+
+def test_delete_last_nonnull_input_makes_sum_null_not_zero(eng):
+    """The SUM companion-count distinction: deleting the only non-NULL
+    input of a group that keeps a NULL row must yield SUM NULL —
+    plain subtraction would say 0.0 (the silent-wrong case the
+    __mv_cnt__ companion exists for)."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", None)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, SUM(v) AS sv, COUNT(*) AS n "
+            "FROM ns1.src GROUP BY grp")
+    eng.sql("DELETE FROM ns1.src WHERE id = 1")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", None, 1)]
+
+
+def test_group_vanishes_when_all_rows_deleted(eng):
+    """Deleting EVERY contributing row of a group removes its stored
+    row — the hidden per-group row count reaching zero, not a 0-sum
+    zombie row."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", -10.0), (3, "B", 5.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, SUM(v) AS sv, COUNT(*) AS n "
+            "FROM ns1.src GROUP BY grp")
+    eng.sql("DELETE FROM ns1.src WHERE grp = 'A'")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("B", 5.0, 1)]
+    # sum was 0 for the vanished group — subtraction alone could not
+    # distinguish it from a real 0-sum group; the row count does
+
+
+def test_global_aggregate_survives_total_deletion(eng):
+    """A no-GROUP-BY MV keeps its single row when every source row is
+    deleted: COUNT 0 / SUM NULL / AVG NULL — exactly the
+    recompute-on-empty result."""
+    _seed(eng, [(1, "A", 4.0), (2, "B", 6.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT COUNT(*) AS n, SUM(v) AS sv, AVG(v) AS av "
+            "FROM ns1.src")
+    eng.sql("DELETE FROM ns1.src WHERE id IN (1, 2)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [(0, None, None)]
+    # and rows can come back afterwards
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'C', 9.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [(1, 9.0, 9.0)]
+
+
+def test_update_moves_rows_across_groups_incrementally(eng):
+    """An UPDATE surfaces in the change feed as its delete+insert pair
+    (COW multiset diff) — the signed delta subtracts from the old
+    group and adds to the new one in ONE incremental refresh."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n, SUM(v) AS sv "
+            "FROM ns1.src GROUP BY grp")
+    eng.sql("UPDATE ns1.src SET grp = 'B', v = 11.0 WHERE id = 1")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 2)  # del + ins
+    assert [tuple(x) for x in eng.sql(
+        "SELECT * FROM ns1.mv ORDER BY grp").collect()] == [
+        ("A", 1, 20.0), ("B", 2, 16.0)]
+
+
+def test_minmax_plans_still_force_full_on_delete(eng):
+    """Deletes can un-extreme MIN/MAX — no subtraction can restore the
+    runner-up, so any MIN/MAX plan downgrades to full under deletes
+    (while pure SUM/COUNT/AVG plans do not — asserted above)."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, MAX(v) AS mx, COUNT(*) AS n "
+            "FROM ns1.src GROUP BY grp")
+    eng.sql("DELETE FROM ns1.src WHERE id = 2")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 10.0, 1)]
+
+
+def test_retraction_respects_where_clause(eng):
+    """Delete events evaluate the MV's WHERE exactly like inserts did:
+    deleting a row the WHERE never admitted must not subtract."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", -3.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM ns1.src "
+            "WHERE v > 0 GROUP BY grp")
+    eng.sql("DELETE FROM ns1.src WHERE id = 2")   # filtered-out row
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 1, 10.0)]
+
+
+# --- r14: broadcast-dim JOIN lane (VERDICT r13 #1) ------------------------------
+
+
+JOIN_Q = ("SELECT d.band AS band, COUNT(*) AS n, SUM(f.v) AS sv, "
+          "AVG(f.v) AS av FROM ns1.src f JOIN ns1.dim d "
+          "ON f.grp = d.grp GROUP BY d.band")
+
+
+def _seed_join(eng):
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0),
+                (4, "C", 2.0)])
+    eng.write_table(eng.spark.createDataFrame(
+        [("A", "hi"), ("B", "lo"), ("C", "lo")],
+        "grp STRING, band STRING"), "ns1.dim")
+
+
+def _recompute_join(eng):
+    eng.read_table("ns1.src").createOrReplaceTempView("rjf")
+    eng.read_table("ns1.dim").createOrReplaceTempView("rjd")
+    return [tuple(x) for x in eng.spark.sql(
+        "SELECT d.band AS band, COUNT(*) AS n, SUM(f.v) AS sv, "
+        "AVG(f.v) AS av FROM rjf f JOIN rjd d ON f.grp = d.grp "
+        "GROUP BY d.band ORDER BY band").collect()]
+
+
+def _join_mv_rows(eng):
+    return [tuple(r) for r in eng.sql(
+        "SELECT * FROM ns1.mvj ORDER BY band NULLS FIRST").collect()]
+
+
+def test_join_mv_fact_append_is_incremental(eng, spark):
+    """The dashboard shape — fact JOIN small dim GROUP BY dim.attr —
+    refreshes O(fact delta) under an append-only fact and an unchanged
+    dim: the delta joins the dim at refresh time and merges with the
+    existing machinery (VERDICT r13 #1)."""
+    _seed_join(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvj AS {JOIN_Q}")
+    assert _join_mv_rows(eng) == [("hi", 2, 30.0, 15.0),
+                                  ("lo", 2, 7.0, 3.5)]
+    eng.sql("INSERT INTO ns1.src VALUES (5, 'B', 8.0), (6, 'A', 4.0), "
+            "(7, 'ZZZ', 99.0)")  # ZZZ has no dim row — inner join drops
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 3)
+    assert _join_mv_rows(eng) == _recompute_join(eng) == [
+        ("hi", 3, 34.0, 34.0 / 3), ("lo", 3, 15.0, 5.0)]
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_join_mv_dim_append_is_incremental(eng):
+    """A dim-side append is ALSO exact as the delta side of an inner
+    join: (F ⋈ (D ∪ ΔD)) adds F ⋈ ΔD — the unchanged fact reads whole
+    (correct, though O(fact); dim appends are the rare direction)."""
+    _seed_join(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvj AS {JOIN_Q}")
+    # a NEW dim row matches existing fact rows it never matched before
+    eng.sql("INSERT INTO ns1.dim VALUES ('A', 'xtra')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    assert _join_mv_rows(eng) == _recompute_join(eng) == [
+        ("hi", 2, 30.0, 15.0), ("lo", 2, 7.0, 3.5),
+        ("xtra", 2, 30.0, 15.0)]
+
+
+def test_join_mv_both_sides_changed_forces_full(eng):
+    """Both join sides moved in one window → ΔF ⋈ ΔD cross terms the
+    one-sided delta cannot see → full recompute."""
+    _seed_join(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvj AS {JOIN_Q}")
+    eng.sql("INSERT INTO ns1.src VALUES (5, 'D', 1.0)")
+    eng.sql("INSERT INTO ns1.dim VALUES ('D', 'lo')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
+    assert r.mode == "full"
+    assert _join_mv_rows(eng) == _recompute_join(eng) == [
+        ("hi", 2, 30.0, 15.0), ("lo", 3, 8.0, 8.0 / 3)]
+
+
+def test_join_mv_fact_deletes_subtract(eng):
+    """Retraction × join: fact deletes ride the signed delta through
+    the join and subtract (the plan is SUM/COUNT/AVG-only)."""
+    _seed_join(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvj AS {JOIN_Q}")
+    eng.sql("DELETE FROM ns1.src WHERE id IN (3, 4)")  # all of 'lo'
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
+    assert r.mode == "incremental"
+    assert _join_mv_rows(eng) == _recompute_join(eng) == [
+        ("hi", 2, 30.0, 15.0)]        # 'lo' group vanished
+
+
+def test_join_mv_dim_semantic_drift_forces_full(eng):
+    """A dim change that is NOT a data delta — a row-filter policy
+    flip here — drifts the per-source signature and forces the full
+    lane even though no dim file moved (blind-spot #5: metadata-only
+    semantic changes are invisible to file-list probes)."""
+    _seed_join(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvj AS {JOIN_Q}")
+    eng.sql("INSERT INTO ns1.src VALUES (5, 'A', 6.0)")
+    eng.sql("ALTER TABLE ns1.dim SET ROW FILTER (band = 'lo')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
+    assert r.mode == "full"
+    # the recompute sees only the filter-visible dim rows: 'hi' is gone
+    assert _join_mv_rows(eng) == [("lo", 2, 7.0, 3.5)]
+
+
+def test_join_mv_where_on_and_global_aggregate(eng):
+    """WHERE may reference both sides; a no-GROUP-BY join MV merges on
+    the constant key; MIN/MAX work while deltas stay append-only."""
+    _seed_join(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvj2 AS "
+            "SELECT COUNT(*) AS n, SUM(f.v) AS sv, MAX(f.v) AS mx "
+            "FROM ns1.src f INNER JOIN ns1.dim d ON f.grp = d.grp "
+            "WHERE d.band = 'lo' AND f.v > 1")
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mvj2").collect()] == [(2, 7.0, 5.0)]
+    eng.sql("INSERT INTO ns1.src VALUES (5, 'C', 50.0), (6, 'A', 70.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj2").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mvj2").collect()] == [(3, 57.0, 50.0)]
+
+
+def test_join_mv_grammar_refusals_downgrade_to_full(eng):
+    """Shapes the join plan must NOT claim — each still materializes
+    correctly and refreshes on the FULL lane: outer/semi forms, a
+    second join, missing aliases, table-name qualifiers over the alias
+    contract, nondeterministic ON, USING, unaliased expressions."""
+    _seed_join(eng)
+    eng.write_table(eng.spark.createDataFrame(
+        [("hi", 1)], "band STRING, w INT"), "ns1.dim2")
+    cases = [
+        # no aliases: qualified refs could not resolve on temp views,
+        # so the lane demands explicit simple aliases (all-bare refs
+        # keep the statement itself valid here)
+        "SELECT band, COUNT(*) AS n FROM ns1.src "
+        "JOIN ns1.dim2 ON id = w GROUP BY band",
+        # USING form
+        "SELECT grp, COUNT(*) AS n FROM ns1.src f "
+        "JOIN ns1.dim d USING (grp) GROUP BY grp",
+        # nondeterministic WHERE (rand() in ON is refused by Spark
+        # itself at create time — INVALID_NON_DETERMINISTIC_EXPRESSIONS)
+        "SELECT d.band AS band, COUNT(*) AS n FROM ns1.src f "
+        "JOIN ns1.dim d ON f.grp = d.grp WHERE rand() < 2 "
+        "GROUP BY d.band",
+        # expression group key (only bare/alias-qualified columns can
+        # round-trip through the stored-side merge join). A table-name
+        # qualifier over a bound alias (SUM(src.v) with alias f) needs
+        # no lane guard: Spark itself refuses it at create time.
+        "SELECT upper(d.band) AS band, COUNT(*) AS n FROM ns1.src f "
+        "JOIN ns1.dim d ON f.grp = d.grp GROUP BY upper(d.band)",
+    ]
+    for i, q in enumerate(cases):
+        eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvg{i} AS {q}")
+        eng.sql(f"INSERT INTO ns1.src VALUES ({i + 10}, 'A', 1.0)")
+        got = eng.sql(f"REFRESH MATERIALIZED VIEW ns1.mvg{i}") \
+            .collect()[0].mode
+        assert got == "full", (q, got)
+    # three-table join → not the two-source shape
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvg9 AS "
+            "SELECT d.band AS band, COUNT(*) AS n FROM ns1.src f "
+            "JOIN ns1.dim d ON f.grp = d.grp "
+            "JOIN ns1.dim2 e ON d.band = e.band GROUP BY d.band")
+    eng.sql("INSERT INTO ns1.src VALUES (30, 'A', 1.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mvg9") \
+        .collect()[0].mode == "full"
