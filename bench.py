@@ -181,6 +181,15 @@ HEADLINE = [
     "b158_q46_city_mismatch_pairs",
     "b159_q6_dim_avg_gate",
     "b160_q80_netted_channel_rollup",
+    # round 14
+    "b151e_mv_join_refresh",
+    "b151f_mv_retraction_refresh",
+    "b161_q77_channel_pnl",
+    "b162_q2_week_share",
+    "b163_q25_three_lens",
+    "b164_q24_dedup_mean_gate",
+    "b165_q10_prospect_profile",
+    "b166_q69_state_gated_demographics",
 ]
 
 

@@ -5669,3 +5669,457 @@ def b160_q80_netted_channel_rollup(spark: SparkSession, sf: str
     return r.orderBy(F.col("lochierarchy").desc(),
                      F.col("ch").asc_nulls_first(),
                      F.col("pri").asc_nulls_first())
+
+
+# --- B161 TPC-DS Q77 shape (channel P&L from genuinely different relations) ----
+
+@query("b161_q77_channel_pnl", oracle="""
+WITH la AS (
+  SELECT MONTH(l_shipdate) AS k,
+         SUM(CASE WHEN l_returnflag <> 'R'
+                  THEN CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(25,6)) END) AS supply_sales,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(25,6)) END) AS ord_returns
+  FROM lineitem GROUP BY 1
+), oa AS (
+  SELECT MONTH(o_orderdate) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS ord_sales,
+         SUM(CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+           AS supply_returns
+  FROM orders GROUP BY 1
+), legs AS (
+  SELECT 'ord' AS ch, oa.k AS k, ord_sales AS sales,
+         COALESCE(ord_returns, 0) AS ret
+  FROM oa LEFT JOIN la ON oa.k = la.k
+  UNION ALL
+  SELECT 'supply' AS ch, la.k AS k, supply_sales AS sales,
+         COALESCE(supply_returns, 0) AS ret
+  FROM la LEFT JOIN oa ON la.k = oa.k
+  WHERE supply_sales IS NOT NULL
+)
+SELECT ch, CAST(k AS BIGINT) AS k,
+       CAST(SUM(sales) AS DOUBLE) AS sales,
+       CAST(SUM(ret) AS DOUBLE) AS returns,
+       CAST(SUM(sales - ret) AS DOUBLE) AS profit,
+       CAST(GROUPING(ch) + GROUPING(k) AS BIGINT) AS lochierarchy
+FROM legs GROUP BY ROLLUP (ch, k)
+ORDER BY lochierarchy DESC, ch NULLS FIRST, k NULLS FIRST
+""")
+def b161_q77_channel_pnl(spark: SparkSession, sf: str) -> DataFrame:
+    """B161 — TPC-DS Q77 signature shape (VERDICT r13 #5): channel P&L
+    where each channel's gross LEFT-JOINs its OWN returns relation and
+    the channels then roll up together. Unlike b160 (one fact
+    partitioned by status), the legs here are GENUINELY DIFFERENT
+    relations — the 'ord' channel sells from orders and loses to
+    lineitem 'R' returns; the 'supply' channel sells from non-R
+    lineitem and loses to 'P' orders. The literal SQL (the oracle)
+    builds four per-month aggregates and LEFT-JOINs per channel before
+    a UNION ALL → ROLLUP. Spark-first: each FACT is scanned ONCE with
+    a conditional aggregation emitting BOTH its roles (orders → ord
+    sales + supply returns; lineitem → supply sales + ord returns),
+    the two month-keyed aggregates (≤12 rows each) FULL-OUTER align
+    on the month, and both channel legs project out of that single
+    aligned relation via an inline explode — no second scan, no Union
+    of fact-sized legs (contract: tests/test_plan_contracts.py::
+    test_b161_two_scans_explode_no_reagg). P&L stays in exact DECIMAL;
+    absent returns COALESCE to 0 — Q77's LEFT JOIN semantics. The
+    b105/b109 aggregate-alignment machinery composed, per the round
+    brief."""
+    li = load(spark, sf, "lineitem")
+    rev = F.expr("CAST(l_extendedprice * (1 - l_discount) "
+                 "AS DECIMAL(25,6))")
+    rf = F.col("l_returnflag")
+    la = (li.groupBy(F.month("l_shipdate").alias("k"))
+          .agg(F.sum(F.when(rf != "R", rev)).alias("supply_sales"),
+               F.sum(F.when(rf == "R", rev)).alias("ord_returns")))
+    o = load(spark, sf, "orders")
+    price = F.col("o_totalprice").cast(DEC)
+    oa = (o.groupBy(F.month("o_orderdate").alias("k"))
+          .agg(F.sum(price).alias("ord_sales"),
+               F.sum(F.when(F.col("o_orderstatus") == "P", price))
+               .alias("supply_returns")))
+    zero = F.lit(0).cast(DEC)
+    j = (oa.alias("o").join(la.alias("l"),
+                            F.col("o.k") == F.col("l.k"), "full_outer")
+         .select(F.coalesce(F.col("o.k"), F.col("l.k")).alias("k"),
+                 "ord_sales", "supply_returns",
+                 "supply_sales", "ord_returns"))
+    legs = (j.select(F.explode(F.array(
+        F.struct(F.lit("ord").alias("ch"), F.col("k"),
+                 F.col("ord_sales").alias("sales"),
+                 F.coalesce(F.col("ord_returns"), zero).alias("ret")),
+        F.struct(F.lit("supply").alias("ch"), F.col("k"),
+                 F.col("supply_sales").alias("sales"),
+                 F.coalesce(F.col("supply_returns"), zero)
+                 .alias("ret")))).alias("x"))
+        .select("x.*")
+        .filter(F.col("sales").isNotNull())
+        .withColumn("profit", F.col("sales") - F.col("ret"))
+        .withColumn("k", F.col("k").cast("long")))
+    return (legs.rollup("ch", "k")
+            .agg(F.sum("sales").cast("double").alias("sales"),
+                 F.sum("ret").cast("double").alias("returns"),
+                 F.sum("profit").cast("double").alias("profit"),
+                 (F.grouping("ch") + F.grouping("k")).cast("long")
+                 .alias("lochierarchy"))
+            .orderBy(F.col("lochierarchy").desc(),
+                     F.col("ch").asc_nulls_first(),
+                     F.col("k").asc_nulls_first()))
+
+
+# --- B162 TPC-DS Q2 shape (week-over-year weekday share alignment) -------------
+
+@query("b162_q2_week_share", oracle="""
+WITH w AS (
+  SELECT DATEDIFF('day', DATE '1994-12-26', CAST(o_orderdate AS DATE))
+           // 7 AS ws,
+         CAST(SUM(CASE WHEN DATEDIFF('day', DATE '1994-12-26',
+                                     CAST(o_orderdate AS DATE)) % 7 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                            AS BIGINT) END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN DATEDIFF('day', DATE '1994-12-26',
+                                     CAST(o_orderdate AS DATE)) % 7 = 1
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                            AS BIGINT) END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN DATEDIFF('day', DATE '1994-12-26',
+                                     CAST(o_orderdate AS DATE)) % 7 = 2
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                            AS BIGINT) END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN DATEDIFF('day', DATE '1994-12-26',
+                                     CAST(o_orderdate AS DATE)) % 7 = 3
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                            AS BIGINT) END) AS BIGINT) AS d3,
+         CAST(SUM(CASE WHEN DATEDIFF('day', DATE '1994-12-26',
+                                     CAST(o_orderdate AS DATE)) % 7 = 4
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                            AS BIGINT) END) AS BIGINT) AS d4,
+         CAST(SUM(CASE WHEN DATEDIFF('day', DATE '1994-12-26',
+                                     CAST(o_orderdate AS DATE)) % 7 = 5
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                            AS BIGINT) END) AS BIGINT) AS d5,
+         CAST(SUM(CASE WHEN DATEDIFF('day', DATE '1994-12-26',
+                                     CAST(o_orderdate AS DATE)) % 7 = 6
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                            AS BIGINT) END) AS BIGINT) AS d6
+  FROM orders GROUP BY 1
+)
+SELECT CAST(y1.ws AS BIGINT) AS week_seq,
+       CAST(y1.d0 * 1000000 // y2.d0 AS BIGINT) AS mon_ppm,
+       CAST(y1.d1 * 1000000 // y2.d1 AS BIGINT) AS tue_ppm,
+       CAST(y1.d2 * 1000000 // y2.d2 AS BIGINT) AS wed_ppm,
+       CAST(y1.d3 * 1000000 // y2.d3 AS BIGINT) AS thu_ppm,
+       CAST(y1.d4 * 1000000 // y2.d4 AS BIGINT) AS fri_ppm,
+       CAST(y1.d5 * 1000000 // y2.d5 AS BIGINT) AS sat_ppm,
+       CAST(y1.d6 * 1000000 // y2.d6 AS BIGINT) AS sun_ppm
+FROM w y1 JOIN w y2 ON y2.ws = y1.ws + 53
+ORDER BY week_seq
+""")
+def b162_q2_week_share(spark: SparkSession, sf: str) -> DataFrame:
+    """B162 — TPC-DS Q2 signature shape (VERDICT r13 #5): weekday
+    sales pivoted per week, then TWO ADJACENT YEARS of weeks aligned
+    by a fixed week offset (Q2's d_week_seq1 = d_week_seq2 - 53) and
+    compared weekday-by-weekday as ratios. Week numbering is
+    days-since-a-Monday-epoch DIV 7 with the epoch BEFORE the data's
+    min date, so the division never sees a negative (DuckDB //
+    floors, Spark DIV truncates toward zero — they diverge exactly
+    and only on negatives). Money converts to EXACT integer cents
+    through DECIMAL(25,2) (a double *100 + CAST would round-to-nearest
+    in Spark but truncate in DuckDB), and the year-over-year share is
+    integer ppm (d1·10⁶ DIV d2) — no FP boundary anywhere. Spark-first:
+    ONE orders scan builds the 7-column weekday pivot per week
+    (conditional aggregation, ~350 rows), the aggregate localCheckpoints
+    (once-per-query registry lane) and self-joins on the +53 offset as
+    a broadcast — the fact is never scanned twice (contract:
+    tests/test_plan_contracts.py::test_b162_one_scan_broadcast_self_join).
+    A missing weekday on either side yields NULL ppm — NULL-propagating
+    division, identical in both engines; the 53-week boundary behavior
+    is pinned in tests/test_operator_semantics.py."""
+    o = load(spark, sf, "orders")
+    days = F.expr("CAST(datediff(o_orderdate, DATE'1994-12-26') "
+                  "AS BIGINT)")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 "
+                   "AS BIGINT)")
+    w = (o.groupBy((days / F.lit(7)).cast("long").alias("ws"))
+         .agg(*[F.sum(F.when(days % 7 == i, cents)).alias(f"d{i}")
+                for i in range(7)]))
+    # days >= 0 by epoch construction, so (days / 7).cast('long') ==
+    # floor == DuckDB's // — pinned by the epoch being pre-min-date
+    w = w.localCheckpoint(eager=False)
+    y1, y2 = w.alias("y1"), F.broadcast(w.alias("y2"))
+    names = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"]
+    return (y1.join(y2, F.col("y2.ws") == F.col("y1.ws") + 53)
+            .select(F.col("y1.ws").cast("long").alias("week_seq"),
+                    *[F.expr(f"CAST(y1.d{i} * 1000000 DIV y2.d{i} "
+                             f"AS BIGINT)").alias(f"{names[i]}_ppm")
+                      for i in range(7)])
+            .orderBy("week_seq"))
+
+
+# --- B163 TPC-DS Q25/Q29 shape (three-lens alignment with month windows) -------
+
+@query("b163_q25_three_lens", oracle="""
+WITH store AS (
+  SELECT l_partkey AS k,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6))) AS rev
+  FROM lineitem
+  WHERE l_returnflag = 'N' AND YEAR(l_shipdate) = 1996
+    AND MONTH(l_shipdate) = 4
+  GROUP BY 1
+), ret AS (
+  SELECT l_partkey AS k,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6))) AS rev
+  FROM lineitem
+  WHERE l_returnflag = 'R' AND YEAR(l_shipdate) = 1996
+    AND MONTH(l_shipdate) BETWEEN 4 AND 7
+  GROUP BY 1
+), rep AS (
+  SELECT l_partkey AS k,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6))) AS rev
+  FROM lineitem
+  WHERE l_returnflag = 'A' AND YEAR(l_shipdate) = 1996
+    AND MONTH(l_shipdate) BETWEEN 4 AND 7
+  GROUP BY 1
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(store.rev) AS DOUBLE) AS store_rev,
+       CAST(SUM(ret.rev) AS DOUBLE) AS return_rev,
+       CAST(SUM(rep.rev) AS DOUBLE) AS repeat_rev
+FROM store
+JOIN ret ON store.k = ret.k
+JOIN rep ON store.k = rep.k
+JOIN part ON store.k = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""")
+def b163_q25_three_lens(spark: SparkSession, sf: str) -> DataFrame:
+    """B163 — TPC-DS Q25/Q29 signature shape (VERDICT r13 #5): the
+    same item observed through store-sale / return / repeat-purchase
+    lenses, each lens restricted to its OWN month window (the sale
+    anchored to one month, returns and re-purchases to the following
+    quarter — Q25's d1.moy = m, d2/d3.moy BETWEEN m AND m+3), items
+    present in ALL THREE kept, profit rolled up by brand. Extends b127
+    (three-lens alignment, no dates) with the cross-lens date
+    constraint, per the round brief. The literal SQL (the oracle)
+    builds three windowed CTEs — three fact scans — and chains two
+    fact-sized joins before the dimension join. Spark-first: ONE
+    conditional aggregation computes all three windowed lenses in one
+    scan (the window predicate lives INSIDE each lens's sum-if), the
+    all-three-present gate is the conditional sums' NULL production,
+    and the part dimension broadcast-joins (contract:
+    tests/test_plan_contracts.py::test_b163_one_fact_scan_broadcast_dim).
+    Revenue stays exact DECIMAL end to end."""
+    li = load(spark, sf, "lineitem")
+    rev = F.expr("CAST(l_extendedprice * (1 - l_discount) "
+                 "AS DECIMAL(25,6))")
+    rf = F.col("l_returnflag")
+    y = F.year("l_shipdate")
+    m = F.month("l_shipdate")
+    g = (li.groupBy(F.col("l_partkey").alias("k"))
+         .agg(F.sum(F.when((rf == "N") & (y == 1996) & (m == 4),
+                           rev)).alias("store_rev"),
+              F.sum(F.when((rf == "R") & (y == 1996)
+                           & m.between(4, 7), rev)).alias("return_rev"),
+              F.sum(F.when((rf == "A") & (y == 1996)
+                           & m.between(4, 7), rev)).alias("repeat_rev"))
+         .filter(F.col("store_rev").isNotNull()
+                 & F.col("return_rev").isNotNull()
+                 & F.col("repeat_rev").isNotNull()))
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    return (g.join(F.broadcast(p), g.k == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.sum("store_rev").cast("double").alias("store_rev"),
+                 F.sum("return_rev").cast("double").alias("return_rev"),
+                 F.sum("repeat_rev").cast("double").alias("repeat_rev"))
+            .orderBy("p_brand"))
+
+
+# --- B164 TPC-DS Q24 shape (per-customer 0.05x-mean gate over deduped pairs) ----
+
+@query("b164_q24_dedup_mean_gate", oracle="""
+WITH pairs AS (
+  SELECT o_custkey AS c, l_partkey AS p,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(25,6))) * 1000000 AS BIGINT) AS mu,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6))) AS paid
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(mu) AS DECIMAL(38,0)) AS t,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n
+  FROM pairs
+), f AS (
+  SELECT c, SUM(mu) AS f_mu, SUM(paid) AS paid_f
+  FROM pairs JOIN part ON p = p_partkey
+  WHERE p_size <= 5
+  GROUP BY 1
+)
+SELECT c AS o_custkey, CAST(paid_f AS DOUBLE) AS paid
+FROM f, tot
+WHERE CAST(f_mu AS DECIMAL(38,0)) * 20 * n > t
+ORDER BY o_custkey
+""")
+def b164_q24_dedup_mean_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """B164 — TPC-DS Q24 signature shape (VERDICT r13 #5): a
+    DEDUP-HEAVY pre-aggregation (Q24's ssales CTE groups the
+    multi-join fanout down to per-customer-item rows) feeding a
+    0.05×-global-mean HAVING gate — customers whose spend on a
+    FILTERED slice of items exceeds 5% of the mean per-pair spend
+    over ALL pairs. The boundary is exact: per-pair spend converts to
+    integer micro-units through DECIMAL (no FP), and the gate
+    cross-multiplies f_mu·20·n > total in DECIMAL(38,0) instead of
+    dividing (0.05·avg = total/(20n)) — no rounding flap at the gate.
+    Spark-first: the pair table materializes ONCE (fact join keyed on
+    orderkey), per-customer totals and the small-slice sums come from
+    ONE further aggregation carrying the p_size flag (broadcast part
+    into the pair build), the global total is an aggregate OF the
+    per-customer aggregate (never a second fact scan), and the 1-row
+    total broadcasts back (contract: tests/test_plan_contracts.py::
+    test_b164_single_pair_build_broadcast_total)."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    p = load(spark, sf, "part").select(
+        "p_partkey", (F.col("p_size") <= 5).alias("sm"))
+    rev = F.expr("CAST(l_extendedprice * (1 - l_discount) "
+                 "AS DECIMAL(25,6))")
+    pairs = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+             .groupBy(F.col("o_custkey").alias("c"),
+                      F.col("l_partkey").alias("pk"), "sm")
+             .agg(F.sum(rev).alias("paid")))
+    mu = F.expr("CAST(paid * 1000000 AS BIGINT)")
+    per_c = (pairs.groupBy("c")
+             .agg(F.sum(mu).alias("all_mu"),
+                  F.sum(F.when(F.col("sm"), mu)).alias("f_mu"),
+                  F.sum(F.when(F.col("sm"), F.col("paid")))
+                  .alias("paid_f"),
+                  F.count("*").alias("n_pairs"))
+             .localCheckpoint(eager=False))   # customer-sized; reused
+    # by the global total AND the gate — one pair build, not two
+    tot = (per_c.agg(
+        F.sum("all_mu").cast("decimal(38,0)").alias("t"),
+        F.sum("n_pairs").cast("decimal(38,0)").alias("n")))
+    return (per_c.join(F.broadcast(tot))
+            .filter(F.col("f_mu").cast("decimal(38,0)") * 20
+                    * F.col("n") > F.col("t"))
+            .select(F.col("c").alias("o_custkey"),
+                    F.col("paid_f").cast("double").alias("paid"))
+            .orderBy("o_custkey"))
+
+
+# --- B165 TPC-DS Q10 shape (prospect profile: EXISTS AND (EXISTS OR EXISTS)) ----
+
+@query("b165_q10_prospect_profile", oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_positive_bal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderstatus = 'O'
+              AND YEAR(o_orderdate) BETWEEN 1996 AND 1997)
+  AND (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_orderstatus = 'F'
+               AND YEAR(o_orderdate) BETWEEN 1996 AND 1997)
+       OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'P'
+                  AND YEAR(o_orderdate) BETWEEN 1996 AND 1997))
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def b165_q10_prospect_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """B165 — TPC-DS Q10 signature shape (r14, bonus): count customers
+    per demographic cell who are ACTIVE in the anchor channel during a
+    window AND present in at least one other channel (Q10's EXISTS ss
+    AND (EXISTS ws OR EXISTS cs)), with profile aggregates per cell.
+    The literal SQL (the oracle) runs three correlated EXISTS
+    subqueries — three fact probes. Spark-first: ONE orders scan
+    derives all three presence flags per customer (MAX of
+    conditionals), the boolean gate applies on the aggregate, and the
+    qualified key set joins the customer relation on its key (a keyed
+    shuffle join — the customer table scales with the fact, so no
+    broadcast assumption) before the small demographic rollup
+    (contract: tests/test_plan_contracts.py::
+    test_b165_one_fact_scan_flag_gate). Extends b108 (Q35's gate over
+    customer rows) to Q10's demographic-cell COUNT profile."""
+    o = load(spark, sf, "orders")
+    in_win = F.year("o_orderdate").between(1996, 1997)
+    st = F.col("o_orderstatus")
+
+    def flag(s: str, alias: str):
+        return F.max(F.when(in_win & (st == s), F.lit(1))
+                     .otherwise(F.lit(0))).alias(alias)
+
+    pres = (o.groupBy(F.col("o_custkey").alias("ck"))
+            .agg(flag("O", "has_o"), flag("F", "has_f"),
+                 flag("P", "has_p"))
+            .filter((F.col("has_o") == 1)
+                    & ((F.col("has_f") == 1) | (F.col("has_p") == 1))))
+    c = load(spark, sf, "customer")
+    return (pres.join(c, pres.ck == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_positive_bal"))
+            .orderBy("c_mktsegment"))
+
+
+# --- B166 TPC-DS Q69 shape (presence + double-absence demographic rollup) ------
+
+@query("b166_q69_state_gated_demographics", oracle="""
+SELECT c_mktsegment, n_name,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderstatus = 'O'
+              AND YEAR(o_orderdate) BETWEEN 1996 AND 1997)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F'
+                  AND YEAR(o_orderdate) BETWEEN 1996 AND 1997)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'P'
+                  AND YEAR(o_orderdate) BETWEEN 1996 AND 1997)
+GROUP BY c_mktsegment, n_name
+ORDER BY c_mktsegment, n_name
+""")
+def b166_q69_state_gated_demographics(spark: SparkSession,
+                                      sf: str) -> DataFrame:
+    """B166 — TPC-DS Q69 signature shape (r14, bonus): customers
+    present in the anchor channel during a window and ABSENT from both
+    other channels (Q69's EXISTS ss AND NOT EXISTS ws AND NOT EXISTS
+    cs — the complement of b165/Q10's gate), rolled up by demographic
+    cell. The oracle runs one EXISTS and two NOT EXISTS probes — three
+    correlated fact probes. Spark-first: the SAME one-scan presence
+    aggregation as b165 with the gate flipped (has_o AND NOT has_f AND
+    NOT has_p — absence is just the flag's 0 side, no anti-join
+    needed), then a keyed join to customer and a broadcast of the
+    25-row nation dimension (contract: tests/test_plan_contracts.py::
+    test_b166_one_fact_scan_no_anti_join)."""
+    o = load(spark, sf, "orders")
+    in_win = F.year("o_orderdate").between(1996, 1997)
+    st = F.col("o_orderstatus")
+
+    def flag(s: str, alias: str):
+        return F.max(F.when(in_win & (st == s), F.lit(1))
+                     .otherwise(F.lit(0))).alias(alias)
+
+    pres = (o.groupBy(F.col("o_custkey").alias("ck"))
+            .agg(flag("O", "has_o"), flag("F", "has_f"),
+                 flag("P", "has_p"))
+            .filter((F.col("has_o") == 1) & (F.col("has_f") == 0)
+                    & (F.col("has_p") == 0)))
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (pres.join(c, pres.ck == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_mktsegment", "n_name")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy("c_mktsegment", "n_name"))

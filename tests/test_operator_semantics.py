@@ -1825,3 +1825,161 @@ def test_b160_netting_coalesce_and_negative(spark, tmp_path):
         ("open", "P1", 1, 70.0, 0),
         ("pend", "P2", 1, -5.0, 0),
     ]
+
+
+# --- round 14: b161-b166 TPC-DS shape pins -------------------------------------
+
+
+def test_b161_leg_presence_and_coalesce(spark, tmp_path):
+    """B161 crafted pin: a month with ONLY 'R' lineitem rows must not
+    mint a supply leg (supply sales NULL → leg absent) even though it
+    carries ord-channel returns; a month absent from orders minting a
+    supply leg nets returns 0 (COALESCE); P-order returns in a month
+    without supply sales vanish with their leg; rollup levels order."""
+    import datetime as dt
+
+    def ts(m, d=15):
+        return dt.datetime(1996, m, d)
+
+    d = _tpch(
+        spark, tmp_path,
+        orders=([(1, "O", 100.0, ts(1)), (2, "P", 50.0, ts(2))],
+                "o_orderkey LONG, o_orderstatus STRING, "
+                "o_totalprice DOUBLE, o_orderdate TIMESTAMP"),
+        lineitem=([(1, 30.0, 0.0, "R", ts(1)),
+                   (2, 20.0, 0.0, "N", ts(3)),
+                   (3, 5.0, 0.0, "R", ts(4))],
+                  "l_orderkey LONG, l_extendedprice DOUBLE, "
+                  "l_discount DOUBLE, l_returnflag STRING, "
+                  "l_shipdate TIMESTAMP"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b161_q77_channel_pnl"](spark, d).collect()]
+    assert got == [
+        (None, None, 170.0, 30.0, 140.0, 2),
+        ("ord", None, 150.0, 30.0, 120.0, 1),
+        ("supply", None, 20.0, 0.0, 20.0, 1),
+        ("ord", 1, 100.0, 30.0, 70.0, 0),
+        ("ord", 2, 50.0, 0.0, 50.0, 0),
+        ("supply", 3, 20.0, 0.0, 20.0, 0),
+    ]
+    # month 4 (R-only lineitem): no leg anywhere — its returns have no
+    # sales side in EITHER channel; month 2's P-returns rode the ord
+    # leg's sales but never minted a supply leg
+
+
+def test_b162_53_week_alignment_boundary(spark, tmp_path):
+    """B162 crafted pin: the year-over-year join aligns week w with
+    w+53 EXACTLY — week 52 must not pair with week 0; weekdays missing
+    on either side yield NULL ppm; the epoch Monday lands in week 0
+    day 0 and 371 days later (1996-01-01) in week 53 day 0."""
+    import datetime as dt
+    d = _tpch(
+        spark, tmp_path,
+        orders=([(1, 1.0, dt.datetime(1994, 12, 26)),   # w0  d0
+                 (2, 2.0, dt.datetime(1995, 1, 1)),     # w0  d6
+                 (3, 4.0, dt.datetime(1996, 1, 1)),     # w53 d0
+                 (4, 8.0, dt.datetime(1995, 12, 25))],  # w52 d0
+                "o_orderkey LONG, o_totalprice DOUBLE, "
+                "o_orderdate TIMESTAMP"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b162_q2_week_share"](spark, d).collect()]
+    # only (w0, w53) aligns: mon 100c vs 400c → 250000 ppm; Sunday has
+    # no w53 counterpart → NULL; w52 pairs with nothing (w105 absent)
+    assert got == [(0, 250000, None, None, None, None, None, None)]
+
+
+def test_b163_month_windows_gate_each_lens(spark, tmp_path):
+    """B163 crafted pin: the sale lens admits ONLY the anchor month;
+    return/repeat lenses admit the anchor-to-+3 window; a lens outside
+    its window (or in the wrong year) nulls out and the item drops —
+    per-lens windows, not one shared date filter."""
+    import datetime as dt
+
+    def ship(y, m):
+        return dt.datetime(y, m, 10)
+
+    rows = [
+        # part 1: N@96-04, R@96-05, A@96-07 → qualifies
+        (1, 10.0, 0.0, "N", ship(1996, 4)),
+        (1, 5.0, 0.0, "R", ship(1996, 5)),
+        (1, 2.0, 0.0, "A", ship(1996, 7)),
+        # part 2: sale in month 5 (outside anchor) → store lens NULL
+        (2, 10.0, 0.0, "N", ship(1996, 5)),
+        (2, 5.0, 0.0, "R", ship(1996, 5)),
+        (2, 2.0, 0.0, "A", ship(1996, 5)),
+        # part 3: return in month 8 (outside window) → return lens NULL
+        (3, 10.0, 0.0, "N", ship(1996, 4)),
+        (3, 5.0, 0.0, "R", ship(1996, 8)),
+        (3, 2.0, 0.0, "A", ship(1996, 5)),
+        # part 4: repeat in the WRONG YEAR, right months → lens NULL
+        (4, 10.0, 0.0, "N", ship(1996, 4)),
+        (4, 5.0, 0.0, "R", ship(1996, 4)),
+        (4, 2.0, 0.0, "A", ship(1995, 5)),
+    ]
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=(rows, "l_partkey LONG, l_extendedprice DOUBLE, "
+                        "l_discount DOUBLE, l_returnflag STRING, "
+                        "l_shipdate TIMESTAMP"),
+        part=([(1, "B1"), (2, "B1"), (3, "B1"), (4, "B1")],
+              "p_partkey LONG, p_brand STRING"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b163_q25_three_lens"](spark, d).collect()]
+    assert got == [("B1", 1, 10.0, 5.0, 2.0)]
+
+
+def test_b164_gate_is_strict_and_pairs_dedup(spark, tmp_path):
+    """B164 crafted pin: total 60 over 3 pairs → the 5%-of-mean gate
+    sits exactly at 1.0; the customer AT the boundary (paid 1.0) is
+    EXCLUDED (strict >), the customer above (2.0, summed from TWO
+    lineitem rows of the same pair — the dedup) is kept; a customer
+    with no small-part pairs never appears."""
+    d = _tpch(
+        spark, tmp_path,
+        orders=([(10, 1), (20, 2), (30, 3)],
+                "o_orderkey LONG, o_custkey LONG"),
+        lineitem=([(10, 1, 1.2, 0.0), (10, 1, 0.8, 0.0),
+                   (20, 2, 57.0, 0.0), (30, 3, 1.0, 0.0)],
+                  "l_orderkey LONG, l_partkey LONG, "
+                  "l_extendedprice DOUBLE, l_discount DOUBLE"),
+        part=([(1, 1), (2, 10), (3, 2)],
+              "p_partkey LONG, p_size INT"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b164_q24_dedup_mean_gate"](spark, d).collect()]
+    assert got == [(1, 2.0)]
+
+
+def test_b165_b166_window_and_gate_complement(spark, tmp_path):
+    """B165/B166 crafted pin: the two gates partition the
+    anchor-present customers — Q10 keeps anchor AND (other OR other),
+    Q69 keeps anchor AND NEITHER; out-of-window presence never counts;
+    customers without the anchor never appear in either."""
+    import datetime as dt
+
+    def o(k, c, s, y):
+        return (k, c, s, 10.0, dt.datetime(y, 6, 1))
+
+    d = _tpch(
+        spark, tmp_path,
+        orders=([o(1, 1, "O", 1996), o(2, 1, "F", 1997),
+                 o(3, 2, "O", 1996),
+                 o(4, 3, "O", 1995), o(5, 3, "F", 1996),
+                 o(6, 4, "F", 1996), o(7, 4, "P", 1996),
+                 o(8, 5, "O", 1996), o(9, 5, "P", 1996)],
+                "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+                "o_totalprice DOUBLE, o_orderdate TIMESTAMP"),
+        customer=([(1, "SEG_A", -5.0, 0), (2, "SEG_A", 3.0, 0),
+                   (3, "SEG_B", 1.0, 1), (4, "SEG_B", 1.0, 1),
+                   (5, "SEG_B", 10.0, 1)],
+                  "c_custkey LONG, c_mktsegment STRING, "
+                  "c_acctbal DOUBLE, c_nationkey INT"),
+        nation=([(0, "ALPHA"), (1, "BETA")],
+                "n_nationkey INT, n_name STRING"))
+    q10 = [tuple(r) for r in
+           registry.QUERIES["b165_q10_prospect_profile"](spark, d).collect()]
+    # c1 (O+F, bal<0) and c5 (O+P, bal>0); c3's O is out-of-window
+    assert q10 == [("SEG_A", 1, 0), ("SEG_B", 1, 1)]
+    q69 = [tuple(r) for r in registry.QUERIES[
+        "b166_q69_state_gated_demographics"](spark, d).collect()]
+    # only c2: anchor present, F/P absent in window
+    assert q69 == [("SEG_A", "ALPHA", 1)]

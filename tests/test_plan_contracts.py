@@ -1494,3 +1494,87 @@ def test_b160_one_scan_one_join_no_union(spark):
     assert "Expand" in plan, plan
     assert len(re.findall(r"\) Scan parquet", plan)) == 2, \
         plan                           # orders once, lineitem once
+
+
+# --- round 14: b161-b166 TPC-DS shapes ----------------------------------------
+
+def test_b161_two_scans_explode_no_reagg(spark):
+    """B161 (Q77 shape): each fact scans ONCE (orders and lineitem
+    each emit both their channel roles from one conditional
+    aggregation); the two channel legs come from a Generate (inline
+    explode) over the single aligned month relation — never a Union of
+    re-aggregated legs or a second fact scan."""
+    import re
+    plan = _plan(registry.QUERIES["b161_q77_channel_pnl"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
+    assert "Generate" in plan, plan
+    assert "Union" not in plan, plan
+    assert "Expand" in plan, plan      # the rollup
+
+
+def test_b162_one_scan_broadcast_self_join(spark):
+    """B162 (Q2 shape): ONE orders scan builds the weekday pivot; the
+    +53-week self-alignment joins the checkpointed aggregate against
+    itself as a broadcast — the final plan reads no parquet twice and
+    runs no sort-merge exchange for the join."""
+    import re
+    plan = _plan(registry.QUERIES["b162_q2_week_share"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 0, plan
+    assert "Scan ExistingRDD" in plan, plan   # the checkpointed pivot
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_b163_one_fact_scan_broadcast_dim(spark):
+    """B163 (Q25/Q29 shape): all three month-windowed lenses from ONE
+    lineitem scan (conditional aggregation), part broadcast — the
+    literal SQL's three windowed CTEs + two fact-fact joins are the
+    pinned-out anti-pattern."""
+    import re
+    plan = _plan(registry.QUERIES["b163_q25_three_lens"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, \
+        plan                           # lineitem once, part once
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_b164_single_pair_build_broadcast_total(spark):
+    """B164 (Q24 shape): the deduped pair table materializes ONCE
+    (localCheckpoint of the per-customer aggregate) and feeds both the
+    global total and the gate; the 1-row total joins back as a
+    broadcast (BroadcastNestedLoopJoin over one row is the correct
+    physical form); the fact join keys on orderkey with part
+    broadcast."""
+    import re
+    plan = _plan(registry.QUERIES["b164_q24_dedup_mean_gate"](spark, SF))
+    # final plan reads the checkpointed per-customer aggregate, not
+    # parquet, on BOTH consumers
+    assert len(re.findall(r"\) Scan parquet", plan)) == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or \
+        "BroadcastHashJoin" in plan, plan
+
+
+def test_b165_one_fact_scan_flag_gate(spark):
+    """B165 (Q10 shape): the three correlated EXISTS probes collapse
+    into ONE orders scan producing presence flags — no semi-joins, no
+    second orders scan; the customer join stays a keyed join."""
+    import re
+    plan = _plan(registry.QUERIES["b165_q10_prospect_profile"](spark, SF))
+    scans = re.findall(r"\) Scan parquet ([\w.]*)", plan)
+    assert len(scans) == 2, plan       # orders once, customer once
+    assert "SemiJoin" not in plan.replace("LeftSemi", "SemiJoin"), plan
+
+
+def test_b166_one_fact_scan_no_anti_join(spark):
+    """B166 (Q69 shape): EXISTS + two NOT EXISTS collapse into the
+    same one-scan flag aggregation with the gate flipped — absence is
+    the flag's 0 side, so the plan contains NO anti-join; nation
+    broadcasts."""
+    import re
+    plan = _plan(
+        registry.QUERIES["b166_q69_state_gated_demographics"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 3, \
+        plan                           # orders, customer, nation
+    assert "LeftAnti" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
