@@ -60,7 +60,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (computed from CORRECTNESS_r01–r13: exactly these 42 have newest
 # green = r8); (2) the NEW r14 entries — the MV broadcast-dim JOIN lane
 # (b151e), the MV retraction lane (b151f), and the round's TPC-DS
-# shapes. 42 + 8 = 50 exactly.
+# shapes. 42 + 10 = 52: if the window cuts at ~50, the two trailing
+# bonus shapes (b167/b168) slip to the r15 window — same precedent as
+# the r11 bonus shapes, first driver-checked in r12; the in-suite
+# sf0.001 parity sweep still covers them this round.
 _PRIORITY = [
     # (1) the 42 r8-age queries (VERDICT r13 Next-round #4)
     "b01_scan_count", "b02_projection", "b03_filter", "b04_join_inner",
@@ -82,6 +85,7 @@ _PRIORITY = [
     "b161_q77_channel_pnl", "b162_q2_week_share",
     "b163_q25_three_lens", "b164_q24_dedup_mean_gate",
     "b165_q10_prospect_profile", "b166_q69_state_gated_demographics",
+    "b167_q41_dim_only_gate", "b168_q18_avg_rollup",
 ]
 
 

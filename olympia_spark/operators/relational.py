@@ -6123,3 +6123,119 @@ def b166_q69_state_gated_demographics(spark: SparkSession,
             .groupBy("c_mktsegment", "n_name")
             .agg(F.count("*").cast("long").alias("cnt"))
             .orderBy("c_mktsegment", "n_name"))
+
+
+# --- B167 TPC-DS Q41 shape (dimension-only correlated-count gate) --------------
+
+@query("b167_q41_dim_only_gate", oracle="""
+WITH bands AS (
+  SELECT p_brand,
+         CAST(SUM(CASE WHEN (p_type = 'PROMO'
+                             AND p_size BETWEEN 1 AND 10)
+                         OR (p_type = 'ECONOMY'
+                             AND p_size BETWEEN 5 AND 15)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bc
+  FROM part GROUP BY 1
+)
+SELECT DISTINCT p_name
+FROM part JOIN bands USING (p_brand)
+WHERE p_size BETWEEN 1 AND 20 AND bc > 0
+ORDER BY p_name
+""")
+def b167_q41_dim_only_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """B167 — TPC-DS Q41 signature shape (r14, bonus): a query that
+    never touches a fact table — DISTINCT product names from the item
+    dimension gated by a CORRELATED COUNT over the same dimension
+    (other items of the same family matching an OR-of-bands
+    predicate). The literal SQL (the oracle) evaluates the correlated
+    scalar per row; Spark-first the correlation collapses to ONE
+    aggregation of the dimension by family (brand), broadcast-joined
+    back — the dimension scans twice and nothing else exists in the
+    plan (contract: tests/test_plan_contracts.py::
+    test_b167_dim_only_two_scans). A dimension-only shape keeps the
+    optimizer honest: no fact scan may appear."""
+    p = load(spark, sf, "part")
+    band = ((F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 10)) | \
+           ((F.col("p_type") == "ECONOMY")
+            & F.col("p_size").between(5, 15))
+    bands = (p.groupBy("p_brand")
+             .agg(F.sum(F.when(band, 1).otherwise(0))
+                  .cast("long").alias("bc")))
+    return (p.filter(F.col("p_size").between(1, 20))
+            .join(F.broadcast(bands.filter(F.col("bc") > 0)), "p_brand")
+            .select("p_name").distinct()
+            .orderBy("p_name"))
+
+
+# --- B168 TPC-DS Q18 shape (exact-integer average rollup through a dim chain) --
+
+@query("b168_q18_avg_rollup", oracle="""
+WITH e AS (
+  SELECT n_name, l_returnflag AS rf,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(25,2)) * 100
+              AS BIGINT) AS c,
+         CAST(CAST(l_discount AS DECIMAL(25,6)) * 1000000
+              AS BIGINT) AS dm
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, rf,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((SUM(q) // COUNT(*)) * 1000000
+            + ((SUM(q) % COUNT(*)) * 1000000) // COUNT(*)
+            AS BIGINT) AS avg_qty_ppm,
+       CAST((SUM(c) // COUNT(*)) * 1000000
+            + ((SUM(c) % COUNT(*)) * 1000000) // COUNT(*)
+            AS BIGINT) AS avg_cents_ppm,
+       CAST(SUM(dm) // COUNT(*) AS BIGINT) AS avg_disc_micro,
+       CAST(GROUPING(n_name) + GROUPING(rf) AS BIGINT) AS lochierarchy
+FROM e GROUP BY ROLLUP (n_name, rf)
+ORDER BY lochierarchy DESC, n_name NULLS FIRST, rf NULLS FIRST
+""")
+def b168_q18_avg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """B168 — TPC-DS Q18 signature shape (r14, bonus): AVERAGE
+    measures (not sums) reported over a ROLLUP hierarchy reached
+    through a dimension chain (lineitem → supplier → nation; Q18's
+    catalog_sales → customer → demographics rollup). Averages are
+    EXACT INTEGERS at every rollup level via the two-step split
+    avg·10⁶ = (S DIV n)·10⁶ + ((S mod n)·10⁶) DIV n — algebraically
+    floor(S·10⁶/n) but with every intermediate bounded by
+    max(avg)·10⁶ or n·10⁶, so it cannot overflow BIGINT at ANY data
+    scale (the naive S·10⁶ overflows int64 once S exceeds ~9·10¹² —
+    a 100 TB fact gets there; DuckDB hides this behind HUGEINT, Spark
+    would wrap). Money enters as exact cents via DECIMAL(25,2),
+    discounts as exact micro-units. Plan: keyed supplier join,
+    broadcast 25-row nation, ONE Expand for the rollup (contract:
+    tests/test_plan_contracts.py::test_b168_rollup_dim_chain)."""
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    e = (li.join(s, li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .select("n_name", F.col("l_returnflag").alias("rf"),
+                 F.col("l_quantity").cast("long").alias("q"),
+                 F.expr("CAST(CAST(l_extendedprice AS DECIMAL(25,2)) "
+                        "* 100 AS BIGINT)").alias("c"),
+                 F.expr("CAST(CAST(l_discount AS DECIMAL(25,6)) "
+                        "* 1000000 AS BIGINT)").alias("dm")))
+
+    def avg_ppm(col: str, out: str):
+        return F.expr(
+            f"CAST((SUM({col}) DIV COUNT(*)) * 1000000 "
+            f"+ ((SUM({col}) % COUNT(*)) * 1000000) DIV COUNT(*) "
+            f"AS BIGINT)").alias(out)
+
+    return (e.rollup("n_name", "rf")
+            .agg(F.count("*").cast("long").alias("n"),
+                 avg_ppm("q", "avg_qty_ppm"),
+                 avg_ppm("c", "avg_cents_ppm"),
+                 F.expr("CAST(SUM(dm) DIV COUNT(*) AS BIGINT)")
+                 .alias("avg_disc_micro"),
+                 (F.grouping("n_name") + F.grouping("rf")).cast("long")
+                 .alias("lochierarchy"))
+            .orderBy(F.col("lochierarchy").desc(),
+                     F.col("n_name").asc_nulls_first(),
+                     F.col("rf").asc_nulls_first()))

@@ -1621,3 +1621,68 @@ def test_join_mv_grammar_refusals_downgrade_to_full(eng):
     eng.sql("INSERT INTO ns1.src VALUES (30, 'A', 1.0)")
     assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mvg9") \
         .collect()[0].mode == "full"
+
+
+def test_retraction_lane_matches_recompute_under_random_ops(eng):
+    """Oracle-by-construction (blind-spot 0d applied to the signed
+    delta): a seeded random sequence of INSERT/DELETE/UPDATE batches,
+    refreshing after each and comparing the MV to a from-scratch
+    aggregate — every refresh on this SUM/COUNT/AVG plan must stay
+    incremental and exact, including batches that empty groups,
+    resurrect them, or mix inserts with deletes."""
+    import random
+    rng = random.Random(14)
+    _seed(eng, [(i, grp, float(v)) for i, (grp, v) in enumerate(
+        [("A", 10), ("A", -3), ("B", 5), ("B", 0), ("C", 7)])])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv, "
+            "AVG(v) AS av FROM ns1.src WHERE v > -50 GROUP BY grp")
+    next_id = 100
+    for step in range(6):
+        op = rng.choice(["ins", "del", "upd", "mix"])
+        if op in ("ins", "mix"):
+            vals = ", ".join(
+                f"({next_id + j}, '{rng.choice('ABCD')}', "
+                f"{rng.choice([rng.randint(-5, 20), 'NULL'])})"
+                for j in range(rng.randint(1, 3)))
+            next_id += 3
+            eng.sql(f"INSERT INTO ns1.src VALUES {vals}")
+        if op in ("del", "mix"):
+            eng.sql(f"DELETE FROM ns1.src WHERE id % 7 = {rng.randint(0, 6)}")
+        if op == "upd":
+            eng.sql(f"UPDATE ns1.src SET grp = '{rng.choice('ABCD')}', "
+                    f"v = v + 1 WHERE id % 5 = {rng.randint(0, 4)}")
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+        if r.delta_rows == 0 and r.mode == "noop":
+            continue                    # a no-op DELETE matched nothing
+        assert r.mode == "incremental", (step, op, r)
+        got = _mv_rows(eng)
+        want = [tuple(x) for x in eng.spark.sql(
+            "SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv, "
+            "AVG(v) AS av FROM {df} WHERE v > -50 "
+            "GROUP BY grp ORDER BY grp NULLS FIRST",
+            df=eng.read_table("ns1.src")).collect()]
+        assert got == want, (step, op, got, want)
+
+
+def test_join_lane_matches_recompute_under_alternating_appends(eng):
+    """Oracle-by-construction for the join lane: alternating fact and
+    dim appends (one side per refresh window), each refresh asserted
+    incremental and compared against a from-scratch join aggregate —
+    including a dim append that multiplies existing fact rows into a
+    new group and a fact append keyed to a dim row added in an
+    EARLIER window."""
+    _seed_join(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvj AS {JOIN_Q}")
+    steps = [
+        ("INSERT INTO ns1.src VALUES (10, 'C', 3.0), (11, 'A', 1.0)",),
+        ("INSERT INTO ns1.dim VALUES ('D', 'hi')",),
+        ("INSERT INTO ns1.src VALUES (12, 'D', 9.0)",),
+        ("DELETE FROM ns1.src WHERE id IN (1, 12)",),
+        ("INSERT INTO ns1.dim VALUES ('A', 'dup')",),
+    ]
+    for i, (stmt,) in enumerate(steps):
+        eng.sql(stmt)
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
+        assert r.mode == "incremental", (i, stmt, r)
+        assert _join_mv_rows(eng) == _recompute_join(eng), (i, stmt)

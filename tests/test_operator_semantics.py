@@ -1983,3 +1983,48 @@ def test_b165_b166_window_and_gate_complement(spark, tmp_path):
         "b166_q69_state_gated_demographics"](spark, d).collect()]
     # only c2: anchor present, F/P absent in window
     assert q69 == [("SEG_A", "ALPHA", 1)]
+
+
+def test_b167_gate_counts_family_not_self(spark, tmp_path):
+    """B167 crafted pin: the gate counts BAND-matching items of the
+    same family — an item outside the outer size range never appears
+    even when its family qualifies, and a family whose only items
+    miss both bands is dropped entirely (count 0, not NULL-kept)."""
+    d = _tpch(
+        spark, tmp_path,
+        part=([(1, "n_in_band", "B1", "PROMO", 5),
+               (2, "n_family_rides", "B1", "LARGE", 18),
+               (3, "n_too_big", "B1", "PROMO", 30),
+               (4, "n_no_band", "B2", "LARGE", 10),
+               (5, "n_wrong_size_band", "B3", "PROMO", 15)],
+              "p_partkey LONG, p_name STRING, p_brand STRING, "
+              "p_type STRING, p_size INT"))
+    got = [r.p_name for r in
+           registry.QUERIES["b167_q41_dim_only_gate"](spark, d).collect()]
+    # B1 qualifies via part 1 (PROMO size 5): parts 1, 2 pass the
+    # outer 1-20 size range, part 3 (size 30) does not; B2 has no
+    # band match; B3's PROMO is size 15 — outside the PROMO 1-10 band
+    assert got == ["n_family_rides", "n_in_band"]
+
+
+def test_b168_integer_average_split_is_exact_floor(spark, tmp_path):
+    """B168 crafted pin: the two-step average split equals
+    floor(S·10⁶/n) exactly — a group of 3 rows with quantity sum 10
+    averages 3333333 ppm (not 3333334, not a float), at every rollup
+    level including the grand total."""
+    d = _tpch(
+        spark, tmp_path,
+        lineitem=([(1, 2.0, 1.0, 0.0, "N"), (1, 3.0, 1.0, 0.0, "N"),
+                   (1, 5.0, 1.0, 0.0, "N")],
+                  "l_suppkey LONG, l_quantity DOUBLE, "
+                  "l_extendedprice DOUBLE, l_discount DOUBLE, "
+                  "l_returnflag STRING"),
+        supplier=([(1, 0)], "s_suppkey LONG, s_nationkey INT"),
+        nation=([(0, "ALPHA")], "n_nationkey INT, n_name STRING"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b168_q18_avg_rollup"](spark, d).collect()]
+    assert got == [
+        (None, None, 3, 3333333, 100000000, 0, 2),
+        ("ALPHA", None, 3, 3333333, 100000000, 0, 1),
+        ("ALPHA", "N", 3, 3333333, 100000000, 0, 0),
+    ]

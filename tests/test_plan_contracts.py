@@ -1578,3 +1578,29 @@ def test_b166_one_fact_scan_no_anti_join(spark):
         plan                           # orders, customer, nation
     assert "LeftAnti" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_b167_dim_only_two_scans(spark):
+    """B167 (Q41 shape): the correlated per-row COUNT collapses to one
+    dimension aggregation broadcast back — exactly two part scans,
+    no fact table, no per-row subquery machinery."""
+    import re
+    plan = _plan(registry.QUERIES["b167_q41_dim_only_gate"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 2, plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # every scan reads dimension columns only — no fact table exists
+    assert reads and all("p_" in ln and "l_" not in ln and "o_" not in ln
+                         for ln in reads), reads
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_b168_rollup_dim_chain(spark):
+    """B168 (Q18 shape): one lineitem scan through the supplier →
+    nation chain (nation broadcasts), ONE Expand for the rollup, and
+    the exact-integer average split stays JVM-side (no Python)."""
+    import re
+    plan = _plan(registry.QUERIES["b168_q18_avg_rollup"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 3, plan
+    assert "Expand" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
