@@ -192,6 +192,7 @@ HEADLINE = [
     "b166_q69_state_gated_demographics",
     "b167_q41_dim_only_gate",
     "b168_q18_avg_rollup",
+    "b169_q71_hour_band_report",
 ]
 
 

@@ -6239,3 +6239,48 @@ def b168_q18_avg_rollup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("lochierarchy").desc(),
                      F.col("n_name").asc_nulls_first(),
                      F.col("rf").asc_nulls_first()))
+
+
+# --- B169 TPC-DS Q71 shape (meal-hour band report over event time) --------------
+
+@query("b169_q71_hour_band_report", oracle="""
+SELECT band, CAST(h AS BIGINT) AS h, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+FROM (
+  SELECT CASE WHEN HOUR(ts) BETWEEN 6 AND 11 THEN 'am'
+              WHEN HOUR(ts) BETWEEN 18 AND 23 THEN 'pm' END AS band,
+         HOUR(ts) AS h, event_type, value
+  FROM events
+)
+WHERE band IS NOT NULL
+GROUP BY band, h, event_type
+ORDER BY revenue DESC, h, event_type
+""")
+def b169_q71_hour_band_report(spark: SparkSession, sf: str) -> DataFrame:
+    """B169 — TPC-DS Q71 signature shape (r14, bonus): revenue by
+    (hour-of-day, item attribute) restricted to the MEAL-HOUR bands
+    (Q71's breakfast/dinner t_meal_time slices), ordered by revenue
+    within the hour bands. Runs over the EVENTS fixture — the only
+    table with true time-of-day — standing in for Q71's three-channel
+    union (event_type = the channel attribute). The literal SQL (the
+    oracle) filters through a derived band projection; Spark-first the
+    band CASE, the hour extraction and the out-of-band rejection all
+    evaluate INSIDE one scan's codegen stage (pushed as a post-scan
+    filter — no Union of per-band legs, no second scan; contract:
+    tests/test_plan_contracts.py::test_b169_one_scan_banded). Revenue
+    accumulates in exact DECIMAL cents. The nanosecond-timestamp read
+    path exercises the tables.load ns→µs conversion under an hour()
+    extraction."""
+    ev = load(spark, sf, "events")
+    h = F.hour("ts")
+    band = (F.when(h.between(6, 11), "am")
+            .when(h.between(18, 23), "pm"))
+    return (ev.select(band.alias("band"), h.cast("long").alias("h"),
+                      "event_type",
+                      F.col("value").cast("decimal(25,2)").alias("v"))
+            .filter(F.col("band").isNotNull())
+            .groupBy("band", "h", "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("v").cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "h", "event_type"))

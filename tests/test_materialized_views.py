@@ -1686,3 +1686,58 @@ def test_join_lane_matches_recompute_under_alternating_appends(eng):
         r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
         assert r.mode == "incremental", (i, stmt, r)
         assert _join_mv_rows(eng) == _recompute_join(eng), (i, stmt)
+
+
+def test_join_mv_keyword_literals_do_not_confuse_parse(eng):
+    """Blind-spot #7 applied to the join parser: SQL keywords INSIDE
+    string literals (' JOIN ', ' GROUP BY ', ' ON ') must neither
+    split clauses nor inflate the join count — the structural scan
+    runs on the literal-blanked code view while clause text slices
+    from the normalized original. Each query stays on the incremental
+    lane and merges correctly."""
+    _seed_join(eng)
+    cases = [
+        # literal ' JOIN ' inside the ON condition
+        ("SELECT d.band AS band, COUNT(*) AS n FROM ns1.src f "
+         "JOIN ns1.dim d ON f.grp = d.grp AND d.band <> 'x JOIN y' "
+         "GROUP BY d.band"),
+        # literal ' GROUP BY ' inside the WHERE
+        ("SELECT d.band AS band, COUNT(*) AS n FROM ns1.src f "
+         "JOIN ns1.dim d ON f.grp = d.grp "
+         "WHERE d.band <> 'a GROUP BY b' GROUP BY d.band"),
+        # literal ' ON ' + parens inside a WHERE literal
+        ("SELECT d.band AS band, SUM(f.v) AS sv FROM ns1.src f "
+         "JOIN ns1.dim d ON f.grp = d.grp "
+         "WHERE f.grp <> ') ON (' GROUP BY d.band"),
+    ]
+    for i, q in enumerate(cases):
+        eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvk{i} AS {q}")
+        eng.sql(f"INSERT INTO ns1.src VALUES ({i + 50}, 'A', 2.0)")
+        r = eng.sql(f"REFRESH MATERIALIZED VIEW ns1.mvk{i}").collect()[0]
+        assert r.mode == "incremental", (q, r)
+        # merged result equals a from-scratch recompute
+        eng.read_table("ns1.src").createOrReplaceTempView("kjf")
+        eng.read_table("ns1.dim").createOrReplaceTempView("kjd")
+        want = [tuple(x) for x in eng.spark.sql(
+            q.replace("ns1.src", "kjf").replace("ns1.dim", "kjd")
+            + " ORDER BY band").collect()]
+        got = [tuple(x) for x in eng.sql(
+            f"SELECT * FROM ns1.mvk{i} ORDER BY band").collect()]
+        assert got == want, (q, got, want)
+
+
+def test_implicit_comma_join_takes_full_lane(eng):
+    """FROM a, b (implicit join) has no JOIN token — neither the union
+    nor the join parser may claim it; the refresh stays on the
+    always-correct full lane."""
+    _seed_join(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvi AS "
+            "SELECT d.band AS band, COUNT(*) AS n "
+            "FROM ns1.src f, ns1.dim d "
+            "WHERE f.grp = d.grp GROUP BY d.band")
+    eng.sql("INSERT INTO ns1.src VALUES (60, 'A', 2.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvi").collect()[0]
+    assert r.mode == "full"
+    assert [tuple(x) for x in eng.sql(
+        "SELECT * FROM ns1.mvi ORDER BY band").collect()] == \
+        [("hi", 3), ("lo", 2)]

@@ -2028,3 +2028,31 @@ def test_b168_integer_average_split_is_exact_floor(spark, tmp_path):
         ("ALPHA", None, 3, 3333333, 100000000, 0, 1),
         ("ALPHA", "N", 3, 3333333, 100000000, 0, 0),
     ]
+
+
+def test_b169_band_boundaries_inclusive(spark, tmp_path):
+    """B169 crafted pin: band edges are INCLUSIVE on both ends (6 and
+    11 are am; 18 and 23 are pm); hours 5, 12 and 17 fall in no band
+    and vanish; revenue stays exact at the cent."""
+    import datetime as dt
+
+    def ev(i, hh, typ, val):
+        return (i, dt.datetime(2024, 1, 5, hh, 30), typ, val)
+
+    d = _tpch(
+        spark, tmp_path,
+        events=([ev(1, 6, "click", 1.01), ev(2, 11, "click", 2.02),
+                 ev(3, 5, "click", 50.0), ev(4, 12, "click", 60.0),
+                 ev(5, 17, "view", 70.0), ev(6, 18, "view", 3.03),
+                 ev(7, 23, "view", 4.04)],
+                "event_id LONG, ts TIMESTAMP, event_type STRING, "
+                "value DOUBLE"))
+    got = [tuple(r) for r in
+           registry.QUERIES["b169_q71_hour_band_report"](spark, d)
+           .collect()]
+    assert got == [
+        ("pm", 23, "view", 1, 4.04),
+        ("pm", 18, "view", 1, 3.03),
+        ("am", 11, "click", 1, 2.02),
+        ("am", 6, "click", 1, 1.01),
+    ]

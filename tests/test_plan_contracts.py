@@ -1604,3 +1604,14 @@ def test_b168_rollup_dim_chain(spark):
     assert "Expand" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_b169_one_scan_banded(spark):
+    """B169 (Q71 shape): band CASE + hour extraction + out-of-band
+    rejection all inside ONE events scan's codegen — no Union of
+    per-band legs, no second scan, no Python."""
+    import re
+    plan = _plan(registry.QUERIES["b169_q71_hour_band_report"](spark, SF))
+    assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
+    assert "Union" not in plan, plan
+    assert "Python" not in plan, plan
