@@ -5783,6 +5783,17 @@ class Engine:
         cols = (self._mv_source_cols(src1, txn)
                 | self._mv_source_cols(src2, txn)
                 | {a1.lower(), a2.lower()})
+        if cols & {"select", "from", "where", "group", "by", "on",
+                   "join", "inner"}:
+            # a source column literally named like a structural keyword
+            # (legal unquoted in Spark's non-ANSI parser) could sit
+            # UNQUALIFIED inside the lazily-scanned ON region and
+            # mis-split the clause partition — e.g. 'AND where = 1'
+            # truncates ON at the identifier and the re-emitted delta
+            # SQL fails at refresh time. Never silent-wrong (the
+            # truncation leaves a dangling operator), but the correct
+            # behavior is the full lane, not a mid-refresh crash.
+            return None
         body = " ".join(filter(None, (items_raw, on_raw, where, gb)))
         if not self._mv_screen(body, cols, set(outs)):
             return None
