@@ -60,8 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (computed from CORRECTNESS_r01–r13: exactly these 42 have newest
 # green = r8); (2) the NEW r14 entries — the MV broadcast-dim JOIN lane
 # (b151e), the MV retraction lane (b151f), and the round's TPC-DS
-# shapes. 42 + 10 = 52: if the window cuts at ~50, the two trailing
-# bonus shapes (b167/b168) slip to the r15 window — same precedent as
+# shapes. 42 + 11 = 53: if the window cuts at ~50, the trailing bonus
+# shapes (b167/b168/b169) slip to the r15 window — same precedent as
 # the r11 bonus shapes, first driver-checked in r12; the in-suite
 # sf0.001 parity sweep still covers them this round.
 _PRIORITY = [
