@@ -86,7 +86,7 @@ _PRIORITY = [
     "b163_q25_three_lens", "b164_q24_dedup_mean_gate",
     "b165_q10_prospect_profile", "b166_q69_state_gated_demographics",
     "b167_q41_dim_only_gate", "b168_q18_avg_rollup",
-    "b169_q71_hour_band_report",
+    "b169_q71_hour_band_report", "b151g_mv_left_join_refresh",
 ]
 
 

@@ -193,6 +193,7 @@ HEADLINE = [
     "b167_q41_dim_only_gate",
     "b168_q18_avg_rollup",
     "b169_q71_hour_band_report",
+    "b151g_mv_left_join_refresh",
 ]
 
 

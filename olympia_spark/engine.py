@@ -5169,13 +5169,20 @@ class Engine:
             return report("noop", 0)
         cplan = self._mv_plan(q, sources, txn)
         plan = None if (full or force_full) else cplan
-        if plan is not None and "join" in plan \
-                and len(set(files_changed)) != 1:
+        if plan is not None and "join" in plan:
             # the join lane is exact only when ONE side moved: the
             # unchanged side read whole at the pinned version is the
             # join's fixpoint. Both sides changed in one window →
-            # ΔF ⋈ ΔD cross terms — recompute.
-            plan = None
+            # ΔF ⋈ ΔD cross terms — recompute. LEFT joins additionally
+            # require the changed side to be the PRESERVED side: a
+            # dim-side append would need to RETRACT previously
+            # NULL-padded rows, which no additive delta can express.
+            changed = set(files_changed)
+            if len(changed) != 1 or (
+                    plan["join"]["type"] == "left"
+                    and next(iter(changed)).lower()
+                    != plan["join"]["src1"].lower()):
+                plan = None
         stored = None
         if plan is not None:
             # companions + the row count live OUTSIDE the declared
@@ -5698,22 +5705,25 @@ class Engine:
 
     def _mv_join_plan(self, q: str, sources: list[str], txn=None):
         """Broadcast-dim JOIN incremental shape (VERDICT r13 #1):
-        ``SELECT <group+aggs> FROM <t1> [AS] a [INNER] JOIN <t2> [AS] b
-        ON <cond> [WHERE …] [GROUP BY …]`` over exactly the two known
-        sources, both under explicit simple aliases (the delta
-        re-execution swaps each table for a temp view and re-binds the
-        SAME alias, so every qualified reference resolves identically).
-        The refresh driver enforces the lane's soundness condition:
-        exactly ONE source's files changed — its change feed joins the
-        OTHER side read whole at the pinned version, exact for INNER
-        joins because (F ∪ ΔF) ⋈ D = (F ⋈ D) ∪ (ΔF ⋈ D); group keys may
-        come from either side (the dashboard shape is fact JOIN
-        small_dim GROUP BY dim.attr). Any OUTER/CROSS/SEMI/NATURAL/
-        USING form, a second join, nested SELECTs, unaliased tables, or
-        an unscreenable identifier → None (the always-correct full
-        lane). A dim whose SEMANTICS drift (policy/schema/pointer — the
-        per-source signature) already forces full via the probe; a dim
-        whose files merely grow is itself handled as the delta side."""
+        ``SELECT <group+aggs> FROM <t1> [AS] a [INNER|LEFT [OUTER]]
+        JOIN <t2> [AS] b ON <cond> [WHERE …] [GROUP BY …]`` over
+        exactly the two known sources, both under explicit simple
+        aliases (the delta re-execution swaps each table for a temp
+        view and re-binds the SAME alias, so every qualified reference
+        resolves identically). The refresh driver enforces the lane's
+        soundness condition per join type: INNER — exactly ONE source's
+        files changed, either side (symmetric: (F ∪ ΔF) ⋈ D =
+        (F ⋈ D) ∪ (ΔF ⋈ D)); LEFT — only the LEFT (preserved) side may
+        be the delta ((F ∪ ΔF) ⟕ D = (F ⟕ D) ∪ (ΔF ⟕ D) holds, but a
+        dim-side append would RETRACT previously NULL-padded rows →
+        full. The changed side's feed joins the OTHER side read whole
+        at the pinned version; group keys may come from either side
+        (the dashboard shape is fact JOIN small_dim GROUP BY dim.attr).
+        Any RIGHT/FULL/CROSS/SEMI/NATURAL/USING form, a second join,
+        nested SELECTs, unaliased tables, or an unscreenable identifier
+        → None (the always-correct full lane). A dim whose SEMANTICS
+        drift (policy/schema/pointer — the per-source signature)
+        already forces full via the probe."""
         if txn is None or len(sources) != 2:
             return None
         norm = _normalize(q)
@@ -5721,8 +5731,8 @@ class Engine:
             return None                 # _mv_code_view precondition
         code = self._mv_code_view(norm)
         for kw in ("over", "distinct", "having", "union", "limit",
-                   "order", "left", "right", "full", "cross", "semi",
-                   "anti", "natural", "lateral", "using", "outer"):
+                   "order", "right", "full", "cross", "semi",
+                   "anti", "natural", "lateral", "using"):
             if re.search(rf"\b{kw}\b", code, re.I):
                 return None
         if len(re.findall(r"\bSELECT\b", code, re.I)) != 1 \
@@ -5730,10 +5740,21 @@ class Engine:
             return None
         m = re.match(
             r"SELECT\s(.+?)\sFROM\s+(\S+)\s+(?:AS\s+)?(\w+)\s+"
-            r"(?:INNER\s+)?JOIN\s+(\S+)\s+(?:AS\s+)?(\w+)\s+ON\s(.+?)"
+            r"(?:(INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+"
+            r"(\S+)\s+(?:AS\s+)?(\w+)\s+ON\s(.+?)"
             r"(?:\sWHERE\s(.+?))?(?:\sGROUP BY\s(.+))?$",
             code, re.I | re.S)
         if not m:
+            return None
+        jtype = "left" if (m.group(4) or "").upper().startswith("LEFT") \
+            else "inner"
+        # LEFT/OUTER tokens may appear ONLY inside the matched join-type
+        # slot — a stray one elsewhere (an alias, a later clause) means
+        # the regex mis-attributed structure → full lane
+        n_left = 1 if jtype == "left" else 0
+        n_outer = 1 if (m.group(4) or "").upper().endswith("OUTER") else 0
+        if len(re.findall(r"\bLEFT\b", code, re.I)) != n_left \
+                or len(re.findall(r"\bOUTER\b", code, re.I)) != n_outer:
             return None
         # slice every clause from NORM at the code-view spans (the two
         # are position-identical; literals live only in norm)
@@ -5741,7 +5762,7 @@ class Engine:
             return (norm[m.start(i):m.end(i)].strip()
                     if m.group(i) is not None else None)
         items_raw, tok1, a1, tok2, a2, on_raw, where, gb = \
-            (_n(i) for i in range(1, 9))
+            (_n(i) for i in (1, 2, 3, 5, 6, 7, 8, 9))
         kw_block = {"join", "inner", "on", "where", "group", "as",
                     "select", "from"}
         if a1.lower() in kw_block or a2.lower() in kw_block \
@@ -5800,10 +5821,11 @@ class Engine:
         return {"group": group_out, "group_items": group_items,
                 "group_sql": gb, "aggs": aggs, "where": where,
                 "select_raw": items_raw,
-                "join": {"src1": src1, "a1": a1,
-                         "src2": src2, "a2": a2, "on": on_raw},
-                "from_sql": f"{tok1} {a1} JOIN {tok2} {a2} "
-                            f"ON ({on_raw})"}
+                "join": {"src1": src1, "a1": a1, "src2": src2,
+                         "a2": a2, "on": on_raw, "type": jtype},
+                "from_sql": f"{tok1} {a1} "
+                            f"{'LEFT ' if jtype == 'left' else ''}JOIN "
+                            f"{tok2} {a2} ON ({on_raw})"}
 
     def _mv_plan(self, q: str, sources: list[str], txn):
         """Route the stored query to its incremental parse by source
@@ -5896,7 +5918,12 @@ class Engine:
                 d_alias = j["a1"] if dsrc.lower() == j["src1"].lower() \
                     else j["a2"]
                 m_alias = j["a2"] if d_alias == j["a1"] else j["a1"]
-                frm = (f"{_signed(feed)} {d_alias} JOIN "
+                # LEFT joins reach here only with the delta on the
+                # PRESERVED (a1) side — the refresh gate enforces it —
+                # so emitting 'delta LEFT JOIN dim' keeps the sides of
+                # the stored query exactly
+                jt = "LEFT JOIN" if j.get("type") == "left" else "JOIN"
+                frm = (f"{_signed(feed)} {d_alias} {jt} "
                        f"{_reg(dim[1])} {m_alias} ON ({j['on']})")
             else:
                 frm = _signed(rows)

@@ -1212,3 +1212,71 @@ def b151f_mv_retraction_refresh(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(rev_dec AS DOUBLE) AS revenue, "
         "CAST(avg_dec AS DOUBLE) AS avg_amt "
         "FROM ns1.mv_retr ORDER BY pri")
+
+
+# --- B151g LEFT-JOIN (fact-preserving) materialized view (r14) ------------------
+
+@query("b151g_mv_left_join_refresh", oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS pri, o_totalprice AS amt,
+         o_orderstatus AS st FROM orders
+), f AS (
+  SELECT pri, amt FROM base
+  UNION ALL
+  SELECT pri, amt + 0.5 AS amt FROM base WHERE st = 'P'
+), d AS (
+  SELECT DISTINCT pri,
+         CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'hot'
+              ELSE 'std' END AS band
+  FROM base
+  WHERE pri <> '5-LOW'
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(amt AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM f LEFT JOIN d ON f.pri = d.pri
+GROUP BY band
+ORDER BY band NULLS FIRST
+""")
+def b151g_mv_left_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B151g — the LEFT JOIN MV shape on the INCREMENTAL lane (r14,
+    extends b151e): LEFT joins are fact-PRESERVING, so a fact-side
+    append is additive exactly like INNER — (F ∪ ΔF) ⟕ D =
+    (F ⟕ D) ∪ (ΔF ⟕ D) — including appended rows with NO dim match,
+    which merge into the NULL-padded group (eqNullSafe group-key
+    merge). The dim here deliberately omits one priority so the
+    NULL group is ALWAYS populated and driver-checked. Only the
+    preserved side may be the delta (a dim append would retract
+    NULL-padded rows — pinned to full by pytest). The refresh is
+    ASSERTED incremental; the oracle reproduces the post-refresh state
+    over fact ∪ appended rows LEFT-joined to the same dim expression."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    for t in ("mv_lbands", "ord_lfact", "ord_ldim"):
+        if eng.catalog.table_exists(txn, "ns1", t):
+            kind = "MATERIALIZED VIEW" if t.startswith("mv_") else "TABLE"
+            eng.sql(f"DROP {kind} ns1.{t}")
+    o = load(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("amt"),
+        F.col("o_orderstatus").alias("st"))
+    eng.write_table(o, "ns1.ord_lfact")
+    eng.write_table(
+        o.filter(F.col("pri") != "5-LOW").select("pri").distinct()
+        .withColumn("band", F.when(F.col("pri").isin(
+            "1-URGENT", "2-HIGH"), "hot").otherwise("std")),
+        "ns1.ord_ldim")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_lbands AS "
+            "SELECT d.band AS band, COUNT(*) AS n_orders, "
+            "SUM(CAST(f.amt AS DECIMAL(25,6))) AS rev_dec "
+            "FROM ns1.ord_lfact f LEFT JOIN ns1.ord_ldim d "
+            "ON f.pri = d.pri GROUP BY d.band")
+    eng.sql("INSERT INTO ns1.ord_lfact "
+            "SELECT pri, amt + 0.5 AS amt, st FROM ns1.ord_lfact "
+            "WHERE st = 'P'")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_lbands").collect()[0]
+    if rep.mode != "incremental":    # the LEFT-join lane IS the operator
+        raise AssertionError(f"expected incremental refresh, got {rep}")
+    return eng.sql(
+        "SELECT band, n_orders, CAST(rev_dec AS DOUBLE) AS revenue "
+        "FROM ns1.mv_lbands ORDER BY band NULLS FIRST")

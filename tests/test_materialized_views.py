@@ -117,12 +117,12 @@ def test_non_incrementalizable_shapes_take_full_lane(eng):
     assert r.mode == "full"
     assert [tuple(x) for x in
             eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 1)]
-    # OUTER join → full (only the two-source INNER shape is
-    # incrementalizable — _mv_join_plan, r14; the aliased inner-join
-    # lane has its own suite below)
+    # RIGHT OUTER join → full (only the two-source INNER and LEFT
+    # shapes are incrementalizable — _mv_join_plan, r14; the aliased
+    # join lanes have their own suite below)
     eng.sql("CREATE MATERIALIZED VIEW ns1.mv2 AS "
             "SELECT s.grp AS grp, COUNT(*) AS n FROM ns1.src s "
-            "LEFT JOIN ns1.dim d ON s.grp = d.grp GROUP BY s.grp")
+            "RIGHT JOIN ns1.dim d ON s.grp = d.grp GROUP BY s.grp")
     eng.sql("INSERT INTO ns1.src VALUES (4, 'A', 3.0)")
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv2").collect()[0]
     assert r.mode == "full"
@@ -1805,3 +1805,58 @@ def test_join_mv_structural_column_name_takes_full_lane(eng):
     assert [tuple(x) for x in eng.sql(
         "SELECT * FROM ns1.mvw ORDER BY band").collect()] == \
         [("hi", 2), ("lo", 1)]
+
+
+LEFT_Q = ("SELECT d.band AS band, COUNT(*) AS n, SUM(f.v) AS sv "
+          "FROM ns1.src f LEFT JOIN ns1.dim d ON f.grp = d.grp "
+          "GROUP BY d.band")
+
+
+def _recompute_left(eng):
+    eng.read_table("ns1.src").createOrReplaceTempView("ljf")
+    eng.read_table("ns1.dim").createOrReplaceTempView("ljd")
+    return [tuple(x) for x in eng.spark.sql(
+        "SELECT d.band AS band, COUNT(*) AS n, SUM(f.v) AS sv "
+        "FROM ljf f LEFT JOIN ljd d ON f.grp = d.grp "
+        "GROUP BY d.band ORDER BY band NULLS FIRST").collect()]
+
+
+def test_left_join_mv_fact_append_incremental(eng):
+    """r14: LEFT JOIN is fact-preserving, so a fact-side append is
+    additive exactly like INNER — including appended rows with NO dim
+    match, which land in the NULL-padded group (eqNullSafe merge)."""
+    _seed_join(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvl AS {LEFT_Q}")
+    eng.sql("INSERT INTO ns1.src VALUES (10, 'A', 4.0), "
+            "(11, 'NOMATCH', 9.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvl").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
+    got = [tuple(x) for x in eng.sql(
+        "SELECT * FROM ns1.mvl ORDER BY band NULLS FIRST").collect()]
+    assert got == _recompute_left(eng) == [
+        (None, 1, 9.0), ("hi", 3, 34.0), ("lo", 2, 7.0)]
+    # fact deletes subtract through the preserved side too
+    eng.sql("DELETE FROM ns1.src WHERE id = 11")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvl").collect()[0]
+    assert r.mode == "incremental"
+    got = [tuple(x) for x in eng.sql(
+        "SELECT * FROM ns1.mvl ORDER BY band NULLS FIRST").collect()]
+    assert got == _recompute_left(eng) == [("hi", 3, 34.0),
+                                           ("lo", 2, 7.0)]
+
+
+def test_left_join_mv_dim_append_forces_full(eng):
+    """r14: a dim-side append under LEFT JOIN is NOT additive — fact
+    rows previously padded with NULLs would need retraction when a new
+    dim row starts matching them — so the refresh downgrades to full
+    (and the recompute is correct)."""
+    _seed_join(eng)
+    eng.sql("INSERT INTO ns1.src VALUES (11, 'NOMATCH', 9.0)")
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvl AS {LEFT_Q}")
+    eng.sql("INSERT INTO ns1.dim VALUES ('NOMATCH', 'xtra')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvl").collect()[0]
+    assert r.mode == "full"
+    got = [tuple(x) for x in eng.sql(
+        "SELECT * FROM ns1.mvl ORDER BY band NULLS FIRST").collect()]
+    assert got == _recompute_left(eng) == [
+        ("hi", 2, 30.0), ("lo", 2, 7.0), ("xtra", 1, 9.0)]
