@@ -5248,16 +5248,17 @@ class Engine:
                         break
             if plan is not None:
                 if "join" in plan:
-                    # one changed side (enforced above) joins the OTHER
-                    # side read whole at this refresh's pinned version —
-                    # policies baked from the pinned describe, so the
-                    # dim read is deterministic under the seal
+                    # one changed side (enforced above) joins every
+                    # OTHER side read whole at this refresh's pinned
+                    # version — policies baked from the pinned
+                    # describe, so the dim reads are deterministic
+                    # under the seal
                     (dsrc,) = set(files_changed)
-                    other = next(s for s in sources
-                                 if s.lower() != dsrc.lower())
+                    others = {s: self.read_table(s, txn)
+                              for s in sources
+                              if s.lower() != dsrc.lower()}
                     delta_agg = self._mv_apply_query(
-                        plan, {dsrc: deltas[dsrc]},
-                        dim=(other, self.read_table(other, txn)))
+                        plan, {dsrc: deltas[dsrc]}, dim=others)
                 else:
                     delta_agg = self._mv_apply_query(
                         plan, deltas if "branches" in plan
@@ -5706,25 +5707,27 @@ class Engine:
     def _mv_join_plan(self, q: str, sources: list[str], txn=None):
         """Broadcast-dim JOIN incremental shape (VERDICT r13 #1):
         ``SELECT <group+aggs> FROM <t1> [AS] a [INNER|LEFT [OUTER]]
-        JOIN <t2> [AS] b ON <cond> [WHERE …] [GROUP BY …]`` over
-        exactly the two known sources, both under explicit simple
-        aliases (the delta re-execution swaps each table for a temp
-        view and re-binds the SAME alias, so every qualified reference
-        resolves identically). The refresh driver enforces the lane's
-        soundness condition per join type: INNER — exactly ONE source's
-        files changed, either side (symmetric: (F ∪ ΔF) ⋈ D =
-        (F ⋈ D) ∪ (ΔF ⋈ D)); LEFT — only the LEFT (preserved) side may
-        be the delta ((F ∪ ΔF) ⟕ D = (F ⟕ D) ∪ (ΔF ⟕ D) holds, but a
-        dim-side append would RETRACT previously NULL-padded rows →
-        full. The changed side's feed joins the OTHER side read whole
-        at the pinned version; group keys may come from either side
-        (the dashboard shape is fact JOIN small_dim GROUP BY dim.attr).
-        Any RIGHT/FULL/CROSS/SEMI/NATURAL/USING form, a second join,
-        nested SELECTs, unaliased tables, or an unscreenable identifier
-        → None (the always-correct full lane). A dim whose SEMANTICS
-        drift (policy/schema/pointer — the per-source signature)
-        already forces full via the probe."""
-        if txn is None or len(sources) != 2:
+        JOIN <t2> [AS] b ON <cond> [JOIN <t3> [AS] c ON <cond> …]
+        [WHERE …] [GROUP BY …]`` — a CHAIN of joins over exactly the
+        known sources (2-4 tables; the dashboard star: fact JOIN dim1
+        JOIN dim2 GROUP BY dims' attrs), every table under an explicit
+        simple alias (the delta re-execution swaps each table for a
+        temp view and re-binds the SAME alias, so every qualified
+        reference resolves identically). The refresh driver enforces
+        the lane's soundness condition: exactly ONE source's files
+        changed — its change feed joins every OTHER side read whole at
+        the pinned version, exact for INNER chains because the joined
+        relation is MULTILINEAR in each input (γ(T1 ⋈ … ∪ ΔTi ⋈ …) =
+        merge of the stored aggregate with γ(… ⋈ ΔTi ⋈ …)). LEFT is
+        accepted only in the single-join (two-table) form and only the
+        LEFT (preserved) side may be the delta — a dim-side append
+        would RETRACT previously NULL-padded rows → full. Any
+        RIGHT/FULL/CROSS/SEMI/NATURAL/USING form, nested SELECTs,
+        unaliased tables, or an unscreenable identifier → None (the
+        always-correct full lane). A dim whose SEMANTICS drift
+        (policy/schema/pointer — the per-source signature) already
+        forces full via the probe."""
+        if txn is None or not 2 <= len(sources) <= 4:
             return None
         norm = _normalize(q)
         if "__mv_" in norm.lower() or "\\" in norm or "`" in norm:
@@ -5736,43 +5739,70 @@ class Engine:
             if re.search(rf"\b{kw}\b", code, re.I):
                 return None
         if len(re.findall(r"\bSELECT\b", code, re.I)) != 1 \
-                or len(re.findall(r"\bJOIN\b", code, re.I)) != 1:
+                or len(re.findall(r"\bJOIN\b", code, re.I)) \
+                != len(sources) - 1:
             return None
         m = re.match(
-            r"SELECT\s(.+?)\sFROM\s+(\S+)\s+(?:AS\s+)?(\w+)\s+"
-            r"(?:(INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+"
-            r"(\S+)\s+(?:AS\s+)?(\w+)\s+ON\s(.+?)"
+            r"SELECT\s(.+?)\sFROM\s(.+?)"
             r"(?:\sWHERE\s(.+?))?(?:\sGROUP BY\s(.+))?$",
             code, re.I | re.S)
         if not m:
             return None
-        jtype = "left" if (m.group(4) or "").upper().startswith("LEFT") \
-            else "inner"
-        # LEFT/OUTER tokens may appear ONLY inside the matched join-type
-        # slot — a stray one elsewhere (an alias, a later clause) means
-        # the regex mis-attributed structure → full lane
-        n_left = 1 if jtype == "left" else 0
-        n_outer = 1 if (m.group(4) or "").upper().endswith("OUTER") else 0
-        if len(re.findall(r"\bLEFT\b", code, re.I)) != n_left \
-                or len(re.findall(r"\bOUTER\b", code, re.I)) != n_outer:
-            return None
+
         # slice every clause from NORM at the code-view spans (the two
         # are position-identical; literals live only in norm)
         def _n(i):
             return (norm[m.start(i):m.end(i)].strip()
                     if m.group(i) is not None else None)
-        items_raw, tok1, a1, tok2, a2, on_raw, where, gb = \
-            (_n(i) for i in (1, 2, 3, 5, 6, 7, 8, 9))
-        kw_block = {"join", "inner", "on", "where", "group", "as",
-                    "select", "from"}
-        if a1.lower() in kw_block or a2.lower() in kw_block \
-                or a1.lower() == a2.lower():
-            return None                 # unaliased table or alias clash
-        src_by_low = {s.lower(): s for s in sources}
-        src1 = src_by_low.get(tok1.rstrip(";").lower())
-        src2 = src_by_low.get(tok2.rstrip(";").lower())
-        if src1 is None or src2 is None or src1 == src2:
+        items_raw, _fb, where, gb = (_n(i) for i in range(1, 5))
+        fb_code = code[m.start(2):m.end(2)]
+        fb_norm = norm[m.start(2):m.end(2)]
+        th = re.match(r"(\S+)\s+(?:AS\s+)?(\w+)\s+", fb_code)
+        if not th:
             return None
+        jre = re.compile(
+            r"\b(?:(INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+"
+            r"(\S+)\s+(?:AS\s+)?(\w+)\s+ON\s", re.I)
+        jms = list(jre.finditer(fb_code))
+        if len(jms) != len(sources) - 1 or jms[0].start() != th.end():
+            return None                 # stray text between chain links
+        kw_block = {"join", "inner", "left", "outer", "on", "where",
+                    "group", "as", "select", "from"}
+        src_by_low = {s.lower(): s for s in sources}
+        toks = [fb_norm[th.start(1):th.end(1)]]
+        aliases = [fb_norm[th.start(2):th.end(2)]]
+        jtypes, conds = [], []
+        for k, jm in enumerate(jms):
+            jt = "left" if (jm.group(1) or "").upper() \
+                .startswith("LEFT") else "inner"
+            jtypes.append((jt, (jm.group(1) or "").upper()
+                           .endswith("OUTER")))
+            toks.append(fb_norm[jm.start(2):jm.end(2)])
+            aliases.append(fb_norm[jm.start(3):jm.end(3)])
+            c_end = jms[k + 1].start() if k + 1 < len(jms) \
+                else len(fb_norm)
+            cond = fb_norm[jm.end():c_end].strip()
+            if not cond:
+                return None
+            conds.append(cond)
+        # LEFT only in the two-table form, and LEFT/OUTER tokens may
+        # appear ONLY inside matched join-type slots — a stray one
+        # elsewhere means the scan mis-attributed structure
+        n_left = sum(1 for t, _o in jtypes if t == "left")
+        n_outer = sum(1 for _t, o in jtypes if o)
+        if n_left and len(sources) != 2:
+            return None
+        if len(re.findall(r"\bLEFT\b", code, re.I)) != n_left \
+                or len(re.findall(r"\bOUTER\b", code, re.I)) != n_outer:
+            return None
+        low_aliases = [a.lower() for a in aliases]
+        if any(a in kw_block for a in low_aliases) \
+                or len(set(low_aliases)) != len(low_aliases):
+            return None                 # unaliased table or alias clash
+        srcs = [src_by_low.get(t.rstrip(";").lower()) for t in toks]
+        if any(s is None for s in srcs) or len(set(srcs)) != len(srcs):
+            return None
+        src1, jtype = srcs[0], ("left" if n_left else "inner")
         group_exprs = [g.strip() for g in gb.split(",")] if gb else []
         if len(group_exprs) != len({g.lower() for g in group_exprs}):
             return None                 # duplicate keys → ambiguous out
@@ -5801,11 +5831,11 @@ class Engine:
             + [out.lower() for _k, _i, out in aggs]
         if len(outs) != len(set(outs)):
             return None                 # merge needs unique out names
-        cols = (self._mv_source_cols(src1, txn)
-                | self._mv_source_cols(src2, txn)
-                | {a1.lower(), a2.lower()})
+        cols = set(low_aliases)
+        for s in srcs:
+            cols |= self._mv_source_cols(s, txn)
         if cols & {"select", "from", "where", "group", "by", "on",
-                   "join", "inner"}:
+                   "join", "inner", "left", "outer"}:
             # a source column literally named like a structural keyword
             # (legal unquoted in Spark's non-ANSI parser) could sit
             # UNQUALIFIED inside the lazily-scanned ON region and
@@ -5815,30 +5845,34 @@ class Engine:
             # truncation leaves a dangling operator), but the correct
             # behavior is the full lane, not a mid-refresh crash.
             return None
-        body = " ".join(filter(None, (items_raw, on_raw, where, gb)))
+        body = " ".join(filter(None,
+                               (items_raw, *conds, where, gb)))
         if not self._mv_screen(body, cols, set(outs)):
             return None
+        chain = toks[0] + " " + aliases[0]
+        for k in range(len(conds)):
+            jt = "LEFT JOIN" if jtypes[k][0] == "left" else "JOIN"
+            chain += (f" {jt} {toks[k + 1]} {aliases[k + 1]} "
+                      f"ON ({conds[k]})")
         return {"group": group_out, "group_items": group_items,
                 "group_sql": gb, "aggs": aggs, "where": where,
                 "select_raw": items_raw,
-                "join": {"src1": src1, "a1": a1, "src2": src2,
-                         "a2": a2, "on": on_raw, "type": jtype},
-                "from_sql": f"{tok1} {a1} "
-                            f"{'LEFT ' if jtype == 'left' else ''}JOIN "
-                            f"{tok2} {a2} ON ({on_raw})"}
+                "join": {"slots": list(zip(srcs, aliases)),
+                         "conds": [(jtypes[k][0], conds[k])
+                                   for k in range(len(conds))],
+                         "src1": src1, "type": jtype},
+                "from_sql": chain}
 
     def _mv_plan(self, q: str, sources: list[str], txn):
         """Route the stored query to its incremental parse by source
         arity: single-source GROUP BY, then the UNION ALL lane (which
-        also covers single-source self-unions), then the two-source
-        JOIN lane. None → the always-correct full lane."""
+        also covers single-source self-unions), then the 2-4-source
+        JOIN-chain lane. None → the always-correct full lane."""
         if len(sources) == 1:
             return (self._mv_incremental_plan(q, sources[0], txn)
                     or self._mv_union_plan(q, sources, txn))
-        plan = self._mv_union_plan(q, sources, txn)
-        if plan is None and len(sources) == 2:
-            plan = self._mv_join_plan(q, sources, txn)
-        return plan
+        return (self._mv_union_plan(q, sources, txn)
+                or self._mv_join_plan(q, sources, txn))
 
     @staticmethod
     def _mv_signed_agg(kind: str, inner: str) -> str:
@@ -5879,11 +5913,11 @@ class Engine:
         changed source's delta flows through ITS branches only;
         branches over unchanged sources are simply absent, which is
         sound because every branch emits the same output names), every
-        feed still carrying ``_change_type``. ``dim`` (join lane): the
-        (name, DataFrame) of the UNCHANGED side read whole at the
-        refresh's pinned version — the delta joins it under the stored
-        query's own aliases, exact for INNER joins because
-        (F ∪ ΔF) ⋈ D = (F ⋈ D) ∪ (ΔF ⋈ D)."""
+        feed still carrying ``_change_type``. ``dim`` (join lane): a
+        {source: DataFrame} map of every UNCHANGED side read whole at
+        the refresh's pinned version — the delta joins them under the
+        stored query's own aliases, exact for INNER chains because the
+        joined relation is multilinear in each input."""
         tmps, views = [], {}
 
         def _reg(df: DataFrame) -> str:
@@ -5915,16 +5949,23 @@ class Engine:
             elif "join" in plan:
                 (dsrc, feed), = rows.items()
                 j = plan["join"]
-                d_alias = j["a1"] if dsrc.lower() == j["src1"].lower() \
-                    else j["a2"]
-                m_alias = j["a2"] if d_alias == j["a1"] else j["a1"]
-                # LEFT joins reach here only with the delta on the
-                # PRESERVED (a1) side — the refresh gate enforces it —
-                # so emitting 'delta LEFT JOIN dim' keeps the sides of
-                # the stored query exactly
-                jt = "LEFT JOIN" if j.get("type") == "left" else "JOIN"
-                frm = (f"{_signed(feed)} {d_alias} {jt} "
-                       f"{_reg(dim[1])} {m_alias} ON ({j['on']})")
+                # rebuild the stored chain with each table swapped for
+                # its temp view — the signed feed in the changed slot,
+                # the pinned-version reads (``dim``: {source: df})
+                # everywhere else; aliases and ON conditions re-bind
+                # verbatim. LEFT reaches here only with the delta on
+                # the PRESERVED (first) slot — the refresh gate
+                # enforces it.
+                def _slot_view(src: str) -> str:
+                    if src.lower() == dsrc.lower():
+                        return _signed(feed)
+                    return _reg(dim[src])
+                slots = j["slots"]
+                frm = f"{_slot_view(slots[0][0])} {slots[0][1]}"
+                for k, (jt, cond) in enumerate(j["conds"]):
+                    kw = "LEFT JOIN" if jt == "left" else "JOIN"
+                    frm += (f" {kw} {_slot_view(slots[k + 1][0])} "
+                            f"{slots[k + 1][1]} ON ({cond})")
             else:
                 frm = _signed(rows)
             sel = list(plan.get("group_items") or plan["group"])

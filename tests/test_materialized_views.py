@@ -1613,14 +1613,68 @@ def test_join_mv_grammar_refusals_downgrade_to_full(eng):
         got = eng.sql(f"REFRESH MATERIALIZED VIEW ns1.mvg{i}") \
             .collect()[0].mode
         assert got == "full", (q, got)
-    # three-table join → not the two-source shape
+    # LEFT inside a 3-table chain → full (LEFT is only sound in the
+    # two-table form where the preserved side is the delta)
     eng.sql("CREATE MATERIALIZED VIEW ns1.mvg9 AS "
             "SELECT d.band AS band, COUNT(*) AS n FROM ns1.src f "
             "JOIN ns1.dim d ON f.grp = d.grp "
-            "JOIN ns1.dim2 e ON d.band = e.band GROUP BY d.band")
+            "LEFT JOIN ns1.dim2 e ON d.band = e.band GROUP BY d.band")
     eng.sql("INSERT INTO ns1.src VALUES (30, 'A', 1.0)")
     assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mvg9") \
         .collect()[0].mode == "full"
+
+
+def test_three_way_join_mv_star_is_incremental(eng):
+    """r14: the JOIN lane generalizes to a CHAIN — fact JOIN dim1 JOIN
+    dim2 (the dashboard star) refreshes O(fact delta), the delta
+    joining BOTH dims read at the pinned version; inner chains are
+    multilinear in each input, so a dim1-side append is also
+    incremental (joined against full fact and full dim2)."""
+    _seed_join(eng)
+    eng.write_table(eng.spark.createDataFrame(
+        [("hi", "prio"), ("lo", "bulk")],
+        "band STRING, tier STRING"), "ns1.dim2")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvs AS "
+            "SELECT e.tier AS tier, COUNT(*) AS n, SUM(f.v) AS sv "
+            "FROM ns1.src f JOIN ns1.dim d ON f.grp = d.grp "
+            "JOIN ns1.dim2 e ON d.band = e.band GROUP BY e.tier")
+
+    def recompute():
+        eng.read_table("ns1.src").createOrReplaceTempView("swf")
+        eng.read_table("ns1.dim").createOrReplaceTempView("swd")
+        eng.read_table("ns1.dim2").createOrReplaceTempView("swe")
+        return [tuple(x) for x in eng.spark.sql(
+            "SELECT e.tier AS tier, COUNT(*) AS n, SUM(f.v) AS sv "
+            "FROM swf f JOIN swd d ON f.grp = d.grp "
+            "JOIN swe e ON d.band = e.band GROUP BY e.tier "
+            "ORDER BY tier").collect()]
+
+    def mv_rows():
+        return [tuple(x) for x in eng.sql(
+            "SELECT * FROM ns1.mvs ORDER BY tier").collect()]
+
+    eng.sql("INSERT INTO ns1.src VALUES (30, 'A', 6.0), (31, 'B', 2.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvs").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
+    assert mv_rows() == recompute()
+    # middle-slot (dim1) append: still one changed source → incremental
+    eng.sql("INSERT INTO ns1.dim VALUES ('D', 'hi')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvs").collect()[0]
+    assert r.mode == "incremental"
+    assert mv_rows() == recompute()
+    # fact deletes subtract through the whole chain
+    eng.sql("DELETE FROM ns1.src WHERE grp = 'B'")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvs").collect()[0]
+    assert r.mode == "incremental"
+    assert mv_rows() == recompute()
+    # two sources changed in ONE window → full
+    eng.sql("INSERT INTO ns1.src VALUES (40, 'C', 1.0)")
+    eng.sql("INSERT INTO ns1.dim2 VALUES ('xx', 'bulk')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvs").collect()[0]
+    assert r.mode == "full"
+    assert mv_rows() == recompute()
+    assert eng.spark.sparkContext._jsc.sc().getPersistentRDDs() \
+        .size() == 0
 
 
 def test_retraction_lane_matches_recompute_under_random_ops(eng):
