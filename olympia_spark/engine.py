@@ -5306,6 +5306,53 @@ class Engine:
             extra_properties=extra)
         return report(mode, n)
 
+    def refresh_materialized_view_cascade(self, name: str,
+                                          full: bool = False
+                                          ) -> DataFrame:
+        """``REFRESH MATERIALIZED VIEW … CASCADE``: refresh every
+        UPSTREAM materialized view this MV transitively depends on,
+        leaves first, before the target — a stacked-dashboard chain
+        refreshes consistently in ONE verb, each upstream choosing its
+        own lane (noop when unchanged, so an all-quiet cascade costs
+        O(sources) metadata probes and commits nothing). The
+        dependency graph is a DAG by construction (creation refuses
+        self-reference through the transitively EXPANDED source set),
+        and a visited set guards traversal regardless. ``FULL``
+        applies to the TARGET only — forcing upstream rewrites would
+        void their incremental lanes for no reason. Returns one row
+        per refreshed view in cascade order: (view, mode, delta_rows);
+        plain-table sources are skipped (they have nothing to
+        refresh)."""
+        order: list[str] = []
+        seen: set[str] = set()
+
+        def visit(nm: str) -> None:
+            ns, tbl = self._split(nm)
+            key = f"{ns}.{tbl}".lower()
+            if key in seen:
+                return
+            seen.add(key)
+            probe = self.catalog.begin(read_only=True)
+            td = self.catalog.describe_table(probe, ns, tbl)
+            if not td.properties.get(self._MV_QUERY_PROP):
+                return                  # plain table — nothing to do
+            for s in json.loads(
+                    td.properties.get(self._MV_SOURCES_PROP, "[]")):
+                visit(s)
+            order.append(f"{ns}.{tbl}")
+
+        visit(name)
+        if not order:
+            # not an MV — surface the standard error
+            return self.refresh_materialized_view(name, full=full)
+        rows = []
+        for nm in order:
+            rep = self.refresh_materialized_view(
+                nm, full=full and nm == order[-1]).collect()[0]
+            rows.append((nm, rep.mode, rep.delta_rows))
+        return self.spark.createDataFrame(
+            rows, "view string, mode string, delta_rows long")
+
     _MV_AGG_RE = re.compile(
         r"^(COUNT|SUM|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S)
 
@@ -6796,9 +6843,12 @@ class Engine:
             self.create_materialized_view(m.group(2), m.group(3),
                                           replace=bool(m.group(1)))
             return ok()
-        m = re.match(r"REFRESH MATERIALIZED VIEW (\S+\.\S+)( FULL)?$",
-                     norm, re.I)
+        m = re.match(r"REFRESH MATERIALIZED VIEW (\S+\.\S+)"
+                     r"( FULL)?( CASCADE)?$", norm, re.I)
         if m:
+            if m.group(3):
+                return self.refresh_materialized_view_cascade(
+                    m.group(1), full=bool(m.group(2)))
             return self.refresh_materialized_view(
                 m.group(1), full=bool(m.group(2)))
         m = re.match(r"DROP MATERIALIZED VIEW (\S+\.\S+)$", norm, re.I)

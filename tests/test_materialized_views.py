@@ -1914,3 +1914,51 @@ def test_left_join_mv_dim_append_forces_full(eng):
         "SELECT * FROM ns1.mvl ORDER BY band NULLS FIRST").collect()]
     assert got == _recompute_left(eng) == [
         ("hi", 2, 30.0), ("lo", 2, 7.0), ("xtra", 1, 9.0)]
+
+
+def test_refresh_cascade_chain_and_diamond(eng):
+    """r14 CASCADE: a src → mv1 → {mv2a, mv2b} → mv3 diamond refreshes
+    leaves-first in one verb, each view on its own lane; every
+    upstream refreshes exactly ONCE; a second cascade with nothing
+    changed is all-noop and commits nothing; FULL applies to the
+    TARGET only."""
+    _seed(eng, [(1, "A", 10.0), (2, "B", 5.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv1 AS "
+            "SELECT grp, COUNT(*) AS n, SUM(v) AS sv "
+            "FROM ns1.src GROUP BY grp")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv2a AS "
+            "SELECT COUNT(*) AS n_groups, SUM(sv) AS total "
+            "FROM ns1.mv1")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv2b AS "
+            "SELECT grp, SUM(sv) AS sv2 FROM ns1.mv1 GROUP BY grp")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv3 AS "
+            "SELECT a.n_groups AS ng, COUNT(*) AS n "
+            "FROM ns1.mv2a a JOIN ns1.mv2b b ON 1 = 1 "
+            "GROUP BY a.n_groups")
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'C', 1.0)")
+    got = [tuple(r) for r in eng.sql(
+        "REFRESH MATERIALIZED VIEW ns1.mv3 CASCADE").collect()]
+    by_view = {v: m for v, m, _n in got}
+    assert [v for v, _m, _n in got].index("ns1.mv1") < \
+        [v for v, _m, _n in got].index("ns1.mv2a")
+    assert [v for v, _m, _n in got][-1] == "ns1.mv3"
+    assert len(got) == 4 and by_view["ns1.mv1"] == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv3").collect()] == [(3, 3)]
+    ver = eng.catalog.history()[0]["version"]
+    got2 = [tuple(r) for r in eng.sql(
+        "REFRESH MATERIALIZED VIEW ns1.mv3 CASCADE").collect()]
+    assert all(m == "noop" for _v, m, _n in got2)
+    assert eng.catalog.history()[0]["version"] == ver
+    # FULL hits the target only: upstreams stay noop
+    got3 = [tuple(r) for r in eng.sql(
+        "REFRESH MATERIALIZED VIEW ns1.mv3 FULL CASCADE").collect()]
+    modes = {v: m for v, m, _n in got3}
+    assert modes["ns1.mv3"] == "full"
+    assert all(m == "noop" for v, m in modes.items() if v != "ns1.mv3")
+
+
+def test_refresh_cascade_on_plain_table_raises(eng):
+    _seed(eng, [(1, "A", 1.0)])
+    with pytest.raises(ValueError, match="not a materialized view"):
+        eng.sql("REFRESH MATERIALIZED VIEW ns1.src CASCADE")
