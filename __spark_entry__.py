@@ -87,6 +87,7 @@ _PRIORITY = [
     "b165_q10_prospect_profile", "b166_q69_state_gated_demographics",
     "b167_q41_dim_only_gate", "b168_q18_avg_rollup",
     "b169_q71_hour_band_report", "b151g_mv_left_join_refresh",
+    "b151h_mv_cascade_refresh",
 ]
 
 

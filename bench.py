@@ -194,6 +194,7 @@ HEADLINE = [
     "b168_q18_avg_rollup",
     "b169_q71_hour_band_report",
     "b151g_mv_left_join_refresh",
+    "b151h_mv_cascade_refresh",
 ]
 
 

@@ -1280,3 +1280,64 @@ def b151g_mv_left_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
     return eng.sql(
         "SELECT band, n_orders, CAST(rev_dec AS DOUBLE) AS revenue "
         "FROM ns1.mv_lbands ORDER BY band NULLS FIRST")
+
+
+# --- B151h CASCADE refresh of stacked materialized views (r14) ------------------
+
+@query("b151h_mv_cascade_refresh", oracle="""
+WITH src AS (
+  SELECT o_orderpriority AS pri, o_totalprice AS amt,
+         o_orderstatus AS st FROM orders
+  UNION ALL
+  SELECT o_orderpriority AS pri, o_totalprice + 2.0 AS amt,
+         o_orderstatus AS st FROM orders WHERE o_orderstatus = 'O'
+), l1 AS (
+  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(amt AS DECIMAL(25,6))) AS rev_dec
+  FROM src GROUP BY pri
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pri,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(rev_dec) AS DOUBLE) AS revenue
+FROM l1
+""")
+def b151h_mv_cascade_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B151h — CASCADE refresh of STACKED materialized views (r14):
+    mv_l2 aggregates mv_l1 which aggregates the source; after a source
+    append, ONE ``REFRESH … CASCADE`` refreshes leaves-first — BOTH
+    lanes are asserted incremental (mv_l2 consumes mv_l1's
+    COW-overwrite change feed, which exceptAll-cancellation nets down
+    to only the CHANGED groups — O(changed groups), never O(mv_l1)).
+    The driver-checked numbers are the twice-merged ones. The oracle
+    reproduces the final state as a two-level aggregate over
+    source ∪ appended rows."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    for t in ("mv_l2", "mv_l1", "ord_csrc"):
+        if eng.catalog.table_exists(txn, "ns1", t):
+            kind = "MATERIALIZED VIEW" if t.startswith("mv_") else "TABLE"
+            eng.sql(f"DROP {kind} ns1.{t}")
+    o = load(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("amt"),
+        F.col("o_orderstatus").alias("st"))
+    eng.write_table(o, "ns1.ord_csrc")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_l1 AS "
+            "SELECT pri, COUNT(*) AS n_orders, "
+            "SUM(CAST(amt AS DECIMAL(25,6))) AS rev_dec "
+            "FROM ns1.ord_csrc GROUP BY pri")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_l2 AS "
+            "SELECT COUNT(*) AS n_pri, SUM(n_orders) AS n_orders, "
+            "SUM(rev_dec) AS rev_dec FROM ns1.mv_l1")
+    eng.sql("INSERT INTO ns1.ord_csrc "
+            "SELECT pri, amt + 2.0 AS amt, st FROM ns1.ord_csrc "
+            "WHERE st = 'O'")
+    reps = {r.view: r.mode for r in eng.sql(
+        "REFRESH MATERIALIZED VIEW ns1.mv_l2 CASCADE").collect()}
+    if reps != {"ns1.mv_l1": "incremental",
+                "ns1.mv_l2": "incremental"}:
+        raise AssertionError(
+            f"expected both cascade lanes incremental, got {reps}")
+    return eng.sql(
+        "SELECT n_pri, n_orders, CAST(rev_dec AS DOUBLE) AS revenue "
+        "FROM ns1.mv_l2")
