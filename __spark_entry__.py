@@ -60,10 +60,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (computed from CORRECTNESS_r01–r13: exactly these 42 have newest
 # green = r8); (2) the NEW r14 entries — the MV broadcast-dim JOIN lane
 # (b151e), the MV retraction lane (b151f), and the round's TPC-DS
-# shapes. 42 + 11 = 53: if the window cuts at ~50, the trailing bonus
-# shapes (b167/b168/b169) slip to the r15 window — same precedent as
-# the r11 bonus shapes, first driver-checked in r12; the in-suite
-# sf0.001 parity sweep still covers them this round.
+# shapes. 42 + 12 = 54: if the window cuts at ~50, the trailing bonus
+# entries slip to the r15 window — same precedent as the r11 bonus
+# shapes, first driver-checked in r12; the in-suite sf0.001 parity
+# sweep still covers them this round.
 _PRIORITY = [
     # (1) the 42 r8-age queries (VERDICT r13 Next-round #4)
     "b01_scan_count", "b02_projection", "b03_filter", "b04_join_inner",
