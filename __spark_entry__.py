@@ -54,40 +54,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-gate ordering: the driver records ~50 entries per round — rotate so
 # no query's newest driver entry ages past the stale horizon (standing
-# invariant: ≤6 rounds). Round-14 list (VERDICT r13 "Next round" #4,
-# verbatim contract): (1) ALL 42 r8-age queries lead the window — after
-# this round no registry query's newest driver-green predates r9
-# (computed from CORRECTNESS_r01–r13: exactly these 42 have newest
-# green = r8); (2) the NEW r14 entries — the MV broadcast-dim JOIN lane
-# (b151e), the MV retraction lane (b151f), and the round's TPC-DS
-# shapes. 42 + 12 = 54: if the window cuts at ~50, the trailing bonus
-# entries slip to the r15 window — same precedent as the r11 bonus
-# shapes, first driver-checked in r12; the in-suite sf0.001 parity
-# sweep still covers them this round.
+# invariant: ≤6 rounds). Round-15 list (VERDICT r14 "Next round" #1,
+# verbatim contract): (1) the FIVE never-driver-checked entries lead —
+# b151g/b151h/b167/b168/b169 were judge-green at sf0.01 in r14 but the
+# 50-slot window cut before them; (2) the full 48-query r9-age cohort
+# (computed from CORRECTNESS_r01–r14: exactly these have newest
+# driver-green = r9). 5 + 48 = 53: the trailing ~3 slip to r16 (the
+# judge's stated plan), still within the ≤6-round horizon next round;
+# (3) entries NEW in r15 follow — judge-checked first, driver rows in
+# r16, same precedent as the r11/r14 bonus shapes.
 _PRIORITY = [
-    # (1) the 42 r8-age queries (VERDICT r13 Next-round #4)
-    "b01_scan_count", "b02_projection", "b03_filter", "b04_join_inner",
-    "b06_outer_join", "b06b_full_outer_join", "b07_semi_join",
-    "b07b_anti_join", "b08_range_join", "b14b_row_number_ntile",
-    "b25_array_fns", "b26_struct_map", "b27_json", "b29_delete_where",
-    "b30_update_set", "b32_stream_dedup", "b32_stream_join",
-    "b32_stream_merge_cdc", "b32_stream_stateful_counter",
-    "b48_exists_subquery", "b49_stats_agg", "b68_clone_restore",
-    "b69_zorder_cluster", "b88_q12_shape", "b89_q16_shape",
-    "b90_q19_shape", "data_ppl_buckets", "data_salt_plan",
-    "dedup_edit_distance", "dedup_incremental", "dedup_incremental_catalog",
-    "dedup_minhash_lsh", "dedup_simhash", "sim_centroid",
-    "text_boilerplate", "text_chunk_tokens", "text_contamination",
-    "text_contamination_bloom", "text_ngram_logprob", "text_pii_stats",
-    "text_tfidf_topterms", "text_vocab_topk",
-    # (2) NEW this round (never driver-checked)
-    "b151e_mv_join_refresh", "b151f_mv_retraction_refresh",
-    "b161_q77_channel_pnl", "b162_q2_week_share",
-    "b163_q25_three_lens", "b164_q24_dedup_mean_gate",
-    "b165_q10_prospect_profile", "b166_q69_state_gated_demographics",
+    # (1) never-driver-checked (judge-green r14 at sf0.01)
+    "b151g_mv_left_join_refresh", "b151h_mv_cascade_refresh",
     "b167_q41_dim_only_gate", "b168_q18_avg_rollup",
-    "b169_q71_hour_band_report", "b151g_mv_left_join_refresh",
-    "b151h_mv_cascade_refresh",
+    "b169_q71_hour_band_report",
+    # (2) the 48-query r9-age cohort (VERDICT r14 Next-round #1)
+    "b100_q13_shape", "b101_q15_shape", "b102_q8_shape", "b103_q9_shape",
+    "b28_insert_append", "b32_stream_catalog_ingest",
+    "b32_stream_watermark_append", "b50_carry_forward", "b51_median_mode",
+    "b52_array_setops", "b53_external_sources",
+    "b54_approx_quantile_check", "b55_bucketed_join", "b56_interval_join",
+    "b57_window_count_distinct", "b58_table_changes", "b59_qualify",
+    "b60_select_exclude", "b61_recursive_cte", "b62_scd2_build",
+    "b63_txn_multi_table", "b63b_txn_rollback", "b79_generated_partition",
+    "b86_partition_evolution", "b91_q21_shape", "b92_q17_shape",
+    "b93_q22_shape", "b94_q20_shape", "b95_show_partitions",
+    "b96_q11_shape", "b97_row_policies", "b98_q6_shape", "b99_q4_shape",
+    "data_class_balance", "data_dedup_keep_best",
+    "data_host_concentration", "data_mixture_sample",
+    "data_pack_sequences", "data_shard_plan", "dedup_threshold_sweep",
+    "graph_pagerank", "sim_knn_graph", "text_encoding_gate",
+    "text_length_histogram", "text_line_dedup", "text_quality_linear",
+    "text_quality_score", "text_repetition",
+    # (3) NEW in r15 (never driver-checked; driver rows due r16)
+    "b151i_mv_expr_key_refresh", "b151j_mv_having_refresh",
+    "b151k_mv_both_sides_refresh", "b151l_mv_minmax_retraction",
+    "b32_stream_mv_refresh", "b170_q85_snowflake_bands",
+    "b171_q8_ziplist_gate",
 ]
 
 

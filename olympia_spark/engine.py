@@ -797,6 +797,19 @@ class Engine:
                     if historical else tdef.properties)
         base = (self._mor_scan(tdef)
                 or self._scan(tdef, tdef.file_paths()))
+        hv = tdef.properties.get(self._MV_HAVING_PROP)
+        if hv:
+            # HAVING materialized view (VERDICT r14 #5): the stored
+            # files keep ALL groups (full group state — the hidden
+            # companions let a group cross the threshold incrementally
+            # in either direction); the rewritten predicate over the
+            # OUTPUT columns applies here at the reader chokepoint.
+            # It reads from the SNAPSHOT's own def — unlike governance
+            # policies, HAVING is part of the MV's logical DEFINITION,
+            # so a time-travel read across a CREATE OR REPLACE must
+            # apply the predicate the rows were materialized under,
+            # never today's.
+            base = base.filter(F.expr(hv))
         return self._apply_policies(base, tdef, policies)
 
     def _mor_scan(self, tdef: TableDef,
@@ -1015,6 +1028,21 @@ class Engine:
             left = sorted(paths_from - paths_to)
             added = self._scan(d_to, entered)
             removed = self._scan(d_mix, left)
+        # HAVING materialized views keep ALL groups in their files —
+        # the feed must diff the VISIBLE content, each side filtered by
+        # ITS OWN version's predicate (part of the MV's definition, so
+        # a replace-window feed retracts under the old predicate and
+        # inserts under the new). Filtering before the diff commutes
+        # with exceptAll per side, so with an unchanged predicate the
+        # feed nets to exactly the changed visible groups — which is
+        # what makes a downstream MV's incremental consumption of a
+        # HAVING upstream correct.
+        hv_from = d_from.properties.get(self._MV_HAVING_PROP)
+        hv_to = d_to.properties.get(self._MV_HAVING_PROP)
+        if hv_from:
+            removed = removed.filter(F.expr(hv_from))
+        if hv_to:
+            added = added.filter(F.expr(hv_to))
         inserts = added.exceptAll(removed) \
             .withColumn("_change_type", F.lit("insert"))
         deletes = removed.exceptAll(added) \
@@ -4822,6 +4850,7 @@ class Engine:
     # come for free, and REFRESH is a normal versioned commit.
 
     _MV_QUERY_PROP = "mv.query"
+    _MV_HAVING_PROP = "mv.having_out"
     _MV_VERSION_PROP = "mv.refresh.version"
     _MV_REFS_PROP = "mv.refs"
     _MV_SOURCES_PROP = "mv.sources"
@@ -4905,6 +4934,11 @@ class Engine:
                 # yields different rows with an identical file list
                 td.format,
                 td.schema_json,
+                # a source that is itself a HAVING MV: its visible
+                # content depends on the predicate, so a redefinition
+                # that swaps the predicate with an identical schema
+                # must force the downstream full lane
+                td.properties.get(Engine._MV_HAVING_PROP, ""),
                 sorted((k, v) for k, v in td.properties.items()
                        if k.startswith("read.option.")))
 
@@ -4980,9 +5014,20 @@ class Engine:
                 raise ValueError(
                     f"{ns}.{tbl} exists and is not a materialized view")
             self.catalog.drop_table(txn, ns, tbl)
+        mv_props = {}
+        if cplan and cplan.get("having_out"):
+            # HAVING lane (VERDICT r14 #5): the augmented query above
+            # ran WITHOUT the HAVING, so the files keep all groups; the
+            # rewritten predicate persists as a def property the read
+            # chokepoint applies. Validate it NOW against the computed
+            # frame — a screen-passing but unanalyzable predicate must
+            # fail the CREATE, not the first read.
+            df.filter(F.expr(cplan["having_out"]))
+            mv_props[self._MV_HAVING_PROP] = cplan["having_out"]
         tdef = TableDef(
             schema_json=declared.json(),
             properties={
+                **mv_props,
                 self._MV_QUERY_PROP: sql_text,
                 self._MV_VERSION_PROP: str(txn.base_version),
                 # direct refs (re-expanded by every probe), the tables
@@ -5294,6 +5339,13 @@ class Engine:
         extra = {self._MV_VERSION_PROP: str(cur),
                  self._MV_REFS_PROP: json.dumps(list(refs_raw)),
                  self._MV_TZ_PROP: cur_tz}
+        if cplan and cplan.get("having_out"):
+            # a legacy HAVING MV (created pre-lane: files post-HAVING,
+            # no property) reaches here on its first full recompute
+            # through the AUGMENTED query — which stores ALL groups —
+            # so the read-time predicate must be stamped in the SAME
+            # commit or hidden groups would surface
+            extra[self._MV_HAVING_PROP] = cplan["having_out"]
         if tables_now:
             extra[self._MV_SOURCES_PROP] = json.dumps(
                 sorted(f"{t[0]}.{t[1]}" for t in tables_now))
@@ -5426,14 +5478,20 @@ class Engine:
     def _mv_incremental_plan(self, q: str, source: str, txn=None):
         """Parse the stored query into an incrementally-maintainable
         shape, or None (→ full lane): exactly one FROM over the known
-        source, no second SELECT / JOIN / DISTINCT / window / HAVING /
+        source, no second SELECT / JOIN / DISTINCT / window /
         UNION / LIMIT / ORDER (word-boundary scan — a false hit merely
         downgrades to the always-correct full recompute), select items
-        either bare GROUP BY columns or COUNT/SUM/MIN/MAX/AVG aggregates
-        with aliases. These are the self-maintainable aggregates under
-        APPEND-ONLY deltas (SUM/COUNT add; MIN/MAX are monotone under
-        inserts; AVG decomposes exactly into SUM/COUNT companions —
-        deletes would need retraction state)."""
+        either GROUP BY keys (bare columns or aliased deterministic
+        EXPRESSIONS re-emitted verbatim in the delta SQL — the
+        ``date_trunc('day', ts)`` dashboard-bucket shape, VERDICT r14
+        #2) or COUNT/SUM/MIN/MAX/AVG aggregates with aliases, plus an
+        optional HAVING whose aggregate calls all match select items
+        (VERDICT r14 #5 — stored rows keep ALL groups; the rewritten
+        predicate applies as a read-time filter, see ``_mv_having_out``).
+        These are the self-maintainable aggregates under APPEND-ONLY
+        deltas (SUM/COUNT add; MIN/MAX are monotone under inserts; AVG
+        decomposes exactly into SUM/COUNT companions — deletes ride the
+        signed feed, or the group-scoped MIN/MAX recompute lane)."""
         norm = _normalize(q)
         low = norm.lower()
         if "\\" in norm or "`" in norm:
@@ -5445,16 +5503,25 @@ class Engine:
             return None
         if len(re.findall(r"\bselect\b", low)) != 1:
             return None
-        for kw in ("join", "over", "distinct", "having",
+        for kw in ("join", "over", "distinct",
                    "union", "limit", "order"):
             if re.search(rf"\b{kw}\b", low):
                 return None
-        m = re.match(r"SELECT (.+?) FROM (\S+)"
-                     r"(?: WHERE (.+?))?(?: GROUP BY (.+))?$",
-                     norm, re.I | re.S)
+        # clause split on the CODE VIEW (literal contents blanked,
+        # positions 1:1 with norm) so a literal containing ' HAVING '
+        # or ' GROUP BY ' can never mis-partition the clauses; each
+        # clause then slices from norm so literals survive verbatim
+        code = self._mv_code_view(norm)
+        m = re.match(r"SELECT (.+?) FROM (\S+)(?: WHERE (.+?))?"
+                     r"(?: GROUP BY (.+?))?(?: HAVING (.+))?$",
+                     code, re.I | re.S)
         if not m:
             return None
-        items_raw, src, where, gb = m.groups()
+
+        def _n(i):
+            return (norm[m.start(i):m.end(i)]
+                    if m.group(i) is not None else None)
+        items_raw, src, where, gb, having = (_n(i) for i in range(1, 6))
         if src.rstrip(";").lower() != source.lower():
             return None
         # qualified references (t.v / ns1.src.v) resolve at creation
@@ -5465,16 +5532,17 @@ class Engine:
         if re.search(r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*",
                      items_raw + " " + (where or "")):
             return None
-        group_cols = [c.strip() for c in gb.split(",")] if gb else []
-        if not all(re.fullmatch(r"\w+", c) for c in group_cols):
-            return None
         if "__mv_" in norm.lower():
             # reserve the companion-column namespace: a user item named
             # __mv_sum__x would collide with the hidden AVG companions
             return None
-        aggs = self._mv_parse_select_items(items_raw, group_cols)
-        if aggs is None:
+        if txn is None:
             return None
+        src_cols = self._mv_source_cols(source, txn)
+        gs = self._mv_group_select(items_raw, gb, src_cols)
+        if gs is None:
+            return None
+        group_out, group_items, aggs = gs
         # identifier WHITELIST: every word token in the select items /
         # WHERE / GROUP BY must be a source column, a safe deterministic
         # keyword/function/type, or one of the output aliases.
@@ -5482,45 +5550,163 @@ class Engine:
         # uuid, …) are exactly the ones NOT here — applying them to the
         # delta only would freeze stored rows at their old evaluation
         # with no retraction, silently wrong (review r12 s2 pass 2)
-        if txn is None:
-            return None
-        src_cols = self._mv_source_cols(source, txn)
-        aliases = {out.lower() for _k, _i, out in aggs}
+        aliases = ({out.lower() for _k, _i, out in aggs}
+                   | {o.lower() for o in group_out})
         body = " ".join(filter(None, (items_raw, where, gb)))
         if not self._mv_screen(body, src_cols, aliases):
             return None
-        return {"group": group_cols, "aggs": aggs,
+        plan = {"group": group_out, "group_items": group_items,
+                "group_sql": gb, "aggs": aggs,
                 "where": where, "source": source,
                 "select_raw": items_raw}
+        if having is not None:
+            hv = self._mv_having_out(having, plan)
+            if hv is None:
+                return None
+            plan["having_out"] = hv
+        return plan
 
-    def _mv_parse_select_items(self, items_raw: str,
-                               group_cols: list[str]):
-        """Outer select-list parse shared by the single-source and
-        union plans: items are either bare GROUP BY columns or
-        COUNT/SUM/MIN/MAX/AVG aggregates with aliases. Returns the agg
-        list, or None → full lane (including a GROUP BY key missing
-        from the SELECT list — valid SQL, but the merge join needs
-        every key ON the stored side, review r12 s2)."""
-        if len(group_cols) != len(set(group_cols)):
+    @staticmethod
+    def _mv_canon_expr(t: str) -> str:
+        """Whitespace-collapsed lowercase form for matching a GROUP BY
+        expression against a select item's expression. Lowercasing
+        string-literal CONTENTS can only produce a FALSE match between
+        two literals differing in case — and then the original query
+        itself is invalid (its select item is not in its GROUP BY), so
+        creation fails loudly at spark.sql; a canon mismatch merely
+        downgrades to the full lane."""
+        return re.sub(r"\s+", " ", t).strip().lower()
+
+    def _mv_group_select(self, items_raw: str, gb: str | None,
+                         ambient_cols: set[str], *,
+                         qualified: bool = False):
+        """Split the select list into GROUP-BY-key items and
+        aggregates, matching every GROUP BY item to exactly one select
+        item. Returns (group_out, group_items, aggs) or None → full
+        lane. A key item is a bare column (``grp`` — or ``a.col`` in
+        the join lane, out name = last component) or an aliased
+        deterministic expression (``date_trunc('day', ts) AS day`` —
+        the MV's key COLUMN stores the expression's VALUE under the
+        alias, and the delta SQL re-emits the same expression, VERDICT
+        r14 #2); the matching GROUP BY item is either the expression
+        text (canon-equal) or the alias. A GROUP-BY-by-alias whose
+        alias SHADOWS a name in ``ambient_cols`` refuses: Spark
+        resolves a bare GROUP BY token as the COLUMN first, so
+        ``… date_trunc('day', ts) AS ts … GROUP BY ts`` groups by the
+        RAW column while the stored key holds the truncated value —
+        several stored rows per key value, a silently multi-matching
+        merge. Unaliased expression keys refuse too (the stored column
+        needs a deterministic name)."""
+        group_exprs = ([g.strip() for g in self._split_top_level(gb)]
+                       if gb else [])
+        gcanon = [self._mv_canon_expr(g) for g in group_exprs]
+        if len(gcanon) != len(set(gcanon)):
             # GROUP BY k, k is valid SQL but the merge would mint two
             # output columns both named k → AMBIGUOUS_REFERENCE at the
             # first refresh (r13 review pass 2) — full lane
             return None
-        aggs, bare = [], set()
+        bare_pat = r"\w+(?:\.\w+)?" if qualified else r"\w+"
+        keys, aggs = [], []   # keys: (canon_expr, alias|None, item, out)
         for item in self._split_top_level(items_raw):
             item = item.strip()
-            if re.fullmatch(r"\w+", item):
-                if item not in group_cols:
-                    return None
-                bare.add(item)
-                continue
             agg = self._mv_agg_item(item)
-            if agg is None:
+            if agg is not None:
+                aggs.append(agg)
+                continue
+            if re.fullmatch(bare_pat, item):
+                keys.append((self._mv_canon_expr(item), None, item,
+                             item.split(".")[-1]))
+                continue
+            am = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", item, re.I | re.S)
+            if am is None:
                 return None
-            aggs.append(agg)
-        if bare != set(group_cols) or not aggs:
+            expr, alias = am.group(1).strip(), am.group(2)
+            keys.append((self._mv_canon_expr(expr), alias, item, alias))
+        if not aggs:
             return None
-        return aggs
+        group_out, group_items, used = [], [], set()
+        for gcan in gcanon:
+            match = None
+            for ki, (kcan, alias, _item, _out) in enumerate(keys):
+                if ki in used:
+                    continue
+                if kcan == gcan:
+                    match = ki
+                    break
+                if alias is not None and gcan == alias.lower():
+                    if alias.lower() in ambient_cols:
+                        return None     # column shadows the alias
+                    match = ki
+                    break
+            if match is None:
+                return None
+            used.add(match)
+            group_out.append(keys[match][3])
+            group_items.append(keys[match][2])
+        if len(used) != len(keys):
+            # a non-aggregate select item no GROUP BY key claims —
+            # valid SQL only when it is a function of the keys, which
+            # the merge cannot re-derive; and every key must be ON the
+            # stored side (review r12 s2)
+            return None
+        outs = ([o.lower() for o in group_out]
+                + [out.lower() for _k, _i, out in aggs])
+        if len(outs) != len(set(outs)):
+            return None                 # merge needs unique out names
+        return group_out, group_items, aggs
+
+    def _mv_having_out(self, having: str, plan: dict) -> str | None:
+        """Rewrite a HAVING clause into a predicate over the MV's
+        OUTPUT columns, or None → full lane (VERDICT r14 #5). With the
+        SUM/COUNT companions and the hidden row count, the stored table
+        keeps the FULL group state, so HAVING applies POST-merge as a
+        projection filter at the read chokepoint (_apply_policies, the
+        standard MV trick) while groups below the threshold stay
+        STORED — a later delta can push them across the boundary in
+        either direction incrementally. Each aggregate CALL in the
+        clause must canon-match a select item's aggregate (rewritten to
+        its alias — the stored column holding exactly that value);
+        everything else must screen against the group-key outputs and
+        the safe-word whitelist."""
+        agg_by_canon = {
+            f"{kind.lower()}({self._mv_canon_expr(inner)})": out
+            for kind, inner, out in plan["aggs"]}
+        code = self._mv_code_view(having)
+        pat = re.compile(r"\b(count|sum|min|max|avg)\s*\(", re.I)
+        res, pos = [], 0
+        while True:
+            m = pat.search(code, pos)
+            if not m:
+                res.append(having[pos:])
+                break
+            res.append(having[pos:m.start()])
+            depth, j = 1, None
+            for k in range(m.end(), len(code)):
+                if code[k] == "(":
+                    depth += 1
+                elif code[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j = k
+                        break
+            if j is None:
+                return None
+            canon = (m.group(1).lower() + "("
+                     + self._mv_canon_expr(having[m.end():j]) + ")")
+            alias = agg_by_canon.get(canon)
+            if alias is None:
+                # an aggregate the select list does not store — no
+                # stored column to filter on (COUNT(*) included: only
+                # a SELECTED count is part of the declared surface)
+                return None
+            res.append(alias)
+            pos = j + 1
+        rewritten = "".join(res).strip()
+        outs = ({o.lower() for o in plan["group"]}
+                | {out.lower() for _k, _i, out in plan["aggs"]})
+        if not self._mv_screen(rewritten, outs, set()):
+            return None
+        return rewritten
 
     @classmethod
     def _mv_agg_item(cls, item: str) -> tuple[str, str, str] | None:
@@ -5734,20 +5920,20 @@ class Engine:
             # a recorded source no branch reads (reached via a view,
             # say) would change without any branch consuming its delta
             return None
-        group_cols = [c.strip() for c in gb.split(",")] if gb else []
-        if not all(re.fullmatch(r"\w+", c) for c in group_cols):
-            return None
         if re.search(r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*",
                      items_raw + " " + (where or "")):
             return None
-        aggs = self._mv_parse_select_items(items_raw, group_cols)
-        if aggs is None:
+        gs = self._mv_group_select(items_raw, gb, set(out_names))
+        if gs is None:
             return None
-        aliases = {out.lower() for _k, _i, out in aggs}
+        group_out, group_items, aggs = gs
+        aliases = ({out.lower() for _k, _i, out in aggs}
+                   | {o.lower() for o in group_out})
         body = " ".join(filter(None, (items_raw, where, gb)))
         if not self._mv_screen(body, set(out_names), aliases):
             return None
-        return {"group": group_cols, "aggs": aggs, "where": where,
+        return {"group": group_out, "group_items": group_items,
+                "group_sql": gb, "aggs": aggs, "where": where,
                 "select_raw": items_raw, "branches": branches,
                 "from_sql": f"({inner.strip()}) olympia__mv_u"}
 
@@ -5850,37 +6036,15 @@ class Engine:
         if any(s is None for s in srcs) or len(set(srcs)) != len(srcs):
             return None
         src1, jtype = srcs[0], ("left" if n_left else "inner")
-        group_exprs = [g.strip() for g in gb.split(",")] if gb else []
-        if len(group_exprs) != len({g.lower() for g in group_exprs}):
-            return None                 # duplicate keys → ambiguous out
-        if not all(re.fullmatch(r"\w+(?:\.\w+)?", g)
-                   for g in group_exprs):
-            return None
-        gset = {g.lower() for g in group_exprs}
-        group_out, group_items, aggs, seen_g = [], [], [], set()
-        for item in self._split_top_level(items_raw):
-            item = item.strip()
-            gm = re.fullmatch(
-                r"((?:\w+\.)?\w+)(?:\s+AS\s+(\w+))?", item, re.I | re.S)
-            if gm and gm.group(1).lower() in gset:
-                group_items.append(item)
-                group_out.append(gm.group(2)
-                                 or gm.group(1).split(".")[-1])
-                seen_g.add(gm.group(1).lower())
-                continue
-            agg = self._mv_agg_item(item)
-            if agg is None:
-                return None
-            aggs.append(agg)
-        if seen_g != gset or not aggs:
-            return None                 # every key must be stored
-        outs = [o.lower() for o in group_out] \
-            + [out.lower() for _k, _i, out in aggs]
-        if len(outs) != len(set(outs)):
-            return None                 # merge needs unique out names
         cols = set(low_aliases)
         for s in srcs:
             cols |= self._mv_source_cols(s, txn)
+        gs = self._mv_group_select(items_raw, gb, cols, qualified=True)
+        if gs is None:
+            return None
+        group_out, group_items, aggs = gs
+        outs = [o.lower() for o in group_out] \
+            + [out.lower() for _k, _i, out in aggs]
         if cols & {"select", "from", "where", "group", "by", "on",
                    "join", "inner", "left", "outer"}:
             # a source column literally named like a structural keyword

@@ -1341,3 +1341,119 @@ def b151h_mv_cascade_refresh(spark: SparkSession, sf: str) -> DataFrame:
     return eng.sql(
         "SELECT n_pri, n_orders, CAST(rev_dec AS DOUBLE) AS revenue "
         "FROM ns1.mv_l2")
+
+
+# --- B151i expression-GROUP-BY-key materialized view (r15) ---------------------
+
+@query("b151i_mv_expr_key_refresh", oracle="""
+WITH src AS (
+  SELECT ts, value FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 1 DAY AS ts, value + 0.25 AS value
+  FROM events WHERE event_type = 'click'
+)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM src GROUP BY CAST(date_trunc('day', ts) AS DATE)
+ORDER BY day
+""")
+def b151i_mv_expr_key_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B151i — the EXPRESSION GROUP BY key MV shape on the incremental
+    lane (VERDICT r14 #2, engine._mv_group_select): ``GROUP BY
+    date_trunc('day', ts)`` is THE dashboard bucket; the MV's key
+    column stores the expression's VALUE (under its alias) and the
+    refresh re-emits the SAME expression over the change feed, so a
+    daily-append fact refreshes O(one day's files) — the
+    continuous-aggregate shape of B35 made incremental. The session-tz
+    stamp still force-fulls on zone drift (date_trunc is
+    zone-dependent). The refresh is ASSERTED incremental; the oracle
+    reproduces the post-refresh state over events ∪ the appended
+    day-shifted click rows."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    for t in ("mv_daily", "ev_dsrc"):
+        if eng.catalog.table_exists(txn, "ns1", t):
+            kind = "MATERIALIZED VIEW" if t.startswith("mv_") else "TABLE"
+            eng.sql(f"DROP {kind} ns1.{t}")
+    eng.write_table(
+        load(spark, sf, "events").select("ts", "value",
+                                         F.col("event_type").alias("et")),
+        "ns1.ev_dsrc")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_daily AS "
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "COUNT(*) AS n_events, "
+            "SUM(CAST(value AS DECIMAL(25,6))) AS val_dec "
+            "FROM ns1.ev_dsrc "
+            "GROUP BY CAST(date_trunc('day', ts) AS DATE)")
+    eng.sql("INSERT INTO ns1.ev_dsrc "
+            "SELECT ts + INTERVAL 1 DAY AS ts, value + 0.25 AS value, "
+            "et FROM ns1.ev_dsrc WHERE et = 'click'")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_daily").collect()[0]
+    if rep.mode != "incremental":    # the expression-key lane IS the operator
+        raise AssertionError(f"expected incremental refresh, got {rep}")
+    return eng.sql(
+        "SELECT day, n_events, CAST(val_dec AS DOUBLE) AS total_value "
+        "FROM ns1.mv_daily ORDER BY day")
+
+
+# --- B151j HAVING materialized view (r15) --------------------------------------
+
+@query("b151j_mv_having_refresh", oracle="""
+WITH src AS (
+  SELECT o_orderpriority AS pri, o_totalprice - 151200.0 AS amt,
+         o_orderstatus AS st FROM orders
+), post AS (
+  SELECT pri, amt FROM src WHERE st <> 'F'
+  UNION ALL
+  SELECT pri, amt + 10.0 AS amt FROM src WHERE st = 'O'
+), agg AS (
+  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(amt AS DECIMAL(25,6))) AS rev_dec
+  FROM post GROUP BY pri
+)
+SELECT pri, n_orders, CAST(rev_dec AS DOUBLE) AS net_amt
+FROM agg WHERE rev_dec > 0 ORDER BY pri
+""")
+def b151j_mv_having_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B151j — the HAVING MV lane (VERDICT r14 #5,
+    engine._mv_having_out): the stored table keeps ALL groups (full
+    state — SUM/COUNT companions + hidden row count), and the HAVING
+    predicate — rewritten over the OUTPUT columns — applies at the read
+    chokepoint, so groups cross the visibility boundary in EITHER
+    direction under the INCREMENTAL lane (the standard MV trick; the
+    crafted crossing pin lives in tests/test_materialized_views.py).
+    Amounts are centered (−151200) so per-group signed sums sit near
+    zero and the ``> 0`` gate is a live boundary at any SF. Both the
+    append AND the delete refresh are ASSERTED incremental; the oracle
+    recomputes the post-state aggregate WITH the HAVING from scratch."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    for t in ("mv_hv", "h_src"):
+        if eng.catalog.table_exists(txn, "ns1", t):
+            kind = "MATERIALIZED VIEW" if t.startswith("mv_") else "TABLE"
+            eng.sql(f"DROP {kind} ns1.{t}")
+    eng.write_table(
+        load(spark, sf, "orders").select(
+            F.col("o_orderpriority").alias("pri"),
+            (F.col("o_totalprice") - 151200.0).alias("amt"),
+            F.col("o_orderstatus").alias("st")),
+        "ns1.h_src")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_hv AS "
+            "SELECT pri, COUNT(*) AS n_orders, "
+            "SUM(CAST(amt AS DECIMAL(25,6))) AS rev_dec "
+            "FROM ns1.h_src GROUP BY pri "
+            "HAVING SUM(CAST(amt AS DECIMAL(25,6))) > 0")
+    eng.sql("INSERT INTO ns1.h_src "
+            "SELECT pri, amt + 10.0 AS amt, st FROM ns1.h_src "
+            "WHERE st = 'O'")
+    rep1 = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_hv").collect()[0]
+    eng.sql("DELETE FROM ns1.h_src WHERE st = 'F'")
+    rep2 = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_hv").collect()[0]
+    if rep1.mode != "incremental" or rep2.mode != "incremental":
+        # the HAVING lane IS the operator — appends AND retractions
+        # must both ride the signed feed, never a silent recompute
+        raise AssertionError(f"expected incremental, got {rep1} {rep2}")
+    return eng.sql(
+        "SELECT pri, n_orders, CAST(rev_dec AS DOUBLE) AS net_amt "
+        "FROM ns1.mv_hv ORDER BY pri")

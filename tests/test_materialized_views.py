@@ -1600,12 +1600,17 @@ def test_join_mv_grammar_refusals_downgrade_to_full(eng):
         "SELECT d.band AS band, COUNT(*) AS n FROM ns1.src f "
         "JOIN ns1.dim d ON f.grp = d.grp WHERE rand() < 2 "
         "GROUP BY d.band",
-        # expression group key (only bare/alias-qualified columns can
-        # round-trip through the stored-side merge join). A table-name
-        # qualifier over a bound alias (SUM(src.v) with alias f) needs
-        # no lane guard: Spark itself refuses it at create time.
+        # expression key whose alias SHADOWS a real column: Spark
+        # resolves the bare ``GROUP BY band`` token as the COLUMN
+        # d.band (column wins over alias), so groups are per RAW value
+        # while the stored key holds upper() — several stored rows per
+        # key value, a multi-matching merge; the r15 expression-key
+        # lane must refuse exactly this shadowed-alias form. A
+        # table-name qualifier over a bound alias (SUM(src.v) with
+        # alias f) needs no lane guard: Spark itself refuses it at
+        # create time.
         "SELECT upper(d.band) AS band, COUNT(*) AS n FROM ns1.src f "
-        "JOIN ns1.dim d ON f.grp = d.grp GROUP BY upper(d.band)",
+        "JOIN ns1.dim d ON f.grp = d.grp GROUP BY band",
     ]
     for i, q in enumerate(cases):
         eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvg{i} AS {q}")
@@ -1962,3 +1967,315 @@ def test_refresh_cascade_on_plain_table_raises(eng):
     _seed(eng, [(1, "A", 1.0)])
     with pytest.raises(ValueError, match="not a materialized view"):
         eng.sql("REFRESH MATERIALIZED VIEW ns1.src CASCADE")
+
+
+# --- expression GROUP BY keys (r15, VERDICT r14 #2) ---------------------------
+
+def _seed_ts(eng, tbl="ev"):
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 3, 8 + i % 5),
+             "A" if i % 2 else "B", float(i)) for i in range(12)]
+    eng.write_table(eng.spark.createDataFrame(
+        rows, "id LONG, ts TIMESTAMP, grp STRING, v DOUBLE"),
+        f"ns1.{tbl}")
+
+
+def _daily_recompute(eng, tbl="ev"):
+    return [tuple(x) for x in
+            eng.read_table(f"ns1.{tbl}")
+            .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+            .orderBy("day").collect()]
+
+
+DAILY = ("SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+         "COUNT(*) AS n, SUM(v) AS sv FROM ns1.ev "
+         "GROUP BY CAST(date_trunc('day', ts) AS DATE)")
+
+
+def test_expr_group_key_daily_bucket_incremental(eng):
+    """The dashboard-bucket shape (VERDICT r14 #2): GROUP BY
+    date_trunc(...) stores the expression's VALUE as the key column
+    and re-emits the same expression in the delta SQL — an append
+    refreshes O(delta) on the incremental lane and matches recompute,
+    including a brand-new day bucket."""
+    _seed_ts(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {DAILY}")
+    eng.sql("INSERT INTO ns1.ev VALUES "
+            "(100, TIMESTAMP '2024-01-05 09:00:00', 'A', 7.0), "
+            "(101, TIMESTAMP '2024-01-01 10:00:00', 'B', 3.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
+    got = [tuple(x) for x in
+           eng.sql("SELECT * FROM ns1.mv ORDER BY day").collect()]
+    assert got == _daily_recompute(eng)
+
+
+def test_expr_group_key_by_alias_and_retraction(eng):
+    """GROUP BY may reference the key's ALIAS (Spark resolves it when
+    no column shadows the name); deletes ride the signed feed exactly
+    as with bare-column keys — a bucket whose every row is deleted
+    vanishes."""
+    _seed_ts(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "COUNT(*) AS n, SUM(v) AS sv FROM ns1.ev GROUP BY day")
+    eng.sql("DELETE FROM ns1.ev WHERE day(ts) = 2")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental" and r.delta_rows == 4
+    got = [tuple(x) for x in
+           eng.sql("SELECT * FROM ns1.mv ORDER BY day").collect()]
+    assert got == _daily_recompute(eng) and len(got) == 2
+
+
+def test_expr_key_shadowed_alias_downgrades(eng):
+    """``upper(grp) AS grp … GROUP BY grp``: Spark resolves the bare
+    GROUP BY token as the COLUMN (valid SQL — the select is a function
+    of the key), so groups are per RAW value while the stored key
+    holds upper() — several stored rows can share one key value and
+    the merge would multi-match. The lane must refuse → full."""
+    _seed_ts(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT upper(grp) AS grp, COUNT(*) AS n FROM ns1.ev "
+            "GROUP BY grp")
+    eng.sql("INSERT INTO ns1.ev VALUES "
+            "(300, TIMESTAMP '2024-01-03 03:00:00', 'B', 1.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+
+
+def test_expr_key_nondeterministic_expression_downgrades(eng):
+    """An expression key outside the whitelist (here: a zone-dependent
+    call is FINE — tz drift has its own guard — but an unknown
+    function is not) refuses to the full lane."""
+    _seed_ts(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT hash(grp) AS hg, COUNT(*) AS n FROM ns1.ev "
+            "GROUP BY hash(grp)")
+    eng.sql("INSERT INTO ns1.ev VALUES "
+            "(301, TIMESTAMP '2024-01-03 03:00:00', 'B', 1.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "full"
+
+
+def test_expr_key_union_lane(eng):
+    """The union lane's OUTER select accepts expression keys over the
+    branch output names; each source's delta maps through its branches
+    and re-groups under the same expression."""
+    _seed_ts(eng, "ev1")
+    _seed_ts(eng, "ev2")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT substring(grp, 1, 1) AS g1, COUNT(*) AS n, "
+            "SUM(v) AS sv FROM ("
+            "SELECT grp, v FROM ns1.ev1 UNION ALL "
+            "SELECT grp, v FROM ns1.ev2) u "
+            "GROUP BY substring(grp, 1, 1)")
+    eng.sql("INSERT INTO ns1.ev2 VALUES "
+            "(400, TIMESTAMP '2024-01-04 04:00:00', 'C', 9.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    got = [tuple(x) for x in
+           eng.sql("SELECT * FROM ns1.mv ORDER BY g1").collect()]
+    exp = [tuple(x) for x in
+           eng.read_table("ns1.ev1").unionAll(eng.read_table("ns1.ev2"))
+           .groupBy(F.substring("grp", 1, 1).alias("g1"))
+           .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+           .orderBy("g1").collect()]
+    assert got == exp
+
+
+def test_expr_key_join_lane(eng):
+    """The join lane accepts aliased expression keys over qualified
+    columns — the delta joins the pinned dim and re-groups under the
+    same expression."""
+    _seed_join(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT upper(d.band) AS ub, COUNT(*) AS n, "
+            "SUM(f.v) AS sv FROM ns1.src f "
+            "JOIN ns1.dim d ON f.grp = d.grp GROUP BY upper(d.band)")
+    eng.sql("INSERT INTO ns1.src VALUES (50, 'A', 4.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    got = [tuple(x) for x in
+           eng.sql("SELECT * FROM ns1.mv ORDER BY ub").collect()]
+    exp = [tuple(x) for x in
+           eng.read_table("ns1.src").alias("f")
+           .join(eng.read_table("ns1.dim").alias("d"), "grp")
+           .groupBy(F.upper("band").alias("ub"))
+           .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+           .orderBy("ub").collect()]
+    assert got == exp
+
+
+def test_expr_key_soak_matches_recompute(eng):
+    """Seeded random append/delete sequence over the daily-bucket MV —
+    after every refresh the MV equals a from-scratch recompute."""
+    import random
+    rnd = random.Random(7)
+    _seed_ts(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {DAILY}")
+    nid = 1000
+    for step in range(5):
+        if step == 2:
+            eng.sql("DELETE FROM ns1.ev WHERE id % 3 = 0")
+        else:
+            vals = ", ".join(
+                f"({nid + k}, TIMESTAMP '2024-01-0{rnd.randint(1, 7)} "
+                f"0{rnd.randint(1, 9)}:00:00', "
+                f"'{rnd.choice('AB')}', {float(rnd.randint(-9, 9))})"
+                for k in range(rnd.randint(1, 3)))
+            nid += 3
+            eng.sql(f"INSERT INTO ns1.ev VALUES {vals}")
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+        assert r.mode == "incremental", (step, r)
+        got = [tuple(x) for x in
+               eng.sql("SELECT * FROM ns1.mv ORDER BY day").collect()]
+        assert got == _daily_recompute(eng), step
+
+
+# --- HAVING materialized views (r15, VERDICT r14 #5) --------------------------
+
+HAV = ("SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM ns1.src "
+       "GROUP BY grp HAVING SUM(v) > 50")
+
+
+def test_having_boundary_crossing_both_directions(eng):
+    """The stored table keeps ALL groups (full state via companions);
+    the rewritten predicate applies at read time — so a group crossing
+    the HAVING boundary in EITHER direction appears/disappears under
+    the INCREMENTAL lane (the crafted pin of VERDICT r14 #5)."""
+    _seed(eng, [(1, "A", 30.0), (2, "A", 30.0), (3, "B", 10.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {HAV}")
+    assert _mv_rows(eng) == [("A", 2, 60.0)]
+    # B crosses UP
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 45.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    assert _mv_rows(eng) == [("A", 2, 60.0), ("B", 2, 55.0)]
+    # A crosses DOWN via the signed retraction feed
+    eng.sql("DELETE FROM ns1.src WHERE id = 1")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_rows(eng) == [("B", 2, 55.0)]
+
+
+def test_having_alias_reference_and_count(eng):
+    """HAVING may reference a select alias or repeat a stored
+    aggregate CALL (rewritten to its alias); both refresh
+    incrementally."""
+    _seed(eng, [(1, "A", 1.0), (2, "A", 1.0), (3, "B", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n FROM ns1.src GROUP BY grp "
+            "HAVING n >= 2")
+    assert _mv_rows(eng) == [("A", 2)]
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 1.0)")
+    assert eng.sql("REFRESH MATERIALIZED VIEW ns1.mv") \
+        .collect()[0].mode == "incremental"
+    assert _mv_rows(eng) == [("A", 2), ("B", 2)]
+
+
+def test_having_unstored_aggregate_downgrades(eng):
+    """A HAVING aggregate the select list does not store has no output
+    column to filter on → full lane; results stay correct (the stored
+    rows are then the post-HAVING recompute)."""
+    _seed(eng, [(1, "A", 1.0), (2, "A", 1.0), (3, "B", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, SUM(v) AS sv FROM ns1.src GROUP BY grp "
+            "HAVING COUNT(*) >= 2")
+    assert _mv_rows(eng) == [("A", 2.0)]
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 1.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "full"
+    assert _mv_rows(eng) == [("A", 2.0), ("B", 2.0)]
+
+
+def test_having_hidden_groups_stay_stored(eng):
+    """Below-threshold groups are INVISIBLE to SELECT and the change
+    feed but PRESENT in the stored files — the substrate that lets
+    them cross the boundary incrementally later."""
+    _seed(eng, [(1, "A", 60.0), (2, "B", 10.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {HAV}")
+    assert _mv_rows(eng) == [("A", 1, 60.0)]
+    txn = eng.catalog.begin(read_only=True)
+    tdef = eng.catalog.describe_table(txn, "ns1", "mv")
+    raw = eng.spark.read.parquet(*eng._scan_uris(tdef.file_paths()))
+    assert raw.count() == 2            # both groups physically stored
+    assert {r.grp for r in raw.select("grp").collect()} == {"A", "B"}
+    # change feed across the create->refresh window shows only
+    # VISIBLE content (per-side HAVING filter)
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'B', 100.0)")
+    eng.sql("REFRESH MATERIALIZED VIEW ns1.mv")
+    v1 = eng.catalog.history()[0]["version"]
+    feed = eng.table_changes("ns1.mv", v0, v1)
+    assert {(r.grp, r._change_type) for r in feed.collect()} \
+        == {("B", "insert")}           # A unchanged-and-cancelled; the
+    # below-threshold B row of the FROM side is filtered per-side
+
+
+def test_having_on_expression_key(eng):
+    """HAVING composes with an expression GROUP BY key."""
+    _seed_ts(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "SUM(v) AS sv FROM ns1.ev "
+            "GROUP BY CAST(date_trunc('day', ts) AS DATE) "
+            "HAVING SUM(v) > 20")
+    eng.sql("INSERT INTO ns1.ev VALUES "
+            "(500, TIMESTAMP '2024-01-01 01:00:00', 'A', 10.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    got = [tuple(x) for x in
+           eng.sql("SELECT * FROM ns1.mv ORDER BY day").collect()]
+    exp = [t for t in [(d, s) for d, _n, s in _daily_recompute(eng)]
+           if t[1] > 20]
+    assert got == exp
+
+
+def test_stacked_mv_over_having_mv_refreshes_correctly(eng):
+    """A downstream MV over a HAVING MV: the upstream's change feed is
+    HAVING-filtered per side, so the downstream's incremental
+    consumption nets to exactly the visible-content diff."""
+    _seed(eng, [(1, "A", 60.0), (2, "B", 10.0), (3, "C", 70.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {HAV}")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv2 AS "
+            "SELECT COUNT(*) AS n_groups, SUM(sv) AS total "
+            "FROM ns1.mv")
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv2").collect()] == [(2, 130.0)]
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 100.0)")
+    reps = {r.view: r.mode for r in eng.sql(
+        "REFRESH MATERIALIZED VIEW ns1.mv2 CASCADE").collect()}
+    assert reps == {"ns1.mv": "incremental", "ns1.mv2": "incremental"}
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv2").collect()] == [(3, 240.0)]
+
+
+def test_having_soak_matches_recompute(eng):
+    """Seeded random ops against a HAVING MV — visible rows equal the
+    full query (WITH its HAVING) recomputed from scratch after every
+    refresh."""
+    import random
+    rnd = random.Random(99)
+    _seed(eng, [(i, rnd.choice("ABC"), float(rnd.randint(0, 40)))
+                for i in range(10)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {HAV}")
+    nid = 100
+    for step in range(5):
+        if step == 3:
+            eng.sql("DELETE FROM ns1.src WHERE id % 4 = 1")
+        else:
+            vals = ", ".join(
+                f"({nid + k}, '{rnd.choice('ABC')}', "
+                f"{float(rnd.randint(0, 40))})"
+                for k in range(rnd.randint(1, 3)))
+            nid += 3
+            eng.sql(f"INSERT INTO ns1.src VALUES {vals}")
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+        assert r.mode == "incremental", (step, r)
+        exp = [tuple(x) for x in
+               eng.read_table("ns1.src").groupBy("grp")
+               .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+               .filter(F.col("sv") > 50)
+               .orderBy(F.col("grp").asc_nulls_first()).collect()]
+        assert _mv_rows(eng) == exp, step
