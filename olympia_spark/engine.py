@@ -5215,17 +5215,19 @@ class Engine:
         cplan = self._mv_plan(q, sources, txn)
         plan = None if (full or force_full) else cplan
         if plan is not None and "join" in plan:
-            # the join lane is exact only when ONE side moved: the
-            # unchanged side read whole at the pinned version is the
-            # join's fixpoint. Both sides changed in one window →
-            # ΔF ⋈ ΔD cross terms — recompute. LEFT joins additionally
-            # require the changed side to be the PRESERVED side: a
-            # dim-side append would need to RETRACT previously
-            # NULL-padded rows, which no additive delta can express.
+            # INNER chains take ANY subset of changed sides (VERDICT
+            # r14 #3): the joined relation is multilinear, so the
+            # full delta telescopes into one term per changed slot —
+            # see the expansion at the apply site below. LEFT joins
+            # keep the one-sided rule: only the PRESERVED side may be
+            # the delta (a dim-side append would need to RETRACT
+            # previously NULL-padded rows, which no additive delta can
+            # express), and the two-sided expansion's cross-term fold
+            # is not NULL-padding-safe either.
             changed = set(files_changed)
-            if len(changed) != 1 or (
-                    plan["join"]["type"] == "left"
-                    and next(iter(changed)).lower()
+            if plan["join"]["type"] == "left" and (
+                    len(changed) != 1
+                    or next(iter(changed)).lower()
                     != plan["join"]["src1"].lower()):
                 plan = None
         stored = None
@@ -5248,6 +5250,7 @@ class Engine:
         deltas: dict[str, DataFrame] = {}
         has_minmax = plan is not None and any(
             k in ("MIN", "MAX") for k, _i, _o in plan["aggs"])
+        minmax_scoped = False
         try:
             if plan is not None:
                 # persist: each changed source's feed is consumed by the
@@ -5265,12 +5268,19 @@ class Engine:
                             F.col("_change_type") == "delete") \
                             .limit(1).count():
                         # a delete can un-extreme MIN/MAX (no retraction
-                        # state can restore the runner-up) → full.
-                        # SUM/COUNT/AVG plans keep the incremental lane:
+                        # state can restore the runner-up).
+                        # SUM/COUNT/AVG plans keep the signed lane:
                         # deletes ride the SIGNED delta and subtract
-                        # exactly (VERDICT r13 #2)
-                        plan = None
-                        break
+                        # exactly (VERDICT r13 #2). Single-source
+                        # GROUPED plans take the GROUP-SCOPED recompute
+                        # instead of full (VERDICT r14 #4): only the
+                        # touched groups re-aggregate from the source;
+                        # join/union/global shapes still go full.
+                        if "join" in plan or "branches" in plan \
+                                or not plan["group"]:
+                            plan = None
+                            break
+                        minmax_scoped = True
                 if not deltas:
                     plan = None         # defensive: nothing to consume
             if plan is not None:
@@ -5291,28 +5301,62 @@ class Engine:
                     if self._mv_semantic_sig(td_c) != sig_now.get(s):
                         plan = None
                         break
-            if plan is not None:
+            if plan is not None and minmax_scoped:
+                merged = self._mv_groupwise_recompute(
+                    plan, deltas[sources[0]], stored, txn)
+                if merged is None:
+                    plan = None         # too many keys / no literal form
+                else:
+                    mode = "incremental"
+                    n = sum(d.count() for d in deltas.values())
+            elif plan is not None:
                 if "join" in plan:
-                    # one changed side (enforced above) joins every
-                    # OTHER side read whole at this refresh's pinned
-                    # version — policies baked from the pinned
-                    # describe, so the dim reads are deterministic
-                    # under the seal
-                    (dsrc,) = set(files_changed)
-                    others = {s: self.read_table(s, txn)
-                              for s in sources
-                              if s.lower() != dsrc.lower()}
-                    delta_agg = self._mv_apply_query(
-                        plan, {dsrc: deltas[dsrc]}, dim=others)
+                    # telescoping expansion (VERDICT r14 #3): with
+                    # T_post = T_pre ∪ ΔT per slot, the multilinear
+                    # INNER chain expands EXACTLY as
+                    #   ⋈ᵢ Tᵢ_post − ⋈ᵢ Tᵢ_pre =
+                    #     Σᵢ (T₁_post ⋈ … ⋈ ΔTᵢ ⋈ … ⋈ Tₙ_pre)
+                    # — one term per CHANGED slot i, sides BEFORE i
+                    # read at the POST (current) version, sides AFTER
+                    # i at the PRE (watermark) version; the ΔF ⋈ ΔD
+                    # cross term folds into the post-side reads. Each
+                    # term's signed aggregate merges sequentially —
+                    # every intermediate is the consistent state with
+                    # slots ≤ i updated. Unchanged slots read post
+                    # (pre ≡ post for them); with ONE changed slot
+                    # this degenerates to the r14 single-side lane.
+                    # Policies are baked from the sealed describes, so
+                    # every side read is deterministic under the seal.
+                    slots = plan["join"]["slots"]
+                    changed_l = {s.lower() for s in files_changed}
+                    t_pre = self.catalog.at_version(last)
+                    merged = stored
+                    for i, (src_i, _alias) in enumerate(slots):
+                        if src_i.lower() not in changed_l:
+                            continue
+                        others = {}
+                        for jdx, (src_j, _aj) in enumerate(slots):
+                            if jdx == i:
+                                continue
+                            others[src_j] = (
+                                self.read_table(src_j, t_pre,
+                                                historical=True)
+                                if jdx > i
+                                and src_j.lower() in changed_l
+                                else self.read_table(src_j, txn))
+                        term = self._mv_apply_query(
+                            plan, {src_i: deltas[src_i]}, dim=others)
+                        merged = self._mv_merge(merged, term, plan,
+                                                tdef.spark_schema())
                 else:
                     delta_agg = self._mv_apply_query(
                         plan, deltas if "branches" in plan
                         else deltas[sources[0]])
-                merged = self._mv_merge(stored, delta_agg, plan,
-                                        tdef.spark_schema())
+                    merged = self._mv_merge(stored, delta_agg, plan,
+                                            tdef.spark_schema())
                 mode = "incremental"
                 n = sum(d.count() for d in deltas.values())
-            else:
+            if plan is None:
                 # full recompute still goes through the AUGMENTED query
                 # when the shape is AVG-incrementalizable (cplan), so the
                 # rewrite restores the companions and the NEXT refresh
@@ -5431,7 +5475,147 @@ class Engine:
                 for kind, inner, out in plan["aggs"]
                 if kind in ("AVG", "SUM")]
 
-    def _mv_augmented_sql(self, plan: dict | None) -> str | None:
+    # cap on the touched-group set the MIN/MAX retraction lane will
+    # inline as a literal predicate: beyond it the IN-list/OR chain
+    # stops being a win over the full recompute (and stops pruning)
+    _MV_SCOPED_KEYS_MAX = 1000
+
+    @staticmethod
+    def _mv_key_exprs(plan: dict) -> list[str]:
+        """The GROUP BY key EXPRESSIONS (alias stripped) in stored-
+        column order — what the group-scoped recompute predicate
+        evaluates against the SOURCE."""
+        out = []
+        for item in (plan.get("group_items") or plan["group"]):
+            am = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", item, re.I | re.S)
+            out.append(am.group(1).strip() if am else item)
+        return out
+
+    @staticmethod
+    def _mv_sql_literal(v) -> str | None:
+        """Exact SQL literal for a collected group-key value, or None
+        when no faithful rendering exists (→ full lane). Strings with
+        backslashes refuse — Spark's default parser treats backslash
+        as an escape, so a verbatim re-quote would change the value;
+        floats round-trip through repr() (exact shortest decimal) cast
+        to DOUBLE so the comparison never re-widens through Spark's
+        default decimal literal typing."""
+        import datetime
+        import decimal
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if isinstance(v, str):
+            if "\\" in v:
+                return None
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, datetime.date):
+            return f"DATE '{v.isoformat()}'"
+        if isinstance(v, decimal.Decimal):
+            return f"CAST('{v}' AS DECIMAL(38,18))"
+        return None
+
+    @classmethod
+    def _mv_key_predicate(cls, exprs: list[str], rows,
+                          names: list[str]) -> str | None:
+        """Literal membership predicate over the touched group keys —
+        single non-null key column renders as ``expr IN (lit, …)``
+        (stats/partition-prunable at the scan), the general case as an
+        OR of per-tuple conjunctions with ``IS NULL`` arms for NULL
+        group values. None → a value with no faithful literal."""
+        if len(exprs) == 1:
+            nm, e = names[0], exprs[0]
+            vals, has_null = [], False
+            for r in rows:
+                v = r[nm]
+                if v is None:
+                    has_null = True
+                    continue
+                lit = cls._mv_sql_literal(v)
+                if lit is None:
+                    return None
+                vals.append(lit)
+            parts = []
+            if vals:
+                parts.append(f"({e}) IN ({', '.join(vals)})")
+            if has_null:
+                parts.append(f"({e}) IS NULL")
+            return " OR ".join(parts)
+        tuples = []
+        for r in rows:
+            conj = []
+            for e, nm in zip(exprs, names):
+                v = r[nm]
+                if v is None:
+                    conj.append(f"({e}) IS NULL")
+                else:
+                    lit = cls._mv_sql_literal(v)
+                    if lit is None:
+                        return None
+                    conj.append(f"({e}) = {lit}")
+            tuples.append("(" + " AND ".join(conj) + ")")
+        return " OR ".join(tuples)
+
+    def _mv_groupwise_recompute(self, plan: dict, feed: DataFrame,
+                                stored: DataFrame, txn
+                                ) -> DataFrame | None:
+        """MIN/MAX retraction lane (VERDICT r14 #4): a delete can
+        un-extreme MIN/MAX and no retraction state restores the
+        runner-up — but only for the groups the window TOUCHED.
+        Re-aggregate the source (through the augmented query, so
+        companions regenerate) under ``group_key IN (touched keys)`` —
+        a stats/partition-prunable scan, often O(matching files) — and
+        splice the result over the stored rows of exactly those keys
+        (broadcast null-safe anti-join; groups the recompute no longer
+        emits vanish, exactly as a recompute would drop them). Returns
+        the merged frame, or None → full lane (touched-key set larger
+        than _MV_SCOPED_KEYS_MAX, or a key value with no faithful SQL
+        literal)."""
+        a = f"olympia__mv_delta__{uuid.uuid4().hex[:8]}"
+        feed.drop("_change_type").createOrReplaceTempView(a)
+        try:
+            sql = (f"SELECT DISTINCT "
+                   f"{', '.join(plan['group_items'])} FROM {a}")
+            if plan["where"]:
+                # a feed row failing the MV's WHERE never contributed —
+                # its group needs no recompute
+                sql += f" WHERE {plan['where']}"
+            aff = self.spark.sql(sql)
+            aff_schema = aff.schema
+            keys = aff.limit(self._MV_SCOPED_KEYS_MAX + 1).collect()
+        finally:
+            self.spark.catalog.dropTempView(a)
+        if len(keys) > self._MV_SCOPED_KEYS_MAX:
+            return None
+        if not keys:
+            return stored               # whole feed below the WHERE
+        pred = self._mv_key_predicate(
+            self._mv_key_exprs(plan), keys, plan["group"])
+        if pred is None:
+            return None
+        rec = self.spark.sql(self._resolve_sql(
+            self._mv_augmented_sql(plan, extra_where=pred), txn))
+        aff_df = self.spark.createDataFrame(keys, aff_schema)
+        cond = None
+        for k in plan["group"]:
+            c = stored[k].eqNullSafe(aff_df[k])
+            cond = c if cond is None else cond & c
+        kept = stored.join(F.broadcast(aff_df), cond, "left_anti")
+        out = kept.unionByName(rec.select(*kept.columns))
+        # cast to the STORED (canonical, create-minted) types so the
+        # union's type coercion can never widen the files across
+        # repeated scoped refreshes
+        return out.select(*[
+            F.col(c).cast(stored.schema[c].dataType).alias(c)
+            for c in kept.columns])
+
+    def _mv_augmented_sql(self, plan: dict | None,
+                          extra_where: str | None = None) -> str | None:
         """The stored query re-emitted WITH the hidden companion select
         items (SUM/AVG sum+count pairs, plus the per-group row count —
         every incrementalizable plan carries the row count so the
@@ -5448,8 +5632,14 @@ class Engine:
         items.append(f"COUNT(*) AS {self._MV_ROWCNT}")
         sql = (f"SELECT {', '.join(items)} "
                f"FROM {plan.get('from_sql') or plan['source']}")
-        if plan["where"]:
-            sql += f" WHERE {plan['where']}"
+        where = plan["where"]
+        if extra_where:
+            # group-scoped recompute (VERDICT r14 #4): restrict the
+            # re-aggregation to the touched keys
+            where = (f"({where}) AND ({extra_where})" if where
+                     else extra_where)
+        if where:
+            sql += f" WHERE {where}"
         if plan["group"]:
             sql += (f" GROUP BY "
                     f"{plan.get('group_sql') or ', '.join(plan['group'])}")

@@ -1457,3 +1457,124 @@ def b151j_mv_having_refresh(spark: SparkSession, sf: str) -> DataFrame:
     return eng.sql(
         "SELECT pri, n_orders, CAST(rev_dec AS DOUBLE) AS net_amt "
         "FROM ns1.mv_hv ORDER BY pri")
+
+
+# --- B151k both-sides-changed JOIN materialized view (r15) ---------------------
+
+@query("b151k_mv_both_sides_refresh", oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS pri, o_totalprice AS amt,
+         o_orderstatus AS st FROM orders
+), f AS (
+  SELECT pri, amt FROM base
+  UNION ALL
+  SELECT 'X-NEW' AS pri, amt + 1.5 AS amt FROM base WHERE st = 'F'
+), d AS (
+  SELECT DISTINCT pri,
+         CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'hot'
+              ELSE 'std' END AS band
+  FROM base
+  UNION ALL
+  SELECT 'X-NEW' AS pri, 'new' AS band
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(amt AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM f JOIN d ON f.pri = d.pri
+GROUP BY band
+ORDER BY band
+""")
+def b151k_mv_both_sides_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B151k — BOTH join sides changed in ONE refresh window (VERDICT
+    r14 #3): the INNER join is multilinear, so the refresh telescopes
+    into one term per changed slot — ΔF joins the dim at the PRE
+    (watermark) version, then ΔD joins the fact at the POST version,
+    which folds the ΔF ⋈ ΔD cross term exactly once. The fixture makes
+    that cross term LIVE: the appended fact rows carry a brand-new
+    priority that matches ONLY the appended dim row, so a one-sided
+    delta would miss them entirely and a double-counting expansion
+    would count them twice — the driver-checked numbers pin both
+    failure modes. The refresh is ASSERTED incremental; the oracle
+    reproduces the post state over (fact ∪ ΔF) ⋈ (dim ∪ ΔD)."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    for t in ("mv_kbands", "ord_kfact", "ord_kdim"):
+        if eng.catalog.table_exists(txn, "ns1", t):
+            kind = "MATERIALIZED VIEW" if t.startswith("mv_") else "TABLE"
+            eng.sql(f"DROP {kind} ns1.{t}")
+    o = load(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("amt"),
+        F.col("o_orderstatus").alias("st"))
+    eng.write_table(o, "ns1.ord_kfact")
+    eng.write_table(
+        o.select("pri").distinct().withColumn(
+            "band", F.when(F.col("pri").isin("1-URGENT", "2-HIGH"),
+                           "hot").otherwise("std")), "ns1.ord_kdim")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_kbands AS "
+            "SELECT d.band AS band, COUNT(*) AS n_orders, "
+            "SUM(CAST(f.amt AS DECIMAL(25,6))) AS rev_dec "
+            "FROM ns1.ord_kfact f JOIN ns1.ord_kdim d ON f.pri = d.pri "
+            "GROUP BY d.band")
+    # BOTH sides move before ONE refresh
+    eng.sql("INSERT INTO ns1.ord_kfact "
+            "SELECT 'X-NEW' AS pri, amt + 1.5 AS amt, st "
+            "FROM ns1.ord_kfact WHERE st = 'F'")
+    eng.sql("INSERT INTO ns1.ord_kdim VALUES ('X-NEW', 'new')")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_kbands").collect()[0]
+    if rep.mode != "incremental":    # the two-sided expansion IS the operator
+        raise AssertionError(f"expected incremental refresh, got {rep}")
+    return eng.sql(
+        "SELECT band, n_orders, CAST(rev_dec AS DOUBLE) AS revenue "
+        "FROM ns1.mv_kbands ORDER BY band")
+
+
+# --- B151l MIN/MAX retraction via group-scoped recompute (r15) -----------------
+
+@query("b151l_mv_minmax_retraction", oracle="""
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS mn_amt,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS mx_amt
+FROM orders
+WHERE o_totalprice <= 400000.0
+GROUP BY o_orderpriority
+ORDER BY pri
+""")
+def b151l_mv_minmax_retraction(spark: SparkSession, sf: str) -> DataFrame:
+    """B151l — MIN/MAX retraction via GROUP-SCOPED recompute (VERDICT
+    r14 #4, engine._mv_groupwise_recompute): a DELETE that removes the
+    extreme rows of a MIN/MAX MV used to force a FULL recompute; now
+    only the TOUCHED groups re-aggregate, under a ``pri IN (…)``
+    literal predicate pushed to the source scan (stats/partition-
+    prunable — O(matching files) at a partitioned 100 TB fact), and
+    splice over the stored rows. The bulk DELETE here removes the
+    top-price tail of EVERY priority, so every group's MAX is
+    un-extremed and the runner-up must come back exactly. The refresh
+    is ASSERTED incremental (never a silent full recompute); the
+    oracle reproduces the post-delete aggregate over the surviving
+    rows."""
+    eng = _dml_engine(spark, sf)
+    txn = eng.catalog.begin(read_only=True)
+    for t in ("mv_mm", "mm_src"):
+        if eng.catalog.table_exists(txn, "ns1", t):
+            kind = "MATERIALIZED VIEW" if t.startswith("mv_") else "TABLE"
+            eng.sql(f"DROP {kind} ns1.{t}")
+    eng.write_table(
+        load(spark, sf, "orders").select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_totalprice").alias("amt")),
+        "ns1.mm_src")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv_mm AS "
+            "SELECT pri, COUNT(*) AS n_orders, MIN(amt) AS mn_amt, "
+            "MAX(amt) AS mx_amt FROM ns1.mm_src GROUP BY pri")
+    eng.sql("DELETE FROM ns1.mm_src WHERE amt > 400000.0")
+    rep = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv_mm").collect()[0]
+    if rep.mode != "incremental" or rep.delta_rows == 0:
+        # the group-scoped lane IS the operator: un-extreming deletes
+        # must NOT silently recompute the whole view
+        raise AssertionError(f"expected group-scoped refresh, got {rep}")
+    return eng.sql(
+        "SELECT pri, n_orders, CAST(mn_amt AS DOUBLE) AS mn_amt, "
+        "CAST(mx_amt AS DOUBLE) AS mx_amt "
+        "FROM ns1.mv_mm ORDER BY pri")

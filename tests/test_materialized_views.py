@@ -97,13 +97,18 @@ def test_incremental_global_aggregate(eng):
             eng.sql("SELECT * FROM ns1.mv").collect()] == [(3, 42.0, 30.0)]
 
 
-def test_deletes_force_full_lane(eng):
-    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0)])
+def test_deletes_on_minmax_take_group_scoped_lane(eng):
+    """Deletes against a MIN/MAX plan no longer force full (r15,
+    VERDICT r14 #4): the touched groups re-aggregate from the source
+    under a key-membership predicate and splice over the stored rows —
+    the un-extremed MAX comes back exactly."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
     eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
     eng.sql("DELETE FROM ns1.src WHERE id = 2")
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
-    assert r.mode == "full"
-    assert _mv_rows(eng) == [("A", 1, 10.0, 10.0, 10.0)]
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    assert _mv_rows(eng) == [("A", 1, 10.0, 10.0, 10.0),
+                             ("B", 1, 5.0, 5.0, 5.0)]
 
 
 def test_non_incrementalizable_shapes_take_full_lane(eng):
@@ -251,7 +256,9 @@ def test_randomized_refresh_sequence_matches_recompute(eng):
     """Soak: a seeded random sequence of appends (and one delete)
     with a refresh after each step — after every refresh the MV must
     equal a from-scratch recompute, whatever lane ran; appends take
-    the incremental lane, the delete step the full lane."""
+    the incremental lane, and since r15 the delete step against this
+    MIN/MAX plan takes the group-scoped recompute (also reported
+    incremental) instead of full."""
     import random
     rnd = random.Random(13)
     rows = [(i, rnd.choice(["A", "B", None]),
@@ -272,7 +279,7 @@ def test_randomized_refresh_sequence_matches_recompute(eng):
             next_id += 4
             eng.sql(f"INSERT INTO ns1.src VALUES {vals}")
         r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
-        assert r.mode == ("full" if step == 3 else "incremental"), (step, r)
+        assert r.mode == "incremental", (step, r)
         full = [tuple(x) for x in
                 eng.read_table("ns1.src").groupBy("grp")
                 .agg(F.count("*").alias("n"), F.sum("v").alias("sv"),
@@ -1429,19 +1436,102 @@ def test_update_moves_rows_across_groups_incrementally(eng):
         ("A", 1, 20.0), ("B", 2, 16.0)]
 
 
-def test_minmax_plans_still_force_full_on_delete(eng):
-    """Deletes can un-extreme MIN/MAX — no subtraction can restore the
-    runner-up, so any MIN/MAX plan downgrades to full under deletes
-    (while pure SUM/COUNT/AVG plans do not — asserted above)."""
-    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0)])
+def test_minmax_delete_lanes_by_shape(eng):
+    """MIN/MAX under deletes, by plan shape (r15): a GROUPED
+    single-source plan takes the group-scoped recompute — untouched
+    groups keep their stored rows (asserted by touching only A); a
+    GLOBAL MIN/MAX plan (no keys to scope by) still goes full; so does
+    a JOIN-lane MIN/MAX plan."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 7.0)])
     eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
             "SELECT grp, MAX(v) AS mx, COUNT(*) AS n "
             "FROM ns1.src GROUP BY grp")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvglob AS "
+            "SELECT MAX(v) AS mx, COUNT(*) AS n FROM ns1.src")
     eng.sql("DELETE FROM ns1.src WHERE id = 2")
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert [tuple(x) for x in
+            eng.sql("SELECT * FROM ns1.mv ORDER BY grp").collect()] \
+        == [("A", 10.0, 1), ("B", 7.0, 1)]
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvglob").collect()[0]
     assert r.mode == "full"
     assert [tuple(x) for x in
-            eng.sql("SELECT * FROM ns1.mv").collect()] == [("A", 10.0, 1)]
+            eng.sql("SELECT * FROM ns1.mvglob").collect()] == [(10.0, 2)]
+
+
+def test_minmax_scoped_recompute_is_key_pruned(eng, spark):
+    """The scoped recompute's source scan carries the key-membership
+    predicate down to the parquet scan (VERDICT r14 #4 'pytest pinning
+    the scan is key-pruned'): the single-key form renders as an IN
+    list, visible in PushedFilters."""
+    from olympia_spark.engine import Engine
+    pred = Engine._mv_key_predicate(
+        ["grp"], [{"grp": "A"}, {"grp": "B"}], ["grp"])
+    assert pred == "(grp) IN ('A', 'B')"
+    _seed(eng, [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 5.0)])
+    plan = eng.read_table("ns1.src").filter(F.expr(pred)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(grp" in plan, plan
+    # NULL keys get an IS NULL arm (IN alone would miss them); tuples
+    # with unliteralizable values refuse
+    pred = Engine._mv_key_predicate(
+        ["grp"], [{"grp": "A"}, {"grp": None}], ["grp"])
+    assert pred == "(grp) IN ('A') OR (grp) IS NULL"
+    assert Engine._mv_key_predicate(
+        ["grp"], [{"grp": object()}], ["grp"]) is None
+
+
+def test_minmax_scoped_mixed_window_and_vanish(eng):
+    """One window mixing deletes, inserts into a touched group, and
+    inserts into an UNtouched group — the scoped recompute covers every
+    touched group (including insert-only ones) and a fully-deleted
+    group vanishes."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 7.0),
+                (4, "C", 1.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n "
+            "FROM ns1.src GROUP BY grp")
+    eng.sql("DELETE FROM ns1.src WHERE id IN (1, 3)")  # un-extreme A; B→empty
+    eng.sql("INSERT INTO ns1.src VALUES (5, 'A', 15.0), (6, 'D', 2.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    exp = [tuple(x) for x in
+           eng.read_table("ns1.src").groupBy("grp")
+           .agg(F.min("v").alias("mn"), F.max("v").alias("mx"),
+                F.count("*").alias("n")).orderBy("grp").collect()]
+    assert [tuple(x) for x in eng.sql(
+        "SELECT * FROM ns1.mv ORDER BY grp").collect()] == exp
+    assert ("B",) not in {(t[0],) for t in exp}
+
+
+def test_minmax_scoped_soak_matches_recompute(eng):
+    """Seeded random insert/delete soak over a MIN/MAX+AVG plan — every
+    refresh stays non-full and equals recompute."""
+    import random
+    rnd = random.Random(5)
+    _seed(eng, [(i, rnd.choice("ABC"), float(rnd.randint(-20, 20)))
+                for i in range(12)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    nid = 100
+    for step in range(6):
+        if step % 2:
+            eng.sql(f"DELETE FROM ns1.src WHERE id % 5 = {step % 5}")
+        else:
+            vals = ", ".join(
+                f"({nid + k}, '{rnd.choice('ABC')}', "
+                f"{float(rnd.randint(-20, 20))})"
+                for k in range(rnd.randint(1, 3)))
+            nid += 3
+            eng.sql(f"INSERT INTO ns1.src VALUES {vals}")
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+        assert r.mode == "incremental", (step, r)
+        full = [tuple(x) for x in
+                eng.read_table("ns1.src").groupBy("grp")
+                .agg(F.count("*").alias("n"), F.sum("v").alias("sv"),
+                     F.min("v").alias("mn"), F.max("v").alias("mx"))
+                .orderBy(F.col("grp").asc_nulls_first()).collect()]
+        assert _mv_rows(eng) == full, step
 
 
 def test_retraction_respects_where_clause(eng):
@@ -1521,17 +1611,105 @@ def test_join_mv_dim_append_is_incremental(eng):
         ("xtra", 2, 30.0, 15.0)]
 
 
-def test_join_mv_both_sides_changed_forces_full(eng):
-    """Both join sides moved in one window → ΔF ⋈ ΔD cross terms the
-    one-sided delta cannot see → full recompute."""
+def test_join_mv_both_sides_changed_is_incremental(eng):
+    """Both INNER join sides moved in one window: the telescoping
+    expansion (VERDICT r14 #3) applies per-slot deltas sequentially —
+    ΔF joins the PRE dim (watermark version), then ΔD joins the POST
+    fact, folding the ΔF ⋈ ΔD cross term — so the new fact row that
+    matches ONLY the new dim row still lands exactly once."""
     _seed_join(eng)
     eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvj AS {JOIN_Q}")
     eng.sql("INSERT INTO ns1.src VALUES (5, 'D', 1.0)")
     eng.sql("INSERT INTO ns1.dim VALUES ('D', 'lo')")
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
-    assert r.mode == "full"
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
     assert _join_mv_rows(eng) == _recompute_join(eng) == [
         ("hi", 2, 30.0, 15.0), ("lo", 3, 8.0, 8.0 / 3)]
+
+
+def test_left_join_mv_both_sides_changed_forces_full(eng):
+    """LEFT keeps the one-sided rule even when the preserved side also
+    moved: a dim-side append RETRACTS previously NULL-padded rows,
+    which no additive delta can express."""
+    _seed_join(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvj AS "
+            "SELECT d.band AS band, COUNT(*) AS n, SUM(f.v) AS sv, "
+            "AVG(f.v) AS av FROM ns1.src f LEFT JOIN ns1.dim d "
+            "ON f.grp = d.grp GROUP BY d.band")
+    eng.sql("INSERT INTO ns1.src VALUES (5, 'D', 1.0)")
+    eng.sql("INSERT INTO ns1.dim VALUES ('D', 'lo')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
+    assert r.mode == "full"
+    eng.read_table("ns1.src").createOrReplaceTempView("rjf")
+    eng.read_table("ns1.dim").createOrReplaceTempView("rjd")
+    exp = [tuple(x) for x in eng.spark.sql(
+        "SELECT d.band AS band, COUNT(*) AS n, SUM(f.v) AS sv, "
+        "AVG(f.v) AS av FROM rjf f LEFT JOIN rjd d ON f.grp = d.grp "
+        "GROUP BY d.band ORDER BY band NULLS FIRST").collect()]
+    assert _join_mv_rows(eng) == exp
+
+
+def test_three_way_join_mv_two_slots_changed(eng):
+    """The telescoping expansion over a 3-table chain with TWO changed
+    slots (fact and the far dim) — per-slot terms at the right
+    versions, merged sequentially, equals recompute; a simultaneous
+    fact DELETE rides its slot's signed term."""
+    _seed_join(eng)
+    eng.write_table(eng.spark.createDataFrame(
+        [("hi", "prio"), ("lo", "bulk")],
+        "band STRING, tier STRING"), "ns1.dim2")
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvs AS "
+            "SELECT e.tier AS tier, COUNT(*) AS n, SUM(f.v) AS sv "
+            "FROM ns1.src f JOIN ns1.dim d ON f.grp = d.grp "
+            "JOIN ns1.dim2 e ON d.band = e.band GROUP BY e.tier")
+    eng.sql("INSERT INTO ns1.src VALUES (6, 'B', 9.0)")
+    eng.sql("DELETE FROM ns1.src WHERE id = 1")
+    eng.sql("INSERT INTO ns1.dim2 VALUES ('hi', 'gold')")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvs").collect()[0]
+    assert r.mode == "incremental"
+    got = [tuple(x) for x in eng.sql(
+        "SELECT * FROM ns1.mvs ORDER BY tier").collect()]
+    eng.read_table("ns1.src").createOrReplaceTempView("rjf")
+    eng.read_table("ns1.dim").createOrReplaceTempView("rjd")
+    eng.read_table("ns1.dim2").createOrReplaceTempView("rje")
+    exp = [tuple(x) for x in eng.spark.sql(
+        "SELECT e.tier AS tier, COUNT(*) AS n, SUM(f.v) AS sv "
+        "FROM rjf f JOIN rjd d ON f.grp = d.grp "
+        "JOIN rje e ON d.band = e.band GROUP BY e.tier "
+        "ORDER BY tier").collect()]
+    assert got == exp
+
+
+def test_join_mv_multi_slot_soak_matches_recompute(eng):
+    """Seeded random multi-slot append/delete sequence over the
+    two-table INNER join MV — every refresh must stay incremental and
+    equal recompute (the property pin of VERDICT r14 #3)."""
+    import random
+    rnd = random.Random(42)
+    _seed_join(eng)
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mvj AS {JOIN_Q}")
+    nid, bands = 100, ["hi", "lo", "mid"]
+    grps = ["A", "B", "C"]
+    for step in range(6):
+        # mutate a random non-empty subset of slots in ONE window
+        which = rnd.sample(["f", "d"], rnd.randint(1, 2))
+        if "f" in which:
+            if step == 4:
+                eng.sql("DELETE FROM ns1.src WHERE id % 2 = 0")
+            else:
+                g = rnd.choice(grps + ["Z"])   # Z: no dim match yet
+                eng.sql(f"INSERT INTO ns1.src VALUES "
+                        f"({nid}, '{g}', {float(rnd.randint(1, 9))})")
+                nid += 1
+        if "d" in which:
+            g = rnd.choice(["Z", "Y", "X"])
+            if g not in grps:
+                grps.append(g)
+                eng.sql(f"INSERT INTO ns1.dim VALUES "
+                        f"('{g}', '{rnd.choice(bands)}')")
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvj").collect()[0]
+        assert r.mode == "incremental", (step, which, r)
+        assert _join_mv_rows(eng) == _recompute_join(eng), (step, which)
 
 
 def test_join_mv_fact_deletes_subtract(eng):
@@ -1672,11 +1850,12 @@ def test_three_way_join_mv_star_is_incremental(eng):
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvs").collect()[0]
     assert r.mode == "incremental"
     assert mv_rows() == recompute()
-    # two sources changed in ONE window → full
+    # two sources changed in ONE window: since r15 the telescoping
+    # expansion keeps the INNER chain incremental (VERDICT r14 #3)
     eng.sql("INSERT INTO ns1.src VALUES (40, 'C', 1.0)")
     eng.sql("INSERT INTO ns1.dim2 VALUES ('xx', 'bulk')")
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvs").collect()[0]
-    assert r.mode == "full"
+    assert r.mode == "incremental"
     assert mv_rows() == recompute()
     assert eng.spark.sparkContext._jsc.sc().getPersistentRDDs() \
         .size() == 0
