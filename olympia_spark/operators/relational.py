@@ -6284,3 +6284,150 @@ def b169_q71_hour_band_report(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n"),
                  F.sum("v").cast("double").alias("revenue"))
             .orderBy(F.col("revenue").desc(), "h", "event_type"))
+
+
+# --- B170 TPC-DS Q85 shape (returns snowflake with braided demographic bands) --
+
+@query("b170_q85_snowflake_bands", oracle="""
+SELECT o.o_orderpriority AS reason,
+       CAST(COUNT(*) AS BIGINT) AS n_returns,
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * l.l_discount
+                          AS DECIMAL(25,6))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_refund
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_returnflag = 'R'
+  AND ((c.c_mktsegment = 'BUILDING'
+        AND s.s_nationkey = c.c_nationkey
+        AND l.l_quantity BETWEEN 1 AND 20)
+       OR (c.c_mktsegment = 'AUTOMOBILE'
+           AND cr.r_name IN ('ASIA', 'EUROPE')
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (c.c_mktsegment = 'MACHINERY'
+           AND c.c_acctbal > 0
+           AND l.l_quantity BETWEEN 20 AND 50))
+GROUP BY o.o_orderpriority
+ORDER BY reason
+""")
+def b170_q85_snowflake_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """B170 — TPC-DS Q85 signature shape (VERDICT r14 #7): the RETURNS
+    report over a SNOWFLAKE — the returned line aligned to its
+    originating sale (lineitem ⋈ orders here; web_returns ⋈ web_sales
+    there), the customer demographic chain walked two levels deep
+    (customer → nation → region; cd → ca there), a SECOND demographic
+    copy (the supplier) braided into the gate, and an OR-of-ANDs
+    predicate whose every arm ties a demographic band to a fact-measure
+    range (Q85's marital/education × refund-amount bands) — one arm
+    even correlates the two demographic COPIES (s_nationkey =
+    c_nationkey, Q85's cd1/cd2 agreement). Output: per tiny-dim
+    "reason" (order priority), count and two averages. Averages divide
+    the EXACT decimal sum by the count in one double division, so the
+    value is bit-identical cross-engine regardless of accumulation
+    order. Spark-first: ONE pass over the returned lines; nation and
+    region broadcast (plan contract pins zero extra fact scans); the
+    disjunctive band gate stays a single Catalyst filter ABOVE the
+    dim joins (it references three relations, so it cannot push below
+    them — exactly Q85's shape)."""
+    l = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    s = load(spark, sf, "supplier")
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .join(s, l.l_suppkey == s.s_suppkey))
+    band = (((F.col("c_mktsegment") == "BUILDING")
+             & (F.col("s_nationkey") == F.col("c_nationkey"))
+             & F.col("l_quantity").between(1, 20))
+            | ((F.col("c_mktsegment") == "AUTOMOBILE")
+               & F.col("r_name").isin("ASIA", "EUROPE")
+               & F.col("l_quantity").between(10, 40))
+            | ((F.col("c_mktsegment") == "MACHINERY")
+               & (F.col("c_acctbal") > 0)
+               & F.col("l_quantity").between(20, 50)))
+    dec = "decimal(25,6)"
+    return (j.filter(band)
+            .groupBy(F.col("o_orderpriority").alias("reason"))
+            .agg(F.count("*").cast("long").alias("n_returns"),
+                 F.sum(F.col("l_quantity").cast(dec)).alias("_sq"),
+                 F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                       .cast(dec)).alias("_sr"))
+            .select("reason", "n_returns",
+                    (F.col("_sq").cast("double")
+                     / F.col("n_returns")).alias("avg_qty"),
+                    (F.col("_sr").cast("double")
+                     / F.col("n_returns")).alias("avg_refund"))
+            .orderBy("reason"))
+
+
+# --- B171 TPC-DS Q8 shape (literal zip-list ∩ derived-set membership gate) -----
+
+_B171_PREFIXES = ["0", "2", "3", "5", "8"]
+
+@query("b171_q8_ziplist_gate", oracle=f"""
+WITH qualifying AS (
+  SELECT * FROM (VALUES
+    {', '.join("('" + p + "')" for p in _B171_PREFIXES)}) t(zp)
+  INTERSECT
+  SELECT substring(c_name, 18, 1) AS zp
+  FROM customer WHERE c_acctbal > 5000.0
+  GROUP BY 1 HAVING COUNT(*) >= 5
+)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(25,6))) AS DOUBLE) AS net_revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE substring(s.s_name, 18, 1) IN (SELECT zp FROM qualifying)
+GROUP BY n.n_name
+ORDER BY nation
+""")
+def b171_q8_ziplist_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """B171 — TPC-DS Q8 signature shape (VERDICT r14 #7; distinct from
+    b102's TPC-H Q8 market share): fact revenue gated by the
+    INTERSECTION of (a) a LITERAL membership list baked into the query
+    text (Q8's ~400 zip literals; name-digit districts here — the
+    fixture's dims carry no zip/phone attribute) and (b) a
+    DATA-DERIVED set — districts with enough preferred (high-balance)
+    customers, Q8's ``HAVING count(*) >= 10`` over preferred
+    customers' zips — matched by SUBSTRING, not equality on a key.
+    Spark-first: the literal list is a broadcast-sized local relation;
+    INTERSECT against the aggregated customer districts yields a tiny
+    set that broadcast-SEMI-joins into the supplier dim BEFORE the
+    fact join, so the fact scan meets an already-gated dim —
+    membership gates prune at the dim, never as a post-join filter
+    (plan contract pins the single fact scan + broadcast semi)."""
+    lits = ", ".join(f"('{p}')" for p in _B171_PREFIXES)
+    qualifying = (spark.sql(
+        f"SELECT zp FROM (VALUES {lits}) AS t(zp)")
+        .intersect(
+            load(spark, sf, "customer")
+            .filter(F.col("c_acctbal") > 5000.0)
+            .groupBy(F.substring("c_name", 18, 1).alias("zp"))
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 5).select("zp")))
+    s = (load(spark, sf, "supplier")
+         .join(F.broadcast(qualifying),
+               F.substring("s_name", 18, 1) == F.col("zp"), "left_semi"))
+    l = load(spark, sf, "lineitem")
+    n = load(spark, sf, "nation")
+    return (l.join(s, l.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum((F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount")))
+                       .cast("decimal(25,6)"))
+                 .cast("double").alias("net_revenue"))
+            .orderBy("nation"))

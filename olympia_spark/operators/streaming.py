@@ -659,3 +659,58 @@ def b58b_stream_changes(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(SUM(event_id) AS BIGINT) AS id_sum, "
         "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum "
         "FROM cdc.mirror GROUP BY event_type ORDER BY event_type")
+
+
+# --- B32 × B151: continuous streaming materialized view (r15) -----------------
+
+@query("b32_stream_mv_refresh", oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def b32_stream_mv_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 × B151 (VERDICT r14 #6) — the production continuous-
+    aggregate pipeline end to end: a foreachBatch sink that (1) appends
+    the micro-batch through the catalog with the batch-id idempotency
+    marker (the b32_stream_catalog_ingest mechanism — replays after a
+    restart are exactly-once), then (2) calls the MV's INCREMENTAL
+    refresh. The refresh needs NO marker of its own: its watermark (the
+    catalog version it last consumed) is the idempotency cursor — a
+    replayed batch's skipped ingest leaves no new version, so the
+    refresh no-ops; a crash BETWEEN ingest and refresh replays into a
+    skipped ingest plus a refresh that picks up exactly the orphaned
+    delta. Every live batch is ASSERTED to refresh on the incremental
+    lane (O(batch), never O(table)); the final MV state batch-equals
+    the SQL aggregate over the whole source."""
+    from olympia_spark.engine import Engine
+
+    stream, _ = _staged_events_stream(spark, sf)
+    eng = Engine(spark, scratch_dir("olympia_stream_mv_"))
+    eng.sql("CREATE NAMESPACE stream")
+    eng.create_table("stream.events", stream.schema)
+    eng.sql("CREATE MATERIALIZED VIEW stream.mv_by_type AS "
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "SUM(CAST(value AS DECIMAL(25,6))) AS val_dec "
+            "FROM stream.events GROUP BY event_type")
+    ingest = catalog_ingest_sink(eng)
+    modes: list[tuple[int, str]] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest(batch_df, batch_id)
+        rep = eng.refresh_materialized_view(
+            "stream.mv_by_type").collect()[0]
+        modes.append((batch_id, rep.mode))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", scratch_dir("olympia_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    if len(modes) < 2 or any(m != "incremental" for _b, m in modes):
+        # the per-micro-batch incremental refresh IS the operator
+        raise AssertionError(f"expected ≥2 incremental refreshes, "
+                             f"got {modes}")
+    return eng.sql(
+        "SELECT event_type, n_events, "
+        "CAST(val_dec AS DOUBLE) AS value_sum "
+        "FROM stream.mv_by_type ORDER BY event_type")

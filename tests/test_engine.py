@@ -1522,3 +1522,50 @@ def test_explain_backtick_inside_literal_cannot_hide_dml(engine):
                    "INSERT INTO ns1.exh SELECT `a` FROM q")
     assert engine.sql("SELECT COUNT(*) AS n FROM ns1.exh") \
         .collect()[0].n == 1
+
+
+def test_stream_mv_refresh_replay_idempotent(spark, tmp_path):
+    """B32 × B151 (r15): the per-micro-batch MV refresh composes with
+    the batch-id ingest marker into exactly-once end to end — a
+    replayed batch's ingest is skipped by its marker and the refresh
+    no-ops off its own watermark, leaving the MV state byte-identical.
+    No refresh-side marker is needed: the watermark IS the cursor."""
+    import pyspark.sql.functions as F
+    from olympia_spark.operators.streaming import catalog_ingest_sink
+
+    src = str(tmp_path / "src")
+    (spark.range(6).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        F.col("id").cast("double").alias("value"))
+     .write.parquet(src))
+    schema = spark.read.parquet(src).schema
+    eng2 = Engine(spark, str(tmp_path / "swh"))
+    eng2.sql("CREATE NAMESPACE stream")
+    eng2.create_table("stream.events", schema)
+    eng2.sql("CREATE MATERIALIZED VIEW stream.mv AS "
+             "SELECT event_type, COUNT(*) AS n, SUM(value) AS sv "
+             "FROM stream.events GROUP BY event_type")
+    ingest = catalog_ingest_sink(eng2)
+    reps: list[str] = []
+
+    def sink(bdf, bid):
+        ingest(bdf, bid)
+        reps.append(eng2.refresh_materialized_view("stream.mv")
+                    .collect()[0].mode)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert reps and all(m == "incremental" for m in reps), reps
+    state = [tuple(r) for r in eng2.sql(
+        "SELECT * FROM stream.mv ORDER BY event_type").collect()]
+    assert state == [(str(i), 2, float(i) + i + 3) for i in range(3)]
+    # crash-replay of the SAME batch: marker skips the ingest, the
+    # refresh watermark sees no new version → noop, state unchanged
+    sink(spark.read.parquet(src), 0)
+    assert reps[-1] == "noop"
+    assert [tuple(r) for r in eng2.sql(
+        "SELECT * FROM stream.mv ORDER BY event_type").collect()] == state

@@ -25,3 +25,12 @@ def test_queries_without_oracle_run(spark, sf_dir):
     for name in sorted(set(registry.QUERIES) - set(registry.ORACLE_SQL)):
         df = registry.QUERIES[name](spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_registry_size_pinned():
+    """Ledger guard (VERDICT r14 #8): NOTES/VERDICT registry counts
+    drifted once (r14 recorded 304 against a live 303); pin the live
+    size so any add/remove must touch this number in the same commit.
+    r15: 303 + b151i/j/k/l + b32_stream_mv_refresh + b170 + b171 = 310."""
+    assert len(registry.QUERIES) == 310
+    assert set(registry.ORACLE_SQL) <= set(registry.QUERIES)

@@ -1615,3 +1615,35 @@ def test_b169_one_scan_banded(spark):
     assert len(re.findall(r"\) Scan parquet", plan)) == 1, plan
     assert "Union" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_b170_snowflake_single_fact_scan(spark):
+    """B170 (Q85 shape): the returns report scans lineitem ONCE with
+    the returnflag pushed to the scan; nation and region broadcast;
+    the three-relation band disjunction stays one JVM filter (no
+    Union of per-arm legs, no Python)."""
+    import re
+    plan = _plan(registry.QUERIES["b170_q85_snowflake_bands"](spark, SF))
+    lread = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "l_quantity" in ln]
+    assert len(lread) == 1, plan          # one lineitem scan
+    assert "l_returnflag,R" in plan.replace(" ", ""), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Union" not in plan and "Python" not in plan, plan
+
+
+def test_b171_ziplist_gates_at_the_dim(spark):
+    """B171 (Q8 shape): the literal-list ∩ derived-set membership
+    prunes the SUPPLIER dim via a broadcast semi-join BEFORE the fact
+    join — the fact side carries no substring filter of its own and
+    scans once; the literal list is a local (scan-free) relation."""
+    import re
+    plan = _plan(registry.QUERIES["b171_q8_ziplist_gate"](spark, SF))
+    lread = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "l_extendedprice" in ln]
+    assert len(lread) == 1, plan          # one lineitem scan
+    assert re.search(r"BroadcastHashJoin LeftSemi|LeftSemi BuildRight",
+                     plan), plan
+    # the literal zip list is a LOCAL relation — no file scan feeds it
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan, plan
+    assert "Python" not in plan, plan
