@@ -91,6 +91,7 @@ _PRIORITY = [
     "b151k_mv_both_sides_refresh", "b151l_mv_minmax_retraction",
     "b32_stream_mv_refresh", "b170_q85_snowflake_bands",
     "b171_q8_ziplist_gate",
+    "b172_q84_income_band_lookup",
 ]
 
 

@@ -203,6 +203,7 @@ HEADLINE = [
     "b32_stream_mv_refresh",
     "b170_q85_snowflake_bands",
     "b171_q8_ziplist_gate",
+    "b172_q84_income_band_lookup",
 ]
 
 

@@ -6431,3 +6431,52 @@ def b171_q8_ziplist_gate(spark: SparkSession, sf: str) -> DataFrame:
                        .cast("decimal(25,6)"))
                  .cast("double").alias("net_revenue"))
             .orderBy("nation"))
+
+
+# --- B172 TPC-DS Q84 shape (income-band snowflake lookup, no aggregation) ------
+
+@query("b172_q84_income_band_lookup", oracle="""
+SELECT c.c_custkey AS id,
+       c.c_name AS who,
+       n.n_name AS nation
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE l.l_returnflag = 'R'
+  AND r.r_name = 'EUROPE'
+  AND c.c_acctbal BETWEEN 4000.0 AND 5000.0
+ORDER BY id, who, nation
+""")
+def b172_q84_income_band_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """B172 — TPC-DS Q84 signature shape (VERDICT r14 #7, the Q85
+    companion): a pure LOOKUP, no aggregation anywhere — customer
+    identifiers reached through a multi-hop dimension snowflake
+    (customer → nation → region; customer → current_addr → hd → ib
+    there), gated by a LOW-CARDINALITY band on a dimension attribute
+    (the income band; account-balance band here) and a location
+    literal, DRIVEN by the returns fact (one output row PER RETURNED
+    LINE — Q84 deliberately preserves fact multiplicity, so the
+    duplicate count is part of the answer). Spark-first: the band +
+    location gates sit entirely on the DIMENSION side and prune
+    BEFORE the fact join — region and nation broadcast into customer,
+    the gated customer set joins the fact — while the returnflag
+    filter pushes into the fact scan; no aggregate, no window, no
+    exchange beyond the final order (plan contract: one fact scan,
+    banded-customer broadcast, zero HashAggregate)."""
+    c = (load(spark, sf, "customer")
+         .filter(F.col("c_acctbal").between(4000.0, 5000.0)))
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    gated = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .select("c_custkey", "c_name", "n_name"))
+    l = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf, "orders")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(gated, o.o_custkey == gated.c_custkey)
+            .select(F.col("c_custkey").alias("id"),
+                    F.col("c_name").alias("who"),
+                    F.col("n_name").alias("nation"))
+            .orderBy("id", "who", "nation"))

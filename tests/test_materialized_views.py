@@ -2458,3 +2458,51 @@ def test_having_soak_matches_recompute(eng):
                .filter(F.col("sv") > 50)
                .orderBy(F.col("grp").asc_nulls_first()).collect()]
         assert _mv_rows(eng) == exp, step
+
+
+def test_minmax_scoped_predicate_roundtrip(eng, spark):
+    """_mv_key_predicate × _mv_sql_literal: the literal predicate must
+    select EXACTLY the keyed rows for adversarial values — strings with
+    embedded quotes, NULL keys (IS NULL arm), float inf/NaN (Spark
+    casts 'inf'/'nan' and treats NaN = NaN as TRUE in comparisons, so
+    NaN group keys round-trip), dates; backslash strings refuse."""
+    import datetime as dt
+    import math
+    vals = ["plain", "it's", "", "A", None]
+    fvals = [1.5, -0.0, float("inf"), float("nan"), 12345.6789]
+    rows = [(i, vals[i % 5], fvals[i % 5],
+             dt.date(2024, 1, 1 + i % 5)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id LONG, s STRING, f DOUBLE, d DATE")
+    keys = [{"s": "it's"}, {"s": None}]
+    pred = Engine._mv_key_predicate(["s"], keys, ["s"])
+    got = {r.id for r in df.filter(F.expr(pred)).collect()}
+    assert got == {1, 4, 6, 9}, pred
+    keys = [{"f": float("nan"), "d": dt.date(2024, 1, 4)},
+            {"f": float("inf"), "d": dt.date(2024, 1, 3)}]
+    pred = Engine._mv_key_predicate(["f", "d"], keys, ["f", "d"])
+    got = {r.id for r in df.filter(F.expr(pred)).collect()}
+    assert got == {2, 3, 7, 8}, pred
+    assert Engine._mv_key_predicate(
+        ["s"], [{"s": "a\\b"}], ["s"]) is None
+
+
+def test_minmax_scoped_with_expression_key(eng):
+    """Scoped MIN/MAX retraction composes with an expression GROUP BY
+    key: the predicate evaluates the EXPRESSION against the source
+    (``(CAST(date_trunc(...) AS DATE)) IN (DATE '...')``) and only the
+    touched day buckets re-aggregate."""
+    _seed_ts(eng)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "MAX(v) AS mx, COUNT(*) AS n FROM ns1.ev GROUP BY day")
+    eng.sql("DELETE FROM ns1.ev WHERE v >= 10.0")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
+    got = [tuple(x) for x in
+           eng.sql("SELECT * FROM ns1.mv ORDER BY day").collect()]
+    exp = [tuple(x) for x in
+           eng.read_table("ns1.ev")
+           .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+           .agg(F.max("v").alias("mx"), F.count("*").alias("n"))
+           .orderBy("day").collect()]
+    assert got == exp

@@ -31,6 +31,6 @@ def test_registry_size_pinned():
     """Ledger guard (VERDICT r14 #8): NOTES/VERDICT registry counts
     drifted once (r14 recorded 304 against a live 303); pin the live
     size so any add/remove must touch this number in the same commit.
-    r15: 303 + b151i/j/k/l + b32_stream_mv_refresh + b170 + b171 = 310."""
-    assert len(registry.QUERIES) == 310
+    r15: 303 + b151i/j/k/l + b32_stream_mv_refresh + b170 + b171 + b172 = 311."""
+    assert len(registry.QUERIES) == 311
     assert set(registry.ORACLE_SQL) <= set(registry.QUERIES)

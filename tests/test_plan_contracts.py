@@ -1647,3 +1647,20 @@ def test_b171_ziplist_gates_at_the_dim(spark):
     # the literal zip list is a LOCAL relation — no file scan feeds it
     assert "LocalTableScan" in plan or "ExistingRDD" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_b172_lookup_no_aggregate(spark):
+    """B172 (Q84 shape): a pure fact-driven lookup — the band and
+    location gates prune the DIMENSION side before the fact join, the
+    returnflag filter pushes into the single fact scan, and NO
+    aggregate exists anywhere in the plan."""
+    plan = _plan(registry.QUERIES["b172_q84_income_band_lookup"](spark, SF))
+    lread = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert len(lread) == 1, plan
+    assert "l_returnflag,R" in plan.replace(" ", ""), plan
+    cread = [ln for ln in plan.splitlines() if "c_acctbal" in ln
+             and "PushedFilters" in ln]
+    assert cread, plan                   # band pushed to the dim scan
+    assert "HashAggregate" not in plan, plan
+    assert "Python" not in plan, plan
