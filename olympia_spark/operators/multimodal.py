@@ -121,16 +121,29 @@ def _media_df(spark: SparkSession, sf: str) -> DataFrame:
 # --- feature extraction (mapInPandas over binary) ---------------------------
 
 def _extract_features(batches):
+    """Arrow-native feature extraction: a binary column is one contiguous
+    data buffer plus an offsets array, so per-item length and byte-sum
+    are pure vectorized buffer arithmetic — no per-row Python call, no
+    pandas materialization of a bytes object per row (guide §4.2; the
+    previous mapInPandas form paid both via Series.map per payload)."""
     import numpy as np
-    for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame({
-            "doc_id": pdf["doc_id"],
-            "source": pdf["source"],
-            "n_bytes": payloads.map(len),
-            "byte_sum": payloads.map(
-                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())),
-        })
+    import pyarrow as pa
+    for batch in batches:
+        pays = batch.column("payload")
+        off0 = pays.offset
+        offs = np.frombuffer(pays.buffers()[1], dtype=np.int32)[
+            off0:off0 + len(pays) + 1].astype(np.int64)
+        data = np.frombuffer(pays.buffers()[2], dtype=np.uint8)
+        # exclusive prefix sum over the shared data buffer: per-item sum
+        # is csum[end] - csum[start] — correct for empty payloads too
+        csum = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(data, dtype=np.int64, out=csum[1:])
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), batch.column("source"),
+             pa.array(offs[1:] - offs[:-1], type=pa.int64()),
+             pa.array(csum[offs[1:]] - csum[offs[:-1]],
+                      type=pa.int64())],
+            names=["doc_id", "source", "n_bytes", "byte_sum"])
 
 
 @query("mm_feature_extract", oracle="""
@@ -144,11 +157,12 @@ GROUP BY source
 ORDER BY source
 """)
 def mm_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary feature extraction: mapInPandas over the payload column
-    (Arrow batches of bytes → per-item features), aggregated per source.
-    The fake decoder's features are re-derived in SQL by the oracle."""
+    """Binary feature extraction: mapInArrow over the payload column
+    (Arrow batches of bytes → vectorized per-item features straight off
+    the Arrow buffers), aggregated per source. The fake decoder's
+    features are re-derived in SQL by the oracle."""
     media = _media_df(spark, sf).select("doc_id", "source", "payload")
-    feats = media.mapInPandas(
+    feats = media.mapInArrow(
         _extract_features,
         "doc_id long, source string, n_bytes long, byte_sum long")
     return (feats.groupBy("source")

@@ -33,6 +33,33 @@ def _words(col):
     return F.split(col, " ")
 
 
+def _bigrams_of(d: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, *extra, w1, w2) — consecutive lowercase-token bigram
+    occurrences, built per row from the token ARRAY: adjacency is a
+    property of the array, so pairing neighbors is a narrow op. The
+    previous posexplode → lead()-window formulation shuffled AND sorted
+    the entire token relation (|tokens| rows) just to re-discover that
+    adjacency (guide §2.4 — an orderBy used only to pair rows that were
+    already adjacent at the source). The keyed repartition stays: the
+    fixture is one parquet split and the regexp tokenize is the
+    expensive stage — thousands-of-splits deployments make it a no-op
+    cost, single-split local mode gets its parallelism back. The token
+    array gets its own projection (the _shingles_of idiom): referenced
+    more than once inside the CASE, CollapseProject keeps it evaluated
+    once per INPUT row, not once per output row."""
+    words = d.repartition("doc_id").select(
+        "doc_id", *extra,
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"))
+    return (words.select(
+        "doc_id", *extra,
+        F.explode(F.expr("""
+            CASE WHEN size(w) >= 2 THEN
+              transform(sequence(0, size(w) - 2),
+                        i -> named_struct('w1', w[i], 'w2', w[i+1]))
+            ELSE array() END""")).alias("b"))
+        .select("doc_id", *extra, "b.w1", "b.w2"))
+
+
 # --- token counting ---------------------------------------------------------
 
 @query("text_token_count", oracle=r"""
@@ -432,26 +459,22 @@ def text_ngram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     quality filter that flags boilerplate (high prob) and gibberish (low
     prob) for pipeline triage.
 
-    Scale shape: tokenize → one window pass for bigrams → two
-    aggregations for the count tables → hash join back. The bigram
-    relation feeds both the count build and the scoring join, so it is
-    cached for the duration and released after the (per-doc, small)
-    result materializes. Determinism across engines: each ln term is a
-    correctly-rounded double of an exact integer ratio, rounded to 6 dp
-    and accumulated in DECIMAL(25,6) — no order-dependent double sums."""
-    from pyspark.sql import Window
+    Scale shape: tokenize → per-row array bigrams (narrow — no bigram
+    shuffle) → two aggregations for the count tables → hash join back.
+    The bigram relation feeds both the count build and the scoring join,
+    so it is cached for the duration and released after the (per-doc,
+    small) result materializes. Determinism across engines: each ln term
+    is a correctly-rounded double of an exact integer ratio, rounded to
+    6 dp and accumulated in DECIMAL(25,6) — no order-dependent double
+    sums."""
     d = load(spark, sf, "documents")
-    toks = d.repartition("doc_id").select(
-        "doc_id",
-        F.posexplode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-         .alias("pos", "w"))
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (toks.select("doc_id", F.col("w").alias("w1"),
-                      F.lead("w").over(wd).alias("w2"))
-          .where(F.col("w2").isNotNull())
-          .cache())
+    bg = _bigrams_of(d).cache()
     try:
-        counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        # counts is vocabulary-sized — pin it eagerly so ctx derives from
+        # the pinned relation instead of re-running the corpus-wide
+        # bigram aggregation a second time (one full shuffle saved)
+        counts = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+                  .localCheckpoint())
         ctx = counts.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
         term = (F.round(F.log(F.col("c12").cast("double")
                               / F.col("c1").cast("double")), 6)
@@ -2206,18 +2229,15 @@ def data_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     bit-identical across engines."""
     from pyspark.sql import Window
     d = load(spark, sf, "documents")
-    toks = d.repartition("doc_id").select(
-        "doc_id", "lang",
-        F.posexplode(F.expr(
-            "regexp_extract_all(lower(text), '[a-z]+', 0)"))
-        .alias("pos", "w"))
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (toks.select("doc_id", "lang", F.col("w").alias("w1"),
-                      F.lead("w").over(wd).alias("w2"))
-          .where(F.col("w2").isNotNull())
-          .cache())
+    # bigrams straight from the token array — narrow, no token-relation
+    # shuffle/sort (see _bigrams_of; the lead()-window form this replaces
+    # exchanged and sorted every token)
+    bg = _bigrams_of(d, "lang").cache()
     try:
-        counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        # vocabulary-sized; pinned so ctx derives from it rather than
+        # re-aggregating the corpus bigram relation (see C25)
+        counts = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+                  .localCheckpoint())
         ctx = counts.groupBy("w1").agg(F.sum("c12").cast("long")
                                        .alias("c1"))
         term = (F.round(F.log(F.col("c12").cast("double")

@@ -503,6 +503,33 @@ def test_round7_operators_stay_jvm_side(spark, name):
     assert "ArrowEvalPython" not in plan, name
 
 
+@pytest.mark.parametrize("name", ["text_ngram_logprob",
+                                  "data_ppl_buckets"])
+def test_bigram_lm_token_relation_has_no_doc_window(spark, name):
+    """C25/C84 (r15 optimization): bigrams come from the token ARRAY
+    (narrow transform+explode), not a per-doc lead() window — the window
+    form shuffled and sorted the whole token relation. C84's only
+    remaining Windows are the per-LANG tercile ranks over doc-sized
+    rows; C25 must plan with none at all."""
+    plan = _plan(registry.QUERIES[name](spark, SF))
+    import re as _re
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert all("doc_id" not in s for s in specs), specs
+    if name == "text_ngram_logprob":
+        assert "Window" not in plan, plan
+
+
+def test_mm_feature_extract_arrow_native(spark):
+    """C13 (r15 optimization): the payload feature pass crosses the
+    Python boundary as Arrow record batches consumed by vectorized
+    buffer arithmetic — MapInArrow in the plan, never the
+    pandas-materializing MapInPandas or a row UDF."""
+    plan = _plan(registry.QUERIES["mm_feature_extract"](spark, SF))
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_dsir_has_no_window(spark):
     """C82: bigrams are built with higher-order functions over the
     words array — a per-doc lead() window (the oracle's formulation)
