@@ -904,7 +904,7 @@ class Engine:
         txn = self._txn()
         tdef = self.catalog.describe_table(txn, ns, tbl)
         self._require_native(tdef, name, "SET ROW FILTER")
-        empty = self.spark.createDataFrame([], tdef.spark_schema())
+        empty = self._local_df([], tdef.spark_schema())
         empty.filter(F.expr(expr))          # analyze-or-raise
         tdef.properties = {**tdef.properties, "policy.row_filter": expr}
         self.catalog.alter_table(txn, ns, tbl, tdef,
@@ -940,7 +940,7 @@ class Engine:
         types = {f.name: f.dataType for f in schema.fields}
         if col not in types:
             raise ValueError(f"no such column: {col}")
-        empty = self.spark.createDataFrame([], schema)
+        empty = self._local_df([], schema)
         empty.select(F.expr(expr).cast(types[col]))   # analyze-or-raise
         tdef.properties = {**tdef.properties,
                            f"policy.mask.{col}": expr}
@@ -1043,10 +1043,30 @@ class Engine:
             removed = removed.filter(F.expr(hv_from))
         if hv_to:
             added = added.filter(F.expr(hv_to))
-        inserts = added.exceptAll(removed) \
-            .withColumn("_change_type", F.lit("insert"))
-        deletes = removed.exceptAll(added) \
-            .withColumn("_change_type", F.lit("delete"))
+        one_sided = (not (d_from.properties.get("iceberg.mor_deletes")
+                          or d_to.properties.get("iceberg.mor_deletes"))
+                     and (not paths_to - paths_from
+                          or not paths_from - paths_to))
+        if one_sided:
+            # pure append (no file left) or pure whole-file removal (no
+            # file entered): one diff side is STRUCTURALLY empty, so
+            # there is nothing to cancel — the feed IS the scanned side
+            # labelled directly. The exceptAll pair below would hash-
+            # aggregate every scanned row on ALL columns TWICE (two
+            # exchanges) merely to subtract an empty multiset; Catalyst
+            # cannot fold that itself because RewriteExceptAll runs
+            # before PropagateEmptyRelation sees the empty scan
+            # (guide §2.4 — remove shuffles outright). Multiset
+            # equivalence is exact: exceptAll(X, ∅) ≡ X and
+            # exceptAll(∅, X) ≡ ∅.
+            inserts = added.withColumn("_change_type", F.lit("insert"))
+            deletes = removed.withColumn("_change_type",
+                                         F.lit("delete"))
+        else:
+            inserts = added.exceptAll(removed) \
+                .withColumn("_change_type", F.lit("insert"))
+            deletes = removed.exceptAll(added) \
+                .withColumn("_change_type", F.lit("delete"))
         # the change feed is a READER-facing surface (downstream
         # consumers, streaming CDC) — the table's current governance
         # policies apply to it exactly like a SELECT; hidden rows'
@@ -1103,7 +1123,7 @@ class Engine:
         ingest sources, not native tables)."""
         schema = tdef.spark_schema()
         if not rel_paths:
-            return self.spark.createDataFrame([], schema)
+            return self._local_df([], schema)
         phys = self._physical_schema(tdef)
         if tdef.format in ("CSV", "JSON"):
             opts = {k.removeprefix("read.option."): v
@@ -1256,7 +1276,7 @@ class Engine:
         fill_schema = T.StructType(
             [T.StructField("__ifp", T.StringType())]
             + [T.StructField(f"__iv_{c}", by_name[c]) for c in cols])
-        fdf = self.spark.createDataFrame(rows, fill_schema)
+        fdf = self._local_df(rows, fill_schema)
         # _metadata.file_path percent-encodes the raw filesystem path
         # (space → %20, '%' → %25, non-ASCII → %xx) while the manifest
         # records the RAW path — decode the URI layer once (with
@@ -1568,7 +1588,7 @@ class Engine:
         if not data_paths:
             # all data manifests tombstoned, deletes not yet compacted
             # away — the net table is simply empty
-            return self.spark.createDataFrame([], schema)
+            return self._local_df([], schema)
         net = (self.spark.read.schema(schema).parquet(*data_paths)
                .select("*",
                        norm(F.col("_metadata.file_path"))
@@ -1593,7 +1613,7 @@ class Engine:
             # two disagreed (e.g. a file:// URI estate) __seq would
             # join NULL and every delete condition would evaluate
             # NULL, silently resurrecting equality-deleted rows.
-            seq_df = self.spark.createDataFrame(
+            seq_df = self._local_df(
                 [(re.sub(r"^file:/+", "/", e["file_path"]),
                   e["sequence_number"],
                   pcanon(e.get("partition")))
@@ -1616,7 +1636,7 @@ class Engine:
             for d in eq_dels:
                 groups.setdefault(tuple(d["cols"]), []).append(d)
             for cols, dels in sorted(groups.items()):
-                dmap = self.spark.createDataFrame(
+                dmap = self._local_df(
                     [(re.sub(r"^file:/+", "/", d["file_path"]),
                       d["sequence_number"],
                       pcanon(d["partition"])
@@ -2921,9 +2941,9 @@ class Engine:
                 # type inference against an empty t⋈s probe, so matched
                 # assignments (s. and t. refs) AND by-source assignments
                 # (t.-only refs) both resolve
-                probe = (self.spark.createDataFrame([], schema)
+                probe = (self._local_df([], schema)
                          .alias(target_alias)
-                         .crossJoin(self.spark.createDataFrame(
+                         .crossJoin(self._local_df(
                              [], source.schema).alias(source_alias)))
                 for k, v in want.items():
                     try:
@@ -3798,7 +3818,7 @@ class Engine:
             # read and write (CREATE-path probe parity)
             self._check_new_column_names(tdef, [col],
                                          "ADD PARTITION FIELD")
-            probe = self.spark.createDataFrame([], schema)
+            probe = self._local_df([], schema)
             for gname, gexpr in gen.items():
                 try:
                     probe.select(F.expr(gexpr)).schema
@@ -4354,7 +4374,7 @@ class Engine:
         rows = [(c, e["n_distinct"], e["n_nulls"],
                  e.get("min"), e.get("max"))
                 for c, e in sorted(stats["columns"].items())]
-        return self.spark.createDataFrame(
+        return self._local_df(
             rows, "column_name string, n_distinct long, n_nulls long, "
                   "min_num double, max_num double")
 
@@ -5106,7 +5126,7 @@ class Engine:
 
         def report(mode: str, n: int) -> DataFrame:
             self._finish(txn)
-            return self.spark.createDataFrame(
+            return self._local_df(
                 [(mode, n)], "mode string, delta_rows long")
 
         if cur <= last and not full:
@@ -5446,7 +5466,7 @@ class Engine:
             rep = self.refresh_materialized_view(
                 nm, full=full and nm == order[-1]).collect()[0]
             rows.append((nm, rep.mode, rep.delta_rows))
-        return self.spark.createDataFrame(
+        return self._local_df(
             rows, "view string, mode string, delta_rows long")
 
     _MV_AGG_RE = re.compile(
@@ -5600,7 +5620,7 @@ class Engine:
             return None
         rec = self.spark.sql(self._resolve_sql(
             self._mv_augmented_sql(plan, extra_where=pred), txn))
-        aff_df = self.spark.createDataFrame(keys, aff_schema)
+        aff_df = self._local_df(keys, aff_schema)
         cond = None
         for k in plan["group"]:
             c = stored[k].eqNullSafe(aff_df[k])
@@ -6526,6 +6546,45 @@ class Engine:
                 f"MATERIALIZED VIEW with the desired query (or DROP it) "
                 f"instead of altering columns")
 
+    # --- driver-local frames --------------------------------------------------
+
+    def _local_df(self, rows, schema) -> DataFrame:
+        """Small driver-resident frames (statement reports, metadata
+        listings, broadcast-side key maps) built as a TRUE
+        LocalRelation via the Arrow conversion path: collect()/count()
+        on the result is driver-only work instead of a
+        defaultParallelism-task RDD job, and a broadcast build reads
+        the rows in place with no extra collect job (guide §5 — the
+        driver should do almost no data work, and these rows are
+        ALREADY on the driver). Empty frames and any conversion edge
+        (exotic types, Arrow disabled) fall back to the classic
+        verifier path, which is behaviorally identical, just
+        RDD-backed."""
+        rows = list(rows)
+        if rows and self._arrow_local:
+            try:
+                import pandas as pd
+                sch = (T.StructType.fromDDL(schema)
+                       if isinstance(schema, str) else schema)
+                pdf = pd.DataFrame(rows,
+                                   columns=[f.name for f in sch.fields])
+                return self.spark.createDataFrame(pdf, sch)
+            except Exception:
+                pass
+        return self.spark.createDataFrame(rows, schema)
+
+    @property
+    def _arrow_local(self) -> bool:
+        """Arrow-backed createDataFrame(pandas) is what yields the
+        LocalRelation; without it the pandas detour adds nothing."""
+        cached = getattr(self, "_arrow_local_cache", None)
+        if cached is None:
+            cached = (self.spark.conf.get(
+                "spark.sql.execution.arrow.pyspark.enabled",
+                "false").lower() == "true")
+            self._arrow_local_cache = cached
+        return cached
+
     # --- identifier resolution ----------------------------------------------
 
     @staticmethod
@@ -6734,7 +6793,7 @@ class Engine:
         self._refuse_governed_metadata(tdef, f"{ns}.{tbl}", "$files")
         rows = [(f.path, f.num_rows, f.size_bytes, _json.dumps(f.stats))
                 for f in tdef.data_files]
-        return self.spark.createDataFrame(
+        return self._local_df(
             rows, "path string, num_rows long, size_bytes long, stats string")
 
     def table_history(self, name: str) -> DataFrame:
@@ -6753,7 +6812,7 @@ class Engine:
             if ptr != prev_ptr:
                 prev_ptr = ptr
         rows.reverse()
-        return self.spark.createDataFrame(
+        return self._local_df(
             rows, "version long, made_at_millis long, exists boolean")
 
     def table_partitions(self, name: str) -> DataFrame:
@@ -6775,7 +6834,7 @@ class Engine:
             cur[1] += max(f.num_rows, 0)
             cur[2] += max(f.size_bytes, 0)
         rows = [(p, n, r, b) for p, (n, r, b) in sorted(agg.items())]
-        return self.spark.createDataFrame(
+        return self._local_df(
             rows, "partition string, n_files long, num_rows long, "
                   "size_bytes long")
 
@@ -6799,7 +6858,7 @@ class Engine:
                          d.expire_at_millis, len(d.actions)))
         schema = ("txn_id string, isolation_level string, "
                   "began_at_millis long, expire_at_millis long, n_actions int")
-        return self.spark.createDataFrame(rows, schema)
+        return self._local_df(rows, schema)
 
     def begin_dist(self) -> str:
         """Create a persisted distributed transaction; returns its id
@@ -6820,7 +6879,7 @@ class Engine:
         spark = self.spark
 
         def ok(msg: str = "OK") -> DataFrame:
-            return spark.createDataFrame([(msg,)], "result string")
+            return self._local_df([(msg,)], "result string")
 
         if _BEGIN_RE.match(norm):
             self.begin()
@@ -6860,21 +6919,21 @@ class Engine:
         if re.match(r"SHOW (?:NAMESPACES|DATABASES|SCHEMAS)$", norm, re.I):
             txn = self._txn()
             names = self.catalog.show_namespaces(txn)
-            return spark.createDataFrame([(n,) for n in names],
+            return self._local_df([(n,) for n in names],
                                          "namespace string")
         m = re.match(r"SHOW TABLES (?:IN|FROM) (\S+)$", norm, re.I)
         if m:
             ns = m.group(1).replace("`", "")
             if ns == "sys":
-                return spark.createDataFrame([("dtxns",)], "table string")
+                return self._local_df([("dtxns",)], "table string")
             txn = self._txn()
-            return spark.createDataFrame(
+            return self._local_df(
                 [(t,) for t in self.catalog.show_tables(txn, ns)],
                 "table string")
         m = re.match(r"SHOW VIEWS (?:IN|FROM) (\S+)$", norm, re.I)
         if m:
             txn = self._txn()
-            return spark.createDataFrame(
+            return self._local_df(
                 [(v,) for v in self.catalog.show_views(
                     txn, m.group(1).replace("`", ""))], "view string")
         m = re.match(r"DESCRIBE (?:NAMESPACE|DATABASE|SCHEMA) (\S+)$",
@@ -6884,7 +6943,7 @@ class Engine:
             ndef = self.catalog.describe_namespace(
                 txn, m.group(1).replace("`", ""))
             rows = sorted(ndef.properties.items()) or [("", "")]
-            return spark.createDataFrame(rows, "key string, value string")
+            return self._local_df(rows, "key string, value string")
         m = re.match(r"DESCRIBE HISTORY (\S+\.\S+)$", norm, re.I)
         if m:
             # Delta-style spelling for the $history metadata table
@@ -6938,7 +6997,7 @@ class Engine:
             schema = (", ".join(
                 f"`{c}` string" for c in tdef.partition_by)
                 + ", num_files long, num_rows long, size_bytes long")
-            return spark.createDataFrame(rows, schema)
+            return self._local_df(rows, schema)
         m = re.match(r"DESCRIBE DETAIL (\S+\.\S+)$", norm, re.I)
         if m:
             # Delta-style one-row table inspection: physical layout facts
@@ -6947,7 +7006,7 @@ class Engine:
             ns, tbl = self._split(m.group(1))
             txn = self._txn()
             tdef = self.catalog.describe_table(txn, ns, tbl)
-            return spark.createDataFrame(
+            return self._local_df(
                 [(tdef.format, f"{_DATA_DIR}/{ns}/{tbl}",
                   len(tdef.data_files),
                   sum(f.size_bytes for f in tdef.data_files),
@@ -6963,7 +7022,7 @@ class Engine:
             txn = self._txn()
             tdef = self.catalog.describe_table(txn, ns, tbl)
             fields = tdef.spark_schema().fields
-            return spark.createDataFrame(
+            return self._local_df(
                 [(f.name, f.dataType.simpleString()) for f in fields],
                 "col_name string, data_type string")
         m = re.match(r"CREATE TABLE (\S+\.\S+) SHALLOW CLONE (\S+?\.\S+?)"
@@ -6972,12 +7031,12 @@ class Engine:
             n = self.clone_table(
                 m.group(1), m.group(2),
                 version=int(m.group(3)) if m.group(3) else None)
-            return spark.createDataFrame([(n,)], "files_shared long")
+            return self._local_df([(n,)], "files_shared long")
         m = re.match(r"RESTORE TABLE (\S+\.\S+) TO VERSION AS OF (\d+)$",
                      norm, re.I)
         if m:
             add, rm = self.restore_table(m.group(1), int(m.group(2)))
-            return spark.createDataFrame(
+            return self._local_df(
                 [(add, rm)], "files_restored long, files_removed long")
         # The partition group is BALANCED-paren aware (one nesting level,
         # enough for transforms like bucket(16, id)): a greedy [\w, ()]+
@@ -7069,7 +7128,7 @@ class Engine:
                 # the declared schema NOW — a typo'd column name caught
                 # at DDL time, not as an AnalysisException bricking the
                 # first insert
-                probe = spark.createDataFrame([], schema)
+                probe = self._local_df([], schema)
                 for label, exprs in (("CHECK constraint", cons),
                                      ("generated column", gen)):
                     for ename, eexpr in exprs.items():
@@ -7094,15 +7153,15 @@ class Engine:
                 m.group(2),
                 version=int(m.group(3)) if m.group(3) else None,
                 replace=bool(m.group(1)))
-            return spark.createDataFrame([(v,)], "version long")
+            return self._local_df([(v,)], "version long")
         m = re.match(r"DROP TAG ([\w.-]+)$", norm, re.I)
         if m:
             self.catalog.drop_tag(m.group(1))
             return ok()
         if re.match(r"SHOW TAGS$", norm, re.I):
             rows = sorted(self.catalog.list_tags().items()) or None
-            return (spark.createDataFrame(rows, "tag string, version long")
-                    if rows else spark.createDataFrame(
+            return (self._local_df(rows, "tag string, version long")
+                    if rows else self._local_df(
                         [], "tag string, version long"))
         m = re.match(r"SHOW CREATE TABLE (\S+\.\S+)$", norm, re.I)
         if m:
@@ -7129,14 +7188,14 @@ class Engine:
             if props:
                 kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
                 ddl += f" TBLPROPERTIES ({kv})"
-            return spark.createDataFrame([(ddl,)], "createtab_stmt string")
+            return self._local_df([(ddl,)], "createtab_stmt string")
         m = re.match(r"ANALYZE TABLE (\S+\.\S+) COMPUTE STATISTICS"
                      r"(?: FOR COLUMNS ([\w, ]+))?$", norm, re.I)
         if m:
             cols = ([c.strip() for c in m.group(2).split(",")]
                     if m.group(2) else None)
             stats = self.analyze_table(m.group(1), cols)
-            return spark.createDataFrame(
+            return self._local_df(
                 [(stats["row_count"], len(stats["columns"]))],
                 "row_count long, n_columns long")
         m = re.match(r"SHOW STATS (?:FOR )?(\S+\.\S+)$", norm, re.I)
@@ -7148,10 +7207,10 @@ class Engine:
             zcols = ([c.strip() for c in m.group(2).split(",")]
                      if m.group(2) else None)
             n = self.compact_table(m.group(1), zorder_by=zcols)
-            return spark.createDataFrame([(n,)], "files_removed long")
+            return self._local_df([(n,)], "files_removed long")
         if re.match(r"VACUUM$", norm, re.I):
             removed = self.remove_orphan_files()
-            return spark.createDataFrame([(len(removed),)],
+            return self._local_df([(len(removed),)],
                                          "orphans_removed long")
         m = re.match(r"COPY INTO (\S+\.\S+) FROM\s+(\([^)]+\)|'[^']+')"
                      r"(?:\s+FILEFORMAT\s*=\s*(\w+))?"
@@ -7164,7 +7223,7 @@ class Engine:
             loaded, rows, skipped = self.copy_into(
                 name, *src_paths, format=(fmt or "parquet"),
                 options=opts)
-            return spark.createDataFrame(
+            return self._local_df(
                 [(loaded, rows, skipped)],
                 "files_loaded long, rows_loaded long, files_skipped long")
         m = re.match(r"TRUNCATE TABLE (\S+\.\S+)$", norm, re.I)
@@ -7333,7 +7392,7 @@ class Engine:
                     for f in schema.fields])
             if replace_pred is not None:
                 n = self.replace_where(name, df, replace_pred)
-                return spark.createDataFrame(
+                return self._local_df(
                     [(n,)], "rows_affected long")
             self.write_table(df, name,
                              mode=("overwrite"
@@ -7362,12 +7421,12 @@ class Engine:
                            not_matched_clauses=not_matched_clauses,
                            not_matched_by_source_clauses=by_source_clauses,
                            schema_evolution=bool(evolve))
-            return spark.createDataFrame([(n,)], "rows_affected long")
+            return self._local_df([(n,)], "rows_affected long")
         m = re.match(r"DELETE FROM (\S+\.\S+)(?: WHERE (.+))?$",
                      norm, re.I | re.S)
         if m:
             n = self.delete_from(m.group(1), m.group(2) or "true")
-            return spark.createDataFrame([(n,)], "rows_affected long")
+            return self._local_df([(n,)], "rows_affected long")
         m = re.match(r"UPDATE (\S+\.\S+) SET (.+?)(?: WHERE (.+))?$",
                      norm, re.I | re.S)
         if m:
@@ -7377,7 +7436,7 @@ class Engine:
                 col, _, expr = part.partition("=")
                 assignments[col.strip()] = expr.strip()
             n = self.update(name, assignments, pred or "true")
-            return spark.createDataFrame([(n,)], "rows_affected long")
+            return self._local_df([(n,)], "rows_affected long")
 
         m = re.match(r"ALTER TABLE (\S+\.\S+) SET ROW FILTER "
                      r"\((.+)\)$", norm, re.I | re.S)
@@ -7518,7 +7577,7 @@ class Engine:
             inner = self.sql(m.group(2))
             jmode = spark._jvm.org.apache.spark.sql.execution \
                 .ExplainMode.fromString((m.group(1) or "simple").lower())
-            return spark.createDataFrame(
+            return self._local_df(
                 [(inner._jdf.queryExecution().explainString(jmode),)],
                 "plan string")
         # pass-through: resolve catalog identifiers, delegate to Catalyst
