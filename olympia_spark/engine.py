@@ -1075,6 +1075,51 @@ class Engine:
             inserts.unionByName(deletes), d_to,
             self._current_policies(ns, tbl, d_to))
 
+    def _feed_counts_meta(self, name: str, from_version: int,
+                          to_version: int) -> dict:
+        """Driver-side STRUCTURAL cardinalities of a table_changes feed:
+        ``{"n_inserts": int|None, "n_deletes": int|None}``. For a
+        one-sided diff (pure append / pure whole-file removal) whose
+        scanned side is not re-filtered — no MOR pointers, no HAVING
+        predicate on that side, no current row-filter policy — the
+        event counts are exactly the parquet footer row counts of the
+        entered/left files, already in the tracked DataFile stats
+        (masks never drop rows). The MV refresh uses this to skip BOTH
+        its delete probe and its report count job on the common
+        append-only path (guide §1.4 — don't launch a job for a number
+        the metadata already holds); anything that can change feed
+        cardinality (exceptAll cancellation of a two-sided COW diff,
+        HAVING, row filters, MOR) returns None counts and callers fall
+        back to counting. Metadata-only — never constructs a frame, so
+        it can never diverge from what table_changes SCANS, only
+        decline to predict its size."""
+        ns, tbl = self._split(name)
+        d_from = self.catalog.describe_table(
+            self.catalog.at_version(from_version), ns, tbl)
+        d_to = self.catalog.describe_table(
+            self.catalog.at_version(to_version), ns, tbl)
+        unknown = {"n_inserts": None, "n_deletes": None}
+        if d_from.properties.get("iceberg.mor_deletes") \
+                or d_to.properties.get("iceberg.mor_deletes"):
+            return unknown
+        if self._current_policies(ns, tbl, d_to).get("policy.row_filter"):
+            return unknown
+        paths_from = set(d_from.file_paths())
+        paths_to = set(d_to.file_paths())
+        entered = paths_to - paths_from
+        left = paths_from - paths_to
+        if entered and left:
+            return unknown
+        if not left and not d_to.properties.get(self._MV_HAVING_PROP):
+            return {"n_inserts": sum(f.num_rows for f in d_to.data_files
+                                     if f.path in entered),
+                    "n_deletes": 0}
+        if not entered and not d_from.properties.get(self._MV_HAVING_PROP):
+            return {"n_inserts": 0,
+                    "n_deletes": sum(f.num_rows for f in d_from.data_files
+                                     if f.path in left)}
+        return unknown
+
     def _phys(self, tdef: TableDef, col: str) -> str:
         """Physical (in-file) name of a logical column (A15 companion:
         RENAME COLUMN is metadata-only, so files keep the name the column
@@ -2117,6 +2162,19 @@ class Engine:
                 self._write_bucketed(df, out_dir, bspec, tdef,
                                      partition_by)
             else:
+                if partition_by:
+                    # distribute rows by partition value before the
+                    # dynamic-partition write (guide §6 / Iceberg
+                    # write.distribution-mode=hash): without it, each
+                    # input task writes EVERY leaf dir it sees — one
+                    # upstream split serializes a 150-leaf layout
+                    # through one task (measured 3.5s of b83's 5.7s),
+                    # and at scale M tasks × P leaves is the classic
+                    # small-files explosion. REBALANCE is AQE-managed:
+                    # small partition values coalesce into shared
+                    # tasks, a skewed value splits across several —
+                    # scale-adaptive with no fixed partition count.
+                    df = df.hint("rebalance", *partition_by)
                 writer = df.write.mode("error")
                 if partition_by:
                     writer = writer.partitionBy(*partition_by)
@@ -5268,6 +5326,7 @@ class Engine:
             else:  # empty materialization — trivially recompute whole
                 plan = None
         deltas: dict[str, DataFrame] = {}
+        feed_counts: dict[str, int] = {}
         has_minmax = plan is not None and any(
             k in ("MIN", "MAX") for k, _i, _o in plan["aggs"])
         minmax_scoped = False
@@ -5280,13 +5339,36 @@ class Engine:
                 # cover the probe itself: a probe count that throws
                 # (scan failure, expired files) would otherwise leak the
                 # persisted DataFrame for the session lifetime (ADVICE
-                # r12; localCheckpoint leaks likewise, r12 s2 pass 6)
+                # r12; localCheckpoint leaks likewise, r12 s2 pass 6).
+                # Feed cardinalities come from metadata when the diff
+                # is structurally one-sided and unfiltered
+                # (_feed_counts_meta — parquet footer counts, ZERO
+                # jobs); otherwise ONE aggregate per feed returns
+                # (event count, delete count) together — it
+                # materializes the persist and replaces both the old
+                # delete probe (filter(...).limit(1).count(), whose
+                # executeTake ramp ran several sequential mini-jobs
+                # against the not-yet-cached feed — measured 0.63s vs
+                # 0.13s for a plain count at sf0.1) and the later
+                # per-feed d.count() for the report (guide §1.4/§2.4:
+                # one pass, not three).
                 for s in sorted(set(files_changed)):
                     d = self.table_changes(s, last, cur).persist()
                     deltas[s] = d
-                    if has_minmax and d.filter(
-                            F.col("_change_type") == "delete") \
-                            .limit(1).count():
+                    fmeta = self._feed_counts_meta(s, last, cur)
+                    if fmeta["n_inserts"] is not None:
+                        feed_counts[s] = (fmeta["n_inserts"]
+                                          + fmeta["n_deletes"])
+                        n_del = fmeta["n_deletes"]
+                    else:
+                        crow = d.agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.count(F.when(
+                                F.col("_change_type") == "delete", 1))
+                            .alias("nd")).first()
+                        feed_counts[s] = int(crow["n"])
+                        n_del = int(crow["nd"])
+                    if has_minmax and n_del:
                         # a delete can un-extreme MIN/MAX (no retraction
                         # state can restore the runner-up).
                         # SUM/COUNT/AVG plans keep the signed lane:
@@ -5328,7 +5410,7 @@ class Engine:
                     plan = None         # too many keys / no literal form
                 else:
                     mode = "incremental"
-                    n = sum(d.count() for d in deltas.values())
+                    n = sum(feed_counts.values())
             elif plan is not None:
                 if "join" in plan:
                     # telescoping expansion (VERDICT r14 #3): with
@@ -5375,7 +5457,7 @@ class Engine:
                     merged = self._mv_merge(stored, delta_agg, plan,
                                             tdef.spark_schema())
                 mode = "incremental"
-                n = sum(d.count() for d in deltas.values())
+                n = sum(feed_counts.values())
             if plan is None:
                 # full recompute still goes through the AUGMENTED query
                 # when the shape is AVG-incrementalizable (cplan), so the
@@ -6412,79 +6494,78 @@ class Engine:
     @staticmethod
     def _mv_merge(old: DataFrame, delta: DataFrame, plan: dict,
                   schema: T.StructType) -> DataFrame:
-        """Merge a delta aggregate into the stored one: FULL OUTER join
-        on the group keys (null-safe — NULL group values are real
-        groups), then per-aggregate combine: COUNT adds (the delta is
+        """Merge a delta aggregate into the stored one: UNION the two
+        aggregate-sized relations and RE-AGGREGATE by the group keys —
+        ONE exchange, where the previous FULL OUTER join formulation
+        paid two exchanges plus two sorts for the same per-group
+        combine (guide §2.4: do fewer shuffles; r15 plan diff
+        "2 Exchange + SortMergeJoin → 1 Exchange + HashAggregate").
+        The per-aggregate combine semantics are unchanged and map onto
+        aggregate functions exactly: COUNT adds via SUM (the delta is
         SIGNED, so deletes arrive negative and subtract), SUM/AVG
-        recombine from their merged sum/count companions, MIN least /
-        MAX greatest (insert-only by the refresh driver's contract),
-        each skipping the side where the group is absent (SQL
-        semantics: a NULL stored SUM merged with a delta value is the
-        delta value — 'no rows' and 'all-NULL inputs' combine
-        identically). Groups whose merged row count reaches zero are
-        dropped — the retraction analogue of never having grouped.
-        Global aggregates (no GROUP BY) join on a constant key — two
-        one-row sides. Output casts back to the MV's recorded schema
-        so repeated merges never widen types."""
-        # align the delta to the stored schema's types BEFORE the join:
-        # a subset-of-branches union delta skips the full union's type
-        # coercion, so a group key emitted NARROWER by its lone branch
-        # (INT vs the stored STRING) would numeric-promote inside
-        # eqNullSafe and can match SEVERAL stored groups ('01' = 1 AND
-        # '1' = 1 are both true) — double-counted merges (r13 review
-        # pass 4). Casting to the stored types IS the coercion the full
-        # union query would have applied.
-        by_name = {f.name: f.dataType for f in schema.fields}
+        recombine from their merged sum/count companions (summed the
+        same way), MIN via MIN / MAX via MAX (insert-only by the
+        refresh driver's contract). A group absent on one side
+        contributes one row to the union, and aggregates over the
+        other row alone equal that row — the same 'skip the absent
+        side' rule the join spelled out with when/isNull; a NULL
+        stored value merged with a delta value likewise yields the
+        delta value, because SQL aggregates skip NULLs ('no rows' and
+        'all-NULL inputs' combine identically). NULL group values
+        group together (GROUP BY is null-safe, as eqNullSafe was).
+        Groups whose merged row count reaches zero are dropped — the
+        retraction analogue of never having grouped. Global aggregates
+        (no GROUP BY) group on a constant key — two one-row sides.
+        Output casts back to the MV's recorded schema so repeated
+        merges never widen types."""
+        # align the delta to the STORED side's physical types BEFORE
+        # the union: a subset-of-branches union delta skips the full
+        # union's type coercion, so a group key emitted NARROWER by
+        # its lone branch (INT vs the stored STRING) would numeric-
+        # promote at the merge boundary and could collapse SEVERAL
+        # stored groups ('01' = 1 AND '1' = 1) — double-counted merges
+        # (r13 review pass 4). Casting to the stored types IS the
+        # coercion the full union query would have applied; companions
+        # follow the stored files' canonical types (minted by the
+        # augmented create/full recompute) so the physical type stays
+        # stable across refreshes.
+        old_types = {f.name: f.dataType for f in old.schema.fields}
         delta = delta.select(*[
-            F.col(c).cast(by_name[c]).alias(c) if c in by_name
+            F.col(c).cast(old_types[c]).alias(c) if c in old_types
             else F.col(c) for c in delta.columns])
         keys = list(plan["group"]) or ["__mv_k"]
         if not plan["group"]:
             old = old.withColumn("__mv_k", F.lit(1))
             delta = delta.withColumn("__mv_k", F.lit(1))
-        o, d = old.alias("o"), delta.alias("d")
-        cond = None
-        for k in keys:
-            c = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
-            cond = c if cond is None else cond & c
-        j = o.join(d, cond, "full_outer")
-        cols = [F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k)
-                for k in plan["group"]]
-
-        def skip_absent(a, b, combine):
-            # SQL semantics: 'group absent on one side' and 'group
-            # present with all-NULL inputs' combine identically — ONE
-            # helper for declared aggregates AND hidden companions so
-            # the null-skipping semantics can never diverge (r13
-            # review pass 2)
-            return F.when(a.isNull(), b).when(b.isNull(), a) \
-                .otherwise(combine)
-
-        def add_skipping_absent(a, b):
-            return skip_absent(a, b, a + b)
-
         companions = Engine._mv_companions(plan)
         comp_by_out = {out: (s, c) for s, c, _i, out in companions}
-        comp_cols = []
-        for s, c, _inner, _out in companions:
-            # cast merged companions to the STORED side's canonical
-            # types (minted by the augmented create/full recompute):
-            # decimal addition widens precision every merge, and the
-            # union lane's delta types can vary with WHICH branches are
-            # present — the physical type must stay stable across
-            # refreshes
-            s_t = old.schema[s].dataType
-            c_t = old.schema[c].dataType
-            comp_cols.append(add_skipping_absent(
-                F.col(f"o.{s}"), F.col(f"d.{s}")).cast(s_t).alias(s))
-            comp_cols.append(add_skipping_absent(
-                F.col(f"o.{c}"), F.col(f"d.{c}")).cast(c_t).alias(c))
         rc = Engine._MV_ROWCNT
-        rc_col = add_skipping_absent(
-            F.col(f"o.{rc}"), F.col(f"d.{rc}")) \
-            .cast(old.schema[rc].dataType).alias(rc)
+        # SUM/AVG outputs are re-derived from their companions — their
+        # stored/delta values never enter the union (narrower rows
+        # through the one exchange)
+        shared = (keys
+                  + [out for k, _i, out in plan["aggs"]
+                     if k not in ("AVG", "SUM")]
+                  + [x for s, c, _i, _o in companions for x in (s, c)]
+                  + [rc])
+        u = old.select(*shared).unionByName(delta.select(*shared))
+        aggs = []
         for kind, _inner, out in plan["aggs"]:
-            a, b = F.col(f"o.{out}"), F.col(f"d.{out}")
+            if kind in ("AVG", "SUM"):
+                continue                # derived from companions below
+            if kind == "COUNT":
+                aggs.append(F.sum(out).cast(old_types[out]).alias(out))
+            elif kind == "MIN":
+                aggs.append(F.min(out).alias(out))
+            else:
+                aggs.append(F.max(out).alias(out))
+        for s, c, _inner, _out in companions:
+            aggs.append(F.sum(s).cast(old_types[s]).alias(s))
+            aggs.append(F.sum(c).cast(old_types[c]).alias(c))
+        aggs.append(F.sum(rc).cast(old_types[rc]).alias(rc))
+        g = u.groupBy(*keys).agg(*aggs)
+        cols = [F.col(k) for k in plan["group"]]
+        for kind, _inner, out in plan["aggs"]:
             if kind in ("AVG", "SUM"):
                 # recombined EXACTLY from the merged companions — the
                 # same sum/count Spark's aggregates evaluate; merged
@@ -6493,20 +6574,15 @@ class Engine:
                 # the last non-null row) yields NULL, which plain
                 # subtraction cannot express for SUM (it says 0)
                 s, c = comp_by_out[out]
-                ms = add_skipping_absent(F.col(f"o.{s}"), F.col(f"d.{s}"))
-                mc = add_skipping_absent(F.col(f"o.{c}"), F.col(f"d.{c}"))
+                ms, mc = F.col(s), F.col(c)
                 cols.append(F.when(
                     mc > 0, ms / mc if kind == "AVG" else ms).alias(out))
-                continue
-            if kind == "COUNT":
-                combine = a + b         # delta side is SIGNED: deletes
-                # arrive as negative counts and subtract here
-            elif kind == "MIN":
-                combine = F.least(a, b)
             else:
-                combine = F.greatest(a, b)
-            cols.append(skip_absent(a, b, combine).alias(out))
-        res = j.select(*cols, *comp_cols, rc_col)
+                cols.append(F.col(out))
+        res = g.select(*cols,
+                       *[F.col(s) for s, _c, _i, _o in companions],
+                       *[F.col(c) for _s, c, _i, _o in companions],
+                       F.col(rc))
         if plan["group"]:
             # a group whose every contributing row was deleted VANISHES
             # from the recompute — drop its stored row. Global

@@ -2506,3 +2506,78 @@ def test_minmax_scoped_with_expression_key(eng):
            .agg(F.max("v").alias("mx"), F.count("*").alias("n"))
            .orderBy("day").collect()]
     assert got == exp
+
+
+# --- r15 optimization: structural feed cardinalities (_feed_counts_meta) -------
+
+
+def _feed_and_meta(eng, tbl, v0, v1):
+    feed = eng.table_changes(tbl, v0, v1)
+    meta = eng._feed_counts_meta(tbl, v0, v1)
+    actual = {
+        "n_inserts": feed.filter("_change_type = 'insert'").count(),
+        "n_deletes": feed.filter("_change_type = 'delete'").count()}
+    return meta, actual
+
+
+def test_feed_counts_meta_pure_append_exact_and_refresh_jobless(eng):
+    """Pure-append diff: the meta counts equal the scanned feed's
+    (footer row counts of the entered files), so the refresh report's
+    delta_rows needs no count job — and must still be exact."""
+    _seed(eng, [(1, "A", 10.0), (2, "B", 5.0)])
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'A', 2.0), (4, 'C', 9.0), "
+            "(5, 'C', 1.0)")
+    v1 = eng.catalog.history()[0]["version"]
+    meta, actual = _feed_and_meta(eng, "ns1.src", v0, v1)
+    assert meta == actual == {"n_inserts": 3, "n_deletes": 0}
+
+
+def test_feed_counts_meta_two_sided_cow_declines(eng):
+    """An UPDATE rewrites files (two-sided diff): cancellation makes
+    the feed size data-dependent — meta must decline (None), never
+    guess."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("UPDATE ns1.src SET v = v + 1 WHERE grp = 'A'")
+    v1 = eng.catalog.history()[0]["version"]
+    meta, actual = _feed_and_meta(eng, "ns1.src", v0, v1)
+    assert meta == {"n_inserts": None, "n_deletes": None}
+    assert actual == {"n_inserts": 2, "n_deletes": 2}
+
+
+def test_feed_counts_meta_row_filter_declines(eng):
+    """A current row-filter policy drops feed rows reader-side — footer
+    counts would overcount; meta must decline."""
+    _seed(eng, [(1, "A", 10.0)])
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("INSERT INTO ns1.src VALUES (2, 'B', 3.0), (3, 'B', 4.0)")
+    eng.set_row_filter("ns1.src", "grp = 'A'")
+    v1 = eng.catalog.history()[0]["version"]
+    meta = eng._feed_counts_meta("ns1.src", v0, v1)
+    assert meta == {"n_inserts": None, "n_deletes": None}
+
+
+def test_feed_counts_meta_having_mv_declines(eng):
+    """A HAVING MV's feed is filtered by the predicate — footer counts
+    overcount hidden groups; meta must decline on its feed."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM ns1.src "
+            "GROUP BY grp HAVING COUNT(*) >= 2")
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 7.0)")
+    eng.sql("REFRESH MATERIALIZED VIEW ns1.mv")
+    v1 = eng.catalog.history()[0]["version"]
+    meta = eng._feed_counts_meta("ns1.mv", v0, v1)
+    assert meta == {"n_inserts": None, "n_deletes": None}
+
+
+def test_feed_counts_meta_append_refresh_delta_rows_exact(eng):
+    """End to end: the incremental refresh's reported delta_rows on the
+    metadata fast path equals the appended row count."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 7.0), (5, 'C', 1.0)")
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert (r.mode, r.delta_rows) == ("incremental", 2)
