@@ -255,16 +255,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     remains available as dedup_ngram_jaccard_exact."""
     sh = _shingles_df(spark, sf).select(
         "doc_id", F.xxhash64("s").alias("s"))
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # the hot set is the only corpus-wide shingle aggregate and is
+    # consumed by TWO broadcasts (the stats flag join and the anti-join
+    # below) — pin its tiny output (boilerplate shingles only, ≤
+    # |shingles|/cap rows) so the corpus pass runs once, not per
+    # consumer (guide §2.4/§5: cache only reused, expensive, small)
     hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
-           .filter(F.col("df") > _C2_DF_CAP).select("s"))
-    # per-doc HOT-shingle count: i_true ≤ i_capped + min(h1, h2), the
-    # exact slack a pair can recover from excluded postings
-    hcnt = (sh.join(F.broadcast(hot), "s", "left_semi")
-            .groupBy("doc_id").agg(F.count("*").alias("h")))
-    stats = (cnt.join(hcnt, "doc_id", "left")
-             .select("doc_id", "n",
-                     F.coalesce("h", F.lit(0)).alias("h")))
+           .filter(F.col("df") > _C2_DF_CAP).select("s")
+           .localCheckpoint())
+    # per-doc total n AND hot count h in ONE aggregation pass: the
+    # broadcast left join flags hot postings (hot has unique s, so no
+    # fan-out) and count(flag) skips the NULLs of non-hot rows —
+    # previously two corpus aggregations (cnt, hcnt) plus an outer
+    # join to recombine them (guide §1.2: fewer passes first).
+    # h is the exact slack a pair can recover from excluded postings:
+    # i_true ≤ i_capped + min(h1, h2)
+    stats = (sh.join(F.broadcast(hot.withColumn("__hot", F.lit(1))),
+                     "s", "left")
+             .groupBy("doc_id").agg(
+                 F.count("*").alias("n"),
+                 F.count("__hot").alias("h")))
     kept = sh.join(F.broadcast(hot), "s", "left_anti")
     a = kept.select(F.col("doc_id").alias("d1"), "s")
     b = kept.select(F.col("doc_id").alias("d2"), "s")
