@@ -6378,39 +6378,52 @@ class Engine:
                 or self._mv_join_plan(q, sources, txn))
 
     @staticmethod
-    def _mv_signed_agg(kind: str, inner: str) -> str:
-        """The delta-side aggregate expression over a SIGNED change
-        feed (``__mv_sign`` = +1 insert / -1 delete): SUM and COUNT
-        are exactly subtractable, so delete events ride the SAME
-        aggregation as inserts with their sign flipped (VERDICT r13
-        #2) — an insert-only delta degenerates to the plain aggregate
-        (all signs +1). MIN/MAX emit plain: the refresh driver forces
-        the full lane whenever a delta carries deletes and the plan
-        has MIN/MAX (a delete can un-extreme them), so by contract
-        they only ever see insert-only deltas. AVG's declared column
-        emits plain too — the merge recombines it from the signed
-        SUM/COUNT companions and never reads the delta's avg value."""
+    def _mv_signed_row(kind: str, inner: str) -> str:
+        """The PER-ROW contribution expression over a SIGNED change
+        feed (``__mv_sign`` = +1 insert / -1 delete): summing these in
+        `_mv_merge` reproduces the old delta-side signed aggregate
+        exactly, per group — SUM and COUNT are exactly subtractable,
+        so delete events ride the same combine as inserts with their
+        sign flipped (VERDICT r13 #2); an insert-only delta
+        degenerates to the plain aggregate (all signs +1). MIN/MAX
+        emit the plain inner value: the refresh driver forces the
+        full/group-scoped lane whenever a delta carries deletes and
+        the plan has MIN/MAX (a delete can un-extreme them), so by
+        contract they only ever see insert-only rows."""
         kind = kind.upper()
         if kind == "COUNT":
             if inner.strip() == "*":
-                return "CAST(SUM(__mv_sign) AS BIGINT)"
-            return (f"CAST(SUM(CASE WHEN ({inner}) IS NOT NULL "
-                    f"THEN __mv_sign ELSE 0 END) AS BIGINT)")
+                return "CAST(__mv_sign AS BIGINT)"
+            return (f"CAST(CASE WHEN ({inner}) IS NOT NULL "
+                    f"THEN __mv_sign ELSE 0 END AS BIGINT)")
         if kind == "SUM":
             # CASE keeps the inner expression's type exactly (unary
             # minus is type-preserving); inner * sign would widen
             # decimals differently from the stored column
-            return (f"SUM(CASE WHEN __mv_sign = 1 THEN ({inner}) "
-                    f"ELSE -({inner}) END)")
-        return f"{kind}({inner})"       # AVG (unused by merge), MIN, MAX
+            return (f"CASE WHEN __mv_sign = 1 THEN ({inner}) "
+                    f"ELSE -({inner}) END")
+        return f"({inner})"             # MIN, MAX (insert-only lane)
 
     def _mv_apply_query(self, plan: dict, rows,
                         dim: tuple[str, DataFrame] | None = None
                         ) -> DataFrame:
-        """Run the parsed MV aggregation over the change-feed delta —
-        same WHERE, same grouping, signed aggregate expressions
-        (`_mv_signed_agg`), so the delta aggregate is type- and
-        semantics-identical to the stored one with deletes subtracting.
+        """Project the change-feed delta to per-row SIGNED CONTRIBUTION
+        columns under the stored query's own shape — same WHERE, same
+        key expressions, but NO aggregation: `_mv_merge`'s union +
+        re-aggregate IS the combine, and feeding it raw contribution
+        rows instead of a pre-aggregated delta removes the delta's own
+        Exchange — the refresh shuffles ONCE on the group keys instead
+        of twice (guide §2.4: two operations keyed the same way share
+        one exchange; Spark's partial map-side aggregation means the
+        merge exchange still carries O(groups per map partition) bytes,
+        not O(feed)). Contribution semantics (`_mv_signed_row`):
+        COUNT rides ±1 (0 for NULL inners), SUM companions
+        carry sign-flipped inners CASE-wise (type-preserving), MIN/MAX
+        carry the plain inner (insert-only by the refresh driver's
+        contract), so SUM over the contributions equals the old signed
+        aggregate per group, term by term. SUM/AVG declared outputs are
+        omitted — the merge never read them (it recombines from the
+        companions).
         ``rows``: a DataFrame (single-source lane) or a
         {source: DataFrame} map of per-source feeds (union lane — each
         changed source's delta flows through ITS branches only;
@@ -6472,19 +6485,17 @@ class Engine:
             else:
                 frm = _signed(rows)
             sel = list(plan.get("group_items") or plan["group"])
-            sel += [f"{self._mv_signed_agg(kind, inner)} AS {out}"
-                    for kind, inner, out in plan["aggs"]]
+            sel += [f"{self._mv_signed_row(kind, inner)} AS {out}"
+                    for kind, inner, out in plan["aggs"]
+                    if kind not in ("AVG", "SUM")]
             for s, c, inner, _out in self._mv_companions(plan):
-                sel.append(f"{self._mv_signed_agg('SUM', inner)} AS {s}")
-                sel.append(f"{self._mv_signed_agg('COUNT', inner)} AS {c}")
-            sel.append(f"{self._mv_signed_agg('COUNT', '*')} "
+                sel.append(f"{self._mv_signed_row('SUM', inner)} AS {s}")
+                sel.append(f"{self._mv_signed_row('COUNT', inner)} AS {c}")
+            sel.append(f"{self._mv_signed_row('COUNT', '*')} "
                        f"AS {self._MV_ROWCNT}")
             sql = f"SELECT {', '.join(sel)} FROM {frm}"
             if plan["where"]:
                 sql += f" WHERE {plan['where']}"
-            if plan["group"]:
-                gb = plan.get("group_sql") or ", ".join(plan["group"])
-                sql += f" GROUP BY {gb}"
             out = self.spark.sql(sql)
         finally:
             for a in tmps:              # plan already resolved
@@ -6494,30 +6505,34 @@ class Engine:
     @staticmethod
     def _mv_merge(old: DataFrame, delta: DataFrame, plan: dict,
                   schema: T.StructType) -> DataFrame:
-        """Merge a delta aggregate into the stored one: UNION the two
-        aggregate-sized relations and RE-AGGREGATE by the group keys —
-        ONE exchange, where the previous FULL OUTER join formulation
-        paid two exchanges plus two sorts for the same per-group
-        combine (guide §2.4: do fewer shuffles; r15 plan diff
-        "2 Exchange + SortMergeJoin → 1 Exchange + HashAggregate").
-        The per-aggregate combine semantics are unchanged and map onto
-        aggregate functions exactly: COUNT adds via SUM (the delta is
+        """Merge the delta into the stored aggregate: UNION the stored
+        rows with the delta's per-row signed contributions
+        (`_mv_apply_query`) and RE-AGGREGATE by the group keys — ONE
+        exchange for the whole refresh, where the previous FULL OUTER
+        join formulation paid two exchanges plus two sorts and the
+        r15-interim union-of-aggregates still paid a second exchange
+        for the delta's own pre-aggregation (guide §2.4: do fewer
+        shuffles; operations keyed the same way share one exchange).
+        The per-aggregate combine semantics map onto aggregate
+        functions exactly: COUNT adds via SUM (contributions are
         SIGNED, so deletes arrive negative and subtract), SUM/AVG
         recombine from their merged sum/count companions (summed the
         same way), MIN via MIN / MAX via MAX (insert-only by the
-        refresh driver's contract). A group absent on one side
-        contributes one row to the union, and aggregates over the
-        other row alone equal that row — the same 'skip the absent
-        side' rule the join spelled out with when/isNull; a NULL
-        stored value merged with a delta value likewise yields the
-        delta value, because SQL aggregates skip NULLs ('no rows' and
-        'all-NULL inputs' combine identically). NULL group values
+        refresh driver's contract) — and SUM over per-row
+        contributions equals SUM over their pre-aggregate, so feeding
+        raw contribution rows changes no merged value. A group absent
+        on one side contributes only its own rows to the union, and
+        aggregates over those alone equal that side — the same 'skip
+        the absent side' rule the join spelled out with when/isNull; a
+        NULL stored value merged with a delta value likewise yields
+        the delta value, because SQL aggregates skip NULLs ('no rows'
+        and 'all-NULL inputs' combine identically). NULL group values
         group together (GROUP BY is null-safe, as eqNullSafe was).
         Groups whose merged row count reaches zero are dropped — the
         retraction analogue of never having grouped. Global aggregates
-        (no GROUP BY) group on a constant key — two one-row sides.
-        Output casts back to the MV's recorded schema so repeated
-        merges never widen types."""
+        (no GROUP BY) group on a constant key. Output casts back to
+        the MV's recorded schema so repeated merges never widen
+        types."""
         # align the delta to the STORED side's physical types BEFORE
         # the union: a subset-of-branches union delta skips the full
         # union's type coercion, so a group key emitted NARROWER by
@@ -6632,12 +6647,27 @@ class Engine:
         defaultParallelism-task RDD job, and a broadcast build reads
         the rows in place with no extra collect job (guide §5 — the
         driver should do almost no data work, and these rows are
-        ALREADY on the driver). Empty frames and any conversion edge
-        (exotic types, Arrow disabled) fall back to the classic
-        verifier path, which is behaviorally identical, just
-        RDD-backed."""
+        ALREADY on the driver). EMPTY frames matter even more: the
+        classic path's RDD backing has UNKNOWN cardinality, so
+        Catalyst cannot fold it — a change feed's structurally-empty
+        side (every pure append) then rides the whole refresh plan as
+        a dead union leg. A zero-row SELECT is a true empty
+        LocalRelation, which PropagateEmptyRelation erases from
+        unions/joins at optimization time. Any conversion edge (exotic
+        types, Arrow disabled) falls back to the classic verifier
+        path, which is behaviorally identical, just RDD-backed."""
         rows = list(rows)
-        if rows and self._arrow_local:
+        if not rows:
+            try:
+                sch = (T.StructType.fromDDL(schema)
+                       if isinstance(schema, str) else schema)
+                items = ", ".join(
+                    f"CAST(NULL AS {f.dataType.simpleString()}) AS "
+                    f"`{f.name}`" for f in sch.fields)
+                return self.spark.sql(f"SELECT {items} WHERE 1=0")
+            except Exception:
+                pass
+        elif self._arrow_local:
             try:
                 import pandas as pd
                 sch = (T.StructType.fromDDL(schema)

@@ -2581,3 +2581,71 @@ def test_feed_counts_meta_append_refresh_delta_rows_exact(eng):
     eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 7.0), (5, 'C', 1.0)")
     r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
     assert (r.mode, r.delta_rows) == ("incremental", 2)
+
+
+# --- r15 optimization-round plan-shape pins -------------------------------------
+
+
+def test_refresh_merged_plan_single_exchange(eng, monkeypatch):
+    """r15 opt: the incremental refresh's merged frame shuffles ONCE —
+    the delta feeds `_mv_merge` as per-row signed contributions
+    (no pre-aggregation of its own), so the only Exchange in the
+    written plan is the merge groupBy (guide §2.4: operations keyed
+    the same way share one exchange)."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
+    eng.sql(f"CREATE MATERIALIZED VIEW ns1.mv AS {AGG}")
+    eng.sql("INSERT INTO ns1.src VALUES (4, 'B', 7.0), (5, 'C', 1.0)")
+    plans = []
+    orig = Engine._write_files
+
+    def spy(self, df, ns, tbl, *a, **kw):
+        if tbl == "mv":
+            plans.append(df._jdf.queryExecution().executedPlan()
+                         .toString())
+        return orig(self, df, ns, tbl, *a, **kw)
+
+    monkeypatch.setattr(Engine, "_write_files", spy)
+    r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert len(plans) == 1
+    import re as _re
+    n_exchange = len(_re.findall(r"\bExchange\b", plans[0]))
+    assert n_exchange == 1, plans[0]
+    assert "SortMergeJoin" not in plans[0]
+
+
+def test_empty_local_frames_fold_out_of_unions(eng):
+    """r15 opt: empty engine frames (empty `_scan` sides, empty
+    `_local_df`) are true LocalRelations, so Catalyst's
+    PropagateEmptyRelation erases them from unions — an RDD-backed
+    empty frame (unknown cardinality) would ride the whole plan as a
+    dead leg. Schema fidelity is preserved exactly."""
+    import pyspark.sql.types as T
+
+    sch = T.StructType([
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.DecimalType(25, 6)),
+        T.StructField("c", T.TimestampNTZType()),
+    ])
+    empty = eng._local_df([], sch)
+    assert [f.dataType for f in empty.schema.fields] == \
+        [f.dataType for f in sch.fields]
+    assert empty.count() == 0
+    big = eng.spark.range(3).selectExpr(
+        "CAST(id AS STRING) a", "CAST(id AS DECIMAL(25,6)) b",
+        "CAST(NULL AS TIMESTAMP_NTZ) c")
+    folded = big.unionByName(empty)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Union" not in folded, folded
+    # the change feed of a PURE APPEND (structurally empty delete side)
+    # plans with no union leg and no RDD scan
+    _seed(eng, [(1, "A", 1.0)], tbl="feedsrc")
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("INSERT INTO ns1.feedsrc VALUES (2, 'B', 2.0)")
+    v1 = eng.catalog.history()[0]["version"]
+    feed = eng.table_changes("ns1.feedsrc", v0, v1)
+    opt = feed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in opt, opt
+    assert "ExistingRDD" not in opt, opt
+    rows = [(r.id, r.grp, r.v, r._change_type) for r in feed.collect()]
+    assert rows == [(2, "B", 2.0, "insert")]
