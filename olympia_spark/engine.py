@@ -1109,6 +1109,30 @@ class Engine:
         entered = paths_to - paths_from
         left = paths_from - paths_to
         if entered and left:
+            # two-sided diff: exceptAll cancellation normally makes the
+            # counts data-dependent — EXCEPT when every commit in the
+            # window is a row-SUBTRACTING rewrite (TABLE_DELETE: the COW
+            # delete writes a multiset-subset of the rows it removes;
+            # TRUNCATE adds nothing — the only two producers). Then the
+            # kept rows cancel exactly and the feed is
+            # (0 inserts, rows_from − rows_to deletes) — footer
+            # arithmetic, zero jobs. Any other action type (UPDATE can
+            # no-op rows into full cancellation — the b58 seam), a
+            # rollback root, or an unloadable root declines.
+            if d_from.properties.get(self._MV_HAVING_PROP) \
+                    or d_to.properties.get(self._MV_HAVING_PROP):
+                return unknown
+            from olympia_spark.catalog.actions import READ_ACTIONS
+            acts = self._table_actions_between(ns, tbl, from_version,
+                                               to_version)
+            writes = [a for a in acts or []
+                      if a.type not in READ_ACTIONS]
+            if writes and all(a.type is ActionType.TABLE_DELETE
+                              for a in writes):
+                rows_from = sum(f.num_rows for f in d_from.data_files)
+                rows_to = sum(f.num_rows for f in d_to.data_files)
+                return {"n_inserts": 0,
+                        "n_deletes": rows_from - rows_to}
             return unknown
         if not left and not d_to.properties.get(self._MV_HAVING_PROP):
             return {"n_inserts": sum(f.num_rows for f in d_to.data_files
@@ -1119,6 +1143,40 @@ class Engine:
                     "n_deletes": sum(f.num_rows for f in d_from.data_files
                                      if f.path in left)}
         return unknown
+
+    def _table_actions_between(self, ns: str, tbl: str,
+                               from_version: int,
+                               to_version: int) -> list[Action] | None:
+        """The committed actions touching ``ns.tbl`` in the root window
+        (from_version, to_version] — the provenance record
+        `_feed_counts_meta` needs to PROVE a diff window delete-only.
+        Returns None when the walk cannot be trusted: a rollback root
+        inside the window (its file-list changes carry no table
+        action), a root that no longer loads, or an empty window.
+        Driver-side metadata only — O(window commits) cached root
+        reads, never a Spark job."""
+        try:
+            key = self.catalog._tbl_key(ns, tbl)
+            latest = self.catalog.tree.load_latest_root()
+            out: list[Action] = []
+            seen_to = False
+            for root in self.catalog.tree.list_roots(latest):
+                if root.version > to_version:
+                    continue
+                if root.version <= from_version:
+                    if not seen_to:
+                        return None      # window roots expired/missing
+                    return out
+                seen_to = True
+                if root.rollback_from_root_path:
+                    return None
+                out.extend(Action.from_row(k, v)
+                           for k, v in root.actions if k == key)
+            # chain ended (expiration horizon) before reaching
+            # from_version — the window is not fully covered
+            return None
+        except Exception:
+            return None
 
     def _phys(self, tdef: TableDef, col: str) -> str:
         """Physical (in-file) name of a logical column (A15 companion:

@@ -2649,3 +2649,83 @@ def test_empty_local_frames_fold_out_of_unions(eng):
     assert "ExistingRDD" not in opt, opt
     rows = [(r.id, r.grp, r.v, r._change_type) for r in feed.collect()]
     assert rows == [(2, "B", 2.0, "insert")]
+
+
+def test_feed_counts_meta_delete_window_exact(eng):
+    """r15 opt: a window whose only table writes are TABLE_DELETE
+    commits (COW deletes write a multiset-subset of what they remove)
+    has footer-derivable counts: n_inserts=0,
+    n_deletes = rows_from − rows_to — exactly what the scanned feed
+    cancels to. Multi-delete windows compose; delta_rows and the
+    MIN/MAX probe pay zero count jobs."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0),
+                (4, "C", 7.0)])
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("DELETE FROM ns1.src WHERE grp = 'A'")
+    v1 = eng.catalog.history()[0]["version"]
+    meta, actual = _feed_and_meta(eng, "ns1.src", v0, v1)
+    assert meta == actual == {"n_inserts": 0, "n_deletes": 2}
+    # two deletes in one window still compose exactly
+    eng.sql("DELETE FROM ns1.src WHERE grp = 'B'")
+    v2 = eng.catalog.history()[0]["version"]
+    meta, actual = _feed_and_meta(eng, "ns1.src", v0, v2)
+    assert meta == actual == {"n_inserts": 0, "n_deletes": 3}
+
+
+def test_feed_counts_meta_delete_plus_append_window_declines(eng):
+    """A window mixing a DELETE with an APPEND is neither one-sided nor
+    delete-only — meta must decline (cancellation could hide appended
+    rows that a later delete removed file-wise)."""
+    _seed(eng, [(1, "A", 10.0), (2, "B", 5.0)])
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("DELETE FROM ns1.src WHERE grp = 'A'")
+    eng.sql("INSERT INTO ns1.src VALUES (3, 'C', 1.0)")
+    v1 = eng.catalog.history()[0]["version"]
+    meta, actual = _feed_and_meta(eng, "ns1.src", v0, v1)
+    assert meta == {"n_inserts": None, "n_deletes": None}
+    assert actual == {"n_inserts": 1, "n_deletes": 1}
+
+
+def test_feed_counts_meta_rollback_in_window_declines(eng):
+    """A rollback root carries file-list changes with NO table action —
+    the provenance walk cannot prove the window delete-only and must
+    decline."""
+    _seed(eng, [(1, "A", 10.0), (2, "B", 5.0)])
+    v0 = eng.catalog.history()[0]["version"]
+    eng.sql("DELETE FROM ns1.src WHERE grp = 'A'")
+    eng.catalog.rollback_to(v0)
+    eng.sql("DELETE FROM ns1.src WHERE grp = 'B'")
+    v1 = eng.catalog.history()[0]["version"]
+    meta = eng._feed_counts_meta("ns1.src", v0, v1)
+    assert meta == {"n_inserts": None, "n_deletes": None}
+    # and the scanned feed stays the ground truth
+    feed = eng.table_changes("ns1.src", v0, v1)
+    assert sorted((r.id, r._change_type) for r in feed.collect()) == \
+        [(2, "delete")]
+
+
+def test_retraction_refresh_uses_meta_counts_no_feed_count_job(eng,
+                                                               spark):
+    """End to end: a DELETE-window refresh reports exact delta_rows
+    from footer arithmetic — no count/first job against the persisted
+    feed (the feed materializes once, inside the merged write)."""
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS "
+            "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM ns1.src "
+            "GROUP BY grp")
+    eng.sql("DELETE FROM ns1.src WHERE v >= 20.0")
+    # the old path ran d.agg(...).first() against the persisted feed —
+    # pin that NO first() fires during this refresh (counts come from
+    # the action walk + footer stats; the feed materializes once,
+    # inside the merged write)
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    calls = []
+    orig_first = _CDF.first
+    _CDF.first = lambda self: (calls.append(1), orig_first(self))[1]
+    try:
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    finally:
+        _CDF.first = orig_first
+    assert (r.mode, r.delta_rows) == ("incremental", 1)
+    assert _mv_rows(eng) == [("A", 1, 10.0), ("B", 1, 5.0)]
+    assert calls == [], "feed count job ran despite meta fast path"
