@@ -422,6 +422,19 @@ def main() -> None:
     _sim._ann_engine(spark, sf_dir)
     ann_build_sec = round(time.perf_counter() - t0, 4)
 
+    # dedup_incremental_catalog probes a PERSISTED signature index —
+    # built once, probed by every ingest batch (the production shape).
+    # r15 measurement fix (guide §1.4, declared in OPTIMIZATION_r15.md):
+    # the index build (write_table of the corpus signature relation,
+    # ~1.5-2s at sf0.1) previously ran INSIDE the first timed call, so
+    # the per-query number conflated one-time build with steady-state
+    # probe. Same asymmetric-warm discipline as the ANN/b55b/b112
+    # builds above; build time reported beside theirs below.
+    from olympia_spark.operators import dedup as _dedup
+    t0 = time.perf_counter()
+    _dedup._corpus_sig_index(spark, sf_dir)
+    dedup_index_build_sec = round(time.perf_counter() - t0, 4)
+
     # Same treatment for b55b's engine warehouse (a one-time bucketed
     # LOAD, not the operation): pre-build untimed so the headline
     # number is the steady-state shadow-read join — and so the
@@ -498,6 +511,7 @@ def main() -> None:
             and os.path.realpath(small_dir) != os.path.realpath(sf_dir)
             and os.environ.get("SPARK_GRAFT_DUAL_SCALE", "1") != "0"):
         _sim._ann_engine(spark, small_dir)    # index build untimed here too
+        _dedup._corpus_sig_index(spark, small_dir)
         _rel._engine_bucketed(spark, small_dir)
         registry.QUERIES["b55b_engine_bucketed_join"](spark,
                                                       small_dir).count()
@@ -560,6 +574,7 @@ def main() -> None:
 
     cat_ms = catalog_metrics()
     cat_ms["ann_index_build_sec"] = ann_build_sec
+    cat_ms["dedup_index_build_sec"] = dedup_index_build_sec
     cat_ms["b55b_build_sec"] = b55b_build_sec
     cat_ms["r11_build_sec"] = r11_build_sec
     cat_ms["r12_build_sec"] = r12_build_sec
