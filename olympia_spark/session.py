@@ -30,13 +30,6 @@ def get_spark(app_name: str = "olympia_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # let the planner choose shuffled-hash join when its size
-        # conditions hold (guide §3.1/§9): no sort on either side, and
-        # the build side is still bounded by the same size checks at any
-        # scale — measured a consistent 1-11% win across the join-heavy
-        # basket with no regression (plans/r15/ab_conf.py, interleaved
-        # A/B at sf0.1)
-        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
