@@ -1158,16 +1158,14 @@ class Engine:
         try:
             key = self.catalog._tbl_key(ns, tbl)
             latest = self.catalog.tree.load_latest_root()
+            # jump straight to the window's top — no per-root scan of
+            # commits newer than to_version
+            top = self.catalog.tree.find_root_for_version(latest,
+                                                          to_version)
             out: list[Action] = []
-            seen_to = False
-            for root in self.catalog.tree.list_roots(latest):
-                if root.version > to_version:
-                    continue
+            for root in self.catalog.tree.list_roots(top):
                 if root.version <= from_version:
-                    if not seen_to:
-                        return None      # window roots expired/missing
                     return out
-                seen_to = True
                 if root.rollback_from_root_path:
                     return None
                 out.extend(Action.from_row(k, v)

@@ -37,7 +37,10 @@ def main() -> None:
     for name in names:
         fn = registry.QUERIES[name]
         try:
-            fn(spark, "/root/testdata/sf0.01").count()   # warm plans
+            warm = "/root/testdata/sf0.01"
+            if not os.path.isdir(warm):
+                warm = sf_dir
+            fn(spark, warm).count()      # warm plans before either arm
         except Exception as exc:
             print(f"# warmup {name}: {exc}", flush=True)
         spark.catalog.clearCache()

@@ -33,7 +33,7 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir, suffix = args[0], args[1]
     confs = {}
-    while args[2] == "--conf":
+    while len(args) > 3 and args[2] == "--conf":
         k, v = args[3].split("=", 1)
         confs[k] = v
         args = args[:2] + args[4:]
