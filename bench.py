@@ -207,6 +207,30 @@ HEADLINE = [
 ]
 
 
+def derive_archive_round(here: str) -> int:
+    """Which round number this run's archive should be written as.
+
+    SPARK_GRAFT_ROUND wins when set; otherwise 1 + the newest committed
+    BENCH_r{N}.json — unless that round's BENCH_SUMMARY_r{N}.json is
+    missing (the driver already wrote this round's BENCH file, so this
+    is a re-run WITHIN the round). Suffixed archives
+    (BENCH_r15_runs.json, BENCH_r15_c8.json) match the glob but carry
+    no round of their own and are skipped (VERDICT r15 #2: .group() on
+    their non-match crashed the archive write)."""
+    import glob as _glob
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round and env_round.isdigit():
+        return int(env_round)
+    matches = [re.search(r"BENCH_r(\d+)\.json$", p)
+               for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))]
+    rounds = [int(m.group(1)) for m in matches if m]
+    nxt = (max(rounds) + 1) if rounds else 1
+    if rounds and not os.path.exists(os.path.join(
+            here, f"BENCH_SUMMARY_r{max(rounds):02d}.json")):
+        nxt = max(rounds)
+    return nxt
+
+
 def catalog_metrics() -> dict[str, float]:
     """Catalog-plane latencies vs the BASELINE.md targets: 1-object
     begin+commit round-trip (target: low tens of ms on local FS) and
@@ -499,6 +523,7 @@ def main() -> None:
     scaling: dict[str, float] = {}
     timings_small: dict[str, float] = {}
     superlinear: list[str] = []
+    retry: dict[str, dict[str, float]] = {}
     # Declared LINEAR-INGEST lanes: these read/copy every input byte by
     # design (COPY INTO bulk load; Iceberg adoption walks all manifests +
     # data), so a ~10x time on 10x data is the correct cost model, not a
@@ -531,9 +556,42 @@ def main() -> None:
             scaling[name] = round(t_big / max(t_small, 0.1), 2)
         superlinear = sorted(n for n, r in scaling.items()
                              if r > 10 and n not in ingest_lanes)
-        if superlinear:
-            print(f"# SUPERLINEAR (>10x on 10x data): {superlinear}",
+        # confirm-before-alert (r16, declared in OPTIMIZATION_r16.md):
+        # the r15 final archive tripped this alert on four CONSECUTIVE
+        # bench lanes (b151g..b151j) whose isolated re-runs were normal
+        # — a single host-contention burst mid-sweep mints a fake
+        # superlinear flag because each lane is timed exactly once per
+        # scale. Re-time every flagged lane once at BOTH scales and
+        # alert only if the best-of readings still scale >10x. The
+        # original sweep readings stay untouched in `queries` /
+        # `queries_sf0.01` / `scaling`; the retry readings are recorded
+        # beside them (additions only).
+        for name in list(superlinear):
+            fn = registry.QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            t_big = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, small_dir).count()
+            t_small = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            best_big = min(timings.get(name, t_big), t_big)
+            best_small = min(timings_small.get(name, t_small), t_small)
+            ratio = round(best_big / max(best_small, 0.1), 2)
+            retry[name] = {"sf_main": round(t_big, 4),
+                           "sf_small": round(t_small, 4),
+                           "scaling_confirmed": ratio}
+            print(f"# superlinear retry {name}: {t_big:.3f}s / "
+                  f"{t_small:.3f}s -> confirmed ratio {ratio}",
                   file=sys.stderr)
+            if ratio <= 10:
+                superlinear.remove(name)
+        if superlinear:
+            print(f"# SUPERLINEAR (>10x on 10x data, confirmed on "
+                  f"retry): {superlinear}", file=sys.stderr)
 
     # DuckDB oracle timings for the SAME basket (VERDICT r11 #6: record
     # the ratios IN the summary so the judge's legacy-basket and
@@ -599,6 +657,7 @@ def main() -> None:
         "queries_sf0.01": timings_small,
         "scaling": scaling,
         "superlinear": superlinear,
+        "superlinear_retry": retry,
         "duckdb": duck,
         "duckdb_runs": 3,
         "vs_duckdb": vs_duck,
@@ -625,25 +684,8 @@ def main() -> None:
     # a round overwrite the same archive, which is the desired "newest
     # recorded run for this round" semantics.
     try:
-        import glob as _glob
         here = os.path.dirname(os.path.abspath(__file__))
-        # round derivation (ADVICE r13): SPARK_GRAFT_ROUND wins when
-        # set; otherwise, an existing BENCH_r{max}.json WITHOUT a
-        # matching BENCH_SUMMARY_r{max}.json means the driver already
-        # wrote this round's BENCH file and this is a re-run WITHIN the
-        # round — archive as r{max}, not r{max+1} (the old max+1 rule
-        # pre-claimed the next round's slot on any same-round re-run)
-        env_round = os.environ.get("SPARK_GRAFT_ROUND")
-        if env_round and env_round.isdigit():
-            nxt = int(env_round)
-        else:
-            rounds = [int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
-                      for p in _glob.glob(
-                          os.path.join(here, "BENCH_r*.json"))]
-            nxt = (max(rounds) + 1) if rounds else 1
-            if rounds and not os.path.exists(os.path.join(
-                    here, f"BENCH_SUMMARY_r{max(rounds):02d}.json")):
-                nxt = max(rounds)
+        nxt = derive_archive_round(here)
         with open(os.path.join(here, f"BENCH_SUMMARY_r{nxt:02d}.json"),
                   "w") as fh:
             json.dump(summary, fh)

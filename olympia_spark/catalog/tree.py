@@ -48,6 +48,7 @@ only the dirty path + a single atomic root put.
 
 from __future__ import annotations
 
+import bisect
 import io
 import time
 from dataclasses import dataclass, field
@@ -115,6 +116,43 @@ class Node:
     slices: list = field(default_factory=list)      # list[Slice], ordered
     pending: dict = field(default_factory=dict)     # key -> Pending
     children: dict = field(default_factory=dict)    # key -> loaded Node
+    # cached sum of per-row byte estimates over merged_rows() (None =
+    # recompute lazily). Maintained incrementally by the insert/update
+    # hot paths and invalidated by splits: without it the overflow
+    # check re-walked every row of the node on EVERY set_value —
+    # O(n x order) for a bulk build (72% of the 1M-object catalog
+    # build in cProfile).
+    rows_bytes_est: int | None = field(default=None, repr=False,
+                                       compare=False)
+    # lazily-built sorted view of pending's keys (None = rebuild on
+    # demand). _floor_entry bisects it instead of linear-scanning the
+    # dict per descent level — the next hotspot after rows_bytes_est in
+    # the 1M-object build (37s of 90s profiled). _pending_put keeps it
+    # ordered on insert; wholesale pending reassignment resets it.
+    pending_sorted: list | None = field(default=None, repr=False,
+                                        compare=False)
+
+    @staticmethod
+    def _row_bytes(k: str | None, v: str | None, p: str | None) -> int:
+        """Per-row serialized-size contribution (Arrow IPC adds per-row
+        offsets/validity; 64 B/row covers it)."""
+        return len(k or "") + len(v or "") + len(p or "") + 64
+
+    def _pending_keys(self) -> list:
+        """Sorted pending keys, cached (see pending_sorted)."""
+        ks = self.pending_sorted
+        if ks is None:
+            ks = sorted(self.pending)
+            self.pending_sorted = ks
+        return ks
+
+    def _pending_put(self, key: str, pe: "Pending") -> None:
+        """Insert a STRICTLY NEW pending key, keeping the sorted view
+        ordered (value updates of an existing key go straight through
+        the dict — the key set is unchanged)."""
+        self.pending[key] = pe
+        if self.pending_sorted is not None:
+            bisect.insort(self.pending_sorted, key)
 
     # --- pivot accessors (Arrow in place, no materialization) ---------------
 
@@ -140,7 +178,7 @@ class Node:
         order (reference NodeRowMerger). Yields (key, value, child_path)
         with child_path as persisted — callers needing fresh child paths
         go through ``children``."""
-        pend = sorted(self.pending.items())
+        pend = [(k, self.pending[k]) for k in self._pending_keys()]
         pi = 0
         for sl in self.slices:
             for i in range(sl.start, sl.stop):
@@ -482,10 +520,9 @@ class Tree:
         """Merged floor: max over the slice floor and the pending floor
         (keys are disjoint between the two by construction)."""
         spos, sexact = Tree._slice_floor(node, key)
-        pkey = None
-        for k in node.pending:
-            if k <= key and (pkey is None or k > pkey):
-                pkey = k
+        ks = node._pending_keys()
+        i = bisect.bisect_right(ks, key)
+        pkey = ks[i - 1] if i else None
         skey = node._pk(spos) if spos >= 0 else None
         if pkey is not None and (skey is None or pkey > skey):
             pe = node.pending[pkey]
@@ -512,6 +549,12 @@ class Tree:
         """Buffer an update for an existing entry: if it lives in a slice,
         split the slice around the superseded row and move the entry (with
         its child pointer) into pending (TreeOperations.java:592-613)."""
+        # size accounting: key and child-path contributions are carried
+        # over unchanged (the Pending keeps hit.child_path), so only the
+        # value length moves
+        if node.rows_bytes_est is not None:
+            node.rows_bytes_est += (len(value or "")
+                                    - len(hit.value or ""))
         if hit.pivot_pos is None:
             node.pending[hit.key].value = value
             return
@@ -521,8 +564,8 @@ class Tree:
                 parts = [Slice(sl.start, pos), Slice(pos + 1, sl.stop)]
                 node.slices[i:i + 1] = [s for s in parts if s.start < s.stop]
                 break
-        node.pending[hit.key] = Pending(value=value,
-                                        child_path=hit.child_path)
+        node._pending_put(hit.key, Pending(value=value,
+                                           child_path=hit.child_path))
 
     def search(self, root: Node, key: str) -> str | None:
         """Root-to-leaf descent (TreeOperations.java:553-567). Returns the
@@ -559,8 +602,11 @@ class Tree:
                 break
             path.append(node)
             node = child
-        # buffer the insert at the leaf
-        node.pending[key] = Pending(value=value)
+        # buffer the insert at the leaf (a strictly new key — an existing
+        # one would have hit the exact-supersede branch above)
+        node._pending_put(key, Pending(value=value))
+        if node.rows_bytes_est is not None:
+            node.rows_bytes_est += Node._row_bytes(key, value, None)
         node.dirty = True
         for parent in path:
             parent.dirty = True
@@ -568,12 +614,26 @@ class Tree:
 
     # --- splits -------------------------------------------------------------
 
+    @staticmethod
+    def _rows_bytes(node: Node) -> int:
+        """Cached sum of per-row size estimates (see Node.rows_bytes_est).
+        Recomputed O(node) only after a split/load; the insert/update
+        paths adjust it incrementally."""
+        est = node.rows_bytes_est
+        if est is None:
+            est = sum(Node._row_bytes(k, v, p)
+                      for k, v, p in node.merged_rows())
+            node.rows_bytes_est = est
+        return est
+
     def _estimated_node_bytes(self, node: Node) -> int:
         """Conservative serialized-size estimate (Arrow IPC adds per-row
-        offsets/validity + fixed header; 64 B/row + 2 KiB covers it)."""
-        size = 2048
-        for k, v, p in node.merged_rows():
-            size += len(k or "") + len(v or "") + len(p or "") + 64
+        offsets/validity + fixed header; 64 B/row + 2 KiB covers it).
+        Root action rows are summed fresh each call — they are assigned
+        wholesale by the commit paths (transactions.py), outside the
+        tree's incremental accounting, and number O(statements per
+        txn)."""
+        size = 2048 + self._rows_bytes(node)
         if isinstance(node, RootNode):
             for k, v in node.actions:
                 size += len(k or "") + len(v or "") + 64
@@ -654,6 +714,11 @@ class Tree:
         node.children = {k: c for k, c in node.children.items()
                          if k < mid_key}
         node.dirty = True
+        # both halves changed wholesale — recompute lazily (splits are
+        # O(order) apart, so the O(order) recompute amortizes to O(1)
+        # per insert); `right` was constructed with the default None
+        node.rows_bytes_est = None
+        node.pending_sorted = None
         return (mid_key, mid_value), right
 
     def _resolve_overflow(self, node: Node, parents: list) -> None:
@@ -669,7 +734,10 @@ class Tree:
         (mid_key, mid_value), right = self._do_split(node)
         if parents:
             parent = parents[-1]
-            parent.pending[mid_key] = Pending(value=mid_value)
+            parent._pending_put(mid_key, Pending(value=mid_value))
+            if parent.rows_bytes_est is not None:
+                parent.rows_bytes_est += Node._row_bytes(
+                    mid_key, mid_value, None)
             parent.children[mid_key] = right
             parent.dirty = True
             self._resolve_overflow(right, parents)
@@ -686,6 +754,12 @@ class Tree:
             node.children = {mid_key: right}
             node.leftmost_path, node.leftmost = None, left
             node.dirty = True
+            node.rows_bytes_est = Node._row_bytes(mid_key, mid_value,
+                                                  None)
+            node.pending_sorted = [mid_key]
+            # `left` took the post-split contents node no longer
+            # accounts for; _do_split already reset node's estimate, so
+            # left recomputes lazily (constructed with the default None)
             self._resolve_overflow(left, [node])
             self._resolve_overflow(right, [node])
 

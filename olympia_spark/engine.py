@@ -5416,6 +5416,18 @@ class Engine:
                         feed_counts[s] = (fmeta["n_inserts"]
                                           + fmeta["n_deletes"])
                         n_del = fmeta["n_deletes"]
+                    elif not has_minmax:
+                        # the count is only needed for the REPORT (the
+                        # delete probe below is MIN/MAX-only) — defer it
+                        # to after the rewrite, whose single pass
+                        # materializes the persisted feed; the deferred
+                        # count then reads the cache as ONE job instead
+                        # of evaluating the exceptAll pair separately
+                        # as a 5-job AQE cascade (guide §1.4 — measured
+                        # 1.18s on b151h's cascade parent at sf0.1; the
+                        # cached count is ~0.05s)
+                        feed_counts[s] = -1         # deferred sentinel
+                        n_del = 0
                     else:
                         crow = d.agg(
                             F.count(F.lit(1)).alias("n"),
@@ -5529,6 +5541,15 @@ class Engine:
                       if c.startswith("__mv_")])
                 mode, n = "full", 0
             files = self._write_files(merged, ns, tbl, [], tdef=tdef)
+            if mode == "incremental":
+                # resolve deferred feed counts (two-sided windows on
+                # non-MIN/MAX plans): the rewrite above materialized
+                # the persisted feeds, so these are cached single-job
+                # counts — must run before the finally unpersists
+                for s, c in list(feed_counts.items()):
+                    if c < 0:
+                        feed_counts[s] = deltas[s].count()
+                n = sum(feed_counts.values())
         finally:
             for d in deltas.values():
                 d.unpersist()
@@ -6569,6 +6590,16 @@ class Engine:
         r15-interim union-of-aggregates still paid a second exchange
         for the delta's own pre-aggregation (guide §2.4: do fewer
         shuffles; operations keyed the same way share one exchange).
+
+        r16 construction change (guide §5 — the driver should do almost
+        no work): the merged frame is built as ONE ``spark.sql`` text
+        over two temp views instead of the column-by-column DataFrame
+        chain — the chain cost 737 py4j round-trips per merge (measured
+        0.34–0.45s of pure driver latency per refresh at sf0.01); the
+        SQL text costs ~8. The SQL is the same plan verbatim
+        (plans/r16/mv_merge_sqltext_{before,after}.txt differ only in
+        expression ids); `_mv_merge_classic` — the previous builder —
+        stays as the fallback and the semantics oracle.
         The per-aggregate combine semantics map onto aggregate
         functions exactly: COUNT adds via SUM (contributions are
         SIGNED, so deletes arrive negative and subtract), SUM/AVG
@@ -6588,7 +6619,123 @@ class Engine:
         retraction analogue of never having grouped. Global aggregates
         (no GROUP BY) group on a constant key. Output casts back to
         the MV's recorded schema so repeated merges never widen
-        types."""
+        types.
+
+        r16 construction change (guide §5 — driver-side work): the
+        merged frame is built as ONE ``spark.sql`` text over two temp
+        views instead of the column-by-column DataFrame chain — the
+        chain cost 737 py4j round-trips per merge (0.34–0.45s of pure
+        driver latency per refresh, measured at sf0.01); the SQL text
+        costs ~8 and produces the same plan (plans/r16/
+        mv_merge_sqltext_{before,after}.txt differ only in expression
+        ids). `_mv_merge_classic` keeps the previous builder as the
+        fallback and the semantics oracle the tests compare against."""
+        try:
+            return Engine._mv_merge_sql(old, delta, plan, schema)
+        except Exception:
+            return Engine._mv_merge_classic(old, delta, plan, schema)
+
+    @staticmethod
+    def _mv_merge_sql(old: DataFrame, delta: DataFrame, plan: dict,
+                      schema: T.StructType) -> DataFrame:
+        """SQL-text construction of the merge — semantics identical to
+        `_mv_merge_classic`, clause by clause (the delta-side casts to
+        stored types, the shared column set, the positional UNION ALL
+        with identical select lists ≡ unionByName, the null-safe GROUP
+        BY, the companion recombine CASE, the rowcount filter, the
+        final schema casts)."""
+        spark = old.sparkSession
+        old_types = {f.name: f.dataType for f in old.schema.fields}
+
+        def q(c: str) -> str:
+            return "`" + c.replace("`", "``") + "`"
+
+        def t(dt: T.DataType) -> str:
+            return dt.simpleString()
+
+        grouped = bool(plan["group"])
+        keys = list(plan["group"]) or ["__mv_k"]
+        companions = Engine._mv_companions(plan)
+        comp_by_out = {out: (s, c) for s, c, _i, out in companions}
+        rc = Engine._MV_ROWCNT
+        shared = ((list(plan["group"]) if grouped else [])
+                  + [out for k, _i, out in plan["aggs"]
+                     if k not in ("AVG", "SUM")]
+                  + [x for s, c, _i, _o in companions for x in (s, c)]
+                  + [rc])
+        # identical select lists on both legs — positional UNION ALL is
+        # then exactly the old unionByName; the delta leg casts to the
+        # STORED types (the r13 narrower-branch-key coercion rule)
+        old_leg = [q(c) for c in shared]
+        delta_leg = [(f"CAST({q(c)} AS {t(old_types[c])}) AS {q(c)}"
+                      if c in old_types else q(c)) for c in shared]
+        if not grouped:
+            old_leg = ["1 AS `__mv_k`"] + old_leg
+            delta_leg = ["1 AS `__mv_k`"] + delta_leg
+        aggs_sql = []
+        for kind, _i, out in plan["aggs"]:
+            if kind in ("AVG", "SUM"):
+                continue            # recombined from companions below
+            if kind == "COUNT":
+                aggs_sql.append(f"CAST(SUM({q(out)}) AS "
+                                f"{t(old_types[out])}) AS {q(out)}")
+            elif kind == "MIN":
+                aggs_sql.append(f"MIN({q(out)}) AS {q(out)}")
+            else:
+                aggs_sql.append(f"MAX({q(out)}) AS {q(out)}")
+        for s, c, _i, _o in companions:
+            aggs_sql.append(f"CAST(SUM({q(s)}) AS {t(old_types[s])}) "
+                            f"AS {q(s)}")
+            aggs_sql.append(f"CAST(SUM({q(c)}) AS {t(old_types[c])}) "
+                            f"AS {q(c)}")
+        aggs_sql.append(f"CAST(SUM({q(rc)}) AS {t(old_types[rc])}) "
+                        f"AS {q(rc)}")
+        derive = [q(k) for k in plan["group"]]
+        for kind, _i, out in plan["aggs"]:
+            if kind in ("AVG", "SUM"):
+                s, c = comp_by_out[out]
+                e = f"{q(s)} / {q(c)}" if kind == "AVG" else q(s)
+                derive.append(f"CASE WHEN {q(c)} > 0 THEN {e} END "
+                              f"AS {q(out)}")
+            else:
+                derive.append(q(out))
+        derive += [q(s) for s, _c, _i, _o in companions]
+        derive += [q(c) for _s, c, _i, _o in companions]
+        derive.append(q(rc))
+        final = ([f"CAST({q(f.name)} AS {t(f.dataType)}) AS {q(f.name)}"
+                  for f in schema.fields]
+                 + [q(s) for s, _c, _i, _o in companions]
+                 + [q(c) for _s, c, _i, _o in companions]
+                 + [q(rc)])
+        vo = f"olympia__mv_old__{uuid.uuid4().hex[:8]}"
+        vd = f"olympia__mv_new__{uuid.uuid4().hex[:8]}"
+        old.createOrReplaceTempView(vo)
+        delta.createOrReplaceTempView(vd)
+        try:
+            sql = (
+                f"SELECT {', '.join(final)} FROM ("
+                f"SELECT {', '.join(derive)} FROM ("
+                f"SELECT {', '.join(q(k) for k in keys)}, "
+                f"{', '.join(aggs_sql)} FROM ("
+                f"SELECT {', '.join(old_leg)} FROM {vo} "
+                f"UNION ALL "
+                f"SELECT {', '.join(delta_leg)} FROM {vd}"
+                f") olympia__mv_u GROUP BY "
+                f"{', '.join(q(k) for k in keys)}"
+                f") olympia__mv_g"
+                + (f" WHERE {q(rc)} > 0" if grouped else "")
+                + ") olympia__mv_m")
+            return spark.sql(sql)
+        finally:                        # plan already resolved
+            spark.catalog.dropTempView(vo)
+            spark.catalog.dropTempView(vd)
+
+    @staticmethod
+    def _mv_merge_classic(old: DataFrame, delta: DataFrame, plan: dict,
+                          schema: T.StructType) -> DataFrame:
+        """The DataFrame-API merge builder (pre-r16) — fallback for any
+        SQL-construction edge and the reference the SQL text is checked
+        against (tests pin both paths to identical results)."""
         # align the delta to the STORED side's physical types BEFORE
         # the union: a subset-of-branches union delta skips the full
         # union's type coercion, so a group key emitted NARROWER by

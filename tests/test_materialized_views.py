@@ -2729,3 +2729,54 @@ def test_retraction_refresh_uses_meta_counts_no_feed_count_job(eng,
     assert (r.mode, r.delta_rows) == ("incremental", 1)
     assert _mv_rows(eng) == [("A", 1, 10.0), ("B", 1, 5.0)]
     assert calls == [], "feed count job ran despite meta fast path"
+
+
+def test_mv_merge_sql_text_matches_classic_builder(eng):
+    """r16: _mv_merge builds its frame as one spark.sql text (737 -> ~8
+    py4j round-trips per merge); this pins the SQL construction to the
+    classic DataFrame builder it replaced — same rows, same schema, on
+    a plan exercising every clause family at once: plain group key,
+    COUNT, SUM+AVG companions, MIN/MAX, signed deletes, a vanishing
+    group, and the no-GROUP-BY (global) shape."""
+    from olympia_spark.engine import Engine as E
+    _seed(eng, [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0),
+                (4, None, 2.0)])
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mv AS SELECT grp, "
+            "COUNT(*) AS n, SUM(v) AS sv, AVG(v) AS av, MIN(v) AS mn, "
+            "MAX(v) AS mx FROM ns1.src GROUP BY grp")
+    eng.sql("INSERT INTO ns1.src VALUES (5, 'B', 7.0), (6, 'C', 1.0), "
+            "(7, NULL, 4.0)")
+    calls = []
+    orig = E._mv_merge_sql
+
+    def spy(old, delta, plan, schema):
+        sql_df = orig(old, delta, plan, schema)
+        classic_df = E._mv_merge_classic(old, delta, plan, schema)
+        assert [f.name for f in sql_df.schema.fields] == \
+            [f.name for f in classic_df.schema.fields]
+        assert [f.dataType for f in sql_df.schema.fields] == \
+            [f.dataType for f in classic_df.schema.fields]
+        key = [f.name for f in sql_df.schema.fields]
+        rows_sql = sorted(map(tuple, sql_df.collect()),
+                          key=lambda r: tuple((x is None, str(x))
+                                              for x in r))
+        rows_classic = sorted(map(tuple, classic_df.collect()),
+                              key=lambda r: tuple((x is None, str(x))
+                                                  for x in r))
+        assert rows_sql == rows_classic, key
+        calls.append(1)
+        return sql_df
+
+    import unittest.mock as mock
+    with mock.patch.object(E, "_mv_merge_sql", staticmethod(spy)):
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mv").collect()[0]
+    assert r.mode == "incremental" and calls
+
+    # global-aggregate shape (constant-key GROUP BY inside the merge)
+    eng.sql("CREATE MATERIALIZED VIEW ns1.mvg AS SELECT COUNT(*) AS n, "
+            "SUM(v) AS sv FROM ns1.src")
+    eng.sql("INSERT INTO ns1.src VALUES (8, 'D', 3.0)")
+    calls.clear()
+    with mock.patch.object(E, "_mv_merge_sql", staticmethod(spy)):
+        r = eng.sql("REFRESH MATERIALIZED VIEW ns1.mvg").collect()[0]
+    assert r.mode == "incremental" and calls

@@ -349,3 +349,42 @@ def test_write_root_uploads_children_before_root_seal(tmp_path):
     loaded = tree.load_root(loc.root_node_path(0))
     assert [k for k, _ in tree.traverse(loaded)] == \
         [f"k{i:03d}" for i in range(40)]
+
+
+@given(ops=st.lists(
+    st.tuples(st.integers(0, 30), st.text("ab", max_size=40),
+              st.booleans()),
+    max_size=120))
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_size_estimate_matches_recompute(tmp_path_factory,
+                                                     ops):
+    """r16: the overflow check's per-node byte estimate is maintained
+    INCREMENTALLY (Node.rows_bytes_est) instead of re-walking every
+    merged row per set_value — this pins that after any op sequence
+    (inserts, updates, tombstones, across splits and reloads) every
+    cached estimate equals the from-scratch recompute, so split
+    decisions can never drift from the old O(node)-per-insert code."""
+    from olympia_spark.catalog.tree import Node
+    tree = Tree(LocalStorage(str(tmp_path_factory.mktemp("est"))),
+                order=6)   # tiny order → frequent splits
+    root = _fresh_root()
+
+    def check(node):
+        if node.rows_bytes_est is not None:
+            fresh = sum(Node._row_bytes(k, v, p)
+                        for k, v, p in node.merged_rows())
+            assert node.rows_bytes_est == fresh
+        if node.leftmost is not None:
+            check(node.leftmost)
+        for c in node.children.values():
+            check(c)
+
+    for i, (kn, v, delete) in enumerate(ops):
+        tree.set_value(root, f"k{kn:02d}", None if delete else v)
+        check(root)
+    tree.write_root(root, 0)
+    loaded = tree.load_root(loc.root_node_path(0))
+    # loaded nodes start uncached; one more op populates and must match
+    tree.set_value(loaded, "k99", "zz")
+    check(loaded)
