@@ -1,16 +1,37 @@
 """Every registered query with an oracle must hash-match DuckDB at sf0.001 —
-the same protocol the driver applies at sf0.01 (FIXTURES.md §3)."""
+the same protocol the driver applies at sf0.01 (FIXTURES.md §3).
+
+Default runs sweep a DETERMINISTIC 1/3 SAMPLE plus every lane family
+touched by recent optimization rounds (VERDICT r15 #3: the full
+311-query sweep was ~9 min of a suite that outgrew the driver's pytest
+window); SPARK_GRAFT_FULL_SUITE=1 sweeps the whole registry — the
+builder's pre-commit gate, and the driver separately hash-checks a
+rotating 50-query sample at sf0.01 every round regardless."""
 
 from __future__ import annotations
+
+import os
+import re
+import zlib
 
 import pytest
 
 from olympia_spark.operators import load_all_modules, registry
 from olympia_spark.testing import compare_query
 
+FULL_SUITE = os.environ.get("SPARK_GRAFT_FULL_SUITE", "") == "1"
+
 load_all_modules()
 
 NAMES = sorted(registry.ORACLE_SQL)
+if not FULL_SUITE:
+    # crc32 sampling is stable across rounds (no rotation: a lane that
+    # regresses fails every round, not one in three); the always-in
+    # pattern keeps the churning MV/refresh/DML surface fully swept
+    _ALWAYS = re.compile(r"mv|151|stream|refresh|merge|b2[89]|b30|b3[23]"
+                         r"|b5[58]|b6[3679]|b79|b8[236]", re.I)
+    NAMES = [n for n in NAMES
+             if zlib.crc32(n.encode()) % 3 == 0 or _ALWAYS.search(n)]
 
 
 @pytest.mark.parametrize("name", NAMES)
